@@ -38,6 +38,13 @@ object IpOps {
     if (r == null) null else UTF8String.fromString(r)
   }
   def family(b: Array[Byte]): Int = IpMath.family(b)
+  def longToBin(v: Long): Array[Byte] = {
+    val x = v ^ java.lang.Long.MIN_VALUE // flip sign bit
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = (x >>> (56 - 8 * i)).toByte; i += 1 }
+    out
+  }
 }
 
 /** Base for unary IP expressions: child-null-safe, result-nullable
@@ -185,4 +192,18 @@ case class IpMaskCidr(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): IpMaskCidr = copy(f, s, t)
   override def prettyName: String = "ip_mask_cidr"
+}
+
+/** long_to_bin(x) → 8-byte big-endian with the sign bit flipped, so
+  * unsigned-lexicographic binary order equals signed long order.
+  * Lets any long-keyed table reuse the binary range machinery.
+  */
+case class LongToBin(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    IpOps.longToBin(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.IpOps.longToBin($c)")
+  override protected def withNewChildInternal(c: Expression): LongToBin = copy(c)
+  override def prettyName: String = "long_to_bin"
 }

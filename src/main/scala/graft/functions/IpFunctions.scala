@@ -26,6 +26,7 @@ object IpFunctions {
     col(IpMaskCidr(ex(c), ex(lit(v4Len)), ex(lit(v6Len))))
   def ip6to4(c: Column): Column = col(Ip6to4(ex(c)))
   def ip_family(c: Column): Column = col(IpFamily(ex(c)))
+  def long_to_bin(c: Column): Column = col(LongToBin(ex(c)))
 
   /** 6to4 rewrite as applied to request IPs (handler.go:211-214):
     * 2002::/16 addresses are replaced by their embedded v4, all
@@ -46,5 +47,6 @@ object IpFunctions {
     one("ip_mask_cidr", e => IpMaskCidr(e(0), e(1), e(2)))
     one("ip6to4", e => Ip6to4(e.head))
     one("ip_family", e => IpFamily(e.head))
+    one("long_to_bin", e => LongToBin(e.head))
   }
 }

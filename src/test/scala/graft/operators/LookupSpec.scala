@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.functions.IpMath
+
+class LookupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def rangesDf(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.map { case (cidr, pay) =>
+      val r = IpMath.cidrToRange(cidr)
+      (r._1, r._2, pay)
+    }.toDF("lo", "hi", "payload")
+  }
+
+  test("SearchBinary golden queries (iputils_test.go:69-129)") {
+    import spark.implicits._
+    val flat = Ranges.flattenRanges(
+      rangesDf("1.0.0.0/24" -> "custom1", "1.0.0.2/26" -> "custom2",
+        "1.0.10.0/24" -> "custom3", "1.0.10.124/30" -> "custom4",
+        "2.1.0.0/8" -> "custom5").withColumn("dataset", lit("d")),
+      Seq("dataset"))
+    val probes = Seq("1.0.0.1", "1.0.0.60", "1.0.0.67", "1.0.10.123",
+      "1.0.10.124", "1.0.10.200", "2.2.155.43", "192.4.1.123")
+    val facts = probes.map(p => (p, IpMath.parseIp(p))).toDF("ip", "bin")
+    val got = RangeLookup.lookup(spark, facts.select("ip", "bin"),
+        flat.drop("dataset"), col("bin"))
+      .select("ip", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "1.0.0.1" -> "custom1", "1.0.0.60" -> "custom2",
+      "1.0.0.67" -> "custom1", "1.0.10.123" -> "custom3",
+      "1.0.10.124" -> "custom4", "1.0.10.200" -> "custom3",
+      "2.2.155.43" -> "custom5", "192.4.1.123" -> null))
+  }
+
+  test("differential: binary-search lookup agrees with naive range join " +
+      "on 10k random probes (geo-ip_test.go:123-203 pattern)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // disjoint-by-construction random ranges in 10.x.y.0/24 blocks
+    val ranges = (0 until 2000).map { i =>
+      val base = IpMath.parseIp(s"10.${i / 256}.${i % 256}.0")
+      val width = 1 + rnd.nextInt(200)
+      (base, IpMath.ipAdd(base, width), s"p$i")
+    }.toDF("lo", "hi", "payload")
+    val probes = (1 to 10000).map { _ =>
+      IpMath.parseIp(
+        s"10.${rnd.nextInt(9)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}")
+    }.zipWithIndex.map { case (b, i) => (i, b) }.toDF("id", "bin")
+
+    val fast = RangeLookup.lookup(spark, probes, ranges, col("bin"))
+      .select("id", "payload").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val naive = RangeLookup.lookupNaive(probes, ranges, col("bin"))
+      .select("id", "payload").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(fast == naive)
+    assert(fast.values.exists(_ != null) && fast.values.exists(_ == null))
+  }
+
+  test("as-of snapshot selection golden (directory_test.go:44-79)") {
+    import spark.implicits._
+    val base = java.time.LocalDate.of(2009, 2, 8)
+    val snaps = Seq(0, 50, 100, 200, 278, 478)
+      .map(w => Date.valueOf(base.plusWeeks(w)))
+      .toDF("snap_date")
+    val queries = Seq(
+      ("2017-01-01", "2014-06-08"),
+      ("2011-01-01", "2010-01-24"),
+      ("2018-05-01", "2018-04-08"),
+      ("2005-01-01", "2009-02-08"), // before first → clamp to earliest
+      ("2030-01-01", "2018-04-08")) // after last → last
+    val facts = queries.map(q => Date.valueOf(q._1)).toDF("d")
+    val got = AsOf.asOfSnapshot(facts, snaps, col("d"), "snap_date")
+      .orderBy("d").collect()
+      .map(r => (r.getDate(0).toString, r.getDate(1).toString)).toSeq
+    assert(got.sortBy(_._1) == queries.map(q => (q._1, q._2)).sortBy(_._1))
+  }
+
+  test("alignSnapshots builds the unified date spine (MergeAnnotators J9)") {
+    import spark.implicits._
+    val a = Seq(("2020-01-01", "a1"), ("2020-03-01", "a2"))
+      .map { case (d, v) => (Date.valueOf(d), v) }.toDF("d", "geo")
+    val b = Seq(("2020-02-01", "b1"), ("2020-04-01", "b2"))
+      .map { case (d, v) => (Date.valueOf(d), v) }.toDF("d", "asn")
+    val got = AsOf.alignSnapshots(Seq(a, b), "d")
+      .orderBy("d").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("2020-01-01", "a1", "b1"), // b clamped to earliest
+      ("2020-02-01", "a1", "b1"),
+      ("2020-03-01", "a2", "b1"),
+      ("2020-04-01", "a2", "b2")))
+  }
+}
