@@ -1,0 +1,115 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.sources.Ingest
+
+/** End-to-end §7.2 slice: fixture CSVs → ingest → flatten → snapshot
+  * build → batched annotate → nested structs, mirroring the
+  * reference's handler_test.go golden behavior (found IP gets geo,
+  * miss gets {Missing:true} placeholders).
+  */
+class AnnotateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  private lazy val geoSnap = Annotate.buildGeoSnapshot(
+    Ingest.geoliteBlocks(spark, fixture("geolite2-blocks-v4.csv")),
+    Ingest.geoliteLocations(spark, fixture("geolite2-locations.csv")))
+  private lazy val asnSnap = Annotate.buildAsnSnapshot(
+    Ingest.pfx2as(spark, fixture("routeviews.pfx2as")),
+    Ingest.asNames(spark, fixture("asnames.csv")))
+
+  private def annotateIps(ips: String*): Map[String, Row] = {
+    import spark.implicits._
+    val facts = ips.toDF("ip")
+    Annotate.annotate(spark, facts, col("ip"), geoSnap, asnSnap)
+      .collect().map(r => r.getAs[String]("ip") -> r).toMap
+  }
+
+  test("end-to-end: nested child range wins, parent resumes, ASN attached") {
+    val rows = annotateIps("1.0.0.200", "1.0.0.130", "1.0.1.50",
+      "9.9.9.9", "2001:200::55", "2002:100:c8::", "junk")
+
+    val geo200 = rows("1.0.0.200").getAs[Row]("geo")
+    assert(geo200.getAs[String]("city") == "Scarborough")
+    assert(geo200.getAs[Long]("metro_code") == 500L)
+    assert(geo200.getAs[String]("region") == "ME")
+    assert(!geo200.getAs[Boolean]("missing"))
+    val net200 = rows("1.0.0.200").getAs[Row]("network")
+    assert(net200.getAs[Long]("asn") == 2500L)
+    assert(net200.getAs[String]("as_name") == "WIDE Project")
+    assert(net200.getAs[String]("cidr") == "1.0.0.0/24")
+
+    // nested /26 child wins inside its bounds
+    assert(rows("1.0.0.130").getAs[Row]("geo")
+      .getAs[String]("city") == "Hartford")
+
+    // null geoname_id falls back to registered country (J3)
+    val geo150 = rows("1.0.1.50").getAs[Row]("geo")
+    assert(geo150.getAs[String]("country_code") == "US")
+    assert(geo150.getAs[String]("city") == null)
+    assert(!geo150.getAs[Boolean]("missing"))
+
+    // full miss → both {missing: true} (P16)
+    assert(rows("9.9.9.9").getAs[Row]("geo").getAs[Boolean]("missing"))
+    assert(rows("9.9.9.9").getAs[Row]("network").getAs[Boolean]("missing"))
+
+    // v6 probe hits the MOAS route (one combined v4+v6 table, J7)
+    val net6 = rows("2001:200::55").getAs[Row]("network")
+    assert(net6.getAs[Long]("asn") == 55967L)
+    val systems = net6.getSeq[Row](net6.fieldIndex("systems"))
+      .map(s => s.getSeq[Long](s.fieldIndex("asns")).toList).toList
+    assert(systems == List(List(55967L), List(38365L, 64512L)))
+
+    // 6to4 rewrite: 2002:100:c8:: → 1.0.0.200 (P6)
+    assert(rows("2002:100:c8::").getAs[Row]("geo")
+      .getAs[String]("city") == "Scarborough")
+
+    // unparseable IP → both missing (F5)
+    assert(rows("junk").getAs[Row]("geo").getAs[Boolean]("missing"))
+    assert(rows("junk").getAs[Row]("network").getAs[Boolean]("missing"))
+  }
+
+  test("site annotation: /26 mask exact-match (J6)") {
+    import spark.implicits._
+    val sites = Ingest.siteinfo(spark, fixture("siteinfo.json"),
+      fixture("siteinfo-retired.json"))
+    val got = Annotate.annotateSite(
+        Seq("64.86.148.130", "64.86.200.1").toDF("ip"), col("ip"), sites)
+      .select("ip", "site").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("64.86.148.130" -> "abc01", "64.86.200.1" -> null))
+  }
+
+  test("legacy enrichment: FIPS→ISO join + 3-decimal rounding (J5/P14)") {
+    import spark.implicits._
+    val geoRows = Seq(("US", "23", 42.1234567, -73.9876543),
+      ("ZZ", "99", 1.23456, 2.34567))
+      .toDF("country_code", "region", "latitude", "longitude")
+    val got = Annotate.legacyEnrich(geoRows,
+      Ingest.fipsMap(spark, fixture("fips.csv"))).collect()
+      .map(r => (r.getAs[String]("country_code"),
+        r.getAs[String]("region_iso_code"), r.getAs[String]("region_name"),
+        r.getAs[Double]("latitude"))).toSet
+    assert(got == Set(
+      ("US", "ME", "Maine", 42.123),
+      ("ZZ", "", "", 1.235))) // missing key → empty strings
+  }
+
+  test("date-cutoff routing unions legacy and modern branches (F2)") {
+    import spark.implicits._
+    val facts = Seq(("a", "2017-01-01"), ("b", "2018-01-01"))
+      .map { case (k, d) => (k, java.sql.Date.valueOf(d)) }.toDF("k", "d")
+    val got = Annotate.routeByCutoff(facts, col("d"),
+        java.sql.Date.valueOf("2017-08-15"),
+        legacy = _.withColumn("src", lit("legacy")),
+        modern = _.withColumn("src", lit("modern")))
+      .select("k", "src").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSet == Set(("a", "legacy"), ("b", "modern")))
+  }
+}
