@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.api.Api
+
+/** Streaming surface (SURVEY §2.8 T1–T6).
+  *
+  * The reference's streams are (a) a request stream annotated against
+  * the current directory and (b) a refresh stream that atomically
+  * swaps the directory. Spark shape: Structured Streaming
+  * `foreachBatch` for (a) — the SCD side input is driver-swapped
+  * between micro-batches, never keyed state — and a scheduled
+  * rebuild + [[DirectoryRef.swap]] for (b). Event-time as-of means
+  * arbitrarily late requests are *served*, not dropped: no watermark
+  * on the annotation path (T4). Watermarks appear only on
+  * engine-general windowed aggregation ([[windowedEventCounts]]).
+  */
+object Streaming {
+
+  /** T6 atomic directory swap (manager.go:27-46): readers pick up the
+    * new snapshot set at the next micro-batch, loads never block
+    * reads.
+    */
+  final class DirectoryRef(initial: Api.Directory) {
+    private val ref = new AtomicReference[Api.Directory](initial)
+    def get: Api.Directory = ref.get()
+    def swap(d: Api.Directory): Unit = ref.set(d)
+    /** T1/T2 refresh: rebuild from the loader and swap. */
+    def refresh(build: () => Api.Directory): Unit = swap(build())
+  }
+
+  /** T3 request stream: annotate each micro-batch against the
+    * directory current at batch time. Batches may carry several
+    * request dates; each date group gets its own as-of snapshot
+    * (a superset of the reference's one-date-per-batch contract).
+    */
+  def annotateStream(spark: SparkSession, requests: DataFrame,
+      dir: DirectoryRef, ipCol: String = "ip",
+      dateCol: String = "date"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    requests.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val d = dir.get
+        val dates = batch.select(dateCol).distinct().collect()
+          .map(_.getDate(0))
+        dates.foreach { dt =>
+          val part = batch.filter(col(dateCol) === lit(dt))
+          val out = Api.annotateV2(spark, d, dt, part, ipCol)
+          out.collect() // terminal action; caller overrides sink via fb
+        }
+        ()
+    }
+  }
+
+  /** T3 with a caller-supplied sink: annotate then hand the result
+    * DataFrame to `sink` per micro-batch.
+    */
+  def annotateStreamTo(spark: SparkSession, requests: DataFrame,
+      dir: DirectoryRef, sink: (DataFrame, Long) => Unit,
+      ipCol: String = "ip", dateCol: String = "date")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val d = dir.get
+      val dates = batch.select(dateCol).distinct().collect().map(_.getDate(0))
+      dates.foreach { dt =>
+        sink(Api.annotateV2(spark, d, dt,
+          batch.filter(col(dateCol) === lit(dt)), ipCol), id)
+      }
+    }
+
+  /** Q23's streaming twin: tumbling 1-hour event-time windows with a
+    * 1-hour watermark; batch-equivalent output in append mode once
+    * the watermark passes.
+    */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 4).as("sv"))
+      .select(col("w.start").as("w"), col("event_type"), col("c"), col("sv"))
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestSession, Tables}
+import graft.api.{Annotate, Api}
+import graft.sources.Ingest
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  private lazy val snapshot = Api.Snapshot(Date.valueOf("2020-01-01"),
+    Annotate.buildGeoSnapshot(
+      Ingest.geoliteBlocks(spark, fixture("geolite2-blocks-v4.csv")),
+      Ingest.geoliteLocations(spark, fixture("geolite2-locations.csv"))),
+    Annotate.buildAsnSnapshot(
+      Ingest.pfx2as(spark, fixture("routeviews.pfx2as")),
+      Ingest.asNames(spark, fixture("asnames.csv"))))
+
+  test("streamed windowed agg equals the batch Q23 aggregation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(events.schema)
+      .parquet(s"$dir/in")
+    val q = Streaming.windowedEventCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winagg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("winagg")
+      .select("w", "event_type", "c", "sv")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val batch = events
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 4).as("sv"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    // append mode only emits windows the watermark has passed; the
+    // final (open) hour may be withheld — everything emitted must
+    // match the batch result, and coverage must be near-total.
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 2)
+  }
+
+  test("request stream annotates per micro-batch against the directory (T3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("reqstream")
+    Seq(("1.0.0.200", Date.valueOf("2021-06-01")),
+      ("9.9.9.9", Date.valueOf("2021-06-01")))
+      .toDF("ip", "date")
+      .write.mode("overwrite").parquet(s"$dir/in")
+
+    val ref = new Streaming.DirectoryRef(Api.Directory(Seq(snapshot)))
+    val results = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val stream = spark.readStream
+      .schema("ip STRING, date DATE").parquet(s"$dir/in")
+    val q = Streaming.annotateStreamTo(spark, stream, ref,
+        (out, _) => results.synchronized {
+          results ++= out.select("ip", "geo.city").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(results.toSet == Set(("1.0.0.200", "Scarborough"),
+      ("9.9.9.9", null)))
+  }
+
+  test("directory swap is picked up between batches (T6)") {
+    val ref = new Streaming.DirectoryRef(Api.Directory(Seq(snapshot)))
+    val later = snapshot.copy(date = Date.valueOf("2022-01-01"))
+    ref.refresh(() => Api.Directory(Seq(snapshot, later)))
+    assert(ref.get.latest.date.toString == "2022-01-01")
+    assert(ref.get.forDate(Date.valueOf("2021-06-01"))
+      .date.toString == "2020-01-01")
+  }
+}
