@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Declared queries for the training-data extensions (dedup,
+  * similarity search, text analysis) over `documents`/`embeddings`,
+  * each with a DuckDB oracle so the sketch math itself is
+  * hash-checked (md5-based where the oracle must agree bit-for-bit;
+  * the scale path uses xxhash64 and is covered by specs).
+  */
+object ExtensionQueries {
+
+  private def normText(c: org.apache.spark.sql.Column) =
+    lower(regexp_replace(c, "\\s+", " "))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact-dedup statistics over normalized content digests.
+    "q30_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(normText(col("text")).cast("binary")))
+          .as("n_unique"))),
+
+    // MinHash core: 4 md5-seeded min-hashes over char-4-grams.
+    "q31_minhash_sig" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val norm = normText(col("text"))
+      val grams = docs.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(norm) - 3, lit(1))),
+          i => substr(norm, i, lit(4)))).as("g"))
+      grams.groupBy("doc_id").agg(
+          min(md5(concat(lit("s0:"), col("g")).cast("binary"))).as("m0"),
+          min(md5(concat(lit("s1:"), col("g")).cast("binary"))).as("m1"),
+          min(md5(concat(lit("s2:"), col("g")).cast("binary"))).as("m2"),
+          min(md5(concat(lit("s3:"), col("g")).cast("binary"))).as("m3"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact char-4-gram Jaccard over a bounded id range — the
+    // verifier the MinHash estimate approximates.
+    "q32_jaccard_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
+      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
+      val pairs = grams.select(col("doc_id").as("a")).distinct()
+        .crossJoin(grams.select(col("doc_id").as("b")).distinct())
+        .filter(col("a") < col("b"))
+      Dedup.exactJaccard(pairs, grams, "doc_id")
+        .filter(col("jaccard") >= 0.15)
+        .orderBy("a", "b")
+    }),
+
+    // Brute-force cosine top-10 for probe vec_id=0.
+    "q33_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_vec"), lit(0L).as("probe_id"))
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") > 0), probe, 10)
+        .select(col("vec_id"), col("sim"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
+
+    // Token counts + stopword ratio (quality-scoring inputs).
+    "q34_text_quality" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("sr"))
+        .orderBy("doc_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        |count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  AS n_unique FROM documents""".stripMargin,
+    "q31_minhash_sig" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |  WHERE doc_id < 100),
+        |grams AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm)
+        |SELECT doc_id, min(md5('s0:' || g)) AS m0, min(md5('s1:' || g)) AS m1,
+        |  min(md5('s2:' || g)) AS m2, min(md5('s3:' || g)) AS m3
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q32_jaccard_pairs" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |  WHERE doc_id < 60),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+        |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a
+        |JOIN sizes sb ON sb.doc_id = b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.15
+        |ORDER BY a, b""".stripMargin,
+    "q33_cosine_topk" ->
+      """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p
+        |  FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT v.vec_id,
+        |  list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), probe.p) AS sim
+        |  FROM embeddings v, probe WHERE v.vec_id > 0)
+        |SELECT vec_id, round(sim, 4) AS sim,
+        |  row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+        |FROM sims ORDER BY rank LIMIT 10""".stripMargin,
+    "q34_text_quality" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0 AND x IN ('the','a','an','of','and','to','in',
+        |    'is','it','that','for','on','with','as','this'))) AS DOUBLE) /
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)), 4) AS sr
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+  )
+}

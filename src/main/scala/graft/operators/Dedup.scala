@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, ordered by scale path:
+  *
+  *  - exact: hash-groupBy, one shuffle on the digest — the cheapest
+  *    and the baseline for everything else;
+  *  - MinHash + LSH: near-dup candidates via banded signature
+  *    buckets — candidate generation is an equi-join on (band, key),
+  *    so it shuffles on band keys instead of comparing O(n²) pairs;
+  *  - SimHash: 64-bit sketch, near-dup = small Hamming distance;
+  *  - n-gram Jaccard: the exact verifier run on candidate pairs.
+  *
+  * All sketch computation is plain codegen'd column algebra over an
+  * exploded gram stream with map-side partial aggregation.
+  */
+object Dedup {
+
+  /** Normalized content digest for exact dedup. */
+  def contentKey(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Exact dedup, keep the lowest-id row per digest. At scale this is
+    * one shuffle on the digest; the window avoids a second join back.
+    */
+  def exactDedupKeepFirst(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Character k-grams of the whitespace-normalized, lowercased text
+    * as an exploded (id, gram) stream.
+    */
+  def explodeGrams(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4): DataFrame = {
+    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+    df.select(col(idCol),
+      explode(transform(
+        sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+        i => substr(norm, i, lit(k)))).as("gram"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * seeded xxhash64; signature[i] = min over grams of h_i(gram).
+    * Computed as k min-aggregates over the exploded gram stream —
+    * partial (map-side) aggregation keeps the shuffle tiny.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, k: Int = 4): DataFrame = {
+    val grams = explodeGrams(df, textCol, idCol, k)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(concat(lit(s"mh$i:"), col("gram")))).as(s"h$i"))
+    grams.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `sig.size/bands` rows each; docs sharing any band key are
+    * candidates. Returns distinct (a, b) id pairs with a < b.
+    * The heavy lifting is an equi-self-join on (band, key) — a
+    * shuffle-partitionable key, never an O(n²) scan.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int = 16): DataFrame = {
+    val rows = (size(col("sig")) / lit(bands)).cast("int")
+    val banded = sigs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, rows))))
+      .select(col("id"), col("pos").as("band"),
+        xxhash64(col("col").cast("string")).as("band_key"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** Jaccard similarity of two docs estimated from MinHash
+    * signatures: fraction of equal positions.
+    */
+  def signatureJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
+      v => v === 1)).cast("double") / size(sigA).cast("double")
+
+  /** Exact n-gram Jaccard between candidate pairs: re-joins the
+    * exploded gram sets on the candidate ids only.
+    */
+  def exactJaccard(pairs: DataFrame, grams: DataFrame,
+      idCol: String): DataFrame = {
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val ga = grams.withColumnRenamed(idCol, "a")
+    val gb = grams.withColumnRenamed(idCol, "b2")
+      .withColumnRenamed("gram", "gram_b")
+    val inter = pairs
+      .join(ga, Seq("a"))
+      .join(gb, col("b") === col("b2") && col("gram") === col("gram_b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "a")
+        .withColumnRenamed("n", "na"), Seq("a"))
+      .join(sizes.withColumnRenamed(idCol, "b")
+        .withColumnRenamed("n", "nb"), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * signature-estimated Jaccard filter. Returns (a, b, est_jaccard).
+    */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val sigs = minhashSignatures(df, textCol, idCol, numHashes)
+    val cands = lshCandidatePairs(sigs, idCol, bands)
+    val sa = sigs.select(col(idCol).as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("b"), col("sig").as("sig_b"))
+    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("est_jaccard",
+        signatureJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a", "b", "est_jaccard")
+  }
+
+  /** SimHash-64: per-token hashes vote on each of the 64 bits,
+    * weighted by token frequency; the sign of each vote forms the
+    * fingerprint bit. Near-dup = Hamming distance ≤ d.
+    */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).as(s"b$b")
+    }
+    toks.groupBy(col(idCol))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`).
+  *
+  * Baseline: brute-force cosine top-k — a single codegen'd scan, no
+  * shuffle except the final top-k. Scale path: random-hyperplane LSH
+  * buckets — probe and corpus shuffle on a small bucket key, so each
+  * query compares against its bucket only (tunable recall via
+  * multi-probe).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float arrays, accumulated in double
+    * with left-to-right order (deterministic, oracle-matchable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) =>
+        p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force top-k per probe: broadcast the (small) probe set,
+    * score every corpus row, keep k per probe via window. The corpus
+    * scan stays whole-stage codegen; only k·|probes| rows shuffle.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "probe_id", probeVec: String = "probe_vec")
+      : DataFrame = {
+    val scored = corpus.crossJoin(broadcast(probes))
+      .withColumn("sim", cosine(col(corpusVec), col(probeVec)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("sim").desc, col(corpusId))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(probeId), col(corpusId), round(col("sim"), 4).as("sim"),
+        col("__rk").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` vectors of
+    * `dim` doubles derived from a seeded splittable generator.
+    */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      val rnd = new scala.util.Random(seed + p)
+      Seq.fill(dim)(rnd.nextGaussian())
+    }
+
+  /** Sign-bit LSH bucket key: bit p = (v · plane_p) >= 0. Same
+    * hyperplanes on corpus and probes ⇒ cosine-similar vectors land
+    * in the same bucket with high probability.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      val d = aggregate(zip_with(vec, planeCol, (x, w) =>
+        x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed ANN: corpus and probes are keyed by bucket and
+    * equi-joined, then scored and top-k'd within the bucket. Misses
+    * from bucket boundaries are the recall tradeoff; raise `planes`
+    * fidelity or add multi-probe for tighter recall.
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      planes: Seq[Seq[Double]],
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "probe_id", probeVec: String = "probe_vec")
+      : DataFrame = {
+    val c = corpus.withColumn("__bucket", lshBucket(col(corpusVec), planes))
+    val p = probes.withColumn("__bucket", lshBucket(col(probeVec), planes))
+    val scored = c.join(broadcast(p), Seq("__bucket"))
+      .withColumn("sim", cosine(col(corpusVec), col(probeVec)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("sim").desc, col(corpusId))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(probeId), col(corpusId), round(col("sim"), 4).as("sim"),
+        col("__rk").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via shared LSH bucket +
+    * cosine threshold — the embedding-space analogue of
+    * [[Dedup.nearDupPairs]].
+    */
+  def embeddingNearDups(corpus: DataFrame, planes: Seq[Seq[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val l = b.select(col("__bucket"), col(idCol).as("a"),
+      col(vecCol).as("va"))
+    val r = b.select(col("__bucket"), col(idCol).as("b"),
+      col(vecCol).as("vb"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, and winnowing-style
+  * document fingerprints. Everything here is built from codegen'd
+  * Spark SQL functions (no UDFs) so it runs inside whole-stage
+  * codegen over a 100 TB `documents` scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap, stable
+    * proxy for byte-pair tokenizer budgets.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Ratio of tokens found in `words`, 0.0 for empty docs. */
+  def wordHitRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "this")
+
+  def stopwordRatio(text: Column): Column = wordHitRatio(text, EnStopwords)
+
+  /** Punctuation characters per character, 0.0 for empty docs. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val stripped = length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(n > 0, (n - stripped).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean whitespace-token length, 0.0 for empty docs. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0, 1]: rewards reasonable length
+    * and word shape, penalizes punctuation soup. Deterministic and
+    * SQL-expressible (oracle-checkable).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val shapeScore = when(
+      meanTokenLen(text).between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punctPenalty * 0.3 + shapeScore * 0.3), 4)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Real pipelines swap in fastText-style
+    * models; the *operator shape* (score per language → argmax) is
+    * what the engine provides.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for",
+      "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu",
+      "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans",
+      "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "por", "que", "con",
+      "para"))
+
+  /** Language ID: argmax of per-language stopword hit ratios;
+    * "und" (undetermined) when nothing scores. Pure built-ins —
+    * an array-of-struct max, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val scored = array(LangProfiles.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        struct(wordHitRatio(text, words).as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Winnowing-style fingerprints: hash every k-char gram, then keep
+    * the minimum hash of each sliding window of `w` gram hashes;
+    * distinct mins form the document sketch (rolling-hash document
+    * fingerprinting). Built entirely from array functions.
+    */
+  def fingerprints(text: Column, k: Int = 5, w: Int = 8): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val grams = transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => xxhash64(substr(norm, i, lit(k))))
+    val nWin = greatest(size(grams) - (w - 1), lit(1))
+    array_sort(array_distinct(transform(
+      sequence(lit(1), nWin),
+      i => array_min(slice(grams, i, lit(w))))))
+  }
+}

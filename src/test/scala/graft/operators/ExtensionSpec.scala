@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+class ExtensionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest before the sun goes down"
+  private val nearDup = base.replace("green", "dark") // one-word edit
+  private val unrelated = "completely different content about database " +
+    "engines shuffle partitions and broadcast joins at massive scale"
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id per normalized digest") {
+    val kept = Dedup.exactDedupKeepFirst(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L)) // 3 is an exact dup of 0
+  }
+
+  test("minhash+LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // near-dup caught
+    assert(pairs.contains((0L, 3L))) // exact dup caught
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated skipped
+  }
+
+  test("signature jaccard approximates exact jaccard") {
+    import spark.implicits._
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 128)
+    val s = sigs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long) =
+      s(a).zip(s(b)).count(p => p._1 == p._2).toDouble / s(a).size
+    val grams = Dedup.explodeGrams(docs, "text", "doc_id")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a", "b")
+    val exact = Dedup.exactJaccard(pairs, grams, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(est(0, 1) - exact((0L, 1L))) < 0.15)
+    assert(est(0, 2) < 0.2 && exact((0L, 2L)) < 0.2)
+  }
+
+  test("simhash: near-dups are close in Hamming space, unrelated far") {
+    val sh = Dedup.simhash64(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0, 3) == 0)            // identical text
+    assert(ham(0, 1) <= 12)           // one-word edit stays close
+    assert(ham(0, 2) > ham(0, 1))     // unrelated is farther
+  }
+
+  test("brute-force cosine top-k is exact and self-similarity ranks first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(1f, 0.01f, 0f)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((0L, Array(1f, 0f, 0f))).toDF("probe_id", "probe_vec")
+    val got = Similarity.bruteForceTopK(vecs, probes, 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(0L, 3L, 1L)) // by descending cosine
+  }
+
+  test("LSH ANN recalls the brute-force top result on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val planes = Similarity.hyperplanes(64, 8)
+    val brute = Similarity.bruteForceTopK(emb, probes, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(emb, probes, 1, planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rank-1 is the vector itself (sim=1), which always shares a bucket
+    assert(brute.keySet == lsh.keySet)
+    brute.keys.foreach(k => assert(lsh(k) == brute(k)))
+  }
+
+  test("embedding near-dups: identical vectors found in shared buckets") {
+    import spark.implicits._
+    val v = Array.fill(16)(0.5f)
+    val vecs = Seq((0L, v), (1L, v.map(_ * 1.0001f)),
+      (2L, Array.fill(16)(0f).updated(0, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDups(vecs,
+        Similarity.hyperplanes(16, 6), 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("language ID picks the profile language on natural sentences") {
+    import spark.implicits._
+    val got = Seq(
+      "the cat sat on the mat and it was happy with the result",
+      "der Hund ist nicht zu Hause und die Katze ist mit von der Partie",
+      "le chat est dans la maison et les oiseaux sont dans le jardin",
+      "el perro es una mascota y los gatos son animales con historia",
+      "xyzzy plugh")
+      .toDF("text").select(TextAnalysis.langId(col("text")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprints: identical docs share all, near-dups share most") {
+    import spark.implicits._
+    val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprints(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(0L) == fp(3L))
+    val overlap01 = fp(0L).intersect(fp(1L)).size.toDouble /
+      fp(0L).union(fp(1L)).size
+    val overlap02 = fp(0L).intersect(fp(2L)).size.toDouble /
+      fp(0L).union(fp(2L)).size
+    assert(overlap01 > 0.5 && overlap02 < 0.2)
+  }
+
+  test("multimodal: format sniffing, metadata, stub features and frames") {
+    import spark.implicits._
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.tabulate(253)(_.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++
+      Array.tabulate(60)(i => (i * 3).toByte)
+    val df = Seq((1L, jpeg), (2L, png)).toDF("media_id", "media")
+
+    val meta = Multimodal.withMeta(df).select("media_id", "meta.format",
+      "meta.n_bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(meta(1L) == ("jpeg", 256L))
+    assert(meta(2L) == ("png", 64L))
+
+    val feats = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).size == 16)
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-3) // normalized histogram
+
+    val frames = Multimodal.sampleFramesStub(df, 4).collect()
+    assert(frames.length == 8)
+    assert(frames.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L))
+  }
+}
