@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ OperatorQueries.queries ++ ExtensionQueries.queries
+    CoreQueries.queries ++ OperatorQueries.queries ++
+      ExtensionQueries.queries ++ CoverageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql ++ OperatorQueries.oracleSql ++ ExtensionQueries.oracleSql
+    CoreQueries.oracleSql ++ OperatorQueries.oracleSql ++
+      ExtensionQueries.oracleSql ++ CoverageQueries.oracleSql
 }
