@@ -16,4 +16,15 @@ object GraftBridge {
     classic.ClassicConversions.castToImpl(spark)
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Inject a planner strategy into a live session (tried before the
+    * built-in strategies). Session-creation-time alternative:
+    * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+    */
+  def addStrategy(spark: SparkSession,
+      s: execution.SparkStrategy): Unit = {
+    val exp = classic.ClassicConversions.castToImpl(spark).experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
