@@ -110,3 +110,100 @@ object Similarity {
       .distinct()
   }
 }
+
+/** IVF (inverted-file) ANN: k centroids are trained driver-side on a
+  * sample (seeded Lloyd's iterations — centroid training is tiny and
+  * one-off; the expensive parts, assignment and search, stay
+  * distributed), the corpus is bucketed by nearest centroid, and each
+  * probe searches only its `nprobe` nearest buckets. The bucket
+  * assignment is pure column algebra (argmin over k distances), so
+  * corpus bucketing is one codegen'd scan; search shuffles on the
+  * small (probe × nprobe) bucket keys only.
+  */
+object Ivf {
+  import org.apache.spark.sql.Row
+
+  /** Seeded Lloyd's k-means over a collected sample. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      iters: Int = 10, sampleN: Int = 2000,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample = corpus.select(vecCol).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val dim = sample.head.length
+    var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone()).toArray
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) {
+        val x = v(i) - cs(c)(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def sqDist(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(zip_with(vec, array(centroid.map(lit): _*),
+      (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid bucket id (argmin over k squared distances). */
+  def assign(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(vec, c).as("d"), lit(i).as("c"))
+    }: _*)).getField("c")
+
+  /** The `nprobe` nearest bucket ids, as an array column. */
+  def probeBuckets(vec: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(vec, c).as("d"), lit(i).as("c"))
+      }: _*)), 1, nprobe),
+      s => s.getField("c"))
+
+  /** IVF top-k: corpus bucketed once, probes fan out to their nprobe
+    * buckets, cosine-scored within buckets, windowed top-k per probe.
+    */
+  def topK(corpus: DataFrame, probes: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int = 2,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "probe_id", probeVec: String = "probe_vec")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.withColumn("__bucket", assign(col(corpusVec), centroids))
+    val p = probes.withColumn("__bucket",
+      explode(probeBuckets(col(probeVec), centroids, nprobe)))
+    val scored = c.join(broadcast(p), Seq("__bucket"))
+      .withColumn("sim", Similarity.cosine(col(corpusVec), col(probeVec)))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(col("sim").desc, col(corpusId))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(probeId), col(corpusId), round(col("sim"), 4).as("sim"),
+        col("__rk").as("rank"))
+  }
+}

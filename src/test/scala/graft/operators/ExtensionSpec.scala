@@ -123,6 +123,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(overlap01 > 0.5 && overlap02 < 0.2)
   }
 
+  test("IVF ANN: trained buckets recall the brute-force top-1") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = Ivf.trainCentroids(emb, "embedding", k = 8,
+      iters = 5, sampleN = 500)
+    assert(centroids.length == 8 && centroids.head.length == 64)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val brute = Similarity.bruteForceTopK(emb, probes, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Ivf.topK(emb, probes, 1, centroids, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet == brute.keySet)
+    brute.keys.foreach(k => assert(ivf(k) == brute(k)))
+  }
+
   test("multimodal: format sniffing, metadata, stub features and frames") {
     import spark.implicits._
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
