@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.IpFunctions._
-import graft.operators.{RangeLookup, Ranges}
+import graft.operators.Ranges
 
 /** The annotation pipeline (SURVEY §3): compose the range lookup (J1)
   * with dimension joins (J3/J4), family merge (J7), composite
@@ -97,8 +97,14 @@ object Annotate {
   def annotate(spark: SparkSession, facts: DataFrame, ipStr: Column,
       geoSnapshot: DataFrame, asnSnapshot: DataFrame): DataFrame = {
     val parsed = facts.withColumn("__ip_bin", ip_to_bin(rewrite6to4(ipStr)))
-    val withGeo = RangeLookup.lookup(spark, parsed, geoSnapshot, col("__ip_bin"))
-    val withAsn = RangeLookup.lookup(spark, withGeo, asnSnapshot, col("__ip_bin"))
+    // zero-join fact path: each probe returns its payload struct
+    // straight from the broadcast index (RangeStructLookup)
+    val withGeo = graft.operators.RangeStructLookup
+      .lookup(spark, parsed, geoSnapshot, col("__ip_bin"), "__geo_p")
+      .withColumn("geo", col("__geo_p.geo")).drop("__geo_p")
+    val withAsn = graft.operators.RangeStructLookup
+      .lookup(spark, withGeo, asnSnapshot, col("__ip_bin"), "__net_p")
+      .withColumn("network", col("__net_p.network")).drop("__net_p")
     withAsn
       .withColumn("geo", when(col("__ip_bin").isNull || col("geo").isNull,
         missingGeo).otherwise(col("geo")))
