@@ -28,6 +28,16 @@ object PlanCheck {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"WARM $n%-28s $dt%7.3f s")
     }
+    sys.env.get("SPARK_GRAFT_CODEGEN").foreach { _ =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.IpFunctions._
+      val df = spark.range(10)
+        .withColumn("ip", concat(lit("10.0.0."), col("id").cast("string")))
+        .withColumn("bin", ip_to_bin(col("ip")))
+        .withColumn("fam", ip_family(col("bin")))
+        .withColumn("back", ip_format(col("bin")))
+      df.queryExecution.debug.codegen()
+    }
     sys.env.get("SPARK_GRAFT_EXPLAIN").foreach { qs =>
       qs.split(",").foreach { n =>
         println(s"===== $n =====")

@@ -138,6 +138,28 @@ class ExtensionSpec extends AnyFunSuite {
     brute.keys.foreach(k => assert(ivf(k) == brute(k)))
   }
 
+  test("minhash_agg custom aggregate matches per-doc signature semantics") {
+    import graft.functions.MinHashAgg.minhash_agg
+    val grams = Dedup.explodeGrams(docs, "text", "doc_id")
+    val sigs = grams.groupBy("doc_id")
+      .agg(minhash_agg(col("gram"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.size == 32))
+    assert(sigs(0L) == sigs(3L)) // identical docs, identical signature
+    def overlap(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count(p => p._1 == p._2).toDouble / 32
+    assert(overlap(0L, 1L) > 0.5)  // near-dup
+    assert(overlap(0L, 2L) < 0.3)  // unrelated
+
+    // SQL registration path
+    graft.Graft.install(spark)
+    grams.createOrReplaceTempView("grams_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_agg(gram, 32) AS sig FROM grams_v GROUP BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == sigs)
+  }
+
   test("multimodal: format sniffing, metadata, stub features and frames") {
     import spark.implicits._
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
