@@ -45,7 +45,8 @@ object ExtensionQueries {
     // verifier the MinHash estimate approximates.
     "q32_jaccard_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
+      // the gram set feeds four plan branches — materialize it once
+      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4).persist()
       val pairs = grams.select(col("doc_id").as("a")).distinct()
         .crossJoin(grams.select(col("doc_id").as("b")).distinct())
         .filter(col("a") < col("b"))
