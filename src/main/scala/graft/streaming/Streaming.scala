@@ -72,6 +72,26 @@ object Streaming {
       }
     }
 
+  /** T1/T2 event-driven refresh: watch a path for new dataset files
+    * (the Pub/Sub notification analogue) and rebuild + swap the
+    * directory whenever a micro-batch delivers new paths. The batch
+    * passes the newly seen file names to `build` so the loader can
+    * do an incremental refresh (Catalog.newPaths).
+    */
+  def refreshOnNewFiles(spark: SparkSession, watchPath: String,
+      dir: DirectoryRef,
+      build: Seq[String] => Api.Directory)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .format("text")
+      .load(watchPath)
+      .select(input_file_name().as("path"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select("path").distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (paths.nonEmpty) dir.swap(build(paths))
+      }
+
   /** Q23's streaming twin: tumbling 1-hour event-time windows with a
     * 1-hour watermark; batch-equivalent output in append mode once
     * the watermark passes.

@@ -79,6 +79,36 @@ class StreamingSpec extends AnyFunSuite {
       ("9.9.9.9", null)))
   }
 
+  test("new-file notifications trigger a directory rebuild (T1/T2)") {
+    val watch = java.nio.file.Files.createTempDirectory("watch")
+    val ref = new Streaming.DirectoryRef(Api.Directory(Seq(snapshot)))
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val q = Streaming.refreshOnNewFiles(spark, watch.toString, ref,
+        paths => {
+          seen.synchronized { seen ++= paths }
+          Api.Directory(Seq(snapshot,
+            snapshot.copy(date = java.sql.Date.valueOf("2023-01-01"))))
+        })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(watch.toString, "20230101-dataset.csv"), "x")
+    // AvailableNow on an initially-empty dir may finish before the
+    // write lands; run a second pass to pick it up deterministically
+    q.awaitTermination(60000)
+    val q2 = Streaming.refreshOnNewFiles(spark, watch.toString, ref,
+        paths => {
+          seen.synchronized { seen ++= paths }
+          Api.Directory(Seq(snapshot,
+            snapshot.copy(date = java.sql.Date.valueOf("2023-01-01"))))
+        })
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    assert(seen.exists(_.contains("20230101-dataset.csv")))
+    assert(ref.get.latest.date.toString == "2023-01-01")
+  }
+
   test("directory swap is picked up between batches (T6)") {
     val ref = new Streaming.DirectoryRef(Api.Directory(Seq(snapshot)))
     val later = snapshot.copy(date = Date.valueOf("2022-01-01"))
