@@ -45,7 +45,10 @@ object Api {
     */
   def toV2ResponseJson(annotated: DataFrame, annotatorDate: Date,
       ipCol: String = "ip"): String = {
-    val row = annotated.agg(
+    // a batch may legally repeat an IP (the reference's map just
+    // overwrites the key); keep one row per key or map_from_arrays
+    // throws under the default EXCEPTION dedup policy
+    val row = annotated.dropDuplicates(ipCol).agg(
       to_json(struct(
         lit(annotatorDate.toString).as("AnnotatorDate"),
         map_from_arrays(
@@ -75,8 +78,11 @@ object Api {
     val bad = requests.filter(ip_to_bin(col(ipCol)).isNull).limit(1).count()
     if (bad > 0)
       throw new IllegalArgumentException("invalid IP in v1 batch")
-    val first = requests.select(col(tsCol)).limit(1).collect()
-    require(first.nonEmpty, "empty v1 batch")
+    // the reference uses request[0]'s timestamp for the whole batch;
+    // a DataFrame is unordered, so the earliest timestamp is the
+    // deterministic analogue of "first"
+    val first = requests.agg(min(col(tsCol))).collect()
+    require(first.nonEmpty && !first(0).isNullAt(0), "empty v1 batch")
     val batchDate = new Date(first(0).getTimestamp(0).getTime)
     annotateV2(spark, dir, batchDate,
       requests.withColumn("key", v1Key(col(ipCol), col(tsCol))), ipCol)

@@ -85,7 +85,14 @@ object Ranges {
   }
 
   private def groupKey(r: Row, nGroup: Int): Seq[Any] =
-    (0 until nGroup).map(r.get)
+    (0 until nGroup).map { i =>
+      r.get(i) match {
+        // Array == is reference equality; normalize binary keys so
+        // group-boundary detection compares by value
+        case b: Array[Byte] => b.toSeq
+        case other => other
+      }
+    }
 
   /** One range being assembled: bounds are mutable (the stack pass
     * adjusts the last emitted node and stack remnants in place).

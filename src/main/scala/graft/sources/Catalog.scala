@@ -80,6 +80,7 @@ object Catalog {
         entries.find(_.getName.contains(sub)).map { e =>
           val out = java.nio.file.Files.createTempFile("zipmember",
             s"-${new java.io.File(e.getName).getName}")
+          out.toFile.deleteOnExit() // caller may delete earlier
           val in = zf.getInputStream(e)
           try java.nio.file.Files.copy(in, out,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)

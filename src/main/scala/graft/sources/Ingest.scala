@@ -46,12 +46,21 @@ object Ingest {
       .withColumn("__bad", col(CorruptCol).isNotNull)
       .withColumn("__invalid", !col(CorruptCol).isNotNull &&
         !coalesce(validRecord(raw), lit(true)))
+      // the cache is required: Spark disallows queries that touch
+      // only the corrupt-record column of a raw CSV read, and the
+      // budget count below can prune to exactly that
       .cache()
-    val counts = flagged
-      .groupBy("__file")
-      .agg(sum(col("__bad").cast("long")).as("bad"),
-        sum(col("__invalid").cast("long")).as("invalid"))
-      .collect()
+    val counts =
+      try flagged
+        .groupBy("__file")
+        .agg(sum(col("__bad").cast("long")).as("bad"),
+          sum(col("__invalid").cast("long")).as("invalid"))
+        .collect()
+      finally
+        // release before returning so repeated loads in a long-lived
+        // session don't accumulate cached copies; the caller's first
+        // consumption re-reads the (dimension-sized) file instead
+        flagged.unpersist(blocking = false)
     counts.foreach { r =>
       val (f, bad, inv) = (r.getString(0), r.getLong(1), r.getLong(2))
       if (bad > budget.maxBadRecords)

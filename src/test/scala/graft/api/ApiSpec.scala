@@ -59,6 +59,15 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 response tolerates duplicate IPs in a batch") {
+    import spark.implicits._
+    val dir = Api.Directory(Seq(snap("2020-01-01")))
+    val out = Api.annotateV2(spark, dir, Date.valueOf("2021-01-01"),
+      Seq("1.0.0.200", "1.0.0.200", "9.9.9.9").toDF("ip"))
+    val json = Api.toV2ResponseJson(out, Date.valueOf("2020-01-01"))
+    assert(json.contains(""" "1.0.0.200":{"Geo": """.trim))
+  }
+
   test("batch size buckets (P18)") {
     import spark.implicits._
     val got = Seq(1, 7, 50, 200, 999).toDF("n")

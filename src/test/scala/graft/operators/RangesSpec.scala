@@ -121,6 +121,24 @@ class RangesSpec extends AnyFunSuite {
       ("g2", "1.0.0.0", "1.0.0.255", "c")))
   }
 
+  test("binary group columns compare by value, not reference") {
+    import spark.implicits._
+    val r1 = IpMath.cidrToRange("1.0.0.0/24")
+    val r2 = IpMath.cidrToRange("1.0.0.128/25")
+    // group key is itself a byte array; both rows must land in ONE
+    // group so the child punches a hole in the parent
+    val gk = IpMath.parseIp("9.9.9.9")
+    val df = Seq((gk, r1._1, r1._2, "a"), (gk.clone(), r2._1, r2._2, "b"))
+      .toDF("gbin", "lo", "hi", "payload")
+    val got = Ranges.flattenRanges(df, Seq("gbin")).collect()
+      .map(r => (IpMath.formatIp(r.getAs[Array[Byte]]("lo")),
+        IpMath.formatIp(r.getAs[Array[Byte]]("hi")), r.getString(3)))
+      .sortBy(t => IpMath.parseIp(t._1).map(b => f"${b & 0xff}%02x").mkString)
+    assert(got.toSeq == Seq(
+      ("1.0.0.0", "1.0.0.127", "a"),
+      ("1.0.0.128", "1.0.0.255", "b")))
+  }
+
   test("invariant: output is sorted and disjoint for random nested CIDRs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
