@@ -205,14 +205,16 @@ object IpMath {
     s"${formatIp(lo)}/$mask"
   }
 
-  /** ip ± delta with byte carry/borrow; mirrors plusOne/minusOne
-    * (iputils.go:318-337). Wraps at the 16-byte boundary.
+  /** value ± delta with byte carry/borrow over an arbitrary-length
+    * big-endian array; mirrors plusOne/minusOne (iputils.go:318-337)
+    * for 16-byte IPs and works for any unsigned-comparable binary
+    * key (e.g. 8-byte long_to_bin). Wraps at the array boundary.
     */
   def ipAdd(b: Array[Byte], delta: Long): Array[Byte] = {
-    if (b == null || b.length != 16) return null
+    if (b == null || b.length == 0) return null
     val out = b.clone()
     var rem = delta
-    var i = 15
+    var i = out.length - 1
     while (i >= 0 && rem != 0) {
       val sum = (out(i) & 0xff) + (rem & 0xff)
       out(i) = sum.toByte

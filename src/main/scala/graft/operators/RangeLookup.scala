@@ -86,10 +86,12 @@ object RangeLookup {
       loCol: String = "lo", hiCol: String = "hi")
       : (Broadcast[RangeIndex], DataFrame) = {
     val cols = ranges.columns
-    val loPos = cols.indexOf(loCol)
-    val hiPos = cols.indexOf(hiCol)
+    // case-insensitive, matching Spark's default column resolution
+    val loPos = cols.indexWhere(_.equalsIgnoreCase(loCol))
+    val hiPos = cols.indexWhere(_.equalsIgnoreCase(hiCol))
     require(loPos >= 0 && hiPos >= 0, s"missing $loCol/$hiCol")
     val rows = ranges.collect()
+      .filter(r => !r.isNullAt(loPos) && !r.isNullAt(hiPos)) // dirty rows
       .sortWith((a, b) => IpMath.compare(
         a.getAs[Array[Byte]](loPos), b.getAs[Array[Byte]](loPos)) < 0)
     val idx = new RangeIndex(
@@ -136,21 +138,12 @@ object RangeLookup {
   * struct and the fact side needs NO join at all (measured ~3× the
   * join-reattach path's throughput on the probe microbench).
   */
-final class RangeStructIndex(val lo: Array[Array[Byte]],
-    val hi: Array[Array[Byte]],
+final class RangeStructIndex(val bounds: RangeIndex,
     val payloads: Array[org.apache.spark.sql.catalyst.InternalRow])
   extends Serializable {
   def searchRow(ip: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
-    var start = 0
-    var end = lo.length - 1
-    while (start <= end) {
-      val mid = (start + end) >>> 1
-      if (IpMath.compare(ip, lo(mid)) >= 0) {
-        if (IpMath.compare(ip, hi(mid)) <= 0) return payloads(mid)
-        start = mid + 1
-      } else end = mid - 1
-    }
-    null
+    val i = bounds.search(ip) // single shared binary-search impl
+    if (i < 0) null else payloads(i)
   }
 }
 
@@ -195,22 +188,23 @@ object RangeStructLookup {
     val plan = org.apache.spark.sql.classic.ClassicConversions
       .castToImpl(ranges).queryExecution.executedPlan
     val output = plan.output
-    val loIdx = output.indexWhere(_.name == loCol)
-    val hiIdx = output.indexWhere(_.name == hiCol)
+    val loIdx = output.indexWhere(_.name.equalsIgnoreCase(loCol))
+    val hiIdx = output.indexWhere(_.name.equalsIgnoreCase(hiCol))
     require(loIdx >= 0 && hiIdx >= 0, s"missing $loCol/$hiCol")
     val payloadAttrs = output.filterNot(a =>
-      a.name == loCol || a.name == hiCol)
+      a.name.equalsIgnoreCase(loCol) || a.name.equalsIgnoreCase(hiCol))
     val payloadSchema = StructType(payloadAttrs.map(a =>
       StructField(a.name, a.dataType, a.nullable)))
     val proj = UnsafeProjection.create(payloadAttrs, output)
     val rows = plan.executeCollect()
+      .filter(r => !r.isNullAt(loIdx) && !r.isNullAt(hiIdx))
       .map { r =>
         (r.getBinary(loIdx), r.getBinary(hiIdx),
           proj(r).copy(): InternalRow)
       }
       .sortWith((a, b) => IpMath.compare(a._1, b._1) < 0)
-    val idx = new RangeStructIndex(rows.map(_._1), rows.map(_._2),
-      rows.map(_._3))
+    val idx = new RangeStructIndex(
+      new RangeIndex(rows.map(_._1), rows.map(_._2)), rows.map(_._3))
     (spark.sparkContext.broadcast(idx), payloadSchema)
   }
 

@@ -126,7 +126,18 @@ object Ranges {
         val last = out.lastOption.orNull
         if (last != null && IpMath.compare(last.hi, IpMath.ipAdd(nn.lo, -1)) >= 0
             && last.payload == nn.payload) {
-          if (lt(last.hi, nn.hi)) last.hi = nn.hi
+          if (lt(last.hi, nn.hi)) {
+            last.hi = nn.hi
+            // keep the resumption bookkeeping consistent: if the
+            // absorbed range reaches past the innermost open child,
+            // the parent must resume after the *merged* end, not the
+            // child's original end (the Go reference skips this and
+            // can emit overlapping output — a disjointness fix, see
+            // RangesSpec "merge absorb keeps output disjoint")
+            if (stack.nonEmpty && lt(stack.head.hi, nn.hi) &&
+                !lt(nn.hi, stack.head.lo))
+              stack.head.hi = nn.hi
+          }
         } else {
           // handleStack
           if (stack.nonEmpty) {
@@ -137,7 +148,11 @@ object Ranges {
               var done = false
               while (!done && stack.nonEmpty) {
                 val peek = stack.head
-                if (lt(nn.lo, peek.hi)) {
+                // <= (not <, as in the Go reference): when nn starts
+                // exactly at the ancestor's end the ancestor still
+                // covers nn.lo and must stay open, else its full tail
+                // would be emitted overlapping nn at one address
+                if (!lt(peek.hi, nn.lo)) {
                   // resume the parent between the last child and nn
                   val seg = peek.cloneNode
                   seg.lo = IpMath.ipAdd(pop.hi, 1)
@@ -196,7 +211,12 @@ object Ranges {
       else Window.partitionBy().orderBy(col(loCol))
     val pay =
       if (payloadCols.nonEmpty) struct(payloadCols.map(col): _*) else lit(1)
-    val newGroup = (!(lag(col(hiCol), 1).over(w) >=
+    // compare against the running max of hi, not lag(hi): the
+    // reference merges into the last *output* node, whose hi is the
+    // extended (max-so-far) bound — lag alone splits chained overlaps
+    val prevMaxHi = max(col(hiCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val newGroup = (!(prevMaxHi >=
         IpFunctions.ip_minus_one(col(loCol))) ||
       !(lag(pay, 1).over(w) <=> pay)).cast("int")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

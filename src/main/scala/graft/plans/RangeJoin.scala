@@ -126,6 +126,12 @@ case class BroadcastRangeJoinExec(
     rangesOnRight: Boolean)
   extends BinaryExecNode {
 
+  // the fact (left) side streams through unchanged — advertise its
+  // partitioning/ordering so downstream operators don't re-shuffle
+  // (same contract BroadcastHashJoinExec provides)
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering = left.outputOrdering
+
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"))

@@ -139,6 +139,49 @@ class RangesSpec extends AnyFunSuite {
       ("1.0.0.128", "1.0.0.255", "b")))
   }
 
+  test("merge absorb keeps output disjoint past the open child") {
+    // P=A, then two same-payload siblings C1+C2 inside it: C2 merges
+    // into C1's emitted node; the parent must resume AFTER the merged
+    // end (the Go reference resumes at C1's original end and emits
+    // overlap)
+    val got = run(ipRows(
+      ("10.0.0.0", "10.0.0.255", "A"),
+      ("10.0.0.16", "10.0.0.31", "B"),
+      ("10.0.0.32", "10.0.0.47", "B")))
+    assert(got == Seq(
+      ("10.0.0.0", "10.0.0.15", "A"),
+      ("10.0.0.16", "10.0.0.47", "B"),
+      ("10.0.0.48", "10.0.0.255", "A")))
+  }
+
+  test("range starting exactly at the ancestor's end stays nested") {
+    // nn.lo == P.hi: the ancestor still covers nn.lo, so its tail is
+    // [.32,.254] and the /32 keeps its own payload (strict-lt port of
+    // the Go closing condition emitted [.32,.255] overlapping nn)
+    val got = run(ipRows(
+      ("10.0.0.0", "10.0.0.255", "A"),
+      ("10.0.0.16", "10.0.0.31", "B"),
+      ("10.0.0.255", "10.0.0.255", "C")))
+    assert(got == Seq(
+      ("10.0.0.0", "10.0.0.15", "A"),
+      ("10.0.0.16", "10.0.0.31", "B"),
+      ("10.0.0.32", "10.0.0.254", "A"),
+      ("10.0.0.255", "10.0.0.255", "C")))
+  }
+
+  test("mergeAdjacent collapses chained overlaps via running max-hi") {
+    import spark.implicits._
+    val df = ipRows(
+      ("10.0.0.0", "10.0.0.100", "a"),
+      ("10.0.0.10", "10.0.0.20", "a"),
+      ("10.0.0.50", "10.0.0.60", "a"))
+      .toDF("dataset", "lo", "hi", "payload")
+    val got = Ranges.mergeAdjacent(df, Seq("dataset")).collect()
+      .map(r => (IpMath.formatIp(r.getAs[Array[Byte]]("lo")),
+        IpMath.formatIp(r.getAs[Array[Byte]]("hi")), r.getString(3)))
+    assert(got.toSeq == Seq(("10.0.0.0", "10.0.0.100", "a")))
+  }
+
   test("invariant: output is sorted and disjoint for random nested CIDRs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
