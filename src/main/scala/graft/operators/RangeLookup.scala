@@ -219,3 +219,41 @@ object RangeStructLookup {
       GraftBridge.column(RangePayload(GraftBridge.expression(ipCol), bc, schema)))
   }
 }
+
+/** Shuffle path for range tables that outgrow a broadcast: bucket
+  * both sides by a fixed-width binary prefix and equi-join on the
+  * bucket with the range predicate as residual. Each range explodes
+  * into every prefix bucket it spans (dimension-side cost only), so
+  * the join shuffles on a dense integer key that AQE can coalesce or
+  * skew-split — no BNLJ, no driver collect, works at any range-table
+  * size. The broadcast paths above stay preferable whenever the
+  * ranges fit executor memory.
+  */
+object BucketedRangeJoin {
+  /** Big-endian long of the first `nBytes` of a binary column. */
+  private def prefixKey(c: Column, nBytes: Int): Column =
+    conv(hex(substring(c, 1, nBytes)), 16, 10).cast("long")
+
+  /** Left-join facts to ranges on containment, via prefix buckets.
+    *
+    * @param nBytes bucket width: 2 → 65 536 buckets for IP keys; a
+    *               range spanning w buckets contributes w rows to the
+    *               build side (a /8 spans 256 two-byte buckets)
+    */
+  def lookup(facts: DataFrame, ranges: DataFrame, ipCol: Column,
+      nBytes: Int = 2, loCol: String = "lo", hiCol: String = "hi",
+      joinType: String = "left"): DataFrame = {
+    val loP = prefixKey(col(loCol), nBytes)
+    val hiP = prefixKey(col(hiCol), nBytes)
+    val exploded = ranges
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .withColumn("__bucket", explode(sequence(loP, hiP)))
+    val keyedFacts = facts.withColumn("__bucket", prefixKey(ipCol, nBytes))
+    keyedFacts
+      .join(exploded,
+        keyedFacts("__bucket") === exploded("__bucket") &&
+          ipCol >= col(loCol) && ipCol <= col(hiCol),
+        joinType)
+      .drop("__bucket", loCol, hiCol)
+  }
+}

@@ -65,6 +65,31 @@ class LookupSpec extends AnyFunSuite {
     assert(fast.values.exists(_ != null) && fast.values.exists(_ == null))
   }
 
+  test("bucketed range join agrees with naive on bucket-spanning ranges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // mix of narrow ranges and wide ones spanning many /16 buckets
+    val ranges = ((0 until 300).map { i =>
+      val base = IpMath.parseIp(s"10.${i % 50}.${rnd.nextInt(250)}.0")
+      (base, IpMath.ipAdd(base, 100 + rnd.nextInt(300)), s"n$i")
+    } ++ (0 until 10).map { i =>
+      val base = IpMath.parseIp(s"${20 + i}.0.0.0")
+      (base, IpMath.ipAdd(base, 3L << 16), s"w$i") // spans 4 buckets
+    }).toDF("lo", "hi", "payload")
+    val probes = (1 to 4000).map { i =>
+      (i.toLong, IpMath.parseIp(
+        s"${10 + rnd.nextInt(22)}.${rnd.nextInt(52)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"))
+    }.toDF("id", "bin")
+    val fast = BucketedRangeJoin.lookup(probes, ranges, col("bin"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val naive = RangeLookup.lookupNaive(probes, ranges, col("bin"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(fast == naive)
+    assert(fast.exists(_._2 != null) && fast.exists(_._2 == null))
+  }
+
   test("as-of snapshot selection golden (directory_test.go:44-79)") {
     import spark.implicits._
     val base = java.time.LocalDate.of(2009, 2, 8)
