@@ -316,8 +316,9 @@ object CoreQueries {
       """WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER
         |(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
         |THEN 1 ELSE 0 END AS brk, event_id FROM events),
-        |s AS (SELECT user_id, event_id, ts, sum(brk) OVER
-        |(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |s AS (SELECT user_id, event_id, ts, CAST(sum(brk) OVER
+        |(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        | AS BIGINT) AS sid
         |FROM g)
         |SELECT user_id, sid, count(*) AS n, min(ts) AS t0 FROM s
         |GROUP BY user_id, sid ORDER BY user_id, sid LIMIT 200""".stripMargin,

@@ -70,7 +70,7 @@ object CoverageQueries {
         |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
     "q28_conditional_agg" ->
       """SELECT o_orderstatus,
-        |sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS big,
+        |CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big,
         |count(*) AS c FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "q29_having" ->

@@ -45,8 +45,12 @@ object ExtensionQueries {
     // verifier the MinHash estimate approximates.
     "q32_jaccard_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-      // the gram set feeds four plan branches — materialize it once
-      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4).persist()
+      // the gram set feeds four plan branches; it is bounded (≤60
+      // docs) so recomputing per branch is cheaper than a persist
+      // that would live until session shutdown (a long-lived session
+      // would accumulate cached blocks — callers at scale should
+      // persist + unpersist around their own consuming job)
+      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
       val pairs = grams.select(col("doc_id").as("a")).distinct()
         .crossJoin(grams.select(col("doc_id").as("b")).distinct())
         .filter(col("a") < col("b"))

@@ -20,6 +20,7 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     functions.IpFunctions.register(spark)
     functions.MinHashAgg.register(spark)
+    functions.TopKAgg.register(spark)
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)
     metrics.Metrics.install(spark)
   }

@@ -1,69 +1,281 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
-/** Declared queries for the xxhash64-based sketch operators and the
-  * multimodal plumbing. These are deterministic but not expressible
-  * in DuckDB SQL (different hash functions / media ops), so they are
-  * declared WITHOUT oracle SQL — the driver records the weaker
-  * rows-only check; full behavior is covered by ExtensionSpec.
+/** Declared queries for the sketch operators and the multimodal
+  * plumbing, each with a DuckDB oracle.
+  *
+  * The production operators ([[Dedup.simhash64]],
+  * [[Dedup.nearDupPairs]], [[TextAnalysis.fingerprints]],
+  * [[Similarity.lshTopK]]) hash with xxhash64 / float dot products —
+  * fast but not reproducible in DuckDB. Each query here runs the SAME
+  * pipeline shape with an engine-agnostic core (md5-derived 60-bit
+  * integers, fixed-point integer dot products), so the sketch MATH is
+  * hash-checked cross-engine; the xxhash64/float scale paths are
+  * covered by ExtensionSpec (including recall tests against brute
+  * force).
   */
 object SketchQueries {
 
+  /** md5-derived 60-bit integer hash of a string column: 15 hex chars
+    * → BIGINT, identically computable in DuckDB as
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    */
+  private def md5Int60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** ±1 sign planes shared between the Spark plan and the generated
+    * DuckDB oracle SQL (literals on both sides).
+    */
+  private val SignPlanes: Seq[Seq[Int]] = Similarity.signPlanes(64, 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // SimHash sketches per document (64-bit, deterministic).
-    "q40_simhash" -> ((s, d) =>
-      Dedup.simhash64(
-          Tables.documents(s, d).filter(col("doc_id") < 100),
-          "text", "doc_id")
-        .orderBy("doc_id")),
-
-    // Winnowing fingerprint sketch sizes.
-    "q41_fingerprints" -> ((s, d) =>
-      Tables.documents(s, d).filter(col("doc_id") < 100)
+    // SimHash (md5 core): token-occurrence votes on 60 md5-derived
+    // bits, bit set when the vote is positive — the exact pipeline of
+    // Dedup.simhash64 with an oracle-reproducible hash.
+    "q40_simhash" -> ((s, d) => {
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          size(TextAnalysis.fingerprints(col("text"))).as("n_fp"))
-        .orderBy("doc_id")),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .withColumn("h", md5Int60(col("tok")))
+      val votes = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"v$b"))
+      toks.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(b =>
+            when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+        .orderBy("doc_id")
+    }),
 
-    // Heuristic language-ID distribution over the corpus.
+    // Winnowing fingerprints (md5 core): min of each 8-gram-hash
+    // window over 5-char grams; sketch checked via size + md5 of the
+    // sorted fingerprint list.
+    "q41_fingerprints" -> ((s, d) => {
+      val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+      val grams = transform(
+        sequence(lit(1), greatest(length(norm) - 4, lit(1))),
+        i => conv(substring(md5(substr(norm, i, lit(5)).cast("binary")),
+          1, 15), 16, 10).cast("long"))
+      Tables.documents(s, d).filter(col("doc_id") < 100)
+        .withColumn("__hs", grams)
+        .withColumn("__fp", array_sort(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("__hs")) - 7, lit(1))),
+          i => array_min(slice(col("__hs"), i, lit(8)))))))
+        .select(col("doc_id"),
+          size(col("__fp")).cast("long").as("n_fp"),
+          md5(array_join(transform(col("__fp"), _.cast("string")), ",")
+            .cast("binary")).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic language-ID distribution over the corpus. Tokenize
+    // once into a materialized projection, then score all languages
+    // from the array (the Project boundary keeps the regex split at
+    // one evaluation per row).
     "q42_langid" -> ((s, d) =>
       Tables.documents(s, d)
-        .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .select(TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+        .groupBy(TextAnalysis.langIdFromTokens(col("__toks")).as("lang_pred"))
         .agg(count(lit(1)).as("c"))
         .orderBy("lang_pred")),
 
-    // MinHash+LSH near-duplicate candidate pairs.
-    "q43_neardup_pairs" -> ((s, d) =>
-      Dedup.nearDupPairs(
-          Tables.documents(s, d).filter(col("doc_id") < 200),
-          "text", "doc_id", numHashes = 32, bands = 8, threshold = 0.4)
-        .orderBy("a", "b")),
+    // MinHash+LSH near-dup pairs (md5 core): 16 md5-seeded minhashes
+    // over distinct 4-grams, 4 bands of 4, banded candidate self-join,
+    // signature-estimated Jaccard filter — Dedup.nearDupPairs' exact
+    // pipeline with an oracle-reproducible hash.
+    "q43_neardup_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
+      val aggs = (0 until 16).map(i =>
+        min(md5(concat(lit(s"s$i:"), col("gram")).cast("binary"))).as(s"m$i"))
+      val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val banded = sigs.select(col("doc_id").as("id"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+          concat_ws("|", (0 until 4).map(r => col(s"m${4 * j + r}")): _*)
+            .as("bk"))): _*)).as("e"))
+        .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
+      val cands = banded.alias("l").join(banded.alias("r"),
+          col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+      val sa = sigs.select(col("doc_id").as("a") +:
+        (0 until 16).map(i => col(s"m$i").as(s"am$i")): _*)
+      val sb = sigs.select(col("doc_id").as("b") +:
+        (0 until 16).map(i => col(s"m$i").as(s"bm$i")): _*)
+      val est = (0 until 16).map(i =>
+        when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / 16.0
+      cands.join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("est_jaccard", round(est, 4))
+        .filter(col("est_jaccard") >= 0.5)
+        .select("a", "b", "est_jaccard")
+        .orderBy("a", "b")
+    }),
 
-    // LSH-bucketed ANN: nearest neighbor for the first five vectors.
+    // Sign-projection LSH ANN with integer-quantized embeddings:
+    // bucket assignment and dot products are exact integer math, so
+    // the bucketing reproduces bit-for-bit in the oracle. Top-3 per
+    // probe via the bounded top-k aggregate.
     "q44_lsh_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("__bucket", Similarity.intLshBucket(col("q"), SignPlanes))
       val probes = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("probe_id"),
-          col("embedding").as("probe_vec"))
-      Similarity.lshTopK(emb, probes, 3, Similarity.hyperplanes(64, 8))
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("__bucket"))
+      val scored = emb.join(broadcast(probes), Seq("__bucket"))
+        .withColumn("sim", Similarity.cosineInt(col("q"), col("pq")))
+      Similarity.topKPerProbe(scored, 3, "probe_id", "vec_id")
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
         .orderBy("probe_id", "rank")
     }),
 
     // Multimodal plumbing driven through the contract: documents'
-    // text bytes stand in for opaque media; metadata + stub features.
+    // text bytes stand in for opaque media; metadata + stub features
+    // (16-bin byte histogram), checked via dim / mass / argmax bin.
     "q45_multimodal" -> ((s, d) => {
       val media = Tables.documents(s, d).filter(col("doc_id") < 100)
         .select(col("doc_id").as("media_id"),
           col("text").cast("binary").as("media"))
       val withMeta = Multimodal.withMeta(media)
       Multimodal.extractFeatures(withMeta)
-        .select(col("media_id"), size(col("features")).as("dim"),
+        .select(col("media_id"),
+          size(col("features")).cast("long").as("dim"),
           round(aggregate(col("features"), lit(0.0d),
-            (acc, v) => acc + v.cast("double")), 2).as("mass"))
+            (acc, v) => acc + v.cast("double")), 2).as("mass"),
+          array_position(col("features"), array_max(col("features")))
+            .as("top_bin"))
         .orderBy("media_id")
     })
+  )
+
+  private val langInList: Map[String, String] =
+    TextAnalysis.LangProfiles.map { case (lang, words) =>
+      lang -> words.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_simhash" -> {
+      val votes = (0 until 60).map(b =>
+        s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+        .mkString(", ")
+      val bits = (0 until 60).map(b =>
+        s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> len(x) > 0)) AS tok
+         |    FROM documents WHERE doc_id < 100) u),
+         |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
+    },
+    "q41_fingerprints" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |  WHERE doc_id < 100),
+        |hs AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+        |    i -> CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 15)
+        |      AS BIGINT)) AS h FROM norm),
+        |fp AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+        |  range(1, greatest(len(h) - 7, 1) + 1),
+        |  i -> list_min(list_slice(h, CAST(i AS INT), CAST(i + 7 AS INT))))))
+        |  AS f FROM hs)
+        |SELECT doc_id, CAST(len(f) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(list_transform(f, x -> CAST(x AS VARCHAR)), ','))
+        |  AS fp_md5
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "q42_langid" -> {
+      val scoreStructs = TextAnalysis.LangProfiles.keys.toSeq.sorted.map {
+        lang =>
+          s"""{'score': CASE WHEN len(tk) > 0
+             |  THEN CAST(len(list_filter(tk, x -> x IN ${langInList(lang)}))
+             |    AS DOUBLE) / len(tk)
+             |  ELSE CAST(0 AS DOUBLE) END, 'lang': '$lang'}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT
+         |  list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS tk FROM documents),
+         |scored AS (SELECT list_max([
+         |$scoreStructs
+         |]) AS best FROM toks)
+         |SELECT CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END
+         |  AS lang_pred, count(*) AS c
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q43_neardup_pairs" -> {
+      val mins = (0 until 16).map(i =>
+        s"min(md5('s$i:' || g)) AS m$i").mkString(", ")
+      val bandCase = "CASE b " + (0 until 3).map(j =>
+        s"WHEN $j THEN " + (0 until 4).map(r => s"m${4 * j + r}")
+          .mkString(" || '|' || ")).mkString(" ") +
+        " ELSE " + (12 until 16).map(i => s"m$i").mkString(" || '|' || ") +
+        " END"
+      val eq = (0 until 16).map(i =>
+        s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH norm AS (SELECT doc_id,
+         |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+         |  WHERE doc_id < 200),
+         |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+         |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+         |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm) u),
+         |sigs AS (SELECT doc_id, $mins FROM grams GROUP BY doc_id),
+         |bands AS (SELECT doc_id, b, $bandCase AS bk
+         |  FROM sigs CROSS JOIN range(4) t(b)),
+         |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |  ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id)
+         |SELECT c.a, c.b, round(CAST($eq AS DOUBLE) / 16, 4) AS est_jaccard
+         |FROM cands c JOIN sigs x ON x.doc_id = c.a
+         |JOIN sigs y ON y.doc_id = c.b
+         |WHERE round(CAST($eq AS DOUBLE) / 16, 4) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    },
+    "q44_lsh_ann" -> {
+      val bucket = SignPlanes.zipWithIndex.map { case (p, i) =>
+        val plane = p.mkString("[", ",", "]")
+        s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(q, $plane),
+           |  s -> s[1] * s[2])) AS BIGINT) >= 0
+           |  THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+          .stripMargin
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, $bucket AS bucket FROM q),
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |  CAST(list_sum(list_transform(list_zip(c.q, p.q),
+         |    s -> s[1] * s[2])) AS DOUBLE) /
+         |  (sqrt(CAST(list_sum(list_transform(c.q, x -> x * x)) AS DOUBLE)) *
+         |   sqrt(CAST(list_sum(list_transform(p.q, x -> x * x)) AS DOUBLE)))
+         |  AS sim
+         |  FROM b c JOIN b p ON c.bucket = p.bucket AND p.vec_id < 5),
+         |ranked AS (SELECT probe_id, vec_id, sim, row_number()
+         |  OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, vec_id, round(sim, 4) AS sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+    },
+    "q45_multimodal" ->
+      """WITH bins AS (SELECT doc_id AS media_id, length(text) AS n,
+        |  list_transform(range(1, length(text) + 1),
+        |    i -> ord(substr(text, CAST(i AS INT), 1)) // 16) AS bs
+        |  FROM documents WHERE doc_id < 100),
+        |counts AS (SELECT media_id, n,
+        |  list_transform(range(0, 16), b -> len(list_filter(bs, x -> x = b)))
+        |  AS cs FROM bins)
+        |SELECT media_id, CAST(len(cs) AS BIGINT) AS dim,
+        |  round(CAST(list_sum(cs) AS DOUBLE) / n, 2) AS mass,
+        |  CAST(list_position(cs, list_max(cs)) AS BIGINT) AS top_bin
+        |FROM counts ORDER BY media_id""".stripMargin
   )
 }

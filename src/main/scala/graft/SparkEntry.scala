@@ -21,5 +21,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ OperatorQueries.oracleSql ++
-      ExtensionQueries.oracleSql ++ CoverageQueries.oracleSql
+      ExtensionQueries.oracleSql ++ CoverageQueries.oracleSql ++
+      SketchQueries.oracleSql
 }

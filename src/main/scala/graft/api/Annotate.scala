@@ -28,8 +28,12 @@ object Annotate {
     * Output: (lo, hi, geo STRUCT<…GeolocationIP fields…>).
     */
   def buildGeoSnapshot(blocks: DataFrame, locations: DataFrame): DataFrame = {
+    // group the sequential flatten fold by IP family: v4-mapped and
+    // native-v6 ranges occupy disjoint regions of the 16-byte space,
+    // so per-family flattening yields the same table with 2× the
+    // build parallelism (one task per family instead of one total)
     val flat = Ranges.flattenRanges(
-      blocks.withColumn("__f", lit(1)), Seq("__f")).drop("__f")
+      blocks.withColumn("__f", ip_family(col("lo"))), Seq("__f")).drop("__f")
     val l1 = locations.columns.foldLeft(locations)((d, c) =>
       d.withColumnRenamed(c, s"p_$c"))
     val l2 = locations.columns.foldLeft(locations)((d, c) =>
@@ -69,8 +73,9 @@ object Annotate {
     * systems, missing>).
     */
   def buildAsnSnapshot(asnRanges: DataFrame, asNames: DataFrame): DataFrame = {
+    // per-family grouping for build parallelism — see buildGeoSnapshot
     val flat = Ranges.flattenRanges(
-      asnRanges.withColumn("__f", lit(1)), Seq("__f")).drop("__f")
+      asnRanges.withColumn("__f", ip_family(col("lo"))), Seq("__f")).drop("__f")
     val decoded = flat
       .withColumn("systems", graft.sources.Ingest.decodeAsnSystems(
         col("asn_string")))
@@ -114,6 +119,58 @@ object Annotate {
       .drop("__ip_bin")
   }
 
+  /** S11 end-to-end legacy path, build side: flatten the legacy range
+    * table ([[graft.sources.Ingest.legacyGeo]]), join FIPS→ISO for
+    * the subdivision remap, round lat/lon to 3 decimals, and emit the
+    * same 16-field geo struct the modern snapshot carries — so
+    * [[routeByCutoff]] can union both branches. Mirrors
+    * legacy/legacy-dataset.go:129-166: country_code3 / area_code
+    * filled, region = FIPS code, subdivision from
+    * fips2ISOMap[fipsKey(country, region)] with missing → "".
+    */
+  def buildLegacySnapshot(legacy: DataFrame, fips: DataFrame): DataFrame = {
+    val flat = Ranges.flattenRanges(
+      legacy.withColumn("__f", ip_family(col("lo"))), Seq("__f")).drop("__f")
+    flat
+      .withColumn("fips_key",
+        concat_ws("-", col("country_code"), col("region")))
+      .join(broadcast(fips), Seq("fips_key"), "left")
+      .select(col("lo"), col("hi"),
+        struct(
+          col("continent_code").as("continent_code"),
+          col("country_code").as("country_code"),
+          col("country_code3").as("country_code3"),
+          col("country_name").as("country_name"),
+          col("region").as("region"),
+          coalesce(col("region_iso_code"), lit(""))
+            .as("subdivision1_iso_code"),
+          coalesce(col("region_name"), lit("")).as("subdivision1_name"),
+          lit("").as("subdivision2_iso_code"),
+          lit("").as("subdivision2_name"),
+          col("metro_code").as("metro_code"),
+          col("city").as("city"),
+          col("area_code").as("area_code"),
+          col("postal_code").as("postal_code"),
+          round(col("latitude"), 3).as("latitude"),
+          round(col("longitude"), 3).as("longitude"),
+          lit(false).as("missing")).as("geo"))
+  }
+
+  /** S11 fact-side legacy annotation: same zero-join probe as the
+    * modern path, geo-only (the legacy annotator carries no network
+    * data — legacy-dataset.go:129-166 fills api.GeoData.Geo alone).
+    */
+  def annotateLegacy(spark: SparkSession, facts: DataFrame, ipStr: Column,
+      legacySnapshot: DataFrame): DataFrame = {
+    val parsed = facts.withColumn("__ip_bin", ip_to_bin(rewrite6to4(ipStr)))
+    graft.operators.RangeStructLookup
+      .lookup(spark, parsed, legacySnapshot, col("__ip_bin"), "__geo_p")
+      .withColumn("geo",
+        when(col("__ip_bin").isNull || col("__geo_p").isNull, missingGeo)
+          .otherwise(col("__geo_p.geo")))
+      .drop("__geo_p", "__ip_bin")
+  }
+
   /** {Missing: true} geo placeholder (api.go:50, handler.go:66-76). */
   def missingGeo: Column = struct(
     lit(null).cast("string").as("continent_code"),
@@ -149,8 +206,15 @@ object Annotate {
       sites: DataFrame): DataFrame = {
     val masked = facts.withColumn("__site_cidr",
       ip_mask_cidr(ip_to_bin(rewrite6to4(ipStr))))
+    // canonicalize the dimension key instead of matching the raw cidr
+    // string — the reference parses both sides (net.ParseCIDR →
+    // .String(), site.go:120-147), so uppercase/uncompressed v6 or
+    // host bits set in siteinfo must still match; re-masking the
+    // parsed base address mirrors the fact-side key exactly
     masked
-      .join(broadcast(sites.withColumnRenamed("cidr", "__site_cidr")),
+      .join(broadcast(sites
+          .withColumn("__site_cidr", ip_mask_cidr(cidr_lo(col("cidr"))))
+          .drop("cidr")),
         Seq("__site_cidr"), "left")
       .drop("__site_cidr")
   }

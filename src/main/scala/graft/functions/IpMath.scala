@@ -260,6 +260,18 @@ object IpMath {
     else s"${b(2) & 0xff}.${b(3) & 0xff}.${b(4) & 0xff}.${b(5) & 0xff}"
   }
 
+  /** True iff every byte is zero — the minimum key, where
+    * `ipAdd(b, -1)` would wrap to the maximum key.
+    */
+  def isZero(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) != 0) return false
+      i += 1
+    }
+    true
+  }
+
   /** Unsigned bytewise compare — same contract as Go bytes.Compare. */
   def compare(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)

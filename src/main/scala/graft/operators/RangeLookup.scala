@@ -230,30 +230,71 @@ object RangeStructLookup {
   * ranges fit executor memory.
   */
 object BucketedRangeJoin {
-  /** Big-endian long of the first `nBytes` of a binary column. */
-  private def prefixKey(c: Column, nBytes: Int): Column =
-    conv(hex(substring(c, 1, nBytes)), 16, 10).cast("long")
+  import graft.functions.IpFunctions.{ip_family, ip_minus_one, ip_plus_one}
 
-  /** Left-join facts to ranges on containment, via prefix buckets.
+  /** Canonical v4-mapped region, ::ffff:0.0.0.0 … ::ffff:255.255.255.255. */
+  private val V4RegionLo =
+    Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1, 0, 0, 0, 0)
+  private val V4RegionHi =
+    Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1, -1, -1, -1, -1)
+
+  /** Family-relative bucket prefix: v4-mapped keys bucket on the v4
+    * octets (bytes 13…, skipping the constant 12-byte ::ffff: prefix
+    * that would otherwise land every v4 key in bucket 0); native-v6
+    * keys on the leading bytes. Always joined together with the
+    * family column, so buckets never collide across families.
+    */
+  private[operators] def prefixKey(c: Column, nBytes: Int): Column = {
+    val off = when(ip_family(c) === 4, lit(13)).otherwise(lit(1))
+    conv(hex(c.substr(off, lit(nBytes))), 16, 10).cast("long")
+  }
+
+  /** Split a range at the v4-mapped region boundaries so each output
+    * segment lies in a single family — the family-relative prefix is
+    * only monotonic within one family. Real IP range tables never
+    * straddle the boundary (and flattenRanges grouped by family can't
+    * emit one that does); the split keeps the operator total anyway.
+    */
+  private def familySegments(lo: Column, hi: Column): Column = {
+    val rLo = lit(V4RegionLo)
+    val rHi = lit(V4RegionHi)
+    filter(array(
+      when(lo < rLo,
+        struct(lo.as("lo"), least(hi, ip_minus_one(rLo)).as("hi"))),
+      when(hi >= rLo && lo <= rHi,
+        struct(greatest(lo, rLo).as("lo"), least(hi, rHi).as("hi"))),
+      when(hi > rHi,
+        struct(greatest(lo, ip_plus_one(rHi)).as("lo"), hi.as("hi")))),
+      s => s.isNotNull)
+  }
+
+  /** Left-join facts to ranges on containment, via per-family prefix
+    * buckets.
     *
-    * @param nBytes bucket width: 2 → 65 536 buckets for IP keys; a
+    * @param nBytes bucket width: 2 → 65 536 buckets per family; a
     *               range spanning w buckets contributes w rows to the
-    *               build side (a /8 spans 256 two-byte buckets)
+    *               build side (a v4 /8 spans 256 two-byte buckets)
     */
   def lookup(facts: DataFrame, ranges: DataFrame, ipCol: Column,
       nBytes: Int = 2, loCol: String = "lo", hiCol: String = "hi",
       joinType: String = "left"): DataFrame = {
-    val loP = prefixKey(col(loCol), nBytes)
-    val hiP = prefixKey(col(hiCol), nBytes)
     val exploded = ranges
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
-      .withColumn("__bucket", explode(sequence(loP, hiP)))
-    val keyedFacts = facts.withColumn("__bucket", prefixKey(ipCol, nBytes))
+      .withColumn("__seg", explode(familySegments(col(loCol), col(hiCol))))
+      .withColumn("__fam", ip_family(col("__seg.lo")))
+      .withColumn("__bucket",
+        explode(sequence(prefixKey(col("__seg.lo"), nBytes),
+          prefixKey(col("__seg.hi"), nBytes))))
+      .drop("__seg")
+    val keyedFacts = facts
+      .withColumn("__fam", ip_family(ipCol))
+      .withColumn("__bucket", prefixKey(ipCol, nBytes))
     keyedFacts
       .join(exploded,
-        keyedFacts("__bucket") === exploded("__bucket") &&
+        keyedFacts("__fam") === exploded("__fam") &&
+          keyedFacts("__bucket") === exploded("__bucket") &&
           ipCol >= col(loCol) && ipCol <= col(hiCol),
         joinType)
-      .drop("__bucket", loCol, hiCol)
+      .drop("__fam", "__bucket", loCol, hiCol)
   }
 }

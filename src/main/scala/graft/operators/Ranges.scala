@@ -124,8 +124,12 @@ object Ranges {
         // merge-before-flatten: absorb into the last emitted node
         // when overlapping-or-adjacent with equal payload
         val last = out.lastOption.orNull
-        if (last != null && IpMath.compare(last.hi, IpMath.ipAdd(nn.lo, -1)) >= 0
-            && last.payload == nn.payload) {
+        // lo == minimum key: nothing can precede it, so an existing
+        // last node necessarily overlaps — and ipAdd(lo, -1) would
+        // wrap to the max key and wrongly fail the compare
+        if (last != null && last.payload == nn.payload
+            && (IpMath.isZero(nn.lo)
+              || IpMath.compare(last.hi, IpMath.ipAdd(nn.lo, -1)) >= 0)) {
           if (lt(last.hi, nn.hi)) {
             last.hi = nn.hi
             // keep the resumption bookkeeping consistent: if the
@@ -168,11 +172,17 @@ object Ranges {
                 }
               }
             } else {
-              // nesting: truncate the last emitted node at nn.lo-1
+              // nesting: truncate the last emitted node at nn.lo-1;
+              // when nn.lo is the minimum key the remnant is empty —
+              // drop it outright instead of letting ipAdd wrap the
+              // bound to the max key (would emit an overlapping node)
               val last2 = out.lastOption.orNull
               if (last2 != null) {
-                last2.hi = IpMath.ipAdd(nn.lo, -1)
-                if (lt(last2.hi, last2.lo)) out.remove(out.length - 1)
+                if (IpMath.isZero(nn.lo)) out.remove(out.length - 1)
+                else {
+                  last2.hi = IpMath.ipAdd(nn.lo, -1)
+                  if (lt(last2.hi, last2.lo)) out.remove(out.length - 1)
+                }
               }
             }
           }
@@ -216,9 +226,12 @@ object Ranges {
     // extended (max-so-far) bound — lag alone splits chained overlaps
     val prevMaxHi = max(col(hiCol)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
-    val newGroup = (!(prevMaxHi >=
-        IpFunctions.ip_minus_one(col(loCol))) ||
-      !(lag(pay, 1).over(w) <=> pay)).cast("int")
+    // lo-1 > lo detects wrap-around at the minimum key, where any
+    // predecessor necessarily overlaps-or-abuts
+    val loM1 = IpFunctions.ip_minus_one(col(loCol))
+    val overlapOrAbut = (prevMaxHi >= loM1) || (loM1 > col(loCol))
+    val newGroup =
+      (!overlapOrAbut || !(lag(pay, 1).over(w) <=> pay)).cast("int")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gid = sum(coalesce(newGroup, lit(1))).over(wRun)
     df.withColumn("__gid", gid)

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg.top_k_agg
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`ARRAY<FLOAT>`).
@@ -26,9 +27,26 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Per-probe top-k of pre-scored rows via [[graft.functions.TopKAgg]]:
+    * each task partial-aggregates its slice to ≤k entries per probe
+    * before the shuffle, so only k·partitions rows move per probe —
+    * unlike a `row_number` window, which funnels every scored row for
+    * a probe through a single task.
+    */
+  def topKPerProbe(scored: DataFrame, k: Int,
+      probeId: String, corpusId: String): DataFrame =
+    scored
+      .groupBy(col(probeId))
+      .agg(top_k_agg(col("sim"), col(corpusId).cast("long"), k).as("__top"))
+      .select(col(probeId), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(probeId), col("__e.id").as(corpusId),
+        round(col("__e.score"), 4).as("sim"),
+        (col("__pos") + 1).cast("int").as("rank"))
+
   /** Brute-force top-k per probe: broadcast the (small) probe set,
-    * score every corpus row, keep k per probe via window. The corpus
-    * scan stays whole-stage codegen; only k·|probes| rows shuffle.
+    * score every corpus row, keep k per probe via a bounded top-k
+    * aggregate. The corpus scan stays whole-stage codegen; only
+    * k·partitions rows shuffle per probe.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
@@ -36,13 +54,7 @@ object Similarity {
       : DataFrame = {
     val scored = corpus.crossJoin(broadcast(probes))
       .withColumn("sim", cosine(col(corpusVec), col(probeVec)))
-    val w = Window.partitionBy(col(probeId))
-      .orderBy(col("sim").desc, col(corpusId))
-    scored
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(probeId), col(corpusId), round(col("sim"), 4).as("sim"),
-        col("__rk").as("rank"))
+    topKPerProbe(scored, k, probeId, corpusId)
   }
 
   /** Deterministic pseudo-random hyperplanes: `planes` vectors of
@@ -80,13 +92,44 @@ object Similarity {
     val p = probes.withColumn("__bucket", lshBucket(col(probeVec), planes))
     val scored = c.join(broadcast(p), Seq("__bucket"))
       .withColumn("sim", cosine(col(corpusVec), col(probeVec)))
-    val w = Window.partitionBy(col(probeId))
-      .orderBy(col("sim").desc, col(corpusId))
-    scored
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(probeId), col(corpusId), round(col("sim"), 4).as("sim"),
-        col("__rk").as("rank"))
+    Similarity.topKPerProbe(scored, k, probeId, corpusId)
+  }
+
+  /** Fixed-point quantization of a float embedding: `round(x·scale)`
+    * as BIGINT. All downstream dot products become exact integer
+    * arithmetic — order-independent and bit-identical across engines
+    * (a cross-engine-verifiable variant of the float path; also the
+    * shape int8-quantized ANN indexes use at scale).
+    */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale, 0).cast("long"))
+
+  /** Deterministic ±1 sign planes (seeded), for [[intLshBucket]]. */
+  def signPlanes(dim: Int, planes: Int, seed: Long = 7L): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  /** Sign-projection LSH bucket over a quantized (BIGINT) embedding
+    * with ±1 planes: bit p = (q · plane_p) >= 0. Integer-exact — no
+    * float-sign flips near zero, so the bucket assignment is
+    * reproducible bit-for-bit in any engine.
+    */
+  def intLshBucket(qvec: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (plane, i) =>
+      val d = aggregate(zip_with(qvec, array(plane.map(p => lit(p.toLong)): _*),
+        (x, w) => x * w), lit(0L), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Cosine over quantized (BIGINT) embeddings: integer dot products,
+    * one double division at the end — deterministic across engines.
+    */
+  def cosineInt(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    dot(a, b).cast("double") /
+      (sqrt(dot(a, a).cast("double")) * sqrt(dot(b, b).cast("double")))
   }
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket +
@@ -185,25 +228,20 @@ object Ivf {
       s => s.getField("c"))
 
   /** IVF top-k: corpus bucketed once, probes fan out to their nprobe
-    * buckets, cosine-scored within buckets, windowed top-k per probe.
+    * buckets, cosine-scored within buckets, bounded top-k per probe.
+    * A probe's nprobe buckets can land in different tasks; the top-k
+    * aggregate's merge handles the cross-bucket combine.
     */
   def topK(corpus: DataFrame, probes: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nprobe: Int = 2,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       probeId: String = "probe_id", probeVec: String = "probe_vec")
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.withColumn("__bucket", assign(col(corpusVec), centroids))
     val p = probes.withColumn("__bucket",
       explode(probeBuckets(col(probeVec), centroids, nprobe)))
     val scored = c.join(broadcast(p), Seq("__bucket"))
       .withColumn("sim", Similarity.cosine(col(corpusVec), col(probeVec)))
-    val w = Window.partitionBy(col(probeId))
-      .orderBy(col("sim").desc, col(corpusId))
-    scored
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select(col(probeId), col(corpusId), round(col("sim"), 4).as("sim"),
-        col("__rk").as("rank"))
+    Similarity.topKPerProbe(scored, k, probeId, corpusId)
   }
 }

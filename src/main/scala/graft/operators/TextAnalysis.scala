@@ -83,18 +83,34 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "por", "que", "con",
       "para"))
 
-  /** Language ID: argmax of per-language stopword hit ratios;
-    * "und" (undetermined) when nothing scores. Pure built-ins —
-    * an array-of-struct max, no UDF.
+  /** Language ID from a pre-tokenized lowercase token array: argmax
+    * of per-language stopword hit ratios; "und" (undetermined) when
+    * nothing scores. Pure built-ins — an array-of-struct max, no UDF.
+    * Each language scores with one `filter` pass over the array; the
+    * expensive regex tokenization happens once, at the call site.
     */
-  def langId(text: Column): Column = {
+  def langIdFromTokens(toks: Column): Column = {
+    val n = size(toks)
     val scored = array(LangProfiles.toSeq.sortBy(_._1).map {
       case (lang, words) =>
-        struct(wordHitRatio(text, words).as("score"), lit(lang).as("lang"))
+        val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+        struct(
+          when(n > 0, hits.cast("double") / n.cast("double"))
+            .otherwise(lit(0.0)).as("score"),
+          lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
+
+  /** Language ID straight from text. NOTE: inlines the tokenizer into
+    * every per-language score, so Catalyst may evaluate the regex
+    * split several times per row. For hot paths, materialize
+    * `tokens(lower(text))` in a projection and call
+    * [[langIdFromTokens]] — a Project boundary is not collapsed into
+    * the consuming Aggregate, so the split runs once per row.
+    */
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
   /** Winnowing-style fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of `w` gram hashes;

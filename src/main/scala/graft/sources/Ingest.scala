@@ -241,6 +241,49 @@ object Ingest {
         col("region_iso_code"), col("region_name"))
 
   // ---------------------------------------------------------------
+  // S11 legacy GeoIP dataset (tabular form)
+  // ---------------------------------------------------------------
+
+  /** GeoIPRecord fields of the legacy dataset (legacy/geoip.go:36-50):
+    * explicit range bounds plus the legacy-only payload columns
+    * (country_code3, FIPS region, area_code).
+    */
+  val legacyGeoSchema: StructType = StructType(Seq(
+    StructField("ip_lo", StringType),
+    StructField("ip_hi", StringType),
+    StructField("country_code", StringType),
+    StructField("country_code3", StringType),
+    StructField("country_name", StringType),
+    StructField("region", StringType), // FIPS region code
+    StructField("city", StringType),
+    StructField("postal_code", StringType),
+    StructField("latitude", StringType),  // empty-tolerant cast below
+    StructField("longitude", StringType), // empty-tolerant cast below
+    StructField("metro_code", LongType),
+    StructField("area_code", LongType),
+    StructField("continent_code", StringType)))
+
+  /** S11 legacy dataset scan, tabular form: the binary `.dat` unpack
+    * itself is out of scope (SURVEY §2.1 — it needs libgeoip; the
+    * reference shells out through cgo at legacy/geoip.go:88-134), so
+    * this reader takes the unpacked (lo, hi, record) rows and
+    * produces the same range table the reference's in-memory dataset
+    * holds. Output: (lo BINARY, hi BINARY, payload…).
+    */
+  def legacyGeo(spark: SparkSession, path: String): DataFrame =
+    readCsvWithBudget(spark, path, legacyGeoSchema,
+      Map("header" -> "true")) { raw =>
+      ip_to_bin(raw("ip_lo")).isNotNull && ip_to_bin(raw("ip_hi")).isNotNull
+    }.select(
+      ip_to_bin(col("ip_lo")).as("lo") +:
+        ip_to_bin(col("ip_hi")).as("hi") +:
+        (legacyGeoSchema.fieldNames.drop(2).map {
+          case c @ ("latitude" | "longitude") =>
+            emptyTolerantDouble(col(c)).as(c)
+          case c => col(c)
+        }): _*)
+
+  // ---------------------------------------------------------------
   // S10 siteinfo JSON
   // ---------------------------------------------------------------
 

@@ -41,20 +41,11 @@ object Streaming {
     */
   def annotateStream(spark: SparkSession, requests: DataFrame,
       dir: DirectoryRef, ipCol: String = "ip",
-      dateCol: String = "date"): DataStreamWriter[org.apache.spark.sql.Row] = {
-    requests.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val d = dir.get
-        val dates = batch.select(dateCol).distinct().collect()
-          .map(_.getDate(0))
-        dates.foreach { dt =>
-          val part = batch.filter(col(dateCol) === lit(dt))
-          val out = Api.annotateV2(spark, d, dt, part, ipCol)
-          out.collect() // terminal action; caller overrides sink via fb
-        }
-        ()
-    }
-  }
+      dateCol: String = "date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    // distributed terminal action per batch — results never funnel
+    // through the driver; use annotateStreamTo for a real sink
+    annotateStreamTo(spark, requests, dir,
+      (out, _) => out.foreach(_ => ()), ipCol, dateCol)
 
   /** T3 with a caller-supplied sink: annotate then hand the result
     * DataFrame to `sink` per micro-batch.

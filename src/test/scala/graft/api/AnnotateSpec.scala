@@ -101,6 +101,66 @@ class AnnotateSpec extends AnyFunSuite {
       ("ZZ", "", "", 1.235))) // missing key → empty strings
   }
 
+  test("end-to-end legacy path: CSV → flatten → lookup → legacy struct " +
+      "(S11, legacy-dataset.go:129-166)") {
+    import spark.implicits._
+    val legacySnap = Annotate.buildLegacySnapshot(
+      Ingest.legacyGeo(spark, fixture("legacy-geo.csv")),
+      Ingest.fipsMap(spark, fixture("fips.csv")))
+    val rows = Annotate.annotateLegacy(spark,
+        Seq("1.0.0.42", "1.0.1.5", "5.5.5.5", "9.9.9.9").toDF("ip"),
+        col("ip"), legacySnap)
+      .collect().map(r => r.getAs[String]("ip") -> r.getAs[Row]("geo")).toMap
+
+    val g = rows("1.0.0.42")
+    assert(g.getAs[String]("country_code3") == "USA") // legacy-only field
+    assert(g.getAs[Long]("area_code") == 207L) // legacy-only field
+    assert(g.getAs[String]("region") == "23") // FIPS code, not ISO
+    assert(g.getAs[String]("subdivision1_iso_code") == "ME") // FIPS→ISO join
+    assert(g.getAs[String]("subdivision1_name") == "Maine")
+    assert(g.getAs[String]("city") == "Portland")
+    assert(g.getAs[Double]("latitude") == 43.662) // 3-decimal rounding
+    assert(g.getAs[Double]("longitude") == -70.255)
+    assert(!g.getAs[Boolean]("missing"))
+
+    // second range + FIPS row
+    val h = rows("1.0.1.5")
+    assert(h.getAs[String]("subdivision1_iso_code") == "CT")
+    assert(h.getAs[Long]("area_code") == 860L)
+
+    // non-US FIPS remap + empty postal
+    val de = rows("5.5.5.5")
+    assert(de.getAs[String]("country_code3") == "DEU")
+    assert(de.getAs[String]("subdivision1_iso_code") == "BW")
+    assert(de.getAs[Double]("latitude") == 48.776)
+
+    // miss → {missing: true} placeholder, same as modern path
+    assert(rows("9.9.9.9").getAs[Boolean]("missing"))
+  }
+
+  test("cutoff routing: legacy struct pre-cutoff, modern post-cutoff " +
+      "(F2 + S11, geoloader.go:34)") {
+    import spark.implicits._
+    val legacySnap = Annotate.buildLegacySnapshot(
+      Ingest.legacyGeo(spark, fixture("legacy-geo.csv")),
+      Ingest.fipsMap(spark, fixture("fips.csv")))
+    val facts = Seq(("1.0.0.42", "2017-01-01"), ("1.0.0.130", "2018-01-01"))
+      .map { case (ip, d) => (ip, java.sql.Date.valueOf(d)) }.toDF("ip", "d")
+    val got = Annotate.routeByCutoff(facts, col("d"),
+        java.sql.Date.valueOf("2017-08-15"),
+        legacy = f => Annotate.annotateLegacy(spark, f, col("ip"), legacySnap)
+          .select("ip", "d", "geo"),
+        modern = f => Annotate.annotate(spark, f, col("ip"), geoSnap, asnSnap)
+          .select("ip", "d", "geo"))
+      .collect().map(r => r.getAs[String]("ip") -> r.getAs[Row]("geo")).toMap
+    // pre-cutoff row went through legacy: country_code3 + area_code set
+    assert(got("1.0.0.42").getAs[String]("country_code3") == "USA")
+    assert(got("1.0.0.42").getAs[Long]("area_code") == 207L)
+    // post-cutoff row went through GeoLite2: no code3, Hartford city
+    assert(got("1.0.0.130").getAs[String]("country_code3") == "")
+    assert(got("1.0.0.130").getAs[String]("city") == "Hartford")
+  }
+
   test("date-cutoff routing unions legacy and modern branches (F2)") {
     import spark.implicits._
     val facts = Seq(("a", "2017-01-01"), ("b", "2018-01-01"))

@@ -90,6 +90,47 @@ class LookupSpec extends AnyFunSuite {
     assert(fast.exists(_._2 != null) && fast.exists(_._2 == null))
   }
 
+  test("v4 bucket keys spread across buckets (skip the ::ffff: prefix)") {
+    import spark.implicits._
+    // before the family-relative fix every v4-mapped key hashed the
+    // constant 0x0000 leading bytes → one bucket for all v4 data
+    val keys = Seq("10.0.0.1", "10.1.0.1", "11.0.0.1", "192.168.1.1")
+      .map(IpMath.parseIp).toDF("bin")
+    val buckets = keys
+      .select(BucketedRangeJoin.prefixKey(col("bin"), 2).as("b"))
+      .distinct().count()
+    assert(buckets == 4)
+  }
+
+  test("bucketed range join agrees with naive on mixed v4/v6 + straddling range") {
+    import spark.implicits._
+    val v4RegionHi = IpMath.parseIp("255.255.255.255")
+    val ranges = Seq(
+      (IpMath.parseIp("10.0.0.0"), IpMath.parseIp("10.0.255.255"), "v4a"),
+      (IpMath.parseIp("2001:db8::"), IpMath.parseIp("2001:db8::ffff"), "v6a"),
+      (IpMath.parseIp("2600::"), IpMath.parseIp("2600::1:0"), "v6b"),
+      // straddles the v4-mapped region's upper boundary: exercises
+      // the familySegments split (never occurs in real tables)
+      (IpMath.parseIp("255.255.255.250"), IpMath.ipAdd(v4RegionHi, 5L), "odd"))
+      .toDF("lo", "hi", "payload")
+    val probes = Seq(
+      (1L, IpMath.parseIp("10.0.1.2")), // v4a
+      (2L, IpMath.parseIp("10.1.0.1")), // miss
+      (3L, IpMath.parseIp("2001:db8::5")), // v6a
+      (4L, IpMath.parseIp("2600::5")), // v6b
+      (5L, IpMath.parseIp("255.255.255.252")), // odd, v4 side
+      (6L, IpMath.ipAdd(v4RegionHi, 2L)), // odd, v6 side
+      (7L, IpMath.parseIp("::1"))) // miss
+      .toDF("id", "bin")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val fast = res(BucketedRangeJoin.lookup(probes, ranges, col("bin")))
+    val naive = res(RangeLookup.lookupNaive(probes, ranges, col("bin")))
+    assert(fast == naive)
+    assert(fast.toMap.apply(5L) == "odd" && fast.toMap.apply(6L) == "odd")
+  }
+
   test("as-of snapshot selection golden (directory_test.go:44-79)") {
     import spark.implicits._
     val base = java.time.LocalDate.of(2009, 2, 8)
