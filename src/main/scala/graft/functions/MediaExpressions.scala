@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Container-header parsing for multimodal columns: width / height /
+  * duration straight from the magic bytes — real metadata decode, no
+  * codec required. Pixel/sample decode stays stubbed
+  * ([[graft.operators.Multimodal]]); header geometry is fully
+  * specified by the container formats:
+  *
+  *  - PNG: IHDR width/height, big-endian u32 at offsets 16/20
+  *  - GIF: logical screen size, little-endian u16 at offsets 6/8
+  *  - JPEG: SOFn segment height/width (marker scan)
+  *  - RIFF/WAVE: duration = data-chunk bytes / fmt byte-rate
+  */
+object MediaOps {
+
+  private def u16be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u16le(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length &&
+      s.indices.forall(j => (b(i + j) & 0xff) == s.charAt(j))
+
+  /** (width, height, duration_ms) as an InternalRow; null when the
+    * container is unrecognized or the header is truncated.
+    */
+  def dims(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    val png = b.length >= 24 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG") &&
+      ascii(b, 12, "IHDR")
+    if (png)
+      return row((u32be(b, 16) & 0x7fffffffL).toInt,
+        (u32be(b, 20) & 0x7fffffffL).toInt, null)
+    if (b.length >= 10 && ascii(b, 0, "GIF8"))
+      return row(u16le(b, 6), u16le(b, 8), null)
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      return jpegDims(b)
+    if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
+      return wavDuration(b)
+    null
+  }
+
+  private def row(w: Any, h: Any, d: Any): InternalRow =
+    new GenericInternalRow(Array[Any](w, h, d))
+
+  /** Scan JPEG segments for the first SOFn (C0–CF except C4/C8/CC):
+    * payload = precision u8, height u16be, width u16be.
+    */
+  private def jpegDims(b: Array[Byte]): InternalRow = {
+    var pos = 2
+    while (pos + 9 < b.length) {
+      if ((b(pos) & 0xff) != 0xff) return null // lost sync
+      var marker = b(pos + 1) & 0xff
+      while (marker == 0xff && pos + 9 < b.length) { // fill bytes
+        pos += 1; marker = b(pos + 1) & 0xff
+      }
+      if (marker >= 0xd0 && marker <= 0xd9) pos += 2 // standalone
+      else {
+        val segLen = u16be(b, pos + 2)
+        if (segLen < 2) return null
+        val sof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (sof) return row(u16be(b, pos + 7), u16be(b, pos + 5), null)
+        pos += 2 + segLen
+      }
+    }
+    null
+  }
+
+  /** Walk RIFF chunks for `fmt ` (byte-rate) and `data` (payload
+    * size); duration_ms = data bytes · 1000 / byte-rate.
+    */
+  private def wavDuration(b: Array[Byte]): InternalRow = {
+    var pos = 12
+    var byteRate = 0L
+    var dataSize = -1L
+    while (pos + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
+      val size = u32le(b, pos + 4)
+      if (ascii(b, pos, "fmt ") && pos + 20 <= b.length)
+        byteRate = u32le(b, pos + 16)
+      else if (ascii(b, pos, "data")) dataSize = size
+      pos += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || size > Int.MaxValue) return null
+    }
+    if (byteRate > 0 && dataSize >= 0)
+      row(null, null, dataSize * 1000L / byteRate)
+    else null
+  }
+}
+
+/** media_dims(binary) → STRUCT<width INT, height INT, duration_ms
+  * BIGINT>; NULL for unrecognized containers. Codegen'd — runs inside
+  * the scan stage like the other metadata columns.
+  */
+case class MediaDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaOps.dims(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MediaOps.dims($c);
+         |${ev.isNull} = (${ev.value} == null);
+         |if (${ev.isNull}) { ${ev.value} = ${CodeGenerator.defaultValue(dataType)}; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): MediaDims =
+    copy(c)
+  override def prettyName: String = "media_dims"
+}
+
+object MediaDims {
+  def media_dims(c: Column): Column =
+    GraftBridge.column(MediaDims(GraftBridge.expression(c)))
+}

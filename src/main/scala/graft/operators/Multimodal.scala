@@ -42,16 +42,22 @@ object Multimodal {
   }
 
   /** Attach sniffed metadata to raw (media_id, media) rows. Width /
-    * height / duration are NULL until a real decoder fills them —
-    * the schema contract is what downstream stages depend on.
+    * height / duration are parsed straight from the container header
+    * ([[graft.functions.MediaOps]] — PNG IHDR, GIF screen size, JPEG
+    * SOFn, WAV byte-rate); NULL when the container is unrecognized.
+    * Pixel/sample decode stays stubbed ([[fakeDecodeFeatures]]) —
+    * header geometry needs no codec.
     */
   def withMeta(df: DataFrame, mediaCol: String = "media"): DataFrame =
-    df.withColumn("meta", struct(
-      detectFormat(col(mediaCol)).as("format"),
-      length(col(mediaCol)).cast(LongType).as("n_bytes"),
-      lit(null).cast(IntegerType).as("width"),
-      lit(null).cast(IntegerType).as("height"),
-      lit(null).cast(LongType).as("duration_ms")))
+    df.withColumn("__dims",
+        graft.functions.MediaDims.media_dims(col(mediaCol)))
+      .withColumn("meta", struct(
+        detectFormat(col(mediaCol)).as("format"),
+        length(col(mediaCol)).cast(LongType).as("n_bytes"),
+        col("__dims.width").as("width"),
+        col("__dims.height").as("height"),
+        col("__dims.duration_ms").as("duration_ms")))
+      .drop("__dims")
 
   /** Feature extraction with the production batch shape: partition-
     * local iteration, one float vector per row, fixed dimension.

@@ -183,4 +183,49 @@ class ExtensionSpec extends AnyFunSuite {
     assert(frames.length == 8)
     assert(frames.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("multimodal: header-parsed width/height/duration (no codec)") {
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](
+      v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+    // PNG: magic + IHDR length/type + width=640 height=480
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+      0x0a) ++ be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array.fill[Byte](5)(0)
+    // GIF89a: LE screen size 320×200
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++
+      Array.fill[Byte](6)(0)
+    // JPEG: SOI, APP0 segment (skipped), SOF0 with height=99 width=77
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(6) ++
+      Array.fill[Byte](4)(0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(9) ++
+      Array[Byte](8) ++ be16(99) ++ be16(77) ++ Array.fill[Byte](4)(0)
+    // WAV: RIFF/WAVE, fmt byte-rate 4000 B/s, data 8000 B → 2000 ms
+    val wav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(1000) ++
+      le32(4000) ++ le16(4) ++ le16(32) ++
+      "data".getBytes ++ le32(8000)
+    val junk = "hello world this is not media".getBytes
+
+    val df = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, wav), (5L, junk))
+      .toDF("media_id", "media")
+    val got = Multimodal.withMeta(df)
+      .select("media_id", "meta.format", "meta.width", "meta.height",
+        "meta.duration_ms")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+
+    assert(got(1L) == ("png", Some(640), Some(480), None))
+    assert(got(2L) == ("gif", Some(320), Some(200), None))
+    assert(got(3L) == ("jpeg", Some(77), Some(99), None))
+    assert(got(4L) == ("riff", None, None, Some(2000L)))
+    assert(got(5L) == ("unknown", None, None, None))
+  }
 }
