@@ -202,6 +202,36 @@ class RangesSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-address child: parent remnant dropped, no wrap to max key") {
+    // child shares lo = :: with its parent; truncating the parent at
+    // nn.lo-1 would wrap to ff…ff and emit an overlapping remnant
+    // whose hi is the maximum key (the reference inherits this wrap)
+    val got = run(ipRows(
+      ("::", "::ff", "parent"),
+      ("::", "::0f", "child")))
+    assert(got == Seq(
+      ("::", "::f", "child"),
+      ("::10", "::ff", "parent")))
+    // and via the absorb rule: equal payload at the zero address merges
+    val merged = run(ipRows(
+      ("::", "::5", "p"),
+      ("::", "::a", "p")))
+    assert(merged == Seq(("::", "::a", "p")))
+  }
+
+  test("mergeAdjacent: overlap at the zero address merges (no wrap)") {
+    import spark.implicits._
+    val df = ipRows(
+      ("::", "::5", "p"),
+      ("::", "::a", "p"),
+      ("::b", "::f", "p"))
+      .toDF("dataset", "lo", "hi", "payload")
+    val got = Ranges.mergeAdjacent(df, Seq("dataset")).collect()
+      .map(r => (IpMath.formatIp(r.getAs[Array[Byte]]("lo")),
+        IpMath.formatIp(r.getAs[Array[Byte]]("hi")), r.getString(3)))
+    assert(got.toSeq == Seq(("::", "::f", "p")))
+  }
+
   test("mergeAdjacent window pipeline: abutting equal payloads collapse") {
     import spark.implicits._
     val df = ipRows(
