@@ -42,6 +42,12 @@ object Api {
   /** Render a v2 response document: `{"AnnotatorDate": …,
     * "Annotations": {ip: {Geo…, Network…}}}` (api-v2.go:51-55).
     * to_json drops NULL fields, matching Go's `omitempty`.
+    *
+    * REQUEST-scale only: this materializes one JSON string on the
+    * driver, faithful to the reference's per-HTTP-request response
+    * (batches are capped at ~tens of k IPs). Dataset-scale output
+    * goes through the parquet/JSON sinks (Verify / writeStream), not
+    * through this.
     */
   def toV2ResponseJson(annotated: DataFrame, annotatorDate: Date,
       ipCol: String = "ip"): String = {
