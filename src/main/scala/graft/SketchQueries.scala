@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -31,6 +31,36 @@ object SketchQueries {
     * DuckDB oracle SQL (literals on both sides).
     */
   private val SignPlanes: Seq[Seq[Int]] = Similarity.signPlanes(64, 8)
+
+  /** Fixed seeded centroids in the quantized embedding space (±400 ≈
+    * the ±0.58 float range × 1000), shared with the generated oracle.
+    * Data-trained centroids ([[Ivf.trainCentroids]]) stay the
+    * recall-quality path; fixed ones keep the oracle SQL static.
+    */
+  private val IvfCentroids: Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(13)
+    Seq.fill(8)(Seq.fill(64)((rnd.nextInt(801) - 400).toLong))
+  }
+
+  /** DuckDB fragment: q44/q47 sign-LSH bucket over a BIGINT list
+    * column named `q` (same planes as the Spark side).
+    */
+  private def duckSignBucket: String =
+    SignPlanes.zipWithIndex.map { case (p, i) =>
+      val plane = p.mkString("[", ",", "]")
+      s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(q, $plane),
+         |  s -> s[1] * s[2])) AS BIGINT) >= 0
+         |  THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin
+    }.mkString(" + ")
+
+  /** DuckDB fragment: integer cosine between BIGINT lists `a`/`b`. */
+  private def duckCosineInt(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |    s -> s[1] * s[2])) AS DOUBLE) /
+       |  (sqrt(CAST(list_sum(list_transform($a, x -> x * x)) AS DOUBLE)) *
+       |   sqrt(CAST(list_sum(list_transform($b, x -> x * x)) AS DOUBLE)))"""
+      .stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SimHash (md5 core): token-occurrence votes on 60 md5-derived
@@ -137,6 +167,43 @@ object SketchQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // IVF ANN with integer-exact assignment: fixed centroids in the
+    // quantized space, argmin bucket, probes fan out to their 2
+    // nearest buckets, bounded top-k per probe.
+    "q46_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val c = emb.withColumn("__bucket", Ivf.assignInt(col("q"), IvfCentroids))
+      val p = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          explode(Ivf.probeBucketsInt(col("q"), IvfCentroids, 2))
+            .as("__bucket"))
+      val scored = c.join(broadcast(p), Seq("__bucket"))
+        .withColumn("sim", Similarity.cosineInt(col("q"), col("pq")))
+      Similarity.topKPerProbe(scored, 3, "probe_id", "vec_id")
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Embedding-cosine near-duplicate pairs via shared sign-LSH
+    // bucket + cosine threshold (integer-exact bucket + dot products).
+    "q47_embedding_neardups" -> ((s, d) => {
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("__bucket", Similarity.intLshBucket(col("q"), SignPlanes))
+      val l = b.select(col("__bucket"), col("vec_id").as("a"),
+        col("q").as("qa"))
+      val r = b.select(col("__bucket"), col("vec_id").as("b"),
+        col("q").as("qb"))
+      l.join(r, Seq("__bucket"))
+        .filter(col("a") < col("b"))
+        .withColumn("sim", Similarity.cosineInt(col("qa"), col("qb")))
+        .filter(col("sim") >= 0.2)
+        .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+        .orderBy("a", "b")
+    }),
+
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features
     // (16-bin byte histogram), checked via dim / mass / argmax bin.
@@ -240,31 +307,55 @@ object SketchQueries {
          |WHERE round(CAST($eq AS DOUBLE) / 16, 4) >= 0.5
          |ORDER BY a, b""".stripMargin
     },
-    "q44_lsh_ann" -> {
-      val bucket = SignPlanes.zipWithIndex.map { case (p, i) =>
-        val plane = p.mkString("[", ",", "]")
-        s"""(CASE WHEN CAST(list_sum(list_transform(list_zip(q, $plane),
-           |  s -> s[1] * s[2])) AS BIGINT) >= 0
-           |  THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
-          .stripMargin
-      }.mkString(" + ")
+    "q44_lsh_ann" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |b AS (SELECT vec_id, q, $bucket AS bucket FROM q),
+         |b AS (SELECT vec_id, q, $duckSignBucket AS bucket FROM q),
          |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
-         |  CAST(list_sum(list_transform(list_zip(c.q, p.q),
-         |    s -> s[1] * s[2])) AS DOUBLE) /
-         |  (sqrt(CAST(list_sum(list_transform(c.q, x -> x * x)) AS DOUBLE)) *
-         |   sqrt(CAST(list_sum(list_transform(p.q, x -> x * x)) AS DOUBLE)))
-         |  AS sim
+         |  ${duckCosineInt("c.q", "p.q")} AS sim
          |  FROM b c JOIN b p ON c.bucket = p.bucket AND p.vec_id < 5),
+         |ranked AS (SELECT probe_id, vec_id, sim, row_number()
+         |  OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, vec_id, round(sim, 4) AS sim, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q46_ivf_ann" -> {
+      val ds = IvfCentroids.zipWithIndex.map { case (c, i) =>
+        s"""{'d': CAST(list_sum(list_transform(list_zip(q, ${c.mkString("[", ",", "]")}),
+           |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT), 'c': $i}"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dist AS (SELECT vec_id, q, [
+         |$ds
+         |] AS ds FROM q),
+         |b AS (SELECT vec_id, q, list_min(ds).c AS bucket FROM dist),
+         |p AS (SELECT vec_id AS probe_id, q AS pq,
+         |  unnest(list_transform(list_slice(list_sort(ds), 1, 2),
+         |    s -> s.c)) AS bucket
+         |  FROM dist WHERE vec_id < 5),
+         |scored AS (SELECT p.probe_id, c.vec_id,
+         |  ${duckCosineInt("c.q", "p.pq")} AS sim
+         |  FROM b c JOIN p ON c.bucket = p.bucket),
          |ranked AS (SELECT probe_id, vec_id, sim, row_number()
          |  OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT probe_id, vec_id, round(sim, 4) AS sim, rank FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
     },
+    "q47_embedding_neardups" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, $duckSignBucket AS bucket FROM q),
+         |scored AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |  ${duckCosineInt("l.q", "r.q")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT a, b, round(sim, 4) AS sim FROM scored
+         |WHERE sim >= 0.2 ORDER BY a, b""".stripMargin,
     "q45_multimodal" ->
       """WITH bins AS (SELECT doc_id AS media_id, length(text) AS n,
         |  list_transform(range(1, length(text) + 1),

@@ -227,6 +227,32 @@ object Ivf {
       }: _*)), 1, nprobe),
       s => s.getField("c"))
 
+  /** Integer-exact variants over quantized (BIGINT) embeddings and
+    * integer centroids — same IVF shape with engine-reproducible
+    * arithmetic (see [[Similarity.quantize]]); [[trainCentroids]]
+    * stays the float/recall-quality path.
+    */
+  private def sqDistInt(vec: Column, centroid: Seq[Long]): Column =
+    aggregate(zip_with(vec, array(centroid.map(lit): _*),
+      (x, c) => (x - c) * (x - c)), lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid bucket over integer distances (ties → smaller
+    * centroid index, exactly reproducible cross-engine).
+    */
+  def assignInt(vec: Column, centroids: Seq[Seq[Long]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(sqDistInt(vec, c).as("d"), lit(i).as("c"))
+    }: _*)).getField("c")
+
+  /** The `nprobe` nearest bucket ids over integer distances. */
+  def probeBucketsInt(vec: Column, centroids: Seq[Seq[Long]],
+      nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(sqDistInt(vec, c).as("d"), lit(i).as("c"))
+      }: _*)), 1, nprobe),
+      s => s.getField("c"))
+
   /** IVF top-k: corpus bucketed once, probes fan out to their nprobe
     * buckets, cosine-scored within buckets, bounded top-k per probe.
     * A probe's nprobe buckets can land in different tasks; the top-k
