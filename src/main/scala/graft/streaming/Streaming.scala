@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicReference
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, StreamingQuery, Trigger}
 
 import graft.api.Api
 
@@ -93,4 +93,59 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 4).as("sv"))
       .select(col("w.start").as("w"), col("event_type"), col("c"), col("sv"))
+
+  /** Q17's streaming twin: event-time sessionization with a gap —
+    * `session_window` keeps per-key open-session state and closes a
+    * session once the watermark passes its last event + gap. Works in
+    * batch mode too (the spec compares both). Append-mode output:
+    * one row per closed (user, session).
+    */
+  def sessionizeEvents(events: DataFrame, gap: String = "30 minutes",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, gap)
+      .groupBy(col(userCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"), min(col(tsCol)).as("t0"))
+      .select(col(userCol), col("w.start").as("w_start"), col("n"),
+        col("t0"))
+
+  /** Streaming exact dedup on the normalized content digest
+    * ([[graft.operators.Dedup.contentKey]]) — the streaming face of
+    * the batch exact-dedup operator. State is bounded: the watermark
+    * evicts expired digests, so a 100 TB/day corpus dedups with
+    * horizon-sized state instead of corpus-sized state.
+    */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__key", graft.operators.Dedup.contentKey(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+
+  /** Running per-user aggregates as custom keyed state
+    * (mapGroupsWithState): the escalation path for stateful semantics
+    * the built-in windows can't express. Update-mode output: each
+    * micro-batch emits the new running (count, value-sum) for every
+    * user it touched.
+    */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserStats](
+        GroupStateTimeout.NoTimeout) {
+        case (user, it, state) =>
+          var (n, sv) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { case (_, v) => n += 1; sv += v }
+          state.update((n, sv))
+          UserStats(user, n, math.rint(sv * 10000) / 10000)
+      }
+  }
 }
+
+/** Running per-user stats row for [[Streaming.runningUserStats]]. */
+case class UserStats(user_id: Long, n: Long, sv: Double)

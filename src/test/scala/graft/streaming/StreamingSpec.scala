@@ -109,6 +109,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(ref.get.latest.date.toString == "2023-01-01")
   }
 
+  test("streamed sessionization equals the batch session_window result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sessstream")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "ts")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = Streaming.sessionizeEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getTimestamp(3))
+    val streamed = spark.table("sessions")
+      .select("user_id", "w_start", "n", "t0").collect().map(key).toSet
+    val batch = Streaming.sessionizeEvents(events)
+      .collect().map(key).toSet
+    // append mode withholds sessions the watermark hasn't closed
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 20)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming dedup drops repeated content digests within the horizon") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupstream")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq((1L, "alpha  beta", ts(0)), (2L, "alpha beta", ts(1)), // same digest
+      (3L, "gamma", ts(2)), (4L, "gamma", ts(3)), (5L, "delta", ts(4)))
+      .toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(s"$dir/in")
+    val q = Streaming.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("dedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L)) // one survivor per digest
+  }
+
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    val q = Streaming.runningUserStats(
+        input.toDF().toDF("user_id", "value"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running")
+      .start()
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: last emitted row per user carries the running total
+    val last = spark.table("running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    assert(last(1L) == (1L, 3L, 6.0))
+    assert(last(2L) == (2L, 1L, 5.0))
+  }
+
   test("directory swap is picked up between batches (T6)") {
     val ref = new Streaming.DirectoryRef(Api.Directory(Seq(snapshot)))
     val later = snapshot.copy(date = Date.valueOf("2022-01-01"))
