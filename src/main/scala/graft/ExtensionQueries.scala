@@ -76,7 +76,20 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           round(TextAnalysis.stopwordRatio(col("text")), 4).as("sr"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Corpus token-length distribution — the length-filter curation
+    // stats a training-data pipeline computes before thresholding.
+    // Spark percentile() and DuckDB quantile_cont share the linear-
+    // interpolation definition, so the quantiles hash-match exactly.
+    "q48_corpus_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextAnalysis.tokenCount(col("text")).as("n"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg("n"), 4).as("mean_toks"),
+          round(expr("percentile(n, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n, 0.95)"), 4).as("p95"),
+          min("n").as("min_toks"), max("n").as("max_toks")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -128,6 +141,13 @@ object ExtensionQueries {
         |    'is','it','that','for','on','with','as','this'))) AS DOUBLE) /
         |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)), 4) AS sr
-        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q48_corpus_stats" ->
+      """WITH t AS (SELECT len(list_filter(string_split_regex(text, '\s+'),
+        |  x -> len(x) > 0)) AS n FROM documents)
+        |SELECT count(*) AS docs, round(avg(n), 4) AS mean_toks,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.95), 4) AS p95,
+        |  min(n) AS min_toks, max(n) AS max_toks FROM t""".stripMargin
   )
 }
