@@ -95,6 +95,29 @@ object Similarity {
     Similarity.topKPerProbe(scored, k, probeId, corpusId)
   }
 
+  /** Multi-probe LSH ANN: each probe also searches the buckets one
+    * bit-flip away (its `planes` Hamming-1 neighbors), recovering the
+    * near-boundary misses that single-bucket LSH drops. Probe-side
+    * fan-out only — the corpus stays bucketed once; the join key
+    * count grows by planes+1 per probe, the corpus side not at all.
+    * The standard recall knob when raising `planes` (which shrinks
+    * buckets) would cut recall further.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, probes: DataFrame, k: Int,
+      planes: Seq[Seq[Double]],
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      probeId: String = "probe_id", probeVec: String = "probe_vec")
+      : DataFrame = {
+    val c = corpus.withColumn("__bucket", lshBucket(col(corpusVec), planes))
+    val home = lshBucket(col(probeVec), planes)
+    val candidates = array((home +: planes.indices.map(i =>
+      home.bitwiseXOR(shiftleft(lit(1L), i)))): _*)
+    val p = probes.withColumn("__bucket", explode(candidates))
+    val scored = c.join(broadcast(p), Seq("__bucket"))
+      .withColumn("sim", cosine(col(corpusVec), col(probeVec)))
+    Similarity.topKPerProbe(scored, k, probeId, corpusId)
+  }
+
   /** Fixed-point quantization of a float embedding: `round(x·scale)`
     * as BIGINT. All downstream dot products become exact integer
     * arithmetic — order-independent and bit-identical across engines

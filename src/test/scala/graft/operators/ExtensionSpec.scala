@@ -85,6 +85,27 @@ class ExtensionSpec extends AnyFunSuite {
     brute.keys.foreach(k => assert(lsh(k) == brute(k)))
   }
 
+  test("multi-probe LSH recall covers single-bucket recall at top-3") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val planes = Similarity.hyperplanes(64, 8)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, probes, 3))
+    val single = hits(Similarity.lshTopK(emb, probes, 3, planes))
+    val multi = hits(Similarity.lshTopKMultiProbe(emb, probes, 3, planes))
+    def recall(s: Set[(Long, Long)]) =
+      (s & brute).size.toDouble / brute.size
+    // Hamming-1 probing searches a superset of the home bucket, so
+    // its recall can only improve on single-bucket LSH
+    assert(recall(multi) >= recall(single))
+    // each probe always recalls itself at rank 1 (sim = 1, home
+    // bucket), so recall is at least 1/k; these embeddings are
+    // near-random so rank-2/3 neighbors are genuinely hard
+    assert(recall(multi) >= 1.0 / 3)
+  }
+
   test("embedding near-dups: identical vectors found in shared buckets") {
     import spark.implicits._
     val v = Array.fill(16)(0.5f)
