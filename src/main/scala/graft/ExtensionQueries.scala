@@ -78,6 +78,15 @@ object ExtensionQueries {
           round(TextAnalysis.stopwordRatio(col("text")), 4).as("sr"))
         .orderBy("doc_id")),
 
+    // Composite quality score (length / punctuation / token shape) —
+    // the thresholding signal for corpus curation, hash-checked
+    // against a DuckDB twin of the same double algebra.
+    "q49_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .orderBy("doc_id")),
+
     // Corpus token-length distribution — the length-filter curation
     // stats a training-data pipeline computes before thresholding.
     // Spark percentile() and DuckDB quantile_cont share the linear-
@@ -142,6 +151,27 @@ object ExtensionQueries {
         |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)), 4) AS sr
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q49_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |    AS toks FROM documents WHERE doc_id < 200),
+        |m AS (SELECT doc_id,
+        |  least(CAST(len(toks) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+        |    AS len_score,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      / len(toks) ELSE CAST(0 AS DOUBLE) END AS mean_len
+        |  FROM t)
+        |SELECT doc_id, round(CAST(len_score * 0.4 +
+        |  (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE))) * 0.3 +
+        |  (CASE WHEN mean_len BETWEEN 3.0 AND 10.0
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
+        |  AS DOUBLE), 4) AS q
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q48_corpus_stats" ->
       """WITH t AS (SELECT len(list_filter(string_split_regex(text, '\s+'),
         |  x -> len(x) > 0)) AS n FROM documents)
