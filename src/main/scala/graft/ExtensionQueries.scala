@@ -78,6 +78,17 @@ object ExtensionQueries {
           round(TextAnalysis.stopwordRatio(col("text")), 4).as("sr"))
         .orderBy("doc_id")),
 
+    // Train/benchmark decontamination: flag "training" docs whose
+    // 8-gram containment of any "benchmark" doc reaches 0.5.
+    "q50_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+          docs.filter(col("doc_id") < 20),
+          "text", "doc_id", k = 8, threshold = 0.5)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Composite quality score (length / punctuation / token shape) —
     // the thresholding signal for corpus curation, hash-checked
     // against a DuckDB twin of the same double algebra.
@@ -151,6 +162,25 @@ object ExtensionQueries {
         |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)), 4) AS sr
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q50_decontaminate" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |tg AS (SELECT DISTINCT doc_id AS train_id, g FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 8))) AS g FROM norm
+        |  WHERE doc_id >= 100 AND doc_id < 300) u),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 8))) AS g FROM norm
+        |  WHERE doc_id < 20) u),
+        |bn AS (SELECT bench_id, count(*) AS n FROM bg GROUP BY bench_id),
+        |inter AS (SELECT train_id, bench_id, count(*) AS i
+        |  FROM tg JOIN bg USING (g) GROUP BY 1, 2)
+        |SELECT train_id, bench_id,
+        |  round(CAST(i AS DOUBLE) / n, 4) AS overlap
+        |FROM inter JOIN bn USING (bench_id)
+        |WHERE round(CAST(i AS DOUBLE) / n, 4) >= 0.5
+        |ORDER BY train_id, bench_id""".stripMargin,
     "q49_quality_score" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)

@@ -158,4 +158,32 @@ object Dedup {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Train/test decontamination: flag training docs whose k-gram
+    * overlap with ANY benchmark doc reaches `threshold` (fraction of
+    * the BENCHMARK doc's grams — the asymmetric containment test,
+    * since a long training doc can swallow a short benchmark item
+    * whole). Returns (train id, benchmark id, overlap) pairs.
+    *
+    * Scale shape: the gram equi-join shuffles on the gram value and
+    * the benchmark side is tiny (benchmarks are thousands of docs,
+    * not billions) — broadcast it; the training corpus streams
+    * through one shuffle-free probe pass per partition.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, k: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val tg = explodeGrams(train, textCol, idCol, k)
+      .withColumnRenamed(idCol, "train_id")
+    val bg = explodeGrams(benchmark, textCol, idCol, k)
+      .withColumnRenamed(idCol, "bench_id")
+    val benchSizes = bg.groupBy("bench_id").agg(count(lit(1)).as("bn"))
+    val inter = tg.join(broadcast(bg), Seq("gram"))
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("bi"))
+    inter.join(broadcast(benchSizes), Seq("bench_id"))
+      .withColumn("overlap",
+        round(col("bi").cast("double") / col("bn").cast("double"), 4))
+      .filter(col("overlap") >= threshold)
+      .select("train_id", "bench_id", "overlap")
+  }
 }

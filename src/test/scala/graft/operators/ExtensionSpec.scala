@@ -35,6 +35,23 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated skipped
   }
 
+  test("decontamination flags training docs containing benchmark items") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "prefix words " + base + " suffix words"), // contains bench 0
+      (11L, unrelated),
+      (12L, base.take(40))) // partial overlap only
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, base), (1L, "entirely novel benchmark prompt " +
+      "with its own unique phrasing throughout")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, bench, "text", "doc_id",
+        k = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((10L, 0L))) // containment caught
+    assert(!hits.exists(_._1 == 11L)) // unrelated clean
+    assert(!hits.exists(_._1 == 12L)) // 40 chars of ~130 → below 0.5
+  }
+
   test("signature jaccard approximates exact jaccard") {
     import spark.implicits._
     val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 128)
