@@ -42,20 +42,29 @@ object ExtensionQueries {
     }),
 
     // Exact char-4-gram Jaccard over a bounded id range — the
-    // verifier the MinHash estimate approximates.
+    // verifier the MinHash estimate approximates. One scan builds the
+    // per-doc distinct gram ARRAY (no exploded gram table, no
+    // re-scan per plan branch); the bounded 60×60 cross then
+    // intersects arrays directly. The pair-driven `Dedup.exactJaccard`
+    // stays the scale path for verifying LSH candidates.
     "q32_jaccard_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 60)
-      // the gram set feeds four plan branches; it is bounded (≤60
-      // docs) so recomputing per branch is cheaper than a persist
-      // that would live until session shutdown (a long-lived session
-      // would accumulate cached blocks — callers at scale should
-      // persist + unpersist around their own consuming job)
-      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
-      val pairs = grams.select(col("doc_id").as("a")).distinct()
-        .crossJoin(grams.select(col("doc_id").as("b")).distinct())
-        .filter(col("a") < col("b"))
-      Dedup.exactJaccard(pairs, grams, "doc_id")
+      val norm = normText(col("text"))
+      val grams = array_distinct(transform(
+        sequence(lit(1), greatest(length(norm) - 3, lit(1))),
+        i => substr(norm, i, lit(4))))
+      val sets = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), grams.as("gs"))
+        .withColumn("n", size(col("gs")))
+      val l = sets.select(col("doc_id").as("a"), col("gs").as("ga"),
+        col("n").as("na"))
+      val r = sets.select(col("doc_id").as("b"), col("gs").as("gb"),
+        col("n").as("nb"))
+      l.crossJoin(r).filter(col("a") < col("b"))
+        .withColumn("i", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("jaccard", round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 4))
         .filter(col("jaccard") >= 0.15)
+        .select("a", "b", "jaccard")
         .orderBy("a", "b")
     }),
 
