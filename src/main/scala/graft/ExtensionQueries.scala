@@ -107,6 +107,30 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // PII detection + redaction. The synthetic corpus carries no
+    // PII, so the query plants a deterministic email / IP / SSN /
+    // phone per doc (derived from doc_id, identically in the oracle
+    // SQL) and checks that redaction and per-class counts agree
+    // across engines on text that actually fires every pattern.
+    "q51_pii_redact" -> ((s, d) => {
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" call +1 555 01"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), synth.as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("raw")).as("red"),
+          TextAnalysis.piiStats(col("raw")).as("st"))
+        .select(col("doc_id"), col("red"),
+          col("st.n_email").as("n_email"), col("st.n_ssn").as("n_ssn"),
+          col("st.n_ipv4").as("n_ipv4"), col("st.n_phone").as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token-length distribution — the length-filter curation
     // stats a training-data pipeline computes before thresholding.
     // Spark percentile() and DuckDB quantile_cont share the linear-
@@ -211,6 +235,40 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q51_pii_redact" ->
+      """WITH synth AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com from 10.0.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' call +1 555 01'
+        |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+        |  FROM documents WHERE doc_id < 200),
+        |r1 AS (SELECT doc_id,
+        |  regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '[EMAIL]', 'g') AS t1,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email FROM synth),
+        |r2 AS (SELECT doc_id, n_email,
+        |  regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+        |    '[SSN]', 'g') AS t2,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn FROM r1),
+        |r3 AS (SELECT doc_id, n_email, n_ssn,
+        |  regexp_replace(t2, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b',
+        |    '[IP]', 'g') AS t3,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+        |  FROM r2),
+        |r4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+        |  regexp_replace(t3, '\+?[0-9][0-9 ()-]{7,}[0-9]',
+        |    '[PHONE]', 'g') AS red,
+        |  CAST(len(regexp_extract_all(t3,
+        |    '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone FROM r3)
+        |SELECT doc_id, red, n_email, n_ssn, n_ipv4, n_phone
+        |FROM r4 ORDER BY doc_id""".stripMargin,
     "q48_corpus_stats" ->
       """WITH t AS (SELECT len(list_filter(string_split_regex(text, '\s+'),
         |  x -> len(x) > 0)) AS n FROM documents)

@@ -112,6 +112,43 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
+  /** PII patterns applied in order by [[redactPii]]/[[piiStats]]:
+    * (name, pattern, replacement). SSN runs before the generic phone
+    * pattern (which would otherwise consume digit-dash runs), and
+    * every pattern stays inside the RE2-compatible subset (no
+    * lookaround, no backreferences) so an external RE2-based engine
+    * evaluates the same regexes identically — and the hot path stays
+    * inside codegen'd `RegExpReplace`.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+?[0-9][0-9 ()-]{7,}[0-9]", "[PHONE]"))
+
+  /** Redact PII in-place: each pattern class is replaced by its
+    * bracketed tag, applied in [[PiiPatterns]] order so earlier
+    * (more specific) classes win overlapping text.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-class PII match counts as a struct (n_email, n_ssn, n_ipv4,
+    * n_phone). Counts follow the same progressive-redaction order as
+    * [[redactPii]], so a span only ever counts toward the first class
+    * that matches it.
+    */
+  def piiStats(text: Column): Column = {
+    val (_, counts) = PiiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((c, acc), (name, pat, repl)) =>
+        val n = size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+        (regexp_replace(c, pat, repl), acc :+ n.as("n_" + name))
+    }
+    struct(counts: _*)
+  }
+
   /** Winnowing-style fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of `w` gram hashes;
     * distinct mins form the document sketch (rolling-hash document

@@ -148,6 +148,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("PII redaction replaces every class and counts each span once") {
+    import spark.implicits._
+    val row = Seq(
+      ("mail bob.smith+x@corp.example.org and jo@a.io, host 10.20.30.40, " +
+        "ssn 123-45-6789, call +1 (415) 555-0199 today"))
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("red"),
+        TextAnalysis.piiStats(col("text")).as("st"))
+      .collect().head
+    assert(row.getAs[String]("red") ==
+      "mail [EMAIL] and [EMAIL], host [IP], ssn [SSN], call [PHONE] today")
+    val st = row.getStruct(1)
+    assert(st.getAs[Long]("n_email") == 2L)
+    assert(st.getAs[Long]("n_ssn") == 1L)
+    assert(st.getAs[Long]("n_ipv4") == 1L)
+    assert(st.getAs[Long]("n_phone") == 1L)
+  }
+
+  test("PII redaction leaves clean text untouched") {
+    import spark.implicits._
+    val clean = "no personal data here just words and spaces"
+    val got = Seq(clean).toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(got == clean)
+  }
+
   test("fingerprints: identical docs share all, near-dups share most") {
     import spark.implicits._
     val fp = docs.select(col("doc_id"),
