@@ -107,6 +107,38 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // Deterministic hash split: stable train/val/test assignment from
+    // md5(doc_id) — per-split counts and id extrema hash-checked so
+    // the exact assignment (not just proportions) must agree.
+    "q53_hash_split" -> ((s, d) =>
+      Dedup.hashSplit(Tables.documents(s, d), col("doc_id"))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")),
+
+    // Corpus-level word document frequency, top-50 heavy hitters —
+    // the global-frequency signal for stopword discovery and
+    // boilerplate n-gram filtering.
+    "q54_doc_frequency" -> ((s, d) =>
+      TextAnalysis.docFrequency(Tables.documents(s, d), "text")
+        .filter(col("df") >= 10)
+        .orderBy(desc("df"), col("word"))
+        .limit(50)),
+
+    // Repetition/boilerplate stats (Gopher-style): most-frequent-word
+    // fraction and duplicate bigram/trigram fractions — the signals a
+    // curation pipeline thresholds on to drop template-y docs.
+    "q52_repetition" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextAnalysis.topWordFraction(col("text")), 4)
+            .as("top_word_frac"),
+          round(TextAnalysis.dupNgramFraction(col("text"), 2), 4)
+            .as("dup_bigram_frac"),
+          round(TextAnalysis.dupNgramFraction(col("text"), 3), 4)
+            .as("dup_trigram_frac"))
+        .orderBy("doc_id")),
+
     // PII detection + redaction. The synthetic corpus carries no
     // PII, so the query plants a deterministic email / IP / SSN /
     // phone per doc (derived from doc_id, identically in the oracle
@@ -235,6 +267,47 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q53_hash_split" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 10 THEN 'test'
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 20 THEN 'val'
+        |    ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q54_doc_frequency" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS word FROM documents) u)
+        |SELECT word, count(*) AS df FROM w GROUP BY word
+        |HAVING count(*) >= 10 ORDER BY df DESC, word LIMIT 50""".stripMargin,
+    "q52_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]) AS bi,
+        |  list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 0 THEN round(CAST(list_max(
+        |    list_transform(list_distinct(toks),
+        |      w -> len(list_filter(toks, x -> x = w)))) AS DOUBLE)
+        |    / len(toks), 4) ELSE 0.0 END AS top_word_frac,
+        |  CASE WHEN len(bi) > 0 THEN round(
+        |    CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi), 4)
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(tri) > 0 THEN round(
+        |    CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri), 4)
+        |    ELSE 0.0 END AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q51_pii_redact" ->
       """WITH synth AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -34,6 +34,26 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Deterministic train/val/test assignment: a doc's split follows
+    * only its key's md5 (first 15 hex chars as a 60-bit integer mod
+    * 100), so the assignment is stable across runs, engines, and
+    * repartitioning — re-ingesting a grown corpus never moves an old
+    * doc between splits. Narrow (no shuffle); percentages are
+    * integer percentiles of the hash space.
+    */
+  def hashSplit(df: DataFrame, keyCol: Column, valPct: Int = 10,
+      testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"invalid split percentages: val=$valPct test=$testPct")
+    val bucket =
+      conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long") % 100
+    df.withColumn("split",
+      when(bucket < testPct, "test")
+        .when(bucket < testPct + valPct, "val")
+        .otherwise("train"))
+  }
+
   /** Character k-grams of the whitespace-normalized, lowercased text
     * as an exploded (id, gram) stream.
     */

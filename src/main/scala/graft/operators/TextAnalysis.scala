@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for large-scale training-data pipelines: token
@@ -112,6 +112,40 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
+  /** Occurrences of the most frequent (lowercased) word over total
+    * words, 0.0 for empty docs — the boilerplate/repetition signal
+    * used by quality-filter stacks. Pure array algebra per row (no
+    * shuffle): O(distinct × tokens) per doc, the right trade for
+    * typical document lengths; corpora with pathological single docs
+    * should explode + groupBy instead.
+    */
+  def topWordFraction(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val counts = transform(array_distinct(toks),
+      w => size(filter(toks, t => t === w)))
+    when(size(toks) > 0,
+      array_max(counts).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of word n-grams that repeat an earlier n-gram in the
+    * same doc (1 − distinct/total), 0.0 when the doc has no complete
+    * n-gram. Gopher-style duplicate-n-gram repetition filter.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val m = size(toks) - (n - 1)
+    // greatest(…, 1) keeps the sequence ascending when m ≤ 0 (Spark
+    // sequence(1, 0) would count DOWN); the `when` guard discards
+    // that placeholder gram
+    val grams = transform(sequence(lit(1), greatest(m, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(m > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** PII patterns applied in order by [[redactPii]]/[[piiStats]]:
     * (name, pattern, replacement). SSN runs before the generic phone
     * pattern (which would otherwise consume digit-dash runs), and
@@ -148,6 +182,18 @@ object TextAnalysis {
     }
     struct(counts: _*)
   }
+
+  /** Word → document frequency (number of distinct docs containing
+    * the word). Per-doc `array_distinct` BEFORE the explode means a
+    * doc contributes each word once, so a plain count IS the
+    * distinct-doc count — one shuffle with map-side partial
+    * aggregation, no `countDistinct` (which would need doc_id on
+    * every exploded row and a two-phase distinct at 100 TB).
+    */
+  def docFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        explode(array_distinct(tokens(lower(col(textCol))))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
 
   /** Winnowing-style fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of `w` gram hashes;

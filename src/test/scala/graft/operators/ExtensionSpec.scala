@@ -148,6 +148,53 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("hash split is deterministic, exhaustive, and roughly sized") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("doc_id")
+    val a = Dedup.hashSplit(ids, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Dedup.hashSplit(ids.repartition(7), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // stable under repartitioning
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > 700 && sizes("val") > 50 && sizes("test") > 50)
+    // growing the corpus never reassigns an existing doc
+    val grown = Dedup.hashSplit((0L until 2000L).toDF("doc_id"),
+      col("doc_id")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+  }
+
+  test("document frequency counts each doc once per word") {
+    import spark.implicits._
+    val df = Seq("the cat the cat the", "the dog", "fish")
+      .toDF("text")
+    val got = TextAnalysis.docFrequency(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("the" -> 2L, "cat" -> 1L, "dog" -> 1L, "fish" -> 1L))
+  }
+
+  test("repetition stats: repeated text scores high, varied text low") {
+    import spark.implicits._
+    val rows = Seq(
+      ("buy now buy now buy now buy now", "tmpl"),
+      ("each word here appears exactly once overall", "varied"),
+      ("", "empty"),
+      ("solo", "one"))
+      .toDF("text", "tag")
+      .select(col("tag"),
+        TextAnalysis.topWordFraction(col("text")).as("twf"),
+        TextAnalysis.dupNgramFraction(col("text"), 2).as("dup2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    // "buy now"×4: top word 4/8; bigrams = 7 total, 2 distinct
+    assert(rows("tmpl")._1 == 0.5)
+    assert(math.abs(rows("tmpl")._2 - 5.0 / 7.0) < 1e-9)
+    assert(rows("varied")._1 == 1.0 / 7.0 && rows("varied")._2 == 0.0)
+    assert(rows("empty") == ((0.0, 0.0)))
+    assert(rows("one") == ((1.0, 0.0)))
+  }
+
   test("PII redaction replaces every class and counts each span once") {
     import spark.implicits._
     val row = Seq(
