@@ -118,16 +118,21 @@ object SketchQueries {
     // MinHash+LSH near-dup pairs (md5 core): 16 md5-seeded minhashes
     // over distinct 4-grams, 4 bands of 4, banded candidate self-join,
     // signature-estimated Jaccard filter — Dedup.nearDupPairs' exact
-    // pipeline with an oracle-reproducible hash.
+    // pipeline with an oracle-reproducible hash. Signatures are
+    // 60-bit integer mins (not hex-string mins): a LongType agg
+    // buffer keeps the 16-way min inside HashAggregate — string
+    // buffers would fall back to sort-based aggregation over the
+    // exploded gram stream, the hot path at corpus scale.
     "q43_neardup_pairs" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
       val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
       val aggs = (0 until 16).map(i =>
-        min(md5(concat(lit(s"s$i:"), col("gram")).cast("binary"))).as(s"m$i"))
+        min(md5Int60(concat(lit(s"s$i:"), col("gram")))).as(s"m$i"))
       val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       val banded = sigs.select(col("doc_id").as("id"),
         explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-          concat_ws("|", (0 until 4).map(r => col(s"m${4 * j + r}")): _*)
+          concat_ws("|", (0 until 4).map(r =>
+            col(s"m${4 * j + r}").cast("string")): _*)
             .as("bk"))): _*)).as("e"))
         .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
       val cands = banded.alias("l").join(banded.alias("r"),
@@ -281,11 +286,14 @@ object SketchQueries {
     },
     "q43_neardup_pairs" -> {
       val mins = (0 until 16).map(i =>
-        s"min(md5('s$i:' || g)) AS m$i").mkString(", ")
+        s"min(CAST('0x' || substr(md5('s$i:' || g), 1, 15) AS BIGINT))" +
+          s" AS m$i").mkString(", ")
       val bandCase = "CASE b " + (0 until 3).map(j =>
-        s"WHEN $j THEN " + (0 until 4).map(r => s"m${4 * j + r}")
+        s"WHEN $j THEN " + (0 until 4).map(r =>
+          s"CAST(m${4 * j + r} AS VARCHAR)")
           .mkString(" || '|' || ")).mkString(" ") +
-        " ELSE " + (12 until 16).map(i => s"m$i").mkString(" || '|' || ") +
+        " ELSE " + (12 until 16).map(i => s"CAST(m$i AS VARCHAR)")
+          .mkString(" || '|' || ") +
         " END"
       val eq = (0 until 16).map(i =>
         s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")

@@ -55,16 +55,20 @@ object Dedup {
   }
 
   /** Character k-grams of the whitespace-normalized, lowercased text
-    * as an exploded (id, gram) stream.
+    * as an exploded (id, gram) stream, distinct per doc. The dedup is
+    * `array_distinct` on the in-row gram array BEFORE the explode —
+    * per-row distinct IS per-doc distinct (callers pass one row per
+    * id), and it costs nothing, where a post-explode `.distinct()`
+    * would shuffle the whole gram stream once before consumers
+    * shuffle it again.
     */
   def explodeGrams(df: DataFrame, textCol: String, idCol: String,
       k: Int = 4): DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
     df.select(col(idCol),
-      explode(transform(
+      explode(array_distinct(transform(
         sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-        i => substr(norm, i, lit(k)))).as("gram"))
-      .distinct()
+        i => substr(norm, i, lit(k))))).as("gram"))
   }
 
   /** MinHash signatures: k independent permutations approximated by
