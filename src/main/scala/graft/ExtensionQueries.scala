@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the training-data extensions (dedup,
   * similarity search, text analysis) over `documents`/`embeddings`,
@@ -106,6 +106,34 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
+
+    // Stratified deterministic sampling: per-language keep-rates (the
+    // training-mix rebalancing op), membership by key hash so the
+    // sample is stable across engines — per-stratum counts and an id
+    // checksum hash-checked.
+    "q55_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), col("doc_id"),
+          col("lang"), Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")),
+
+    // End-to-end curation pipeline: quality-score filter → exact
+    // dedup (keep lowest id per content digest) → deterministic
+    // train/val/test split → per-split counts + mean quality. The
+    // composition query — each stage is individually oracled
+    // (q49/q30/q53); this checks they compose.
+    "q56_curation_pipeline" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("q", TextAnalysis.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+      Dedup.hashSplit(
+          Dedup.exactDedupKeepFirst(scored, "text", "doc_id"),
+          col("doc_id"))
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          round(avg("q"), 4).as("avg_q"))
+        .orderBy("split")
+    }),
 
     // Deterministic hash split: stable train/val/test assignment from
     // md5(doc_id) — per-split counts and id extrema hash-checked so
@@ -267,6 +295,48 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q55_stratified_sample" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10000 AS b
+        |  FROM documents)
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s WHERE b < CASE lang WHEN 'en' THEN 5000
+        |  WHEN 'de' THEN 2500 ELSE 1000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q56_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |    AS toks FROM documents),
+        |m AS (SELECT doc_id, text,
+        |  least(CAST(len(toks) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+        |    AS len_score,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |      / len(toks) ELSE CAST(0 AS DOUBLE) END AS mean_len
+        |  FROM t),
+        |qs AS (SELECT doc_id, text, round(CAST(len_score * 0.4 +
+        |  (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE))) * 0.3 +
+        |  (CASE WHEN mean_len BETWEEN 3.0 AND 10.0
+        |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
+        |  AS DOUBLE), 4) AS q FROM m),
+        |f AS (SELECT * FROM qs WHERE q >= 0.5),
+        |dd AS (SELECT doc_id, q, row_number() OVER (
+        |  PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) AS rn FROM f),
+        |sp AS (SELECT doc_id, q,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 10 THEN 'test'
+        |    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 100 < 20 THEN 'val'
+        |    ELSE 'train' END AS split
+        |  FROM dd WHERE rn = 1)
+        |SELECT split, count(*) AS n, round(avg(q), 4) AS avg_q
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "q53_hash_split" ->
       """WITH s AS (SELECT doc_id,
         |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)

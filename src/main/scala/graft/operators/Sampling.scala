@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes. Unlike
+  * `df.sample` (seeded per-partition RNG, changes under
+  * repartitioning), membership here follows only the row's key hash,
+  * so a sample is reproducible across runs, engines, and cluster
+  * layouts, and re-sampling a grown corpus keeps every previously
+  * selected row. All narrow operations — no shuffle.
+  */
+object Sampling {
+
+  private val Buckets = 10000
+
+  /** md5-derived bucket in [0, 10000): the first 15 hex chars as a
+    * 60-bit integer, mod the bucket count — the same engine-agnostic
+    * construction as `Dedup.hashSplit`.
+    */
+  def hashBucket(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") % Buckets
+
+  /** Keep each row with probability `rate`, deterministically by key. */
+  def deterministicSample(df: DataFrame, keyCol: Column,
+      rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"invalid rate: $rate")
+    df.filter(hashBucket(keyCol) < (rate * Buckets).toLong)
+  }
+
+  /** Per-stratum deterministic sampling: a row's keep-rate is looked
+    * up from `rates` by its stratum value (`defaultRate` otherwise).
+    * The rate lookup compiles to a chained CASE — one codegen'd
+    * predicate over the scan, no join.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"invalid rates: $rates default=$defaultRate")
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      lit((defaultRate * Buckets).toLong)) { case ((stratum, rate), rest) =>
+      when(strataCol === stratum, lit((rate * Buckets).toLong))
+        .otherwise(rest)
+    }
+    df.filter(hashBucket(keyCol) < threshold)
+  }
+}

@@ -148,6 +148,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("stratified sample keeps per-stratum rates and is deterministic") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val sampled = Sampling.stratifiedSample(rows, col("doc_id"),
+      col("lang"), Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 400 && byLang("en") < 600)
+    assert(byLang("de") > 50 && byLang("de") < 150)
+    // deterministic: same rows selected under a different layout
+    val again = Sampling.stratifiedSample(rows.repartition(13),
+      col("doc_id"), col("lang"), Map("en" -> 0.5, "de" -> 0.1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+    // default rate 0.0 drops unlisted strata entirely
+    assert(Sampling.stratifiedSample(rows, col("doc_id"), col("lang"),
+      Map("en" -> 0.5)).filter(col("lang") === "de").count() == 0)
+  }
+
   test("hash split is deterministic, exhaustive, and roughly sized") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("doc_id")
