@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the training-data extensions (dedup,
   * similarity search, text analysis) over `documents`/`embeddings`,
@@ -106,6 +106,20 @@ object ExtensionQueries {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
+
+    // Sequence packing: assign docs to 2048-token training bins
+    // within 8 hash shards (per-shard running totals — no global
+    // sort). Per-shard doc/bin/token counts hash-checked.
+    "q57_sequence_packing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      Packing.packByBudget(docs, col("doc_id"), col("n"),
+          budget = 2048, shards = 8)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bin")).as("n_bins"),
+          sum("n").as("toks"))
+        .orderBy("shard")
+    }),
 
     // Stratified deterministic sampling: per-language keep-rates (the
     // training-mix rebalancing op), membership by key hash so the
@@ -295,6 +309,21 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q57_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS n FROM documents),
+        |sh AS (SELECT doc_id, n,
+        |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10000) % 8 AS shard FROM t),
+        |w AS (SELECT shard, n,
+        |  CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id)
+        |    AS BIGINT) AS running FROM sh)
+        |SELECT shard, count(*) AS n_docs,
+        |  count(DISTINCT CAST(floor((running - n) / 2048) AS BIGINT))
+        |    AS n_bins,
+        |  CAST(sum(n) AS BIGINT) AS toks
+        |FROM w GROUP BY shard ORDER BY shard""".stripMargin,
     "q55_stratified_sample" ->
       """WITH s AS (SELECT doc_id, lang,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -61,6 +61,43 @@ object SketchQueries {
        |  (sqrt(CAST(list_sum(list_transform($a, x -> x * x)) AS DOUBLE)) *
        |   sqrt(CAST(list_sum(list_transform($b, x -> x * x)) AS DOUBLE)))"""
       .stripMargin
+
+  /** MinHash+LSH near-dup pairs with the md5 integer core — shared by
+    * q43 (the pairs themselves) and q58 (clustering those pairs): 16
+    * md5-seeded 60-bit minhashes over distinct 4-grams, 4 bands of 4,
+    * banded candidate self-join, signature-estimated Jaccard ≥ 0.5.
+    * Integer mins (not hex-string mins) keep the 16-way aggregation
+    * inside HashAggregate; string agg buffers would fall back to
+    * sort-based aggregation over the exploded gram stream.
+    */
+  private def neardupPairsMd5(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
+    val aggs = (0 until 16).map(i =>
+      min(md5Int60(concat(lit(s"s$i:"), col("gram")))).as(s"m$i"))
+    val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val banded = sigs.select(col("doc_id").as("id"),
+      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+        concat_ws("|", (0 until 4).map(r =>
+          col(s"m${4 * j + r}").cast("string")): _*)
+          .as("bk"))): _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val cands = banded.alias("l").join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+    val sa = sigs.select(col("doc_id").as("a") +:
+      (0 until 16).map(i => col(s"m$i").as(s"am$i")): _*)
+    val sb = sigs.select(col("doc_id").as("b") +:
+      (0 until 16).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val est = (0 until 16).map(i =>
+      when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 16.0
+    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("est_jaccard", round(est, 4))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("a", "b", "est_jaccard")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SimHash (md5 core): token-occurrence votes on 60 md5-derived
@@ -123,35 +160,18 @@ object SketchQueries {
     // buffer keeps the 16-way min inside HashAggregate — string
     // buffers would fall back to sort-based aggregation over the
     // exploded gram stream, the hot path at corpus scale.
-    "q43_neardup_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-      val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
-      val aggs = (0 until 16).map(i =>
-        min(md5Int60(concat(lit(s"s$i:"), col("gram")))).as(s"m$i"))
-      val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val banded = sigs.select(col("doc_id").as("id"),
-        explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-          concat_ws("|", (0 until 4).map(r =>
-            col(s"m${4 * j + r}").cast("string")): _*)
-            .as("bk"))): _*)).as("e"))
-        .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
-      val cands = banded.alias("l").join(banded.alias("r"),
-          col("l.band") === col("r.band") && col("l.bk") === col("r.bk") &&
-            col("l.id") < col("r.id"))
-        .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
-      val sa = sigs.select(col("doc_id").as("a") +:
-        (0 until 16).map(i => col(s"m$i").as(s"am$i")): _*)
-      val sb = sigs.select(col("doc_id").as("b") +:
-        (0 until 16).map(i => col(s"m$i").as(s"bm$i")): _*)
-      val est = (0 until 16).map(i =>
-        when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / 16.0
-      cands.join(sa, Seq("a")).join(sb, Seq("b"))
-        .withColumn("est_jaccard", round(est, 4))
-        .filter(col("est_jaccard") >= 0.5)
-        .select("a", "b", "est_jaccard")
-        .orderBy("a", "b")
-    }),
+    "q43_neardup_pairs" -> ((s, d) =>
+      neardupPairsMd5(s, d).orderBy("a", "b")),
+
+    // Near-dup clusters: the q43 pair list propagated to connected
+    // components (min-label iteration), per-cluster member count and
+    // id checksum — the step that turns pair lists into "keep one
+    // canonical doc per group" decisions.
+    "q58_neardup_clusters" -> ((s, d) =>
+      Graph.connectedComponents(neardupPairsMd5(s, d))
+        .groupBy("cluster").agg(count(lit(1)).as("n"),
+          sum("id").as("id_sum"))
+        .orderBy("cluster")),
 
     // Sign-projection LSH ANN with integer-quantized embeddings:
     // bucket assignment and dot products are exact integer math, so
@@ -233,6 +253,42 @@ object SketchQueries {
       lang -> words.map(w => s"'$w'").mkString("(", ",", ")")
     }
 
+  /** The q43 pair pipeline as a DuckDB CTE chain ending in `pairs`
+    * (a, b, est_jaccard) — shared by the q43 and q58 oracles, exactly
+    * mirroring [[neardupPairsMd5]].
+    */
+  private val neardupPairsCte: String = {
+    val mins = (0 until 16).map(i =>
+      s"min(CAST('0x' || substr(md5('s$i:' || g), 1, 15) AS BIGINT))" +
+        s" AS m$i").mkString(", ")
+    val bandCase = "CASE b " + (0 until 3).map(j =>
+      s"WHEN $j THEN " + (0 until 4).map(r =>
+        s"CAST(m${4 * j + r} AS VARCHAR)")
+        .mkString(" || '|' || ")).mkString(" ") +
+      " ELSE " + (12 until 16).map(i => s"CAST(m$i AS VARCHAR)")
+        .mkString(" || '|' || ") +
+      " END"
+    val eq = (0 until 16).map(i =>
+      s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""norm AS (SELECT doc_id,
+       |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+       |  WHERE doc_id < 200),
+       |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+       |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm) u),
+       |sigs AS (SELECT doc_id, $mins FROM grams GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, $bandCase AS bk
+       |  FROM sigs CROSS JOIN range(4) t(b)),
+       |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |  ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+       |pairs AS (SELECT c.a, c.b,
+       |  round(CAST($eq AS DOUBLE) / 16, 4) AS est_jaccard
+       |  FROM cands c JOIN sigs x ON x.doc_id = c.a
+       |  JOIN sigs y ON y.doc_id = c.b
+       |  WHERE round(CAST($eq AS DOUBLE) / 16, 4) >= 0.5)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q40_simhash" -> {
       val votes = (0 until 60).map(b =>
@@ -284,37 +340,19 @@ object SketchQueries {
          |  AS lang_pred, count(*) AS c
          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
     },
-    "q43_neardup_pairs" -> {
-      val mins = (0 until 16).map(i =>
-        s"min(CAST('0x' || substr(md5('s$i:' || g), 1, 15) AS BIGINT))" +
-          s" AS m$i").mkString(", ")
-      val bandCase = "CASE b " + (0 until 3).map(j =>
-        s"WHEN $j THEN " + (0 until 4).map(r =>
-          s"CAST(m${4 * j + r} AS VARCHAR)")
-          .mkString(" || '|' || ")).mkString(" ") +
-        " ELSE " + (12 until 16).map(i => s"CAST(m$i AS VARCHAR)")
-          .mkString(" || '|' || ") +
-        " END"
-      val eq = (0 until 16).map(i =>
-        s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH norm AS (SELECT doc_id,
-         |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
-         |  WHERE doc_id < 200),
-         |grams AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
-         |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
-         |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm) u),
-         |sigs AS (SELECT doc_id, $mins FROM grams GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b, $bandCase AS bk
-         |  FROM sigs CROSS JOIN range(4) t(b)),
-         |cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r
-         |  ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id)
-         |SELECT c.a, c.b, round(CAST($eq AS DOUBLE) / 16, 4) AS est_jaccard
-         |FROM cands c JOIN sigs x ON x.doc_id = c.a
-         |JOIN sigs y ON y.doc_id = c.b
-         |WHERE round(CAST($eq AS DOUBLE) / 16, 4) >= 0.5
-         |ORDER BY a, b""".stripMargin
-    },
+    "q43_neardup_pairs" ->
+      s"""WITH $neardupPairsCte
+         |SELECT a, b, est_jaccard FROM pairs ORDER BY a, b""".stripMargin,
+    "q58_neardup_clusters" ->
+      s"""WITH RECURSIVE $neardupPairsCte,
+         |ed AS (SELECT a AS u, b AS v FROM pairs
+         |  UNION SELECT b AS u, a AS v FROM pairs),
+         |reach AS (SELECT u AS id, u AS lab FROM ed
+         |  UNION SELECT e.v AS id, reach.lab FROM reach
+         |  JOIN ed e ON e.u = reach.id),
+         |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+         |SELECT cluster, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q44_lsh_ann" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q

@@ -148,6 +148,41 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("sequence packing fills bins to budget within shards") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, 300)).toDF("doc_id", "n")
+    val packed = Packing.packByBudget(docs, col("doc_id"), col("n"),
+      budget = 1000, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._2).distinct.sorted.sameElements(Array(0L, 1L)))
+    // per (shard, bin) the tokens BEFORE the last doc stay under
+    // budget (a bin only overflows by its final doc)
+    packed.groupBy(p => (p._2, p._3)).foreach { case (_, rows) =>
+      assert(rows.map(_ => 300).sum - 300 < 1000)
+    }
+    // deterministic under repartitioning
+    val again = Packing.packByBudget(docs.repartition(7), col("doc_id"),
+      col("n"), budget = 1000, shards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(packed.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("connected components labels every member with the component min") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 1L))
+      .toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L)
+    val fast = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected)
+    // driverEdgeLimit = 0 forces the distributed label-propagation
+    // path; both physical paths must agree
+    val dist = Graph.connectedComponents(edges, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
+  }
+
   test("stratified sample keeps per-stratum rates and is deterministic") {
     import spark.implicits._
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
