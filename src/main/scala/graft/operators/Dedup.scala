@@ -159,6 +159,24 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  /** One-call near-dup dedup: MinHash+LSH candidate pairs →
+    * connected components → keep the minimum-id doc per cluster
+    * (plus every doc with no near-dup at all). The end-to-end
+    * production path a curation pipeline runs; the pair and cluster
+    * stages are independently oracled (q43/q58). The final prune is
+    * a broadcast-friendly anti-join against the (small) set of
+    * non-canonical cluster members.
+    */
+  def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = nearDupPairs(df, textCol, idCol, numHashes, bands, threshold)
+    val drop = Graph.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SimHash-64: per-token hashes vote on each of the 64 bits,
     * weighted by token frequency; the sign of each vote forms the
     * fingerprint bit. Near-dup = Hamming distance ≤ d.

@@ -35,6 +35,13 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated skipped
   }
 
+  test("near-dup dedup keeps one canonical doc per cluster") {
+    val kept = Dedup.nearDupDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 0/1/3 cluster together (near + exact dups) → keep 0; 2 untouched
+    assert(kept.toSeq == Seq(0L, 2L))
+  }
+
   test("decontamination flags training docs containing benchmark items") {
     import spark.implicits._
     val train = Seq(
