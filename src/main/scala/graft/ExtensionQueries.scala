@@ -248,7 +248,7 @@ object ExtensionQueries {
         |SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = a
         |JOIN sizes sb ON sb.doc_id = b
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.15
+        |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.15
         |ORDER BY a, b""".stripMargin,
     "q33_cosine_topk" ->
       """WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p

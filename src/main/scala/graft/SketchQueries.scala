@@ -20,12 +20,12 @@ import graft.operators.{Dedup, Graph, Ivf, Multimodal, Similarity, TextAnalysis}
   */
 object SketchQueries {
 
-  /** md5-derived 60-bit integer hash of a string column: 15 hex chars
-    * → BIGINT, identically computable in DuckDB as
-    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+  /** The shared cross-engine 60-bit md5 hash — see
+    * [[graft.functions.StableHash]] for the single definition and
+    * its DuckDB twin.
     */
   private def md5Int60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.StableHash.md5Int60(c)
 
   /** ±1 sign planes shared between the Spark plan and the generated
     * DuckDB oracle SQL (literals on both sides).
@@ -127,8 +127,7 @@ object SketchQueries {
       val norm = lower(regexp_replace(col("text"), "\\s+", " "))
       val grams = transform(
         sequence(lit(1), greatest(length(norm) - 4, lit(1))),
-        i => conv(substring(md5(substr(norm, i, lit(5)).cast("binary")),
-          1, 15), 16, 10).cast("long"))
+        i => md5Int60(substr(norm, i, lit(5))))
       Tables.documents(s, d).filter(col("doc_id") < 100)
         .withColumn("__hs", grams)
         .withColumn("__fp", array_sort(array_distinct(transform(

@@ -209,11 +209,15 @@ object Annotate {
     // canonicalize the dimension key instead of matching the raw cidr
     // string — the reference parses both sides (net.ParseCIDR →
     // .String(), site.go:120-147), so uppercase/uncompressed v6 or
-    // host bits set in siteinfo must still match; re-masking the
-    // parsed base address mirrors the fact-side key exactly
+    // host bits set in siteinfo must still match. cidr_canonical
+    // normalizes FORMATTING while preserving the entry's own prefix
+    // length: a site declared at /28 renders "/28" and (exactly like
+    // the reference) never equals the /26 fact-side mask — re-masking
+    // the base address to /26 here would silently widen such a site
+    // to the whole /26
     masked
       .join(broadcast(sites
-          .withColumn("__site_cidr", ip_mask_cidr(cidr_lo(col("cidr"))))
+          .withColumn("__site_cidr", cidr_canonical(col("cidr")))
           .drop("cidr")),
         Seq("__site_cidr"), "left")
       .drop("__site_cidr")

@@ -20,11 +20,11 @@ object Split {
       ipStr: Column): (DataFrame, DataFrame) = {
     val keyed = facts.withColumn("__site_cidr",
       ip_mask_cidr(ip_to_bin(rewrite6to4(ipStr))))
-    // canonicalized key — see Annotate.annotateSite: parse the cidr
-    // and re-mask its base address so non-canonical siteinfo entries
-    // (uppercase/uncompressed v6, host bits set) still match
+    // canonicalized key — see Annotate.annotateSite: format-normalize
+    // while preserving the entry's own prefix length (a non-/26//64
+    // site must not match, as in the reference)
     val siteKeys = broadcast(
-      sites.select(ip_mask_cidr(cidr_lo(col("cidr"))).as("__site_cidr"))
+      sites.select(cidr_canonical(col("cidr")).as("__site_cidr"))
         .distinct())
     val server = keyed.join(siteKeys, Seq("__site_cidr"), "left_semi")
       .drop("__site_cidr")

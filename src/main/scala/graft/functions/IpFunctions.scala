@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.functions.{coalesce, lit}
+import org.apache.spark.sql.functions.{coalesce, lit, split, substring_index}
 
 /** Public Column API over the IP expression family (SURVEY §2.2
   * P1–P7), plus SQL registration so every function is usable from
@@ -24,6 +24,20 @@ object IpFunctions {
   def ip_minus_one(c: Column): Column = ip_add(c, lit(-1L))
   def ip_mask_cidr(c: Column, v4Len: Int = 26, v6Len: Int = 64): Column =
     col(IpMaskCidr(ex(c), ex(lit(v4Len)), ex(lit(v6Len))))
+  def ip_mask_cidr(c: Column, v4Len: Column, v6Len: Column): Column =
+    col(IpMaskCidr(ex(c), ex(v4Len), ex(v6Len)))
+
+  /** Canonicalize a CIDR string the way `net.ParseCIDR → .String()`
+    * does: parse the address, mask host bits by the entry's OWN
+    * prefix length, re-format. "10.0.0.90/26" → "10.0.0.64/26",
+    * uppercase/uncompressed v6 → compressed lowercase; NULL for
+    * malformed input. Formatting is normalized but the prefix length
+    * is preserved — a /28 entry stays /28.
+    */
+  def cidr_canonical(c: Column): Column = {
+    val len = split(c, "/").getItem(1).cast("int")
+    ip_mask_cidr(ip_to_bin(substring_index(c, "/", 1)), len, len)
+  }
   def ip6to4(c: Column): Column = col(Ip6to4(ex(c)))
   def ip_family(c: Column): Column = col(IpFamily(ex(c)))
   def long_to_bin(c: Column): Column = col(LongToBin(ex(c)))

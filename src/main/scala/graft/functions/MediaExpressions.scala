@@ -93,8 +93,11 @@ object MediaOps {
       if (ascii(b, pos, "fmt ") && pos + 20 <= b.length)
         byteRate = u32le(b, pos + 16)
       else if (ascii(b, pos, "data")) dataSize = size
-      pos += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || size > Int.MaxValue) return null
+      // advance in Long: a forged 32-bit chunk size near 2^31 would
+      // overflow an Int advance to a NEGATIVE pos and index out of
+      // bounds; clamping to b.length just ends the walk
+      val next = pos.toLong + 8L + size + (size & 1L)
+      pos = if (next > b.length) b.length else next.toInt
     }
     if (byteRate > 0 && dataSize >= 0)
       row(null, null, dataSize * 1000L / byteRate)

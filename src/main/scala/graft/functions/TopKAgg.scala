@@ -19,8 +19,14 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  @inline private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  // Double.compare, not `>`: NaN must rank ABOVE every score, the
+  // way both Spark's and DuckDB's ORDER BY sim DESC place it — a
+  // plain `>` is always false for NaN and would silently drop such
+  // rows from the top-k, diverging from the window/oracle ranking
+  @inline private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (size == k && !beats(s, id, k - 1)) return

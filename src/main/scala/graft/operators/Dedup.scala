@@ -46,8 +46,7 @@ object Dedup {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
       s"invalid split percentages: val=$valPct test=$testPct")
     val bucket =
-      conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 15),
-        16, 10).cast("long") % 100
+      graft.functions.StableHash.md5Int60(keyCol.cast("string")) % 100
     df.withColumn("split",
       when(bucket < testPct, "test")
         .when(bucket < testPct + valPct, "val")

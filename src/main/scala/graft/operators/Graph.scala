@@ -46,10 +46,15 @@ object Graph {
   private def driverUnionFind(e: DataFrame,
       rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = mutable.Map.empty[Long, Long]
+    // iterative find + path compression: recursion would stack-
+    // overflow on chain-shaped graphs (depth can reach the edge
+    // count when unions arrive in descending order)
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     rows.foreach { row =>
       val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))

@@ -14,19 +14,17 @@ object Sampling {
 
   private val Buckets = 10000
 
-  /** md5-derived bucket in [0, 10000): the first 15 hex chars as a
-    * 60-bit integer, mod the bucket count — the same engine-agnostic
-    * construction as `Dedup.hashSplit`.
+  /** md5-derived bucket in [0, 10000) via the engine's shared
+    * cross-engine hash ([[graft.functions.StableHash.md5Int60]]).
     */
   def hashBucket(keyCol: Column): Column =
-    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 15),
-      16, 10).cast("long") % Buckets
+    graft.functions.StableHash.md5Int60(keyCol.cast("string")) % Buckets
 
   /** Keep each row with probability `rate`, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: Column,
       rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, s"invalid rate: $rate")
-    df.filter(hashBucket(keyCol) < (rate * Buckets).toLong)
+    df.filter(hashBucket(keyCol) < math.round(rate * Buckets))
   }
 
   /** Per-stratum deterministic sampling: a row's keep-rate is looked
@@ -38,9 +36,13 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       s"invalid rates: $rates default=$defaultRate")
+    // math.round, not toLong: truncation would turn a rate whose
+    // double product lands at n-ε (e.g. 0.29 × 10000 = 2899.999…)
+    // into bucket threshold n-1, deterministically dropping one
+    // bucket's worth of rows versus the declared rate
     val threshold = rates.toSeq.sortBy(_._1).foldRight(
-      lit((defaultRate * Buckets).toLong)) { case ((stratum, rate), rest) =>
-      when(strataCol === stratum, lit((rate * Buckets).toLong))
+      lit(math.round(defaultRate * Buckets))) { case ((stratum, rate), rest) =>
+      when(strataCol === stratum, lit(math.round(rate * Buckets)))
         .otherwise(rest)
     }
     df.filter(hashBucket(keyCol) < threshold)

@@ -86,6 +86,22 @@ class AnnotateSpec extends AnyFunSuite {
     assert(got == Map("64.86.148.130" -> "abc01", "64.86.200.1" -> null))
   }
 
+  test("site annotation canonicalizes format but preserves prefix length") {
+    import spark.implicits._
+    val sites = Seq(
+      // host bits set + /26: canonicalizes to 10.0.0.64/26 and matches
+      ("10.0.0.90/26", "ok01"),
+      // /28 entry: must NOT be widened to its /26 (reference parses
+      // both sides and a /28 never equals a /26-masked fact key)
+      ("10.0.1.0/28", "no01"))
+      .toDF("cidr", "site")
+    val got = Annotate.annotateSite(
+        Seq("10.0.0.70", "10.0.1.5").toDF("ip"), col("ip"), sites)
+      .select("ip", "site").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("10.0.0.70" -> "ok01", "10.0.1.5" -> null))
+  }
+
   test("legacy enrichment: FIPS→ISO join + 3-decimal rounding (J5/P14)") {
     import spark.implicits._
     val geoRows = Seq(("US", "23", 42.1234567, -73.9876543),
