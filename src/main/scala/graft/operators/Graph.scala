@@ -80,9 +80,18 @@ object Graph {
     while (changed > 0 && i < maxIter) {
       val prop = und.join(labels, und("u") === labels("id"))
         .select(und("v").as("id"), labels("lab"))
-      val next = labels.select("id", "lab").union(prop)
+      // checkpointed BEFORE the self-join below — cuts lineage and
+      // sidesteps self-joining a union plan
+      val hop = labels.select("id", "lab").union(prop)
         .groupBy("id").agg(min("lab").as("lab"))
         .localCheckpoint(true)
+      // pointer jump: follow each label to ITS label. One-hop
+      // propagation alone needs diameter-many rounds (a chain of
+      // 10^6 nodes would never converge inside maxIter); the jump
+      // halves the remaining depth every round → O(log diameter)
+      val hopR = hop.select(col("id").as("__jid"), col("lab").as("__jlab"))
+      val next = hop.join(hopR, hop("lab") === hopR("__jid"), "left")
+        .select(hop("id"), coalesce(col("__jlab"), hop("lab")).as("lab"))
       changed = next.alias("n")
         .join(labels.select(col("id"), col("lab").as("old")), "id")
         .filter(col("lab") =!= col("old")).count()

@@ -188,6 +188,12 @@ class ExtensionSpec extends AnyFunSuite {
     val dist = Graph.connectedComponents(edges, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    // a 60-node chain has diameter ≫ maxIter: only converges inside
+    // 25 rounds because of the pointer jump (log-round convergence)
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainLabs = Graph.connectedComponents(chain, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabs.size == 61 && chainLabs.values.forall(_ == 0L))
   }
 
   test("stratified sample keeps per-stratum rates and is deterministic") {
