@@ -107,6 +107,14 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // Within-doc token entropy — the statistical repetitiveness
+    // signal (low = templated, high = diverse vocabulary).
+    "q59_token_entropy" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          round(TextAnalysis.tokenEntropy(col("text")), 4).as("h"))
+        .orderBy("doc_id")),
+
     // Sequence packing: assign docs to 2048-token training bins
     // within 8 hash shards (per-shard running totals — no global
     // sort). Per-shard doc/bin/token counts hash-checked.
@@ -309,6 +317,20 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q59_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) > 0 THEN round(0.0 - list_sum(
+        |    list_transform(list_sort(list_distinct(toks)),
+        |      w -> (CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)
+        |        / len(toks)) *
+        |        (ln(CAST(len(list_filter(toks, x -> x = w)) AS DOUBLE)
+        |          / len(toks)) / ln(2.0)))), 4)
+        |  ELSE 0.0 END AS h
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q57_sequence_packing" ->
       """WITH t AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'),

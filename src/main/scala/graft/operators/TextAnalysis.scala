@@ -146,6 +146,27 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Shannon entropy (bits/token) of the within-doc token
+    * distribution — templated/repetitive docs score low, diverse
+    * text high; the statistical quality signal next to the
+    * ratio-based ones. Same per-row array-algebra shape as
+    * [[topWordFraction]]. Distinct tokens are SORTED before the
+    * fold and log2 is spelled ln(x)/ln(2), so an external oracle
+    * summing the same terms in the same order reproduces the double
+    * bit-for-bit (float addition is order-sensitive).
+    */
+  def tokenEntropy(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val terms = transform(array_sort(array_distinct(toks)), w => {
+      val p = size(filter(toks, t => t === w)).cast("double") / n
+      p * (log(p) / log(lit(2.0)))
+    })
+    when(size(toks) > 0,
+      lit(0.0) - aggregate(terms, lit(0.0), (acc, t) => acc + t))
+      .otherwise(lit(0.0))
+  }
+
   /** PII patterns applied in order by [[redactPii]]/[[piiStats]]:
     * (name, pattern, replacement). SSN runs before the generic phone
     * pattern (which would otherwise consume digit-dash runs), and

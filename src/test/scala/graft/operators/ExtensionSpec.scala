@@ -264,6 +264,15 @@ class ExtensionSpec extends AnyFunSuite {
     assert(rows("one") == ((1.0, 0.0)))
   }
 
+  test("token entropy: uniform repetition 0, two even tokens 1 bit") {
+    import spark.implicits._
+    val got = Seq("a a a a", "a b", "", "a b c d")
+      .toDF("text")
+      .select(TextAnalysis.tokenEntropy(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0 && got(1) == 1.0 && got(2) == 0.0 && got(3) == 2.0)
+  }
+
   test("PII redaction replaces every class and counts each span once") {
     import spark.implicits._
     val row = Seq(
