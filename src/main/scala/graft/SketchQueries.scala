@@ -75,7 +75,13 @@ object SketchQueries {
     val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
     val aggs = (0 until 16).map(i =>
       min(md5Int60(concat(lit(s"s$i:"), col("gram")))).as(s"m$i"))
+    // materialized once: the signature table feeds FOUR plan branches
+    // (both sides of the band self-join + both signature re-joins);
+    // without the checkpoint each branch re-runs the gram explosion
+    // and 16-way min aggregation. Blocks are freed when the query's
+    // RDD is GC'd — unlike persist, nothing lingers session-long
     val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
     val banded = sigs.select(col("doc_id").as("id"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
         concat_ws("|", (0 until 4).map(r =>

@@ -147,7 +147,13 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
+    // eagerly materialized: the signature table feeds the band
+    // self-join (twice) and both estimate re-joins, and recomputing
+    // the gram explosion + 64 min-aggs per branch is the dominant
+    // cost at corpus scale. localCheckpoint (not persist) so the
+    // blocks die with the query's RDD instead of the session
     val sigs = minhashSignatures(df, textCol, idCol, numHashes)
+      .localCheckpoint(true)
     val cands = lshCandidatePairs(sigs, idCol, bands)
     val sa = sigs.select(col(idCol).as("a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("b"), col("sig").as("sig_b"))
