@@ -107,6 +107,15 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // Unigram LM scoring: corpus-frequency log-prob per doc, in
+    // exact integer micro-log-probs (float sums would be
+    // partitioning-dependent; integer sums hash-match).
+    "q60_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLogProbScore(
+          Tables.documents(s, d), "text", "doc_id")
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id")),
+
     // Within-doc token entropy — the statistical repetitiveness
     // signal (low = templated, high = diverse vocabulary).
     "q59_token_entropy" -> ((s, d) =>
@@ -317,6 +326,18 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q60_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  CAST(sum(CAST(round(ln(CAST(tf AS DOUBLE) / n_total) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS micro_logprob_sum
+        |FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        |WHERE doc_id < 200
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q59_token_entropy" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'),

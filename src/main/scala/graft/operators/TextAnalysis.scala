@@ -204,6 +204,33 @@ object TextAnalysis {
     struct(counts: _*)
   }
 
+  /** Per-doc unigram language-model score: the corpus-frequency
+    * log-probability of each token, summed per doc — the classic
+    * cheap "LM quality" signal (docs full of rare/garbage tokens
+    * score low). Two aggregations: corpus term frequencies (one
+    * shuffle, map-side combined), then a join back and a per-doc
+    * sum. Log-probs are quantized to integer MICRO-log-probs
+    * (round(ln p × 1e6)) before summing — integer sums are exact and
+    * order-free, where summing raw doubles would make the result
+    * depend on partitioning.
+    *
+    * Output: (id, n_toks, micro_logprob_sum).
+    */
+  def unigramLogProbScore(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum("tf").as("n_total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("__mlp",
+        round(log(col("tf").cast("double") / col("n_total").cast("double"))
+          * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum("__mlp").as("micro_logprob_sum"))
+  }
+
   /** Word → document frequency (number of distinct docs containing
     * the word). Per-doc `array_distinct` BEFORE the explode means a
     * doc contributes each word once, so a plain count IS the

@@ -264,6 +264,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert(rows("one") == ((1.0, 0.0)))
   }
 
+  test("unigram LM score: common-token docs beat rare-token docs") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the the the the cat"), (1L, "the the zyx"),
+      (2L, "the cat")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbScore(corpus, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L)._1 == 5 && got(1L)._1 == 3 && got(2L)._1 == 2)
+    // avg micro-logprob: "the"-heavy doc 0 > doc 1 (contains the
+    // rarest token zyx)
+    assert(got(0L)._2 / 5.0 > got(1L)._2 / 3.0)
+    // exact spot value: p(the)=7/10 → round(ln(0.7)*1e6) = -356675
+    val lnThe = math.round(math.log(7.0 / 10.0) * 1e6)
+    assert(got(2L)._2 == lnThe + math.round(math.log(2.0 / 10.0) * 1e6))
+  }
+
   test("token entropy: uniform repetition 0, two even tokens 1 bit") {
     import spark.implicits._
     val got = Seq("a a a a", "a b", "", "a b c d")
