@@ -30,9 +30,8 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
       val norm = normText(col("text"))
       val grams = docs.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), greatest(length(norm) - 3, lit(1))),
-          i => substr(norm, i, lit(4)))).as("g"))
+        explode(graft.functions.TextFunctions.char_ngrams(norm, 4))
+          .as("g"))
       grams.groupBy("doc_id").agg(
           min(md5(concat(lit("s0:"), col("g")).cast("binary"))).as("m0"),
           min(md5(concat(lit("s1:"), col("g")).cast("binary"))).as("m1"),
@@ -49,9 +48,8 @@ object ExtensionQueries {
     // stays the scale path for verifying LSH candidates.
     "q32_jaccard_pairs" -> ((s, d) => {
       val norm = normText(col("text"))
-      val grams = array_distinct(transform(
-        sequence(lit(1), greatest(length(norm) - 3, lit(1))),
-        i => substr(norm, i, lit(4))))
+      val grams = graft.functions.TextFunctions
+        .char_ngrams(norm, 4, distinct = true)
       val sets = Tables.documents(s, d).filter(col("doc_id") < 60)
         .select(col("doc_id"), grams.as("gs"))
         .withColumn("n", size(col("gs")))

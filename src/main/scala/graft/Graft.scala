@@ -19,6 +19,7 @@ import org.apache.spark.sql.{GraftBridge, SparkSession}
 object Graft {
   def install(spark: SparkSession): Unit = {
     functions.IpFunctions.register(spark)
+    functions.TextFunctions.register(spark)
     functions.MinHashAgg.register(spark)
     functions.TopKAgg.register(spark)
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)

@@ -132,8 +132,8 @@ object SketchQueries {
     "q41_fingerprints" -> ((s, d) => {
       val norm = lower(regexp_replace(col("text"), "\\s+", " "))
       val grams = transform(
-        sequence(lit(1), greatest(length(norm) - 4, lit(1))),
-        i => md5Int60(substr(norm, i, lit(5))))
+        graft.functions.TextFunctions.char_ngrams(norm, 5),
+        g => md5Int60(g))
       Tables.documents(s, d).filter(col("doc_id") < 100)
         .withColumn("__hs", grams)
         .withColumn("__fp", array_sort(array_distinct(transform(

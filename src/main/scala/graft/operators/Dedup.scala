@@ -65,21 +65,27 @@ object Dedup {
       k: Int = 4): DataFrame = {
     val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
     df.select(col(idCol),
-      explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-        i => substr(norm, i, lit(k))))).as("gram"))
+      explode(graft.functions.TextFunctions
+        .char_ngrams(norm, k, distinct = true)).as("gram"))
   }
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64; signature[i] = min over grams of h_i(gram).
-    * Computed as k min-aggregates over the exploded gram stream —
-    * partial (map-side) aggregation keeps the shuffle tiny.
+  /** MinHash signatures: `numHashes` permutations of the gram space;
+    * signature[i] = min over grams of h_i(gram). Each gram string is
+    * xxhash64'd ONCE; the per-permutation values re-hash that 8-byte
+    * base with the permutation index as a second input — hashing 8
+    * bytes `numHashes` times instead of the gram STRING `numHashes`
+    * times is the bulk of the signature cost at corpus scale.
+    * (Multiply-add permutations would be cheaper still, but ANSI
+    * mode rejects wrapping 64-bit multiplication.) Computed as k
+    * min-aggregates over the exploded gram stream — partial
+    * (map-side) aggregation keeps the shuffle tiny.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, k: Int = 4): DataFrame = {
     val grams = explodeGrams(df, textCol, idCol, k)
+      .withColumn("__h", xxhash64(col("gram")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(concat(lit(s"mh$i:"), col("gram")))).as(s"h$i"))
+      min(xxhash64(col("__h"), lit(i))).as(s"h$i"))
     grams.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),

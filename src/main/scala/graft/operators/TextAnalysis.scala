@@ -251,8 +251,8 @@ object TextAnalysis {
   def fingerprints(text: Column, k: Int = 5, w: Int = 8): Column = {
     val norm = lower(regexp_replace(text, "\\s+", " "))
     val grams = transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => xxhash64(substr(norm, i, lit(k))))
+      graft.functions.TextFunctions.char_ngrams(norm, k),
+      g => xxhash64(g))
     val nWin = greatest(size(grams) - (w - 1), lit(1))
     array_sort(array_distinct(transform(
       sequence(lit(1), nWin),

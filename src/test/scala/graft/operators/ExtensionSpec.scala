@@ -20,6 +20,25 @@ class ExtensionSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
+  test("char_ngrams matches the substr formulation on edge cases") {
+    import spark.implicits._
+    val inputs = Seq("", "ab", "abcd", "abcde", "ababab",
+      "héllo wörld", "日本語のテキスト")
+    val k = 4
+    val rows = inputs.toDF("s").select(
+      graft.functions.TextFunctions.char_ngrams(col("s"), k).as("fast"),
+      transform(
+        sequence(lit(1), greatest(length(col("s")) - (k - 1), lit(1))),
+        i => substr(col("s"), i, lit(k))).as("slow"),
+      graft.functions.TextFunctions.char_ngrams(col("s"), k,
+        distinct = true).as("fastd"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](1).distinct)
+    }
+  }
+
   test("exact dedup keeps lowest id per normalized digest") {
     val kept = Dedup.exactDedupKeepFirst(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
