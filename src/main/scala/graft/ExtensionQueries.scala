@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the training-data extensions (dedup,
@@ -15,7 +15,7 @@ import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 object ExtensionQueries {
 
   private def normText(c: org.apache.spark.sql.Column) =
-    lower(regexp_replace(c, "\\s+", " "))
+    TextAnalysis.normText(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact-dedup statistics over normalized content digests.
@@ -30,8 +30,7 @@ object ExtensionQueries {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
       val norm = normText(col("text"))
       val grams = docs.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.char_ngrams(norm, 4))
-          .as("g"))
+        explode(TextFunctions.char_ngrams(norm, 4)).as("g"))
       grams.groupBy("doc_id").agg(
           min(md5(concat(lit("s0:"), col("g")).cast("binary"))).as("m0"),
           min(md5(concat(lit("s1:"), col("g")).cast("binary"))).as("m1"),
@@ -48,8 +47,7 @@ object ExtensionQueries {
     // stays the scale path for verifying LSH candidates.
     "q32_jaccard_pairs" -> ((s, d) => {
       val norm = normText(col("text"))
-      val grams = graft.functions.TextFunctions
-        .char_ngrams(norm, 4, distinct = true)
+      val grams = TextFunctions.char_ngrams(norm, 4, distinct = true)
       val sets = Tables.documents(s, d).filter(col("doc_id") < 60)
         .select(col("doc_id"), grams.as("gs"))
         .withColumn("n", size(col("gs")))

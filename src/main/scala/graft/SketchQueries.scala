@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{StableHash, TextFunctions}
 import graft.operators.{Dedup, Graph, Ivf, Multimodal, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
@@ -24,8 +25,7 @@ object SketchQueries {
     * [[graft.functions.StableHash]] for the single definition and
     * its DuckDB twin.
     */
-  private def md5Int60(c: Column): Column =
-    graft.functions.StableHash.md5Int60(c)
+  private def md5Int60(c: Column): Column = StableHash.md5Int60(c)
 
   /** ±1 sign planes shared between the Spark plan and the generated
     * DuckDB oracle SQL (literals on both sides).
@@ -130,9 +130,8 @@ object SketchQueries {
     // window over 5-char grams; sketch checked via size + md5 of the
     // sorted fingerprint list.
     "q41_fingerprints" -> ((s, d) => {
-      val norm = lower(regexp_replace(col("text"), "\\s+", " "))
       val grams = transform(
-        graft.functions.TextFunctions.char_ngrams(norm, 5),
+        TextFunctions.char_ngrams(TextAnalysis.normText(col("text")), 5),
         g => md5Int60(g))
       Tables.documents(s, d).filter(col("doc_id") < 100)
         .withColumn("__hs", grams)

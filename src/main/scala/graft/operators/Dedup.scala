@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{StableHash, TextFunctions}
+
 /** Deduplication for training-data pipelines, ordered by scale path:
   *
   *  - exact: hash-groupBy, one shuffle on the digest — the cheapest
@@ -21,7 +23,7 @@ object Dedup {
 
   /** Normalized content digest for exact dedup. */
   def contentKey(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+    md5(TextAnalysis.normText(text))
 
   /** Exact dedup, keep the lowest-id row per digest. At scale this is
     * one shuffle on the digest; the window avoids a second join back.
@@ -46,7 +48,7 @@ object Dedup {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
       s"invalid split percentages: val=$valPct test=$testPct")
     val bucket =
-      graft.functions.StableHash.md5Int60(keyCol.cast("string")) % 100
+      StableHash.md5Int60(keyCol.cast("string")) % 100
     df.withColumn("split",
       when(bucket < testPct, "test")
         .when(bucket < testPct + valPct, "val")
@@ -62,12 +64,11 @@ object Dedup {
     * shuffle it again.
     */
   def explodeGrams(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 4): DataFrame = {
-    val norm = lower(regexp_replace(col(textCol), "\\s+", " "))
+      k: Int = 4): DataFrame =
     df.select(col(idCol),
-      explode(graft.functions.TextFunctions
-        .char_ngrams(norm, k, distinct = true)).as("gram"))
-  }
+      explode(TextFunctions.char_ngrams(
+        TextAnalysis.normText(col(textCol)), k, distinct = true))
+        .as("gram"))
 
   /** MinHash signatures: `numHashes` permutations of the gram space;
     * signature[i] = min over grams of h_i(gram). Each gram string is

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.StableHash
+
 /** Deterministic sampling for training-data mixes. Unlike
   * `df.sample` (seeded per-partition RNG, changes under
   * repartitioning), membership here follows only the row's key hash,
@@ -18,7 +20,7 @@ object Sampling {
     * cross-engine hash ([[graft.functions.StableHash.md5Int60]]).
     */
   def hashBucket(keyCol: Column): Column =
-    graft.functions.StableHash.md5Int60(keyCol.cast("string")) % Buckets
+    StableHash.md5Int60(keyCol.cast("string")) % Buckets
 
   /** Keep each row with probability `rate`, deterministically by key. */
   def deterministicSample(df: DataFrame, keyCol: Column,

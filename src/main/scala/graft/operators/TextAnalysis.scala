@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Text analysis for large-scale training-data pipelines: token
   * counting, quality scoring, language ID, and winnowing-style
   * document fingerprints. Everything here is built from codegen'd
@@ -10,6 +12,14 @@ import org.apache.spark.sql.functions._
   * codegen over a 100 TB `documents` scan.
   */
 object TextAnalysis {
+
+  /** Whitespace-collapsed lowercase normalization — THE content
+    * normalization shared by dedup digests, gram builders, and
+    * fingerprints (every DuckDB oracle mirrors it as
+    * `lower(regexp_replace(text, '\s+', ' ', 'g'))`).
+    */
+  def normText(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
 
   /** Whitespace tokens, empties dropped. */
   def tokens(text: Column): Column =
@@ -249,9 +259,8 @@ object TextAnalysis {
     * fingerprinting). Built entirely from array functions.
     */
   def fingerprints(text: Column, k: Int = 5, w: Int = 8): Column = {
-    val norm = lower(regexp_replace(text, "\\s+", " "))
     val grams = transform(
-      graft.functions.TextFunctions.char_ngrams(norm, k),
+      TextFunctions.char_ngrams(normText(text), k),
       g => xxhash64(g))
     val nWin = greatest(size(grams) - (w - 1), lit(1))
     array_sort(array_distinct(transform(
