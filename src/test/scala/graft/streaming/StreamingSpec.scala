@@ -159,6 +159,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L)) // one survivor per digest
   }
 
+  test("curation column ops run unchanged on a stream") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("curstream")
+    Seq((1L, "good text with reasonable words here", "en"),
+      (2L, "mail me a@b.io now", "en"),
+      (3L, "kurzer text", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/in")
+
+    // quality score + PII redaction + split assignment + stratum
+    // sampling are all stateless column ops, so the SAME operator
+    // calls compose with readStream — no batch-only code path
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING").parquet(s"$dir/in")
+    val curated = Sampling.stratifiedSample(
+      Dedup.hashSplit(
+        stream.withColumn("q", TextAnalysis.qualityScore(col("text")))
+          .withColumn("red", TextAnalysis.redactPii(col("text"))),
+        col("doc_id")),
+      col("doc_id"), col("lang"), Map("en" -> 1.0, "de" -> 1.0))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curation")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("curation").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("red"), r.getAs[String]("split"))).toMap
+    assert(rows.size == 3) // rate 1.0 keeps everything
+    assert(rows(2L)._1 == "mail me [EMAIL] now")
+    assert(Set("train", "val", "test").contains(rows(1L)._2))
+    // stream assignments equal the batch assignments (determinism)
+    val batchSplits = Dedup.hashSplit(
+        spark.read.parquet(s"$dir/in"), col("doc_id"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map { case (id, v) => id -> v._2 } == batchSplits)
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
