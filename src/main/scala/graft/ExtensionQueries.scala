@@ -185,12 +185,17 @@ object ExtensionQueries {
     // curation pipeline thresholds on to drop template-y docs.
     "q52_repetition" -> ((s, d) =>
       Tables.documents(s, d).filter(col("doc_id") < 200)
+        // Project boundary materializes the token array once; the
+        // three signals then read it instead of re-running the
+        // regex split (the q42 langid lesson)
         .select(col("doc_id"),
-          round(TextAnalysis.topWordFraction(col("text")), 4)
+          TextAnalysis.tokens(lower(col("text"))).as("__toks"))
+        .select(col("doc_id"),
+          round(TextAnalysis.topWordFractionFromTokens(col("__toks")), 4)
             .as("top_word_frac"),
-          round(TextAnalysis.dupNgramFraction(col("text"), 2), 4)
+          round(TextAnalysis.dupNgramFractionFromTokens(col("__toks"), 2), 4)
             .as("dup_bigram_frac"),
-          round(TextAnalysis.dupNgramFraction(col("text"), 3), 4)
+          round(TextAnalysis.dupNgramFractionFromTokens(col("__toks"), 3), 4)
             .as("dup_trigram_frac"))
         .orderBy("doc_id")),
 

@@ -129,8 +129,14 @@ object TextAnalysis {
     * typical document lengths; corpora with pathological single docs
     * should explode + groupBy instead.
     */
-  def topWordFraction(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def topWordFraction(text: Column): Column =
+    topWordFractionFromTokens(tokens(lower(text)))
+
+  /** [[topWordFraction]] over a pre-tokenized lowercase array — use
+    * with a materialized token column when computing several signals
+    * per row (the [[langIdFromTokens]] pattern).
+    */
+  def topWordFractionFromTokens(toks: Column): Column = {
     val counts = transform(array_distinct(toks),
       w => size(filter(toks, t => t === w)))
     when(size(toks) > 0,
@@ -142,8 +148,11 @@ object TextAnalysis {
     * same doc (1 − distinct/total), 0.0 when the doc has no complete
     * n-gram. Gopher-style duplicate-n-gram repetition filter.
     */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramFractionFromTokens(tokens(lower(text)), n)
+
+  /** [[dupNgramFraction]] over a pre-tokenized lowercase array. */
+  def dupNgramFractionFromTokens(toks: Column, n: Int): Column = {
     val m = size(toks) - (n - 1)
     // greatest(…, 1) keeps the sequence ascending when m ≤ 0 (Spark
     // sequence(1, 0) would count DOWN); the `when` guard discards
