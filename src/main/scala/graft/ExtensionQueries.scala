@@ -103,6 +103,15 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // Document chunking into 64-token windows with stride 48 — the
+    // context-window preprocessing step; full chunk rows (text +
+    // bounds) hash-checked.
+    "q61_chunking" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(
+          Tables.documents(s, d).filter(col("doc_id") < 50),
+          "text", "doc_id", chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Unigram LM scoring: corpus-frequency log-prob per doc, in
     // exact integer micro-log-probs (float sums would be
     // partitioning-dependent; integer sums hash-match).
@@ -327,6 +336,22 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q61_chunking" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |    AS toks FROM documents WHERE doc_id < 50),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 0 THEN 0 ELSE
+        |    CAST(ceil(CAST(greatest(len(toks) - 64, 0) AS DOUBLE) / 48)
+        |      AS INT) + 1 END AS nc FROM t),
+        |u AS (SELECT doc_id, toks,
+        |  unnest(range(0, CAST(nc AS BIGINT))) AS i FROM c WHERE nc > 0)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks,
+        |    CAST(i * 48 + 1 AS INT), CAST(i * 48 + 64 AS INT)), ' ')
+        |    AS chunk_text,
+        |  CAST(least(64, len(toks) - i * 48) AS BIGINT) AS n_chunk_tokens
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
     "q60_unigram_lm" ->
       """WITH toks AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '\s+'),

@@ -223,6 +223,36 @@ object TextAnalysis {
     struct(counts: _*)
   }
 
+  /** Split documents into fixed-token-count chunks with overlap —
+    * the context-window preprocessing step (RAG indexing,
+    * pretraining example packing). Pure array algebra over the
+    * token array: chunk i covers tokens [i·stride, i·stride+size).
+    * Output: one row per chunk with (id, chunk_idx, chunk_text,
+    * n_chunk_tokens). Empty docs produce no rows.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"invalid chunking: size=$chunkSize stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // chunks per doc: ceil(max(n - size, 0) / stride) + 1 for any
+    // non-empty doc — the last chunk may be short
+    val nChunks = when(n <= 0, lit(0)).otherwise(
+      ceil((greatest(n - chunkSize, lit(0))).cast("double") / stride)
+        .cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .filter(col("__nc") > 0) // BEFORE explode: sequence(0,-1) descends
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("__nc") - 1)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"),
+          col("chunk_idx").cast("int") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize),
+          size(col("__toks")) - col("chunk_idx").cast("int") * stride)
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** Per-doc unigram language-model score: the corpus-frequency
     * log-probability of each token, summed per doc — the classic
     * cheap "LM quality" signal (docs full of rare/garbage tokens

@@ -283,6 +283,25 @@ class ExtensionSpec extends AnyFunSuite {
     assert(rows("one") == ((1.0, 0.0)))
   }
 
+  test("chunking covers every token with stride overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b"), // shorter than one chunk
+      (2L, "")) // empty → no chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "text", "doc_id",
+        chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d0 = got.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(_._3).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d0.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 0L, "a b", 2L)))
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("unigram LM score: common-token docs beat rare-token docs") {
     import spark.implicits._
     val corpus = Seq((0L, "the the the the cat"), (1L, "the the zyx"),
