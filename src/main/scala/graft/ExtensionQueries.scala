@@ -103,6 +103,21 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // Incremental exact dedup: treat docs < 300 as the standing
+    // corpus (digests only) and docs >= 300 as the new batch; keep
+    // batch docs whose content is new. The ingest-time pattern that
+    // avoids re-deduping the corpus.
+    "q62_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusDigests = docs.filter(col("doc_id") < 300)
+        .select(Dedup.contentKey(col("text")).as("digest")).distinct()
+      Dedup.incrementalExactDedup(
+          docs.filter(col("doc_id") >= 300), corpusDigests,
+          "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // Document chunking into 64-token windows with stride 48 — the
     // context-window preprocessing step; full chunk rows (text +
     // bounds) hash-checked.
@@ -336,6 +351,17 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q62_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS digest
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT digest FROM d WHERE doc_id < 300),
+        |fresh AS (SELECT * FROM d WHERE doc_id >= 300
+        |  AND digest NOT IN (SELECT digest FROM corpus)),
+        |keep AS (SELECT doc_id, lang, source, row_number() OVER (
+        |  PARTITION BY digest ORDER BY doc_id) AS rn FROM fresh)
+        |SELECT doc_id, lang, source FROM keep WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q61_chunking" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)

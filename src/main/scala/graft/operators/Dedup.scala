@@ -99,14 +99,23 @@ object Dedup {
     * The heavy lifting is an equi-self-join on (band, key) — a
     * shuffle-partitionable key, never an O(n²) scan.
     */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      bands: Int = 16): DataFrame = {
+  /** (id-as-`as`, band, band_key) rows: the signature split into
+    * `bands` hashed band keys — shared by self-join (batch) and
+    * asymmetric (incremental) LSH candidate generation.
+    */
+  private def bandKeys(sigs: DataFrame, idCol: String, bands: Int,
+      as: String): DataFrame = {
     val rows = (size(col("sig")) / lit(bands)).cast("int")
-    val banded = sigs.select(col(idCol).as("id"),
+    sigs.select(col(idCol).as(as),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => slice(col("sig"), b * rows + 1, rows))))
-      .select(col("id"), col("pos").as("band"),
+      .select(col(as), col("pos").as("band"),
         xxhash64(col("col").cast("string")).as("band_key"))
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      bands: Int = 16): DataFrame = {
+    val banded = bandKeys(sigs, idCol, bands, "id")
     val l = banded.alias("l")
     val r = banded.alias("r")
     l.join(r,
@@ -187,6 +196,50 @@ object Dedup {
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental exact dedup: drop new docs whose content digest
+    * already exists in the corpus digest table, then dedup within
+    * the batch itself. The corpus side carries ONLY digests (one
+    * binary column, not documents), so at 100 TB the standing state
+    * is digest-sized and the whole operation is one join + one
+    * window over the (small) new batch — re-running corpus-wide
+    * dedup per ingest is never needed.
+    */
+  def incrementalExactDedup(newDocs: DataFrame, corpusDigests: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val keyed = newDocs.withColumn("__digest", contentKey(col(textCol)))
+    keyed
+      .join(corpusDigests.select(col("digest").as("__digest")),
+        Seq("__digest"), "left_anti")
+      .transform(d => exactDedupKeepFirst(d, textCol, idCol))
+      .drop("__digest")
+  }
+
+  /** Incremental near-dup detection: LSH-join the NEW batch's band
+    * keys against the standing corpus signature table (asymmetric —
+    * no self-join of the corpus) and verify candidates on signature
+    * overlap. Returns (new_id, corpus_id, est_jaccard) pairs; the
+    * caller drops or links the flagged new docs. Standing state =
+    * signatures only.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpusSigs: DataFrame,
+      textCol: String, idCol: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.6): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes)
+      .localCheckpoint(true)
+    val cands = bandKeys(newSigs, idCol, bands, "new_id")
+      .join(bandKeys(corpusSigs, idCol, bands, "corpus_id"),
+        Seq("band", "band_key"))
+      .select("new_id", "corpus_id").distinct()
+    val sa = newSigs.select(col(idCol).as("new_id"), col("sig").as("sig_a"))
+    val sb = corpusSigs.select(col(idCol).as("corpus_id"),
+      col("sig").as("sig_b"))
+    cands.join(sa, Seq("new_id")).join(sb, Seq("corpus_id"))
+      .withColumn("est_jaccard",
+        signatureJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "corpus_id", "est_jaccard")
   }
 
   /** SimHash-64: per-token hashes vote on each of the 64 bits,

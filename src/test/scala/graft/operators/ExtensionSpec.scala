@@ -54,6 +54,28 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated skipped
   }
 
+  test("incremental dedup drops batch docs already in the corpus") {
+    import spark.implicits._
+    val corpus = Seq((0L, base), (1L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),             // exact dup of corpus → dropped
+      (11L, "brand new text"), // new → kept
+      (12L, "brand  new text"),// within-batch dup of 11 → dropped
+      (13L, nearDup))          // near but not exact → kept by EXACT pass
+      .toDF("doc_id", "text")
+    val digests = corpus.select(Dedup.contentKey(col("text")).as("digest"))
+    val kept = Dedup.incrementalExactDedup(batch, digests, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+    // the near-dup variant flags 13 against corpus doc 0
+    val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id")
+    val flagged = Dedup.incrementalNearDups(batch, sigs, "text", "doc_id",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.contains((13L, 0L)) && flagged.contains((10L, 0L)))
+    assert(!flagged.exists(_._1 == 11L))
+  }
+
   test("near-dup dedup keeps one canonical doc per cluster") {
     val kept = Dedup.nearDupDedup(docs, "text", "doc_id", threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).sorted
