@@ -103,6 +103,18 @@ object ExtensionQueries {
           TextAnalysis.qualityScore(col("text")).as("q"))
         .orderBy("doc_id")),
 
+    // Data-mixture construction: sample per-language so the output
+    // hits 50/30/20 en/de/fr at the maximum feasible size (the
+    // scarcest stratum relative to its share caps the mix). Rates
+    // derive from actual counts with the same double arithmetic on
+    // both engines, so the exact selected id set hash-matches.
+    "q63_data_mixture" -> ((s, d) =>
+      Sampling.mixToTarget(Tables.documents(s, d), col("doc_id"),
+          col("lang"), Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")),
+
     // Incremental exact dedup: treat docs < 300 as the standing
     // corpus (digests only) and docs >= 300 as the new batch; keep
     // batch docs whose content is new. The ingest-time pattern that
@@ -351,6 +363,22 @@ object ExtensionQueries {
         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
         |  AS DOUBLE), 4) AS q
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q63_data_mixture" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |tgt AS (SELECT lang, n, CASE lang
+        |  WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+        |  WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+        |  WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+        |  ELSE CAST(0 AS DOUBLE) END AS t FROM cnt),
+        |cap AS (SELECT min(n / t) AS cap FROM tgt WHERE t > 0),
+        |thr AS (SELECT lang, CAST(round(t * cap / n * 10000) AS BIGINT)
+        |  AS thr FROM tgt, cap WHERE t > 0),
+        |s AS (SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 10000 < thr)
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q62_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, lang, source,
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS digest

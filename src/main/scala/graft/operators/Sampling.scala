@@ -29,6 +29,33 @@ object Sampling {
     df.filter(hashBucket(keyCol) < math.round(rate * Buckets))
   }
 
+  /** Build a target data mixture: derive per-stratum keep-rates so
+    * the output matches `targets` proportions at the maximum feasible
+    * size — the scarcest stratum (relative to its target share) is
+    * kept whole and everything else is down-sampled to it; then
+    * sample deterministically by key hash. Per-stratum counts are
+    * collected to the driver (dimension-scale: strata are languages/
+    * sources, not rows). A target stratum absent from the data makes
+    * the mixture infeasible → empty result, by design.
+    */
+  def mixToTarget(df: DataFrame, keyCol: Column, strataCol: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"targets must be positive: $targets")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"targets must sum to 1: $targets")
+    val counts = df.groupBy(strataCol.as("__s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = targets.map { case (s, t) =>
+      counts.getOrElse(s, 0L).toDouble / t
+    }.min
+    val rates = targets.map { case (s, t) =>
+      val n = counts.getOrElse(s, 0L).toDouble
+      s -> (if (n == 0) 0.0 else t * cap / n)
+    }
+    stratifiedSample(df, keyCol, strataCol, rates, defaultRate = 0.0)
+  }
+
   /** Per-stratum deterministic sampling: a row's keep-rate is looked
     * up from `rates` by its stratum value (`defaultRate` otherwise).
     * The rate lookup compiles to a chained CASE — one codegen'd

@@ -258,6 +258,23 @@ class ExtensionSpec extends AnyFunSuite {
       Map("en" -> 0.5)).filter(col("lang") === "de").count() == 0)
   }
 
+  test("data mixture hits target proportions at max feasible size") {
+    import spark.implicits._
+    // 1000 en, 100 de; target 50/50 → de is the scarce stratum:
+    // keep all ~100 de and sample ~100 en
+    val rows = ((0L until 1000L).map(i => (i, "en")) ++
+      (1000L until 1100L).map(i => (i, "de"))).toDF("doc_id", "lang")
+    val mixed = Sampling.mixToTarget(rows, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 0.5))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("de") > 90) // scarce stratum kept (hash rounding slack)
+    assert(mixed("en") > 70 && mixed("en") < 130) // downsampled to ~100
+    // infeasible target (stratum absent) → empty mixture
+    assert(Sampling.mixToTarget(rows, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "zz" -> 0.5)).count() == 0)
+  }
+
   test("hash split is deterministic, exhaustive, and roughly sized") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("doc_id")
