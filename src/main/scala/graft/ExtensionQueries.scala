@@ -366,14 +366,14 @@ object ExtensionQueries {
     "q63_data_mixture" ->
       """WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
         |  FROM documents GROUP BY lang),
-        |tgt AS (SELECT lang, n, CASE lang
-        |  WHEN 'en' THEN CAST(0.5 AS DOUBLE)
-        |  WHEN 'de' THEN CAST(0.3 AS DOUBLE)
-        |  WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
-        |  ELSE CAST(0 AS DOUBLE) END AS t FROM cnt),
-        |cap AS (SELECT min(n / t) AS cap FROM tgt WHERE t > 0),
+        |tg(lang, t) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.3 AS DOUBLE)),
+        |  ('fr', CAST(0.2 AS DOUBLE))),
+        |tgt AS (SELECT tg.lang, COALESCE(cnt.n, CAST(0 AS DOUBLE)) AS n,
+        |  tg.t FROM tg LEFT JOIN cnt USING (lang)),
+        |cap AS (SELECT min(n / t) AS cap FROM tgt),
         |thr AS (SELECT lang, CAST(round(t * cap / n * 10000) AS BIGINT)
-        |  AS thr FROM tgt, cap WHERE t > 0),
+        |  AS thr FROM tgt, cap WHERE n > 0),
         |s AS (SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
         |    AS BIGINT) % 10000 < thr)
@@ -384,8 +384,9 @@ object ExtensionQueries {
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS digest
         |  FROM documents),
         |corpus AS (SELECT DISTINCT digest FROM d WHERE doc_id < 300),
-        |fresh AS (SELECT * FROM d WHERE doc_id >= 300
-        |  AND digest NOT IN (SELECT digest FROM corpus)),
+        |fresh AS (SELECT * FROM d x WHERE doc_id >= 300
+        |  AND NOT EXISTS (SELECT 1 FROM corpus c
+        |    WHERE c.digest = x.digest)),
         |keep AS (SELECT doc_id, lang, source, row_number() OVER (
         |  PARTITION BY digest ORDER BY doc_id) AS rn FROM fresh)
         |SELECT doc_id, lang, source FROM keep WHERE rn = 1

@@ -78,10 +78,11 @@ object SketchQueries {
     // materialized once: the signature table feeds FOUR plan branches
     // (both sides of the band self-join + both signature re-joins);
     // without the checkpoint each branch re-runs the gram explosion
-    // and 16-way min aggregation. Blocks are freed when the query's
-    // RDD is GC'd — unlike persist, nothing lingers session-long
+    // and 16-way min aggregation. Lazy, so building the DataFrame
+    // (explain, harness listing) runs no job; blocks are freed when
+    // the query's RDD is GC'd — unlike persist, nothing lingers
     val sigs = grams.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val banded = sigs.select(col("doc_id").as("id"),
       explode(array((0 until 4).map(j => struct(lit(j).as("band"),
         concat_ws("|", (0 until 4).map(r =>

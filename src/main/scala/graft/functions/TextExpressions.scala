@@ -66,6 +66,15 @@ object TextOps {
 case class CharNgrams(child: Expression, k: Int, distinct: Boolean)
     extends UnaryExpression {
   require(k > 0, "char_ngrams: k must be positive")
+  // analysis-time type check: registered for SQL, so a wrong-typed
+  // argument must fail analysis, not ClassCastException on executors
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_ngrams requires a STRING argument, got ${child.dataType}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
     TextOps.charNgrams(v.asInstanceOf[UTF8String], k, distinct)
@@ -89,6 +98,10 @@ object TextFunctions {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     GraftBridge.registerFunction(spark, "char_ngrams", { es =>
+      if (es.length < 2 || es.length > 3)
+        throw new IllegalArgumentException(
+          s"char_ngrams(str, k[, distinct]) takes 2 or 3 arguments, " +
+            s"got ${es.length}")
       val k = es(1) match {
         case Literal(v: Int, IntegerType) => v
         case other => throw new IllegalArgumentException(

@@ -29,9 +29,16 @@ object Dedup {
     * one shuffle on the digest; the window avoids a second join back.
     */
   def exactDedupKeepFirst(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    dedupKeepFirstByKey(df, contentKey(col(textCol)), idCol)
+
+  /** Keep the lowest-id row per arbitrary key column — the window
+    * core of [[exactDedupKeepFirst]], exposed so callers that already
+    * carry a digest column don't recompute it.
+    */
+  def dedupKeepFirstByKey(df: DataFrame, key: Column,
       idCol: String): DataFrame = {
-    val w = Window.partitionBy(contentKey(col(textCol)))
-      .orderBy(col(idCol))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -163,13 +170,17 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    // eagerly materialized: the signature table feeds the band
+    // materialized once: the signature table feeds the band
     // self-join (twice) and both estimate re-joins, and recomputing
     // the gram explosion + 64 min-aggs per branch is the dominant
-    // cost at corpus scale. localCheckpoint (not persist) so the
-    // blocks die with the query's RDD instead of the session
+    // cost at corpus scale. LAZY localCheckpoint: still computed
+    // once (branches share the blocks within the action) but
+    // constructing the DataFrame runs no job, and blocks die with
+    // the RDD instead of the session. Batch-only (checkpointing does
+    // not exist on streams) — streaming near-dup goes through
+    // `Streaming.dedupStream`.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cands = lshCandidatePairs(sigs, idCol, bands)
     val sa = sigs.select(col(idCol).as("a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("b"), col("sig").as("sig_b"))
@@ -212,7 +223,9 @@ object Dedup {
     keyed
       .join(corpusDigests.select(col("digest").as("__digest")),
         Seq("__digest"), "left_anti")
-      .transform(d => exactDedupKeepFirst(d, textCol, idCol))
+      // reuse the digest already computed for the anti-join — the
+      // md5 + normalization over full text is the per-row cost here
+      .transform(d => dedupKeepFirstByKey(d, col("__digest"), idCol))
       .drop("__digest")
   }
 
@@ -227,7 +240,7 @@ object Dedup {
       textCol: String, idCol: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.6): DataFrame = {
     val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cands = bandKeys(newSigs, idCol, bands, "new_id")
       .join(bandKeys(corpusSigs, idCol, bands, "corpus_id"),
         Seq("band", "band_key"))

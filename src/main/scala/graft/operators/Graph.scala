@@ -90,8 +90,12 @@ object Graph {
       // 10^6 nodes would never converge inside maxIter); the jump
       // halves the remaining depth every round → O(log diameter)
       val hopR = hop.select(col("id").as("__jid"), col("lab").as("__jlab"))
+      // checkpointed too: `next` feeds the changed-count job AND
+      // three spots in the following round — unmaterialized, the
+      // |V|-row jump join would recompute for each
       val next = hop.join(hopR, hop("lab") === hopR("__jid"), "left")
         .select(hop("id"), coalesce(col("__jlab"), hop("lab")).as("lab"))
+        .localCheckpoint(true)
       changed = next.alias("n")
         .join(labels.select(col("id"), col("lab").as("old")), "id")
         .filter(col("lab") =!= col("old")).count()

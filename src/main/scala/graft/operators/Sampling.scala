@@ -51,7 +51,11 @@ object Sampling {
     }.min
     val rates = targets.map { case (s, t) =>
       val n = counts.getOrElse(s, 0L).toDouble
-      s -> (if (n == 0) 0.0 else t * cap / n)
+      // the scarce stratum's own rate is t·(n/t)/n, which double
+      // arithmetic can land one ulp ABOVE 1.0 — clamp, or the
+      // stratifiedSample precondition throws. The bucket threshold
+      // is unchanged (round(·×10⁴) collapses the ulp either way)
+      s -> (if (n == 0) 0.0 else math.min(1.0, t * cap / n))
     }
     stratifiedSample(df, keyCol, strataCol, rates, defaultRate = 0.0)
   }
