@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+class TextExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("char_ngrams equals the substr formulation on random strings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val alphabets = Seq("ab ", "abcdefgh .,", "héöñ×ab", "日本語ab c")
+    val samples = (0 until 200).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      val len = rng.nextInt(40)
+      (0 until len).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    } :+ "" :+ "x"
+    for (k <- Seq(1, 2, 4, 7)) {
+      val rows = samples.toDF("s").select(
+        TextFunctions.char_ngrams(col("s"), k).as("fast"),
+        transform(
+          sequence(lit(1), greatest(length(col("s")) - (k - 1), lit(1))),
+          i => substr(col("s"), i, lit(k))).as("slow"),
+        TextFunctions.char_ngrams(col("s"), k, distinct = true)
+          .as("fastd"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
+        assert(r.getSeq[String](2) == r.getSeq[String](1).distinct, s"k=$k")
+      }
+    }
+  }
+
+  test("char_ngrams is SQL-registered with analysis-time checks") {
+    graft.Graft.install(spark)
+    val got = spark.sql("SELECT char_ngrams('abcde', 4, true)")
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("abcd", "bcde"))
+    // wrong input type fails at analysis, not on executors
+    val err = intercept[Exception] {
+      spark.sql("SELECT char_ngrams(42, 4)").collect()
+    }
+    assert(err.getMessage.contains("STRING"))
+    // wrong arity is a clean error
+    val arity = intercept[Exception] {
+      spark.sql("SELECT char_ngrams('x')").collect()
+    }
+    assert(arity.getMessage.contains("char_ngrams"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Locks in the plan-hygiene claims mechanically: the physical plans
+  * of key declared queries must keep the shapes PERF.md documents
+  * (broadcast joins for dimensions, hash aggregation on the gram
+  * stream, no window-based top-k, filters pushed to the scan). A
+  * regression that silently flips one of these — a join outgrowing
+  * broadcast, an agg falling back to sort, a top-k reverting to a
+  * window — fails here, not in a later bench review.
+  */
+class PlanInvariantSpec extends AnyFunSuite {
+  lazy val spark = {
+    // the production session shape: Bench/Verify run with the graft
+    // strategy installed, so the invariants are asserted against it
+    val s = SparkTestSession.spark
+    graft.Graft.install(s)
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (q03)") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("minhash signature aggregation stays hash-based (q43)") {
+    val p = plan("q43_neardup_pairs")
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("top-k runs through the bounded aggregate, not a window (q33/q44)") {
+    for (q <- Seq("q33_cosine_topk", "q44_lsh_ann")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), q)
+      assert(p.contains("ObjectHashAggregate"), q) // TopKAgg partial
+    }
+  }
+
+  test("filters reach the parquet scan (q32)") {
+    val p = plan("q32_jaccard_pairs")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,60)]")
+      || p.contains("LessThan(doc_id,60)"))
+  }
+
+  test("range join uses the broadcast interval strategy, not BNLJ (q07)") {
+    val p = plan("q07_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exact dedup is one digest shuffle, no join back (q30)") {
+    val p = plan("q30_dedup_exact")
+    assert(!p.contains("Join"))
+  }
+}
