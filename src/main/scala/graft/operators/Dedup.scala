@@ -202,11 +202,19 @@ object Dedup {
   def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    val pairs = nearDupPairs(df, textCol, idCol, numHashes, bands, threshold)
-    val drop = Graph.connectedComponents(pairs)
+    // exact dedup FIRST: LSH candidate generation is quadratic in an
+    // exact-duplicate class (every pair of identical docs shares
+    // every band — 10k copies of one boilerplate page would emit
+    // 50M candidate pairs). Removing exact dups costs one digest
+    // shuffle and leaves the final kept set unchanged: both passes
+    // keep the minimum id of a duplicate group.
+    val uniq = exactDedupKeepFirst(df, textCol, idCol)
+    val pairs = nearDupPairs(uniq, textCol, idCol, numHashes, bands,
+      threshold)
+    val nearDrop = Graph.connectedComponents(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
+    uniq.join(nearDrop, Seq(idCol), "left_anti")
   }
 
   /** Incremental exact dedup: drop new docs whose content digest

@@ -83,6 +83,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L))
   }
 
+  test("near-dup dedup survives a large exact-duplicate class") {
+    import spark.implicits._
+    // 500 identical docs would generate ~125k LSH candidate pairs if
+    // they reached the band self-join; the exact-dedup pre-pass
+    // collapses them to one representative first
+    val blowup = ((0L until 500L).map(i => (i, base)) ++
+      Seq((900L, nearDup), (901L, unrelated))).toDF("doc_id", "text")
+    val kept = Dedup.nearDupDedup(blowup, "text", "doc_id",
+        threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 901L)) // min id of the clone+near class, plus unrelated
+  }
+
   test("decontamination flags training docs containing benchmark items") {
     import spark.implicits._
     val train = Seq(
