@@ -217,22 +217,17 @@ object SketchQueries {
     }),
 
     // Embedding-cosine near-duplicate pairs via shared sign-LSH
-    // bucket + cosine threshold (integer-exact bucket + dot products).
-    "q47_embedding_neardups" -> ((s, d) => {
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-        .withColumn("__bucket", Similarity.intLshBucket(col("q"), SignPlanes))
-      val l = b.select(col("__bucket"), col("vec_id").as("a"),
-        col("q").as("qa"))
-      val r = b.select(col("__bucket"), col("vec_id").as("b"),
-        col("q").as("qb"))
-      l.join(r, Seq("__bucket"))
-        .filter(col("a") < col("b"))
-        .withColumn("sim", Similarity.cosineInt(col("qa"), col("qb")))
-        .filter(col("sim") >= 0.2)
-        .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
-        .orderBy("a", "b")
-    }),
+    // bucket + cosine threshold (integer-exact bucket + dot
+    // products), through the production operator — which exact-dedups
+    // identical vectors before the bucket self-join (degenerate-
+    // bucket guard) and expands duplicate classes back afterwards.
+    "q47_embedding_neardups" -> ((s, d) =>
+      Similarity.embeddingNearDupsBy(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q")),
+          Similarity.intLshBucket(col("q"), SignPlanes),
+          Similarity.cosineInt, 0.2, "vec_id", "q")
+        .orderBy("a", "b")),
 
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features

@@ -249,6 +249,16 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.6): DataFrame = {
     val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes)
       .localCheckpoint(false)
+    incrementalNearDupsFromSigs(newSigs, corpusSigs, idCol, bands, threshold)
+  }
+
+  /** Signature-level core of [[incrementalNearDups]], for callers
+    * that already hold the batch's signatures (the streaming path
+    * computes them once and reuses them for both the flag join and
+    * the state append).
+    */
+  def incrementalNearDupsFromSigs(newSigs: DataFrame, corpusSigs: DataFrame,
+      idCol: String, bands: Int = 16, threshold: Double = 0.6): DataFrame = {
     val cands = bandKeys(newSigs, idCol, bands, "new_id")
       .join(bandKeys(corpusSigs, idCol, bands, "corpus_id"),
         Seq("band", "band_key"))

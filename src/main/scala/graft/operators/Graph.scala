@@ -9,21 +9,26 @@ import org.apache.spark.sql.functions._
   * near-dup PAIRS into dedup GROUPS so a pipeline can keep one
   * canonical doc per component.
   *
-  * Two physical paths behind one API, mirroring the broadcast-vs-
+  * Three physical paths behind one API, mirroring the broadcast-vs-
   * shuffle threshold pattern used elsewhere in this engine:
   *
   *  - edge lists up to `driverEdgeLimit` run a driver union-find
   *    (near-dup candidate lists are pair-scale, not corpus-scale —
   *    a dimension-scale collect, one pass, no iteration jobs);
-  *  - larger graphs run iterative min-label propagation: every node
-  *    starts labeled with its own id, labels flow across edges each
-  *    round, every node keeps the minimum seen; fixpoint when no
-  *    label changes. Each round is one shuffle join + one aggregate,
-  *    fully distributed; rounds = graph diameter, small for
-  *    near-dup graphs (dense cliques, diameter 1–2). For adversarial
-  *    long-chain graphs the documented escalation is large-star/
-  *    small-star (alternating propagations that halve the diameter
-  *    per round) — same per-round Spark shape, fewer rounds.
+  *  - larger graphs run large-star/small-star contraction
+  *    ([[starContraction]]) — alternating propagations that at least
+  *    halve the remaining diameter per alternation, O(log d) rounds
+  *    with each round one shuffle-join + aggregate;
+  *  - [[labelPropagation]] (min-label flow with pointer jumping)
+  *    stays available as the simpler iterative shape; same per-round
+  *    cost, more rounds on adversarial chains.
+  *
+  * The input edge pipeline is materialized ONCE per call (eager
+  * `localCheckpoint` before the path probe), so choosing a path never
+  * re-runs the upstream pipeline — for LSH pair inputs the minhash /
+  * band-join work is the dominant cost and must not be paid twice.
+  * Callers that already hold materialized pairs pass them straight in
+  * and the checkpoint is a no-op-cheap RDD copy.
   */
 object Graph {
 
@@ -33,14 +38,20 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String = "a",
       dstCol: String = "b", maxIter: Int = 25,
       driverEdgeLimit: Int = 500000): DataFrame = {
+    // materialize the edge pipeline ONCE: the probe below and (for
+    // oversized graphs) every contraction round read these blocks —
+    // without the checkpoint the distributed path would re-run the
+    // full upstream pipeline (minhash + band join for LSH pairs) on
+    // top of the probe's evaluation
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    // probe and fetch in ONE job: take limit+1 rows — if they all
-    // arrived the graph is driver-scale and already in hand; only
-    // oversized graphs pay a second (distributed) evaluation
+      .localCheckpoint(true)
+    // probe and fetch in ONE job against the checkpointed blocks:
+    // take limit+1 rows — if they all arrived the graph is
+    // driver-scale and already in hand
     val head = e.limit(driverEdgeLimit + 1).collect()
     if (head.length <= driverEdgeLimit) driverUnionFind(e, head)
-    else labelPropagation(e, maxIter)
+    else starContraction(e, maxIter)
   }
 
   private def driverUnionFind(e: DataFrame,
@@ -65,11 +76,102 @@ object Graph {
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
+  /** Large-star/small-star contraction (the alternating-star CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", re-expressed as DataFrame aggregates) plus pointer
+    * jumping on the inter-round parent forest:
+    *
+    *  - large-star: every strictly-larger neighbor of u re-parents to
+    *    m = min(N(u) ∪ u) — hangs heavy tails under local minima;
+    *  - small-star: each center u and its (now all-smaller) neighbors
+    *    re-parent to the center's minimum — flattens short stems;
+    *  - two pointer jumps: each edge (u → p) follows p to ITS minimum
+    *    parent, twice — valid because a parent is connected to its
+    *    parent by construction, so rewiring never crosses components.
+    *
+    * The star alternation alone halves the remaining depth per round
+    * (≈ log₂(diameter) rounds — a 10⁵-node chain would need ~17);
+    * each jump halves it again, so a full round contracts ≥ 8× and a
+    * 10⁵ chain converges in ~6 rounds. Per-round cost: two aggregates
+    * + three |E|-row joins, every shuffle on a dense long key;
+    * `localCheckpoint` per round cuts the otherwise-doubling lineage.
+    */
+  private[operators] def starContraction(e: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+    // parent-pointer edge set, kept directed (u → smaller v) between
+    // rounds; self-loops carry no connectivity
+    var edges = e.filter(col("u") =!= col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star works on the UNDIRECTED neighborhood — re-dualize
+      // each round (the directed parent set alone would starve
+      // centers whose edges all point outward). Checkpointed: joining
+      // a union plan against an aggregate of itself trips Catalyst's
+      // constraint rewrite (AttributeMap key-not-found), and the
+      // dualized set feeds both the min aggregate and the probe side
+      val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true)
+      val mins = und.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star over the directed output (every edge now points
+      // from larger to smaller): center u re-points itself and its
+      // smaller neighbors at its minimum neighbor
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(large.join(minsS, "u").select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // two pointer jumps: follow each parent to its own MIN parent
+      // (min keeps the jump table functional — one row per node — so
+      // the join cannot multiply edges)
+      var jumped = small
+      for (_ <- 1 to 2) {
+        val j = jumped.groupBy("u").agg(min(col("v")).as("jv"))
+          .select(col("u").as("ju"), col("jv"))
+        jumped = jumped.alias("s")
+          .join(j, col("s.v") === col("ju"), "left")
+          .select(col("s.u"), coalesce(col("jv"), col("s.v")).as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+          .localCheckpoint(true)
+      }
+      // converged when the round was a fixpoint: the star shape
+      // reproduces itself exactly
+      val changed = jumped.select(col("u"), col("v"))
+        .exceptAll(edges.select(col("u"), col("v"))).limit(1).count()
+      converged = changed == 0
+      edges = jumped
+      round += 1
+    }
+    require(converged,
+      s"starContraction did not converge in $maxRounds rounds")
+    // converged star: every remaining edge points at its component
+    // minimum; nodes without an out-edge (the minima themselves, and
+    // nodes that only ever had self-loops) label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("cluster")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** `localCheckpoint` after each round cuts the lineage — without
     * it, every round re-derives the whole join history of the
     * previous rounds and the plan doubles per iteration.
     */
-  private def labelPropagation(e: DataFrame, maxIter: Int): DataFrame = {
+  private[operators] def labelPropagation(e: DataFrame,
+      maxIter: Int): DataFrame = {
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     var labels = und.select(col("u").as("id")).distinct()

@@ -157,23 +157,79 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via shared LSH bucket +
     * cosine threshold — the embedding-space analogue of
-    * [[Dedup.nearDupPairs]].
+    * [[Dedup.nearDupPairs]]. Float-plane convenience wrapper over
+    * [[embeddingNearDupsBy]].
     */
   def embeddingNearDups(corpus: DataFrame, planes: Seq[Seq[Double]],
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val b = corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-    val l = b.select(col("__bucket"), col(idCol).as("a"),
+      vecCol: String = "embedding"): DataFrame =
+    embeddingNearDupsBy(corpus, lshBucket(col(vecCol), planes),
+      cosine, threshold, idCol, vecCol)
+
+  /** Near-dup pairs generic over the bucket expression and similarity
+    * function (float [[lshBucket]]/[[cosine]] or the integer-exact
+    * [[intLshBucket]]/[[cosineInt]]).
+    *
+    * Exact-duplicate guard (mirrors [[Dedup.nearDupDedup]]'s
+    * exact-dedup pre-pass): the bucket self-join runs over DISTINCT
+    * vector values only — one representative per identical-vector
+    * class — so a degenerate corpus (thousands of copies of one
+    * embedding, all in one bucket) costs one groupBy instead of a
+    * quadratic within-bucket scan. Duplicate classes are expanded
+    * back afterwards with plain equi-joins: within-class pairs and
+    * cross-class combinations are output rows either way, so that
+    * expansion is output-bound, not wasted candidate work. No
+    * `distinct()` anywhere — a vector has exactly one bucket and an
+    * id exactly one class, so no branch can emit the same pair twice.
+    */
+  def embeddingNearDupsBy(corpus: DataFrame, bucket: Column,
+      sim: (Column, Column) => Column, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // identical-vector classes: representative = min id
+    val classes = corpus.groupBy(col(vecCol).as("__vec"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cn"))
+    val members = corpus.select(col(idCol), col(vecCol).as("__vec"))
+      .join(classes.select(col("__vec"), col("__rep")), Seq("__vec"))
+      .select(col(idCol), col("__rep"))
+    // bucketed self-join over representatives only (the bucket
+    // expression references vecCol, so re-expose __vec under it)
+    val repsB = classes
+      .select(col("__rep"), col("__vec").as(vecCol))
+      .withColumn("__bucket", bucket)
+    val l = repsB.select(col("__bucket"), col("__rep").as("ra"),
       col(vecCol).as("va"))
-    val r = b.select(col("__bucket"), col(idCol).as("b"),
+    val r = repsB.select(col("__bucket"), col("__rep").as("rb"),
       col(vecCol).as("vb"))
-    l.join(r, Seq("__bucket"))
-      .filter(col("a") < col("b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
-      .distinct()
+    val repPairs = l.join(r, Seq("__bucket"))
+      .filter(col("ra") < col("rb"))
+      .withColumn("__sim", sim(col("va"), col("vb")))
+      .filter(col("__sim") >= threshold)
+      .select(col("ra"), col("rb"), col("__sim"))
+    // cross-class expansion: every member combination of a qualifying
+    // representative pair is a true output pair (identical vectors ⇒
+    // identical similarity)
+    val cross = repPairs
+      .join(members.select(col("__rep").as("ra"), col(idCol).as("__ia")),
+        Seq("ra"))
+      .join(members.select(col("__rep").as("rb"), col(idCol).as("__ib")),
+        Seq("rb"))
+      .select(least(col("__ia"), col("__ib")).as("a"),
+        greatest(col("__ia"), col("__ib")).as("b"), col("__sim"))
+    // within-class pairs: identical vectors, sim = sim(v, v) — kept
+    // behind the same threshold filter for exact drop-in parity
+    val classVecs = classes.filter(col("__cn") >= 2)
+      .select(col("__rep").as("__crep"), col("__vec"))
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.__rep") === col("y.__rep") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .join(classVecs, col("x.__rep") === col("__crep"))
+      .withColumn("__sim", sim(col("__vec"), col("__vec")))
+      .filter(col("__sim") >= threshold)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("__sim"))
+    cross.unionByName(within)
+      .select(col("a"), col("b"), round(col("__sim"), 4).as("sim"))
   }
 }
 

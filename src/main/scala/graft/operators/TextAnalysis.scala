@@ -263,15 +263,27 @@ object TextAnalysis {
     * order-free, where summing raw doubles would make the result
     * depend on partitioning.
     *
+    * The vocab side of the re-join is BROADCAST by default: the term
+    * table is vocabulary-sized (millions of rows, not corpus-sized)
+    * while the probe side is the full exploded token stream — and the
+    * token VALUE is a Zipf-skewed key ("the" alone would be one hot
+    * shuffle partition at corpus scale), so shuffling the stream on
+    * it is the one plan shape this operator must never pick. The
+    * token stream is scanned twice (once to build the vocab, once to
+    * probe) — at 100 TB re-reading a columnar scan is far cheaper
+    * than shuffling its explosion. Set `broadcastVocab = false` only
+    * when the vocabulary itself outgrows executor memory; the
+    * fallback shuffle join leans on AQE skew splitting.
+    *
     * Output: (id, n_toks, micro_logprob_sum).
     */
   def unigramLogProbScore(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, broadcastVocab: Boolean = true): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(lower(col(textCol)))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
     val total = vocab.agg(sum("tf").as("n_total"))
-    toks.join(vocab, "tok")
+    toks.join(if (broadcastVocab) broadcast(vocab) else vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("__mlp",
         round(log(col("tf").cast("double") / col("n_total").cast("double"))

@@ -237,17 +237,66 @@ class ExtensionSpec extends AnyFunSuite {
     val fast = Graph.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast == expected)
-    // driverEdgeLimit = 0 forces the distributed label-propagation
-    // path; both physical paths must agree
+    // driverEdgeLimit = 0 forces the distributed star-contraction
+    // path; all physical paths must agree
     val dist = Graph.connectedComponents(edges, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    val lp = Graph.labelPropagation(
+        edges.select(col("a").as("u"), col("b").as("v")), 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == expected)
     // a 60-node chain has diameter ≫ maxIter: only converges inside
-    // 25 rounds because of the pointer jump (log-round convergence)
+    // 25 rounds because of the per-round contraction (log-round
+    // convergence) — on both distributed algorithms
     val chain = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
     val chainLabs = Graph.connectedComponents(chain, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainLabs.size == 61 && chainLabs.values.forall(_ == 0L))
+    val chainLp = Graph.labelPropagation(
+        chain.select(col("a").as("u"), col("b").as("v")), 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLp == chainLabs)
+  }
+
+  test("star contraction: 1e5-node chain converges in under 10 rounds") {
+    import spark.implicits._
+    // the adversarial CC input: one path graph, diameter 10^5. Plain
+    // min-label flooding needs diameter rounds; star alternation
+    // alone ~log2 (≈17); the star+jump round contracts ≥8× so 10
+    // rounds bound it — starContraction THROWS if maxRounds doesn't
+    // suffice, so this asserts the round count, not just the labels
+    val n = 100000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+    val labs = Graph.starContraction(chain, maxRounds = 10)
+    val distinctClusters = labs.select("cluster").distinct().collect()
+    assert(distinctClusters.length == 1 && distinctClusters(0).getLong(0) == 0L)
+    assert(labs.count() == n)
+    // self-loop-only nodes keep themselves as their cluster
+    val loops = Seq((7L, 7L), (8L, 9L)).toDF("a", "b")
+    val loopLabs = Graph.connectedComponents(loops, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loopLabs == Map(7L -> 7L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("embedding near-dups guard: 500 identical vectors, no quadratic bucket") {
+    import spark.implicits._
+    val base = Array.tabulate(16)(i => 0.1f * i)
+    val other = Array.tabulate(16)(i => 1f - 0.1f * i)
+    val vecs = ((0L until 500L).map(i => (i, base)) :+ (900L, other))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNearDups(vecs,
+      Similarity.hyperplanes(16, 6), 0.999)
+    // all C(500,2) identical pairs at sim 1.0, nothing with `other`
+    assert(got.count() == 500L * 499 / 2)
+    assert(got.agg(min(col("sim")), max(col("sim"))).collect()(0)
+      .toSeq == Seq(1.0, 1.0))
+    // the LSH self-join itself ran over ONE representative per class:
+    // the physical plan's join inputs aggregate to distinct vectors
+    // first, so the degenerate bucket never sees 500×500 candidates
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(planStr.contains("Aggregate") || planStr.contains("HashAggregate"))
   }
 
   test("stratified sample keeps per-stratum rates and is deterministic") {

@@ -59,4 +59,11 @@ class PlanInvariantSpec extends AnyFunSuite {
     val p = plan("q30_dedup_exact")
     assert(!p.contains("Join"))
   }
+
+  test("unigram LM broadcasts the vocab side — the token stream never " +
+      "shuffles on the Zipf-skewed token value (q60)") {
+    val p = plan("q60_unigram_lm")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
 }
