@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{Annotate, Api}
+
+/** The reference's PRIMARY user path — v2 batch annotation
+  * (handler.go:194-243: snapshot pick → 6to4 rewrite → range probe →
+  * geo+asn structs → Missing defaulting) — as a declared query under
+  * the driver's rows+schema+hash contract, not just unit specs.
+  *
+  * The snapshot tables are built from the `nation` table with pure
+  * arithmetic (nation n owns 10.n.0.0/16 and ASN 100+n), and request
+  * IPs from `customer` keys — so the DuckDB twin can compute the
+  * expected annotation for every request row directly from the same
+  * arithmetic, no range logic needed, while the Spark side exercises
+  * the REAL pipeline: flatten → dimension joins → broadcast
+  * binary-search struct probe → miss defaulting.
+  *
+  * Request mix per c_custkey: ~60% in-range v4, 20% 6to4-mapped v6
+  * (2002::/16 with the v4 embedded in bytes 2-5), 10% unparseable
+  * (missing structs), 10% valid-but-uncovered v4 (probe miss →
+  * missing structs).
+  */
+object ApiQueries {
+  import Tables._
+
+  private val nk = col("n_nationkey")
+
+  private def v4(parts: Column*): Column =
+    concat_ws(".", parts.map(_.cast("string")): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_annotate_v2" -> ((s, d) => {
+      import graft.functions.IpFunctions._
+      val nat = nation(s, d)
+      val blocks = nat.select(
+        ip_to_bin(v4(lit(10), nk, lit(0), lit(0))).as("lo"),
+        ip_to_bin(v4(lit(10), nk, lit(255), lit(255))).as("hi"),
+        nk.cast("long").as("geoname_id"),
+        nk.cast("long").as("registered_country_geoname_id"),
+        concat(lit("P"), nk.cast("string")).as("postal_code"),
+        (nk.cast("double") + 0.5).as("latitude"),
+        (-nk.cast("double") - 0.25).as("longitude"))
+      val locs = nat.select(
+        nk.cast("long").as("geoname_id"),
+        concat(lit("C"), col("n_regionkey").cast("string"))
+          .as("continent_code"),
+        concat(lit("I"), nk.cast("string")).as("country_iso_code"),
+        col("n_name").as("country_name"),
+        concat(lit("S"), nk.cast("string")).as("subdivision_1_iso_code"),
+        concat(lit("SN"), nk.cast("string")).as("subdivision_1_name"),
+        lit("").as("subdivision_2_iso_code"),
+        lit("").as("subdivision_2_name"),
+        (nk * 10).cast("long").as("metro_code"),
+        concat(lit("City"), nk.cast("string")).as("city_name"))
+      val asnRanges = nat.select(
+        ip_to_bin(v4(lit(10), nk, lit(0), lit(0))).as("lo"),
+        ip_to_bin(v4(lit(10), nk, lit(255), lit(255))).as("hi"),
+        (nk + 100).cast("string").as("asn_string"))
+      val asNames = nat.select(
+        (nk + 100).cast("long").as("asn"),
+        concat(lit("AS-"), col("n_name")).as("as_name"))
+      val dir = Api.Directory(Seq(Api.Snapshot(Date.valueOf("2020-01-01"),
+        Annotate.buildGeoSnapshot(blocks, locs),
+        Annotate.buildAsnSnapshot(asnRanges, asNames))))
+      val c = col("c_custkey")
+      val ipExpr =
+        when(c % 10 === 4, concat(lit("bogus-"), c.cast("string")))
+          .when(c % 10 === 9, v4(lit(192), lit(168), lit(1), c % 250))
+          .when(c % 5 === 3, concat(lit("2002:"),
+            lpad(lower(hex(c % 25 + 2560)), 4, "0"), lit(":"),
+            lpad(lower(hex(c * 256 + 9)), 4, "0"), lit("::1")))
+          .otherwise(v4(lit(10), c % 25, c, (c * 3) % 250))
+      val reqs = customer(s, d).filter(c < 200).select(ipExpr.as("ip"))
+      Api.annotateV2(s, dir, Date.valueOf("2021-06-01"), reqs)
+        .select(col("ip"),
+          col("geo.continent_code").as("continent"),
+          col("geo.country_code").as("country_code"),
+          col("geo.country_name").as("country_name"),
+          col("geo.subdivision1_iso_code").as("subdiv"),
+          col("geo.city").as("city"),
+          col("geo.postal_code").as("postal"),
+          col("geo.latitude").as("lat"),
+          col("geo.longitude").as("lon"),
+          col("geo.missing").as("geo_missing"),
+          col("network.cidr").as("cidr"),
+          col("network.asn").as("asn"),
+          col("network.as_name").as("as_name"),
+          col("network.missing").as("net_missing"))
+        .orderBy("ip")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q64_annotate_v2" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS c, c_custkey % 25 AS n,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'bogus-' || c_custkey
+        |      WHEN c_custkey % 10 = 9 THEN '192.168.1.' || (c_custkey % 250)
+        |      WHEN c_custkey % 5 = 3 THEN '2002:' ||
+        |        lpad(lower(hex(c_custkey % 25 + 2560)), 4, '0') || ':' ||
+        |        lpad(lower(hex(c_custkey * 256 + 9)), 4, '0') || '::1'
+        |      ELSE '10.' || (c_custkey % 25) || '.' || c_custkey || '.' ||
+        |        ((c_custkey * 3) % 250) END AS ip,
+        |    (c_custkey % 10 NOT IN (4, 9)) AS hit
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT r.ip,
+        |  CASE WHEN r.hit THEN 'C' || n_regionkey END AS continent,
+        |  CASE WHEN r.hit THEN 'I' || r.n END AS country_code,
+        |  CASE WHEN r.hit THEN n_name END AS country_name,
+        |  CASE WHEN r.hit THEN 'S' || r.n END AS subdiv,
+        |  CASE WHEN r.hit THEN 'City' || r.n END AS city,
+        |  CASE WHEN r.hit THEN 'P' || r.n END AS postal,
+        |  CASE WHEN r.hit THEN CAST(r.n AS DOUBLE) + 0.5 END AS lat,
+        |  CASE WHEN r.hit THEN -CAST(r.n AS DOUBLE) - 0.25 END AS lon,
+        |  NOT r.hit AS geo_missing,
+        |  CASE WHEN r.hit THEN '10.' || r.n || '.0.0/16' END AS cidr,
+        |  CASE WHEN r.hit THEN CAST(r.n + 100 AS BIGINT) END AS asn,
+        |  CASE WHEN r.hit THEN 'AS-' || n_name END AS as_name,
+        |  NOT r.hit AS net_missing
+        |FROM req r LEFT JOIN nation ON n_nationkey = r.n AND r.hit
+        |ORDER BY r.ip""".stripMargin)
+}

@@ -22,6 +22,7 @@ object Graft {
     functions.TextFunctions.register(spark)
     functions.MinHashAgg.register(spark)
     functions.TopKAgg.register(spark)
+    functions.RangeTableFunctions.register(spark)
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)
     metrics.Metrics.install(spark)
   }

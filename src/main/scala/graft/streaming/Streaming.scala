@@ -123,6 +123,67 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
+  /** Standing minhash-signature state for [[nearDupDedupStream]]:
+    * signatures only (one id + one LONG array per doc ever seen), the
+    * q62 incremental pattern — at 100 TB/day the state grows with the
+    * corpus's SIGNATURE footprint, never its text. Appends collapse
+    * the union into fresh localCheckpoint blocks so the standing plan
+    * stays one RDD scan regardless of batch count; a production
+    * deployment would swap the in-memory blocks for a parquet/Delta
+    * signature table with identical semantics.
+    */
+  final class SignatureStore(initial: DataFrame) {
+    private val ref = new AtomicReference[DataFrame](
+      initial.localCheckpoint(true))
+    def get: DataFrame = ref.get()
+    def append(sigs: DataFrame): Unit =
+      ref.set(ref.get().unionByName(sigs).localCheckpoint(true))
+  }
+
+  /** Streaming near-dup dedup — the LSH face of [[dedupStream]],
+    * composing the batch operators per micro-batch (foreachBatch, the
+    * side-input pattern of [[annotateStreamTo]]):
+    *
+    *  1. within-batch near-dup dedup ([[Dedup.nearDupDedup]]: exact
+    *     pre-pass → LSH pairs → connected components, batch-scale);
+    *  2. flag survivors whose signature near-dups the standing corpus
+    *     ([[Dedup.incrementalNearDupsFromSigs]] — asymmetric band
+    *     join, corpus side signatures only, never a corpus self-join);
+    *  3. emit the kept docs to `sink` and append ALL batch-canonical
+    *     signatures (kept and corpus-flagged) to the store, so later
+    *     batches inherit transitive links through dropped docs.
+    *
+    * Semantics note, documented honestly: a single streaming pass
+    * keeps a doc iff it near-dups nothing seen before it. That equals
+    * batch [[Dedup.nearDupDedup]] (keep the min id per component)
+    * whenever near-dup classes are cliques and ids arrive in order —
+    * the overwhelmingly common shape. Chain-shaped components split
+    * across batches can diverge (doc B~C where C arrives later stays
+    * kept even though batch clustering would fold B into A's
+    * component via C); recovering that exactly requires a second
+    * pass, which is what the batch operator is for.
+    */
+  def nearDupDedupStream(docs: DataFrame, store: SignatureStore,
+      sink: (DataFrame, Long) => Unit, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val uniq = Dedup.nearDupDedup(batch, textCol, idCol, numHashes,
+        bands, threshold).localCheckpoint(true)
+      // signatures computed ONCE: the flag join and the state append
+      // both read these blocks
+      val sigs = Dedup.minhashSignatures(uniq, textCol, idCol, numHashes)
+        .localCheckpoint(true)
+      val flagged = Dedup.incrementalNearDupsFromSigs(sigs, store.get,
+          idCol, bands, threshold)
+        .select(col("new_id").as(idCol)).distinct()
+      val kept = uniq.join(flagged, Seq(idCol), "left_anti")
+      store.append(sigs)
+      sink(kept, id)
+    }
+  }
+
   /** Running per-user aggregates as custom keyed state
     * (mapGroupsWithState): the escalation path for stateful semantics
     * the built-in windows can't express. Update-mode output: each

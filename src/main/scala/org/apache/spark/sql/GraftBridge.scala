@@ -17,6 +17,16 @@ object GraftBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Register a table-valued function (`SELECT * FROM name(...)`):
+    * the builder maps the call's argument expressions to the logical
+    * plan the FROM clause resolves to.
+    */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => catalyst.plans.logical.LogicalPlan): Unit =
+    classic.ClassicConversions.castToImpl(spark)
+      .sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Inject a planner strategy into a live session (tried before the
     * built-in strategies). Session-creation-time alternative:
     * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.

@@ -250,4 +250,41 @@ class RangesSpec extends AnyFunSuite {
       ("1.0.0.20", "1.0.0.29", "b"),
       ("1.0.0.40", "1.0.0.59", "b")))
   }
+
+  test("flatten_ranges and merge_adjacent are SQL table functions") {
+    import spark.implicits._
+    graft.Graft.install(spark)
+    cidrRows(
+      "1.0.0.0/24" -> "custom1",
+      "1.0.0.2/26" -> "custom2")
+      .toDF("dataset", "lo", "hi", "payload")
+      .createOrReplaceTempView("sql_blocks")
+    // pure-SQL drive of the A1 flatten operator, composed with the
+    // registered scalar ip_format like any other FROM source
+    val flat = spark.sql(
+      """SELECT ip_format(lo) AS lo, ip_format(hi) AS hi, payload
+        |FROM flatten_ranges('sql_blocks', 'dataset') ORDER BY lo""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(flat.toSeq == Seq(
+      ("1.0.0.0", "1.0.0.1", "custom1"),
+      ("1.0.0.2", "1.0.0.63", "custom2"),
+      ("1.0.0.64", "1.0.0.255", "custom1")))
+    ipRows(
+      ("1.0.0.0", "1.0.0.9", "a"),
+      ("1.0.0.10", "1.0.0.19", "a"),
+      ("1.0.0.30", "1.0.0.39", "b"))
+      .toDF("dataset", "lo", "hi", "payload")
+      .createOrReplaceTempView("sql_ranges")
+    val merged = spark.sql(
+      """SELECT ip_format(lo) AS lo, ip_format(hi) AS hi, payload
+        |FROM merge_adjacent('sql_ranges', 'dataset') ORDER BY lo""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(merged.toSeq == Seq(
+      ("1.0.0.0", "1.0.0.19", "a"),
+      ("1.0.0.30", "1.0.0.39", "b")))
+    // default column names + no group columns: two-arg and one-arg
+    // call shapes resolve too
+    assert(spark.sql("SELECT count(*) AS c FROM merge_adjacent('sql_ranges')")
+      .collect()(0).getLong(0) == 2L)
+  }
 }

@@ -199,6 +199,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map { case (id, v) => id -> v._2 } == batchSplits)
   }
 
+  test("streaming near-dup dedup matches the batch operator on clique classes") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the green forest tonight under a bright moon"
+    val docs = Seq(
+      1L -> base,
+      2L -> (base + " with extra"), // near-dup of 1 (same batch)
+      3L -> ("completely different content about catalyst optimizer " +
+        "internals whole stage codegen and adaptive query execution"),
+      4L -> "unrelated short text about nothing in particular today",
+      5L -> "another standalone document carrying its own vocabulary",
+      6L -> base) // exact dup of 1, arriving in a LATER batch
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val store = new Streaming.SignatureStore(
+      Dedup.minhashSignatures(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id"))
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Streaming.nearDupDedupStream(
+        input.toDF().toDF("doc_id", "text"), store,
+        (out, _) => kept.synchronized {
+          kept ++= out.select("doc_id").collect().map(_.getLong(0))
+        })
+      .start()
+    input.addData(docs.filter(_._1 <= 3))
+    q.processAllAvailable()
+    input.addData(docs.filter(_._1 > 3))
+    q.processAllAvailable()
+    q.stop()
+    val batchKept = Dedup.nearDupDedup(
+        docs.toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clique-shaped classes + in-order arrival: the streamed keep set
+    // IS the batch keep set (1 survives its class; 6, an exact dup of
+    // 1 from a later batch, is dropped against the signature store)
+    assert(kept.toSet == batchKept)
+    assert(kept.toSet == Set(1L, 3L, 4L, 5L))
+    // state is signature-shaped: one row per batch-canonical doc
+    assert(store.get.columns.toSeq == Seq("doc_id", "sig"))
+    assert(store.get.count() == 5) // 1,3 from b1; 4,5,6 from b2
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
