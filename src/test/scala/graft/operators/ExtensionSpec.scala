@@ -528,6 +528,39 @@ class ExtensionSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("multimodal: real PNG/GIF pixel decode via javax.imageio") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, enc("png")), (2L, enc("gif"))).toDF("media_id", "media")
+    val feats = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // the histogram is over DECODED pixels — half black (luminance
+    // bin 0), half white (bin 15) — not over the compressed bytes,
+    // which a byte-histogram stub would have produced
+    for (id <- Seq(1L, 2L)) {
+      assert(math.abs(feats(id)(0) - 0.5f) < 1e-6, s"media $id")
+      assert(math.abs(feats(id)(15) - 0.5f) < 1e-6, s"media $id")
+      assert(feats(id).slice(1, 15).forall(_ == 0f), s"media $id")
+    }
+    // same pixels in different containers decode to identical
+    // features: the operator is a function of the image, not the
+    // byte stream
+    assert(feats(1L) == feats(2L))
+    // truncated/malformed image payloads fall back to the stub
+    // instead of erroring the batch
+    val broken = Seq((9L, enc("png").take(20))).toDF("media_id", "media")
+    val fb = Multimodal.extractFeatures(broken).collect()
+    assert(fb.length == 1 && fb(0).getSeq[Float](1).sum > 0.99f)
+  }
+
   test("multimodal: header-parsed width/height/duration (no codec)") {
     import spark.implicits._
     def be32(v: Int) = Array[Byte](
