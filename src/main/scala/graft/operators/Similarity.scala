@@ -185,11 +185,19 @@ object Similarity {
   def embeddingNearDupsBy(corpus: DataFrame, bucket: Column,
       sim: (Column, Column) => Column, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // identical-vector classes: representative = min id
+    // identical-vector classes: representative = min id. One shuffle
+    // on the vector value; checkpointed because both the rep join and
+    // the duplicate-class extraction read it
     val classes = corpus.groupBy(col(vecCol).as("__vec"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__cn"))
-    val members = corpus.select(col(idCol), col(vecCol).as("__vec"))
-      .join(classes.select(col("__vec"), col("__rep")), Seq("__vec"))
+      .localCheckpoint(false)
+    // membership rows for DUPLICATE classes only — in a typical
+    // corpus this is a tiny (often empty) table, so everything that
+    // touches it below broadcasts; singleton classes need no mapping
+    // at all (rep == the only member)
+    val dupMembers = corpus.select(col(idCol), col(vecCol).as("__vec"))
+      .join(broadcast(classes.filter(col("__cn") >= 2)
+        .select(col("__vec"), col("__rep"))), Seq("__vec"))
       .select(col(idCol), col("__rep"))
     // bucketed self-join over representatives only (the bucket
     // expression references vecCol, so re-expose __vec under it)
@@ -207,23 +215,30 @@ object Similarity {
       .select(col("ra"), col("rb"), col("__sim"))
     // cross-class expansion: every member combination of a qualifying
     // representative pair is a true output pair (identical vectors ⇒
-    // identical similarity)
+    // identical similarity). Broadcast left joins against the tiny
+    // duplicate-membership table: a rep with no duplicate row IS its
+    // class's only member
+    val dm = (side: String) => dupMembers
+      .select(col("__rep").as(side), col(idCol).as(s"__i$side"))
     val cross = repPairs
-      .join(members.select(col("__rep").as("ra"), col(idCol).as("__ia")),
-        Seq("ra"))
-      .join(members.select(col("__rep").as("rb"), col(idCol).as("__ib")),
-        Seq("rb"))
-      .select(least(col("__ia"), col("__ib")).as("a"),
-        greatest(col("__ia"), col("__ib")).as("b"), col("__sim"))
+      .join(broadcast(dm("ra")), Seq("ra"), "left")
+      .join(broadcast(dm("rb")), Seq("rb"), "left")
+      .select(
+        least(coalesce(col("__ira"), col("ra")),
+          coalesce(col("__irb"), col("rb"))).as("a"),
+        greatest(coalesce(col("__ira"), col("ra")),
+          coalesce(col("__irb"), col("rb"))).as("b"),
+        col("__sim"))
     // within-class pairs: identical vectors, sim = sim(v, v) — kept
-    // behind the same threshold filter for exact drop-in parity
+    // behind the same threshold filter for exact drop-in parity.
+    // Output-bound: duplicate classes only
     val classVecs = classes.filter(col("__cn") >= 2)
       .select(col("__rep").as("__crep"), col("__vec"))
-    val within = members.alias("x")
-      .join(members.alias("y"),
+    val within = dupMembers.alias("x")
+      .join(dupMembers.alias("y"),
         col("x.__rep") === col("y.__rep") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .join(classVecs, col("x.__rep") === col("__crep"))
+      .join(broadcast(classVecs), col("x.__rep") === col("__crep"))
       .withColumn("__sim", sim(col("__vec"), col("__vec")))
       .filter(col("__sim") >= threshold)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),

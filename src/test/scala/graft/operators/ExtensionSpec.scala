@@ -292,11 +292,13 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got.count() == 500L * 499 / 2)
     assert(got.agg(min(col("sim")), max(col("sim"))).collect()(0)
       .toSeq == Seq(1.0, 1.0))
-    // the LSH self-join itself ran over ONE representative per class:
-    // the physical plan's join inputs aggregate to distinct vectors
-    // first, so the degenerate bucket never sees 500×500 candidates
+    // the LSH self-join itself ran over ONE representative per class
+    // (the checkpointed distinct-vector table — Scan ExistingRDD in
+    // the plan), so the degenerate bucket never sees 500×500
+    // candidates; and the duplicate-class expansions broadcast
     val planStr = got.queryExecution.executedPlan.toString
-    assert(planStr.contains("Aggregate") || planStr.contains("HashAggregate"))
+    assert(planStr.contains("Scan ExistingRDD"))
+    assert(planStr.contains("BroadcastHashJoin"))
   }
 
   test("stratified sample keeps per-stratum rates and is deterministic") {
