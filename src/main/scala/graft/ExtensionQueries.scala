@@ -148,6 +148,16 @@ object ExtensionQueries {
         .filter(col("doc_id") < 200)
         .orderBy("doc_id")),
 
+    // DSIR-style importance weights: hashed word-bigram log-likelihood
+    // ratio of the English slice vs the raw corpus, integer
+    // micro-units (exact, partition-order-free sums). The
+    // data-selection signal for targeted pretraining mixes.
+    "q65_dsir_importance" -> ((s, d) =>
+      Sampling.importanceWeights(Tables.documents(s, d),
+          "text", "doc_id", col("lang") === "en")
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id")),
+
     // Within-doc token entropy — the statistical repetitiveness
     // signal (low = templated, high = diverse vocabulary).
     "q59_token_entropy" -> ((s, d) =>
@@ -407,6 +417,32 @@ object ExtensionQueries {
         |    AS chunk_text,
         |  CAST(least(64, len(toks) - i * 48) AS BIGINT) AS n_chunk_tokens
         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q65_dsir_importance" ->
+      """WITH t AS (SELECT doc_id, (lang = 'en') AS tgt,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |f AS (SELECT doc_id, tgt,
+        |  CAST('0x' || substr(md5(s[1] || ' ' || s[2]), 1, 15) AS BIGINT)
+        |    % 4096 AS b
+        |  FROM (SELECT doc_id, tgt,
+        |      unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+        |        list_slice(toks, 2, len(toks)))) AS s
+        |    FROM t) z),
+        |c AS (SELECT b, count(*) AS sc,
+        |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+        |  FROM f GROUP BY b),
+        |tot AS (SELECT CAST(sum(sc) AS BIGINT) AS st,
+        |  CAST(sum(tc) AS BIGINT) AS tt FROM c),
+        |w AS (SELECT b,
+        |  CAST(round((ln(CAST(tc + 1 AS DOUBLE) / (tt + 4096)) -
+        |    ln(CAST(sc + 1 AS DOUBLE) / (st + 4096))) * 1000000)
+        |    AS BIGINT) AS w
+        |  FROM c CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  CAST(sum(w) AS BIGINT) AS micro_importance
+        |FROM f JOIN w USING (b)
+        |WHERE doc_id < 200
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q60_unigram_lm" ->
       """WITH toks AS (SELECT doc_id,
         |  unnest(list_filter(string_split_regex(lower(text), '\s+'),

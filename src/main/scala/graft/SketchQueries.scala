@@ -197,6 +197,30 @@ object SketchQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // Retrieval composition: the q44 ANN core joined back to
+    // `documents` for the payload fetch (token count + language) —
+    // the RAG-shaped cross-table pattern: vector index finds the
+    // neighbor ids, a broadcast-or-shuffle equi-join on the id brings
+    // the document metadata. The join input is top-k-sized (k rows
+    // per probe), never corpus-sized.
+    "q66_ann_retrieval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+        .withColumn("__bucket", Similarity.intLshBucket(col("q"), SignPlanes))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("__bucket"))
+      val scored = emb.join(broadcast(probes), Seq("__bucket"))
+        .withColumn("sim", Similarity.cosineInt(col("q"), col("pq")))
+      Similarity.topKPerProbe(scored, 3, "probe_id", "vec_id")
+        .join(Tables.documents(s, d).select(col("doc_id").as("vec_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+          col("lang")), Seq("vec_id"))
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"), col("n_toks"), col("lang"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // IVF ANN with integer-exact assignment: fixed centroids in the
     // quantized space, argmin bucket, probes fan out to their 2
     // nearest buckets, bounded top-k per probe.
@@ -366,6 +390,23 @@ object SketchQueries {
          |  FROM scored)
          |SELECT probe_id, vec_id, round(sim, 4) AS sim, rank FROM ranked
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q66_ann_retrieval" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, $duckSignBucket AS bucket FROM q),
+         |scored AS (SELECT p.vec_id AS probe_id, c.vec_id,
+         |  ${duckCosineInt("c.q", "p.q")} AS sim
+         |  FROM b c JOIN b p ON c.bucket = p.bucket AND p.vec_id < 5),
+         |ranked AS (SELECT probe_id, vec_id, sim, row_number()
+         |  OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT r.probe_id, r.vec_id, round(r.sim, 4) AS sim, r.rank,
+         |  CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+         |    x -> len(x) > 0)) AS BIGINT) AS n_toks,
+         |  d.lang
+         |FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+         |WHERE r.rank <= 3 ORDER BY r.probe_id, r.rank""".stripMargin,
     "q46_ivf_ann" -> {
       val ds = IvfCentroids.zipWithIndex.map { case (c, i) =>
         s"""{'d': CAST(list_sum(list_transform(list_zip(q, ${c.mkString("[", ",", "]")}),

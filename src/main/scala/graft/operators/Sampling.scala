@@ -60,6 +60,55 @@ object Sampling {
     stratifiedSample(df, keyCol, strataCol, rates, defaultRate = 0.0)
   }
 
+  /** DSIR-style importance weighting for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each document by how much its hashed word-bigram features
+    * look like a TARGET distribution versus the raw corpus. The
+    * classic cheap domain-relevance signal — rank by weight, then
+    * resample the top slice with [[deterministicSample]].
+    *
+    * Per-bucket log-likelihood ratios use add-one smoothing and are
+    * quantized to integer micro-units before the per-doc sum, so
+    * results are exact and partition-order-free (the q60 recipe).
+    *
+    * Scale shape: the feature stream is exploded ONCE per aggregate;
+    * bucket counts are map-side combined into at most `buckets` rows
+    * (a bounded dimension table), and the per-doc scoring join
+    * BROADCASTS that table — the Zipf-skewed feature stream never
+    * shuffles on a feature key, only the final per-doc sum shuffles
+    * on the doc id. At 100 TB this is two corpus scans + one
+    * doc-count-sized shuffle.
+    *
+    * Output: (id, n_feats, micro_importance).
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"invalid bucket count: $buckets")
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val feats = df.select(col(idCol), isTarget.as("__t"),
+        explode(bigrams).as("__g"))
+      .select(col(idCol), col("__t"),
+        (StableHash.md5Int60(col("__g")) % buckets).as("__b"))
+    val counts = feats.groupBy("__b").agg(
+      count(lit(1)).as("__sc"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
+    val totals = counts.agg(sum("__sc").as("__st"), sum("__tc").as("__tt"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round((log((col("__tc") + 1).cast("double") /
+            (col("__tt") + buckets).cast("double")) -
+          log((col("__sc") + 1).cast("double") /
+            (col("__st") + buckets).cast("double"))) * 1e6)
+          .cast("long").as("__w"))
+    feats.join(broadcast(weights), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum("__w").as("micro_importance"))
+  }
+
   /** Per-stratum deterministic sampling: a row's keep-rate is looked
     * up from `rates` by its stratum value (`defaultRate` otherwise).
     * The rate lookup compiles to a chained CASE — one codegen'd

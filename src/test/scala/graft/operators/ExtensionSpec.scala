@@ -301,6 +301,29 @@ class ExtensionSpec extends AnyFunSuite {
     assert(planStr.contains("BroadcastHashJoin"))
   }
 
+  test("DSIR importance: target-like docs outscore off-target docs") {
+    import spark.implicits._
+    // target = English-looking docs; a held-out English doc shares
+    // its bigrams with the target slice and must score above a
+    // French-looking doc of the same length
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog sat on the rug", true),
+      (3L, "the cat sat on the rug", false), // held-out target-like
+      (4L, "le chat est sur le tapis", false),
+      (5L, "le chien est sur le sol", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = Sampling.importanceWeights(docs, "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(3L) > w(4L) && w(3L) > w(5L))
+    assert(w(1L) > w(4L))
+    // deterministic under repartitioning (integer micro-unit sums)
+    val again = Sampling.importanceWeights(docs.repartition(7),
+        "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == w)
+  }
+
   test("stratified sample keeps per-stratum rates and is deterministic") {
     import spark.implicits._
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
