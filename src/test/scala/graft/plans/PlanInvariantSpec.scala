@@ -66,4 +66,21 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
   }
+
+  test("v2 annotate fact path is ZERO-join: broadcast struct probes only (q64)") {
+    val p = plan("q64_annotate_v2")
+    // both snapshot groups probe via the broadcast binary-search
+    // payload expression; the dimension joins ran once at snapshot
+    // BUILD time, so the fact-side plan contains no join of any kind
+    assert(p.contains("range_payload"))
+    assert(!p.contains("Join"))
+  }
+
+  test("DSIR scoring broadcasts the bounded bucket-weight table (q65)") {
+    val p = plan("q65_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"))
+    // the only SortMergeJoin-eligible key would be the feature
+    // bucket; it must never shuffle the exploded bigram stream
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
