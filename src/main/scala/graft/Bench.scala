@@ -51,13 +51,20 @@ object Bench {
       val t2 = if (t1 < 0) t1 else timedPass()
       name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness captures only the tail of this process's output, so
+    // the JSON line must stay short: 3 significant digits per query
+    // (ms-scale resolution at these magnitudes) keeps 70+ queries
+    // within a ~1.9 kB line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3g".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfName"}""")
     spark.stop()
   }
 }
