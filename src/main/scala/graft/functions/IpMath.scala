@@ -11,7 +11,7 @@ package graft.functions
   */
 object IpMath {
   /** v4-mapped prefix ::ffff: */
-  private val V4Prefix: Array[Byte] =
+  private[graft] val V4Prefix: Array[Byte] =
     Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1, -1)
 
   def isV4Mapped(b: Array[Byte]): Boolean =
