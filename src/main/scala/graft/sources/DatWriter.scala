@@ -1,0 +1,173 @@
+package graft.sources
+
+import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+
+/** Sink-side twin of [[LegacyDat]]: serializes a range table into the
+  * public legacy MaxMind `.dat` binary layout (libGeoIP GeoIP.c /
+  * GeoIPCity.c, LGPL — same format notes as [[LegacyDat]]). Used to
+  * build deterministic golden fixtures for LegacyDatSpec and the q67
+  * declared query, and usable as an export sink for systems that still
+  * consume legacy `.dat` snapshots.
+  *
+  * Driver/executor-local utility: a `.dat` is a single unsplittable
+  * blob, so the builder works on in-memory entries (dimension-scale —
+  * the reference's own files hold <10M ranges).
+  */
+object DatWriter {
+
+  /** City-record payload (GeoIPCity.c `_extract_record` order).
+    * `metroArea` is written only for REV1 US records, as libGeoIP's
+    * writer does (combo = metro*1000 + area).
+    */
+  final case class CityPayload(countryIdx: Int, region: String,
+      city: String, postal: String, lat: Double, lon: Double,
+      metroArea: Option[(Int, Int)] = None)
+
+  /** MSB-first bit string ("0"/"1") of the first `len` bits of `ip` —
+    * dotted IPv4 for 32-bit editions, any IPv6 literal for 128-bit.
+    */
+  def prefixBits(ip: String, len: Int): String = {
+    val addr = java.net.InetAddress.getByName(ip).getAddress
+    val sb = new StringBuilder(len)
+    var bit = 0
+    while (bit < len) {
+      sb.append(if ((addr(bit / 8) & (0x80 >> (bit % 8))) != 0) '1' else '0')
+      bit += 1
+    }
+    sb.toString
+  }
+
+  // ---- binary trie ------------------------------------------------
+  private final class Node {
+    var left: Node = _        // bit 0
+    var right: Node = _       // bit 1
+    var leaf: Int = -1        // record ordinal (city) / country index
+    def isLeaf: Boolean = leaf >= 0
+  }
+
+  private def insert(root: Node, bits: String, value: Int): Unit = {
+    var n = root
+    var i = 0
+    while (i < bits.length) {
+      require(!n.isLeaf, s"overlapping prefixes at ${bits.take(i)}")
+      val next = if (bits.charAt(i) == '1') {
+        if (n.right == null) n.right = new Node
+        n.right
+      } else {
+        if (n.left == null) n.left = new Node
+        n.left
+      }
+      n = next
+      i += 1
+    }
+    require(n.left == null && n.right == null && !n.isLeaf,
+      s"overlapping prefixes at $bits")
+    n.leaf = value
+  }
+
+  private def countInternal(n: Node): Int =
+    if (n == null || n.isLeaf) 0
+    else 1 + countInternal(n.left) + countInternal(n.right)
+
+  private def le3(out: ArrayBuffer[Byte], v: Int): Unit = {
+    require(v >= 0 && v < (1 << 24), s"value $v exceeds 3 bytes")
+    out += (v & 0xff).toByte
+    out += ((v >> 8) & 0xff).toByte
+    out += ((v >> 16) & 0xff).toByte
+  }
+
+  /** Serialize nodes in pre-order (root = node 0). `leafValue` maps a
+    * leaf's stored ordinal to the on-disk pointer; `noData` is the
+    * pointer for an absent child.
+    */
+  private def writeNodes(root: Node, out: ArrayBuffer[Byte],
+      noData: Int)(leafValue: Int => Int): Unit = {
+    // pre-assign ids in pre-order so pointers are known up front
+    val ids = new java.util.IdentityHashMap[Node, Integer]()
+    val order = ArrayBuffer.empty[Node]
+    def assign(n: Node): Unit = if (n != null && !n.isLeaf) {
+      ids.put(n, order.length); order += n
+      assign(n.left); assign(n.right)
+    }
+    assign(root)
+    order.foreach { n =>
+      def ptr(c: Node): Int =
+        if (c == null) noData
+        else if (c.isLeaf) leafValue(c.leaf)
+        else ids.get(c).intValue()
+      le3(out, ptr(n.left))
+      le3(out, ptr(n.right))
+    }
+  }
+
+  /** Build a city-edition `.dat` (REV0 or REV1, v4 or v6) from
+    * (CIDR, payload) entries. Equal payloads share one on-disk record,
+    * so adjacent equal-payload blocks exercise the reader's merge.
+    */
+  def buildCity(entries: Seq[(String, Int, CityPayload)],
+      dbType: Int = LegacyDat.CityEditionRev1): Array[Byte] = {
+    require(Set(LegacyDat.CityEditionRev0, LegacyDat.CityEditionRev1,
+      LegacyDat.CityEditionRev0V6, LegacyDat.CityEditionRev1V6)(dbType))
+    val rev1 = dbType == LegacyDat.CityEditionRev1 ||
+      dbType == LegacyDat.CityEditionRev1V6
+
+    // dedupe payloads, preserving first-seen order
+    val recordOf = LinkedHashMap.empty[CityPayload, Int]
+    val root = new Node
+    entries.foreach { case (ip, len, p) =>
+      val ord = recordOf.getOrElseUpdate(p, recordOf.size)
+      insert(root, prefixBits(ip, len), ord)
+    }
+    val segments = math.max(countInternal(root), 1)
+
+    // records section: 1 pad byte, then each record; remember offsets
+    val recBytes = ArrayBuffer.empty[Byte]
+    recBytes += 0
+    val recOffset = recordOf.keys.map { p =>
+      val off = recBytes.length
+      require(p.countryIdx >= 0 && p.countryIdx < LegacyTables.size)
+      recBytes += p.countryIdx.toByte
+      Seq(p.region, p.city, p.postal).foreach { s =>
+        recBytes ++= s.getBytes("ISO-8859-1"); recBytes += 0
+      }
+      le3(recBytes, math.round((p.lat + 180.0) * 10000.0).toInt)
+      le3(recBytes, math.round((p.lon + 180.0) * 10000.0).toInt)
+      if (rev1 && LegacyTables.code(p.countryIdx) == "US")
+        le3(recBytes, p.metroArea.map { case (m, a) => m * 1000 + a }
+          .getOrElse(0))
+      off
+    }.toIndexedSeq
+
+    // leaf pointer = record file pos - (2*rl-1)*segments; the records
+    // section starts right after the 6*segments node bytes, so a
+    // record at recBytes offset `off` sits at file pos 6*segments+off
+    // and its pointer is segments + off
+    val out = ArrayBuffer.empty[Byte]
+    writeNodes(root, out, noData = segments)(ord =>
+      segments + recOffset(ord))
+    out ++= recBytes
+    out += -1; out += -1; out += -1
+    out += dbType.toByte
+    le3(out, segments)
+    out.toArray
+  }
+
+  /** Build a country-edition `.dat` (v4 or v6) from
+    * (CIDR, countryIndex) entries.
+    */
+  def buildCountry(entries: Seq[(String, Int, Int)],
+      v6: Boolean = false): Array[Byte] = {
+    val root = new Node
+    entries.foreach { case (ip, len, cIdx) =>
+      require(cIdx > 0 && cIdx < LegacyTables.size)
+      insert(root, prefixBits(ip, len), cIdx)
+    }
+    val out = ArrayBuffer.empty[Byte]
+    writeNodes(root, out, noData = LegacyDat.CountryBegin)(
+      LegacyDat.CountryBegin + _)
+    out += -1; out += -1; out += -1
+    out += (if (v6) LegacyDat.CountryEditionV6
+      else LegacyDat.CountryEdition).toByte
+    out.toArray
+  }
+}

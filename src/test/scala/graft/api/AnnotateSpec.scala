@@ -177,6 +177,51 @@ class AnnotateSpec extends AnyFunSuite {
     assert(got("1.0.0.130").getAs[String]("city") == "Hartford")
   }
 
+  test("cutoff routing over a .dat-sourced snapshot: catalog F1 regex " +
+      "accepts GeoLiteCity.dat, binary read feeds the legacy branch " +
+      "(S11 end-to-end, geoloader.go:37-41)") {
+    import spark.implicits._
+    import graft.sources.{Catalog, DatWriter, LegacyDat, LegacyTables}
+    val bytes = DatWriter.buildCity(Seq(
+      ("1.0.0.0", 24, DatWriter.CityPayload(LegacyTables.indexOf("US"),
+        "23", "Portland", "04101", 43.6615, -70.2553, Some((500, 207))))))
+    val dir = java.nio.file.Files.createTempDirectory("datroute")
+    val datName = "20170401T000000Z-GeoLiteCity.dat"
+    java.nio.file.Files.write(dir.resolve(datName), bytes)
+    java.nio.file.Files.write(dir.resolve("notes.txt"),
+      "not a dataset".getBytes)
+
+    // F1: the legacy regex keeps the .dat, drops the stray file
+    val accepted = Catalog.acceptPaths(
+      Seq(s"$dir/$datName", s"$dir/notes.txt").toDF("path"),
+      Catalog.GeoLegacyRegex.regex, Ingest.pathDateGeo(_))
+      .collect()
+    assert(accepted.map(_.getAs[String]("path")).toSeq ==
+      Seq(s"$dir/$datName"))
+    assert(accepted.head.getAs[java.sql.Date]("snapshot_date").toString ==
+      "2017-04-01")
+
+    val legacySnap = Annotate.buildLegacySnapshot(
+      LegacyDat.read(spark, accepted.head.getAs[String]("path")),
+      Ingest.fipsMap(spark, fixture("fips.csv")))
+    val facts = Seq(("1.0.0.42", "2017-01-01"), ("1.0.0.130", "2018-01-01"))
+      .map { case (ip, d) => (ip, java.sql.Date.valueOf(d)) }.toDF("ip", "d")
+    val got = Annotate.routeByCutoff(facts, col("d"),
+        Catalog.GeoLite2StartDate,
+        legacy = f => Annotate.annotateLegacy(spark, f, col("ip"), legacySnap)
+          .select("ip", "d", "geo"),
+        modern = f => Annotate.annotate(spark, f, col("ip"), geoSnap, asnSnap)
+          .select("ip", "d", "geo"))
+      .collect().map(r => r.getAs[String]("ip") -> r.getAs[Row]("geo")).toMap
+    // pre-cutoff row resolved through the binary legacy snapshot
+    assert(got("1.0.0.42").getAs[String]("country_code3") == "USA")
+    assert(got("1.0.0.42").getAs[Long]("metro_code") == 500L)
+    assert(got("1.0.0.42").getAs[String]("subdivision1_iso_code") == "ME")
+    // post-cutoff row went through GeoLite2
+    assert(got("1.0.0.130").getAs[String]("country_code3") == "")
+    assert(got("1.0.0.130").getAs[String]("city") == "Hartford")
+  }
+
   test("date-cutoff routing unions legacy and modern branches (F2)") {
     import spark.implicits._
     val facts = Seq(("a", "2017-01-01"), ("b", "2018-01-01"))

@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+import graft.SparkTestSession
+import graft.api.Annotate
+import graft.functions.IpMath
+import graft.sources.DatWriter.CityPayload
+
+/** S11 golden-fixture coverage for the legacy `.dat` binary reader —
+  * the path the reference covers with legacy/geoip_test.go and
+  * legacy/legacy-dataset_test.go. Fixtures are synthesized with
+  * [[DatWriter]], so every byte of the on-disk layout (trailer,
+  * node pointers, record encoding) is exercised round-trip.
+  */
+class LegacyDatSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val US = LegacyTables.indexOf("US")
+  private val DE = LegacyTables.indexOf("DE")
+
+  private def fmt(r: LegacyDat.LegacyRow): (String, String) =
+    (IpMath.formatIp(r.lo), IpMath.formatIp(r.hi))
+
+  /** The 1e-4 fixed-point quantization every coordinate goes through
+    * on disk (GeoIPCity.c stores round((v+180)*10000); readers —
+    * libGeoIP and ours alike — decode v/10000-180 in binary floating
+    * point, so 43.6615 comes back as 43.66149999999999).
+    */
+  private def q(v: Double): Double =
+    math.round((v + 180.0) * 10000.0) / 10000.0 - 180.0
+
+  private def tmpDatDir(files: (String, Array[Byte])*): String = {
+    val dir = Files.createTempDirectory("legacydat")
+    files.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes)
+    }
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------
+
+  test("country v4: walk emits ranges; adjacent same-country merge") {
+    val bytes = DatWriter.buildCountry(Seq(
+      ("1.0.0.0", 24, US), ("1.0.1.0", 24, US), // adjacent, same value
+      ("5.5.5.0", 24, DE)))
+    val rows = LegacyDat.ranges(bytes)
+    assert(rows.map(fmt) == Vector(
+      ("1.0.0.0", "1.0.1.255"), // merged across the two /24s
+      ("5.5.5.0", "5.5.5.255")))
+    val us = rows(0)
+    assert((us.country_code, us.country_code3, us.country_name,
+      us.continent_code) == ("US", "USA", "United States", "NA"))
+    assert(us.region == "" && us.city == "" && us.latitude == null)
+    val de = rows(1)
+    assert((de.country_code, de.country_code3, de.country_name,
+      de.continent_code) == ("DE", "DEU", "Germany", "EU"))
+  }
+
+  test("city rev1 v4: record decode; US metro/area combo; non-US zero") {
+    val portland = CityPayload(US, "23", "Portland", "04101",
+      43.6615, -70.2553, Some((500, 207)))
+    val stuttgart = CityPayload(DE, "01", "Stuttgart", "",
+      48.7758459, 9.1829321)
+    val bytes = DatWriter.buildCity(Seq(
+      ("1.0.0.0", 24, portland), ("5.5.5.0", 24, stuttgart)))
+    val rows = LegacyDat.ranges(bytes)
+    assert(rows.map(fmt) == Vector(
+      ("1.0.0.0", "1.0.0.255"), ("5.5.5.0", "5.5.5.255")))
+    val p = rows(0)
+    assert(p.region == "23" && p.city == "Portland" &&
+      p.postal_code == "04101")
+    assert(p.latitude == q(43.6615) && p.longitude == q(-70.2553))
+    assert(p.metro_code == 500L && p.area_code == 207L)
+    val s = rows(1)
+    // fixed-point 1e-4 quantization on the way in
+    assert(s.latitude == q(48.7758459) && s.longitude == q(9.1829321))
+    // reference zero-fills metro/area outside REV1-US (geoip.go:268)
+    assert(s.metro_code == 0L && s.area_code == 0L)
+    assert(s.postal_code == "")
+  }
+
+  test("city rev0: no metro combo even for US") {
+    val bytes = DatWriter.buildCity(
+      Seq(("1.0.0.0", 24, CityPayload(US, "23", "Portland", "04101",
+        43.6615, -70.2553, Some((500, 207))))),
+      dbType = LegacyDat.CityEditionRev0)
+    val r = LegacyDat.ranges(bytes).head
+    assert(r.city == "Portland")
+    assert(r.metro_code == 0L && r.area_code == 0L)
+  }
+
+  test("city rev1: adjacent equal-payload leaves merge into one range") {
+    val p = CityPayload(US, "23", "Portland", "04101", 43.6615, -70.2553)
+    val bytes = DatWriter.buildCity(Seq(
+      ("9.0.0.0", 25, p), ("9.0.0.128", 25, p)))
+    assert(LegacyDat.ranges(bytes).map(fmt) ==
+      Vector(("9.0.0.0", "9.0.0.255")))
+  }
+
+  test("city rev1 v6: 128-bit walk emits v6 bounds") {
+    val p = CityPayload(DE, "01", "Stuttgart", "", 48.7758, 9.1829)
+    val bytes = DatWriter.buildCity(
+      Seq(("2001:db8::", 32, p)),
+      dbType = LegacyDat.CityEditionRev1V6)
+    val Vector(r) = LegacyDat.ranges(bytes)
+    assert(IpMath.formatIp(r.lo) == "2001:db8::")
+    assert(IpMath.formatIp(r.hi) ==
+      "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(r.city == "Stuttgart")
+  }
+
+  test("differential: .dat → buildLegacySnapshot ≡ CSV → " +
+      "buildLegacySnapshot (legacy-dataset_test.go analogue)") {
+    // same three ranges as fixtures/legacy-geo.csv
+    val entries = Seq(
+      ("1.0.0.0", 24, "1.0.0.255", CityPayload(US, "23", "Portland",
+        "04101", 43.6615, -70.2553, Some((500, 207)))),
+      ("1.0.1.0", 25, "1.0.1.127", CityPayload(US, "09", "Hartford",
+        "06101", 41.76371, -72.68509, Some((533, 860)))),
+      ("5.5.5.0", 24, "5.5.5.255", CityPayload(DE, "01", "Stuttgart",
+        "", 48.7758459, 9.1829321, None)))
+    val bytes = DatWriter.buildCity(
+      entries.map { case (ip, len, _, p) => (ip, len, p) })
+    // CSV twin of the SAME data: the tabular form is the unpacked dump
+    // of the binary, so its coordinates carry the on-disk 1e-4
+    // quantization, not the pre-encode decimals
+    val csv = ("ip_lo,ip_hi,country_code,country_code3,country_name," +
+      "region,city,postal_code,latitude,longitude,metro_code," +
+      "area_code,continent_code") +:
+      entries.map { case (lo, _, hi, p) =>
+        val (m, a) = p.metroArea.getOrElse((0, 0))
+        val cc = LegacyTables.code(p.countryIdx)
+        s"$lo,$hi,$cc,${LegacyTables.code3(p.countryIdx)}," +
+          s"${LegacyTables.name(p.countryIdx)},${p.region},${p.city}," +
+          s"${p.postal},${q(p.lat)},${q(p.lon)},$m,$a," +
+          s"${LegacyTables.continent(p.countryIdx)}"
+      }
+    val csvDir = Files.createTempDirectory("legacycsv")
+    Files.write(csvDir.resolve("legacy.csv"),
+      csv.mkString("\n").getBytes("UTF-8"))
+    val fips = Ingest.fipsMap(spark,
+      getClass.getResource("/fixtures/fips.csv").getPath)
+
+    def snap(legacy: org.apache.spark.sql.DataFrame): Set[Any] =
+      Annotate.buildLegacySnapshot(legacy, fips).collect().map { r =>
+        val g = r.getAs[Row]("geo")
+        (IpMath.formatIp(r.getAs[Array[Byte]]("lo")),
+          IpMath.formatIp(r.getAs[Array[Byte]]("hi")),
+          g.getAs[String]("country_code"), g.getAs[String]("country_code3"),
+          g.getAs[String]("country_name"), g.getAs[String]("region"),
+          g.getAs[String]("subdivision1_iso_code"),
+          g.getAs[String]("city"),
+          // CSV empty cells read as null; the binary format can only
+          // hold "" — normalize for the compare
+          Option(g.getAs[String]("postal_code")).getOrElse(""),
+          g.getAs[Double]("latitude"), g.getAs[Double]("longitude"),
+          g.getAs[Long]("metro_code"), g.getAs[Long]("area_code"))
+      }.toSet[Any]
+
+    val fromDat = snap(LegacyDat.read(spark, tmpDatDir("a.dat" -> bytes)))
+    val fromCsv = snap(Ingest.legacyGeo(spark,
+      csvDir.resolve("legacy.csv").toString))
+    assert(fromDat == fromCsv)
+    assert(fromDat.size == 3)
+  }
+
+  // ---- corruption / error budget --------------------------------
+
+  private def validCity: Array[Byte] = DatWriter.buildCity(
+    Seq(("1.0.0.0", 24, CityPayload(US, "23", "Portland", "04101",
+      43.6615, -70.2553, Some((500, 207))))))
+
+  test("truncated blob (no trailer) → UnsupportedEdition, not AIOOBE") {
+    val cut = validCity.take(validCity.length / 2)
+    intercept[LegacyDat.UnsupportedEdition](LegacyDat.ranges(cut))
+  }
+
+  test("dangling record pointer → CorruptDat, not AIOOBE") {
+    val full = validCity
+    val meta = LegacyDat.readMeta(full)
+    // keep nodes + trailer, drop the records section entirely
+    val cut = full.take(6 * meta.segments) ++ full.takeRight(7)
+    intercept[LegacyDat.CorruptDat](LegacyDat.ranges(cut))
+  }
+
+  test("unsupported edition type → UnsupportedEdition") {
+    val bytes = DatWriter.buildCountry(Seq(("1.0.0.0", 24, US)))
+    bytes(bytes.length - 1) = 3 // GEOIP_REGION_EDITION_REV0
+    intercept[LegacyDat.UnsupportedEdition](LegacyDat.ranges(bytes))
+  }
+
+  test("read(): corrupt file exceeds default budget of 0 bad records " +
+      "(csv-reader.go:17-20 semantics)") {
+    val dir = tmpDatDir("bad.dat" -> validCity.take(validCity.length / 2))
+    val e = intercept[Ingest.ErrorBudgetExceeded](
+      LegacyDat.read(spark, dir))
+    assert(e.getMessage.contains("bad.dat"))
+  }
+
+  test("read(): budget of 1 bad file skips it and loads the rest") {
+    val dir = tmpDatDir(
+      "good.dat" -> validCity,
+      "bad.dat" -> validCity.take(validCity.length / 2))
+    val rows = LegacyDat.read(spark, dir,
+      Ingest.ErrorBudget(maxBadRecords = 1)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("city") == "Portland")
+  }
+}
