@@ -92,6 +92,66 @@ object ApiQueries {
           col("network.as_name").as("as_name"),
           col("network.missing").as("net_missing"))
         .orderBy("ip")
+    }),
+
+    /** S11 under the hash contract: a deterministic legacy city `.dat`
+      * is synthesized from the `nation` keys with [[graft.sources
+      * .DatWriter]] (nation n owns 10.n.0.0/16, all US so the REV1
+      * metro/area combo path runs), read back through the REAL binary
+      * pipeline — `binaryFile` scan → tree walk → [[graft.sources
+      * .LegacyDat.read]] → `buildLegacySnapshot` (FIPS join, 3-dec
+      * rounding) → `annotateLegacy` probe — and compared to pure
+      * arithmetic in DuckDB. Coordinates are chosen exactly
+      * representable through the format's 1e-4 fixed point (n+0.5 /
+      * -(n+0.25)), so the hash compare is exact. The only driver-side
+      * step is collecting the 25 nation keys to serialize the blob —
+      * dimension-scale by construction.
+      */
+    "q67_annotate_legacy_dat" -> ((s, d) => {
+      import graft.sources.{DatWriter, LegacyDat, LegacyTables}
+      val usIdx = LegacyTables.indexOf("US")
+      val keys = nation(s, d).select(nk).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val entries = keys.toSeq.map { n =>
+        (s"10.$n.0.0", 16, DatWriter.CityPayload(usIdx, s"R$n", s"City$n",
+          s"P$n", n + 0.5, -(n + 0.25), Some((n * 10, n))))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-q67")
+      java.nio.file.Files.write(
+        dir.resolve("20170401T000000Z-GeoLiteCity.dat"),
+        DatWriter.buildCity(entries))
+      val fips = nation(s, d).select(
+        concat(lit("US-R"), nk.cast("string")).as("fips_key"),
+        concat(lit("S"), nk.cast("string")).as("region_iso_code"),
+        concat(lit("SN"), nk.cast("string")).as("region_name"))
+      val snap = Annotate.buildLegacySnapshot(
+        LegacyDat.read(s, dir.toString), fips)
+      val c = col("c_custkey")
+      val ipExpr =
+        when(c % 10 === 4, concat(lit("bogus-"), c.cast("string")))
+          .when(c % 10 === 9, v4(lit(192), lit(168), lit(1), c % 250))
+          .when(c % 5 === 3, concat(lit("2002:"),
+            lpad(lower(hex(c % 25 + 2560)), 4, "0"), lit(":"),
+            lpad(lower(hex(c * 256 + 9)), 4, "0"), lit("::1")))
+          .otherwise(v4(lit(10), c % 25, c, (c * 3) % 250))
+      val reqs = customer(s, d).filter(c < 200).select(ipExpr.as("ip"))
+      Annotate.annotateLegacy(s, reqs, col("ip"), snap)
+        .select(col("ip"),
+          col("geo.continent_code").as("continent"),
+          col("geo.country_code").as("country_code"),
+          col("geo.country_code3").as("country_code3"),
+          col("geo.country_name").as("country_name"),
+          col("geo.region").as("region"),
+          col("geo.subdivision1_iso_code").as("subdiv"),
+          col("geo.subdivision1_name").as("subdiv_name"),
+          col("geo.metro_code").as("metro"),
+          col("geo.city").as("city"),
+          col("geo.area_code").as("area"),
+          col("geo.postal_code").as("postal"),
+          col("geo.latitude").as("lat"),
+          col("geo.longitude").as("lon"),
+          col("geo.missing").as("geo_missing"))
+        .orderBy("ip")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -122,5 +182,34 @@ object ApiQueries {
         |  CASE WHEN r.hit THEN 'AS-' || n_name END AS as_name,
         |  NOT r.hit AS net_missing
         |FROM req r LEFT JOIN nation ON n_nationkey = r.n AND r.hit
+        |ORDER BY r.ip""".stripMargin,
+    "q67_annotate_legacy_dat" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS c, c_custkey % 25 AS n,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'bogus-' || c_custkey
+        |      WHEN c_custkey % 10 = 9 THEN '192.168.1.' || (c_custkey % 250)
+        |      WHEN c_custkey % 5 = 3 THEN '2002:' ||
+        |        lpad(lower(hex(c_custkey % 25 + 2560)), 4, '0') || ':' ||
+        |        lpad(lower(hex(c_custkey * 256 + 9)), 4, '0') || '::1'
+        |      ELSE '10.' || (c_custkey % 25) || '.' || c_custkey || '.' ||
+        |        ((c_custkey * 3) % 250) END AS ip,
+        |    (c_custkey % 10 NOT IN (4, 9)) AS hit
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT r.ip,
+        |  CASE WHEN r.hit THEN 'NA' END AS continent,
+        |  CASE WHEN r.hit THEN 'US' END AS country_code,
+        |  CASE WHEN r.hit THEN 'USA' END AS country_code3,
+        |  CASE WHEN r.hit THEN 'United States' END AS country_name,
+        |  CASE WHEN r.hit THEN 'R' || r.n END AS region,
+        |  CASE WHEN r.hit THEN 'S' || r.n END AS subdiv,
+        |  CASE WHEN r.hit THEN 'SN' || r.n END AS subdiv_name,
+        |  CASE WHEN r.hit THEN CAST(r.n * 10 AS BIGINT) END AS metro,
+        |  CASE WHEN r.hit THEN 'City' || r.n END AS city,
+        |  CASE WHEN r.hit THEN CAST(r.n AS BIGINT) END AS area,
+        |  CASE WHEN r.hit THEN 'P' || r.n END AS postal,
+        |  CASE WHEN r.hit THEN CAST(r.n AS DOUBLE) + 0.5 END AS lat,
+        |  CASE WHEN r.hit THEN -CAST(r.n AS DOUBLE) - 0.25 END AS lon,
+        |  NOT r.hit AS geo_missing
+        |FROM req r
         |ORDER BY r.ip""".stripMargin)
 }
