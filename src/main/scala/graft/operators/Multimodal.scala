@@ -62,12 +62,13 @@ object Multimodal {
   /** Feature extraction with the production batch shape: partition-
     * local iteration, one float vector per row, fixed dimension.
     *
-    * PNG and GIF payloads are REALLY decoded — `javax.imageio` ships
-    * in the JRE, no external codec needed — into a normalized
-    * luminance histogram over actual pixels. Every other format (and
-    * any payload ImageIO rejects) falls back to the deterministic
-    * byte-histogram stub, so the operator keeps total coverage while
-    * the container carries no JPEG/audio/video codecs. A production
+    * PNG, GIF, JPEG, BMP and TIFF payloads are REALLY decoded —
+    * `javax.imageio` ships all five codecs in the stock JRE — into a
+    * normalized luminance histogram over actual pixels. Every other
+    * format (and any payload ImageIO rejects) falls back to the
+    * deterministic byte-histogram stub, so the operator keeps total
+    * coverage while the container carries no audio/video codecs. A
+    * production
     * deployment replaces `decodeFeatures`'s fallback with codec +
     * model calls batched per partition — the mapPartitions shape
     * (amortized per-partition decoder init, streaming iterator, no
@@ -92,18 +93,25 @@ object Multimodal {
     }
   }
 
-  /** PNG/GIF magic-byte check (the ImageIO-decodable subset). */
-  private def isPngOrGif(b: Array[Byte]): Boolean =
-    (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
-      b(2) == 'N' && b(3) == 'G') ||
-      (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+  /** Magic-byte check for the formats the stock JRE ImageIO decodes:
+    * PNG, GIF, JPEG, BMP, TIFF (both byte orders).
+    */
+  private def isImageIoImage(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+          (b(2) & 0xff) == 0xff) ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a))
 
   /** Dispatch: real pixel decode where the JRE has a codec, stub
     * elsewhere (and whenever ImageIO rejects a malformed payload).
     */
   private[operators] def decodeFeatures(bytes: Array[Byte],
       dim: Int): Array[Float] = {
-    val real = if (isPngOrGif(bytes)) imageFeatures(bytes, dim) else None
+    val real = if (isImageIoImage(bytes)) imageFeatures(bytes, dim) else None
     real.getOrElse(fakeDecodeFeatures(bytes, dim))
   }
 

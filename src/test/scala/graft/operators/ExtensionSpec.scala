@@ -553,32 +553,42 @@ class ExtensionSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L))
   }
 
-  test("multimodal: real PNG/GIF pixel decode via javax.imageio") {
+  test("multimodal: real PNG/GIF/JPEG/BMP pixel decode via javax.imageio") {
     import spark.implicits._
-    val img = new java.awt.image.BufferedImage(8, 8,
+    val img = new java.awt.image.BufferedImage(64, 64,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 8; x <- 0 until 8)
-      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
     def enc(fmt: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, fmt, bos)
       bos.toByteArray
     }
-    val df = Seq((1L, enc("png")), (2L, enc("gif"))).toDF("media_id", "media")
+    val df = Seq((1L, enc("png")), (2L, enc("gif")), (3L, enc("bmp")))
+      .toDF("media_id", "media")
     val feats = Multimodal.extractFeatures(df).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     // the histogram is over DECODED pixels — half black (luminance
     // bin 0), half white (bin 15) — not over the compressed bytes,
     // which a byte-histogram stub would have produced
-    for (id <- Seq(1L, 2L)) {
+    for (id <- Seq(1L, 2L, 3L)) {
       assert(math.abs(feats(id)(0) - 0.5f) < 1e-6, s"media $id")
       assert(math.abs(feats(id)(15) - 0.5f) < 1e-6, s"media $id")
       assert(feats(id).slice(1, 15).forall(_ == 0f), s"media $id")
     }
-    // same pixels in different containers decode to identical
-    // features: the operator is a function of the image, not the
-    // byte stream
-    assert(feats(1L) == feats(2L))
+    // same pixels in different LOSSLESS containers decode to
+    // identical features: the operator is a function of the image,
+    // not the byte stream
+    assert(feats(1L) == feats(2L) && feats(1L) == feats(3L))
+    // JPEG is lossy — DCT ringing smears the step edge — but the
+    // decoded-pixel histogram still concentrates at the extremes,
+    // which the byte-histogram stub (spread across JFIF/entropy-coded
+    // bytes) never does
+    val jf = Multimodal.extractFeatures(
+      Seq((4L, enc("jpg"))).toDF("media_id", "media"))
+      .collect().head.getSeq[Float](1)
+    assert(math.abs(jf.sum - 1.0f) < 1e-3)
+    assert(jf(0) > 0.4f && jf(15) > 0.4f)
     // truncated/malformed image payloads fall back to the stub
     // instead of erroring the batch
     val broken = Seq((9L, enc("png").take(20))).toDF("media_id", "media")
