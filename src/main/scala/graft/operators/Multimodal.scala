@@ -67,8 +67,9 @@ object Multimodal {
     * normalized luminance histogram over actual pixels. Every other
     * format (and any payload ImageIO rejects) falls back to the
     * deterministic byte-histogram stub, so the operator keeps total
-    * coverage while the container carries no audio/video codecs. A
-    * production
+    * coverage; WAV/PCM audio likewise decodes for real through
+    * `javax.sound.sampled` ([[audioFeatures]]), leaving only video
+    * and compressed audio stubbed. A production
     * deployment replaces `decodeFeatures`'s fallback with codec +
     * model calls batched per partition — the mapPartitions shape
     * (amortized per-partition decoder init, streaming iterator, no
@@ -106,14 +107,55 @@ object Multimodal {
         (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2a && b(3) == 0) ||
         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2a))
 
-  /** Dispatch: real pixel decode where the JRE has a codec, stub
-    * elsewhere (and whenever ImageIO rejects a malformed payload).
+  /** RIFF/WAVE magic-byte check (the javax.sound-decodable subset). */
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  /** Dispatch: real pixel/sample decode where the JRE has a codec,
+    * stub elsewhere (and whenever the codec rejects a malformed
+    * payload).
     */
   private[operators] def decodeFeatures(bytes: Array[Byte],
       dim: Int): Array[Float] = {
-    val real = if (isImageIoImage(bytes)) imageFeatures(bytes, dim) else None
+    val real =
+      if (isImageIoImage(bytes)) imageFeatures(bytes, dim)
+      else if (isWav(bytes)) audioFeatures(bytes, dim)
+      else None
     real.getOrElse(fakeDecodeFeatures(bytes, dim))
   }
+
+  /** Real audio decode (WAV/PCM — `javax.sound.sampled` ships in the
+    * JRE): normalized `dim`-bin amplitude histogram over the decoded
+    * samples, converted to 16-bit signed PCM first so the features
+    * are a function of the SIGNAL, not the container's sample width
+    * or endianness.
+    */
+  private[operators] def audioFeatures(bytes: Array[Byte],
+      dim: Int): Option[Array[Float]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        2 * src.getChannels, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      val data = pcm.readAllBytes()
+      if (data.length < 2) None
+      else {
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = ((data(i) & 0xff) | (data(i + 1) << 8)) + 32768
+          hist(s * dim / 65536) += 1f
+          i += 2
+        }
+        Some(hist.map(_ / (data.length / 2).toFloat))
+      }
+    } catch { case _: Exception => None }
 
   /** Real decode: normalized `dim`-bin luminance histogram over the
     * decoded pixels (ITU-R BT.601 integer weights). The histogram

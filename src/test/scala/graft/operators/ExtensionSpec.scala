@@ -596,6 +596,53 @@ class ExtensionSpec extends AnyFunSuite {
     assert(fb.length == 1 && fb(0).getSeq[Float](1).sum > 0.99f)
   }
 
+  test("multimodal: real WAV/PCM sample decode via javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    // square wave: half full-negative, half full-positive samples
+    def wav(bits: Int): Array[Byte] = {
+      val n = 1000
+      val (fmt, raw) =
+        if (bits == 16) {
+          val f = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            8000f, 16, 1, 2, 8000f, false)
+          val b = new Array[Byte](2 * n)
+          for (i <- 0 until n) {
+            val v = if (i % 2 == 0) Short.MinValue else Short.MaxValue
+            b(2 * i) = (v & 0xff).toByte; b(2 * i + 1) = (v >> 8).toByte
+          }
+          (f, b)
+        } else {
+          val f = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+            8000f, 8, 1, 1, 8000f, false)
+          (f, Array.tabulate[Byte](n)(i =>
+            if (i % 2 == 0) 0x00.toByte else 0xff.toByte))
+        }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, wav(16)), (2L, wav(8))).toDF("media_id", "media")
+    val feats = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // histogram of DECODED samples: extremes only — a byte-histogram
+    // of the container (RIFF header + alternating bytes) could not
+    // put ~all mass in bins 0 and 15
+    for (id <- Seq(1L, 2L)) {
+      assert(feats(id)(0) > 0.45f, s"media $id: ${feats(id)}")
+      assert(feats(id)(15) > 0.45f, s"media $id: ${feats(id)}")
+      assert(feats(id).sum > 0.999f, s"media $id")
+    }
+    // a RIFF/WAVE header with a garbage body falls back to the stub
+    val junk = "RIFF1234WAVEgarbage-not-a-fmt-chunk".getBytes
+    val fb = Multimodal.extractFeatures(Seq((9L, junk))
+      .toDF("media_id", "media")).collect()
+    assert(fb.length == 1 && fb(0).getSeq[Float](1).sum > 0.99f)
+  }
+
   test("multimodal: header-parsed width/height/duration (no codec)") {
     import spark.implicits._
     def be32(v: Int) = Array[Byte](
