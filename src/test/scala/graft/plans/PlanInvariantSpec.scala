@@ -76,6 +76,16 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("legacy .dat annotate fact path is ZERO-join, like the modern " +
+      "path (q67)") {
+    val p = plan("q67_annotate_legacy_dat")
+    // the binary read + snapshot build (flatten, FIPS broadcast join)
+    // run once at build time; the fact side probes the broadcast
+    // binary-search payload expression only
+    assert(p.contains("range_payload"))
+    assert(!p.contains("Join"))
+  }
+
   test("DSIR scoring broadcasts the bounded bucket-weight table (q65)") {
     val p = plan("q65_dsir_importance")
     assert(p.contains("BroadcastHashJoin"))
