@@ -332,9 +332,14 @@ object LegacyDat {
     * CSV loaders, instead of an executor ArrayIndexOutOfBounds).
     */
   def read(spark: SparkSession, path: String,
-      budget: Ingest.ErrorBudget = Ingest.ErrorBudget()): DataFrame = {
+      budget: Ingest.ErrorBudget = Ingest.ErrorBudget()): DataFrame =
+    read(spark, Seq(path), budget)
+
+  /** Multi-path variant (a refresh batch may deliver several files). */
+  def read(spark: SparkSession, paths: Seq[String],
+      budget: Ingest.ErrorBudget): DataFrame = {
     import spark.implicits._
-    val parsed = spark.read.format("binaryFile").load(path)
+    val parsed = spark.read.format("binaryFile").load(paths: _*)
       .select("path", "content").as[(String, Array[Byte])]
       .map { case (file, bytes) =>
         try FileParse(file, null, ranges(bytes).toArray)

@@ -83,6 +83,45 @@ object Streaming {
         if (paths.nonEmpty) dir.swap(build(paths))
       }
 
+  /** T6 swap for the pre-cutoff branch: the legacy snapshot
+    * [[graft.api.Annotate.annotateLegacy]] probes, swapped whole like
+    * the modern directory (the reference's manager refreshes legacy
+    * annotators through the same load-then-swap path,
+    * manager.go:27-46).
+    */
+  final class LegacySnapshotRef(initial: DataFrame) {
+    private val ref = new AtomicReference[DataFrame](initial)
+    def get: DataFrame = ref.get()
+    def swap(d: DataFrame): Unit = ref.set(d)
+  }
+
+  /** T1/T2 for the legacy branch: watch a drop path for files whose
+    * names the catalog's legacy regexes accept (geoloader.go:37-41),
+    * and on each batch that delivers new `.dat` paths rebuild the
+    * legacy snapshot through the binary reader + FIPS enrichment and
+    * swap it in. Non-matching files in the same drop are ignored, so
+    * modern-zip and legacy-dat watchers can share a directory.
+    */
+  def refreshLegacyOnNewDats(spark: SparkSession, watchPath: String,
+      ref: LegacySnapshotRef, fips: DataFrame,
+      budget: graft.sources.Ingest.ErrorBudget =
+        graft.sources.Ingest.ErrorBudget())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream
+      .format("text")
+      .load(watchPath)
+      .select(input_file_name().as("path"))
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select("path").distinct()
+          .filter(col("path").rlike(graft.sources.Catalog.GeoLegacyRegex.regex)
+            || col("path").rlike(
+              graft.sources.Catalog.GeoLegacyV6Regex.regex))
+          .collect().map(_.getString(0)).toSeq
+        if (paths.nonEmpty)
+          ref.swap(graft.api.Annotate.buildLegacySnapshot(
+            graft.sources.LegacyDat.read(spark, paths, budget), fips))
+      }
+
   /** Q23's streaming twin: tumbling 1-hour event-time windows with a
     * 1-hour watermark; batch-equivalent output in append mode once
     * the watermark passes.

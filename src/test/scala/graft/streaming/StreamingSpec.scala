@@ -109,6 +109,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(ref.get.latest.date.toString == "2023-01-01")
   }
 
+  test("event-driven legacy refresh: a GeoLiteCity.dat drop rebuilds " +
+      "and swaps the legacy snapshot (T1/T2 + S11)") {
+    import spark.implicits._
+    import graft.sources.{DatWriter, LegacyDat, LegacyTables}
+    val us = LegacyTables.indexOf("US")
+    def dat(firstOctet: Int, city: String): Array[Byte] =
+      DatWriter.buildCity(Seq((s"$firstOctet.0.0.0", 24,
+        DatWriter.CityPayload(us, "23", city, "04101",
+          43.6615, -70.2553, Some((500, 207))))))
+    val fips = Ingest.fipsMap(spark, fixture("fips.csv"))
+
+    val seed = java.nio.file.Files.createTempDirectory("datseed")
+    java.nio.file.Files.write(
+      seed.resolve("20170101T000000Z-GeoLiteCity.dat"), dat(1, "Old"))
+    val ref = new Streaming.LegacySnapshotRef(
+      Annotate.buildLegacySnapshot(
+        LegacyDat.read(spark, seed.toString), fips))
+
+    val watch = java.nio.file.Files.createTempDirectory("datwatch")
+    def runOnce(): Unit = {
+      val q = Streaming.refreshLegacyOnNewDats(spark, watch.toString,
+          ref, fips)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    java.nio.file.Files.write(
+      watch.resolve("20170401T000000Z-GeoLiteCity.dat"), dat(2, "New"))
+    java.nio.file.Files.write(watch.resolve("notes.txt"),
+      "ignored by the legacy regex".getBytes)
+    runOnce()
+
+    val got = Annotate.annotateLegacy(spark,
+        Seq("1.0.0.42", "2.0.0.42").toDF("ip"), col("ip"), ref.get)
+      .collect().map(r => r.getAs[String]("ip") ->
+        r.getAs[org.apache.spark.sql.Row]("geo")).toMap
+    // whole-snapshot swap (T6): the new range resolves, the old one
+    // is gone — a merge would have kept both
+    assert(got("2.0.0.42").getAs[String]("city") == "New")
+    assert(got("1.0.0.42").getAs[Boolean]("missing"))
+  }
+
   test("streamed sessionization equals the batch session_window result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream")
