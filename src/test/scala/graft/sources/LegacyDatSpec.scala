@@ -43,6 +43,33 @@ class LegacyDatSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------
 
+  test("LegacyTables structural invariants (libGeoIP table shape)") {
+    assert(LegacyTables.size == 255) // GeoIP.c num_GeoIP_countries
+    // codes are unique, so indexOf is total over them
+    assert(LegacyTables.indexOf.size == LegacyTables.size)
+    val continents = Set("--", "AF", "AN", "AS", "EU", "NA", "OC", "SA")
+    for (i <- 0 until LegacyTables.size) {
+      assert(LegacyTables.code(i).length == 2, s"index $i")
+      assert(LegacyTables.code3(i).length >= 2 &&
+        LegacyTables.code3(i).length <= 3, s"index $i")
+      assert(LegacyTables.name(i).nonEmpty, s"index $i")
+      assert(continents(LegacyTables.continent(i)), s"index $i")
+    }
+    // anchor slots: the sentinel, the pseudo-countries, and the
+    // historically reused slots the format depends on
+    assert(LegacyTables.code(0) == "--")
+    assert(LegacyTables.code(1) == "AP" && LegacyTables.code(2) == "EU")
+    assert(LegacyTables.indexOf("US") == 225)
+    assert(LegacyTables.indexOf("GB") == 77)
+    assert(LegacyTables.indexOf("DE") == 56)
+    assert(LegacyTables.code(10) == "CW") // ex-AN slot
+    assert(LegacyTables.code(75) == "SX") // ex-FX slot
+    assert(LegacyTables.code(239) == "RS") // ex-YU slot
+    assert(LegacyTables.code(254) == "SS") // last slot
+    // out-of-range indices resolve to the sentinel, never throw
+    assert(LegacyTables.code(-1) == "--" && LegacyTables.code(255) == "--")
+  }
+
   test("country v4: walk emits ranges; adjacent same-country merge") {
     val bytes = DatWriter.buildCountry(Seq(
       ("1.0.0.0", 24, US), ("1.0.1.0", 24, US), // adjacent, same value
