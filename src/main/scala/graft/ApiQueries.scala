@@ -136,23 +136,64 @@ object ApiQueries {
           .otherwise(v4(lit(10), c % 25, c, (c * 3) % 250))
       val reqs = customer(s, d).filter(c < 200).select(ipExpr.as("ip"))
       Annotate.annotateLegacy(s, reqs, col("ip"), snap)
-        .select(col("ip"),
-          col("geo.continent_code").as("continent"),
-          col("geo.country_code").as("country_code"),
-          col("geo.country_code3").as("country_code3"),
-          col("geo.country_name").as("country_name"),
-          col("geo.region").as("region"),
-          col("geo.subdivision1_iso_code").as("subdiv"),
-          col("geo.subdivision1_name").as("subdiv_name"),
-          col("geo.metro_code").as("metro"),
-          col("geo.city").as("city"),
-          col("geo.area_code").as("area"),
-          col("geo.postal_code").as("postal"),
-          col("geo.latitude").as("lat"),
-          col("geo.longitude").as("lon"),
-          col("geo.missing").as("geo_missing"))
+        .select(legacyGeoCols: _*)
+        .orderBy("ip")
+    }),
+
+    /** S11's 128-bit walk under the hash contract: same shape as q67
+      * but a CITY_EDITION_REV1_V6 blob (nation n owns 2001:db8:n::/48)
+      * probed with native v6 request IPs — no 6to4 rewrite involved,
+      * so this pins the v6 tree walk and the 16-byte probe end-to-end.
+      */
+    "q68_annotate_legacy_dat_v6" -> ((s, d) => {
+      import graft.sources.{DatWriter, LegacyDat, LegacyTables}
+      val usIdx = LegacyTables.indexOf("US")
+      val keys = nation(s, d).select(nk).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val entries = keys.toSeq.map { n =>
+        (s"2001:db8:${n.toHexString}::", 48,
+          DatWriter.CityPayload(usIdx, s"R$n", s"City$n", s"P$n",
+            n + 0.5, -(n + 0.25), Some((n * 10, n))))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-q68")
+      java.nio.file.Files.write(
+        dir.resolve("20170401T000000Z-GeoLiteCityv6.dat"),
+        DatWriter.buildCity(entries, LegacyDat.CityEditionRev1V6))
+      val fips = nation(s, d).select(
+        concat(lit("US-R"), nk.cast("string")).as("fips_key"),
+        concat(lit("S"), nk.cast("string")).as("region_iso_code"),
+        concat(lit("SN"), nk.cast("string")).as("region_name"))
+      val snap = Annotate.buildLegacySnapshot(
+        LegacyDat.read(s, dir.toString), fips)
+      val c = col("c_custkey")
+      val ipExpr =
+        when(c % 10 === 4, concat(lit("bogus-"), c.cast("string")))
+          .when(c % 10 === 9,
+            concat(lit("2001:dead::"), lower(hex(c))))
+          .otherwise(concat(lit("2001:db8:"), lower(hex(c % 25)),
+            lit("::"), lower(hex(c))))
+      val reqs = customer(s, d).filter(c < 200).select(ipExpr.as("ip"))
+      Annotate.annotateLegacy(s, reqs, col("ip"), snap)
+        .select(legacyGeoCols: _*)
         .orderBy("ip")
     }))
+
+  /** Shared q67/q68 output projection over the legacy geo struct. */
+  private def legacyGeoCols: Seq[Column] = Seq(col("ip"),
+    col("geo.continent_code").as("continent"),
+    col("geo.country_code").as("country_code"),
+    col("geo.country_code3").as("country_code3"),
+    col("geo.country_name").as("country_name"),
+    col("geo.region").as("region"),
+    col("geo.subdivision1_iso_code").as("subdiv"),
+    col("geo.subdivision1_name").as("subdiv_name"),
+    col("geo.metro_code").as("metro"),
+    col("geo.city").as("city"),
+    col("geo.area_code").as("area"),
+    col("geo.postal_code").as("postal"),
+    col("geo.latitude").as("lat"),
+    col("geo.longitude").as("lon"),
+    col("geo.missing").as("geo_missing"))
 
   val oracleSql: Map[String, String] = Map(
     "q64_annotate_v2" ->
@@ -193,6 +234,33 @@ object ApiQueries {
         |        lpad(lower(hex(c_custkey * 256 + 9)), 4, '0') || '::1'
         |      ELSE '10.' || (c_custkey % 25) || '.' || c_custkey || '.' ||
         |        ((c_custkey * 3) % 250) END AS ip,
+        |    (c_custkey % 10 NOT IN (4, 9)) AS hit
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT r.ip,
+        |  CASE WHEN r.hit THEN 'NA' END AS continent,
+        |  CASE WHEN r.hit THEN 'US' END AS country_code,
+        |  CASE WHEN r.hit THEN 'USA' END AS country_code3,
+        |  CASE WHEN r.hit THEN 'United States' END AS country_name,
+        |  CASE WHEN r.hit THEN 'R' || r.n END AS region,
+        |  CASE WHEN r.hit THEN 'S' || r.n END AS subdiv,
+        |  CASE WHEN r.hit THEN 'SN' || r.n END AS subdiv_name,
+        |  CASE WHEN r.hit THEN CAST(r.n * 10 AS BIGINT) END AS metro,
+        |  CASE WHEN r.hit THEN 'City' || r.n END AS city,
+        |  CASE WHEN r.hit THEN CAST(r.n AS BIGINT) END AS area,
+        |  CASE WHEN r.hit THEN 'P' || r.n END AS postal,
+        |  CASE WHEN r.hit THEN CAST(r.n AS DOUBLE) + 0.5 END AS lat,
+        |  CASE WHEN r.hit THEN -CAST(r.n AS DOUBLE) - 0.25 END AS lon,
+        |  NOT r.hit AS geo_missing
+        |FROM req r
+        |ORDER BY r.ip""".stripMargin,
+    "q68_annotate_legacy_dat_v6" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS c, c_custkey % 25 AS n,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'bogus-' || c_custkey
+        |      WHEN c_custkey % 10 = 9 THEN '2001:dead::' ||
+        |        lower(hex(c_custkey))
+        |      ELSE '2001:db8:' || lower(hex(c_custkey % 25)) || '::' ||
+        |        lower(hex(c_custkey)) END AS ip,
         |    (c_custkey % 10 NOT IN (4, 9)) AS hit
         |  FROM customer WHERE c_custkey < 200)
         |SELECT r.ip,

@@ -137,4 +137,42 @@ class LegacyDatPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: random byte mutations never escape the typed error " +
+      "surface (seed 7)") {
+    val rnd = new scala.util.Random(7)
+    val base = DatWriter.buildCity(Seq(
+      ("1.0.0.0", 24, CityPayload(LegacyTables.indexOf("US"), "23",
+        "Portland", "04101", 43.6615, -70.2553, Some((500, 207)))),
+      ("5.5.5.0", 24, CityPayload(LegacyTables.indexOf("DE"), "01",
+        "Stuttgart", "", 48.25, 9.75, None))))
+    for (iter <- 1 to 500) {
+      val mutated = base.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 1 to flips)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      // a mutated blob must either parse (possibly to garbage rows)
+      // or raise one of the two typed errors the budget path counts;
+      // anything else (AIOOBE, NegativeArraySize, stack overflow)
+      // would kill an executor stage instead
+      try {
+        val rows = LegacyDat.ranges(mutated)
+        assert(rows.length <= (1 << 16), s"iter $iter: runaway output")
+      } catch {
+        case _: LegacyDat.CorruptDat => ()
+        case _: LegacyDat.UnsupportedEdition => ()
+        case e: Throwable =>
+          fail(s"iter $iter: untyped ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // truncations at every length, same contract
+    for (cut <- 0 until base.length) {
+      try LegacyDat.ranges(base.take(cut))
+      catch {
+        case _: LegacyDat.CorruptDat | _: LegacyDat.UnsupportedEdition => ()
+        case e: Throwable =>
+          fail(s"cut $cut: untyped ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
 }
