@@ -263,11 +263,16 @@ object LegacyDat {
       !carry && java.util.Arrays.equals(inc, lo)
     }
 
+    // many leaf runs share one on-disk record; decode each record
+    // once and let the emitted rows share the immutable payload
+    // (strings included — copy() below is shallow)
+    val recCache = new java.util.HashMap[Integer, LegacyRow]()
+
     def flush(): Unit = if (pendVal >= 0) {
-      val row =
+      val row = recCache.computeIfAbsent(pendVal, v =>
         if (meta.isCity)
-          cityRecord(bytes, meta, pendVal + (2 * rl - 1) * meta.segments)
-        else countryRecord(pendVal - CountryBegin)
+          cityRecord(bytes, meta, v + (2 * rl - 1) * meta.segments)
+        else countryRecord(v - CountryBegin))
       out += row.copy(lo = toKey(pendLo), hi = toKey(pendHi))
       pendVal = -1
     }
