@@ -205,6 +205,40 @@ object IpMath {
     s"${formatIp(lo)}/$mask"
   }
 
+  /** Minimal CIDR cover of an arbitrary inclusive [lo, hi] range over
+    * a fixed address width (lo.length bytes): the standard greedy —
+    * from `lo`, take the largest block both aligned at the cursor and
+    * contained in the range, emit, advance. Exact inverse of block
+    * expansion: re-reading the emitted prefixes reconstructs [lo, hi]
+    * precisely, unlike [[rangeToCidr]]'s single approximate block.
+    * Driver/dimension-scale utility (the cover of any range has at
+    * most 2·width − 2 blocks).
+    */
+  def rangeToCidrs(lo: Array[Byte], hi: Array[Byte])
+      : Seq[(Array[Byte], Int)] = {
+    require(lo != null && hi != null && lo.length == hi.length)
+    val width = lo.length * 8
+    val end = BigInt(1, hi)
+    var cur = BigInt(1, lo)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int)]
+    while (cur <= end) {
+      val alignK =
+        if (cur == 0) width
+        else math.min(cur.lowestSetBit, width)
+      var k = alignK
+      while (k > 0 && cur + (BigInt(1) << k) - 1 > end) k -= 1
+      val bytes = {
+        val raw = cur.toByteArray.dropWhile(_ == 0)
+        val a = new Array[Byte](lo.length)
+        System.arraycopy(raw, 0, a, a.length - raw.length, raw.length)
+        a
+      }
+      out += ((bytes, width - k))
+      cur += BigInt(1) << k
+    }
+    out.toSeq
+  }
+
   /** value ± delta with byte carry/borrow over an arbitrary-length
     * big-endian array; mirrors plusOne/minusOne (iputils.go:318-337)
     * for 16-byte IPs and works for any unsigned-comparable binary

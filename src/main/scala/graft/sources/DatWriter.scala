@@ -26,8 +26,10 @@ object DatWriter {
   /** MSB-first bit string ("0"/"1") of the first `len` bits of `ip` —
     * dotted IPv4 for 32-bit editions, any IPv6 literal for 128-bit.
     */
-  def prefixBits(ip: String, len: Int): String = {
-    val addr = java.net.InetAddress.getByName(ip).getAddress
+  def prefixBits(ip: String, len: Int): String =
+    addrBits(java.net.InetAddress.getByName(ip).getAddress, len)
+
+  private def addrBits(addr: Array[Byte], len: Int): String = {
     val sb = new StringBuilder(len)
     var bit = 0
     while (bit < len) {
@@ -105,7 +107,12 @@ object DatWriter {
     * so adjacent equal-payload blocks exercise the reader's merge.
     */
   def buildCity(entries: Seq[(String, Int, CityPayload)],
-      dbType: Int = LegacyDat.CityEditionRev1): Array[Byte] = {
+      dbType: Int = LegacyDat.CityEditionRev1): Array[Byte] =
+    buildCityFromBits(
+      entries.map { case (ip, len, p) => (prefixBits(ip, len), p) }, dbType)
+
+  private[sources] def buildCityFromBits(
+      entries: Seq[(String, CityPayload)], dbType: Int): Array[Byte] = {
     require(Set(LegacyDat.CityEditionRev0, LegacyDat.CityEditionRev1,
       LegacyDat.CityEditionRev0V6, LegacyDat.CityEditionRev1V6)(dbType))
     val rev1 = dbType == LegacyDat.CityEditionRev1 ||
@@ -114,9 +121,9 @@ object DatWriter {
     // dedupe payloads, preserving first-seen order
     val recordOf = LinkedHashMap.empty[CityPayload, Int]
     val root = new Node
-    entries.foreach { case (ip, len, p) =>
+    entries.foreach { case (bits, p) =>
       val ord = recordOf.getOrElseUpdate(p, recordOf.size)
-      insert(root, prefixBits(ip, len), ord)
+      insert(root, bits, ord)
     }
     val segments = math.max(countInternal(root), 1)
 
@@ -156,11 +163,16 @@ object DatWriter {
     * (CIDR, countryIndex) entries.
     */
   def buildCountry(entries: Seq[(String, Int, Int)],
-      v6: Boolean = false): Array[Byte] = {
+      v6: Boolean = false): Array[Byte] =
+    buildCountryFromBits(
+      entries.map { case (ip, len, c) => (prefixBits(ip, len), c) }, v6)
+
+  private[sources] def buildCountryFromBits(entries: Seq[(String, Int)],
+      v6: Boolean): Array[Byte] = {
     val root = new Node
-    entries.foreach { case (ip, len, cIdx) =>
+    entries.foreach { case (bits, cIdx) =>
       require(cIdx > 0 && cIdx < LegacyTables.size)
-      insert(root, prefixBits(ip, len), cIdx)
+      insert(root, bits, cIdx)
     }
     val out = ArrayBuffer.empty[Byte]
     writeNodes(root, out, noData = LegacyDat.CountryBegin)(
@@ -169,5 +181,72 @@ object DatWriter {
     out += (if (v6) LegacyDat.CountryEditionV6
       else LegacyDat.CountryEdition).toByte
     out.toArray
+  }
+
+  // ---- export: range table → .dat ---------------------------------
+
+  private def isV6Type(dbType: Int): Boolean =
+    dbType == LegacyDat.CountryEditionV6 ||
+      dbType == LegacyDat.CityEditionRev0V6 ||
+      dbType == LegacyDat.CityEditionRev1V6
+
+  private def rangeBits(r: LegacyDat.LegacyRow, v6: Boolean)
+      : Seq[String] = {
+    val (lo, hi) =
+      if (v6) (r.lo, r.hi)
+      else (r.lo.drop(12), r.hi.drop(12)) // strip the v4-mapped prefix
+    graft.functions.IpMath.rangeToCidrs(lo, hi).map { case (a, len) =>
+      addrBits(a, len)
+    }
+  }
+
+  /** Export decoded legacy rows back to a `.dat` blob — the sink-side
+    * inverse of [[LegacyDat.ranges]]. Ranges need not be CIDR-aligned
+    * (each is decomposed into its minimal CIDR cover; the cover's
+    * blocks share one record, so a re-read merges them back to the
+    * original rows). Driver-side and dimension-scale by design: the
+    * reference holds the same table fully in memory (geoip.go:89).
+    */
+  def exportCity(rows: Seq[LegacyDat.LegacyRow],
+      dbType: Int = LegacyDat.CityEditionRev1): Array[Byte] =
+    buildCityFromBits(rows.flatMap { r =>
+      val p = CityPayload(LegacyTables.indexOf.getOrElse(r.country_code, 0),
+        r.region, r.city, r.postal_code,
+        if (r.latitude == null) 0.0 else r.latitude.doubleValue,
+        if (r.longitude == null) 0.0 else r.longitude.doubleValue,
+        if (r.metro_code == null || r.area_code == null ||
+            (r.metro_code == 0L && r.area_code == 0L)) None
+        else Some((r.metro_code.intValue, r.area_code.intValue)))
+      rangeBits(r, isV6Type(dbType)).map(_ -> p)
+    }, dbType)
+
+  /** Country-edition export: only the country index survives. */
+  def exportCountry(rows: Seq[LegacyDat.LegacyRow],
+      v6: Boolean = false): Array[Byte] =
+    buildCountryFromBits(rows.flatMap { r =>
+      val idx = LegacyTables.indexOf.getOrElse(r.country_code, 0)
+      if (idx == 0) Seq.empty // "--" / unknown = no-data in this format
+      else rangeBits(r, v6).map(_ -> idx)
+    }, v6)
+
+  /** File sink: collect a (dimension-scale) decoded range table in
+    * [[LegacyDat.read]]'s output shape and write one `.dat` file.
+    */
+  def writeCityFile(df: org.apache.spark.sql.DataFrame, path: String,
+      dbType: Int = LegacyDat.CityEditionRev1): Unit = {
+    val rows = df.collect().map { r =>
+      LegacyDat.LegacyRow(
+        r.getAs[Array[Byte]]("lo"), r.getAs[Array[Byte]]("hi"),
+        r.getAs[String]("country_code"), r.getAs[String]("country_code3"),
+        r.getAs[String]("country_name"), r.getAs[String]("region"),
+        r.getAs[String]("city"), r.getAs[String]("postal_code"),
+        r.getAs[java.lang.Double]("latitude"),
+        r.getAs[java.lang.Double]("longitude"),
+        r.getAs[java.lang.Long]("metro_code"),
+        r.getAs[java.lang.Long]("area_code"),
+        r.getAs[String]("continent_code"))
+    }.toSeq
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      exportCity(rows, dbType))
   }
 }

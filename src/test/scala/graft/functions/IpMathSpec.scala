@@ -143,4 +143,32 @@ class IpMathSpec extends AnyFunSuite {
       assert(b2 != null && b2.toSeq == b.toSeq, formatIp(b))
     }
   }
+
+  test("property: rangeToCidrs is an exact minimal cover (seed 42)") {
+    val rnd = new scala.util.Random(42)
+    def toBytes(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    for (iter <- 1 to 1000) {
+      val a = rnd.nextLong() & 0xffffffffL
+      val b = rnd.nextLong() & 0xffffffffL
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val blocks = rangeToCidrs(toBytes(lo), toBytes(hi))
+      assert(blocks.size <= 62, s"iter $iter")
+      var cursor = lo
+      blocks.foreach { case (addr, len) =>
+        val base = addr.foldLeft(0L)((acc, x) => (acc << 8) | (x & 0xff))
+        val size = 1L << (32 - len)
+        assert(base == cursor, s"iter $iter: gap or overlap at /$len")
+        assert(base % size == 0, s"iter $iter: unaligned /$len")
+        cursor = base + size
+      }
+      assert(cursor == hi + 1, s"iter $iter: cover ends at $cursor")
+    }
+    // degenerate cases: single address and the full space
+    val single = rangeToCidrs(toBytes(7), toBytes(7))
+    assert(single.map(_._2) == Seq(32) &&
+      single.head._1.toSeq == toBytes(7).toSeq)
+    assert(rangeToCidrs(toBytes(0), toBytes(0xffffffffL)).map(_._2) ==
+      Seq(0))
+  }
 }

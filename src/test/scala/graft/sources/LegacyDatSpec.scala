@@ -195,6 +195,68 @@ class LegacyDatSpec extends AnyFunSuite {
     assert(fromDat.size == 3)
   }
 
+  /** LegacyRow holds byte arrays, whose == is reference equality —
+    * project to a comparable tuple for roundtrip asserts.
+    */
+  private def key(r: LegacyDat.LegacyRow) =
+    (IpMath.formatIp(r.lo), IpMath.formatIp(r.hi), r.country_code,
+      r.country_code3, r.country_name, r.region, r.city, r.postal_code,
+      r.latitude, r.longitude, r.metro_code, r.area_code,
+      r.continent_code)
+
+  private def v4key(ip: String): Array[Byte] =
+    IpMath.V4Prefix ++ java.net.InetAddress.getByName(ip).getAddress
+
+  test("export roundtrip: non-CIDR-aligned ranges decompose, re-read " +
+      "merges them back to the original rows") {
+    // 1.0.0.3–1.0.2.17 is no CIDR block: the cover needs many blocks,
+    // all sharing one record, so ranges() must merge them back
+    val rows = Vector(
+      LegacyDat.LegacyRow(v4key("1.0.0.3"), v4key("1.0.2.17"),
+        "US", "USA", "United States", "23", "Portland", "04101",
+        q(43.6615), q(-70.2553), 500L, 207L, "NA"),
+      LegacyDat.LegacyRow(v4key("5.5.5.0"), v4key("5.5.5.255"),
+        "DE", "DEU", "Germany", "01", "Stuttgart", "",
+        q(48.25), q(9.75), 0L, 0L, "EU"))
+    val back = LegacyDat.ranges(DatWriter.exportCity(rows))
+    assert(back.map(key) == rows.map(key))
+  }
+
+  test("export roundtrip: country edition") {
+    val rows = Vector(
+      LegacyDat.LegacyRow(v4key("1.0.0.0"), v4key("1.0.1.255"),
+        "US", "USA", "United States", "", "", "",
+        null, null, null, null, "NA"),
+      LegacyDat.LegacyRow(v4key("9.1.2.3"), v4key("9.7.1.0"),
+        "JP", "JPN", "Japan", "", "", "",
+        null, null, null, null, "AS"))
+    val back = LegacyDat.ranges(DatWriter.exportCountry(rows))
+    assert(back.map(key) == rows.map(key))
+  }
+
+  test("writeCityFile sink: DataFrame range table → .dat file → read " +
+      "roundtrip through Spark") {
+    val src = DatWriter.buildCity(Seq(
+      ("1.0.0.0", 24, CityPayload(US, "23", "Portland", "04101",
+        43.6615, -70.2553, Some((500, 207)))),
+      ("5.5.5.0", 24, CityPayload(DE, "01", "Stuttgart", "",
+        48.25, 9.75))))
+    val dir = tmpDatDir("src.dat" -> src)
+    val table = LegacyDat.read(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("datexport")
+      .resolve("20170401T000000Z-GeoLiteCity.dat")
+    DatWriter.writeCityFile(table, out.toString)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (IpMath.formatIp(r.getAs[Array[Byte]]("lo")),
+          IpMath.formatIp(r.getAs[Array[Byte]]("hi")),
+          r.toSeq.drop(2))
+      }.toSet
+    val reread = LegacyDat.read(spark, out.getParent.toString)
+    assert(rows(reread) == rows(table))
+    assert(reread.count() == 2)
+  }
+
   // ---- corruption / error budget --------------------------------
 
   private def validCity: Array[Byte] = DatWriter.buildCity(
