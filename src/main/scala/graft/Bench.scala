@@ -35,15 +35,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // every caught throwable is NAMED on stderr — an anonymous stack
+    // in the bench tail must be attributable to a query and pass
+    def named(name: String, pass: String, e: Throwable): Unit =
+      System.err.println(s"[bench] $name $pass failed: " +
+        s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}" +
+        e.getStackTrace.headOption.fold("")(f => s" at $f"))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => named(name, "warm", e) }
       System.gc()
       def timedPass(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case e: Throwable => named(name, "timed", e); false }
         // failures report -1, never a plausible-looking partial time
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }

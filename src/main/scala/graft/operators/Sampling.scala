@@ -71,13 +71,17 @@ object Sampling {
     * quantized to integer micro-units before the per-doc sum, so
     * results are exact and partition-order-free (the q60 recipe).
     *
-    * Scale shape: the feature stream is exploded ONCE per aggregate;
-    * bucket counts are map-side combined into at most `buckets` rows
-    * (a bounded dimension table), and the per-doc scoring join
-    * BROADCASTS that table — the Zipf-skewed feature stream never
-    * shuffles on a feature key, only the final per-doc sum shuffles
-    * on the doc id. At 100 TB this is two corpus scans + one
-    * doc-count-sized shuffle.
+    * Scale shape: the corpus is tokenized, exploded, and hashed
+    * exactly ONCE. The exploded stream collapses immediately into a
+    * per-(doc, bucket) count table (map-side combined, one shuffle on
+    * the doc/bucket pair); BOTH the bucket-count branch and the
+    * scoring branch then read that same aggregate, so the physical
+    * plan carries a single corpus scan with a ReusedExchange — not
+    * two scans. Bucket counts reduce to at most `buckets` rows (a
+    * bounded dimension table) and the scoring join BROADCASTS them —
+    * the Zipf-skewed feature stream never shuffles on a feature key.
+    * At 100 TB this is one corpus scan, one bigram-bag-sized shuffle,
+    * and one doc-count-sized shuffle.
     *
     * Output: (id, n_feats, micro_importance).
     */
@@ -88,25 +92,38 @@ object Sampling {
     val n1 = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
-    val feats = df.select(col(idCol), isTarget.as("__t"),
+    // ONE pass over the corpus: explode, hash, and collapse to the
+    // per-(doc, bucket) bag — everything downstream reuses this
+    // exchange instead of re-reading the corpus
+    val docBuckets = df.select(col(idCol), isTarget.as("__t"),
         explode(bigrams).as("__g"))
       .select(col(idCol), col("__t"),
         (StableHash.md5Int60(col("__g")) % buckets).as("__b"))
-    val counts = feats.groupBy("__b").agg(
-      count(lit(1)).as("__sc"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
-    val totals = counts.agg(sum("__sc").as("__st"), sum("__tc").as("__tt"))
-    val weights = counts.crossJoin(broadcast(totals))
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val counts = docBuckets.groupBy("__b").agg(
+      sum("__n").as("__sc"),
+      sum(when(col("__t"), col("__n")).otherwise(0L)).as("__tc"))
+    // corpus/target totals via a global window over the ≤`buckets`
+    // count rows — one tiny single-partition exchange, NOT a second
+    // aggregation lineage that would re-scan the corpus (the plan
+    // must carry exactly one unfiltered corpus pass)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = counts
+      .withColumn("__st", sum("__sc").over(all))
+      .withColumn("__tt", sum("__tc").over(all))
       .select(col("__b"),
         round((log((col("__tc") + 1).cast("double") /
             (col("__tt") + buckets).cast("double")) -
           log((col("__sc") + 1).cast("double") /
             (col("__st") + buckets).cast("double"))) * 1e6)
           .cast("long").as("__w"))
-    feats.join(broadcast(weights), Seq("__b"))
+    docBuckets.join(broadcast(weights), Seq("__b"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum("__w").as("micro_importance"))
+      .agg(sum("__n").as("n_feats"),
+        sum(col("__n") * col("__w")).as("micro_importance"))
   }
 
   /** Per-stratum deterministic sampling: a row's keep-rate is looked

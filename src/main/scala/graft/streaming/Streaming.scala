@@ -101,12 +101,23 @@ object Streaming {
     * legacy snapshot through the binary reader + FIPS enrichment and
     * swap it in. Non-matching files in the same drop are ignored, so
     * modern-zip and legacy-dat watchers can share a directory.
+    *
+    * The v4 and v6 editions refresh independently, as in the
+    * reference (geoloader keeps one annotator per family): the
+    * watcher remembers the latest delivered path PER FAMILY across
+    * batches and rebuilds the snapshot from their union, so a batch
+    * that drops only a v6 file replaces the v6 half without evicting
+    * v4 coverage (and vice versa). "Latest" is the lexicographically
+    * greatest path — the date-stamped filenames make that the newest
+    * edition.
     */
   def refreshLegacyOnNewDats(spark: SparkSession, watchPath: String,
       ref: LegacySnapshotRef, fips: DataFrame,
       budget: graft.sources.Ingest.ErrorBudget =
         graft.sources.Ingest.ErrorBudget())
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // per-watcher memory of the newest path per family ("v4"/"v6")
+    val latest = new AtomicReference[Map[String, String]](Map.empty)
     spark.readStream
       .format("text")
       .load(watchPath)
@@ -117,10 +128,20 @@ object Streaming {
             || col("path").rlike(
               graft.sources.Catalog.GeoLegacyV6Regex.regex))
           .collect().map(_.getString(0)).toSeq
-        if (paths.nonEmpty)
+        val v6 = paths.filter(
+          graft.sources.Catalog.GeoLegacyV6Regex.pattern.matcher(_).matches())
+        val v4 = paths.diff(v6)
+        if (paths.nonEmpty) {
+          val union = latest.updateAndGet { m =>
+            m ++ v4.sorted.lastOption.map("v4" -> _) ++
+              v6.sorted.lastOption.map("v6" -> _)
+          }
           ref.swap(graft.api.Annotate.buildLegacySnapshot(
-            graft.sources.LegacyDat.read(spark, paths, budget), fips))
+            graft.sources.LegacyDat.read(spark, union.values.toSeq.sorted,
+              budget), fips))
+        }
       }
+  }
 
   /** Q23's streaming twin: tumbling 1-hour event-time windows with a
     * 1-hour watermark; batch-equivalent output in append mode once

@@ -33,6 +33,29 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_int60 expression is bit-identical to the composed " +
+      "md5/substring/conv definition (the DuckDB oracle contract)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val alphabets = Seq("ab ", "abcdefgh .,", "héöñ×ab", "日本語ab c")
+    val samples = (0 until 500).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      (0 until rng.nextInt(60)).map(_ => alpha(rng.nextInt(alpha.length)))
+        .mkString
+    } :+ "" :+ "x" :+ ("y" * 4096)
+    val rows = samples.toDF("s").select(
+      StableHash.md5Int60(col("s")).as("fast"),
+      StableHash.md5Int60Composed(col("s")).as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    rows.foreach(r => assert(r.getLong(0) >= 0L))
+    // null in → null out, matching the composed chain
+    val n = Seq[Option[String]](None).toDF("s").select(
+      StableHash.md5Int60(col("s")).as("fast"),
+      StableHash.md5Int60Composed(col("s")).as("slow")).collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("char_ngrams is SQL-registered with analysis-time checks") {
     graft.Graft.install(spark)
     val got = spark.sql("SELECT char_ngrams('abcde', 4, true)")

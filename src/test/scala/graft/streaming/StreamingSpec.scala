@@ -152,6 +152,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("1.0.0.42").getAs[Boolean]("missing"))
   }
 
+  test("legacy refresh is per-family: a v6-only drop keeps v4 coverage") {
+    import spark.implicits._
+    import graft.sources.{DatWriter, LegacyDat, LegacyTables}
+    val us = LegacyTables.indexOf("US")
+    def payload(city: String) = DatWriter.CityPayload(us, "23", city,
+      "04101", 43.6615, -70.2553, Some((500, 207)))
+    val fips = Ingest.fipsMap(spark, fixture("fips.csv"))
+
+    val seed = java.nio.file.Files.createTempDirectory("datseedfam")
+    java.nio.file.Files.write(
+      seed.resolve("20170101T000000Z-GeoLiteCity.dat"),
+      DatWriter.buildCity(Seq(("9.0.0.0", 24, payload("Seed")))))
+    val ref = new Streaming.LegacySnapshotRef(
+      Annotate.buildLegacySnapshot(
+        LegacyDat.read(spark, seed.toString), fips))
+
+    val watch = java.nio.file.Files.createTempDirectory("datwatchfam")
+    def runOnce(): Unit = {
+      val q = Streaming.refreshLegacyOnNewDats(spark, watch.toString,
+          ref, fips)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // batch 1: v4 only
+    runOnce()
+    java.nio.file.Files.write(
+      watch.resolve("20170301T000000Z-GeoLiteCity.dat"),
+      DatWriter.buildCity(Seq(("1.0.0.0", 24, payload("V4City")))))
+    runOnce()
+    // batch 2: v6 ONLY — must not evict the remembered v4 edition
+    java.nio.file.Files.write(
+      watch.resolve("20170401T000000Z-GeoLiteCityv6.dat"),
+      DatWriter.buildCity(Seq(("2001:db8::", 32, payload("V6City"))),
+        LegacyDat.CityEditionRev1V6))
+    runOnce()
+
+    val got = Annotate.annotateLegacy(spark,
+        Seq("1.0.0.42", "2001:db8::42").toDF("ip"), col("ip"), ref.get)
+      .collect().map(r => r.getAs[String]("ip") ->
+        r.getAs[org.apache.spark.sql.Row]("geo")).toMap
+    assert(got("1.0.0.42").getAs[String]("city") == "V4City")
+    assert(got("2001:db8::42").getAs[String]("city") == "V6City")
+  }
+
   test("streamed sessionization equals the batch session_window result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sessstream")
