@@ -176,6 +176,97 @@ object ApiQueries {
       Annotate.annotateLegacy(s, reqs, col("ip"), snap)
         .select(legacyGeoCols: _*)
         .orderBy("ip")
+    }),
+
+    /** F2's core routing behavior end-to-end under the hash contract
+      * (geoloader.go:160-176, cutoff 2017-08-15): one request batch
+      * whose dates straddle the cutoff runs through
+      * [[Annotate.routeByCutoff]] — pre-cutoff rows probe the
+      * `.dat`-sourced legacy snapshot (q67's fixture recipe, built
+      * through the REAL binary writer → reader → FIPS path) and get a
+      * Missing network (the legacy annotator carries geo only); the
+      * rest probe a modern snapshot with distinct payloads (MCity/MP
+      * prefixes) plus ASN data. The merged union is hashed, so the
+      * oracle pins WHICH branch every row took, not just each
+      * branch's math.
+      */
+    "q70_route_cutoff" -> ((s, d) => {
+      import graft.functions.IpFunctions._
+      import graft.sources.{DatWriter, LegacyDat, LegacyTables}
+      val usIdx = LegacyTables.indexOf("US")
+      val keys = nation(s, d).select(nk).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val entries = keys.toSeq.map { n =>
+        (s"10.$n.0.0", 16, DatWriter.CityPayload(usIdx, s"R$n", s"City$n",
+          s"P$n", n + 0.5, -(n + 0.25), Some((n * 10, n))))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-q70")
+      java.nio.file.Files.write(
+        dir.resolve("20170401T000000Z-GeoLiteCity.dat"),
+        DatWriter.buildCity(entries))
+      val fips = nation(s, d).select(
+        concat(lit("US-R"), nk.cast("string")).as("fips_key"),
+        concat(lit("S"), nk.cast("string")).as("region_iso_code"),
+        concat(lit("SN"), nk.cast("string")).as("region_name"))
+      val legacySnap = Annotate.buildLegacySnapshot(
+        LegacyDat.read(s, dir.toString), fips)
+
+      val nat = nation(s, d)
+      val blocks = nat.select(
+        ip_to_bin(v4(lit(10), nk, lit(0), lit(0))).as("lo"),
+        ip_to_bin(v4(lit(10), nk, lit(255), lit(255))).as("hi"),
+        nk.cast("long").as("geoname_id"),
+        nk.cast("long").as("registered_country_geoname_id"),
+        concat(lit("MP"), nk.cast("string")).as("postal_code"),
+        (nk.cast("double") + 0.5).as("latitude"),
+        (-nk.cast("double") - 0.25).as("longitude"))
+      val locs = nat.select(
+        nk.cast("long").as("geoname_id"),
+        concat(lit("C"), col("n_regionkey").cast("string"))
+          .as("continent_code"),
+        concat(lit("I"), nk.cast("string")).as("country_iso_code"),
+        col("n_name").as("country_name"),
+        concat(lit("S"), nk.cast("string")).as("subdivision_1_iso_code"),
+        concat(lit("SN"), nk.cast("string")).as("subdivision_1_name"),
+        lit("").as("subdivision_2_iso_code"),
+        lit("").as("subdivision_2_name"),
+        (nk * 10).cast("long").as("metro_code"),
+        concat(lit("MCity"), nk.cast("string")).as("city_name"))
+      val asnRanges = nat.select(
+        ip_to_bin(v4(lit(10), nk, lit(0), lit(0))).as("lo"),
+        ip_to_bin(v4(lit(10), nk, lit(255), lit(255))).as("hi"),
+        (nk + 100).cast("string").as("asn_string"))
+      val asNames = nat.select(
+        (nk + 100).cast("long").as("asn"),
+        concat(lit("AS-"), col("n_name")).as("as_name"))
+      val geoSnap = Annotate.buildGeoSnapshot(blocks, locs)
+      val asnSnap = Annotate.buildAsnSnapshot(asnRanges, asNames)
+
+      val c = col("c_custkey")
+      val ipExpr =
+        when(c % 10 === 4, concat(lit("bogus-"), c.cast("string")))
+          .when(c % 10 === 9, v4(lit(192), lit(168), lit(1), c % 250))
+          .otherwise(v4(lit(10), c % 25, c, (c * 3) % 250))
+      val reqs = customer(s, d).filter(c < 200).select(ipExpr.as("ip"),
+        date_add(lit(Date.valueOf("2017-08-01")), (c % 30).cast("int"))
+          .as("req_date"))
+      def shared(df: DataFrame): DataFrame = df.select(
+        col("ip"), col("req_date"),
+        col("geo.country_code").as("country_code"),
+        col("geo.city").as("city"),
+        col("geo.postal_code").as("postal"),
+        col("geo.latitude").as("lat"),
+        col("geo.missing").as("geo_missing"),
+        col("network.asn").as("asn"),
+        col("network.missing").as("net_missing"))
+      Annotate.routeByCutoff(reqs, col("req_date"),
+          Date.valueOf("2017-08-15"),
+          legacy = f => shared(
+            Annotate.annotateLegacy(s, f, col("ip"), legacySnap)
+              .withColumn("network", Annotate.missingNetwork)),
+          modern = f => shared(
+            Annotate.annotate(s, f, col("ip"), geoSnap, asnSnap)))
+        .orderBy("ip")
     }))
 
   /** Shared q67/q68 output projection over the legacy geo struct. */
@@ -278,6 +369,31 @@ object ApiQueries {
         |  CASE WHEN r.hit THEN CAST(r.n AS DOUBLE) + 0.5 END AS lat,
         |  CASE WHEN r.hit THEN -CAST(r.n AS DOUBLE) - 0.25 END AS lon,
         |  NOT r.hit AS geo_missing
+        |FROM req r
+        |ORDER BY r.ip""".stripMargin,
+    "q70_route_cutoff" ->
+      """WITH req AS (
+        |  SELECT c_custkey AS c, c_custkey % 25 AS n,
+        |    CASE WHEN c_custkey % 10 = 4 THEN 'bogus-' || c_custkey
+        |      WHEN c_custkey % 10 = 9 THEN '192.168.1.' || (c_custkey % 250)
+        |      ELSE '10.' || (c_custkey % 25) || '.' || c_custkey || '.' ||
+        |        ((c_custkey * 3) % 250) END AS ip,
+        |    (c_custkey % 10 NOT IN (4, 9)) AS hit,
+        |    DATE '2017-08-01' + CAST(c_custkey % 30 AS INT) AS req_date,
+        |    (c_custkey % 30) < 14 AS leg
+        |  FROM customer WHERE c_custkey < 200)
+        |SELECT r.ip, r.req_date,
+        |  CASE WHEN NOT r.hit THEN NULL
+        |    WHEN r.leg THEN 'US' ELSE 'I' || r.n END AS country_code,
+        |  CASE WHEN NOT r.hit THEN NULL
+        |    WHEN r.leg THEN 'City' || r.n ELSE 'MCity' || r.n END AS city,
+        |  CASE WHEN NOT r.hit THEN NULL
+        |    WHEN r.leg THEN 'P' || r.n ELSE 'MP' || r.n END AS postal,
+        |  CASE WHEN r.hit THEN CAST(r.n AS DOUBLE) + 0.5 END AS lat,
+        |  NOT r.hit AS geo_missing,
+        |  CASE WHEN r.hit AND NOT r.leg
+        |    THEN CAST(r.n + 100 AS BIGINT) END AS asn,
+        |  (r.leg OR NOT r.hit) AS net_missing
         |FROM req r
         |ORDER BY r.ip""".stripMargin)
 }

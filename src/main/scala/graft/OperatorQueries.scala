@@ -36,6 +36,47 @@ object OperatorQueries {
         .orderBy("lo")
     }),
 
+    /** J1's over-broadcast escape hatch under the hash contract: the
+      * same containment semantics as the broadcast probes (q25/q67),
+      * but executed through [[graft.operators.BucketedRangeJoin]] —
+      * the documented 100 TB path when a range table outgrows a
+      * broadcast. Ranges band into fixed-width prefix buckets and the
+      * join is a bucket EQUI-join with the containment predicate as
+      * residual (no broadcast of the range table, no BNLJ, no driver
+      * collect). Both families run through the one call: v4 ranges
+      * (10.n.0.0/16 per nation) and native-v6 ranges
+      * (2001:db8:n::/48), probed with a covered/uncovered request
+      * mix; the left join keeps misses with a NULL payload.
+      */
+    "q69_bucketed_range_join" -> ((s, d) => {
+      val n = col("n_nationkey")
+      def cidr(c: org.apache.spark.sql.Column) = (cidr_lo(c), cidr_hi(c))
+      val (v4lo, v4hi) = cidr(
+        concat(lit("10."), n.cast("string"), lit(".0.0/16")))
+      val (v6lo, v6hi) = cidr(
+        concat(lit("2001:db8:"), lower(hex(n)), lit("::/48")))
+      val ranges = Tables.nation(s, d)
+        .select(v4lo.as("lo"), v4hi.as("hi"),
+          concat(lit("R"), n.cast("string")).as("range_tag"))
+        .unionByName(Tables.nation(s, d)
+          .select(v6lo.as("lo"), v6hi.as("hi"),
+            concat(lit("R6-"), n.cast("string")).as("range_tag")))
+      val c = col("c_custkey")
+      val ipExpr =
+        when(c % 10 === 4,
+          concat(lit("192.168."), (c % 200).cast("string"), lit(".9")))
+          .when(c % 5 === 3, concat(lit("2001:db8:"),
+            lower(hex(c % 25)), lit("::"), lower(hex(c))))
+          .otherwise(concat(lit("10."), (c % 25).cast("string"), lit("."),
+            (c % 256).cast("string"), lit(".7")))
+      val facts = Tables.customer(s, d).filter(c < 300)
+        .select(c.as("ck"), ipExpr.as("ip"))
+      graft.operators.BucketedRangeJoin
+        .lookup(facts, ranges, ip_to_bin(col("ip")))
+        .select(col("ck"), col("ip"), col("range_tag"))
+        .orderBy("ck")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede.
     "q26_asof_snapshot" -> ((s, d) => {
@@ -59,6 +100,18 @@ object OperatorQueries {
         | UNION ALL SELECT 25, 51) b
         |ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
         |GROUP BY b.lo ORDER BY b.lo""".stripMargin,
+    "q69_bucketed_range_join" ->
+      """SELECT c_custkey AS ck,
+        |  CASE WHEN c_custkey % 10 = 4
+        |      THEN '192.168.' || (c_custkey % 200) || '.9'
+        |    WHEN c_custkey % 5 = 3 THEN '2001:db8:' ||
+        |      lower(hex(c_custkey % 25)) || '::' || lower(hex(c_custkey))
+        |    ELSE '10.' || (c_custkey % 25) || '.' ||
+        |      (c_custkey % 256) || '.7' END AS ip,
+        |  CASE WHEN c_custkey % 10 = 4 THEN NULL
+        |    WHEN c_custkey % 5 = 3 THEN 'R6-' || (c_custkey % 25)
+        |    ELSE 'R' || (c_custkey % 25) END AS range_tag
+        |FROM customer WHERE c_custkey < 300 ORDER BY ck""".stripMargin,
     "q26_asof_snapshot" ->
       """SELECT e.event_id, coalesce(
         |  (SELECT max(o.o_orderdate) FROM orders o

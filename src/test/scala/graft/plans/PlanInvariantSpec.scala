@@ -86,6 +86,17 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("bucketed range join is a bucket equi-join plus residual — " +
+      "never a BNLJ or cartesian product (q69)") {
+    val p = plan("q69_bucketed_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the join key is the exploded prefix bucket (+ family) — the
+    // range predicate rides along as residual on an equi-join, which
+    // shuffles (or broadcasts, at dimension scale) on a dense key
+    assert(p.contains("__bucket"))
+  }
+
   test("DSIR scoring broadcasts the bounded bucket-weight table (q65)") {
     val p = plan("q65_dsir_importance")
     assert(p.contains("BroadcastHashJoin"))
