@@ -194,7 +194,18 @@ object DatWriter {
       : Seq[String] = {
     val (lo, hi) =
       if (v6) (r.lo, r.hi)
-      else (r.lo.drop(12), r.hi.drop(12)) // strip the v4-mapped prefix
+      else {
+        // a genuinely-v6 row cannot be narrowed into a 32-bit edition:
+        // silently dropping 12 bytes would export a bogus v4 range, so
+        // exporting a mixed-family table under a v4 dbType is an error
+        def v4Mapped(b: Array[Byte]) = b.length == 16 &&
+          b.take(12).sameElements(graft.functions.IpMath.V4Prefix)
+        require(v4Mapped(r.lo) && v4Mapped(r.hi),
+          s"cannot export non-v4-mapped range to a 32-bit edition: " +
+            s"${graft.functions.IpMath.formatIp(r.lo)}-" +
+            s"${graft.functions.IpMath.formatIp(r.hi)}")
+        (r.lo.drop(12), r.hi.drop(12)) // strip the v4-mapped prefix
+      }
     graft.functions.IpMath.rangeToCidrs(lo, hi).map { case (a, len) =>
       addrBits(a, len)
     }

@@ -179,6 +179,13 @@ object LegacyDat {
     val (region, p1) = readCString(bytes, pos); pos = p1
     val (city, p2) = readCString(bytes, pos); pos = p2
     val (postal, p3) = readCString(bytes, pos); pos = p3
+    // decoded at full double precision, intentionally NOT narrowed
+    // through float32 the way the reference does (geoip.go GetRecord
+    // stores float32(latitude) before its 3-decimal round): the
+    // format's 1e-4 fixed point is exact in a double, so keeping the
+    // double is strictly more faithful to the on-disk value. A
+    // boundary coordinate can therefore differ from the reference
+    // service in the third decimal — by being MORE accurate.
     val lat = le3(bytes, pos) / 10000.0 - 180.0; pos += 3
     val lon = le3(bytes, pos) / 10000.0 - 180.0; pos += 3
     val code = LegacyTables.code(cIdx)
@@ -324,7 +331,10 @@ object LegacyDat {
   /** One file's parse outcome: either rows or a budget-countable
     * error. Encodes as (file, err, rows ARRAY&lt;STRUCT&gt;).
     */
-  private final case class FileParse(file: String, err: String,
+  // private[sources], not private: the cached Dataset's codegen'd
+  // deserializer constructs this from another class (JVM-public is
+  // required; Scala `private` nested in an object is JVM-private)
+  private[sources] final case class FileParse(file: String, err: String,
       rows: Array[LegacyRow])
 
   /** Read one or many `.dat` files into the [[Ingest.legacyGeo]]
@@ -340,7 +350,15 @@ object LegacyDat {
       budget: Ingest.ErrorBudget = Ingest.ErrorBudget()): DataFrame =
     read(spark, Seq(path), budget)
 
-  /** Multi-path variant (a refresh batch may deliver several files). */
+  /** Multi-path variant (a refresh batch may deliver several files).
+    *
+    * Each blob is parsed exactly ONCE: the parse stage is cached
+    * across the failure-budget action and the row emission, and the
+    * emitted range table is materialized (localCheckpoint) before the
+    * blob cache is released — downstream consumers (snapshot builds,
+    * repeated probes) read the materialized dimension table, never
+    * the ~50 MB blobs again.
+    */
   def read(spark: SparkSession, paths: Seq[String],
       budget: Ingest.ErrorBudget): DataFrame = {
     import spark.implicits._
@@ -354,18 +372,22 @@ object LegacyDat {
               Array.empty)
         }
       }
-    // dimension-scale action: one row per FILE, not per range
-    val failures = parsed.filter(_.err != null)
-      .map(p => (p.file, p.err)).collect()
-    if (failures.length > budget.maxBadRecords)
-      throw new Ingest.ErrorBudgetExceeded(
-        failures.map { case (f, e) => s"$f: $e" }
-          .mkString(s"${failures.length} unreadable .dat file(s) > " +
-            s"${budget.maxBadRecords}: ", "; ", ""))
-    parsed.filter(_.err == null)
-      .flatMap(_.rows)
-      .toDF()
-      .select(Ingest.legacyGeoSchema.fieldNames.drop(2)
-        .foldLeft(Seq(col("lo"), col("hi")))((acc, c) => acc :+ col(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // dimension-scale action: one row per FILE, not per range
+      val failures = parsed.filter(_.err != null)
+        .map(p => (p.file, p.err)).collect()
+      if (failures.length > budget.maxBadRecords)
+        throw new Ingest.ErrorBudgetExceeded(
+          failures.map { case (f, e) => s"$f: $e" }
+            .mkString(s"${failures.length} unreadable .dat file(s) > " +
+              s"${budget.maxBadRecords}: ", "; ", ""))
+      parsed.filter(_.err == null)
+        .flatMap(_.rows)
+        .toDF()
+        .select(Ingest.legacyGeoSchema.fieldNames.drop(2)
+          .foldLeft(Seq(col("lo"), col("hi")))((acc, c) => acc :+ col(c)): _*)
+        .localCheckpoint(true)
+    } finally parsed.unpersist(false)
   }
 }

@@ -222,6 +222,23 @@ class LegacyDatSpec extends AnyFunSuite {
     assert(back.map(key) == rows.map(key))
   }
 
+  test("export to a 32-bit edition rejects a genuinely-v6 row instead " +
+      "of silently truncating it into a bogus v4 range") {
+    val v6lo = java.net.InetAddress.getByName("2001:db8::").getAddress
+    val v6hi = java.net.InetAddress.getByName("2001:db8::ff").getAddress
+    val row = LegacyDat.LegacyRow(v6lo, v6hi,
+      "US", "USA", "United States", "23", "Portland", "04101",
+      q(43.6615), q(-70.2553), 500L, 207L, "NA")
+    val e = intercept[IllegalArgumentException] {
+      DatWriter.exportCity(Vector(row))
+    }
+    assert(e.getMessage.contains("32-bit edition"))
+    // the same row exports fine under the v6 edition
+    val back = LegacyDat.ranges(
+      DatWriter.exportCity(Vector(row), LegacyDat.CityEditionRev1V6))
+    assert(back.map(key) == Vector(row).map(key))
+  }
+
   test("export roundtrip: country edition") {
     val rows = Vector(
       LegacyDat.LegacyRow(v4key("1.0.0.0"), v4key("1.0.1.255"),
