@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
-import graft.operators.{Dedup, Graph, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Ivf, Mp4, Multimodal, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -253,6 +253,33 @@ object SketchQueries {
           Similarity.cosineInt, 0.2, "vec_id", "q")
         .orderBy("a", "b")),
 
+    /** Real MP4 frame demux under the hash contract: one container
+      * per nation key is synthesized through [[graft.operators.Mp4]]
+      * `.build` (writer → sample-table walk → mdat slice closes the
+      * loop, the q67 `.dat` recipe), with 4 samples and keyframes at
+      * sample numbers 1 and 3 — so [[Multimodal.sampleFrames]] must
+      * parse stss, pick exactly the two sync samples, and slice their
+      * payloads (deterministic ASCII, so DuckDB md5's the expected
+      * bytes arithmetically) out of mdat at the stsz/stco-derived
+      * offsets. Driver-side blob synthesis is dimension-scale (25
+      * containers); the demux runs distributed in mapPartitions.
+      */
+    "q71_mp4_frames" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { n =>
+        val payloads = (0 until 4).map(i => s"frame-$n-$i".getBytes)
+        (n.toLong, Mp4.build(payloads, Some(Seq(1, 3))))
+      }.toDF("media_id", "media")
+      Multimodal.sampleFrames(media, 4)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features
     // (16-bin byte histogram), checked via dim / mass / argmax bin.
@@ -454,6 +481,14 @@ object SketchQueries {
         |SELECT media_id, CAST(len(cs) AS BIGINT) AS dim,
         |  round(CAST(list_sum(cs) AS DOUBLE) / n, 2) AS mass,
         |  CAST(list_position(cs, list_max(cs)) AS BIGINT) AS top_bin
-        |FROM counts ORDER BY media_id""".stripMargin
+        |FROM counts ORDER BY media_id""".stripMargin,
+    "q71_mp4_frames" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+        |  CAST(t.i AS BIGINT) AS frame_idx,
+        |  CAST(length('frame-' || n_nationkey || '-' || (t.i * 2))
+        |    AS BIGINT) AS n_bytes,
+        |  md5('frame-' || n_nationkey || '-' || (t.i * 2)) AS frame_md5
+        |FROM nation, (SELECT 0 AS i UNION ALL SELECT 1) t
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

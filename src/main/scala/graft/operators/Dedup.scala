@@ -120,17 +120,56 @@ object Dedup {
         xxhash64(col("col").cast("string")).as("band_key"))
   }
 
+  /** @param maxBucket skew guard: a (band, key) bucket larger than
+    *   this degrades from the all-pairs self-join (quadratic in the
+    *   bucket) to deterministic STAR candidates around the bucket's
+    *   minimum id (linear). The exact-dedup pre-pass in
+    *   [[nearDupDedup]] already kills identical docs, but a templated
+    *   corpus — near-identical, not identical — can still pile one
+    *   bucket to millions of members; the star keeps every member a
+    *   candidate (connectivity for clustering is preserved through
+    *   the hub) while bounding candidate count at bucket size. Pair
+    *   RECALL inside an oversized bucket drops to the star edges by
+    *   design — the quadratic pair set was the pathology. Default
+    *   unlimited: the guard costs one extra shuffle on the band key,
+    *   so it is opt-in for corpora where templating is expected.
+    */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, maxBucket: Int = Int.MaxValue): DataFrame = {
     val banded = bandKeys(sigs, idCol, bands, "id")
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r,
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .distinct()
+    if (maxBucket == Int.MaxValue) {
+      val l = banded.alias("l")
+      val r = banded.alias("r")
+      l.join(r,
+          col("l.band") === col("r.band") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"))
+        .distinct()
+    } else {
+      require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
+      // one pass over the banded stream sizes every bucket (map-side
+      // combined; same shuffle key as the join below, so AQE lines
+      // the exchanges up)
+      val sized = banded
+        .join(banded.groupBy("band", "band_key")
+            .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub")),
+          Seq("band", "band_key"))
+        .localCheckpoint(false)
+      val healthy = sized.filter(col("__n") <= maxBucket)
+      val l = healthy.alias("l")
+      val r = healthy.alias("r")
+      val allPairs = l.join(r,
+          col("l.band") === col("r.band") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("a"), col("r.id").as("b"))
+      // oversized buckets: min-id hub → member star, linear per bucket
+      val starPairs = sized.filter(col("__n") > maxBucket)
+        .filter(col("id") =!= col("__hub"))
+        .select(col("__hub").as("a"), col("id").as("b"))
+      allPairs.unionByName(starPairs).distinct()
+    }
   }
 
   /** Jaccard similarity of two docs estimated from MinHash
@@ -169,7 +208,7 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = Int.MaxValue): DataFrame = {
     // materialized once: the signature table feeds the band
     // self-join (twice) and both estimate re-joins, and recomputing
     // the gram explosion + 64 min-aggs per branch is the dominant
@@ -181,7 +220,7 @@ object Dedup {
     // `Streaming.dedupStream`.
     val sigs = minhashSignatures(df, textCol, idCol, numHashes)
       .localCheckpoint(false)
-    val cands = lshCandidatePairs(sigs, idCol, bands)
+    val cands = lshCandidatePairs(sigs, idCol, bands, maxBucket)
     val sa = sigs.select(col(idCol).as("a"), col("sig").as("sig_a"))
     val sb = sigs.select(col(idCol).as("b"), col("sig").as("sig_b"))
     cands.join(sa, Seq("a")).join(sb, Seq("b"))
@@ -201,7 +240,7 @@ object Dedup {
     */
   def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucket: Int = Int.MaxValue): DataFrame = {
     // exact dedup FIRST: LSH candidate generation is quadratic in an
     // exact-duplicate class (every pair of identical docs shares
     // every band — 10k copies of one boilerplate page would emit
@@ -210,7 +249,7 @@ object Dedup {
     // keep the minimum id of a duplicate group.
     val uniq = exactDedupKeepFirst(df, textCol, idCol)
     val pairs = nearDupPairs(uniq, textCol, idCol, numHashes, bands,
-      threshold)
+      threshold, maxBucket)
     val nearDrop = Graph.connectedComponents(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

@@ -1,0 +1,233 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal ISO-BMFF (MP4) container walk — enough of the public
+  * format (ISO/IEC 14496-12) to build a real frame index without any
+  * codec: `moov/trak/mdia/minf/stbl` is located by box walk, then
+  *
+  *  - `stsz` gives every sample's size,
+  *  - `stsc` maps samples to chunks,
+  *  - `stco`/`co64` gives each chunk's absolute file offset,
+  *  - `stss` marks the sync samples (keyframes); absent ⇒ all sync.
+  *
+  * From those four tables every sample's exact `(offset, size)` byte
+  * extent in the file is arithmetic — so frame payloads (e.g. H.264
+  * access units) can be sliced out of the container without decoding
+  * anything, the same trick the `.dat` reader uses for its tree walk.
+  *
+  * Defensive like [[graft.sources.LegacyDat]]: every read is bounds-
+  * checked and malformed structure returns None (callers fall back),
+  * never an executor ArrayIndexOutOfBounds.
+  */
+object Mp4 {
+
+  /** One video frame's byte extent in the container. */
+  final case class Frame(sampleNo: Int, offset: Long, size: Long,
+      sync: Boolean)
+
+  private val MaxSamples = 1 << 20 // malformed-count guard
+
+  private def be32(b: Array[Byte], p: Int): Long =
+    if (p < 0 || p + 4 > b.length) -1L
+    else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], p: Int): Long =
+    if (p < 0 || p + 8 > b.length) -1L
+    else (be32(b, p) << 32) | be32(b, p + 4)
+
+  private def boxType(b: Array[Byte], p: Int): String =
+    if (p < 0 || p + 4 > b.length) ""
+    else new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Iterate child boxes of [start, end): returns (type, payloadStart,
+    * payloadEnd) triples. Stops at the first malformed header.
+    */
+  private def children(b: Array[Byte], start: Long, end: Long)
+      : Vector[(String, Long, Long)] = {
+    val out = ArrayBuffer.empty[(String, Long, Long)]
+    var p = start
+    while (p + 8 <= end && out.length < 4096) {
+      val size32 = be32(b, p.toInt)
+      val typ = boxType(b, p.toInt + 4)
+      val (size, hdr) =
+        if (size32 == 1L) (be64(b, p.toInt + 8), 16L)
+        else if (size32 == 0L) (end - p, 8L) // box extends to end
+        else (size32, 8L)
+      if (size < hdr || p + size > end) return out.toVector
+      out += ((typ, p + hdr, p + size))
+      p += size
+    }
+    out.toVector
+  }
+
+  private def child(boxes: Vector[(String, Long, Long)], typ: String)
+      : Option[(Long, Long)] =
+    boxes.collectFirst { case (t, s, e) if t == typ => (s, e) }
+
+  /** Full-box payload start (skips version/flags). */
+  private def full(s: Long): Int = s.toInt + 4
+
+  /** Build the frame index of the first VIDEO track (hdlr type
+    * `vide`); None when the payload is not a parseable MP4 or carries
+    * no video samples.
+    */
+  def frameIndex(bytes: Array[Byte]): Option[Vector[Frame]] = {
+    if (bytes.length < 16) return None
+    val top = children(bytes, 0, bytes.length.toLong)
+    if (!top.exists(_._1 == "ftyp")) return None
+    val moov = child(top, "moov").getOrElse(return None)
+    val traks = children(bytes, moov._1, moov._2).filter(_._1 == "trak")
+    traks.iterator.flatMap { case (_, ts, te) =>
+      val mdia = child(children(bytes, ts, te), "mdia")
+      mdia.flatMap { case (ms, me) =>
+        val mboxes = children(bytes, ms, me)
+        val isVideo = child(mboxes, "hdlr").exists { case (hs, _) =>
+          boxType(bytes, full(hs) + 4) == "vide"
+        }
+        if (!isVideo) None
+        else child(mboxes, "minf")
+          .flatMap { case (ns, ne) => child(children(bytes, ns, ne), "stbl") }
+          .flatMap { case (ss, se) => stblIndex(bytes, ss, se) }
+      }
+    }.find(_.nonEmpty)
+  }
+
+  /** Decode the four sample tables under one `stbl` into the frame
+    * index. Any inconsistent count/offset returns None.
+    */
+  private def stblIndex(b: Array[Byte], s: Long, e: Long)
+      : Option[Vector[Frame]] = {
+    val boxes = children(b, s, e)
+
+    // stsz: fixed sample_size or per-sample table
+    val (sizes, nSamples) = child(boxes, "stsz") match {
+      case None => return None
+      case Some((ps, _)) =>
+        val fixed = be32(b, full(ps))
+        val n = be32(b, full(ps) + 4)
+        if (n < 0 || n > MaxSamples) return None
+        if (fixed != 0) (Vector.fill(n.toInt)(fixed), n.toInt)
+        else {
+          val arr = (0 until n.toInt).map(i => be32(b, full(ps) + 8 + 4 * i))
+          if (arr.exists(_ < 0)) return None
+          (arr.toVector, n.toInt)
+        }
+    }
+    if (nSamples == 0) return Some(Vector.empty)
+
+    // chunk offsets: stco (32-bit) or co64
+    val chunkOffsets: Vector[Long] = child(boxes, "stco") match {
+      case Some((ps, _)) =>
+        val n = be32(b, full(ps))
+        if (n < 0 || n > MaxSamples) return None
+        (0 until n.toInt).map(i => be32(b, full(ps) + 4 + 4 * i)).toVector
+      case None => child(boxes, "co64") match {
+        case Some((ps, _)) =>
+          val n = be32(b, full(ps))
+          if (n < 0 || n > MaxSamples) return None
+          (0 until n.toInt).map(i => be64(b, full(ps) + 4 + 8 * i)).toVector
+        case None => return None
+      }
+    }
+    if (chunkOffsets.isEmpty || chunkOffsets.exists(_ < 0)) return None
+
+    // stsc runs: (first_chunk, samples_per_chunk)
+    val stscRuns: Vector[(Int, Int)] = child(boxes, "stsc") match {
+      case None => return None
+      case Some((ps, _)) =>
+        val n = be32(b, full(ps))
+        if (n < 0 || n > MaxSamples) return None
+        val runs = (0 until n.toInt).map { i =>
+          (be32(b, full(ps) + 4 + 12 * i).toInt,
+            be32(b, full(ps) + 4 + 12 * i + 4).toInt)
+        }.toVector
+        if (runs.exists(r => r._1 < 1 || r._2 < 0)) return None
+        runs
+    }
+    if (stscRuns.isEmpty) return None
+
+    // stss sync table (1-based sample numbers); absent = all sync
+    val sync: Option[Set[Int]] = child(boxes, "stss").map { case (ps, _) =>
+      val n = be32(b, full(ps))
+      if (n < 0 || n > MaxSamples) Set.empty[Int]
+      else (0 until n.toInt).map(i => be32(b, full(ps) + 4 + 4 * i).toInt)
+        .toSet
+    }
+
+    // walk chunks, laying samples contiguously from each chunk offset
+    val frames = Vector.newBuilder[Frame]
+    var sample = 0 // 0-based
+    var chunk = 1  // 1-based
+    var run = 0
+    while (sample < nSamples && chunk <= chunkOffsets.length) {
+      while (run + 1 < stscRuns.length && stscRuns(run + 1)._1 <= chunk)
+        run += 1
+      var off = chunkOffsets(chunk - 1)
+      var i = 0
+      while (i < stscRuns(run)._2 && sample < nSamples) {
+        val sz = sizes(sample)
+        if (off < 0 || sz < 0 || off + sz > b.length) return None
+        frames += Frame(sample + 1, off, sz,
+          sync.forall(_.contains(sample + 1)))
+        off += sz
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) None else Some(frames.result())
+  }
+
+  // ---- build: frame payloads → .mp4 blob (the DatWriter pattern:
+  // a writer closes the read/write loop, so the walk is testable
+  // against synthesized containers, not just golden bytes) ----------
+
+  private def be32b(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32b(8L + body.length) ++
+      typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+  }
+
+  private def fullBox(typ: String, payload: Array[Byte]*): Array[Byte] =
+    box(typ, (Array[Byte](0, 0, 0, 0) +: payload): _*)
+
+  /** Synthesize a minimal-but-valid video MP4: `ftyp` + one `mdat`
+    * holding the frame payloads contiguously (one chunk) + a `moov`
+    * whose single `vide` track indexes them through real
+    * stsz/stsc/stco(+stss) tables.
+    *
+    * @param syncSamples 1-based keyframe sample numbers for an `stss`
+    *   box; None omits the box (= every sample sync, per the spec)
+    */
+  def build(frames: Seq[Array[Byte]],
+      syncSamples: Option[Seq[Int]] = None): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val ftyp = box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      be32b(0), "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val mdatPayloadOff = ftyp.length + 8L
+    val stsz = fullBox("stsz", be32b(0), be32b(frames.length.toLong),
+      frames.flatMap(f => be32b(f.length.toLong)).toArray)
+    val stsc = fullBox("stsc", be32b(1),
+      be32b(1), be32b(frames.length.toLong), be32b(1))
+    val stco = fullBox("stco", be32b(1), be32b(mdatPayloadOff))
+    val stss = syncSamples.fold(Array.emptyByteArray)(ss =>
+      fullBox("stss", be32b(ss.length.toLong),
+        ss.flatMap(v => be32b(v.toLong)).toArray))
+    val stbl = box("stbl", stsz, stsc, stco, stss)
+    val hdlr = fullBox("hdlr", be32b(0),
+      "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      new Array[Byte](12))
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr, minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    val mdat = box("mdat", frames.flatten.toArray)
+    ftyp ++ mdat ++ moov
+  }
+}

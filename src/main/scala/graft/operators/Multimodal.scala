@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * typed metadata, plus decode / feature-extract / frame-sample
   * stages.
   *
-  * The Spark-side plumbing — schema, format sniffing, partition-
-  * friendly batched decode shape, output contracts — is real and
-  * tested. The actual media decoding is STUBBED with a deterministic
-  * fake (this container ships no image/audio codecs): every
-  * `*Stub` function documents exactly what a production decoder
-  * replaces.
+  * What is REAL: the Spark-side plumbing (schema, format sniffing,
+  * partition-friendly batched decode shape, output contracts), pixel
+  * decode for PNG/GIF/JPEG/BMP/TIFF (`javax.imageio`), WAV/PCM sample
+  * decode (`javax.sound.sampled`), and the MP4 frame demux
+  * ([[Mp4.frameIndex]] — sample-table walk, no codec needed). What
+  * stays STUBBED, with a deterministic fake and a documented swap-in
+  * point: decoding VIDEO frames / compressed audio to raw signal —
+  * the stock JRE ships no codec for those.
   */
 object Multimodal {
 
@@ -206,9 +208,67 @@ object Multimodal {
   /** Frame sampling with the production output contract: one row per
     * (media_id, frame_idx) with a binary frame payload.
     *
-    * STUB: "frames" are n equal byte slices of the container.
-    * A real implementation demuxes keyframes; the explode shape,
-    * ordering column and payload type are the engine contract.
+    * MP4 payloads are REALLY demuxed: [[Mp4.frameIndex]] walks the
+    * container's public sample tables (stsz/stsc/stco/stss — no codec
+    * involved) and this operator slices up to `n` KEYFRAMES, picked
+    * evenly across the sync-sample list, straight out of `mdat` as
+    * real access-unit payloads. Non-MP4 payloads (and malformed MP4s)
+    * fall back to the documented equal-byte-slice stub so coverage
+    * stays total. Decoding the sliced frames to pixels still needs a
+    * codec the JRE doesn't ship — that single step remains a
+    * production swap-in; the demux, batch shape, ordering column and
+    * payload contract are real.
+    */
+  def sampleFrames(df: DataFrame, n: Int,
+      mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {
+    require(n >= 1, s"invalid frame count: $n")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val idPos = df.columns.indexOf(idCol)
+    val mediaPos = df.columns.indexOf(mediaCol)
+    require(idPos >= 0 && mediaPos >= 0)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idPos)
+        val bytes = r.getAs[Array[Byte]](mediaPos)
+        if (bytes == null) Iterator.empty
+        else frameSlices(bytes, n).zipWithIndex.map { case (f, i) =>
+          Row(id, i, f)
+        }.iterator
+      }
+    }
+  }
+
+  /** Up to `n` frame payloads for one media blob: even keyframe picks
+    * from the MP4 index when it parses, equal byte slices otherwise.
+    */
+  private[operators] def frameSlices(bytes: Array[Byte],
+      n: Int): Seq[Array[Byte]] =
+    Mp4.frameIndex(bytes) match {
+      case Some(frames) if frames.nonEmpty =>
+        val keys = frames.filter(_.sync)
+        val pool = if (keys.nonEmpty) keys else frames
+        val picked =
+          if (pool.length <= n) pool
+          else (0 until n).map(i => pool((i.toLong * pool.length / n).toInt))
+        picked.map(f => java.util.Arrays.copyOfRange(bytes,
+          f.offset.toInt, (f.offset + f.size).toInt))
+      case _ =>
+        val sliceLen = math.max(bytes.length / n, 1)
+        (0 until n).flatMap { i =>
+          val start = i * sliceLen
+          if (start >= bytes.length) None
+          else Some(java.util.Arrays.copyOfRange(bytes, start,
+            math.min(start + sliceLen, bytes.length)))
+        }
+    }
+
+  /** Frame sampling, stub-only path (n equal byte slices) — kept for
+    * the pre-round-9 contract; [[sampleFrames]] supersedes it with a
+    * real MP4 demux and this byte-slice behavior as its fallback.
     */
   def sampleFramesStub(df: DataFrame, n: Int,
       mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {

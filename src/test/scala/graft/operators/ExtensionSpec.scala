@@ -54,6 +54,48 @@ class ExtensionSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated skipped
   }
 
+  test("LSH bucket skew guard: a near-identical (templated, not " +
+      "identical) corpus completes with bounded candidates") {
+    import spark.implicits._
+    val n = 2000
+    // every doc shares the long template and differs by one trailing
+    // token — exact dedup can't collapse them, and most band keys
+    // collide across the whole corpus (the quadratic pathology:
+    // ~n²/2 × bands candidate rows without the guard)
+    val corpus = (0 until n)
+      .map(i => (i.toLong, s"$base unique token nr $i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 64)
+      .localCheckpoint(false)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id",
+      bands = 16, maxBucket = 64)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: star edges are ≤ bucket size per oversized bucket, so
+    // the candidate set is FAR below the ~2M all-pairs blowup
+    assert(got.length < 8 * n, s"unbounded candidates: ${got.length}")
+    assert(got.forall(p => p._1 < p._2))
+    // connectivity through the hub survives: every doc still appears
+    // in at least one candidate pair
+    val seen = got.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(seen.size == n)
+    // deterministic: same input → same pair set
+    val again = Dedup.lshCandidatePairs(sigs, "doc_id",
+      bands = 16, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("LSH bucket skew guard is a no-op when no bucket exceeds the cap") {
+    val unlimited = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "text", "doc_id", 64), "doc_id", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "text", "doc_id", 64), "doc_id", 16,
+      maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == unlimited)
+  }
+
   test("incremental dedup drops batch docs already in the corpus") {
     import spark.implicits._
     val corpus = Seq((0L, base), (1L, unrelated)).toDF("doc_id", "text")
@@ -641,6 +683,49 @@ class ExtensionSpec extends AnyFunSuite {
     val fb = Multimodal.extractFeatures(Seq((9L, junk))
       .toDF("media_id", "media")).collect()
     assert(fb.length == 1 && fb(0).getSeq[Float](1).sum > 0.99f)
+  }
+
+  test("multimodal: real MP4 frame demux — stsz/stsc/stco/stss walk " +
+      "slices keyframe payloads out of mdat") {
+    import spark.implicits._
+    val payloads = (0 until 6).map(i =>
+      s"frame-payload-$i-${"x" * (3 + i)}".getBytes)
+    // keyframes at samples 1, 3, 5 (1-based)
+    val mp4 = Mp4.build(payloads, Some(Seq(1, 3, 5)))
+
+    // the index walk finds every sample at its exact byte extent
+    val idx = Mp4.frameIndex(mp4).get
+    assert(idx.length == 6)
+    for ((f, i) <- idx.zipWithIndex) {
+      val got = java.util.Arrays.copyOfRange(mp4, f.offset.toInt,
+        (f.offset + f.size).toInt)
+      assert(got.sameElements(payloads(i)), s"sample $i")
+      assert(f.sync == (i % 2 == 0), s"sync flag of sample $i")
+    }
+
+    // the operator samples KEYFRAMES (1,3,5 → payload indices 0,2,4)
+    val df = Seq((7L, mp4)).toDF("media_id", "media")
+    val frames = Multimodal.sampleFrames(df, 4).collect()
+      .map(r => (r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+    assert(frames.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_._2).toSeq ==
+      Seq(0, 2, 4).map(i => new String(payloads(i))))
+
+    // even pick when keyframes outnumber the request: 2 of 3
+    val two = Multimodal.sampleFrames(df, 2).collect()
+      .map(r => new String(r.getAs[Array[Byte]](2))).toSeq
+    assert(two == Seq(new String(payloads(0)), new String(payloads(2))))
+
+    // no stss box → every sample is sync
+    val all = Mp4.frameIndex(Mp4.build(payloads)).get
+    assert(all.forall(_.sync))
+
+    // non-MP4 and truncated-MP4 payloads fall back to byte slices
+    // instead of erroring
+    val junk = Seq((8L, "not an mp4 at all, just bytes".getBytes),
+      (9L, mp4.take(40))).toDF("media_id", "media")
+    val fb = Multimodal.sampleFrames(junk, 4).collect()
+    assert(fb.map(_.getLong(0)).distinct.sorted.toSeq == Seq(8L, 9L))
   }
 
   test("multimodal: header-parsed width/height/duration (no codec)") {
