@@ -88,6 +88,88 @@ case class CharNgrams(child: Expression, k: Int, distinct: Boolean)
   override def prettyName: String = "char_ngrams"
 }
 
+/** Codegen helper for [[LangIdTokens]]: ONE pass over the token
+  * array scoring every language profile at once.
+  *
+  * The Column-algebra formulation (one `filter(toks, isin(words))`
+  * per language) rescans the array per language — 4 profiles × 10
+  * stopwords = 40 UTF8String comparisons per token. Here each token
+  * is one hash lookup in a static word→profiles table, and the
+  * argmax / tie-break reproduces `array_max` over
+  * `struct(score, lang)` exactly: max hits wins, ties go to the
+  * lexicographically greatest language name (profile names are
+  * scored in sorted order), zero hits → "und".
+  */
+object LangIdOps {
+  private val langs: Array[String] =
+    graft.operators.TextAnalysis.LangProfiles.keys.toArray.sorted
+  private val langU: Array[UTF8String] = langs.map(UTF8String.fromString)
+  private val Und = UTF8String.fromString("und")
+  private val lookup: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    for ((lang, i) <- langs.zipWithIndex;
+        w <- graft.operators.TextAnalysis.LangProfiles(lang)) {
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i)
+    }
+    m
+  }
+
+  def langId(toks: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val hits = new Array[Int](langs.length)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val ls = lookup.get(toks.getUTF8String(i))
+        if (ls != null) {
+          var j = 0
+          while (j < ls.length) { hits(ls(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    // ascending scan with >= : equal hit counts resolve to the later
+    // (lexicographically greater) language, matching array_max over
+    // struct(score DESC, lang DESC)
+    var best = -1
+    var bestHits = 0
+    var k = 0
+    while (k < hits.length) {
+      if (hits(k) > 0 && hits(k) >= bestHits) { best = k; bestHits = hits(k) }
+      k += 1
+    }
+    if (best < 0) Und else langU(best)
+  }
+}
+
+/** lang_id_tokens(array<string>) → STRING: [[LangIdOps]]'s single-pass
+  * stopword-profile argmax ("und" when no profile scores).
+  */
+case class LangIdTokens(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang_id_tokens requires ARRAY<STRING>, got $other")
+    }
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    LangIdOps.langId(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = graft.functions.LangIdOps.langId($c);"
+    })
+  override protected def withNewChildInternal(c: Expression): LangIdTokens =
+    copy(c)
+  override def prettyName: String = "lang_id_tokens"
+}
+
 /** Column API + SQL registration for the text expressions. */
 object TextFunctions {
   private def col(e: Expression): Column = GraftBridge.column(e)
@@ -96,7 +178,16 @@ object TextFunctions {
   def char_ngrams(c: Column, k: Int, distinct: Boolean = false): Column =
     col(CharNgrams(ex(c), k, distinct))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** NULL token arrays identify as "und", matching the composed
+    * Column formulation (where every per-language score nulls out to
+    * 0.0 and the `best.score > 0` gate falls through).
+    */
+  def lang_id_tokens(c: Column): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(col(LangIdTokens(ex(c))), lit("und"))
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "char_ngrams", { es =>
       if (es.length < 2 || es.length > 3)
         throw new IllegalArgumentException(
@@ -114,4 +205,11 @@ object TextFunctions {
       } else false
       CharNgrams(es.head, k, distinct)
     })
+    GraftBridge.registerFunction(spark, "lang_id_tokens", { es =>
+      if (es.length != 1)
+        throw new IllegalArgumentException(
+          s"lang_id_tokens(toks) takes 1 argument, got ${es.length}")
+      LangIdTokens(es.head)
+    })
+  }
 }

@@ -95,11 +95,20 @@ object TextAnalysis {
 
   /** Language ID from a pre-tokenized lowercase token array: argmax
     * of per-language stopword hit ratios; "und" (undetermined) when
-    * nothing scores. Pure built-ins — an array-of-struct max, no UDF.
-    * Each language scores with one `filter` pass over the array; the
-    * expensive regex tokenization happens once, at the call site.
+    * nothing scores. Compiles to the single-pass codegen expression
+    * [[graft.functions.LangIdTokens]] — one hash lookup per token
+    * scoring ALL profiles at once, rather than one array rescan per
+    * language. Bit-identical to [[langIdFromTokensComposed]]
+    * (property-locked in TextExpressionsSpec).
     */
-  def langIdFromTokens(toks: Column): Column = {
+  def langIdFromTokens(toks: Column): Column =
+    graft.functions.TextFunctions.lang_id_tokens(toks)
+
+  /** The Column-algebra reference formulation the expression must
+    * match (kept for the parity spec): one `filter` pass per
+    * language, `array_max` over (score, lang) structs.
+    */
+  def langIdFromTokensComposed(toks: Column): Column = {
     val n = size(toks)
     val scored = array(LangProfiles.toSeq.sortBy(_._1).map {
       case (lang, words) =>

@@ -56,6 +56,37 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("lang_id_tokens expression equals the composed array_max " +
+      "formulation, including ties, empties, nulls and noise") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val vocab = TextAnalysis.LangProfiles.values.flatten.toVector ++
+      Vector("xyzzy", "впр", "日本", "data", "spark", "la", "est", "que")
+    val rng = new scala.util.Random(11)
+    val samples: Seq[Seq[String]] = (0 until 400).map { _ =>
+      (0 until rng.nextInt(30)).map(_ => vocab(rng.nextInt(vocab.length)))
+    } :+ Seq.empty[String] :+ Seq("the") :+ Seq("la") :+ Seq("xyzzy")
+    val rows = samples.toDF("toks").select(
+      TextAnalysis.langIdFromTokens(col("toks")).as("fast"),
+      TextAnalysis.langIdFromTokensComposed(col("toks")).as("slow"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // null array → "und" both ways
+    val n = Seq[Option[Seq[String]]](None).toDF("toks").select(
+      TextAnalysis.langIdFromTokens(col("toks")).as("fast"),
+      TextAnalysis.langIdFromTokensComposed(col("toks")).as("slow"))
+      .collect().head
+    assert(n.getString(0) == "und" && n.getString(1) == "und")
+  }
+
+  test("lang_id_tokens is SQL-registered") {
+    graft.Graft.install(spark)
+    val got = spark.sql(
+      "SELECT lang_id_tokens(array('der', 'und', 'die', 'cat'))")
+      .collect().head.getString(0)
+    assert(got == "de")
+  }
+
   test("char_ngrams is SQL-registered with analysis-time checks") {
     graft.Graft.install(spark)
     val got = spark.sql("SELECT char_ngrams('abcde', 4, true)")
