@@ -125,6 +125,11 @@ object Similarity {
     * shape int8-quantized ANN indexes use at scale).
     */
   def quantize(vec: Column, scale: Int = 1000): Column =
+    graft.functions.VecFunctions.quantize_vec(vec, scale)
+
+  /** Composed reference for [[quantize]] (parity spec). */
+  private[operators] def quantizeComposed(vec: Column,
+      scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale, 0).cast("long"))
 
   /** Deterministic ±1 sign planes (seeded), for [[intLshBucket]]. */
@@ -139,6 +144,11 @@ object Similarity {
     * reproducible bit-for-bit in any engine.
     */
   def intLshBucket(qvec: Column, planes: Seq[Seq[Int]]): Column =
+    graft.functions.VecFunctions.sign_bucket_int(qvec, planes)
+
+  /** Composed reference for [[intLshBucket]] (parity spec). */
+  private[operators] def intLshBucketComposed(qvec: Column,
+      planes: Seq[Seq[Int]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
       val d = aggregate(zip_with(qvec, array(plane.map(p => lit(p.toLong)): _*),
         (x, w) => x * w), lit(0L), (acc, v) => acc + v)
@@ -148,7 +158,11 @@ object Similarity {
   /** Cosine over quantized (BIGINT) embeddings: integer dot products,
     * one double division at the end — deterministic across engines.
     */
-  def cosineInt(a: Column, b: Column): Column = {
+  def cosineInt(a: Column, b: Column): Column =
+    graft.functions.VecFunctions.cosine_int(a, b)
+
+  /** Composed reference for [[cosineInt]] (parity spec). */
+  private[operators] def cosineIntComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
     dot(a, b).cast("double") /
@@ -334,6 +348,11 @@ object Ivf {
     * centroid index, exactly reproducible cross-engine).
     */
   def assignInt(vec: Column, centroids: Seq[Seq[Long]]): Column =
+    graft.functions.VecFunctions.nearest_centroid_int(vec, centroids)
+
+  /** Composed reference for [[assignInt]] (parity spec). */
+  private[operators] def assignIntComposed(vec: Column,
+      centroids: Seq[Seq[Long]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(sqDistInt(vec, c).as("d"), lit(i).as("c"))
     }: _*)).getField("c")
@@ -341,6 +360,11 @@ object Ivf {
   /** The `nprobe` nearest bucket ids over integer distances. */
   def probeBucketsInt(vec: Column, centroids: Seq[Seq[Long]],
       nprobe: Int): Column =
+    graft.functions.VecFunctions.probe_buckets_int(vec, centroids, nprobe)
+
+  /** Composed reference for [[probeBucketsInt]] (parity spec). */
+  private[operators] def probeBucketsIntComposed(vec: Column,
+      centroids: Seq[Seq[Long]], nprobe: Int): Column =
     transform(
       slice(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
         struct(sqDistInt(vec, c).as("d"), lit(i).as("c"))
