@@ -96,6 +96,56 @@ object VecOps {
     bucket
   }
 
+  /** Float/double cosine with the composed chain's exact IEEE
+    * sequence: each element cast to double, three LEFT-TO-RIGHT
+    * sequential folds, one division. Null on mismatch/null element;
+    * null (not ANSI error) on a zero denominator, like [[cosineInt]].
+    */
+  def cosineFloat(a: ArrayData, b: ArrayData, aFloat: Boolean,
+      bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n || anyNull(a) || anyNull(b)) return null
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(aa) * math.sqrt(bb)
+    if (denom == 0.0) return null
+    java.lang.Double.valueOf(ab / denom)
+  }
+
+  /** Float-plane sign bucket, per-plane LEFT-TO-RIGHT double fold —
+    * [[signBucket]]'s semantics over double planes.
+    */
+  def signBucketFloat(v: ArrayData, planes: Array[Array[Double]],
+      isFloat: Boolean): Long = {
+    if (anyNull(v)) return 0L
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      if (plane.length == n) {
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          d += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) *
+            plane(i)
+          i += 1
+        }
+        if (d >= 0) bucket |= 1L << p
+      }
+      p += 1
+    }
+    bucket
+  }
+
   private def sqDists(q: ArrayData,
       centroids: Array[Array[Long]]): Array[Long] = {
     val n = q.numElements()
@@ -195,6 +245,75 @@ case class CosineInt(left: Expression, right: Expression)
   override def prettyName: String = "cosine_int"
 }
 
+/** cosine_float(array<float|double>, array<float|double>) → DOUBLE
+  * (null on mismatch/null element/zero vector).
+  */
+case class CosineFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+          ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_float requires two ARRAY<FLOAT|DOUBLE> arguments, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VecOps.cosineFloat(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |${ev.isNull} = (${ev.value}_r == null);
+         |${ev.value} = ${ev.isNull} ? -1.0 : ${ev.value}_r.doubleValue();
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineFloat = copy(l, r)
+  override def prettyName: String = "cosine_float"
+}
+
+/** sign_bucket_float(array<float|double>) → BIGINT bucket over baked
+  * double planes.
+  */
+case class SignBucketFloat(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bucket_float requires ARRAY<FLOAT|DOUBLE>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VecOps.signBucketFloat(v.asInstanceOf[ArrayData], planeArr, isFloat)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecOps.signBucketFloat($c, $ref, " +
+        s"$isFloat);")
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : SignBucketFloat = copy(c)
+  override def prettyName: String = "sign_bucket_float"
+}
+
 /** sign_bucket_int(array<bigint>) → BIGINT bucket over baked ±1
   * planes.
   */
@@ -288,6 +407,10 @@ object VecFunctions {
     col(QuantizeVec(ex(c), scale))
   def cosine_int(a: Column, b: Column): Column =
     col(CosineInt(ex(a), ex(b)))
+  def cosine_float(a: Column, b: Column): Column =
+    col(CosineFloat(ex(a), ex(b)))
+  def sign_bucket_float(c: Column, planes: Seq[Seq[Double]]): Column =
+    coalesce(col(SignBucketFloat(ex(c), planes)), lit(0L))
   def sign_bucket_int(c: Column, planes: Seq[Seq[Int]]): Column =
     coalesce(col(SignBucketInt(ex(c), planes)), lit(0L))
   def nearest_centroid_int(c: Column, centroids: Seq[Seq[Long]]): Column =

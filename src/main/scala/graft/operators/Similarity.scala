@@ -18,8 +18,15 @@ object Similarity {
 
   /** Cosine similarity of two float arrays, accumulated in double
     * with left-to-right order (deterministic, oracle-matchable).
+    * Compiles to [[graft.functions.CosineFloat]] — the same IEEE
+    * sequence in one primitive loop (parity spec in
+    * VecExpressionsSpec).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecFunctions.cosine_float(a, b)
+
+  /** Composed reference for [[cosine]] (parity spec). */
+  private[operators] def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) =>
         p.cast("double") * q.cast("double")),
@@ -71,6 +78,11 @@ object Similarity {
     * in the same bucket with high probability.
     */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.VecFunctions.sign_bucket_float(vec, planes)
+
+  /** Composed reference for [[lshBucket]] (parity spec). */
+  private[operators] def lshBucketComposed(vec: Column,
+      planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
       val d = aggregate(zip_with(vec, planeCol, (x, w) =>

@@ -83,6 +83,27 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("cosine_float / sign_bucket_float equal the composed float " +
+      "chains (left-to-right IEEE folds)") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(64, 8)
+    val pairs: Seq[(Seq[Float], Seq[Float])] =
+      (0 until 200).map(_ => (randFloats(64), randFloats(64))) :+
+        ((randFloats(64), randFloats(32)))
+    val rows = pairs.toDF("a", "b").select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineComposed(col("a"), col("b")).as("slow"),
+      Similarity.lshBucket(col("a"), planes).as("fastb"),
+      Similarity.lshBucketComposed(col("a"), planes).as("slowb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("sign_bucket_int equals the composed per-plane when/otherwise " +
       "chain, including null input → 0") {
     import spark.implicits._
