@@ -103,5 +103,9 @@ class PlanInvariantSpec extends AnyFunSuite {
     // the only SortMergeJoin-eligible key would be the feature
     // bucket; it must never shuffle the exploded bigram stream
     assert(!p.contains("SortMergeJoin"))
+    // the round-9 fusion: exactly TWO corpus scans — the filtered
+    // scoring pass and ONE unfiltered count pass (totals derive from
+    // a window over the count rows, never a third corpus lineage)
+    assert("Scan parquet".r.findAllIn(p).length == 2, p)
   }
 }
