@@ -196,6 +196,9 @@ object Mp4 {
   private def fullBox(typ: String, payload: Array[Byte]*): Array[Byte] =
     box(typ, (Array[Byte](0, 0, 0, 0) +: payload): _*)
 
+  private def be64b(v: Long): Array[Byte] =
+    be32b(v >>> 32) ++ be32b(v & 0xffffffffL)
+
   /** Synthesize a minimal-but-valid video MP4: `ftyp` + one `mdat`
     * holding the frame payloads contiguously (one chunk) + a `moov`
     * whose single `vide` track indexes them through real
@@ -203,9 +206,12 @@ object Mp4 {
     *
     * @param syncSamples 1-based keyframe sample numbers for an `stss`
     *   box; None omits the box (= every sample sync, per the spec)
+    * @param use64BitOffsets write a `co64` chunk-offset table instead
+    *   of `stco` (the >4 GiB-file form of the same data)
     */
   def build(frames: Seq[Array[Byte]],
-      syncSamples: Option[Seq[Int]] = None): Array[Byte] = {
+      syncSamples: Option[Seq[Int]] = None,
+      use64BitOffsets: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")
     val ftyp = box("ftyp",
       "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
@@ -215,7 +221,9 @@ object Mp4 {
       frames.flatMap(f => be32b(f.length.toLong)).toArray)
     val stsc = fullBox("stsc", be32b(1),
       be32b(1), be32b(frames.length.toLong), be32b(1))
-    val stco = fullBox("stco", be32b(1), be32b(mdatPayloadOff))
+    val stco =
+      if (use64BitOffsets) fullBox("co64", be32b(1), be64b(mdatPayloadOff))
+      else fullBox("stco", be32b(1), be32b(mdatPayloadOff))
     val stss = syncSamples.fold(Array.emptyByteArray)(ss =>
       fullBox("stss", be32b(ss.length.toLong),
         ss.flatMap(v => be32b(v.toLong)).toArray))

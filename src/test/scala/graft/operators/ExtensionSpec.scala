@@ -720,6 +720,12 @@ class ExtensionSpec extends AnyFunSuite {
     val all = Mp4.frameIndex(Mp4.build(payloads)).get
     assert(all.forall(_.sync))
 
+    // co64 (64-bit chunk offsets) walks identically to stco
+    val big = Mp4.frameIndex(
+      Mp4.build(payloads, use64BitOffsets = true)).get
+    assert(big.map(f => (f.sampleNo, f.size)) ==
+      idx.map(f => (f.sampleNo, f.size)))
+
     // non-MP4 and truncated-MP4 payloads fall back to byte slices
     // instead of erroring
     val junk = Seq((8L, "not an mp4 at all, just bytes".getBytes),
