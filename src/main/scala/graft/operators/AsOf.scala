@@ -33,9 +33,16 @@ object AsOf {
       .withColumn(EffTo, lead(col(dateCol), 1).over(w))
   }
 
-  /** Left-join each fact row to its as-of snapshot. The snapshot side
-    * is a dataset directory (tens to hundreds of rows) — always
-    * broadcast; exactly one interval matches per fact row.
+  /** Left-join each fact row to its as-of snapshot; exactly one
+    * interval matches per fact row.
+    *
+    * Join strategy: an UNKEYED snapshot side is a dataset directory
+    * (tens to hundreds of rows) and is force-broadcast — without the
+    * hint its interval-only condition would plan as a BNLJ. A KEYED
+    * snapshot side scales with the key domain (per-user SCD history
+    * can be corpus-sized at 100 TB), so the equi-key lets Catalyst/
+    * AQE pick from stats: broadcast while it fits, shuffled hash join
+    * once it doesn't — never forced into an over-broadcast.
     */
   def asOfSnapshot(facts: DataFrame, snapshots: DataFrame,
       factDate: Column, dateCol: String,
@@ -45,7 +52,8 @@ object AsOf {
       (col(EffTo).isNull || factDate < col(EffTo))
     val cond = keyCols.foldLeft(interval)((c, k) =>
       c && facts(k) === snap(k))
-    val joined = facts.join(broadcast(snap), cond, joinType)
+    val snapSide = if (keyCols.isEmpty) broadcast(snap) else snap
+    val joined = facts.join(snapSide, cond, joinType)
       .drop(EffFrom, EffTo)
     keyCols.foldLeft(joined)((df, k) => df.drop(snap(k)))
   }
