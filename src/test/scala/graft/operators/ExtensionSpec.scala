@@ -734,6 +734,32 @@ class ExtensionSpec extends AnyFunSuite {
     assert(fb.map(_.getLong(0)).distinct.sorted.toSeq == Seq(8L, 9L))
   }
 
+  test("multimodal: MP4 walk survives random byte mutations without " +
+      "throwing (the LegacyDat fuzz recipe)") {
+    val payloads = (0 until 5).map(i => s"frame-$i-payload".getBytes)
+    val good = Mp4.build(payloads, Some(Seq(1, 4)))
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val mutated = good.clone()
+      for (_ <- 0 to rng.nextInt(4)) {
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      }
+      // must return Some (possibly different frames) or None — never
+      // throw, never emit an extent outside the blob
+      Mp4.frameIndex(mutated).foreach(_.foreach { f =>
+        assert(f.offset >= 0 && f.offset + f.size <= mutated.length)
+      })
+      // the operator-level fallback keeps total coverage
+      assert(Multimodal.frameSlices(mutated, 3).nonEmpty)
+    }
+    // truncations at every length are equally typed
+    for (len <- 0 until good.length by 7) {
+      Mp4.frameIndex(good.take(len)).foreach(_.foreach { f =>
+        assert(f.offset + f.size <= len)
+      })
+    }
+  }
+
   test("multimodal: header-parsed width/height/duration (no codec)") {
     import spark.implicits._
     def be32(v: Int) = Array[Byte](
