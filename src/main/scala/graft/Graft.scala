@@ -20,6 +20,7 @@ object Graft {
   def install(spark: SparkSession): Unit = {
     functions.IpFunctions.register(spark)
     functions.TextFunctions.register(spark)
+    functions.VecFunctions.register(spark)
     functions.MinHashAgg.register(spark)
     functions.TopKAgg.register(spark)
     functions.RangeTableFunctions.register(spark)

@@ -419,4 +419,32 @@ object VecFunctions {
       nprobe: Int): Column =
     coalesce(col(ProbeBucketsInt(ex(c), centroids, nprobe)),
       array((0 until math.min(nprobe, centroids.length)).map(lit): _*))
+
+  /** SQL registration for the argument-only members of the family
+    * (the plane/centroid-parameterized expressions carry baked tables
+    * and stay Scala-API-only).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftBridge.registerFunction(spark, "cosine_int", { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"cosine_int(a, b) takes 2 arguments, got ${es.length}")
+      CosineInt(es(0), es(1))
+    })
+    GraftBridge.registerFunction(spark, "cosine_float", { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"cosine_float(a, b) takes 2 arguments, got ${es.length}")
+      CosineFloat(es(0), es(1))
+    })
+    GraftBridge.registerFunction(spark, "quantize_vec", { es =>
+      if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
+        s"quantize_vec(vec[, scale]) takes 1 or 2 arguments, got ${es.length}")
+      val scale = if (es.length == 2) es(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"quantize_vec: scale must be an integer literal, got $other")
+      } else 1000
+      QuantizeVec(es(0), scale)
+    })
+  }
 }

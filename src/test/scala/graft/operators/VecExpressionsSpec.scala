@@ -83,6 +83,24 @@ class VecExpressionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("cosine_int / cosine_float / quantize_vec are SQL-registered " +
+      "with analysis-time checks") {
+    graft.Graft.install(spark)
+    val got = spark.sql(
+      "SELECT cosine_int(array(1L, 0L), array(1L, 0L)), " +
+        "cosine_float(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "  array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "quantize_vec(array(CAST(0.0625 AS DOUBLE)))")
+      .collect().head
+    assert(got.getDouble(0) == 1.0)
+    assert(got.getDouble(1) == 0.0)
+    assert(got.getSeq[Long](2) == Seq(63L)) // 62.5 HALF_UP
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_int(42, 43)").collect()
+    }
+    assert(err.getMessage.contains("ARRAY"))
+  }
+
   test("cosine_float / sign_bucket_float equal the composed float " +
       "chains (left-to-right IEEE folds)") {
     import spark.implicits._
