@@ -18,6 +18,8 @@ import org.apache.spark.sql.types._
   *  - GIF: logical screen size, little-endian u16 at offsets 6/8
   *  - JPEG: SOFn segment height/width (marker scan)
   *  - RIFF/WAVE: duration = data-chunk bytes / fmt byte-rate
+  *  - MP4/ISO-BMFF: mvhd timescale/duration + video tkhd 16.16
+  *    width/height ([[graft.operators.Mp4.meta]])
   */
 object MediaOps {
 
@@ -51,6 +53,13 @@ object MediaOps {
       return jpegDims(b)
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
       return wavDuration(b)
+    if (ascii(b, 4, "ftyp")) {
+      // ISO-BMFF: mvhd duration + video-track tkhd dimensions
+      val (w, h, d) = graft.operators.Mp4.meta(b)
+      return if (w.isEmpty && h.isEmpty && d.isEmpty) null
+        else row(w.map(Int.box).orNull, h.map(Int.box).orNull,
+          d.map(Long.box).orNull)
+    }
     null
   }
 

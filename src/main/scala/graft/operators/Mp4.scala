@@ -94,6 +94,56 @@ object Mp4 {
     }.find(_.nonEmpty)
   }
 
+  /** Container metadata from the `moov` tables: presentation
+    * duration in ms (`mvhd` v0/v1: timescale + duration) and the
+    * video track's pixel dimensions (`tkhd` 16.16 fixed-point width/
+    * height). Each is None independently when its box is absent or
+    * malformed.
+    */
+  def meta(bytes: Array[Byte])
+      : (Option[Int], Option[Int], Option[Long]) = {
+    val none = (None, None, None)
+    if (bytes.length < 16) return none
+    val top = children(bytes, 0, bytes.length.toLong)
+    if (!top.exists(_._1 == "ftyp")) return none
+    val moov = child(top, "moov").getOrElse(return none)
+    val mboxes = children(bytes, moov._1, moov._2)
+    val duration = child(mboxes, "mvhd").flatMap { case (hs, he) =>
+      val v = if (hs < bytes.length) bytes(hs.toInt) & 0xff else -1
+      if (v == 0 && hs + 20 <= he) {
+        val ts = be32(bytes, hs.toInt + 12)
+        val dur = be32(bytes, hs.toInt + 16)
+        if (ts > 0) Some(dur * 1000L / ts) else None
+      } else if (v == 1 && hs + 32 <= he) {
+        val ts = be32(bytes, hs.toInt + 20)
+        val dur = be64(bytes, hs.toInt + 24)
+        if (ts > 0 && dur >= 0) Some(dur * 1000L / ts) else None
+      } else None
+    }
+    // the video track's tkhd (16.16 fixed point, integer part)
+    val dims = mboxes.filter(_._1 == "trak").iterator.flatMap {
+      case (_, ts, te) =>
+        val tboxes = children(bytes, ts, te)
+        val isVideo = child(tboxes, "mdia").exists { case (ms, me) =>
+          child(children(bytes, ms, me), "hdlr").exists { case (hs, _) =>
+            boxType(bytes, full(hs) + 4) == "vide"
+          }
+        }
+        if (!isVideo) None
+        else child(tboxes, "tkhd").flatMap { case (hs, he) =>
+          val v = if (hs < bytes.length) bytes(hs.toInt) & 0xff else -1
+          val off = if (v == 0) 76L else if (v == 1) 88L else -1L
+          if (off < 0 || hs + off + 8 > he) None
+          else {
+            val w = (be32(bytes, (hs + off).toInt) >>> 16).toInt
+            val h = (be32(bytes, (hs + off + 4).toInt) >>> 16).toInt
+            if (w > 0 && h > 0) Some((w, h)) else None
+          }
+        }
+    }.nextOption()
+    (dims.map(_._1), dims.map(_._2), duration)
+  }
+
   /** Decode the four sample tables under one `stbl` into the frame
     * index. Any inconsistent count/offset returns None.
     */
@@ -208,10 +258,16 @@ object Mp4 {
     *   box; None omits the box (= every sample sync, per the spec)
     * @param use64BitOffsets write a `co64` chunk-offset table instead
     *   of `stco` (the >4 GiB-file form of the same data)
+    * @param durationMs presentation duration for `mvhd` (timescale
+    *   1000)
+    * @param widthPx / heightPx video dimensions for `tkhd` (written
+    *   as 16.16 fixed point)
     */
   def build(frames: Seq[Array[Byte]],
       syncSamples: Option[Seq[Int]] = None,
-      use64BitOffsets: Boolean = false): Array[Byte] = {
+      use64BitOffsets: Boolean = false,
+      durationMs: Long = 0L,
+      widthPx: Int = 0, heightPx: Int = 0): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")
     val ftyp = box("ftyp",
       "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
@@ -233,8 +289,14 @@ object Mp4 {
       new Array[Byte](12))
     val minf = box("minf", stbl)
     val mdia = box("mdia", hdlr, minf)
-    val trak = box("trak", mdia)
-    val moov = box("moov", trak)
+    // mvhd v0: timescale 1000 → duration field = durationMs
+    val mvhd = fullBox("mvhd", be32b(0), be32b(0), be32b(1000),
+      be32b(durationMs), be32b(0x00010000L), new Array[Byte](76))
+    // tkhd v0: width/height as 16.16 fixed point at payload 76/80
+    val tkhd = fullBox("tkhd", new Array[Byte](72),
+      be32b(widthPx.toLong << 16), be32b(heightPx.toLong << 16))
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
     val mdat = box("mdat", frames.flatten.toArray)
     ftyp ++ mdat ++ moov
   }

@@ -788,8 +788,12 @@ class ExtensionSpec extends AnyFunSuite {
       le32(4000) ++ le16(4) ++ le16(32) ++
       "data".getBytes ++ le32(8000)
     val junk = "hello world this is not media".getBytes
+    // MP4: mvhd duration 2500 ms, video tkhd 1280×720
+    val mp4 = Mp4.build(Seq("frame".getBytes), durationMs = 2500L,
+      widthPx = 1280, heightPx = 720)
 
-    val df = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, wav), (5L, junk))
+    val df = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, wav), (5L, junk),
+      (6L, mp4))
       .toDF("media_id", "media")
     val got = Multimodal.withMeta(df)
       .select("media_id", "meta.format", "meta.width", "meta.height",
@@ -803,5 +807,6 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got(3L) == ("jpeg", Some(77), Some(99), None))
     assert(got(4L) == ("riff", None, None, Some(2000L)))
     assert(got(5L) == ("unknown", None, None, None))
+    assert(got(6L) == ("mp4", Some(1280), Some(720), Some(2500L)))
   }
 }
