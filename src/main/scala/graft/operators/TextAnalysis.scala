@@ -25,7 +25,12 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column =
+    graft.functions.TokenFunctions.token_stats(text).getField("n_tokens")
+
+  /** Composed reference for [[tokenCount]] (parity spec). */
+  private[operators] def tokenCountComposed(text: Column): Column =
+    size(tokens(text))
 
   /** BPE-ish subword count: alpha runs, digit runs, and single
     * punctuation marks each count as one token — a cheap, stable
@@ -38,6 +43,15 @@ object TextAnalysis {
 
   /** Ratio of tokens found in `words`, 0.0 for empty docs. */
   def wordHitRatio(text: Column, words: Seq[String]): Column = {
+    val st = graft.functions.TokenFunctions.token_stats(lower(text), words)
+    val n = st.getField("n_tokens")
+    when(n > 0, st.getField("hits").cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composed reference for [[wordHitRatio]] (parity spec). */
+  private[operators] def wordHitRatioComposed(text: Column,
+      words: Seq[String]): Column = {
     val toks = tokens(lower(text))
     val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
@@ -59,6 +73,14 @@ object TextAnalysis {
 
   /** Mean whitespace-token length, 0.0 for empty docs. */
   def meanTokenLen(text: Column): Column = {
+    val st = graft.functions.TokenFunctions.token_stats(text)
+    val n = st.getField("n_tokens")
+    when(n > 0, st.getField("sum_chars").cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composed reference for [[meanTokenLen]] (parity spec). */
+  private[operators] def meanTokenLenComposed(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
@@ -145,7 +167,15 @@ object TextAnalysis {
     * with a materialized token column when computing several signals
     * per row (the [[langIdFromTokens]] pattern).
     */
-  def topWordFractionFromTokens(toks: Column): Column = {
+  def topWordFractionFromTokens(toks: Column): Column =
+    graft.functions.TokenFunctions.top_token_fraction(toks)
+
+  /** Composed reference for [[topWordFractionFromTokens]] — the
+    * O(distinct × tokens) per-row shape the expression replaces
+    * (parity spec).
+    */
+  private[operators] def topWordFractionFromTokensComposed(
+      toks: Column): Column = {
     val counts = transform(array_distinct(toks),
       w => size(filter(toks, t => t === w)))
     when(size(toks) > 0,
@@ -161,7 +191,14 @@ object TextAnalysis {
     dupNgramFractionFromTokens(tokens(lower(text)), n)
 
   /** [[dupNgramFraction]] over a pre-tokenized lowercase array. */
-  def dupNgramFractionFromTokens(toks: Column, n: Int): Column = {
+  def dupNgramFractionFromTokens(toks: Column, n: Int): Column =
+    graft.functions.TokenFunctions.dup_ngram_fraction(toks, n)
+
+  /** Composed reference for [[dupNgramFractionFromTokens]] (parity
+    * spec).
+    */
+  private[operators] def dupNgramFractionFromTokensComposed(
+      toks: Column, n: Int): Column = {
     val m = size(toks) - (n - 1)
     // greatest(…, 1) keeps the sequence ascending when m ≤ 0 (Spark
     // sequence(1, 0) would count DOWN); the `when` guard discards
@@ -183,7 +220,11 @@ object TextAnalysis {
     * summing the same terms in the same order reproduces the double
     * bit-for-bit (float addition is order-sensitive).
     */
-  def tokenEntropy(text: Column): Column = {
+  def tokenEntropy(text: Column): Column =
+    graft.functions.TokenFunctions.token_entropy(tokens(lower(text)))
+
+  /** Composed reference for [[tokenEntropy]] (parity spec). */
+  private[operators] def tokenEntropyComposed(text: Column): Column = {
     val toks = tokens(lower(text))
     val n = size(toks).cast("double")
     val terms = transform(array_sort(array_distinct(toks)), w => {
