@@ -76,16 +76,29 @@ object CoreQueries {
         .groupBy("lo").agg(count(lit(1)).as("c"))
         .orderBy("lo")),
 
-    // Q8 — as-of join (J2), declared portable form
-    "q08_asof_join" -> ((s, d) =>
-      events(s, d).as("e")
-        .join(orders(s, d).as("o"),
-          col("o.o_custkey") === col("e.user_id") &&
-            col("o.o_orderdate") <= col("e.ts"))
-        .groupBy(col("e.event_id"))
-        .agg(max(col("o.o_orderdate")).as("asof"))
+    // Q8 — as-of join (J2), declared portable form. NOT the naive
+    // expand-then-aggregate (events × all earlier orders of the user,
+    // then max per event — unbounded intermediate at 100 TB) and not
+    // the interval join either (both sides are fact-scale here, so
+    // neither should be broadcast): AsOf.asOfMerge unions the two
+    // tables onto one per-user timeline and one incremental window
+    // pass carries the latest order date onto each event. One shuffle,
+    // no join operator, output ≤ events row count by construction.
+    // ts is cast to TIMESTAMP_NTZ (session TZ is UTC — value
+    // preserving) to align with o_orderdate for the merged timeline.
+    "q08_asof_join" -> ((s, d) => {
+      val orderDates = orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+      val facts = events(s, d)
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"))
+      graft.operators.AsOf.asOfMerge(
+          facts, orderDates, col("ts"), "o_orderdate",
+          keyCols = Seq("user_id"), joinType = "inner")
+        .select(col("event_id"), col("o_orderdate").as("asof"))
         .orderBy("event_id")
-        .limit(100)),
+        .limit(100)
+    }),
 
     // Q9 — multi-way join (J8)
     "q09_multiway_join" -> ((s, d) =>

@@ -15,21 +15,27 @@ object AsOf {
   val EffTo = "eff_to"
 
   /** SCD-2 interval construction: adds [eff_from, eff_to) via lead()
-    * over the snapshot dates. The earliest snapshot gets a NULL
-    * eff_from (open start — the clamp rule); the latest a NULL eff_to
-    * (open end).
+    * over the snapshot dates. With `clamp` (the default, matching the
+    * reference's earliest-snapshot rule) the earliest snapshot gets a
+    * NULL eff_from (open start); with `clamp=false` intervals start at
+    * their own date, so facts earlier than every snapshot match
+    * nothing — the strict `snapshot_date <= fact_date` as-of. The
+    * latest snapshot always gets a NULL eff_to (open end).
     */
   def withIntervals(snapshots: DataFrame, dateCol: String,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil, clamp: Boolean = true): DataFrame = {
     val w =
       if (keyCols.nonEmpty)
         Window.partitionBy(keyCols.map(col): _*).orderBy(col(dateCol))
       else Window.partitionBy().orderBy(col(dateCol))
-    snapshots
-      .withColumn(EffFrom,
+    val from =
+      if (clamp)
         when(row_number().over(w) === 1, lit(null).cast(
           snapshots.schema(dateCol).dataType))
-          .otherwise(col(dateCol)))
+          .otherwise(col(dateCol))
+      else col(dateCol)
+    snapshots
+      .withColumn(EffFrom, from)
       .withColumn(EffTo, lead(col(dateCol), 1).over(w))
   }
 
@@ -46,8 +52,9 @@ object AsOf {
     */
   def asOfSnapshot(facts: DataFrame, snapshots: DataFrame,
       factDate: Column, dateCol: String,
-      keyCols: Seq[String] = Nil, joinType: String = "left"): DataFrame = {
-    val snap = withIntervals(snapshots, dateCol, keyCols)
+      keyCols: Seq[String] = Nil, joinType: String = "left",
+      clamp: Boolean = true): DataFrame = {
+    val snap = withIntervals(snapshots, dateCol, keyCols, clamp)
     val interval = (col(EffFrom).isNull || factDate >= col(EffFrom)) &&
       (col(EffTo).isNull || factDate < col(EffTo))
     val cond = keyCols.foldLeft(interval)((c, k) =>
@@ -56,6 +63,69 @@ object AsOf {
     val joined = facts.join(snapSide, cond, joinType)
       .drop(EffFrom, EffTo)
     keyCols.foldLeft(joined)((df, k) => df.drop(snap(k)))
+  }
+
+  /** J2 merge-based as-of — the large×large scale path. Instead of
+    * joining facts to snapshot intervals (asOfSnapshot — right-sized
+    * when the snapshot side is a dataset directory or broadcastable
+    * SCD table), both sides are unioned onto one per-key timeline and
+    * a single incremental window pass carries the running latest
+    * snapshot row forward onto each fact:
+    *
+    *   - one shuffle (hash on keyCols) + one sort — no join operator,
+    *     no broadcast of either side, no expanded intermediate: the
+    *     frame [unboundedPreceding, currentRow] makes Spark's
+    *     WindowExec update `last` incrementally, O(rows) per
+    *     partition;
+    *   - snapshot payload travels as ONE struct so the matched columns
+    *     always come from the same snapshot row (per-column
+    *     last(ignoreNulls) could stitch columns from different rows
+    *     when a snapshot holds genuine NULLs).
+    *
+    * Inclusive semantics `snapshot_date <= fact_time` (the tie-break
+    * sorts snapshots before facts at equal time), strict
+    * (non-clamped): a fact earlier than every snapshot of its key
+    * matches nothing — dropped when `joinType="inner"`, NULL payload
+    * when `"left"`. NULL-keyed snapshots are discarded and NULL-keyed
+    * facts never match, mirroring SQL equi-join NULL semantics.
+    *
+    * Caller aligns types: `factTime` must be the same data type as
+    * `snapshots(dateCol)`. Among duplicate (key, date) snapshot rows
+    * the picked row is arbitrary — dedup first if payloads differ.
+    */
+  def asOfMerge(facts: DataFrame, snapshots: DataFrame, factTime: Column,
+      dateCol: String, keyCols: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(keyCols.nonEmpty, "asOfMerge needs at least one key column")
+    require(joinType == "inner" || joinType == "left",
+      s"asOfMerge supports inner/left, got $joinType")
+    val t = "__asof_t"; val typ = "__asof_typ"; val pay = "__asof_snap"
+    val factCols = facts.columns.toSeq
+    val snapPayload =
+      snapshots.columns.toSeq.filterNot(keyCols.contains)
+    require(factCols.intersect(snapPayload).isEmpty,
+      s"fact/snapshot column collision: ${factCols.intersect(snapPayload)}")
+    val factPayload = factCols.filterNot(keyCols.contains)
+    val payStruct = struct(snapPayload.map(col): _*)
+    val sSide = snapshots
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) ++ Seq(col(dateCol).as(t),
+        lit(0).as(typ), payStruct.as(pay)) ++
+        factPayload.map(c =>
+          lit(null).cast(facts.schema(c).dataType).as(c)): _*)
+    val fSide = facts
+      .select(keyCols.map(col) ++ Seq(factTime.as(t),
+        lit(1).as(typ), lit(null).cast(sSide.schema(pay).dataType)
+          .as(pay)) ++ factPayload.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(t), col(typ))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = sSide.unionByName(fSide)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(typ) === 1 &&
+        (if (joinType == "inner") col(pay).isNotNull else lit(true)))
+    merged.select(keyCols.map(col) ++ factPayload.map(col) ++
+      snapPayload.map(c => col(pay).getField(c).as(c)): _*)
   }
 
   /** J9 date-aligned merge (directory.go:141-202): build the unified

@@ -150,6 +150,74 @@ class LookupSpec extends AnyFunSuite {
     assert(got.sortBy(_._1) == queries.map(q => (q._1, q._2)).sortBy(_._1))
   }
 
+  test("asOfMerge inclusive/strict semantics: golden cases") {
+    import spark.implicits._
+    val snaps = Seq(
+      (1L, Date.valueOf("2020-01-10"), "s1"),
+      (1L, Date.valueOf("2020-02-10"), "s2"),
+      (2L, Date.valueOf("2020-03-01"), "s3"))
+      .toDF("k", "snap_date", "v")
+    val facts = Seq(
+      (10L, 1L, Date.valueOf("2020-01-09")), // before first → no match
+      (11L, 1L, Date.valueOf("2020-01-10")), // tie → inclusive match s1
+      (12L, 1L, Date.valueOf("2020-02-09")), // between → s1
+      (13L, 1L, Date.valueOf("2020-05-01")), // after last → s2
+      (14L, 2L, Date.valueOf("2020-03-02")), // s3
+      (15L, 3L, Date.valueOf("2020-03-02"))) // unknown key → no match
+      .toDF("id", "k", "t")
+    def run(joinType: String) =
+      AsOf.asOfMerge(facts, snaps, col("t"), "snap_date", Seq("k"), joinType)
+        .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+        .toMap
+    assert(run("inner") == Map(11L -> "s1", 12L -> "s1", 13L -> "s2",
+      14L -> "s3"))
+    assert(run("left") == Map(10L -> null, 11L -> "s1", 12L -> "s1",
+      13L -> "s2", 14L -> "s3", 15L -> null))
+  }
+
+  test("asOfMerge payload struct is atomic — a snapshot NULL column " +
+      "never stitches values from two snapshot rows") {
+    import spark.implicits._
+    val snaps = Seq(
+      (1L, Date.valueOf("2020-01-01"), "x1", null.asInstanceOf[String]),
+      (1L, Date.valueOf("2020-02-01"), null.asInstanceOf[String], "y2"))
+      .toDF("k", "snap_date", "x", "y")
+    val facts = Seq((1L, Date.valueOf("2020-03-01"))).toDF("k", "t")
+    val got = AsOf.asOfMerge(facts, snaps, col("t"), "snap_date", Seq("k"))
+      .select("x", "y").collect().head
+    // matched row is the 2020-02-01 snapshot in full: x NULL, y "y2" —
+    // per-column last(ignoreNulls) would have resurrected x1
+    assert(got.isNullAt(0) && got.getString(1) == "y2")
+  }
+
+  test("differential: asOfMerge agrees with the naive " +
+      "expand-then-aggregate as-of on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val snaps = (1 to 200).map { i =>
+      (rnd.nextInt(20).toLong, Date.valueOf(java.time.LocalDate
+        .of(2020, 1, 1).plusDays(rnd.nextInt(300))), s"v$i")
+    }.toDF("k", "snap_date", "v")
+    // dedup (k, date) so the matched payload is deterministic
+      .groupBy("k", "snap_date").agg(first("v").as("v"))
+    val facts = (1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(25).toLong, Date.valueOf(java.time.LocalDate
+        .of(2020, 1, 1).plusDays(rnd.nextInt(320))))
+    }.toDF("id", "k", "t")
+    val naive = facts.as("f")
+      .join(snaps.as("s"),
+        col("s.k") === col("f.k") && col("s.snap_date") <= col("f.t"))
+      .groupBy(col("f.id")).agg(max(struct(col("s.snap_date"), col("s.v")))
+        .as("m"))
+      .select(col("id"), col("m.v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val merged = AsOf.asOfMerge(facts, snaps, col("t"), "snap_date",
+        Seq("k"), "inner")
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(merged == naive)
+  }
+
   test("alignSnapshots builds the unified date spine (MergeAnnotators J9)") {
     import spark.implicits._
     val a = Seq(("2020-01-01", "a1"), ("2020-03-01", "a2"))

@@ -97,6 +97,18 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("__bucket"))
   }
 
+  test("as-of is the merge shape: no join operator, no expanded " +
+      "intermediate, one window pass (q08)") {
+    val p = plan("q08_asof_join")
+    // the round-9 regression was the expand-then-aggregate shape
+    // (events × earlier orders, then max per event). The merge as-of
+    // has NO join and NO aggregate — output is bounded by the events
+    // row count by construction
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("DSIR scoring broadcasts the bounded bucket-weight table (q65)") {
     val p = plan("q65_dsir_importance")
     assert(p.contains("BroadcastHashJoin"))
