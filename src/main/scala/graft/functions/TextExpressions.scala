@@ -209,7 +209,10 @@ object TextFunctions {
       if (es.length != 1)
         throw new IllegalArgumentException(
           s"lang_id_tokens(toks) takes 1 argument, got ${es.length}")
-      LangIdTokens(es.head)
+      // same null semantics as the Scala Column API (lang_id_tokens
+      // above): a NULL token array is 'und', not NULL — the two
+      // surfaces must agree
+      Coalesce(Seq(LangIdTokens(es.head), Literal("und")))
     })
   }
 }

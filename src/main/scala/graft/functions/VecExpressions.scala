@@ -29,6 +29,13 @@ object VecOps {
 
   /** round(x·scale) per element, HALF_UP through BigDecimal exactly
     * like Spark's `round(double, 0)`; null elements stay null.
+    *
+    * Deliberate deviation (same pattern as [[cosineInt]]'s zero-vector
+    * NULL): a NaN/Infinite element quantizes to NULL. The composed
+    * reference's trailing `.cast("long")` throws under ANSI mode
+    * (Spark's round passes NaN/Inf through unchanged), and
+    * BigDecimal.valueOf would throw NumberFormatException here — one
+    * degenerate embedding must not kill a 100 TB job.
     */
   def quantize(v: ArrayData, scale: Int, isFloat: Boolean): ArrayData = {
     val n = v.numElements()
@@ -38,8 +45,10 @@ object VecOps {
       if (!v.isNullAt(i)) {
         val d = (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) *
           scale
-        out(i) = java.lang.Long.valueOf(java.math.BigDecimal.valueOf(d)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong)
+        if (!d.isNaN && !d.isInfinite)
+          out(i) = java.lang.Long.valueOf(java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+            .toLong)
       }
       i += 1
     }

@@ -218,7 +218,10 @@ object Mp4 {
       var i = 0
       while (i < stscRuns(run)._2 && sample < nSamples) {
         val sz = sizes(sample)
-        if (off < 0 || sz < 0 || off + sz > b.length) return None
+        // overflow-safe: a crafted co64 offset near Long.MaxValue must
+        // not wrap `off + sz` negative and slip past the bound
+        if (off < 0 || sz < 0 || off > b.length || sz > b.length - off)
+          return None
         frames += Frame(sample + 1, off, sz,
           sync.forall(_.contains(sample + 1)))
         off += sz

@@ -71,17 +71,22 @@ object Sampling {
     * quantized to integer micro-units before the per-doc sum, so
     * results are exact and partition-order-free (the q60 recipe).
     *
-    * Scale shape: the corpus is tokenized, exploded, and hashed
-    * exactly ONCE. The exploded stream collapses immediately into a
-    * per-(doc, bucket) count table (map-side combined, one shuffle on
-    * the doc/bucket pair); BOTH the bucket-count branch and the
-    * scoring branch then read that same aggregate, so the physical
-    * plan carries a single corpus scan with a ReusedExchange — not
-    * two scans. Bucket counts reduce to at most `buckets` rows (a
-    * bounded dimension table) and the scoring join BROADCASTS them —
-    * the Zipf-skewed feature stream never shuffles on a feature key.
-    * At 100 TB this is one corpus scan, one bigram-bag-sized shuffle,
-    * and one doc-count-sized shuffle.
+    * Scale shape: the exploded bigram stream collapses immediately
+    * into a per-(doc, bucket) count table (map-side combined, one
+    * shuffle on the doc/bucket pair); BOTH the bucket-count branch and
+    * the scoring branch read that same aggregate. When every consumer
+    * is unfiltered the plan carries ONE corpus scan with a
+    * ReusedExchange; a downstream doc-id filter (q65's shape) pushes
+    * below the final aggregate into the scoring branch only, which
+    * diverges the two consumers and yields TWO scans — a filtered
+    * scoring pass plus one unfiltered count pass (the totals must
+    * cover the whole corpus, so that second scan is semantic, not
+    * waste; PlanInvariantSpec pins it at exactly two). Bucket counts
+    * reduce to at most `buckets` rows (a bounded dimension table) and
+    * the scoring join BROADCASTS them — the Zipf-skewed feature stream
+    * never shuffles on a feature key. At 100 TB this is one-to-two
+    * corpus scans, one bigram-bag-sized shuffle, and one
+    * doc-count-sized shuffle.
     *
     * Output: (id, n_feats, micro_importance).
     */

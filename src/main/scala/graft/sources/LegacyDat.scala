@@ -354,10 +354,12 @@ object LegacyDat {
     *
     * Each blob is parsed exactly ONCE: the parse stage is cached
     * across the failure-budget action and the row emission, and the
-    * emitted range table is materialized (localCheckpoint) before the
-    * blob cache is released — downstream consumers (snapshot builds,
-    * repeated probes) read the materialized dimension table, never
-    * the ~50 MB blobs again.
+    * emitted range table is persisted and counted (materialized)
+    * before the blob cache is released — downstream consumers
+    * (snapshot builds, repeated probes) read the cached dimension
+    * table. Lineage is kept intact deliberately: if executor churn
+    * drops a cached block, it recomputes from the source files rather
+    * than failing the probe (see the persist note in the body).
     */
   def read(spark: SparkSession, paths: Seq[String],
       budget: Ingest.ErrorBudget): DataFrame = {
@@ -382,12 +384,24 @@ object LegacyDat {
           failures.map { case (f, e) => s"$f: $e" }
             .mkString(s"${failures.length} unreadable .dat file(s) > " +
               s"${budget.maxBadRecords}: ", "; ", ""))
-      parsed.filter(_.err == null)
+      // persist + count, NOT localCheckpoint: the returned range table
+      // is held long-term by the streaming refresh ref, and a
+      // checkpointed table's blocks live only on the executors that
+      // computed them — losing one (decommission/OOM) would fail every
+      // later probe until the next .dat drop. A persisted table keeps
+      // its lineage: an evicted/lost block recomputes from the source
+      // files (at re-parse cost — the right trade for a table that
+      // must survive executor churn). The count materializes every
+      // partition NOW, while the blob parse above is still cached, so
+      // the ~50 MB blobs are still parsed exactly once.
+      val out = parsed.filter(_.err == null)
         .flatMap(_.rows)
         .toDF()
         .select(Ingest.legacyGeoSchema.fieldNames.drop(2)
           .foldLeft(Seq(col("lo"), col("hi")))((acc, c) => acc :+ col(c)): _*)
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
     } finally parsed.unpersist(false)
   }
 }

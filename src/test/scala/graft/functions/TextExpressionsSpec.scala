@@ -85,6 +85,12 @@ class TextExpressionsSpec extends AnyFunSuite {
       "SELECT lang_id_tokens(array('der', 'und', 'die', 'cat'))")
       .collect().head.getString(0)
     assert(got == "de")
+    // NULL token array → 'und' on the SQL surface too — same
+    // semantics as the Scala Column API's coalesce wrapper
+    val nul = spark.sql(
+      "SELECT lang_id_tokens(CAST(NULL AS ARRAY<STRING>))")
+      .collect().head.getString(0)
+    assert(nul == "und")
   }
 
   test("char_ngrams is SQL-registered with analysis-time checks") {

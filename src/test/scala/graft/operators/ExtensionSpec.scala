@@ -758,6 +758,18 @@ class ExtensionSpec extends AnyFunSuite {
         assert(f.offset + f.size <= len)
       })
     }
+
+    // crafted co64 offset near Long.MaxValue: `off + sz` wraps
+    // negative without an overflow-safe bound check and the walk
+    // would emit an out-of-blob extent
+    val big = Mp4.build(payloads, use64BitOffsets = true)
+    val co64 = big.indexOfSlice("co64".getBytes)
+    assert(co64 > 0)
+    val evil = big.clone()
+    val huge = java.lang.Long.MAX_VALUE - 4
+    for (i <- 0 until 8)
+      evil(co64 + 12 + i) = (huge >>> (8 * (7 - i))).toByte
+    assert(Mp4.frameIndex(evil).isEmpty)
   }
 
   test("multimodal: header-parsed width/height/duration (no codec)") {

@@ -41,6 +41,13 @@ class VecExpressionsSpec extends AnyFunSuite {
       .select(Similarity.quantize(col("v")).as("fast"),
         Similarity.quantizeComposed(col("v")).as("slow")).collect().head
     assert(n.isNullAt(0) && n.isNullAt(1))
+    // NaN/Inf elements → NULL (documented deviation: the composed
+    // form's ANSI cast throws; a degenerate embedding must not kill
+    // the job). Finite neighbors still quantize.
+    val weird = Seq(Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, 1.5f)).toDF("v")
+      .select(Similarity.quantize(col("v")).as("fast")).collect().head
+    assert(weird.getSeq[Any](0) == Seq(null, null, null, 1500L))
   }
 
   test("cosine_int equals the composed dot/sqrt chain, including " +
