@@ -131,8 +131,10 @@ object Dedup {
     *   the hub) while bounding candidate count at bucket size. Pair
     *   RECALL inside an oversized bucket drops to the star edges by
     *   design — the quadratic pair set was the pathology. Default
-    *   unlimited: the guard costs one extra shuffle on the band key,
-    *   so it is opt-in for corpora where templating is expected.
+    *   unlimited HERE (the guard costs one extra shuffle on the band
+    *   key, and the pair-listing APIs are exhaustive by contract);
+    *   the end-to-end [[nearDupDedup]] defaults it ON via
+    *   [[DefaultMaxBucket]].
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       bands: Int = 16, maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -230,6 +232,19 @@ object Dedup {
       .select("a", "b", "est_jaccard")
   }
 
+  /** Default LSH bucket cap for [[nearDupDedup]]: buckets above this
+    * degrade from all-pairs (quadratic) to star candidates (linear).
+    * 1024 keeps every genuine near-dup community (rarely past a few
+    * hundred docs) on the exact all-pairs path — ≤ ~524k pairs per
+    * bucket worst case, bounded per bucket — while a templated-corpus
+    * pathology (one bucket holding millions) can no longer emit a
+    * quadratic candidate set. Cluster-level dedup output is unchanged
+    * by the degrade (connectivity through the hub is preserved); only
+    * pair-level recall inside an oversized bucket drops, by design —
+    * see PERF.md for the measured impact on the templated spec corpus.
+    */
+  val DefaultMaxBucket = 1024
+
   /** One-call near-dup dedup: MinHash+LSH candidate pairs →
     * connected components → keep the minimum-id doc per cluster
     * (plus every doc with no near-dup at all). The end-to-end
@@ -237,10 +252,16 @@ object Dedup {
     * stages are independently oracled (q43/q58). The final prune is
     * a broadcast-friendly anti-join against the (small) set of
     * non-canonical cluster members.
+    *
+    * The LSH skew guard is ON by default ([[DefaultMaxBucket]]) —
+    * this is the unattended end-to-end path, and an unguarded
+    * templated corpus is the one input that turns it quadratic. Pass
+    * `maxBucket = Int.MaxValue` to opt back into exhaustive pairs.
     */
   def nearDupDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6, maxBucket: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // exact dedup FIRST: LSH candidate generation is quadratic in an
     // exact-duplicate class (every pair of identical docs shares
     // every band — 10k copies of one boilerplate page would emit

@@ -125,6 +125,47 @@ class ExtensionSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L))
   }
 
+  test("nearDupDedup bounds candidates BY DEFAULT on a templated " +
+      "corpus, and the kept set matches the unguarded run") {
+    import spark.implicits._
+    assert(Dedup.DefaultMaxBucket < Int.MaxValue) // guard is on by default
+    // templated: shared long prefix, one unique trailing token — exact
+    // dedup can't collapse these, and most band keys collide across
+    // the whole corpus
+    // (a) a corpus whose buckets exceed the default cap: a STRONGLY
+    // templated corpus (long shared boilerplate, one unique trailing
+    // token → near-1.0 pairwise Jaccard → every band collides
+    // corpus-wide). The DEFAULT pipeline path (nearDupDedup →
+    // nearDupPairs with DefaultMaxBucket) produces a linear-ish
+    // candidate set, not the ~n²/2 all-pairs blowup
+    // (repeating `base` would add no DISTINCT shingles — the template
+    // must be long in distinct grams for pairwise Jaccard ≈ 1)
+    val heavyTmpl = (1 to 150).map(i => s"boilerplate$i").mkString(" ")
+    val big = (0 until 1200)
+      .map(i => (i.toLong, s"$heavyTmpl unique token nr $i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(big, "text", "doc_id", 64)
+      .localCheckpoint(false)
+    val guarded = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 16,
+        maxBucket = Dedup.DefaultMaxBucket).count()
+    assert(guarded < 8L * 1200, s"unbounded candidates: $guarded")
+    // (b) cluster-level output is what dedup keeps, and the star
+    // degrade preserves connectivity: a guarded run (cap forced low
+    // so the degrade fires on this smaller corpus) keeps the
+    // identical doc set as the exhaustive run
+    val n = 240
+    val corpus = (0 until n)
+      .map(i => (i.toLong, s"$base unique token nr $i"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.nearDupDedup(corpus, "text", "doc_id",
+        threshold = 0.5, maxBucket = 64)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val keptUnguarded = Dedup.nearDupDedup(corpus, "text", "doc_id",
+        threshold = 0.5, maxBucket = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == keptUnguarded)
+  }
+
   test("near-dup dedup survives a large exact-duplicate class") {
     import spark.implicits._
     // 500 identical docs would generate ~125k LSH candidate pairs if
