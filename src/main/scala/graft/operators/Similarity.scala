@@ -286,13 +286,34 @@ object Similarity {
 object Ivf {
   import org.apache.spark.sql.Row
 
-  /** Seeded Lloyd's k-means over a collected sample. */
+  /** Seeded Lloyd's k-means over a collected sample.
+    *
+    * The sample is DETERMINISTIC in the data, not the layout: an
+    * unordered `limit(n)` picks whichever partitions answer first, so
+    * the trained centroids (and every downstream bucket assignment)
+    * would differ across partition layouts, AQE decisions, and
+    * cluster sizes. Membership here is by content-hash bucket
+    * ([[Sampling.deterministicSample]] over the vector's rendered
+    * elements) with a deterministic orderBy+limit trim, so the same
+    * corpus always trains the same centroids — repartitioning the
+    * input is a no-op by spec.
+    */
   def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
       iters: Int = 10, sampleN: Int = 2000,
       seed: Long = 42L): Seq[Seq[Double]] = {
-    val sample = corpus.select(vecCol).limit(sampleN).collect()
+    val n = corpus.count()
+    require(n > 0, "empty corpus")
+    // 1.2× head-room over the target so hash-bucket variance rarely
+    // undershoots sampleN; the orderBy+limit below trims the excess
+    val rate = math.min(1.0, 1.2 * sampleN / n.toDouble)
+    val keyed = corpus
+      .select(col(vecCol), concat_ws(",", col(vecCol).cast("array<string>"))
+        .as("__k"))
+    val sample = Sampling.deterministicSample(keyed, col("__k"), rate)
+      .orderBy("__k").limit(sampleN)
+      .select(vecCol).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty corpus")
+    require(sample.nonEmpty, "empty sample (corpus rows hash-degenerate?)")
     val rnd = new scala.util.Random(seed)
     val dim = sample.head.length
     var centroids = rnd.shuffle(sample.toVector).take(k).map(_.clone()).toArray

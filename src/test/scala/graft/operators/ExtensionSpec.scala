@@ -590,6 +590,19 @@ class ExtensionSpec extends AnyFunSuite {
     brute.keys.foreach(k => assert(ivf(k) == brute(k)))
   }
 
+  test("IVF centroid training is independent of partition layout") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Ivf.trainCentroids(df, "embedding", k = 4, iters = 3, sampleN = 300)
+    val a = train(emb)
+    // repartition (different layout, different partition answer order)
+    // and coalesce (fewer, bigger partitions) must train byte-equal
+    // centroids — an unordered limit(n) sample would differ here
+    val b = train(emb.repartition(13))
+    val c = train(emb.coalesce(1))
+    assert(a == b && a == c)
+  }
+
   test("minhash_agg custom aggregate matches per-doc signature semantics") {
     import graft.functions.MinHashAgg.minhash_agg
     val grams = Dedup.explodeGrams(docs, "text", "doc_id")
