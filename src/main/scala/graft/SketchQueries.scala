@@ -280,6 +280,41 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** Demux→PIXELS under the hash contract: MJPEG-in-MP4 — each MP4
+      * sample is a complete JPEG ([[Multimodal.encodeGrayJpeg]],
+      * quality 1.0) whose 8×8 blocks are UNIFORM with
+      * value (37·m + 11·f + 13·bx + 29·by) mod 256. Uniform blocks
+      * are DC-only, so the JPEG round-trip is EXACT and DuckDB
+      * predicts every decoded pixel arithmetically — the oracle pins
+      * real codec output (per-frame pixel sum / min / max), not just
+      * sliced payload bytes (q71). [[Multimodal.decodeFrames]] runs
+      * the demux + ImageIO decode distributed in mapPartitions;
+      * driver-side synthesis stays dimension-scale (25 containers).
+      */
+    "q72_mjpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 8 * (2 + m % 3)
+        val h = 8 * (1 + m % 2)
+        val frames = (0 until 3).map { f =>
+          Multimodal.encodeGrayJpeg(w, h, (x, y) =>
+            (37 * m + 11 * f + 13 * (x / 8) + 29 * (y / 8)) % 256)
+        }
+        (m.toLong, Mp4.build(frames))
+      }.toDF("media_id", "media")
+      Multimodal.decodeFrames(media, 3)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+          array_min(col("pixels")).cast("long").as("px_min"),
+          array_max(col("pixels")).cast("long").as("px_max"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features
     // (16-bin byte histogram), checked via dim / mass / argmax bin.
@@ -489,6 +524,26 @@ object SketchQueries {
         |    AS BIGINT) AS n_bytes,
         |  md5('frame-' || n_nationkey || '-' || (t.i * 2)) AS frame_md5
         |FROM nation, (SELECT 0 AS i UNION ALL SELECT 1) t
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // mirrors the q72 fixture arithmetically: per (nation m, frame f)
+    // the decoded image is 8x(2+m%3) × 8x(1+m%2) px of 8×8-uniform
+    // blocks valued (37m+11f+13bx+29by)%256 — 64 px per block
+    "q72_mjpeg_decode" ->
+      """WITH fr AS (SELECT 0 AS f UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |bxs AS (SELECT unnest(range(4)) AS bx),
+        |bys AS (SELECT unnest(range(2)) AS byy),
+        |dims AS (SELECT CAST(n_nationkey AS INT) AS m, f,
+        |    8 * (2 + CAST(n_nationkey AS INT) % 3) AS w,
+        |    8 * (1 + CAST(n_nationkey AS INT) % 2) AS h
+        |  FROM nation, fr),
+        |blocks AS (SELECT m, f, w, h,
+        |    (37 * m + 11 * f + 13 * bx + 29 * byy) % 256 AS v
+        |  FROM dims, bxs, bys WHERE bx < w // 8 AND byy < h // 8)
+        |SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  64 * CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
+        |FROM blocks GROUP BY m, f, w, h
         |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

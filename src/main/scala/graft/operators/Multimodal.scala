@@ -266,6 +266,123 @@ object Multimodal {
         }
     }
 
+  /** MJPEG decode-to-pixels: demux up to `n` keyframes per container
+    * ([[frameSlices]] — the q71 path) and DECODE each sampled frame
+    * through `javax.imageio` into real pixel values. This closes the
+    * demux→pixels loop for one genuinely end-to-end codec path with
+    * zero non-JRE code: MJPEG-in-MP4 carries a complete JPEG per
+    * sample, and the stock JRE ships the JPEG codec. (PNG/GIF/BMP/
+    * TIFF samples decode through the same call; genuinely compressed
+    * video codecs — H.264 etc. — remain the documented production
+    * swap-in.)
+    *
+    * Output: one row per (media_id, frame_idx) with `width`, `height`
+    * and `pixels` (row-major ARRAY<INT> in [0, 255]: the raw gray
+    * sample for single-band images — no color-management transform —
+    * or BT.601 integer luminance otherwise). A frame the codec
+    * rejects keeps its row with NULL width/height/pixels, so frame
+    * accounting stays total and a corrupt frame never throws in the
+    * executor.
+    */
+  def decodeFrames(df: DataFrame, n: Int,
+      mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {
+    require(n >= 1, s"invalid frame count: $n")
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", ArrayType(IntegerType))))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val idPos = df.columns.indexOf(idCol)
+    val mediaPos = df.columns.indexOf(mediaCol)
+    require(idPos >= 0 && mediaPos >= 0)
+    df.mapPartitions { it =>
+      // production: initialize the codec ONCE per partition here
+      it.flatMap { r =>
+        val id = r.getLong(idPos)
+        val bytes = r.getAs[Array[Byte]](mediaPos)
+        if (bytes == null) Iterator.empty
+        else frameSlices(bytes, n).zipWithIndex.map { case (f, i) =>
+          decodeGray(f) match {
+            case Some((w, h, px)) => Row(id, i, w, h, px.toSeq)
+            case None => Row(id, i, null, null, null)
+          }
+        }.iterator
+      }
+    }
+  }
+
+  /** One frame payload → (width, height, row-major pixels). Raw
+    * band-0 samples for single-band images (the identity path for
+    * grayscale JPEG — `getRGB` would run a gray→sRGB color transform
+    * and destroy sample values); BT.601 integer luminance for
+    * multi-band. None when the codec rejects the payload.
+    */
+  private[operators] def decodeGray(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](w * h)
+        val singleBand = img.getRaster.getNumBands == 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) =
+              if (singleBand) img.getRaster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+              }
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic grayscale JPEG encoder (fixture/writer utility —
+    * the DatWriter/Mp4.build recipe: a writer closes the decode
+    * loop). Quality 1.0 keeps every 8×8-block-UNIFORM image exact
+    * under round-trip (uniform blocks are DC-only; the DC quantizer
+    * step at quality 1.0 is 1), which is what lets an oracle predict
+    * decoded pixel values arithmetically.
+    */
+  def encodeGrayJpeg(width: Int, height: Int,
+      value: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.getRaster.setSample(x, y, 0, value(x, y) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(
+      new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    bos.toByteArray
+  }
+
   /** Frame sampling, stub-only path (n equal byte slices) — kept for
     * the pre-round-9 contract; [[sampleFrames]] supersedes it with a
     * real MP4 demux and this byte-slice behavior as its fallback.

@@ -816,14 +816,73 @@ class ExtensionSpec extends AnyFunSuite {
     // crafted co64 offset near Long.MaxValue: `off + sz` wraps
     // negative without an overflow-safe bound check and the walk
     // would emit an out-of-blob extent
-    val big = Mp4.build(payloads, use64BitOffsets = true)
-    val co64 = big.indexOfSlice("co64".getBytes)
+    val big64 = Mp4.build(payloads, use64BitOffsets = true)
+    val co64 = big64.indexOfSlice("co64".getBytes)
     assert(co64 > 0)
-    val evil = big.clone()
+    val evil = big64.clone()
     val huge = java.lang.Long.MAX_VALUE - 4
     for (i <- 0 until 8)
       evil(co64 + 12 + i) = (huge >>> (8 * (7 - i))).toByte
     assert(Mp4.frameIndex(evil).isEmpty)
+  }
+
+  test("multimodal: MJPEG-in-MP4 decodes to exact pixel values " +
+      "(demux → ImageIO → pixels, golden)") {
+    import spark.implicits._
+    def v(m: Int, f: Int)(x: Int, y: Int): Int =
+      (37 * m + 11 * f + 13 * (x / 8) + 29 * (y / 8)) % 256
+    val media = Seq(3, 7).map { m =>
+      val frames = (0 until 3).map(f =>
+        Multimodal.encodeGrayJpeg(24, 16, v(m, f)))
+      (m.toLong, Mp4.build(frames))
+    }.toDF("media_id", "media")
+    val rows = Multimodal.decodeFrames(media, 3).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val m = r.getLong(0).toInt
+      val f = r.getInt(1)
+      assert(r.getInt(2) == 24 && r.getInt(3) == 16)
+      val px = r.getSeq[Int](4)
+      assert(px.length == 24 * 16)
+      for (y <- 0 until 16; x <- 0 until 24)
+        assert(px(y * 24 + x) == v(m, f)(x, y), s"m=$m f=$f ($x,$y)")
+    }
+    // a frame the codec rejects keeps its row with NULL pixels —
+    // frame accounting stays total, nothing throws
+    val mixed = Seq((9L, Mp4.build(Seq(
+      Multimodal.encodeGrayJpeg(8, 8, (_, _) => 42),
+      "definitely not a jpeg".getBytes)))).toDF("media_id", "media")
+    val mr = Multimodal.decodeFrames(mixed, 2).collect()
+      .sortBy(_.getInt(1))
+    assert(mr.length == 2)
+    assert(mr(0).getSeq[Int](4).forall(_ == 42))
+    assert(mr(1).isNullAt(2) && mr(1).isNullAt(3) && mr(1).isNullAt(4))
+  }
+
+  test("multimodal: MJPEG decode path survives random byte mutations " +
+      "without throwing (the frame-path fuzz, through the codec)") {
+    import spark.implicits._
+    val frames = (0 until 3).map(f =>
+      Multimodal.encodeGrayJpeg(16, 16, (x, y) => (16 * f + x + y) % 256))
+    val good = Mp4.build(frames)
+    val rng = new scala.util.Random(11)
+    val mutated = (0 until 60).map { i =>
+      val b = good.clone()
+      for (_ <- 0 to rng.nextInt(6))
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      (i.toLong, b)
+    }
+    // one distributed pass over all mutants: decode must never throw;
+    // every decoded frame reports a consistent pixel buffer
+    val rows = Multimodal.decodeFrames(mutated.toDF("media_id", "media"), 3)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        assert(r.getInt(2) > 0 && r.getInt(3) > 0)
+        assert(r.getSeq[Int](4).length == r.getInt(2) * r.getInt(3))
+      }
+    }
   }
 
   test("multimodal: header-parsed width/height/duration (no codec)") {
