@@ -37,6 +37,25 @@ object Catalog {
   val AsnV4StartDate: Date = Date.valueOf("2009-02-01")
   val AsnV6StartDate: Date = Date.valueOf("2018-06-01")
 
+  /** S1 LISTING as a metadata-only Spark scan: `binaryFile` with a
+    * path glob + recursive lookup over a snapshot tree
+    * (`Maxmind/yyyy/mm/dd/<stamp>-<dataset>.zip`,
+    * geoloader.go:92-156). The glob prunes at the FILE INDEX — an
+    * excluded file never enters the scan's input-file list, so no
+    * read task is ever planned for it — and selecting only
+    * path/length/modificationTime prunes the `content` column, so
+    * the listing phase reads directory metadata, not file bytes
+    * (the reference's GCS listing). Feed the result through
+    * [[acceptPaths]] for the regex + date-cutoff filters.
+    */
+  def listTree(spark: SparkSession, root: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("length"), col("modificationTime"))
+
   /** S1/F1/F3 as a DataFrame transform over a listing of paths:
     * regex-keep + path-derived date cutoff, so excluded files are
     * pruned before any read is planned.
