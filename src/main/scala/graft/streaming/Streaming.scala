@@ -186,18 +186,46 @@ object Streaming {
   /** Standing minhash-signature state for [[nearDupDedupStream]]:
     * signatures only (one id + one LONG array per doc ever seen), the
     * q62 incremental pattern — at 100 TB/day the state grows with the
-    * corpus's SIGNATURE footprint, never its text. Appends collapse
-    * the union into fresh localCheckpoint blocks so the standing plan
-    * stays one RDD scan regardless of batch count; a production
-    * deployment would swap the in-memory blocks for a parquet/Delta
-    * signature table with identical semantics.
+    * corpus's SIGNATURE footprint, never its text.
     */
-  final class SignatureStore(initial: DataFrame) {
+  trait SignatureStore {
+    def get: DataFrame
+    def append(sigs: DataFrame): Unit
+  }
+
+  /** In-memory [[SignatureStore]]: appends collapse the union into
+    * fresh localCheckpoint blocks so the standing plan stays one RDD
+    * scan regardless of batch count. Dies with the driver — use
+    * [[ParquetSignatureStore]] when the stream must recover.
+    */
+  final class InMemorySignatureStore(initial: DataFrame)
+      extends SignatureStore {
     private val ref = new AtomicReference[DataFrame](
       initial.localCheckpoint(true))
     def get: DataFrame = ref.get()
     def append(sigs: DataFrame): Unit =
       ref.set(ref.get().unionByName(sigs).localCheckpoint(true))
+  }
+
+  /** Durable [[SignatureStore]]: signatures append to a parquet
+    * directory and the standing state is rebuilt from disk on
+    * construction — so a killed driver resumes exactly where it
+    * stopped (pair with the query's `checkpointLocation`, which
+    * replays any uncommitted micro-batch). A replayed batch may
+    * append its signatures twice; that is semantically idempotent
+    * here — the flag join distincts on the new id, so duplicate
+    * corpus signatures never change which docs are flagged.
+    *
+    * `init` supplies the signature schema (and any seed rows' plan)
+    * for the not-yet-written case.
+    */
+  final class ParquetSignatureStore(spark: SparkSession, path: String,
+      init: DataFrame) extends SignatureStore {
+    def get: DataFrame =
+      try spark.read.schema(init.schema).parquet(path)
+      catch { case _: org.apache.spark.sql.AnalysisException => init }
+    def append(sigs: DataFrame): Unit =
+      sigs.write.mode("append").parquet(path)
   }
 
   /** Streaming near-dup dedup — the LSH face of [[dedupStream]],

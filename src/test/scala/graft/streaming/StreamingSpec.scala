@@ -303,7 +303,7 @@ class StreamingSpec extends AnyFunSuite {
       6L -> base) // exact dup of 1, arriving in a LATER batch
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    val store = new Streaming.SignatureStore(
+    val store = new Streaming.InMemorySignatureStore(
       Dedup.minhashSignatures(
         Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id"))
     val kept = scala.collection.mutable.ArrayBuffer[Long]()
@@ -362,5 +362,112 @@ class StreamingSpec extends AnyFunSuite {
     assert(ref.get.latest.date.toString == "2022-01-01")
     assert(ref.get.forDate(Date.valueOf("2021-06-01"))
       .date.toString == "2020-01-01")
+  }
+
+  test("dedupStream dedup state survives a kill + restart from " +
+      "checkpoint mid-corpus (keep-set ≡ uninterrupted run)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup-restart")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    def writePart(in: String, rows: Seq[(Long, String, java.sql.Timestamp)])
+        : Unit =
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(in)
+    val part1 = Seq((1L, "alpha beta", ts(0)), (2L, "gamma", ts(1)),
+      (3L, "delta", ts(2)))
+    // 10/12 duplicate part1 digests ACROSS the kill boundary — only
+    // recovered state can drop them; 11 is genuinely new
+    val part2 = Seq((10L, "alpha  beta", ts(3)), (11L, "epsilon", ts(4)),
+      (12L, "gamma", ts(5)))
+    def run(in: String, ck: String,
+        kept: scala.collection.mutable.Set[Long]): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        // one file per micro-batch: deterministic arrival order (file
+        // mtime order = write order), so the keep-set is well-defined
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streaming.dedupStream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.select("doc_id").collect().map(_.getLong(0))
+          kept.synchronized { kept ++= ids }; ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // interrupted: part1 → query terminates (the kill) → part2 lands →
+    // a NEW query resumes from the same checkpoint
+    val keptR = scala.collection.mutable.Set[Long]()
+    writePart(s"$dir/in", part1)
+    run(s"$dir/in", s"$dir/ck", keptR)
+    writePart(s"$dir/in", part2)
+    run(s"$dir/in", s"$dir/ck", keptR)
+    // uninterrupted twin: same files, same arrival order, one run
+    val keptU = scala.collection.mutable.Set[Long]()
+    writePart(s"$dir/in2", part1)
+    writePart(s"$dir/in2", part2)
+    run(s"$dir/in2", s"$dir/ck2", keptU)
+    assert(keptR == keptU, s"resumed=$keptR uninterrupted=$keptU")
+    // and both dropped the cross-boundary duplicates: without state
+    // recovery the resumed run would have kept 10 and 12 too
+    assert(keptR.toSet == Set(1L, 2L, 3L, 11L))
+  }
+
+  test("nearDupDedupStream + ParquetSignatureStore recover from a " +
+      "driver kill: store rebuilt from disk, keep-set ≡ uninterrupted") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs " +
+      "far away into the green forest tonight under a bright moon"
+    val other = "completely different content about catalyst optimizer " +
+      "internals whole stage codegen and adaptive query execution"
+    val part1 = Seq((1L, base), (2L, base + " with extra"), (3L, other))
+    // 10 near-dups a PART-1 doc: only a store rebuilt from disk can
+    // flag it after the kill; 11 is new vocabulary
+    val part2 = Seq((10L, base + " again"),
+      (11L, "another standalone document carrying its own vocabulary"))
+    val dir = java.nio.file.Files.createTempDirectory("neardup-restart")
+    def emptySigs = Dedup.minhashSignatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    def writePart(in: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+    def run(in: String, ck: String, store: Streaming.SignatureStore,
+        kept: scala.collection.mutable.Set[Long]): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(in)
+      val q = Streaming.nearDupDedupStream(stream, store,
+          (out, _) => {
+            val ids = out.select("doc_id").collect().map(_.getLong(0))
+            kept.synchronized { kept ++= ids }; ()
+          }, threshold = 0.5)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // interrupted: the first store OBJECT is discarded with the "driver";
+    // the resumed run constructs a fresh one over the same parquet dir
+    val keptR = scala.collection.mutable.Set[Long]()
+    writePart(s"$dir/in", part1)
+    run(s"$dir/in", s"$dir/ck",
+      new Streaming.ParquetSignatureStore(spark, s"$dir/sigs", emptySigs),
+      keptR)
+    writePart(s"$dir/in", part2)
+    run(s"$dir/in", s"$dir/ck",
+      new Streaming.ParquetSignatureStore(spark, s"$dir/sigs", emptySigs),
+      keptR)
+    // uninterrupted twin
+    val keptU = scala.collection.mutable.Set[Long]()
+    writePart(s"$dir/in2", part1)
+    writePart(s"$dir/in2", part2)
+    run(s"$dir/in2", s"$dir/ck2",
+      new Streaming.ParquetSignatureStore(spark, s"$dir/sigs2", emptySigs),
+      keptU)
+    assert(keptR == keptU, s"resumed=$keptR uninterrupted=$keptU")
+    assert(keptR.toSet == Set(1L, 3L, 11L)) // 2 in-batch dup, 10 vs store
   }
 }
