@@ -77,6 +77,40 @@ object OperatorQueries {
         .orderBy("ck")
     }),
 
+    /** The q69 twin with WIDE-span ranges: one v4 /8 per nation
+      * ((100+n).0.0.0/8). At the old fixed 2-byte width every /8
+      * exploded into 256 bucket rows; the adaptive width
+      * ([[graft.operators.BucketedRangeJoin.deriveWidth]]) picks
+      * 1-byte buckets for this table, so each /8 stays ONE build row
+      * (span-stat bound, asserted in LookupSpec) while the join keeps
+      * the same equi-join + residual shape and the identical answer.
+      */
+    "q73_bucketed_range_join_wide" -> ((s, d) => {
+      val n = col("n_nationkey")
+      val ranges = Tables.nation(s, d)
+        .select(cidr_lo(concat((n + 100).cast("string"), lit(".0.0.0/8")))
+            .as("lo"),
+          cidr_hi(concat((n + 100).cast("string"), lit(".0.0.0/8")))
+            .as("hi"),
+          concat(lit("W"), n.cast("string")).as("range_tag"))
+      val c = col("c_custkey")
+      val ipExpr =
+        when(c % 10 === 4,
+          concat(lit("10.9."), (c % 200).cast("string"), lit(".1")))
+          .otherwise(concat((c % 25 + 100).cast("string"), lit("."),
+            (c % 256).cast("string"), lit(".3."), (c % 100).cast("string")))
+      val facts = Tables.customer(s, d).filter(c < 300)
+        .select(c.as("ck"), ipExpr.as("ip"))
+      // width pinned: the table shape is statically known (/16 + /48
+      // → 2-byte buckets, span 1 each), so the adaptive span-stats
+      // job would be a pure extra roundtrip here; q73 exercises the
+      // adaptive path
+      graft.operators.BucketedRangeJoin
+        .lookup(facts, ranges, ip_to_bin(col("ip")), nBytes = 2)
+        .select(col("ck"), col("ip"), col("range_tag"))
+        .orderBy("ck")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede.
     "q26_asof_snapshot" -> ((s, d) => {
@@ -111,6 +145,15 @@ object OperatorQueries {
         |  CASE WHEN c_custkey % 10 = 4 THEN NULL
         |    WHEN c_custkey % 5 = 3 THEN 'R6-' || (c_custkey % 25)
         |    ELSE 'R' || (c_custkey % 25) END AS range_tag
+        |FROM customer WHERE c_custkey < 300 ORDER BY ck""".stripMargin,
+    "q73_bucketed_range_join_wide" ->
+      """SELECT c_custkey AS ck,
+        |  CASE WHEN c_custkey % 10 = 4
+        |      THEN '10.9.' || (c_custkey % 200) || '.1'
+        |    ELSE (c_custkey % 25 + 100) || '.' || (c_custkey % 256) ||
+        |      '.3.' || (c_custkey % 100) END AS ip,
+        |  CASE WHEN c_custkey % 10 = 4 THEN NULL
+        |    ELSE 'W' || (c_custkey % 25) END AS range_tag
         |FROM customer WHERE c_custkey < 300 ORDER BY ck""".stripMargin,
     "q26_asof_snapshot" ->
       """SELECT e.event_id, coalesce(

@@ -255,7 +255,7 @@ object BucketedRangeJoin {
     * straddle the boundary (and flattenRanges grouped by family can't
     * emit one that does); the split keeps the operator total anyway.
     */
-  private def familySegments(lo: Column, hi: Column): Column = {
+  private[operators] def familySegments(lo: Column, hi: Column): Column = {
     val rLo = lit(V4RegionLo)
     val rHi = lit(V4RegionHi)
     filter(array(
@@ -268,27 +268,73 @@ object BucketedRangeJoin {
       s => s.isNotNull)
   }
 
+  /** Sentinel for [[lookup]]'s `nBytes`: derive the width from the
+    * range table's span statistics.
+    */
+  val Adaptive = 0
+
+  /** Build-side growth budget for the adaptive width: the exploded
+    * bucket rows may average at most this multiple of the range count.
+    */
+  private val MaxAvgExplosion = 4.0
+
+  /** Derive the bucket width from range-span statistics: the FINEST
+    * width (densest buckets → best residual pruning) whose average
+    * per-range bucket explosion stays ≤ [[MaxAvgExplosion]]. A
+    * /24-dominated table gets 3-byte buckets (span 1 each); a
+    * /16-dominated table 2 bytes; a table of v4 /8s falls back to
+    * 1-byte buckets (span 1) instead of exploding every /8 into 256
+    * two-byte bucket rows. AVERAGE, not max, is the right statistic:
+    * the guarded quantity is total build-side row count, and one wide
+    * outlier in a million-range table should not coarsen every
+    * bucket (its own explosion is bounded by the next-coarser width's
+    * acceptance). One aggregation job over the DIMENSION-scale range
+    * table at plan-build time (the trainCentroids/mixToTarget
+    * precedent); width 1 is the floor — per-family spans there are
+    * ≤ 256 by construction.
+    */
+  private[operators] def deriveWidth(ranges: DataFrame,
+      loCol: String = "lo", hiCol: String = "hi"): Int = {
+    val segs = ranges
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(explode(familySegments(col(loCol), col(hiCol))).as("__seg"))
+    val row = segs.agg(count(lit(1)).as("n"),
+      (1 to 3).map(n => sum(prefixKey(col("__seg.hi"), n) -
+        prefixKey(col("__seg.lo"), n) + 1).as(s"s$n")): _*)
+      .collect()(0)
+    val cnt = row.getLong(0)
+    if (cnt == 0L) 2
+    else (3 to 1 by -1)
+      .find(n => row.getLong(n) <= MaxAvgExplosion * cnt)
+      .getOrElse(1)
+  }
+
   /** Left-join facts to ranges on containment, via per-family prefix
     * buckets.
     *
     * @param nBytes bucket width: 2 → 65 536 buckets per family; a
     *               range spanning w buckets contributes w rows to the
-    *               build side (a v4 /8 spans 256 two-byte buckets)
+    *               build side (a v4 /8 spans 256 two-byte buckets).
+    *               Default [[Adaptive]] derives the width from the
+    *               table's span stats ([[deriveWidth]]) so build-side
+    *               growth stays bounded for any prefix mix.
     */
   def lookup(facts: DataFrame, ranges: DataFrame, ipCol: Column,
-      nBytes: Int = 2, loCol: String = "lo", hiCol: String = "hi",
+      nBytes: Int = Adaptive, loCol: String = "lo", hiCol: String = "hi",
       joinType: String = "left"): DataFrame = {
+    val width =
+      if (nBytes == Adaptive) deriveWidth(ranges, loCol, hiCol) else nBytes
     val exploded = ranges
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
       .withColumn("__seg", explode(familySegments(col(loCol), col(hiCol))))
       .withColumn("__fam", ip_family(col("__seg.lo")))
       .withColumn("__bucket",
-        explode(sequence(prefixKey(col("__seg.lo"), nBytes),
-          prefixKey(col("__seg.hi"), nBytes))))
+        explode(sequence(prefixKey(col("__seg.lo"), width),
+          prefixKey(col("__seg.hi"), width))))
       .drop("__seg")
     val keyedFacts = facts
       .withColumn("__fam", ip_family(ipCol))
-      .withColumn("__bucket", prefixKey(ipCol, nBytes))
+      .withColumn("__bucket", prefixKey(ipCol, width))
     keyedFacts
       .join(exploded,
         keyedFacts("__fam") === exploded("__fam") &&

@@ -90,6 +90,59 @@ class LookupSpec extends AnyFunSuite {
     assert(fast.exists(_._2 != null) && fast.exists(_._2 == null))
   }
 
+  test("adaptive bucket width follows the table's span stats and " +
+      "bounds the build side (wide /8 ranges stay ONE row each)") {
+    import spark.implicits._
+    def table(cidrs: Seq[String]) = cidrs.zipWithIndex.map { case (c, i) =>
+      val r = IpMath.cidrToRange(c)
+      (r._1, r._2, s"t$i")
+    }.toDF("lo", "hi", "payload")
+    // prefix-homogeneous tables pick the finest width with span ≈ 1
+    val slash24 = table((0 until 40).map(i => s"10.1.$i.0/24"))
+    val slash16 = table((0 until 40).map(i => s"10.$i.0.0/16"))
+    val slash8 = table((0 until 25).map(i => s"${100 + i}.0.0.0/8"))
+    assert(BucketedRangeJoin.deriveWidth(slash24) == 3)
+    assert(BucketedRangeJoin.deriveWidth(slash16) == 2)
+    assert(BucketedRangeJoin.deriveWidth(slash8) == 1)
+    // the statistic is the AVERAGE (total build-side growth), not the
+    // max: in a large narrow-dominated table one /8 outlier amortizes
+    // and must NOT coarsen the width (40k /24s + one /8 → 65k bucket
+    // rows ≈ 2.6× the table, within budget → stays 3)...
+    val manyNarrow = (0 until 156).flatMap(a =>
+      (0 until 256).map(b => s"10.$a.$b.0/24")).take(40000)
+    assert(BucketedRangeJoin.deriveWidth(
+      table(manyNarrow :+ "99.0.0.0/8")) == 3)
+    // ...while in a SMALL table the same outlier genuinely dominates
+    // the build size (65k rows vs 200 ranges) and the width correctly
+    // degrades one step
+    val smallMixed = table((0 until 200).map(i => s"10.1.${i % 250}.0/24")
+      :+ "99.0.0.0/8")
+    assert(BucketedRangeJoin.deriveWidth(smallMixed) == 2)
+    // build-side row count at the derived width: every /8 contributes
+    // exactly ONE bucket row (vs 256 each at the old fixed 2-byte
+    // width — 25 rows instead of 6400)
+    def explodedRows(ranges: org.apache.spark.sql.DataFrame,
+        w: Int): Long =
+      ranges.select(explode(sequence(
+        BucketedRangeJoin.prefixKey(col("lo"), w),
+        BucketedRangeJoin.prefixKey(col("hi"), w)))).count()
+    assert(explodedRows(slash8, 1) == 25L)
+    assert(explodedRows(slash8, 2) == 25L * 256)
+    // and the adaptive-width join still answers exactly like naive
+    val probes = (1 to 500).map { i =>
+      (i.toLong, IpMath.parseIp(
+        s"${90 + i % 40}.${i % 256}.3.${i % 100}"))
+    }.toDF("id", "bin")
+    val fast = BucketedRangeJoin.lookup(probes, slash8, col("bin"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val naive = RangeLookup.lookupNaive(probes, slash8, col("bin"))
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(fast == naive)
+    assert(fast.exists(_._2 != null) && fast.exists(_._2 == null))
+  }
+
   test("v4 bucket keys spread across buckets (skip the ::ffff: prefix)") {
     import spark.implicits._
     // before the family-relative fix every v4-mapped key hashed the

@@ -87,14 +87,17 @@ class PlanInvariantSpec extends AnyFunSuite {
   }
 
   test("bucketed range join is a bucket equi-join plus residual — " +
-      "never a BNLJ or cartesian product (q69)") {
-    val p = plan("q69_bucketed_range_join")
-    assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("CartesianProduct"))
-    // the join key is the exploded prefix bucket (+ family) — the
-    // range predicate rides along as residual on an equi-join, which
-    // shuffles (or broadcasts, at dimension scale) on a dense key
-    assert(p.contains("__bucket"))
+      "never a BNLJ or cartesian product (q69, and q73's wide-span " +
+      "twin under the adaptive width)") {
+    for (q <- Seq("q69_bucketed_range_join", "q73_bucketed_range_join_wide")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+      // the join key is the exploded prefix bucket (+ family) — the
+      // range predicate rides along as residual on an equi-join, which
+      // shuffles (or broadcasts, at dimension scale) on a dense key
+      assert(p.contains("__bucket"), q)
+    }
   }
 
   test("as-of is the merge shape: no join operator, no expanded " +
