@@ -112,15 +112,19 @@ object OperatorQueries {
     }),
 
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
-    // clamped to the user's earliest order when none precede.
+    // clamped to the user's earliest order when none precede. The
+    // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
+    // resolved by one extra unbounded first() over the same window
+    // sort — no join, no per-key interval table, one shuffle.
     "q26_asof_snapshot" -> ((s, d) => {
       val snaps = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderdate")).distinct()
+        .select(col("o_custkey"), col("o_orderdate"))
       val events = Tables.events(s, d)
-        .select(col("event_id"), col("user_id").as("o_custkey"), col("ts"))
-      AsOf.asOfSnapshot(events, snaps, col("ts"), "o_orderdate",
-          keyCols = Seq("o_custkey"))
-        .filter(col("o_orderdate").isNotNull)
+        .select(col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id").as("o_custkey"))
+      AsOf.asOfMerge(events, snaps, col("ts"), "o_orderdate",
+          keyCols = Seq("o_custkey"), joinType = "inner", clamp = true)
         .select(col("event_id"), col("o_orderdate").as("snap"))
         .orderBy("event_id")
         .limit(100)

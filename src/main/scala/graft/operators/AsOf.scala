@@ -83,11 +83,15 @@ object AsOf {
     *     when a snapshot holds genuine NULLs).
     *
     * Inclusive semantics `snapshot_date <= fact_time` (the tie-break
-    * sorts snapshots before facts at equal time), strict
+    * sorts snapshots before facts at equal time). By default strict
     * (non-clamped): a fact earlier than every snapshot of its key
     * matches nothing — dropped when `joinType="inner"`, NULL payload
-    * when `"left"`. NULL-keyed snapshots are discarded and NULL-keyed
-    * facts never match, mirroring SQL equi-join NULL semantics.
+    * when `"left"`. With `clamp=true` (the reference's
+    * earliest-snapshot rule, directory.go:230-240, per key) such a
+    * fact takes its key's EARLIEST snapshot instead — one extra
+    * unbounded-frame `first` over the same window sort, still no
+    * join. NULL-keyed snapshots are discarded and NULL-keyed facts
+    * never match, mirroring SQL equi-join NULL semantics.
     *
     * Caller aligns types: `factTime` must be the same data type as
     * `snapshots(dateCol)`. Among duplicate (key, date) snapshot rows
@@ -95,7 +99,7 @@ object AsOf {
     */
   def asOfMerge(facts: DataFrame, snapshots: DataFrame, factTime: Column,
       dateCol: String, keyCols: Seq[String],
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", clamp: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "asOfMerge needs at least one key column")
     require(joinType == "inner" || joinType == "left",
       s"asOfMerge supports inner/left, got $joinType")
@@ -120,8 +124,20 @@ object AsOf {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(t), col(typ))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = last(col(pay), ignoreNulls = true).over(w)
+    val resolved =
+      if (!clamp) running
+      else {
+        // earliest snapshot of the key: first non-null payload over
+        // the full partition (same partitioning + sort → one
+        // WindowExec computes both frames, still zero joins)
+        val wAll = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(t), col(typ))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        coalesce(running, first(col(pay), ignoreNulls = true).over(wAll))
+      }
     val merged = sSide.unionByName(fSide)
-      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .withColumn(pay, resolved)
       .filter(col(typ) === 1 &&
         (if (joinType == "inner") col(pay).isNotNull else lit(true)))
     merged.select(keyCols.map(col) ++ factPayload.map(col) ++

@@ -218,14 +218,19 @@ class LookupSpec extends AnyFunSuite {
       (14L, 2L, Date.valueOf("2020-03-02")), // s3
       (15L, 3L, Date.valueOf("2020-03-02"))) // unknown key → no match
       .toDF("id", "k", "t")
-    def run(joinType: String) =
-      AsOf.asOfMerge(facts, snaps, col("t"), "snap_date", Seq("k"), joinType)
+    def run(joinType: String, clamp: Boolean = false) =
+      AsOf.asOfMerge(facts, snaps, col("t"), "snap_date", Seq("k"),
+          joinType, clamp)
         .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
         .toMap
     assert(run("inner") == Map(11L -> "s1", 12L -> "s1", 13L -> "s2",
       14L -> "s3"))
     assert(run("left") == Map(10L -> null, 11L -> "s1", 12L -> "s1",
       13L -> "s2", 14L -> "s3", 15L -> null))
+    // clamp: the too-early fact takes its key's EARLIEST snapshot;
+    // unknown keys still match nothing
+    assert(run("inner", clamp = true) == Map(10L -> "s1", 11L -> "s1",
+      12L -> "s1", 13L -> "s2", 14L -> "s3"))
   }
 
   test("asOfMerge payload struct is atomic — a snapshot NULL column " +
@@ -269,6 +274,19 @@ class LookupSpec extends AnyFunSuite {
       .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap
     assert(merged == naive)
+    // clamped variant agrees with the interval-join asOfSnapshot
+    // (which implements the same directory.go clamp rule) on every
+    // fact whose key has snapshots
+    val viaInterval = AsOf.asOfSnapshot(facts, snaps, col("t"),
+        "snap_date", keyCols = Seq("k"))
+      .filter(col("v").isNotNull)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val mergedClamped = AsOf.asOfMerge(facts, snaps, col("t"), "snap_date",
+        Seq("k"), "inner", clamp = true)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(mergedClamped == viaInterval)
   }
 
   test("alignSnapshots builds the unified date spine (MergeAnnotators J9)") {
