@@ -94,6 +94,18 @@ object ExtensionQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // Exact repeated-substring coverage (Lee et al. 2022): per doc,
+    // how many of its 20-char windows occur verbatim in ANOTHER doc —
+    // the span-level exact-dedup signal. Raw-substring keys here so
+    // the DuckDB twin reproduces the windows byte-for-byte; the
+    // xxhash64 key variant is the documented 100 TB shuffle shape.
+    "q74_repeated_substrings" -> ((s, d) =>
+      Dedup.repeatedSpans(
+          Tables.documents(s, d).filter(col("doc_id") < 120),
+          "text", "doc_id", l = 20, hashKeys = false)
+        .filter(col("n_repeated") > 0)
+        .orderBy("doc_id")),
+
     // Composite quality score (length / punctuation / token shape) —
     // the thresholding signal for corpus curation, hash-checked
     // against a DuckDB twin of the same double algebra.
@@ -333,6 +345,21 @@ object ExtensionQueries {
         |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)), 4) AS sr
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q74_repeated_substrings" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 120 AND length(text) >= 20),
+        |pos AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, length(text) - 18),
+        |    i -> substr(text, CAST(i AS INT), 20))) AS g FROM docs),
+        |gd AS (SELECT g, count(*) AS nd FROM
+        |  (SELECT DISTINCT g, doc_id FROM pos) u GROUP BY g),
+        |per AS (SELECT p.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_repeated
+        |  FROM pos p JOIN gd USING (g) GROUP BY p.doc_id)
+        |SELECT doc_id, n_windows, n_repeated FROM per
+        |WHERE n_repeated > 0 ORDER BY doc_id""".stripMargin,
     "q50_decontaminate" ->
       """WITH norm AS (SELECT doc_id,
         |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),

@@ -181,6 +181,48 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / size(sigA).cast("double")
 
+  /** Exact repeated-substring detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * signal): for every position in every document, does its
+    * length-`l` window also occur in ANOTHER document? Returns one
+    * row per doc: (id, n_windows, n_repeated) — the per-doc repeated
+    * coverage a curation pipeline thresholds on (or uses to cut the
+    * exact spans out of the text).
+    *
+    * Scale shape: windows collapse immediately into per-(window, doc)
+    * distinct rows (map-side combined), the cross-doc test is one
+    * groupBy on the window key (`count > 1` — never a doc×doc join),
+    * and the flag re-attaches to the position stream by the same key.
+    * With `hashKeys` (the default) the shuffle key is xxhash64 of the
+    * window — 8 bytes instead of `l` chars, the rolling-hash shape of
+    * the reference implementation; pass `hashKeys=false` for the
+    * raw-substring key (cross-engine exact, what the q74 oracle
+    * pins — same output as long as 64-bit collisions stay absent).
+    */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      l: Int, hashKeys: Boolean = true): DataFrame = {
+    require(l >= 1, s"invalid window length: $l")
+    val t = col(textCol)
+    val positions = df
+      .filter(t.isNotNull && length(t) >= l)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), length(t) - (l - 1)),
+        i => t.substr(i, lit(l)))).as("__g"))
+      .select(col(idCol),
+        (if (hashKeys) xxhash64(col("__g")) else col("__g")).as("__k"))
+    // distinct (window, doc) then per-window doc count: two map-side
+    // combinable aggs, no countDistinct expand
+    val crossDoc = positions.select(col("__k"), col(idCol)).distinct()
+      .groupBy("__k").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__k"), lit(1).as("__rep"))
+    positions
+      .join(crossDoc, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__rep"), lit(0))).as("n_repeated"))
+  }
+
   /** Exact n-gram Jaccard between candidate pairs: re-joins the
     * exploded gram sets on the candidate ids only.
     */

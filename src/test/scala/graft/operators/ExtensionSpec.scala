@@ -179,6 +179,34 @@ class ExtensionSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 901L)) // min id of the clone+near class, plus unrelated
   }
 
+  test("repeated-substring spans: cross-doc verbatim windows counted " +
+      "per doc; hash keys agree with raw-substring keys") {
+    import spark.implicits._
+    val shared = "this exact boilerplate sentence repeats verbatim"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"totally different lead-in $shared and a different tail"),
+      (3L, "no overlap with anything else in this corpus at all here"),
+      (4L, "short")) // below the window length → no windows at all
+      .toDF("doc_id", "text")
+    def run(hash: Boolean) =
+      Dedup.repeatedSpans(docs, "text", "doc_id", l = 20, hashKeys = hash)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val got = run(hash = false)
+    // docs 1 and 2 share every window inside the space-padded 50-char
+    // boilerplate region (" " + 48 chars + " " → 50 - 20 + 1 = 31
+    // windows each); 3 has windows but none repeat; 4 has no windows
+    // and no row
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._2 == 31 && got(2L)._2 == 31)
+    assert(got(3L)._2 == 0)
+    assert(got(1L)._1 == docs.filter(col("doc_id") === 1L)
+      .select(length(col("text"))).collect().head.getInt(0) - 19)
+    // the xxhash64 scale path computes the identical answer
+    assert(run(hash = true) == got)
+  }
+
   test("decontamination flags training docs containing benchmark items") {
     import spark.implicits._
     val train = Seq(
