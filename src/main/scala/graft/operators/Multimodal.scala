@@ -159,6 +159,41 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Decoded-image size ceiling: a crafted header claiming huge
+    * dimensions must not allocate executor-killing buffers — 16 M px
+    * (≈64 MB of int pixels) comfortably covers real thumbnails/frames
+    * while bounding the worst case.
+    */
+  private val MaxDecodePixels = 1L << 24
+
+  /** Bounded image decode: reads WIDTH/HEIGHT from the header FIRST
+    * (no pixel decode) and rejects images over [[MaxDecodePixels]]
+    * before any full-size buffer exists. `ImageIO.read` straight on
+    * untrusted bytes would allocate the claimed dimensions — a forged
+    * 64k×64k JPEG header is a 16 GB allocation, an OutOfMemoryError,
+    * and a dead executor; this returns None instead.
+    */
+  private[operators] def readImageBounded(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
   /** Real decode: normalized `dim`-bin luminance histogram over the
     * decoded pixels (ITU-R BT.601 integer weights). The histogram
     * stands in for an embedding-model call; what matters for the
@@ -168,10 +203,10 @@ object Multimodal {
   private[operators] def imageFeatures(bytes: Array[Byte],
       dim: Int): Option[Array[Float]] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      val imgOpt = readImageBounded(bytes)
+      if (imgOpt.isEmpty) None
       else {
+        val img = imgOpt.get
         val hist = new Array[Float](dim)
         var y = 0
         while (y < img.getHeight) {
@@ -322,10 +357,10 @@ object Multimodal {
   private[operators] def decodeGray(
       bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      val imgOpt = readImageBounded(bytes)
+      if (imgOpt.isEmpty) None
       else {
+        val img = imgOpt.get
         val w = img.getWidth
         val h = img.getHeight
         val px = new Array[Int](w * h)

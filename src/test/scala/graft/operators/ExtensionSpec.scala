@@ -887,6 +887,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(mr(1).isNullAt(2) && mr(1).isNullAt(3) && mr(1).isNullAt(4))
   }
 
+  test("multimodal: a forged JPEG header claiming huge dimensions is " +
+      "rejected at the header stage — no executor-killing allocation") {
+    val real = Multimodal.encodeGrayJpeg(16, 16, (_, _) => 7)
+    // patch the SOF0 frame header's height/width to 65535×65535
+    // (≈4.3G pixels): ImageIO.read would attempt the full allocation
+    val sof = real.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    assert(sof > 0)
+    val evil = real.clone()
+    for (i <- 0 until 4) evil(sof + 5 + i) = 0xff.toByte
+    assert(Multimodal.decodeGray(evil).isEmpty)
+    assert(Multimodal.imageFeatures(evil, 16).isEmpty)
+    // sane images still decode through the bounded reader
+    assert(Multimodal.decodeGray(real).exists(_._3.forall(_ == 7)))
+  }
+
   test("multimodal: MJPEG decode path survives random byte mutations " +
       "without throwing (the frame-path fuzz, through the codec)") {
     import spark.implicits._
