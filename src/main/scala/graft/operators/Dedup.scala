@@ -198,13 +198,23 @@ object Dedup {
     * the reference implementation; pass `hashKeys=false` for the
     * raw-substring key (cross-engine exact, what the q74 oracle
     * pins — same output as long as 64-bit collisions stay absent).
+    *
+    * `maxChars` bounds the per-row window array the explode
+    * materializes: one pathological 100 MB document would otherwise
+    * build a multi-GB in-row array and kill its executor. Windows are
+    * counted within the first `maxChars` characters only (1 M default
+    * ≈ a few MB per row worst case); corpora with genuinely longer
+    * documents should chunk first ([[TextAnalysis.chunkByTokens]]),
+    * which also restores full coverage.
     */
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
-      l: Int, hashKeys: Boolean = true): DataFrame = {
+      l: Int, hashKeys: Boolean = true,
+      maxChars: Int = 1 << 20): DataFrame = {
     require(l >= 1, s"invalid window length: $l")
-    val t = col(textCol)
+    require(maxChars >= l, s"maxChars $maxChars < window $l")
+    val t = substring(col(textCol), 1, maxChars)
     val positions = df
-      .filter(t.isNotNull && length(t) >= l)
+      .filter(col(textCol).isNotNull && length(t) >= l)
       .select(col(idCol), explode(transform(
         sequence(lit(1), length(t) - (l - 1)),
         i => t.substr(i, lit(l)))).as("__g"))

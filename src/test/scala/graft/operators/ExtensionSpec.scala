@@ -205,6 +205,13 @@ class ExtensionSpec extends AnyFunSuite {
       .select(length(col("text"))).collect().head.getInt(0) - 19)
     // the xxhash64 scale path computes the identical answer
     assert(run(hash = true) == got)
+    // the per-row window-array guard: windows count only within
+    // maxChars, so a pathological giant doc can't build a giant
+    // in-row array (here: cap 40 chars → 21 windows for doc 3)
+    val capped = Dedup.repeatedSpans(docs, "text", "doc_id", l = 20,
+        hashKeys = false, maxChars = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(3L) == 21)
   }
 
   test("decontamination flags training docs containing benchmark items") {
