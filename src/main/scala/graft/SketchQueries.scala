@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
-import graft.operators.{Dedup, Graph, Ivf, Mp4, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -40,6 +40,15 @@ object SketchQueries {
   private val IvfCentroids: Seq[Seq[Long]] = {
     val rnd = new scala.util.Random(13)
     Seq.fill(8)(Seq.fill(64)((rnd.nextInt(801) - 400).toLong))
+  }
+
+  /** Fixed seeded PQ codebooks (8 subvectors × 4 centroids × width 8)
+    * in the quantized space, shared with the generated oracle —
+    * the q46 fixed-centroid rationale, per subvector.
+    */
+  private val PqCodebooks: Seq[Seq[Seq[Long]]] = {
+    val rnd = new scala.util.Random(29)
+    Seq.fill(8)(Seq.fill(4)(Seq.fill(8)((rnd.nextInt(801) - 400).toLong)))
   }
 
   /** DuckDB fragment: q44/q47 sign-LSH bucket over a BIGINT list
@@ -278,6 +287,19 @@ object SketchQueries {
           length(col("frame")).cast("long").as("n_bytes"),
           md5(col("frame")).as("frame_md5"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // Product-quantization ADC ANN (Jégou et al.): corpus encoded to
+    // 8 centroid codes per vector, probe vec_id=0 ranks the rest by
+    // summed per-subvector distance-table lookups — integer-exact, so
+    // codes AND the ADC ranking hash-match the oracle. The third ANN
+    // scale shape next to IVF (q46) and sign-LSH (q44).
+    "q75_pq_adc_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      Pq.adcTopK(emb.filter(col("vec_id") > 0), probe, 5, PqCodebooks)
+        .select(col("vec_id"), col("adc"))
     }),
 
     /** Demux→PIXELS under the hash contract: MJPEG-in-MP4 — each MP4
@@ -525,6 +547,28 @@ object SketchQueries {
         |  md5('frame-' || n_nationkey || '-' || (t.i * 2)) AS frame_md5
         |FROM nation, (SELECT 0 AS i UNION ALL SELECT 1) t
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "q75_pq_adc_ann" -> {
+      def sq(sub: String, c: Seq[Long]) =
+        s"""CAST(list_sum(list_transform(list_zip($sub, ${c.mkString("[", ",", "]")}),
+           |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)""".stripMargin
+      def subv(v: String, s: Int) = s"list_slice($v, ${s * 8 + 1}, ${s * 8 + 8})"
+      val codes = PqCodebooks.zipWithIndex.map { case (cb, s) =>
+        "list_min([" + cb.zipWithIndex.map { case (c, i) =>
+          s"{'d': ${sq(subv("q", s), c)}, 'c': $i}"
+        }.mkString(", ") + "]).c"
+      }.mkString("[\n", ",\n", "\n]")
+      val adc = PqCodebooks.zipWithIndex.map { case (cb, s) =>
+        "([" + cb.map(c => sq(subv("p.pq", s), c)).mkString(", ") +
+          s"])[c.codes[${s + 1}] + 1]"
+      }.mkString("\n + ")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id, $codes AS codes FROM q WHERE vec_id > 0),
+         |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
+         |SELECT c.vec_id, ($adc) AS adc FROM c, p
+         |ORDER BY adc, vec_id LIMIT 5""".stripMargin
+    },
     // mirrors the q72 fixture arithmetically: per (nation m, frame f)
     // the decoded image is 8x(2+m%3) × 8x(1+m%2) px of 8×8-uniform
     // blocks valued (37m+11f+13bx+29by)%256 — 64 px per block

@@ -373,7 +373,7 @@ object Ivf {
     * arithmetic (see [[Similarity.quantize]]); [[trainCentroids]]
     * stays the float/recall-quality path.
     */
-  private def sqDistInt(vec: Column, centroid: Seq[Long]): Column =
+  private[operators] def sqDistInt(vec: Column, centroid: Seq[Long]): Column =
     aggregate(zip_with(vec, array(centroid.map(lit): _*),
       (x, c) => (x - c) * (x - c)), lit(0L), (acc, v) => acc + v)
 
@@ -420,5 +420,74 @@ object Ivf {
     val scored = c.join(broadcast(p), Seq("__bucket"))
       .withColumn("sim", Similarity.cosine(col(corpusVec), col(probeVec)))
     Similarity.topKPerProbe(scored, k, probeId, corpusId)
+  }
+}
+
+/** Product quantization + asymmetric-distance (ADC) search — the
+  * third classic ANN scale shape next to [[Ivf]] and the sign-LSH
+  * buckets: the CORPUS compresses to one small code per subvector
+  * (here `S` codes of `log2(K)` bits — memory drops from `dim`
+  * floats to `S` bytes per vector, the property that lets a
+  * billion-vector index live in RAM), probes stay full-precision,
+  * and probe↔code distance is a per-subvector table lookup summed
+  * across subvectors (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search").
+  *
+  * Integer-exact end to end (quantized vectors, integer codebooks,
+  * integer distance tables) for the same cross-engine rationale as
+  * [[Similarity.quantize]]/[[Ivf.assignInt]]: encoding and the ADC
+  * ranking reproduce bit-for-bit in the DuckDB oracle. Codebooks are
+  * per-subvector centroid lists `(S × K × subDim)`; production
+  * trains them like [[Ivf.trainCentroids]] (per-subvector Lloyd's on
+  * the deterministic sample), fixed seeded books keep the oracle
+  * static.
+  */
+object Pq {
+
+  /** Encode a quantized vector: per subvector, the index of its
+    * nearest codebook centroid (integer distances, ties → lowest
+    * index via [[Ivf.assignInt]]). Output ARRAY<INT> of length S.
+    */
+  def encodeInt(qvec: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
+    val w = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      Ivf.assignInt(slice(qvec, s * w + 1, w), cb)
+    }: _*)
+  }
+
+  /** ADC distance from a full-precision (quantized-integer) probe to
+    * an encoded corpus vector: Σ_s lut_s[code_s], where lut_s holds
+    * the probe's squared distance to every centroid of subvector s.
+    * The luts are expressions over the probe column — with a
+    * broadcast single-probe (or small probe set) plan they evaluate
+    * per output row in whole-stage codegen; no decode of the corpus
+    * code ever happens.
+    */
+  def adcInt(probe: Column, codes: Column,
+      codebooks: Seq[Seq[Seq[Long]]]): Column = {
+    val w = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(probe, s * w + 1, w)
+      element_at(array(cb.map(c => Ivf.sqDistInt(sub, c)): _*),
+        element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** PQ-ADC top-k: encode the corpus once (S bytes per row), cross
+    * the (small, broadcast) probe set, rank by ADC ascending. The
+    * scan stays codegen; only k·partitions rows reach the driver via
+    * the bounded top-k pattern of the other ANN paths when k-limited
+    * downstream.
+    */
+  def adcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Long]]],
+      corpusId: String = "vec_id", corpusVec: String = "q",
+      probeVec: String = "pq"): DataFrame = {
+    val encoded = corpus.withColumn("__codes",
+      encodeInt(col(corpusVec), codebooks))
+    encoded.crossJoin(broadcast(probes))
+      .withColumn("adc", adcInt(col(probeVec), col("__codes"), codebooks))
+      .orderBy(col("adc"), col(corpusId))
+      .limit(k)
   }
 }

@@ -638,6 +638,43 @@ class ExtensionSpec extends AnyFunSuite {
     assert(a == b && a == c)
   }
 
+  test("PQ encode + ADC match a plain-Scala reference on random " +
+      "vectors (integer-exact product quantization)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val books: Seq[Seq[Seq[Long]]] =
+      Seq.fill(4)(Seq.fill(3)(Seq.fill(4)((rnd.nextInt(21) - 10).toLong)))
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextInt(41) - 20).toLong)))
+    def sqd(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def refEncode(v: Seq[Long]): Seq[Int] =
+      books.zipWithIndex.map { case (cb, s) =>
+        val sub = v.slice(s * 4, s * 4 + 4)
+        cb.zipWithIndex.map { case (c, i) => (sqd(sub, c), i) }.min._2
+      }
+    def refAdc(p: Seq[Long], codes: Seq[Int]): Long =
+      books.zipWithIndex.map { case (cb, s) =>
+        sqd(p.slice(s * 4, s * 4 + 4), cb(codes(s)))
+      }.sum
+    val probe = vecs.head._2
+    val df = vecs.toDF("vec_id", "q")
+      .withColumn("codes", Pq.encodeInt(col("q"), books))
+      .withColumn("adc", Pq.adcInt(
+        array(probe.map(lit): _*), col("codes"), books))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](2).toSeq, r.getLong(3))).toMap
+    vecs.foreach { case (id, v) =>
+      val codes = refEncode(v)
+      assert(df(id)._1 == codes, s"codes for $id")
+      assert(df(id)._2 == refAdc(probe, codes), s"adc for $id")
+    }
+    // ADC of a vector against its own code equals its quantization
+    // error — and the probe's ADC to itself is the minimum over
+    // re-encodings of the probe
+    assert(df(0L)._2 == refAdc(probe, refEncode(probe)))
+  }
+
   test("minhash_agg custom aggregate matches per-doc signature semantics") {
     import graft.functions.MinHashAgg.minhash_agg
     val grams = Dedup.explodeGrams(docs, "text", "doc_id")
