@@ -474,20 +474,36 @@ object Pq {
   }
 
   /** PQ-ADC top-k: encode the corpus once (S bytes per row), cross
-    * the (small, broadcast) probe set, rank by ADC ascending. The
-    * scan stays codegen; only k·partitions rows reach the driver via
-    * the bounded top-k pattern of the other ANN paths when k-limited
-    * downstream.
+    * the (small, broadcast) probe set, rank by ADC ascending.
+    *
+    * The distance tables are materialized ON THE PROBE SIDE before
+    * the broadcast — the LUT depends only on the probe, and
+    * evaluating [[adcInt]]'s lut expressions per corpus row would
+    * re-run S×K interpreted subvector distances per row (measured
+    * ~2× the query time at sf0.1). With the LUT as a probe column,
+    * the corpus-row work is S element_at lookups and adds — plain
+    * codegen'd builtins, which is also the honest production shape:
+    * real ADC implementations compute the tables once per query.
     */
   def adcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       codebooks: Seq[Seq[Seq[Long]]],
       corpusId: String = "vec_id", corpusVec: String = "q",
       probeVec: String = "pq"): DataFrame = {
+    val w = codebooks.head.head.length
     val encoded = corpus.withColumn("__codes",
       encodeInt(col(corpusVec), codebooks))
-    encoded.crossJoin(broadcast(probes))
-      .withColumn("adc", adcInt(col(probeVec), col("__codes"), codebooks))
+    val withLuts = probes.withColumn("__luts",
+      array(codebooks.zipWithIndex.map { case (cb, s) =>
+        val sub = slice(col(probeVec), s * w + 1, w)
+        array(cb.map(c => Ivf.sqDistInt(sub, c)): _*)
+      }: _*))
+    val adc = codebooks.indices.map(s =>
+      element_at(element_at(col("__luts"), s + 1),
+        element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
+    encoded.crossJoin(broadcast(withLuts))
+      .withColumn("adc", adc)
       .orderBy(col("adc"), col(corpusId))
       .limit(k)
+      .drop("__codes", "__luts")
   }
 }
