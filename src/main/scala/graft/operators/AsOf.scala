@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** J2 as-of snapshot selection (SURVEY §2.4): each dataset file is a
   * slowly-changing-dimension snapshot valid from its date until the
@@ -96,10 +97,45 @@ object AsOf {
     * Caller aligns types: `factTime` must be the same data type as
     * `snapshots(dateCol)`. Among duplicate (key, date) snapshot rows
     * the picked row is arbitrary — dedup first if payloads differ.
+    *
+    * ==Hot-key guard (default ON)==
+    * A per-key window funnels each key's ENTIRE timeline into one
+    * task's sort, and WindowExec cannot skew-split the way AQE splits
+    * joins — one monster key (10⁸ events at 100 TB) is a single-task
+    * cliff. With `maxKeyRows > 0` the merge guards itself:
+    *
+    *   1. one skew-safe aggregate (count/min/max per key — map-side
+    *      combined, so the hot key itself cannot skew it) finds keys
+    *      whose timeline exceeds `maxKeyRows`; the flagged table is
+    *      bounded by totalRows/maxKeyRows and is broadcast back as a
+    *      tag (in practice: the handful of monster keys);
+    *   2. cold keys (all of them, when data is well-behaved) take the
+    *      exact single-window merge above — same plan, same result;
+    *   3. hot keys are sub-partitioned by a coarse time slice
+    *      (`ceil(4·n/maxKeyRows)` slices, capped at [[MaxSlices]], so
+    *      expected rows/slice ≈ maxKeyRows/4): the running-last runs
+    *      per (key, slice) — bounded task input — and a per-slice
+    *      closing-snapshot summary (skew-safe aggregate; ≤ MaxSlices
+    *      rows per key) carries the boundary snapshot across slices
+    *      via one tiny per-key window, joined back on (key, slice) —
+    *      a dense equi-key the hot key no longer dominates.
+    *
+    * A hot key whose rows all share ONE instant cannot be time-sliced;
+    * such rows are hash-spread across slices and every fact takes the
+    * key's closing snapshot — at a single instant all snapshots tie,
+    * so this is the documented arbitrary-among-duplicates pick.
+    * Results are identical to the unguarded merge (slice boundaries
+    * respect the time order, and the within-slice sort keeps the
+    * snapshot-before-fact tie-break); only the physical plan changes.
+    * The guard needs a numeric image of the time axis and supports
+    * date / timestamp / timestamp_ntz / numeric `factTime`; for any
+    * other type (or `maxKeyRows <= 0`) the merge falls back to the
+    * unguarded single-window plan.
     */
   def asOfMerge(facts: DataFrame, snapshots: DataFrame, factTime: Column,
       dateCol: String, keyCols: Seq[String],
-      joinType: String = "inner", clamp: Boolean = false): DataFrame = {
+      joinType: String = "inner", clamp: Boolean = false,
+      maxKeyRows: Int = DefaultMaxKeyRows): DataFrame = {
     require(keyCols.nonEmpty, "asOfMerge needs at least one key column")
     require(joinType == "inner" || joinType == "left",
       s"asOfMerge supports inner/left, got $joinType")
@@ -121,28 +157,153 @@ object AsOf {
       .select(keyCols.map(col) ++ Seq(factTime.as(t),
         lit(1).as(typ), lit(null).cast(sSide.schema(pay).dataType)
           .as(pay)) ++ factPayload.map(col): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(t), col(typ))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val running = last(col(pay), ignoreNulls = true).over(w)
-    val resolved =
-      if (!clamp) running
+    val timeline = sSide.unionByName(fSide)
+    val timeNum = numericTime(col(t), timeline.schema(t).dataType)
+
+    // running latest-snapshot payload via one window pass over `df`
+    // (which must hold the timeline columns); partitions on partCols
+    def resolveRunning(df: DataFrame, partCols: Seq[Column]): DataFrame = {
+      val w = Window.partitionBy(partCols: _*)
+        .orderBy(col(t), col(typ))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val running = last(col(pay), ignoreNulls = true).over(w)
+      val resolved =
+        if (!clamp) running
+        else {
+          // earliest snapshot of the partition: first non-null payload
+          // over the full frame (same partitioning + sort → one
+          // WindowExec computes both frames, still zero joins)
+          val wAll = Window.partitionBy(partCols: _*)
+            .orderBy(col(t), col(typ))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)
+          coalesce(running, first(col(pay), ignoreNulls = true).over(wAll))
+        }
+      df.withColumn(pay, resolved)
+    }
+
+    val outCols = keyCols.map(col) ++ Seq(col(typ), col(pay)) ++
+      factPayload.map(col)
+    val merged =
+      if (maxKeyRows <= 0 || timeNum.isEmpty)
+        resolveRunning(timeline, keyCols.map(col)).select(outCols: _*)
       else {
-        // earliest snapshot of the key: first non-null payload over
-        // the full partition (same partitioning + sort → one
-        // WindowExec computes both frames, still zero joins)
-        val wAll = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(t), col(typ))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        coalesce(running, first(col(pay), ignoreNulls = true).over(wAll))
+        val n = "__asof_n"; val lo = "__asof_lo"; val hi = "__asof_hi"
+        val sliceC = "__asof_slice"
+        // skew-safe detection: partial count/min/max combine map-side,
+        // so the monster key contributes one row per input partition
+        val hotStats = timeline
+          .select(keyCols.map(col) :+ timeNum.get.as("__asof_tn"): _*)
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as(n), min("__asof_tn").as(lo),
+            max("__asof_tn").as(hi))
+          .filter(col(n) > maxKeyRows)
+        // flagged-key table ≤ totalRows/maxKeyRows rows by construction
+        val tagged = timeline.join(broadcast(hotStats),
+          keyCols, "left")
+        val cold = resolveRunning(tagged.filter(col(n).isNull),
+          keyCols.map(col)).select(outCols: _*)
+
+        val nSlices = least(ceil(col(n) * SliceOversample /
+          lit(maxKeyRows.toDouble)), lit(MaxSlices.toLong))
+        val degenerate = col(hi) === col(lo)
+        val slice = when(degenerate,
+            // single-instant key: ordering is immaterial (every
+            // snapshot ties), spread rows by hash to bound the sort
+            pmod(xxhash64(Seq(col(t), col(typ)) ++
+              factPayload.map(col): _*), nSlices))
+          .otherwise(least(
+            floor((timeNum.get - col(lo)) /
+              ((col(hi) - col(lo)) / nSlices)), nSlices - 1))
+          .cast(IntegerType)
+        val hotRows = tagged.filter(col(n).isNotNull)
+          .withColumn(sliceC, slice)
+        // per-(key, slice) snapshot extremes — skew-safe aggregate;
+        // ≤ MaxSlices summary rows per key, so the per-key carry
+        // window below is bounded no matter how hot the key is
+        val snapOrd = when(col(typ) === 0, struct(col(t)))
+        val snapPay = when(col(typ) === 0, col(pay))
+        val sw = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(sliceC))
+        val summary = hotRows
+          .groupBy((keyCols :+ sliceC).map(col): _*)
+          .agg(max_by(snapPay, snapOrd).as("__asof_close"),
+            min_by(snapPay, snapOrd).as("__asof_open"))
+          .withColumn("__asof_carry",
+            last("__asof_close", ignoreNulls = true)
+              .over(sw.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("__asof_keyclose",
+            last("__asof_close", ignoreNulls = true)
+              .over(sw.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .withColumn("__asof_keyopen",
+            first("__asof_open", ignoreNulls = true)
+              .over(sw.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .select((keyCols :+ sliceC).map(col) ++
+            Seq(col("__asof_carry"), col("__asof_keyclose"),
+              col("__asof_keyopen")): _*)
+        // bounded per-task window: partition spec is (key, slice)
+        val run = resolveSliceRun(hotRows, keyCols, sliceC, t, typ, pay)
+        // dense (key, slice) equi-join — the hot key no longer
+        // dominates any one hash bucket; AQE/SMJ both safe here
+        val hotResolved = run.join(summary, keyCols :+ sliceC)
+        val base = when(degenerate, col("__asof_keyclose"))
+          .otherwise(coalesce(col("__asof_run"), col("__asof_carry")))
+        val resolved =
+          if (clamp) coalesce(base, col("__asof_keyopen")) else base
+        val hot = hotResolved.withColumn(pay, resolved)
+          .select(outCols: _*)
+        cold.unionByName(hot)
       }
-    val merged = sSide.unionByName(fSide)
-      .withColumn(pay, resolved)
+    merged
       .filter(col(typ) === 1 &&
         (if (joinType == "inner") col(pay).isNotNull else lit(true)))
-    merged.select(keyCols.map(col) ++ factPayload.map(col) ++
-      snapPayload.map(c => col(pay).getField(c).as(c)): _*)
+      .select(keyCols.map(col) ++ factPayload.map(col) ++
+        snapPayload.map(c => col(pay).getField(c).as(c)): _*)
   }
+
+  /** Within-slice running latest snapshot as `__asof_run`. */
+  private def resolveSliceRun(df: DataFrame, keyCols: Seq[String],
+      sliceC: String, t: String, typ: String, pay: String): DataFrame = {
+    val w = Window.partitionBy((keyCols :+ sliceC).map(col): _*)
+      .orderBy(col(t), col(typ))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__asof_run",
+      last(col(pay), ignoreNulls = true).over(w))
+  }
+
+  /** Hot-key guard threshold: keys with more timeline rows than this
+    * are time-sliced (~10⁶ — well inside one task's sort budget but
+    * far above any legitimate per-key cardinality in the reference's
+    * workloads).
+    */
+  val DefaultMaxKeyRows: Int = 1 << 20
+  /** Target rows/slice = maxKeyRows / oversample — headroom for
+    * time-nonuniform keys.
+    */
+  private val SliceOversample = 4
+  /** Slice-count cap: bounds the per-key summary table (and its carry
+    * window) regardless of key size.
+    */
+  private val MaxSlices = 4096
+
+  /** Monotone (nondecreasing) numeric image of the timeline axis for
+    * slice bucketing; None when the type has no order-preserving
+    * numeric form (guard then falls back to the unguarded plan).
+    * timestamp_ntz avoids a session-TZ cast (a DST gap would break
+    * monotonicity) by composing epoch-day and time-of-day directly.
+    */
+  private def numericTime(c: Column, dt: DataType): Option[Column] =
+    dt match {
+      case DateType => Some(unix_date(c).cast(DoubleType))
+      case TimestampType => Some(unix_micros(c).cast(DoubleType))
+      case TimestampNTZType =>
+        Some(unix_date(c.cast(DateType)).cast(DoubleType) * 86400d +
+          hour(c) * 3600d + minute(c) * 60d + second(c))
+      case _: NumericType => Some(c.cast(DoubleType))
+      case _ => None
+    }
 
   /** J9 date-aligned merge (directory.go:141-202): build the unified
     * date spine across several snapshot lists and as-of join each

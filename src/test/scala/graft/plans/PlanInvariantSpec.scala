@@ -100,13 +100,35 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
-  test("as-of is the merge shape: no join operator, no expanded " +
-      "intermediate, one window pass (q08)") {
+  test("as-of keeps the merge shape under the default-on hot-key " +
+      "guard: broadcast tag join + sliced window branch, never a " +
+      "BNLJ/cartesian or an expanded fact-side join (q08)") {
     val p = plan("q08_asof_join")
-    // the round-9 regression was the expand-then-aggregate shape
-    // (events × earlier orders, then max per event). The merge as-of
-    // has NO join and NO aggregate — output is bounded by the events
-    // row count by construction
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the hot-key guard's pieces: skew-safe detection agg broadcast
+    // back as the tag, and the sliced-window branch for flagged keys
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__asof_slice"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("asOfMerge unguarded core is still the pure merge: no join " +
+      "operator, no expanded intermediate, one window pass") {
+    // the round-9 regression guard (expand-then-aggregate: events ×
+    // earlier orders, then max per event), asserted on the raw
+    // operator with the guard off — the guarded cold path runs this
+    // exact shape per key
+    import org.apache.spark.sql.functions._
+    val snaps = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    val facts = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("user_id"))
+    val p = graft.operators.AsOf.asOfMerge(facts, snaps, col("ts"),
+        "o_orderdate", keyCols = Seq("user_id"), joinType = "inner",
+        maxKeyRows = 0)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p)
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
     assert(p.contains("Window"), p)
