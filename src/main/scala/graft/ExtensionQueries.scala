@@ -25,17 +25,20 @@ object ExtensionQueries {
         countDistinct(md5(normText(col("text")).cast("binary")))
           .as("n_unique"))),
 
-    // MinHash core: 4 md5-seeded min-hashes over char-4-grams.
+    // MinHash core: 4 md5-seeded min-hashes over char-4-grams. The
+    // mins are taken over the 60-bit md5 INTEGERS (StableHash — same
+    // cross-engine contract), not the raw md5 binary: min over a
+    // BINARY column can't use Spark's hash-agg fast path and planned
+    // a SortAggregate; min over BIGINT stays HashAggregate with
+    // map-side partials (SweepSpec-locked).
     "q31_minhash_sig" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
       val norm = normText(col("text"))
       val grams = docs.select(col("doc_id"),
         explode(TextFunctions.char_ngrams(norm, 4)).as("g"))
-      grams.groupBy("doc_id").agg(
-          min(md5(concat(lit("s0:"), col("g")).cast("binary"))).as("m0"),
-          min(md5(concat(lit("s1:"), col("g")).cast("binary"))).as("m1"),
-          min(md5(concat(lit("s2:"), col("g")).cast("binary"))).as("m2"),
-          min(md5(concat(lit("s3:"), col("g")).cast("binary"))).as("m3"))
+      def m(i: Int) = min(graft.functions.StableHash.md5Int60(
+        concat(lit(s"s$i:"), col("g")))).as(s"m$i")
+      grams.groupBy("doc_id").agg(m(0), m(1), m(2), m(3))
         .orderBy("doc_id")
     }),
 
@@ -307,8 +310,11 @@ object ExtensionQueries {
         |grams AS (SELECT doc_id,
         |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
         |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm)
-        |SELECT doc_id, min(md5('s0:' || g)) AS m0, min(md5('s1:' || g)) AS m1,
-        |  min(md5('s2:' || g)) AS m2, min(md5('s3:' || g)) AS m3
+        |SELECT doc_id,
+        |  min(CAST('0x' || substr(md5('s0:' || g), 1, 15) AS BIGINT)) AS m0,
+        |  min(CAST('0x' || substr(md5('s1:' || g), 1, 15) AS BIGINT)) AS m1,
+        |  min(CAST('0x' || substr(md5('s2:' || g), 1, 15) AS BIGINT)) AS m2,
+        |  min(CAST('0x' || substr(md5('s3:' || g), 1, 15) AS BIGINT)) AS m3
         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q32_jaccard_pairs" ->
       """WITH norm AS (SELECT doc_id,

@@ -71,8 +71,11 @@ object OperatorQueries {
             (c % 256).cast("string"), lit(".7")))
       val facts = Tables.customer(s, d).filter(c < 300)
         .select(c.as("ck"), ipExpr.as("ip"))
+      // width pinned: the table shape is statically known (/16 + /48
+      // → 2-byte buckets, span 1 each), so the adaptive span-stats
+      // job would be a pure extra roundtrip here
       graft.operators.BucketedRangeJoin
-        .lookup(facts, ranges, ip_to_bin(col("ip")))
+        .lookup(facts, ranges, ip_to_bin(col("ip")), nBytes = 2)
         .select(col("ck"), col("ip"), col("range_tag"))
         .orderBy("ck")
     }),
@@ -101,12 +104,11 @@ object OperatorQueries {
             (c % 256).cast("string"), lit(".3."), (c % 100).cast("string")))
       val facts = Tables.customer(s, d).filter(c < 300)
         .select(c.as("ck"), ipExpr.as("ip"))
-      // width pinned: the table shape is statically known (/16 + /48
-      // → 2-byte buckets, span 1 each), so the adaptive span-stats
-      // job would be a pure extra roundtrip here; q73 exercises the
-      // adaptive path
+      // q73 exercises the ADAPTIVE width path (deriveWidth picks
+      // 1-byte buckets from the /8 span stats → 25 build rows, not
+      // the 6400 a fixed 2-byte width would explode into)
       graft.operators.BucketedRangeJoin
-        .lookup(facts, ranges, ip_to_bin(col("ip")), nBytes = 2)
+        .lookup(facts, ranges, ip_to_bin(col("ip")))
         .select(col("ck"), col("ip"), col("range_tag"))
         .orderBy("ck")
     }),

@@ -297,7 +297,8 @@ object SketchQueries {
     "q75_pq_adc_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
-      val probe = emb.filter(col("vec_id") === 0).select(col("q").as("pq"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
       Pq.adcTopK(emb.filter(col("vec_id") > 0), probe, 5, PqCodebooks)
         .select(col("vec_id"), col("adc"))
     }),

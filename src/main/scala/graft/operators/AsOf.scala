@@ -218,17 +218,37 @@ object AsOf {
           .cast(IntegerType)
         val hotRows = tagged.filter(col(n).isNotNull)
           .withColumn(sliceC, slice)
-        // per-(key, slice) snapshot extremes — skew-safe aggregate;
-        // ≤ MaxSlices summary rows per key, so the per-key carry
-        // window below is bounded no matter how hot the key is
-        val snapOrd = when(col(typ) === 0, struct(col(t)))
-        val snapPay = when(col(typ) === 0, col(pay))
+        // bounded per-task window: partition spec is (key, slice).
+        // The slice's closing/opening snapshots ride in the SAME
+        // WindowExec as the running-last (same partitioning + sort,
+        // full frame) — struct-valued min/max AGGREGATES would have
+        // planned SortAggregates (struct agg buffers are not
+        // hash-aggregatable); window frames have no such restriction
+        val hw = Window.partitionBy((keyCols :+ sliceC).map(col): _*)
+          .orderBy(col(t), col(typ))
+        val run = hotRows
+          .withColumn("__asof_run",
+            last(col(pay), ignoreNulls = true)
+              .over(hw.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .withColumn("__asof_close",
+            last(col(pay), ignoreNulls = true)
+              .over(hw.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .withColumn("__asof_open",
+            first(col(pay), ignoreNulls = true)
+              .over(hw.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+        // per-(key, slice) summary: close/open are functionally
+        // determined by (key, slice), so distinct() collapses to one
+        // row per slice — pure grouping keys, HashAggregate; the
+        // per-key carry window then runs over ≤ MaxSlices rows/key
         val sw = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(sliceC))
-        val summary = hotRows
-          .groupBy((keyCols :+ sliceC).map(col): _*)
-          .agg(max_by(snapPay, snapOrd).as("__asof_close"),
-            min_by(snapPay, snapOrd).as("__asof_open"))
+        val summary = run
+          .select((keyCols :+ sliceC).map(col) ++
+            Seq(col("__asof_close"), col("__asof_open")): _*)
+          .distinct()
           .withColumn("__asof_carry",
             last("__asof_close", ignoreNulls = true)
               .over(sw.rowsBetween(Window.unboundedPreceding, -1)))
@@ -243,11 +263,10 @@ object AsOf {
           .select((keyCols :+ sliceC).map(col) ++
             Seq(col("__asof_carry"), col("__asof_keyclose"),
               col("__asof_keyopen")): _*)
-        // bounded per-task window: partition spec is (key, slice)
-        val run = resolveSliceRun(hotRows, keyCols, sliceC, t, typ, pay)
         // dense (key, slice) equi-join — the hot key no longer
         // dominates any one hash bucket; AQE/SMJ both safe here
-        val hotResolved = run.join(summary, keyCols :+ sliceC)
+        val hotResolved = run.drop("__asof_close", "__asof_open")
+          .join(summary, keyCols :+ sliceC)
         val base = when(degenerate, col("__asof_keyclose"))
           .otherwise(coalesce(col("__asof_run"), col("__asof_carry")))
         val resolved =
@@ -261,16 +280,6 @@ object AsOf {
         (if (joinType == "inner") col(pay).isNotNull else lit(true)))
       .select(keyCols.map(col) ++ factPayload.map(col) ++
         snapPayload.map(c => col(pay).getField(c).as(c)): _*)
-  }
-
-  /** Within-slice running latest snapshot as `__asof_run`. */
-  private def resolveSliceRun(df: DataFrame, keyCols: Seq[String],
-      sliceC: String, t: String, typ: String, pay: String): DataFrame = {
-    val w = Window.partitionBy((keyCols :+ sliceC).map(col): _*)
-      .orderBy(col(t), col(typ))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__asof_run",
-      last(col(pay), ignoreNulls = true).over(w))
   }
 
   /** Hot-key guard threshold: keys with more timeline rows than this

@@ -473,8 +473,13 @@ object Pq {
     }.reduce(_ + _)
   }
 
-  /** PQ-ADC top-k: encode the corpus once (S bytes per row), cross
-    * the (small, broadcast) probe set, rank by ADC ascending.
+  /** PQ-ADC top-k PER PROBE: encode the corpus once (S bytes per
+    * row), cross the (small, broadcast) probe set, keep each probe's
+    * k nearest by ADC ascending (ties → lowest corpus id) through the
+    * same bounded [[graft.functions.TopKAgg]] every other ANN entry
+    * point uses — map-side partials, so only k·partitions rows
+    * shuffle per probe and the result is attributable per probe
+    * (output: probeId, corpusId, adc, rank).
     *
     * The distance tables are materialized ON THE PROBE SIDE before
     * the broadcast — the LUT depends only on the probe, and
@@ -488,7 +493,9 @@ object Pq {
   def adcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       codebooks: Seq[Seq[Seq[Long]]],
       corpusId: String = "vec_id", corpusVec: String = "q",
-      probeVec: String = "pq"): DataFrame = {
+      probeVec: String = "pq", probeId: String = "probe_id"): DataFrame = {
+    require(probes.columns.contains(probeId),
+      s"adcTopK probes need a '$probeId' column to attribute results")
     val w = codebooks.head.head.length
     val encoded = corpus.withColumn("__codes",
       encodeInt(col(corpusVec), codebooks))
@@ -500,10 +507,18 @@ object Pq {
     val adc = codebooks.indices.map(s =>
       element_at(element_at(col("__luts"), s + 1),
         element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
+    // TopKAgg keeps (score DESC, id ASC); negating the integer
+    // distance gives ADC ASC with the same lowest-id tie-break the
+    // previous global ordering used. Integer ADC sums are far below
+    // 2^53, so the double round-trip is exact.
     encoded.crossJoin(broadcast(withLuts))
-      .withColumn("adc", adc)
-      .orderBy(col("adc"), col(corpusId))
-      .limit(k)
-      .drop("__codes", "__luts")
+      .withColumn("__negadc", -adc.cast("double"))
+      .groupBy(col(probeId))
+      .agg(graft.functions.TopKAgg.top_k_agg(col("__negadc"),
+        col(corpusId).cast("long"), k).as("__top"))
+      .select(col(probeId), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(probeId), col("__e.id").as(corpusId),
+        (-col("__e.score")).cast("long").as("adc"),
+        (col("__pos") + 1).cast("int").as("rank"))
   }
 }

@@ -89,10 +89,25 @@ object Streaming {
     * annotators through the same load-then-swap path,
     * manager.go:27-46).
     */
-  final class LegacySnapshotRef(initial: DataFrame) {
-    private val ref = new AtomicReference[DataFrame](initial)
-    def get: DataFrame = ref.get()
-    def swap(d: DataFrame): Unit = ref.set(d)
+  final class LegacySnapshotRef(initial: DataFrame,
+      initialBacking: Option[DataFrame] = None) {
+    private final case class S(df: DataFrame, backing: Option[DataFrame])
+    private val ref = new AtomicReference[S](S(initial, initialBacking))
+    def get: DataFrame = ref.get().df
+    /** Install a new snapshot and release the PREVIOUS one's persisted
+      * backing table — persist() entries live in the CacheManager until
+      * explicitly unpersisted (unlike localCheckpoint RDD blocks they
+      * are never GC-cleaned), so a long-running refresh stream would
+      * otherwise accumulate one cached range table per .dat drop.
+      * Unpersist runs AFTER the install and non-blocking: a probe
+      * still executing against the old snapshot recomputes evicted
+      * blocks from lineage (LegacyDat.read keeps lineage precisely for
+      * this).
+      */
+    def swap(d: DataFrame, backing: Option[DataFrame] = None): Unit = {
+      val prev = ref.getAndSet(S(d, backing))
+      prev.backing.foreach(_.unpersist(false))
+    }
   }
 
   /** T1/T2 for the legacy branch: watch a drop path for files whose
@@ -136,9 +151,10 @@ object Streaming {
             m ++ v4.sorted.lastOption.map("v4" -> _) ++
               v6.sorted.lastOption.map("v6" -> _)
           }
-          ref.swap(graft.api.Annotate.buildLegacySnapshot(
-            graft.sources.LegacyDat.read(spark, union.values.toSeq.sorted,
-              budget), fips))
+          val table = graft.sources.LegacyDat.read(spark,
+            union.values.toSeq.sorted, budget)
+          ref.swap(graft.api.Annotate.buildLegacySnapshot(table, fips),
+            backing = Some(table))
         }
       }
   }

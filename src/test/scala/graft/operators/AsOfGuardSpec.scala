@@ -29,15 +29,20 @@ class AsOfGuardSpec extends AnyFunSuite {
       .toSeq.sorted
   }
 
-  test("max_by ignores rows whose ordering expression is NULL — the " +
-      "guard's closing-snapshot aggregate depends on it") {
-    val df = Seq((0, "snap", 5), (1, "fact", 9), (1, "fact2", 99))
-      .toDF("typ", "v", "ord")
-    val got = df.agg(
-        max_by(when(col("typ") === 0, col("v")),
-          when(col("typ") === 0, col("ord")))).collect().head.getString(0)
-    // fact rows carry larger ord but a NULL ordering → must be skipped
-    assert(got == "snap")
+  test("guarded plan stays SortAggregate-free — struct-payload " +
+      "summaries must ride window frames, not struct-buffer aggregates") {
+    // fixture with distinct (k, date) by construction: a groupBy-first
+    // dedup here would itself plan a (fixture-side) SortAggregate
+    val snaps = (0 until 100).map(i => ((i % 6).toLong,
+      Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)), s"v$i"))
+      .toDF("k", "snap_date", "v")
+    val facts = (1 to 300).map(i => (i.toLong, (i % 8).toLong,
+      Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i % 320))))
+      .toDF("id", "k", "t")
+    val p = AsOf.asOfMerge(facts, snaps, col("t"), "snap_date",
+        Seq("k"), "inner", clamp = true, maxKeyRows = 20)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"), p.take(3000))
   }
 
   private def randomData(seed: Int, nKeys: Int, nSnaps: Int, nFacts: Int) = {

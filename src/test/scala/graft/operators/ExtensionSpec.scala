@@ -675,6 +675,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert(df(0L)._2 == refAdc(probe, refEncode(probe)))
   }
 
+  test("adcTopK is per-probe: multi-probe results attribute to their " +
+      "probe and match the single-probe runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val books: Seq[Seq[Seq[Long]]] =
+      Seq.fill(4)(Seq.fill(3)(Seq.fill(4)((rnd.nextInt(21) - 10).toLong)))
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextInt(41) - 20).toLong)))
+      .toDF("vec_id", "q")
+    val probeRows = Seq(
+      (100L, Seq.fill(16)((rnd.nextInt(41) - 20).toLong)),
+      (200L, Seq.fill(16)((rnd.nextInt(41) - 20).toLong)))
+    val both = Pq.adcTopK(corpus, probeRows.toDF("probe_id", "pq"),
+        k = 5, books)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(both.length == 10)
+    for ((pid, vec) <- probeRows) {
+      val solo = Pq.adcTopK(corpus, Seq((pid, vec)).toDF("probe_id", "pq"),
+          k = 5, books)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(both.filter(_._1 == pid).toSet == solo, s"probe $pid")
+      // ranks are 1..5 in ADC-ascending order within the probe
+      val ranked = both.filter(_._1 == pid).sortBy(_._4)
+      assert(ranked.map(_._4).toSeq == (1 to 5))
+      assert(ranked.map(_._3).toSeq == ranked.map(_._3).sorted.toSeq)
+    }
+  }
+
   test("minhash_agg custom aggregate matches per-doc signature semantics") {
     import graft.functions.MinHashAgg.minhash_agg
     val grams = Dedup.explodeGrams(docs, "text", "doc_id")

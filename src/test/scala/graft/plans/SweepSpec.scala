@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** The red-flag plan audit as a FAILING test, not a dev tool someone
+  * must remember to run (`graft.PlanSweep` stays for ad-hoc use):
+  * every declared query's physical plan is swept for the three
+  * scale-killer classes — BroadcastNestedLoopJoin, CartesianProduct,
+  * SortAggregate — against an explicit allowlist of the adjudicated
+  * intended shapes. A new query (or a plan regression in an old one)
+  * that introduces any of these fails `sbt test` with the offending
+  * plan named.
+  */
+class SweepSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    graft.Graft.install(s)
+    s
+  }
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Intended tiny-side BNLJ crosses, each adjudicated in VERDICT
+    * r10: q27 scalar subquery (1 row), q32 bounded 60×60 Jaccard
+    * verifier, q33 bounded brute-force ANN baseline, q36 literal
+    * cross, q60 1-row totals cross (the vocab side is
+    * BroadcastHashJoin, PlanInvariantSpec), q75 1-row probe-set
+    * cross. Anything else that plans a BNLJ is a bug.
+    */
+  private val bnljAllowed = Set("q27_scalar_subquery", "q32_jaccard_pairs",
+    "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann")
+
+  /** q36 is the deliberate cartesian demonstration query (literal
+    * 3×3); nothing else may plan one.
+    */
+  private val cartesianAllowed = Set("q36_cross_join")
+
+  /** Empty since round 11: q31's min-over-md5-binary (the one
+    * adjudicated SortAggregate) now takes its mins over 60-bit md5
+    * BIGINTs and plans HashAggregate.
+    */
+  private val sortAggAllowed = Set.empty[String]
+
+  test("every declared query plans free of BNLJ / cartesian / " +
+      "sort-aggregate outside the adjudicated allowlist") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      Seq(
+        ("BNLJ", p.contains("BroadcastNestedLoopJoin"), bnljAllowed),
+        ("CARTESIAN", p.contains("CartesianProduct"), cartesianAllowed),
+        ("SORTAGG", p.contains("SortAggregate"), sortAggAllowed))
+        .collect { case (f, true, allow) if !allow(name) => s"$name:$f" }
+    }
+    assert(offenders.isEmpty,
+      s"unexpected red-flag plans: ${offenders.mkString(", ")}")
+  }
+
+  test("the allowlists stay honest: each named query still plans its " +
+      "adjudicated flag (a vanished flag means the allowlist entry " +
+      "should be deleted)") {
+    for (name <- bnljAllowed) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"), s"$name no longer crosses")
+    }
+  }
+}

@@ -152,6 +152,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("1.0.0.42").getAs[Boolean]("missing"))
   }
 
+  test("snapshot swap releases the previous backing cache — a refresh " +
+      "stream must not accumulate one persisted range table per drop") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val b1 = Seq(1).toDF("a").persist(StorageLevel.MEMORY_AND_DISK)
+    b1.count()
+    val b2 = Seq(2).toDF("a").persist(StorageLevel.MEMORY_AND_DISK)
+    b2.count()
+    val ref = new Streaming.LegacySnapshotRef(b1.select(col("a")),
+      initialBacking = Some(b1))
+    ref.swap(b2.select(col("a")), backing = Some(b2))
+    // CacheManager entries are not GC-cleaned; swap must drop them
+    assert(b1.storageLevel == StorageLevel.NONE)
+    assert(b2.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    ref.swap(spark.emptyDataFrame)
+    assert(b2.storageLevel == StorageLevel.NONE)
+  }
+
   test("legacy refresh is per-family: a v6-only drop keeps v4 coverage") {
     import spark.implicits._
     import graft.sources.{DatWriter, LegacyDat, LegacyTables}
