@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
-import graft.operators.{Dedup, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.operators.{Adpcm, Dedup, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -338,6 +338,41 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** Real compressed-audio decode under the hash contract: one
+      * IMA-ADPCM WAVE (format tag 17 — no JRE codec) per nation key,
+      * synthesized through [[graft.operators.Adpcm]] `.buildWav`
+      * (writer → state-machine decode closes the loop, the q71/q67
+      * recipe) with deterministic (pred0, idx0, nibble-stream) derived
+      * from the key. The decode is an integer-exact 89-entry
+      * step-table state machine, so the DuckDB oracle REPLAYS it with
+      * a recursive CTE over the SAME [[Adpcm.StepTable]] constants and
+      * pins every decoded PCM sample — order included, via the
+      * position-weighted sum. Driver-side synthesis is dimension-scale
+      * (25 blobs); the decode runs distributed in mapPartitions
+      * ([[Multimodal.decodeAudio]]).
+      */
+    "q76_adpcm_decode" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        (m.toLong, Adpcm.buildWav(
+          pred0 = m * 577 % 1000 - 500, idx0 = m * 7 % 89,
+          nibbles = (0 until 32).map(j => (m * 7 + j * 3) % 16)))
+      }.toDF("media_id", "media")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          size(col("samples")).cast("long").as("n_samples"),
+          aggregate(col("samples"), lit(0L), (a, v) => a + v).as("pcm_sum"),
+          array_min(col("samples")).cast("long").as("pcm_min"),
+          array_max(col("samples")).cast("long").as("pcm_max"),
+          aggregate(zip_with(col("samples"),
+              sequence(lit(1), size(col("samples"))), (v, i) => v * i),
+            lit(0L), (a, v) => a + v).as("pcm_wsum"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features
     // (16-bin byte histogram), checked via dim / mass / argmax bin.
@@ -569,6 +604,45 @@ object SketchQueries {
          |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
          |SELECT c.vec_id, ($adc) AS adc FROM c, p
          |ORDER BY adc, vec_id LIMIT 5""".stripMargin
+    },
+    // replays the q76 fixture's IMA state machine exactly: the
+    // recursive CTE marches (pred, idx) over the per-key nibble
+    // stream using the SAME 89-entry step table the decoder compiles
+    // in (Adpcm.StepTable — one definition, two engines)
+    "q76_adpcm_decode" -> {
+      val steps = Adpcm.StepTable.mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |keys AS (SELECT CAST(n_nationkey AS INT) AS m FROM nation),
+         |nibs AS (SELECT m, CAST(j AS INT) AS pos,
+         |    (m * 7 + CAST(j AS INT) * 3) % 16 AS nib
+         |  FROM keys, (SELECT unnest(range(32)) AS j) js),
+         |steps AS (SELECT CAST(i AS INT) AS i,
+         |    list_extract($steps, CAST(i AS INT) + 1) AS s
+         |  FROM (SELECT unnest(range(89)) AS i) t),
+         |dec AS (
+         |  SELECT m, 0 AS pos, m * 577 % 1000 - 500 AS pred,
+         |    m * 7 % 89 AS idx FROM keys
+         |  UNION ALL
+         |  SELECT d.m, d.pos + 1,
+         |    greatest(-32768, least(32767, d.pred +
+         |      (CASE WHEN n.nib >= 8 THEN -1 ELSE 1 END) *
+         |      ((st.s >> 3)
+         |        + CASE WHEN n.nib % 2 = 1 THEN st.s >> 2 ELSE 0 END
+         |        + CASE WHEN (n.nib // 2) % 2 = 1 THEN st.s >> 1 ELSE 0 END
+         |        + CASE WHEN (n.nib // 4) % 2 = 1 THEN st.s ELSE 0 END))),
+         |    greatest(0, least(88, d.idx +
+         |      CASE WHEN n.nib % 8 < 4 THEN -1 ELSE 2 * (n.nib % 8 - 3) END))
+         |  FROM dec d
+         |  JOIN nibs n ON n.m = d.m AND n.pos = d.pos
+         |  JOIN steps st ON st.i = d.idx)
+         |SELECT CAST(m AS BIGINT) AS media_id,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(pred) AS BIGINT) AS pcm_sum,
+         |  CAST(min(pred) AS BIGINT) AS pcm_min,
+         |  CAST(max(pred) AS BIGINT) AS pcm_max,
+         |  CAST(sum((pos + 1) * pred) AS BIGINT) AS pcm_wsum
+         |FROM dec GROUP BY m ORDER BY media_id""".stripMargin
     },
     // mirrors the q72 fixture arithmetically: per (nation m, frame f)
     // the decoded image is 8x(2+m%3) × 8x(1+m%2) px of 8×8-uniform

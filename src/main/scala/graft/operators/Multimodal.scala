@@ -128,14 +128,38 @@ object Multimodal {
     real.getOrElse(fakeDecodeFeatures(bytes, dim))
   }
 
-  /** Real audio decode (WAV/PCM — `javax.sound.sampled` ships in the
-    * JRE): normalized `dim`-bin amplitude histogram over the decoded
-    * samples, converted to 16-bit signed PCM first so the features
-    * are a function of the SIGNAL, not the container's sample width
-    * or endianness.
+  /** Real audio decode (WAV — IMA-ADPCM through the pure-JVM
+    * [[Adpcm]] state machine, PCM/U-law/A-law through
+    * `javax.sound.sampled`): normalized `dim`-bin amplitude histogram
+    * over the decoded 16-bit samples, so the features are a function
+    * of the SIGNAL, not the container's sample width, endianness, or
+    * compression.
     */
   private[operators] def audioFeatures(bytes: Array[Byte],
       dim: Int): Option[Array[Float]] =
+    decodeSamples(bytes).collect { case (_, samples) if samples.nonEmpty =>
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < samples.length) {
+        hist((samples(i) + 32768) * dim / 65536) += 1f
+        i += 1
+      }
+      hist.map(_ / samples.length.toFloat)
+    }
+
+  /** Blob → (sample rate, 16-bit signed samples). IMA-ADPCM first —
+    * the stock JRE has no codec for WAVE format tag 17 — then the
+    * `javax.sound.sampled` path for everything it does ship
+    * (PCM/U-law/A-law). None when neither decodes; output bounded at
+    * [[Adpcm.MaxSamples]] on both paths.
+    */
+  private[operators] def decodeSamples(
+      bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    if (bytes == null) None
+    else Adpcm.decode(bytes).map(d => (d.sampleRate, d.samples))
+      .orElse(pcmSamples(bytes))
+
+  private def pcmSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val in = AudioSystem.getAudioInputStream(
@@ -145,17 +169,16 @@ object Multimodal {
         src.getSampleRate, 16, src.getChannels,
         2 * src.getChannels, src.getSampleRate, false)
       val pcm = AudioSystem.getAudioInputStream(target, in)
-      val data = pcm.readAllBytes()
+      val data = pcm.readNBytes(2 * Adpcm.MaxSamples)
       if (data.length < 2) None
       else {
-        val hist = new Array[Float](dim)
+        val out = new Array[Short](data.length / 2)
         var i = 0
-        while (i + 1 < data.length) {
-          val s = ((data(i) & 0xff) | (data(i + 1) << 8)) + 32768
-          hist(s * dim / 65536) += 1f
-          i += 2
+        while (i < out.length) {
+          out(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+          i += 1
         }
-        Some(hist.map(_ / (data.length / 2).toFloat))
+        Some((src.getSampleRate.toInt, out))
       }
     } catch { case _: Exception => None }
 
@@ -344,6 +367,41 @@ object Multimodal {
             case None => Row(id, i, null, null, null)
           }
         }.iterator
+      }
+    }
+  }
+
+  /** Audio decode-to-samples: one row per media blob with the
+    * decoded 16-bit PCM signal — the audio twin of [[decodeFrames]].
+    * IMA-ADPCM WAVE (format tag 17) decodes through the pure-JVM
+    * [[Adpcm]] state machine (integer-exact, so a DuckDB oracle can
+    * replay it — q76); PCM/U-law/A-law WAVE decodes through
+    * `javax.sound.sampled`. Output: `sample_rate` (Hz) and `samples`
+    * (ARRAY<INT> of 16-bit signed values, bounded at
+    * [[Adpcm.MaxSamples]]); a payload neither path accepts keeps its
+    * row with NULLs — per-file error accounting, never an executor
+    * throw. Genuinely compressed codecs with no JRE decoder
+    * (MP3/AAC) remain the documented production swap-in.
+    */
+  def decodeAudio(df: DataFrame,
+      mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("samples", ArrayType(IntegerType))))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val idPos = df.columns.indexOf(idCol)
+    val mediaPos = df.columns.indexOf(mediaCol)
+    require(idPos >= 0 && mediaPos >= 0)
+    df.mapPartitions { it =>
+      // production: initialize the codec ONCE per partition here
+      it.map { r =>
+        val id = r.getLong(idPos)
+        decodeSamples(r.getAs[Array[Byte]](mediaPos)) match {
+          case Some((rate, samples)) =>
+            Row(id, rate, samples.map(_.toInt).toSeq)
+          case None => Row(id, null, null)
+        }
       }
     }
   }
