@@ -94,6 +94,24 @@ object Mp4 {
     }.find(_.nonEmpty)
   }
 
+  /** True for FRAGMENTED MP4s (ISO/IEC 14496-12 movie fragments):
+    * sample data lives in `moof`/`mdat` pairs and the `moov` carries
+    * an `mvex` box instead of populated sample tables — so the
+    * moov-based [[frameIndex]] walk cannot index frames. Callers use
+    * this to emit the typed per-file error row (the LegacyDat
+    * error-budget pattern) instead of byte-slicing a container they
+    * recognized but cannot demux. Bounds-safe like the rest of the
+    * walk; false for anything that is not a parseable MP4.
+    */
+  def isFragmented(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 16) return false
+    val top = children(bytes, 0, bytes.length.toLong)
+    if (!top.exists(_._1 == "ftyp")) return false
+    top.exists(_._1 == "moof") || child(top, "moov").exists {
+      case (ms, me) => children(bytes, ms, me).exists(_._1 == "mvex")
+    }
+  }
+
   /** Container metadata from the `moov` tables: presentation
     * duration in ms (`mvhd` v0/v1: timescale + duration) and the
     * video track's pixel dimensions (`tkhd` 16.16 fixed-point width/
@@ -302,5 +320,47 @@ object Mp4 {
     val moov = box("moov", mvhd, trak)
     val mdat = box("mdat", frames.flatten.toArray)
     ftyp ++ mdat ++ moov
+  }
+
+  /** Synthesize a FRAGMENTED MP4 (the streaming/DASH layout): `ftyp`
+    * + a `moov` whose track carries EMPTY sample tables plus an
+    * `mvex/trex`, then one `moof`(mfhd/traf/tfhd/trun) + `mdat` pair
+    * per frame. [[frameIndex]] cannot demux this shape (sample
+    * extents live in the fragments, not the moov) — the fixture
+    * exists so specs can assert the typed-fallback contract:
+    * [[isFragmented]] true, no throw, per-file error row.
+    */
+  def buildFragmented(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val ftyp = box("ftyp",
+      "iso5".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      be32b(0), "iso5".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val stbl = box("stbl",
+      fullBox("stsz", be32b(0), be32b(0)),
+      fullBox("stsc", be32b(0)),
+      fullBox("stco", be32b(0)))
+    val hdlr = fullBox("hdlr", be32b(0),
+      "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      new Array[Byte](12))
+    val trak = box("trak", fullBox("tkhd", new Array[Byte](80)),
+      box("mdia", hdlr, box("minf", stbl)))
+    // trex: track 1, default sample description/duration/size/flags
+    val mvex = box("mvex", fullBox("trex",
+      be32b(1), be32b(1), be32b(0), be32b(0), be32b(0)))
+    val mvhd = fullBox("mvhd", be32b(0), be32b(0), be32b(1000),
+      be32b(0), be32b(0x00010000L), new Array[Byte](76))
+    val moov = box("moov", mvhd, trak, mvex)
+    val fragments = frames.zipWithIndex.flatMap { case (f, i) =>
+      // trun: one sample, data-offset + sample-size flags (0x000201);
+      // data offset = moof size + mdat header, patched after sizing
+      def moofFor(dataOff: Long) = box("moof",
+        fullBox("mfhd", be32b(i + 1L)),
+        box("traf", fullBox("tfhd", be32b(1)),
+          box("trun", Array[Byte](0, 0, 2, 1), be32b(1),
+            be32b(dataOff), be32b(f.length.toLong))))
+      val sized = moofFor(0L)
+      moofFor(sized.length + 8L) ++ box("mdat", f)
+    }
+    ftyp ++ moov ++ fragments.toArray
   }
 }

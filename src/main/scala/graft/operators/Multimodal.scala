@@ -272,7 +272,10 @@ object Multimodal {
     * evenly across the sync-sample list, straight out of `mdat` as
     * real access-unit payloads. Non-MP4 payloads (and malformed MP4s)
     * fall back to the documented equal-byte-slice stub so coverage
-    * stays total. Decoding the sliced frames to pixels still needs a
+    * stays total; a FRAGMENTED MP4 ([[Mp4.isFragmented]] — moof/mdat
+    * layout the moov walk cannot index) instead keeps one row per
+    * file with a NULL frame, the typed per-file error-accounting
+    * path. Decoding the sliced frames to pixels still needs a
     * codec the JRE doesn't ship — that single step remains a
     * production swap-in; the demux, batch shape, ordering column and
     * payload contract are real.
@@ -293,6 +296,10 @@ object Multimodal {
         val id = r.getLong(idPos)
         val bytes = r.getAs[Array[Byte]](mediaPos)
         if (bytes == null) Iterator.empty
+        // a fragmented MP4 is a container we RECOGNIZE but cannot
+        // demux from the moov tables: keep the file's row with a NULL
+        // frame (per-file error accounting) instead of byte-slicing it
+        else if (Mp4.isFragmented(bytes)) Iterator.single(Row(id, 0, null))
         else frameSlices(bytes, n).zipWithIndex.map { case (f, i) =>
           Row(id, i, f)
         }.iterator
@@ -361,6 +368,9 @@ object Multimodal {
         val id = r.getLong(idPos)
         val bytes = r.getAs[Array[Byte]](mediaPos)
         if (bytes == null) Iterator.empty
+        // fragmented MP4: typed per-file error row, not byte slices
+        else if (Mp4.isFragmented(bytes))
+          Iterator.single(Row(id, 0, null, null, null))
         else frameSlices(bytes, n).zipWithIndex.map { case (f, i) =>
           decodeGray(f) match {
             case Some((w, h, px)) => Row(id, i, w, h, px.toSeq)

@@ -929,6 +929,47 @@ class ExtensionSpec extends AnyFunSuite {
     assert(Mp4.frameIndex(evil).isEmpty)
   }
 
+  test("multimodal: fragmented MP4 (moof/mdat) takes the typed " +
+      "error-row path — one NULL row per file, never byte slices, " +
+      "never a silent empty") {
+    import spark.implicits._
+    val frames = (0 until 3).map(i => s"frag-frame-$i".getBytes)
+    val frag = Mp4.buildFragmented(frames)
+    assert(Mp4.isFragmented(frag))
+    assert(!Mp4.isFragmented(Mp4.build(frames))) // progressive is not
+    assert(Mp4.frameIndex(frag).forall(_.isEmpty)) // moov has no samples
+
+    val df = Seq((5L, frag), (6L, Mp4.build(frames))).toDF("media_id", "media")
+    val sf = Multimodal.sampleFrames(df, 4).collect()
+    val fragRows = sf.filter(_.getLong(0) == 5L)
+    assert(fragRows.length == 1, "exactly one accounting row per file")
+    assert(fragRows(0).isNullAt(2), "NULL frame payload")
+    assert(sf.count(_.getLong(0) == 6L) == 3) // progressive twin demuxes
+
+    val dec = Multimodal.decodeFrames(df, 4).collect()
+      .filter(_.getLong(0) == 5L)
+    assert(dec.length == 1 && dec(0).isNullAt(2) && dec(0).isNullAt(4))
+
+    // fuzz: mutations of the fragmented container never throw, and
+    // every surviving walk stays inside the blob
+    val rng = new scala.util.Random(41)
+    for (_ <- 0 until 200) {
+      val mutated = frag.clone()
+      for (_ <- 0 to rng.nextInt(5))
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      Mp4.isFragmented(mutated)
+      Mp4.frameIndex(mutated).foreach(_.foreach { f =>
+        assert(f.offset >= 0 && f.offset + f.size <= mutated.length)
+      })
+      assert(Mp4.isFragmented(mutated) ||
+        Multimodal.frameSlices(mutated, 3).nonEmpty)
+    }
+    for (len <- 0 until frag.length by 5) {
+      Mp4.isFragmented(frag.take(len))
+      Mp4.frameIndex(frag.take(len))
+    }
+  }
+
   test("multimodal: MJPEG-in-MP4 decodes to exact pixel values " +
       "(demux → ImageIO → pixels, golden)") {
     import spark.implicits._

@@ -488,4 +488,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(keptR == keptU, s"resumed=$keptR uninterrupted=$keptU")
     assert(keptR.toSet == Set(1L, 3L, 11L)) // 2 in-batch dup, 10 vs store
   }
+
+  test("annotate sink replay safety (T3): a crash AFTER the sink write " +
+      "but BEFORE the checkpoint commit replays the batch, and the " +
+      "per-batchId overwrite sink converges to exactly-once output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annotate-replay")
+    // two single-row files → two micro-batches (maxFilesPerTrigger 1)
+    Seq(("1.0.0.200", Date.valueOf("2021-06-01")))
+      .toDF("ip", "date").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    Seq(("9.9.9.9", Date.valueOf("2021-06-01")))
+      .toDF("ip", "date").coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val ref = new Streaming.DirectoryRef(Api.Directory(Seq(snapshot)))
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the replay-safe sink contract: output keyed by batchId, written
+    // with overwrite — a replayed batch REPLACES its own earlier
+    // (possibly partial) output instead of appending a second copy.
+    // foreachBatch is at-least-once by design; idempotence lives here.
+    def sink(out: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      out.select(col("ip"), col("geo.city").as("city"))
+        .write.mode("overwrite").parquet(s"$dir/out/batch=$id")
+      attempts.merge(id, 1, (a, b) => Integer.valueOf(a + b))
+      // crash in the replay window: sink done, commit not yet written
+      if (!failedOnce.getAndSet(true))
+        throw new RuntimeException("injected post-sink crash")
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema("ip STRING, date DATE")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = Streaming.annotateStreamTo(spark, stream, ref, sink)
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000)
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    run() // dies after batch 0's sink write
+    run() // restart: batch 0 REPLAYS (uncommitted), then batch 1
+    assert(attempts.get(0L) == 2,
+      s"expected batch 0 to run twice, attempts=$attempts")
+    // final sink state ≡ exactly-once output: each row exactly once
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() == 2)
+    assert(got.select("ip", "city").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("1.0.0.200", "Scarborough"), ("9.9.9.9", null)))
+  }
 }
