@@ -338,6 +338,23 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** SemDeDup (Abbas et al.): semantic dedup over IVF clusters —
+      * assign every embedding to its nearest fixed centroid (the q46
+      * table), drop each vector with a lower-id in-cluster neighbor
+      * at cosine ≥ 0.2, keep the rest. Candidate generation is the
+      * cluster-bucketed equi-join of [[Similarity.semanticDedup]]
+      * (never corpus×corpus); integer-exact arithmetic keeps both
+      * the cluster ids AND the keep-set hash-matched cross-engine.
+      */
+    "q77_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      Similarity.semanticDedup(emb, IvfCentroids, 0.2, "vec_id", "q")
+        .select(col("vec_id"),
+          Ivf.assignInt(col("q"), IvfCentroids).cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }),
+
     /** Real compressed-audio decode under the hash contract: one
       * IMA-ADPCM WAVE (format tag 17 — no JRE codec) per nation key,
       * synthesized through [[graft.operators.Adpcm]] `.buildWav`
@@ -604,6 +621,29 @@ object SketchQueries {
          |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
          |SELECT c.vec_id, ($adc) AS adc FROM c, p
          |ORDER BY adc, vec_id LIMIT 5""".stripMargin
+    },
+    // the q46 cluster assignment + the q47 pair rule, composed into
+    // the SemDeDup keep-set: drop ids with a lower-id in-cluster
+    // neighbor at cosine >= 0.2
+    "q77_semdedup" -> {
+      val ds = IvfCentroids.zipWithIndex.map { case (c, i) =>
+        s"""{'d': CAST(list_sum(list_transform(list_zip(q, ${c.mkString("[", ",", "]")}),
+           |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT), 'c': $i}"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dist AS (SELECT vec_id, q, [
+         |$ds
+         |] AS ds FROM q),
+         |b AS (SELECT vec_id, q, list_min(ds).c AS cluster FROM dist),
+         |dropped AS (SELECT DISTINCT r.vec_id
+         |  FROM b l JOIN b r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+         |  WHERE ${duckCosineInt("l.q", "r.q")} >= 0.2)
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM b
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin
     },
     // replays the q76 fixture's IMA state machine exactly: the
     // recursive CTE marches (pred, idx) over the per-key nibble

@@ -272,6 +272,43 @@ object Similarity {
     cross.unionByName(within)
       .select(col("a"), col("b"), round(col("__sim"), 4).as("sim"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into centroid clusters,
+    * then drop every vector that has a LOWER-id neighbor at
+    * `sim ≥ threshold` in the SAME cluster. Candidate generation is
+    * [[embeddingNearDupsBy]] with the cluster id as the bucket — an
+    * equi-join bounded by cluster size (plus its identical-vector
+    * pre-dedup guard), never corpus×corpus — so the operator scales
+    * exactly like IVF assignment: one codegen'd scan to cluster, one
+    * bucketed self-join to pair.
+    *
+    * Keep rule, stated honestly: keep X iff X has no lower-id
+    * in-cluster neighbor ≥ threshold — the single-pass min-id rule
+    * this repo uses everywhere ([[graft.operators.Dedup]] streaming
+    * "keep iff it near-dups nothing before it"), deterministic and
+    * order-free. The paper's sequential greedy variant (drops can
+    * re-admit later points) needs an iterative pass; at corpus scale
+    * the one-pass rule is the shape that survives.
+    */
+  def semanticDedupBy(corpus: DataFrame, cluster: Column,
+      sim: (Column, Column) => Column, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dropped = embeddingNearDupsBy(corpus, cluster, sim, threshold,
+      idCol, vecCol)
+      .select(col("b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedupBy]] over quantized vectors with fixed integer
+    * centroids ([[Ivf.assignInt]] clusters + [[cosineInt]]) — the
+    * cross-engine-exact form (q77).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[Seq[Long]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "q"): DataFrame =
+    semanticDedupBy(corpus, Ivf.assignInt(col(vecCol), centroids),
+      cosineInt, threshold, idCol, vecCol)
 }
 
 /** IVF (inverted-file) ANN: k centroids are trained driver-side on a

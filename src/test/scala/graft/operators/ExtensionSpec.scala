@@ -314,6 +314,45 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L)))
   }
 
+  test("semantic dedup keeps exactly the ids with no lower-id " +
+      "in-cluster neighbor (randomized differential vs brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val centroids: Seq[Seq[Long]] =
+      Seq.fill(4)(Seq.fill(8)((rnd.nextInt(801) - 400).toLong))
+    // 60 vectors in loose clumps around the centroids, plus exact
+    // duplicates (the identical-vector guard path)
+    val vecs = (0L until 60L).map { i =>
+      val base = centroids((i % 4).toInt)
+      (i, base.map(c => c + rnd.nextInt(161) - 80))
+    } ++ Seq((60L, centroids(0).map(identity)), (61L, centroids(0).map(identity)))
+    val df = vecs.toDF("vec_id", "q")
+    val thr = 0.8
+    val kept = Similarity.semanticDedup(df, centroids, thr)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute force: same rule, driver-side
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      dot / (na * nb) // matches cosineInt: int dots, one double divide
+    }
+    def cluster(v: Seq[Long]): Int =
+      centroids.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }._2
+    val byId = vecs.toMap
+    val expect = vecs.map(_._1).filter { id =>
+      !vecs.exists { case (o, ov) =>
+        o < id && cluster(ov) == cluster(byId(id)) &&
+          cos(ov, byId(id)) >= thr
+      }
+    }.toSet
+    assert(kept == expect)
+    // the duplicate pair collapsed to its min id
+    assert(!kept.contains(61L))
+  }
+
   test("language ID picks the profile language on natural sentences") {
     import spark.implicits._
     val got = Seq(
