@@ -109,16 +109,26 @@ object AsOf {
     *      whose timeline exceeds `maxKeyRows`; the flagged table is
     *      bounded by totalRows/maxKeyRows and is broadcast back as a
     *      tag (in practice: the handful of monster keys);
-    *   2. cold keys (all of them, when data is well-behaved) take the
-    *      exact single-window merge above — same plan, same result;
-    *   3. hot keys are sub-partitioned by a coarse time slice
-    *      (`ceil(4·n/maxKeyRows)` slices, capped at [[MaxSlices]], so
-    *      expected rows/slice ≈ maxKeyRows/4): the running-last runs
-    *      per (key, slice) — bounded task input — and a per-slice
-    *      closing-snapshot summary (skew-safe aggregate; ≤ MaxSlices
-    *      rows per key) carries the boundary snapshot across slices
-    *      via one tiny per-key window, joined back on (key, slice) —
-    *      a dense equi-key the hot key no longer dominates.
+    *   2. ONE unified (key, slice) window serves every key: cold keys
+    *      take slice 0 — their (key, 0) partition is exactly the
+    *      plain per-key window — while hot keys are sub-partitioned
+    *      by a coarse time slice (`ceil(4·n/maxKeyRows)` slices,
+    *      capped at [[MaxSlices]], so expected rows/slice ≈
+    *      maxKeyRows/4) for bounded task input;
+    *   3. a per-slice closing-snapshot summary carries the boundary
+    *      snapshot across slices. It is computed from the SNAPSHOT
+    *      side alone (facts carry NULL payloads and every payload
+    *      frame is ignoreNulls, so close/open are functions of the
+    *      snapshots) over a DENSE slice spine exploded from the
+    *      broadcast-size flagged table (≤ #hotKeys × MaxSlices rows),
+    *      then LEFT-joined back on (key, slice) — a dense equi-key
+    *      the hot key no longer dominates, an empty (AQE-broadcast)
+    *      side when no key is hot. The shape matters: facts feed ONE
+    *      window and are scanned exactly twice (pruned detection +
+    *      full merge); two earlier shapes — cold/hot branches, and a
+    *      summary derived from the window's own output — re-scanned
+    *      the timeline up to four times (column pruning defeats
+    *      ReuseExchange) and measured ~2.3× on q08.
     *
     * A hot key whose rows all share ONE instant cannot be time-sliced;
     * such rows are hash-spread across slices and every fact takes the
@@ -191,64 +201,97 @@ object AsOf {
         val n = "__asof_n"; val lo = "__asof_lo"; val hi = "__asof_hi"
         val sliceC = "__asof_slice"
         // skew-safe detection: partial count/min/max combine map-side,
-        // so the monster key contributes one row per input partition
+        // so the monster key contributes one row per input partition.
+        // min/max run on the RAW time type (natively orderable) — the
+        // numeric conversion (4 chrono calls for timestamp_ntz) runs
+        // on the two boundary values per key, never per detection row
         val hotStats = timeline
-          .select(keyCols.map(col) :+ timeNum.get.as("__asof_tn"): _*)
+          .select(keyCols.map(col) :+ col(t): _*)
           .groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as(n), min("__asof_tn").as(lo),
-            max("__asof_tn").as(hi))
+          .agg(count(lit(1)).as(n), min(col(t)).as(lo),
+            max(col(t)).as(hi))
           .filter(col(n) > maxKeyRows)
+        val tType = timeline.schema(t).dataType
+        val loN = numericTime(col(lo), tType).get
+        val hiN = numericTime(col(hi), tType).get
         // flagged-key table ≤ totalRows/maxKeyRows rows by construction
         val tagged = timeline.join(broadcast(hotStats),
           keyCols, "left")
-        val cold = resolveRunning(tagged.filter(col(n).isNull),
-          keyCols.map(col)).select(outCols: _*)
-
+        // UNIFIED plan — no cold/hot branches: cold keys take slice 0
+        // (their (key, 0) window ≡ the plain per-key window), hot keys
+        // their computed time slice. ONE WindowExec over the big
+        // timeline serves everyone; facts are scanned exactly twice —
+        // once pruned to (key, time) for detection, once full for the
+        // merge. (Two earlier shapes did worse, both measured ~2.3×
+        // on q08: cold/hot branches re-scanned the timeline per
+        // branch, and deriving the carry summary from the window's
+        // own output re-planned the whole pipeline again under the
+        // join because column pruning defeats ReuseExchange.)
         val nSlices = least(ceil(col(n) * SliceOversample /
           lit(maxKeyRows.toDouble)), lit(MaxSlices.toLong))
         val degenerate = col(hi) === col(lo)
-        val slice = when(degenerate,
+        val slice = when(col(n).isNull, lit(0))
+          .when(degenerate,
             // single-instant key: ordering is immaterial (every
             // snapshot ties), spread rows by hash to bound the sort
             pmod(xxhash64(Seq(col(t), col(typ)) ++
               factPayload.map(col): _*), nSlices))
           .otherwise(least(
-            floor((timeNum.get - col(lo)) /
-              ((col(hi) - col(lo)) / nSlices)), nSlices - 1))
+            floor((timeNum.get - loN) /
+              ((hiN - loN) / nSlices)), nSlices - 1))
           .cast(IntegerType)
-        val hotRows = tagged.filter(col(n).isNotNull)
-          .withColumn(sliceC, slice)
-        // bounded per-task window: partition spec is (key, slice).
-        // The slice's closing/opening snapshots ride in the SAME
-        // WindowExec as the running-last (same partitioning + sort,
-        // full frame) — struct-valued min/max AGGREGATES would have
-        // planned SortAggregates (struct agg buffers are not
-        // hash-aggregatable); window frames have no such restriction
+        // bounded per-task window: partition spec is (key, slice);
+        // with clamp, the key-earliest payload for COLD keys rides in
+        // the SAME WindowExec as the running-last (full frame — their
+        // (key, 0) partition spans the whole key)
         val hw = Window.partitionBy((keyCols :+ sliceC).map(col): _*)
           .orderBy(col(t), col(typ))
-        val run = hotRows
+        val run0 = tagged.withColumn(sliceC, slice)
           .withColumn("__asof_run",
             last(col(pay), ignoreNulls = true)
               .over(hw.rowsBetween(Window.unboundedPreceding,
                 Window.currentRow)))
-          .withColumn("__asof_close",
-            last(col(pay), ignoreNulls = true)
-              .over(hw.rowsBetween(Window.unboundedPreceding,
-                Window.unboundedFollowing)))
-          .withColumn("__asof_open",
+        val run =
+          if (!clamp) run0
+          else run0.withColumn("__asof_open",
             first(col(pay), ignoreNulls = true)
               .over(hw.rowsBetween(Window.unboundedPreceding,
                 Window.unboundedFollowing)))
-        // per-(key, slice) summary: close/open are functionally
-        // determined by (key, slice), so distinct() collapses to one
-        // row per slice — pure grouping keys, HashAggregate; the
-        // per-key carry window then runs over ≤ MaxSlices rows/key
-        val sw = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(sliceC))
-        val summary = run
+        // Cross-slice carry for HOT keys, from the SNAPSHOT side
+        // alone: facts carry NULL payloads and every payload frame is
+        // ignoreNulls, so per-slice closing/opening snapshots are a
+        // function of the snapshots — the big fact stream never feeds
+        // the summary. Snapshot rows of hot keys get the same slice
+        // assignment, a (key, slice) window pins close/open (window
+        // frames, not struct aggregates — those would plan
+        // SortAggregates), distinct() collapses to one row per slice.
+        val ssw = Window.partitionBy((keyCols :+ sliceC).map(col): _*)
+          .orderBy(col(t), col(typ))
+        val perSlice = sSide
+          .join(broadcast(hotStats), keyCols)
+          .withColumn(sliceC, slice)
+          .withColumn("__asof_close",
+            last(col(pay), ignoreNulls = true)
+              .over(ssw.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .withColumn("__asof_open",
+            first(col(pay), ignoreNulls = true)
+              .over(ssw.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
           .select((keyCols :+ sliceC).map(col) ++
             Seq(col("__asof_close"), col("__asof_open")): _*)
           .distinct()
+        // DENSE slice spine per hot key (exploded from the broadcast-
+        // size flagged table): slices holding only facts still need a
+        // carry row, else a snapshot-free slice would lose its
+        // boundary. ≤ #hotKeys × MaxSlices rows; the per-key carry
+        // window runs over exactly nSlices rows per key.
+        val spine = hotStats.select(keyCols.map(col) :+
+          explode(sequence(lit(0),
+            (nSlices - 1).cast(IntegerType))).as(sliceC): _*)
+        val sw = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(sliceC))
+        val summary = spine.join(perSlice, keyCols :+ sliceC, "left")
           .withColumn("__asof_carry",
             last("__asof_close", ignoreNulls = true)
               .over(sw.rowsBetween(Window.unboundedPreceding, -1)))
@@ -263,17 +306,23 @@ object AsOf {
           .select((keyCols :+ sliceC).map(col) ++
             Seq(col("__asof_carry"), col("__asof_keyclose"),
               col("__asof_keyopen")): _*)
-        // dense (key, slice) equi-join — the hot key no longer
-        // dominates any one hash bucket; AQE/SMJ both safe here
-        val hotResolved = run.drop("__asof_close", "__asof_open")
-          .join(summary, keyCols :+ sliceC)
-        val base = when(degenerate, col("__asof_keyclose"))
+        // dense (key, slice) LEFT equi-join against the hot-only
+        // summary (empty when data is well-behaved — AQE broadcasts
+        // it); the hot key no longer dominates any one hash bucket
+        val joined = run.join(summary, keyCols :+ sliceC, "left")
+        // cold rows: carry/keyclose/keyopen are NULL from the left
+        // join; base reduces to the running-last and the clamp falls
+        // back to the row's own full-frame `open` (its (key, 0)
+        // window spans the whole key — exactly the unguarded clamp)
+        val base = when(col(n).isNotNull && degenerate,
+            col("__asof_keyclose"))
           .otherwise(coalesce(col("__asof_run"), col("__asof_carry")))
         val resolved =
-          if (clamp) coalesce(base, col("__asof_keyopen")) else base
-        val hot = hotResolved.withColumn(pay, resolved)
-          .select(outCols: _*)
-        cold.unionByName(hot)
+          if (clamp) coalesce(base,
+            when(col(n).isNull, col("__asof_open"))
+              .otherwise(col("__asof_keyopen")))
+          else base
+        joined.withColumn(pay, resolved).select(outCols: _*)
       }
     merged
       .filter(col(typ) === 1 &&
