@@ -338,6 +338,38 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** q72's expression/generator twin: the SAME MJPEG fixture and
+      * oracle, but demux + decode run as codegen expressions
+      * ([[graft.functions.FrameSlices]] → posexplode →
+      * [[graft.functions.DecodeGrayPx]], through
+      * [[Multimodal.decodeFramesExpr]]) instead of mapPartitions — no
+      * object-serialization boundary, whole-stage codegen end to end
+      * (ExtensionSpec locks the plan and the row-for-row parity).
+      */
+    "q78_mjpeg_decode_gen" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 8 * (2 + m % 3)
+        val h = 8 * (1 + m % 2)
+        val frames = (0 until 3).map { f =>
+          Multimodal.encodeGrayJpeg(w, h, (x, y) =>
+            (37 * m + 11 * f + 13 * (x / 8) + 29 * (y / 8)) % 256)
+        }
+        (m.toLong, Mp4.build(frames))
+      }.toDF("media_id", "media")
+      Multimodal.decodeFramesExpr(media, 3)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+          array_min(col("pixels")).cast("long").as("px_min"),
+          array_max(col("pixels")).cast("long").as("px_max"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     /** SemDeDup (Abbas et al.): semantic dedup over IVF clusters —
       * assign every embedding to its nearest fixed centroid (the q46
       * table), drop each vector with a lower-id in-cluster neighbor
@@ -687,7 +719,14 @@ object SketchQueries {
     // mirrors the q72 fixture arithmetically: per (nation m, frame f)
     // the decoded image is 8x(2+m%3) × 8x(1+m%2) px of 8×8-uniform
     // blocks valued (37m+11f+13bx+29by)%256 — 64 px per block
-    "q72_mjpeg_decode" ->
+    "q72_mjpeg_decode" -> q72OracleSql,
+    // identical fixture + oracle; only the Spark plan differs
+    // (expression/generator vs mapPartitions)
+    "q78_mjpeg_decode_gen" -> q72OracleSql
+  )
+
+  // lazy: referenced by the oracleSql map above its definition
+  private lazy val q72OracleSql: String =
       """WITH fr AS (SELECT 0 AS f UNION ALL SELECT 1 UNION ALL SELECT 2),
         |bxs AS (SELECT unnest(range(4)) AS bx),
         |bys AS (SELECT unnest(range(2)) AS byy),
@@ -704,5 +743,4 @@ object SketchQueries {
         |  CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max
         |FROM blocks GROUP BY m, f, w, h
         |ORDER BY media_id, frame_idx""".stripMargin
-  )
 }

@@ -66,6 +66,27 @@ object MediaOps {
   private def row(w: Any, h: Any, d: Any): InternalRow =
     new GenericInternalRow(Array[Any](w, h, d))
 
+  /** [[FrameSlices]] kernel (public: called from generated code). */
+  def frameSlicesArray(b: Array[Byte], n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null) return null
+    if (graft.operators.Mp4.isFragmented(b))
+      // one NULL element → posexplode keeps one accounting row
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](null))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.operators.Multimodal.frameSlices(b, n).toArray[Any])
+  }
+
+  /** [[DecodeGrayPx]] kernel (public: called from generated code). */
+  def decodeGrayRow(b: Array[Byte]): InternalRow =
+    graft.operators.Multimodal.decodeGray(b) match {
+      case Some((w, h, px)) => new GenericInternalRow(Array[Any](w, h,
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(px)))
+      case None => null
+    }
+
   /** Scan JPEG segments for the first SOFn (C0–CF except C4/C8/CC):
     * payload = precision u8, height u16be, width u16be.
     */
@@ -143,4 +164,71 @@ case class MediaDims(child: Expression) extends UnaryExpression {
 object MediaDims {
   def media_dims(c: Column): Column =
     GraftBridge.column(MediaDims(GraftBridge.expression(c)))
+}
+
+/** frame_slices(binary, n) → ARRAY<BINARY> of up to n demuxed frame
+  * payloads — the codegen face of the MP4 sample-table walk
+  * ([[graft.operators.Multimodal.frameSlices]]): keyframe slices for
+  * MP4s, equal byte slices otherwise, a single NULL element for a
+  * FRAGMENTED MP4 (so `posexplode` keeps exactly one accounting row
+  * per such file, mirroring `decodeFrames`' typed error path), NULL
+  * for NULL input. Composed with `posexplode` the demux stays inside
+  * whole-stage codegen — the expression/generator variant of the
+  * mapPartitions operator (which remains the shape for codecs that
+  * want per-partition init).
+  */
+case class FrameSlices(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"invalid frame count: $n")
+  override def dataType: DataType = ArrayType(BinaryType)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaOps.frameSlicesArray(v.asInstanceOf[Array[Byte]], n)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MediaOps.frameSlicesArray($c, $n);
+         |${ev.isNull} = (${ev.value} == null);
+         |if (${ev.isNull}) { ${ev.value} = ${CodeGenerator.defaultValue(dataType)}; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): FrameSlices =
+    copy(child = c)
+  override def prettyName: String = "frame_slices"
+}
+
+/** decode_gray_px(binary) → STRUCT<width INT, height INT, pixels
+  * ARRAY<INT>> — the codegen face of the bounded image decode
+  * ([[graft.operators.Multimodal.decodeGray]]: header-dimension check
+  * before any pixel allocation, raw band-0 samples for single-band
+  * images, BT.601 luminance otherwise). NULL when the codec rejects
+  * the payload — the per-frame error row.
+  */
+case class DecodeGrayPx(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixels", ArrayType(IntegerType))))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaOps.decodeGrayRow(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.MediaOps.decodeGrayRow($c);
+         |${ev.isNull} = (${ev.value} == null);
+         |if (${ev.isNull}) { ${ev.value} = ${CodeGenerator.defaultValue(dataType)}; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): DecodeGrayPx =
+    copy(c)
+  override def prettyName: String = "decode_gray_px"
+}
+
+object MediaFrameFunctions {
+  def frame_slices(c: Column, n: Int): Column =
+    GraftBridge.column(FrameSlices(GraftBridge.expression(c), n))
+  def decode_gray_px(c: Column): Column =
+    GraftBridge.column(DecodeGrayPx(GraftBridge.expression(c)))
 }

@@ -310,7 +310,7 @@ object Multimodal {
   /** Up to `n` frame payloads for one media blob: even keyframe picks
     * from the MP4 index when it parses, equal byte slices otherwise.
     */
-  private[operators] def frameSlices(bytes: Array[Byte],
+  private[graft] def frameSlices(bytes: Array[Byte],
       n: Int): Seq[Array[Byte]] =
     Mp4.frameIndex(bytes) match {
       case Some(frames) if frames.nonEmpty =>
@@ -381,6 +381,31 @@ object Multimodal {
     }
   }
 
+  /** [[decodeFrames]] as pure expressions + a generator — the
+    * whole-stage-codegen variant: `frame_slices` (codegen demux) →
+    * `posexplode` (codegen Generate) → `decode_gray_px` (codegen
+    * decode). Row-for-row equal to [[decodeFrames]] (including the
+    * fragmented-MP4 single NULL accounting row — `frame_slices`
+    * yields a one-NULL-element array there — and NULL-media rows
+    * dropping); no object serialization boundary anywhere in the
+    * plan. The mapPartitions variant remains the documented shape
+    * for codecs wanting per-partition init; this is the shape for
+    * JRE-codec decode where staying inside codegen wins.
+    */
+  def decodeFramesExpr(df: DataFrame, n: Int,
+      mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {
+    require(n >= 1, s"invalid frame count: $n")
+    import graft.functions.MediaFrameFunctions.{decode_gray_px, frame_slices}
+    df.select(col(idCol),
+        posexplode(frame_slices(col(mediaCol), n)))
+      .select(col(idCol), col("pos").as("frame_idx"),
+        decode_gray_px(col("col")).as("__px"))
+      .select(col(idCol), col("frame_idx"),
+        col("__px.width").as("width"),
+        col("__px.height").as("height"),
+        col("__px.pixels").as("pixels"))
+  }
+
   /** Audio decode-to-samples: one row per media blob with the
     * decoded 16-bit PCM signal — the audio twin of [[decodeFrames]].
     * IMA-ADPCM WAVE (format tag 17) decodes through the pure-JVM
@@ -422,7 +447,7 @@ object Multimodal {
     * and destroy sample values); BT.601 integer luminance for
     * multi-band. None when the codec rejects the payload.
     */
-  private[operators] def decodeGray(
+  private[graft] def decodeGray(
       bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       val imgOpt = readImageBounded(bytes)

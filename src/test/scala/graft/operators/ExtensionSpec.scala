@@ -1042,6 +1042,44 @@ class ExtensionSpec extends AnyFunSuite {
     assert(mr(1).isNullAt(2) && mr(1).isNullAt(3) && mr(1).isNullAt(4))
   }
 
+  test("multimodal: decodeFramesExpr ≡ decodeFrames row-for-row, with " +
+      "a fully codegen plan (no object serialization boundary)") {
+    import spark.implicits._
+    def v(m: Int, f: Int)(x: Int, y: Int): Int =
+      (37 * m + 11 * f + 13 * (x / 8) + 29 * (y / 8)) % 256
+    val media = Seq(3, 7).map { m =>
+      (m.toLong, Mp4.build((0 until 3).map(f =>
+        Multimodal.encodeGrayJpeg(24, 16, v(m, f)))))
+    } ++ Seq(
+      (20L, "not a container at all, just some bytes".getBytes),
+      (21L, Mp4.buildFragmented(Seq("f0".getBytes, "f1".getBytes))),
+      (22L, Mp4.build(Seq(Multimodal.encodeGrayJpeg(8, 8, (_, _) => 9),
+        "broken frame".getBytes))),
+      (23L, null: Array[Byte]))
+    val df = media.toDF("media_id", "media")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) Seq.empty[Int] else r.getSeq[Int](4))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val viaExpr = Multimodal.decodeFramesExpr(df, 3)
+    assert(rows(viaExpr) == rows(Multimodal.decodeFrames(df, 3)))
+    // the expression path has no object-serialization boundary and
+    // runs inside whole-stage codegen (the mapPartitions variant
+    // necessarily plans Deserialize/SerializeFromObject)
+    val plan = viaExpr.queryExecution.executedPlan.toString
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"), plan)
+    // `*(n)` marks a whole-stage-codegen stage; Generate, the decode
+    // projection and the demux must all carry it
+    assert(plan.contains("*(1) Generate"), plan)
+    assert(plan.linesIterator.count(_.trim.startsWith("+- *(")) >= 2, plan)
+    val mpPlan = Multimodal.decodeFrames(df, 3)
+      .queryExecution.executedPlan.toString
+    assert(mpPlan.contains("SerializeFromObject"))
+  }
+
   test("multimodal: a forged JPEG header claiming huge dimensions is " +
       "rejected at the header stage — no executor-killing allocation") {
     val real = Multimodal.encodeGrayJpeg(16, 16, (_, _) => 7)
