@@ -370,6 +370,39 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** Image near-duplicate detection: real JPEG decode → perceptual
+      * difference hash → banded Hamming pairs, all engine-native.
+      * One 72×32 grayscale JPEG per nation, 8×8-UNIFORM blocks (the
+      * q72 exact-round-trip recipe) valued so nations congruent
+      * mod 15 render near-identical images (one brightness step on
+      * one cell column → dHash hamming exactly 8); decode runs
+      * through [[graft.functions.DecodeGrayPx]], the hash through
+      * [[graft.functions.DHash64]] (cross-multiplied cell compare —
+      * bit-exact, so DuckDB replays every bit arithmetically from the
+      * block-value formula), and candidates through
+      * [[Dedup.hammingNearDupPairs]] — pigeonhole bands, equi-join,
+      * never image×image.
+      */
+    "q79_image_neardups" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      def v(m: Int)(x: Int, y: Int): Int = {
+        val bx = x / 8
+        ((37 * (m % 5) + 29 * (y / 8)
+          + (if (bx == m % 3) 1 else 0)
+          + (if (bx == 6) m / 12 else 0)) % 256)
+      }
+      val media = keys.toSeq.map { m =>
+        (m.toLong, Multimodal.encodeGrayJpeg(72, 32, v(m)))
+      }.toDF("media_id", "media")
+      import graft.functions.MediaFrameFunctions.{decode_gray_px, dhash64}
+      val hashed = media.select(col("media_id"),
+        dhash64(decode_gray_px(col("media"))).as("dhash"))
+      Dedup.hammingNearDupPairs(hashed, "media_id", "dhash", 8)
+        .orderBy("a", "b")
+    }),
+
     /** SemDeDup (Abbas et al.): semantic dedup over IVF clusters —
       * assign every embedding to its nearest fixed centroid (the q46
       * table), drop each vector with a lower-id in-cluster neighbor
@@ -654,6 +687,35 @@ object SketchQueries {
          |SELECT c.vec_id, ($adc) AS adc FROM c, p
          |ORDER BY adc, vec_id LIMIT 5""".stripMargin
     },
+    // replays the q79 fixture arithmetically: dHash cells over the
+    // 72×32 image are exactly the 8×8-uniform block values (cell
+    // width 8 px = one block column, cell height 4 px = half a block
+    // row), so every hash bit — and therefore every pairwise hamming
+    // distance — follows from the block-value formula with no pixel
+    // lists; the 25×25 pair comparison is oracle-side only (Spark
+    // runs the banded equi-join)
+    "q79_image_neardups" ->
+      """WITH k AS (SELECT CAST(n_nationkey AS INT) AS m FROM nation),
+        |cells AS (SELECT m, CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+        |    (37 * (m % 5) + 29 * (CAST(gy AS INT) // 2)
+        |     + CASE WHEN CAST(gx AS INT) = m % 3 THEN 1 ELSE 0 END
+        |     + CASE WHEN CAST(gx AS INT) = 6 THEN m // 12 ELSE 0 END) % 256
+        |    AS c
+        |  FROM k, (SELECT unnest(range(9)) AS gx) xs,
+        |    (SELECT unnest(range(8)) AS gy) ys),
+        |bits AS (SELECT l.m, l.gx, l.gy,
+        |    CASE WHEN l.c > r.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells l JOIN cells r ON l.m = r.m AND l.gy = r.gy
+        |    AND r.gx = l.gx + 1
+        |  WHERE l.gx < 8),
+        |pairs AS (SELECT x.m AS a, y.m AS b,
+        |    CAST(sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |  FROM bits x JOIN bits y ON x.gx = y.gx AND x.gy = y.gy
+        |    AND x.m < y.m
+        |  GROUP BY x.m, y.m)
+        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, hamming
+        |FROM pairs WHERE hamming <= 8 ORDER BY a, b""".stripMargin,
     // the q46 cluster assignment + the q47 pair rule, composed into
     // the SemDeDup keep-set: drop ids with a lower-id in-cluster
     // neighbor at cosine >= 0.2

@@ -78,6 +78,60 @@ object MediaOps {
       graft.operators.Multimodal.frameSlices(b, n).toArray[Any])
   }
 
+  /** [[DHash64]] kernel (public: called from generated code): the
+    * classic difference hash over a decoded grayscale image — box-
+    * average the pixels onto a 9×8 grid (exact integer boundaries
+    * `gx·w/9`, `gy·h/8`), then bit `gy·8+gx` = [cell(gx) > cell(gx+1)]
+    * per row. Cell comparison is cross-multiplied (sumL·areaR >
+    * sumR·areaL) so no division ever rounds — bit-exact and therefore
+    * oracle-replayable. Null for images under 9×8 or a null struct
+    * field. Products stay < 2^63 for any image the bounded decoder
+    * admits (≤ 16 M px).
+    */
+  def dhash64(px: InternalRow): java.lang.Long = {
+    if (px == null || px.isNullAt(0) || px.isNullAt(1) || px.isNullAt(2))
+      return null
+    val w = px.getInt(0)
+    val h = px.getInt(1)
+    if (w < 9 || h < 8) return null
+    val pixels = px.getArray(2)
+    if (pixels.numElements() != w * h) return null
+    val sums = new Array[Long](9 * 8)
+    val areas = new Array[Long](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      val ys = gy * h / 8; val ye = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val xs = gx * w / 9; val xe = (gx + 1) * w / 9
+        var s = 0L
+        var y = ys
+        while (y < ye) {
+          var x = xs
+          while (x < xe) { s += pixels.getInt(y * w + x); x += 1 }
+          y += 1
+        }
+        sums(gy * 9 + gx) = s
+        areas(gy * 9 + gx) = (ye - ys).toLong * (xe - xs)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val l = gy * 9 + gx; val r = l + 1
+        if (sums(l) * areas(r) > sums(r) * areas(l))
+          hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    java.lang.Long.valueOf(hash)
+  }
+
   /** [[DecodeGrayPx]] kernel (public: called from generated code). */
   def decodeGrayRow(b: Array[Byte]): InternalRow =
     graft.operators.Multimodal.decodeGray(b) match {
@@ -226,9 +280,36 @@ case class DecodeGrayPx(child: Expression) extends UnaryExpression {
   override def prettyName: String = "decode_gray_px"
 }
 
+/** dhash64(STRUCT<width, height, pixels>) → BIGINT difference hash —
+  * composes over [[DecodeGrayPx]]'s output so decode→hash stays one
+  * codegen stage. NULL when the struct (or any field) is NULL or the
+  * image is smaller than the 9×8 grid.
+  */
+case class DHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    MediaOps.dhash64(v.asInstanceOf[InternalRow])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dh")
+      s"""
+         |java.lang.Long $tmp = graft.functions.MediaOps.dhash64($c);
+         |${ev.isNull} = ($tmp == null);
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): DHash64 =
+    copy(c)
+  override def prettyName: String = "dhash64"
+}
+
 object MediaFrameFunctions {
   def frame_slices(c: Column, n: Int): Column =
     GraftBridge.column(FrameSlices(GraftBridge.expression(c), n))
   def decode_gray_px(c: Column): Column =
     GraftBridge.column(DecodeGrayPx(GraftBridge.expression(c)))
+  def dhash64(c: Column): Column =
+    GraftBridge.column(DHash64(GraftBridge.expression(c)))
 }

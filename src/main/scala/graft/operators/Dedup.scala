@@ -409,6 +409,52 @@ object Dedup {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs over a 64-bit sketch (SimHash, dHash, …) by
+    * Hamming distance, banded for scale: pigeonhole — two hashes
+    * within distance `maxDist` agree on at least one of `maxDist + 1`
+    * disjoint bit-bands — so candidate generation is an equi-join on
+    * (band, segment), never all-pairs. A pair matching in several
+    * bands is emitted ONCE, from its first matching band, decided
+    * row-locally from the two hashes already in the joined row (no
+    * distinct shuffle). Output: (a, b, hamming) with a < b.
+    *
+    * Skew note: a degenerate corpus (many identical sketches) makes
+    * one (band, segment) bucket quadratic — identical-hash pairs are
+    * genuine output, so that blowup is output-bound, but for guarded
+    * candidate generation over such corpora compose with an exact
+    * pre-dedup on the hash (the [[nearDupDedup]] recipe).
+    */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist $maxDist")
+    val nBands = maxDist + 1
+    val widths = (0 until nBands).map(b =>
+      64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offs = widths.scanLeft(0)(_ + _)
+    def seg(h: Column, b: Int): Column = {
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1
+      shiftrightunsigned(h, offs(b)).bitwiseAND(lit(mask))
+    }
+    val banded = df.select(col(idCol), col(hashCol),
+      posexplode(array((0 until nBands).map(b =>
+        seg(col(hashCol), b)): _*)))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__seg")
+    val l = banded.select(col("__band"), col("__seg"),
+      col(idCol).as("a"), col(hashCol).as("__ha"))
+    val r = banded.select(col("__band"), col("__seg"),
+      col(idCol).as("b"), col(hashCol).as("__hb"))
+    l.join(r, Seq("__band", "__seg"))
+      .filter(col("a") < col("b"))
+      // first-matching-band uniqueness: every earlier band differs
+      .filter((0 until nBands).map(b =>
+        lit(b) >= col("__band") ||
+          seg(col("__ha"), b) =!= seg(col("__hb"), b)).reduce(_ && _))
+      .withColumn("__hd", hamming(col("__ha"), col("__hb")))
+      .filter(col("__hd") <= maxDist)
+      .select(col("a"), col("b"), col("__hd").cast("long").as("hamming"))
+  }
+
   /** Train/test decontamination: flag training docs whose k-gram
     * overlap with ANY benchmark doc reaches `threshold` (fraction of
     * the BENCHMARK doc's grams — the asymmetric containment test,

@@ -1080,6 +1080,81 @@ class ExtensionSpec extends AnyFunSuite {
     assert(mpPlan.contains("SerializeFromObject"))
   }
 
+  test("dhash64: bit-exact vs an independent replay on random images, " +
+      "invariant to constant brightness, NULL under the 9×8 grid") {
+    import spark.implicits._
+    import graft.functions.MediaFrameFunctions.{decode_gray_px, dhash64}
+    val rnd = new scala.util.Random(61)
+    // random gray PNGs (lossless → decoded pixels == authored pixels)
+    def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, px(x, y) & 0xff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def replay(w: Int, h: Int, px: (Int, Int) => Int): Long = {
+      def cell(gx: Int, gy: Int): (Long, Long) = {
+        val (xs, xe) = (gx * w / 9, (gx + 1) * w / 9)
+        val (ys, ye) = (gy * h / 8, (gy + 1) * h / 8)
+        val s = (for (y <- ys until ye; x <- xs until xe)
+          yield px(x, y).toLong).sum
+        (s, (xe - xs).toLong * (ye - ys))
+      }
+      (for (gy <- 0 until 8; gx <- 0 until 8) yield {
+        val (sl, al) = cell(gx, gy); val (sr, ar) = cell(gx + 1, gy)
+        if (sl * ar > sr * al) 1L << (gy * 8 + gx) else 0L
+      }).reduce(_ | _)
+    }
+    val cases = (0 until 20).map { i =>
+      val w = 9 + rnd.nextInt(40); val h = 8 + rnd.nextInt(40)
+      val vals = Array.fill(h, w)(rnd.nextInt(256))
+      (i.toLong, png(w, h, (x, y) => vals(y)(x)), replay(w, h, (x, y) => vals(y)(x)))
+    }
+    val got = cases.map(c => (c._1, c._2)).toDF("media_id", "media")
+      .select(col("media_id"), dhash64(decode_gray_px(col("media"))).as("dh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    cases.foreach { case (id, _, expect) =>
+      assert(got(id) == expect, s"image $id")
+    }
+    // gradient hash: constant brightness shift leaves every bit alone
+    val base = Array.fill(16, 18)(rnd.nextInt(100))
+    assert(replay(18, 16, (x, y) => base(y)(x)) ==
+      replay(18, 16, (x, y) => base(y)(x) + 100))
+    // under-grid and null are typed NULLs
+    val tiny = Seq((0L, png(4, 4, (_, _) => 7)), (1L, null: Array[Byte]))
+      .toDF("media_id", "media")
+      .select(dhash64(decode_gray_px(col("media"))).as("dh")).collect()
+    assert(tiny.forall(_.isNullAt(0)))
+  }
+
+  test("hammingNearDupPairs: banded equi-join ≡ brute force, one row " +
+      "per pair (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    // clustered hashes: groups around 30 random centers with few
+    // flipped bits, so plenty of pairs land within every distance
+    val centers = Array.fill(30)(rnd.nextLong())
+    val hashes = (0L until 200L).map { i =>
+      var h = centers(rnd.nextInt(centers.length))
+      for (_ <- 0 until rnd.nextInt(12)) h ^= 1L << rnd.nextInt(64)
+      (i, h)
+    }
+    val df = hashes.toDF("id", "hash")
+    for (maxDist <- Seq(0, 3, 8)) {
+      val got = Dedup.hammingNearDupPairs(df, "id", "hash", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expect = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes if a < b
+        hd = java.lang.Long.bitCount(ha ^ hb) if hd <= maxDist
+      } yield (a, b, hd.toLong)).sorted
+      assert(got.length == got.distinct.length, s"dup pairs at $maxDist")
+      assert(got.sorted.toSeq == expect, s"maxDist $maxDist")
+    }
+  }
+
   test("multimodal: a forged JPEG header claiming huge dimensions is " +
       "rejected at the header stage — no executor-killing allocation") {
     val real = Multimodal.encodeGrayJpeg(16, 16, (_, _) => 7)
