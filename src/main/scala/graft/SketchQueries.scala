@@ -27,6 +27,26 @@ object SketchQueries {
     */
   private def md5Int60(c: Column): Column = StableHash.md5Int60(c)
 
+  /** The q40 md5-core simhash pipeline: (doc_id, simhash BIGINT) over
+    * documents < 100 — shared by q40 (the sketch itself) and q80 (the
+    * banded Hamming pair path over it).
+    */
+  private def simhashMd5(s: SparkSession, d: String) = {
+    val toks = Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .withColumn("h", md5Int60(col("tok")))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
   /** ±1 sign planes shared between the Spark plan and the generated
     * DuckDB oracle SQL (literals on both sides).
     */
@@ -119,22 +139,19 @@ object SketchQueries {
     // SimHash (md5 core): token-occurrence votes on 60 md5-derived
     // bits, bit set when the vote is positive — the exact pipeline of
     // Dedup.simhash64 with an oracle-reproducible hash.
-    "q40_simhash" -> ((s, d) => {
-      val toks = Tables.documents(s, d).filter(col("doc_id") < 100)
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-        .withColumn("h", md5Int60(col("tok")))
-      val votes = (0 until 60).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)).as(s"v$b"))
-      toks.groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until 60).map(b =>
-            when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("simhash"))
-        .orderBy("doc_id")
-    }),
+    "q40_simhash" -> ((s, d) =>
+      simhashMd5(s, d).orderBy("doc_id")),
+
+    /** Text near-dup pairs over the q40 simhash through
+      * [[Dedup.hammingNearDupPairs]] — the banded-Hamming scale path
+      * (pigeonhole (band, segment) equi-join, first-matching-band
+      * dedup) applied to the 60-bit md5-core fingerprint; the oracle
+      * cross-joins the 100-doc sketch table (oracle-side only) and
+      * pins every surviving pair's distance via bit_count(xor).
+      */
+    "q80_simhash_neardups" -> ((s, d) =>
+      Dedup.hammingNearDupPairs(simhashMd5(s, d), "doc_id", "simhash", 8)
+        .orderBy("a", "b")),
 
     // Winnowing fingerprints (md5 core): min of each 8-gram-hash
     // window over 5-char grams; sketch checked via size + md5 of the
@@ -531,6 +548,29 @@ object SketchQueries {
          |    FROM documents WHERE doc_id < 100) u),
          |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id)
          |SELECT doc_id, $bits AS simhash FROM votes ORDER BY doc_id""".stripMargin
+    },
+    // the q40 sketch CTE + an oracle-side cross join over the 100-doc
+    // sketch table; Spark runs the banded equi-join instead
+    "q80_simhash_neardups" -> {
+      val votes = (0 until 60).map(b =>
+        s"CAST(sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+        .mkString(", ")
+      val bits = (0 until 60).map(b =>
+        s"(CASE WHEN v$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> len(x) > 0)) AS tok
+         |    FROM documents WHERE doc_id < 100) u),
+         |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+         |sh AS (SELECT doc_id, $bits AS simhash FROM votes)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+         |ORDER BY a, b""".stripMargin
     },
     "q41_fingerprints" ->
       """WITH norm AS (SELECT doc_id,
