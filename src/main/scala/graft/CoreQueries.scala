@@ -234,11 +234,18 @@ object CoreQueries {
     // .00005 boundary can differ between engines (Spark rounds the
     // shortest decimal repr HALF_UP, DuckDB rounds the binary value);
     // observed at 1 row in 600k at sf0.1, none at the t2 gate SF.
+    // the charge arithmetic runs in EXACT decimals (the source values
+    // are 2dp money/rates, so the casts are lossless) and only the
+    // final rounded result returns to double: double-product rounding
+    // at a 4th-decimal knife-edge flipped one row per ~100k between
+    // engines (first seen at sf0.1; ±1 ulp in the product order)
     "q22_math" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax")), 4).as("chg"))
+          round(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")) *
+            (lit(1) + col("l_tax").cast("decimal(4,2)")), 4)
+            .cast("double").as("chg"))
         .orderBy("l_orderkey", "l_linenumber", "chg")
         .limit(100)
         .select("l_orderkey", "chg")),
@@ -353,7 +360,9 @@ object CoreQueries {
         |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q22_math" ->
       """SELECT l_orderkey,
-        |round(l_extendedprice*(1-l_discount)*(1+l_tax),4) AS chg
+        |CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |  * (1 + CAST(l_tax AS DECIMAL(4,2))), 4) AS DOUBLE) AS chg
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, chg LIMIT 100""".stripMargin,
     "q23_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS c,
