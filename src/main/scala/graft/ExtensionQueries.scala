@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CountMin, Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the training-data extensions (dedup,
   * similarity search, text analysis) over `documents`/`embeddings`,
@@ -240,6 +240,40 @@ object ExtensionQueries {
         .filter(col("df") >= 10)
         .orderBy(desc("df"), col("word"))
         .limit(50)),
+
+    /** Retrieval scoring: BM25 of every document against a 3-term
+      * probe query ([[TextAnalysis.bm25]] — Lucene `+1` IDF,
+      * k1=1.2 / b=0.75). Token stream filtered to query terms BEFORE
+      * the explode; corpus stats and per-term dfs ride broadcasts.
+      * ln() is the one cross-engine wobble (StrictMath vs libm, ≤1
+      * ulp), absorbed by the round-4 contract.
+      */
+    "q82_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "join", "window"))
+        .orderBy("doc_id")),
+
+    /** Frequency sketching: Count-Min heavy hitters over the corpus
+      * token stream ([[CountMin]] — d=3, w=64, md5-60-bit cells so
+      * DuckDB replays every counter exactly). The narrow width
+      * FORCES collisions on this vocabulary, so the output exhibits
+      * the CMS contract under oracle check: est ≥ exact everywhere,
+      * est > exact where cells collide. Sketch is 192 counter rows
+      * (mergeable by sum) whatever the corpus size; estimation joins
+      * candidates against the broadcast sketch.
+      */
+    "q83_cms_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+      val sk = CountMin.sketch(toks, "t", depth = 3, width = 64,
+        CountMin.md5Hash)
+      val exact = toks.groupBy("t").agg(count(lit(1)).as("exact"))
+      val est = CountMin.estimate(exact.select(col("t")), sk, "t",
+        depth = 3, width = 64, CountMin.md5Hash)
+      exact.join(est, "t")
+        .select(col("t").as("word"), col("est"), col("exact"))
+        .orderBy(desc("exact"), col("word")).limit(20)
+    }),
 
     // Repetition/boilerplate stats (Gopher-style): most-frequent-word
     // fraction and duplicate bigram/trigram fractions — the signals a
@@ -577,6 +611,51 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS word FROM documents) u)
         |SELECT word, count(*) AS df FROM w GROUP BY word
         |HAVING count(*) >= 10 ORDER BY df DESC, word LIMIT 50""".stripMargin,
+    // replays the d=3 / w=64 CMS arithmetically: same md5-60-bit cell
+    // indices, counters as plain GROUP BY sums, estimate = min over
+    // the 3 counters — integer-exact on both engines
+    "q83_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS t FROM documents),
+        |rs AS (SELECT CAST(unnest(range(3)) AS INT) AS r),
+        |cells AS (SELECT r, CAST('0x' || substr(
+        |    md5('cms' || CAST(r AS VARCHAR) || ':' || t), 1, 15)
+        |    AS BIGINT) % 64 AS cell
+        |  FROM toks, rs),
+        |sk AS (SELECT r, cell, count(*) AS cnt FROM cells GROUP BY r, cell),
+        |ex AS (SELECT t, count(*) AS exact FROM toks GROUP BY t),
+        |cand AS (SELECT t, r, CAST('0x' || substr(
+        |    md5('cms' || CAST(r AS VARCHAR) || ':' || t), 1, 15)
+        |    AS BIGINT) % 64 AS cell
+        |  FROM (SELECT t FROM ex) c, rs),
+        |est AS (SELECT t, min(cnt) AS est
+        |  FROM cand JOIN sk ON sk.r = cand.r AND sk.cell = cand.cell
+        |  GROUP BY t)
+        |SELECT ex.t AS word, CAST(est.est AS BIGINT) AS est,
+        |  CAST(ex.exact AS BIGINT) AS exact
+        |FROM ex JOIN est ON est.t = ex.t
+        |ORDER BY exact DESC, word LIMIT 20""".stripMargin,
+    // BM25 with the Lucene +1 IDF at k1=1.2, b=0.75 — the arithmetic
+    // mirrors TextAnalysis.bm25 term for term; round-4 absorbs the
+    // ln() ulp difference between engines
+    "q82_bm25" ->
+      """WITH base AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |b2 AS (SELECT doc_id, len(toks) AS dl,
+        |  list_filter(toks,
+        |    t -> t IN ('spark', 'join', 'window')) AS q FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
+        |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(q) AS t FROM b2) u
+        |  GROUP BY doc_id, dl, t),
+        |dfr AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * (tf * (1.2 + 1))
+        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN dfr USING (t), stats
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "q52_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
-import graft.operators.{Adpcm, Dedup, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.operators.{Adpcm, Dedup, G711, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -472,6 +472,39 @@ object SketchQueries {
         .orderBy("media_id")
     }),
 
+    /** The stateless half of compressed audio: G.711 µ-law and A-law
+      * (WAVE tags 7/6) decode through the JRE codec inside
+      * [[Multimodal.decodeAudio]], and — unlike the q76 state
+      * machine — each code word expands independently by a pure bit
+      * formula ([[graft.operators.G711]]), so the oracle pins exact
+      * PCM with per-byte integer arithmetic, no recursion. Two blobs
+      * per nation key (even id µ-law, odd A-law); same deterministic
+      * code stream, same aggregate contract as q76. G711Spec asserts
+      * the formula equals the JRE conversion for all 256 code words,
+      * welding the oracle to the production decoder.
+      */
+    "q81_g711_decode" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.flatMap { m =>
+        val codes = (0 until 64).map(j => (m * 29 + j * 7) % 256)
+        Seq((m.toLong * 2, G711.buildWav(G711.UlawTag, codes)),
+          (m.toLong * 2 + 1, G711.buildWav(G711.AlawTag, codes)))
+      }.toDF("media_id", "media")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          size(col("samples")).cast("long").as("n_samples"),
+          aggregate(col("samples"), lit(0L), (a, v) => a + v).as("pcm_sum"),
+          array_min(col("samples")).cast("long").as("pcm_min"),
+          array_max(col("samples")).cast("long").as("pcm_max"),
+          aggregate(zip_with(col("samples"),
+              sequence(lit(1), size(col("samples"))), (v, i) => v * i),
+            lit(0L), (a, v) => a + v).as("pcm_wsum"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features
     // (16-bin byte histogram), checked via dim / mass / argmax bin.
@@ -818,6 +851,41 @@ object SketchQueries {
          |  CAST(sum((pos + 1) * pred) AS BIGINT) AS pcm_wsum
          |FROM dec GROUP BY m ORDER BY media_id""".stripMargin
     },
+    // replays the q81 fixture per byte: G.711 expansion is stateless,
+    // so each code word b decodes with pure integer bit-ops (the SAME
+    // formula G711.ulawToPcm/alawToPcm compile — G711Spec welds that
+    // formula to the JRE codec for all 256 code words)
+    "q81_g711_decode" ->
+      """WITH keys AS (SELECT CAST(n_nationkey AS INT) AS m FROM nation),
+        |cod AS (SELECT m, c, CAST(j AS INT) AS pos,
+        |    (m * 29 + CAST(j AS INT) * 7) % 256 AS b
+        |  FROM keys,
+        |    (SELECT unnest(range(64)) AS j) js,
+        |    (SELECT 0 AS c UNION ALL SELECT 1) cs),
+        |ud AS (SELECT m, c, pos, 255 - b AS u, xor(b, 85) AS ai FROM cod),
+        |t1 AS (SELECT m, c, pos, u, ai,
+        |    (((u & 15) << 3) + 132) << ((u & 112) >> 4) AS ut,
+        |    (ai & 112) >> 4 AS seg,
+        |    ((ai & 15) << 4) + 8 AS am FROM ud),
+        |t2 AS (SELECT m, c, pos, u, ai, ut, seg,
+        |    CASE WHEN seg >= 1 THEN am + 256 ELSE am END AS av0 FROM t1),
+        |t3 AS (SELECT m, c, pos,
+        |    CASE WHEN (u & 128) != 0 THEN 132 - ut ELSE ut - 132 END AS upcm,
+        |    CASE WHEN (ai & 128) = 0
+        |      THEN -(CASE WHEN seg > 1 THEN av0 << (seg - 1) ELSE av0 END)
+        |      ELSE (CASE WHEN seg > 1 THEN av0 << (seg - 1) ELSE av0 END)
+        |      END AS apcm
+        |  FROM t2),
+        |dec AS (SELECT m, c, pos,
+        |    CASE WHEN c = 0 THEN upcm ELSE apcm END AS pcm FROM t3)
+        |SELECT CAST(m * 2 + c AS BIGINT) AS media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
+        |  CAST(min(pcm) AS BIGINT) AS pcm_min,
+        |  CAST(max(pcm) AS BIGINT) AS pcm_max,
+        |  CAST(sum((pos + 1) * pcm) AS BIGINT) AS pcm_wsum
+        |FROM dec GROUP BY m, c ORDER BY media_id""".stripMargin,
     // mirrors the q72 fixture arithmetically: per (nation m, frame f)
     // the decoded image is 8x(2+m%3) × 8x(1+m%2) px of 8×8-uniform
     // blocks valued (37m+11f+13bx+29by)%256 — 64 px per block

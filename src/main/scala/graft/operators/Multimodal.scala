@@ -165,11 +165,33 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val src = in.getFormat
+      // header sanity BEFORE conversion — a crafted channel count
+      // (WAV stores it as uint16, so up to 65535) both blows up the
+      // frame size and makes the converted stream return 0-byte
+      // reads below
+      if (src.getChannels < 1 || src.getChannels > 8) return None
       val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
         src.getSampleRate, 16, src.getChannels,
         2 * src.getChannels, src.getSampleRate, false)
       val pcm = AudioSystem.getAudioInputStream(target, in)
-      val data = pcm.readNBytes(2 * Adpcm.MaxSamples)
+      // manual read loop, NOT readNBytes/readAllBytes: when a
+      // corrupted header claims a frame size larger than the read
+      // buffer, AudioInputStream.read returns 0 (not -1) forever and
+      // InputStream.readNBytes spins on it — an executor thread hung
+      // for good on one malicious blob (found by G711Spec mutation
+      // fuzz). Treating read() <= 0 as end-of-stream terminates on
+      // every input; 64 KiB covers any in-contract frame size.
+      val data = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        val maxBytes = 2 * Adpcm.MaxSamples
+        var n = pcm.read(buf, 0, buf.length)
+        while (n > 0 && bos.size < maxBytes) {
+          bos.write(buf, 0, math.min(n, maxBytes - bos.size))
+          n = pcm.read(buf, 0, buf.length)
+        }
+        bos.toByteArray
+      }
       if (data.length < 2) None
       else {
         val out = new Array[Short](data.length / 2)

@@ -354,6 +354,47 @@ object TextAnalysis {
         explode(array_distinct(tokens(lower(col(textCol))))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("df"))
 
+  /** BM25 relevance of every document against a small fixed term set
+    * (Robertson/Sparck-Jones with the Lucene `+1` IDF, so IDF stays
+    * positive even for terms in most docs) — the retrieval-side
+    * quality scorer of a curation pipeline ("rank the corpus against
+    * a probe query", "mine docs matching a topic").
+    *
+    * Scale shape: the token array materializes ONCE per doc; query
+    * terms are filtered out of it BEFORE the explode, so the per-term
+    * shuffle carries only |docs| × |terms-hit| rows, never the full
+    * token stream. Corpus stats (N, avgdl) are a 1-row cross-joined
+    * broadcast; per-term document frequencies are a ≤|terms|-row
+    * broadcast. Two scans of the text column total (token stream +
+    * corpus stats), both pruned to (id, text).
+    *
+    * Output: (idCol, bm25 DOUBLE rounded to 4dp) for docs containing
+    * at least one query term.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        filter(col("__toks"), t => t.isin(terms: _*)).as("__q"))
+    val stats = base.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__q")).as("__t"))
+      .groupBy(col(idCol), col("__t"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 4).as("bm25"))
+  }
+
   /** Winnowing-style fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of `w` gram hashes;
     * distinct mins form the document sketch (rolling-hash document

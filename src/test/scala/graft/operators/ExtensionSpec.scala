@@ -545,6 +545,62 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got == Map("the" -> 2L, "cat" -> 1L, "dog" -> 1L, "fish" -> 1L))
   }
 
+  test("count-min: estimates dominate exact counts, unseen candidates " +
+      "estimate 0 at wide width, merged sketches equal the union sketch") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val streamA = Seq.fill(300)(words(rng.nextInt(words.length))).toDF("t")
+    val streamB = Seq.fill(200)(words(rng.nextInt(words.length))).toDF("t")
+    val both = streamA.union(streamB)
+    val (dep, wid) = (3, 4) // narrower than the vocab: forced collisions
+    val sk = CountMin.sketch(both, "t", dep, wid)
+    val exact = both.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = CountMin.estimate(words.toDF("t"), sk, "t", dep, wid)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach(w => assert(est(w) >= exact(w), s"CMS underestimated $w"))
+    // 8 words into 3×4 cells MUST collide somewhere: some estimate
+    // strictly overestimates — the contract q83 exhibits under oracle
+    assert(words.exists(w => est(w) > exact(w)))
+    // wide sketch: an unseen candidate hits three empty cells → 0
+    val wide = CountMin.sketch(both, "t", 3, 1 << 20)
+    val unseen = CountMin
+      .estimate(Seq("never-seen").toDF("t"), wide, "t", 3, 1 << 20)
+      .collect().head.getLong(1)
+    assert(unseen == 0L)
+    // mergeability: union-then-sketch == sketch-then-sum-per-cell
+    val merged = CountMin.sketch(streamA, "t", dep, wid)
+      .union(CountMin.sketch(streamB, "t", dep, wid))
+      .groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(toMap(merged) == toMap(sk))
+  }
+
+  test("bm25 matches an independent plain-Scala replay and drops " +
+      "no-term docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark join x"),
+      (1L, "join y z"),
+      (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent replay: N=3, avgdl=3, df(spark)=1, df(join)=2
+    val (k1, b) = (1.2, 0.75)
+    def idf(df: Int) = math.log((3 - df + 0.5) / (df + 0.5) + 1)
+    def term(tf: Int, df: Int, dl: Int) =
+      idf(df) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / 3.0))
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue // Spark round()
+    assert(got.keySet == Set(0L, 1L)) // doc 2 has no query term
+    assert(got(0L) == r4(term(2, 1, 4) + term(1, 2, 4)))
+    assert(got(1L) == r4(term(1, 2, 3)))
+    // ranking sanity: the doc hitting both terms (one rare) wins
+    assert(got(0L) > got(1L))
+  }
+
   test("repetition stats: repeated text scores high, varied text low") {
     import spark.implicits._
     val rows = Seq(
