@@ -275,6 +275,17 @@ object ExtensionQueries {
         .orderBy(desc("exact"), col("word")).limit(20)
     }),
 
+    /** Tokenizer-vocabulary construction: the frequency-ranked
+      * coverage curve with an integer-exact 95 % cutoff
+      * ([[TextAnalysis.vocabCoverage]]). The cumulative sum is
+      * two-level — the only unpartitioned window runs over the
+      * distinct-count table, and the grand total rides the same sort
+      * as a full-frame window (no third scan, no 1-row cross join).
+      */
+    "q84_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), "text")
+        .orderBy(desc("cnt"), col("word"))),
+
     // Repetition/boilerplate stats (Gopher-style): most-frequent-word
     // fraction and duplicate bigram/trigram fractions — the signals a
     // curation pipeline thresholds on to drop template-y docs.
@@ -636,6 +647,22 @@ object ExtensionQueries {
         |  CAST(ex.exact AS BIGINT) AS exact
         |FROM ex JOIN est ON est.t = ex.t
         |ORDER BY exact DESC, word LIMIT 20""".stripMargin,
+    // one global running sum ordered (cnt DESC, word) — equivalent to
+    // the engine's two-level band cumsum because every word in a band
+    // shares the same cnt; the cutoff is exact-integer cross products
+    "q84_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS word FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM toks GROUP BY word),
+        |cum AS (SELECT word, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_cnt,
+        |  CAST(sum(cnt) OVER () AS BIGINT) AS total FROM c)
+        |SELECT word, CAST(cnt AS BIGINT) AS cnt, cum_cnt,
+        |  (cum_cnt * 100 <= total * 95) AS in_vocab
+        |FROM cum ORDER BY cnt DESC, word""".stripMargin,
     // BM25 with the Lucene +1 IDF at k1=1.2, b=0.75 — the arithmetic
     // mirrors TextAnalysis.bm25 term for term; round-4 absorbs the
     // ln() ulp difference between engines

@@ -505,6 +505,31 @@ object SketchQueries {
         .orderBy("media_id")
     }),
 
+    /** Contrastive hard-negative mining: each anchor's closest
+      * DIFFERENT-label vector ([[Similarity.hardNegatives]] over the
+      * bounded 60×60 verifier cross with integer-quantized cosine —
+      * the q32/q33 bounded-verifier class; at scale candidates come
+      * from the LSH/IVF bucket joins instead of a cross). Sims are
+      * integer-exact, so the per-anchor winner is deterministic
+      * cross-engine.
+      */
+    "q85_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("label"),
+          Similarity.quantize(col("embedding")).as("q"))
+      val l = emb.select(col("vec_id").as("a"), col("label").as("la"),
+        col("q").as("qa"))
+      val r = emb.select(col("vec_id").as("b"), col("label").as("lb"),
+        col("q").as("qb"))
+      val cands = l.crossJoin(r)
+        .withColumn("sim", Similarity.cosineInt(col("qa"), col("qb")))
+      Similarity.hardNegatives(cands, "a", "b", "la", "lb", "sim")
+        .select(col("a").as("vec_id"), col("b").as("neg_id"),
+          col("la").as("label"), col("lb").as("neg_label"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal plumbing driven through the contract: documents'
     // text bytes stand in for opaque media; metadata + stub features
     // (16-bin byte histogram), checked via dim / mass / argmax bin.
@@ -851,6 +876,21 @@ object SketchQueries {
          |  CAST(sum((pos + 1) * pred) AS BIGINT) AS pcm_wsum
          |FROM dec GROUP BY m ORDER BY media_id""".stripMargin
     },
+    // bounded-verifier replay: same quantization, same integer-exact
+    // cosine, same (sim DESC, id) tie-break
+    "q85_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings WHERE vec_id < 60),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    a.label AS la, b.label AS lb,
+         |    ${duckCosineInt("a.q", "b.q")} AS sim
+         |  FROM e a JOIN e b ON a.label != b.label),
+         |r AS (SELECT va, vb, la, lb, sim, row_number()
+         |  OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rn FROM p)
+         |SELECT va AS vec_id, vb AS neg_id, la AS label,
+         |  lb AS neg_label, round(sim, 4) AS sim
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // replays the q81 fixture per byte: G.711 expansion is stateless,
     // so each code word b decodes with pure integer bit-ops (the SAME
     // formula G711.ulawToPcm/alawToPcm compile — G711Spec welds that

@@ -309,6 +309,28 @@ object Similarity {
       vecCol: String = "q"): DataFrame =
     semanticDedupBy(corpus, Ivf.assignInt(col(vecCol), centroids),
       cosineInt, threshold, idCol, vecCol)
+
+  /** Contrastive hard-negative mining: for each anchor, keep its
+    * highest-similarity candidate with a DIFFERENT label — the
+    * "closest impostor" used to build contrastive/triplet training
+    * pairs. Takes an already-generated candidate-pair table
+    * (anchorCol, negCol, anchor label, candidate label, simCol);
+    * candidate generation is the caller's choice of ANN — LSH/IVF
+    * bucket joins at scale, a bounded verifier cross in oracle
+    * checks (q85). Ties break on the lowest candidate id; with
+    * integer-quantized cosine ([[cosineInt]]) the sims are
+    * bit-identical across engines, so the winner is deterministic.
+    */
+  def hardNegatives(cands: DataFrame, anchorCol: String, negCol: String,
+      anchorLabelCol: String, negLabelCol: String,
+      simCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(anchorCol))
+      .orderBy(desc(simCol), col(negCol))
+    cands.filter(col(anchorLabelCol) =!= col(negLabelCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }
 
 /** IVF (inverted-file) ANN: k centroids are trained driver-side on a

@@ -395,6 +395,55 @@ object TextAnalysis {
       .agg(round(sum(col("__s")), 4).as("bm25"))
   }
 
+  /** Vocabulary-coverage curve: rank words by corpus frequency
+    * (count desc, word asc) and mark the smallest prefix covering
+    * `shareNum/shareDen` of all token occurrences — tokenizer-
+    * vocabulary construction ("which words make the 95 % vocab") and
+    * OOV-rate budgeting.
+    *
+    * The cumulative sum is TWO-LEVEL, not one global window: level 1
+    * runs over the distinct-count table (bounded by the number of
+    * distinct frequency VALUES, ≪ vocabulary — thousands at 100 TB),
+    * where a same-sort full frame also yields the grand total with no
+    * extra scan and no 1-row cross join; level 2 ranks words only
+    * WITHIN their count band (`cum = band_offset + cnt × rank`), so
+    * the token stream is never globally sorted. Caveat at extreme
+    * scale: the cnt=1 tail band is one window partition; if the tail
+    * vocabulary itself overwhelms a task, sub-shard non-boundary
+    * bands by word hash — in/out is constant across a band that
+    * doesn't straddle the budget, so only the boundary band needs
+    * exact within-band order.
+    *
+    * Output: (word, cnt, cum_cnt, in_vocab) — the cutoff compares
+    * `cum_cnt × shareDen ≤ total × shareNum` in exact integers, no
+    * float knife-edge.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      shareNum: Int = 95, shareDen: Int = 100): DataFrame = {
+    require(shareDen > 0 && shareNum >= 0 && shareNum <= shareDen)
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val bands = counts.groupBy("cnt").agg(sum(col("cnt")).as("band_sum"))
+    val wPrior = Window.orderBy(desc("cnt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(desc("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = bands
+      .withColumn("band_off", coalesce(sum(col("band_sum")).over(wPrior),
+        lit(0L)))
+      .withColumn("total", sum(col("band_sum")).over(wAll))
+    val wWithin = Window.partitionBy("cnt").orderBy("word")
+    counts
+      .join(broadcast(offsets.select("cnt", "band_off", "total")), "cnt")
+      .withColumn("cum_cnt",
+        col("band_off") + col("cnt") * row_number().over(wWithin))
+      .select(col("word"), col("cnt"), col("cum_cnt"),
+        (col("cum_cnt") * shareDen <= col("total") * shareNum)
+          .as("in_vocab"))
+  }
+
   /** Winnowing-style fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of `w` gram hashes;
     * distinct mins form the document sketch (rolling-hash document

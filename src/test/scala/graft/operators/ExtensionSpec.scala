@@ -578,6 +578,50 @@ class ExtensionSpec extends AnyFunSuite {
     assert(toMap(merged) == toMap(sk))
   }
 
+  test("vocab coverage: two-level cumsum equals a single global " +
+      "running sum and the integer cutoff marks the 95% prefix") {
+    import spark.implicits._
+    // frequencies: e×6, d×5, c×3, b×3, a×1 → total 18; 95% budget =
+    // 17.1 → e,d,c,b in (cum 17 ≤ 17.1… as integers 17*100 ≤ 18*95)
+    val docs = Seq((0L, "e e e e e e d d d"), (1L, "d d c c c b b b a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, "text")
+      .orderBy(desc("cnt"), col("word")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // global running sum ordered (cnt desc, word): the ties b/c (both
+    // 3) order alphabetically — b before c
+    assert(got.toSeq == Seq(
+      ("e", 6L, 6L, true), ("d", 5L, 11L, true), ("b", 3L, 14L, true),
+      ("c", 3L, 17L, true), ("a", 1L, 18L, false)))
+  }
+
+  test("hard negatives pick the closest different-label candidate " +
+      "with deterministic tie-breaks") {
+    import spark.implicits._
+    // anchor 0 (label 0): candidates 1 (label 1, identical vector,
+    // sim 1) and 2 (label 1, orthogonal) and 3 (label 0 — excluded
+    // even though identical)
+    val vecs = Seq(
+      (0L, 0, Seq(1000L, 0L)), (1L, 1, Seq(1000L, 0L)),
+      (2L, 1, Seq(0L, 1000L)), (3L, 0, Seq(1000L, 0L)))
+      .toDF("vec_id", "label", "q")
+    val l = vecs.select(col("vec_id").as("a"), col("label").as("la"),
+      col("q").as("qa"))
+    val r = vecs.select(col("vec_id").as("b"), col("label").as("lb"),
+      col("q").as("qb"))
+    val cands = l.crossJoin(r).filter(col("a") =!= col("b"))
+      .withColumn("sim", Similarity.cosineInt(col("qa"), col("qb")))
+    val got = Similarity.hardNegatives(cands, "a", "b", "la", "lb", "sim")
+      .select("a", "b").collect().map(r2 => r2.getLong(0) -> r2.getLong(1))
+      .toMap
+    assert(got(0L) == 1L) // identical different-label vector wins
+    assert(got(3L) == 1L) // ties (1 and… none) — 1 beats 2 on sim
+    assert(got(1L) == 0L) // anchors with label 1 pick a label-0 vec
+    assert(got(2L) != 2L && Set(0L, 3L).contains(got(2L)))
+    // tie between equal-sim candidates 0 and 3 breaks on lowest id
+    assert(got(2L) == 0L)
+  }
+
   test("bm25 matches an independent plain-Scala replay and drops " +
       "no-term docs") {
     import spark.implicits._

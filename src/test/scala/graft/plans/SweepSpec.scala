@@ -27,12 +27,13 @@ class SweepSpec extends AnyFunSuite {
     * cross, q60 1-row totals cross (the vocab side is
     * BroadcastHashJoin, PlanInvariantSpec), q75 1-row probe-set
     * cross, q82 1-row corpus-stats cross (N/avgdl — the q60 totals
-    * class; the df side is a BroadcastHashJoin). Anything else that
-    * plans a BNLJ is a bug.
+    * class; the df side is a BroadcastHashJoin), q85 bounded 60×60
+    * hard-negative verifier cross (the q32 class; scale path is ANN
+    * candidate generation). Anything else that plans a BNLJ is a bug.
     */
   private val bnljAllowed = Set("q27_scalar_subquery", "q32_jaccard_pairs",
     "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann",
-    "q82_bm25")
+    "q82_bm25", "q85_hard_negatives")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
