@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{CountMin, Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, CountMin, Dedup, Hll, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the training-data extensions (dedup,
   * similarity search, text analysis) over `documents`/`embeddings`,
@@ -285,6 +285,54 @@ object ExtensionQueries {
     "q84_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d), "text")
         .orderBy(desc("cnt"), col("word"))),
+
+    /** Cardinality sketching: HyperLogLog registers over the corpus
+      * token stream ([[Hll.registers]] — m=64 buckets, md5-60-bit
+      * hash, rho via `bin()` length so every register is
+      * integer-exact cross-engine). The sketch is a dense 64-row
+      * (bucket, register) table, mergeable by per-bucket max; the
+      * float estimate is a pure function of these registers
+      * ([[Hll.estimate]], spec-covered).
+      */
+    "q86_hll_registers" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+      Hll.registers(toks, "t", bucketBits = 6, Hll.md5Hash, hashBits = 60)
+        .orderBy("bucket")
+    }),
+
+    /** Bloom pre-screen decontamination: build a bloom filter over
+      * the benchmark docs' 8-gram set, probe each training doc's
+      * grams, and flag docs whose maybe-contained fraction reaches
+      * 0.5 ([[Bloom.build]]/[[Bloom.mightContain]] — k=3 hashes,
+      * 2^17 bits, md5 core so DuckDB replays every bit). Distinct
+      * grams are probed ONCE against the broadcast bit table; the
+      * verdict joins back to the per-doc gram stream on the same
+      * gram-keyed shuffle the exact q50 join would need — but only
+      * flagged docs would proceed to the exact containment pass at
+      * scale. The integer cutoff (`n_maybe·2 ≥ n_grams`) avoids any
+      * float knife-edge.
+      */
+    "q87_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = Dedup.explodeGrams(docs.filter(col("doc_id") < 5),
+        "text", "doc_id", k = 8)
+      val bits = Bloom.build(bg, "gram", k = 3, mBits = 1 << 17,
+        Bloom.md5Hash)
+      val tg = Dedup.explodeGrams(
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 300),
+          "text", "doc_id", k = 8)
+        .withColumnRenamed("doc_id", "train_id")
+      val verdicts = Bloom.mightContain(tg.select("gram").distinct(),
+        bits, "gram", k = 3, mBits = 1 << 17, Bloom.md5Hash)
+      tg.join(verdicts, "gram")
+        .groupBy("train_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"))
+        .select(col("train_id"), col("n_grams"), col("n_maybe"),
+          (col("n_maybe") * 2 >= col("n_grams")).as("flagged"))
+        .orderBy("train_id")
+    }),
 
     // Repetition/boilerplate stats (Gopher-style): most-frequent-word
     // fraction and duplicate bigram/trigram fractions — the signals a
@@ -663,6 +711,59 @@ object ExtensionQueries {
         |SELECT word, CAST(cnt AS BIGINT) AS cnt, cum_cnt,
         |  (cum_cnt * 100 <= total * 95) AS in_vocab
         |FROM cum ORDER BY cnt DESC, word""".stripMargin,
+    // replays m=64 HLL registers exactly: same md5-60-bit hash,
+    // bucket = low 6 bits, rho = 55 - msb-length of the remaining
+    // 54-bit word (bin() renders without leading zeros on both
+    // engines); untouched buckets surface as register 0 via the spine
+    "q86_hll_registers" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS t FROM documents),
+        |h AS (SELECT CAST('0x' || substr(md5('hll:' || t), 1, 15)
+        |    AS BIGINT) AS h FROM toks),
+        |r AS (SELECT h & 63 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55
+        |    ELSE 55 - CAST(length(bin(h >> 6)) AS INT) END AS rho
+        |  FROM h),
+        |regs AS (SELECT bucket, max(rho) AS register FROM r
+        |  GROUP BY bucket),
+        |spine AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS bucket)
+        |SELECT spine.bucket,
+        |  CAST(coalesce(register, 0) AS INT) AS register
+        |FROM spine LEFT JOIN regs USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+    // replays the k=3 / m=2^17 bloom bit-for-bit: benchmark grams set
+    // bits, each distinct training gram checks ALL its distinct bit
+    // positions against the set; the 0.5 cutoff is exact-integer
+    "q87_bloom_decontaminate" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |bg AS (SELECT DISTINCT g FROM (SELECT
+        |  unnest(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 8))) AS g FROM norm
+        |  WHERE doc_id < 5) u),
+        |rs AS (SELECT CAST(unnest(range(3)) AS INT) AS r),
+        |bits AS (SELECT DISTINCT CAST('0x' || substr(
+        |    md5('bf' || CAST(r AS VARCHAR) || ':' || g), 1, 15)
+        |    AS BIGINT) % 131072 AS bit FROM bg, rs),
+        |tg AS (SELECT DISTINCT doc_id AS train_id, g FROM (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |    i -> substr(t, CAST(i AS INT), 8))) AS g FROM norm
+        |  WHERE doc_id >= 100 AND doc_id < 300) u),
+        |pgb AS (SELECT DISTINCT g, CAST('0x' || substr(
+        |    md5('bf' || CAST(r AS VARCHAR) || ':' || g), 1, 15)
+        |    AS BIGINT) % 131072 AS bit
+        |  FROM (SELECT DISTINCT g FROM tg) pg, rs),
+        |v AS (SELECT g, (count(b.bit) = count(*)) AS maybe
+        |  FROM pgb LEFT JOIN bits b ON pgb.bit = b.bit GROUP BY g),
+        |per AS (SELECT train_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_maybe
+        |  FROM tg JOIN v USING (g) GROUP BY train_id)
+        |SELECT train_id, n_grams, n_maybe,
+        |  (n_maybe * 2 >= n_grams) AS flagged
+        |FROM per ORDER BY train_id""".stripMargin,
     // BM25 with the Lucene +1 IDF at k1=1.2, b=0.75 — the arithmetic
     // mirrors TextAnalysis.bm25 term for term; round-4 absorbs the
     // ln() ulp difference between engines

@@ -622,6 +622,90 @@ class ExtensionSpec extends AnyFunSuite {
     assert(got(2L) == 0L)
   }
 
+  test("hll registers match a plain-Scala replay, merge by max, and " +
+      "the estimate lands within HLL error on a known cardinality") {
+    import spark.implicits._
+    val n = 5000
+    val toks = (0 until n).map(i => s"tok$i")
+    // duplicate stream: cardinality is what HLL sees, not frequency
+    val df = (toks ++ toks.take(1000)).toDF("t")
+    val bits = 8 // m=256
+    val got = Hll.registers(df, "t", bits, Hll.md5Hash, hashBits = 60)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 256 && got.keys.min == 0L && got.keys.max == 255L)
+    // independent replay: md5 first-15-hex as long, rho via
+    // numberOfLeadingZeros on the 52-bit rest
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    toks.foreach { t =>
+      val hex = md.digest(s"hll:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = h & 255L
+      val rest = h >>> bits
+      val w = 60 - bits
+      val rho = if (rest == 0L) w + 1
+        else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      exp(bucket) = math.max(exp(bucket), rho)
+    }
+    assert((0L until 256L).forall(b => got(b) == exp(b)))
+    // merge law: registers(A) max registers(B) == registers(A ++ B)
+    val a = Hll.registers(toks.take(3000).toDF("t"), "t", bits,
+      Hll.md5Hash, hashBits = 60)
+    val b = Hll.registers(toks.drop(3000).toDF("t"), "t", bits,
+      Hll.md5Hash, hashBits = 60)
+    val merged = Hll.merge(a, b).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 256L).forall(bk => merged(bk) == got(bk)))
+    // estimate: sigma ≈ 1.04/sqrt(256) = 6.5%; assert within 3 sigma
+    val est = Hll.estimate(a.unionByName(b).groupBy("bucket")
+        .agg(max("register").cast("int").as("register")), bits)
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est vs $n")
+    // production hash path sanity (xxhash64, 63-bit): same contract
+    val estXx = Hll.estimate(
+      Hll.registers(df, "t", bits), bits).collect()(0).getDouble(0)
+    assert(math.abs(estXx - n) / n < 0.2, s"xx estimate $estXx vs $n")
+  }
+
+  test("bloom has no false negatives, matches a plain-Scala replay, " +
+      "and a saturated filter says maybe to everything") {
+    import spark.implicits._
+    val inserted = (0 until 500).map(i => s"key$i")
+    val probedNew = (0 until 2000).map(i => s"other$i")
+    val k = 3
+    val mBits = 1 << 12 // 4096 bits, ~36% set → FP rate ~5%
+    val bits = Bloom.build(inserted.toDF("key"), "key", k, mBits,
+      Bloom.md5Hash)
+    val verdict = Bloom.mightContain(
+        (inserted ++ probedNew).toDF("key"), bits, "key", k, mBits,
+        Bloom.md5Hash)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // no false negatives, ever
+    assert(inserted.forall(verdict(_)))
+    // independent replay of the whole verdict map
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bitsOf(s: String): Set[Long] = (0 until k).map { r =>
+      val hex = md.digest(s"bf$r:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % mBits
+    }.toSet
+    val setBits = inserted.flatMap(bitsOf).toSet
+    (inserted ++ probedNew).foreach { s2 =>
+      assert(verdict(s2) == bitsOf(s2).subsetOf(setBits), s2)
+    }
+    // the FP contract is visible at this sizing: some but not all
+    val fps = probedNew.count(verdict(_))
+    assert(fps > 0 && fps < probedNew.size)
+    // degenerate width saturates to all-maybe (documented contract)
+    val tiny = Bloom.build(inserted.toDF("key"), "key", k, 8,
+      Bloom.md5Hash)
+    val sat = Bloom.mightContain(probedNew.take(50).toDF("key"), tiny,
+        "key", k, 8, Bloom.md5Hash)
+      .collect().map(_.getBoolean(1))
+    assert(sat.forall(identity))
+  }
+
   test("bm25 matches an independent plain-Scala replay and drops " +
       "no-term docs") {
     import spark.implicits._
