@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Bloom, CountMin, Dedup, Hll, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bloom, CountMin, Dedup, Hll, LogHist, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Declared queries for the training-data extensions (dedup,
   * similarity search, text analysis) over `documents`/`embeddings`,
@@ -332,6 +332,72 @@ object ExtensionQueries {
         .select(col("train_id"), col("n_grams"), col("n_maybe"),
           (col("n_maybe") * 2 >= col("n_grams")).as("flagged"))
         .orderBy("train_id")
+    }),
+
+    /** Corpus-level similarity matrix: per-language MinHash
+      * signatures ([[Dedup.corpusMinhashSignatures]] — md5 base hash
+      * once per gram, 32 multiply-add permutations mod the Mersenne
+      * prime 2^31−1, every value integer-exact cross-engine), then
+      * the bounded #groups² estimated-Jaccard matrix joined against
+      * the EXACT gram-set Jaccard so the oracle pins both the sketch
+      * arithmetic and its accuracy target. 5 languages → 10 rows.
+      */
+    "q88_corpus_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.corpusMinhashSignatures(docs, "text", "lang",
+        numHashes = 32, k = 4, baseHash = graft.functions.StableHash.md5Int60)
+      val est = Dedup.corpusJaccardMatrix(sigs, "lang", numHashes = 32)
+        .withColumnRenamed("group_a", "lang_a")
+        .withColumnRenamed("group_b", "lang_b")
+      val gsets = Dedup.explodeGrams(docs, "text", "lang", k = 4).distinct()
+      val sizes = gsets.groupBy("lang").agg(count(lit(1)).as("n"))
+      val inter = gsets.toDF("lang_a", "gram")
+        .join(gsets.toDF("lang_b", "gram"), "gram")
+        .filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("i"))
+      val exact = inter
+        .join(broadcast(sizes.toDF("lang_a", "na")), "lang_a")
+        .join(broadcast(sizes.toDF("lang_b", "nb")), "lang_b")
+        .select(col("lang_a"), col("lang_b"),
+          round(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")), 4).as("exact_sim"))
+      est.join(exact, Seq("lang_a", "lang_b"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
+    /** Mergeable quantile sketch: log₂-binned doc-length histogram
+      * per language, answering p50/p95/p99 with the bin's inclusive
+      * range ([[LogHist]] — bins via `bin()` length, rank compare in
+      * exact integers; ≤ 64 sketch rows per group whatever the
+      * corpus size).
+      */
+    "q89_loghist_quantiles" -> ((s, d) => {
+      val sk = LogHist.sketch(Tables.documents(s, d), "n_chars",
+        Seq("lang"))
+      LogHist.quantiles(sk, Seq("lang"), Seq(50, 95, 99))
+        .orderBy("lang", "p")
+    }),
+
+    /** Group-wise top-k WITHOUT a window: per-language top-5 docs by
+      * token count via the bounded [[graft.functions.TopKAgg]] — each
+      * task partial-aggregates to ≤ k entries per group before the
+      * shuffle, where `row_number()` would funnel every row of a
+      * group through one task's sort (the ANN top-k machinery applied
+      * to plain curation ranking). Ties break on lowest doc_id,
+      * mirrored by the oracle's (n DESC, doc_id) window order.
+      */
+    "q90_grouped_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("double").as("__nt"))
+      docs.groupBy("lang")
+        .agg(graft.functions.TopKAgg.top_k_agg(
+          col("__nt"), col("doc_id"), 5).as("__top"))
+        .select(col("lang"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("lang"), (col("__pos") + 1).cast("int").as("rank"),
+          col("__e.id").as("doc_id"),
+          col("__e.score").cast("long").as("n_tokens"))
+        .orderBy("lang", "rank")
     }),
 
     // Repetition/boilerplate stats (Gopher-style): most-frequent-word
@@ -764,6 +830,74 @@ object ExtensionQueries {
         |SELECT train_id, n_grams, n_maybe,
         |  (n_maybe * 2 >= n_grams) AS flagged
         |FROM per ORDER BY train_id""".stripMargin,
+    // replays the 32 multiply-add permutations mod 2^31-1 with the
+    // SAME (a, b) literals the engine derives (interpolated below),
+    // plus the exact gram-set Jaccard for the accuracy column
+    "q88_corpus_minhash" -> {
+      val perms = graft.operators.Dedup.permParams(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      raw"""WITH norm AS (SELECT lang,
+         |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+         |  FROM documents),
+         |g AS (SELECT DISTINCT lang, g FROM (SELECT lang,
+         |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+         |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM norm) u),
+         |base AS (SELECT lang, CAST('0x' || substr(md5(g), 1, 15)
+         |    AS BIGINT) % 2147483647 AS h FROM g),
+         |perms(i, a, b) AS (VALUES $perms),
+         |sig AS (SELECT lang, i, min((a * h + b) % 2147483647) AS v
+         |  FROM base, perms GROUP BY lang, i),
+         |m AS (SELECT s1.lang AS lang_a, s2.lang AS lang_b,
+         |  CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS matches
+         |  FROM sig s1 JOIN sig s2 ON s1.i = s2.i AND s1.lang < s2.lang
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT lang, count(*) AS n FROM g GROUP BY lang),
+         |it AS (SELECT g1.lang AS lang_a, g2.lang AS lang_b,
+         |  count(*) AS i FROM g g1 JOIN g g2
+         |  ON g1.g = g2.g AND g1.lang < g2.lang GROUP BY 1, 2)
+         |SELECT m.lang_a, m.lang_b, matches,
+         |  round(CAST(matches AS DOUBLE) / 32, 4) AS est_sim,
+         |  round(CAST(it.i AS DOUBLE) / (sa.n + sb.n - it.i), 4)
+         |    AS exact_sim
+         |FROM m JOIN it ON it.lang_a = m.lang_a AND it.lang_b = m.lang_b
+         |JOIN sz sa ON sa.lang = m.lang_a
+         |JOIN sz sb ON sb.lang = m.lang_b
+         |ORDER BY m.lang_a, m.lang_b""".stripMargin
+    },
+    // replays the log2 bins (bin() length), the per-lang running
+    // count, and the integer rank compare; lo/hi from bit shifts
+    "q89_loghist_quantiles" ->
+      """WITH b AS (SELECT lang, CASE WHEN n_chars <= 0 THEN 0
+        |    ELSE CAST(length(bin(CAST(n_chars AS BIGINT))) AS INT)
+        |    END AS bin FROM documents),
+        |sk AS (SELECT lang, bin, count(*) AS cnt FROM b
+        |  GROUP BY lang, bin),
+        |c AS (SELECT lang, bin, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM sk),
+        |ps AS (SELECT CAST(unnest([50, 95, 99]) AS INT) AS p),
+        |q AS (SELECT lang, p, min(bin) AS bin FROM c, ps
+        |  WHERE cum * 100 >= p * total GROUP BY lang, p)
+        |SELECT lang, p, bin,
+        |  CASE WHEN bin = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE (CAST(1 AS BIGINT) << (bin - 1)) END AS lo,
+        |  (CAST(1 AS BIGINT) << bin) - 1 AS hi
+        |FROM q ORDER BY lang, p""".stripMargin,
+    // the (n DESC, doc_id) window order mirrors TopKAgg's
+    // (score DESC, id ASC) tie-break exactly
+    "q90_grouped_topk" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |r AS (SELECT lang, doc_id, n_tokens, CAST(row_number() OVER
+        |  (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS INT)
+        |  AS rank FROM t)
+        |SELECT lang, rank, doc_id, n_tokens FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     // BM25 with the Lucene +1 IDF at k1=1.2, b=0.75 — the arithmetic
     // mirrors TextAnalysis.bm25 term for term; round-4 absorbs the
     // ln() ulp difference between engines

@@ -482,4 +482,67 @@ object Dedup {
       .filter(col("overlap") >= threshold)
       .select("train_id", "bench_id", "overlap")
   }
+
+  /** Modulus for the multiply-add permutation family: the Mersenne
+    * prime 2^31 − 1. Working mod a 31-bit prime keeps every product
+    * `a · (h mod P)` under 2^62, so the arithmetic is ANSI-safe
+    * (no wrapping 64-bit multiply) AND bit-identical in any engine
+    * with exact 64-bit integers — the property the xxhash64 re-hash
+    * in [[minhashSignatures]] can't offer an oracle.
+    */
+  val ModP: Long = 2147483647L
+
+  /** Deterministic (a, b) pairs for `h_i(x) = (a_i·x + b_i) mod P`,
+    * drawn from seeded generators so the SAME literals can be
+    * interpolated into an oracle's SQL.
+    */
+  def permParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val r = new scala.util.Random(seed ^ (i.toLong * 0x9E3779B97F4A7CL))
+      (1L + r.nextInt((ModP - 1).toInt).toLong,
+        r.nextInt(ModP.toInt).toLong)
+    }
+
+  /** GROUP-level MinHash signatures — the corpus/shard/source
+    * similarity sketch (which crawls overlap? is this dump a superset
+    * of that one?). One row per group: signature_i = min over the
+    * group's k-gram set of `(a_i·(base(gram) mod P) + b_i) mod P`.
+    * The gram is base-hashed ONCE; the `numHashes` permutations are
+    * two integer ops each, and the k min-aggs partial-aggregate
+    * map-side, so the shuffle carries numHashes longs per (task,
+    * group) whatever the corpus size. Estimated Jaccard between two
+    * groups = fraction of equal signature components
+    * ([[corpusJaccardMatrix]]); signatures merge across batches by
+    * component-wise min.
+    */
+  def corpusMinhashSignatures(df: DataFrame, textCol: String,
+      groupCol: String, numHashes: Int = 32, k: Int = 4,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+    val grams = explodeGrams(df, textCol, groupCol, k)
+    val base = pmod(baseHash(col("gram")), lit(ModP))
+    val aggs = permParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * base + lit(b), lit(ModP))).as(s"h$i")
+    }
+    grams.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** All-pairs estimated Jaccard from group signatures: a bounded
+    * #groups × #groups comparison (groups are corpora/sources —
+    * dozens, not documents), matches = equal components. The div by
+    * numHashes is exact when numHashes is a power of two.
+    */
+  def corpusJaccardMatrix(sigs: DataFrame, groupCol: String,
+      numHashes: Int): DataFrame = {
+    val a = sigs.select(col(groupCol).as("group_a"), col("sig").as("__sa"))
+    val b = sigs.select(col(groupCol).as("group_b"), col("sig").as("__sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .withColumn("matches", aggregate(
+        zip_with(col("__sa"), col("__sb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("group_a"), col("group_b"), col("matches"),
+        round(col("matches").cast("double") / numHashes, 4).as("est_sim"))
+  }
 }

@@ -706,6 +706,79 @@ class ExtensionSpec extends AnyFunSuite {
     assert(sat.forall(identity))
   }
 
+  test("loghist sketch answers quantiles within the 2x bin contract, " +
+      "merges by sum, and bins agree with a plain-Scala replay") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(_.toLong) ++ Seq(0L, 0L)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val sk = LogHist.sketch(df, "v", Seq("grp"))
+    val got = sk.collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // plain-Scala replay: bin = 64 - nlz(x), 0 for x <= 0
+    val exp = vals.groupBy(x =>
+        if (x <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x))
+      .map { case (b, xs) => b -> xs.size.toLong }
+    assert(got == exp)
+    // quantile contract: true p50 of 0..1000-ish is ~500 → bin 9
+    // [256, 511] or bin 10 [512, 1023]; exact-integer rank says the
+    // smallest bin with cum*100 >= p*total
+    val q = LogHist.quantiles(sk, Seq("grp"), Seq(50, 99)).collect()
+      .map(r => r.getInt(1) -> (r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // total 1002, p50 rank = 501 → value 499 lives in bin 9? cum to
+    // bin 9 = 2 + 511 = 513 >= 501 → bin 9, range [256, 511] — the
+    // true p50 (~500) is inside
+    assert(q(50) == ((9, 256L, 511L)))
+    // p99 rank = 992.0 → cum bin 10 = 1002*… bin 10 cum = 1002? no:
+    // bins: 0→2, 1..9 → 513, bin 10 covers 512..1000 → cum 1002;
+    // 513*100 < 99*1002 so bin 10 wins; true p99 ≈ 990 ∈ [512, 1023]
+    assert(q(99) == ((10, 512L, 1023L)))
+    // merge law: sketch(A) ⊎ sketch(B) == sketch(A ++ B)
+    val a = LogHist.sketch(vals.take(500).map(("g", _)).toDF("grp", "v"),
+      "v", Seq("grp"))
+    val b = LogHist.sketch(vals.drop(500).map(("g", _)).toDF("grp", "v"),
+      "v", Seq("grp"))
+    val merged = LogHist.merge(a, b, Seq("grp")).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(merged == exp)
+  }
+
+  test("corpus minhash estimates group jaccard near exact and " +
+      "signatures merge by component-wise min") {
+    import spark.implicits._
+    // two corpora sharing half their docs → gram jaccard well over
+    // 0.4; a third disjoint corpus → near 0
+    val shared = (0 until 30).map(i => s"shared document number $i " +
+      "with some common vocabulary about spark and data")
+    val onlyA = (0 until 10).map(i => s"alpha exclusive text $i")
+    val onlyB = (0 until 10).map(i => s"beta exclusive text $i")
+    val other = (0 until 30).map(i =>
+      s"完全不同的中文语料库内容第${i}条记录")
+    val df = ((shared ++ onlyA).map(("a", _)) ++
+      (shared ++ onlyB).map(("b", _)) ++ other.map(("c", _)))
+      .toDF("corpus", "text")
+    val sigs = Dedup.corpusMinhashSignatures(df, "text", "corpus",
+      numHashes = 64, k = 4)
+    val m = Dedup.corpusJaccardMatrix(sigs, "corpus", numHashes = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m(("a", "b")) > 0.5, s"a~b ${m(("a", "b"))}")
+    assert(m(("a", "c")) < 0.15 && m(("b", "c")) < 0.15)
+    // merge = component-wise min: signatures over an even/odd doc
+    // split merge to the whole-corpus signature
+    val withId = df.filter(col("corpus") === "a")
+      .withColumn("__i", monotonically_increasing_id())
+    val arr1 = Dedup.corpusMinhashSignatures(
+      withId.filter(col("__i") % 2 === 0), "text", "corpus", 64, 4)
+      .collect()(0).getSeq[Long](1)
+    val arr2 = Dedup.corpusMinhashSignatures(
+      withId.filter(col("__i") % 2 === 1), "text", "corpus", 64, 4)
+      .collect()(0).getSeq[Long](1)
+    val whole = Dedup.corpusMinhashSignatures(
+      df.filter(col("corpus") === "a"), "text", "corpus", 64, 4)
+      .collect()(0).getSeq[Long](1)
+    assert(arr1.zip(arr2).map(t => math.min(t._1, t._2)) == whole)
+  }
+
   test("bm25 matches an independent plain-Scala replay and drops " +
       "no-term docs") {
     import spark.implicits._

@@ -29,11 +29,14 @@ class SweepSpec extends AnyFunSuite {
     * cross, q82 1-row corpus-stats cross (N/avgdl — the q60 totals
     * class; the df side is a BroadcastHashJoin), q85 bounded 60×60
     * hard-negative verifier cross (the q32 class; scale path is ANN
-    * candidate generation). Anything else that plans a BNLJ is a bug.
+    * candidate generation), q88 #groups×#groups signature matrix
+    * (groups are corpora/languages — dozens, never documents; the
+    * signature table is numHashes longs per group). Anything else
+    * that plans a BNLJ is a bug.
     */
   private val bnljAllowed = Set("q27_scalar_subquery", "q32_jaccard_pairs",
     "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann",
-    "q82_bm25", "q85_hard_negatives")
+    "q82_bm25", "q85_hard_negatives", "q88_corpus_minhash")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
