@@ -56,6 +56,12 @@ object CountMin {
       .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sketches from disjoint scans/batches: per-cell SUM — the
+    * CMS union law (counters are linear).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+
   /** Point estimates for a candidate set: min over the depth counters
     * each candidate hashes into — the classic CMS upper bound
     * (est ≥ true count, with overestimates where cells collide).

@@ -288,6 +288,85 @@ object Streaming {
     }
   }
 
+  /** Exactly-once streaming maintenance of MERGEABLE sketch state —
+    * HLL registers ([[graft.operators.Hll.merge]] per-bucket MAX),
+    * Count-Min cells ([[graft.operators.CountMin.merge]] per-cell
+    * SUM), log-histogram bins ([[graft.operators.LogHist.merge]]),
+    * Bloom bits (union+distinct). The state IS a snapshot directory
+    * per micro-batch: batch N merges the batch's sketch into the
+    * newest snapshot with id < N and overwrites `b=N`. foreachBatch
+    * is at-least-once, but a replayed batch re-reads the PRE-batch
+    * snapshot (its own earlier, uncommitted write is never an input)
+    * and replaces its own output — so even sum-merged sketches never
+    * double-count a replay. Snapshots older than the one a replay
+    * could still need are pruned on commit.
+    *
+    * Scale shape: a sketch snapshot is m registers / depth×width
+    * cells / ≤ 64 bins per group whatever the corpus size, so the
+    * per-batch snapshot write is metadata-scale I/O — the 100 TB cost
+    * stays in the batch-side partial aggregation, which is exactly
+    * the mergeable-sketch contract ([[graft.operators.Hll]] scale
+    * notes). Reference behavior anchor: the reference maintains
+    * running metric state across requests and exposes it as gauges
+    * (/root/reference/metrics/metrics.go:19-25); snapshot-per-batch
+    * generalizes that to restart-safe distributed state.
+    */
+  class SketchSnapshotStore(spark: SparkSession, path: String,
+      init: DataFrame) {
+    private def committed: Seq[Long] = {
+      val root = new java.io.File(path)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("b="))
+        .flatMap(f => scala.util.Try(f.getName.stripPrefix("b=").toLong)
+          .toOption)
+        .toSeq.sorted
+    }
+    private def read(id: Long): DataFrame =
+      spark.read.schema(init.schema).parquet(s"$path/b=$id")
+
+    /** The merge input for `batchId`: the newest snapshot STRICTLY
+      * older than it — a replayed batch must not see its own earlier
+      * write.
+      */
+    def stateBefore(batchId: Long): DataFrame =
+      committed.filter(_ < batchId).lastOption.map(read).getOrElse(init)
+
+    /** The newest committed state (query side). */
+    def latest: DataFrame =
+      committed.lastOption.map(read).getOrElse(init)
+
+    /** Commit `batchId`'s merged state (overwrite = replay-safe) and
+      * prune snapshots a future replay can no longer need (anything
+      * older than `batchId - 1`).
+      */
+    def put(batchId: Long, state: DataFrame): Unit = {
+      state.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/b=$batchId")
+      committed.filter(_ < batchId - 1).foreach { id =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$path/b=$id"))
+      }
+    }
+  }
+
+  /** Maintain a mergeable sketch over a stream: per micro-batch,
+    * `sketcher` reduces the batch to its sketch rows and `merge`
+    * folds them into the standing state via the sketch's merge law.
+    * Pair with the query's `checkpointLocation`; exactly-once comes
+    * from [[SketchSnapshotStore]]'s pre-batch-read + overwrite
+    * discipline, not from any sink transactionality.
+    */
+  def sketchStream(input: DataFrame, store: SketchSnapshotStore,
+      sketcher: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    input.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      store.put(id, merge(store.stateBefore(id), sketcher(batch)))
+    }
+
   /** Running per-user aggregates as custom keyed state
     * (mapGroupsWithState): the escalation path for stateful semantics
     * the built-in windows can't express. Update-mode output: each

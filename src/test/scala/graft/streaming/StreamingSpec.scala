@@ -489,6 +489,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(keptR.toSet == Set(1L, 3L, 11L)) // 2 in-batch dup, 10 vs store
   }
 
+  test("streaming sketch maintenance is exactly-once under replay: " +
+      "CMS cells (sum-merged — the double-count-sensitive law) and " +
+      "HLL registers equal the batch sketch of the whole input even " +
+      "when a crash between snapshot write and checkpoint commit " +
+      "forces a batch replay") {
+    import spark.implicits._
+    import graft.operators.{CountMin, Hll}
+    val dir = java.nio.file.Files.createTempDirectory("sketch-stream")
+    // three single-file micro-batches with overlapping tokens so a
+    // double-counted replay would be visible in the CMS cells
+    val batches = Seq(
+      Seq("alpha", "beta", "alpha", "gamma"),
+      Seq("beta", "beta", "delta", "alpha"),
+      Seq("gamma", "epsilon", "alpha", "zeta"))
+    batches.foreach { b =>
+      b.toDF("tok").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    }
+    val all = batches.flatten.toDF("tok")
+    val (depth, width, bits) = (3, 64, 5)
+
+    // the crash window that matters for a SUM-merged sketch: snapshot
+    // WRITTEN, checkpoint NOT committed → the batch replays; if the
+    // replay merged the crashed write back in, counts would double
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cmsStore = new Streaming.SketchSnapshotStore(spark,
+        s"$dir/cms", CountMin.sketch(all.limit(0), "tok", depth, width)) {
+      override def put(batchId: Long,
+          state: org.apache.spark.sql.DataFrame): Unit = {
+        super.put(batchId, state)
+        if (!crashOnce.getAndSet(true))
+          throw new RuntimeException("injected post-put crash")
+      }
+    }
+    val hllStore = new Streaming.SketchSnapshotStore(spark,
+      s"$dir/hll", Hll.registers(all.limit(0), "tok", bits))
+    def run(store: Streaming.SketchSnapshotStore, name: String,
+        sk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        mg: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+          => org.apache.spark.sql.DataFrame): Unit = {
+      val in = spark.readStream.schema("tok STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = Streaming.sketchStream(in, store, sk, mg)
+        .option("checkpointLocation", s"$dir/ck-$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000)
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    run(cmsStore, "cms",
+      b => CountMin.sketch(b, "tok", depth, width), CountMin.merge)
+    // dies after batch 0's put; restart: batch 0 REPLAYS, then 1, 2
+    run(cmsStore, "cms",
+      b => CountMin.sketch(b, "tok", depth, width), CountMin.merge)
+    val cmsGot = cmsStore.latest.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cmsExp = CountMin.sketch(all, "tok", depth, width).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cmsGot == cmsExp,
+      "replayed CMS stream must equal the batch sketch (no double count)")
+
+    // HLL stream, no crash — merge law across batches
+    run(hllStore, "hll", b => Hll.registers(b, "tok", bits), Hll.merge)
+    val hllGot = hllStore.latest.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hllExp = Hll.registers(all, "tok", bits).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hllGot == hllExp)
+  }
+
   test("annotate sink replay safety (T3): a crash AFTER the sink write " +
       "but BEFORE the checkpoint commit replays the batch, and the " +
       "per-batchId overwrite sink converges to exactly-once output") {
