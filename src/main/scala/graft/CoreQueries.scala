@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -182,10 +182,15 @@ object CoreQueries {
     "q17_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // `ts` is TIMESTAMP or TIMESTAMP_NTZ depending on testdata
+      // vintage; unix_micros accepts only the former. Session tz is
+      // UTC at every entry point, so the cast is an exact
+      // reinterpretation of the same micros.
+      def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
       events(s, d)
         .withColumn("brk",
-          when(unix_micros(col("ts")) -
-            unix_micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1)
+          when(micros(col("ts")) -
+            micros(lag(col("ts"), 1).over(w)) > 1800L * 1000000L, 1)
             .otherwise(0))
         .withColumn("sid", sum("brk").over(wRun))
         .groupBy("user_id", "sid")

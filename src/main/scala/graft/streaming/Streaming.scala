@@ -159,12 +159,26 @@ object Streaming {
       }
   }
 
+  /** Watermarks (and session windows) require TIMESTAMP; parquet
+    * written without isAdjustedToUTC arrives as TIMESTAMP_NTZ. The
+    * session timezone is UTC at every entry point, so the cast is an
+    * exact reinterpretation of the same micros — without it every
+    * event-time operator would throw EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    * on NTZ-vintage data.
+    */
+  private def eventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   /** Q23's streaming twin: tumbling 1-hour event-time windows with a
     * 1-hour watermark; batch-equivalent output in append mode once
     * the watermark passes.
     */
   def windowedEventCounts(events: DataFrame): DataFrame =
-    events
+    eventTime(events, "ts")
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 4).as("sv"))
@@ -178,7 +192,7 @@ object Streaming {
     */
   def sessionizeEvents(events: DataFrame, gap: String = "30 minutes",
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
-    events
+    eventTime(events, tsCol)
       .withWatermark(tsCol, gap)
       .groupBy(col(userCol), session_window(col(tsCol), gap).as("w"))
       .agg(count(lit(1)).as("n"), min(col(tsCol)).as("t0"))
@@ -193,7 +207,7 @@ object Streaming {
     */
   def dedupStream(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
-    docs
+    eventTime(docs, tsCol)
       .withColumn("__key", graft.operators.Dedup.contentKey(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("__key")

@@ -43,7 +43,10 @@ class StreamingSpec extends AnyFunSuite {
       .select("w", "event_type", "c", "sv")
       .collect().map(r => (r.getTimestamp(0), r.getString(1),
         r.getLong(2), r.getDouble(3))).toSet
+    // cast mirrors the operator's NTZ normalization so both sides
+    // collect java.sql.Timestamp
     val batch = events
+      .withColumn("ts", col("ts").cast("timestamp"))
       .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 4).as("sv"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1),
