@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity, TextAnalysis}
+
+/** Round-12 retrieval/curation surface: hybrid lexical+vector rank
+  * fusion, a distributed k-means (Lloyd) training step, and trigram
+  * stupid-backoff LM quality scoring — the remaining first-class
+  * training-data-pipeline shapes (hybrid RAG retrieval, cluster-based
+  * mixture curation, LM-based quality filtering) on the q-series
+  * oracle contract.
+  */
+object RetrievalQueries {
+  import Tables._
+
+  /** q91's probe terms (lexical arm) — q82's BM25 query. */
+  private val RrfTerms = Seq("spark", "join", "window")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Hybrid retrieval via reciprocal-rank fusion
+      * ([[Similarity.rrfFuse]]): the lexical arm ranks documents by
+      * q82's BM25 against a 3-term query; the vector arm ranks the
+      * same ids by integer-exact cosine against probe embedding 0
+      * (through the bounded [[Similarity.topKPerProbe]] aggregate —
+      * k·partitions rows shuffle, never the corpus). Each arm keeps
+      * its top 20 (both trims are total orders: score desc, id asc),
+      * fusion full-outer-joins two 20-row lists — dimension-scale
+      * work regardless of corpus size — and rrf = Σ 1/(60+rank).
+      * The 20-row re-rank windows run on arm-sized inputs only.
+      */
+    "q91_hybrid_rrf" -> ((s, d) => {
+      val lexOrder = Seq(desc("bm25"), col("doc_id").asc)
+      val lex = TextAnalysis.bm25(documents(s, d), "doc_id", "text", RrfTerms)
+        .orderBy(lexOrder: _*).limit(20)
+        .withColumn("rank", row_number().over(Window.orderBy(lexOrder: _*)))
+        .select("doc_id", "rank")
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("probe_id"), col("q").as("pq"))
+      val scoredVec = emb.crossJoin(broadcast(probe))
+        .withColumn("sim", Similarity.cosineInt(col("q"), col("pq")))
+      val vec = Similarity.topKPerProbe(scoredVec, 20, "probe_id", "vec_id")
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq("lex" -> lex, "vec" -> vec), "doc_id")
+        .withColumn("rrf", round(col("rrf"), 6))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(10)
+    }),
+
+    /** Distributed k-means step ([[Ivf.lloydStepInt]]): one full-
+      * corpus Lloyd iteration from the q46 fixed centroids — argmin
+      * assignment as a codegen'd scan, per-cluster element sums as a
+      * map-side-combined (cluster, dim) aggregate, only the k×dim
+      * summary collected; integer floor-div means keep both engines
+      * bit-identical. Output per cluster: population before/after the
+      * update and the updated centroid's dim-0 component — the
+      * convergence signal a training loop watches.
+      */
+    "q92_kmeans_step" -> ((s, d) => {
+      import s.implicits._
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val next = Ivf.lloydStepInt(emb, "q", SketchQueries.IvfCentroids)
+      val n0 = emb.select(Ivf.assignInt(col("q"), SketchQueries.IvfCentroids)
+          .as("c")).groupBy("c").agg(count(lit(1)).as("n0"))
+      val n1 = emb.select(Ivf.assignInt(col("q"), next).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n1"))
+      val spine = next.zipWithIndex
+        .map { case (cv, c) => (c, cv.head) }.toDF("c", "c00")
+      spine.join(n0, Seq("c"), "left").join(n1, Seq("c"), "left")
+        .select(col("c").cast("long").as("c"),
+          coalesce(col("n0"), lit(0L)).as("n0"),
+          coalesce(col("n1"), lit(0L)).as("n1"), col("c00"))
+        .orderBy("c")
+    }),
+
+    /** LM quality filtering ([[TextAnalysis.stupidBackoff]]): trigram
+      * stupid-backoff scores for the first 200 documents under counts
+      * trained on the even-doc_id half of the corpus — so unseen
+      * trigrams genuinely exercise the α-backoff chain. Count tables
+      * are n-gram hash aggregates; scoring is LEFT equi-joins on the
+      * exploded trigram stream (shuffle-safe at any scale).
+      */
+    "q93_trigram_lm" -> ((s, d) => {
+      val docs = documents(s, d)
+      TextAnalysis.stupidBackoff(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") < 200), "doc_id", "text")
+        .orderBy("doc_id")
+    }))
+
+  private def duckToks(src: String): String =
+    s"""SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |  x -> len(x) > 0) AS a FROM documents $src""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q91_hybrid_rrf" -> {
+      val cos = SketchQueries.duckCosineInt("c.q", "p.pq")
+      s"""WITH base AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS toks FROM documents),
+         |b2 AS (SELECT doc_id, len(toks) AS dl,
+         |  list_filter(toks,
+         |    t -> t IN ('spark', 'join', 'window')) AS q FROM base),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
+         |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(q) AS t FROM b2) u
+         |  GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t),
+         |bm AS (SELECT tf.doc_id,
+         |  round(sum(ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * (tf * (1.2 + 1))
+         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN dfr USING (t), stats GROUP BY tf.doc_id),
+         |lex AS (SELECT doc_id, rank_lex FROM (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+         |  FROM bm) WHERE rank_lex <= 20),
+         |qv AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p AS (SELECT q AS pq FROM qv WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id AS doc_id, $cos AS sim FROM qv c, p),
+         |vec AS (SELECT doc_id, rank_vec FROM (SELECT doc_id,
+         |  row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_vec
+         |  FROM sc) WHERE rank_vec <= 20)
+         |SELECT doc_id, rank_lex, rank_vec,
+         |  round(coalesce(1.0 / (60 + rank_lex), 0)
+         |      + coalesce(1.0 / (60 + rank_vec), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN vec USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
+    "q92_kmeans_step" -> {
+      val k = SketchQueries.IvfCentroids.size
+      val old = SketchQueries.IvfCentroids
+        .map(_.mkString("[", ",", "]")).mkString("[", ",\n", "]")
+      val ds = SketchQueries.IvfCentroids.zipWithIndex.map { case (c, i) =>
+        s"""{'d': CAST(list_sum(list_transform(list_zip(q, ${c.mkString("[", ",", "]")}),
+           |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT), 'c': $i}"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |dist AS (SELECT vec_id, q, [
+         |$ds
+         |] AS dsl FROM qv),
+         |a0 AS (SELECT vec_id, q, list_min(dsl).c AS c0 FROM dist),
+         |el AS (SELECT c0, r.range AS p, q[r.range] AS v
+         |  FROM a0 CROSS JOIN range(1, 65) r),
+         |sums AS (SELECT c0 AS c, p,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |  FROM el GROUP BY c0, p),
+         |spine AS (SELECT c.range AS c, p.range AS p
+         |  FROM range(0, $k) c CROSS JOIN range(1, 65) p),
+         |-- empty cluster keeps its previous centroid (Lloyd convention)
+         |newc AS (SELECT spine.c, spine.p,
+         |  coalesce(m, ($old)[spine.c + 1][spine.p]) AS m
+         |  FROM spine LEFT JOIN sums ON spine.c = sums.c AND spine.p = sums.p),
+         |cent AS (SELECT c, list(m ORDER BY p) AS cv FROM newc GROUP BY c),
+         |d1 AS (SELECT vec_id, cent.c,
+         |  CAST(list_sum(list_transform(list_zip(q, cv),
+         |    s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT) AS d
+         |  FROM a0 CROSS JOIN cent),
+         |a1 AS (SELECT vec_id, c AS c1 FROM (SELECT vec_id, c,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+         |  FROM d1) WHERE rn = 1),
+         |n0 AS (SELECT c0 AS c, count(*) AS n0 FROM a0 GROUP BY c0),
+         |n1 AS (SELECT c1 AS c, count(*) AS n1 FROM a1 GROUP BY c1)
+         |SELECT ks.range AS c, coalesce(n0.n0, 0) AS n0,
+         |  coalesce(n1.n1, 0) AS n1,
+         |  (SELECT cv[1] FROM cent WHERE cent.c = ks.range) AS c00
+         |FROM range(0, $k) ks
+         |LEFT JOIN n0 ON n0.c = ks.range LEFT JOIN n1 ON n1.c = ks.range
+         |ORDER BY c""".stripMargin
+    },
+    "q93_trigram_lm" ->
+      s"""WITH tr AS (${duckToks("WHERE doc_id % 2 = 0")}),
+         |uni AS (SELECT w, count(*) AS cu
+         |  FROM (SELECT unnest(a) AS w FROM tr) GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n
+         |  FROM (SELECT unnest(a) AS w FROM tr)),
+         |bi AS (SELECT b, count(*) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i+1])) AS b FROM tr) GROUP BY b),
+         |tri AS (SELECT t, count(*) AS ct
+         |  FROM (SELECT unnest(list_transform(range(1, len(a) - 1),
+         |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS t FROM tr)
+         |  GROUP BY t),
+         |d AS (${duckToks("WHERE doc_id < 200")}),
+         |g AS (SELECT doc_id, a[r.i] AS w1, a[r.i+1] AS w2, a[r.i+2] AS w3
+         |  FROM d CROSS JOIN unnest(range(1, len(a) - 1)) r(i)),
+         |j AS (SELECT doc_id, w2, w3, w1 || ' ' || w2 AS bp,
+         |  w2 || ' ' || w3 AS bs, w1 || ' ' || w2 || ' ' || w3 AS t3 FROM g),
+         |sc AS (SELECT doc_id,
+         |  CASE WHEN ct IS NOT NULL THEN CAST(ct AS DOUBLE) / cbp
+         |       WHEN cbs IS NOT NULL THEN 0.4 * CAST(cbs AS DOUBLE) / cu2
+         |       WHEN cu3 IS NOT NULL THEN 0.4 * 0.4 * CAST(cu3 AS DOUBLE) / n
+         |       ELSE 0.4 * 0.4 / n END AS p
+         |  FROM j LEFT JOIN tri ON j.t3 = tri.t
+         |  LEFT JOIN (SELECT b AS bp, cb AS cbp FROM bi) b1 USING (bp)
+         |  LEFT JOIN (SELECT b AS bs, cb AS cbs FROM bi) b2 USING (bs)
+         |  LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM uni) u2 USING (w2)
+         |  LEFT JOIN (SELECT w AS w3, cu AS cu3 FROM uni) u3 USING (w3), nt),
+         |agg AS (SELECT doc_id, count(*) AS n_tri,
+         |  round(avg(ln(p)), 4) AS score FROM sc GROUP BY doc_id)
+         |SELECT d0.doc_id, coalesce(n_tri, 0) AS n_tri, score
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d0
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
+}

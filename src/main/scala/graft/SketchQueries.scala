@@ -57,7 +57,7 @@ object SketchQueries {
     * Data-trained centroids ([[Ivf.trainCentroids]]) stay the
     * recall-quality path; fixed ones keep the oracle SQL static.
     */
-  private val IvfCentroids: Seq[Seq[Long]] = {
+  private[graft] val IvfCentroids: Seq[Seq[Long]] = {
     val rnd = new scala.util.Random(13)
     Seq.fill(8)(Seq.fill(64)((rnd.nextInt(801) - 400).toLong))
   }
@@ -84,7 +84,7 @@ object SketchQueries {
     }.mkString(" + ")
 
   /** DuckDB fragment: integer cosine between BIGINT lists `a`/`b`. */
-  private def duckCosineInt(a: String, b: String): String =
+  private[graft] def duckCosineInt(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |    s -> s[1] * s[2])) AS DOUBLE) /
        |  (sqrt(CAST(list_sum(list_transform($a, x -> x * x)) AS DOUBLE)) *

@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ OperatorQueries.queries ++
       ExtensionQueries.queries ++ CoverageQueries.queries ++
-      SketchQueries.queries ++ ApiQueries.queries
+      SketchQueries.queries ++ ApiQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ OperatorQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ CoverageQueries.oracleSql ++
-      SketchQueries.oracleSql ++ ApiQueries.oracleSql
+      SketchQueries.oracleSql ++ ApiQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

@@ -50,6 +50,37 @@ object Similarity {
         round(col("__e.score"), 4).as("sim"),
         (col("__pos") + 1).cast("int").as("rank"))
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): combine
+    * N ranked retrieval lists into one robust score per id —
+    * `rrf(id) = Σ_arm 1/(k0 + rank_arm(id))`, an id absent from an
+    * arm contributing 0. The standard hybrid-search combiner (lexical
+    * BM25 + vector ANN): rank-based, so incomparable score scales
+    * never need calibration.
+    *
+    * Each arm is `(name, df)` exposing `idCol` + `rankCol`; output
+    * carries one nullable `rank_<name>` per arm plus `rrf`. Arms are
+    * top-k-sized ranked lists, so every join input here is bounded —
+    * fusion is dimension-scale work no matter how large the corpus
+    * that produced the rankings (the full-outer equi-joins broadcast
+    * at any sensible k).
+    */
+  def rrfFuse(arms: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String = "rank", k0: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranked arm")
+    require(arms.map(_._1).distinct.size == arms.size,
+      "rrfFuse arm names must be distinct")
+    val renamed = arms.map { case (nm, df) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"rank_$nm"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    // fixed fold order (arm list order) keeps the double sum
+    // bit-reproducible against the oracle
+    val score = arms.map { case (nm, _) =>
+      coalesce(lit(1.0) / (lit(k0) + col(s"rank_$nm")), lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf", score)
+  }
+
   /** Brute-force top-k per probe: broadcast the (small) probe set,
     * score every corpus row, keep k per probe via a bounded top-k
     * aggregate. The corpus scan stays whole-stage codegen; only
@@ -391,6 +422,45 @@ object Ivf {
       }.toArray
     }
     centroids.map(_.toSeq).toSeq
+  }
+
+  /** One DISTRIBUTED Lloyd iteration over the FULL corpus in the
+    * quantized integer space — [[trainCentroids]] iterates on a
+    * driver-collected sample; this is the cluster-scale refinement
+    * step (and the building block of corpus k-means for mixture
+    * curation / SemDeDup-style clustering).
+    *
+    * Plan shape: assignment is the argmin column expression (one
+    * codegen'd scan, no join), the per-cluster element sums are one
+    * (cluster, dim) hash aggregate — map-side combined, so the
+    * aggregate holds k×dim groups regardless of corpus size — and
+    * only that k×dim summary is collected (k=8, dim=64 → 512 rows;
+    * bounded by construction, the [[trainCentroids]] collect
+    * rationale). Integer floor-division means keep the update exactly
+    * reproducible cross-engine; an empty cluster keeps its previous
+    * centroid (standard Lloyd convention).
+    */
+  def lloydStepInt(corpus: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Long]]): Seq[Seq[Long]] = {
+    val dim = centroids.head.length
+    val sums = corpus
+      .select(assignInt(col(vecCol), centroids).as("__c"),
+        posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy("__c", "__p")
+      .agg(sum("__v").as("__s"), count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getAs[Number]("__c").intValue,
+        r.getAs[Number]("__p").intValue) ->
+        (r.getAs[Long]("__s"), r.getAs[Long]("__n")))
+      .toMap
+    centroids.indices.map { c =>
+      (0 until dim).map { p =>
+        sums.get((c, p)) match {
+          case Some((s, n)) => Math.floorDiv(s, n)
+          case None => centroids(c)(p)
+        }
+      }
+    }
   }
 
   private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {

@@ -28,6 +28,91 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     graft.functions.TokenFunctions.token_stats(text).getField("n_tokens")
 
+  /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the classic
+    * perplexity-style quality filter: score each document by the mean
+    * ln S of its trigrams under counts from `train`, where
+    *
+    *   S(w3|w1,w2) = tri(w1w2w3)/bi(w1w2)   trigram seen in train
+    *               = α · bi(w2w3)/uni(w2)   else, suffix bigram seen
+    *               = α² · uni(w3)/N         else, w3 in-vocab
+    *               = α² · 1/N               else (OOV floor)
+    *
+    * (no normalization — stupid backoff's defining shortcut, which is
+    * what makes the counts trivially distributable).
+    *
+    * Plan shape at 100 TB: the three count tables are plain n-gram
+    * hash aggregates over the train scan (map-side combined); scoring
+    * explodes each scored doc once and LEFT-joins the count tables on
+    * n-gram string keys — shuffle equi-joins that AQE broadcasts when
+    * the LM side is small. The token-count scalar N rides a 1-row
+    * broadcast. Nothing is ever quadratic and no window touches the
+    * exploded stream.
+    *
+    * Output: idCol, `n_tri` (trigram count), `score` (round-4 mean
+    * ln S; NULL when the doc has fewer than 3 tokens).
+    */
+  def stupidBackoff(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4): DataFrame = {
+    def toks(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ tokens(lower(col(textCol))).as("__a"): _*)
+    // guarded index sequences: sequence(0, n) DESCENDS for n < 0, so
+    // short docs must yield an empty gram list, not a reversed one
+    def grams(n: Int, body: String) =
+      s"""transform(
+         |  CASE WHEN size(__a) >= $n THEN sequence(0, size(__a) - $n)
+         |       ELSE CAST(array() AS array<int>) END, i -> $body)"""
+        .stripMargin
+    val trainT = toks(train, Nil)
+    val uni = trainT.select(explode(col("__a")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val nTot = trainT
+      .select(explode(col("__a")).as("__w"))
+      .agg(count(lit(1)).cast("double").as("__N"))
+    val bi = trainT.select(explode(expr(
+        grams(2, "concat(__a[i], ' ', __a[i+1])"))).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__cb"))
+    val tri = trainT.select(explode(expr(
+        grams(3, "concat(__a[i], ' ', __a[i+1], ' ', __a[i+2])"))).as("__t3"))
+      .groupBy("__t3").agg(count(lit(1)).as("__ct"))
+    val docTris = toks(docs, Seq(col(idCol)))
+      .select(col(idCol), explode(expr(grams(3,
+        "struct(__a[i] AS w1, __a[i+1] AS w2, __a[i+2] AS w3)"))).as("__t"))
+      .select(col(idCol), col("__t.w1").as("__w1"),
+        col("__t.w2").as("__w2"), col("__t.w3").as("__w3"))
+      .withColumn("__bp", concat(col("__w1"), lit(" "), col("__w2")))
+      .withColumn("__bs", concat(col("__w2"), lit(" "), col("__w3")))
+      .withColumn("__t3",
+        concat(col("__w1"), lit(" "), col("__w2"), lit(" "), col("__w3")))
+    val scored = docTris
+      .join(tri, Seq("__t3"), "left")
+      .join(bi.withColumnRenamed("__b", "__bp")
+        .withColumnRenamed("__cb", "__cbp"), Seq("__bp"), "left")
+      .join(bi.withColumnRenamed("__b", "__bs")
+        .withColumnRenamed("__cb", "__cbs"), Seq("__bs"), "left")
+      .join(uni.withColumnRenamed("__w", "__w2")
+        .withColumnRenamed("__cu", "__cu2"), Seq("__w2"), "left")
+      .join(uni.withColumnRenamed("__w", "__w3")
+        .withColumnRenamed("__cu", "__cu3"), Seq("__w3"), "left")
+      .crossJoin(broadcast(nTot))
+      // a seen trigram implies its prefix bigram is seen, so the
+      // first branch never divides by NULL
+      .withColumn("__p",
+        when(col("__ct").isNotNull,
+          col("__ct").cast("double") / col("__cbp"))
+        .when(col("__cbs").isNotNull,
+          lit(alpha) * col("__cbs").cast("double") / col("__cu2"))
+        .when(col("__cu3").isNotNull,
+          lit(alpha) * lit(alpha) * col("__cu3").cast("double") / col("__N"))
+        .otherwise(lit(alpha) * lit(alpha) / col("__N")))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), round(avg(log(col("__p"))), 4)
+        .as("score"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("score"))
+  }
+
   /** Composed reference for [[tokenCount]] (parity spec). */
   private[operators] def tokenCountComposed(text: Column): Column =
     size(tokens(text))
