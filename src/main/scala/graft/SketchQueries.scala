@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
-import graft.operators.{Adpcm, Dedup, G711, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.operators.{Adpcm, Avi, Dedup, G711, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -377,6 +377,43 @@ object SketchQueries {
         (m.toLong, Mp4.build(frames))
       }.toDF("media_id", "media")
       Multimodal.decodeFramesExpr(media, 3)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+          array_min(col("pixels")).cast("long").as("px_min"),
+          array_max(col("pixels")).cast("long").as("px_max"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    /** Genuinely COMPRESSED video decoded to exact pixels in pure JVM
+      * ([[Multimodal.decodeVideoRle]] — RIFF/AVI walk + the RLE8
+      * integer state machine in [[graft.operators.Avi]]): one 3-frame
+      * RLE8 AVI per nation, rows uniform (run-mode coverage) except
+      * frame 1's top row, a gradient the encoder must emit in
+      * ABSOLUTE mode — so both RLE decode modes sit under the hash
+      * contract, and DuckDB replays every pixel arithmetically from
+      * the row/column formulas. The q71/q72 synthesize-the-container
+      * closed loop, for the codec class MJPEG couldn't reach.
+      */
+    "q94_avi_rle" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 16 + 8 * (m % 2)
+        val h = 6 + m % 3
+        val frames = (0 until 3).map { f =>
+          Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            if (f == 1 && y == 0) (m + 3 * x) % 251
+            else (41 * m + 17 * f + 5 * y) % 251
+          }
+        }
+        (m.toLong, Avi.build(frames, w, h))
+      }.toDF("media_id", "media")
+      Multimodal.decodeVideoRle(media)
         .select(col("media_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           col("width").cast("long").as("width"),
@@ -932,7 +969,27 @@ object SketchQueries {
     "q72_mjpeg_decode" -> q72OracleSql,
     // identical fixture + oracle; only the Spark plan differs
     // (expression/generator vs mapPartitions)
-    "q78_mjpeg_decode_gen" -> q72OracleSql
+    "q78_mjpeg_decode_gen" -> q72OracleSql,
+    // every pixel from the fixture formulas: uniform rows except
+    // frame 1's top row (the absolute-mode gradient)
+    "q94_avi_rle" ->
+      """WITH fr AS (SELECT unnest(range(3)) AS f),
+        |dims AS (SELECT CAST(n_nationkey AS INT) AS m, f,
+        |    16 + 8 * (CAST(n_nationkey AS INT) % 2) AS w,
+        |    6 + CAST(n_nationkey AS INT) % 3 AS h
+        |  FROM nation, fr),
+        |px AS (SELECT m, f, w, h, flatten(list_transform(range(h), y ->
+        |    CASE WHEN f = 1 AND y = 0
+        |      THEN list_transform(range(w), x -> (m + 3 * x) % 251)
+        |      ELSE list_transform(range(w),
+        |        x -> (41 * m + 17 * f + 5 * y) % 251) END)) AS ps
+        |  FROM dims)
+        |SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(list_sum(ps) AS BIGINT) AS px_sum,
+        |  CAST(list_min(ps) AS BIGINT) AS px_min,
+        |  CAST(list_max(ps) AS BIGINT) AS px_max
+        |FROM px ORDER BY media_id, frame_idx""".stripMargin
   )
 
   // lazy: referenced by the oracleSql map above its definition

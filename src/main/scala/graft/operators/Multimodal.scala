@@ -463,6 +463,52 @@ object Multimodal {
     }
   }
 
+  /** Compressed-VIDEO decode-to-pixels with zero non-JVM code: walk a
+    * RIFF/AVI container and decode every RLE8 frame through the pure
+    * integer [[Avi]] state machine — the compressed-video counterpart
+    * of [[decodeAudio]]'s ADPCM path (and, like it, integer-exact, so
+    * a DuckDB oracle replays the pixels arithmetically — q94). Output:
+    * one row per (media_id, frame_idx) with width/height/`pixels`
+    * (top-down row-major palette-mapped gray, [0, 255]). A payload
+    * that is not a parseable RLE8 AVI keeps ONE row with a NULL frame
+    * index; a frame whose RLE stream is malformed keeps its row with
+    * NULL pixels — per-file and per-frame error accounting, never an
+    * executor throw. H.264-class codecs remain the documented
+    * production swap-in.
+    */
+  def decodeVideoRle(df: DataFrame,
+      mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", ArrayType(IntegerType))))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val idPos = df.columns.indexOf(idCol)
+    val mediaPos = df.columns.indexOf(mediaCol)
+    require(idPos >= 0 && mediaPos >= 0)
+    df.mapPartitions { it =>
+      // production: initialize the codec ONCE per partition here
+      it.flatMap { r =>
+        val id = r.getLong(idPos)
+        val bytes = r.getAs[Array[Byte]](mediaPos)
+        if (bytes == null) Iterator.empty
+        else Avi.index(bytes) match {
+          case None => Iterator.single(Row(id, null, null, null, null))
+          case Some(ix) =>
+            ix.frames.iterator.zipWithIndex.map { case ((off, len), i) =>
+              val data = java.util.Arrays.copyOfRange(bytes, off, off + len)
+              Avi.decodeRle8(data, ix.width, ix.height, ix.palette) match {
+                case Some(px) => Row(id, i, ix.width, ix.height, px.toSeq)
+                case None => Row(id, i, ix.width, ix.height, null)
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** One frame payload → (width, height, row-major pixels). Raw
     * band-0 samples for single-band images (the identity path for
     * grayscale JPEG — `getRGB` would run a gray→sRGB color transform
