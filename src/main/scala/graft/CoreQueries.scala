@@ -244,13 +244,21 @@ object CoreQueries {
     // final rounded result returns to double: double-product rounding
     // at a 4th-decimal knife-edge flipped one row per ~100k between
     // engines (first seen at sf0.1; ±1 ulp in the product order)
+    // Exact-decimal charge arithmetic in SCALED LONGS: inputs are
+    // exactly 2dp, so price/discount/tax ×100 round to exact
+    // integers and the product is exact at scale 1e6; `+50 div 100`
+    // is HALF_UP to 4dp (all values non-negative) — the same result
+    // as the r11 decimal(12,2) chain, minus the wide-decimal multiply
+    // cost on the 600k-row scan (decimals measured 1.4× the r01
+    // double plan; longs stay in codegen's fast path).
     "q22_math" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1) - col("l_discount").cast("decimal(4,2)")) *
-            (lit(1) + col("l_tax").cast("decimal(4,2)")), 4)
-            .cast("double").as("chg"))
+          (expr("""(CAST(round(l_extendedprice * 100) AS BIGINT)
+             | * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             | * (100 + CAST(round(l_tax * 100) AS BIGINT))
+             | + 50) div 100""".stripMargin)
+            .cast("double") / 10000.0).as("chg"))
         .orderBy("l_orderkey", "l_linenumber", "chg")
         .limit(100)
         .select("l_orderkey", "chg")),
@@ -363,11 +371,15 @@ object CoreQueries {
       """SELECT extract(year FROM o_orderdate) AS y,
         |extract(month FROM o_orderdate) AS m, count(*) AS c
         |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // same scaled-long half-up formula as the Spark side ( // is
+    // floor division; the numerator is non-negative, so it equals
+    // Spark's `div` truncation)
     "q22_math" ->
       """SELECT l_orderkey,
-        |CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
-        |  * (1 - CAST(l_discount AS DECIMAL(4,2)))
-        |  * (1 + CAST(l_tax AS DECIMAL(4,2))), 4) AS DOUBLE) AS chg
+        |CAST((CAST(round(l_extendedprice * 100) AS BIGINT)
+        |  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |  * (100 + CAST(round(l_tax * 100) AS BIGINT))
+        |  + 50) // 100 AS DOUBLE) / 10000 AS chg
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, chg LIMIT 100""".stripMargin,
     "q23_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS c,
