@@ -92,7 +92,44 @@ object RetrievalQueries {
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") < 200), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    /** Tokenizer training ([[TextAnalysis.bpeMerges]]): the first 3
+      * BPE merges of the doc_id<100 corpus, learned distributed —
+      * word-frequency working set, pair-explode + weighted count +
+      * TakeOrdered-1 argmax per round, leftmost-non-overlapping fold
+      * applying each merge; only the 1-row argmax collects per round.
+      * The oracle replays all three rounds with the same
+      * (count desc, pair asc) tie-break via list_reduce folds.
+      */
+    "q95_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bpeMerges(
+          documents(s, d).filter(col("doc_id") < 100), "text", 3)
+        .zipWithIndex
+        .map { case ((l, r, c), i) => (i.toLong, l, r, c) }
+        .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+        .orderBy("merge_idx")
     }))
+
+  /** q95 oracle building blocks: one BPE round — pair counts off the
+    * previous symbol table, 1-row argmax, fold the merge through
+    * every word (list-of-singletons trick keeps list_reduce's
+    * accumulator list-typed).
+    */
+  private def bpeRound(prev: String, i: Int): String =
+    s"""p$i AS (SELECT u.pr.l AS l, u.pr.r AS r,
+       |  CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+       |      j -> {'l': syms[j], 'r': syms[j+1]})) AS pr FROM $prev) u
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+       |s$i AS (SELECT cnt, list_reduce(
+       |    list_transform(syms, x -> [x]),
+       |    (acc, x) -> CASE WHEN acc[-1] = m$i.l AND x[1] = m$i.r
+       |      THEN list_append(acc[1:len(acc)-1], m$i.l || m$i.r)
+       |      ELSE list_concat(acc, x) END) AS syms
+       |  FROM $prev, m$i)""".stripMargin
 
   private def duckToks(src: String): String =
     s"""SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -209,5 +246,22 @@ object RetrievalQueries {
          |  round(avg(ln(p)), 4) AS score FROM sc GROUP BY doc_id)
          |SELECT d0.doc_id, coalesce(n_tri, 0) AS n_tri, score
          |FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d0
-         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q95_bpe_merges" ->
+      s"""WITH w AS (SELECT t AS word, count(*) AS cnt
+         |  FROM (SELECT unnest(list_filter(
+         |      string_split_regex(lower(text), '\\s+'),
+         |      x -> len(x) > 0)) AS t FROM documents WHERE doc_id < 100)
+         |  GROUP BY t),
+         |s0 AS (SELECT cnt, list_transform(range(1, len(word) + 1),
+         |  i -> word[i]) AS syms FROM w),
+         |${bpeRound("s0", 1)},
+         |${bpeRound("s1", 2)},
+         |${bpeRound("s2", 3)}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS merge_idx, l AS left_sym,
+         |    r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM m1
+         |  UNION ALL SELECT 1, l, r, CAST(c AS BIGINT) FROM m2
+         |  UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m3)
+         |ORDER BY merge_idx""".stripMargin)
 }

@@ -28,6 +28,72 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     graft.functions.TokenFunctions.token_stats(text).getField("n_tokens")
 
+  /** BPE merge training (Sennrich et al. 2016): learn the first
+    * `nMerges` byte-pair merges of the corpus — returned as
+    * (left, right, pairCount) in merge order — tokenizer-vocabulary
+    * construction as a distributed op.
+    *
+    * Plan shape at 100 TB: the working set is the WORD-FREQUENCY
+    * table (one corpus tokenize + hash aggregate — map-side combined;
+    * vocabulary-scale thereafter, the classic BPE trick), symbols
+    * start as character lists, and each round is (a) adjacent-pair
+    * explode + weighted count + a TakeOrdered-1 argmax — never a
+    * global sort — and (b) one higher-order-function fold applying
+    * the merge leftmost-non-overlapping per word. Only the 1-row
+    * argmax is collected per round (this builder is EAGER: it runs
+    * nMerges bounded vocabulary-scale jobs). Merge strings ride
+    * `lit()` columns, never spliced into SQL text, so words with
+    * quotes/backslashes can't break the plan.
+    *
+    * Ties break (count desc, left asc, right asc) — deterministic
+    * cross-engine.
+    */
+  def bpeMerges(corpus: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"invalid merge count: $nMerges")
+    var syms = corpus
+      .select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cnt"))
+      .select(col("__cnt"), expr(
+        "transform(sequence(1, length(__w)), i -> substring(__w, i, 1))")
+        .as("__s"))
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 0 until nMerges) {
+      // sequence(1, 0) DESCENDS — single-symbol words must yield no
+      // pairs, not a reversed index range
+      val top = syms.select(col("__cnt"), explode(expr(
+          """transform(
+            |  CASE WHEN size(__s) >= 2 THEN sequence(1, size(__s) - 1)
+            |       ELSE CAST(array() AS array<int>) END,
+            |  j -> struct(element_at(__s, j) AS l,
+            |    element_at(__s, j + 1) AS r))""".stripMargin)).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum("__cnt").as("c"))
+        .orderBy(desc("c"), col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) return out.toSeq // no adjacent pairs remain
+      val (l, r, c) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      out += ((l, r, c))
+      val (lC, rC, mC) = (lit(l), lit(r), lit(l + r))
+      val folded = aggregate(
+        slice(col("__s"), lit(2), size(col("__s")) - 1),
+        slice(col("__s"), lit(1), lit(1)),
+        (acc, x) =>
+          when(element_at(acc, -1) === lC && x === rC,
+            concat(slice(acc, lit(1), size(acc) - 1), array(mC)))
+          .otherwise(concat(acc, array(x))))
+      // re-materialize per round: the next round's pair count and
+      // fold both reuse this, and lineage would otherwise re-run
+      // every earlier fold per job
+      syms = syms.withColumn("__s",
+        when(size(col("__s")) <= 1, col("__s")).otherwise(folded))
+        .localCheckpoint(false)
+    }
+    out.toSeq
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the classic
     * perplexity-style quality filter: score each document by the mean
