@@ -204,6 +204,40 @@ object SketchQueries {
           sum("id").as("id_sum"))
         .orderBy("cluster")),
 
+    /** Quality-canonical dedup retention: near-dup clusters (the q58
+      * machinery) keep their BEST-quality member (q49's composite
+      * score; ties → smaller doc_id), not the arbitrary min-id — the
+      * curation rule real pipelines want ("drop dups, keep the good
+      * copy"). The (q desc, id asc) argmax is one map-side-combined
+      * `max` over a single exact LONG — q is 4dp by construction
+      * ([[TextAnalysis.qualityScore]] rounds), so `round(q*10000)` is
+      * an exact integer 0..10000 and `*1000 + (999-id)` packs the
+      * tiebreak losslessly. A struct-valued `max` would fall off the
+      * hash-agg fast path into SortAggregate (the q31 defect class);
+      * the long key keeps the whole decision in one HashAggregate —
+      * no per-cluster window, so a hub cluster never funnels a sort.
+      * kept_q is taken as a separate plain `max(q)` (equal to the
+      * kept row's q since q is the primary sort key) rather than
+      * decoded from the packed key, so the emitted double is the
+      * engine's own, not a reconstruction.
+      */
+    "q96_canonical_dedup" -> ((s, d) => {
+      val comp = Graph.connectedComponents(neardupPairsMd5(s, d))
+      val quality = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      val key = round(col("q") * 10000).cast("long") * 1000L +
+        (lit(999L) - col("id"))
+      comp.join(quality, Seq("id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), max(col("q")).as("kept_q"),
+          max(key).as("__k"))
+        .select(col("cluster"), col("n"),
+          (lit(999L) - pmod(col("__k"), lit(1000L))).as("kept_doc"),
+          col("kept_q"))
+        .orderBy("cluster")
+    }),
+
     // Sign-projection LSH ANN with integer-quantized embeddings:
     // bucket assignment and dot products are exact integer math, so
     // the bucketing reproduces bit-for-bit in the oracle. Top-3 per
@@ -422,6 +456,38 @@ object SketchQueries {
           array_min(col("pixels")).cast("long").as("px_min"),
           array_max(col("pixels")).cast("long").as("px_max"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    /** Media resize ([[Multimodal.resizeBox]]): integer box-filter
+      * downscale of the q94 AVI frames — decode is LOSSLESS (RLE8, no
+      * codec error), so the resize means are exact and every resized
+      * pixel is pinned: posexplode emits one row per output pixel and
+      * DuckDB recomputes each floor-mean from the fixture row
+      * formula. Crop-to-multiple dims (h=7 crops to 2 rows of 3).
+      * Resize itself is pure column algebra over the pixel array —
+      * no UDF, no shuffle beyond the decode's.
+      */
+    "q97_video_resize" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 16 + 8 * (m % 2)
+        val h = 6 + m % 3
+        val frame = Array.tabulate(w * h)(k =>
+          (41 * m + 5 * (k / w)) % 251)
+        (m.toLong, Avi.build(Seq(frame), w, h))
+      }.toDF("media_id", "media")
+      Multimodal.decodeVideoRle(media)
+        .select(col("media_id"),
+          Multimodal.resizeBox(col("pixels"), col("width"), col("height"),
+            4, 3).as("r"))
+        .select(col("media_id"), col("r.out_w").cast("long").as("out_w"),
+          col("r.out_h").cast("long").as("out_h"),
+          posexplode(col("r.px")).as(Seq("k", "v")))
+        .select(col("media_id"), col("out_w"), col("out_h"),
+          col("k").cast("long").as("k"), col("v").cast("long").as("v"))
+        .orderBy("media_id", "k")
     }),
 
     /** Image near-duplicate detection: real JPEG decode → perceptual
@@ -714,6 +780,43 @@ object SketchQueries {
          |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
          |SELECT cluster, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum
          |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // q58's component labels joined to q49's quality algebra; the
+    // kept row is the (q desc, id asc) argmax per cluster
+    "q96_canonical_dedup" ->
+      s"""WITH RECURSIVE $neardupPairsCte,
+         |ed AS (SELECT a AS u, b AS v FROM pairs
+         |  UNION SELECT b AS u, a AS v FROM pairs),
+         |reach AS (SELECT u AS id, u AS lab FROM ed
+         |  UNION SELECT e.v AS id, reach.lab FROM reach
+         |  JOIN ed e ON e.u = reach.id),
+         |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         |qt AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
+         |    AS toks FROM documents WHERE doc_id < 200),
+         |qm AS (SELECT doc_id,
+         |  least(CAST(len(toks) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |    AS len_score,
+         |  CASE WHEN length(text) > 0 THEN
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text) ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |      / len(toks) ELSE CAST(0 AS DOUBLE) END AS mean_len
+         |  FROM qt),
+         |qual AS (SELECT doc_id, round(CAST(len_score * 0.4 +
+         |  (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE))) * 0.3 +
+         |  (CASE WHEN mean_len BETWEEN 3.0 AND 10.0
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
+         |  AS DOUBLE), 4) AS q FROM qm),
+         |j AS (SELECT labels.cluster, labels.id, qual.q
+         |  FROM labels JOIN qual ON qual.doc_id = labels.id),
+         |r AS (SELECT cluster, id, q, row_number() OVER
+         |  (PARTITION BY cluster ORDER BY q DESC, id) AS rn FROM j),
+         |c AS (SELECT cluster, count(*) AS n FROM j GROUP BY cluster)
+         |SELECT c.cluster, c.n, r.id AS kept_doc, r.q AS kept_q
+         |FROM c JOIN r USING (cluster) WHERE r.rn = 1
+         |ORDER BY cluster""".stripMargin,
     "q44_lsh_ann" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -970,6 +1073,20 @@ object SketchQueries {
     // identical fixture + oracle; only the Spark plan differs
     // (expression/generator vs mapPartitions)
     "q78_mjpeg_decode_gen" -> q72OracleSql,
+    // frame rows are uniform, so each resized pixel is the floor-mean
+    // of its 3 source-row values (the x-extent contributes equal
+    // terms: (4*sum)/12 == sum/3)
+    "q97_video_resize" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS INT) AS m FROM nation),
+        |dims AS (SELECT m, 16 + 8 * (m % 2) AS w, 6 + m % 3 AS h FROM n),
+        |od AS (SELECT m, w // 4 AS ow, h // 3 AS oh FROM dims),
+        |px AS (SELECT m, ow, oh, r.range AS k,
+        |    (SELECT CAST(sum((41 * m + 5 * (3 * (k // ow) + dy.range))
+        |       % 251) AS BIGINT) FROM range(3) dy) // 3 AS v
+        |  FROM od CROSS JOIN range(0, 100) r WHERE r.range < ow * oh)
+        |SELECT CAST(m AS BIGINT) AS media_id, CAST(ow AS BIGINT) AS out_w,
+        |  CAST(oh AS BIGINT) AS out_h, CAST(k AS BIGINT) AS k, v
+        |FROM px ORDER BY media_id, k""".stripMargin,
     // every pixel from the fixture formulas: uniform rows except
     // frame 1's top row (the absolute-mode gradient)
     "q94_avi_rle" ->

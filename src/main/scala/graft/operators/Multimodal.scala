@@ -509,6 +509,40 @@ object Multimodal {
     }
   }
 
+  /** Integer box-filter downscale of a decoded frame — the "resize"
+    * step of a media feature pipeline, as pure column algebra
+    * (higher-order functions over the pixel array; no UDF, no
+    * per-row JVM object). Output dims are floor(w/fx) × floor(h/fy)
+    * (crop-to-multiple, the standard rule); each output pixel is the
+    * FLOOR MEAN of its fx×fy block — all-integer, so a DuckDB oracle
+    * replays every resized pixel arithmetically (q97). Returns
+    * struct(out_w, out_h, px).
+    */
+  def resizeBox(px: Column, w: Column, h: Column,
+      fx: Int, fy: Int): Column = {
+    require(fx >= 1 && fy >= 1, s"invalid box factors: $fx x $fy")
+    val ow = floor(w.cast("double") / fx).cast("int")
+    val oh = floor(h.cast("double") / fy).cast("int")
+    val n = ow * oh
+    // sequence(0, -1) DESCENDS: degenerate (smaller-than-box) frames
+    // must yield an empty raster, not a reversed index range
+    val idxs = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(expr("CAST(array() AS array<int>)"))
+    val out = transform(idxs, k => {
+      val oy = floor(k.cast("double") / ow).cast("int")
+      val ox = pmod(k, ow)
+      val blockSum = aggregate(sequence(lit(0), lit(fx * fy - 1)), lit(0L),
+        (acc, j) => {
+          val dy = floor(j.cast("double") / fx).cast("int")
+          val dx = pmod(j, lit(fx))
+          acc + element_at(px,
+            (oy * fy + dy) * w + ox * fx + dx + 1).cast("long")
+        })
+      floor(blockSum.cast("double") / (fx * fy)).cast("int")
+    })
+    struct(ow.as("out_w"), oh.as("out_h"), out.as("px"))
+  }
+
   /** One frame payload → (width, height, row-major pixels). Raw
     * band-0 samples for single-band images (the identity path for
     * grayscale JPEG — `getRGB` would run a gray→sRGB color transform
