@@ -110,6 +110,34 @@ object RetrievalQueries {
         .map { case ((l, r, c), i) => (i.toLong, l, r, c) }
         .toDF("merge_idx", "left_sym", "right_sym", "pair_count")
         .orderBy("merge_idx")
+    }),
+
+    /** Tokenizer APPLICATION ([[TextAnalysis.bpeEncodeStats]]): the
+      * other half of the q95 loop — train 3 merges on the doc_id<100
+      * corpus, then encode the UNSEEN doc_id∈[100,150) slice and
+      * report per-doc word/char/token counts and the chars-per-token
+      * compression ratio (the number that feeds sequence packing and
+      * token budgeting). Training is q95's bounded vocabulary-scale
+      * loop; encoding is one codegen'd projection per row — the merge
+      * table rides the expression as literals, so the pass is a pure
+      * map over the corpus with no join, explode, or shuffle. The
+      * oracle re-learns the same merges and replays the same
+      * leftmost-non-overlapping fold per word via list_reduce.
+      */
+    "q98_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = TextAnalysis.bpeMerges(
+          docs.filter(col("doc_id") < 100), "text", 3)
+        .map { case (l, r, _) => (l, r) }
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select(col("doc_id"),
+          TextAnalysis.bpeEncodeStats(col("text"), merges).as("e"))
+        .select(col("doc_id"), col("e.n_words").as("n_words"),
+          col("e.n_chars").as("n_chars"), col("e.n_tokens").as("n_tokens"),
+          when(col("e.n_tokens") > 0, round(
+            col("e.n_chars").cast("double") / col("e.n_tokens"), 4))
+            .as("ratio"))
+        .orderBy("doc_id")
     }))
 
   /** q95 oracle building blocks: one BPE round — pair counts off the
@@ -134,6 +162,16 @@ object RetrievalQueries {
   private def duckToks(src: String): String =
     s"""SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |  x -> len(x) > 0) AS a FROM documents $src""".stripMargin
+
+  /** q98 oracle building block: apply merge CTE `m` (one row: l, r)
+    * to a per-word symbol list — the same leftmost-non-overlapping
+    * list_reduce fold [[bpeRound]] uses, minus the re-count.
+    */
+  private def encFold(m: String): String =
+    s"""list_reduce(list_transform(syms, x -> [x]),
+       |    (acc, x) -> CASE WHEN acc[-1] = $m.l AND x[1] = $m.r
+       |      THEN list_append(acc[1:len(acc)-1], $m.l || $m.r)
+       |      ELSE list_concat(acc, x) END)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q91_hybrid_rrf" -> {
@@ -263,5 +301,39 @@ object RetrievalQueries {
          |    r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM m1
          |  UNION ALL SELECT 1, l, r, CAST(c AS BIGINT) FROM m2
          |  UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m3)
-         |ORDER BY merge_idx""".stripMargin)
+         |ORDER BY merge_idx""".stripMargin,
+    // q95's three training rounds re-learned verbatim, then the same
+    // fold applied per word of the unseen docs; counts per doc
+    "q98_bpe_encode" ->
+      s"""WITH w AS (SELECT t AS word, count(*) AS cnt
+         |  FROM (SELECT unnest(list_filter(
+         |      string_split_regex(lower(text), '\\s+'),
+         |      x -> len(x) > 0)) AS t FROM documents WHERE doc_id < 100)
+         |  GROUP BY t),
+         |s0 AS (SELECT cnt, list_transform(range(1, len(word) + 1),
+         |  i -> word[i]) AS syms FROM w),
+         |${bpeRound("s0", 1)},
+         |${bpeRound("s1", 2)},
+         |${bpeRound("s2", 3)},
+         |dw AS (SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0)) AS wd
+         |  FROM documents WHERE doc_id >= 100 AND doc_id < 150),
+         |e0 AS (SELECT doc_id, wd, list_transform(range(1, len(wd) + 1),
+         |  i -> wd[i]) AS syms FROM dw),
+         |e1 AS (SELECT doc_id, wd, ${encFold("m1")} AS syms FROM e0, m1),
+         |e2 AS (SELECT doc_id, wd, ${encFold("m2")} AS syms FROM e1, m2),
+         |e3 AS (SELECT doc_id, wd, ${encFold("m3")} AS syms FROM e2, m3),
+         |agg AS (SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(wd)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+         |  FROM e3 GROUP BY doc_id)
+         |SELECT d0.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+         |    round(CAST(n_chars AS DOUBLE) / n_tokens, 4) END AS ratio
+         |FROM (SELECT doc_id FROM documents
+         |  WHERE doc_id >= 100 AND doc_id < 150) d0
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

@@ -76,22 +76,66 @@ object TextAnalysis {
       val (l, r, c) =
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       out += ((l, r, c))
-      val (lC, rC, mC) = (lit(l), lit(r), lit(l + r))
-      val folded = aggregate(
-        slice(col("__s"), lit(2), size(col("__s")) - 1),
-        slice(col("__s"), lit(1), lit(1)),
-        (acc, x) =>
-          when(element_at(acc, -1) === lC && x === rC,
-            concat(slice(acc, lit(1), size(acc) - 1), array(mC)))
-          .otherwise(concat(acc, array(x))))
       // re-materialize per round: the next round's pair count and
       // fold both reuse this, and lineage would otherwise re-run
       // every earlier fold per job
-      syms = syms.withColumn("__s",
-        when(size(col("__s")) <= 1, col("__s")).otherwise(folded))
+      syms = syms.withColumn("__s", applyMerge(col("__s"), l, r))
         .localCheckpoint(false)
     }
     out.toSeq
+  }
+
+  /** Leftmost-non-overlapping application of ONE learned merge (l, r)
+    * → l+r to a symbol array, as a pure column fold: accumulator
+    * starts as the first symbol, each next symbol either fuses with
+    * the accumulator's tail (tail == l ∧ next == r) or appends.
+    * "Leftmost" because the fold scans left→right and a fused symbol
+    * (l+r ≠ l) can't re-fuse with the following r — the standard BPE
+    * application rule, shared verbatim by training ([[bpeMerges]])
+    * and encoding ([[bpeEncodeStats]]). Merge strings ride `lit()`
+    * columns, never spliced into SQL text.
+    */
+  private def applyMerge(s: Column, l: String, r: String): Column = {
+    val (lC, rC, mC) = (lit(l), lit(r), lit(l + r))
+    val folded = aggregate(
+      slice(s, lit(2), size(s) - 1),
+      slice(s, lit(1), lit(1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === lC && x === rC,
+          concat(slice(acc, lit(1), size(acc) - 1), array(mC)))
+        .otherwise(concat(acc, array(x))))
+    when(size(s) <= 1, s).otherwise(folded)
+  }
+
+  /** BPE ENCODING with an already-learned merge table — the apply
+    * half of the tokenizer loop ([[bpeMerges]] trains; this counts
+    * what the trained vocab does to real documents, the number that
+    * feeds sequence packing and per-doc token budgets). Per doc:
+    * n_words, n_chars (sum of word lengths), n_tokens (symbols after
+    * applying every merge in order, leftmost-non-overlapping per
+    * word).
+    *
+    * Pure column algebra: words → per-word char array → one
+    * [[applyMerge]] fold per merge → size, all inside a single
+    * `transform` over the token array — one codegen'd projection per
+    * row, no explode, no shuffle, no state. The merge table is
+    * vocabulary-trained and tiny (it rides the expression as
+    * literals), so encoding scales as a map over the corpus — the
+    * same shape a production tokenizer pass has.
+    */
+  def bpeEncodeStats(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val words = tokens(lower(text))
+    val encLen = transform(words, w => {
+      val chars = transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1)))
+      size(merges.foldLeft(chars) { case (acc, (l, r)) =>
+        applyMerge(acc, l, r) })
+    })
+    struct(
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (a, w) => a + length(w)).as("n_chars"),
+      aggregate(encLen, lit(0L), (a, n) => a + n).as("n_tokens"))
   }
 
   /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
