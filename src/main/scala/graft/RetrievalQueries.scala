@@ -138,6 +138,33 @@ object RetrievalQueries {
             col("e.n_chars").cast("double") / col("e.n_tokens"), 4))
             .as("ratio"))
         .orderBy("doc_id")
+    }),
+
+    /** CCNet-style quality mixture ([[TextAnalysis.perplexityBuckets]]
+      * over [[TextAnalysis.stupidBackoff]]): score the whole corpus
+      * under the even-doc_id LM, split each language into head /
+      * middle / tail thirds by score, and report per-(lang, bucket)
+      * doc counts and mean score — the table a curation run reads to
+      * decide sampling weights. Bucket cutoffs come from the bounded
+      * per-language bin histogram (no doc-level sort); the mean rides
+      * exact `round(score·10⁴)` longs so the cross-engine double
+      * average has one deterministic summation order (one division at
+      * the end), the q22 scaled-long rationale.
+      */
+    "q99_ccnet_buckets" -> ((s, d) => {
+      val docs = documents(s, d)
+      val scored = TextAnalysis.stupidBackoff(
+          docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+        .filter(col("score").isNotNull)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.perplexityBuckets(scored, "lang", "score")
+        .withColumn("__si", round(col("score") * 10000).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("__si").as("__s"))
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          round(col("__s").cast("double") / 10000 / col("n_docs"), 4)
+            .as("mean_score"))
+        .orderBy("lang", "bucket")
     }))
 
   /** q95 oracle building blocks: one BPE round — pair counts off the
@@ -335,5 +362,57 @@ object RetrievalQueries {
          |    round(CAST(n_chars AS DOUBLE) / n_tokens, 4) END AS ratio
          |FROM (SELECT doc_id FROM documents
          |  WHERE doc_id >= 100 AND doc_id < 150) d0
-         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
+         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q93's scoring replayed over the whole corpus, then histogram-
+    // derived tercile cutoffs per language (whole bins per bucket)
+    "q99_ccnet_buckets" ->
+      s"""WITH tr AS (${duckToks("WHERE doc_id % 2 = 0")}),
+         |uni AS (SELECT w, count(*) AS cu
+         |  FROM (SELECT unnest(a) AS w FROM tr) GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n
+         |  FROM (SELECT unnest(a) AS w FROM tr)),
+         |bi AS (SELECT b, count(*) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i+1])) AS b FROM tr) GROUP BY b),
+         |tri AS (SELECT t, count(*) AS ct
+         |  FROM (SELECT unnest(list_transform(range(1, len(a) - 1),
+         |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS t FROM tr)
+         |  GROUP BY t),
+         |d AS (${duckToks("")}),
+         |g AS (SELECT doc_id, a[r.i] AS w1, a[r.i+1] AS w2, a[r.i+2] AS w3
+         |  FROM d CROSS JOIN unnest(range(1, len(a) - 1)) r(i)),
+         |j AS (SELECT doc_id, w2, w3, w1 || ' ' || w2 AS bp,
+         |  w2 || ' ' || w3 AS bs, w1 || ' ' || w2 || ' ' || w3 AS t3 FROM g),
+         |sc AS (SELECT doc_id,
+         |  CASE WHEN ct IS NOT NULL THEN CAST(ct AS DOUBLE) / cbp
+         |       WHEN cbs IS NOT NULL THEN 0.4 * CAST(cbs AS DOUBLE) / cu2
+         |       WHEN cu3 IS NOT NULL THEN 0.4 * 0.4 * CAST(cu3 AS DOUBLE) / n
+         |       ELSE 0.4 * 0.4 / n END AS p
+         |  FROM j LEFT JOIN tri ON j.t3 = tri.t
+         |  LEFT JOIN (SELECT b AS bp, cb AS cbp FROM bi) b1 USING (bp)
+         |  LEFT JOIN (SELECT b AS bs, cb AS cbs FROM bi) b2 USING (bs)
+         |  LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM uni) u2 USING (w2)
+         |  LEFT JOIN (SELECT w AS w3, cu AS cu3 FROM uni) u3 USING (w3), nt),
+         |agg AS (SELECT doc_id, round(avg(ln(p)), 4) AS score
+         |  FROM sc GROUP BY doc_id),
+         |sb AS (SELECT agg.doc_id, lang, score,
+         |  CAST(floor(score * 10) AS BIGINT) AS bin,
+         |  CAST(round(score * 10000) AS BIGINT) AS si
+         |  FROM agg JOIN documents USING (doc_id) WHERE score IS NOT NULL),
+         |hist AS (SELECT lang, bin, count(*) AS c FROM sb GROUP BY 1, 2),
+         |mk AS (SELECT lang, bin,
+         |  coalesce(CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |    0) AS prev,
+         |  CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n FROM hist),
+         |bk AS (SELECT lang, bin,
+         |  CASE WHEN prev < floor(CAST(n + 2 AS DOUBLE) / 3) THEN 'head'
+         |       WHEN prev < floor(CAST(n * 2 + 2 AS DOUBLE) / 3)
+         |         THEN 'middle'
+         |       ELSE 'tail' END AS bucket FROM mk)
+         |SELECT sb.lang, bucket, count(*) AS n_docs,
+         |  round(CAST(sum(si) AS DOUBLE) / 10000 / count(*), 4)
+         |    AS mean_score
+         |FROM sb JOIN bk ON sb.lang = bk.lang AND sb.bin = bk.bin
+         |GROUP BY sb.lang, bucket ORDER BY sb.lang, bucket""".stripMargin)
 }

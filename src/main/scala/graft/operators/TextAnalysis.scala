@@ -223,6 +223,50 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    * each group's scored docs into head / middle / tail thirds by LM
+    * score — the standard "keep the head, maybe the middle, drop the
+    * tail" quality-mixture gate — WITHOUT a global per-group sort.
+    *
+    * Cutoffs come from a bounded histogram, not a rank window over
+    * docs: scores land in 0.1-wide ln-bins (`floor(score·10)` — exact
+    * integers, since [[stupidBackoff]] scores are 4dp), the per-group
+    * bin table is aggregated map-side (≤ a few hundred rows per group
+    * whatever the corpus size), and the two cumulative-count cutoffs
+    * (`ceil(n/3)`, `ceil(2n/3)`) are computed by a window over THAT
+    * bin table only — the [[LogHist]] sketch rationale. Whole bins
+    * are assigned to buckets (a bin straddling a cutoff goes to the
+    * better bucket), so assignment is a broadcast equi-join back on
+    * (group, bin): one corpus scan, one bounded window, no doc-level
+    * sort anywhere.
+    *
+    * Input must carry `grpCol` and a non-null `scoreCol`; output is
+    * the input plus a `bucket` column ('head' | 'middle' | 'tail').
+    */
+  def perplexityBuckets(scored: DataFrame, grpCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = scored
+      .withColumn("__bin", floor(col(scoreCol) * 10).cast("long"))
+    val hist = binned.groupBy(col(grpCol), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val desc1 = Window.partitionBy(grpCol).orderBy(desc("__bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(grpCol)
+    val cut = hist
+      .withColumn("__prev", coalesce(sum("__c").over(desc1), lit(0L)))
+      .withColumn("__n", sum("__c").over(whole))
+      // integer ceils via exact double floor (counts ≪ 2^52)
+      .withColumn("__t1", floor((col("__n") + 2).cast("double") / 3))
+      .withColumn("__t2", floor((col("__n") * 2 + 2).cast("double") / 3))
+      .withColumn("bucket",
+        when(col("__prev") < col("__t1"), lit("head"))
+        .when(col("__prev") < col("__t2"), lit("middle"))
+        .otherwise(lit("tail")))
+      .select(col(grpCol), col("__bin"), col("bucket"))
+    binned.join(broadcast(cut), Seq(grpCol, "__bin")).drop("__bin")
+  }
+
   /** Composed reference for [[tokenCount]] (parity spec). */
   private[operators] def tokenCountComposed(text: Column): Column =
     size(tokens(text))
