@@ -238,6 +238,54 @@ object SketchQueries {
         .orderBy("cluster")
     }),
 
+    /** LSH quality evaluation: q43's MinHash-LSH pairs scored against
+      * exact char-4-gram Jaccard ground truth on the same doc_id<200
+      * slice — tp/fp/fn and precision/recall per truth threshold
+      * (0.4/0.5/0.6), the eval table a dedup pipeline tunes its
+      * band/row/hash-count settings against. Ground truth is an
+      * all-pairs bounded verifier cross (the q32 class — recall needs
+      * the full truth set, so production recall evals run on exactly
+      * this kind of bounded sample; candidate-driven
+      * [[Dedup.exactJaccard]] stays the at-scale precision path).
+      * Thresholds explode from a 3-element literal; one hash
+      * aggregate over (pair × threshold) finishes the table.
+      */
+    "q100_lsh_recall" -> ((s, d) => {
+      val grams = TextFunctions.char_ngrams(
+        TextAnalysis.normText(col("text")), 4, distinct = true)
+      val sets = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), grams.as("gs"))
+        .withColumn("n", size(col("gs")))
+      val l = sets.select(col("doc_id").as("a"), col("gs").as("ga"),
+        col("n").as("na"))
+      val r = sets.select(col("doc_id").as("b"), col("gs").as("gb"),
+        col("n").as("nb"))
+      val exact = l.crossJoin(r).filter(col("a") < col("b"))
+        .withColumn("__i", size(array_intersect(col("ga"), col("gb"))))
+        .select(col("a"), col("b"),
+          round(col("__i").cast("double") /
+            (col("na") + col("nb") - col("__i")).cast("double"), 4)
+            .as("jac"))
+      val lsh = neardupPairsMd5(s, d)
+        .select(col("a"), col("b"), lit(1L).as("__lsh"))
+      exact.join(lsh, Seq("a", "b"), "left")
+        .select(col("jac"), coalesce(col("__lsh"), lit(0L)).as("__lsh"),
+          explode(array(lit(0.4), lit(0.5), lit(0.6))).as("t"))
+        .groupBy("t")
+        .agg(
+          sum(when(col("jac") >= col("t"), 1L).otherwise(0L)).as("n_truth"),
+          sum(col("__lsh")).as("n_lsh"),
+          sum(when(col("jac") >= col("t") && col("__lsh") === 1L, 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("t"), col("n_truth"), col("n_lsh"), col("tp"),
+          (col("n_lsh") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          round(col("tp").cast("double") / col("n_lsh"), 4).as("prec"),
+          when(col("n_truth") > 0,
+            round(col("tp").cast("double") / col("n_truth"), 4)).as("rec"))
+        .orderBy("t")
+    }),
+
     // Sign-projection LSH ANN with integer-quantized embeddings:
     // bucket assignment and dot products are exact integer math, so
     // the bucketing reproduces bit-for-bit in the oracle. Top-3 per
@@ -817,6 +865,32 @@ object SketchQueries {
          |SELECT c.cluster, c.n, r.id AS kept_doc, r.q AS kept_q
          |FROM c JOIN r USING (cluster) WHERE r.rn = 1
          |ORDER BY cluster""".stripMargin,
+    // q43's pair CTE joined to the q32-style exact-Jaccard truth
+    // table; per-threshold counts via correlated scalar subqueries
+    // over the two small pair tables
+    "q100_lsh_recall" ->
+      s"""WITH $neardupPairsCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+         |  FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT a, b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4)
+         |    AS jac FROM inter JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b),
+         |lp AS (SELECT pairs.a, pairs.b, coalesce(jac, 0) AS jac
+         |  FROM pairs LEFT JOIN j ON pairs.a = j.a AND pairs.b = j.b),
+         |th AS (SELECT CAST(t AS DOUBLE) AS t
+         |  FROM (VALUES (0.4), (0.5), (0.6)) v(t)),
+         |m AS (SELECT t,
+         |  (SELECT count(*) FROM j WHERE jac >= t) AS n_truth,
+         |  (SELECT count(*) FROM lp) AS n_lsh,
+         |  (SELECT count(*) FROM lp WHERE jac >= t) AS tp FROM th)
+         |SELECT t, n_truth, n_lsh, tp, n_lsh - tp AS fp,
+         |  n_truth - tp AS fn,
+         |  round(CAST(tp AS DOUBLE) / n_lsh, 4) AS prec,
+         |  CASE WHEN n_truth > 0 THEN round(CAST(tp AS DOUBLE) / n_truth, 4)
+         |    END AS rec
+         |FROM m ORDER BY t""".stripMargin,
     "q44_lsh_ann" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q

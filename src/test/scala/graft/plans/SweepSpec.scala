@@ -36,13 +36,16 @@ class SweepSpec extends AnyFunSuite {
     * stats cross), q93 1-row token-total cross (the q60/q82 totals
     * class; all five count-table joins are hash equi-joins), q99
     * 1-row token-total cross (scores ride q93's stupid-backoff plan;
-    * the bucket-cutoff join is a BroadcastHashJoin on (lang, bin)).
-    * Anything else that plans a BNLJ is a bug.
+    * the bucket-cutoff join is a BroadcastHashJoin on (lang, bin)),
+    * q100 bounded 200×200 ground-truth cross (the q32 class — recall
+    * eval needs the full truth set on its bounded sample). Anything
+    * else that plans a BNLJ is a bug.
     */
   private val bnljAllowed = Set("q27_scalar_subquery", "q32_jaccard_pairs",
     "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann",
     "q82_bm25", "q85_hard_negatives", "q88_corpus_minhash",
-    "q91_hybrid_rrf", "q93_trigram_lm", "q99_ccnet_buckets")
+    "q91_hybrid_rrf", "q93_trigram_lm", "q99_ccnet_buckets",
+    "q100_lsh_recall")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
