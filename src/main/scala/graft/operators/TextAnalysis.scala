@@ -246,8 +246,14 @@ object TextAnalysis {
   def perplexityBuckets(scored: DataFrame, grpCol: String,
       scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized once: both the histogram branch and the final
+    // assignment join read the scored stream, and scoring is
+    // typically the expensive upstream (an LM join pipeline) —
+    // without this the whole scoring subtree executes twice
+    // (verified in the q99 post-AQE plan)
     val binned = scored
       .withColumn("__bin", floor(col(scoreCol) * 10).cast("long"))
+      .localCheckpoint(false)
     val hist = binned.groupBy(col(grpCol), col("__bin"))
       .agg(count(lit(1)).as("__c"))
     val desc1 = Window.partitionBy(grpCol).orderBy(desc("__bin"))

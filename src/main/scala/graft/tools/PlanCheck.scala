@@ -27,6 +27,18 @@ object PlanCheck {
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"WARM $n%-28s $dt%7.3f s")
+      // SPARK_GRAFT_JOINS=1: print each query's join/aggregate
+      // operators from the FINAL adaptive plan (post-AQE, so runtime
+      // broadcast conversions show up — the static executedPlan lies
+      // about what actually ran)
+      sys.env.get("SPARK_GRAFT_JOINS").foreach { _ =>
+        val df = fn(spark, sfDir)
+        df.count()
+        val p = df.queryExecution.executedPlan.toString
+        p.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Aggregate"))
+          .foreach(l => println("  " + l.trim.take(110)))
+      }
     }
     sys.env.get("SPARK_GRAFT_CODEGEN").foreach { _ =>
       import org.apache.spark.sql.functions._

@@ -45,4 +45,42 @@ class BpeSpec extends AnyFunSuite {
     val got = TextAnalysis.bpeMerges(corpus("ab"), "text", 5)
     assert(got == Seq(("a", "b", 1L)))
   }
+
+  private def encode(text: String, merges: Seq[(String, String)]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(TextAnalysis.bpeEncodeStats(col("text"), merges).as("e"))
+      .select(col("e.n_words"), col("e.n_chars"), col("e.n_tokens"))
+      .as[(Long, Long, Long)].head()
+  }
+
+  test("encode applies merges in training order, chained through " +
+      "merged symbols") {
+    // low: [l,o,w] -> [lo,w] -> [low]; slow: [s,l,o,w] -> [s,low]
+    val m = Seq(("l", "o"), ("lo", "w"), ("e", "s"))
+    assert(encode("low slow", m) == ((2L, 7L, 3L)))
+  }
+
+  test("encode merges equal-symbol runs leftmost-non-overlapping") {
+    val m = Seq(("a", "a"))
+    // aaa -> [aa, a]; aaaa -> [aa, aa]
+    assert(encode("aaa aaaa", m) == ((2L, 7L, 4L)))
+  }
+
+  test("encode of empty and whitespace-only text yields zero counts") {
+    val m = Seq(("a", "a"))
+    assert(encode("", m) == ((0L, 0L, 0L)))
+    assert(encode("   ", m) == ((0L, 0L, 0L)))
+  }
+
+  test("encode with no merges returns character counts") {
+    assert(encode("ab cde", Nil) == ((2L, 5L, 5L)))
+  }
+
+  test("encode merge strings with quotes ride lit columns safely") {
+    val m = Seq(("'", "a"), ("d", "'a"))
+    // d'a: [d,',a] -> [d,'a] -> [d'a]
+    assert(encode("d'a", m) == ((1L, 3L, 1L)))
+  }
 }
