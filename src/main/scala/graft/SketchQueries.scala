@@ -506,6 +506,52 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** Shot-boundary (scene-cut) detection over decoded video: per
+      * consecutive frame pair, the sum and mean of absolute pixel
+      * differences and a cut flag (mean ≥ 25) — the signal a video
+      * curation pipeline keyframe-samples on. Rides q94's LOSSLESS
+      * RLE8 fixture (frames shift by +17/frame except frame 1's
+      * replaced top row), so every diff is exact integer math the
+      * oracle replays from the fixture formulas. Adjacent frames meet
+      * in a plain (media, frame) equi-join — shuffle-safe however
+      * many media rows there are; the decode is checkpointed so the
+      * mapPartitions decode runs once, not once per join side.
+      */
+    "q101_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 16 + 8 * (m % 2)
+        val h = 6 + m % 3
+        val frames = (0 until 3).map { f =>
+          Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            if (f == 1 && y == 0) (m + 3 * x) % 251
+            else (41 * m + 17 * f + 5 * y) % 251
+          }
+        }
+        (m.toLong, Avi.build(frames, w, h))
+      }.toDF("media_id", "media")
+      val dec = Multimodal.decodeVideoRle(media)
+        .select(col("media_id"), col("frame_idx"), col("pixels"))
+        .localCheckpoint(false)
+      val cur = dec.select(col("media_id"), col("frame_idx"),
+        col("pixels").as("__pa"))
+      val prv = dec.select(col("media_id"),
+        (col("frame_idx") + 1).as("frame_idx"), col("pixels").as("__pb"))
+      cur.join(prv, Seq("media_id", "frame_idx"))
+        .withColumn("__sad", aggregate(
+          zip_with(col("__pa"), col("__pb"), (x, y) => abs(x - y)),
+          lit(0L), (a, v) => a + v))
+        .withColumn("__mean",
+          col("__sad").cast("double") / size(col("__pa")))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("__sad").as("sad"), round(col("__mean"), 4).as("mad"),
+          when(col("__mean") >= 25.0, 1L).otherwise(0L).as("is_cut"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     /** Media resize ([[Multimodal.resizeBox]]): integer box-filter
       * downscale of the q94 AVI frames — decode is LOSSLESS (RLE8, no
       * codec error), so the resize means are exact and every resized
@@ -1163,6 +1209,30 @@ object SketchQueries {
         |FROM px ORDER BY media_id, k""".stripMargin,
     // every pixel from the fixture formulas: uniform rows except
     // frame 1's top row (the absolute-mode gradient)
+    // q94's pixel formulas for consecutive frames, absolute-diffed
+    // per index; the cut flag thresholds the unrounded mean
+    "q101_scene_cuts" ->
+      """WITH fr AS (SELECT unnest(range(3)) AS f),
+        |dims AS (SELECT CAST(n_nationkey AS INT) AS m, f,
+        |    16 + 8 * (CAST(n_nationkey AS INT) % 2) AS w,
+        |    6 + CAST(n_nationkey AS INT) % 3 AS h
+        |  FROM nation, fr),
+        |px AS (SELECT m, f, w, h, flatten(list_transform(range(h), y ->
+        |    CASE WHEN f = 1 AND y = 0
+        |      THEN list_transform(range(w), x -> (m + 3 * x) % 251)
+        |      ELSE list_transform(range(w),
+        |        x -> (41 * m + 17 * f + 5 * y) % 251) END)) AS ps
+        |  FROM dims),
+        |pairs AS (SELECT a.m, a.f, a.ps AS cur, b.ps AS prv
+        |  FROM px a JOIN px b ON a.m = b.m AND b.f = a.f - 1),
+        |d AS (SELECT m, f, CAST(list_sum(list_transform(
+        |    range(1, len(cur) + 1), i -> abs(cur[i] - prv[i])))
+        |    AS BIGINT) AS sad, len(cur) AS n FROM pairs)
+        |SELECT CAST(m AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  sad, round(CAST(sad AS DOUBLE) / n, 4) AS mad,
+        |  CAST(CASE WHEN CAST(sad AS DOUBLE) / n >= 25 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_cut
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin,
     "q94_avi_rle" ->
       """WITH fr AS (SELECT unnest(range(3)) AS f),
         |dims AS (SELECT CAST(n_nationkey AS INT) AS m, f,
