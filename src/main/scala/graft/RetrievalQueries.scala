@@ -165,6 +165,45 @@ object RetrievalQueries {
           round(col("__s").cast("double") / 10000 / col("n_docs"), 4)
             .as("mean_score"))
         .orderBy("lang", "bucket")
+    }),
+
+    /** Curation-signal calibration: per-language Pearson correlation
+      * between the cheap composite quality score (q49) and the
+      * expensive LM score (q93) — the table that says whether the
+      * fast filter agrees with the model-based one before you spend
+      * the LM pass on the whole corpus. Both signals are 4dp by
+      * construction, so they ride exact `round(s·10⁴)` longs and all
+      * five Pearson sums are map-side-combined integer aggregates
+      * (sums < 2^53 here, so the one closing double expression is
+      * bit-identical cross-engine; at petabyte doc counts the sums
+      * promote to DECIMAL(38,0) — same plan shape). One corpus join,
+      * one hash aggregate, no window.
+      */
+    "q102_signal_correlation" -> ((s, d) => {
+      val docs = documents(s, d)
+      val q = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("__q"))
+      val lm = TextAnalysis.stupidBackoff(
+          docs.filter(col("doc_id") % 2 === 0), docs, "doc_id", "text")
+        .filter(col("score").isNotNull)
+      val j = q.join(lm.select(col("doc_id"), col("score")), Seq("doc_id"))
+        .select(col("lang"),
+          round(col("__q") * 10000).cast("long").as("__x"),
+          round(col("score") * 10000).cast("long").as("__y"))
+      val g = j.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      val varX = g("n") * col("__sxx") - col("__sx") * col("__sx")
+      val varY = g("n") * col("__syy") - col("__sy") * col("__sy")
+      val cov = g("n") * col("__sxy") - col("__sx") * col("__sy")
+      g.select(col("lang"), col("n"),
+          when(varX > 0 && varY > 0,
+            round(cov.cast("double") /
+              (sqrt(varX.cast("double")) * sqrt(varY.cast("double"))), 4))
+            .as("pearson_r"))
+        .orderBy("lang")
     }))
 
   /** q95 oracle building blocks: one BPE round — pair counts off the
@@ -414,5 +453,71 @@ object RetrievalQueries {
          |  round(CAST(sum(si) AS DOUBLE) / 10000 / count(*), 4)
          |    AS mean_score
          |FROM sb JOIN bk ON sb.lang = bk.lang AND sb.bin = bk.bin
-         |GROUP BY sb.lang, bucket ORDER BY sb.lang, bucket""".stripMargin)
+         |GROUP BY sb.lang, bucket ORDER BY sb.lang, bucket""".stripMargin,
+    // q93's LM scoring + q49's quality algebra joined per doc, then
+    // the five Pearson sums in exact scaled longs per language
+    "q102_signal_correlation" ->
+      s"""WITH tr AS (${duckToks("WHERE doc_id % 2 = 0")}),
+         |uni AS (SELECT w, count(*) AS cu
+         |  FROM (SELECT unnest(a) AS w FROM tr) GROUP BY w),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n
+         |  FROM (SELECT unnest(a) AS w FROM tr)),
+         |bi AS (SELECT b, count(*) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i+1])) AS b FROM tr) GROUP BY b),
+         |tri AS (SELECT t, count(*) AS ct
+         |  FROM (SELECT unnest(list_transform(range(1, len(a) - 1),
+         |    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS t FROM tr)
+         |  GROUP BY t),
+         |d AS (${duckToks("")}),
+         |g AS (SELECT doc_id, a[r.i] AS w1, a[r.i+1] AS w2, a[r.i+2] AS w3
+         |  FROM d CROSS JOIN unnest(range(1, len(a) - 1)) r(i)),
+         |j AS (SELECT doc_id, w2, w3, w1 || ' ' || w2 AS bp,
+         |  w2 || ' ' || w3 AS bs, w1 || ' ' || w2 || ' ' || w3 AS t3 FROM g),
+         |sc AS (SELECT doc_id,
+         |  CASE WHEN ct IS NOT NULL THEN CAST(ct AS DOUBLE) / cbp
+         |       WHEN cbs IS NOT NULL THEN 0.4 * CAST(cbs AS DOUBLE) / cu2
+         |       WHEN cu3 IS NOT NULL THEN 0.4 * 0.4 * CAST(cu3 AS DOUBLE) / n
+         |       ELSE 0.4 * 0.4 / n END AS p
+         |  FROM j LEFT JOIN tri ON j.t3 = tri.t
+         |  LEFT JOIN (SELECT b AS bp, cb AS cbp FROM bi) b1 USING (bp)
+         |  LEFT JOIN (SELECT b AS bs, cb AS cbs FROM bi) b2 USING (bs)
+         |  LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM uni) u2 USING (w2)
+         |  LEFT JOIN (SELECT w AS w3, cu AS cu3 FROM uni) u3 USING (w3), nt),
+         |agg AS (SELECT doc_id, round(avg(ln(p)), 4) AS score
+         |  FROM sc GROUP BY doc_id),
+         |qt AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)
+         |    AS toks FROM documents),
+         |qm AS (SELECT doc_id,
+         |  least(CAST(len(toks) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+         |    AS len_score,
+         |  CASE WHEN length(text) > 0 THEN
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / length(text) ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |      / len(toks) ELSE CAST(0 AS DOUBLE) END AS mean_len
+         |  FROM qt),
+         |qual AS (SELECT doc_id, round(CAST(len_score * 0.4 +
+         |  (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE))) * 0.3 +
+         |  (CASE WHEN mean_len BETWEEN 3.0 AND 10.0
+         |    THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) * 0.3
+         |  AS DOUBLE), 4) AS q FROM qm),
+         |pr AS (SELECT lang, CAST(round(q * 10000) AS BIGINT) AS x,
+         |  CAST(round(score * 10000) AS BIGINT) AS y
+         |  FROM agg JOIN documents USING (doc_id) JOIN qual USING (doc_id)
+         |  WHERE score IS NOT NULL),
+         |gs AS (SELECT lang, count(*) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM pr GROUP BY lang)
+         |SELECT lang, n,
+         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) END AS pearson_r
+         |FROM gs ORDER BY lang""".stripMargin)
 }

@@ -36,15 +36,19 @@ class SweepSpec extends AnyFunSuite {
     * stats cross), q93 1-row token-total cross (the q60/q82 totals
     * class; all five count-table joins are hash equi-joins), q100
     * bounded 200×200 ground-truth cross (the q32 class — recall
-    * eval needs the full truth set on its bounded sample). Anything
-    * else that plans a BNLJ is a bug. (q99 rides q93's 1-row
-    * totals cross too, but its scored stream is checkpointed, so the
-    * sweep sees an RDD scan boundary instead of the join — no entry.)
+    * eval needs the full truth set on its bounded sample), q102
+    * 1-row token-total cross (its LM arm re-plans q93's
+    * stupid-backoff pipeline; the quality join is a hash equi-join
+    * on doc_id). Anything else that plans a BNLJ is a bug. (q99
+    * rides q93's 1-row totals cross too, but its scored stream is
+    * checkpointed, so the sweep sees an RDD scan boundary instead of
+    * the join — no entry.)
     */
   private val bnljAllowed = Set("q27_scalar_subquery", "q32_jaccard_pairs",
     "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann",
     "q82_bm25", "q85_hard_negatives", "q88_corpus_minhash",
-    "q91_hybrid_rrf", "q93_trigram_lm", "q100_lsh_recall")
+    "q91_hybrid_rrf", "q93_trigram_lm", "q100_lsh_recall",
+    "q102_signal_correlation")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
