@@ -702,6 +702,32 @@ object SketchQueries {
         .orderBy("media_id")
     }),
 
+    /** Audio decimation ([[Multimodal.decimate]]): 4× box-filter
+      * downsample of the q81 G.711-decoded PCM — decode is exact
+      * (table expansion, no codec error), so every decimated sample
+      * is a pinned floor-mean the oracle recomputes from the μ-law/
+      * A-law formulas. Decimation is pure column algebra over the
+      * sample array — no UDF, no shuffle beyond the decode's.
+      */
+    "q103_audio_decimate" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.flatMap { m =>
+        val codes = (0 until 64).map(j => (m * 29 + j * 7) % 256)
+        Seq((m.toLong * 2, G711.buildWav(G711.UlawTag, codes)),
+          (m.toLong * 2 + 1, G711.buildWav(G711.AlawTag, codes)))
+      }.toDF("media_id", "media")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"),
+          Multimodal.decimate(col("samples"), 4).as("ds"))
+        .select(col("media_id"), size(col("ds")).cast("long").as("out_n"),
+          posexplode(col("ds")).as(Seq("k", "v")))
+        .select(col("media_id"), col("out_n"),
+          col("k").cast("long").as("k"), col("v").cast("long").as("v"))
+        .orderBy("media_id", "k")
+    }),
+
     /** Contrastive hard-negative mining: each anchor's closest
       * DIFFERENT-label vector ([[Similarity.hardNegatives]] over the
       * bounded 60×60 verifier cross with integer-quantized cosine —
@@ -755,6 +781,35 @@ object SketchQueries {
     * (a, b, est_jaccard) — shared by the q43 and q58 oracles, exactly
     * mirroring [[neardupPairsMd5]].
     */
+  /** q81/q103 oracle building block: the μ-law/A-law expansion
+    * formulas applied to the synthesized code bytes, yielding one
+    * exact `pcm` value per (nation m, codec c, sample pos).
+    */
+  private val g711DecCte: String =
+    """keys AS (SELECT CAST(n_nationkey AS INT) AS m FROM nation),
+      |cod AS (SELECT m, c, CAST(j AS INT) AS pos,
+      |    (m * 29 + CAST(j AS INT) * 7) % 256 AS b
+      |  FROM keys,
+      |    (SELECT unnest(range(64)) AS j) js,
+      |    (SELECT 0 AS c UNION ALL SELECT 1) cs),
+      |ud AS (SELECT m, c, pos, 255 - b AS u, xor(b, 85) AS ai FROM cod),
+      |t1 AS (SELECT m, c, pos, u, ai,
+      |    (((u & 15) << 3) + 132) << ((u & 112) >> 4) AS ut,
+      |    (ai & 112) >> 4 AS seg,
+      |    ((ai & 15) << 4) + 8 AS am FROM ud),
+      |t2 AS (SELECT m, c, pos, u, ai, ut, seg,
+      |    CASE WHEN seg >= 1 THEN am + 256 ELSE am END AS av0 FROM t1),
+      |t3 AS (SELECT m, c, pos,
+      |    CASE WHEN (u & 128) != 0 THEN 132 - ut ELSE ut - 132 END AS upcm,
+      |    CASE WHEN (ai & 128) = 0
+      |      THEN -(CASE WHEN seg > 1 THEN av0 << (seg - 1) ELSE av0 END)
+      |      ELSE (CASE WHEN seg > 1 THEN av0 << (seg - 1) ELSE av0 END)
+      |      END AS apcm
+      |  FROM t2),
+      |dec AS (SELECT m, c, pos,
+      |    CASE WHEN c = 0 THEN upcm ELSE apcm END AS pcm FROM t3)"""
+      .stripMargin
+
   private val neardupPairsCte: String = {
     val mins = (0 until 16).map(i =>
       s"min(CAST('0x' || substr(md5('s$i:' || g), 1, 15) AS BIGINT))" +
@@ -1156,36 +1211,27 @@ object SketchQueries {
     // formula G711.ulawToPcm/alawToPcm compile — G711Spec welds that
     // formula to the JRE codec for all 256 code words)
     "q81_g711_decode" ->
-      """WITH keys AS (SELECT CAST(n_nationkey AS INT) AS m FROM nation),
-        |cod AS (SELECT m, c, CAST(j AS INT) AS pos,
-        |    (m * 29 + CAST(j AS INT) * 7) % 256 AS b
-        |  FROM keys,
-        |    (SELECT unnest(range(64)) AS j) js,
-        |    (SELECT 0 AS c UNION ALL SELECT 1) cs),
-        |ud AS (SELECT m, c, pos, 255 - b AS u, xor(b, 85) AS ai FROM cod),
-        |t1 AS (SELECT m, c, pos, u, ai,
-        |    (((u & 15) << 3) + 132) << ((u & 112) >> 4) AS ut,
-        |    (ai & 112) >> 4 AS seg,
-        |    ((ai & 15) << 4) + 8 AS am FROM ud),
-        |t2 AS (SELECT m, c, pos, u, ai, ut, seg,
-        |    CASE WHEN seg >= 1 THEN am + 256 ELSE am END AS av0 FROM t1),
-        |t3 AS (SELECT m, c, pos,
-        |    CASE WHEN (u & 128) != 0 THEN 132 - ut ELSE ut - 132 END AS upcm,
-        |    CASE WHEN (ai & 128) = 0
-        |      THEN -(CASE WHEN seg > 1 THEN av0 << (seg - 1) ELSE av0 END)
-        |      ELSE (CASE WHEN seg > 1 THEN av0 << (seg - 1) ELSE av0 END)
-        |      END AS apcm
-        |  FROM t2),
-        |dec AS (SELECT m, c, pos,
-        |    CASE WHEN c = 0 THEN upcm ELSE apcm END AS pcm FROM t3)
-        |SELECT CAST(m * 2 + c AS BIGINT) AS media_id,
-        |  CAST(8000 AS BIGINT) AS sample_rate,
-        |  CAST(count(*) AS BIGINT) AS n_samples,
-        |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
-        |  CAST(min(pcm) AS BIGINT) AS pcm_min,
-        |  CAST(max(pcm) AS BIGINT) AS pcm_max,
-        |  CAST(sum((pos + 1) * pcm) AS BIGINT) AS pcm_wsum
-        |FROM dec GROUP BY m, c ORDER BY media_id""".stripMargin,
+      s"""WITH $g711DecCte
+         |SELECT CAST(m * 2 + c AS BIGINT) AS media_id,
+         |  CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(pcm) AS BIGINT) AS pcm_sum,
+         |  CAST(min(pcm) AS BIGINT) AS pcm_min,
+         |  CAST(max(pcm) AS BIGINT) AS pcm_max,
+         |  CAST(sum((pos + 1) * pcm) AS BIGINT) AS pcm_wsum
+         |FROM dec GROUP BY m, c ORDER BY media_id""".stripMargin,
+    // q81's exact pcm formulas grouped into 4-sample blocks; each
+    // output sample is the block's floor mean (// is floor division,
+    // matching Spark's floor(sum/4.0) on negative PCM)
+    "q103_audio_decimate" ->
+      s"""WITH $g711DecCte,
+         |dm AS (SELECT m, c, pos // 4 AS k,
+         |    CAST(sum(pcm) AS BIGINT) // 4 AS v
+         |  FROM dec GROUP BY 1, 2, 3)
+         |SELECT CAST(m * 2 + c AS BIGINT) AS media_id,
+         |  CAST(16 AS BIGINT) AS out_n, CAST(k AS BIGINT) AS k,
+         |  CAST(v AS BIGINT) AS v
+         |FROM dm ORDER BY media_id, k""".stripMargin,
     // mirrors the q72 fixture arithmetically: per (nation m, frame f)
     // the decoded image is 8x(2+m%3) × 8x(1+m%2) px of 8×8-uniform
     // blocks valued (37m+11f+13bx+29by)%256 — 64 px per block

@@ -543,6 +543,28 @@ object Multimodal {
     struct(ow.as("out_w"), oh.as("out_h"), out.as("px"))
   }
 
+  /** 1-D box-filter decimation of a PCM sample array — the audio
+    * analogue of [[resizeBox]] (downsample-by-integer-factor, the
+    * rate-reduction step of an audio feature pipeline), as pure
+    * column algebra. Output length floor(n/factor) (trailing partial
+    * block cropped); each output sample is the FLOOR MEAN of its
+    * block — exact integer arithmetic (floor, not truncate, so
+    * negative PCM means reproduce identically under DuckDB's `//`).
+    */
+  def decimate(samples: Column, factor: Int): Column = {
+    require(factor >= 1, s"invalid decimation factor: $factor")
+    val n = floor(size(samples).cast("double") / factor).cast("int")
+    // sequence(0, -1) DESCENDS: short inputs must yield empty output
+    val idxs = when(n > 0, sequence(lit(0), n - 1))
+      .otherwise(expr("CAST(array() AS array<int>)"))
+    transform(idxs, k => {
+      val blockSum = aggregate(sequence(lit(0), lit(factor - 1)), lit(0L),
+        (acc, j) => acc + element_at(samples, k * factor + j + 1)
+          .cast("long"))
+      floor(blockSum.cast("double") / factor).cast("int")
+    })
+  }
+
   /** One frame payload → (width, height, row-major pixels). Raw
     * band-0 samples for single-band images (the identity path for
     * grayscale JPEG — `getRGB` would run a gray→sRGB color transform
