@@ -70,4 +70,30 @@ class ResizeSpec extends AnyFunSuite {
         s"w=$w h=$h fx=$fx fy=$fy")
     }
   }
+
+  private def decimate(xs: Seq[Int], f: Int): Seq[Int] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq(Tuple1(xs)).toDF("s")
+      .select(Multimodal.decimate(col("s"), f).as("d"))
+      .as[Seq[Int]].head()
+  }
+
+  test("decimate floor-means each block, flooring negatives toward " +
+      "-inf (PCM symmetry, not truncation)") {
+    assert(decimate(Seq(1, 2, 3, 5), 2) == Seq(1, 4))
+    // (-3 + -4) / 2 = -3.5 -> floor -4; (3 + 4) / 2 = 3.5 -> floor 3
+    assert(decimate(Seq(-3, -4, 3, 4), 2) == Seq(-4, 3))
+  }
+
+  test("decimate crops the trailing partial block and empties out " +
+      "short inputs") {
+    assert(decimate(Seq(10, 20, 30, 40, 99), 2) == Seq(15, 35))
+    assert(decimate(Seq(7, 8), 3) == Seq())
+    assert(decimate(Seq(), 4) == Seq())
+  }
+
+  test("decimate by 1 is the identity") {
+    assert(decimate(Seq(5, -6, 7), 1) == Seq(5, -6, 7))
+  }
 }
