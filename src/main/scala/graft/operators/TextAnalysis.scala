@@ -245,32 +245,76 @@ object TextAnalysis {
     */
   def perplexityBuckets(scored: DataFrame, grpCol: String,
       scoreCol: String): DataFrame = {
+    // materialized once: both the threshold derivation and the final
+    // assignment read the scored stream, and scoring is typically the
+    // expensive upstream (an LM join pipeline) — without this the
+    // whole scoring subtree executes twice (verified in the q99
+    // post-AQE plan)
+    val chk = scored.localCheckpoint(false)
+    bucketByThresholds(chk, histThresholds(binned(chk, scoreCol), grpCol),
+      grpCol, scoreCol)
+  }
+
+  /** The calibration half of [[perplexityBuckets]], exposed for
+    * streaming gates: derive each group's two bucket thresholds
+    * (`head_min_bin`, `middle_min_bin` — nullable when a bucket is
+    * empty) from a scored calibration corpus. Bucket bins are
+    * contiguous top-down by construction (the cumulative count is
+    * monotone over descending bins), so the bins-per-group cutoff
+    * table collapses losslessly to one row per group — the static
+    * side input a long-running gate broadcasts per micro-batch.
+    */
+  def perplexityThresholds(scored: DataFrame, grpCol: String,
+      scoreCol: String): DataFrame =
+    histThresholds(binned(scored, scoreCol), grpCol)
+
+  /** Assign head/middle/tail by comparing each doc's score bin to its
+    * group's [[perplexityThresholds]] row (broadcast LEFT join):
+    * unlike a bin equi-join, a doc whose bin never occurred in the
+    * calibration corpus still gates correctly (better than every
+    * calibration bin → head, worse → tail). Docs in groups absent
+    * from the thresholds get a NULL bucket — uncalibrated, the
+    * caller's policy decision.
+    */
+  def bucketByThresholds(scored: DataFrame, thresholds: DataFrame,
+      grpCol: String, scoreCol: String): DataFrame =
+    binned(scored, scoreCol)
+      .join(broadcast(thresholds), Seq(grpCol), "left")
+      .withColumn("bucket",
+        when(col("__bin") >= col("head_min_bin"), lit("head"))
+        .when(col("middle_min_bin").isNotNull &&
+          col("__bin") >= col("middle_min_bin"), lit("middle"))
+        .when(col("head_min_bin").isNotNull, lit("tail")))
+      .drop("__bin", "head_min_bin", "middle_min_bin")
+
+  /** 0.1-wide ln-bins — exact integers since scores are 4dp. */
+  private def binned(scored: DataFrame, scoreCol: String): DataFrame =
+    scored.withColumn("__bin", floor(col(scoreCol) * 10).cast("long"))
+
+  private def histThresholds(binnedDf: DataFrame,
+      grpCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialized once: both the histogram branch and the final
-    // assignment join read the scored stream, and scoring is
-    // typically the expensive upstream (an LM join pipeline) —
-    // without this the whole scoring subtree executes twice
-    // (verified in the q99 post-AQE plan)
-    val binned = scored
-      .withColumn("__bin", floor(col(scoreCol) * 10).cast("long"))
-      .localCheckpoint(false)
-    val hist = binned.groupBy(col(grpCol), col("__bin"))
+    val hist = binnedDf.groupBy(col(grpCol), col("__bin"))
       .agg(count(lit(1)).as("__c"))
     val desc1 = Window.partitionBy(grpCol).orderBy(desc("__bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val whole = Window.partitionBy(grpCol)
-    val cut = hist
+    hist
       .withColumn("__prev", coalesce(sum("__c").over(desc1), lit(0L)))
       .withColumn("__n", sum("__c").over(whole))
       // integer ceils via exact double floor (counts ≪ 2^52)
       .withColumn("__t1", floor((col("__n") + 2).cast("double") / 3))
       .withColumn("__t2", floor((col("__n") * 2 + 2).cast("double") / 3))
-      .withColumn("bucket",
+      .withColumn("__bucket",
         when(col("__prev") < col("__t1"), lit("head"))
         .when(col("__prev") < col("__t2"), lit("middle"))
         .otherwise(lit("tail")))
-      .select(col(grpCol), col("__bin"), col("bucket"))
-    binned.join(broadcast(cut), Seq(grpCol, "__bin")).drop("__bin")
+      .groupBy(col(grpCol))
+      .agg(
+        min(when(col("__bucket") === "head", col("__bin")))
+          .as("head_min_bin"),
+        min(when(col("__bucket") === "middle", col("__bin")))
+          .as("middle_min_bin"))
   }
 
   /** Composed reference for [[tokenCount]] (parity spec). */

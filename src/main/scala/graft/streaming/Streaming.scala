@@ -302,6 +302,37 @@ object Streaming {
     }
   }
 
+  /** Streaming CCNet quality gate — the streaming face of the q99
+    * batch operator ([[graft.operators.TextAnalysis.perplexityBuckets]]):
+    * score each micro-batch under a STATIC trigram LM (`train`, the
+    * side-input pattern of [[annotateStreamTo]]) and assign head /
+    * middle / tail against STATIC per-group thresholds calibrated
+    * once ([[graft.operators.TextAnalysis.perplexityThresholds]] on a
+    * calibration corpus). Entirely STATELESS per batch — a doc's
+    * bucket depends only on its own text and the two static side
+    * inputs — so a replayed batch re-emits identical rows and the
+    * sink needs no dedup for correctness (at-least-once delivery, by
+    * [[annotateStreamTo]]'s contract). Docs with no score (< 3
+    * tokens) are gated out; docs in groups the calibration never saw
+    * carry a NULL bucket, the caller's policy decision.
+    */
+  def qualityGateStream(docs: DataFrame, train: DataFrame,
+      thresholds: DataFrame, sink: (DataFrame, Long) => Unit,
+      idCol: String = "doc_id", textCol: String = "text",
+      grpCol: String = "lang"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.TextAnalysis
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      // one materialization: the LM scoring reads the batch twice
+      // (trigram stream + id spine) and the group join a third time
+      val b = batch.localCheckpoint(true)
+      val scored = TextAnalysis.stupidBackoff(train, b, idCol, textCol)
+        .filter(col("score").isNotNull)
+        .join(b.select(col(idCol), col(grpCol)), Seq(idCol))
+      sink(TextAnalysis.bucketByThresholds(scored, thresholds, grpCol,
+        "score"), id)
+    }
+  }
+
   /** Exactly-once streaming maintenance of MERGEABLE sketch state —
     * HLL registers ([[graft.operators.Hll.merge]] per-bucket MAX),
     * Count-Min cells ([[graft.operators.CountMin.merge]] per-cell

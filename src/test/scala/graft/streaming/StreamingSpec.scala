@@ -308,6 +308,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map { case (id, v) => id -> v._2 } == batchSplits)
   }
 
+  test("streaming quality gate matches the batch bucketing under " +
+      "static LM + thresholds, across batch boundaries") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // ≥ 3 tokens each so every doc scores; two languages; vocabulary
+    // overlaps so LM scores spread across bins
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps high"),
+      (2L, "en", "the quick brown fox runs far"),
+      (3L, "en", "the slow green turtle walks home"),
+      (4L, "en", "zeta xylophone quartz vortex banjo"),
+      (5L, "en", "the quick brown fox jumps high again"),
+      (6L, "en", "another plain sentence about the fox"),
+      (7L, "de", "der schnelle braune fuchs springt hoch"),
+      (8L, "de", "der langsame fuchs geht heim"),
+      (9L, "de", "voellig anderes vokabular hier jetzt"))
+    val docsDF = docs.toDF("doc_id", "lang", "text")
+    val train = docsDF.filter($"doc_id" % 2 === 0)
+    val scoredAll = TextAnalysis.stupidBackoff(train, docsDF,
+        "doc_id", "text")
+      .filter(col("score").isNotNull)
+      .join(docsDF.select("doc_id", "lang"), Seq("doc_id"))
+    val thr = TextAnalysis.perplexityThresholds(scoredAll, "lang", "score")
+    val batchAssign = TextAnalysis
+      .perplexityBuckets(scoredAll, "lang", "score")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map[Long, String]()
+    val q = Streaming.qualityGateStream(
+        input.toDF().toDF("doc_id", "lang", "text"), train, thr,
+        (out, _) => got.synchronized {
+          out.select("doc_id", "bucket").collect()
+            .foreach(r => got(r.getLong(0)) = r.getString(1))
+        })
+      .start()
+    input.addData(docs.filter(_._1 <= 4))
+    q.processAllAvailable()
+    input.addData(docs.filter(_._1 > 4))
+    q.processAllAvailable()
+    q.stop()
+    // stateless gate + static side inputs: streamed buckets ARE the
+    // batch buckets, regardless of how the corpus was batched
+    assert(got.toMap == batchAssign)
+    assert(batchAssign.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+
   test("streaming near-dup dedup matches the batch operator on clique classes") {
     import spark.implicits._
     import graft.operators.Dedup
