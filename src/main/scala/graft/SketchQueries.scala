@@ -238,6 +238,46 @@ object SketchQueries {
         .orderBy("cluster")
     }),
 
+    /** Content-defined chunking (the rolling-hash boundary rule of
+      * storage/blob dedup, stateless variant): cut after any 8-gram
+      * whose md5-60 hash ≡ 0 (mod 64) — boundaries depend only on
+      * local content, so an insertion early in a document shifts
+      * nothing downstream (the CDC property; fixed-size chunking
+      * would reshuffle every later chunk). No min/max-size clamp:
+      * that variant is sequential by nature and belongs to a
+      * single-pass reducer, documented honestly here. Per doc:
+      * chunk count, total/max chunk length, and an md5 over the
+      * length list pinning every boundary. Pure column algebra over
+      * the per-row gram array (the q41 winnowing class — chunk-first
+      * contract applies for multi-MB docs).
+      */
+    "q104_cdc_chunks" -> ((s, d) => {
+      val norm = TextAnalysis.normText(col("text"))
+      val hs = transform(TextFunctions.char_ngrams(norm, 8),
+        g => md5Int60(concat(lit("c:"), g)))
+      // cut after char i+7 for gram position i (1-based); cuts beyond
+      // the text (short-doc degenerate gram) are dropped
+      val cuts = filter(
+        transform(sequence(lit(1), size(hs)),
+          i => when(pmod(element_at(hs, i), lit(64L)) === 0, i + 7)
+            .otherwise(lit(-1))),
+        x => x > 0 && x < length(norm))
+      val bounds = concat(array(lit(0)), cuts, array(length(norm)))
+      val lens = filter(
+        zip_with(bounds, slice(bounds, lit(2), size(bounds) - 1),
+          (a, b) => b - a),
+        x => x.isNotNull)
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), lens.as("__l"))
+        .select(col("doc_id"),
+          size(col("__l")).cast("long").as("n_chunks"),
+          aggregate(col("__l"), lit(0L), (a, v) => a + v).as("total_len"),
+          array_max(col("__l")).cast("long").as("max_len"),
+          md5(array_join(transform(col("__l"), _.cast("string")), ",")
+            .cast("binary")).as("lens_md5"))
+        .orderBy("doc_id")
+    }),
+
     /** LSH quality evaluation: q43's MinHash-LSH pairs scored against
       * exact char-4-gram Jaccard ground truth on the same doc_id<200
       * slice — tp/fp/fn and precision/recall per truth threshold
@@ -966,6 +1006,31 @@ object SketchQueries {
          |SELECT c.cluster, c.n, r.id AS kept_doc, r.q AS kept_q
          |FROM c JOIN r USING (cluster) WHERE r.rn = 1
          |ORDER BY cluster""".stripMargin,
+    // the boundary rule replayed: cut after 8-grams whose md5-60
+    // hash is 0 mod 64, in-text cuts only, lengths = bound diffs
+    "q104_cdc_chunks" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents
+        |  WHERE doc_id < 200),
+        |gr AS (SELECT doc_id, t,
+        |  list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+        |    i -> CAST('0x' || substr(md5('c:' || substr(t, CAST(i AS INT), 8)),
+        |      1, 15) AS BIGINT)) AS hs FROM norm),
+        |ct AS (SELECT doc_id, t, list_filter(
+        |  list_transform(range(1, len(hs) + 1),
+        |    i -> CASE WHEN hs[i] % 64 = 0 THEN i + 7 ELSE -1 END),
+        |  x -> x > 0 AND x < length(t)) AS cuts FROM gr),
+        |bl AS (SELECT doc_id,
+        |  list_concat(list_concat([0], cuts), [length(t)]) AS bounds
+        |  FROM ct),
+        |ln AS (SELECT doc_id, list_transform(range(1, len(bounds)),
+        |  i -> bounds[i + 1] - bounds[i]) AS lens FROM bl)
+        |SELECT doc_id, CAST(len(lens) AS BIGINT) AS n_chunks,
+        |  CAST(list_sum(lens) AS BIGINT) AS total_len,
+        |  CAST(list_max(lens) AS BIGINT) AS max_len,
+        |  md5(array_to_string(list_transform(lens, x -> CAST(x AS VARCHAR)),
+        |    ',')) AS lens_md5
+        |FROM ln ORDER BY doc_id""".stripMargin,
     // q43's pair CTE joined to the q32-style exact-Jaccard truth
     // table; per-threshold counts via correlated scalar subqueries
     // over the two small pair tables
