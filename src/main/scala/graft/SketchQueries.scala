@@ -238,6 +238,38 @@ object SketchQueries {
         .orderBy("cluster")
     }),
 
+    /** Motion-JPEG-in-AVI decode ([[Multimodal.decodeVideoMjpeg]]):
+      * q72's EXACT fixture JPEGs (8×8-uniform blocks survive JPEG
+      * DCT bit-exactly) repackaged in the RIFF/AVI container instead
+      * of MP4 — so the SAME oracle pins every pixel while the demux
+      * exercises the second real compressed-video container path
+      * ([[graft.operators.Avi.indexMjpeg]] walk → whole-JPEG frame
+      * chunks → bounded decode).
+      */
+    "q105_avi_mjpeg" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 8 * (2 + m % 3)
+        val h = 8 * (1 + m % 2)
+        val frames = (0 until 3).map { f =>
+          Multimodal.encodeGrayJpeg(w, h, (x, y) =>
+            (37 * m + 11 * f + 13 * (x / 8) + 29 * (y / 8)) % 256)
+        }
+        (m.toLong, Avi.buildMjpeg(frames, w, h))
+      }.toDF("media_id", "media")
+      Multimodal.decodeVideoMjpeg(media)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"),
+          array_min(col("pixels")).cast("long").as("px_min"),
+          array_max(col("pixels")).cast("long").as("px_max"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     /** Content-defined chunking (the rolling-hash boundary rule of
       * storage/blob dedup, stateless variant): cut after any 8-gram
       * whose md5-60 hash ≡ 0 (mod 64) — boundaries depend only on
@@ -1304,6 +1336,9 @@ object SketchQueries {
     // identical fixture + oracle; only the Spark plan differs
     // (expression/generator vs mapPartitions)
     "q78_mjpeg_decode_gen" -> q72OracleSql,
+    // identical fixture pixels + oracle; only the container differs
+    // (RIFF/AVI MJPG demux instead of MP4 sample tables)
+    "q105_avi_mjpeg" -> q72OracleSql,
     // frame rows are uniform, so each resized pixel is the floor-mean
     // of its 3 source-row values (the x-extent contributes equal
     // terms: (4*sum)/12 == sum/3)

@@ -28,6 +28,10 @@ object Avi {
 
   private val MaxFrames = 1 << 16
   private val BiRle8 = 1L
+  /** biCompression for Motion-JPEG-in-AVI: 'MJPG' as a little-endian
+    * fourcc integer.
+    */
+  private val BiMjpg = 0x47504A4DL
 
   private def le32(b: Array[Byte], p: Int): Long =
     if (p < 0 || p + 4 > b.length) -1L
@@ -252,6 +256,74 @@ object Avi {
         chunk("strf", strf.toArray)))))
     val movi = listChunk("movi",
       frames.map(f => chunk("00dc", encodeRle8(f, w, h))))
+    val body = ArrayBuffer.empty[Byte]
+    putCc(body, "AVI ")
+    hdrl.foreach(body += _); movi.foreach(body += _)
+    chunk("RIFF", body.toArray)
+  }
+
+  /** Index for a Motion-JPEG AVI: container dims + each frame chunk's
+    * (offset, length) extent. Shares the RIFF walk with [[index]];
+    * biCompression must be 'MJPG' (24 bpp, headers-only strf — no
+    * palette). The payloads are whole JPEG streams; pixel dims come
+    * from the JPEG itself at decode time, the container header is
+    * metadata only.
+    */
+  def indexMjpeg(bytes: Array[Byte]): Option[(Int, Int, Vector[(Int, Int)])] = {
+    if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return None
+    val top = chunks(bytes, 12, bytes.length)
+    val (hs, he) = list(top, "hdrl", bytes).getOrElse(return None)
+    val hdrl = chunks(bytes, hs, he)
+    val (ss, se) = list(hdrl, "strl", bytes).getOrElse(return None)
+    val strl = chunks(bytes, ss, se)
+    val vids = strl.collectFirst {
+      case ("strh", s, _) if fourcc(bytes, s) == "vids" => ()
+    }
+    if (vids.isEmpty) return None
+    val (fs, fe) = strl.collectFirst { case ("strf", s, e) => (s, e) }
+      .getOrElse(return None)
+    if (fe - fs < 40) return None
+    val w = le32(bytes, fs + 4).toInt
+    val h = le32(bytes, fs + 8).toInt
+    val comp = le32(bytes, fs + 16)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+      comp != BiMjpg) return None
+    val (ms, me) = list(top, "movi", bytes).getOrElse(return None)
+    val frames = chunks(bytes, ms, me).collect {
+      case (t, s, e) if t == "00dc" || t == "00db" => (s, e - s)
+    }
+    if (frames.isEmpty || frames.length > MaxFrames) None
+    else Some((w, h, frames))
+  }
+
+  /** Build a minimal Motion-JPEG AVI: the [[build]] skeleton with
+    * handler/compression 'MJPG', 24 bpp, no palette; each frame chunk
+    * carries a whole JPEG stream untouched.
+    */
+  def buildMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val avih = ArrayBuffer.empty[Byte]
+    put32(avih, 40000L) // usec/frame (25 fps)
+    (0 until 3).foreach(_ => put32(avih, 0L))
+    put32(avih, frames.length.toLong); put32(avih, 0L)
+    put32(avih, 1L) // streams
+    put32(avih, 0L)
+    put32(avih, w.toLong); put32(avih, h.toLong)
+    (0 until 4).foreach(_ => put32(avih, 0L))
+    val strh = ArrayBuffer.empty[Byte]
+    putCc(strh, "vids"); putCc(strh, "MJPG")
+    (0 until 12).foreach(_ => put32(strh, 0L))
+    val strf = ArrayBuffer.empty[Byte]
+    put32(strf, 40L) // biSize, headers only
+    put32(strf, w.toLong); put32(strf, h.toLong)
+    put32(strf, 1L | (24L << 16)) // biPlanes=1, biBitCount=24
+    put32(strf, BiMjpg) // biCompression
+    (0 until 5).foreach(_ => put32(strf, 0L))
+    val hdrl = listChunk("hdrl", Seq(chunk("avih", avih.toArray),
+      listChunk("strl", Seq(chunk("strh", strh.toArray),
+        chunk("strf", strf.toArray)))))
+    val movi = listChunk("movi", frames.map(f => chunk("00dc", f)))
     val body = ArrayBuffer.empty[Byte]
     putCc(body, "AVI ")
     hdrl.foreach(body += _); movi.foreach(body += _)

@@ -509,6 +509,50 @@ object Multimodal {
     }
   }
 
+  /** Motion-JPEG-in-AVI decode — the second REAL compressed-video
+    * container path (MP4-MJPEG being the first, q72): [[Avi.indexMjpeg]]
+    * walks the RIFF container, each frame chunk is a whole JPEG
+    * stream decoded through the bounded [[decodeGray]] path. Output
+    * schema matches [[decodeVideoRle]]; width/height come from the
+    * decoded JPEG (the container header is metadata only — a lying
+    * header can't oversize an allocation, [[readImageBounded]]
+    * guards). A rejected container yields one typed null row; a
+    * rejected frame payload keeps its typed row with null pixels —
+    * never an executor throw.
+    */
+  def decodeVideoMjpeg(df: DataFrame,
+      mediaCol: String = "media", idCol: String = "media_id"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", ArrayType(IntegerType))))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val idPos = df.columns.indexOf(idCol)
+    val mediaPos = df.columns.indexOf(mediaCol)
+    require(idPos >= 0 && mediaPos >= 0)
+    df.mapPartitions { it =>
+      // production: initialize the codec ONCE per partition here
+      it.flatMap { r =>
+        val id = r.getLong(idPos)
+        val bytes = r.getAs[Array[Byte]](mediaPos)
+        if (bytes == null) Iterator.empty
+        else Avi.indexMjpeg(bytes) match {
+          case None => Iterator.single(Row(id, null, null, null, null))
+          case Some((_, _, frames)) =>
+            frames.iterator.zipWithIndex.map { case ((off, len), i) =>
+              val data = java.util.Arrays.copyOfRange(bytes, off, off + len)
+              decodeGray(data) match {
+                case Some((w, h, px)) => Row(id, i, w, h, px.toSeq)
+                case None => Row(id, i, null, null, null)
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** Integer box-filter downscale of a decoded frame — the "resize"
     * step of a media feature pipeline, as pure column algebra
     * (higher-order functions over the pixel array; no UDF, no

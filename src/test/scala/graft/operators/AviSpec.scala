@@ -107,4 +107,44 @@ class AviSpec extends AnyFunSuite {
     (0 until 4).foreach(i => broken(pos + 8 + 16 + i) = 0)
     assert(Avi.index(broken).isEmpty)
   }
+
+  test("MJPG build→index round-trips frames; each codec's indexer " +
+      "rejects the other's container") {
+    val w = 16; val h = 8
+    val jpegs = (0 until 3).map(f =>
+      Multimodal.encodeGrayJpeg(w, h, (x, y) =>
+        (11 * f + 13 * (x / 8) + 29 * (y / 8)) % 256))
+    val avi = Avi.buildMjpeg(jpegs, w, h)
+    val ix = Avi.indexMjpeg(avi)
+    assert(ix.isDefined)
+    val (iw, ih, frames) = ix.get
+    assert(iw == w && ih == h && frames.length == 3)
+    // frame payloads are the JPEG bytes untouched
+    val (off, len) = frames(1)
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(avi, off, off + len), jpegs(1)))
+    // cross-codec rejection: MJPG walk refuses RLE8 and vice versa
+    val rle = Avi.build(Seq(frame(w, h, (x, _) => x % 251)), w, h)
+    assert(Avi.indexMjpeg(rle).isEmpty)
+    assert(Avi.index(avi).isEmpty)
+  }
+
+  test("MJPG malformed payloads keep typed rows, never throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val w = 16; val h = 8
+    val good = Multimodal.encodeGrayJpeg(w, h, (x, _) => (7 * x) % 256)
+    // one good frame + one garbage payload inside a valid container
+    val avi = Avi.buildMjpeg(Seq(good, Array.fill[Byte](32)(0x5a)), w, h)
+    val out = Multimodal.decodeVideoMjpeg(
+        Seq((1L, avi), (2L, Array.fill[Byte](20)(3))).toDF("media_id", "media"))
+      .select(col("media_id"), col("frame_idx"), col("pixels"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)))).toSeq
+      .sortBy(r => (r._1, r._2.map(_.asInstanceOf[Int]).getOrElse(-1)))
+    assert(out.map(_._1) == Seq(1L, 1L, 2L))
+    assert(out(0)._3.isDefined)            // good frame decodes
+    assert(out(1)._2.contains(1) && out(1)._3.isEmpty) // bad payload
+    assert(out(2)._2.isEmpty && out(2)._3.isEmpty)     // bad container
+  }
 }
