@@ -624,6 +624,52 @@ object SketchQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    /** Content-aware keyframe selection — the sampling step AFTER
+      * shot detection (q101): keep frame 0 plus every frame that
+      * opens a new shot (its incoming transition's mean abs diff ≥
+      * 25), pinning each kept frame's pixel checksum. One decode
+      * (checkpointed), one adjacent-frame equi-join for the flags,
+      * one LEFT join back — a kept-frames list a multimodal training
+      * pipeline feeds to the image featurizers instead of every
+      * frame.
+      */
+    "q106_keyframes" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.map { m =>
+        val w = 16 + 8 * (m % 2)
+        val h = 6 + m % 3
+        val frames = (0 until 3).map { f =>
+          Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            if (f == 1 && y == 0) (m + 3 * x) % 251
+            else (41 * m + 17 * f + 5 * y) % 251
+          }
+        }
+        (m.toLong, Avi.build(frames, w, h))
+      }.toDF("media_id", "media")
+      val dec = Multimodal.decodeVideoRle(media)
+        .select(col("media_id"), col("frame_idx"), col("pixels"))
+        .localCheckpoint(false)
+      val cur = dec.select(col("media_id"), col("frame_idx"),
+        col("pixels").as("__pa"))
+      val prv = dec.select(col("media_id"),
+        (col("frame_idx") + 1).as("frame_idx"), col("pixels").as("__pb"))
+      val cuts = cur.join(prv, Seq("media_id", "frame_idx"))
+        .withColumn("__sad", aggregate(
+          zip_with(col("__pa"), col("__pb"), (x, y) => abs(x - y)),
+          lit(0L), (a, v) => a + v))
+        .filter(col("__sad").cast("double") / size(col("__pa")) >= 25.0)
+        .select(col("media_id"), col("frame_idx"), lit(1).as("__cut"))
+      dec.join(cuts, Seq("media_id", "frame_idx"), "left")
+        .filter(col("frame_idx") === 0 || col("__cut") === 1)
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          aggregate(col("pixels"), lit(0L), (a, v) => a + v).as("px_sum"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     /** Media resize ([[Multimodal.resizeBox]]): integer box-filter
       * downscale of the q94 AVI frames — decode is LOSSLESS (RLE8, no
       * codec error), so the resize means are exact and every resized
@@ -1038,6 +1084,33 @@ object SketchQueries {
          |SELECT c.cluster, c.n, r.id AS kept_doc, r.q AS kept_q
          |FROM c JOIN r USING (cluster) WHERE r.rn = 1
          |ORDER BY cluster""".stripMargin,
+    // q94's formulas + q101's cut rule: keep f=0 and cut-opening
+    // frames, pin each kept frame's pixel sum
+    "q106_keyframes" ->
+      """WITH fr AS (SELECT unnest(range(3)) AS f),
+        |dims AS (SELECT CAST(n_nationkey AS INT) AS m, f,
+        |    16 + 8 * (CAST(n_nationkey AS INT) % 2) AS w,
+        |    6 + CAST(n_nationkey AS INT) % 3 AS h
+        |  FROM nation, fr),
+        |px AS (SELECT m, f, w, h, flatten(list_transform(range(h), y ->
+        |    CASE WHEN f = 1 AND y = 0
+        |      THEN list_transform(range(w), x -> (m + 3 * x) % 251)
+        |      ELSE list_transform(range(w),
+        |        x -> (41 * m + 17 * f + 5 * y) % 251) END)) AS ps
+        |  FROM dims),
+        |pairs AS (SELECT a.m, a.f, a.ps AS cur, b.ps AS prv
+        |  FROM px a JOIN px b ON a.m = b.m AND b.f = a.f - 1),
+        |cuts AS (SELECT m, f FROM (SELECT m, f, CAST(list_sum(
+        |    list_transform(range(1, len(cur) + 1),
+        |      i -> abs(cur[i] - prv[i]))) AS BIGINT) AS sad,
+        |    len(cur) AS n FROM pairs)
+        |  WHERE CAST(sad AS DOUBLE) / n >= 25)
+        |SELECT CAST(px.m AS BIGINT) AS media_id,
+        |  CAST(px.f AS BIGINT) AS frame_idx,
+        |  CAST(list_sum(ps) AS BIGINT) AS px_sum
+        |FROM px LEFT JOIN cuts ON px.m = cuts.m AND px.f = cuts.f
+        |WHERE px.f = 0 OR cuts.f IS NOT NULL
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // the boundary rule replayed: cut after 8-grams whose md5-60
     // hash is 0 mod 64, in-text cuts only, lengths = bound diffs
     "q104_cdc_chunks" ->
