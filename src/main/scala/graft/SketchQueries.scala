@@ -846,6 +846,43 @@ object SketchQueries {
         .orderBy("media_id", "k")
     }),
 
+    /** Audio frame energy + silence gating — the VAD-style featurizer
+      * step of an audio pipeline: segment the q81 G.711-decoded PCM
+      * into 16-sample frames, per frame the exact sum-of-squares
+      * energy, its floor-mean, and a silence flag (mean below 10⁸ —
+      * mid-distribution for this fixture, so both flags occur). All
+      * integer arithmetic (|pcm| < 2¹⁵ → Σv² over 16 samples < 2³⁴),
+      * pure column algebra over the sample array.
+      */
+    "q107_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.nation(s, d).select(col("n_nationkey")).collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      val media = keys.toSeq.flatMap { m =>
+        val codes = (0 until 64).map(j => (m * 29 + j * 7) % 256)
+        Seq((m.toLong * 2, G711.buildWav(G711.UlawTag, codes)),
+          (m.toLong * 2 + 1, G711.buildWav(G711.AlawTag, codes)))
+      }.toDF("media_id", "media")
+      val frames = Multimodal.decodeAudio(media)
+        .select(col("media_id"),
+          transform(sequence(lit(0),
+            floor(size(col("samples")).cast("double") / 16).cast("int") - 1),
+            k =>
+            aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) => {
+              val v = element_at(col("samples"), k * 16 + j + 1).cast("long")
+              acc + v * v
+            })).as("__e"))
+      frames
+        .select(col("media_id"), posexplode(col("__e")).as(Seq("k", "__sq")))
+        .select(col("media_id"), col("k").cast("long").as("k"),
+          col("__sq").as("energy"),
+          floor(col("__sq").cast("double") / 16).cast("long")
+            .as("mean_energy"))
+        .withColumn("is_silence",
+          when(col("mean_energy") < 100000000L, 1L).otherwise(0L))
+        .orderBy("media_id", "k")
+    }),
+
     /** Contrastive hard-negative mining: each anchor's closest
       * DIFFERENT-label vector ([[Similarity.hardNegatives]] over the
       * bounded 60×60 verifier cross with integer-quantized cosine —
@@ -1390,6 +1427,19 @@ object SketchQueries {
          |  CAST(max(pcm) AS BIGINT) AS pcm_max,
          |  CAST(sum((pos + 1) * pcm) AS BIGINT) AS pcm_wsum
          |FROM dec GROUP BY m, c ORDER BY media_id""".stripMargin,
+    // q81's exact pcm formulas grouped into 16-sample frames; energy
+    // is the exact sum of squares, the flag thresholds its floor mean
+    "q107_audio_energy" ->
+      s"""WITH $g711DecCte,
+         |fe AS (SELECT m, c, pos // 16 AS k,
+         |    CAST(sum(pcm * pcm) AS BIGINT) AS energy
+         |  FROM dec GROUP BY 1, 2, 3)
+         |SELECT CAST(m * 2 + c AS BIGINT) AS media_id,
+         |  CAST(k AS BIGINT) AS k, energy,
+         |  CAST(energy // 16 AS BIGINT) AS mean_energy,
+         |  CAST(CASE WHEN energy // 16 < 100000000 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS is_silence
+         |FROM fe ORDER BY media_id, k""".stripMargin,
     // q81's exact pcm formulas grouped into 4-sample blocks; each
     // output sample is the block's floor mean (// is floor division,
     // matching Spark's floor(sum/4.0) on negative PCM)
