@@ -61,7 +61,65 @@ object CoverageQueries {
           (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("d30"),
           date_trunc("month", col("o_orderdate")).cast("date").as("m"))
         .orderBy("o_orderkey")
-        .limit(100))
+        .limit(100)),
+
+    /** Sequential funnel (view → click → purchase): per user, the
+      * first view, the first click AFTER that view, the first
+      * purchase AFTER that click, each within a 12-hour conversion
+      * window — the product-analytics shape that needs event ORDER
+      * and recency, not just presence. Step times come from
+      * three cascaded (filter → per-user min → equi-join) rounds —
+      * shuffles on user_id only, no per-user window/sort — and the
+      * one-row summary is a single aggregate over the left-join
+      * cascade (never a 1-row cross join). Micros are exact longs,
+      * so the mean step latencies are deterministic cross-engine.
+      */
+    "q108_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("__t"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("__t").as("t1"))
+      val win = 43200000000L // 12 h conversion window, in micros
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("__t") > col("t1") && col("__t") <= col("t1") + win)
+        .groupBy("user_id").agg(min("__t").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("__t") > col("t2") && col("__t") <= col("t2") + win)
+        .groupBy("user_id").agg(min("__t").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+          count(col("t3")).as("u3"),
+          sum(col("t2") - col("t1")).as("__d12"),
+          sum(col("t3") - col("t2")).as("__d23"))
+        .select(col("u1"), col("u2"), col("u3"),
+          round(col("u2").cast("double") / col("u1"), 4).as("conv12"),
+          round(col("u3").cast("double") / col("u2"), 4).as("conv23"),
+          round(col("__d12").cast("double") / 1000000 / col("u2"), 4)
+            .as("avg_s12"),
+          round(col("__d23").cast("double") / 1000000 / col("u3"), 4)
+            .as("avg_s23"))
+    }),
+
+    /** Weekly retention cohorts: users grouped by first-activity week
+      * (exact integer weeks since epoch — no calendar functions, so
+      * both engines bin identically), counted per later-activity week
+      * offset. Two hash aggregates and one equi-join on user_id; the
+      * cohort table is user-scale, never event-scale.
+      */
+    "q109_retention" -> ((s, d) => {
+      val wk = events(s, d).select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+          .as("__w"))
+        .distinct()
+      val cohort = wk.groupBy("user_id").agg(min("__w").as("__cw"))
+      wk.join(cohort, Seq("user_id"))
+        .groupBy(col("__cw").as("cohort_week"),
+          (col("__w") - col("__cw")).as("offset_weeks"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -77,6 +135,42 @@ object CoverageQueries {
       """SELECT c_nationkey, count(*) AS c FROM customer
         |GROUP BY c_nationkey HAVING count(*) > 20
         |ORDER BY c_nationkey""".stripMargin,
+    // first view, first click after it, first purchase after that;
+    // one-row summary over the left-join cascade
+    "q108_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(t) AS t2 FROM ev
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND t > t1
+        |    AND t <= t1 + 43200000000 GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(t) AS t3 FROM ev
+        |  JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND t > t2
+        |    AND t <= t2 + 43200000000 GROUP BY ev.user_id),
+        |j AS (SELECT s1.user_id, t1, t2, t3 FROM s1
+        |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(count(t1) AS BIGINT) AS u1,
+        |  CAST(count(t2) AS BIGINT) AS u2,
+        |  CAST(count(t3) AS BIGINT) AS u3,
+        |  round(CAST(count(t2) AS DOUBLE) / count(t1), 4) AS conv12,
+        |  round(CAST(count(t3) AS DOUBLE) / count(t2), 4) AS conv23,
+        |  round(CAST(sum(t2 - t1) AS DOUBLE) / 1000000 / count(t2), 4)
+        |    AS avg_s12,
+        |  round(CAST(sum(t3 - t2) AS DOUBLE) / 1000000 / count(t3), 4)
+        |    AS avg_s23
+        |FROM j""".stripMargin,
+    // integer weeks since epoch keep both engines' bins identical
+    "q109_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 // 7 AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+        |SELECT cw AS cohort_week, w - cw AS offset_weeks,
+        |  count(*) AS n_users
+        |FROM wk JOIN c USING (user_id) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q35_union_all" ->
       """SELECT count(*) AS n FROM (SELECT o_custkey AS k FROM orders
         |UNION ALL SELECT c_custkey FROM customer) t""".stripMargin,
