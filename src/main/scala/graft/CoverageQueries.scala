@@ -102,6 +102,30 @@ object CoverageQueries {
             .as("avg_s23"))
     }),
 
+    /** Semi-structured props extraction as a declared query (P17's
+      * lenient JSON decode, oracle-pinned): parse the `props` JSON
+      * column, aggregate the extracted field per event type — exact
+      * integer sums close the mean deterministically. `from_json`
+      * runs inside the scan projection; a malformed props row yields
+      * NULL and is counted, not thrown.
+      */
+    "q110_json_props" -> ((s, d) => {
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k")
+      events(s, d)
+        .select(col("event_type"), k.as("__k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("__k")).as("n_parsed"),
+          sum(col("__k").cast("long")).as("__s"),
+          sum(when(col("__k") > 50, 1L).otherwise(0L)).as("n_big"))
+        .select(col("event_type"), col("n"), col("n_parsed"),
+          round(col("__s").cast("double") / col("n_parsed"), 4)
+            .as("mean_k"), col("n_big"))
+        .orderBy("event_type")
+    }),
+
     /** Weekly retention cohorts: users grouped by first-activity week
       * (exact integer weeks since epoch — no calendar functions, so
       * both engines bin identically), counted per later-activity week
@@ -162,6 +186,17 @@ object CoverageQueries {
         |  round(CAST(sum(t3 - t2) AS DOUBLE) / 1000000 / count(t3), 4)
         |    AS avg_s23
         |FROM j""".stripMargin,
+    // json_extract mirrors from_json's NULL-on-malformed semantics
+    "q110_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_parsed,
+        |  round(CAST(sum(CAST(k AS BIGINT)) AS DOUBLE) / count(k), 4)
+        |    AS mean_k,
+        |  CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_big
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // integer weeks since epoch keep both engines' bins identical
     "q109_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
