@@ -102,6 +102,40 @@ object CoverageQueries {
             .as("avg_s23"))
     }),
 
+    /** Hopping (sliding) time windows — q23's tumbling twin: event
+      * counts per 2-hour window advancing every hour, so each event
+      * lands in two windows. Window starts are exact integer micro
+      * arithmetic (`floor` to the hour grid, two hops enumerated by a
+      * 2-element literal explode) — both engines bin identically with
+      * no calendar functions, and the plan is one explode + one hash
+      * aggregate, the same shape Structured Streaming's `window()`
+      * compiles to.
+      */
+    "q111_hopping_window" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = events(s, d).select(col("event_type"),
+        (unix_micros(col("ts").cast("timestamp")) / hourUs)
+          .cast("long").as("__h"))
+      ev.select(col("event_type"),
+          explode(array(col("__h") - 1, col("__h"))).as("__ws"))
+        .groupBy("__ws", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .select((col("__ws") * hourUs).as("w_start_us"), col("event_type"),
+          col("c"))
+        .orderBy("w_start_us", "event_type")
+    }),
+
+    /** CUBE — the §2.5 grouping-set completion next to q12's ROLLUP
+      * and q13's GROUPING SETS: all four (priority, status) slices in
+      * one pass.
+      */
+    "q112_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
     /** Semi-structured props extraction as a declared query (P17's
       * lenient JSON decode, oracle-pinned): parse the `props` JSON
       * column, aggregate the extracted field per event type — exact
@@ -186,6 +220,20 @@ object CoverageQueries {
         |  round(CAST(sum(t3 - t2) AS DOUBLE) / 1000000 / count(t3), 4)
         |    AS avg_s23
         |FROM j""".stripMargin,
+    // two hops per event on the exact hour grid
+    "q111_hopping_window" ->
+      """WITH ev AS (SELECT event_type,
+        |  epoch_us(ts) // 3600000000 AS h FROM events),
+        |w AS (SELECT event_type, h - 1 + k.range AS ws
+        |  FROM ev CROSS JOIN range(2) k)
+        |SELECT CAST(ws * 3600000000 AS BIGINT) AS w_start_us,
+        |  event_type, count(*) AS c
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q112_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS c
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin,
     // json_extract mirrors from_json's NULL-on-malformed semantics
     "q110_json_props" ->
       """WITH e AS (SELECT event_type,
