@@ -136,6 +136,39 @@ object CoverageQueries {
         .orderBy(col("o_orderpriority").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)),
 
+    /** Windowed anomaly detection — hourly error counts flagged
+      * against their trailing-24h mean (the observability query every
+      * event pipeline runs). The spike test is ALL-INTEGER
+      * (`12·c > Σ trailing` ⟺ c > 2·mean), so no float knife edge;
+      * the trailing window runs over the HOUR-GRID table (≤ one row
+      * per hour regardless of event volume — the bounded-window-over-
+      * aggregates rule), never over raw events; missing hours densify
+      * to zero via an exploded hour spine off the 1-row min/max
+      * aggregate, no cross join.
+      */
+    "q113_error_spike" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hc = events(s, d).filter(col("event_type") === "error")
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("h"))
+        .agg(count(lit(1)).as("c"))
+      val spine = hc.agg(min("h").as("h0"), max("h").as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      val grid = spine.join(hc, Seq("h"), "left")
+        .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      val trail = Window.orderBy("h").rowsBetween(-24, -1)
+      val rn = Window.orderBy("h")
+      grid
+        .withColumn("trail_sum",
+          coalesce(sum("c").over(trail), lit(0L)))
+        .withColumn("__rn", row_number().over(rn))
+        .filter(col("__rn") > 24)
+        .select(col("h"), col("c"), col("trail_sum"),
+          when(col("c") * 12 > col("trail_sum"), 1L).otherwise(0L)
+            .as("is_spike"))
+        .orderBy("h")
+    }),
+
     /** Semi-structured props extraction as a declared query (P17's
       * lenient JSON decode, oracle-pinned): parse the `props` JSON
       * column, aggregate the extracted field per event type — exact
@@ -234,6 +267,22 @@ object CoverageQueries {
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST,
         |  o_orderstatus NULLS FIRST""".stripMargin,
+    // dense hour spine, trailing-24 integer sum, 12c > sum spike rule
+    "q113_error_spike" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events
+        |  WHERE event_type = 'error'),
+        |hc AS (SELECT h, count(*) AS c FROM e GROUP BY 1),
+        |sp AS (SELECT unnest(range(min(h), max(h) + 1)) AS h FROM hc),
+        |g AS (SELECT sp.h, coalesce(c, 0) AS c FROM sp
+        |  LEFT JOIN hc USING (h)),
+        |t AS (SELECT h, c,
+        |  coalesce(CAST(sum(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING
+        |    AND 1 PRECEDING) AS BIGINT), 0) AS trail_sum,
+        |  row_number() OVER (ORDER BY h) AS rn FROM g)
+        |SELECT CAST(h AS BIGINT) AS h, CAST(c AS BIGINT) AS c, trail_sum,
+        |  CAST(CASE WHEN c * 12 > trail_sum THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_spike
+        |FROM t WHERE rn > 24 ORDER BY h""".stripMargin,
     // json_extract mirrors from_json's NULL-on-malformed semantics
     "q110_json_props" ->
       """WITH e AS (SELECT event_type,
