@@ -136,6 +136,27 @@ object CoverageQueries {
         .orderBy(col("o_orderpriority").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)),
 
+    /** Pivot to a wide per-user activity matrix — the reshaping op
+      * feature pipelines use to turn event streams into fixed-width
+      * feature rows. The value list is EXPLICIT (schema is static at
+      * plan time — the unlisted-values variant needs a driver-side
+      * distinct pass, the documented trade); one hash aggregate,
+      * map-side combined.
+      */
+    "q114_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("user_id")),
+
     /** Windowed anomaly detection — hourly error counts flagged
       * against their trailing-24h mean (the observability query every
       * event pipeline runs). The spike test is ALL-INTEGER
@@ -267,6 +288,20 @@ object CoverageQueries {
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST,
         |  o_orderstatus NULLS FIRST""".stripMargin,
+    // conditional aggregation is the engine-neutral pivot twin
+    "q114_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // dense hour spine, trailing-24 integer sum, 12c > sum spike rule
     "q113_error_spike" ->
       """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events
