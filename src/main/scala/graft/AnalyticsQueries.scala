@@ -1,0 +1,241 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-analytics declared queries: distribution window functions,
+  * exact-integer population outlier detection, cross-source
+  * contamination, iterative PageRank in exact micro-units, and
+  * degree-oriented triangle counting — the graph/statistics side of
+  * a curation pipeline (domain authority ranking, anomalous-source
+  * detection, inter-source duplication audits).
+  *
+  * Numeric discipline follows the house rule: every cross-engine
+  * value is either an exact integer (scaled longs, floor division)
+  * or a single closing IEEE expression over exact integers, so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object AnalyticsQueries {
+  import Tables._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Distribution window functions (ntile / percent_rank /
+      * cume_dist) — price quartiles and percentile position within a
+      * (priority, month) cohort. Partitioning by the cohort pair
+      * gives hundreds of groups, so no single task funnels the
+      * table the way a global ORDER BY would; the tie-break on
+      * o_orderkey makes every rank deterministic. percent_rank and
+      * cume_dist are one IEEE division of the same exact integers on
+      * both engines, hence bit-identical.
+      */
+    "q115_window_dist" -> ((s, d) => {
+      val m = date_trunc("month", col("o_orderdate")).cast("date")
+      val w = Window.partitionBy(col("o_orderpriority"), m)
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("pri"),
+        m.as("m"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    /** Population z-score outliers without a single float: a user is
+      * anomalous when cnt > mean + 2*stddev over all users. With
+      * n = #users, S = sum(cnt), S2 = sum(cnt^2), that inequality is
+      * squared to (cnt*n - S)^2 > 4*(n*S2 - S^2) (guarded by
+      * cnt*n - S > 0), which stays in BIGINT end to end — no
+      * sqrt, no engine-specific stddev semantics. The stats side is
+      * a 1-row aggregate crossed back onto the per-user table (the
+      * adjudicated q60 totals-cross class).
+      */
+    "q116_zscore_outliers" -> ((s, d) => {
+      val u = events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val st = u.agg(count(lit(1)).as("n"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      val dev = col("cnt") * col("n") - col("s")
+      u.crossJoin(broadcast(st))
+        .select(col("user_id"), col("cnt"),
+          (dev > 0 && dev * dev > lit(4) *
+            (col("n") * col("s2") - col("s") * col("s")))
+            .cast("int").as("is_out"))
+        .orderBy("user_id")
+    }),
+
+    /** Cross-source contamination audit: for every source pair, how
+      * many near-duplicate keys they share. The key is a 5-word
+      * title prefix digest (the cheap URL/title-level key a crawl
+      * audit uses before paying for MinHash); the per-key fan-out in
+      * the self-join is bounded by the number of sources, so the
+      * pair explosion is |keys| * |sources|^2 worst-case — never
+      * corpus x corpus.
+      */
+    "q117_source_overlap" -> ((s, d) => {
+      val dg = documents(s, d)
+        .select(md5(concat_ws(" ",
+          slice(split(col("text"), " "), 1, 5))).as("dig"),
+          col("source"))
+        .distinct()
+      dg.as("a").join(dg.as("b"), "dig")
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("s1", "s2")
+    }),
+
+    /** PageRank (3 Jacobi iterations, damping 0.85) over the
+      * symmetrized customer–supplier order graph, in exact integer
+      * micro-units: each node starts at 1e6, contributes
+      * floor(rank*85 / (outdeg*100)) along each out-edge, and lands
+      * at 150000 + sum(in-contributions). Floor division makes every
+      * iteration bit-exact cross-engine (a little mass evaporates —
+      * fine for a ranking signal). Each iteration is one equi-join of
+      * the edge list with the node-scale rank table plus one
+      * map-side-combined sum — the canonical distributed-PageRank
+      * shuffle shape; nothing ever sorts or crosses.
+      */
+    "q118_pagerank" -> ((s, d) => {
+      val e0 = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val edges = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "node")
+      var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(ranks.join(deg, "node"),
+            edges("src") === col("node"))
+          .select(col("dst"),
+            expr("(rank * 85) div (outdeg * 100)").as("c"))
+          .groupBy("dst").agg(sum("c").as("cs"))
+        ranks = deg.select(col("node"))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("cs"), lit(0L))).as("rank"))
+      }
+      ranks.orderBy(col("rank").desc, col("node")).limit(100)
+    }),
+
+    /** Triangle counting over the co-ordered-parts graph with
+      * degree orientation: every undirected edge is directed from
+      * its lower-(degree, id) endpoint to the higher, so each
+      * triangle is counted exactly once as a wedge a->b->c closed by
+      * a->c, and per-node wedge fan-out is bounded by the SMALLER
+      * endpoint's degree — the standard trick that keeps hub nodes
+      * from exploding the wedge join at scale (Suri & Vassilvitskii,
+      * WWW'11). Three hash equi-joins, no window, no cross.
+      */
+    "q119_triangles" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+        .persist()
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val withDeg = e
+        .join(deg.withColumnRenamed("n", "u").withColumnRenamed("dg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("dg", "dv"), "v")
+      val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+        .persist()
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.hi") === col("e2.lo"))
+        .select(col("e1.lo").as("a"), col("e2.hi").as("c"))
+      wedges.join(oriented,
+          col("a") === col("lo") && col("c") === col("hi"), "left_semi")
+        .agg(count(lit(1)).as("n_tri"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q115_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority AS pri,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (
+        |  PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    // squared z-score rule in exact BIGINTs; no sqrt crosses engines
+    "q116_zscore_outliers" ->
+      """WITH u AS (SELECT user_id, count(*) AS cnt FROM events
+        |  GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+        |  CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM u)
+        |SELECT user_id, cnt,
+        |  CAST(CASE WHEN cnt * n - s > 0
+        |    AND (cnt * n - s) * (cnt * n - s) > 4 * (n * s2 - s * s)
+        |    THEN 1 ELSE 0 END AS INT) AS is_out
+        |FROM u, st ORDER BY user_id""".stripMargin,
+    "q117_source_overlap" ->
+      """WITH d AS (SELECT DISTINCT
+        |  md5(array_to_string((string_split(text, ' '))[1:5], ' '))
+        |    AS dig, source
+        |  FROM documents)
+        |SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |FROM d a JOIN d b ON a.dig = b.dig AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // three unrolled Jacobi iterations, floor-div micro-units
+    "q118_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src,
+        |    's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM e
+        |  GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |c1 AS (SELECT e.dst AS node,
+        |    CAST(sum((r.rank * 85) // (d2.outdeg * 100)) AS BIGINT) AS cs
+        |  FROM e JOIN r0 r ON e.src = r.node
+        |  JOIN deg d2 ON e.src = d2.node GROUP BY 1),
+        |r1 AS (SELECT deg.node,
+        |    CAST(150000 + coalesce(cs, 0) AS BIGINT) AS rank
+        |  FROM deg LEFT JOIN c1 ON deg.node = c1.node),
+        |c2 AS (SELECT e.dst AS node,
+        |    CAST(sum((r.rank * 85) // (d2.outdeg * 100)) AS BIGINT) AS cs
+        |  FROM e JOIN r1 r ON e.src = r.node
+        |  JOIN deg d2 ON e.src = d2.node GROUP BY 1),
+        |r2 AS (SELECT deg.node,
+        |    CAST(150000 + coalesce(cs, 0) AS BIGINT) AS rank
+        |  FROM deg LEFT JOIN c2 ON deg.node = c2.node),
+        |c3 AS (SELECT e.dst AS node,
+        |    CAST(sum((r.rank * 85) // (d2.outdeg * 100)) AS BIGINT) AS cs
+        |  FROM e JOIN r2 r ON e.src = r.node
+        |  JOIN deg d2 ON e.src = d2.node GROUP BY 1),
+        |r3 AS (SELECT deg.node,
+        |    CAST(150000 + coalesce(cs, 0) AS BIGINT) AS rank
+        |  FROM deg LEFT JOIN c3 ON deg.node = c3.node)
+        |SELECT node, rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+    // undirected a<b<c closure: (a,b),(b,c),(a,c) all edges
+    "q119_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT count(*) AS n_tri
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)
+}
