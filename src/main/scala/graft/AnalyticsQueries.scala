@@ -163,6 +163,130 @@ object AnalyticsQueries {
       wedges.join(oriented,
           col("a") === col("lo") && col("c") === col("hi"), "left_semi")
         .agg(count(lit(1)).as("n_tri"))
+    }),
+
+    /** Nearest-in-time as-of: each purchase matched to the same
+      * user's closest view in EITHER direction (tie -> earlier).
+      * Exercises [[graft.operators.AsOf.asOfNearest]] — two guarded
+      * asOfMerge passes (the forward one is the backward merge on a
+      * negated time axis) re-aligned on event_id. The oracle states
+      * the semantics directly as correlated min/max subqueries.
+      */
+    "q120_nearest_asof" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t").as("pt"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t").as("vt"))
+      graft.operators.AsOf
+        .asOfNearest(p, v, col("pt"), "vt", Seq("user_id"), "event_id")
+        .select(col("event_id"), col("pt"),
+          col("vt").as("nearest_vt"), col("asof_dir").as("dir"),
+          (col("vt") - col("pt")).as("delta_us"))
+        .orderBy("event_id")
+    }),
+
+    /** Exact per-group percentiles (p50/p90/p99, linear
+      * interpolation). Contract: `percentile` buffers each GROUP's
+      * values — right for bounded cohorts like these six flag/status
+      * cells; for corpus-scale groups use the mergeable
+      * [[graft.operators.LogHist]] sketch (q89) instead. Driver
+      * round-4 absorbs interpolation ULP.
+      */
+    "q121_percentile_exact" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    /** Gaps-and-islands: per user, runs of consecutive active DAYS
+      * (a >1-day gap breaks the streak) via the classic
+      * day - row_number() constant-per-island key — one per-user
+      * window over the deduped (user, day) table (user-count scale,
+      * already bounded), then two hash aggregates. All integers.
+      */
+    "q122_gaps_islands" -> ((s, d) => {
+      val days = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id")
+        .agg(sum("len").as("n_days"), count(lit(1)).as("n_streaks"),
+          max("len").as("longest"))
+        .orderBy("user_id")
+    }),
+
+    /** Frequent-pair mining (market-basket over order baskets):
+      * co-occurrence count per part pair with support >= 2, plus
+      * exact lift = n_uv*N/(n_u*n_v) — the numerator and denominator
+      * are exact integer products, so the one closing division is
+      * bit-identical cross-engine. Item counts broadcast onto the
+      * pair table; basket total is a 1-row totals cross.
+      */
+    "q123_frequent_pairs" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+      val total = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("nb"))
+      pairs
+        .join(broadcast(item.select(col("pk").as("u"),
+          col("ni").as("nu"))), "u")
+        .join(broadcast(item.select(col("pk").as("v"),
+          col("ni").as("nv"))), "v")
+        .crossJoin(broadcast(total))
+        .select(col("u"), col("v"), col("n"),
+          round((col("n") * col("nb")).cast("double") /
+            (col("nu") * col("nv")), 4).as("lift"))
+        .orderBy(col("n").desc, col("u"), col("v"))
+        .limit(100)
+    }),
+
+    /** Interval-overlap join via a coarse time grid: 10-day order
+      * intervals from two status classes, paired when they overlap.
+      * Each interval explodes to its covered 16-day grid cells
+      * (<= 2 each), the join runs as a hash EQUI-join on the cell,
+      * and a pair counts only in the FIRST cell both intervals
+      * share — exact dedup with no distinct pass. This is the
+      * band-join shape that scales where an inequality-only theta
+      * join degenerates to a cross; the oracle is the plain
+      * inequality join.
+      */
+    "q124_interval_overlap" -> ((s, d) => {
+      def side(status: String) = orders(s, d)
+        .filter(col("o_orderstatus") === status &&
+          year(col("o_orderdate")) === 1995)
+        .select(unix_date(col("o_orderdate").cast("date")).as("s"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      val a = side("P")
+        .withColumn("bk",
+          explode(sequence(expr("s div 16"), expr("(s + 9) div 16"))))
+        .select(col("s").as("as_"), col("m"), col("bk"))
+      val b = side("F")
+        .withColumn("bk",
+          explode(sequence(expr("s div 16"), expr("(s + 9) div 16"))))
+        .select(col("s").as("bs"), col("bk"))
+      a.join(b, Seq("bk"))
+        .filter(col("as_") < col("bs") + 10 &&
+          col("bs") < col("as_") + 10 &&
+          col("bk") === greatest(expr("as_ div 16"), expr("bs div 16")))
+        .groupBy("m").agg(count(lit(1)).as("n_overlap"))
+        .orderBy("m")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -237,5 +361,81 @@ object AnalyticsQueries {
         |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
         |SELECT count(*) AS n_tri
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
-        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    // nearest-view semantics stated directly as correlated subqueries
+    "q120_nearest_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS t FROM events),
+        |p AS (SELECT event_id, user_id, t AS pt FROM ev
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, t AS vt FROM ev
+        |  WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, p.pt,
+        |  (SELECT max(vt) FROM v
+        |    WHERE v.user_id = p.user_id AND vt <= p.pt) AS bt,
+        |  (SELECT min(vt) FROM v
+        |    WHERE v.user_id = p.user_id AND vt >= p.pt) AS ft
+        |  FROM p),
+        |r AS (SELECT event_id, pt,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN bt WHEN bt IS NULL THEN ft
+        |       WHEN pt - bt <= ft - pt THEN bt ELSE ft END AS nearest_vt,
+        |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |       WHEN ft IS NULL THEN 'b' WHEN bt IS NULL THEN 'f'
+        |       WHEN pt - bt <= ft - pt THEN 'b' ELSE 'f' END AS dir
+        |  FROM j)
+        |SELECT event_id, pt, nearest_vt, dir,
+        |  nearest_vt - pt AS delta_us
+        |FROM r ORDER BY event_id""".stripMargin,
+    "q121_percentile_exact" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // day - row_number() is constant within a consecutive-day run
+    "q122_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM isl
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days,
+        |  count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lift's numerator/denominator are exact integer products
+    "q123_frequent_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (SELECT a.pk AS u, b.pk AS v, count(*) AS n
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |item AS (SELECT pk, count(*) AS ni FROM li GROUP BY 1),
+        |total AS (SELECT count(DISTINCT ok) AS nb FROM li)
+        |SELECT u, v, n,
+        |  round(CAST(n * nb AS DOUBLE) / (iu.ni * iv.ni), 4) AS lift
+        |FROM pairs JOIN item iu ON pairs.u = iu.pk
+        |JOIN item iv ON pairs.v = iv.pk CROSS JOIN total
+        |ORDER BY n DESC, u, v LIMIT 100""".stripMargin,
+    // plain inequality join states overlap; engine side runs the
+    // grid-cell equi-join with first-shared-cell dedup
+    "q124_interval_overlap" ->
+      """WITH a AS (SELECT
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS s,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        |  FROM orders WHERE o_orderstatus = 'P'
+        |    AND date_part('year', o_orderdate) = 1995),
+        |b AS (SELECT
+        |    datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS s
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |    AND date_part('year', o_orderdate) = 1995)
+        |SELECT m, count(*) AS n_overlap
+        |FROM a JOIN b ON a.s < b.s + 10 AND b.s < a.s + 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

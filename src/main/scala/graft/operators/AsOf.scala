@@ -410,4 +410,61 @@ object AsOf {
         .drop(s"__d$i")
     }
   }
+
+  /** Nearest-in-time as-of join: each fact takes its key's closest
+    * snapshot in EITHER direction (ties — equidistant backward and
+    * forward candidates — take the backward, i.e. earlier, snapshot).
+    * The reference's as-of is strictly backward; nearest is the
+    * variant a feature pipeline wants when a measurement may be
+    * logged just after the fact it describes.
+    *
+    * Built by composing two guarded [[asOfMerge]] passes — backward
+    * (latest snapshot <= fact) and forward (earliest snapshot >=
+    * fact, which IS the backward merge on the negated time axis) —
+    * so both passes inherit the hot-key time-slice guard for free.
+    * The two passes are re-aligned with one equi-join on `factId`
+    * (must be unique per fact row), then each snapshot payload column
+    * resolves to the nearer side's value. Three shuffles total
+    * (merge, merge, id join), no window over an unbounded frame
+    * beyond what asOfMerge already does, no cross product.
+    *
+    * `factTime` and `snapshots(dateCol)` must be numeric (e.g. epoch
+    * micros as LONG) — negation needs an arithmetic axis. The output
+    * holds every fact column, every snapshot payload column (nearest
+    * side), and `asof_dir` ('b' backward / 'f' forward / NULL when
+    * the key has no snapshot at all).
+    */
+  def asOfNearest(facts: DataFrame, snapshots: DataFrame,
+      factTime: Column, dateCol: String, keyCols: Seq[String],
+      factId: String,
+      maxKeyRows: Int = DefaultMaxKeyRows): DataFrame = {
+    require(snapshots.schema(dateCol).dataType.isInstanceOf[NumericType],
+      s"asOfNearest needs a numeric $dateCol (epoch units); " +
+        s"got ${snapshots.schema(dateCol).dataType}")
+    val snapPayload =
+      snapshots.columns.toSeq.filterNot(keyCols.contains)
+    val back = asOfMerge(facts, snapshots, factTime, dateCol, keyCols,
+        joinType = "left", clamp = false, maxKeyRows = maxKeyRows)
+      .select(facts.columns.map(col) ++
+        snapPayload.map(c => col(c).as(s"__b_$c")): _*)
+    // forward pass: negate both time axes, then restore the sign on
+    // the returned date column
+    val negSnap = snapshots.withColumn(dateCol, -col(dateCol))
+    val fwd = asOfMerge(facts, negSnap, -factTime, dateCol, keyCols,
+        joinType = "left", clamp = false, maxKeyRows = maxKeyRows)
+      .withColumn(dateCol, -col(dateCol))
+      .select(col(factId) +:
+        snapPayload.map(c => col(c).as(s"__f_$c")): _*)
+    val bd = col(s"__b_$dateCol"); val fd = col(s"__f_$dateCol")
+    val pickBack = fd.isNull ||
+      (bd.isNotNull && factTime - bd <= fd - factTime)
+    back.join(fwd, factId)
+      .select(facts.columns.map(col) ++
+        snapPayload.map(c =>
+          when(pickBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+            .as(c)) :+
+        when(bd.isNull && fd.isNull, lit(null).cast(StringType))
+          .when(pickBack, lit("b")).otherwise(lit("f"))
+          .as("asof_dir"): _*)
+  }
 }

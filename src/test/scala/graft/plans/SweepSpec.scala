@@ -49,9 +49,9 @@ class SweepSpec extends AnyFunSuite {
     "q82_bm25", "q85_hard_negatives", "q88_corpus_minhash",
     "q91_hybrid_rrf", "q93_trigram_lm", "q100_lsh_recall",
     "q102_signal_correlation",
-    // q116: 1-row population-stats cross back onto the per-user
-    // table — the q60/q82 totals-cross class.
-    "q116_zscore_outliers")
+    // q116/q123: 1-row totals cross back onto a grouped table —
+    // the q60/q82 totals-cross class.
+    "q116_zscore_outliers", "q123_frequent_pairs")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
