@@ -287,6 +287,44 @@ object AnalyticsQueries {
           col("bk") === greatest(expr("as_ div 16"), expr("bs div 16")))
         .groupBy("m").agg(count(lit(1)).as("n_overlap"))
         .orderBy("m")
+    }),
+
+    /** Exact set-similarity self-join at Jaccard >= 0.6 over word
+      * trigram shingles via [[graft.operators.Dedup.prefixFilterJoin]]
+      * (AllPairs prefix filtering) — zero false negatives, unlike
+      * the MinHash/LSH path (q43). The oracle brute-forces the same
+      * semantics through the token-intersection join; the engine
+      * side never compares non-candidate pairs.
+      */
+    "q125_setsim_join" -> ((s, d) =>
+      graft.operators.Dedup
+        .prefixFilterJoin(documents(s, d), "text", "doc_id",
+          tauTenths = 6, shingle = 3)
+        .withColumn("jac", round(col("n_inter").cast("double") /
+          col("n_union"), 4))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    /** Ratio-to-report + rank over a grouped rollup: each supplier
+      * nation's share of total revenue. Money is exact scaled-long
+      * cents (the q22 rewrite), so the share is one closing division
+      * of exact integers. The unpartitioned window runs over the
+      * ALREADY-AGGREGATED nation table (bounded: 25 rows) — never
+      * over the fact stream.
+      */
+    "q126_ratio_to_report" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("cents"))
+      val wAll = Window.partitionBy()
+      val wRank = Window.orderBy(col("cents").desc, col("nk"))
+      rev.select(col("nk"), col("cents"),
+          round(col("cents").cast("double") /
+            sum("cents").over(wAll), 4).as("share"),
+          rank().over(wRank).cast("int").as("rnk"))
+        .orderBy("nk")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -437,5 +475,37 @@ object AnalyticsQueries {
         |    AND date_part('year', o_orderdate) = 1995)
         |SELECT m, count(*) AS n_overlap
         |FROM a JOIN b ON a.s < b.s + 10 AND b.s < a.s + 10
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // brute-force twin: token-intersection join + integer threshold
+    "q125_setsim_join" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |  LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    count(*) AS ni
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_id_a, db AS doc_id_b,
+        |  ni AS n_inter,
+        |  CAST(sa.n + sb.n - ni AS BIGINT) AS n_union,
+        |  round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni), 4) AS jac
+        |FROM inter JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE ni * 10 >= 6 * (sa.n + sb.n - ni)
+        |ORDER BY 1, 2""".stripMargin,
+    // exact cents; share = one division of exact integers
+    "q126_ratio_to_report" ->
+      """WITH rev AS (SELECT s_nationkey AS nk,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1)
+        |SELECT nk, cents,
+        |  round(CAST(cents AS DOUBLE) /
+        |    (SELECT CAST(sum(cents) AS BIGINT) FROM rev), 4) AS share,
+        |  CAST(rank() OVER (ORDER BY cents DESC, nk) AS INT) AS rnk
+        |FROM rev ORDER BY nk""".stripMargin)
 }

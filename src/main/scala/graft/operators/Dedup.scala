@@ -545,4 +545,80 @@ object Dedup {
       .select(col("group_a"), col("group_b"), col("matches"),
         round(col("matches").cast("double") / numHashes, 4).as("est_sim"))
   }
+
+  /** Exact set-similarity self-join with AllPairs/PPJoin prefix
+    * filtering (Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06):
+    * all document pairs whose word-`shingle`-gram Jaccard is >=
+    * tauTenths/10, found WITHOUT an all-pairs comparison and WITHOUT
+    * the MinHash/LSH probabilistic trade ([[nearDupPairs]]) — this is
+    * the exact counterpart for contracts that cannot tolerate false
+    * negatives.
+    *
+    * Why it scales: sort each document's distinct shingles by GLOBAL
+    * rarity (ascending frequency; token string breaks ties, so the
+    * order is total and deterministic). A pair with Jaccard >= tau
+    * MUST share a token among each side's first n - ceil(tau*n) + 1
+    * tokens (if both prefixes were disjoint, the intersection is
+    * confined to the suffixes, forcing Jaccard < tau). So only
+    * PREFIX tokens — by construction the rarest — are exploded into
+    * the candidate equi-join, and the per-token fan-out stays small
+    * exactly where an all-pairs join explodes.
+    *
+    * Plan shape: one token-frequency hash-agg; one equi-join of the
+    * token stream with that table (Zipf-skewed key — AQE handles the
+    * moderate case, and only PREFIX tokens survive into the heavy
+    * join); one per-doc agg collecting the rarity-sorted array
+    * (map-side partial, doc-bounded per the per-row-array contract —
+    * chunk first for multi-MB docs); the prefix-token candidate
+    * equi-join with the integer length filter
+    * 10*min(na,nb) >= tauTenths*max(na,nb); and a doc-bounded verify
+    * join computing the EXACT intersection. Threshold compares are
+    * pure integers (10*inter >= tauTenths*union) — no float
+    * threshold can flip a pair cross-engine.
+    *
+    * Output: (idCol_a, idCol_b, n_inter, n_union) for qualifying
+    * pairs, idCol_a < idCol_b.
+    */
+  def prefixFilterJoin(df: DataFrame, textCol: String, idCol: String,
+      tauTenths: Int = 6, shingle: Int = 3): DataFrame = {
+    require(tauTenths >= 1 && tauTenths <= 10,
+      s"tauTenths must be in [1,10], got $tauTenths")
+    val gramExpr =
+      s"""CASE WHEN size(__w) >= $shingle THEN
+         |  transform(sequence(0, size(__w) - $shingle),
+         |    i -> array_join(slice(__w, i + 1, $shingle), ' '))
+         |ELSE CAST(array() AS array<string>) END""".stripMargin
+    val toks = df
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
+      .select(col("__id"), explode(array_distinct(expr(gramExpr))).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__f"))
+    val sorted = toks.join(freq, "__tok")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__f").as("f"),
+        col("__tok").as("tok")))).as("__st"))
+      .select(col("__id"), expr("transform(__st, x -> x.tok)").as("__ts"),
+        size(col("__st")).as("__n"))
+    // prefix length n - ceil(tau*n) + 1, with ceil(tau*n) as
+    // (tauTenths*n + 9) div 10 — all integer
+    val pref = sorted.select(col("__id"), col("__n"),
+      explode(expr(s"slice(__ts, 1, " +
+        s"__n - ((__n * $tauTenths + 9) div 10) + 1)")).as("__tok"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.__tok") === col("b.__tok") &&
+        col("a.__id") < col("b.__id") &&
+        col("a.__n") * 10 >= col("b.__n") * tauTenths &&
+        col("b.__n") * 10 >= col("a.__n") * tauTenths)
+      .select(col("a.__id").as("__da"), col("b.__id").as("__db"))
+      .distinct()
+    val inter = size(array_intersect(col("__ta"), col("__tb")))
+    cands
+      .join(sorted.select(col("__id").as("__da"), col("__ts").as("__ta"),
+        col("__n").as("__na")), "__da")
+      .join(sorted.select(col("__id").as("__db"), col("__ts").as("__tb"),
+        col("__n").as("__nb")), "__db")
+      .select(col("__da").as(s"${idCol}_a"), col("__db").as(s"${idCol}_b"),
+        inter.as("n_inter"),
+        (col("__na") + col("__nb") - inter).as("n_union"))
+      .filter(col("n_inter") * 10 >= col("n_union") * tauTenths)
+  }
 }
