@@ -325,6 +325,179 @@ object AnalyticsQueries {
             sum("cents").over(wAll), 4).as("share"),
           rank().over(wRank).cast("int").as("rnk"))
         .orderBy("nk")
+    }),
+
+    /** First-order Markov transition matrix over per-user event
+      * sequences: lag() within each user's (ts, event_id)-ordered
+      * stream yields transition bigrams; one hash-agg counts the
+      * matrix, and row-normalized probabilities divide exact counts
+      * (matrix is #event_types², bounded — the row-total join
+      * broadcasts). Per-user windows partition on the natural key, so
+      * no single task ever holds more than one user's history.
+      */
+    "q127_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+      val pairs = events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"),
+          col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "event_type").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("prev").agg(sum("n").as("tot"))
+      pairs.join(broadcast(totals), "prev")
+        .select(col("prev"), col("event_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("prev", "event_type")
+    }),
+
+    /** Source similarity via word-frequency profiles: exact integer
+      * dot products between per-source term-frequency vectors, cosine
+      * as ONE closing float expression over exact sums (sqrt is
+      * IEEE-correctly-rounded on both engines). The profile join fans
+      * out ≤ #sources rows per word — the q117 bound — and the norm
+      * table is #sources rows, broadcast.
+      */
+    "q128_source_cosine" -> ((s, d) => {
+      val tf = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("n"))
+      val norms = tf.groupBy("source")
+        .agg(sum(col("n") * col("n")).as("n2"))
+      val dots = tf.as("a").join(tf.as("b"),
+          col("a.w") === col("b.w") &&
+          col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(sum(col("a.n") * col("b.n")).as("dot"))
+      dots
+        .join(broadcast(norms.select(col("source").as("s1"),
+          col("n2").as("n2a"))), "s1")
+        .join(broadcast(norms.select(col("source").as("s2"),
+          col("n2").as("n2b"))), "s2")
+        .select(col("s1"), col("s2"), col("dot"),
+          round(col("dot").cast("double") /
+            (sqrt(col("n2a")) * sqrt(col("n2b"))), 4).as("cos"))
+        .orderBy("s1", "s2")
+    }),
+
+    /** Rolling 7-day distinct users (exact sliding-window distinct):
+      * each active (user, day) explodes into the 7 trailing window
+      * days it contributes to, then one two-phase distinct aggregate
+      * per window day — the scale shape for exact sliding distincts
+      * (cardinality-sketch alternative: q86's mergeable HLL). Fan-out
+      * is a fixed ×7, never quadratic.
+      */
+    "q129_rolling_distinct" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .distinct()
+        .withColumn("wd", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy("wd")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("wd")),
+
+    /** EWMA smoothing of the hourly error-count series with
+      * alpha = 1/2 truncated at 20 terms. The trick that makes a
+      * FLOAT result hash-exact cross-engine: every weight is a
+      * negative power of two, so each term c/2^(k+1) is an exact
+      * dyadic rational and every partial sum is exact — summation
+      * order (partition order, engine order) cannot change the
+      * result. Each hour's count explodes to the 20 window positions
+      * it feeds (fixed ×20 fan-out), then one hash-agg sums — no
+      * recursive state, no per-key window sort.
+      */
+    "q130_ewma" -> ((s, d) => {
+      val e = events(s, d).filter(col("event_type") === "error")
+        .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("h"))
+      val hc = e.groupBy("h").agg(count(lit(1)).as("c"))
+      val bounds = hc.agg(min("h").as("lo"), max("h").as("hi"))
+      val grid = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+        .join(hc, Seq("h"), "left")
+        .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      val sm = grid
+        .withColumn("k", explode(sequence(lit(0), lit(19))))
+        .select((col("h") + col("k")).as("t"),
+          (col("c").cast("double") /
+            expr("cast(shiftleft(1L, k + 1) as double)")).as("w"))
+        .groupBy("t").agg(sum("w").as("ewma"))
+        .join(grid.select(col("h").as("t")), Seq("t"), "left_semi")
+      // full 20-term windows only: the grid is dense, so row_number
+      // over the bounded hour table is t - lo + 1
+      sm.withColumn("rn", row_number().over(Window.orderBy("t")))
+        .filter(col("rn") > 19).drop("rn")
+        .orderBy("t")
+    }),
+
+    /** Grouped simple linear regression (per-nation price trend):
+      * slope/intercept/r2 from the five classic sums, every sum an
+      * exact centered long (x = days since 2000-01-01, y = whole
+      * dollars — cents would push n*syy past INT64, the same
+      * overflow on both engines; .5 dollars is dyadic-exact and both
+      * engines round half away from zero) so the closing float
+      * expressions are identical cross-engine. At petabyte row
+      * counts the sums promote to DECIMAL(38,0) — documented, same
+      * shape. One fact-scan hash-agg; no window, no join beyond the
+      * broadcast dim.
+      */
+    "q131_grouped_regression" -> ((s, d) => {
+      val j = orders(s, d)
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          (unix_date(col("o_orderdate").cast("date")) - 10957).cast("long")
+            .as("x"),
+          expr("cast(round(o_totalprice) as bigint)").as("y"))
+      val g = j.groupBy("nk").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = num.cast("double") / den.cast("double")
+      g.select(col("nk"), col("n"),
+          round(slope, 4).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx")) /
+            col("n"), 4).as("intercept"),
+          round(num.cast("double") * num.cast("double") /
+            (den.cast("double") * deny.cast("double")), 4).as("r2"))
+        .orderBy("nk")
+    }),
+
+    /** Rolling z-score anomaly detection: daily event totals vs the
+      * TRAILING 14-day frame's mean + 2*sigma, squared into pure
+      * integer arithmetic exactly like q116 (population variant) —
+      * (c*n - s)^2 > 4*(n*s2 - s^2) over frame sums s, s2. Window
+      * runs on the bounded dense day grid, full frames only.
+      */
+    "q132_rolling_zscore" -> ((s, d) => {
+      val dc = events(s, d)
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val spine = dc.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val grid = spine.join(dc, Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.orderBy("day").rowsBetween(-14, -1)
+      val wn = Window.orderBy("day")
+      val dev = col("c") * lit(14L) - col("s")
+      grid
+        .withColumn("s", sum("c").over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") > 14)
+        .select(col("day"), col("c"), col("s"),
+          (dev > 0 && dev * dev >
+            lit(4L) * (lit(14L) * col("s2") - col("s") * col("s")))
+            .cast("int").as("is_anomaly"))
+        .orderBy("day")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -507,5 +680,111 @@ object AnalyticsQueries {
         |  round(CAST(cents AS DOUBLE) /
         |    (SELECT CAST(sum(cents) AS BIGINT) FROM rev), 4) AS share,
         |  CAST(rank() OVER (ORDER BY cents DESC, nk) AS INT) AS rnk
-        |FROM rev ORDER BY nk""".stripMargin)
+        |FROM rev ORDER BY nk""".stripMargin,
+    "q127_markov_transitions" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |tr AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS prev
+        |  FROM ev),
+        |pairs AS (SELECT prev, event_type, count(*) AS n FROM tr
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM pairs
+        |  GROUP BY 1)
+        |SELECT pairs.prev, event_type, n,
+        |  round(CAST(n AS DOUBLE) / tot, 4) AS p
+        |FROM pairs JOIN tot ON pairs.prev = tot.prev
+        |ORDER BY 1, 2""".stripMargin,
+    // cosine: one closing float expr over exact integer sums
+    "q128_source_cosine" ->
+      """WITH tf AS (SELECT source, w, count(*) AS n FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |norms AS (SELECT source, CAST(sum(n * n) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1),
+        |dots AS (SELECT a.source AS s1, b.source AS s2,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS dot
+        |  FROM tf a JOIN tf b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+        |FROM dots JOIN norms na ON s1 = na.source
+        |JOIN norms nb ON s2 = nb.source
+        |ORDER BY 1, 2""".stripMargin,
+    // each active (user, day) feeds the 7 trailing window days
+    "q129_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |w AS (SELECT user_id, day + k.range AS wd
+        |  FROM du CROSS JOIN range(7) k)
+        |SELECT CAST(wd AS BIGINT) AS wd,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dyadic weights: every term and partial sum is exact, so the
+    // float EWMA hash-matches bit-for-bit
+    "q130_ewma" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events
+        |  WHERE event_type = 'error'),
+        |hc AS (SELECT h, count(*) AS c FROM e GROUP BY 1),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+        |sp AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+        |grid AS (SELECT sp.h, coalesce(c, 0) AS c FROM sp
+        |  LEFT JOIN hc USING (h)),
+        |terms AS (SELECT h + k.range AS t,
+        |    CAST(c AS DOUBLE) /
+        |      CAST(1::BIGINT << (k.range + 1) AS DOUBLE) AS w
+        |  FROM grid CROSS JOIN range(20) k),
+        |sm AS (SELECT t, CAST(sum(w) AS DOUBLE) AS ewma FROM terms
+        |  JOIN sp ON t = sp.h GROUP BY 1),
+        |r AS (SELECT t, ewma, row_number() OVER (ORDER BY t) AS rn
+        |  FROM sm)
+        |SELECT CAST(t AS BIGINT) AS t, ewma FROM r WHERE rn > 19
+        |ORDER BY t""".stripMargin,
+    // five exact centered sums; closing float exprs in matched order
+    "q131_grouped_regression" ->
+      """WITH j AS (SELECT c_nationkey AS nk,
+        |    CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) - 10957 AS BIGINT) AS x,
+        |    CAST(round(o_totalprice) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT nk, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT nk, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+        |  round((CAST(sy AS DOUBLE) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 4)
+        |    AS intercept,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) *
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |     CAST(n * syy - sy * sy AS DOUBLE)), 4) AS r2
+        |FROM g ORDER BY nk""".stripMargin,
+    // q116's squared z-rule over the trailing 14-day frame
+    "q132_rolling_zscore" ->
+      """WITH dcnt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS c FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM dcnt),
+        |sp AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+        |grid AS (SELECT sp.day, coalesce(c, 0) AS c FROM sp
+        |  LEFT JOIN dcnt USING (day)),
+        |t AS (SELECT day, c,
+        |    CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN 14 PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER (ORDER BY day ROWS BETWEEN 14
+        |      PRECEDING AND 1 PRECEDING) AS BIGINT) AS s2,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM grid)
+        |SELECT CAST(day AS BIGINT) AS day, c, s,
+        |  CAST(CASE WHEN c * 14 - s > 0
+        |    AND (c * 14 - s) * (c * 14 - s) > 4 * (14 * s2 - s * s)
+        |    THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM t WHERE rn > 14 ORDER BY day""".stripMargin)
 }
