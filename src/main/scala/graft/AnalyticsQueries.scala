@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,46 +94,66 @@ object AnalyticsQueries {
       * floor(rank*85 / (outdeg*100)) along each out-edge, and lands
       * at 150000 + sum(in-contributions). Floor division makes every
       * iteration bit-exact cross-engine (a little mass evaporates —
-      * fine for a ranking signal). Each iteration is one equi-join of
-      * the edge list with the node-scale rank table plus one
-      * map-side-combined sum — the canonical distributed-PageRank
-      * shuffle shape; nothing ever sorts or crosses.
+      * fine for a ranking signal).
+      *
+      * Per iteration: the cached edge list joins the NODE-scale
+      * (node, outdeg, rank) table — broadcast here, since the rank
+      * table is edge-count/avg-degree rows (the q60 "vocab side"
+      * class) — then one map-side-combined sum of contributions and
+      * one node-scale left join. The edge list never re-shuffles and
+      * is scanned once per iteration; when the node table outgrows
+      * broadcast (billion-node graphs), drop the hint and the same
+      * plan runs as a co-partitioned shuffle join with the edge-side
+      * exchange reused across iterations. Nothing sorts, nothing
+      * crosses.
       */
     "q118_pagerank" -> ((s, d) => {
+      // long node ids while the graph iterates: suppliers map to
+      // -(suppkey + 1) — the +1 matters because both key spaces
+      // start at 0 and a bare negation would merge customer 0 with
+      // supplier 0; the display label materializes only on the
+      // node-scale result
       val e0 = lineitem(s, d)
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (-(col("l_suppkey") + 1)).cast("long").as("dst"))
         .distinct()
       val edges = e0.unionAll(
         e0.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .withColumnRenamed("src", "node")
-      var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
+      var rd = deg.withColumn("rank", lit(1000000L))
       for (_ <- 1 to 3) {
         val contrib = edges
-          .join(ranks.join(deg, "node"),
-            edges("src") === col("node"))
+          .join(broadcast(rd), edges("src") === col("node"))
           .select(col("dst"),
             expr("(rank * 85) div (outdeg * 100)").as("c"))
           .groupBy("dst").agg(sum("c").as("cs"))
-        ranks = deg.select(col("node"))
+        rd = deg
           .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
+          .select(col("node"), col("outdeg"),
             (lit(150000L) + coalesce(col("cs"), lit(0L))).as("rank"))
       }
-      ranks.orderBy(col("rank").desc, col("node")).limit(100)
+      rd.select(when(col("node") >= 0, concat(lit("c"), col("node")))
+            .otherwise(concat(lit("s"), -col("node") - 1)).as("node"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(100)
     }),
 
-    /** Triangle counting over the co-ordered-parts graph with
-      * degree orientation: every undirected edge is directed from
-      * its lower-(degree, id) endpoint to the higher, so each
-      * triangle is counted exactly once as a wedge a->b->c closed by
-      * a->c, and per-node wedge fan-out is bounded by the SMALLER
-      * endpoint's degree — the standard trick that keeps hub nodes
-      * from exploding the wedge join at scale (Suri & Vassilvitskii,
-      * WWW'11). Three hash equi-joins, no window, no cross.
+    /** Triangle counting over the SUPPORT-PRUNED co-ordered-parts
+      * graph (pairs co-ordered >= 2 times) with degree orientation:
+      * every undirected edge is directed from its lower-(degree, id)
+      * endpoint to the higher, so each triangle is counted exactly
+      * once as a wedge a->b->c closed by a->c, and per-node wedge
+      * fan-out is bounded by the SMALLER endpoint's degree — the
+      * standard trick that keeps hub nodes from exploding the wedge
+      * join at scale (Suri & Vassilvitskii, WWW'11). The support
+      * threshold is the other scale lever: co-occurrence graphs are
+      * quadratic in basket size and dominated by weight-1 noise
+      * edges; pruning them first is what any production graph
+      * pipeline does, and it keeps Sum(outdeg^2) — the wedge count —
+      * bounded. Three hash equi-joins, no window, no cross.
       */
     "q119_triangles" -> ((s, d) => {
       val li = lineitem(s, d)
@@ -141,8 +161,10 @@ object AnalyticsQueries {
         .distinct()
       val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct()
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
         .persist()
       val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -498,6 +520,177 @@ object AnalyticsQueries {
             lit(4L) * (lit(14L) * col("s2") - col("s") * col("s")))
             .cast("int").as("is_anomaly"))
         .orderBy("day")
+    }),
+
+    /** Dataset-card corpus report: per-source doc count, exact char
+      * totals/mean, language count, and language-mix entropy in the
+      * q60 micro-log discipline — each (source, lang) cell carries
+      * c * round(ln(c/N)*1e6) as an exact long, so the per-source
+      * entropy sum is partition-order-free; the one closing division
+      * converts to nats. Two hash aggs over a bounded cell table.
+      */
+    "q133_corpus_report" -> ((s, d) => {
+      val cells = documents(s, d)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("c"), sum("n_chars").as("chars"))
+      val perSrc = cells.groupBy("source")
+        .agg(sum("c").as("n_docs"), sum("chars").as("total_chars"),
+          count(lit(1)).as("n_langs"))
+      cells.join(perSrc, "source")
+        .withColumn("__term", col("c") *
+          round(log(col("c").cast("double") /
+            col("n_docs").cast("double")) * 1e6).cast("long"))
+        .groupBy(col("source"), col("n_docs"), col("total_chars"),
+          col("n_langs"))
+        .agg((-sum("__term")).as("h_micro"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          round(col("total_chars").cast("double") / col("n_docs"), 4)
+            .as("mean_chars"),
+          col("n_langs"), col("h_micro"),
+          round(col("h_micro").cast("double") /
+            (col("n_docs").cast("double") * 1e6), 4).as("h_nats"))
+        .orderBy("source")
+    }),
+
+    /** KMV (k-minimum-values) distinct-count sketch, k=32, over the
+      * cross-engine-stable 60-bit md5 hash: per language plus one
+      * merged all-corpus row. The k smallest hashes come from the
+      * bounded [[graft.functions.TopKAgg]] — each task keeps <= k
+      * entries per group before the shuffle (score = the hash's top
+      * 48 bits negated, exact in a double; ties fall to the id which
+      * IS the hash, so the order is exactly ascending h). Estimate
+      * (k-1)*2^60/h_k is one closing float expression; merge = the
+      * same agg over the union, shown by the *all* row. Unlike HLL
+      * (q86), KMV sketches also support INTERSECTION estimates via
+      * inclusion-exclusion on merged sketches.
+      */
+    "q134_kmv_distinct" -> ((s, d) => {
+      val h = documents(s, d)
+        .select(col("lang"),
+          graft.functions.StableHash.md5Int60(col("text")).as("h"))
+        .distinct()
+      def sketch(df: DataFrame, grp: Column) = df
+        .groupBy(grp.as("grp"))
+        .agg(graft.functions.TopKAgg.top_k_agg(
+          expr("cast(-shiftright(h, 12) as double)"), col("h"), 32)
+            .as("__top"),
+          count(lit(1)).as("n_exact"))
+        .select(col("grp"), col("n_exact"),
+          size(col("__top")).as("k_eff"),
+          element_at(col("__top"), size(col("__top")))
+            .getField("id").as("hk"))
+      val all = sketch(h.select(col("h")).distinct()
+        .withColumn("lang", lit("*all*")), col("lang"))
+      sketch(h, col("lang")).unionByName(all)
+        .select(col("grp"), col("n_exact"), col("k_eff"), col("hk"),
+          when(col("k_eff") === 32,
+            round(lit(31.0) *
+              expr("cast(shiftleft(1L, 60) as double)") /
+              col("hk").cast("double"), 4)).as("est"))
+        .orderBy("grp")
+    }),
+
+    /** Z-order layout keys ([[graft.functions.ZOrder]]): Morton
+      * interleave of (nation, bucketed account balance) — the
+      * write-side clustering step that makes parquet min/max pruning
+      * work on BOTH predicate dimensions at 100 TB. The key is 32
+      * codegen'd bit terms; the oracle rebuilds it as a sum of
+      * disjoint powers of two over an exploded bit table.
+      */
+    "q135_zorder" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("x"),
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 32")
+          .as("y"))
+      c.withColumn("z", graft.functions.ZOrder
+          .interleave16(col("x"), col("y")))
+        .orderBy("z", "c_custkey").limit(200)
+    }),
+
+    /** Unpivot/melt via stack(): the wide per-status count columns
+      * fold back to tall (status, n) rows — the inverse of q114's
+      * pivot, one generator projection over the already-aggregated
+      * table.
+      */
+    "q136_unpivot" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+          .as("f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0))
+            .as("o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0))
+            .as("p"))
+        .select(col("o_orderpriority"),
+          expr("stack(3, 'F', f, 'O', o, 'P', p) AS (status, n)"))
+        .orderBy("o_orderpriority", "status")),
+
+    /** Null-safe equi-join (<=>): click and error volumes matched on
+      * the nullable parsed props key, where the NULL bucket (the
+      * malformed-JSON rows, P17 semantics) must MATCH — a plain
+      * equi-join silently drops it, the classic reconciliation bug.
+      * Full-outer so each side's unmatched keys survive.
+      */
+    "q137_nullsafe_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+      def side(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(col("k").as(s"k_$as"))
+        .agg(count(lit(1)).as(s"n_$as"))
+      side("click", "a").join(side("error", "b"),
+          col("k_a") <=> col("k_b"), "full_outer")
+        .select(coalesce(col("k_a"), col("k_b")).as("k"),
+          coalesce(col("n_a"), lit(0L)).as("n_click"),
+          coalesce(col("n_b"), lit(0L)).as("n_error"))
+        .orderBy(col("k"))
+    }),
+
+    /** Month-over-month revenue growth: exact cents per month, one
+      * lag over the bounded month table, growth as one closing
+      * division of exact longs. The fact scan aggregates BEFORE any
+      * window — the window never sees fact-scale rows.
+      */
+    "q138_mom_growth" -> ((s, d) => {
+      val m = orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("m"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("cents"))
+      val w = Window.orderBy("m")
+      m.withColumn("prev", lag("cents", 1).over(w))
+        .select(col("m"), col("cents"),
+          round((col("cents").cast("double") / col("prev") - 1) * 100,
+            4).as("growth_pct"))
+        .orderBy("m")
+    }),
+
+    /** Time-weighted average of the event value per user: each
+      * value holds from its event until the user's next event
+      * (lead), weighted by exact whole-second durations; value in
+      * exact scaled cents, so TWA is one closing division. Per-user
+      * windows on the natural key; the last event (no successor)
+      * carries no weight.
+      */
+    "q139_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      ev.withColumn("nt", lead("t", 1).over(w))
+        .filter(col("nt").isNotNull)
+        .withColumn("dt", expr("(nt - t) div 1000000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("dt").as("total_sec"),
+          sum(col("vc") * col("dt")).as("wsum"))
+        .select(col("user_id"), col("n"), col("total_sec"),
+          round(col("wsum").cast("double") /
+            (col("total_sec").cast("double") * 100), 4).as("twa"))
+        .orderBy("user_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -564,12 +757,13 @@ object AnalyticsQueries {
         |  FROM deg LEFT JOIN c3 ON deg.node = c3.node)
         |SELECT node, rank FROM r3
         |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
-    // undirected a<b<c closure: (a,b),(b,c),(a,c) all edges
+    // support>=2 pruned graph; undirected a<b<c closure
     "q119_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
-        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM li a
-        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk)
+        |e AS (SELECT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT count(*) AS n_tri
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
@@ -786,5 +980,110 @@ object AnalyticsQueries {
         |  CAST(CASE WHEN c * 14 - s > 0
         |    AND (c * 14 - s) * (c * 14 - s) > 4 * (14 * s2 - s * s)
         |    THEN 1 ELSE 0 END AS INT) AS is_anomaly
-        |FROM t WHERE rn > 14 ORDER BY day""".stripMargin)
+        |FROM t WHERE rn > 14 ORDER BY day""".stripMargin,
+    // per-(source,lang) micro-log terms sum exactly; closing /N*1e6
+    "q133_corpus_report" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS c,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2),
+        |per_src AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(sum(chars) AS BIGINT) AS total_chars,
+        |    count(*) AS n_langs
+        |  FROM cells GROUP BY 1),
+        |terms AS (SELECT cells.source, n_docs, total_chars, n_langs,
+        |    c * CAST(round(ln(CAST(c AS DOUBLE) / n_docs) * 1e6)
+        |      AS BIGINT) AS term
+        |  FROM cells JOIN per_src ON cells.source = per_src.source),
+        |g AS (SELECT source, n_docs, total_chars, n_langs,
+        |    CAST(sum(term) AS BIGINT) AS tsum
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT source, n_docs, total_chars,
+        |  round(CAST(total_chars AS DOUBLE) / n_docs, 4) AS mean_chars,
+        |  n_langs, -tsum AS h_micro,
+        |  round(CAST(-tsum AS DOUBLE) /
+        |    (CAST(n_docs AS DOUBLE) * 1e6), 4) AS h_nats
+        |FROM g ORDER BY source""".stripMargin,
+    // k smallest 60-bit md5 hashes per group; est = 31*2^60/h_k
+    "q134_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang,
+        |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |u AS (SELECT lang, h FROM h
+        |  UNION ALL SELECT '*all*', h FROM (SELECT DISTINCT h FROM h)),
+        |r AS (SELECT lang AS grp, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_exact
+        |  FROM u)
+        |SELECT grp, CAST(max(n_exact) AS BIGINT) AS n_exact,
+        |  CAST(count(*) AS INT) AS k_eff, max(h) AS hk,
+        |  CASE WHEN count(*) = 32 THEN
+        |    round(31.0 * CAST(1::BIGINT << 60 AS DOUBLE) / max(h), 4)
+        |  END AS est
+        |FROM r WHERE rn <= 32 GROUP BY grp ORDER BY grp""".stripMargin,
+    // z rebuilt as a sum of disjoint powers of two per bit position
+    "q135_zorder" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS x,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 32
+        |      AS y
+        |  FROM customer),
+        |bits AS (SELECT c_custkey, x, y,
+        |    CAST(sum(((x >> b.range) & 1) * (1::BIGINT << (2 * b.range))
+        |      + ((y >> b.range) & 1) * (1::BIGINT << (2 * b.range + 1)))
+        |      AS BIGINT) AS z
+        |  FROM c CROSS JOIN range(16) b GROUP BY 1, 2, 3)
+        |SELECT c_custkey, x, y, z FROM bits
+        |ORDER BY z, c_custkey LIMIT 200""".stripMargin,
+    "q136_unpivot" ->
+      """WITH wide AS (SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS o,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'F' AS status, f AS n FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'O', o FROM wide
+        |UNION ALL
+        |SELECT o_orderpriority, 'P', p FROM wide
+        |ORDER BY 1, 2""".stripMargin,
+    // IS NOT DISTINCT FROM: the NULL (malformed-props) bucket matches
+    "q137_nullsafe_join" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS INT) AS k FROM events),
+        |a AS (SELECT k AS k_a, count(*) AS n_a FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT k AS k_b, count(*) AS n_b FROM ev
+        |  WHERE event_type = 'error' GROUP BY 1)
+        |SELECT coalesce(k_a, k_b) AS k,
+        |  coalesce(n_a, 0) AS n_click, coalesce(n_b, 0) AS n_error
+        |FROM a FULL OUTER JOIN b ON k_a IS NOT DISTINCT FROM k_b
+        |ORDER BY k NULLS FIRST""".stripMargin,
+    "q138_mom_growth" ->
+      """WITH m AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT m, cents,
+        |  round((CAST(cents AS DOUBLE) /
+        |    lag(cents) OVER (ORDER BY m) - 1) * 100, 4) AS growth_pct
+        |FROM m ORDER BY m""".stripMargin,
+    // value holds until the next event; exact seconds x exact cents
+    "q139_time_weighted_avg" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |le AS (SELECT user_id, vc, t,
+        |    lead(t) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id) AS nt
+        |  FROM ev),
+        |g AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum((nt - t) // 1000000) AS BIGINT) AS total_sec,
+        |    CAST(sum(vc * ((nt - t) // 1000000)) AS BIGINT) AS wsum
+        |  FROM le WHERE nt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n, total_sec,
+        |  round(CAST(wsum AS DOUBLE) /
+        |    (CAST(total_sec AS DOUBLE) * 100), 4) AS twa
+        |FROM g ORDER BY user_id""".stripMargin)
 }

@@ -34,7 +34,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only subset filter (comma-separated names); the driver
+    // never sets it, so the contract run always covers every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // every caught throwable is NAMED on stderr — an anonymous stack
     // in the bench tail must be attributable to a query and pass
     def named(name: String, pass: String, e: Throwable): Unit =

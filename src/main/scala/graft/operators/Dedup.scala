@@ -588,37 +588,92 @@ object Dedup {
          |  transform(sequence(0, size(__w) - $shingle),
          |    i -> array_join(slice(__w, i + 1, $shingle), ' '))
          |ELSE CAST(array() AS array<string>) END""".stripMargin
+    // The frequency table, the rarity sort, and the candidate join
+    // all run on xxhash64 token keys — an 8-byte stream where shingle
+    // STRINGS would make every shuffle carry the corpus. Token
+    // strings never shuffle at all: the exact verify re-derives each
+    // CANDIDATE doc's string-token set by a plain scan projection
+    // (array_intersect doesn't care about the rarity order), and the
+    // candidate side is tiny, so AQE broadcasts it — the corpus-scan
+    // side of the verify never moves. A 64-bit collision can only
+    // merge two tokens' counts (perturbing the — arbitrary but
+    // consistent — rarity order, which only steers candidate
+    // generation) or ADD a candidate pair, which the exact string
+    // intersection then rejects: completeness and exactness are
+    // collision-proof.
     val toks = df
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("__w"))
-      .select(col("__id"), explode(array_distinct(expr(gramExpr))).as("__tok"))
-    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__f"))
-    val sorted = toks.join(freq, "__tok")
+      .select(col("__id"),
+        explode(array_distinct(expr(gramExpr))).as("__tok"))
+      .select(col("__id"), xxhash64(col("__tok")).as("__th"))
+    val freq = toks.groupBy("__th").agg(count(lit(1)).as("__f"))
+    val sortedH = toks.join(freq, "__th")
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("__f").as("f"),
-        col("__tok").as("tok")))).as("__st"))
-      .select(col("__id"), expr("transform(__st, x -> x.tok)").as("__ts"),
+        col("__th").as("th")))).as("__st"))
+      .select(col("__id"),
+        expr("transform(__st, x -> x.th)").as("__hs"),
         size(col("__st")).as("__n"))
     // prefix length n - ceil(tau*n) + 1, with ceil(tau*n) as
-    // (tauTenths*n + 9) div 10 — all integer
-    val pref = sorted.select(col("__id"), col("__n"),
-      explode(expr(s"slice(__ts, 1, " +
-        s"__n - ((__n * $tauTenths + 9) div 10) + 1)")).as("__tok"))
+    // (tauTenths*n + 9) div 10 — all integer; posexplode keeps the
+    // 1-based prefix position for the PPJoin positional filter
+    val pref = sortedH.select(col("__id"), col("__n"),
+      posexplode(expr(s"slice(__hs, 1, " +
+        s"__n - ((__n * $tauTenths + 9) div 10) + 1)"))
+        .as(Seq("__p0", "__th")))
+      .select(col("__id"), col("__n"), (col("__p0") + 1).as("__p"),
+        col("__th"))
+    // PPJoin positional filter (Xiao et al., WWW'08): a shared token
+    // at sorted positions (pa, pb) bounds the overlap by
+    // 1 + min(na-pa, nb-pb); Jaccard >= tau needs
+    // inter*(10+tau10) >= tau10*(na+nb), so pairs whose BOUND fails
+    // that never reach the verify
     val cands = pref.as("a").join(pref.as("b"),
-        col("a.__tok") === col("b.__tok") &&
+        col("a.__th") === col("b.__th") &&
         col("a.__id") < col("b.__id") &&
         col("a.__n") * 10 >= col("b.__n") * tauTenths &&
-        col("b.__n") * 10 >= col("a.__n") * tauTenths)
+        col("b.__n") * 10 >= col("a.__n") * tauTenths &&
+        (lit(1) + least(col("a.__n") - col("a.__p"),
+          col("b.__n") - col("b.__p"))) * (10 + tauTenths) >=
+          lit(tauTenths) * (col("a.__n") + col("b.__n")))
       .select(col("a.__id").as("__da"), col("b.__id").as("__db"))
       .distinct()
-    val inter = size(array_intersect(col("__ta"), col("__tb")))
-    cands
-      .join(sorted.select(col("__id").as("__da"), col("__ts").as("__ta"),
+    // sound hash pre-verify: intersect the 8-byte token-hash arrays.
+    // Collisions only INFLATE the hash intersection, so a pair
+    // failing the threshold here is guaranteed below it on strings —
+    // only the handful of survivors pay the exact string verify.
+    val hsets = sortedH.select(col("__id"), col("__hs"), col("__n"))
+    val ih = size(array_intersect(col("__ha"), col("__hb")))
+    val preVerified = cands
+      .join(hsets.select(col("__id").as("__da"), col("__hs").as("__ha"),
         col("__n").as("__na")), "__da")
-      .join(sorted.select(col("__id").as("__db"), col("__ts").as("__tb"),
+      .join(hsets.select(col("__id").as("__db"), col("__hs").as("__hb"),
         col("__n").as("__nb")), "__db")
+      .filter(ih * 10 >=
+        (col("__na") + col("__nb") - ih) * tauTenths)
+      .select(col("__da"), col("__db"))
+    // exact verify on string-token sets: join raw (id, text) first —
+    // the broadcast candidate side filters the scan — and only THEN
+    // compute the gram arrays, so shingling runs on candidate rows,
+    // not the whole corpus a second time
+    def raw(as: String) = df
+      .select(col(idCol).as(as), col(textCol).as(s"__x$as"))
+    // bind the split to a named column BEFORE the gram transform: an
+    // inline split inside the transform lambda would re-evaluate per
+    // element — O(len^2) per document
+    def grams(w: String) = array_distinct(expr(
+      gramExpr.replace("__w", w)))
+    val inter = size(array_intersect(col("__ta"), col("__tb")))
+    preVerified
+      .join(raw("__da"), "__da")
+      .join(raw("__db"), "__db")
+      .withColumn("__wa", split(col("__x__da"), " "))
+      .withColumn("__wb", split(col("__x__db"), " "))
+      .select(col("__da"), col("__db"),
+        grams("__wa").as("__ta"), grams("__wb").as("__tb"))
       .select(col("__da").as(s"${idCol}_a"), col("__db").as(s"${idCol}_b"),
         inter.as("n_inter"),
-        (col("__na") + col("__nb") - inter).as("n_union"))
+        (size(col("__ta")) + size(col("__tb")) - inter).as("n_union"))
       .filter(col("n_inter") * 10 >= col("n_union") * tauTenths)
   }
 }
