@@ -691,6 +691,74 @@ object AnalyticsQueries {
           round(col("wsum").cast("double") /
             (col("total_sec").cast("double") * 100), 4).as("twa"))
         .orderBy("user_id")
+    }),
+
+    /** explode_outer: the generator that KEEPS parent rows with
+      * empty/NULL arrays — a plain explode silently drops them (the
+      * q137 reconciliation-bug class, generator edition). Short docs
+      * (< 8 words -> no 8-gram) must survive with a NULL gram.
+      */
+    "q140_explode_outer" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("__w"))
+        .select(col("doc_id"),
+          explode_outer(expr(
+            """CASE WHEN size(__w) >= 48 THEN
+              |  transform(sequence(0, size(__w) - 48),
+              |    i -> array_join(slice(__w, i + 1, 48), ' '))
+              |ELSE CAST(array() AS array<string>) END""".stripMargin))
+            .as("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"), count(col("gram")).as("n_grams"))
+        .filter(col("n_grams") < col("n_rows"))
+        .orderBy("doc_id")),
+
+    /** Deterministic set collection: sort_array(collect_set(...)) —
+      * collect_set alone is partition-order-dependent and would
+      * never hash-match an oracle; the sort is what makes an array
+      * aggregate reproducible (same rule as every array op here).
+      */
+    "q141_collect_sorted" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderpriority")
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          countDistinct("o_orderstatus").as("n"))
+        .orderBy("o_orderpriority")),
+
+    /** Navigation window functions: first_value / last_value /
+      * nth_value over an explicit full-partition frame — the
+      * default frame (unbounded preceding, CURRENT ROW) makes
+      * last_value a footgun; the explicit frame is the semantics
+      * people actually want.
+      */
+    "q142_nav_functions" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          first(col("o_orderkey")).over(w).as("cheapest"),
+          last(col("o_orderkey")).over(w).as("dearest"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second"))
+        .orderBy("o_orderkey")
+    }),
+
+    /** RANGE frame (value-based, not row-based): each order sums all
+      * same-priority orders within 1000 price units below it —
+      * peers-by-VALUE, where a ROWS frame would take a fixed row
+      * count. Prices collapse to exact cents first so the frame
+      * bounds are integer comparisons on both engines.
+      */
+    "q143_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("pri")
+        .orderBy(col("cents"))
+        .rangeBetween(-100000, 0)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .withColumn("near_sum", sum("cents").over(w))
+        .orderBy("o_orderkey")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1085,5 +1153,38 @@ object AnalyticsQueries {
         |SELECT user_id, n, total_sec,
         |  round(CAST(wsum AS DOUBLE) /
         |    (CAST(total_sec AS DOUBLE) * 100), 4) AS twa
-        |FROM g ORDER BY user_id""".stripMargin)
+        |FROM g ORDER BY user_id""".stripMargin,
+    // docs below the window length survive as one NULL-gram row
+    "q140_explode_outer" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_grams
+        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS nw
+        |  FROM documents)
+        |WHERE nw < 48 ORDER BY doc_id""".stripMargin,
+    // sort is what makes a set aggregate hash-comparable
+    "q141_collect_sorted" ->
+      """SELECT o_orderpriority,
+        |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q142_nav_functions" ->
+      """SELECT o_orderkey, o_orderpriority AS pri,
+        |  first_value(o_orderkey) OVER w AS cheapest,
+        |  last_value(o_orderkey) OVER w AS dearest,
+        |  nth_value(o_orderkey, 2) OVER w AS second
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    // value-based frame: peers by cents, not by row count
+    "q143_range_frame" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderkey, pri, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY pri ORDER BY cents
+        |    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS near_sum
+        |FROM o ORDER BY o_orderkey""".stripMargin)
 }

@@ -434,6 +434,39 @@ object Streaming {
           UserStats(user, n, math.rint(sv * 10000) / 10000)
       }
   }
+
+  /** Stream-stream interval join (the attribution shape: every right
+    * event matched to same-key left events it follows within
+    * `maxDelay`). Both sides carry a watermark, so Spark BOUNDS the
+    * join state: a buffered left row is dropped once the right
+    * watermark passes its ts + maxDelay — without the time bound in
+    * the join condition the state would grow forever and the query is
+    * rejected for append mode. Inner join; `leftTs`/`rightTs` must be
+    * TIMESTAMP columns with distinct names.
+    *
+    * Semantics joined per micro-batch pair up EXACTLY like the batch
+    * interval join `rightTs in [leftTs, leftTs + maxDelay]` for
+    * events inside the watermark; a right event arriving after its
+    * window's state was reclaimed is dropped (late data, by
+    * contract). StreamingSpec pins cross-batch matches — a right row
+    * whose left partner arrived in an EARLIER micro-batch still
+    * joins, which is the stateful part a per-batch join would lose.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String,
+      maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must have distinct names")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(keyCol, "__rk")
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop("__rk")
+  }
 }
 
 /** Running per-user stats row for [[Streaming.runningUserStats]]. */

@@ -662,4 +662,46 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("1.0.0.200", "Scarborough"), ("9.9.9.9", null)))
   }
+
+  test("stream-stream interval join: cross-batch matches equal the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // (view_id, user, vts) / (click_id, user, cts); click 103 arrives
+    // a BATCH LATER than its view partner -> must still join (state);
+    // click 104 is outside the 10-minute window -> must not
+    val views = Seq((1L, 7L, ts(0)), (2L, 7L, ts(30)), (3L, 8L, ts(5)))
+    val clicks = Seq((101L, 7L, ts(4)), (102L, 8L, ts(9)),
+      (103L, 7L, ts(33)), (104L, 7L, ts(50)), (105L, 9L, ts(6)))
+    val vIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = Streaming.intervalJoinStream(
+      vIn.toDF().toDF("view_id", "user_id", "vts"),
+      cIn.toDF().toDF("click_id", "user_id", "cts"),
+      "user_id", "vts", "cts", maxDelay = "10 minutes")
+    val q = joined.select("view_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    // batch 1: all views, early clicks; batch 2: the late-batch click
+    vIn.addData(views)
+    cIn.addData(clicks.filter(_._1 <= 102))
+    q.processAllAvailable()
+    cIn.addData(clicks.filter(_._1 > 102))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = views.toDF("view_id", "u", "vts")
+      .join(clicks.toDF("click_id", "u2", "cts"),
+        col("u") === col("u2") && col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 10 minutes"))
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got.contains((2L, 103L)), "cross-batch match must join")
+    assert(!got.exists(_._2 == 104L), "outside-window click must not join")
+    assert(!got.exists(_._2 == 105L), "unmatched-key click must not join")
+  }
 }
