@@ -759,6 +759,118 @@ object AnalyticsQueries {
         .filter(col("o_orderkey") % 100 === 0)
         .withColumn("near_sum", sum("cents").over(w))
         .orderBy("o_orderkey")
+    }),
+
+    /** Zipf's-law fit per language: regression of micro-ln(freq) on
+      * micro-ln(rank) over each language's top-100 words — the
+      * vocabulary-health diagnostic (natural text fits slope ≈ −1).
+      * Top-100 via the bounded TopKAgg (≤k per group per task, no
+      * vocab-wide window sort), ranked by (freq DESC, stable 60-bit
+      * hash) so the tie order is reproducible cross-engine without
+      * shipping word strings; both lns are exact micro-longs (q60
+      * discipline), the five regression sums are exact (q131), and
+      * the slope is one closing division.
+      */
+    "q144_zipf_fit" -> ((s, d) => {
+      val wc = documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+        .select(col("lang"), col("cnt"),
+          graft.functions.StableHash.md5Int60(col("w")).as("wh"))
+      val top = wc.groupBy("lang")
+        .agg(graft.functions.TopKAgg.top_k_agg(
+          col("cnt").cast("double"), col("wh"), 100).as("__top"))
+        .select(col("lang"),
+          posexplode(col("__top")).as(Seq("__p0", "__e")))
+        .select(col("lang"),
+          round(log((col("__p0") + 1).cast("double")) * 1e6)
+            .cast("long").as("x"),
+          round(log(col("__e.score")) * 1e6).cast("long").as("y"))
+      val g = top.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      g.select(col("lang"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 4).as("zipf_slope"))
+        .orderBy("lang")
+    }),
+
+    /** Bitemporal lookup: "the price valid at V, as KNOWN at
+      * transaction time T" — the two-axis as-of that audit/ML-replay
+      * pipelines need (never read data the system hadn't recorded
+      * yet). Versions synthesized arithmetically from `nation` (the
+      * ApiQueries fixture recipe); facts pick, among versions with
+      * valid_from <= V and tx_from <= T, the max (valid_from,
+      * tx_from) — packed with the price into ONE exact long so the
+      * argmax stays a single HashAggregate (the q96 rule: a
+      * struct-max would plan a SortAggregate); the bounded version
+      * table broadcasts.
+      */
+    "q145_bitemporal" -> ((s, d) => {
+      val versions = nation(s, d)
+        .select(col("n_nationkey").as("item"))
+        .withColumn("v", explode(sequence(lit(0), lit(2))))
+        .withColumn("c", explode(sequence(lit(0), lit(1))))
+        .select(col("item"),
+          (unix_date(to_date(lit("2020-01-01"))) + col("v") * 10)
+            .cast("long").as("valid_from"),
+          (unix_date(to_date(lit("2020-02-01"))) + col("c") * 10)
+            .cast("long").as("tx_from"),
+          (col("item") * 100 + col("v") * 10 + col("c")).cast("long")
+            .as("price"))
+      val facts = orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 25).cast("long").as("item"),
+          (unix_date(to_date(lit("2020-01-01"))) +
+            col("o_orderkey") % 30).cast("long").as("vt"),
+          (unix_date(to_date(lit("2020-02-01"))) +
+            col("o_orderkey") % 25).cast("long").as("tt"))
+      // lexicographic (valid_from, tx_from, price) == numeric order
+      // of the packed long: every field is bounded (days < 10^5,
+      // price < 10^4)
+      val packed = (col("valid_from") * 100000L + col("tx_from")) *
+        10000L + col("price")
+      facts.join(broadcast(versions), Seq("item"), "left")
+        .filter(col("valid_from") <= col("vt") &&
+          col("tx_from") <= col("tt"))
+        .groupBy("o_orderkey", "item", "vt", "tt")
+        .agg(max(packed).as("__b"))
+        .select(col("o_orderkey"), col("item"), col("vt"), col("tt"),
+          expr("__b div 1000000000").as("valid_from"),
+          expr("(__b div 10000) % 100000").as("tx_from"),
+          (col("__b") % 10000L).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    /** Transitive closure by EXPONENTIAL DOUBLING over the synthetic
+      * part tree parent(p) = (p-1) div 4: T_{2m} = T_m ∪ T_m⋈T_m
+      * reaches depth 2^rounds in log(depth) self-joins — the scale
+      * discipline for deep hierarchies where a frontier loop would
+      * take depth sequential shuffles (and a recursive CTE doesn't
+      * distribute at all). Tree paths are unique so the dedup key
+      * (node, anc, len) is exact.
+      */
+    "q146_transitive_closure" -> ((s, d) => {
+      val edges = part(s, d)
+        .select(col("p_partkey").cast("long").as("node"))
+        .filter(col("node") >= 1)
+        .select(col("node"), expr("(node - 1) div 4").as("anc"),
+          lit(1L).as("len"))
+      var paths = edges
+      for (_ <- 1 to 4) { // depth <= 2^4 = 16 >= log4(200k)
+        val j = paths.as("a").join(paths.as("b"),
+            col("a.anc") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.anc").as("anc"),
+            (col("a.len") + col("b.len")).as("len"))
+        paths = paths.unionAll(j).distinct()
+      }
+      paths.groupBy("len")
+        .agg(count(lit(1)).as("n_pairs"), sum("anc").as("anc_sum"))
+        .orderBy("len")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1186,5 +1298,66 @@ object AnalyticsQueries {
         |  CAST(sum(cents) OVER (PARTITION BY pri ORDER BY cents
         |    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS near_sum
-        |FROM o ORDER BY o_orderkey""".stripMargin)
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+    // rank ties broken by the stable 60-bit hash on both engines
+    "q144_zipf_fit" ->
+      """WITH wc AS (SELECT lang, w, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |h AS (SELECT lang, cnt,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS wh
+        |  FROM wc),
+        |r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, wh) AS rn FROM h),
+        |t AS (SELECT lang,
+        |    CAST(round(ln(rn) * 1e6) AS BIGINT) AS x,
+        |    CAST(round(ln(cnt) * 1e6) AS BIGINT) AS y
+        |  FROM r WHERE rn <= 100),
+        |g AS (SELECT lang, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+        |FROM g ORDER BY lang""".stripMargin,
+    // among versions with valid_from<=V and tx_from<=T: max
+    // (valid_from, tx_from); the oracle states it as a window argmax
+    "q145_bitemporal" ->
+      """WITH versions AS (SELECT n_nationkey AS item,
+        |    CAST(datediff('day', DATE '1970-01-01', DATE '2020-01-01')
+        |      + v.range * 10 AS BIGINT) AS valid_from,
+        |    CAST(datediff('day', DATE '1970-01-01', DATE '2020-02-01')
+        |      + c.range * 10 AS BIGINT) AS tx_from,
+        |    CAST(n_nationkey * 100 + v.range * 10 + c.range AS BIGINT)
+        |      AS price
+        |  FROM nation CROSS JOIN range(3) v CROSS JOIN range(2) c),
+        |facts AS (SELECT o_orderkey,
+        |    CAST(o_custkey % 25 AS BIGINT) AS item,
+        |    CAST(datediff('day', DATE '1970-01-01', DATE '2020-01-01')
+        |      + o_orderkey % 30 AS BIGINT) AS vt,
+        |    CAST(datediff('day', DATE '1970-01-01', DATE '2020-02-01')
+        |      + o_orderkey % 25 AS BIGINT) AS tt
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |j AS (SELECT f.o_orderkey, f.item, f.vt, f.tt,
+        |    v.valid_from, v.tx_from, v.price,
+        |    row_number() OVER (PARTITION BY f.o_orderkey
+        |      ORDER BY v.valid_from DESC, v.tx_from DESC) AS rn
+        |  FROM facts f JOIN versions v ON f.item = v.item
+        |    AND v.valid_from <= f.vt AND v.tx_from <= f.tt)
+        |SELECT o_orderkey, item, vt, tt, valid_from, tx_from, price
+        |FROM j WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    // the engine doubles; the oracle recurses — same closure
+    "q146_transitive_closure" ->
+      """WITH RECURSIVE e AS (SELECT CAST(p_partkey AS BIGINT) AS node,
+        |    CAST((p_partkey - 1) // 4 AS BIGINT) AS anc
+        |  FROM part WHERE p_partkey >= 1),
+        |t AS (SELECT node, anc, CAST(1 AS BIGINT) AS len FROM e
+        |  UNION ALL
+        |  SELECT t.node, e.anc, t.len + 1 FROM t
+        |  JOIN e ON t.anc = e.node)
+        |SELECT len, count(*) AS n_pairs,
+        |  CAST(sum(anc) AS BIGINT) AS anc_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
 }
