@@ -871,7 +871,73 @@ object AnalyticsQueries {
       paths.groupBy("len")
         .agg(count(lit(1)).as("n_pairs"), sum("anc").as("anc_sum"))
         .orderBy("len")
-    }))
+    }),
+
+    /** Data-quality expectations (the dbt-test/Great-Expectations
+      * shape): one tall (check, violations, pass) report row per
+      * constraint — PK uniqueness, FK orphans, domain and range
+      * rules. The four orders-side metrics come from ONE scan-level
+      * aggregate (stacked to tall afterwards); only the referential
+      * check needs its own anti-join.
+      */
+    "q147_data_quality" -> ((s, d) => {
+      val o = orders(s, d)
+      val om = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("pk_dups"),
+        sum(when(col("o_totalprice") < 0, 1).otherwise(0))
+          .cast("long").as("neg_price"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1)
+          .otherwise(0)).cast("long").as("bad_status"))
+        .select(expr("stack(3, 'orders.pk_unique', pk_dups, " +
+          "'orders.price_nonnegative', neg_price, " +
+          "'orders.status_domain', bad_status) AS (check, violations)"))
+      val orphans = o.join(customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("orders.fk_customer").as("check"),
+          col("violations"))
+      om.unionByName(orphans)
+        .select(col("check"), col("violations"),
+          (col("violations") === 0).cast("int").as("pass"))
+        .orderBy("check")
+    }),
+
+    /** MapType machinery: per-user event counts built INTO a map
+      * column (map_from_arrays over the sorted collected pairs),
+      * then consumed via element_at / size — missing keys are NULL,
+      * which the oracle mirrors with NULLIF (a count can never be 0
+      * for a PRESENT key). Scalar outputs keep the cross-engine
+      * compare exact while the map plumbing runs in-plan.
+      */
+    "q148_map_ops" -> ((s, d) => {
+      val pairs = events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      pairs.groupBy("user_id")
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          element_at(col("m"), "click").as("clicks"),
+          element_at(col("m"), "purchase").as("purchases"),
+          size(col("m")).as("n_types"))
+        .orderBy("user_id")
+    }),
+
+    /** grouping() disambiguation: with ROLLUP, a NULL cell can be
+      * real data or a subtotal marker — grouping(col) is the only
+      * sound way to tell them apart (filtering on IS NULL is the
+      * classic rollup bug). Emits the grouping flags alongside each
+      * aggregate row.
+      */
+    "q149_grouping_flags" -> ((s, d) =>
+      orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("c"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("g_status"), col("g_pri"))))
 
   val oracleSql: Map[String, String] = Map(
     "q115_window_dist" ->
@@ -1359,5 +1425,45 @@ object AnalyticsQueries {
         |  JOIN e ON t.anc = e.node)
         |SELECT len, count(*) AS n_pairs,
         |  CAST(sum(anc) AS BIGINT) AS anc_sum
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q147_data_quality" ->
+      """WITH om AS (SELECT
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS pk_dups,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS neg_price,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+        |  FROM orders),
+        |orphans AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer
+        |    WHERE c_custkey = o_custkey)),
+        |tall AS (
+        |  SELECT 'orders.pk_unique' AS "check", pk_dups AS violations
+        |    FROM om
+        |  UNION ALL SELECT 'orders.price_nonnegative', neg_price
+        |    FROM om
+        |  UNION ALL SELECT 'orders.status_domain', bad_status FROM om
+        |  UNION ALL SELECT 'orders.fk_customer', v FROM orphans)
+        |SELECT "check", violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS pass
+        |FROM tall ORDER BY "check"""".stripMargin,
+    // NULLIF mirrors element_at's missing-key NULL (a present key
+    // can never count 0)
+    "q148_map_ops" ->
+      """SELECT user_id,
+        |  NULLIF(CAST(sum(CASE WHEN event_type = 'click' THEN 1
+        |    ELSE 0 END) AS BIGINT), 0) AS clicks,
+        |  NULLIF(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+        |    ELSE 0 END) AS BIGINT), 0) AS purchases,
+        |  CAST(count(DISTINCT event_type) AS INT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q149_grouping_flags" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_pri
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST, g_status, g_pri""".stripMargin)
 }
