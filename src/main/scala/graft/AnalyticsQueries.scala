@@ -937,7 +937,61 @@ object AnalyticsQueries {
           grouping(col("o_orderpriority")).cast("int").as("g_pri"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first,
-          col("g_status"), col("g_pri"))))
+          col("g_status"), col("g_pri"))),
+
+    /** Capstone curation FUNNEL: the full pretraining-data pipeline
+      * with a (step, n_docs, n_tokens) report row after every stage —
+      * the loss accounting every data team publishes with a corpus.
+      * Stages: raw → language allowlist → quality gate (q49 scorer)
+      * → exact dedup (content-key canonical) → title-prefix near-dup
+      * retention (q117 key, keep lowest id) → benchmark
+      * decontamination (drop docs sharing any exact 8-word gram with
+      * the held-out doc_id<20 set — q50's exact-collision variant).
+      * The scored base persists once; each stage is one aggregate
+      * over a progressively filtered lineage; the benchmark gram set
+      * broadcasts.
+      */
+    "q150_curation_funnel" -> ((s, d) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val base = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(split(col("text"), " ")).as("nt"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .persist()
+      val langKept = base.filter(col("lang").isin("en", "de"))
+      val qKept = langKept.filter(col("q") >= 0.5)
+      val exact = Dedup.exactDedupKeepFirst(qKept, "text", "doc_id")
+      val title = Dedup.dedupKeepFirstByKey(exact,
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5))),
+        "doc_id")
+      val gram8 = expr(
+        """CASE WHEN size(__w) >= 8 THEN
+          |  transform(sequence(0, size(__w) - 8),
+          |    i -> array_join(slice(__w, i + 1, 8), ' '))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin)
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("__w"))
+        .select(col("doc_id"),
+          explode(array_distinct(gram8)).as("g"))
+      val benchGrams = grams(base.filter(col("doc_id") < 20))
+        .select("g").distinct()
+      val contaminated = grams(title.filter(col("doc_id") >= 20))
+        .join(broadcast(benchGrams), Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = title.filter(col("doc_id") >= 20)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(step: Int, name: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .select(lit(step).as("step"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+      stage(1, "raw", base)
+        .unionByName(stage(2, "lang", langKept))
+        .unionByName(stage(3, "quality", qKept))
+        .unionByName(stage(4, "exact_dedup", exact))
+        .unionByName(stage(5, "title_dedup", title))
+        .unionByName(stage(6, "decontaminated", clean))
+        .orderBy("step")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q115_window_dist" ->
@@ -1465,5 +1519,71 @@ object AnalyticsQueries {
         |  CAST(grouping(o_orderpriority) AS INT) AS g_pri
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST,
-        |  o_orderpriority NULLS FIRST, g_status, g_pri""".stripMargin)
+        |  o_orderpriority NULLS FIRST, g_status, g_pri""".stripMargin,
+    // the q56 quality replay + canonical keys + exact-8-gram decon,
+    // one UNION ALL row per surviving stage
+    "q150_curation_funnel" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang, text, nt,
+        |  least(CAST(len(toks) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+        |    AS len_score,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |      AS DOUBLE) / length(text)
+        |    ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> length(x)))
+        |      AS DOUBLE) / len(toks)
+        |    ELSE CAST(0 AS DOUBLE) END AS mean_len
+        |  FROM t),
+        |b AS (SELECT doc_id, lang, text, nt, round(CAST(
+        |    len_score * 0.4 +
+        |    (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE))) * 0.3 +
+        |    (CASE WHEN mean_len BETWEEN 3.0 AND 10.0
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+        |      * 0.3 AS DOUBLE), 4) AS q
+        |  FROM m),
+        |lg AS (SELECT * FROM b WHERE lang IN ('en', 'de')),
+        |qk AS (SELECT * FROM lg WHERE q >= 0.5),
+        |exd AS (SELECT doc_id, text, nt FROM (SELECT doc_id, text, nt,
+        |    row_number() OVER (PARTITION BY
+        |      md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn FROM qk) WHERE rn = 1),
+        |ti AS (SELECT doc_id, text, nt FROM (SELECT doc_id, text, nt,
+        |    row_number() OVER (PARTITION BY
+        |      md5(array_to_string((string_split(text, ' '))[1:5], ' '))
+        |      ORDER BY doc_id) AS rn FROM exd) WHERE rn = 1),
+        |bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        |    WHERE doc_id < 20),
+        |  LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)),
+        |cg AS (SELECT DISTINCT doc_id,
+        |    array_to_string(w[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ti
+        |    WHERE doc_id >= 20),
+        |  LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i)),
+        |cont AS (SELECT DISTINCT cg.doc_id FROM cg
+        |  JOIN bg ON cg.g = bg.g),
+        |cl AS (SELECT * FROM ti WHERE doc_id >= 20
+        |  AND doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INT) AS step, 'raw' AS stage,
+        |    count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |    FROM b
+        |  UNION ALL SELECT 2, 'lang', count(*),
+        |    CAST(sum(nt) AS BIGINT) FROM lg
+        |  UNION ALL SELECT 3, 'quality', count(*),
+        |    CAST(sum(nt) AS BIGINT) FROM qk
+        |  UNION ALL SELECT 4, 'exact_dedup', count(*),
+        |    CAST(sum(nt) AS BIGINT) FROM exd
+        |  UNION ALL SELECT 5, 'title_dedup', count(*),
+        |    CAST(sum(nt) AS BIGINT) FROM ti
+        |  UNION ALL SELECT 6, 'decontaminated', count(*),
+        |    CAST(sum(nt) AS BIGINT) FROM cl)
+        |ORDER BY step""".stripMargin)
 }
