@@ -866,7 +866,10 @@ object AnalyticsQueries {
             col("a.anc") === col("b.node"))
           .select(col("a.node").as("node"), col("b.anc").as("anc"),
             (col("a.len") + col("b.len")).as("len"))
-        paths = paths.unionAll(j).distinct()
+        // persist each doubling: without it round r re-evaluates
+        // round r-1's self-join TWICE (both join sides), and the
+        // lineage cost compounds exponentially across rounds
+        paths = paths.unionAll(j).distinct().persist()
       }
       paths.groupBy("len")
         .agg(count(lit(1)).as("n_pairs"), sum("anc").as("anc_sum"))
@@ -991,6 +994,72 @@ object AnalyticsQueries {
         .unionByName(stage(5, "title_dedup", title))
         .unionByName(stage(6, "decontaminated", clean))
         .orderBy("step")
+    }),
+
+    /** Snapshot diff (dataset-version accounting): what a new
+      * reference-dataset drop ADDS, REMOVES, and CHANGES vs the
+      * previous one — the audit table a refresh pipeline publishes
+      * before swapping directories. Two arithmetic snapshot builds
+      * from `orders` (keys ending 0/5 vs 0/3, payload digest from
+      * status+price), one full-outer equi-join on the key, verdict by
+      * presence/digest compare; output is the per-verdict summary
+      * plus a deterministic sample of changed keys.
+      */
+    "q151_snapshot_diff" -> ((s, d) => {
+      val o = orders(s, d)
+      // keys ending 0 exist in both versions; a subset of them
+      // (ending 20 mod 100) gets a perturbed payload in version b —
+      // the "changed" class
+      def snap(m: Long, tag: String, perturb: Boolean) = o
+        .filter(col("o_orderkey") % 10 === 0 ||
+          col("o_orderkey") % 10 === m)
+        .select(col("o_orderkey").as(s"k_$tag"),
+          md5(concat_ws("|", col("o_orderstatus"),
+            (expr("cast(round(o_totalprice * 100) as bigint)") +
+              when(lit(perturb) && col("o_orderkey") % 100 === 20,
+                100L).otherwise(0L)).cast("string")))
+            .as(s"dig_$tag"))
+      val a = snap(5, "a", perturb = false)
+      val b = snap(3, "b", perturb = true)
+      val j = a.join(b, col("k_a") === col("k_b"), "full_outer")
+        .select(coalesce(col("k_a"), col("k_b")).as("k"),
+          when(col("k_b").isNull, "removed")
+            .when(col("k_a").isNull, "added")
+            .when(col("dig_a") =!= col("dig_b"), "changed")
+            .otherwise("unchanged").as("verdict"))
+      j.groupBy("verdict")
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("verdict")
+    }),
+
+    /** Forward-fill over a dense per-key spine: carry each user's
+      * last observed daily value across gap days
+      * (last_value IGNORE NULLS over the growing frame) — the
+      * telemetry gap-fill operator. The spine explodes from each
+      * user's OWN [min, max] activity span (never a global cross),
+      * and the fill window partitions on the natural key. Values are
+      * exact scaled cents (max per day of the raw doubles ×100).
+      */
+    "q152_forward_fill" -> ((s, d) => {
+      val dv = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"),
+          expr("cast(round(value * 100) as bigint)").as("vc"))
+        .groupBy("user_id", "day").agg(max("vc").as("vc"))
+      val spine = dv.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(dv, Seq("user_id", "day"), "left")
+        .withColumn("filled",
+          last(col("vc"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("vc").isNull.cast("int"))
+        .drop("vc")
+        .orderBy("user_id", "day")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1585,5 +1654,48 @@ object AnalyticsQueries {
         |    CAST(sum(nt) AS BIGINT) FROM ti
         |  UNION ALL SELECT 6, 'decontaminated', count(*),
         |    CAST(sum(nt) AS BIGINT) FROM cl)
-        |ORDER BY step""".stripMargin)
+        |ORDER BY step""".stripMargin,
+    // presence/digest compare over the full-outer key join
+    "q151_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    md5(o_orderstatus || '|' ||
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |        AS VARCHAR)) AS dig
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 5)),
+        |b AS (SELECT o_orderkey AS k,
+        |    md5(o_orderstatus || '|' ||
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) +
+        |        CASE WHEN o_orderkey % 100 = 20 THEN 100 ELSE 0 END
+        |        AS VARCHAR)) AS dig
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 3)),
+        |j AS (SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'removed'
+        |      WHEN a.k IS NULL THEN 'added'
+        |      WHEN a.dig <> b.dig THEN 'changed'
+        |      ELSE 'unchanged' END AS verdict
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT verdict, count(*) AS n, min(k) AS min_k,
+        |  max(k) AS max_k
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // last_value IGNORE NULLS over each user's own activity span
+    "q152_forward_fill" ->
+      """WITH dv AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS vc
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, unnest(range(lo, hi + 1)) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi
+        |    FROM dv GROUP BY 1)),
+        |f AS (SELECT sp.user_id, sp.day, dv.vc,
+        |    last_value(dv.vc IGNORE NULLS) OVER (
+        |      PARTITION BY sp.user_id ORDER BY sp.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS filled
+        |  FROM sp LEFT JOIN dv
+        |    ON sp.user_id = dv.user_id AND sp.day = dv.day)
+        |SELECT user_id, CAST(day AS BIGINT) AS day, filled,
+        |  CAST(CASE WHEN vc IS NULL THEN 1 ELSE 0 END AS INT)
+        |    AS is_gap
+        |FROM f ORDER BY user_id, day""".stripMargin)
 }
