@@ -71,6 +71,28 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("randomized corpora match brute force at several thresholds") {
+    // seeded LCG -> reproducible corpora with heavy token reuse (the
+    // adversarial case for prefix filtering: many shared shingles)
+    var seed = 0x2545F4914F6CDD1DL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (tau <- Seq(5, 7, 9)) {
+      val corpus = (0L until 30L).map { i =>
+        val len = 6 + next(25)
+        (i, (0 until len).map(_ => s"t${next(9)}").mkString(" "))
+      }
+      val got = Dedup.prefixFilterJoin(corpus.toDF("doc_id", "text"),
+          "text", "doc_id", tauTenths = tau, shingle = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(got == brute(corpus, tau, 2), s"tau=$tau")
+    }
+  }
+
   test("invalid threshold rejected") {
     val e = intercept[IllegalArgumentException] {
       Dedup.prefixFilterJoin(docs.toDF("doc_id", "text"),

@@ -147,4 +147,29 @@ class PlanInvariantSpec extends AnyFunSuite {
     // a window over the count rows, never a third corpus lineage)
     assert("Scan parquet".r.findAllIn(p).length == 2, p)
   }
+
+  test("PageRank iterations broadcast the node-scale rank table and " +
+      "keep the cached edge list un-shuffled (q118)") {
+    val p = plan("q118_pagerank")
+    // three iterations -> three broadcast joins of edges x rd; the
+    // only acceptable SortMergeJoin is the one-off edge BUILD
+    // (lineitem x orders before the cache)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("InMemoryRelation"), p)
+  }
+
+  test("set-similarity join: no SortAggregate anywhere; candidate " +
+      "pipeline joins are hash joins (q125)") {
+    val p = plan("q125_setsim_join")
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("transitive closure doubling rounds are cached (q146)") {
+    val p = plan("q146_transitive_closure")
+    assert(p.contains("InMemoryTableScan") ||
+      p.contains("InMemoryRelation"), p)
+  }
 }
