@@ -1060,7 +1060,50 @@ object AnalyticsQueries {
         .withColumn("is_gap", col("vc").isNull.cast("int"))
         .drop("vc")
         .orderBy("user_id", "day")
-    }))
+    }),
+
+    /** Group-wise feature standardization (z-score within language):
+      * the ML-prep normalizer, in the house numeric discipline —
+      * per-group n/Σx/Σx² are exact longs over scaled quality
+      * scores (q49's scorer rounds to 4dp, so ×10⁴ is integral), and
+      * each row's z closes in one fixed-shape float expression
+      * (num = x·n − S exact; den = sqrt of an exact long; one
+      * division). Stats broadcast back onto the stream — the
+      * fact-scale side never reshuffles.
+      */
+    "q153_standardize" -> ((s, d) => {
+      val sc = documents(s, d).select(col("doc_id"), col("lang"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text")) *
+          10000).cast("long").as("xs"))
+      val st = sc.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("xs").as("sx"), sum(col("xs") * col("xs")).as("sxx"))
+      sc.join(broadcast(st), "lang")
+        .select(col("doc_id"), col("lang"),
+          round((col("xs") * col("n") - col("sx")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")), 4).as("z"))
+        .orderBy("doc_id")
+    }),
+
+    /** Feature hashing (the hashing trick, Weinberger et al. 2009):
+      * words hash into 64 signed buckets via the cross-engine-stable
+      * 60-bit md5 hash — bucket = h mod 64, sign from the next bit —
+      * and each document's sparse vector is the per-(doc, bucket)
+      * sign sum. One explode + one hash-agg; no vocabulary table at
+      * all, which is the point of the trick at 100 TB (vocab-free,
+      * collision-tolerant featurization).
+      */
+    "q154_feature_hashing" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", graft.functions.StableHash.md5Int60(col("w")))
+        .select(col("doc_id"), (col("h") % 64).cast("int").as("bucket"),
+          (expr("(h div 64) % 2") * 2 - 1).cast("long").as("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(sum("sign").as("v"))
+        .filter(col("v") =!= 0)
+        .orderBy("doc_id", "bucket")))
 
   val oracleSql: Map[String, String] = Map(
     "q115_window_dist" ->
@@ -1697,5 +1740,52 @@ object AnalyticsQueries {
         |SELECT user_id, CAST(day AS BIGINT) AS day, filled,
         |  CAST(CASE WHEN vc IS NULL THEN 1 ELSE 0 END AS INT)
         |    AS is_gap
-        |FROM f ORDER BY user_id, day""".stripMargin)
+        |FROM f ORDER BY user_id, day""".stripMargin,
+    // the q56 quality replay scaled to exact 1e4 longs; z closes in
+    // one num/sqrt(den) expression per row
+    "q153_standardize" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0) AS toks, text
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  least(CAST(len(toks) AS DOUBLE) / 100, CAST(1 AS DOUBLE))
+        |    AS len_score,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |      AS DOUBLE) / length(text)
+        |    ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    CAST(list_sum(list_transform(toks, x -> length(x)))
+        |      AS DOUBLE) / len(toks)
+        |    ELSE CAST(0 AS DOUBLE) END AS mean_len
+        |  FROM t),
+        |sc AS (SELECT doc_id, lang, CAST(round(round(CAST(
+        |    len_score * 0.4 +
+        |    (1 - least(punct_ratio * 4, CAST(1 AS DOUBLE))) * 0.3 +
+        |    (CASE WHEN mean_len BETWEEN 3.0 AND 10.0
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+        |      * 0.3 AS DOUBLE), 4) * 10000) AS BIGINT) AS xs
+        |  FROM m),
+        |st AS (SELECT lang, count(*) AS n, CAST(sum(xs) AS BIGINT)
+        |    AS sx, CAST(sum(xs * xs) AS BIGINT) AS sxx
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, sc.lang,
+        |  round(CAST(xs * n - sx AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 4) AS z
+        |FROM sc JOIN st ON sc.lang = st.lang
+        |ORDER BY doc_id""".stripMargin,
+    // bucket/sign from the same stable 60-bit hash on both engines
+    "q154_feature_hashing" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+        |    FROM documents WHERE doc_id < 50)),
+        |f AS (SELECT doc_id, CAST(h % 64 AS INT) AS bucket,
+        |    ((h // 64) % 2) * 2 - 1 AS sign FROM w),
+        |g AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+        |  FROM f GROUP BY 1, 2)
+        |SELECT doc_id, bucket, v FROM g WHERE v <> 0
+        |ORDER BY 1, 2""".stripMargin)
 }

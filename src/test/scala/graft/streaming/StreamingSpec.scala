@@ -704,4 +704,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 104L), "outside-window click must not join")
     assert(!got.exists(_._2 == 105L), "unmatched-key click must not join")
   }
+
+  test("dropDuplicatesWithinWatermark: in-window re-sends collapse, post-window re-sends survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val q = in.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddww").start()
+    // batch 1: id 1 twice (same batch), id 2 once
+    in.addData(Seq((1L, ts(0)), (1L, ts(1)), (2L, ts(2))))
+    q.processAllAvailable()
+    // batch 2: id 1 again INSIDE the watermark window -> dropped;
+    // advance event time far past the watermark
+    in.addData(Seq((1L, ts(5)), (3L, ts(40))))
+    q.processAllAvailable()
+    // batch 3: id 1 re-sent AFTER its dedup state expired -> kept
+    in.addData(Seq((1L, ts(45))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ddww").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toList
+    val perId = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perId(2L) == 1 && perId(3L) == 1)
+    // id 1: once from the first window, once after state expiry
+    assert(perId(1L) == 2, s"got=$got")
+  }
 }
