@@ -1103,7 +1103,62 @@ object AnalyticsQueries {
         .groupBy("doc_id", "bucket")
         .agg(sum("sign").as("v"))
         .filter(col("v") =!= 0)
-        .orderBy("doc_id", "bucket")))
+        .orderBy("doc_id", "bucket")),
+
+    /** Exact DECIMAL money arithmetic: the float-free path for
+      * financial sums — cast to DECIMAL(38,2) BEFORE aggregating, so
+      * the engine carries exact scaled integers end to end and the
+      * Arrow types line up as decimal128(38,2) on both engines (sum
+      * over DECIMAL widens differently per engine; pinning the width
+      * on input and output is the portable contract).
+      */
+    "q155_decimal_money" -> ((s, d) =>
+      orders(s, d).groupBy("o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(27,2)"))
+          .cast("decimal(38,2)").as("total"),
+          count(lit(1)).as("n"))
+        .withColumn("mean",
+          round(col("total").cast("double") / col("n"), 4))
+        .orderBy("o_orderstatus")),
+
+    /** Month arithmetic with end-of-month clamping: Jan 31 + 1 month
+      * is Feb 28/29 on BOTH engines (add_months / INTERVAL 1 MONTH
+      * clamp rather than overflow) — pinned because date libraries
+      * disagree on this more than on anything else. Also
+      * months_between for complete-month tenure.
+      */
+    "q156_month_arith" -> ((s, d) =>
+      orders(s, d)
+        .filter(dayofmonth(col("o_orderdate")) >= 28)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("dt"),
+          add_months(col("o_orderdate").cast("date"), 1).as("plus1m"),
+          add_months(col("o_orderdate").cast("date"), -2).as("minus2m"),
+          floor(months_between(to_date(lit("2001-12-31")),
+            col("o_orderdate").cast("date"))).cast("long").as("tenure_m"))
+        .orderBy("o_orderkey").limit(500)),
+
+    /** NOT IN with a NULL in the subquery — the classic three-valued
+      * -logic trap, pinned through the SQL-string API (temp views +
+      * spark.sql): against the clean subquery NOT IN behaves like an
+      * anti-join; add a single NULL and it must return ZERO rows
+      * (x <> NULL is UNKNOWN for every x). Both engines agree; code
+      * that "fixes" this by dropping the NULL changes semantics.
+      */
+    "q157_sql_not_in" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("__ev")
+      customer(s, d).createOrReplaceTempView("__cust")
+      s.sql("""
+        WITH neg AS (SELECT c_custkey AS k FROM __cust
+          WHERE c_acctbal < 0 AND c_custkey < 150),
+        negn AS (SELECT k FROM neg UNION ALL SELECT CAST(NULL AS BIGINT))
+        SELECT
+          (SELECT count(*) FROM __ev
+            WHERE user_id NOT IN (SELECT k FROM neg)) AS n_clean,
+          (SELECT count(*) FROM __ev
+            WHERE user_id NOT IN (SELECT k FROM negn)) AS n_with_null
+      """)
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q115_window_dist" ->
@@ -1787,5 +1842,34 @@ object AnalyticsQueries {
         |g AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
         |  FROM f GROUP BY 1, 2)
         |SELECT doc_id, bucket, v FROM g WHERE v <> 0
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "q155_decimal_money" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+        |    AS DECIMAL(38,2)) AS total,
+        |  count(*) AS n,
+        |  round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(27,2)))
+        |    AS DECIMAL(38,2)) AS DOUBLE) / count(*), 4) AS mean
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_month_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+        |    AS plus1m,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH AS DATE)
+        |    AS minus2m,
+        |  CAST(datediff('month', CAST(o_orderdate AS DATE),
+        |    DATE '2001-12-31') AS BIGINT) AS tenure_m
+        |FROM orders WHERE day(CAST(o_orderdate AS DATE)) >= 28
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    "q157_sql_not_in" ->
+      """WITH neg AS (SELECT c_custkey AS k FROM customer
+        |  WHERE c_acctbal < 0 AND c_custkey < 150),
+        |negn AS (SELECT k FROM neg
+        |  UNION ALL SELECT CAST(NULL AS BIGINT))
+        |SELECT
+        |  (SELECT count(*) FROM events
+        |    WHERE user_id NOT IN (SELECT k FROM neg)) AS n_clean,
+        |  (SELECT count(*) FROM events
+        |    WHERE user_id NOT IN (SELECT k FROM negn)) AS n_with_null
+        |""".stripMargin)
 }
