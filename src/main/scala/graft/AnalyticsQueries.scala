@@ -1158,6 +1158,65 @@ object AnalyticsQueries {
           (SELECT count(*) FROM __ev
             WHERE user_id NOT IN (SELECT k FROM negn)) AS n_with_null
       """)
+    }),
+
+    /** Higher-order array functions as the per-row vector ALU:
+      * quantized dot product (zip_with + aggregate), L1 norm
+      * (transform + aggregate), positive-component count (filter) —
+      * all inside one codegen'd projection, zero explode, zero
+      * shuffle beyond the id-successor equi-join. This is the
+      * in-row discipline the similarity operators build on: floats
+      * quantize to exact ints FIRST, so every reduction is
+      * order-free.
+      */
+    "q158_hof_vector_ops" -> ((s, d) => {
+      val e = embeddings(s, d).filter(col("vec_id") < 500)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))")
+            .as("q"))
+      val a = e.select(col("vec_id").as("id"), col("q").as("qa"))
+      val b = e.select((col("vec_id") - 1).as("id"), col("q").as("qb"))
+      a.join(b, "id")
+        .select(col("id"),
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), " +
+            "0L, (acc, v) -> acc + v)").as("dot"),
+          expr("aggregate(transform(qa, x -> abs(x)), 0L, " +
+            "(acc, v) -> acc + v)").as("l1_a"),
+          expr("size(filter(qa, x -> x > 0))").as("n_pos_a"))
+        .orderBy("id")
+    }),
+
+    /** regexp_extract_all: pull every integer out of the raw props
+      * JSON-ish strings and aggregate — the log-scraping shape where
+      * the payload is not worth a full parse.
+      */
+    "q159_regex_extract_all" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("regexp_extract_all(props, '[0-9]+', 0)").as("ds"))
+        .select(col("event_type"),
+          expr("aggregate(transform(ds, x -> cast(x as bigint)), " +
+            "0L, (acc, v) -> acc + v)").as("dsum"),
+          size(col("ds")).cast("long").as("dcnt"))
+        .groupBy("event_type")
+        .agg(sum("dsum").as("digit_sum"), sum("dcnt").as("n_matches"))
+        .orderBy("event_type")),
+
+    /** Edit-distance join over the bounded nation dimension: all
+      * name pairs with Levenshtein distance <= 10 — fuzzy matching
+      * for reference-data reconciliation. The 25x25 dim cross is the
+      * adjudicated bounded-BNLJ class (q36/q88); at scale the
+      * blocking key (length bucket, first char) would bound the
+      * candidates instead.
+      */
+    "q160_levenshtein_pairs" -> ((s, d) => {
+      val n = nation(s, d).select(col("n_nationkey").as("k"),
+        lower(col("n_name")).as("nm"))
+      n.as("a").join(n.as("b"), col("a.k") < col("b.k"))
+        .select(col("a.nm").as("n1"), col("b.nm").as("n2"),
+          levenshtein(col("a.nm"), col("b.nm")).as("dist"))
+        .filter(col("dist") <= 10)
+        .orderBy("n1", "n2")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1871,5 +1930,39 @@ object AnalyticsQueries {
         |    WHERE user_id NOT IN (SELECT k FROM neg)) AS n_clean,
         |  (SELECT count(*) FROM events
         |    WHERE user_id NOT IN (SELECT k FROM negn)) AS n_with_null
-        |""".stripMargin)
+        |""".stripMargin,
+    // per-component quantize via the index-lateral; sums of exact ints
+    "q158_hof_vector_ops" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 500),
+        |j AS (SELECT a.vec_id AS id, a.embedding AS ea,
+        |    b.embedding AS eb
+        |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+        |c AS (SELECT id,
+        |    CAST(round(ea[i.i] * 1000) AS BIGINT) AS qa,
+        |    CAST(round(eb[i.i] * 1000) AS BIGINT) AS qb
+        |  FROM j, LATERAL (SELECT unnest(range(1, len(ea) + 1)) AS i)
+        |    i)
+        |SELECT id, CAST(sum(qa * qb) AS BIGINT) AS dot,
+        |  CAST(sum(abs(qa)) AS BIGINT) AS l1_a,
+        |  CAST(sum(CASE WHEN qa > 0 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_pos_a
+        |FROM c GROUP BY id ORDER BY id""".stripMargin,
+    "q159_regex_extract_all" ->
+      """WITH e AS (SELECT event_type,
+        |    regexp_extract_all(props, '[0-9]+') AS ds FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CAST(list_sum(list_transform(ds,
+        |    x -> CAST(x AS BIGINT))) AS BIGINT)) AS BIGINT)
+        |    AS digit_sum,
+        |  CAST(sum(len(ds)) AS BIGINT) AS n_matches
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q160_levenshtein_pairs" ->
+      """WITH n AS (SELECT n_nationkey AS k, lower(n_name) AS nm
+        |  FROM nation)
+        |SELECT a.nm AS n1, b.nm AS n2,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM n a JOIN n b ON a.k < b.k
+        |WHERE levenshtein(a.nm, b.nm) <= 10
+        |ORDER BY 1, 2""".stripMargin)
 }

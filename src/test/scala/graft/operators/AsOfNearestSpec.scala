@@ -52,6 +52,21 @@ class AsOfNearestSpec extends AnyFunSuite {
       out(0).isNullAt(1) && out(0).isNullAt(2) && out(0).isNullAt(3))
   }
 
+  test("guarded path (hot key, tiny maxKeyRows) matches the unguarded result") {
+    // one key with a long timeline on both sides: maxKeyRows=8
+    // forces the time-slice guard inside BOTH directional merges;
+    // the composition must be invisible in the result
+    val snaps = (0 until 200).map(i => ("hot", i * 10L, s"s$i")).toDF("k", "st", "tag")
+    val facts = (0 until 300).map(i => (i, "hot", i * 7L + 3L)).toDF("id", "k", "ft")
+    def run(maxKeyRows: Int) =
+      AsOf.asOfNearest(facts, snaps, col("ft"), "st", Seq("k"), "id",
+          maxKeyRows = maxKeyRows)
+        .select("id", "st", "tag", "asof_dir")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSeq.sortBy(_._1)
+    assert(run(8) == run(1 << 20))
+  }
+
   test("non-numeric time axis is rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOf.asOfNearest(Seq((1, "a", "x")).toDF("id", "k", "ft"),

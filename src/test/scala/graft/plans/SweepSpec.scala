@@ -51,7 +51,10 @@ class SweepSpec extends AnyFunSuite {
     "q102_signal_correlation",
     // q116/q123: 1-row totals cross back onto a grouped table —
     // the q60/q82 totals-cross class.
-    "q116_zscore_outliers", "q123_frequent_pairs")
+    "q116_zscore_outliers", "q123_frequent_pairs",
+    // q160: 25×25 nation-name edit-distance cross — the q36/q88
+    // bounded dim×dim class (blocking keys bound it at scale).
+    "q160_levenshtein_pairs")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
