@@ -1217,6 +1217,40 @@ object AnalyticsQueries {
           levenshtein(col("a.nm"), col("b.nm")).as("dist"))
         .filter(col("dist") <= 10)
         .orderBy("n1", "n2")
+    }),
+
+    /** Periodicity detection — the decoder-loop artifact filter: the
+      * smallest shift p (1..60 chars) under which the text equals
+      * itself, i.e. substring(s, 1, L-p) = substring(s, p+1, L-p);
+      * generated text stuck in a loop has a small period, natural
+      * text has none. Periodic fixtures are synthesized in-query by
+      * tripling each doc's word prefix (period = prefix length + 1),
+      * mixed with raw (aperiodic) docs; detection is a pure
+      * transform/filter/array_min projection — no explode, no
+      * shuffle.
+      */
+    "q161_periodicity" -> ((s, d) => {
+      val base = documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4))
+            .as("pfx"),
+          col("text"))
+      val corpus = base
+        .select(col("doc_id"), concat(col("pfx"), lit(" "),
+          col("pfx"), lit(" "), col("pfx")).as("s"))
+        .unionByName(base
+          .select((col("doc_id") + 1000).as("doc_id"),
+            substring(col("text"), 1, 80).as("s")))
+      corpus
+        .select(col("doc_id"), length(col("s")).as("len"),
+          coalesce(expr(
+            """array_min(filter(transform(sequence(1, 60),
+              |  p -> CASE WHEN p < length(s) AND
+              |    substring(s, 1, length(s) - p) =
+              |      substring(s, p + 1, length(s) - p)
+              |    THEN p END), x -> x IS NOT NULL))""".stripMargin),
+            lit(0)).as("period"))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1964,5 +1998,26 @@ object AnalyticsQueries {
         |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
         |FROM n a JOIN n b ON a.k < b.k
         |WHERE levenshtein(a.nm, b.nm) <= 10
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    // smallest self-overlap shift; periodic fixtures tripled in-query
+    "q161_periodicity" ->
+      """WITH base AS (SELECT doc_id,
+        |    array_to_string((string_split(text, ' '))[1:4], ' ')
+        |      AS pfx,
+        |    text
+        |  FROM documents WHERE doc_id < 100),
+        |corpus AS (
+        |  SELECT doc_id, pfx || ' ' || pfx || ' ' || pfx AS s
+        |    FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000, substr(text, 1, 80) FROM base),
+        |p AS (SELECT doc_id, CAST(length(s) AS INT) AS len,
+        |    coalesce(list_min(list_filter(list_transform(
+        |      range(1, 61), p -> CASE WHEN p < length(s) AND
+        |        substr(s, 1, length(s) - p) =
+        |          substr(s, p + 1, length(s) - p)
+        |        THEN p END), x -> x IS NOT NULL)), 0) AS period
+        |  FROM corpus)
+        |SELECT doc_id, len, CAST(period AS INT) AS period
+        |FROM p ORDER BY doc_id""".stripMargin)
 }

@@ -747,4 +747,45 @@ object TextAnalysis {
       sequence(lit(1), nWin),
       i => array_min(slice(grams, i, lit(w))))))
   }
+
+  /** Deflate compression ratio — the Gopher-class quality signal
+    * (natural text compresses ~2-4x; boilerplate and repetition
+    * compress far more; random noise barely at all). zlib output
+    * depends on the deflater implementation, so this is NOT
+    * oracle-comparable cross-engine: the contract is deterministic
+    * WITHIN the JVM (same bytes -> same level-6 stream, pinned by a
+    * plain-Scala replay in the spec), and the declared query is
+    * rows-only checked. mapPartitions so each task allocates ONE
+    * Deflater and reuses it per row — the per-partition codec-init
+    * pattern the media decoders use.
+    *
+    * Output: idCol, raw_bytes, deflate_bytes, ratio (round-4
+    * raw/deflate, NULL for empty text).
+    */
+  def compressionRatio(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val out = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }
+    out.toDF(idCol, "raw_bytes", "deflate_bytes")
+      .withColumn("ratio",
+        when(col("raw_bytes") > 0,
+          round(col("raw_bytes").cast("double") /
+            col("deflate_bytes"), 4)))
+  }
 }
