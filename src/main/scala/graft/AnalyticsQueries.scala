@@ -1251,6 +1251,117 @@ object AnalyticsQueries {
               |    THEN p END), x -> x IS NOT NULL))""".stripMargin),
             lit(0)).as("period"))
         .orderBy("doc_id")
+    }),
+
+    /** Resetting cumulative sum: per-user running spend SINCE THE
+      * LAST PURCHASE — the two-window reset pattern (a cumulative
+      * flag count partitions each user's stream into epochs, then a
+      * second window sums within the epoch). Flag-driven resets,
+      * where gaps-and-islands (q122) resets on time gaps. Exact
+      * cents; per-user windows on the natural key.
+      */
+    "q162_resetting_cumsum" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("event_id"))
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("vc"))
+      val epoch = ev.withColumn("grp",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("grp", coalesce(col("grp"), lit(0L)))
+      val wEpoch = Window.partitionBy("user_id", "grp")
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      epoch
+        .withColumn("run_cents", sum("vc").over(wEpoch))
+        .filter(col("user_id") < 20)
+        .select("event_id", "user_id", "grp", "run_cents")
+        .orderBy("event_id")
+    }),
+
+    /** Rolling 24-hour Pearson correlation between two event series
+      * (clicks vs errors per hour): the q102 exact-sums formula per
+      * WINDOW — five trailing-frame sums of exact integer counts,
+      * one closing float expression per row (round-4). Windows run
+      * over the bounded dense hour grid; NULL when the frame is
+      * degenerate (zero variance).
+      */
+    "q163_rolling_correlation" -> ((s, d) => {
+      val hc = events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("y"))
+      val spine = hc.agg(min("h").as("lo"), max("h").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      val grid = spine.join(hc, Seq("h"), "left")
+        .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.orderBy("h").rowsBetween(-23, 0)
+      val wn = Window.orderBy("h")
+      val g = grid
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sy", sum("y").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") >= 24)
+      val num = lit(24L) * col("sxy") - col("sx") * col("sy")
+      val dx = lit(24L) * col("sxx") - col("sx") * col("sx")
+      val dy = lit(24L) * col("syy") - col("sy") * col("sy")
+      g.select(col("h"),
+          when(dx > 0 && dy > 0,
+            round(num.cast("double") /
+              sqrt(dx.cast("double") * dy.cast("double")), 4))
+            .as("corr24"))
+        .orderBy("h")
+    }),
+
+    /** A/B test readout with exact counts: users split by md5 parity
+      * (the q53 assignment discipline — stable under reprocessing),
+      * conversion = any purchase; lift and the two-proportion
+      * z-statistic close as float expressions over the four exact
+      * counts, so the whole readout is reproducible to the digit.
+      */
+    "q164_ab_test" -> ((s, d) => {
+      val users = events(s, d).select(col("user_id")).distinct()
+        .withColumn("arm",
+          when(graft.functions.StableHash
+            .md5Int60(col("user_id").cast("string")) % 2 === 0, "A")
+            .otherwise("B"))
+      // "conversion" = a heavy purchaser (>= 14 purchases) so both
+      // outcomes occur in both arms — every user purchases at least
+      // once in this data, which would make any-purchase degenerate
+      val conv = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+        .filter(col("np") >= 14)
+        .select(col("user_id"), lit(1L).as("converted"))
+      val g = users.join(conv, Seq("user_id"), "left")
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("converted"), lit(0L))).as("c"))
+      val wide = g.groupBy()
+        .agg(max(when(col("arm") === "A", col("n"))).as("na"),
+          max(when(col("arm") === "A", col("c"))).as("ca"),
+          max(when(col("arm") === "B", col("n"))).as("nb"),
+          max(when(col("arm") === "B", col("c"))).as("cb"))
+      val pa = col("ca").cast("double") / col("na")
+      val pb = col("cb").cast("double") / col("nb")
+      val pPool = (col("ca") + col("cb")).cast("double") /
+        (col("na") + col("nb"))
+      wide.select(col("na"), col("ca"), col("nb"), col("cb"),
+        round(pa, 4).as("rate_a"), round(pb, 4).as("rate_b"),
+        round((pb - pa) / pa, 4).as("rel_lift"),
+        round((pb - pa) / sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4)
+          .as("z_stat"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -2019,5 +2130,87 @@ object AnalyticsQueries {
         |        THEN p END), x -> x IS NOT NULL)), 0) AS period
         |  FROM corpus)
         |SELECT doc_id, len, CAST(period AS INT) AS period
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // epoch = purchases among STRICTLY PRECEDING rows
+    "q162_resetting_cumsum" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |ep AS (SELECT event_id, user_id, t, vc,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT), 0) AS grp
+        |  FROM ev),
+        |r AS (SELECT event_id, user_id, grp,
+        |    CAST(sum(vc) OVER (PARTITION BY user_id, grp
+        |      ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS run_cents
+        |  FROM ep)
+        |SELECT event_id, user_id, grp, run_cents FROM r
+        |WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+    // q102's exact-sums Pearson per trailing 24h frame
+    "q163_rolling_correlation" ->
+      """WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'error')
+        |  GROUP BY 1),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+        |sp AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+        |grid AS (SELECT sp.h, coalesce(x, 0) AS x, coalesce(y, 0)
+        |    AS y
+        |  FROM sp LEFT JOIN hc USING (h)),
+        |g AS (SELECT h,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        |    row_number() OVER (ORDER BY h) AS rn
+        |  FROM grid
+        |  WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND
+        |    CURRENT ROW))
+        |SELECT CAST(h AS BIGINT) AS h,
+        |  CASE WHEN 24 * sxx - sx * sx > 0
+        |    AND 24 * syy - sy * sy > 0 THEN
+        |    round(CAST(24 * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(24 * sxx - sx * sx AS DOUBLE) *
+        |        CAST(24 * syy - sy * sy AS DOUBLE)), 4)
+        |  END AS corr24
+        |FROM g WHERE rn >= 24 ORDER BY h""".stripMargin,
+    // four exact counts; lift and z close as float expressions
+    "q164_ab_test" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (SELECT user_id,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS
+        |      VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+        |    THEN 'A' ELSE 'B' END AS arm
+        |  FROM u),
+        |conv AS (SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |  HAVING count(*) >= 14),
+        |g AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(CASE WHEN conv.user_id IS NOT NULL THEN 1
+        |      ELSE 0 END) AS BIGINT) AS c
+        |  FROM arms LEFT JOIN conv ON arms.user_id = conv.user_id
+        |  GROUP BY 1),
+        |wide AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    max(CASE WHEN arm = 'A' THEN c END) AS ca,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    max(CASE WHEN arm = 'B' THEN c END) AS cb
+        |  FROM g)
+        |SELECT na, ca, nb, cb,
+        |  round(CAST(ca AS DOUBLE) / na, 4) AS rate_a,
+        |  round(CAST(cb AS DOUBLE) / nb, 4) AS rate_b,
+        |  round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+        |    / (CAST(ca AS DOUBLE) / na), 4) AS rel_lift,
+        |  round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+        |    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
+        |      (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
+        |      (1.0 / na + 1.0 / nb)), 4) AS z_stat
+        |FROM wide""".stripMargin)
 }
