@@ -1362,6 +1362,75 @@ object AnalyticsQueries {
         round((pb - pa) / sqrt(pPool * (lit(1.0) - pPool) *
           (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4)
           .as("z_stat"))
+    }),
+
+    /** Clickstream path analysis: each session's ordered event-type
+      * sequence as a path string (q17's 30-minute gap rule), then the
+      * top session paths by frequency — the navigation-mining shape.
+      * The path builds from a SORTED collected struct array (ordered
+      * string_agg equivalent), so it is deterministic under any
+      * partitioning; sessions are user-bounded, paths aggregate
+      * map-side.
+      */
+    "q165_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("event_type"))
+      val sess = ev
+        .withColumn("brk", when(col("t") -
+          lag(col("t"), 1).over(w) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "sid")
+        .agg(concat_ws(">", expr(
+          "transform(array_sort(collect_list(" +
+            "struct(t, event_id, event_type))), x -> x.event_type)"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(30)
+    }),
+
+    /** Population Stability Index — the ML-ops drift metric —
+      * computed EXACTLY: value-bucket distributions of week 1 vs
+      * week 4 per event type over a fixed dense bucket spine with
+      * +1 smoothing, and each bucket's contribution carried as the
+      * exact long (c'·M − d'·N) · round(ln(c'·M / (d'·N))·1e6), so
+      * the per-type sum is partition-order-free and one closing
+      * division yields PSI (the float-sum ordering problem that
+      * usually makes PSI irreproducible never arises).
+      */
+    "q166_psi" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        dayofmonth(col("ts").cast("timestamp")).as("dom"),
+        expr("cast(round(value * 100) as bigint) div 5000").as("b"))
+      def cnt(cond: Column, as: String) = ev.filter(cond)
+        .groupBy("event_type", "b").agg(count(lit(1)).as(as))
+      val spine = ev.select("event_type").distinct()
+        .withColumn("b", explode(sequence(lit(0L), lit(9L))))
+      val cells = spine
+        .join(cnt(col("dom") <= 7, "c"), Seq("event_type", "b"), "left")
+        .join(cnt(col("dom") >= 24, "dd"), Seq("event_type", "b"), "left")
+        .select(col("event_type"), col("b"),
+          (coalesce(col("c"), lit(0L)) + 1L).as("cs"),
+          (coalesce(col("dd"), lit(0L)) + 1L).as("ds"))
+      val tot = cells.groupBy("event_type")
+        .agg(sum("cs").as("nn"), sum("ds").as("mm"))
+      cells.join(broadcast(tot), "event_type")
+        .withColumn("term", (col("cs") * col("mm") -
+          col("ds") * col("nn")) *
+          round(log((col("cs") * col("mm")).cast("double") /
+            (col("ds") * col("nn")).cast("double")) * 1e6)
+            .cast("long"))
+        .groupBy(col("event_type"), col("nn"), col("mm"))
+        .agg(sum("term").as("tsum"))
+        .select(col("event_type"),
+          round(col("tsum").cast("double") /
+            (col("nn").cast("double") * col("mm").cast("double") * 1e6),
+            6).as("psi"))
+        .orderBy("event_type")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -2212,5 +2281,55 @@ object AnalyticsQueries {
         |    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) *
         |      (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) *
         |      (1.0 / na + 1.0 / nb)), 4) AS z_stat
-        |FROM wide""".stripMargin)
+        |FROM wide""".stripMargin,
+    // ordered string_agg per session; q17's 30-minute gap rule
+    "q165_session_paths" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    event_type FROM events),
+        |g AS (SELECT *, CASE WHEN t - lag(t) OVER
+        |    (PARTITION BY user_id ORDER BY t, event_id) >
+        |    1800000000 THEN 1 ELSE 0 END AS brk FROM ev),
+        |s AS (SELECT user_id, event_type, t, event_id,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS sid
+        |  FROM g),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY t, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 30""".stripMargin,
+    // exact-integer PSI terms; one closing division per type
+    "q166_psi" ->
+      """WITH ev AS (SELECT event_type,
+        |    day(CAST(ts AS DATE)) AS dom,
+        |    CAST(round(value * 100) AS BIGINT) // 5000 AS b
+        |  FROM events),
+        |c1 AS (SELECT event_type, b, count(*) AS c FROM ev
+        |  WHERE dom <= 7 GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, b, count(*) AS d FROM ev
+        |  WHERE dom >= 24 GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT event_type, k.range AS b
+        |  FROM ev CROSS JOIN range(10) k),
+        |cells AS (SELECT spine.event_type, spine.b,
+        |    coalesce(c, 0) + 1 AS cs, coalesce(d, 0) + 1 AS ds
+        |  FROM spine
+        |  LEFT JOIN c1 ON spine.event_type = c1.event_type
+        |    AND spine.b = c1.b
+        |  LEFT JOIN c2 ON spine.event_type = c2.event_type
+        |    AND spine.b = c2.b),
+        |tot AS (SELECT event_type, CAST(sum(cs) AS BIGINT) AS nn,
+        |    CAST(sum(ds) AS BIGINT) AS mm
+        |  FROM cells GROUP BY 1),
+        |terms AS (SELECT cells.event_type, nn, mm,
+        |    (cs * mm - ds * nn) * CAST(round(ln(
+        |      CAST(cs * mm AS DOUBLE) / CAST(ds * nn AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS term
+        |  FROM cells JOIN tot ON cells.event_type = tot.event_type)
+        |SELECT event_type,
+        |  round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * CAST(mm AS DOUBLE) * 1e6), 6)
+        |    AS psi
+        |FROM terms GROUP BY event_type, nn, mm
+        |ORDER BY event_type""".stripMargin)
 }
