@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.queries ++ OperatorQueries.queries ++
       ExtensionQueries.queries ++ CoverageQueries.queries ++
       SketchQueries.queries ++ ApiQueries.queries ++
-      RetrievalQueries.queries ++ AnalyticsQueries.queries
+      RetrievalQueries.queries ++ AnalyticsQueries.queries ++
+      WarcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
     CoreQueries.oracleSql ++ OperatorQueries.oracleSql ++
       ExtensionQueries.oracleSql ++ CoverageQueries.oracleSql ++
       SketchQueries.oracleSql ++ ApiQueries.oracleSql ++
-      RetrievalQueries.oracleSql ++ AnalyticsQueries.oracleSql
+      RetrievalQueries.oracleSql ++ AnalyticsQueries.oracleSql ++
+      WarcQueries.oracleSql
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.warc.Warc
+
+/** Declared queries for the WARC DataSource V2
+  * ([[graft.sources.warc.WarcDataSource]]): crawl-archive ingest is
+  * the first stage of a web-scale training-data pipeline (Common
+  * Crawl ships everything as `.warc.gz`), and these two queries pin
+  * the full path — writer → gzip member stream → DSv2 scan (with
+  * pruning/pushdown) → header fields + exact payload bytes →
+  * HTML-to-text — under the DuckDB hash contract.
+  *
+  * Fixture recipe (the q67/q76 discipline): one `.warc.gz` per nation
+  * key (25 files — dimension-scale driver synthesis), each holding a
+  * warcinfo record plus `n%4+2` HTTP response records whose HTML
+  * bodies derive deterministically from the key
+  * ([[Warc.fixtureHtml]]), so the oracle REBUILDS every body with
+  * string arithmetic and pins md5(payload), content_length (62-byte
+  * HTTP header + digits + body), and the text-extraction counts.
+  */
+object WarcQueries {
+  import Tables._
+
+  private val FixtureDate = "2024-01-15T10:00:00Z"
+
+  /** Writes the 25-file fixture tree; driver-side, dimension-scale. */
+  private def warcFixture(s: SparkSession, d: String): String = {
+    val keys = nation(s, d).select(col("n_nationkey")).collect()
+      .map(_.getAs[Number](0).intValue).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    keys.foreach { n =>
+      val recs =
+        Warc.Entry("warcinfo", f"<urn:uuid:info-$n%03d>", "",
+          FixtureDate, 0, "",
+          s"software: graft $n\r\n".getBytes("UTF-8")) +:
+        (0 until (n % 4 + 2)).map { i =>
+          Warc.Entry("response", f"<urn:uuid:rec-$n%03d-$i>",
+            s"https://n$n.example/p$i", FixtureDate,
+            if (i == 0 && n % 5 == 0) 404 else 200, "text/html",
+            Warc.fixtureHtml(n * 10 + i, i % 3 + 1))
+        }
+      java.nio.file.Files.write(dir.resolve(f"part-$n%03d.warc.gz"),
+        Warc.build(recs, gzip = true))
+    }
+    dir.toString
+  }
+
+  /** The shared DuckDB CTE rebuilding each response body exactly as
+    * [[Warc.fixtureHtml]] does (ASCII only, so char = byte counts).
+    */
+  private val HtmlCte =
+    """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS n FROM nation),
+      |recs AS (
+      |  SELECT n, CAST(i AS INTEGER) AS i, n*10 + CAST(i AS INTEGER) AS key,
+      |         CAST(i AS INTEGER) % 3 + 1 AS np
+      |  FROM k, range(0, 6) t(i) WHERE i < n % 4 + 2),
+      |paras AS (
+      |  SELECT r.n, r.i, string_agg(
+      |    '<p>paragraph ' || CAST(r.key*31 + j AS VARCHAR) ||
+      |    ' of document ' || CAST(r.key AS VARCHAR) || ' ' ||
+      |    repeat('lorem ', CAST((r.key + j) % 3 + 1 AS INTEGER)) || '</p>',
+      |    '' ORDER BY j) AS body
+      |  FROM recs r, range(0, 3) s(j) WHERE j < r.np
+      |  GROUP BY r.n, r.i, r.key),
+      |h AS (
+      |  SELECT r.n, r.i,
+      |    '<html><head><title>Doc ' || CAST(r.key AS VARCHAR) ||
+      |    '</title><style>body{color:red}</style></head><body>' || p.body ||
+      |    '<script>var x=1;</script></body></html>' AS html
+      |  FROM paras p JOIN recs r ON r.n = p.n AND r.i = p.i)
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    /** Metadata + exact-payload scan: every response record's header
+      * fields and body md5 through the DSv2 reader. `warc_type` is a
+      * PUSHED filter (evaluated before the body read — rejected
+      * warcinfo blocks are skipped, not allocated); payload md5 pins
+      * the gzip-member framing, HTTP-header split, and
+      * Content-Length accounting bit-for-bit.
+      */
+    "q167_warc_scan" -> ((s, d) => {
+      val dir = warcFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response")
+        .select(col("record_id"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_length"),
+          octet_length(col("payload")).cast("long").as("body_len"),
+          md5(col("payload")).as("body_md5"))
+        .orderBy("record_id")
+    }),
+
+    /** HTML→text extraction over the 200-status slice (both filters
+      * pushed to the scan): drop script/style blocks, strip tags,
+      * collapse whitespace — the boilerplate-removal first step of
+      * every crawl-curation pipeline — then count chars, whitespace
+      * tokens, and 'lorem' hits. Same regex semantics on both
+      * engines (non-greedy alternation + global replace).
+      */
+    "q168_warc_text" -> ((s, d) => {
+      val dir = warcFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("record_id"),
+          decode(col("payload"), "UTF-8").as("html"))
+        .select(col("record_id"),
+          trim(regexp_replace(regexp_replace(regexp_replace(col("html"),
+            "<script>.*?</script>|<style>.*?</style>", " "),
+            "<[^>]*>", " "), " +", " ")).as("text"))
+        .select(col("record_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "lorem", ""))) / 5)
+            .cast("long").as("n_lorem"))
+        .orderBy("record_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q167_warc_scan" -> (HtmlCte +
+      """SELECT
+        |  '<urn:uuid:rec-' || lpad(CAST(n AS VARCHAR), 3, '0') || '-' ||
+        |    CAST(i AS VARCHAR) || '>' AS record_id,
+        |  'https://n' || CAST(n AS VARCHAR) || '.example/p' ||
+        |    CAST(i AS VARCHAR) AS target_uri,
+        |  CAST(CASE WHEN i = 0 AND n % 5 = 0 THEN 404 ELSE 200 END
+        |    AS BIGINT) AS http_status,
+        |  CAST(62 + length(CAST(length(html) AS VARCHAR)) + length(html)
+        |    AS BIGINT) AS content_length,
+        |  CAST(length(html) AS BIGINT) AS body_len,
+        |  md5(html) AS body_md5
+        |FROM h ORDER BY record_id""".stripMargin),
+    "q168_warc_text" -> (HtmlCte +
+      """, txt AS (
+        |  SELECT n, i, trim(regexp_replace(regexp_replace(regexp_replace(
+        |    html, '<script>.*?</script>|<style>.*?</style>', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS text
+        |  FROM h WHERE NOT (i = 0 AND n % 5 = 0))
+        |SELECT
+        |  '<urn:uuid:rec-' || lpad(CAST(n AS VARCHAR), 3, '0') || '-' ||
+        |    CAST(i AS VARCHAR) || '>' AS record_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST((length(text) - length(replace(text, 'lorem', ''))) / 5
+        |    AS BIGINT) AS n_lorem
+        |FROM txt ORDER BY record_id""".stripMargin))
+}
