@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.UrlOps
 import graft.sources.warc.Warc
 
 /** Declared queries for the WARC DataSource V2
@@ -118,7 +119,70 @@ object WarcQueries {
             length(regexp_replace(col("text"), "lorem", ""))) / 5)
             .cast("long").as("n_lorem"))
         .orderBy("record_id")
+    }),
+
+    /** URL decomposition ([[UrlOps]]): host, explicit port, eTLD+1
+      * (multi-part-suffix aware), path depth, query-param count —
+      * over URLs synthesized arithmetically from doc_id, so the
+      * oracle derives each field by CASE arithmetic INDEPENDENTLY of
+      * the parser (it never re-runs the regexes — a real
+      * ground-truth check, not a parity check). All codegen
+      * built-ins; no UDF.
+      */
+    "q169_url_parse" -> ((s, d) => {
+      val k = col("doc_id")
+      val url = synthUrl(k)
+      documents(s, d).select(k, url.as("url"))
+        .select(k,
+          UrlOps.host(col("url")).as("host"),
+          UrlOps.port(col("url")).cast("long").as("port"),
+          UrlOps.etld1(UrlOps.host(col("url"))).as("etld1"),
+          UrlOps.pathDepth(col("url")).cast("long").as("path_depth"),
+          UrlOps.queryParamCount(col("url")).cast("long").as("n_params"))
+        .orderBy("doc_id")
+    }),
+
+    /** Per-domain cap ([[UrlOps.domainCap]]) — the domain-diversity
+      * sampler: at most 8 docs per eTLD+1, chosen by md5(doc_id)
+      * order (deterministic unbiased sample, the q53 hash-split
+      * discipline). Output pins WHICH rows were kept (sum of kept
+      * doc_ids), not just how many — the oracle replays the same
+      * row_number window. One shuffle on domain; the preTrim shard
+      * pass bounds a monster domain's single-task input at scale.
+      */
+    "q170_domain_caps" -> ((s, d) => {
+      val k = col("doc_id")
+      val base = documents(s, d).select(k, synthUrl(k).as("url"))
+        .select(k, UrlOps.etld1(UrlOps.host(col("url"))).as("domain"),
+          md5(k.cast("string")).as("h"))
+      UrlOps.domainCap(base, col("domain"), col("h"), 8, preTrimFactor = 4)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_sum"))
+        .join(base.groupBy("domain").agg(count(lit(1)).as("n_total")),
+          Seq("domain"))
+        .select(col("domain"), col("n_total"), col("n_kept"),
+          col("kept_sum"))
+        .orderBy("domain")
     }))
+
+  /** Deterministic absolute URL from doc_id: optional www, 40 slds ×
+    * 5 tlds (incl. a multi-part suffix), optional :8443, 0–3 path
+    * segments, optional 2-param query — every branch CASE-derivable.
+    */
+  private def synthUrl(k: org.apache.spark.sql.Column) = {
+    val tld = element_at(
+      typedLit(Seq("com", "org", "co.uk", "com.au", "io")),
+      (pmod(k, lit(5)) + 1).cast("int"))
+    concat(lit("https://"),
+      when(pmod(k, lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      lit("s"), pmod(k, lit(40)).cast("string"), lit("."), tld,
+      when(pmod(k, lit(11)) === 0, lit(":8443")).otherwise(lit("")),
+      when(pmod(k, lit(4)) === 0, lit(""))
+        .when(pmod(k, lit(4)) === 1, lit("/a"))
+        .when(pmod(k, lit(4)) === 2, lit("/a/b"))
+        .otherwise(lit("/a/b/c")),
+      when(pmod(k, lit(7)) === 0, lit("?q=1&lang=en")).otherwise(lit("")))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q167_warc_scan" -> (HtmlCte +
@@ -147,5 +211,44 @@ object WarcQueries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST((length(text) - length(replace(text, 'lorem', ''))) / 5
         |    AS BIGINT) AS n_lorem
-        |FROM txt ORDER BY record_id""".stripMargin))
+        |FROM txt ORDER BY record_id""".stripMargin),
+    // ground truth derived by CASE arithmetic from doc_id — the
+    // oracle never runs a URL parser, so a parser bug can't cancel out
+    "q169_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au' ELSE 'io' END AS tld,
+        |    's' || CAST(doc_id % 40 AS VARCHAR) AS sld,
+        |    doc_id % 3 = 0 AS www
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN www THEN 'www.' ELSE '' END) || sld || '.' || tld
+        |    AS host,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 8443 END AS BIGINT) AS port,
+        |  sld || '.' || tld AS etld1,
+        |  CAST(doc_id % 4 AS BIGINT) AS path_depth,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS BIGINT)
+        |    AS n_params
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q170_domain_caps" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    's' || CAST(doc_id % 40 AS VARCHAR) || '.' ||
+        |    CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au' ELSE 'io' END
+        |      AS domain,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, domain,
+        |        row_number() OVER (PARTITION BY domain ORDER BY h) AS rn
+        |      FROM b),
+        |kept AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+        |           CAST(sum(doc_id) AS BIGINT) AS kept_sum
+        |         FROM r WHERE rn <= 8 GROUP BY domain),
+        |tot AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_total
+        |        FROM b GROUP BY domain)
+        |SELECT k.domain, t.n_total, k.n_kept, k.kept_sum
+        |FROM kept k JOIN tot t ON k.domain = t.domain
+        |ORDER BY k.domain""".stripMargin)
 }
