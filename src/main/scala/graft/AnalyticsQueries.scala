@@ -96,16 +96,20 @@ object AnalyticsQueries {
       * iteration bit-exact cross-engine (a little mass evaporates —
       * fine for a ranking signal).
       *
-      * Per iteration: the cached edge list joins the NODE-scale
-      * (node, outdeg, rank) table — broadcast here, since the rank
-      * table is edge-count/avg-degree rows (the q60 "vocab side"
-      * class) — then one map-side-combined sum of contributions and
-      * one node-scale left join. The edge list never re-shuffles and
-      * is scanned once per iteration; when the node table outgrows
-      * broadcast (billion-node graphs), drop the hint and the same
-      * plan runs as a co-partitioned shuffle join with the edge-side
-      * exchange reused across iterations. Nothing sorts, nothing
-      * crosses.
+      * Per iteration: the cached (src, dst, outdeg) edge list —
+      * out-degree ATTACHED ONCE at build time by a broadcast dim
+      * join — joins the broadcast NODE-scale (node, rank) table (the
+      * q60 "vocab side" class), then one map-side-combined sum of
+      * contributions IS the next rank table. The symmetrized graph
+      * guarantees indeg = outdeg ≥ 1, so every node receives
+      * contributions and no completing outer join is needed: ONE
+      * shuffle per iteration, total (the round-12 rewrite — the old
+      * shape re-joined a degree table per pass, 3 shuffles/iter).
+      * The edge list never re-shuffles and is scanned once per
+      * iteration; when the node table outgrows broadcast
+      * (billion-node graphs), drop the hint and the same plan runs
+      * as a co-partitioned shuffle join with the edge-side exchange
+      * reused across iterations. Nothing sorts, nothing crosses.
       */
     "q118_pagerank" -> ((s, d) => {
       // long node ids while the graph iterates: suppliers map to
@@ -123,19 +127,20 @@ object AnalyticsQueries {
         .persist()
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .withColumnRenamed("src", "node")
-      var rd = deg.withColumn("rank", lit(1000000L))
+      val edgesDeg = edges
+        .join(broadcast(deg), edges("src") === deg("node"))
+        .select(col("src"), col("dst"), col("outdeg")).persist()
+      var rank = deg.select(col("node"), lit(1000000L).as("rank"))
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(broadcast(rd), edges("src") === col("node"))
+        rank = edgesDeg
+          .join(broadcast(rank), edgesDeg("src") === rank("node"))
           .select(col("dst"),
             expr("(rank * 85) div (outdeg * 100)").as("c"))
-          .groupBy("dst").agg(sum("c").as("cs"))
-        rd = deg
-          .join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"), col("outdeg"),
-            (lit(150000L) + coalesce(col("cs"), lit(0L))).as("rank"))
+          .groupBy("dst")
+          .agg((lit(150000L) + sum("c")).as("rank"))
+          .withColumnRenamed("dst", "node")
       }
-      rd.select(when(col("node") >= 0, concat(lit("c"), col("node")))
+      rank.select(when(col("node") >= 0, concat(lit("c"), col("node")))
             .otherwise(concat(lit("s"), -col("node") - 1)).as("node"),
           col("rank"))
         .orderBy(col("rank").desc, col("node")).limit(100)
