@@ -99,7 +99,8 @@ class WarcTable(paths: Seq[String], tolerant: Boolean)
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, tolerant)
@@ -143,6 +144,10 @@ class WarcScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required, filters, tolerant)
   override def description(): String =
     s"WarcScan PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
