@@ -96,20 +96,18 @@ object AnalyticsQueries {
       * iteration bit-exact cross-engine (a little mass evaporates —
       * fine for a ranking signal).
       *
-      * Per iteration: the cached (src, dst, outdeg) edge list —
-      * out-degree ATTACHED ONCE at build time by a broadcast dim
-      * join — joins the broadcast NODE-scale (node, rank) table (the
-      * q60 "vocab side" class), then one map-side-combined sum of
-      * contributions IS the next rank table. The symmetrized graph
-      * guarantees indeg = outdeg ≥ 1, so every node receives
-      * contributions and no completing outer join is needed: ONE
-      * shuffle per iteration, total (the round-12 rewrite — the old
-      * shape re-joined a degree table per pass, 3 shuffles/iter).
-      * The edge list never re-shuffles and is scanned once per
-      * iteration; when the node table outgrows broadcast
-      * (billion-node graphs), drop the hint and the same plan runs
-      * as a co-partitioned shuffle join with the edge-side exchange
-      * reused across iterations. Nothing sorts, nothing crosses.
+      * Runs through [[graft.operators.Graph.pageRank]]: out-degree
+      * ATTACHED ONCE to the cached (src, dst, outdeg) edge list by a
+      * broadcast dim join; per iteration that list joins the
+      * broadcast NODE-scale (node, rank) table (the q60 "vocab side"
+      * class) and one map-side-combined contribution sum IS the next
+      * rank table. The symmetrized graph guarantees indeg = outdeg
+      * ≥ 1, so no completing outer join is needed: ONE shuffle per
+      * iteration. The edge list never re-shuffles; billion-node
+      * graphs set broadcastRanks=false for a co-partitioned shuffle
+      * join, and 20+-iteration runs get per-interval lineage
+      * checkpoints (3 oracle iterations stay checkpoint-free, full
+      * plan analyzable). Nothing sorts, nothing crosses.
       */
     "q118_pagerank" -> ((s, d) => {
       // long node ids while the graph iterates: suppliers map to
@@ -125,21 +123,7 @@ object AnalyticsQueries {
       val edges = e0.unionAll(
         e0.select(col("dst").as("src"), col("src").as("dst")))
         .persist()
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-        .withColumnRenamed("src", "node")
-      val edgesDeg = edges
-        .join(broadcast(deg), edges("src") === deg("node"))
-        .select(col("src"), col("dst"), col("outdeg")).persist()
-      var rank = deg.select(col("node"), lit(1000000L).as("rank"))
-      for (_ <- 1 to 3) {
-        rank = edgesDeg
-          .join(broadcast(rank), edgesDeg("src") === rank("node"))
-          .select(col("dst"),
-            expr("(rank * 85) div (outdeg * 100)").as("c"))
-          .groupBy("dst")
-          .agg((lit(150000L) + sum("c")).as("rank"))
-          .withColumnRenamed("dst", "node")
-      }
+      val rank = graft.operators.Graph.pageRank(edges, iterations = 3)
       rank.select(when(col("node") >= 0, concat(lit("c"), col("node")))
             .otherwise(concat(lit("s"), -col("node") - 1)).as("node"),
           col("rank"))

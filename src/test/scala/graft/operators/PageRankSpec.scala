@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** Graph.pageRank: exact integer micro-unit semantics vs an
+  * in-memory reference, deep-iteration lineage bounding, and the
+  * broadcast-vs-shuffle rank-join escalation.
+  */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // a small directed graph where every node has >= 1 in-edge
+  // (the operator contract); NOT symmetric, so ranks differ by node
+  private val edgeSeq = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L), (3L, 4L),
+    (5L, 4L), (4L, 5L), (2L, 5L), (5L, 1L))
+
+  private def edges = {
+    import spark.implicits._
+    edgeSeq.toDF("src", "dst")
+  }
+
+  /** Scala reference of the same floor-division recurrence. */
+  private def reference(iters: Int): Map[Long, Long] = {
+    val out = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = out.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edgeSeq.groupBy(_._2).view.mapValues(_.map {
+        case (s, _) => rank(s) * 85 / (out(s) * 100)
+      }.sum).toMap
+      rank = contrib.map { case (n, c) => n -> (150000L + c) }
+    }
+    rank
+  }
+
+  test("10 iterations match the in-memory reference exactly") {
+    val got = Graph.pageRank(edges, iterations = 10,
+        checkpointInterval = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(10))
+  }
+
+  test("checkpointing bounds lineage: a 12-iteration plan is no " +
+      "deeper than a 2-iteration plan plus one interval") {
+    // interval 2 => the 12-iteration frame's plan holds at most 2
+    // live joins on top of a checkpointed RDD scan; without the cut
+    // it would embed all 12 and the analyzed tree would be ~6x
+    val deep = Graph.pageRank(edges, iterations = 12,
+      checkpointInterval = 2)
+    val shallow = Graph.pageRank(edges, iterations = 2,
+      checkpointInterval = 100)
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "Join".r.findAllIn(df.queryExecution.analyzed.treeString).length
+    assert(joins(deep) <= joins(shallow))
+    // and the deep run still computes the right numbers
+    val got = deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(12))
+  }
+
+  test("broadcastRanks=false yields identical ranks through the " +
+      "shuffle-join path") {
+    val got = Graph.pageRank(edges, iterations = 4,
+        broadcastRanks = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(4))
+  }
+
+  test("symmetrized graph keeps every node in the rank table") {
+    val sym = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val got = Graph.pageRank(sym, iterations = 3)
+    assert(got.select("node").distinct().count() === 5)
+  }
+}
