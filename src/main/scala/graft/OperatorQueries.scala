@@ -113,6 +113,24 @@ object OperatorQueries {
         .orderBy("ck")
     }),
 
+    /** J1 through [[graft.plans.ShuffleRangeJoinExec]] — the
+      * range-partitioned sorted-interval join for range tables that
+      * outgrow a broadcast: the ranges side's `merge` hint makes the
+      * planner strategy take the shuffle path (fact keys sampled for
+      * boundaries, each range shipped to every partition it
+      * overlaps, per-partition binary-search probe). Same oracle
+      * semantics as q07; PlanInvariantSpec locks the exec node.
+      */
+    "q171_shuffle_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bins = Seq((0, 10), (10, 25), (25, 51)).toDF("lo", "hi")
+      Tables.lineitem(s, d)
+        .join(bins.hint("merge"),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("lo").agg(count(lit(1)).as("c"))
+        .orderBy("lo")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -161,6 +179,12 @@ object OperatorQueries {
         |  CASE WHEN c_custkey % 10 = 4 THEN NULL
         |    ELSE 'W' || (c_custkey % 25) END AS range_tag
         |FROM customer WHERE c_custkey < 300 ORDER BY ck""".stripMargin,
+    "q171_shuffle_range_join" ->
+      """SELECT b.lo, count(*) AS c FROM lineitem l JOIN
+        |(SELECT 0 AS lo, 10 AS hi UNION ALL SELECT 10, 25
+        | UNION ALL SELECT 25, 51) b
+        |ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY b.lo ORDER BY b.lo""".stripMargin,
     "q26_asof_snapshot" ->
       """SELECT e.event_id, coalesce(
         |  (SELECT max(o.o_orderdate) FROM orders o

@@ -167,6 +167,14 @@ class PlanInvariantSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("merge-hinted range join plans ShuffleRangeJoinExec, not a " +
+      "broadcast or BNLJ (q171)") {
+    val p = plan("q171_shuffle_range_join")
+    assert(p.contains("ShuffleRangeJoin"), p)
+    assert(!p.contains("BroadcastRangeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("transitive closure doubling rounds are cached (q146)") {
     val p = plan("q146_transitive_closure")
     assert(p.contains("InMemoryTableScan") ||

@@ -78,4 +78,69 @@ class RangeJoinSpec extends AnyFunSuite {
     val eq = a.join(b, "k")
     assert(!physicalPlan(eq).contains("BroadcastRangeJoin"))
   }
+
+  test("merge hint on the ranges side plans ShuffleRangeJoinExec " +
+      "with the broadcast path's exact result") {
+    import spark.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong, (i % 55).toDouble))
+      .toDF("id", "qty")
+    val bins = Seq((0, 10), (10, 25), (25, 51)).toDF("lo", "hi")
+    val cond = col("qty") >= col("lo") && col("qty") < col("hi")
+    val shuffled = facts.join(bins.hint("merge"), cond)
+    assert(physicalPlan(shuffled).contains("ShuffleRangeJoin"),
+      physicalPlan(shuffled))
+    val got = shuffled.groupBy("lo").agg(count(lit(1)).as("c"))
+      .orderBy("lo").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val viaBroadcast = facts.join(bins, cond)
+      .groupBy("lo").agg(count(lit(1)).as("c"))
+      .orderBy("lo").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == viaBroadcast.toSeq)
+  }
+
+  test("shuffle path: left outer + overlapping binary ranges + " +
+      "extra conjunct + null probes matches the broadcast path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ranges = (0 until 400).map { i =>
+      val lo = IpMath.parseIp(s"10.0.${i % 30}.${rnd.nextInt(200)}")
+      (lo, IpMath.ipAdd(lo, 1 + rnd.nextInt(400)), s"p$i", i % 2)
+    }.toDF("lo", "hi", "tag", "parity")
+    val probes = (1 to 2000).map { i =>
+      val ip = if (i % 97 == 0) null
+        else IpMath.parseIp(s"10.0.${rnd.nextInt(35)}.${rnd.nextInt(256)}")
+      (i.toLong, ip)
+    }.toDF("id", "ip")
+    val cond = col("ip") >= col("lo") && col("ip") <= col("hi") &&
+      col("parity") === 1
+    val viaShuffle = probes.join(ranges.hint("merge"), cond, "left")
+    assert(physicalPlan(viaShuffle).contains("ShuffleRangeJoin"))
+    val a = viaShuffle.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaBroadcast = probes.join(ranges, cond, "left")
+    assert(physicalPlan(viaBroadcast).contains("BroadcastRangeJoin"))
+    val b = viaBroadcast.select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.exists(_._2 == null)) // outer misses (incl. null probes) kept
+  }
+
+  test("over-threshold ranges with no equi conjunct auto-escalate " +
+      "to the shuffle path instead of a BNLJ") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val facts = (1 to 200).map(i => (i.toLong, (i % 55).toDouble))
+        .toDF("id", "qty")
+      val bins = Seq((0, 10), (10, 25), (25, 51)).toDF("lo", "hi")
+      val joined = facts.join(bins,
+        col("qty") >= col("lo") && col("qty") < col("hi"))
+      val p = physicalPlan(joined)
+      assert(p.contains("ShuffleRangeJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
