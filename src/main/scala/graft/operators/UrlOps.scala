@@ -1,8 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL structure operators for crawl curation: host / port / path /
   * query decomposition, registrable-domain (eTLD+1) extraction, and
@@ -69,6 +74,25 @@ object UrlOps {
       .otherwise(last2)
   }
 
+  /** Full-PSL registrable domain: [[etld1]]'s documented broadcast
+    * -set escalation. `psl` holds the complete rule set (exact,
+    * `*.`-wildcard, and `!`-exception rules per publicsuffix.org's
+    * algorithm); the expression stays inside whole-stage codegen and
+    * executors fetch the rule set once via the broadcast. Unlike the
+    * compiled-subset [[etld1]], a host that IS a public suffix
+    * (e.g. `co.uk`, or `anything.ck` under `*.ck`) returns NULL —
+    * the spec answer — rather than passing through.
+    */
+  def registrableDomain(hostCol: Column, psl: Broadcast[Psl]): Column =
+    GraftBridge.column(RegistrableDomain(GraftBridge.expression(hostCol), psl))
+
+  /** Broadcast a rule set for [[registrableDomain]]; pass
+    * [[Psl.builtin]] or a full list loaded with [[Psl.parse]].
+    */
+  def broadcastPsl(spark: SparkSession, psl: Psl = Psl.builtin)
+      : Broadcast[Psl] =
+    spark.sparkContext.broadcast(psl)
+
   /** Keeps at most `k` rows per domain, chosen by ascending
     * `orderKey` (pass a hash for an unbiased deterministic sample) —
     * the exact cap. One shuffle on `domain`; per-task input is one
@@ -98,4 +122,136 @@ object UrlOps {
     base.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+}
+
+/** Public Suffix List rule set + the publicsuffix.org matching
+  * algorithm. Three rule kinds:
+  *
+  *  - exact (`co.uk`): the rule labels must suffix the host;
+  *  - wildcard (`*.ck`): `*` consumes exactly one extra host label;
+  *  - exception (`!www.ck`): beats every other rule; the public
+  *    suffix is the rule minus its leftmost label.
+  *
+  * The prevailing rule is the longest match (exceptions first); the
+  * implicit default rule `*` makes the bare last label a public
+  * suffix. Registrable domain = public suffix + one label; a host
+  * that is itself a public suffix has none (NULL).
+  *
+  * Dimension scale: the full list is ~10k rules ≈ a few hundred KB —
+  * one broadcast, hash-set lookups per host suffix, O(labels) per
+  * row.
+  */
+final class Psl(
+    exact: java.util.HashSet[String],
+    wildcard: java.util.HashSet[String],
+    exceptions: java.util.HashSet[String]) extends Serializable {
+
+  /** Registrable domain of a lowercase host, or null when the host
+    * is malformed (empty labels) or is itself a public suffix.
+    */
+  def registrable(host: String): String = {
+    if (host == null || host.isEmpty || host.charAt(0) == '.' ||
+      host.charAt(host.length - 1) == '.') return null
+    val labels = host.split('.')
+    val n = labels.length
+    if (labels.exists(_.isEmpty)) return null
+    var psLen = 1 // implicit default rule "*"
+    var i = 0
+    var suffix: String = null
+    while (i < n) {
+      suffix = if (suffix == null) {
+        // build suffixes longest-first once, reusing substring math
+        labels.mkString(".")
+      } else suffix.substring(labels(i - 1).length + 1)
+      val len = n - i
+      // exception beats all: ps = rule minus leftmost label, so the
+      // matched rule itself is the registrable domain
+      if (exceptions.contains(suffix)) return suffix
+      if (exact.contains(suffix) && len > psLen) psLen = len
+      // rule "*.suffix" matches when a host label exists for the *
+      if (i > 0 && wildcard.contains(suffix) && len + 1 > psLen)
+        psLen = len + 1
+      i += 1
+    }
+    if (n <= psLen) null
+    else {
+      // join the last psLen+1 labels
+      val first = n - (psLen + 1)
+      val sb = new java.lang.StringBuilder
+      var j = first
+      while (j < n) {
+        if (j > first) sb.append('.')
+        sb.append(labels(j))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+}
+
+object Psl {
+  /** Parse PSL-format lines: `//` comments and blanks skipped,
+    * `*.`-prefixed rules become wildcards, `!`-prefixed rules
+    * exceptions, everything else exact. Input is lowercased.
+    */
+  def parse(lines: IterableOnce[String]): Psl = {
+    val exact = new java.util.HashSet[String]()
+    val wildcard = new java.util.HashSet[String]()
+    val exceptions = new java.util.HashSet[String]()
+    lines.iterator.foreach { raw =>
+      val line = raw.trim.toLowerCase
+      if (line.nonEmpty && !line.startsWith("//")) {
+        // the official file ends rules at the first whitespace
+        val rule = line.takeWhile(!_.isWhitespace)
+        if (rule.startsWith("!")) exceptions.add(rule.substring(1))
+        else if (rule.startsWith("*.")) wildcard.add(rule.substring(2))
+        else exact.add(rule)
+      }
+    }
+    new Psl(exact, wildcard, exceptions)
+  }
+
+  /** Load the full list from a file (driver-side; broadcast the
+    * result with [[UrlOps.broadcastPsl]]).
+    */
+  def fromFile(path: String): Psl = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
+  /** Compiled-in fallback: [[UrlOps.MultiPartSuffixes]] as exact
+    * rules (plus the implicit default rule). Same coverage as
+    * [[UrlOps.etld1]], spec-correct NULL on public-suffix hosts.
+    */
+  lazy val builtin: Psl = parse(UrlOps.MultiPartSuffixes)
+}
+
+/** registrable_domain(host) over a broadcast [[Psl]] — codegen'd,
+  * zero joins, the same plan-reference-object pattern as
+  * [[RangeSearch]].
+  */
+case class RegistrableDomain(child: Expression, bc: Broadcast[Psl])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(host: Any): Any = {
+    val r = bc.value.registrable(host.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pslBc", bc,
+      classOf[Broadcast[Psl]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |String r = ((graft.operators.Psl) $bcRef.value())
+         |  .registrable($c.toString());
+         |${ev.isNull} = (r == null);
+         |${ev.value} = ${ev.isNull} ? null
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(r);
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): RegistrableDomain =
+    copy(child = c)
+  override def prettyName: String = "registrable_domain"
 }

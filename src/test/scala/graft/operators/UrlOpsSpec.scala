@@ -60,6 +60,67 @@ class UrlOpsSpec extends AnyFunSuite {
       (("example.com", null, "example.com", 0, 1)))
   }
 
+  test("full PSL: wildcard and exception rules follow the " +
+      "publicsuffix.org algorithm") {
+    val psl = Psl.parse(Seq(
+      "// comment line", "", "com", "co.uk", "jp",
+      "*.nagoya.jp", "*.ck", "!www.ck"))
+    // wildcard: *.ck makes every <x>.ck a public suffix
+    assert(psl.registrable("foo.bar.ck") === "foo.bar.ck")
+    assert(psl.registrable("bar.ck") === null) // IS a public suffix
+    // exception: !www.ck carves www.ck back out
+    assert(psl.registrable("www.ck") === "www.ck")
+    assert(psl.registrable("sub.www.ck") === "www.ck")
+    // *.nagoya.jp (the compiled subset's documented miss case):
+    // b.nagoya.jp is the public suffix, so one MORE label registers
+    assert(psl.registrable("a.b.nagoya.jp") === "a.b.nagoya.jp")
+    assert(psl.registrable("b.nagoya.jp") === null)
+    assert(psl.registrable("nagoya.jp") === "nagoya.jp") // exact jp rule
+    // exact multi-part + default rule
+    assert(psl.registrable("x.y.co.uk") === "y.co.uk")
+    assert(psl.registrable("co.uk") === null)
+    assert(psl.registrable("a.example.org") === "example.org")
+    assert(psl.registrable("org") === null)
+    // malformed
+    assert(psl.registrable(".leading.dot") === null)
+    assert(psl.registrable("trailing.dot.") === null)
+    assert(psl.registrable("") === null)
+  }
+
+  test("registrableDomain expression runs the broadcast PSL in-plan " +
+      "and agrees with etld1 on subset-covered hosts") {
+    val bc = UrlOps.broadcastPsl(spark)
+    val hosts = Seq("a.b.example.co.uk", "x.github.io", "a.example.org",
+      "deep.a.example.org", "example.com", null)
+    val got = hosts.toDF("h")
+      .select(UrlOps.registrableDomain(col("h"), bc).as("rd"),
+        UrlOps.etld1(col("h")).as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (rd, e) => assert(rd === e) }
+    // and the spec-correct divergence: a public-suffix host is NULL
+    // through the full algorithm, passthrough through the subset fn
+    val ps = Seq("co.uk").toDF("h")
+      .select(UrlOps.registrableDomain(col("h"), bc).as("rd"),
+        UrlOps.etld1(col("h")).as("e")).head
+    assert(ps.isNullAt(0) && ps.getString(1) === "co.uk")
+  }
+
+  test("Psl.fromFile loads a PSL-format file") {
+    val f = java.io.File.createTempFile("psl", ".dat")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("// test list")
+    w.println("uk")
+    w.println("co.uk")
+    w.println("*.sch.uk")
+    w.println("!known.sch.uk")
+    w.close()
+    val psl = Psl.fromFile(f.getPath)
+    assert(psl.registrable("a.b.sch.uk") === "a.b.sch.uk")
+    assert(psl.registrable("known.sch.uk") === "known.sch.uk")
+    assert(psl.registrable("shop.co.uk") === "shop.co.uk")
+  }
+
   test("domainCap keeps exactly the k smallest order keys per domain") {
     val df = (0 until 100).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "dom")
       .withColumn("h", md5(col("id").cast("string")))
