@@ -696,19 +696,27 @@ object TextAnalysis {
     * where a same-sort full frame also yields the grand total with no
     * extra scan and no 1-row cross join; level 2 ranks words only
     * WITHIN their count band (`cum = band_offset + cnt × rank`), so
-    * the token stream is never globally sorted. Caveat at extreme
-    * scale: the cnt=1 tail band is one window partition; if the tail
-    * vocabulary itself overwhelms a task, sub-shard non-boundary
-    * bands by word hash — in/out is constant across a band that
-    * doesn't straddle the budget, so only the boundary band needs
-    * exact within-band order.
+    * the token stream is never globally sorted.
+    *
+    * The cnt=1 tail band would otherwise be ONE window partition; at
+    * extreme scale pass `tailSubShards > 1` and every NON-boundary
+    * band (entirely inside or entirely outside the budget — in/out is
+    * constant there, so within-band order cannot change any
+    * `in_vocab`) ranks in word-hash sub-shards: rank = words in
+    * earlier shards of the band (a bounded bands×shards broadcast) +
+    * rank within the shard. Only the ONE band straddling the budget
+    * keeps the exact word-asc order. `cum_cnt` stays a valid exact
+    * cumulative sum (the value SET per band is rank-assignment-
+    * independent: band_off + cnt×{1..K}); word↔cum_cnt pairing inside
+    * sharded bands follows the sharded order instead of word-asc.
     *
     * Output: (word, cnt, cum_cnt, in_vocab) — the cutoff compares
     * `cum_cnt × shareDen ≤ total × shareNum` in exact integers, no
     * float knife-edge.
     */
   def vocabCoverage(df: DataFrame, textCol: String,
-      shareNum: Int = 95, shareDen: Int = 100): DataFrame = {
+      shareNum: Int = 95, shareDen: Int = 100,
+      tailSubShards: Int = 0): DataFrame = {
     require(shareDen > 0 && shareNum >= 0 && shareNum <= shareDen)
     import org.apache.spark.sql.expressions.Window
     val counts = df
@@ -724,13 +732,47 @@ object TextAnalysis {
         lit(0L)))
       .withColumn("total", sum(col("band_sum")).over(wAll))
     val wWithin = Window.partitionBy("cnt").orderBy("word")
-    counts
-      .join(broadcast(offsets.select("cnt", "band_off", "total")), "cnt")
-      .withColumn("cum_cnt",
-        col("band_off") + col("cnt") * row_number().over(wWithin))
+    val joined = counts.join(broadcast(
+      offsets.select("cnt", "band_off", "band_sum", "total")), "cnt")
+    def finish(ranked: DataFrame): DataFrame = ranked
       .select(col("word"), col("cnt"), col("cum_cnt"),
         (col("cum_cnt") * shareDen <= col("total") * shareNum)
           .as("in_vocab"))
+    if (tailSubShards <= 1) {
+      finish(joined.withColumn("cum_cnt",
+        col("band_off") + col("cnt") * row_number().over(wWithin)))
+    } else {
+      // a band is boundary iff the budget cutoff falls strictly
+      // inside it: its first word could be in AND its last word out
+      val allIn =
+        (col("band_off") + col("band_sum")) * shareDen <=
+          col("total") * shareNum
+      val allOut =
+        (col("band_off") + col("cnt")) * shareDen > col("total") * shareNum
+      val tagged = joined.withColumn("__boundary", !allIn && !allOut)
+      val boundary = tagged.filter(col("__boundary"))
+        .withColumn("cum_cnt",
+          col("band_off") + col("cnt") * row_number().over(wWithin))
+      val sharded = tagged.filter(!col("__boundary"))
+        .withColumn("__shard",
+          pmod(xxhash64(col("word")), lit(tailSubShards.toLong)))
+      // words per (band, shard) → earlier-shard word offsets; bounded
+      // by bands × shards, broadcast back
+      val wShardPrior = Window.partitionBy("cnt").orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val shardOff = sharded.groupBy("cnt", "__shard")
+        .agg(count(lit(1)).as("__sw"))
+        .withColumn("__soff",
+          coalesce(sum(col("__sw")).over(wShardPrior), lit(0L)))
+        .select("cnt", "__shard", "__soff")
+      val wInShard = Window.partitionBy("cnt", "__shard").orderBy("word")
+      val nonBoundary = sharded
+        .join(broadcast(shardOff), Seq("cnt", "__shard"))
+        .withColumn("cum_cnt", col("band_off") + col("cnt") *
+          (col("__soff") + row_number().over(wInShard)))
+      finish(boundary.unionByName(
+        nonBoundary.drop("__shard", "__soff")))
+    }
   }
 
   /** Winnowing-style fingerprints: hash every k-char gram, then keep

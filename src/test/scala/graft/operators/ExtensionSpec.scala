@@ -595,6 +595,43 @@ class ExtensionSpec extends AnyFunSuite {
       ("c", 3L, 17L, true), ("a", 1L, 18L, false)))
   }
 
+  test("vocab coverage: tail sub-sharding leaves every in_vocab flag " +
+      "and the per-band cum_cnt value set unchanged") {
+    import spark.implicits._
+    // a WIDE cnt=1 tail (the band sub-sharding targets) plus heads;
+    // total 68 tokens, 30/100 budget = 20.4 → the cutoff falls inside
+    // the cnt=2 band (cums 18..28), so the cnt=1 tail and the heads
+    // are non-boundary (sharded) and only cnt=2 keeps exact order
+    val tail = (0 until 40).map(i => f"t$i%02d").mkString(" ")
+    val docs = Seq(
+      (0L, "x x x x x x x x x x y y y y y y"),
+      (1L, "m1 m1 m2 m2 m3 m3 m4 m4 m5 m5 m6 m6"),
+      (2L, tail)).toDF("doc_id", "text")
+    val exact = TextAnalysis.vocabCoverage(docs, "text", 30, 100)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val sharded = TextAnalysis.vocabCoverage(docs, "text", 30, 100,
+        tailSubShards = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(exact.length === sharded.length)
+    // identical in_vocab verdict per word
+    val exactV = exact.map(t => t._1 -> t._4).toMap
+    val shardedV = sharded.map(t => t._1 -> t._4).toMap
+    assert(shardedV === exactV)
+    // cum_cnt per band is the same VALUE SET (assignment may differ)
+    def bandSets(a: Array[(String, Long, Long, Boolean)]) =
+      a.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(bandSets(sharded) === bandSets(exact))
+    // the boundary band (cnt=2, straddling the 30% cutoff) keeps the
+    // exact word↔cum_cnt pairing
+    val exactBoundary = exact.filter(_._2 == 2L).sortBy(_._1).toSeq
+    val shardedBoundary = sharded.filter(_._2 == 2L).sortBy(_._1).toSeq
+    assert(shardedBoundary === exactBoundary)
+    // sanity: the boundary band is genuinely mixed in/out
+    assert(exactBoundary.exists(_._4) && exactBoundary.exists(!_._4))
+  }
+
   test("hard negatives pick the closest different-label candidate " +
       "with deterministic tie-breaks") {
     import spark.implicits._
