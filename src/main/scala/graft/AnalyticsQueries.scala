@@ -427,7 +427,8 @@ object AnalyticsQueries {
       val hc = e.groupBy("h").agg(count(lit(1)).as("c"))
       val bounds = hc.agg(min("h").as("lo"), max("h").as("hi"))
       val grid = bounds
-        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+        .select(explode(graft.operators.Grids.boundedSpine(
+          col("lo"), col("hi"), what = "hour")).as("h"))
         .join(hc, Seq("h"), "left")
         .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
       val sm = grid
@@ -493,7 +494,8 @@ object AnalyticsQueries {
           .as("day"))
         .groupBy("day").agg(count(lit(1)).as("c"))
       val spine = dc.agg(min("day").as("lo"), max("day").as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .select(explode(graft.operators.Grids.boundedSpine(
+          col("lo"), col("hi"), what = "day")).as("day"))
       val grid = spine.join(dc, Seq("day"), "left")
         .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
       val w = Window.orderBy("day").rowsBetween(-14, -1)
@@ -1044,7 +1046,8 @@ object AnalyticsQueries {
       val spine = dv.groupBy("user_id")
         .agg(min("day").as("lo"), max("day").as("hi"))
         .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"))).as("day"))
+          explode(graft.operators.Grids.boundedSpine(
+            col("lo"), col("hi"), what = "per-user day")).as("day"))
       val w = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(dv, Seq("user_id", "day"), "left")
@@ -1293,7 +1296,8 @@ object AnalyticsQueries {
           sum(when(col("event_type") === "error", 1L).otherwise(0L))
             .as("y"))
       val spine = hc.agg(min("h").as("lo"), max("h").as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+        .select(explode(graft.operators.Grids.boundedSpine(
+          col("lo"), col("hi"), what = "hour")).as("h"))
       val grid = spine.join(hc, Seq("h"), "left")
         .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
           coalesce(col("y"), lit(0L)).as("y"))

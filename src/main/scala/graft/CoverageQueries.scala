@@ -174,7 +174,8 @@ object CoverageQueries {
           .as("h"))
         .agg(count(lit(1)).as("c"))
       val spine = hc.agg(min("h").as("h0"), max("h").as("h1"))
-        .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        .select(explode(graft.operators.Grids.boundedSpine(
+          col("h0"), col("h1"), what = "hour")).as("h"))
       val grid = spine.join(hc, Seq("h"), "left")
         .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
       val trail = Window.orderBy("h").rowsBetween(-24, -1)
