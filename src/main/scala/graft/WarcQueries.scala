@@ -121,6 +121,29 @@ object WarcQueries {
         .orderBy("record_id")
     }),
 
+    /** Mixed-charset crawl decode through the source's body-derived
+      * columns: the fixture cycles the four charset-declaration modes
+      * a real crawl mixes (meta charset → UTF-8, meta http-equiv →
+      * ISO-8859-1, HTTP header param → windows-1252, BOM → UTF-16LE;
+      * [[Warc.fixtureHtmlCharset]]) while every body DECODES to the
+      * same accented text — so the oracle rebuilds `text` by string
+      * arithmetic and the only way Spark matches is detecting each
+      * record's charset correctly ([[Warc.detectCharset]]) before
+      * the WET-style extraction ([[Warc.payloadText]]).
+      */
+    "q172_warc_charset" -> ((s, d) => {
+      val dir = warcCharsetFixture(s, d)
+      s.read.format("warc").load(dir)
+        .filter(col("warc_type") === "response")
+        .select(col("record_id"), col("charset"), col("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_accents",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[éúïö]", "")))
+            .cast("long"))
+        .orderBy("record_id")
+    }),
+
     /** URL decomposition ([[UrlOps]]): host, explicit port, eTLD+1
       * (multi-part-suffix aware), path depth, query-param count —
       * over URLs synthesized arithmetically from doc_id, so the
@@ -164,6 +187,23 @@ object WarcQueries {
           col("kept_sum"))
         .orderBy("domain")
     }))
+
+  /** One-file mixed-charset fixture: per nation key, one response in
+    * charset mode `n % 4` ([[Warc.fixtureHtmlCharset]]).
+    */
+  private def warcCharsetFixture(s: SparkSession, d: String): String = {
+    val keys = nation(s, d).select(col("n_nationkey")).collect()
+      .map(_.getAs[Number](0).intValue).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cs")
+    val recs = keys.map { n =>
+      val (ct, body) = Warc.fixtureHtmlCharset(n)
+      Warc.Entry("response", f"<urn:uuid:cs-$n%03d>",
+        s"https://cs$n.example/", FixtureDate, 200, ct, body)
+    }
+    java.nio.file.Files.write(dir.resolve("part-000.warc.gz"),
+      Warc.build(recs.toSeq, gzip = true))
+    dir.toString
+  }
 
   /** Deterministic absolute URL from doc_id: optional www, 40 slds ×
     * 5 tlds (incl. a multi-part suffix), optional :8443, 0–3 path
@@ -212,6 +252,25 @@ object WarcQueries {
         |  CAST((length(text) - length(replace(text, 'lorem', ''))) / 5
         |    AS BIGINT) AS n_lorem
         |FROM txt ORDER BY record_id""".stripMargin),
+    // ground truth: decoded text + charset label rebuilt by CASE
+    // arithmetic — only correct per-record charset detection on the
+    // Spark side can reproduce these strings from the mixed bytes
+    "q172_warc_charset" ->
+      """WITH k AS (SELECT CAST(n_nationkey AS INTEGER) AS n FROM nation),
+        |t AS (SELECT n,
+        |  CASE n % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'utf-16le' END AS charset,
+        |  'x Café número ' || CAST(n AS VARCHAR) || ' naïve ' ||
+        |    repeat('söt ', n % 3 + 1) || 'end' AS text
+        |  FROM k)
+        |SELECT '<urn:uuid:cs-' || lpad(CAST(n AS VARCHAR), 3, '0') ||
+        |    '>' AS record_id,
+        |  charset, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[éúïö]', '', 'g'))
+        |    AS BIGINT) AS n_accents
+        |FROM t ORDER BY record_id""".stripMargin,
     // ground truth derived by CASE arithmetic from doc_id — the
     // oracle never runs a URL parser, so a parser bug can't cancel out
     "q169_url_parse" ->

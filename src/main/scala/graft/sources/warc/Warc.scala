@@ -2,6 +2,7 @@ package graft.sources.warc
 
 import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
   InputStream}
+import java.nio.charset.StandardCharsets
 import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
@@ -50,7 +51,10 @@ object Warc {
       httpContentType: Option[String],
       payload: Array[Byte])
 
-  /** Reads one CRLF-terminated ASCII line; None at clean EOF. */
+  /** Reads one CRLF-terminated header line; None at clean EOF.
+    * Decoded UTF-8 — WARC 1.1 allows UTF-8 header values (non-ASCII
+    * target URIs), and UTF-8 is ASCII-transparent for 1.0 files.
+    */
   private def readLine(in: InputStream): Option[String] = {
     val buf = new ByteArrayOutputStream(96)
     var c = in.read()
@@ -59,7 +63,7 @@ object Warc {
     val bytes = buf.toByteArray
     val n = if (bytes.nonEmpty && bytes.last == '\r') bytes.length - 1
             else bytes.length
-    Some(new String(bytes, 0, n, US_ASCII))
+    Some(new String(bytes, 0, n, UTF_8))
   }
 
   private def readFully(in: InputStream, n: Int): Array[Byte] = {
@@ -211,8 +215,15 @@ object Warc {
           nextRec =
             try parseNext()
             catch {
+              // the tolerant budget covers truncation AND mid-file
+              // header corruption (non-numeric / missing
+              // Content-Length surfaces as NumberFormatException /
+              // require's IllegalArgumentException): iteration stops
+              // at the last clean record either way
               case _: EOFException if tolerant => null
-              case e: java.util.zip.ZipException if tolerant => null
+              case _: java.util.zip.ZipException if tolerant => null
+              case _: NumberFormatException if tolerant => null
+              case _: IllegalArgumentException if tolerant => null
             }
           if (nextRec == null) { done = true; in.close() }
         }
@@ -260,7 +271,7 @@ object Warc {
           (if (isResp)
              "Content-Type: application/http;msgtype=response\r\n"
            else "Content-Type: application/warc-fields\r\n") +
-          s"Content-Length: ${block.length}\r\n\r\n").getBytes(US_ASCII)
+          s"Content-Length: ${block.length}\r\n\r\n").getBytes(UTF_8)
       val recBytes = header ++ block ++ "\r\n\r\n".getBytes(US_ASCII)
       if (gzip) {
         val g = new GZIPOutputStream(out, 1 << 14)
@@ -268,6 +279,88 @@ object Warc {
       } else out.write(recBytes)
     }
     out.toByteArray
+  }
+
+  /** Charset of an HTTP payload, WHATWG-sniff precedence: byte-order
+    * mark beats the `Content-Type; charset=` header param beats an
+    * in-document `<meta … charset=…>` declaration (scanned in the
+    * first 1024 bytes, latin-1-decoded so arbitrary bytes can't
+    * break the scan) beats the UTF-8 default. Returned lowercase
+    * with the common latin-1 aliases normalized.
+    */
+  def detectCharset(httpContentType: Option[String],
+      payload: Array[Byte]): String = {
+    def b(i: Int): Int = payload(i) & 0xff
+    if (payload != null && payload.length >= 3 &&
+      b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) "utf-8"
+    else if (payload != null && payload.length >= 2 &&
+      b(0) == 0xFF && b(1) == 0xFE) "utf-16le"
+    else if (payload != null && payload.length >= 2 &&
+      b(0) == 0xFE && b(1) == 0xFF) "utf-16be"
+    else {
+      val fromHeader = httpContentType.flatMap(charsetParam)
+      val fromMeta =
+        if (fromHeader.isDefined || payload == null) None
+        else {
+          val n = math.min(payload.length, 1024)
+          charsetParam(
+            new String(payload, 0, n, StandardCharsets.ISO_8859_1))
+        }
+      fromHeader.orElse(fromMeta).getOrElse("utf-8")
+    }
+  }
+
+  private val CharsetRe =
+    "(?i)charset\\s*=\\s*[\"']?([a-z0-9_.:\\-]+)".r
+
+  private def charsetParam(s: String): Option[String] =
+    CharsetRe.findFirstMatchIn(s).map(m => normCharset(m.group(1)))
+
+  private def normCharset(raw: String): String = raw.toLowerCase match {
+    case "latin1" | "latin-1" | "iso8859-1" | "l1" => "iso-8859-1"
+    case "utf8" => "utf-8"
+    case x => x
+  }
+
+  private def charsetFor(name: String): java.nio.charset.Charset =
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception => UTF_8 }
+
+  /** WET-style plain text of an HTML document: script/style blocks
+    * and tags stripped, the five common entities decoded, whitespace
+    * collapsed, BOM char dropped. Same regex semantics as the q168
+    * declared query so both stay oracle-replicable.
+    */
+  def extractText(html: String): String = {
+    val noBom =
+      if (html.nonEmpty && html.charAt(0) == '\uFEFF') html.substring(1)
+      else html
+    noBom
+      .replaceAll("(?is)<script.*?</script>|<style.*?</style>", " ")
+      .replaceAll("<[^>]*>", " ")
+      .replaceAll("&amp;", "&").replaceAll("&lt;", "<")
+      .replaceAll("&gt;", ">").replaceAll("&quot;", "\"")
+      .replaceAll("&nbsp;", " ")
+      .replaceAll("\\s+", " ").trim
+  }
+
+  /** The DataSource's `text` column: HTML payloads are charset-
+    * decoded ([[detectCharset]]) then boilerplate-stripped
+    * ([[extractText]]); other `text/ *` payloads decode as-is (BOM
+    * dropped, whitespace preserved); non-text payloads are NULL.
+    */
+  def payloadText(httpContentType: Option[String],
+      payload: Array[Byte]): String = {
+    if (payload == null) return null
+    val ct = httpContentType.map(_.toLowerCase).getOrElse("")
+    lazy val decoded =
+      new String(payload, charsetFor(detectCharset(httpContentType, payload)))
+    if (ct.contains("html")) extractText(decoded)
+    else if (ct.startsWith("text/")) {
+      if (decoded.nonEmpty && decoded.charAt(0) == '\uFEFF')
+        decoded.substring(1)
+      else decoded
+    } else null
   }
 
   /** Deterministic HTML body for fixtures: title + n paragraphs whose
@@ -287,5 +380,35 @@ object Warc {
     }
     sb.append("<script>var x=1;</script></body></html>")
     sb.toString.getBytes(UTF_8)
+  }
+
+  /** The four charset-declaration modes a crawl actually mixes, keyed
+    * `key % 4`: (0) UTF-8 via `<meta charset>`, (1) ISO-8859-1 via
+    * `<meta http-equiv>`, (2) windows-1252 via the HTTP Content-Type
+    * param (body carries NO meta), (3) UTF-16LE via BOM. Returns
+    * (httpContentType, bodyBytes); the decoded TEXT is charset-
+    * independent — "Café número N naïve –" + padding words — so an
+    * oracle rebuilds it with string arithmetic while the bytes differ
+    * per mode.
+    */
+  def fixtureHtmlCharset(key: Int): (String, Array[Byte]) = {
+    val text = s"Café número $key naïve ${"söt " * (key % 3 + 1)}end"
+    val mode = key % 4
+    val meta = mode match {
+      case 0 => "<meta charset=\"utf-8\">"
+      case 1 => "<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=ISO-8859-1\">"
+      case _ => ""
+    }
+    val html = s"<html><head>$meta<title>x</title></head>" +
+      s"<body><p>$text</p><script>var y=2;</script></body></html>"
+    mode match {
+      case 0 => ("text/html", html.getBytes(UTF_8))
+      case 1 => ("text/html", html.getBytes(StandardCharsets.ISO_8859_1))
+      case 2 => ("text/html; charset=windows-1252",
+        html.getBytes(java.nio.charset.Charset.forName("windows-1252")))
+      case _ => ("text/html",
+        ("\uFEFF" + html).getBytes(StandardCharsets.UTF_16LE))
+    }
   }
 }

@@ -4,7 +4,6 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
@@ -19,6 +18,7 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 batch connector for WARC web archives:
   * `spark.read.format("warc").load(dir)`.
@@ -77,7 +77,19 @@ object WarcTable {
     StructField("content_length", LongType, nullable = false),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    // body-derived columns (requesting any of them reads the body):
+    // charset = WHATWG-sniffed encoding of an HTTP payload; text =
+    // WET-style extracted plain text (HTML boilerplate-stripped,
+    // text/* decoded, else NULL)
+    StructField("charset", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
+
+  /** Columns whose value needs the record body — excluded from
+    * pushdown (pushed filters run BEFORE the body read) and any of
+    * them forces the body read even with `payload` pruned away.
+    */
+  val BodyColumns: Set[String] = Set("payload", "charset", "text")
 
   /** `load(p)` lands in `path`; `load(p1, p2, …)` in `paths` as a
     * JSON string array (connector contract).
@@ -115,10 +127,12 @@ class WarcScanBuilder(paths: Seq[String], tolerant: Boolean)
   private var pushed: Array[Filter] = Array.empty
 
   /** A filter is pushable iff it references header fields only —
-    * everything but `payload` is known before the body read.
+    * everything but the body-derived columns is known before the
+    * body read.
     */
   private def pushable(f: Filter): Boolean =
-    f.references.nonEmpty && f.references.forall(_ != "payload") && (f match {
+    f.references.nonEmpty &&
+      f.references.forall(r => !WarcTable.BodyColumns(r)) && (f match {
       case _: EqualTo | _: In | _: IsNotNull | _: StringStartsWith |
            _: StringContains | _: GreaterThan | _: GreaterThanOrEqual |
            _: LessThan | _: LessThanOrEqual => true
@@ -147,10 +161,19 @@ class WarcScan(
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required, filters, tolerant)
+    new WarcMicroBatchStream(paths, required, filters, tolerant,
+      hadoopConf)
   override def description(): String =
     s"WarcScan PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Session Hadoop conf captured at PLAN time (spark.hadoop.* —
+    * object-store credentials, endpoints) and shipped to readers; a
+    * bare `new Configuration()` would silently drop any FS
+    * configured through the Spark session.
+    */
+  private val hadoopConf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   /** Driver-side listing through the Hadoop FS API (works for
     * file://, hdfs://, object stores with a connector on the
@@ -158,7 +181,7 @@ class WarcScan(
     * One partition per file — see class doc for why.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = hadoopConf.value
     val files = paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -174,7 +197,7 @@ class WarcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, filters, tolerant)
+    new WarcReaderFactory(required, filters, tolerant, hadoopConf)
 }
 
 case class WarcInputPartition(file: String) extends InputPartition
@@ -182,19 +205,23 @@ case class WarcInputPartition(file: String) extends InputPartition
 class WarcReaderFactory(
     required: StructType,
     filters: Array[Filter],
-    tolerant: Boolean) extends PartitionReaderFactory {
+    tolerant: Boolean,
+    hadoopConf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      p.asInstanceOf[WarcInputPartition].file, required, filters, tolerant)
+      p.asInstanceOf[WarcInputPartition].file, required, filters, tolerant,
+      hadoopConf)
 }
 
 class WarcPartitionReader(
     file: String,
     required: StructType,
     filters: Array[Filter],
-    tolerant: Boolean) extends PartitionReader[InternalRow] {
+    tolerant: Boolean,
+    hadoopConf: SerializableConfiguration) extends PartitionReader[InternalRow] {
 
-  private val wantPayload = required.fieldNames.contains("payload")
+  private val wantPayload =
+    required.fieldNames.exists(WarcTable.BodyColumns)
 
   private def field(r: Warc.Record, name: String): Any = name match {
     case "file" => r.file
@@ -207,13 +234,22 @@ class WarcPartitionReader(
     case "content_length" => r.contentLength
     case "http_status" => r.httpStatus.orNull
     case "http_content_type" => r.httpContentType.orNull
+    case "charset" =>
+      if (r.payload == null || r.httpStatus.isEmpty) null
+      else Warc.detectCharset(r.httpContentType, r.payload)
+    case "text" => Warc.payloadText(r.httpContentType, r.payload)
     case "payload" => r.payload
   }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue)
     case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue)
-    case (x: String, y: Any) => x.compareTo(String.valueOf(y))
+    case (x: String, y: Any) =>
+      // pushed filters are removed from post-scan evaluation, so the
+      // order here MUST be Spark's own (UTF-8 binary): Java
+      // String.compareTo diverges on supplementary-plane chars
+      UTF8String.fromString(x)
+        .compareTo(UTF8String.fromString(String.valueOf(y)))
     case _ => throw new IllegalArgumentException(s"uncomparable: $a vs $b")
   }
 
@@ -240,7 +276,7 @@ class WarcPartitionReader(
 
   private val stream = {
     val hp = new HPath(file)
-    hp.getFileSystem(new Configuration()).open(hp)
+    hp.getFileSystem(hadoopConf.value).open(hp)
   }
   private val it = Warc.records(stream, file, wantPayload, tolerant,
     r => filters.forall(eval(_, r)))

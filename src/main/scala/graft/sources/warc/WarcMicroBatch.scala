@@ -1,6 +1,5 @@
 package graft.sources.warc
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.connector.read.{InputPartition,
   PartitionReaderFactory}
@@ -8,6 +7,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   Offset}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
 
 /** Streaming side of the WARC source: `spark.readStream.format("warc")
   * .load(dir)` — the crawl drop-folder pattern (new `.warc.gz`
@@ -32,10 +32,11 @@ class WarcMicroBatchStream(
     paths: Seq[String],
     required: StructType,
     filters: Array[Filter],
-    tolerant: Boolean) extends MicroBatchStream {
+    tolerant: Boolean,
+    hadoopConf: SerializableConfiguration) extends MicroBatchStream {
 
   private def listNow(): Seq[String] = {
-    val conf = new Configuration()
+    val conf = hadoopConf.value
     paths.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -69,7 +70,7 @@ class WarcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, filters, tolerant)
+    new WarcReaderFactory(required, filters, tolerant, hadoopConf)
 }
 
 case class WarcOffset(files: Seq[String]) extends Offset {

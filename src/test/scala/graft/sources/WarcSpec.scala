@@ -103,6 +103,81 @@ class WarcSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions === 3)
   }
 
+  test("charset detection: BOM > header param > meta declaration > " +
+      "UTF-8 default, and text decodes per-record") {
+    val dir = Files.createTempDirectory("graft-warc-cs")
+    val recs = (0 until 8).map { n =>
+      val (ct, body) = Warc.fixtureHtmlCharset(n)
+      Warc.Entry("response", f"<urn:uuid:cs-$n%03d>",
+        s"https://cs$n.example/", "2024-01-15T10:00:00Z", 200, ct, body)
+    }
+    Files.write(dir.resolve("part-0.warc.gz"), Warc.build(recs, gzip = true))
+    val rows = spark.read.format("warc").load(dir.toString)
+      .select("record_id", "charset", "text")
+      .orderBy("record_id").collect()
+    val wantCs = Seq("utf-8", "iso-8859-1", "windows-1252", "utf-16le")
+    rows.zipWithIndex.foreach { case (r, n) =>
+      assert(r.getString(1) === wantCs(n % 4), s"record $n")
+      val want = s"x Café número $n naïve ${"söt " * (n % 3 + 1)}end"
+      assert(r.getString(2) === want, s"record $n")
+    }
+  }
+
+  test("text column without payload still forces the body read; " +
+      "body-derived filters are NOT pushed") {
+    val dir = Files.createTempDirectory("graft-warc-txt")
+    val recs = (0 until 3).map { n =>
+      val (ct, body) = Warc.fixtureHtmlCharset(n)
+      Warc.Entry("response", f"<urn:uuid:t-$n>",
+        s"https://t$n.example/", "2024-01-15T10:00:00Z", 200, ct, body)
+    }
+    Files.write(dir.resolve("part-0.warc.gz"), Warc.build(recs, gzip = true))
+    val df = spark.read.format("warc").load(dir.toString)
+      .filter(col("text").contains("Café")) // body-derived: residual
+      .select(col("record_id"), length(col("text")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the text predicate must stay OUT of PushedFilters (it would
+    // otherwise be evaluated before the body exists)
+    val pushedList = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("MISSING")
+    assert(!pushedList.contains("text"), pushedList)
+    assert(df.count() === 3)
+  }
+
+  test("tolerant mode also stops at a corrupt mid-file header") {
+    val dir = Files.createTempDirectory("graft-warc-corrupt")
+    val good = Warc.build(
+      (0 until 3).map(i => entry(i, s"https://c.example/$i")),
+      gzip = false)
+    val corrupt = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: not-a-number\r\n\r\n").getBytes("US-ASCII")
+    Files.write(dir.resolve("part-00000.warc"), good ++ corrupt)
+    val strict = spark.read.format("warc").load(dir.toString)
+    intercept[org.apache.spark.SparkException] { strict.count() }
+    val tolerant = spark.read.format("warc")
+      .option("tolerant", "true").load(dir.toString)
+    assert(tolerant.count() === 3)
+  }
+
+  test("pushed string range filters follow UTF-8 binary order on " +
+      "supplementary-plane characters") {
+    val dir = Files.createTempDirectory("graft-warc-utf")
+    // U+FFFD (BMP, 3-byte UTF-8) vs U+10000 (supplementary, 4-byte):
+    // UTF-16 code-unit order puts U+10000 (surrogate D800) BELOW
+    // U+FFFD; UTF-8 binary order puts it ABOVE
+    val uris = Seq("https://x.example/�", "https://x.example/𐀀")
+    val recs = uris.zipWithIndex.map { case (u, i) =>
+      entry(i, u)
+    }
+    Files.write(dir.resolve("part-0.warc"), Warc.build(recs, gzip = false))
+    val got = spark.read.format("warc").load(dir.toString)
+      .filter(col("target_uri") > s"https://x.example/�")
+      .select("target_uri").collect().map(_.getString(0)).toSeq
+    // Spark's own semantics (UTF8String binary): the supplementary
+    // char sorts above U+FFFD, so exactly that row survives
+    assert(got === Seq("https://x.example/𐀀"))
+  }
+
   test("payload-pruned scan still evaluates body-independent filters") {
     // metadata-only aggregate over a pushed warc_type filter
     val got = spark.read.format("warc").load(writeFixture(gzip = true))
