@@ -106,17 +106,23 @@ object Bench {
     val baseSum = base.map(_._2).filter(_ >= 0).sum
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},"failed":$failed,"base46":${fmt(baseSum)},"sf":"$sfName"}"""
+    // cwd-relative by default (works on any checkout), env-overridable
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
     try {
-      val w = new java.io.PrintWriter("/root/repo/BENCH_FULL.json", "UTF-8")
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullJson) finally w.close()
-    } catch { case e: Throwable => named("BENCH_FULL.json", "write", e) }
+    } catch { case e: Throwable => named(fullPath, "write", e) }
     // compact line: every failed query is always named; then the
-    // slowest non-baseline queries, as many as fit the budget
+    // slowest non-baseline queries, as many as fit the budget.
+    // "queries_scope" marks in-band that "queries" holds the base46
+    // subset only (rounds ≤ r11 carried the full map there; the
+    // complete map lives in BENCH_FULL.json)
     val failedRest = rest.filter(_._2 < 0)
     val slowRest = rest.filter(_._2 >= 0).sortBy(-_._2)
     def line(nSlow: Int): String = {
       val extras = failedRest ++ slowRest.take(nSlow)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(base)},"failed":$failed,"nq":${results.size},"base46":${fmt(baseSum)},"slowest_rest":${obj(extras)},"full":"BENCH_FULL.json","sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(base)},"queries_scope":"base46","failed":$failed,"nq":${results.size},"base46":${fmt(baseSum)},"slowest_rest":${obj(extras)},"full":"BENCH_FULL.json","sf":"$sfName"}"""
     }
     val compact = (10 to 0 by -1).map(line).find(_.length <= 1850)
       .getOrElse(line(0))
