@@ -131,6 +131,88 @@ object OperatorQueries {
         .orderBy("lo")
     }),
 
+    /** Record-linkage fuzzy join ([[graft.operators.Fuzzy]]): all
+      * customer-name pairs within Levenshtein distance 2, candidates
+      * via the positional q-gram count filter + length window (never
+      * the all-pairs cross product), verified by the exact codegen
+      * levenshtein. The oracle IS the cross product (sound at
+      * sf-verify scale) — so the filter's losslessness is
+      * hash-checked, not just spec'd. Name suffixes vary per key so
+      * distances spread over 0..2, not just digit edits.
+      */
+    "q173_fuzzy_join" -> ((s, d) => {
+      val strs = Tables.customer(s, d).filter(col("c_custkey") < 250)
+        .select(col("c_custkey").as("sid"),
+          concat(col("c_name"),
+            expr("repeat('x', cast(c_custkey % 3 as int))")).as("sv"))
+      graft.operators.Fuzzy.editDistanceJoin(strs, "sv", "sid",
+          maxDist = 2)
+        .orderBy("sid_a", "sid_b")
+    }),
+
+    /** Unicode normalization ([[graft.functions.TextNormFunctions]]):
+      * decomposed text (base letter + combining mark, synthesized
+      * arithmetically per key) NFC-composes to single codepoints,
+      * then accent-folds to plain ASCII — the dedup-key
+      * preprocessing a crawl corpus needs, since the same page
+      * arrives in both forms. Codegen expressions over the JDK
+      * normalizer; the oracle runs DuckDB's own nfc_normalize /
+      * strip_accents on identically built strings, so the engines'
+      * Unicode tables are compared, not assumed.
+      */
+    "q174_unicode_norm" -> ((s, d) => {
+      import graft.functions.TextNormFunctions._
+      val k = col("c_custkey")
+      // combining acute/circumflex/tilde cycled per key over two
+      // accented vowels + a tail word. NOTE: Spark's chr() is
+      // ASCII-mod-256 (DuckDB's is codepoint), so the marks are
+      // literals here and chr(769+i) on the oracle side
+      val mark = element_at(
+        typedLit(Seq("\u0301", "\u0302", "\u0303")),
+        (pmod(k, lit(3)) + 1).cast("int"))
+      val raw = concat(lit("cafe"), mark, lit(" nai"), mark,
+        lit("ve k"), k.cast("string"))
+      Tables.customer(s, d).filter(k < 400)
+        .select(k.as("id"), raw.as("raw"))
+        .select(col("id"),
+          nfc_normalize(col("raw")).as("nfc_s"),
+          strip_accents(nfc_normalize(col("raw"))).as("folded"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(nfc_normalize(col("raw"))).cast("long").as("n_nfc"))
+        .orderBy("id")
+    }),
+
+    /** CDC apply / MERGE INTO semantics ([[graft.operators.Cdc]]):
+      * a change stream with competing updates (last-writer-wins by
+      * sequence), deletes, and inserts folds into the orders
+      * snapshot — anti-join + union, never a full outer join. The
+      * oracle constructs the expected POST-state directly, so a
+      * wrong LWW winner, an undeleted row, or a lost insert all
+      * land in the hash. Money as exact cents (the q155 rule).
+      */
+    "q175_cdc_apply" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def ch(f: DataFrame => DataFrame, op: String, seq: Long) =
+        f(t).withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val stale = ch(_.filter(col("k") % 7 === 1)
+        .withColumn("cents", col("cents") + 100000), "U", 1L)
+      val winner = ch(_.filter(col("k") % 7 === 1)
+        .withColumn("cents", col("cents") + 200000), "U", 2L)
+      val dels = ch(_.filter(col("k") % 7 === 0), "D", 1L)
+      val ins = ch(_.filter(col("k") % 97 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("N").as("st"),
+          (col("k") * 100).as("cents")), "I", 1L)
+      val changes = stale.unionByName(winner).unionByName(dels)
+        .unionByName(ins)
+      graft.operators.Cdc.applyChanges(t, changes, Seq("k"))
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          sum("k").as("sum_keys"))
+        .orderBy("st")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -185,6 +267,47 @@ object OperatorQueries {
         | UNION ALL SELECT 25, 51) b
         |ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
         |GROUP BY b.lo ORDER BY b.lo""".stripMargin,
+    // the oracle builds the expected post-MERGE state directly:
+    // kept = untouched keys, upd = the seq-2 winner, ins = new keys
+    "q175_cdc_apply" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT k, st, cents FROM t
+        |  WHERE k % 7 <> 0 AND k % 7 <> 1),
+        |upd AS (SELECT k, st, cents + 200000 AS cents FROM t
+        |  WHERE k % 7 = 1),
+        |ins AS (SELECT k + 10000000 AS k, 'N' AS st, k * 100 AS cents
+        |  FROM t WHERE k % 97 = 0),
+        |f AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT)
+        |    AS sum_cents, CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM f GROUP BY st ORDER BY st""".stripMargin,
+    // both engines build the same decomposed string and run their
+    // OWN normalizer — the Unicode tables are what the hash compares
+    "q174_unicode_norm" ->
+      """WITH s AS (SELECT c_custkey AS id,
+        |    'cafe' || chr(769 + CAST(c_custkey % 3 AS INTEGER)) ||
+        |    ' nai' || chr(769 + CAST(c_custkey % 3 AS INTEGER)) ||
+        |    've k' || CAST(c_custkey AS VARCHAR) AS raw
+        |  FROM customer WHERE c_custkey < 400)
+        |SELECT id, nfc_normalize(raw) AS nfc_s,
+        |  strip_accents(nfc_normalize(raw)) AS folded,
+        |  CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc
+        |FROM s ORDER BY id""".stripMargin,
+    // the oracle is the naive cross product: losslessness of the
+    // q-gram candidate filter is exactly what the hash compares
+    "q173_fuzzy_join" ->
+      """WITH s AS (SELECT c_custkey AS sid,
+        |    c_name || repeat('x', CAST(c_custkey % 3 AS INTEGER)) AS sv
+        |  FROM customer WHERE c_custkey < 250)
+        |SELECT a.sid AS sid_a, b.sid AS sid_b,
+        |  CAST(levenshtein(a.sv, b.sv) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.sid < b.sid
+        |WHERE levenshtein(a.sv, b.sv) <= 2
+        |ORDER BY sid_a, sid_b""".stripMargin,
     "q26_asof_snapshot" ->
       """SELECT e.event_id, coalesce(
         |  (SELECT max(o.o_orderdate) FROM orders o

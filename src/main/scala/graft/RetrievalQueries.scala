@@ -52,6 +52,47 @@ object RetrievalQueries {
         .limit(10)
     }),
 
+    /** Retrieval-quality readout: NDCG@10 of the q82 BM25 ranking
+      * against a graded-relevance oracle (relevance = occurrences of
+      * ONE probe term, capped at 3 — a different signal than the
+      * 3-term ranker, derivable by pure arithmetic on both engines,
+      * so the metric grades the RANKER and can dip below 1).
+      * DCG uses the standard (2^rel − 1)/log2(rank+1) gains; IDCG
+      * re-ranks the same top-10 relevances descending. Scale shape:
+      * the ranking trim is the q91 total-order top-10; the NDCG
+      * windows run on 10 rows. Output: one row (dcg, idcg, ndcg),
+      * rounded to absorb cross-engine ln ulp (the q82 rule).
+      */
+    "q176_ndcg" -> ((s, d) => {
+      val lexOrder = Seq(desc("bm25"), col("doc_id").asc)
+      val ranked = TextAnalysis.bm25(documents(s, d), "doc_id", "text",
+          RrfTerms)
+        .orderBy(lexOrder: _*).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(lexOrder: _*)))
+        .select("doc_id", "rank")
+      // graded by a DIFFERENT signal than the ranker ('window' hits
+      // only) so the metric can actually dip below 1
+      val rel = documents(s, d)
+        .select(col("doc_id"),
+          least(size(filter(split(lower(col("text")), "\\s+"),
+            t => t === "window")), lit(3)).as("rel"))
+      val gains = ranked.join(rel, "doc_id")
+        .withColumn("gain",
+          (pow(lit(2.0), col("rel")) - 1.0) /
+            log(2.0, col("rank") + 1))
+      val idealRank = row_number().over(
+        Window.orderBy(desc("rel"), col("rank")))
+      val withIdeal = gains
+        .withColumn("irank", idealRank)
+        .withColumn("igain",
+          (pow(lit(2.0), col("rel")) - 1.0) /
+            log(2.0, col("irank") + 1))
+      withIdeal.agg(
+        round(sum("gain"), 4).as("dcg"),
+        round(sum("igain"), 4).as("idcg"),
+        round(sum("gain") / sum("igain"), 4).as("ndcg"))
+    }),
+
     /** Distributed k-means step ([[Ivf.lloydStepInt]]): one full-
       * corpus Lloyd iteration from the q46 fixed centroids — argmin
       * assignment as a codegen'd scan, per-cluster element sums as a
@@ -240,6 +281,40 @@ object RetrievalQueries {
        |      ELSE list_concat(acc, x) END)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the q91 BM25 lex CTE, trimmed to 10, graded by capped
+    // term-occurrence relevance, closed by the standard DCG gains
+    "q176_ndcg" ->
+      s"""WITH base AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS toks FROM documents),
+         |b2 AS (SELECT doc_id, len(toks) AS dl,
+         |  list_filter(toks,
+         |    t -> t IN ('spark', 'join', 'window')) AS q FROM base),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
+         |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(q) AS t FROM b2) u
+         |  GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t),
+         |bm AS (SELECT tf.doc_id,
+         |  round(sum(ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * (tf * (1.2 + 1))
+         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         |  FROM tf JOIN dfr USING (t), stats GROUP BY tf.doc_id),
+         |lex AS (SELECT doc_id, rank FROM (SELECT doc_id,
+         |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM bm) WHERE rank <= 10),
+         |rel AS (SELECT doc_id, least(len(list_filter(toks,
+         |  t -> t = 'window')), 3) AS rel FROM base),
+         |g AS (SELECT l.doc_id, rank, rel,
+         |  (pow(2, rel) - 1) / log2(rank + 1) AS gain
+         |  FROM lex l JOIN rel USING (doc_id)),
+         |gi AS (SELECT *, row_number() OVER (ORDER BY rel DESC, rank)
+         |  AS irank FROM g),
+         |g2 AS (SELECT gain,
+         |  (pow(2, rel) - 1) / log2(irank + 1) AS igain FROM gi)
+         |SELECT round(sum(gain), 4) AS dcg,
+         |  round(sum(igain), 4) AS idcg,
+         |  round(CAST(sum(gain) AS DOUBLE) / CAST(sum(igain) AS DOUBLE),
+         |    4) AS ndcg FROM g2""".stripMargin,
     "q91_hybrid_rrf" -> {
       val cos = SketchQueries.duckCosineInt("c.q", "p.pq")
       s"""WITH base AS (SELECT doc_id,

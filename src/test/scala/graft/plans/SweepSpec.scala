@@ -54,7 +54,10 @@ class SweepSpec extends AnyFunSuite {
     "q116_zscore_outliers", "q123_frequent_pairs",
     // q160: 25×25 nation-name edit-distance cross — the q36/q88
     // bounded dim×dim class (blocking keys bound it at scale).
-    "q160_levenshtein_pairs")
+    "q160_levenshtein_pairs",
+    // q176: re-plans q82's BM25 arm → the same 1-row corpus-stats
+    // cross (the q60/q82 totals-cross class).
+    "q176_ndcg")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
