@@ -412,6 +412,33 @@ object Streaming {
       store.put(id, merge(store.stateBefore(id), sketcher(batch)))
     }
 
+  /** Streaming CDC apply — the streaming face of
+    * [[graft.operators.Cdc.applyChanges]]: fold each micro-batch of
+    * I/U/D change rows into a maintained table snapshot. State rides
+    * [[SketchSnapshotStore]]'s snapshot-per-batch discipline, so a
+    * replayed batch re-reads the PRE-batch snapshot and overwrites
+    * its own output — exactly-once table state without any sink
+    * transactionality. Within a batch, last-writer-wins by `seqCol`;
+    * ACROSS batches, later batches win by construction (they apply
+    * to the newer snapshot) — together that is global LWW whenever
+    * the change feed delivers a key's changes in seq order across
+    * batches (the CDC-source contract).
+    *
+    * Scale contract, stated honestly: the snapshot write is the FULL
+    * maintained table per micro-batch — the mutable-DIMENSION
+    * maintenance pattern (SCD upkeep, reference-data mirrors), not a
+    * 100 TB fact path. Fact-scale mutation needs a table format with
+    * transactional MERGE; this operator is the engine-native answer
+    * below that threshold.
+    */
+  def cdcStream(changes: DataFrame, store: SketchSnapshotStore,
+      keyCols: Seq[String], opCol: String = "op",
+      seqCol: String = "seq"): DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      store.put(id, graft.operators.Cdc.applyChanges(
+        store.stateBefore(id), batch, keyCols, opCol, seqCol))
+    }
+
   /** Running per-user aggregates as custom keyed state
     * (mapGroupsWithState): the escalation path for stateful semantics
     * the built-in windows can't express. Update-mode output: each

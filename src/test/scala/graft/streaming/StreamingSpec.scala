@@ -734,4 +734,62 @@ class StreamingSpec extends AnyFunSuite {
     // id 1: once from the first window, once after state expiry
     assert(perId(1L) == 2, s"got=$got")
   }
+
+  test("cdcStream maintains the table snapshot exactly-once under a " +
+      "post-put crash replay, and matches the batch Cdc fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream")
+    // batch 0: seed inserts; batch 1: competing updates (seq LWW) +
+    // a delete; batch 2: re-insert of the deleted key + new insert
+    val batches = Seq(
+      Seq((1L, "a", 10L, "I", 1L), (2L, "b", 20L, "I", 1L),
+        (3L, "c", 30L, "I", 1L)),
+      Seq((1L, "a", 11L, "U", 2L), (1L, "a", 12L, "U", 3L),
+        (3L, "c", 0L, "D", 2L)),
+      Seq((3L, "c2", 33L, "I", 4L), (4L, "d", 40L, "I", 1L)))
+    batches.foreach { b =>
+      b.toDF("k", "name", "v", "op", "seq").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "name", "v")
+    // crash in the replay window: snapshot written, commit not yet
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val store = new Streaming.SketchSnapshotStore(spark,
+        s"$dir/state", empty) {
+      override def put(batchId: Long,
+          state: org.apache.spark.sql.DataFrame): Unit = {
+        super.put(batchId, state)
+        if (!crashOnce.getAndSet(true))
+          throw new RuntimeException("injected post-put crash")
+      }
+    }
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema("k LONG, name STRING, v LONG, op STRING, seq LONG")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = Streaming.cdcStream(in, store, Seq("k"))
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000)
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    run() // dies after batch 0's put
+    run() // batch 0 REPLAYS against the pre-batch snapshot, then 1, 2
+    val got = store.latest.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // batch-side fold of the same change stream, batch by batch
+    val expected = batches.foldLeft(empty) { (st, b) =>
+      graft.operators.Cdc.applyChanges(st,
+        b.toDF("k", "name", "v", "op", "seq"), Seq("k"))
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === expected)
+    // and the semantics are the MERGE outcome: LWW winner for k=1,
+    // k=3 re-inserted with the new row, k=4 inserted
+    assert(got === Seq((1L, "a", 12L), (2L, "b", 20L),
+      (3L, "c2", 33L), (4L, "d", 40L)))
+  }
 }
