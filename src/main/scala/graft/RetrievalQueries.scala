@@ -93,6 +93,27 @@ object RetrievalQueries {
         round(sum("gain") / sum("igain"), 4).as("ndcg"))
     }),
 
+    /** MMR diversity re-rank ([[Similarity.mmrRerank]]): the greedy
+      * λ·rel − (1−λ)·max-sim selection over the top-12 cosine
+      * candidates of probe 0 — the post-fusion diversity pass. All
+      * cosines round to 6 dp before any argmax (cross-engine sqrt
+      * ulp can't flip a pick); the oracle replays the k=5 greedy as
+      * five unrolled CTE rounds with the same tie-breaks.
+      */
+    "q177_mmr_rerank" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("q").as("pq"))
+      val cand = emb.crossJoin(broadcast(probe))
+        .withColumn("rel",
+          round(Similarity.cosineInt(col("q"), col("pq")), 6))
+        .orderBy(desc("rel"), col("vec_id")).limit(12)
+      Similarity.mmrRerank(cand, "vec_id", "rel", "q",
+          k = 5, lambdaTenths = 7)
+        .orderBy("pos")
+    }),
+
     /** Distributed k-means step ([[Ivf.lloydStepInt]]): one full-
       * corpus Lloyd iteration from the q46 fixed centroids — argmin
       * assignment as a codegen'd scan, per-cluster element sums as a
@@ -280,7 +301,45 @@ object RetrievalQueries {
        |      THEN list_append(acc[1:len(acc)-1], $m.l || $m.r)
        |      ELSE list_concat(acc, x) END)""".stripMargin
 
+  /** One unrolled MMR round: max-sim of each unselected candidate to
+    * the selection so far, then the argmax of 7·rel − 3·ms.
+    */
+  private def mmrRound(i: Int): String = {
+    val cos = SketchQueries.duckCosineInt("c.q", "s.q")
+    s"""ms$i AS (SELECT c.vec_id, max(round($cos, 6)) AS ms
+       |  FROM cand c JOIN cand s
+       |    ON s.vec_id IN (SELECT vec_id FROM sel${i - 1})
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+       |  GROUP BY c.vec_id),
+       |s$i AS (SELECT c.vec_id FROM cand c JOIN ms$i m
+       |    ON c.vec_id = m.vec_id
+       |  ORDER BY 7 * c.rel - 3 * m.ms DESC, c.vec_id LIMIT 1),
+       |sel$i AS (SELECT vec_id FROM sel${i - 1}
+       |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q177_mmr_rerank" -> {
+      val cosP = SketchQueries.duckCosineInt("c.q", "p.pq")
+      s"""WITH qv AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |p AS (SELECT q AS pq FROM qv WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id, c.q, round($cosP, 6) AS rel
+         |  FROM qv c, p),
+         |cand AS (SELECT vec_id, q, rel FROM sc
+         |  ORDER BY rel DESC, vec_id LIMIT 12),
+         |s1 AS (SELECT vec_id FROM cand
+         |  ORDER BY 7 * rel DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id FROM s1),
+         |${(2 to 5).map(mmrRound).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS pos, vec_id FROM s1
+         |UNION ALL SELECT 2, vec_id FROM s2
+         |UNION ALL SELECT 3, vec_id FROM s3
+         |UNION ALL SELECT 4, vec_id FROM s4
+         |UNION ALL SELECT 5, vec_id FROM s5
+         |ORDER BY pos""".stripMargin
+    },
     // the q91 BM25 lex CTE, trimmed to 10, graded by capped
     // term-occurrence relevance, closed by the standard DCG gains
     "q176_ndcg" ->

@@ -362,6 +362,97 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick k items maximizing
+    * `λ10·rel − (10−λ10)·max_sim_to_selected` — the diversity pass a
+    * retrieval stack runs AFTER rank fusion so near-duplicate hits
+    * don't crowd the result page.
+    *
+    * Selection is inherently sequential in k and the input is a
+    * top-N candidate trim (the q91 arm pattern — dimension-scale by
+    * construction), so the greedy runs driver-side over the
+    * collected candidates: a documented bounded collect, enforced by
+    * `maxCandidates` (the RangeLookup.buildIndex class — never a
+    * fact-scale action).
+    *
+    * Determinism contract: `relCol` and every pairwise cosine round
+    * to 6 dp BEFORE entering a score, so cross-engine sqrt/division
+    * ulp can't flip an argmax; score comparison itself is plain IEEE
+    * on those rounded inputs, ties broken by ascending id. `vecCol`
+    * is a quantized BIGINT vector ([[quantize]]); similarity is
+    * integer-dot cosine ([[cosineInt]]'s formula).
+    *
+    * Output: (pos 1..k, idCol) in selection order.
+    */
+  def mmrRerank(cands: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambdaTenths: Int = 7,
+      maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths in [0,10], got $lambdaTenths")
+    val spark = cands.sparkSession
+    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val rows = cands
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        col(vecCol))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrRerank candidates exceed maxCandidates=$maxCandidates — " +
+        "trim to a top-N first (MMR is a re-ranker, not a ranker)")
+    val items = rows.map { r =>
+      (r.getLong(0), round6(r.getDouble(1)),
+        r.getSeq[Long](2).toArray)
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+        i += 1
+      }
+      round6(dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val maxSim = Array.fill(items.length)(0.0)
+    val picked = Array.fill(items.length)(false)
+    val rounds = math.min(k, items.length)
+    var round = 0
+    while (round < rounds) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < items.length) {
+        if (!picked(i)) {
+          val score =
+            if (round == 0) lambdaTenths * items(i)._2
+            else lambdaTenths * items(i)._2 -
+              (10 - lambdaTenths) * maxSim(i)
+          if (score > bestScore ||
+            (score == bestScore && best >= 0 &&
+              items(i)._1 < items(best)._1)) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      selected += best
+      var j = 0
+      while (j < items.length) {
+        if (!picked(j)) {
+          val s = cos(items(j)._3, items(best)._3)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      round += 1
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (i, p) => ((p + 1).toLong, items(i)._1) }
+      .toSeq.toDF("pos", idCol)
+  }
 }
 
 /** IVF (inverted-file) ANN: k centroids are trained driver-side on a

@@ -573,9 +573,49 @@ object RangeJoinStrategy extends SparkStrategy {
 
 /** SparkSessionExtensions entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Injects the range-join planner strategy and registers the
+  * Unicode-normalization scalar functions for SQL-string users
+  * (`SELECT nfc_normalize(s) …`), mirroring their Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
+    GraftExtensions.sqlScalars.foreach { case (name, build) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+          name),
+        GraftExtensions.arity1(name, build)))
+    }
   }
+}
+
+object GraftExtensions {
+  private[plans] def arity1(name: String,
+      build: Expression => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == 1, s"$name expects exactly one argument")
+      build(args.head)
+    }
+
+  /** The SQL-string scalar surface (one shared list: config-time
+    * injection above and live-session registration below).
+    */
+  private[plans] val sqlScalars: Seq[(String, Expression => Expression)] =
+    Seq(
+      "nfc_normalize" -> graft.functions.NfcNormalize.apply _,
+      "nfkc_normalize" -> graft.functions.NfkcNormalize.apply _,
+      "strip_accents" -> graft.functions.StripAccents.apply _)
+
+  /** Register the same functions on a LIVE session (tests,
+    * interactive shells); production sessions get them via the
+    * `spark.sql.extensions` config.
+    */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlScalars.foreach { case (name, build) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name,
+        arity1(name, build))
+    }
 }

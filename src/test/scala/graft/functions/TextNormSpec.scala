@@ -45,6 +45,17 @@ class TextNormSpec extends AnyFunSuite {
     assert(run(strip_accents(_), "\u00f1 \u00dc \u00e7") === "n U c")
   }
 
+  test("the SQL registrations mirror the Column API") {
+    // same builders GraftExtensions injects at session creation
+    graft.plans.GraftExtensions.registerSqlFunctions(spark)
+    val r = spark.sql(
+      "SELECT nfc_normalize('e\u0301'), strip_accents('s\u00f6t'), " +
+        "nfkc_normalize('\ufb01re')").head
+    assert(r.getString(0) === "\u00e9")
+    assert(r.getString(1) === "sot")
+    assert(r.getString(2) === "fire")
+  }
+
   test("null propagates") {
     import spark.implicits._
     val r = Seq(Option.empty[String]).toDF("s")

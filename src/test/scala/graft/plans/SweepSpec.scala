@@ -57,6 +57,9 @@ class SweepSpec extends AnyFunSuite {
     "q160_levenshtein_pairs",
     // q176: re-plans q82's BM25 arm → the same 1-row corpus-stats
     // cross (the q60/q82 totals-cross class).
+    // (q177 needs no entry: its probe cross evaluates EAGERLY inside
+    // mmrRerank's bounded collect, so the declared plan is a
+    // LocalTableScan of the 5 re-ranked rows.)
     "q176_ndcg")
 
   /** q36 is the deliberate cartesian demonstration query (literal
