@@ -1392,6 +1392,35 @@ object AnalyticsQueries {
         .limit(30)
     }),
 
+    /** Robust (median/MAD) outlier detection — the anomaly signal
+      * that survives heavy tails where q132's mean/stddev z-score
+      * saturates — in EXACT integers: values collapse to cents, and
+      * since an exact median interpolates two longs, 2·median and
+      * 4·MAD are integers; the 3σ-equivalent cutoff
+      * (|v−med| > 3·1.4826·MAD) compares as
+      * dev2·20000 > 3·14826·mad4 — pure int64, no float knife-edge
+      * on either engine. Exact per-group percentiles sort each
+      * group (the documented exact-stats cost; approx_percentile is
+      * the 100 TB knob); the med/MAD tables are group-cardinality
+      * rows, broadcast back.
+      */
+    "q178_mad_outliers" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val med = e.groupBy("event_type")
+        .agg((expr("percentile(vc, 0.5)") * 2).cast("long").as("med2"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev2", abs(col("vc") * 2 - col("med2")))
+      val mad = dev.groupBy("event_type", "med2")
+        .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), Seq("event_type", "med2"))
+        .groupBy("event_type", "med2", "mad4")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dev2") * 20000 > lit(3L * 14826L) * col("mad4"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     /** Population Stability Index — the ML-ops drift metric —
       * computed EXACTLY: value-bucket distributions of week 1 vs
       * week 4 per event type over a fixed dense bucket spine with
@@ -2299,6 +2328,24 @@ object AnalyticsQueries {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 30""".stripMargin,
+    // 2·median and 4·MAD of long cents are integers; the cutoff is
+    // a pure int64 compare on both engines
+    "q178_mad_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(quantile_cont(vc, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM e GROUP BY 1),
+        |j AS (SELECT e.event_type, med2, abs(vc * 2 - med2) AS dev2
+        |  FROM e JOIN m USING (event_type)),
+        |s AS (SELECT event_type, med2,
+        |    CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        |  FROM j GROUP BY 1, 2)
+        |SELECT j.event_type, j.med2, mad4, count(*) AS n,
+        |  CAST(sum(CASE WHEN dev2 * 20000 > 3 * 14826 * mad4
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM j JOIN s USING (event_type, med2)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     // exact-integer PSI terms; one closing division per type
     "q166_psi" ->
       """WITH ev AS (SELECT event_type,
