@@ -123,6 +123,33 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("detectCharset unit edges: UTF-16BE BOM, header alias " +
+      "normalization, meta scan window, and the UTF-8 default") {
+    import java.nio.charset.StandardCharsets
+    def d(ct: Option[String], body: Array[Byte]): String =
+      Warc.detectCharset(ct, body)
+    // BE BOM (no LE fixture mode covers this branch)
+    assert(d(None, ("\uFEFFhi").getBytes(StandardCharsets.UTF_16BE))
+      === "utf-16be")
+    // BOM beats a contradicting header param
+    assert(d(Some("text/html; charset=iso-8859-1"),
+      ("\uFEFFhi").getBytes(StandardCharsets.UTF_16LE)) === "utf-16le")
+    // header aliases normalize
+    assert(d(Some("text/html; charset=LATIN1"), "x".getBytes) ===
+      "iso-8859-1")
+    assert(d(Some("text/html; charset=UTF8"), "x".getBytes) === "utf-8")
+    // meta outside the 1024-byte sniff window is ignored → default
+    val far = (" " * 1100) +
+      "<meta charset=\"iso-8859-1\"><html></html>"
+    assert(d(Some("text/html"), far.getBytes) === "utf-8")
+    // quoted meta value inside the window
+    val near = "<html><head><meta charset='windows-1252'></head>"
+    assert(d(Some("text/html"), near.getBytes) === "windows-1252")
+    // nothing declared → UTF-8
+    assert(d(Some("text/html"), "<html>plain</html>".getBytes) ===
+      "utf-8")
+  }
+
   test("text column without payload still forces the body read; " +
       "body-derived filters are NOT pushed") {
     val dir = Files.createTempDirectory("graft-warc-txt")
