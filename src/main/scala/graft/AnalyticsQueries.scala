@@ -1392,6 +1392,33 @@ object AnalyticsQueries {
         .limit(30)
     }),
 
+    /** Normalized-key dedup — the Unicode-canonicalization dedup a
+      * crawl needs ([[graft.functions.TextNormFunctions]] feeding
+      * [[graft.operators.Dedup.dedupKeepFirstByKey]]): the corpus is
+      * doubled with decomposed variants (every 'e' re-spelled as
+      * e + combining acute — byte-distinct, visually identical), and
+      * the dedup key md5(strip_accents(nfc(lower(text)))) folds each
+      * variant back onto its base row, keep-first by id. Raw
+      * distinct-text count stays near-doubled — the gap IS the
+      * mojibake-duplication a byte-keyed dedup would leak into a
+      * training set.
+      */
+    "q179_normalized_dedup" -> ((s, d) => {
+      import graft.functions.TextNormFunctions._
+      val base = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 100000L).as("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("text"))
+      val all = base.unionByName(variants)
+      val key = md5(strip_accents(nfc_normalize(lower(col("text")))))
+      // keep-first rank + both counts in ONE pass (no totals cross)
+      val w = Window.partitionBy(key).orderBy(col("doc_id"))
+      all.withColumn("__rn", row_number().over(w))
+        .agg(sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__rn") === 1, col("doc_id"))).as("kept_id_sum"),
+          countDistinct("text").as("n_raw_distinct"))
+    }),
+
     /** Robust (median/MAD) outlier detection — the anomaly signal
       * that survives heavy tails where q132's mean/stddev z-score
       * saturates — in EXACT integers: values collapse to cents, and
@@ -2328,6 +2355,24 @@ object AnalyticsQueries {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 30""".stripMargin,
+    // decomposed variants fold back onto their base rows only under
+    // the normalized key — DuckDB runs its OWN nfc/strip_accents
+    "q179_normalized_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 200),
+        |v AS (SELECT doc_id + 100000 AS doc_id,
+        |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS text
+        |  FROM base),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM v),
+        |r AS (SELECT doc_id, text, row_number() OVER (
+        |    PARTITION BY md5(strip_accents(nfc_normalize(lower(text))))
+        |    ORDER BY doc_id) AS rn FROM a)
+        |SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+        |    AS kept_id_sum,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_distinct
+        |FROM r""".stripMargin,
     // 2·median and 4·MAD of long cents are integers; the cutoff is
     // a pure int64 compare on both engines
     "q178_mad_outliers" ->
