@@ -241,10 +241,18 @@ object Graph {
     *
     * Output columns: (node LONG, rank LONG).
     */
+  /** `tolMicro > 0` adds convergence stopping: after each iteration
+    * the max per-node |Δrank| (micro-units) is measured — two extra
+    * node-scale jobs per iteration (an eager checkpoint of the new
+    * rank + one agg over the old⋈new diff) — and iteration stops
+    * early once it drops below the tolerance. Leave 0 for the
+    * fixed-count plan-only mode (no mid-build actions).
+    */
   def pageRank(edges: DataFrame, iterations: Int,
       srcCol: String = "src", dstCol: String = "dst",
       checkpointInterval: Int = 5,
-      broadcastRanks: Boolean = true): DataFrame = {
+      broadcastRanks: Boolean = true,
+      tolMicro: Long = 0L): DataFrame = {
     require(iterations >= 1, "pageRank needs iterations >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -255,7 +263,10 @@ object Graph {
     val edgesDeg = e.join(degDim, e("src") === deg("node"))
       .select(col("src"), col("dst"), col("outdeg")).persist()
     var rank = deg.select(col("node"), lit(1000000L).as("rank"))
-    for (i <- 1 to iterations) {
+    var i = 1
+    var converged = false
+    while (i <= iterations && !converged) {
+      val prev = rank
       val r = if (broadcastRanks) broadcast(rank) else rank
       rank = edgesDeg
         .join(r, edgesDeg("src") === rank("node"))
@@ -264,8 +275,20 @@ object Graph {
         .groupBy("dst")
         .agg((lit(150000L) + sum("c")).as("rank"))
         .withColumnRenamed("dst", "node")
-      if (i % checkpointInterval == 0 && i < iterations)
+      if (tolMicro > 0L) {
+        // materialize once; the delta agg AND the next iteration (or
+        // the caller) read these blocks
         rank = rank.localCheckpoint(true)
+        val maxDelta = rank.as("n")
+          .join(prev.select(col("node"), col("rank").as("__prev")),
+            "node")
+          .agg(max(abs(col("rank") - col("__prev"))))
+          .collect()(0).getLong(0)
+        converged = maxDelta <= tolMicro
+      } else if (i % checkpointInterval == 0 && i < iterations) {
+        rank = rank.localCheckpoint(true)
+      }
+      i += 1
     }
     rank
   }

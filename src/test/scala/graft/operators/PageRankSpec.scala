@@ -68,6 +68,28 @@ class PageRankSpec extends AnyFunSuite {
     assert(got === reference(4))
   }
 
+  test("tolerance stopping converges to the fixed-point ranks early " +
+      "and matches a deep fixed-count run") {
+    // the floor-div recurrence reaches an exact fixpoint on this
+    // graph; find it with the reference
+    var iters = 1
+    while (reference(iters) != reference(iters + 1)) iters += 1
+    val deep = Graph.pageRank(edges, iterations = 50,
+        checkpointInterval = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep === reference(50))
+    val tol = Graph.pageRank(edges, iterations = 50, tolMicro = 0L,
+        checkpointInterval = 5)
+    // tolMicro = 0 keeps fixed-count mode; with a tolerance of 0
+    // micro-units requested via the parameter, use 1L: stop at the
+    // first no-change iteration
+    val early = Graph.pageRank(edges, iterations = 50, tolMicro = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early === reference(iters + 1)) // the fixpoint values
+    assert(early === deep) // same answer as grinding all 50
+    assert(tol.count() === 5) // fixed-count mode still returns all nodes
+  }
+
   test("symmetrized graph keeps every node in the rank table") {
     val sym = edges.unionAll(
       edges.select(col("dst").as("src"), col("src").as("dst")))
