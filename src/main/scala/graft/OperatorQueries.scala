@@ -213,6 +213,61 @@ object OperatorQueries {
         .orderBy("st")
     }),
 
+    /** Merge-on-read CDC ([[graft.operators.MergeOnRead]]): the
+      * persisted base+delta layout end-to-end — create a bucketed
+      * base, append three change batches (within-batch LWW, CROSS-
+      * batch override where a later batch's lower seq beats an
+      * earlier batch's higher seq, deletes, inserts), compact
+      * mid-stream so the read spans a partially-rewritten base AND
+      * post-compaction deltas. The base is never snapshot-rewritten
+      * between batches (MorSpec asserts the write paths); the oracle
+      * constructs the expected post-state directly, so a wrong
+      * batch-order winner, a resurrected delete, or a bucket lost in
+      * compaction all land in the hash.
+      */
+    "q180_merge_on_read" -> ((s, d) => {
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q180")
+        .toFile.getAbsolutePath + "/tbl"
+      graft.operators.MergeOnRead.create(t, dir, Seq("k"),
+        nBuckets = 16)
+      def ch(f: DataFrame => DataFrame, op: String, seq: Long) =
+        f(t).withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      // batch 0: stale (seq 1) vs within-batch winner (seq 2)
+      graft.operators.MergeOnRead.append(
+        ch(_.filter(col("k") % 7 === 1)
+            .withColumn("cents", col("cents") + 100000), "U", 1L)
+          .unionByName(ch(_.filter(col("k") % 7 === 1)
+            .withColumn("cents", col("cents") + 200000), "U", 2L)),
+        dir)
+      // batch 1: deletes + a LOWER-seq update that must still beat
+      // batch 0's seq-2 row (batch order dominates seq)
+      graft.operators.MergeOnRead.append(
+        ch(_.filter(col("k") % 7 === 0), "D", 1L)
+          .unionByName(ch(_.filter(col("k") % 7 === 1)
+            .withColumn("cents", col("cents") + 300000), "U", 1L)),
+        dir)
+      graft.operators.MergeOnRead.compact(s, dir)
+      // batch 2 (post-compaction): update, delete, insert against
+      // the partially-rewritten base
+      graft.operators.MergeOnRead.append(
+        ch(_.filter(col("k") % 7 === 2)
+            .withColumn("cents", col("cents") + 50000), "U", 1L)
+          .unionByName(ch(_.filter(col("k") % 7 === 3), "D", 1L))
+          .unionByName(ch(_.filter(col("k") % 97 === 0)
+            .select((col("k") + 10000000L).as("k"), lit("N").as("st"),
+              (col("k") * 100).as("cents")), "I", 1L)),
+        dir)
+      graft.operators.MergeOnRead.read(s, dir)
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          sum("k").as("sum_keys"))
+        .orderBy("st")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -281,6 +336,28 @@ object OperatorQueries {
         |  FROM t WHERE k % 97 = 0),
         |f AS (SELECT * FROM kept UNION ALL SELECT * FROM upd
         |  UNION ALL SELECT * FROM ins)
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT)
+        |    AS sum_cents, CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM f GROUP BY st ORDER BY st""".stripMargin,
+    // expected post-state across all three batches + compaction:
+    // k%7=0 deleted (b1), k%7=1 → +300000 (b1 beats b0 by batch
+    // order), k%7=2 → +50000 (b2), k%7=3 deleted (b2), inserts from
+    // b2; everything else untouched
+    "q180_merge_on_read" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT k, st, cents FROM t
+        |  WHERE k % 7 NOT IN (0, 1, 2, 3)),
+        |u1 AS (SELECT k, st, cents + 300000 AS cents FROM t
+        |  WHERE k % 7 = 1),
+        |u2 AS (SELECT k, st, cents + 50000 AS cents FROM t
+        |  WHERE k % 7 = 2),
+        |ins AS (SELECT k + 10000000 AS k, 'N' AS st, k * 100 AS cents
+        |  FROM t WHERE k % 97 = 0),
+        |f AS (SELECT * FROM kept UNION ALL SELECT * FROM u1
+        |  UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM ins)
         |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT)
         |    AS sum_cents, CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM f GROUP BY st ORDER BY st""".stripMargin,

@@ -29,16 +29,36 @@ object Cdc {
     */
   def applyChanges(target: DataFrame, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "op",
-      seqCol: String = "seq"): DataFrame = {
-    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+      seqCol: String = "seq"): DataFrame =
+    fold(target, changes, keyCols, opCol, Seq(col(seqCol).desc),
+      Seq(opCol, seqCol))
+
+  /** The LWW fold with a CALLER-SUPPLIED change order (descending —
+    * first row per key wins) and an explicit list of change-metadata
+    * columns to drop from the upserted rows. [[applyChanges]] is the
+    * single-sequence instance; [[MergeOnRead.read]] orders by
+    * (batch, seq) so later delta batches beat earlier ones even when
+    * producers restart their per-batch sequence numbers.
+    */
+  private[operators] def fold(target: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], opCol: String,
+      orderDesc: Seq[org.apache.spark.sql.Column],
+      metaCols: Seq[String],
+      broadcastKeys: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "fold needs at least one key column")
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc)
+      .orderBy(orderDesc: _*)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // the hint sits exactly on the anti-join's build side: with a
+    // broadcast changed-key set the (fact-scale) target neither
+    // shuffles nor sorts — it streams through one hash probe
+    val keySet = latest.select(keyCols.map(col): _*)
     val untouched = target.join(
-      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+      if (broadcastKeys) broadcast(keySet) else keySet,
+      keyCols, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D").drop(metaCols: _*)
     untouched.unionByName(upserts)
   }
 

@@ -279,17 +279,32 @@ object Graph {
         // materialize once; the delta agg AND the next iteration (or
         // the caller) read these blocks
         rank = rank.localCheckpoint(true)
-        val maxDelta = rank.as("n")
+        // Full-outer so a node present in only one of the two rank
+        // tables (contract violation: some node had zero in-edges)
+        // still counts its whole rank as delta instead of silently
+        // dropping out of an inner join; the aggregate is null only
+        // when BOTH tables are empty, which genuinely is convergence.
+        val deltaRow = rank.as("n")
           .join(prev.select(col("node"), col("rank").as("__prev")),
-            "node")
-          .agg(max(abs(col("rank") - col("__prev"))))
-          .collect()(0).getLong(0)
+            Seq("node"), "full_outer")
+          .agg(max(abs(coalesce(col("rank"), lit(0L)) -
+            coalesce(col("__prev"), lit(0L)))))
+          .collect()(0)
+        val maxDelta = if (deltaRow.isNullAt(0)) 0L
+                       else deltaRow.getLong(0)
         converged = maxDelta <= tolMicro
       } else if (i % checkpointInterval == 0 && i < iterations) {
         rank = rank.localCheckpoint(true)
       }
       i += 1
     }
+    // Convergence mode checkpoints every rank table, so the returned
+    // frame no longer reads edgesDeg — release the cached blocks here
+    // instead of leaking one persisted edge list per call. Fixed-count
+    // mode returns a LAZY plan over edgesDeg; there the cache lives
+    // until the session GCs it (documented trade: composable plan vs
+    // eager release).
+    if (tolMicro > 0L) edgesDeg.unpersist(false)
     rank
   }
 }

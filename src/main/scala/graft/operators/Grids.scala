@@ -26,7 +26,11 @@ object Grids {
   def boundedSpine(lo: Column, hi: Column,
       maxCells: Long = MaxGridCells, what: String = "grid"): Column = {
     val span = hi - lo + lit(1L)
-    val guardedLo = when(span <= lit(maxCells), lo)
+    // Null bounds (empty input feeding the min/max aggregate) must
+    // pass through: sequence(null, hi) is null, explode drops it, the
+    // grid is empty — not an in-plan raise with a null-ish message.
+    val guardedLo = when(lo.isNull || hi.isNull || span <= lit(maxCells),
+        lo)
       .otherwise(raise_error(concat(
         lit(s"$what spine exceeds $maxCells cells: span="),
         span.cast("string"))).cast("long"))

@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read CDC table — the fact-scale mutation layout.
+  *
+  * [[Cdc.applyChanges]] gives MERGE semantics as a plan, but a
+  * PERSISTED mutable table built on it alone must rewrite the full
+  * snapshot after every change batch — the one documented scale gap
+  * from round 13. This operator closes it with the standard
+  * base+delta discipline (the same shape Hudi/Iceberg call
+  * merge-on-read, re-derived here on plain parquet + a manifest):
+  *
+  *  - the BASE is hash-bucketed by key into `data/ver=V/bucket=K/`
+  *    directories (`pmod(xxhash64(keys), nBuckets)`), written once;
+  *  - each change batch APPENDS as `delta/batch=B/bucket=K/` parquet
+  *    — cost ∝ batch size, the base is never touched;
+  *  - READ serves base ⋈ deltas through the same LWW fold
+  *    ([[Cdc.fold]]), ordered by (batch, seq): the window shuffle is
+  *    over the DELTAS only (≪ base by contract) and the base pays
+  *    one anti-join on the changed-key set — at 100 TB base / GB-day
+  *    deltas that key set is broadcastable and the base never
+  *    shuffles or sorts;
+  *  - COMPACT folds pending deltas into the base
+  *    PARTITION-BY-PARTITION: only buckets named by a delta file are
+  *    read or rewritten (a new `ver=V+1` directory holds just those
+  *    buckets; untouched buckets keep their existing files, re-linked
+  *    by the manifest). Compaction cost ∝ touched data, not table
+  *    size.
+  *
+  * Crash safety is rename-based, object-store-friendly:
+  *  - a delta batch is visible only once Spark's committer drops
+  *    `_SUCCESS` in its directory — a torn append is invisible to
+  *    readers and is overwritten by the batch's retry;
+  *  - the current manifest is named by `_VERSION`, written to a temp
+  *    file and atomically renamed — a crash mid-compaction leaves the
+  *    old manifest live and the half-written `ver=V+1` directory
+  *    unreferenced (re-running compaction overwrites it);
+  *  - folded delta batches and replaced bucket directories are
+  *    deleted only AFTER the `_VERSION` swap (best-effort GC; a crash
+  *    between swap and GC leaves garbage, never corruption).
+  *
+  * Generalizes the reference's immutable snapshot-append discipline
+  * (legacy/legacy-dataset.go:56-57, directory/directory.go:230-240)
+  * to tables that mutate in place.
+  */
+object MergeOnRead {
+
+  /** Table metadata, persisted in every manifest. */
+  final case class Meta(keyCols: Seq[String], opCol: String,
+      seqCol: String, nBuckets: Int)
+
+  final case class Manifest(version: Int, meta: Meta,
+      buckets: Map[Int, Int],   // bucket id -> data ver holding it
+      folded: Set[Int])         // delta batch ids already compacted
+
+  private val Bucket = "__mor_bucket"
+
+  private def bucketOf(meta: Meta) =
+    pmod(xxhash64(meta.keyCols.map(col): _*), lit(meta.nBuckets))
+      .cast("int")
+
+  private def manifestPath(dir: String, v: Int) =
+    Paths.get(dir, s"manifest-$v.txt")
+
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    val body = new StringBuilder
+    body ++= s"version=${m.version}\n"
+    body ++= s"keys=${m.meta.keyCols.mkString(",")}\n"
+    body ++= s"op=${m.meta.opCol}\nseq=${m.meta.seqCol}\n"
+    body ++= s"nbuckets=${m.meta.nBuckets}\n"
+    body ++= s"folded=${m.folded.toSeq.sorted.mkString(",")}\n"
+    m.buckets.toSeq.sorted.foreach { case (b, v) =>
+      body ++= s"bucket.$b=$v\n" }
+    Files.write(manifestPath(dir, m.version),
+      body.toString.getBytes(UTF_8))
+    val tmp = Paths.get(dir, "_VERSION.tmp")
+    Files.write(tmp, m.version.toString.getBytes(UTF_8))
+    Files.move(tmp, Paths.get(dir, "_VERSION"),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def loadManifest(dir: String): Manifest = {
+    val v = new String(
+      Files.readAllBytes(Paths.get(dir, "_VERSION")), UTF_8).trim.toInt
+    val kv = scala.io.Source.fromFile(manifestPath(dir, v).toFile, "UTF-8")
+      .getLines().filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+    def csv(s: String): Seq[String] =
+      if (s.isEmpty) Seq.empty else s.split(",").toSeq
+    Manifest(v,
+      Meta(csv(kv("keys")), kv("op"), kv("seq"), kv("nbuckets").toInt),
+      kv.collect { case (k, ver) if k.startsWith("bucket.") =>
+        k.stripPrefix("bucket.").toInt -> ver.toInt },
+      csv(kv("folded")).map(_.toInt).toSet)
+  }
+
+  /** Buckets actually written under `data/ver=<ver>` (a partitionBy
+    * write emits no directory for an empty bucket).
+    */
+  private def writtenBuckets(dir: String, ver: Int): Seq[Int] = {
+    val d = new File(s"$dir/data/ver=$ver")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$Bucket="))
+      .map(_.getName.stripPrefix(s"$Bucket=").toInt).toSeq.sorted
+  }
+
+  /** Delta batch ids whose write COMMITTED (`_SUCCESS` present) —
+    * a torn append never becomes visible.
+    */
+  private def committedBatches(dir: String): Seq[Int] = {
+    val d = new File(s"$dir/delta")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new File(f, "_SUCCESS").isFile)
+      .map(_.getName.stripPrefix("batch=").toInt).toSeq.sorted
+  }
+
+  private def bucketsIn(dir: String, batch: Int): Seq[Int] = {
+    val d = new File(s"$dir/delta/batch=$batch")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$Bucket="))
+      .map(_.getName.stripPrefix(s"$Bucket=").toInt).toSeq
+  }
+
+  /** Creates the table: full bucketed base write (the ONLY full
+    * write in the table's life), schema file for empty reads.
+    */
+  def create(df: DataFrame, dir: String, keyCols: Seq[String],
+      opCol: String = "op", seqCol: String = "seq",
+      nBuckets: Int = 64): Unit = {
+    require(keyCols.nonEmpty, "create needs at least one key column")
+    val meta = Meta(keyCols, opCol, seqCol, nBuckets)
+    df.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_schema")
+    df.withColumn(Bucket, bucketOf(meta))
+      .write.partitionBy(Bucket).mode("overwrite")
+      .parquet(s"$dir/data/ver=0")
+    writeManifest(dir, Manifest(0, meta,
+      writtenBuckets(dir, 0).map(_ -> 0).toMap, Set.empty))
+  }
+
+  /** Appends one change batch (target columns + op + seq). Writes
+    * ONLY `delta/batch=<n>` — never touches base or manifest, so
+    * appends are O(batch). Returns the batch id.
+    */
+  def append(changes: DataFrame, dir: String): Int = {
+    val m = loadManifest(dir)
+    // ids must also clear the FOLDED set: compaction GC removes
+    // folded batch directories, and a recycled id would be silently
+    // filtered out of every subsequent read
+    val b = (committedBatches(dir) ++ m.folded)
+      .foldLeft(-1)(math.max) + 1
+    changes.withColumn(Bucket, bucketOf(m.meta))
+      .write.partitionBy(Bucket).mode("overwrite")
+      .parquet(s"$dir/delta/batch=$b")
+    b
+  }
+
+  private def readData(spark: SparkSession, dir: String,
+      paths: Seq[String], basePath: String): DataFrame =
+    if (paths.isEmpty)
+      spark.read.parquet(s"$dir/_schema")
+    else
+      spark.read.option("basePath", basePath).parquet(paths: _*)
+
+  /** Current state: manifest-selected base buckets + pending deltas
+    * through the LWW fold, ordered (batch, seq). `broadcastKeys`
+    * (default) broadcasts the changed-key set into the base
+    * anti-join — the merge-on-read contract is delta ≪ base, and a
+    * broadcast key set means the base side never shuffles; pass
+    * false when a compaction has been skipped long enough that the
+    * pending key set outgrows the driver.
+    */
+  def read(spark: SparkSession, dir: String,
+      broadcastKeys: Boolean = true): DataFrame = {
+    val m = loadManifest(dir)
+    val basePaths = m.buckets.toSeq.sorted.map { case (b, v) =>
+      s"$dir/data/ver=$v/$Bucket=$b" }
+    val base = readData(spark, dir, basePaths, s"$dir/data")
+      .drop("ver").drop(Bucket)
+    val pending = committedBatches(dir).filterNot(m.folded)
+    if (pending.isEmpty) return base
+    val deltas = spark.read.option("basePath", s"$dir/delta")
+      .parquet(pending.map(b => s"$dir/delta/batch=$b"): _*)
+      .drop(Bucket)
+    Cdc.fold(base, deltas, m.meta.keyCols, m.meta.opCol,
+      Seq(col("batch").desc, col(m.meta.seqCol).desc),
+      Seq(m.meta.opCol, m.meta.seqCol, "batch"),
+      broadcastKeys = broadcastKeys)
+  }
+
+  /** Folds pending deltas into the base, partition-by-partition:
+    * reads ONLY the buckets named by a pending delta directory,
+    * writes ONLY those buckets under `ver=<version+1>`, re-links
+    * every other bucket manifest-side. Returns the number of
+    * buckets rewritten.
+    */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val m = loadManifest(dir)
+    val pending = committedBatches(dir).filterNot(m.folded)
+    if (pending.isEmpty) return 0
+    val touched = pending.flatMap(bucketsIn(dir, _)).distinct.sorted
+    val newVer = m.version + 1
+    val basePaths = touched.flatMap(b =>
+      m.buckets.get(b).map(v => s"$dir/data/ver=$v/$Bucket=$b"))
+    val base = readData(spark, dir, basePaths, s"$dir/data")
+      .drop("ver").drop(Bucket)
+    val deltas = spark.read.option("basePath", s"$dir/delta")
+      .parquet(pending.map(b => s"$dir/delta/batch=$b"): _*)
+      .drop(Bucket)
+    val merged = Cdc.fold(base, deltas, m.meta.keyCols, m.meta.opCol,
+      Seq(col("batch").desc, col(m.meta.seqCol).desc),
+      Seq(m.meta.opCol, m.meta.seqCol, "batch"))
+    merged.withColumn(Bucket, bucketOf(m.meta))
+      .write.partitionBy(Bucket).mode("overwrite")
+      .parquet(s"$dir/data/ver=$newVer")
+    // a touched bucket absent from the new ver went empty (all rows
+    // deleted) — drop it from the mapping entirely
+    val rewritten = writtenBuckets(dir, newVer).toSet
+    val buckets = (m.buckets -- touched) ++
+      rewritten.map(_ -> newVer)
+    writeManifest(dir, Manifest(newVer, m.meta, buckets,
+      m.folded ++ pending))
+    // post-swap GC: folded batches + replaced bucket dirs
+    pending.foreach(b => deleteRec(new File(s"$dir/delta/batch=$b")))
+    touched.foreach(b => m.buckets.get(b).foreach(v =>
+      deleteRec(new File(s"$dir/data/ver=$v/$Bucket=$b"))))
+    touched.size
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+}

@@ -303,7 +303,7 @@ object Warc {
         if (fromHeader.isDefined || payload == null) None
         else {
           val n = math.min(payload.length, 1024)
-          charsetParam(
+          metaCharsetParam(
             new String(payload, 0, n, StandardCharsets.ISO_8859_1))
         }
       fromHeader.orElse(fromMeta).getOrElse("utf-8")
@@ -313,8 +313,21 @@ object Warc {
   private val CharsetRe =
     "(?i)charset\\s*=\\s*[\"']?([a-z0-9_.:\\-]+)".r
 
+  /** `charset=` anywhere inside a `<meta ...>` tag — both the HTML5
+    * form `<meta charset=utf-8>` and the legacy http-equiv form
+    * `<meta http-equiv=... content="text/html; charset=utf-8">`.
+    * Anchored to the tag so an incidental `charset=` in body text, a
+    * link URL, or a JS string can't override the UTF-8 default (the
+    * WHATWG sniff only honors meta declarations).
+    */
+  private val MetaCharsetRe =
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_.:\\-]+)".r
+
   private def charsetParam(s: String): Option[String] =
     CharsetRe.findFirstMatchIn(s).map(m => normCharset(m.group(1)))
+
+  private def metaCharsetParam(s: String): Option[String] =
+    MetaCharsetRe.findFirstMatchIn(s).map(m => normCharset(m.group(1)))
 
   private def normCharset(raw: String): String = raw.toLowerCase match {
     case "latin1" | "latin-1" | "iso8859-1" | "l1" => "iso-8859-1"

@@ -23,18 +23,19 @@ class FuzzySpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
-  private def check(strs: Seq[String], k: Int, q: Int = 2): Unit = {
+  private def check(strs: Seq[String], k: Int, q: Int = 2,
+      maxBucket: Int = 1024): Unit = {
     import spark.implicits._
     val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
       .toDF("sid", "sv")
-    val got = Fuzzy.editDistanceJoin(df, "sv", "sid", k, q)
+    val got = Fuzzy.editDistanceJoin(df, "sv", "sid", k, q, maxBucket)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sorted.toSeq
     val want = (for {
       i <- strs.indices; j <- strs.indices if i < j
       d = levenshtein(strs(i), strs(j)) if d <= k
     } yield (i.toLong, j.toLong, d.toLong)).sorted
-    assert(got === want, s"k=$k q=$q")
+    assert(got === want, s"k=$k q=$q maxBucket=$maxBucket")
   }
 
   test("random mixed-length strings match the naive baseline") {
@@ -58,5 +59,46 @@ class FuzzySpec extends AnyFunSuite {
     val base = Seq("jonathan smith", "johnathan smith", "jon smith",
       "jonathan smyth", "bob jones", "rob jones", "bobby jones")
     check(base, k = 2, q = 3)
+  }
+
+  /** The skew guard: a gram in >50% of rows must not quadratic-blow
+    * one shuffle bucket, and degrading it to the length-window
+    * fallback must stay LOSSLESS.
+    */
+  test("hot gram (>50% of rows) stays lossless under the skew guard") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    // 60% of rows share the hot bigram "zz"; lengths spread 4..23 so
+    // the fallback's length windows genuinely partition the hot set
+    val strs = (0 until 100).map { i =>
+      val n = 4 + rnd.nextInt(20)
+      val s = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString
+      if (i % 5 < 3) s"zz$s" else s
+    }
+    check(strs, k = 1, maxBucket = 8)
+    check(strs, k = 2, maxBucket = 8)
+  }
+
+  test("guarded candidate count is bounded, not all-pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefgh"
+    val strs = (0 until 100).map { i =>
+      val n = 4 + rnd.nextInt(20)
+      val s = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString
+      if (i % 2 == 0) s"zz$s" else s
+    }
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("sid", "sv")
+    val n = strs.size.toLong
+    val allPairs = n * (n - 1) / 2
+    val guarded = Fuzzy.candidatePairs(df, "sv", "sid",
+      maxDist = 1, q = 2, maxBucket = 8).count()
+    // hot rows pair only within ±1-length windows (lengths spread
+    // over ~20 values), rare grams only within the positional
+    // window: nowhere near the cross product
+    assert(guarded < allPairs / 4, s"guarded=$guarded all=$allPairs")
   }
 }

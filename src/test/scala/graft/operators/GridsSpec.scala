@@ -42,4 +42,16 @@ class GridsSpec extends AnyFunSuite {
       .count()
     assert(n === 876001L)
   }
+
+  test("null bounds (empty upstream) yield an empty grid, not a raise") {
+    import spark.implicits._
+    // the shape every spine query has: min/max over a filter that
+    // matched nothing → one row of null bounds feeding the spine
+    val n = Seq(1L, 2L).toDF("v").filter(col("v") > 100)
+      .agg(min("v").as("lo"), max("v").as("hi"))
+      .select(explode(Grids.boundedSpine(col("lo"), col("hi"),
+        maxCells = 10)).as("g"))
+      .count()
+    assert(n === 0L)
+  }
 }

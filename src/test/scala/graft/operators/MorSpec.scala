@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** MergeOnRead: the base+delta layout's THREE load-bearing claims —
+  * (1) appends and reads never rewrite the base (write-path
+  * assertions on the data directory), (2) compaction touches only
+  * the buckets named by a delta, (3) the served state equals the
+  * sequential applyChanges fold at every step, including across a
+  * mid-stream compaction, crash-torn appends, and all-deleted
+  * buckets.
+  */
+class MorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-mor").toFile.getAbsolutePath + "/t"
+
+  private def base(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"v$i", i.toLong * 10))
+      .toDF("k", "s", "x")
+  }
+
+  private def ch(rows: Seq[(Long, String, Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "s", "x", "op", "seq")
+  }
+
+  private def state(dir: String): Map[Long, (String, Long)] =
+    MergeOnRead.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  /** (path, lastModified) of every data file under dir/data. */
+  private def dataFiles(dir: String): Map[String, Long] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new File(s"$dir/data")).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("append + read serve merged state without touching the base") {
+    val dir = tmp()
+    MergeOnRead.create(base(100), dir, Seq("k"), nBuckets = 8)
+    val before = dataFiles(dir)
+    MergeOnRead.append(ch(Seq(
+      (1L, "a", 1L, "U", 1L), (1L, "b", 2L, "U", 2L),   // LWW in batch
+      (2L, "", 0L, "D", 1L),
+      (200L, "new", 7L, "I", 1L))), dir)
+    MergeOnRead.append(ch(Seq(
+      (1L, "c", 3L, "U", 1L))), dir)                    // batch beats seq
+    val got = state(dir)
+    assert(dataFiles(dir) === before,
+      "append/read must not add, drop, or rewrite any base data file")
+    assert(got(1L) === ("c", 3L))
+    assert(!got.contains(2L))
+    assert(got(200L) === ("new", 7L))
+    assert(got(50L) === ("v50", 500L))
+    assert(got.size === 100)
+  }
+
+  test("compaction rewrites ONLY delta-touched buckets; state survives") {
+    val dir = tmp()
+    MergeOnRead.create(base(200), dir, Seq("k"), nBuckets = 8)
+    val before = dataFiles(dir)
+    MergeOnRead.append(ch(Seq(
+      (3L, "upd", 33L, "U", 1L), (4L, "", 0L, "D", 1L))), dir)
+    val expected = state(dir)
+    val touched = MergeOnRead.compact(spark, dir)
+    // keys 3 and 4 land in at most 2 of the 8 buckets
+    assert(touched >= 1 && touched <= 2, s"touched=$touched")
+    val after = dataFiles(dir)
+    // untouched buckets: identical files (same path, same mtime)
+    val keptBefore = before.filter { case (p, _) => after.contains(p) }
+    assert(keptBefore.nonEmpty, "some buckets must survive untouched")
+    keptBefore.foreach { case (p, m) => assert(after(p) === m, p) }
+    // the new version dir contains only the touched buckets
+    val v1 = new File(s"$dir/data/ver=1")
+    val v1buckets = Option(v1.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.contains("bucket"))
+    assert(v1buckets === touched)
+    assert(state(dir) === expected)
+    // deltas are folded: no pending batches remain on disk
+    assert(!new File(s"$dir/delta/batch=0").exists())
+  }
+
+  test("post-state across mid-stream compaction equals sequential applyChanges") {
+    val dir = tmp()
+    val t0 = base(150)
+    MergeOnRead.create(t0, dir, Seq("k"), nBuckets = 4)
+    val b0 = ch((1 to 150).filter(_ % 7 == 1).map(i =>
+      (i.toLong, "u1", i * 100L, "U", 1L)))
+    val b1 = ch((1 to 150).filter(_ % 7 == 0).map(i =>
+      (i.toLong, "", 0L, "D", 1L)) ++
+      (1 to 150).filter(_ % 7 == 1).map(i =>
+        (i.toLong, "u2", i * 200L, "U", 1L)))
+    val b2 = ch((1 to 150).filter(_ % 7 == 2).map(i =>
+      (i.toLong, "u3", i * 300L, "U", 1L)) ++
+      Seq((999L, "ins", 1L, "I", 1L)))
+    MergeOnRead.append(b0, dir)
+    MergeOnRead.append(b1, dir)
+    MergeOnRead.compact(spark, dir)
+    MergeOnRead.append(b2, dir)
+    val oracle = Seq(b0, b1, b2)
+      .foldLeft(t0)((acc, c) => Cdc.applyChanges(acc, c, Seq("k")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(state(dir) === oracle)
+  }
+
+  test("a torn append (no _SUCCESS) is invisible and safely retried") {
+    val dir = tmp()
+    MergeOnRead.create(base(10), dir, Seq("k"), nBuckets = 2)
+    MergeOnRead.append(ch(Seq((1L, "ok", 1L, "U", 1L))), dir)
+    // simulate a crash: rip out batch 1's _SUCCESS marker
+    MergeOnRead.append(ch(Seq((2L, "torn", 2L, "U", 1L))), dir)
+    assert(new File(s"$dir/delta/batch=1/_SUCCESS").delete())
+    assert(state(dir)(2L) === ("v2", 20L), "torn batch must be invisible")
+    // retry lands on the SAME batch id and overwrites the torn dir
+    val id = MergeOnRead.append(ch(Seq((2L, "retry", 9L, "U", 1L))), dir)
+    assert(id === 1)
+    assert(state(dir)(2L) === ("retry", 9L))
+    assert(MergeOnRead.compact(spark, dir) >= 1)
+    assert(state(dir)(2L) === ("retry", 9L))
+  }
+
+  test("a bucket deleted down to zero rows disappears from the manifest") {
+    val dir = tmp()
+    MergeOnRead.create(base(4), dir, Seq("k"), nBuckets = 2)
+    // delete everything
+    MergeOnRead.append(ch((1 to 4).map(i =>
+      (i.toLong, "", 0L, "D", 1L))), dir)
+    MergeOnRead.compact(spark, dir)
+    assert(MergeOnRead.loadManifest(dir).buckets.isEmpty)
+    assert(MergeOnRead.read(spark, dir).count() === 0L)
+    // and the empty table still accepts new life
+    MergeOnRead.append(ch(Seq((7L, "back", 1L, "I", 1L))), dir)
+    assert(state(dir) === Map(7L -> ("back", 1L)))
+  }
+
+  test("empty change set: compact is a no-op, read is the base") {
+    val dir = tmp()
+    MergeOnRead.create(base(5), dir, Seq("k"), nBuckets = 2)
+    assert(MergeOnRead.compact(spark, dir) === 0)
+    assert(state(dir).size === 5)
+  }
+}

@@ -88,6 +88,59 @@ class SweepSpec extends AnyFunSuite {
       s"unexpected red-flag plans: ${offenders.mkString(", ")}")
   }
 
+  /** Round 13's per-site "this global window is bounded" comments
+    * (RetrievalQueries q91, AnalyticsQueries q126, TextAnalysis
+    * vocabCoverage), promoted to a machine-checked contract: a
+    * partition-less WindowExec funnels the whole input through ONE
+    * task, so it is legal only when its child subtree provably
+    * bounds cardinality — an aggregate (output = #groups), a
+    * limit/top-k, or a local (driver-built) table. Any declared
+    * query that plans a global window straight over an unbounded
+    * scan fails here with the query named. AQE is disabled for the
+    * walk so the physical tree is directly traversable (the shapes
+    * themselves are AQE-independent).
+    */
+  private def bounded(p: org.apache.spark.sql.execution.SparkPlan)
+      : Boolean = p.exists {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+      => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case _: org.apache.spark.sql.execution.RDDScanExec => true
+    case _ => false
+  }
+
+  /** Adjudicated exceptions (each re-justified here, not just
+    * grandfathered): none — the allowlist is EMPTY, every global
+    * window in the declared contract is structurally bounded.
+    */
+  private val globalWindowAllowed = Set.empty[String]
+
+  test("every partition-less window runs over a structurally bounded " +
+      "child (aggregate / limit / local table)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(globalWindowAllowed).flatMap { name =>
+          val plan = SparkEntry.queries(name)(spark, sf)
+            .queryExecution.executedPlan
+          plan.collect {
+            case w: WindowExec
+                if w.partitionSpec.isEmpty && !bounded(w.child) =>
+              s"$name (${w.child.nodeName})"
+          }
+        }.distinct
+      assert(offenders.isEmpty,
+        s"unbounded global windows: ${offenders.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("the allowlists stay honest: each named query still plans its " +
       "adjudicated flag (a vanished flag means the allowlist entry " +
       "should be deleted)") {
