@@ -66,6 +66,31 @@ object Metrics {
     }
   }
 
+  /** Driver-side twin of [[graft.api.Api.batchSizeBucket]] — the
+    * reference's request-size bucket labels (handler.go:270-283):
+    * each served batch lands in exactly one of `<5 / 5+ / 20+ /
+    * 100+ / 400+`.
+    */
+  def batchSizeBucketLabel(n: Long): String =
+    if (n >= 400) "400+"
+    else if (n >= 100) "100+"
+    else if (n >= 20) "20+"
+    else if (n >= 5) "5+"
+    else "<5"
+
+  /** Observe one served request batch the way the reference's
+    * `latencyStats` does (handler.go:270-283): a count in the
+    * per-(source,size-bucket) histogram series plus the µs sum, so
+    * the ops story — request-time-by-batch-size — reads identically.
+    */
+  def observeRequestBatch(source: String, n: Long, nanos: Long,
+      reg: Registry = registry): Unit = {
+    val b = batchSizeBucketLabel(n)
+    reg.inc(s"request_time_hist{source=$source,size=$b}")
+    reg.inc(s"request_time_usec_total{source=$source,size=$b}",
+      nanos / 1000)
+  }
+
   /** A6: histogram of a duration column into log-spaced buckets. */
   def latencyHistogram(df: DataFrame, durationCol: Column): DataFrame = {
     val bucket = round(pow(4.0,

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the write-once artifact form of [[Ivf]].
+  *
+  * The per-query IVF plans (q46 shape) re-assign the whole corpus to
+  * centroid buckets on every query; at 100 TB that assignment scan is
+  * the dominant cost and it is IDENTICAL across queries until the
+  * corpus changes. This module factors it out into an on-disk index
+  * keyed by a content fingerprint of the corpus:
+  *
+  * {{{
+  *   <path>/centroids/    parquet: (c INT, centroid ARRAY<BIGINT>)
+  *   <path>/assignments/  parquet, partitionBy(bucket):
+  *                          (<id>, <vec>, bucket INT)
+  *   <path>/manifest.json fingerprint + params — written LAST, so a
+  *                        half-built index is invisible (no manifest
+  *                        = no index, the MergeOnRead commit rule)
+  * }}}
+  *
+  * [[buildIfAbsent]] recomputes only the fingerprint (one
+  * column-pruned agg over (id, vec)) and SKIPS the assignment scan
+  * and write entirely when it matches — the "train once, query many"
+  * discipline. [[searchInt]] serves queries from the persisted
+  * layout: probe buckets are computed per probe row, their DISTINCT
+  * set is collected (probes are dimension-scale by the ANN contract —
+  * they broadcast), and the assignment read is filtered on the
+  * PARTITION column, so the scan touches only `≈ nprobe × |probes|`
+  * of the k bucket directories no matter how large the corpus — a
+  * static partition prune visible in the plan's PartitionFilters,
+  * not a bet on runtime DPP.
+  *
+  * Reference grounding: the reference loads immutable dataset
+  * artifacts once and serves every request from the loaded form
+  * (directory/directory.go:230-240's snapshot discipline); this is
+  * that shape for ANN state.
+  */
+object AnnIndex {
+
+  /** Index state after [[buildIfAbsent]]: `reused = true` means the
+    * manifest fingerprint matched and nothing was rewritten.
+    */
+  final case class Build(path: String, fingerprint: Long, count: Long,
+      reused: Boolean)
+
+  /** Order-independent content fingerprint of `(idCol, vecCol)`:
+    * xor-fold of the per-row xxhash64 plus the row count (xor alone
+    * is blind to even-multiplicity duplicates). One column-pruned
+    * scan; no shuffle beyond the single-row agg.
+    */
+  def fingerprint(corpus: DataFrame, idCol: String,
+      vecCol: String): (Long, Long) = {
+    val r = corpus.agg(
+      bit_xor(xxhash64(col(idCol), col(vecCol))).as("fp"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = r.getLong(1)
+    (if (n == 0) 0L else r.getLong(0), n)
+  }
+
+  private def manifestPath(path: String) = Paths.get(path, "manifest.json")
+
+  private case class Manifest(fp: Long, n: Long, k: Int, id: String,
+      vec: String)
+
+  private def readManifest(path: String): Option[Manifest] = {
+    val p = manifestPath(path)
+    if (!Files.exists(p)) None
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(Files.readString(p))
+      Some(Manifest(node.get("fp").asLong(), node.get("n").asLong(),
+        node.get("k").asInt(), node.get("id").asText(),
+        node.get("vec").asText()))
+    }
+  }
+
+  private def writeManifest(path: String, mf: Manifest): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("fp", mf.fp); node.put("n", mf.n); node.put("k", mf.k)
+    node.put("id", mf.id); node.put("vec", mf.vec)
+    Files.createDirectories(Paths.get(path))
+    Files.write(manifestPath(path),
+      m.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Build the IVF index at `path` unless a manifest proves the same
+    * corpus (by fingerprint + count + params) is already indexed.
+    * `centroids` are the quantized-space integer centroids
+    * ([[Ivf.assignInt]] semantics — typically [[Ivf.trainCentroids]]
+    * output quantized, or fixed centroids where reproducibility
+    * outranks recall).
+    */
+  def buildIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Long]], path: String): Build = {
+    val (fp, n) = fingerprint(corpus, idCol, vecCol)
+    val want = Manifest(fp, n, centroids.length, idCol, vecCol)
+    readManifest(path) match {
+      case Some(have) if have == want => Build(path, fp, n, reused = true)
+      case _ =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        centroids.zipWithIndex
+          .map { case (c, i) => (i, c) }.toDF("c", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/centroids")
+        corpus
+          .select(col(idCol), col(vecCol),
+            Ivf.assignInt(col(vecCol), centroids).as("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/assignments")
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** The persisted centroids, in index order. */
+  def centroids(spark: SparkSession, path: String): Seq[Seq[Long]] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Number]("c").intValue,
+        r.getSeq[Long](r.fieldIndex("centroid"))))
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** ANN top-k over the persisted index: probes fan out to their
+    * `nprobe` nearest buckets; the corpus side reads ONLY those
+    * bucket partitions (static partition filter from the collected
+    * probe-bucket set — probes are dimension-scale, so the collect is
+    * bounded); cosine + bounded top-k per probe. Column names follow
+    * the q46 contract: output (probe_id, <idCol>, sim, rank).
+    */
+  def searchInt(spark: SparkSession, path: String, probes: DataFrame,
+      probeIdCol: String, vecCol: String, nprobe: Int, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val cs = centroids(spark, path)
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+        col(vecCol).as("__pq"),
+        explode(Ivf.probeBucketsInt(col(vecCol), cs, nprobe)).as("bucket"))
+    val wanted = p.select("bucket").distinct().collect()
+      .map(_.getAs[Number](0).intValue).toSeq
+    val assigned = spark.read.parquet(s"$path/assignments")
+      .filter(col("bucket").isin(wanted: _*))
+    val scored = assigned.join(broadcast(p), Seq("bucket"))
+      .withColumn("sim", Similarity.cosineInt(col(vecCol), col("__pq")))
+    Similarity.topKPerProbe(scored, k, "probe_id", idCol)
+  }
+}

@@ -48,6 +48,10 @@ import org.apache.spark.util.SerializableConfiguration
   * Options: `tolerant` (default false) — treat a truncated tail
   * record as end-of-file instead of failing the task (the S4
   * error-budget stance for mid-transfer crawl files).
+  * `offsetRetain` (streaming only, default 0 = off) — compact the
+  * seen-file offset to the N newest processed names plus a date
+  * floor; see [[WarcMicroBatchStream]] for the retention-window
+  * semantics.
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
@@ -59,7 +63,8 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new WarcTable(WarcTable.paths(properties),
-      properties.getOrDefault("tolerant", "false").toBoolean)
+      properties.getOrDefault("tolerant", "false").toBoolean,
+      properties.getOrDefault("offsetRetain", "0").toInt)
 }
 
 object WarcTable {
@@ -106,7 +111,8 @@ object WarcTable {
   }
 }
 
-class WarcTable(paths: Seq[String], tolerant: Boolean)
+class WarcTable(paths: Seq[String], tolerant: Boolean,
+    offsetRetain: Int = 0)
     extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcTable.Schema
@@ -115,10 +121,11 @@ class WarcTable(paths: Seq[String], tolerant: Boolean)
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths, tolerant)
+    new WarcScanBuilder(paths, tolerant, offsetRetain)
 }
 
-class WarcScanBuilder(paths: Seq[String], tolerant: Boolean)
+class WarcScanBuilder(paths: Seq[String], tolerant: Boolean,
+    offsetRetain: Int = 0)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -147,14 +154,16 @@ class WarcScanBuilder(paths: Seq[String], tolerant: Boolean)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required, pushed, tolerant)
+  override def build(): Scan =
+    new WarcScan(paths, required, pushed, tolerant, offsetRetain)
 }
 
 class WarcScan(
     paths: Seq[String],
     required: StructType,
     filters: Array[Filter],
-    tolerant: Boolean) extends Scan with Batch {
+    tolerant: Boolean,
+    offsetRetain: Int = 0) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -162,7 +171,7 @@ class WarcScan(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required, filters, tolerant,
-      hadoopConf)
+      hadoopConf, offsetRetain)
   override def description(): String =
     s"WarcScan PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"

@@ -56,10 +56,17 @@ object Streaming {
       : DataStreamWriter[org.apache.spark.sql.Row] =
     requests.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val d = dir.get
-      val dates = batch.select(dateCol).distinct().collect().map(_.getDate(0))
-      dates.foreach { dt =>
+      // one job for BOTH the date groups and their sizes — the sizes
+      // feed the reference-parity request-size bucket observations
+      // (handler.go:270-283 via Metrics.observeRequestBatch)
+      val dates = batch.groupBy(dateCol).count().collect()
+        .map(r => (r.getDate(0), r.getLong(1)))
+      dates.foreach { case (dt, n) =>
+        val t0 = System.nanoTime()
         sink(Api.annotateV2(spark, d, dt,
           batch.filter(col(dateCol) === lit(dt)), ipCol), id)
+        graft.metrics.Metrics.observeRequestBatch("v2", n,
+          System.nanoTime() - t0)
       }
     }
 

@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def corpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0L until 200L).map(i =>
+      (i, Seq.fill(16)((rnd.nextInt(801) - 400).toLong)))
+      .toDF("vec_id", "q")
+  }
+
+  private val cents: Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(3)
+    Seq.fill(4)(Seq.fill(16)((rnd.nextInt(801) - 400).toLong))
+  }
+
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        { n.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener events post asynchronously; drain before counting
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && last != n.get()) {
+        last = n.get(); Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("second build on the same corpus reuses the index: no " +
+      "assignment jobs, no rewritten files") {
+    val path = Files.createTempDirectory("annidx").toString + "/idx"
+    val c = corpus().cache()
+    c.count()
+    val b1 = AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path)
+    assert(!b1.reused && b1.count == 200)
+    def listing() = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(new java.io.File(path)).sortBy(_._1)
+    }
+    val before = listing()
+    var b2: AnnIndex.Build = null
+    val jobs = countJobs { b2 = AnnIndex.buildIfAbsent(c, "q", "vec_id",
+      cents, path) }
+    assert(b2.reused && b2.fingerprint == b1.fingerprint)
+    // only the fingerprint agg may run — never the assignment scan
+    // or any write job
+    assert(jobs <= 2, s"expected fingerprint-only work, saw $jobs jobs")
+    assert(listing() == before, "reused build must not touch the index")
+    c.unpersist()
+  }
+
+  test("a changed corpus invalidates the fingerprint and rebuilds") {
+    val path = Files.createTempDirectory("annidx2").toString + "/idx"
+    val c = corpus()
+    assert(!AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path).reused)
+    val changed = c.withColumn("q",
+      when(col("vec_id") === 0, array((0 until 16).map(_ => lit(9L)): _*))
+        .otherwise(col("q")))
+    val b = AnnIndex.buildIfAbsent(changed, "q", "vec_id", cents, path)
+    assert(!b.reused, "modified corpus must rebuild")
+  }
+
+  test("persisted search matches the in-plan IVF composition and " +
+      "prunes to the probed bucket partitions") {
+    val path = Files.createTempDirectory("annidx3").toString + "/idx"
+    val c = corpus()
+    AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path)
+    val probes = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    val got = AnnIndex.searchInt(spark, path, probes, "probe_id", "q",
+      nprobe = 2, k = 3)
+
+    // in-plan reference: q46's composition over the same corpus
+    val assigned = c.withColumn("bucket", Ivf.assignInt(col("q"), cents))
+    val p = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        explode(Ivf.probeBucketsInt(col("q"), cents, 2)).as("bucket"))
+    val want = Similarity.topKPerProbe(
+      assigned.join(broadcast(p), Seq("bucket"))
+        .withColumn("sim", Similarity.cosineInt(col("q"), col("pq"))),
+      3, "probe_id", "vec_id")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(key(got) == key(want))
+
+    // the probed-bucket filter must reach the file source as a
+    // partition filter (static prune — the 100 TB contract)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"),
+      s"expected a bucket partition filter in:\n$plan")
+  }
+}
