@@ -285,10 +285,55 @@ object OperatorQueries {
         .select(col("event_id"), col("o_orderdate").as("snap"))
         .orderBy("event_id")
         .limit(100)
-    })
+    }),
+
+    // Cross-document repeated-substring removal (Lee et al. 2022):
+    // every token covered by a duplicated 6-token window is dropped
+    // except in the window's first (min doc, pos) occurrence; the
+    // oracle pins per-doc token counts AND the md5 of the cleaned
+    // text, so the rewrite itself is hash-checked, not just counts.
+    "q183_substring_dedup" -> ((s, d) =>
+      graft.operators.Dedup.dropRepeatedSpans(
+          Tables.documents(s, d), "text", "doc_id", 6)
+        .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q183_substring_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents),
+        |g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |    array_to_string(list_slice(ts, CAST(t.i AS INT) + 1,
+        |      CAST(t.i AS INT) + 6), ' ') AS gram,
+        |    CAST(doc_id AS BIGINT) * 1048576 + CAST(t.i AS BIGINT) AS ck
+        |  FROM d, unnest(range(CAST(len(ts) AS BIGINT) - 5)) AS t(i)
+        |  WHERE len(ts) >= 6),
+        |canon AS (SELECT gram, min(ck) AS canon FROM g
+        |  GROUP BY gram HAVING count(*) > 1),
+        |dup AS (SELECT g.doc_id, g.pos FROM g
+        |  JOIN canon c ON g.gram = c.gram AND g.ck != c.canon),
+        |m AS (SELECT DISTINCT doc_id, pos + o.o AS ti
+        |  FROM dup, unnest(range(6)) AS o(o)),
+        |tok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS ti,
+        |    ts[CAST(t.i AS INT) + 1] AS tok
+        |  FROM d, unnest(range(CAST(len(ts) AS BIGINT))) AS t(i)),
+        |kept AS (SELECT t.doc_id, t.ti, t.tok FROM tok t
+        |  LEFT JOIN m ON t.doc_id = m.doc_id AND t.ti = m.ti
+        |  WHERE m.doc_id IS NULL),
+        |agg AS (SELECT doc_id,
+        |    array_to_string(list(tok ORDER BY ti), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.n_dropped, 0) AS n_dropped,
+        |  md5(COALESCE(a.clean_text, '')) AS clean_md5
+        |FROM d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q25_range_lookup_expr" ->
       """SELECT b.lo, count(*) AS c FROM lineitem l JOIN
         |(SELECT 0 AS lo, 10 AS hi UNION ALL SELECT 10, 25

@@ -496,6 +496,25 @@ object SketchQueries {
         .select(col("vec_id"), col("adc"))
     }),
 
+    // q75 through a PERSISTED PQ index ([[graft.operators.AnnIndex]]
+    // `buildPqIfAbsent`): the encode scan is paid once at build time
+    // and the search reads S-byte codes only — raw corpus vectors
+    // never touch the query plan. Same math as q75, same oracle.
+    "q182_pq_persisted_ann" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-pqindex-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildPqIfAbsent(emb.filter(col("vec_id") > 0), "q",
+        "vec_id", PqCodebooks, idx)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      AnnIndex.pqSearchInt(s, idx, probe, "probe_id", "q", 5)
+        .select(col("vec_id"), col("adc"))
+    }),
+
     /** Demux→PIXELS under the hash contract: MJPEG-in-MP4 — each MP4
       * sample is a complete JPEG ([[Multimodal.encodeGrayJpeg]],
       * quality 1.0) whose 8×8 blocks are UNIFORM with
@@ -1051,6 +1070,34 @@ object SketchQueries {
        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** q75/q182 share this: PQ encode + single-probe ADC ranking,
+    * fixed integer codebooks (q182 reads the same codes from the
+    * persisted index, so the math — and the oracle — are identical
+    * by construction).
+    */
+  private lazy val pqAdcOracle: String = {
+    def sq(sub: String, c: Seq[Long]) =
+      s"""CAST(list_sum(list_transform(list_zip($sub, ${c.mkString("[", ",", "]")}),
+         |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)""".stripMargin
+    def subv(v: String, s: Int) = s"list_slice($v, ${s * 8 + 1}, ${s * 8 + 8})"
+    val codes = PqCodebooks.zipWithIndex.map { case (cb, s) =>
+      "list_min([" + cb.zipWithIndex.map { case (c, i) =>
+        s"{'d': ${sq(subv("q", s), c)}, 'c': $i}"
+      }.mkString(", ") + "]).c"
+    }.mkString("[\n", ",\n", "\n]")
+    val adc = PqCodebooks.zipWithIndex.map { case (cb, s) =>
+      "([" + cb.map(c => sq(subv("p.pq", s), c)).mkString(", ") +
+        s"])[c.codes[${s + 1}] + 1]"
+    }.mkString("\n + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, $codes AS codes FROM q WHERE vec_id > 0),
+       |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
+       |SELECT c.vec_id, ($adc) AS adc FROM c, p
+       |ORDER BY adc, vec_id LIMIT 5""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q40_simhash" -> {
       val votes = (0 until 60).map(b =>
@@ -1316,28 +1363,9 @@ object SketchQueries {
         |  md5('frame-' || n_nationkey || '-' || (t.i * 2)) AS frame_md5
         |FROM nation, (SELECT 0 AS i UNION ALL SELECT 1) t
         |ORDER BY media_id, frame_idx""".stripMargin,
-    "q75_pq_adc_ann" -> {
-      def sq(sub: String, c: Seq[Long]) =
-        s"""CAST(list_sum(list_transform(list_zip($sub, ${c.mkString("[", ",", "]")}),
-           |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)""".stripMargin
-      def subv(v: String, s: Int) = s"list_slice($v, ${s * 8 + 1}, ${s * 8 + 8})"
-      val codes = PqCodebooks.zipWithIndex.map { case (cb, s) =>
-        "list_min([" + cb.zipWithIndex.map { case (c, i) =>
-          s"{'d': ${sq(subv("q", s), c)}, 'c': $i}"
-        }.mkString(", ") + "]).c"
-      }.mkString("[\n", ",\n", "\n]")
-      val adc = PqCodebooks.zipWithIndex.map { case (cb, s) =>
-        "([" + cb.map(c => sq(subv("p.pq", s), c)).mkString(", ") +
-          s"])[c.codes[${s + 1}] + 1]"
-      }.mkString("\n + ")
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-         |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |c AS (SELECT vec_id, $codes AS codes FROM q WHERE vec_id > 0),
-         |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
-         |SELECT c.vec_id, ($adc) AS adc FROM c, p
-         |ORDER BY adc, vec_id LIMIT 5""".stripMargin
-    },
+    "q75_pq_adc_ann" -> pqAdcOracle,
+    // identical math served from the persisted PQ codes — same oracle
+    "q182_pq_persisted_ann" -> pqAdcOracle,
     // replays the q79 fixture arithmetically: dHash cells over the
     // 72×32 image are exactly the 8×8-uniform block values (cell
     // width 8 px = one block column, cell height 4 px = half a block

@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted IVF index — the write-once artifact form of [[Ivf]].
+/** Persisted ANN indexes — the write-once artifact forms of [[Ivf]]
+  * (bucket-partitioned assignments) and [[Pq]] (compressed codes).
   *
   * The per-query IVF plans (q46 shape) re-assign the whole corpus to
   * centroid buckets on every query; at 100 TB that assignment scan is
@@ -64,8 +65,8 @@ object AnnIndex {
 
   private def manifestPath(path: String) = Paths.get(path, "manifest.json")
 
-  private case class Manifest(fp: Long, n: Long, k: Int, id: String,
-      vec: String)
+  private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
+      id: String, vec: String)
 
   private def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
@@ -74,6 +75,7 @@ object AnnIndex {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = m.readTree(Files.readString(p))
       Some(Manifest(node.get("fp").asLong(), node.get("n").asLong(),
+        Option(node.get("kind")).map(_.asText()).getOrElse("ivf"),
         node.get("k").asInt(), node.get("id").asText(),
         node.get("vec").asText()))
     }
@@ -82,8 +84,8 @@ object AnnIndex {
   private def writeManifest(path: String, mf: Manifest): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
-    node.put("fp", mf.fp); node.put("n", mf.n); node.put("k", mf.k)
-    node.put("id", mf.id); node.put("vec", mf.vec)
+    node.put("fp", mf.fp); node.put("n", mf.n); node.put("kind", mf.kind)
+    node.put("k", mf.k); node.put("id", mf.id); node.put("vec", mf.vec)
     Files.createDirectories(Paths.get(path))
     Files.write(manifestPath(path),
       m.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -99,7 +101,7 @@ object AnnIndex {
   def buildIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Long]], path: String): Build = {
     val (fp, n) = fingerprint(corpus, idCol, vecCol)
-    val want = Manifest(fp, n, centroids.length, idCol, vecCol)
+    val want = Manifest(fp, n, "ivf", centroids.length, idCol, vecCol)
     readManifest(path) match {
       case Some(have) if have == want => Build(path, fp, n, reused = true)
       case _ =>
@@ -147,5 +149,67 @@ object AnnIndex {
     val scored = assigned.join(broadcast(p), Seq("bucket"))
       .withColumn("sim", Similarity.cosineInt(col(vecCol), col("__pq")))
     Similarity.topKPerProbe(scored, k, "probe_id", idCol)
+  }
+
+  /** Build a persisted PQ index ([[Pq]] codes) at `path` unless the
+    * manifest fingerprint matches — the compressed-artifact twin of
+    * [[buildIfAbsent]]. Layout:
+    * {{{
+    *   <path>/codebooks/  parquet: (s INT, c INT, centroid ARRAY<BIGINT>)
+    *   <path>/codes/      parquet: (<id>, codes ARRAY<INT>)
+    *   <path>/manifest.json — written LAST (commit marker)
+    * }}}
+    * The codes table is S small ints per vector — the entire corpus
+    * side of every future ADC search, at a fraction of the raw
+    * vector bytes (the property that lets a billion-vector index
+    * live hot). The encode scan (S × K subvector distances per row)
+    * is paid HERE, once; searches never touch raw corpus vectors.
+    */
+  def buildPqIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
+      codebooks: Seq[Seq[Seq[Long]]], path: String): Build = {
+    val (fp, n) = fingerprint(corpus, idCol, vecCol)
+    val want = Manifest(fp, n, "pq",
+      codebooks.length * codebooks.head.length, idCol, vecCol)
+    readManifest(path) match {
+      case Some(have) if have == want => Build(path, fp, n, reused = true)
+      case _ =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        codebooks.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.map { case (cent, c) => (s, c, cent) }
+        }.toDF("s", "c", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/codebooks")
+        corpus
+          .select(col(idCol), Pq.encodeInt(col(vecCol), codebooks).as("codes"))
+          .write.mode("overwrite").parquet(s"$path/codes")
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** The persisted PQ codebooks, as `(S × K × subDim)`. */
+  def pqCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Long]]] =
+    spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getAs[Number]("s").intValue,
+        r.getAs[Number]("c").intValue,
+        r.getSeq[Long](r.fieldIndex("centroid"))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+
+  /** ADC top-k over the persisted PQ index: probes build their
+    * distance LUTs (probe-side, broadcast), the corpus side reads
+    * ONLY the S-byte codes — raw vectors never leave the build step.
+    * Output matches [[Pq.adcTopK]]: (probe_id, <idCol>, adc, rank).
+    */
+  def pqSearchInt(spark: SparkSession, path: String, probes: DataFrame,
+      probeIdCol: String, vecCol: String, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val cbs = pqCodebooks(spark, path)
+    val encoded = spark.read.parquet(s"$path/codes")
+      .withColumnRenamed("codes", "__codes")
+    Pq.adcTopKEncoded(encoded,
+      probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("pq")),
+      k, cbs, corpusId = idCol)
   }
 }

@@ -233,6 +233,79 @@ object Dedup {
         sum(coalesce(col("__rep"), lit(0))).as("n_repeated"))
   }
 
+  /** Cross-document repeated-substring REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * where [[repeatedSpans]] only COUNTS repeated windows, this
+    * rewrites the corpus — every token covered by a duplicated
+    * `l`-token window is dropped EXCEPT in the window's canonical
+    * (first) occurrence, so one copy of each duplicated passage
+    * survives corpus-wide. "First" = smallest (doc, position)
+    * composite; a window duplicated within one document keeps its
+    * earliest position only.
+    *
+    * Output: one row per input doc —
+    * `(<id>, n_tokens, n_dropped, clean_text)` where `clean_text` is
+    * the surviving tokens joined by single spaces (tokenization is
+    * whitespace-split, so reconstruction normalizes runs of
+    * whitespace; docs shorter than `l` tokens pass through intact).
+    *
+    * Spark shape — linear, never doc×doc: window explode (factor
+    * ≈ tokens/doc) → one hash agg per window key with min-occurrence
+    * + count (map-side combined) → one equi-join back to occurrences
+    * (duplicated keys only) → token-index distinct → anti-join
+    * against the token stream → per-doc sorted re-assembly. A
+    * pathologically hot window (boilerplate in 50 % of docs) costs
+    * its occurrence count in join rows — linear in corpus size, the
+    * same bound as the explode itself. The suffix-array construction
+    * the paper uses finds variable-length maximal repeats; the fixed-
+    * `l` window form here removes exactly the tokens covered by any
+    * duplicated `l`-window — the standard shingle rendering of the
+    * same rule, and the one that runs as three shuffles on any
+    * cluster size.
+    */
+  def dropRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, s"window must be >= 2 tokens: $l")
+    // positions survive composite packing: doc_id * 2^20 + pos needs
+    // pos < 2^20 — guaranteed by chunking contracts upstream; checked
+    // cheaply by the sequence bound below
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__ts"))
+    val grams = toks.filter(size(col("__ts")) >= l)
+      .select(col(idCol), col("__ts"),
+        explode(sequence(lit(0), size(col("__ts")) - l)).as("__pos"))
+      .select(col(idCol), col("__pos"),
+        concat_ws(" ", slice(col("__ts"), col("__pos") + 1, lit(l))).as("__g"),
+        (col(idCol).cast("long") * (1L << 20) + col("__pos")).as("__ck"))
+    // canonical occurrence per duplicated window: min composite key
+    val canon = grams.groupBy("__g")
+      .agg(min(col("__ck")).as("__canon"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__g"), col("__canon"))
+    // every non-canonical occurrence marks its l token indices
+    val marked = grams.join(canon, Seq("__g"))
+      .filter(col("__ck") =!= col("__canon"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (l - 1))).as("__ti"))
+      .distinct()
+    val tokStream = toks
+      .select(col(idCol), posexplode(col("__ts")).as(Seq("__ti", "__tok")))
+    val kept = tokStream.join(marked, Seq(idCol, "__ti"), "left_anti")
+    val counts = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dropped"))
+    toks.select(col(idCol), size(col("__ts")).cast("long").as("n_tokens"))
+      .join(counts, Seq(idCol), "left")
+      .join(
+        kept.groupBy(col(idCol)).agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("__ti"), col("__tok")))),
+            s => s.getField("__tok"))).as("clean_text")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard between candidate pairs: re-joins the
     * exploded gram sets on the candidate ids only.
     */

@@ -713,12 +713,23 @@ object Pq {
   def adcTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       codebooks: Seq[Seq[Seq[Long]]],
       corpusId: String = "vec_id", corpusVec: String = "q",
+      probeVec: String = "pq", probeId: String = "probe_id"): DataFrame =
+    adcTopKEncoded(
+      corpus.withColumn("__codes", encodeInt(col(corpusVec), codebooks)),
+      probes, k, codebooks, corpusId, probeVec, probeId)
+
+  /** [[adcTopK]] over an ALREADY-ENCODED corpus (a `__codes`
+    * ARRAY<INT> column) — the entry point for a persisted PQ index
+    * ([[AnnIndex]]), where the encode scan was paid once at build
+    * time and searches read codes only.
+    */
+  def adcTopKEncoded(encoded: DataFrame, probes: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Long]]],
+      corpusId: String = "vec_id",
       probeVec: String = "pq", probeId: String = "probe_id"): DataFrame = {
     require(probes.columns.contains(probeId),
       s"adcTopK probes need a '$probeId' column to attribute results")
     val w = codebooks.head.head.length
-    val encoded = corpus.withColumn("__codes",
-      encodeInt(col(corpusVec), codebooks))
     val withLuts = probes.withColumn("__luts",
       array(codebooks.zipWithIndex.map { case (cb, s) =>
         val sub = slice(col(probeVec), s * w + 1, w)

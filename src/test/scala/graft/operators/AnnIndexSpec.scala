@@ -80,6 +80,43 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!b.reused, "modified corpus must rebuild")
   }
 
+  test("persisted PQ index: reuse skips the encode; search matches " +
+      "the in-plan ADC ranking from codes only") {
+    val path = Files.createTempDirectory("pqidx").toString + "/idx"
+    val c = corpus().cache()
+    c.count()
+    // 4 subvectors × 3 centroids × width 4 over the 16-dim corpus
+    val books: Seq[Seq[Seq[Long]]] = {
+      val rnd = new scala.util.Random(11)
+      Seq.fill(4)(Seq.fill(3)(Seq.fill(4)((rnd.nextInt(801) - 400).toLong)))
+    }
+    val b1 = AnnIndex.buildPqIfAbsent(c, "q", "vec_id", books, path)
+    assert(!b1.reused)
+    val jobs = countJobs {
+      assert(AnnIndex.buildPqIfAbsent(c, "q", "vec_id", books, path).reused)
+    }
+    assert(jobs <= 2, s"expected fingerprint-only work, saw $jobs jobs")
+    // round-trip of the codebooks
+    assert(AnnIndex.pqCodebooks(spark, path) == books)
+
+    val probes = c.filter(col("vec_id") === 5)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    val got = AnnIndex.pqSearchInt(spark, path, probes, "probe_id", "q", 4)
+    val want = Pq.adcTopK(c, c.filter(col("vec_id") === 5)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq")),
+      4, books)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "adc", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sorted
+    assert(key(got) == key(want))
+    // the search plan must not read the raw vector column — codes only
+    val scan = got.queryExecution.executedPlan.toString
+    assert(!scan.contains("ReadSchema: struct<vec_id:bigint,q:array"),
+      s"search should read codes, not raw vectors:\n$scan")
+    c.unpersist()
+  }
+
   test("persisted search matches the in-plan IVF composition and " +
       "prunes to the probed bucket partitions") {
     val path = Files.createTempDirectory("annidx3").toString + "/idx"
