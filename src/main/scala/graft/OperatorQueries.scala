@@ -297,10 +297,33 @@ object OperatorQueries {
           Tables.documents(s, d), "text", "doc_id", 6)
         .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
           md5(col("clean_text")).as("clean_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Rendezvous (HRW) shard routing: deterministic doc -> shard
+    // placement as pure column algebra — no routing table, 1/n
+    // redistribution on shard loss. Per-shard count + id sum pin
+    // every row's placement through the hash aggregate.
+    "q184_rendezvous_shards" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.operators.Sampling.rendezvousShard(
+          col("doc_id"), (0 until 5).map(i => s"shard$i")).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
+        .orderBy("shard"))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q184_rendezvous_shards" ->
+      """WITH r AS (SELECT doc_id, list_max([
+        |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard0'), 1, 15) AS BIGINT), 's': 'shard0'},
+        |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard1'), 1, 15) AS BIGINT), 's': 'shard1'},
+        |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard2'), 1, 15) AS BIGINT), 's': 'shard2'},
+        |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard3'), 1, 15) AS BIGINT), 's': 'shard3'},
+        |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard4'), 1, 15) AS BIGINT), 's': 'shard4'}
+        |]).s AS shard FROM documents)
+        |SELECT shard, count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "q183_substring_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'),

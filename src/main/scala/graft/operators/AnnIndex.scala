@@ -151,6 +151,41 @@ object AnnIndex {
     Similarity.topKPerProbe(scored, k, "probe_id", idCol)
   }
 
+  /** Incrementally extend a persisted IVF index with NEW corpus rows:
+    * only the delta is assigned and written (append-mode into the
+    * same bucket partitioning — new files land inside the touched
+    * `bucket=` directories, untouched buckets keep their files, the
+    * [[MergeOnRead]] delta discipline applied to ANN state), and the
+    * manifest fingerprint advances WITHOUT rescanning the base
+    * corpus: the xor-fold fingerprint composes, so
+    * `fp' = fp ⊕ fold(delta)` and `n' = n + |delta|` — an append
+    * costs O(delta) no matter how many billions of vectors the base
+    * holds. The updated manifest equals what [[buildIfAbsent]] would
+    * compute over base ∪ delta, so a later rebuild attempt on the
+    * full corpus correctly reuses the appended index.
+    *
+    * Caller contract: delta ids are disjoint from the base (CDC
+    * upstream enforces key identity; duplicated ids would double
+    * rows AND xor their hashes out of the fingerprint).
+    */
+  def append(delta: DataFrame, path: String): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    require(have.kind == "ivf", s"append needs an ivf index, got ${have.kind}")
+    val cs = centroids(spark, path)
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    delta
+      .select(col(have.id), col(have.vec),
+        Ivf.assignInt(col(have.vec), cs).as("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/assignments")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
   /** Build a persisted PQ index ([[Pq]] codes) at `path` unless the
     * manifest fingerprint matches — the compressed-artifact twin of
     * [[buildIfAbsent]]. Layout:

@@ -29,6 +29,29 @@ object Sampling {
     df.filter(hashBucket(keyCol) < math.round(rate * Buckets))
   }
 
+  /** Rendezvous (highest-random-weight) shard routing: a row goes to
+    * `argmax over shards of md5(key ":" shard)` — the classic HRW
+    * rule (Thaler & Ravishankar 1998). Properties that matter at
+    * 100 TB: placement is a pure function of (key, shard set) — no
+    * routing table to keep consistent across 1000 executors — and
+    * REMOVING a shard remaps only the rows that lived on it (each
+    * survivor keeps its argmax), so shard loss triggers 1/n
+    * redistribution instead of full reshuffle, unlike `key % n`.
+    * Narrow column algebra (one md5 per shard per row), codegen'd,
+    * no shuffle; cross-engine exact via the md5Int60 contract. Ties
+    * break to the lexicographically greatest shard name via the
+    * (weight, shard) struct max — deterministic both engines.
+    */
+  def rendezvousShard(keyCol: Column, shards: Seq[String]): Column = {
+    require(shards.nonEmpty && shards.distinct == shards,
+      s"shards must be non-empty and distinct: $shards")
+    array_max(array(shards.map(sh =>
+      struct(
+        StableHash.md5Int60(
+          concat(keyCol.cast("string"), lit(":" + sh))).as("w"),
+        lit(sh).as("s"))): _*)).getField("s")
+  }
+
   /** Build a target data mixture: derive per-stratum keep-rates so
     * the output matches `targets` proportions at the maximum feasible
     * size — the scarcest stratum (relative to its target share) is

@@ -80,6 +80,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!b.reused, "modified corpus must rebuild")
   }
 
+  test("incremental append: delta-only writes, composed fingerprint " +
+      "equals a full rebuild, searches agree") {
+    import spark.implicits._
+    val base = corpus().filter(col("vec_id") < 150)
+    val delta = corpus().filter(col("vec_id") >= 150)
+    val incPath = Files.createTempDirectory("annidx-inc").toString + "/idx"
+    val fullPath = Files.createTempDirectory("annidx-full").toString + "/idx"
+    AnnIndex.buildIfAbsent(base, "q", "vec_id", cents, incPath)
+    def files() = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(new java.io.File(s"$incPath/assignments"))
+        .filter(_._1.endsWith(".parquet")).sortBy(_._1)
+    }
+    val baseFiles = files()
+    val appended = AnnIndex.append(delta, incPath)
+    // base data files survive untouched — the append only ADDS files
+    assert(files().toSet.intersect(baseFiles.toSet) == baseFiles.toSet,
+      "append must not rewrite base bucket files")
+    assert(files().length > baseFiles.length)
+
+    val full = AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents,
+      fullPath)
+    assert(appended.fingerprint == full.fingerprint &&
+      appended.count == full.count,
+      "composed fingerprint must equal the full-corpus fingerprint")
+    // and buildIfAbsent on the full corpus now REUSES the appended idx
+    assert(AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents,
+      incPath).reused)
+
+    val probes = corpus().filter(col("vec_id").isin(0L, 160L))
+      .select(col("vec_id").as("probe_id"), col("q"))
+    def res(p: String) =
+      AnnIndex.searchInt(spark, p, probes, "probe_id", "q", 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(res(incPath) == res(fullPath))
+  }
+
   test("persisted PQ index: reuse skips the encode; search matches " +
       "the in-plan ADC ranking from codes only") {
     val path = Files.createTempDirectory("pqidx").toString + "/idx"
