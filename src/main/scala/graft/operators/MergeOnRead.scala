@@ -86,21 +86,9 @@ object MergeOnRead {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def loadManifest(dir: String): Manifest = {
-    val v = new String(
-      Files.readAllBytes(Paths.get(dir, "_VERSION")), UTF_8).trim.toInt
-    val kv = scala.io.Source.fromFile(manifestPath(dir, v).toFile, "UTF-8")
-      .getLines().filter(_.contains("=")).map { l =>
-        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-      }.toMap
-    def csv(s: String): Seq[String] =
-      if (s.isEmpty) Seq.empty else s.split(",").toSeq
-    Manifest(v,
-      Meta(csv(kv("keys")), kv("op"), kv("seq"), kv("nbuckets").toInt),
-      kv.collect { case (k, ver) if k.startsWith("bucket.") =>
-        k.stripPrefix("bucket.").toInt -> ver.toInt },
-      csv(kv("folded")).map(_.toInt).toSet)
-  }
+  def loadManifest(dir: String): Manifest =
+    loadManifestVersion(dir, new String(
+      Files.readAllBytes(Paths.get(dir, "_VERSION")), UTF_8).trim.toInt)
 
   /** Buckets actually written under `data/ver=<ver>` (a partitionBy
     * write emits no directory for an empty bucket).
@@ -203,7 +191,8 @@ object MergeOnRead {
     * every other bucket manifest-side. Returns the number of
     * buckets rewritten.
     */
-  def compact(spark: SparkSession, dir: String): Int = {
+  def compact(spark: SparkSession, dir: String,
+      gc: Boolean = true): Int = {
     val m = loadManifest(dir)
     val pending = committedBatches(dir).filterNot(m.folded)
     if (pending.isEmpty) return 0
@@ -229,11 +218,99 @@ object MergeOnRead {
       rewritten.map(_ -> newVer)
     writeManifest(dir, Manifest(newVer, m.meta, buckets,
       m.folded ++ pending))
-    // post-swap GC: folded batches + replaced bucket dirs
-    pending.foreach(b => deleteRec(new File(s"$dir/delta/batch=$b")))
-    touched.foreach(b => m.buckets.get(b).foreach(v =>
-      deleteRec(new File(s"$dir/data/ver=$v/$Bucket=$b"))))
+    if (gc) {
+      // post-swap GC: folded batches + replaced bucket dirs
+      pending.foreach(b => deleteRec(new File(s"$dir/delta/batch=$b")))
+      touched.foreach(b => m.buckets.get(b).foreach(v =>
+        deleteRec(new File(s"$dir/data/ver=$v/$Bucket=$b"))))
+    }
     touched.size
+  }
+
+  /** Manifest versions still on disk, oldest first. */
+  def versions(dir: String): Seq[Int] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("manifest-") && n.endsWith(".txt"))
+          scala.util.Try(
+            n.stripPrefix("manifest-").stripSuffix(".txt").toInt).toOption
+        else None
+      }.toSeq.sorted
+
+  /** TIME TRAVEL: the table's state AS OF manifest `version` — a
+    * compaction point (every version's manifest is retained; the
+    * data it references survives as long as compaction runs with
+    * `gc = false` and [[vacuum]] keeps the version). Serves the
+    * version's base buckets only: deltas pending at that moment were
+    * by definition not yet part of any committed version, exactly
+    * like an Iceberg/Delta snapshot read. Metadata-only resolution —
+    * no diff replay, no fold; cost identical to a current-state base
+    * read.
+    */
+  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    require(versions(dir).contains(version),
+      s"no manifest for version $version in $dir " +
+        s"(have ${versions(dir).mkString(",")})")
+    val m = loadManifestVersion(dir, version)
+    val basePaths = m.buckets.toSeq.sorted.map { case (b, v) =>
+      val p = s"$dir/data/ver=$v/$Bucket=$b"
+      require(new File(p).isDirectory,
+        s"version $version's bucket $b (ver=$v) was vacuumed")
+      p
+    }
+    readData(spark, dir, basePaths, s"$dir/data")
+      .drop("ver").drop(Bucket)
+  }
+
+  private def loadManifestVersion(dir: String, v: Int): Manifest = {
+    val kv = scala.io.Source.fromFile(manifestPath(dir, v).toFile, "UTF-8")
+      .getLines().filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+    def csv(s: String): Seq[String] =
+      if (s.isEmpty) Seq.empty else s.split(",").toSeq
+    Manifest(v,
+      Meta(csv(kv("keys")), kv("op"), kv("seq"), kv("nbuckets").toInt),
+      kv.collect { case (k, ver) if k.startsWith("bucket.") =>
+        k.stripPrefix("bucket.").toInt -> ver.toInt },
+      csv(kv("folded")).map(_.toInt).toSet)
+  }
+
+  /** Retention GC: keep the newest `keepVersions` manifests (always
+    * including the current one) and delete everything only older
+    * versions reference — replaced bucket directories, delta batches
+    * folded before the oldest kept version, and the dropped
+    * manifests themselves. `compact(gc = true)` (the default) is
+    * equivalent to compacting then `vacuum(keepVersions = 1)`.
+    * Returns the number of versions dropped.
+    */
+  def vacuum(dir: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"must keep >= 1 version: $keepVersions")
+    val vs = versions(dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    if (drop.isEmpty) return 0
+    val kept = keep.map(loadManifestVersion(dir, _))
+    // .toSeq first: mapping a Map would collapse entries whose
+    // swapped pairs share a key (many buckets per version)
+    val liveData = kept.flatMap(_.buckets.toSeq.map { case (b, v) =>
+      (v, b) }).toSet
+    // a delta batch is deletable once the CURRENT version has folded
+    // it: read() only consumes batches the current manifest hasn't
+    // folded, and readAt() never reads deltas at all
+    val deletableBatches = kept.last.folded
+    for {
+      v <- Option(new File(s"$dir/data").listFiles()).getOrElse(Array.empty)
+      if v.isDirectory && v.getName.startsWith("ver=")
+      ver = v.getName.stripPrefix("ver=").toInt
+      b <- Option(v.listFiles()).getOrElse(Array.empty)
+      if b.isDirectory && b.getName.startsWith(s"$Bucket=")
+      if !liveData((ver, b.getName.stripPrefix(s"$Bucket=").toInt))
+    } deleteRec(b)
+    deletableBatches.foreach { b =>
+      deleteRec(new File(s"$dir/delta/batch=$b")) }
+    drop.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+    drop.length
   }
 
   private def deleteRec(f: File): Unit = {

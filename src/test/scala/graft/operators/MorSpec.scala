@@ -146,6 +146,43 @@ class MorSpec extends AnyFunSuite {
     assert(state(dir) === Map(7L -> ("back", 1L)))
   }
 
+  test("time travel: readAt serves each compaction point; vacuum " +
+      "drops old versions but keeps the kept ones readable") {
+    val dir = tmp()
+    MergeOnRead.create(base(20), dir, Seq("k"), nBuckets = 8)
+
+    // v1: update k=1, delete k=2
+    MergeOnRead.append(ch(Seq(
+      (1L, "u1", 111L, "U", 1L), (2L, "", 0L, "D", 1L))), dir)
+    MergeOnRead.compact(spark, dir, gc = false)
+    // v2: update k=1 again, insert k=100
+    MergeOnRead.append(ch(Seq(
+      (1L, "u2", 222L, "U", 1L), (100L, "new", 1000L, "I", 1L))), dir)
+    MergeOnRead.compact(spark, dir, gc = false)
+    assert(MergeOnRead.versions(dir) == Seq(0, 1, 2))
+
+    def at(v: Int): Map[Long, (String, Long)] =
+      MergeOnRead.readAt(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val v0 = at(0); val v1 = at(1); val v2 = at(2)
+    assert(v0(1L) == (("v1", 10L)) && v0.contains(2L) && v0.size == 20)
+    assert(v1(1L) == (("u1", 111L)) && !v1.contains(2L) && v1.size == 19)
+    assert(v2(1L) == (("u2", 222L)) && v2(100L) == (("new", 1000L)) &&
+      v2.size == 20)
+    // current read agrees with the newest version (no pending deltas)
+    assert(state(dir) == v2)
+
+    // vacuum to the last two versions: v0 gone, v1/v2 intact
+    assert(MergeOnRead.vacuum(dir, keepVersions = 2) == 1)
+    assert(MergeOnRead.versions(dir) == Seq(1, 2))
+    assert(at(1) == v1 && at(2) == v2)
+    intercept[IllegalArgumentException] {
+      MergeOnRead.readAt(spark, dir, 0) }
+    // and a pending (unfolded) delta still reads after vacuum
+    MergeOnRead.append(ch(Seq((3L, "p", 3L, "U", 1L))), dir)
+    assert(state(dir)(3L) == (("p", 3L)))
+  }
+
   test("empty change set: compact is a no-op, read is the base") {
     val dir = tmp()
     MergeOnRead.create(base(5), dir, Seq("k"), nBuckets = 2)
