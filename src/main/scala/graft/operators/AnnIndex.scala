@@ -19,22 +19,41 @@ import org.apache.spark.sql.functions._
   *   <path>/centroids/    parquet: (c INT, centroid ARRAY<BIGINT>)
   *   <path>/assignments/  parquet, partitionBy(bucket):
   *                          (<id>, <vec>, bucket INT)
-  *   <path>/manifest.json fingerprint + params — written LAST, so a
-  *                        half-built index is invisible (no manifest
-  *                        = no index, the MergeOnRead commit rule)
+  *   <path>/deltas/d<N>/  parquet, partitionBy(bucket): appended rows
+  *                        — visible only once the manifest lists d<N>
+  *   <path>/manifest.json fingerprint + params + committed delta list
+  *                        — written LAST, so a half-built index is
+  *                        invisible (no manifest = no index, the
+  *                        MergeOnRead commit rule)
   * }}}
+  *
+  * Crash atomicity: every mutation follows "readers trust ONLY what
+  * the manifest names". A REBUILD deletes the manifest first — the
+  * index is simply absent while data directories churn, and a crash
+  * mid-rebuild leaves no manifest, so the retry rebuilds from
+  * scratch instead of serving torn state. An APPEND stages its rows
+  * in a fresh `deltas/d<N>` directory that no live manifest
+  * references, then commits by writing the manifest that lists it —
+  * a crash before the manifest write leaves an orphan directory
+  * readers never touch, and the retry overwrites that same staged
+  * directory (same N, `mode("overwrite")`), so at-least-once retries
+  * cannot double-append.
   *
   * [[buildIfAbsent]] recomputes only the fingerprint (one
   * column-pruned agg over (id, vec)) and SKIPS the assignment scan
   * and write entirely when it matches — the "train once, query many"
-  * discipline. [[searchInt]] serves queries from the persisted
-  * layout: probe buckets are computed per probe row, their DISTINCT
-  * set is collected (probes are dimension-scale by the ANN contract —
-  * they broadcast), and the assignment read is filtered on the
-  * PARTITION column, so the scan touches only `≈ nprobe × |probes|`
-  * of the k bucket directories no matter how large the corpus — a
-  * static partition prune visible in the plan's PartitionFilters,
-  * not a bet on runtime DPP.
+  * discipline. The manifest also pins a content hash of the
+  * centroids/codebooks themselves, so changing parameter VALUES (not
+  * just their count) invalidates a persisted index instead of
+  * silently serving results computed from stale centroids.
+  * [[searchInt]] serves queries from the persisted layout: probe
+  * buckets are computed per probe row, their DISTINCT set is
+  * collected (probes are dimension-scale by the ANN contract — they
+  * broadcast), and the assignment read is filtered on the PARTITION
+  * column, so the scan touches only `≈ nprobe × |probes|` of the k
+  * bucket directories no matter how large the corpus — a static
+  * partition prune visible in the plan's PartitionFilters, not a bet
+  * on runtime DPP.
   *
   * Reference grounding: the reference loads immutable dataset
   * artifacts once and serves every request from the loaded form
@@ -63,10 +82,31 @@ object AnnIndex {
     (if (n == 0) 0L else r.getLong(0), n)
   }
 
+  /** Deterministic content hash of the index parameters (centroid /
+    * codebook VALUES, not just counts) — length-prefixed fold so
+    * `[[1,2]]` and `[[1],[2]]` differ. Stored in the manifest: a
+    * rebuild with different parameter values must invalidate, not
+    * reuse.
+    */
+  private def paramsHash(xs: Seq[Seq[Long]]): Long =
+    xs.foldLeft(17L) { (h, c) =>
+      c.foldLeft(h * 31L + c.length)((a, v) => a * 1000003L + v)
+    }
+
+  private def pqParamsHash(books: Seq[Seq[Seq[Long]]]): Long =
+    books.foldLeft(19L)((h, cb) => h * 31L + paramsHash(cb))
+
   private def manifestPath(path: String) = Paths.get(path, "manifest.json")
 
   private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
-      id: String, vec: String)
+      id: String, vec: String, ph: Long, deltas: Seq[String] = Nil) {
+    /** Equality for reuse decisions — everything except the delta
+      * list (an appended index still satisfies a matching rebuild:
+      * the composed fingerprint covers base ∪ deltas).
+      */
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil) == other.copy(deltas = Nil)
+  }
 
   private def readManifest(path: String): Option[Manifest] = {
     val p = manifestPath(path)
@@ -74,10 +114,17 @@ object AnnIndex {
     else {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = m.readTree(Files.readString(p))
+      val deltas = Option(node.get("deltas")).toSeq.flatMap { a =>
+        (0 until a.size()).map(a.get(_).asText())
+      }
       Some(Manifest(node.get("fp").asLong(), node.get("n").asLong(),
         Option(node.get("kind")).map(_.asText()).getOrElse("ivf"),
         node.get("k").asInt(), node.get("id").asText(),
-        node.get("vec").asText()))
+        node.get("vec").asText(),
+        // a pre-hash manifest (older layout) reads as ph=0 — it can
+        // never match a computed hash, so it rebuilds once, safely
+        Option(node.get("ph")).map(_.asLong()).getOrElse(0L),
+        deltas))
     }
   }
 
@@ -86,25 +133,46 @@ object AnnIndex {
     val node = m.createObjectNode()
     node.put("fp", mf.fp); node.put("n", mf.n); node.put("kind", mf.kind)
     node.put("k", mf.k); node.put("id", mf.id); node.put("vec", mf.vec)
+    node.put("ph", mf.ph)
+    val arr = node.putArray("deltas")
+    mf.deltas.foreach(arr.add)
     Files.createDirectories(Paths.get(path))
     Files.write(manifestPath(path),
       m.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Uncommit + clear: delete the manifest FIRST (readers now see "no
+    * index"), then best-effort remove stale delta directories, so the
+    * following overwrite writes can never be observed half-done.
+    */
+  private def uncommit(path: String): Unit = {
+    Files.deleteIfExists(manifestPath(path))
+    val d = Paths.get(path, "deltas").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    if (d.isDirectory) rm(d)
+  }
+
   /** Build the IVF index at `path` unless a manifest proves the same
-    * corpus (by fingerprint + count + params) is already indexed.
-    * `centroids` are the quantized-space integer centroids
-    * ([[Ivf.assignInt]] semantics — typically [[Ivf.trainCentroids]]
-    * output quantized, or fixed centroids where reproducibility
-    * outranks recall).
+    * corpus (by fingerprint + count + centroid content hash) is
+    * already indexed. `centroids` are the quantized-space integer
+    * centroids ([[Ivf.assignInt]] semantics — typically
+    * [[Ivf.trainCentroids]] output quantized, or fixed centroids
+    * where reproducibility outranks recall).
     */
   def buildIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Long]], path: String): Build = {
     val (fp, n) = fingerprint(corpus, idCol, vecCol)
-    val want = Manifest(fp, n, "ivf", centroids.length, idCol, vecCol)
+    val want = Manifest(fp, n, "ivf", centroids.length, idCol, vecCol,
+      paramsHash(centroids))
     readManifest(path) match {
-      case Some(have) if have == want => Build(path, fp, n, reused = true)
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
       case _ =>
+        uncommit(path)
         val spark = corpus.sparkSession
         import spark.implicits._
         centroids.zipWithIndex
@@ -128,6 +196,20 @@ object AnnIndex {
         r.getSeq[Long](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2).toSeq
 
+  /** Manifest-visible assignment rows: the base directory plus every
+    * COMMITTED delta directory, each with its own bucket partition
+    * pruning. Orphan (crashed, uncommitted) delta directories are
+    * never read — they are not in the manifest.
+    */
+  private def readAssignments(spark: SparkSession, path: String,
+      mf: Manifest, bucketFilter: Option[Seq[Int]]): DataFrame = {
+    val roots = s"$path/assignments" +: mf.deltas.map(d => s"$path/deltas/$d")
+    roots.map { r =>
+      val df = spark.read.parquet(r)
+      bucketFilter.fold(df)(w => df.filter(col("bucket").isin(w.map(Int.box): _*)))
+    }.reduce(_.unionByName(_))
+  }
+
   /** ANN top-k over the persisted index: probes fan out to their
     * `nprobe` nearest buckets; the corpus side reads ONLY those
     * bucket partitions (static partition filter from the collected
@@ -138,24 +220,25 @@ object AnnIndex {
   def searchInt(spark: SparkSession, path: String, probes: DataFrame,
       probeIdCol: String, vecCol: String, nprobe: Int, k: Int,
       idCol: String = "vec_id"): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
     val cs = centroids(spark, path)
     val p = probes.select(col(probeIdCol).as("probe_id"),
         col(vecCol).as("__pq"),
         explode(Ivf.probeBucketsInt(col(vecCol), cs, nprobe)).as("bucket"))
     val wanted = p.select("bucket").distinct().collect()
       .map(_.getAs[Number](0).intValue).toSeq
-    val assigned = spark.read.parquet(s"$path/assignments")
-      .filter(col("bucket").isin(wanted: _*))
+    val assigned = readAssignments(spark, path, mf, Some(wanted))
     val scored = assigned.join(broadcast(p), Seq("bucket"))
       .withColumn("sim", Similarity.cosineInt(col(vecCol), col("__pq")))
     Similarity.topKPerProbe(scored, k, "probe_id", idCol)
   }
 
   /** Incrementally extend a persisted IVF index with NEW corpus rows:
-    * only the delta is assigned and written (append-mode into the
-    * same bucket partitioning — new files land inside the touched
-    * `bucket=` directories, untouched buckets keep their files, the
-    * [[MergeOnRead]] delta discipline applied to ANN state), and the
+    * only the delta is assigned and written — into a fresh staged
+    * `deltas/d<N>` directory (bucket-partitioned like the base, the
+    * [[MergeOnRead]] delta discipline applied to ANN state) that
+    * becomes visible only when the manifest commit lists it — and the
     * manifest fingerprint advances WITHOUT rescanning the base
     * corpus: the xor-fold fingerprint composes, so
     * `fp' = fp ⊕ fold(delta)` and `n' = n + |delta|` — an append
@@ -167,8 +250,14 @@ object AnnIndex {
     * Caller contract: delta ids are disjoint from the base (CDC
     * upstream enforces key identity; duplicated ids would double
     * rows AND xor their hashes out of the fingerprint).
+    * `checkDisjoint` (on by default) enforces it with one
+    * broadcast semi-join count — the delta is small by contract, so
+    * the base side streams its id column through a broadcast probe
+    * and never shuffles; pass false only when the upstream already
+    * proves disjointness and the extra base scan matters.
     */
-  def append(delta: DataFrame, path: String): Build = {
+  def append(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build = {
     val spark = delta.sparkSession
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
@@ -176,19 +265,36 @@ object AnnIndex {
     val cs = centroids(spark, path)
     val (dfp, dn) = fingerprint(delta, have.id, have.vec)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint) {
+      val dupes = readAssignments(spark, path, have, None)
+        .select(col(have.id))
+        .join(broadcast(delta.select(col(have.id)).distinct()),
+          Seq(have.id), "left_semi")
+        .count()
+      require(dupes == 0,
+        s"append delta shares $dupes id(s) with the index at $path — " +
+          "duplicate ids would corrupt both the rows and the xor " +
+          "fingerprint (pass checkDisjoint = false only when upstream " +
+          "proves disjointness)")
+    }
+    // staged-commit: d<N> is named by the committed-delta count, so a
+    // crashed (unlisted) attempt is retried into the SAME directory
+    // and overwritten — no double-append under at-least-once retries
+    val staged = s"d${have.deltas.length}"
     delta
       .select(col(have.id), col(have.vec),
         Ivf.assignInt(col(have.vec), cs).as("bucket"))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(s"$path/assignments")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged)
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
   }
 
   /** Build a persisted PQ index ([[Pq]] codes) at `path` unless the
-    * manifest fingerprint matches — the compressed-artifact twin of
-    * [[buildIfAbsent]]. Layout:
+    * manifest fingerprint + codebook content hash match — the
+    * compressed-artifact twin of [[buildIfAbsent]]. Layout:
     * {{{
     *   <path>/codebooks/  parquet: (s INT, c INT, centroid ARRAY<BIGINT>)
     *   <path>/codes/      parquet: (<id>, codes ARRAY<INT>)
@@ -204,10 +310,13 @@ object AnnIndex {
       codebooks: Seq[Seq[Seq[Long]]], path: String): Build = {
     val (fp, n) = fingerprint(corpus, idCol, vecCol)
     val want = Manifest(fp, n, "pq",
-      codebooks.length * codebooks.head.length, idCol, vecCol)
+      codebooks.length * codebooks.head.length, idCol, vecCol,
+      pqParamsHash(codebooks))
     readManifest(path) match {
-      case Some(have) if have == want => Build(path, fp, n, reused = true)
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
       case _ =>
+        uncommit(path)
         val spark = corpus.sparkSession
         import spark.implicits._
         codebooks.zipWithIndex.flatMap { case (cb, s) =>

@@ -267,8 +267,20 @@ object Dedup {
       l: Int): DataFrame = {
     require(l >= 2, s"window must be >= 2 tokens: $l")
     // positions survive composite packing: doc_id * 2^20 + pos needs
-    // pos < 2^20 — guaranteed by chunking contracts upstream; checked
-    // cheaply by the sequence bound below
+    // pos < 2^20 and a numeric doc id — both ENFORCED here at
+    // runtime (raise_error inside the key expression itself, so
+    // column pruning can't drop the check): an over-long doc would
+    // collide into the next doc's key space and a non-castable id
+    // would null the key, silently turning dedup into a no-op
+    val did = col(idCol).cast("long")
+    val checkedId = when(did.isNull,
+      raise_error(concat(lit(s"dropRepeatedSpans: $idCol value '"),
+        col(idCol).cast("string"),
+        lit("' does not cast to a non-null long")))).otherwise(did)
+    val checkedPos = when(col("__pos") >= (1L << 20),
+      raise_error(lit("dropRepeatedSpans: document exceeds 2^20 " +
+        "tokens — composite (doc,pos) key would collide; chunk " +
+        "upstream"))).otherwise(col("__pos"))
     val toks = df.select(col(idCol),
       filter(split(col(textCol), "\\s+"), t => length(t) > 0).as("__ts"))
     val grams = toks.filter(size(col("__ts")) >= l)
@@ -276,7 +288,7 @@ object Dedup {
         explode(sequence(lit(0), size(col("__ts")) - l)).as("__pos"))
       .select(col(idCol), col("__pos"),
         concat_ws(" ", slice(col("__ts"), col("__pos") + 1, lit(l))).as("__g"),
-        (col(idCol).cast("long") * (1L << 20) + col("__pos")).as("__ck"))
+        (checkedId * (1L << 20) + checkedPos).as("__ck"))
     // canonical occurrence per duplicated window: min composite key
     val canon = grams.groupBy("__g")
       .agg(min(col("__ck")).as("__canon"), count(lit(1)).as("__n"))

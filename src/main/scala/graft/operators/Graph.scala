@@ -252,7 +252,31 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       checkpointInterval: Int = 5,
       broadcastRanks: Boolean = true,
-      tolMicro: Long = 0L): DataFrame = {
+      tolMicro: Long = 0L): DataFrame =
+    pageRankManaged(edges, iterations, srcCol, dstCol,
+      checkpointInterval, broadcastRanks, tolMicro).ranks
+
+  /** A rank table plus the hook that releases the persisted edge
+    * list backing its lazy plan. Fixed-count mode returns a
+    * COMPOSABLE frame whose plan still reads the cache — call
+    * `release()` once the ranks are consumed (collected / written /
+    * checkpointed); after release, re-executing the returned plan
+    * recomputes the edge join from source instead of reading cache
+    * (correct, just slower). Convergence mode's ranks are already
+    * checkpointed, so its `release` has nothing left to free.
+    */
+  final case class Ranked(ranks: DataFrame, release: () => Unit)
+
+  /** [[pageRank]] with an explicit cache-lifetime handle — the form
+    * for repeated fixed-count calls in one session, where the bare
+    * API's documented trade (edge cache lives until session GC)
+    * would otherwise accumulate one persisted edge list per call.
+    */
+  def pageRankManaged(edges: DataFrame, iterations: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointInterval: Int = 5,
+      broadcastRanks: Boolean = true,
+      tolMicro: Long = 0L): Ranked = {
     require(iterations >= 1, "pageRank needs iterations >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -301,10 +325,14 @@ object Graph {
     // Convergence mode checkpoints every rank table, so the returned
     // frame no longer reads edgesDeg — release the cached blocks here
     // instead of leaking one persisted edge list per call. Fixed-count
-    // mode returns a LAZY plan over edgesDeg; there the cache lives
-    // until the session GCs it (documented trade: composable plan vs
-    // eager release).
-    if (tolMicro > 0L) edgesDeg.unpersist(false)
-    rank
+    // mode returns a LAZY plan over edgesDeg; its release hook frees
+    // the cache when the caller is done (the bare [[pageRank]] API
+    // drops the hook — documented trade: composable plan vs eager
+    // release — so session-long callers should use
+    // [[pageRankManaged]]).
+    if (tolMicro > 0L) {
+      edgesDeg.unpersist(false)
+      Ranked(rank, () => ())
+    } else Ranked(rank, () => { edgesDeg.unpersist(false); () })
   }
 }

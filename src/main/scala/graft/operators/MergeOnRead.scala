@@ -135,17 +135,50 @@ object MergeOnRead {
       writtenBuckets(dir, 0).map(_ -> 0).toMap, Set.empty))
   }
 
+  /** Batch directories present on disk, committed or not — a torn
+    * write's directory still RESERVES its id (it is invisible to
+    * readers, but its id must never be handed to a second writer).
+    */
+  private def allBatchDirs(dir: String): Seq[Int] = {
+    val d = new File(s"$dir/delta")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toInt).toSeq.sorted
+  }
+
   /** Appends one change batch (target columns + op + seq). Writes
     * ONLY `delta/batch=<n>` — never touches base or manifest, so
     * appends are O(batch). Returns the batch id.
+    *
+    * CONCURRENCY CONTRACT: multiple appenders are safe. The batch id
+    * is claimed by an atomic directory create
+    * (`Files.createDirectory` on `delta/batch=<n>` — fails if the
+    * directory exists), so two interleaved appends can never pick
+    * the same id: the loser of the race retries the next id. A
+    * reserved-but-crashed append leaves an empty (no `_SUCCESS`)
+    * directory: invisible to readers, its id skipped by later
+    * writers — garbage, never corruption. Appends also interleave
+    * safely with [[compact]]: compact folds only the batches it
+    * SNAPSHOT as committed at entry, so a batch landing mid-compact
+    * stays pending and is served by the next [[read]] (proved by
+    * MorSpec's interleaving case).
     */
   def append(changes: DataFrame, dir: String): Int = {
     val m = loadManifest(dir)
-    // ids must also clear the FOLDED set: compaction GC removes
-    // folded batch directories, and a recycled id would be silently
-    // filtered out of every subsequent read
-    val b = (committedBatches(dir) ++ m.folded)
-      .foldLeft(-1)(math.max) + 1
+    Files.createDirectories(Paths.get(dir, "delta"))
+    // ids must clear the FOLDED set too: compaction GC removes folded
+    // batch directories, and a recycled id would be silently filtered
+    // out of every subsequent read
+    var b = (allBatchDirs(dir) ++ m.folded).foldLeft(-1)(math.max) + 1
+    var reserved = false
+    while (!reserved) {
+      try {
+        Files.createDirectory(Paths.get(dir, "delta", s"batch=$b"))
+        reserved = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => b += 1
+      }
+    }
     changes.withColumn(Bucket, bucketOf(m.meta))
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(s"$dir/delta/batch=$b")
@@ -192,9 +225,19 @@ object MergeOnRead {
     * buckets rewritten.
     */
   def compact(spark: SparkSession, dir: String,
-      gc: Boolean = true): Int = {
+      gc: Boolean = true): Int =
+    compactBatches(spark, dir,
+      committedBatches(dir).filterNot(loadManifest(dir).folded), gc)
+
+  /** Compaction over an explicit pending-batch snapshot — the
+    * separation exists so MorSpec can interleave an append between
+    * the snapshot and the fold and prove no batch is lost: a batch
+    * committed AFTER the snapshot is neither read nor marked folded,
+    * so the post-compaction [[read]] still serves it as a delta.
+    */
+  private[operators] def compactBatches(spark: SparkSession, dir: String,
+      pending: Seq[Int], gc: Boolean = true): Int = {
     val m = loadManifest(dir)
-    val pending = committedBatches(dir).filterNot(m.folded)
     if (pending.isEmpty) return 0
     val touched = pending.flatMap(bucketsIn(dir, _)).distinct.sorted
     val newVer = m.version + 1

@@ -31,15 +31,23 @@ import org.apache.spark.util.SerializableConfiguration
   * unbounded. With `offsetRetain = N > 0` the offset keeps only the
   * N greatest processed names explicit and summarizes everything
   * older under a `floor` watermark: a name ≤ floor is processed by
-  * definition. Crawl archives are date-prefixed, so lexicographic
-  * name order IS archive-date order and the floor is a retention
-  * window keyed by archive date. The floor only ever advances in
-  * `commit()` — over files a completed batch has durably processed —
-  * so no pending file can be folded under it. The documented
-  * tradeoff (identical to FileStreamSource's `maxFileAge`): a LATE
-  * arrival whose name sorts below the floor is treated as already
-  * processed and skipped; size the retention window beyond the
-  * upload pipeline's maximum lateness.
+  * definition. The floor only ever advances in `commit()` — over
+  * files a completed batch has durably processed — so no pending
+  * file can be folded under it.
+  *
+  * IMPORTANT — the retention window is a file COUNT, not a time
+  * window: after each committed batch the floor rises to the
+  * (offsetRetain+1)-th greatest processed NAME, regardless of how
+  * recent that name's date prefix is. The documented tradeoff
+  * (analogous to FileStreamSource's `maxFileAge`, but counted in
+  * files): a LATE arrival whose name sorts below the floor is
+  * treated as already processed and skipped. Size `offsetRetain`
+  * strictly above the maximum number of files the upload pipeline
+  * can deliver out of name order across ONE commit interval — with
+  * frequent small batches that bound is what matters, not wall-clock
+  * lateness. Crawl archives are date-prefixed (lexicographic name
+  * order IS archive-date order), so `offsetRetain ≥ files-per-day ×
+  * max-late-days` gives the date-window reading of the same knob.
   */
 class WarcMicroBatchStream(
     paths: Seq[String],
@@ -131,8 +139,14 @@ class WarcMicroBatchStream(
 case class WarcOffset(files: Seq[String],
     floor: Option[String] = None) extends Offset {
 
+  // covers() is called once per end-offset file during
+  // planInputPartitions — at crawl scale (~90k archives) a Seq
+  // membership walk would be O(|end|×|start|) string compares per
+  // micro-batch plan; the set makes the whole plan O(|end|)
+  @transient private lazy val fileSet: Set[String] = files.toSet
+
   def covers(f: String): Boolean =
-    floor.exists(f <= _) || files.contains(f)
+    floor.exists(f <= _) || fileSet(f)
 
   override def json(): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -88,20 +88,21 @@ class AnnIndexSpec extends AnyFunSuite {
     val incPath = Files.createTempDirectory("annidx-inc").toString + "/idx"
     val fullPath = Files.createTempDirectory("annidx-full").toString + "/idx"
     AnnIndex.buildIfAbsent(base, "q", "vec_id", cents, incPath)
-    def files() = {
+    def files(sub: String) = {
       def walk(f: java.io.File): Seq[(String, Long)] =
         if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
         else Seq(f.getPath -> f.lastModified())
-      walk(new java.io.File(s"$incPath/assignments"))
+      walk(new java.io.File(s"$incPath/$sub"))
         .filter(_._1.endsWith(".parquet")).sortBy(_._1)
     }
-    val baseFiles = files()
+    val baseFiles = files("assignments")
     val appended = AnnIndex.append(delta, incPath)
-    // base data files survive untouched — the append only ADDS files
-    assert(files().toSet.intersect(baseFiles.toSet) == baseFiles.toSet,
-      "append must not rewrite base bucket files")
-    assert(files().length > baseFiles.length)
+    // base data files survive untouched — the append stages its rows
+    // under deltas/, never inside the base directory
+    assert(files("assignments") == baseFiles,
+      "append must not touch base bucket files")
+    assert(files("deltas").nonEmpty, "append must stage a delta dir")
 
     val full = AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents,
       fullPath)
@@ -119,6 +120,59 @@ class AnnIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getInt(3))).toSet
     assert(res(incPath) == res(fullPath))
+  }
+
+  test("changed centroid VALUES (same count, same corpus) invalidate " +
+      "the manifest and rebuild — no stale-parameter reuse") {
+    val path = Files.createTempDirectory("annidx-ph").toString + "/idx"
+    val c = corpus()
+    assert(!AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path).reused)
+    val shifted = cents.map(_.map(_ + 1L))
+    assert(!AnnIndex.buildIfAbsent(c, "q", "vec_id", shifted, path).reused,
+      "same centroid count with different values must rebuild")
+    // and the rebuilt manifest now reuses on the NEW values
+    assert(AnnIndex.buildIfAbsent(c, "q", "vec_id", shifted, path).reused)
+  }
+
+  test("append with overlapping ids throws instead of silently " +
+      "corrupting rows and fingerprint") {
+    val path = Files.createTempDirectory("annidx-dis").toString + "/idx"
+    AnnIndex.buildIfAbsent(corpus().filter(col("vec_id") < 150),
+      "q", "vec_id", cents, path)
+    val overlapping = corpus().filter(col("vec_id") >= 140) // 140-149 dupe
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.append(overlapping, path)
+    }
+    assert(e.getMessage.contains("id"))
+    // a disjoint delta still passes the guard
+    AnnIndex.append(corpus().filter(col("vec_id") >= 150), path)
+  }
+
+  test("a torn append (staged delta dir, no manifest commit) is " +
+      "invisible to search and overwritten by the retry") {
+    val path = Files.createTempDirectory("annidx-torn").toString + "/idx"
+    val base = corpus().filter(col("vec_id") < 150)
+    val delta = corpus().filter(col("vec_id") >= 150)
+    AnnIndex.buildIfAbsent(base, "q", "vec_id", cents, path)
+    // simulate the crash: stage the delta files by hand where append
+    // would, WITHOUT the manifest commit
+    import graft.operators.{Ivf => I}
+    delta.select(col("vec_id"), col("q"),
+        I.assignInt(col("q"), cents).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/deltas/d0")
+    val probes = corpus().filter(col("vec_id").isin(0L, 160L))
+      .select(col("vec_id").as("probe_id"), col("q"))
+    val ids = AnnIndex.searchInt(spark, path, probes, "probe_id", "q", 2, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ < 150),
+      s"uncommitted delta rows leaked into search: $ids")
+    // the retry lands in the same staged dir and commits exactly once
+    val b = AnnIndex.append(delta, path)
+    assert(b.count == 200)
+    val after = AnnIndex.searchInt(spark, path, probes, "probe_id", "q",
+        2, 3).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after.exists(_ >= 150), "committed delta must be searchable")
   }
 
   test("persisted PQ index: reuse skips the encode; search matches " +

@@ -124,12 +124,54 @@ class MorSpec extends AnyFunSuite {
     MergeOnRead.append(ch(Seq((2L, "torn", 2L, "U", 1L))), dir)
     assert(new File(s"$dir/delta/batch=1/_SUCCESS").delete())
     assert(state(dir)(2L) === ("v2", 20L), "torn batch must be invisible")
-    // retry lands on the SAME batch id and overwrites the torn dir
+    // retry claims a FRESH id: an existing batch dir might belong to
+    // a writer still in flight (indistinguishable from a crash), so
+    // its id stays reserved forever — the torn dir is garbage, never
+    // corruption
     val id = MergeOnRead.append(ch(Seq((2L, "retry", 9L, "U", 1L))), dir)
-    assert(id === 1)
+    assert(id === 2)
     assert(state(dir)(2L) === ("retry", 9L))
     assert(MergeOnRead.compact(spark, dir) >= 1)
     assert(state(dir)(2L) === ("retry", 9L))
+  }
+
+  test("two interleaved appends can never claim the same batch id: " +
+      "a reserved (in-flight, not yet committed) dir forces the next id") {
+    val dir = tmp()
+    MergeOnRead.create(base(10), dir, Seq("k"), nBuckets = 2)
+    // writer A mid-flight: id reserved by the atomic dir create, no
+    // data or _SUCCESS yet
+    Files.createDirectories(java.nio.file.Paths.get(dir, "delta", "batch=0"))
+    // writer B appends concurrently — must NOT land in batch=0
+    val b = MergeOnRead.append(ch(Seq((1L, "b", 1L, "U", 1L))), dir)
+    assert(b === 1, "append must skip the reserved in-flight id")
+    assert(state(dir)(1L) === ("b", 1L))
+  }
+
+  test("an append landing mid-compaction (after the pending snapshot, " +
+      "before the manifest swap) is never lost") {
+    val dir = tmp()
+    MergeOnRead.create(base(10), dir, Seq("k"), nBuckets = 2)
+    MergeOnRead.append(ch(Seq((1L, "first", 1L, "U", 1L))), dir)
+    // the compactor snapshots its pending set...
+    val snapshot = Seq(0)
+    // ...then a concurrent append commits before the fold finishes
+    val late = MergeOnRead.append(ch(Seq(
+      (2L, "late", 2L, "U", 1L), (300L, "ins", 3L, "I", 1L))), dir)
+    assert(late === 1)
+    // the compactor folds ONLY its snapshot
+    assert(MergeOnRead.compactBatches(spark, dir, snapshot) >= 1)
+    val m = MergeOnRead.loadManifest(dir)
+    assert(m.folded === Set(0), "late batch must not be marked folded")
+    // no lost update: the late batch still serves as a pending delta
+    val got = state(dir)
+    assert(got(1L) === ("first", 1L))
+    assert(got(2L) === ("late", 2L))
+    assert(got(300L) === ("ins", 3L))
+    // and the NEXT compaction folds it for good
+    assert(MergeOnRead.compact(spark, dir) >= 1)
+    assert(state(dir)(2L) === ("late", 2L) &&
+      state(dir)(300L) === ("ins", 3L))
   }
 
   test("a bucket deleted down to zero rows disappears from the manifest") {

@@ -90,6 +90,27 @@ class PageRankSpec extends AnyFunSuite {
     assert(tol.count() === 5) // fixed-count mode still returns all nodes
   }
 
+  test("pageRankManaged: repeated fixed-count calls release their " +
+      "edge cache — no persisted-RDD growth across calls") {
+    def cached(): Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cached()
+    for (_ <- 1 to 3) {
+      val r = Graph.pageRankManaged(edges, iterations = 3)
+      val got = r.ranks.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got === reference(3))
+      r.release()
+    }
+    // <= not ==: the ContextCleaner may concurrently collect stale
+    // checkpoint RDDs from EARLIER tests, shrinking the count — the
+    // claim here is strictly "no growth"
+    assert(cached() <= before,
+      s"managed calls must not leak persisted RDDs: $before -> ${cached()}")
+    // (convergence mode is excluded here: its localCheckpoint blocks
+    // legitimately back the RETURNED ranks, so they outlive the call;
+    // what it must not leak — the edge cache — is already released
+    // inside pageRankManaged before it returns)
+  }
+
   test("symmetrized graph keeps every node in the rank table") {
     val sym = edges.unionAll(
       edges.select(col("dst").as("src"), col("src").as("dst")))

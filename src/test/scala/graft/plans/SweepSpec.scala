@@ -60,7 +60,12 @@ class SweepSpec extends AnyFunSuite {
     // (q177 needs no entry: its probe cross evaluates EAGERLY inside
     // mmrRerank's bounded collect, so the declared plan is a
     // LocalTableScan of the 5 re-ranked rows.)
-    "q176_ndcg")
+    "q176_ndcg",
+    // q182: the persisted-PQ search re-plans q75's adjudicated
+    // 1-row-probe broadcast cross (probe LUT × S-byte codes,
+    // Similarity.pqSearchInt); the persisted index only changes
+    // where the codes scan reads FROM, not the join shape.
+    "q182_pq_persisted_ann")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
