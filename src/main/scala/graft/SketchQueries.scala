@@ -515,6 +515,58 @@ object SketchQueries {
         .select(col("vec_id"), col("adc"))
     }),
 
+    // q182's corpus arriving INCREMENTALLY: three of every four
+    // vectors build the persisted PQ index, the rest land later via
+    // `pqAppend` (delta-only encode, staged-commit, composed
+    // fingerprint) — the search then serves base ∪ delta codes and
+    // must rank identically to the one-shot build, so the same
+    // oracle. The modulo split keeps the base/delta ratio
+    // scale-invariant across sf dirs.
+    "q185_pq_append_ann" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val corpus = emb.filter(col("vec_id") > 0)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-pqinc-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildPqIfAbsent(corpus.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        "q", "vec_id", PqCodebooks, idx)
+      AnnIndex.pqAppend(corpus.filter(pmod(col("vec_id"), lit(4)) === 0), idx)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      AnnIndex.pqSearchInt(s, idx, probe, "probe_id", "q", 5)
+        .select(col("vec_id"), col("adc"))
+    }),
+
+    // The full persisted-IVF lifecycle in one query: build on 3/4 of
+    // the corpus, `append` the remaining quarter, `compactDeltas` the
+    // delta stream back to one directory — search must match the
+    // one-shot q46/q181 composition bit-for-bit (same oracle). At
+    // 100 TB this is the nightly pattern: continuous appends bounded
+    // by periodic compaction, base assignments never rewritten.
+    "q186_ivf_compacted_ann" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-ivfinc-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildIfAbsent(emb.filter(pmod(col("vec_id"), lit(4)) =!= 0),
+        "q", "vec_id", IvfCentroids, idx)
+      AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .filter(col("vec_id") < 100), idx)
+      AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+        .filter(col("vec_id") >= 100), idx)
+      AnnIndex.compactDeltas(s, idx)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      AnnIndex.searchInt(s, idx, probes, "probe_id", "q", 2, 3)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
     /** Demux→PIXELS under the hash contract: MJPEG-in-MP4 — each MP4
       * sample is a complete JPEG ([[Multimodal.encodeGrayJpeg]],
       * quality 1.0) whose 8×8 blocks are UNIFORM with
@@ -1366,6 +1418,10 @@ object SketchQueries {
     "q75_pq_adc_ann" -> pqAdcOracle,
     // identical math served from the persisted PQ codes — same oracle
     "q182_pq_persisted_ann" -> pqAdcOracle,
+    // incremental build of the same index state — same oracle again
+    "q185_pq_append_ann" -> pqAdcOracle,
+    // build + append + compact converges to the one-shot index state
+    "q186_ivf_compacted_ann" -> ivfAnnOracle,
     // replays the q79 fixture arithmetically: dHash cells over the
     // 72×32 image are exactly the 8×8-uniform block values (cell
     // width 8 px = one block column, cell height 4 px = half a block

@@ -32,12 +32,12 @@ import org.apache.spark.sql.functions._
   * index is simply absent while data directories churn, and a crash
   * mid-rebuild leaves no manifest, so the retry rebuilds from
   * scratch instead of serving torn state. An APPEND stages its rows
-  * in a fresh `deltas/d<N>` directory that no live manifest
-  * references, then commits by writing the manifest that lists it —
-  * a crash before the manifest write leaves an orphan directory
-  * readers never touch, and the retry overwrites that same staged
-  * directory (same N, `mode("overwrite")`), so at-least-once retries
-  * cannot double-append.
+  * in a fresh, never-reused `deltas/d<N>` directory that no live
+  * manifest references, then commits by writing the manifest that
+  * lists it — a crash before the manifest write leaves an orphan
+  * directory readers never touch (the retry claims the next name;
+  * orphans are garbage, never corruption), and a crash after it
+  * means the append fully committed.
   *
   * [[buildIfAbsent]] recomputes only the fingerprint (one
   * column-pruned agg over (id, vec)) and SKIPS the assignment scan
@@ -196,18 +196,52 @@ object AnnIndex {
         r.getSeq[Long](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2).toSeq
 
-  /** Manifest-visible assignment rows: the base directory plus every
+  /** Manifest-visible rows of the index's data table (`assignments`
+    * for ivf, `codes` for pq): the base directory plus every
     * COMMITTED delta directory, each with its own bucket partition
-    * pruning. Orphan (crashed, uncommitted) delta directories are
-    * never read — they are not in the manifest.
+    * pruning where applicable. Orphan (crashed, uncommitted) delta
+    * directories are never read — they are not in the manifest.
     */
-  private def readAssignments(spark: SparkSession, path: String,
+  private def readParts(spark: SparkSession, path: String, baseSub: String,
       mf: Manifest, bucketFilter: Option[Seq[Int]]): DataFrame = {
-    val roots = s"$path/assignments" +: mf.deltas.map(d => s"$path/deltas/$d")
+    val roots = s"$path/$baseSub" +: mf.deltas.map(d => s"$path/deltas/$d")
     roots.map { r =>
       val df = spark.read.parquet(r)
       bucketFilter.fold(df)(w => df.filter(col("bucket").isin(w.map(Int.box): _*)))
     }.reduce(_.unionByName(_))
+  }
+
+  private def readAssignments(spark: SparkSession, path: String,
+      mf: Manifest, bucketFilter: Option[Seq[Int]]): DataFrame =
+    readParts(spark, path, "assignments", mf, bucketFilter)
+
+  /** Next free delta directory name: `<prefix><k>` where k exceeds
+    * the numeric suffix of EVERY directory on disk under `deltas/`
+    * (manifest-listed or orphaned) — a name is never reused, so a
+    * staged write can never land inside a directory a live manifest
+    * still references. Crashed attempts leave uniquely-named orphans:
+    * garbage, never corruption (the MergeOnRead reservation rule).
+    */
+  private def nextDeltaName(path: String, prefix: String): String = {
+    val d = Paths.get(path, "deltas").toFile
+    val maxSuffix = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(f => "\\d+$".r.findFirstIn(f.getName))
+      .map(_.toInt).foldLeft(-1)(math.max)
+    s"$prefix${maxSuffix + 1}"
+  }
+
+  private def requireDisjoint(delta: DataFrame, existing: DataFrame,
+      idCol: String, path: String): Unit = {
+    val dupes = existing.select(col(idCol))
+      .join(broadcast(delta.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .count()
+    require(dupes == 0,
+      s"append delta shares $dupes id(s) with the index at $path — " +
+        "duplicate ids would corrupt both the rows and the xor " +
+        "fingerprint (pass checkDisjoint = false only when upstream " +
+        "proves disjointness)")
   }
 
   /** ANN top-k over the persisted index: probes fan out to their
@@ -265,22 +299,12 @@ object AnnIndex {
     val cs = centroids(spark, path)
     val (dfp, dn) = fingerprint(delta, have.id, have.vec)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      val dupes = readAssignments(spark, path, have, None)
-        .select(col(have.id))
-        .join(broadcast(delta.select(col(have.id)).distinct()),
-          Seq(have.id), "left_semi")
-        .count()
-      require(dupes == 0,
-        s"append delta shares $dupes id(s) with the index at $path — " +
-          "duplicate ids would corrupt both the rows and the xor " +
-          "fingerprint (pass checkDisjoint = false only when upstream " +
-          "proves disjointness)")
-    }
-    // staged-commit: d<N> is named by the committed-delta count, so a
-    // crashed (unlisted) attempt is retried into the SAME directory
-    // and overwritten — no double-append under at-least-once retries
-    val staged = s"d${have.deltas.length}"
+    if (checkDisjoint)
+      requireDisjoint(delta, readAssignments(spark, path, have, None),
+        have.id, path)
+    // staged-commit into a never-reused name; visible only once the
+    // manifest write lists it
+    val staged = nextDeltaName(path, "d")
     delta
       .select(col(have.id), col(have.vec),
         Ivf.assignInt(col(have.vec), cs).as("bucket"))
@@ -341,16 +365,87 @@ object AnnIndex {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
 
+  /** Incrementally extend a persisted PQ index with NEW corpus rows —
+    * the [[append]] discipline applied to the codes table: only the
+    * delta pays the S × K encode scan, its codes stage in a fresh
+    * `deltas/d<N>` directory made visible by the manifest commit, and
+    * the xor-fold fingerprint composes (`fp' = fp ⊕ fold(delta)`), so
+    * a later [[buildPqIfAbsent]] on the full corpus correctly reuses
+    * the appended index. Same caller contract and `checkDisjoint`
+    * guard as [[append]].
+    */
+  def pqAppend(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    require(have.kind == "pq", s"pqAppend needs a pq index, got ${have.kind}")
+    val cbs = pqCodebooks(spark, path)
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint)
+      requireDisjoint(delta, readParts(spark, path, "codes", have, None),
+        have.id, path)
+    val staged = nextDeltaName(path, "d")
+    delta
+      .select(col(have.id), Pq.encodeInt(col(have.vec), cbs).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Folds the committed delta directories into ONE (`deltas/c<N>`)
+    * and commits a manifest listing only it — bounding per-search
+    * file-listing and footer costs after long append streams without
+    * ever touching the base directory (cost ∝ total delta size, the
+    * MergeOnRead compaction rule). Crash-safe by the same staging
+    * discipline: the merged directory is invisible until the
+    * manifest swap, and a crash mid-fold leaves the old manifest —
+    * and every directory it references — fully live. Old delta
+    * directories are deleted only AFTER the commit (best-effort GC).
+    * Works for both index kinds (ivf deltas keep their bucket
+    * partitioning; pq deltas are plain codes). Returns the number of
+    * directories folded, 0 when there is nothing to compact.
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    // fewer than two delta directories: folding gains nothing
+    if (have.deltas.length < 2) return 0
+    val merged = have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d"))
+      .reduce(_.unionByName(_))
+    val staged = nextDeltaName(path, "c")
+    val w = merged.write.mode("overwrite")
+    (if (have.kind == "ivf") w.partitionBy("bucket") else w)
+      .parquet(s"$path/deltas/$staged")
+    writeManifest(path, have.copy(deltas = Seq(staged)))
+    // post-commit GC: the folded directories are unreferenced now
+    have.deltas.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(Paths.get(path, "deltas", d).toFile)
+    }
+    have.deltas.length
+  }
+
   /** ADC top-k over the persisted PQ index: probes build their
     * distance LUTs (probe-side, broadcast), the corpus side reads
-    * ONLY the S-byte codes — raw vectors never leave the build step.
-    * Output matches [[Pq.adcTopK]]: (probe_id, <idCol>, adc, rank).
+    * ONLY the S-byte codes — base plus committed deltas, raw vectors
+    * never leave the build step. Output matches [[Pq.adcTopK]]:
+    * (probe_id, <idCol>, adc, rank).
     */
   def pqSearchInt(spark: SparkSession, path: String, probes: DataFrame,
       probeIdCol: String, vecCol: String, k: Int,
       idCol: String = "vec_id"): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
     val cbs = pqCodebooks(spark, path)
-    val encoded = spark.read.parquet(s"$path/codes")
+    val encoded = readParts(spark, path, "codes", mf, None)
       .withColumnRenamed("codes", "__codes")
     Pq.adcTopKEncoded(encoded,
       probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("pq")),

@@ -167,7 +167,8 @@ class AnnIndexSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(ids.forall(_ < 150),
       s"uncommitted delta rows leaked into search: $ids")
-    // the retry lands in the same staged dir and commits exactly once
+    // the retry claims a fresh staged name and commits exactly once;
+    // the orphan stays unreferenced garbage
     val b = AnnIndex.append(delta, path)
     assert(b.count == 200)
     val after = AnnIndex.searchInt(spark, path, probes, "probe_id", "q",
@@ -210,6 +211,68 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!scan.contains("ReadSchema: struct<vec_id:bigint,q:array"),
       s"search should read codes, not raw vectors:\n$scan")
     c.unpersist()
+  }
+
+  test("pqAppend: delta-only encode, composed fingerprint equals a " +
+      "full rebuild, ADC search serves base + delta codes") {
+    val books: Seq[Seq[Seq[Long]]] = {
+      val rnd = new scala.util.Random(11)
+      Seq.fill(4)(Seq.fill(3)(Seq.fill(4)((rnd.nextInt(801) - 400).toLong)))
+    }
+    val incPath = Files.createTempDirectory("pqidx-inc").toString + "/idx"
+    val fullPath = Files.createTempDirectory("pqidx-full").toString + "/idx"
+    AnnIndex.buildPqIfAbsent(corpus().filter(col("vec_id") < 150),
+      "q", "vec_id", books, incPath)
+    val appended = AnnIndex.pqAppend(
+      corpus().filter(col("vec_id") >= 150), incPath)
+    val full = AnnIndex.buildPqIfAbsent(corpus(), "q", "vec_id", books,
+      fullPath)
+    assert(appended.fingerprint == full.fingerprint &&
+      appended.count == full.count)
+    // full-corpus rebuild attempt reuses the appended index
+    assert(AnnIndex.buildPqIfAbsent(corpus(), "q", "vec_id", books,
+      incPath).reused)
+    // overlapping ids refuse
+    intercept[IllegalArgumentException] {
+      AnnIndex.pqAppend(corpus().filter(col("vec_id") >= 190), incPath)
+    }
+    val probes = corpus().filter(col("vec_id") === 5)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    def res(p: String) =
+      AnnIndex.pqSearchInt(spark, p, probes, "probe_id", "q", 4)
+        .select("probe_id", "vec_id", "adc", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    assert(res(incPath) == res(fullPath))
+  }
+
+  test("compactDeltas folds many delta dirs into one; searches are " +
+      "unchanged; a fresh append after compaction still works") {
+    val path = Files.createTempDirectory("annidx-cpt").toString + "/idx"
+    AnnIndex.buildIfAbsent(corpus().filter(col("vec_id") < 100),
+      "q", "vec_id", cents, path)
+    AnnIndex.append(corpus().filter(
+      col("vec_id") >= 100 && col("vec_id") < 150), path)
+    AnnIndex.append(corpus().filter(col("vec_id") >= 150), path)
+    val probes = corpus().filter(col("vec_id").isin(0L, 120L, 170L))
+      .select(col("vec_id").as("probe_id"), col("q"))
+    def res() =
+      AnnIndex.searchInt(spark, path, probes, "probe_id", "q", 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val before = res()
+    assert(AnnIndex.compactDeltas(spark, path) == 2)
+    assert(res() == before, "compaction must not change search results")
+    // exactly one delta dir remains on disk (old ones GC'd)
+    val dirs = Option(new java.io.File(s"$path/deltas").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.length == 1 && dirs.head.startsWith("c"), dirs.toString)
+    // idempotent: a second compact has nothing to fold
+    assert(AnnIndex.compactDeltas(spark, path) == 0)
+    // the composed fingerprint still equals a full build, so a
+    // rebuild attempt reuses; and new appends stack on cleanly
+    assert(AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents,
+      path).reused)
   }
 
   test("persisted search matches the in-plan IVF composition and " +

@@ -65,7 +65,11 @@ class SweepSpec extends AnyFunSuite {
     // 1-row-probe broadcast cross (probe LUT × S-byte codes,
     // Similarity.pqSearchInt); the persisted index only changes
     // where the codes scan reads FROM, not the join shape.
-    "q182_pq_persisted_ann")
+    "q182_pq_persisted_ann",
+    // q185: the same q75-class 1-row-probe cross again — the
+    // incremental (pqAppend) build changes which code FILES the scan
+    // unions, not the join shape.
+    "q185_pq_append_ann")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
