@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
-import graft.operators.{Adpcm, Avi, Dedup, G711, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, TextAnalysis}
+import graft.operators.{Adpcm, Avi, Dedup, G711, Graph, Ivf, Mp4, Multimodal, Pq, Similarity, Sq8, TextAnalysis}
 
 /** Declared queries for the sketch operators and the multimodal
   * plumbing, each with a DuckDB oracle.
@@ -537,6 +537,20 @@ object SketchQueries {
         .select(col("vec_id").as("probe_id"), col("q"))
       AnnIndex.pqSearchInt(s, idx, probe, "probe_id", "q", 5)
         .select(col("vec_id"), col("adc"))
+    }),
+
+    // Scalar (int8) quantization ANN — the fourth compression shape
+    // next to IVF (q46), sign-LSH (q44) and PQ (q75): per-vector
+    // integer scale + [-127,127] codes, asymmetric scoring against
+    // the full-precision probe. Floor-division encode and integer
+    // products make the ranking bit-identical to the DuckDB replay.
+    "q187_sq8_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      Sq8.topK(emb.filter(col("vec_id") > 0), probe, 5)
+        .select(col("vec_id"), col("sq8"))
     }),
 
     // The full persisted-IVF lifecycle in one query: build on 3/4 of
@@ -1420,6 +1434,24 @@ object SketchQueries {
     "q182_pq_persisted_ann" -> pqAdcOracle,
     // incremental build of the same index state — same oracle again
     "q185_pq_append_ann" -> pqAdcOracle,
+    // SQ8: the scale/encode/score arithmetic replayed end-to-end —
+    // pmod-based floor division matches (x - ((x % s + s) % s)) / s
+    "q187_sq8_ann" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, q,
+        |  list_max(list_transform(q, x -> abs(x))) AS ma FROM q),
+        |sc AS (SELECT vec_id, q, greatest(1,
+        |  CAST((ma + 126 - ((ma + 126) % 127)) / 127 AS BIGINT)) AS s
+        |  FROM m),
+        |c AS (SELECT vec_id, s, list_transform(q,
+        |  x -> CAST((x - ((x % s + s) % s)) / s AS BIGINT)) AS c
+        |  FROM sc WHERE vec_id > 0),
+        |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
+        |SELECT c.vec_id, CAST(c.s * list_sum(list_transform(
+        |  list_zip(c.c, p.pq), z -> z[1] * z[2])) AS BIGINT) AS sq8
+        |FROM c, p ORDER BY sq8 DESC, vec_id LIMIT 5""".stripMargin,
     // build + append + compact converges to the one-shot index state
     "q186_ivf_compacted_ann" -> ivfAnnOracle,
     // replays the q79 fixture arithmetically: dHash cells over the

@@ -99,13 +99,16 @@ object AnnIndex {
   private def manifestPath(path: String) = Paths.get(path, "manifest.json")
 
   private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
-      id: String, vec: String, ph: Long, deltas: Seq[String] = Nil) {
+      id: String, vec: String, ph: Long, deltas: Seq[String] = Nil,
+      lastBatch: Long = -1L) {
     /** Equality for reuse decisions — everything except the delta
-      * list (an appended index still satisfies a matching rebuild:
-      * the composed fingerprint covers base ∪ deltas).
+      * list and streaming batch watermark (an appended index still
+      * satisfies a matching rebuild: the composed fingerprint covers
+      * base ∪ deltas).
       */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil) == other.copy(deltas = Nil)
+      copy(deltas = Nil, lastBatch = -1L) ==
+        other.copy(deltas = Nil, lastBatch = -1L)
   }
 
   private def readManifest(path: String): Option[Manifest] = {
@@ -124,7 +127,8 @@ object AnnIndex {
         // a pre-hash manifest (older layout) reads as ph=0 — it can
         // never match a computed hash, so it rebuilds once, safely
         Option(node.get("ph")).map(_.asLong()).getOrElse(0L),
-        deltas))
+        deltas,
+        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L)))
     }
   }
 
@@ -134,6 +138,7 @@ object AnnIndex {
     node.put("fp", mf.fp); node.put("n", mf.n); node.put("kind", mf.kind)
     node.put("k", mf.k); node.put("id", mf.id); node.put("vec", mf.vec)
     node.put("ph", mf.ph)
+    node.put("lb", mf.lastBatch)
     val arr = node.putArray("deltas")
     mf.deltas.foreach(arr.add)
     Files.createDirectories(Paths.get(path))
@@ -291,7 +296,11 @@ object AnnIndex {
     * proves disjointness and the extra base scan matters.
     */
   def append(delta: DataFrame, path: String,
-      checkDisjoint: Boolean = true): Build = {
+      checkDisjoint: Boolean = true): Build =
+    appendImpl(delta, path, checkDisjoint, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
@@ -311,7 +320,8 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged)
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
   }
@@ -375,7 +385,11 @@ object AnnIndex {
     * guard as [[append]].
     */
   def pqAppend(delta: DataFrame, path: String,
-      checkDisjoint: Boolean = true): Build = {
+      checkDisjoint: Boolean = true): Build =
+    pqAppendImpl(delta, path, checkDisjoint, None)
+
+  private def pqAppendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
@@ -391,10 +405,47 @@ object AnnIndex {
       .select(col(have.id), Pq.encodeInt(col(have.vec), cbs).as("codes"))
       .write.mode("overwrite").parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged)
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
   }
+
+  /** Exactly-once streaming index maintenance — the `foreachBatch`
+    * form of [[append]]/[[pqAppend]] (kind-dispatched): the
+    * micro-batch id is committed IN the same manifest write as the
+    * delta it marks, so a batch replayed after a crash (Structured
+    * Streaming's at-least-once `foreachBatch` contract) is detected
+    * by `batchId <= lastBatch` and skipped without touching the
+    * index — the standard idempotent-sink recipe, with the manifest
+    * playing the transaction log. A crash BEFORE the manifest write
+    * leaves only an orphan delta directory (never read), and the
+    * replay appends cleanly.
+    *
+    * `checkDisjoint` defaults OFF here: the streaming upstream is
+    * expected to be a keyed CDC/new-docs feed (ids disjoint by
+    * construction), and a per-micro-batch base scan would turn an
+    * O(batch) append into an O(index) one.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+      checkDisjoint: Boolean = false): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    if (have.kind == "ivf")
+      appendImpl(batch, path, checkDisjoint, Some(batchId))
+    else
+      pqAppendImpl(batch, path, checkDisjoint, Some(batchId))
+  }
+
+  /** `writeStream.foreachBatch(AnnIndex.foreachBatchSink(path))` —
+    * the [[appendBatch]] closure in the shape Structured Streaming
+    * wants.
+    */
+  def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
+      : (DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
 
   /** Folds the committed delta directories into ONE (`deltas/c<N>`)
     * and commits a manifest listing only it — bounding per-search

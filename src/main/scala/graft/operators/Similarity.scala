@@ -753,3 +753,80 @@ object Pq {
         (col("__pos") + 1).cast("int").as("rank"))
   }
 }
+
+/** Scalar (int8) quantization — the simplest vector-compression
+  * shape next to [[Pq]]: each corpus vector stores ONE integer scale
+  * plus one code per dimension bounded to [-127, 127] (8 bytes/dim
+  * at the quantized-long layout → ~1), and search scores corpus
+  * codes against FULL-precision probes (asymmetric, the SQ analogue
+  * of ADC): `score = s · Σ code_i · probe_i`. All arithmetic is
+  * integer floor division and products, so the ranking is
+  * bit-reproducible cross-engine — the property every other ANN
+  * entry point here holds. The standard memory/recall midpoint:
+  * better recall than PQ at the same probe cost, 8× smaller than raw
+  * vectors (FAISS's `SQ8` index family is this shape).
+  */
+object Sq8 {
+
+  /** Floor division (toward −∞) on integer columns — `pmod`-based so
+    * negative numerators match the SQL `(x - ((x % s + s) % s)) / s`
+    * formulation exactly. The numerator after the pmod subtraction
+    * is divisible by `s`, so the double division is exact and the
+    * long cast loses nothing.
+    */
+  private def floorDiv(x: Column, s: Column): Column =
+    ((x - pmod(x, s)) / s).cast("long")
+
+  /** Per-vector scale `max(1, ceil(maxabs / 127))` — codes land in
+    * `[-127, 127]`; the all-zero vector clamps to scale 1 instead of
+    * dividing by zero.
+    */
+  def scaleOf(qvec: Column): Column = {
+    val m = array_max(transform(qvec, v => abs(v)))
+    greatest(lit(1L), floorDiv(m + lit(126L), lit(127L)))
+  }
+
+  /** Codes for one vector at a given scale. */
+  def encode(qvec: Column, scale: Column): Column =
+    transform(qvec, v => floorDiv(v, scale))
+
+  /** SQ8 top-k per probe: encode the corpus in-plan (scale + codes
+    * per row), cross the broadcast probe set, keep each probe's k
+    * LARGEST `s·⟨codes, probe⟩` scores (ties → lowest corpus id)
+    * through the bounded [[graft.functions.TopKAgg]] — map-side
+    * partials, k·partitions rows shuffled per probe, the same
+    * scale shape as every other ANN entry point. Scores stay far
+    * below 2^53, so the double round-trip through the aggregate is
+    * exact. Output: (probeId, corpusId, sq8, rank).
+    */
+  def topK(corpus: DataFrame, probes: DataFrame, k: Int,
+      corpusId: String = "vec_id", corpusVec: String = "q",
+      probeVec: String = "pq", probeId: String = "probe_id"): DataFrame =
+    topKEncoded(
+      corpus
+        .withColumn("__s", scaleOf(col(corpusVec)))
+        .withColumn("__c", encode(col(corpusVec), col("__s")))
+        .drop(corpusVec),
+      probes, k, corpusId, probeVec, probeId)
+
+  /** [[topK]] over an already-encoded corpus (`__s` scale + `__c`
+    * codes columns) — the entry point for persisted SQ8 artifacts.
+    */
+  def topKEncoded(encoded: DataFrame, probes: DataFrame, k: Int,
+      corpusId: String = "vec_id",
+      probeVec: String = "pq", probeId: String = "probe_id"): DataFrame = {
+    require(probes.columns.contains(probeId),
+      s"sq8 topK probes need a '$probeId' column to attribute results")
+    val score = (col("__s") *
+      aggregate(zip_with(col("__c"), col(probeVec), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)).cast("double")
+    encoded.crossJoin(broadcast(probes))
+      .groupBy(col(probeId))
+      .agg(graft.functions.TopKAgg.top_k_agg(score,
+        col(corpusId).cast("long"), k).as("__top"))
+      .select(col(probeId), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(probeId), col("__e.id").as(corpusId),
+        col("__e.score").cast("long").as("sq8"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+}

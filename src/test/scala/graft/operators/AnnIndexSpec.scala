@@ -275,6 +275,63 @@ class AnnIndexSpec extends AnyFunSuite {
       path).reused)
   }
 
+  test("appendBatch is exactly-once: a replayed micro-batch id is " +
+      "skipped; a live foreachBatch stream maintains the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("annidx-str").toString + "/idx"
+    AnnIndex.buildIfAbsent(corpus().filter(col("vec_id") < 100),
+      "q", "vec_id", cents, path)
+    // direct-call semantics first: replay of the SAME batch id is a
+    // no-op on rows AND fingerprint
+    val d1 = corpus().filter(col("vec_id") >= 100 && col("vec_id") < 150)
+    val b1 = AnnIndex.appendBatch(d1, 0L, path)
+    assert(!b1.reused && b1.count == 150)
+    val replay = AnnIndex.appendBatch(d1, 0L, path)
+    assert(replay.reused && replay.count == 150 &&
+      replay.fingerprint == b1.fingerprint,
+      "replayed batch id must not double-append")
+    // and a stale id below the watermark is also skipped
+    assert(AnnIndex.appendBatch(d1, -1L, path).reused)
+
+    // end-to-end on a FRESH index (its own batch-id sequence): a
+    // MemoryStream of new vectors through the sink (Spark 4.1 keeps
+    // MemoryStream under execution.streaming.runtime)
+    val path2 = Files.createTempDirectory("annidx-str2").toString + "/idx"
+    AnnIndex.buildIfAbsent(corpus().filter(col("vec_id") < 150),
+      "q", "vec_id", cents, path2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Long])]
+    val q = input.toDF().toDF("vec_id", "q")
+      .writeStream
+      .foreachBatch(AnnIndex.foreachBatchSink(path2))
+      .start()
+    val tail = corpus().filter(col("vec_id") >= 150).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    input.addData(tail.take(20).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(tail.drop(20).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // the streamed index now equals a one-shot full build
+    val fullPath = Files.createTempDirectory("annidx-str-full")
+      .toString + "/idx"
+    val full = AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents,
+      fullPath)
+    val streamed = AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents,
+      path2)
+    assert(streamed.reused && streamed.fingerprint == full.fingerprint &&
+      streamed.count == 200,
+      "streamed appends must converge to the one-shot index state")
+    val probes = corpus().filter(col("vec_id").isin(0L, 120L, 170L))
+      .select(col("vec_id").as("probe_id"), col("q"))
+    def res(p: String) =
+      AnnIndex.searchInt(spark, p, probes, "probe_id", "q", 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(res(path2) == res(fullPath))
+  }
+
   test("persisted search matches the in-plan IVF composition and " +
       "prunes to the probed bucket partitions") {
     val path = Files.createTempDirectory("annidx3").toString + "/idx"

@@ -69,7 +69,10 @@ class SweepSpec extends AnyFunSuite {
     // q185: the same q75-class 1-row-probe cross again — the
     // incremental (pqAppend) build changes which code FILES the scan
     // unions, not the join shape.
-    "q185_pq_append_ann")
+    "q185_pq_append_ann",
+    // q187: SQ8 ANN — the q75-class 1-row-probe broadcast cross over
+    // per-row (scale, codes); the corpus side never shuffles.
+    "q187_sq8_ann")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
