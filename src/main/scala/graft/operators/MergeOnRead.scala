@@ -185,6 +185,91 @@ object MergeOnRead {
     b
   }
 
+  /** Exactly-once streaming append — the `foreachBatch` form of
+    * [[append]] for a CDC micro-batch stream. `foreachBatch` is
+    * at-least-once: after a crash the last batch replays, and a
+    * plain [[append]] would double-apply it. Here the micro-batch id
+    * travels ATOMICALLY with the data: the batch writes to a hidden
+    * staging directory (invisible to readers — it does not match the
+    * `batch=` prefix), a `_stream-<id>` marker file joins it there,
+    * and one atomic rename of the staging directory to its final
+    * `batch=<n>` name is the commit — data, `_SUCCESS`, and the
+    * stream marker become visible together or not at all. A replay
+    * finds its id's marker inside some committed batch directory and
+    * skips; a crash before the rename leaves an orphan staging
+    * directory (garbage, never read, never corruption). The rename
+    * doubles as the id reservation: it fails if `batch=<n>` exists
+    * (another writer won), and the loser retries the next id —
+    * coexisting safely with [[append]]'s createDirectory
+    * reservation. Returns the batch id, or -1 when the id was
+    * already committed (the replay case).
+    *
+    * Honest contract: the commit point is an atomic DIRECTORY
+    * rename — real on POSIX/HDFS, not on S3-class object stores
+    * (where [[append]] + an idempotent upstream, or a metadata-log
+    * commit like [[graft.operators.AnnIndex.appendBatch]]'s, is the
+    * right shape).
+    */
+  def streamAppend(changes: DataFrame, streamBatchId: Long,
+      dir: String): Int = {
+    val delta = new File(s"$dir/delta")
+    Files.createDirectories(delta.toPath)
+    val marker = s"_stream-$streamBatchId"
+    val replayed = Option(delta.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new File(f, marker).isFile) ||
+      new File(delta, s".stream-commits/$marker").isFile
+    if (replayed) return -1
+    val m = loadManifest(dir)
+    val staging = new File(delta, s".staging-$streamBatchId")
+    changes.withColumn(Bucket, bucketOf(m.meta))
+      .write.partitionBy(Bucket).mode("overwrite")
+      .parquet(staging.getPath)
+    Files.write(new File(staging, marker).toPath, Array.empty[Byte])
+    var b = (allBatchDirs(dir) ++ m.folded).foldLeft(-1)(math.max) + 1
+    var committed = false
+    while (!committed) {
+      try {
+        Files.move(staging.toPath, new File(delta, s"batch=$b").toPath,
+          StandardCopyOption.ATOMIC_MOVE)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => b += 1
+        // some filesystems signal the existing target differently
+        case _: java.nio.file.FileSystemException
+            if new File(delta, s"batch=$b").exists() => b += 1
+      }
+    }
+    b
+  }
+
+  /** `writeStream.foreachBatch(MergeOnRead.foreachBatchSink(dir))` —
+    * [[streamAppend]] in the closure shape Structured Streaming
+    * wants.
+    */
+  def foreachBatchSink(dir: String): (DataFrame, Long) => Unit =
+    (df, id) => { streamAppend(df, id, dir); () }
+
+  /** Before GC deletes a folded batch directory, copy any
+    * `_stream-<id>` markers it carries into the
+    * `delta/.stream-commits/` sidecar — a stream batch folded and
+    * GC'd between its [[streamAppend]] commit and Spark's checkpoint
+    * advance must STILL be recognized as committed by a replay.
+    * Ordered before the delete, so a crash between the two leaves
+    * both (harmless); never neither.
+    */
+  private def preserveStreamMarkers(dir: String, batch: Int): Unit = {
+    val bdir = new File(s"$dir/delta/batch=$batch")
+    val markers = Option(bdir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_stream-"))
+    if (markers.nonEmpty) {
+      val sidecar = Paths.get(dir, "delta", ".stream-commits")
+      Files.createDirectories(sidecar)
+      markers.foreach(f =>
+        Files.write(sidecar.resolve(f.getName), Array.empty[Byte]))
+    }
+  }
+
   private def readData(spark: SparkSession, dir: String,
       paths: Seq[String], basePath: String): DataFrame =
     if (paths.isEmpty)
@@ -262,8 +347,12 @@ object MergeOnRead {
     writeManifest(dir, Manifest(newVer, m.meta, buckets,
       m.folded ++ pending))
     if (gc) {
-      // post-swap GC: folded batches + replaced bucket dirs
-      pending.foreach(b => deleteRec(new File(s"$dir/delta/batch=$b")))
+      // post-swap GC: folded batches + replaced bucket dirs (stream
+      // markers outlive their directory via the sidecar)
+      pending.foreach { b =>
+        preserveStreamMarkers(dir, b)
+        deleteRec(new File(s"$dir/delta/batch=$b"))
+      }
       touched.foreach(b => m.buckets.get(b).foreach(v =>
         deleteRec(new File(s"$dir/data/ver=$v/$Bucket=$b"))))
     }
@@ -351,6 +440,7 @@ object MergeOnRead {
       if !liveData((ver, b.getName.stripPrefix(s"$Bucket=").toInt))
     } deleteRec(b)
     deletableBatches.foreach { b =>
+      preserveStreamMarkers(dir, b)
       deleteRec(new File(s"$dir/delta/batch=$b")) }
     drop.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
     drop.length

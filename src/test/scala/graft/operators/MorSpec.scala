@@ -174,6 +174,68 @@ class MorSpec extends AnyFunSuite {
       state(dir)(300L) === ("ins", 3L))
   }
 
+  test("streamAppend is exactly-once: a replayed micro-batch id is " +
+      "skipped, even after compaction GC'd its batch directory") {
+    val dir = tmp()
+    MergeOnRead.create(base(10), dir, Seq("k"), nBuckets = 2)
+    val c1 = ch(Seq((1L, "s1", 1L, "U", 1L)))
+    assert(MergeOnRead.streamAppend(c1, 0L, dir) === 0)
+    // replay of stream batch 0 before any compaction: skipped
+    assert(MergeOnRead.streamAppend(c1, 0L, dir) === -1)
+    assert(state(dir)(1L) === ("s1", 1L))
+    // a later stream batch commits normally
+    assert(MergeOnRead.streamAppend(
+      ch(Seq((2L, "s2", 2L, "U", 1L))), 1L, dir) === 1)
+    // compact + GC removes both batch dirs — markers survive in the
+    // sidecar, so replays of batch 0 AND 1 still skip
+    assert(MergeOnRead.compact(spark, dir) >= 1)
+    assert(!new File(s"$dir/delta/batch=0").exists())
+    assert(MergeOnRead.streamAppend(c1, 0L, dir) === -1)
+    assert(MergeOnRead.streamAppend(
+      ch(Seq((2L, "dup", 9L, "U", 2L))), 1L, dir) === -1)
+    assert(state(dir)(1L) === ("s1", 1L))
+    assert(state(dir)(2L) === ("s2", 2L))
+  }
+
+  test("a crashed streamAppend (staging dir, no rename) is invisible " +
+      "and its replay commits cleanly; a live foreachBatch stream " +
+      "folds CDC micro-batches into the table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    MergeOnRead.create(base(10), dir, Seq("k"), nBuckets = 2)
+    // simulate the crash: stage by hand where streamAppend would,
+    // WITHOUT the rename
+    val m = MergeOnRead.loadManifest(dir)
+    ch(Seq((1L, "torn", 1L, "U", 1L)))
+      .withColumn("__mor_bucket",
+        pmod(xxhash64(col("k")), lit(2)).cast("int"))
+      .write.partitionBy("__mor_bucket").mode("overwrite")
+      .parquet(s"$dir/delta/.staging-7")
+    assert(state(dir)(1L) === ("v1", 10L), "staging must be invisible")
+    // the replay of stream batch 7 commits exactly once
+    assert(MergeOnRead.streamAppend(
+      ch(Seq((1L, "ok", 2L, "U", 1L))), 7L, dir) >= 0)
+    assert(state(dir)(1L) === ("ok", 2L))
+
+    // end-to-end: a MemoryStream of change rows through the sink
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, String, Long)]
+    val q = input.toDF().toDF("k", "s", "x", "op", "seq")
+      .writeStream
+      .foreachBatch(MergeOnRead.foreachBatchSink(dir))
+      .start()
+    input.addData((3L, "up3", 33L, "U", 1L), (2L, "", 0L, "D", 1L))
+    q.processAllAvailable()
+    input.addData((200L, "ins", 7L, "I", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = state(dir)
+    assert(got(3L) === ("up3", 33L))
+    assert(!got.contains(2L))
+    assert(got(200L) === ("ins", 7L))
+  }
+
   test("a bucket deleted down to zero rows disappears from the manifest") {
     val dir = tmp()
     MergeOnRead.create(base(4), dir, Seq("k"), nBuckets = 2)
