@@ -106,7 +106,8 @@ object Bench {
     // The headline total EXCLUDES them; state_total carries them.
     val stateScope: Set[String] = Set("q180_merge_on_read",
       "q181_ivf_persisted_ann", "q182_pq_persisted_ann",
-      "q185_pq_append_ann", "q186_ivf_compacted_ann")
+      "q185_pq_append_ann", "q186_ivf_compacted_ann",
+      "q188_sq8_persisted_ann", "q189_filtered_ann")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

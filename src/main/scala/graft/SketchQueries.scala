@@ -553,6 +553,50 @@ object SketchQueries {
         .select(col("vec_id"), col("sq8"))
     }),
 
+    // q187 through a PERSISTED SQ8 index: scale+codes written once
+    // (the parameter-free artifact kind — nothing to train), search
+    // reads (scale, codes) only. Same math, same oracle.
+    "q188_sq8_persisted_ann" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-sq8idx-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildSq8IfAbsent(emb.filter(col("vec_id") > 0), "q",
+        "vec_id", idx)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      AnnIndex.sq8SearchInt(s, idx, probe, "probe_id", "q", 5)
+        .select(col("vec_id"), col("sq8"))
+    }),
+
+    // FILTERED ANN: the q46/q181 IVF search restricted to candidates
+    // whose CARRIED metadata (language, joined from documents at
+    // build time) matches a predicate — the "top-k among matching
+    // docs" shape every curation pipeline needs. The filter stacks
+    // with the bucket partition prune: Catalyst pushes lang='en'
+    // into the parquet scan of only the probed buckets.
+    "q189_filtered_ann" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val c = emb.join(Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-fannidx-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildIfAbsent(c, "q", "vec_id", IvfCentroids, idx,
+        carryCols = Seq("lang"))
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      AnnIndex.searchInt(s, idx, probes, "probe_id", "q", 2, 3,
+          where = Some(col("lang") === "en"))
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
     // The full persisted-IVF lifecycle in one query: build on 3/4 of
     // the corpus, `append` the remaining quarter, `compactDeltas` the
     // delta stream back to one directory — search must match the
@@ -1104,12 +1148,14 @@ object SketchQueries {
        |  WHERE round(CAST($eq AS DOUBLE) / 16, 4) >= 0.5)""".stripMargin
   }
 
-  /** q46/q181 share this: IVF bucket + 2-probe fan-out + cosine
-    * top-3, fixed integer centroids (q181 reads the same assignment
-    * from the persisted index, so the math — and the oracle — are
-    * identical by construction).
+  /** q46/q181/q186 share this: IVF bucket + 2-probe fan-out + cosine
+    * top-3, fixed integer centroids (q181/q186 read the same
+    * assignment from the persisted index, so the math — and the
+    * oracle — are identical by construction). `corpusExtra` injects
+    * an extra join/predicate on the candidate side — the filtered-ANN
+    * (q189) restriction.
     */
-  private lazy val ivfAnnOracle: String = {
+  private def ivfAnnOracleSql(corpusExtra: String): String = {
     val ds = IvfCentroids.zipWithIndex.map { case (c, i) =>
       s"""{'d': CAST(list_sum(list_transform(list_zip(q, ${c.mkString("[", ",", "]")}),
          |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT), 'c': $i}"""
@@ -1128,13 +1174,37 @@ object SketchQueries {
        |  FROM dist WHERE vec_id < 5),
        |scored AS (SELECT p.probe_id, c.vec_id,
        |  ${duckCosineInt("c.q", "p.pq")} AS sim
-       |  FROM b c JOIN p ON c.bucket = p.bucket),
+       |  FROM b c $corpusExtra JOIN p ON c.bucket = p.bucket),
        |ranked AS (SELECT probe_id, vec_id, sim, row_number()
        |  OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
        |  FROM scored)
        |SELECT probe_id, vec_id, round(sim, 4) AS sim, rank FROM ranked
        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   }
+
+  private lazy val ivfAnnOracle: String = ivfAnnOracleSql("")
+
+  /** q187/q188 share this: per-vector scale + floor-division int8
+    * codes + asymmetric integer scoring (q188 reads the same codes
+    * from the persisted index, so math and oracle are identical by
+    * construction).
+    */
+  private lazy val sq8Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, q,
+      |  list_max(list_transform(q, x -> abs(x))) AS ma FROM q),
+      |sc AS (SELECT vec_id, q, greatest(1,
+      |  CAST((ma + 126 - ((ma + 126) % 127)) / 127 AS BIGINT)) AS s
+      |  FROM m),
+      |c AS (SELECT vec_id, s, list_transform(q,
+      |  x -> CAST((x - ((x % s + s) % s)) / s AS BIGINT)) AS c
+      |  FROM sc WHERE vec_id > 0),
+      |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
+      |SELECT c.vec_id, CAST(c.s * list_sum(list_transform(
+      |  list_zip(c.c, p.pq), z -> z[1] * z[2])) AS BIGINT) AS sq8
+      |FROM c, p ORDER BY sq8 DESC, vec_id LIMIT 5""".stripMargin
 
   /** q75/q182 share this: PQ encode + single-probe ADC ranking,
     * fixed integer codebooks (q182 reads the same codes from the
@@ -1399,6 +1469,9 @@ object SketchQueries {
     "q46_ivf_ann" -> ivfAnnOracle,
     // identical math served from the persisted index — same oracle
     "q181_ivf_persisted_ann" -> ivfAnnOracle,
+    // filtered ANN: the candidate side carries the lang restriction
+    "q189_filtered_ann" -> ivfAnnOracleSql(
+      "JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'en'"),
     "q47_embedding_neardups" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
          |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -1436,22 +1509,9 @@ object SketchQueries {
     "q185_pq_append_ann" -> pqAdcOracle,
     // SQ8: the scale/encode/score arithmetic replayed end-to-end —
     // pmod-based floor division matches (x - ((x % s + s) % s)) / s
-    "q187_sq8_ann" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding,
-        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |m AS (SELECT vec_id, q,
-        |  list_max(list_transform(q, x -> abs(x))) AS ma FROM q),
-        |sc AS (SELECT vec_id, q, greatest(1,
-        |  CAST((ma + 126 - ((ma + 126) % 127)) / 127 AS BIGINT)) AS s
-        |  FROM m),
-        |c AS (SELECT vec_id, s, list_transform(q,
-        |  x -> CAST((x - ((x % s + s) % s)) / s AS BIGINT)) AS c
-        |  FROM sc WHERE vec_id > 0),
-        |p AS (SELECT q AS pq FROM q WHERE vec_id = 0)
-        |SELECT c.vec_id, CAST(c.s * list_sum(list_transform(
-        |  list_zip(c.c, p.pq), z -> z[1] * z[2])) AS BIGINT) AS sq8
-        |FROM c, p ORDER BY sq8 DESC, vec_id LIMIT 5""".stripMargin,
+    "q187_sq8_ann" -> sq8Oracle,
+    // the persisted-SQ8 serve path computes the same codes/scores
+    "q188_sq8_persisted_ann" -> sq8Oracle,
     // build + append + compact converges to the one-shot index state
     "q186_ivf_compacted_ann" -> ivfAnnOracle,
     // replays the q79 fixture arithmetically: dHash cells over the

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted ANN indexes — the write-once artifact forms of [[Ivf]]
@@ -74,9 +74,9 @@ object AnnIndex {
     * scan; no shuffle beyond the single-row agg.
     */
   def fingerprint(corpus: DataFrame, idCol: String,
-      vecCol: String): (Long, Long) = {
+      vecCol: String, carryCols: Seq[String] = Nil): (Long, Long) = {
     val r = corpus.agg(
-      bit_xor(xxhash64(col(idCol), col(vecCol))).as("fp"),
+      bit_xor(xxhash64((idCol +: vecCol +: carryCols).map(col): _*)).as("fp"),
       count(lit(1)).as("n")).collect()(0)
     val n = r.getLong(1)
     (if (n == 0) 0L else r.getLong(0), n)
@@ -100,7 +100,7 @@ object AnnIndex {
 
   private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
       id: String, vec: String, ph: Long, deltas: Seq[String] = Nil,
-      lastBatch: Long = -1L) {
+      lastBatch: Long = -1L, carry: Seq[String] = Nil) {
     /** Equality for reuse decisions — everything except the delta
       * list and streaming batch watermark (an appended index still
       * satisfies a matching rebuild: the composed fingerprint covers
@@ -128,7 +128,10 @@ object AnnIndex {
         // never match a computed hash, so it rebuilds once, safely
         Option(node.get("ph")).map(_.asLong()).getOrElse(0L),
         deltas,
-        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L)))
+        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
+        Option(node.get("carry")).toSeq.flatMap { a =>
+          (0 until a.size()).map(a.get(_).asText())
+        }))
     }
   }
 
@@ -141,6 +144,8 @@ object AnnIndex {
     node.put("lb", mf.lastBatch)
     val arr = node.putArray("deltas")
     mf.deltas.foreach(arr.add)
+    val carr = node.putArray("carry")
+    mf.carry.foreach(carr.add)
     Files.createDirectories(Paths.get(path))
     Files.write(manifestPath(path),
       m.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
@@ -166,13 +171,18 @@ object AnnIndex {
     * already indexed. `centroids` are the quantized-space integer
     * centroids ([[Ivf.assignInt]] semantics — typically
     * [[Ivf.trainCentroids]] output quantized, or fixed centroids
-    * where reproducibility outranks recall).
+    * where reproducibility outranks recall). `carryCols` persists
+    * extra metadata columns next to each vector (language, license,
+    * source domain, …) for FILTERED ANN at search time
+    * ([[searchInt]]'s `where`) — carried values are part of the
+    * fingerprint, so metadata changes invalidate like vector changes.
     */
   def buildIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
-      centroids: Seq[Seq[Long]], path: String): Build = {
-    val (fp, n) = fingerprint(corpus, idCol, vecCol)
+      centroids: Seq[Seq[Long]], path: String,
+      carryCols: Seq[String] = Nil): Build = {
+    val (fp, n) = fingerprint(corpus, idCol, vecCol, carryCols)
     val want = Manifest(fp, n, "ivf", centroids.length, idCol, vecCol,
-      paramsHash(centroids))
+      paramsHash(centroids), carry = carryCols)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
@@ -185,8 +195,8 @@ object AnnIndex {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$path/centroids")
         corpus
-          .select(col(idCol), col(vecCol),
-            Ivf.assignInt(col(vecCol), centroids).as("bucket"))
+          .select(col(idCol) +: col(vecCol) +: carryCols.map(col) :+
+            Ivf.assignInt(col(vecCol), centroids).as("bucket"): _*)
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/assignments")
         writeManifest(path, want)
@@ -258,7 +268,8 @@ object AnnIndex {
     */
   def searchInt(spark: SparkSession, path: String, probes: DataFrame,
       probeIdCol: String, vecCol: String, nprobe: Int, k: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      where: Option[Column] = None): DataFrame = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     val cs = centroids(spark, path)
@@ -267,7 +278,13 @@ object AnnIndex {
         explode(Ivf.probeBucketsInt(col(vecCol), cs, nprobe)).as("bucket"))
     val wanted = p.select("bucket").distinct().collect()
       .map(_.getAs[Number](0).intValue).toSeq
-    val assigned = readAssignments(spark, path, mf, Some(wanted))
+    // FILTERED ANN: `where` predicates over carried metadata columns
+    // apply before scoring, stacking with the bucket partition prune
+    // — Catalyst pushes plain predicates into the parquet scan, so a
+    // `lang = 'en'` search reads only matching row groups of only
+    // the probed buckets
+    val assigned = where.foldLeft(
+      readAssignments(spark, path, mf, Some(wanted)))(_.filter(_))
     val scored = assigned.join(broadcast(p), Seq("bucket"))
       .withColumn("sim", Similarity.cosineInt(col(vecCol), col("__pq")))
     Similarity.topKPerProbe(scored, k, "probe_id", idCol)
@@ -306,7 +323,7 @@ object AnnIndex {
       throw new IllegalStateException(s"no index at $path"))
     require(have.kind == "ivf", s"append needs an ivf index, got ${have.kind}")
     val cs = centroids(spark, path)
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
     if (checkDisjoint)
       requireDisjoint(delta, readAssignments(spark, path, have, None),
@@ -315,8 +332,8 @@ object AnnIndex {
     // manifest write lists it
     val staged = nextDeltaName(path, "d")
     delta
-      .select(col(have.id), col(have.vec),
-        Ivf.assignInt(col(have.vec), cs).as("bucket"))
+      .select(col(have.id) +: col(have.vec) +: have.carry.map(col) :+
+        Ivf.assignInt(col(have.vec), cs).as("bucket"): _*)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
@@ -411,8 +428,83 @@ object AnnIndex {
     Build(path, next.fp, next.n, reused = false)
   }
 
+  /** Build a persisted SQ8 index ([[Sq8]] per-vector scale + byte
+    * codes) at `path` unless the manifest fingerprint matches — the
+    * parameter-free third artifact kind (no centroids to train or
+    * pin: the scale derives from each vector). Layout:
+    * {{{
+    *   <path>/codes/        parquet: (<id>, __s BIGINT, __c ARRAY<BIGINT>)
+    *   <path>/manifest.json — written LAST (commit marker)
+    * }}}
+    */
+  def buildSq8IfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String): Build = {
+    val (fp, n) = fingerprint(corpus, idCol, vecCol)
+    val want = Manifest(fp, n, "sq8", 0, idCol, vecCol, 0L)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        uncommit(path)
+        corpus
+          .withColumn("__s", Sq8.scaleOf(col(vecCol)))
+          .select(col(idCol), col("__s"),
+            Sq8.encode(col(vecCol), col("__s")).as("__c"))
+          .write.mode("overwrite").parquet(s"$path/codes")
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** Incrementally extend a persisted SQ8 index — [[pqAppend]]'s
+    * twin (delta-only encode, staged commit, composed fingerprint).
+    */
+  def sq8Append(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build =
+    sq8AppendImpl(delta, path, checkDisjoint, None)
+
+  private def sq8AppendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    require(have.kind == "sq8",
+      s"sq8Append needs an sq8 index, got ${have.kind}")
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint)
+      requireDisjoint(delta, readParts(spark, path, "codes", have, None),
+        have.id, path)
+    val staged = nextDeltaName(path, "d")
+    delta
+      .withColumn("__s", Sq8.scaleOf(col(have.vec)))
+      .select(col(have.id), col("__s"),
+        Sq8.encode(col(have.vec), col("__s")).as("__c"))
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** SQ8 top-k over the persisted index: the corpus side reads only
+    * (scale, codes) — [[Sq8.topKEncoded]] over base ∪ committed
+    * deltas. Output: (probe_id, <idCol>, sq8, rank).
+    */
+  def sq8SearchInt(spark: SparkSession, path: String, probes: DataFrame,
+      probeIdCol: String, vecCol: String, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    Sq8.topKEncoded(readParts(spark, path, "codes", mf, None),
+      probes.select(col(probeIdCol).as("probe_id"), col(vecCol).as("pq")),
+      k, corpusId = idCol)
+  }
+
   /** Exactly-once streaming index maintenance — the `foreachBatch`
-    * form of [[append]]/[[pqAppend]] (kind-dispatched): the
+    * form of [[append]]/[[pqAppend]]/[[sq8Append]] (kind-dispatched):
+    * the
     * micro-batch id is committed IN the same manifest write as the
     * delta it marks, so a batch replayed after a crash (Structured
     * Streaming's at-least-once `foreachBatch` contract) is detected
@@ -433,10 +525,11 @@ object AnnIndex {
       throw new IllegalStateException(s"no index at $path"))
     if (batchId <= have.lastBatch)
       return Build(path, have.fp, have.n, reused = true)
-    if (have.kind == "ivf")
-      appendImpl(batch, path, checkDisjoint, Some(batchId))
-    else
-      pqAppendImpl(batch, path, checkDisjoint, Some(batchId))
+    have.kind match {
+      case "ivf" => appendImpl(batch, path, checkDisjoint, Some(batchId))
+      case "pq" => pqAppendImpl(batch, path, checkDisjoint, Some(batchId))
+      case _ => sq8AppendImpl(batch, path, checkDisjoint, Some(batchId))
+    }
   }
 
   /** `writeStream.foreachBatch(AnnIndex.foreachBatchSink(path))` —

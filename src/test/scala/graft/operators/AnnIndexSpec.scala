@@ -332,6 +332,71 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(res(path2) == res(fullPath))
   }
 
+  test("persisted SQ8 index: build/reuse, append composes the " +
+      "fingerprint, search matches the in-plan Sq8.topK ranking") {
+    val path = Files.createTempDirectory("sq8idx").toString + "/idx"
+    val fullPath = Files.createTempDirectory("sq8idx-full").toString + "/idx"
+    assert(!AnnIndex.buildSq8IfAbsent(corpus().filter(col("vec_id") < 150),
+      "q", "vec_id", path).reused)
+    val appended = AnnIndex.sq8Append(
+      corpus().filter(col("vec_id") >= 150), path)
+    val full = AnnIndex.buildSq8IfAbsent(corpus(), "q", "vec_id", fullPath)
+    assert(appended.fingerprint == full.fingerprint &&
+      appended.count == full.count)
+    assert(AnnIndex.buildSq8IfAbsent(corpus(), "q", "vec_id", path).reused)
+    val probes = corpus().filter(col("vec_id") === 3)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id", "sq8", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sorted
+    val got = AnnIndex.sq8SearchInt(spark, path, probes, "probe_id", "q", 4)
+    val want = Sq8.topK(corpus(),
+      corpus().filter(col("vec_id") === 3)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq")), 4)
+    assert(key(got) == key(want))
+    // exactly-once streaming dispatch reaches the sq8 kind too
+    val b = AnnIndex.appendBatch(corpus().limit(0), 5L, path)
+    assert(b.reused) // empty batch: no-op
+  }
+
+  test("filtered ANN: carried metadata columns persist, filter at " +
+      "search time, and are fingerprinted (metadata edits rebuild)") {
+    val path = Files.createTempDirectory("annidx-meta").toString + "/idx"
+    val c = corpus().withColumn("par",
+      when(pmod(col("vec_id"), lit(2)) === 0, "even").otherwise("odd"))
+    val b1 = AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path,
+      carryCols = Seq("par"))
+    assert(!b1.reused)
+    // same (id, vec) with different metadata must NOT reuse
+    val edited = c.withColumn("par", lit("all"))
+    assert(!AnnIndex.buildIfAbsent(edited, "q", "vec_id", cents, path,
+      carryCols = Seq("par")).reused,
+      "metadata change must invalidate the fingerprint")
+    // rebuild with the original metadata for the search check
+    AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path,
+      carryCols = Seq("par"))
+    val probes = c.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    val got = AnnIndex.searchInt(spark, path, probes, "probe_id", "q",
+        nprobe = 4, k = 3, where = Some(col("par") === "even"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got.forall { case (_, id) => id % 2 == 0 },
+      s"filtered search must only rank matching candidates: $got")
+    // differential vs an nprobe=all unfiltered search trimmed to even
+    // ids then re-ranked: with all buckets probed both see the same
+    // candidate set, so top-3 evens must agree
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val all = AnnIndex.searchInt(spark, path, probes, "probe_id", "q",
+        nprobe = 4, k = 200)
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == all)
+  }
+
   test("persisted search matches the in-plan IVF composition and " +
       "prunes to the probed bucket partitions") {
     val path = Files.createTempDirectory("annidx3").toString + "/idx"

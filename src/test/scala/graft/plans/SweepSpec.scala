@@ -70,9 +70,10 @@ class SweepSpec extends AnyFunSuite {
     // incremental (pqAppend) build changes which code FILES the scan
     // unions, not the join shape.
     "q185_pq_append_ann",
-    // q187: SQ8 ANN — the q75-class 1-row-probe broadcast cross over
-    // per-row (scale, codes); the corpus side never shuffles.
-    "q187_sq8_ann")
+    // q187/q188: SQ8 ANN — the q75-class 1-row-probe broadcast cross
+    // over per-row (scale, codes); the corpus side never shuffles.
+    // q188 only changes where the codes scan reads from (persisted).
+    "q187_sq8_ann", "q188_sq8_persisted_ann")
 
   /** q36 is the deliberate cartesian demonstration query (literal
     * 3×3); nothing else may plan one.
