@@ -107,7 +107,10 @@ object Bench {
     val stateScope: Set[String] = Set("q180_merge_on_read",
       "q181_ivf_persisted_ann", "q182_pq_persisted_ann",
       "q185_pq_append_ann", "q186_ivf_compacted_ann",
-      "q188_sq8_persisted_ann", "q189_filtered_ann")
+      "q188_sq8_persisted_ann", "q189_filtered_ann",
+      "q190_dedup_index_lookup", "q191_dedup_index_pairs",
+      "q192_dedup_index_appended", "q193_dedup_index_exact",
+      "q194_ann_deleted", "q195_dedup_index_deleted")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

@@ -99,6 +99,25 @@ object SketchQueries {
     * inside HashAggregate; string agg buffers would fall back to
     * sort-based aggregation over the exploded gram stream.
     */
+  /** q190/q191 share this persisted dedup index over documents
+    * doc_id < 200: md5-core permutation MinHash (16 hashes, 4-shingle,
+    * 4 bands — oracle-replayable via the q88 md5Int60 contract),
+    * built once per dataset dir ([[graft.operators.DedupIndex]]
+    * fingerprint-reuses on every later call).
+    */
+  private def dedupIdx(s: SparkSession, d: String): String = {
+    import graft.operators.DedupIndex
+    val idx = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-dedupidx-${Integer.toHexString(d.hashCode)}").toString
+    DedupIndex.buildIfAbsent(
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")),
+      "text", "doc_id", DedupIndex.MinhashMd5(16, 4), bands = 4, idx,
+      kbParts = 8, sbParts = 8)
+    idx
+  }
+
   private def neardupPairsMd5(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val grams = Dedup.explodeGrams(docs, "text", "doc_id", 4)
@@ -625,6 +644,125 @@ object SketchQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // Tombstone deletes on the persisted IVF index — the unlearning /
+    // takedown path every curation pipeline eventually needs: delete
+    // rides the same full-row CDC feed appends do (xor self-inverse
+    // folds the rows OUT of the fingerprint in O(delta)), every read
+    // anti-joins the broadcast tombstone set, and the search must
+    // rank exactly as an index built without the deleted rows.
+    // buildIfAbsent rebuilds when the manifest holds a prior run's
+    // tombstoned state (fp mismatch), so the delete applies exactly
+    // once per invocation.
+    "q194_ann_deleted" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-anndel-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildIfAbsent(emb, "q", "vec_id", IvfCentroids, idx)
+      AnnIndex.delete(emb.filter(pmod(col("vec_id"), lit(7)) === 3), idx)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q"))
+      AnnIndex.searchInt(s, idx, probes, "probe_id", "q", 2, 3)
+        .select(col("probe_id"), col("vec_id"), col("sim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Persisted MinHash-LSH dedup index, incremental-ingest question:
+    // "which of these 20 docs already live in the corpus?" — the
+    // probe batch is signed, candidates come from band-key equality
+    // against the persisted bands table pruned to the probes' kb
+    // partitions (broadcast probe, corpus never shuffles), and
+    // signature verification prunes the sigs table the same way on
+    // sb. Self-matches excluded (probes ARE corpus members here —
+    // the dedup-lookup reading).
+    "q190_dedup_index_lookup" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      DedupIndex.nearDupsOf(s, dedupIdx(s, d),
+          Tables.documents(s, d).filter(col("doc_id") < 20)
+            .select(col("doc_id"), col("text")),
+          "text", "doc_id", thresholdTenths = 5)
+        .filter(col("new_id") =!= col("corpus_id"))
+        .orderBy("new_id", "corpus_id")
+    }),
+
+    // All within-corpus near-dup pairs served FROM the persisted
+    // index: no document is re-shingled, no signature recomputed —
+    // the q43-class banded self-join runs over the persisted band
+    // keys and verifies against the persisted signatures. At 100 TB
+    // the signature pass is the dominant cost of every dedup run;
+    // persisting it turns the nightly near-dup sweep into a join-only
+    // job.
+    "q191_dedup_index_pairs" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      DedupIndex.selfPairs(s, dedupIdx(s, d), thresholdTenths = 5)
+        .orderBy("a", "b")
+    }),
+
+    // Exact-dup lookup against the persisted digest table — the
+    // cheap pre-pass before q190's near-dup flagging. The corpus has
+    // no exact dups, so probes are synthesized: docs 0..9 re-keyed
+    // +1000, every third with an appended token (novel). Flagged =
+    // the untouched copies; the md5-over-normText digest replays
+    // exactly in any engine.
+    "q193_dedup_index_exact" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val probes = Tables.documents(s, d).filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" xnovel")))
+            .otherwise(col("text")).as("text"))
+      DedupIndex.exactDupsOf(s, dedupIdx(s, d), probes, "text", "doc_id")
+        .orderBy("new_id", "corpus_id")
+    }),
+
+    // Tombstone deletes on the persisted dedup index — takedowns
+    // (license revocation, PII complaints) applied to standing dedup
+    // state without re-signing anything: the delete folds the (id,
+    // text) hashes out of the fingerprint, pair listings and lookups
+    // anti-join the tombstones, and the result must equal an index
+    // built without the deleted docs. Rebuild-on-mismatch makes the
+    // delete exactly-once per invocation (the q194 pattern).
+    "q195_dedup_index_deleted" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-dedupdel-${Integer.toHexString(d.hashCode)}").toString
+      DedupIndex.buildIfAbsent(docs, "text", "doc_id",
+        DedupIndex.MinhashMd5(16, 4), bands = 4, idx,
+        kbParts = 8, sbParts = 8, dbParts = 8)
+      DedupIndex.delete(docs.filter(col("doc_id") >= 100 &&
+        col("doc_id") < 120), idx)
+      DedupIndex.selfPairs(s, idx, thresholdTenths = 5)
+        .orderBy("a", "b")
+    }),
+
+    // The dedup-index lifecycle: build on doc_id < 150, append the
+    // rest, compact the delta stream — pairs must match the one-shot
+    // q191 index bit-for-bit (same oracle). The append signs ONLY
+    // the delta and composes the fingerprint in O(delta).
+    "q192_dedup_index_appended" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-dedupinc-${Integer.toHexString(d.hashCode)}").toString
+      DedupIndex.buildIfAbsent(docs.filter(col("doc_id") < 150),
+        "text", "doc_id", DedupIndex.MinhashMd5(16, 4), bands = 4, idx,
+        kbParts = 8, sbParts = 8)
+      DedupIndex.append(docs.filter(col("doc_id") >= 150 &&
+        col("doc_id") < 175), idx)
+      DedupIndex.append(docs.filter(col("doc_id") >= 175), idx)
+      DedupIndex.compactDeltas(s, idx)
+      DedupIndex.selfPairs(s, idx, thresholdTenths = 5)
+        .orderBy("a", "b")
+    }),
+
     /** Demux→PIXELS under the hash contract: MJPEG-in-MP4 — each MP4
       * sample is a complete JPEG ([[Multimodal.encodeGrayJpeg]],
       * quality 1.0) whose 8×8 blocks are UNIFORM with
@@ -1148,6 +1286,50 @@ object SketchQueries {
        |  WHERE round(CAST($eq AS DOUBLE) / 16, 4) >= 0.5)""".stripMargin
   }
 
+  /** q190/q191/q192 share this: the permutation-MinHash signatures,
+    * band keys, and verified pair algebra of the persisted
+    * [[graft.operators.DedupIndex]] (MinhashMd5(16, 4), 4 bands)
+    * replayed arithmetically — md5Int60 base hash, the exact
+    * [[graft.operators.Dedup.permParams]] (a, b) constants inlined,
+    * '|'-joined decimal band keys, integer threshold
+    * `10·matches ≥ 5·16`. The persisted index only changes WHERE the
+    * signatures are read from, so the three queries differ purely in
+    * the pair predicate (`pairPred`) and output ids (`selA`/`selB`).
+    */
+  private def dedupIndexOracleSql(selA: String, selB: String,
+      pairPred: String, corpusWhere: String = ""): String = {
+    val perms = graft.operators.Dedup.permParams(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH dnorm AS (SELECT doc_id,
+       |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+       |  WHERE doc_id < 200 $corpusWhere),
+       |dg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+       |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM dnorm) u),
+       |dbase AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
+       |  FROM dg),
+       |dperms(i, a, b) AS (VALUES $perms),
+       |dsig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+       |  FROM dbase, dperms GROUP BY doc_id, i),
+       |dbk AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+       |  string_agg(CAST(v AS VARCHAR), '|' ORDER BY i) AS bkey
+       |  FROM dsig GROUP BY doc_id, CAST(i // 4 AS INT)),
+       |cand AS (SELECT DISTINCT p.doc_id AS $selA, c.doc_id AS $selB
+       |  FROM dbk p JOIN dbk c
+       |  ON p.band = c.band AND p.bkey = c.bkey AND $pairPred),
+       |m AS (SELECT cand.$selA, cand.$selB,
+       |  CAST(sum(CASE WHEN sp.v = sc.v THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS matches
+       |  FROM cand JOIN dsig sp ON sp.doc_id = cand.$selA
+       |  JOIN dsig sc ON sc.doc_id = cand.$selB AND sc.i = sp.i
+       |  GROUP BY 1, 2)
+       |SELECT $selA, $selB, matches,
+       |  round(CAST(matches AS DOUBLE) / 16, 4) AS est_jaccard
+       |FROM m WHERE matches * 10 >= 5 * 16
+       |ORDER BY $selA, $selB""".stripMargin
+  }
+
   /** q46/q181/q186 share this: IVF bucket + 2-probe fan-out + cosine
     * top-3, fixed integer centroids (q181/q186 read the same
     * assignment from the persisted index, so the math — and the
@@ -1155,7 +1337,8 @@ object SketchQueries {
     * an extra join/predicate on the candidate side — the filtered-ANN
     * (q189) restriction.
     */
-  private def ivfAnnOracleSql(corpusExtra: String): String = {
+  private def ivfAnnOracleSql(corpusExtra: String,
+      corpusPred: String = ""): String = {
     val ds = IvfCentroids.zipWithIndex.map { case (c, i) =>
       s"""{'d': CAST(list_sum(list_transform(list_zip(q, ${c.mkString("[", ",", "]")}),
          |  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT), 'c': $i}"""
@@ -1174,7 +1357,8 @@ object SketchQueries {
        |  FROM dist WHERE vec_id < 5),
        |scored AS (SELECT p.probe_id, c.vec_id,
        |  ${duckCosineInt("c.q", "p.pq")} AS sim
-       |  FROM b c $corpusExtra JOIN p ON c.bucket = p.bucket),
+       |  FROM b c $corpusExtra JOIN p ON c.bucket = p.bucket
+       |  $corpusPred),
        |ranked AS (SELECT probe_id, vec_id, sim, row_number()
        |  OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
        |  FROM scored)
@@ -1514,6 +1698,35 @@ object SketchQueries {
     "q188_sq8_persisted_ann" -> sq8Oracle,
     // build + append + compact converges to the one-shot index state
     "q186_ivf_compacted_ann" -> ivfAnnOracle,
+    // the q46 ranking with the tombstoned ids gone from the corpus
+    "q194_ann_deleted" -> ivfAnnOracleSql("",
+      "AND c.vec_id % 7 <> 3"),
+    // persisted dedup index: probe batch vs corpus, self-matches out
+    "q190_dedup_index_lookup" -> dedupIndexOracleSql("new_id",
+      "corpus_id", "p.doc_id < 20 AND c.doc_id <> p.doc_id"),
+    // within-corpus pairs served from the same persisted signatures
+    "q191_dedup_index_pairs" -> dedupIndexOracleSql("a", "b",
+      "p.doc_id < c.doc_id"),
+    // build→append×2→compact converges to the one-shot index state
+    "q192_dedup_index_appended" -> dedupIndexOracleSql("a", "b",
+      "p.doc_id < c.doc_id"),
+    // the q191 pair algebra with the tombstoned docs gone
+    "q195_dedup_index_deleted" -> dedupIndexOracleSql("a", "b",
+      "p.doc_id < c.doc_id",
+      "AND NOT (doc_id >= 100 AND doc_id < 120)"),
+    // md5-over-normText equality of synthesized probes vs corpus
+    "q193_dedup_index_exact" ->
+      """WITH c AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS digest
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (SELECT doc_id + 1000 AS new_id,
+        |  md5(lower(regexp_replace(
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' xnovel' ELSE text END,
+        |    '\s+', ' ', 'g'))) AS digest
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT p.new_id, c.doc_id AS corpus_id, p.digest
+        |FROM p JOIN c USING (digest)
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // replays the q79 fixture arithmetically: dHash cells over the
     // 72×32 image are exactly the 8×8-uniform block values (cell
     // width 8 px = one block column, cell height 4 px = half a block

@@ -96,19 +96,25 @@ object AnnIndex {
   private def pqParamsHash(books: Seq[Seq[Seq[Long]]]): Long =
     books.foldLeft(19L)((h, cb) => h * 31L + paramsHash(cb))
 
-  private def manifestPath(path: String) = Paths.get(path, "manifest.json")
+  private def manifestPath(path: String) = IndexDirs.manifestPath(path)
 
   private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
       id: String, vec: String, ph: Long, deltas: Seq[String] = Nil,
-      lastBatch: Long = -1L, carry: Seq[String] = Nil) {
-    /** Equality for reuse decisions — everything except the delta
-      * list and streaming batch watermark (an appended index still
-      * satisfies a matching rebuild: the composed fingerprint covers
-      * base ∪ deltas).
+      lastBatch: Long = -1L, carry: Seq[String] = Nil,
+      tombs: Seq[String] = Nil, baseDir: String = "") {
+    /** Equality for reuse decisions — everything except the delta /
+      * tombstone lists, the base-dir version, and the streaming batch
+      * watermark (an appended or deleted-from index still satisfies a
+      * matching rebuild: the composed fingerprint covers base ∪
+      * deltas ∖ tombstones).
       */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L) ==
-        other.copy(deltas = Nil, lastBatch = -1L)
+      copy(deltas = Nil, lastBatch = -1L, tombs = Nil, baseDir = "") ==
+        other.copy(deltas = Nil, lastBatch = -1L, tombs = Nil,
+          baseDir = "")
+    /** The live base data directory: versioned after a [[purge]]. */
+    def baseOr(default: String): String =
+      if (baseDir.isEmpty) default else baseDir
   }
 
   private def readManifest(path: String): Option[Manifest] = {
@@ -131,7 +137,11 @@ object AnnIndex {
         Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
         Option(node.get("carry")).toSeq.flatMap { a =>
           (0 until a.size()).map(a.get(_).asText())
-        }))
+        },
+        Option(node.get("tombs")).toSeq.flatMap { a =>
+          (0 until a.size()).map(a.get(_).asText())
+        },
+        Option(node.get("bd")).map(_.asText()).getOrElse("")))
     }
   }
 
@@ -146,25 +156,16 @@ object AnnIndex {
     mf.deltas.foreach(arr.add)
     val carr = node.putArray("carry")
     mf.carry.foreach(carr.add)
+    val tarr = node.putArray("tombs")
+    mf.tombs.foreach(tarr.add)
+    node.put("bd", mf.baseDir)
     Files.createDirectories(Paths.get(path))
     Files.write(manifestPath(path),
       m.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Uncommit + clear: delete the manifest FIRST (readers now see "no
-    * index"), then best-effort remove stale delta directories, so the
-    * following overwrite writes can never be observed half-done.
-    */
-  private def uncommit(path: String): Unit = {
-    Files.deleteIfExists(manifestPath(path))
-    val d = Paths.get(path, "deltas").toFile
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    if (d.isDirectory) rm(d)
-  }
+  /** Uncommit + clear — see [[IndexDirs.uncommit]]. */
+  private def uncommit(path: String): Unit = IndexDirs.uncommit(path)
 
   /** Build the IVF index at `path` unless a manifest proves the same
     * corpus (by fingerprint + count + centroid content hash) is
@@ -211,39 +212,58 @@ object AnnIndex {
         r.getSeq[Long](r.fieldIndex("centroid"))))
       .sortBy(_._1).map(_._2).toSeq
 
-  /** Manifest-visible rows of the index's data table (`assignments`
-    * for ivf, `codes` for pq): the base directory plus every
-    * COMMITTED delta directory, each with its own bucket partition
-    * pruning where applicable. Orphan (crashed, uncommitted) delta
-    * directories are never read — they are not in the manifest.
+  /** Manifest-visible LIVE rows of the index's data table
+    * (`assignments` for ivf, `codes` for pq/sq8): the (possibly
+    * [[purge]]-versioned) base directory plus every COMMITTED delta
+    * directory, each with its own bucket partition pruning where
+    * applicable, minus tombstoned ids (a broadcast anti-join —
+    * tombstone lists are bounded between purges by contract). Orphan
+    * (crashed, uncommitted) delta directories are never read — they
+    * are not in the manifest.
     */
   private def readParts(spark: SparkSession, path: String, baseSub: String,
       mf: Manifest, bucketFilter: Option[Seq[Int]]): DataFrame = {
-    val roots = s"$path/$baseSub" +: mf.deltas.map(d => s"$path/deltas/$d")
-    roots.map { r =>
+    val roots = s"$path/${mf.baseOr(baseSub)}" +:
+      mf.deltas.map(d => s"$path/deltas/$d")
+    val rows = roots.map { r =>
       val df = spark.read.parquet(r)
       bucketFilter.fold(df)(w => df.filter(col("bucket").isin(w.map(Int.box): _*)))
     }.reduce(_.unionByName(_))
+    if (mf.tombs.isEmpty) rows
+    else rows.join(broadcast(tombIds(spark, path, mf)),
+      Seq(mf.id), "left_anti")
   }
+
+  private def tombIds(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    mf.tombs.map(t => spark.read.parquet(s"$path/deltas/$t"))
+      .reduce(_.unionByName(_)).distinct()
 
   private def readAssignments(spark: SparkSession, path: String,
       mf: Manifest, bucketFilter: Option[Seq[Int]]): DataFrame =
     readParts(spark, path, "assignments", mf, bucketFilter)
 
-  /** Next free delta directory name: `<prefix><k>` where k exceeds
-    * the numeric suffix of EVERY directory on disk under `deltas/`
-    * (manifest-listed or orphaned) — a name is never reused, so a
-    * staged write can never land inside a directory a live manifest
-    * still references. Crashed attempts leave uniquely-named orphans:
-    * garbage, never corruption (the MergeOnRead reservation rule).
+  /** Never-reused staged delta name — see [[IndexDirs.nextDeltaName]]
+    * (crashed attempts leave uniquely-named orphans: garbage, never
+    * corruption — the MergeOnRead reservation rule).
     */
-  private def nextDeltaName(path: String, prefix: String): String = {
-    val d = Paths.get(path, "deltas").toFile
-    val maxSuffix = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(f => "\\d+$".r.findFirstIn(f.getName))
-      .map(_.toInt).foldLeft(-1)(math.max)
-    s"$prefix${maxSuffix + 1}"
+  private def nextDeltaName(path: String, prefix: String): String =
+    IndexDirs.nextDeltaName(path, prefix)
+
+  /** Re-adding a tombstoned id is refused under `checkDisjoint`: the
+    * tombstone anti-join in [[readParts]] is version-blind, so a
+    * re-added row would be silently invisible. [[purge]] clears
+    * tombstones and makes the id insertable again.
+    */
+  private def requireNotTombstoned(delta: DataFrame, spark: SparkSession,
+      path: String, mf: Manifest): Unit = {
+    if (mf.tombs.isEmpty) return
+    val hit = tombIds(spark, path, mf)
+      .join(broadcast(delta.select(col(mf.id)).distinct()),
+        Seq(mf.id), "left_semi").count()
+    require(hit == 0,
+      s"append delta re-adds $hit tombstoned id(s) at $path — the " +
+        "tombstone filter would hide the new rows; purge() first")
   }
 
   private def requireDisjoint(delta: DataFrame, existing: DataFrame,
@@ -325,9 +345,11 @@ object AnnIndex {
     val cs = centroids(spark, path)
     val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint)
+    if (checkDisjoint) {
       requireDisjoint(delta, readAssignments(spark, path, have, None),
         have.id, path)
+      requireNotTombstoned(delta, spark, path, have)
+    }
     // staged-commit into a never-reused name; visible only once the
     // manifest write lists it
     val staged = nextDeltaName(path, "d")
@@ -414,9 +436,11 @@ object AnnIndex {
     val cbs = pqCodebooks(spark, path)
     val (dfp, dn) = fingerprint(delta, have.id, have.vec)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint)
+    if (checkDisjoint) {
       requireDisjoint(delta, readParts(spark, path, "codes", have, None),
         have.id, path)
+      requireNotTombstoned(delta, spark, path, have)
+    }
     val staged = nextDeltaName(path, "d")
     delta
       .select(col(have.id), Pq.encodeInt(col(have.vec), cbs).as("codes"))
@@ -472,9 +496,11 @@ object AnnIndex {
       s"sq8Append needs an sq8 index, got ${have.kind}")
     val (dfp, dn) = fingerprint(delta, have.id, have.vec)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint)
+    if (checkDisjoint) {
       requireDisjoint(delta, readParts(spark, path, "codes", have, None),
         have.id, path)
+      requireNotTombstoned(delta, spark, path, have)
+    }
     val staged = nextDeltaName(path, "d")
     delta
       .withColumn("__s", Sq8.scaleOf(col(have.vec)))
@@ -556,25 +582,118 @@ object AnnIndex {
   def compactDeltas(spark: SparkSession, path: String): Int = {
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    // fewer than two delta directories: folding gains nothing
-    if (have.deltas.length < 2) return 0
-    val merged = have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d"))
-      .reduce(_.unionByName(_))
-    val staged = nextDeltaName(path, "c")
-    val w = merged.write.mode("overwrite")
-    (if (have.kind == "ivf") w.partitionBy("bucket") else w)
-      .parquet(s"$path/deltas/$staged")
-    writeManifest(path, have.copy(deltas = Seq(staged)))
-    // post-commit GC: the folded directories are unreferenced now
-    have.deltas.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(Paths.get(path, "deltas", d).toFile)
+    // fewer than two directories of a kind: folding gains nothing
+    val foldData = have.deltas.length >= 2
+    val foldTombs = have.tombs.length >= 2
+    if (!foldData && !foldTombs) return 0
+    val newDeltas = if (!foldData) have.deltas else {
+      val merged = have.deltas
+        .map(d => spark.read.parquet(s"$path/deltas/$d"))
+        .reduce(_.unionByName(_))
+      val staged = nextDeltaName(path, "c")
+      val w = merged.write.mode("overwrite")
+      (if (have.kind == "ivf") w.partitionBy("bucket") else w)
+        .parquet(s"$path/deltas/$staged")
+      Seq(staged)
     }
-    have.deltas.length
+    val newTombs = if (!foldTombs) have.tombs else {
+      val staged = nextDeltaName(path, "t")
+      tombIds(spark, path, have).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+      Seq(staged)
+    }
+    writeManifest(path, have.copy(deltas = newDeltas, tombs = newTombs))
+    // post-commit GC: the folded directories are unreferenced now
+    val folded = (if (foldData) have.deltas else Nil) ++
+      (if (foldTombs) have.tombs else Nil)
+    IndexDirs.gcDeltas(path, folded)
+    folded.length
+  }
+
+  /** Tombstone-delete rows from the index — any kind. `delta` must
+    * carry the FULL rows being removed (`id`, `vec`, carry columns as
+    * built): the composed fingerprint needs their hashes folded OUT
+    * (`fp' = fp ⊕ fold(delta)`, xor being self-inverse), and the
+    * pq/sq8 codes tables do not retain raw vectors to recover them
+    * from — so deletes ride the same full-row CDC feed appends do
+    * (the MergeOnRead delete convention). The commit is an O(delta)
+    * staged tombstone id list (`deltas/t<N>`, manifest-gated like
+    * data deltas); every read path anti-joins the tombstone set
+    * (broadcast — bounded between purges by contract), and a later
+    * [[buildIfAbsent]] over the remaining corpus correctly reuses
+    * the deleted-from index.
+    *
+    * `checkPresent` (on by default) verifies every delta id is LIVE
+    * in the index — a stale or double delete would silently corrupt
+    * the fingerprint the same way a duplicate append would.
+    */
+  def delete(delta: DataFrame, path: String,
+      checkPresent: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val baseSub = if (have.kind == "ivf") "assignments" else "codes"
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    val ids = delta.select(col(have.id)).distinct()
+      .localCheckpoint(false)
+    require(ids.count() == dn,
+      s"delete delta has duplicate ${have.id} rows — each stored row " +
+        "must be folded out exactly once")
+    if (checkPresent) {
+      val live = readParts(spark, path, baseSub, have, None)
+        .join(broadcast(ids), Seq(have.id), "left_semi").count()
+      require(live == dn,
+        s"delete delta names ${dn - live} id(s) not live in the index " +
+          s"at $path — a stale or repeated delete would corrupt the " +
+          "fingerprint (pass checkPresent = false only when upstream " +
+          "proves liveness)")
+    }
+    val staged = nextDeltaName(path, "t")
+    ids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      tombs = have.tombs :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Physically apply tombstones: rewrite the LIVE rows into a fresh
+    * versioned base directory (`assignments.v<N>`/`codes.v<N>`),
+    * fold committed deltas in, and commit a manifest with no deltas
+    * and no tombstones — the index is downtime-free throughout (the
+    * old manifest, and every directory it references, stays fully
+    * live until the atomic manifest swap; the MergeOnRead `ver=`
+    * rule). Cost is O(live index) — run it when the tombstone set
+    * has grown past broadcast comfort, not per delete. Returns the
+    * number of tombstoned ids purged.
+    */
+  def purge(spark: SparkSession, path: String): Long = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.tombs.isEmpty && have.deltas.isEmpty) return 0L
+    val baseSub = if (have.kind == "ivf") "assignments" else "codes"
+    val tombCount =
+      if (have.tombs.isEmpty) 0L
+      else tombIds(spark, path, have).count()
+    // next base version: scan for existing versioned dirs
+    val ver = Option(Paths.get(path).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(f => s"^${java.util.regex.Pattern.quote(baseSub)}\\.v(\\d+)$$"
+        .r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .foldLeft(0)(math.max) + 1
+    val newBase = s"$baseSub.v$ver"
+    val w = readParts(spark, path, baseSub, have, None)
+      .write.mode("overwrite")
+    (if (have.kind == "ivf") w.partitionBy("bucket") else w)
+      .parquet(s"$path/$newBase")
+    writeManifest(path, have.copy(deltas = Nil, tombs = Nil,
+      baseDir = newBase))
+    // post-commit GC: old base version + folded delta/tombstone dirs
+    IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
+    val oldBase = have.baseOr(baseSub)
+    IndexDirs.rmTree(Paths.get(path, oldBase).toFile)
+    tombCount
   }
 
   /** ADC top-k over the persisted PQ index: probes build their

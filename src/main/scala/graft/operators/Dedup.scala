@@ -137,8 +137,18 @@ object Dedup {
     *   [[DefaultMaxBucket]].
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      bands: Int = 16, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = bandKeys(sigs, idCol, bands, "id")
+      bands: Int = 16, maxBucket: Int = Int.MaxValue): DataFrame =
+    bandedCandidatePairs(bandKeys(sigs, idCol, bands, "id"), maxBucket)
+
+  /** Candidate-pair core over an already-banded `(id, band,
+    * band_key)` stream — shared by [[lshCandidatePairs]] (which bands
+    * in-plan) and [[DedupIndex.selfPairs]] (which reads persisted
+    * band keys): the equi-self-join on (band, band_key) with the
+    * maxBucket star degrade. `band_key` may be any equi-joinable
+    * type (long here, string in the persisted md5 layout).
+    */
+  private[operators] def bandedCandidatePairs(banded: DataFrame,
+      maxBucket: Int): DataFrame = {
     if (maxBucket == Int.MaxValue) {
       val l = banded.alias("l")
       val r = banded.alias("r")

@@ -1,0 +1,578 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Persisted MinHash-LSH dedup index — the write-once artifact form
+  * of [[Dedup.minhashSignatures]] + LSH banding.
+  *
+  * At 100 TB the dominant cost of every near-dup operation is the
+  * signature pass: normalize, shingle, hash and min-aggregate every
+  * document. That pass is IDENTICAL across queries until the corpus
+  * changes, so — like [[AnnIndex]] for vectors — this module pays it
+  * once into an on-disk artifact and serves every later near-dup
+  * question from the persisted signatures and band keys:
+  *
+  * {{{
+  *   <path>/sigs/   parquet, partitionBy(sb): (<id>, sig ARRAY<BIGINT>)
+  *                  sb = pmod(xxhash64(<id>), sbParts) — candidate
+  *                  verification prunes to the id-hash buckets that
+  *                  actually hold candidates
+  *   <path>/bands/  parquet, partitionBy(kb): (<id>, band, band_key)
+  *                  kb = pmod(xxhash64(band_key), kbParts) — a probe
+  *                  prunes the candidate join to the band-key-hash
+  *                  buckets its own keys fall in
+  *   <path>/digests/ parquet, partitionBy(dbp): (<id>, digest)
+  *                  dbp = pmod(xxhash64(digest), dbParts) — the
+  *                  exact-dup pre-pass ([[exactDupsOf]]) prunes the
+  *                  same way
+  *   <path>/deltas/d<N>/{sigs,bands,digests}  appended rows —
+  *                  visible only once the manifest lists d<N>
+  *   <path>/manifest.json  fingerprint + scheme + committed deltas —
+  *                  written LAST ([[IndexDirs]] commit rule)
+  * }}}
+  *
+  * The corpus fingerprint is over the RAW `(id, text)` rows — one
+  * column-pruned scan, no shingling — so [[buildIfAbsent]] on an
+  * unchanged corpus skips the signature pass entirely. The xor-fold
+  * composes: [[append]] signs only the delta and advances
+  * `fp' = fp ⊕ fold(delta)` in O(delta), and a later rebuild attempt
+  * over base ∪ delta correctly reuses the appended index.
+  *
+  * Scale shape of [[nearDupsOf]] (the incremental-ingest hot path —
+  * "which of today's documents already exist in the corpus?"): the
+  * probe batch is signed (O(batch)); its band keys are collected only
+  * as their kb PARTITION values (≤ kbParts rows) to statically prune
+  * the persisted bands scan; the candidate join broadcasts the probe
+  * band keys against that pruned scan — the corpus side never
+  * shuffles; verification joins candidates to the sigs table pruned
+  * the same way on sb. Standing state on the cluster: parquet files,
+  * nothing resident.
+  *
+  * Reference grounding: the reference's datasets are loaded once and
+  * every request is answered from the loaded artifact
+  * (directory/directory.go:230-240); this is that discipline applied
+  * to dedup state.
+  */
+object DedupIndex {
+
+  /** Index state after a build/append: `reused = true` means the
+    * manifest fingerprint matched and nothing was rewritten.
+    */
+  final case class Build(path: String, fingerprint: Long, count: Long,
+      reused: Boolean)
+
+  /** Signature scheme: the MinHash arithmetic over the shingled
+    * document. Both use the [[Dedup.corpusMinhashSignatures]]
+    * permutation form `(a_i·(base(gram) mod P) + b_i) mod P` — the
+    * base hash is the only difference. `Xx` (xxhash64) is the
+    * production default; `Md5` ([[StableHash.md5Int60]]) replays
+    * bit-identically in other engines (the DuckDB-oracle contract).
+    */
+  sealed trait Scheme {
+    def name: String
+    def numHashes: Int
+    def shingle: Int
+    private[operators] def baseHash: Column => Column
+  }
+  final case class MinhashXx(numHashes: Int = 64, shingle: Int = 4)
+      extends Scheme {
+    val name = "xx"
+    private[operators] def baseHash: Column => Column = xxhash64(_)
+  }
+  final case class MinhashMd5(numHashes: Int = 16, shingle: Int = 4)
+      extends Scheme {
+    val name = "md5"
+    private[operators] def baseHash: Column => Column = StableHash.md5Int60
+  }
+
+  private def schemeOf(name: String, nh: Int, k: Int): Scheme =
+    name match {
+      case "xx" => MinhashXx(nh, k)
+      case "md5" => MinhashMd5(nh, k)
+      case other => throw new IllegalStateException(
+        s"unknown dedup-index scheme '$other'")
+    }
+
+  /** Order-independent content fingerprint of the raw `(id, text)`
+    * rows plus the row count (xor alone is blind to even-multiplicity
+    * duplicates). One column-pruned scan — no shingling, so the
+    * reuse check is cheap even when the build would not be.
+    */
+  def fingerprint(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val r = docs.agg(
+      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = r.getLong(1)
+    (if (n == 0) 0L else r.getLong(0), n)
+  }
+
+  private case class Manifest(fp: Long, n: Long, scheme: String,
+      nh: Int, k: Int, bands: Int, kbParts: Int, sbParts: Int,
+      dbParts: Int, id: String, text: String,
+      deltas: Seq[String] = Nil, lastBatch: Long = -1L,
+      tombs: Seq[String] = Nil, baseVer: Int = 0) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, lastBatch = -1L, tombs = Nil, baseVer = 0) ==
+        other.copy(deltas = Nil, lastBatch = -1L, tombs = Nil,
+          baseVer = 0)
+    /** Live base dir of a table: versioned after a [[purge]]. */
+    def baseOf(sub: String): String =
+      if (baseVer == 0) sub else s"$sub.v$baseVer"
+  }
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifestText(path).map { text =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(text)
+      val deltas = Option(node.get("deltas")).toSeq.flatMap { a =>
+        (0 until a.size()).map(a.get(_).asText())
+      }
+      Manifest(node.get("fp").asLong(), node.get("n").asLong(),
+        node.get("scheme").asText(), node.get("nh").asInt(),
+        node.get("k").asInt(), node.get("bands").asInt(),
+        node.get("kb").asInt(), node.get("sb").asInt(),
+        // a pre-digest-table manifest reads db=0, which can never
+        // match a requested layout — it rebuilds once, safely
+        Option(node.get("db")).map(_.asInt()).getOrElse(0),
+        node.get("id").asText(), node.get("text").asText(),
+        deltas,
+        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
+        Option(node.get("tombs")).toSeq.flatMap { a =>
+          (0 until a.size()).map(a.get(_).asText())
+        },
+        Option(node.get("bv")).map(_.asInt()).getOrElse(0))
+    }
+
+  private def writeManifest(path: String, mf: Manifest): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("fp", mf.fp); node.put("n", mf.n)
+    node.put("scheme", mf.scheme); node.put("nh", mf.nh)
+    node.put("k", mf.k); node.put("bands", mf.bands)
+    node.put("kb", mf.kbParts); node.put("sb", mf.sbParts)
+    node.put("db", mf.dbParts)
+    node.put("id", mf.id); node.put("text", mf.text)
+    node.put("lb", mf.lastBatch)
+    node.put("bv", mf.baseVer)
+    val arr = node.putArray("deltas")
+    mf.deltas.foreach(arr.add)
+    val tarr = node.putArray("tombs")
+    mf.tombs.foreach(tarr.add)
+    IndexDirs.writeManifestText(path, m.writeValueAsString(node))
+  }
+
+  /** `(id, sig)` for `docs` under `scheme` — the permutation MinHash
+    * of [[Dedup.corpusMinhashSignatures]] applied per document.
+    */
+  private def sign(docs: DataFrame, textCol: String, idCol: String,
+      scheme: Scheme): DataFrame =
+    Dedup.corpusMinhashSignatures(docs, textCol, idCol,
+      scheme.numHashes, scheme.shingle, scheme.baseHash)
+
+  /** Band keys from a signature table: the signature split into
+    * `bands` rows of `nh/bands` components, each key the
+    * '|'-joined decimal components — a deterministic string any
+    * engine reproduces (unlike a hashed key, a string key can never
+    * create a cross-engine candidate divergence). `kb` is the
+    * partition-prune column.
+    */
+  private def bandRows(sigs: DataFrame, idCol: String, mf: Manifest)
+      : DataFrame = {
+    val r = mf.nh / mf.bands
+    sigs.select(col(idCol), posexplode(
+        array((0 until mf.bands).map(j =>
+          concat_ws("|", (0 until r).map(i =>
+            col("sig").getItem(j * r + i).cast("string")): _*)): _*)))
+      .select(col(idCol), col("pos").as("band"),
+        col("col").as("band_key"),
+        pmod(xxhash64(col("col")), lit(mf.kbParts)).cast("int").as("kb"))
+  }
+
+  private def sbCol(id: Column, mf: Manifest): Column =
+    pmod(xxhash64(id), lit(mf.sbParts)).cast("int")
+
+  /** Build the index at `path` unless a manifest proves the same
+    * corpus (fingerprint + count) under the same scheme/banding is
+    * already indexed. `kbParts`/`sbParts` size the partition-prune
+    * granularity of the two tables (more parts = finer probe prunes,
+    * more directories; both bounded constants, not data-dependent).
+    */
+  def buildIfAbsent(docs: DataFrame, textCol: String, idCol: String,
+      scheme: Scheme, bands: Int, path: String,
+      kbParts: Int = 32, sbParts: Int = 32, dbParts: Int = 32): Build = {
+    require(scheme.numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes (${scheme.numHashes})")
+    val (fp, n) = fingerprint(docs, idCol, textCol)
+    val want = Manifest(fp, n, scheme.name, scheme.numHashes,
+      scheme.shingle, bands, kbParts, sbParts, dbParts, idCol, textCol)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        writeTables(docs, textCol, idCol, want, scheme, s"$path")
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** The three tables under `root`: sigs (partitioned by id-hash),
+    * bands (key-hash), digests (digest-hash). The signature table is
+    * localCheckpointed so the shingle+min-agg pass runs once, not
+    * once per dependent table; digests are one extra cheap
+    * md5-over-normText projection of the raw docs.
+    */
+  private def writeTables(docs: DataFrame, textCol: String,
+      idCol: String, mf: Manifest, scheme: Scheme,
+      root: String): Unit = {
+    val sigs = sign(docs, textCol, idCol, scheme).localCheckpoint(false)
+    sigs.withColumn("sb", sbCol(col(idCol), mf))
+      .write.mode("overwrite").partitionBy("sb").parquet(s"$root/sigs")
+    bandRows(sigs, idCol, mf)
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$root/bands")
+    docs.select(col(idCol), Dedup.contentKey(col(textCol)).as("digest"))
+      .withColumn("dbp",
+        pmod(xxhash64(col("digest")), lit(mf.dbParts)).cast("int"))
+      .write.mode("overwrite").partitionBy("dbp")
+      .parquet(s"$root/digests")
+  }
+
+  /** Manifest-visible LIVE rows of `sigs`/`bands`/`digests`: the
+    * (possibly [[purge]]-versioned) base plus every COMMITTED delta,
+    * each pruned to `parts` partition values when given, minus
+    * tombstoned ids (broadcast anti-join — bounded between purges by
+    * contract). Orphan delta directories are never read.
+    */
+  private def readParts(spark: SparkSession, path: String, sub: String,
+      mf: Manifest, partCol: String, parts: Option[Seq[Int]]): DataFrame = {
+    val roots = s"$path/${mf.baseOf(sub)}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/$sub")
+    val rows = roots.map { r =>
+      val df = spark.read.parquet(r)
+      parts.fold(df)(w => df.filter(col(partCol).isin(w.map(Int.box): _*)))
+    }.reduce(_.unionByName(_))
+    if (mf.tombs.isEmpty) rows
+    else rows.join(broadcast(tombIds(spark, path, mf)),
+      Seq(mf.id), "left_anti")
+  }
+
+  private def tombIds(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    mf.tombs.map(t => spark.read.parquet(s"$path/deltas/$t"))
+      .reduce(_.unionByName(_)).distinct()
+
+  /** The manifest-visible signature table `(id, sig)`. */
+  def sigs(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    readParts(spark, path, "sigs", mf, "sb", None).drop("sb")
+  }
+
+  private def requireDisjoint(delta: DataFrame, spark: SparkSession,
+      path: String, mf: Manifest): Unit = {
+    val dupes = readParts(spark, path, "sigs", mf, "sb", None)
+      .select(col(mf.id))
+      .join(broadcast(delta.select(col(mf.id)).distinct()),
+        Seq(mf.id), "left_semi")
+      .count()
+    require(dupes == 0,
+      s"append delta shares $dupes id(s) with the index at $path — " +
+        "duplicate ids would corrupt both the rows and the xor " +
+        "fingerprint (pass checkDisjoint = false only when upstream " +
+        "proves disjointness)")
+  }
+
+  /** Re-adding a tombstoned id is refused under `checkDisjoint` —
+    * the tombstone filter is version-blind, so the new rows would be
+    * silently invisible; [[purge]] re-opens the id space.
+    */
+  private def requireNotTombstoned(delta: DataFrame, spark: SparkSession,
+      path: String, mf: Manifest): Unit = {
+    if (mf.tombs.isEmpty) return
+    val hit = tombIds(spark, path, mf)
+      .join(broadcast(delta.select(col(mf.id)).distinct()),
+        Seq(mf.id), "left_semi").count()
+    require(hit == 0,
+      s"append delta re-adds $hit tombstoned id(s) at $path — the " +
+        "tombstone filter would hide the new rows; purge() first")
+  }
+
+  /** Tombstone-delete documents from the index — the [[AnnIndex]]
+    * delete discipline for dedup state: `delta` carries the full
+    * `(id, text)` rows being removed (the xor-fold fingerprint needs
+    * their hashes folded OUT, and the index stores signatures, not
+    * raw text, to recover them from), the commit is an O(delta)
+    * staged tombstone id list, every read path anti-joins it, and a
+    * later [[buildIfAbsent]] over the remaining corpus correctly
+    * reuses the deleted-from index. `checkPresent` (default on)
+    * verifies every id is live — stale/double deletes corrupt the
+    * fingerprint exactly like duplicate appends.
+    */
+  def delete(delta: DataFrame, path: String,
+      checkPresent: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.text)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    val ids = delta.select(col(have.id)).distinct()
+      .localCheckpoint(false)
+    require(ids.count() == dn,
+      s"delete delta has duplicate ${have.id} rows — each stored row " +
+        "must be folded out exactly once")
+    if (checkPresent) {
+      val live = readParts(spark, path, "sigs", have, "sb", None)
+        .join(broadcast(ids), Seq(have.id), "left_semi").count()
+      require(live == dn,
+        s"delete delta names ${dn - live} id(s) not live in the index " +
+          s"at $path (pass checkPresent = false only when upstream " +
+          "proves liveness)")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "t")
+    ids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      tombs = have.tombs :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Physically apply tombstones and fold deltas: rewrite the LIVE
+    * rows of all three tables into fresh `.v<N>` base directories and
+    * commit a manifest with no deltas and no tombstones — downtime-
+    * free (the old manifest and everything it references stay live
+    * until the atomic swap). O(live index); run when the tombstone
+    * set outgrows broadcast comfort. Returns the purged id count.
+    */
+  def purge(spark: SparkSession, path: String): Long = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.tombs.isEmpty && have.deltas.isEmpty) return 0L
+    val tombCount =
+      if (have.tombs.isEmpty) 0L else tombIds(spark, path, have).count()
+    val nextVer = have.baseVer + 1
+    Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
+      .foreach { case (sub, pc) =>
+        readParts(spark, path, sub, have, pc, None)
+          .write.mode("overwrite").partitionBy(pc)
+          .parquet(s"$path/$sub.v$nextVer")
+      }
+    writeManifest(path, have.copy(deltas = Nil, tombs = Nil,
+      baseVer = nextVer))
+    IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
+    Seq("sigs", "bands", "digests").foreach { sub =>
+      IndexDirs.rmTree(
+        java.nio.file.Paths.get(path, have.baseOf(sub)).toFile)
+    }
+    tombCount
+  }
+
+  /** Incrementally extend the index with NEW documents: only the
+    * delta pays the signature pass; its sigs/bands stage in a fresh
+    * `deltas/d<N>` directory made visible by the manifest commit,
+    * and the xor-fold fingerprint composes — O(delta) regardless of
+    * corpus size. Caller contract and `checkDisjoint` guard as
+    * [[AnnIndex.append]].
+    */
+  def append(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build =
+    appendImpl(delta, path, checkDisjoint, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val scheme = schemeOf(have.scheme, have.nh, have.k)
+    val (dfp, dn) = fingerprint(delta, have.id, have.text)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint) {
+      requireDisjoint(delta, spark, path, have)
+      requireNotTombstoned(delta, spark, path, have)
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.text, have.id, have, scheme,
+      s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Exactly-once streaming index maintenance — the `foreachBatch`
+    * form of [[append]]: the micro-batch id commits IN the same
+    * manifest write as its delta, so a replayed batch (Structured
+    * Streaming's at-least-once `foreachBatch` contract) is detected
+    * by `batchId <= lastBatch` and skipped — the [[AnnIndex]]
+    * idempotent-sink recipe. `checkDisjoint` defaults OFF: the
+    * streaming upstream is a new-docs feed (ids disjoint by
+    * construction), and a per-micro-batch base scan would turn an
+    * O(batch) append into an O(index) one.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+      checkDisjoint: Boolean = false): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    appendImpl(batch, path, checkDisjoint, Some(batchId))
+  }
+
+  /** `writeStream.foreachBatch(DedupIndex.foreachBatchSink(path))`. */
+  def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
+      : (DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
+
+  /** Folds the committed delta directories into ONE (`deltas/c<N>`)
+    * and commits a manifest listing only it — bounding per-query
+    * listing/footer costs after long append streams. Crash-safe by
+    * the staging discipline; old directories GC'd post-commit.
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val foldData = have.deltas.length >= 2
+    val foldTombs = have.tombs.length >= 2
+    if (!foldData && !foldTombs) return 0
+    val newDeltas = if (!foldData) have.deltas else {
+      val staged = IndexDirs.nextDeltaName(path, "c")
+      Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
+        .foreach { case (sub, pc) =>
+          have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+            .reduce(_.unionByName(_))
+            .write.mode("overwrite").partitionBy(pc)
+            .parquet(s"$path/deltas/$staged/$sub")
+        }
+      Seq(staged)
+    }
+    val newTombs = if (!foldTombs) have.tombs else {
+      val staged = IndexDirs.nextDeltaName(path, "t")
+      tombIds(spark, path, have).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+      Seq(staged)
+    }
+    writeManifest(path, have.copy(deltas = newDeltas, tombs = newTombs))
+    val folded = (if (foldData) have.deltas else Nil) ++
+      (if (foldTombs) have.tombs else Nil)
+    IndexDirs.gcDeltas(path, folded)
+    folded.length
+  }
+
+  /** Near-dups of a NEW document batch against the standing corpus —
+    * the incremental-ingest question, answered without touching raw
+    * corpus text. The probe batch is signed with the index's own
+    * scheme; candidates come from band-key equality against the
+    * persisted bands scan pruned to the probe keys' kb partitions
+    * (broadcast probe side — the corpus never shuffles);
+    * verification estimates Jaccard from signature overlap against
+    * the sigs scan pruned to the candidates' sb partitions. The
+    * threshold is the INTEGER compare `10·matches ≥ tenths·nh` — no
+    * float can flip a pair cross-engine.
+    *
+    * Output: `(new_id, corpus_id, matches, est_jaccard)`. Probe ids
+    * that also live in the corpus match themselves with
+    * `matches = nh`; filter `new_id =!= corpus_id` for the
+    * "already-present lookup" reading.
+    */
+  def nearDupsOf(spark: SparkSession, path: String, newDocs: DataFrame,
+      textCol: String, idCol: String, thresholdTenths: Int): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val scheme = schemeOf(mf.scheme, mf.nh, mf.k)
+    val probeSigs = sign(newDocs, textCol, idCol, scheme)
+      .select(col(idCol).as("new_id"), col("sig").as("__psig"))
+      .localCheckpoint(false)
+    val probeBands = bandRows(
+      probeSigs.select(col("new_id"), col("__psig").as("sig")),
+      "new_id", mf)
+    // static partition prune: the probe's kb values (≤ kbParts ints)
+    val wantedKb = probeBands.select("kb").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val cands = readParts(spark, path, "bands", mf, "kb", Some(wantedKb))
+      .join(broadcast(probeBands.drop("kb")), Seq("band", "band_key"))
+      .select(col("new_id"), col(mf.id).as("corpus_id"))
+      .distinct()
+      .localCheckpoint(false)
+    // second prune: only the sig buckets that hold candidate ids
+    val wantedSb = cands
+      .select(sbCol(col("corpus_id"), mf).as("sb")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val corpusSigs = readParts(spark, path, "sigs", mf, "sb",
+        Some(wantedSb))
+      .select(col(mf.id).as("corpus_id"), col("sig").as("__csig"))
+    verified(cands.join(corpusSigs, Seq("corpus_id"))
+        .join(broadcast(probeSigs), Seq("new_id")),
+      mf, thresholdTenths, "new_id", "corpus_id")
+  }
+
+  /** Exact duplicates of a NEW document batch against the standing
+    * corpus — the cheap pre-pass every ingest runs before
+    * [[nearDupsOf]]: md5-over-normalized-text equality against the
+    * persisted digest table, pruned to the probes' dbp partitions
+    * and joined broadcast (the corpus never shuffles; at 100 TB the
+    * scan touches `≤ |probes|` of the dbParts digest buckets).
+    *
+    * Output: `(new_id, corpus_id, digest)` — one row per (probe,
+    * indexed doc) with byte-identical normalized content.
+    */
+  def exactDupsOf(spark: SparkSession, path: String, newDocs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val probes = newDocs
+      .select(col(idCol).as("new_id"),
+        Dedup.contentKey(col(textCol)).as("digest"))
+      .localCheckpoint(false)
+    val wantedDbp = probes
+      .select(pmod(xxhash64(col("digest")), lit(mf.dbParts)).cast("int")
+        .as("dbp")).distinct().collect().map(_.getInt(0)).toSeq
+    readParts(spark, path, "digests", mf, "dbp", Some(wantedDbp))
+      .join(broadcast(probes), Seq("digest"))
+      .select(col("new_id"), col(mf.id).as("corpus_id"), col("digest"))
+  }
+
+  /** All near-dup pairs WITHIN the indexed corpus, served from the
+    * persisted band keys and signatures — [[Dedup.nearDupPairs]]'
+    * output without re-signing anything. `maxBucket` is the
+    * [[Dedup.lshCandidatePairs]] skew guard (hot band buckets degrade
+    * to linear star candidates).
+    *
+    * Output: `(a, b, matches, est_jaccard)`, a < b.
+    */
+  def selfPairs(spark: SparkSession, path: String, thresholdTenths: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val banded = readParts(spark, path, "bands", mf, "kb", None)
+      .select(col(mf.id).as("id"), col("band"), col("band_key"))
+    val cands = Dedup.bandedCandidatePairs(banded, maxBucket)
+    val allSigs = readParts(spark, path, "sigs", mf, "sb", None)
+    verified(cands
+        .join(allSigs.select(col(mf.id).as("a"), col("sig").as("__psig")),
+          Seq("a"))
+        .join(allSigs.select(col(mf.id).as("b"), col("sig").as("__csig")),
+          Seq("b")),
+      mf, thresholdTenths, "a", "b")
+  }
+
+  /** Signature-overlap verification: `matches` equal components,
+    * integer threshold `10·matches ≥ tenths·nh`, 4dp estimate (the
+    * [[Dedup]] output convention).
+    */
+  private def verified(joined: DataFrame, mf: Manifest,
+      thresholdTenths: Int, leftId: String, rightId: String): DataFrame =
+    joined
+      .withColumn("matches", aggregate(
+        zip_with(col("__psig"), col("__csig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .filter(col("matches") * 10 >= lit(thresholdTenths) * mf.nh)
+      .select(col(leftId), col(rightId), col("matches"),
+        round(col("matches").cast("double") / mf.nh, 4)
+          .as("est_jaccard"))
+}

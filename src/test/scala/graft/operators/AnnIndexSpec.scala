@@ -397,6 +397,82 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == all)
   }
 
+  test("delete tombstones rows out of every read path, composes the " +
+      "fingerprint to the remaining-corpus build, and purge makes a " +
+      "clean versioned base") {
+    val path = Files.createTempDirectory("annidx-del").toString + "/idx"
+    val remPath = Files.createTempDirectory("annidx-rem").toString + "/idx"
+    AnnIndex.buildIfAbsent(corpus(), "q", "vec_id", cents, path)
+    val dead = corpus().filter(pmod(col("vec_id"), lit(7)) === 3)
+    val deleted = AnnIndex.delete(dead, path)
+    // fingerprint/count now equal a fresh build over the survivors
+    val remaining = corpus().filter(pmod(col("vec_id"), lit(7)) =!= 3)
+    val rem = AnnIndex.buildIfAbsent(remaining, "q", "vec_id", cents,
+      remPath)
+    assert(deleted.fingerprint == rem.fingerprint &&
+      deleted.count == rem.count)
+    // ...so a rebuild request over the survivors REUSES the index
+    assert(AnnIndex.buildIfAbsent(remaining, "q", "vec_id", cents,
+      path).reused)
+    // searches never surface a tombstoned id, and match the
+    // survivors-only index exactly
+    val probes = corpus().filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    def res(p: String) =
+      AnnIndex.searchInt(spark, p, probes, "probe_id", "q", 4, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet
+    val afterDelete = res(path)
+    assert(afterDelete == res(remPath))
+    assert(afterDelete.forall { case (_, id, _) => id % 7 != 3 })
+    // double delete refuses (ids no longer live)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.delete(dead.limit(3), path)
+    }
+    assert(e.getMessage.contains("not live"))
+    // re-adding a tombstoned id refuses under checkDisjoint
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.append(dead.limit(2), path)
+    }
+    assert(e2.getMessage.contains("tombstoned"))
+    // purge rewrites the live rows into a versioned base, clears
+    // tombstones, and changes no result
+    val purged = AnnIndex.purge(spark, path)
+    assert(purged == dead.count())
+    assert(res(path) == afterDelete)
+    // the id is insertable again after purge, and append composes
+    AnnIndex.append(dead.limit(1), path)
+    assert(res(path).nonEmpty)
+  }
+
+  test("delete works on pq and sq8 indexes through the same " +
+      "full-row CDC contract") {
+    val pqPath = Files.createTempDirectory("annidx-delpq").toString + "/idx"
+    val books = {
+      val rnd = new scala.util.Random(11)
+      Seq.fill(4)(Seq.fill(4)(Seq.fill(4)((rnd.nextInt(801) - 400).toLong)))
+    }
+    AnnIndex.buildPqIfAbsent(corpus(), "q", "vec_id", books, pqPath)
+    val dead = corpus().filter(col("vec_id") >= 150)
+    val del = AnnIndex.delete(dead, pqPath)
+    val rem = AnnIndex.buildPqIfAbsent(
+      corpus().filter(col("vec_id") < 150), "q", "vec_id", books,
+      Files.createTempDirectory("annidx-rempq").toString + "/idx")
+    assert(del.fingerprint == rem.fingerprint && del.count == 150)
+    val probes = corpus().filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("q"))
+    val ids = AnnIndex.pqSearchInt(spark, pqPath, probes, "probe_id",
+      "q", 10).collect().map(_.getLong(1))
+    assert(ids.nonEmpty && ids.forall(_ < 150))
+    // sq8: same discipline
+    val sqPath = Files.createTempDirectory("annidx-delsq").toString + "/idx"
+    AnnIndex.buildSq8IfAbsent(corpus(), "q", "vec_id", sqPath)
+    AnnIndex.delete(dead, sqPath)
+    val sq = AnnIndex.sq8SearchInt(spark, sqPath, probes, "probe_id",
+      "q", 10).collect().map(_.getLong(1))
+    assert(sq.nonEmpty && sq.forall(_ < 150))
+  }
+
   test("persisted search matches the in-plan IVF composition and " +
       "prunes to the probed bucket partitions") {
     val path = Files.createTempDirectory("annidx3").toString + "/idx"
