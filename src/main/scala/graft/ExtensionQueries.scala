@@ -253,6 +253,59 @@ object ExtensionQueries {
           Seq("spark", "join", "window"))
         .orderBy("doc_id")),
 
+    /** q82's scorer as a PERSISTED inverted index
+      * ([[graft.operators.Bm25Index]]): the corpus token pass is paid
+      * once into term-partitioned postings + a doc-length ledger;
+      * every query then reads |terms| tb partitions plus the ledger —
+      * never the corpus text. Identical postings ⇒ identical tf, df,
+      * N, avgdl ⇒ q82's oracle verbatim.
+      */
+    "q199_bm25_persisted" -> ((s, d) => {
+      import graft.operators.Bm25Index
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bmidx-${Integer.toHexString(d.hashCode)}").toString
+      Bm25Index.buildIfAbsent(Tables.documents(s, d), "text", "doc_id",
+        idx)
+      Bm25Index.score(s, idx, Seq("spark", "join", "window"))
+        .orderBy("doc_id")
+    }),
+
+    // postings and doc lengths are PURE SUMS, so the index extends by
+    // O(delta): build on doc_id%2==0, append %2==1, fold the deltas —
+    // the union is q82's corpus, so scores and oracle are identical.
+    "q200_bm25_appended" -> ((s, d) => {
+      import graft.operators.Bm25Index
+      val docs = Tables.documents(s, d)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bminc-${Integer.toHexString(d.hashCode)}").toString
+      Bm25Index.buildIfAbsent(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", idx)
+      Bm25Index.append(docs.filter(col("doc_id") % 2 === 1), idx)
+      Bm25Index.compactDeltas(s, idx)
+      Bm25Index.score(s, idx, Seq("spark", "join", "window"))
+        .orderBy("doc_id")
+    }),
+
+    // ...and shrinks by delete = append of NEGATED postings (takedown
+    // on retrieval state, no re-index): index everything, delete the
+    // odd docs, purge — scores equal a survivors-only index, and the
+    // oracle recomputes BM25 over the even half (N, avgdl, df all
+    // shift with the survivor set, which is exactly the point).
+    "q201_bm25_deleted" -> ((s, d) => {
+      import graft.operators.Bm25Index
+      val docs = Tables.documents(s, d)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bmdel-${Integer.toHexString(d.hashCode)}").toString
+      Bm25Index.buildIfAbsent(docs, "text", "doc_id", idx)
+      Bm25Index.delete(docs.filter(col("doc_id") % 2 === 1), idx)
+      Bm25Index.purge(s, idx)
+      Bm25Index.score(s, idx, Seq("spark", "join", "window"))
+        .orderBy("doc_id")
+    }),
+
     /** Frequency sketching: Count-Min heavy hitters over the corpus
       * token stream ([[CountMin]] — d=3, w=64, md5-60-bit cells so
       * DuckDB replays every counter exactly). The narrow width
@@ -456,6 +509,31 @@ object ExtensionQueries {
           round(expr("percentile(n, 0.95)"), 4).as("p95"),
           min("n").as("min_toks"), max("n").as("max_toks")))
   )
+
+  /** q82/q199/q200/q201 share this: BM25 with the Lucene +1 IDF at
+    * k1=1.2, b=0.75 over the `where`-selected corpus — the arithmetic
+    * mirrors [[TextAnalysis.bm25]] term for term (round-4 absorbs the
+    * ln() ulp difference between engines); the persisted-index
+    * variants change only where tf/dl are read from (and how they
+    * were composed: one-shot, appended, or delete-negated).
+    */
+  private def bm25Oracle(where: String): String =
+    s"""WITH base AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0) AS toks FROM documents $where),
+       |b2 AS (SELECT doc_id, len(toks) AS dl,
+       |  list_filter(toks,
+       |    t -> t IN ('spark', 'join', 'window')) AS q FROM base),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
+       |tf AS (SELECT doc_id, dl, t, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(q) AS t FROM b2) u
+       |  GROUP BY doc_id, dl, t),
+       |dfr AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t)
+       |SELECT tf.doc_id,
+       |  round(sum(ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * (tf * (1.2 + 1))
+       |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+       |FROM tf JOIN dfr USING (t), stats
+       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -901,23 +979,14 @@ object ExtensionQueries {
     // BM25 with the Lucene +1 IDF at k1=1.2, b=0.75 — the arithmetic
     // mirrors TextAnalysis.bm25 term for term; round-4 absorbs the
     // ln() ulp difference between engines
-    "q82_bm25" ->
-      """WITH base AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'),
-        |    x -> len(x) > 0) AS toks FROM documents),
-        |b2 AS (SELECT doc_id, len(toks) AS dl,
-        |  list_filter(toks,
-        |    t -> t IN ('spark', 'join', 'window')) AS q FROM base),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM b2),
-        |tf AS (SELECT doc_id, dl, t, count(*) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(q) AS t FROM b2) u
-        |  GROUP BY doc_id, dl, t),
-        |dfr AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t)
-        |SELECT tf.doc_id,
-        |  round(sum(ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * (tf * (1.2 + 1))
-        |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-        |FROM tf JOIN dfr USING (t), stats
-        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q82_bm25" -> bm25Oracle(""),
+    // identical postings served from the persisted inverted index —
+    // q82's oracle verbatim (q200 composes them by append+compact)
+    "q199_bm25_persisted" -> bm25Oracle(""),
+    "q200_bm25_appended" -> bm25Oracle(""),
+    // delete+purge leaves the even-doc index: the oracle recomputes
+    // BM25 over the survivor corpus (N, avgdl, df shift with it)
+    "q201_bm25_deleted" -> bm25Oracle("WHERE doc_id % 2 = 0"),
     "q52_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'),

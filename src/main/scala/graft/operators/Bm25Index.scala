@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 statistics — a term-partitioned inverted index of
+  * `(doc, term, tf)` postings plus a doc-length ledger, under the
+  * [[IndexDirs]] manifest discipline and the [[LmIndex]] count-sum
+  * algebra.
+  *
+  * [[TextAnalysis.bm25]] re-tokenizes the whole corpus per query; at
+  * 100 TB the artifact inverts that: the token pass is paid once into
+  *
+  * {{{
+  *   <path>/tf/     parquet, partitionBy(tb): (<id>, __t, __tf)
+  *                  tb = pmod(xxhash64(__t), tbParts) — a query
+  *                  reads ONLY its terms' partitions
+  *   <path>/dl/     parquet: (<id>, __dl, __w ±1) — doc lengths,
+  *                  weight-signed so deletes/updates cancel
+  *   <path>/deltas/d<N>/{tf,dl}  appended (or count-negated) rows
+  *   <path>/manifest.json  — written LAST (commit marker)
+  * }}}
+  *
+  * Term frequencies and doc-length rows are PURE SUMS: append = new
+  * docs' postings (O(delta)); delete = the SAME rows with `__tf`
+  * negated and `__w = -1` (reads sum per key and drop `≤ 0`);
+  * deleting then re-appending an id with different text is a legal
+  * UPDATE — everything cancels per (id, term) / (id, dl). The
+  * corpus-level N and avgdl derive from the live ledger at score
+  * time (one bounded agg), and df per query term from the pruned
+  * postings — so [[score]] touches `|terms|` partitions of tf plus
+  * the dl ledger, never the corpus text.
+  */
+object Bm25Index {
+
+  final case class Build(path: String, fingerprint: Long, count: Long,
+      reused: Boolean)
+
+  def fingerprint(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val r = docs.agg(
+      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = r.getLong(1)
+    (if (n == 0) 0L else r.getLong(0), n)
+  }
+
+  private case class Manifest(fp: Long, n: Long, id: String,
+      text: String, tbParts: Int, deltas: Seq[String] = Nil,
+      lastBatch: Long = -1L, baseVer: Int = 0) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+    /** Live base dir of a table: versioned after a [[purge]]. */
+    def baseOf(sub: String): String =
+      if (baseVer == 0) sub else s"$sub.v$baseVer"
+  }
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifestText(path).map { text =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(text)
+      Manifest(node.get("fp").asLong(), node.get("n").asLong(),
+        node.get("id").asText(), node.get("text").asText(),
+        node.get("tb").asInt(),
+        Option(node.get("deltas")).toSeq.flatMap { a =>
+          (0 until a.size()).map(a.get(_).asText())
+        },
+        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
+        Option(node.get("bv")).map(_.asInt()).getOrElse(0))
+    }
+
+  private def writeManifest(path: String, mf: Manifest): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("fp", mf.fp); node.put("n", mf.n)
+    node.put("id", mf.id); node.put("text", mf.text)
+    node.put("tb", mf.tbParts)
+    node.put("lb", mf.lastBatch)
+    node.put("bv", mf.baseVer)
+    val arr = node.putArray("deltas")
+    mf.deltas.foreach(arr.add)
+    IndexDirs.writeManifestText(path, m.writeValueAsString(node))
+  }
+
+  /** Write the postings + ledger of `docs` under `root`, counts
+    * scaled by `sign` (deletes stage the same rows negated).
+    */
+  private def writeTables(docs: DataFrame, textCol: String,
+      idCol: String, sign: Int, mf: Manifest, root: String): Unit = {
+    val toks = docs.select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint(false)
+    toks.select(col(idCol), explode(col("__toks")).as("__t"))
+      .groupBy(idCol, "__t")
+      .agg((count(lit(1)) * sign).as("__tf"))
+      .withColumn("tb",
+        pmod(xxhash64(col("__t")), lit(mf.tbParts)).cast("int"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$root/tf")
+    toks.select(col(idCol), size(col("__toks")).as("__dl"),
+        lit(sign).as("__w"))
+      .write.mode("overwrite").parquet(s"$root/dl")
+  }
+
+  /** Aggregated live postings, pruned to `terms`' tb partitions when
+    * given: per-(id, term) tf sums > 0.
+    */
+  private def liveTf(spark: SparkSession, path: String, mf: Manifest,
+      terms: Option[Seq[String]]): DataFrame = {
+    // the same pmod(xxhash64) the writer used, evaluated once for
+    // the whole term list (terms are query-scale) so the partition
+    // filter is STATIC, not a runtime subquery
+    val wanted = terms.map { ts =>
+      import spark.implicits._
+      ts.toDF("__t")
+        .select(pmod(xxhash64(col("__t")), lit(mf.tbParts)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }
+    val roots = s"$path/${mf.baseOf("tf")}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/tf")
+    val rows = roots.map { r =>
+      val df = spark.read.parquet(r)
+      wanted.fold(df)(w => df.filter(col("tb").isin(w.map(Int.box): _*)))
+    }.reduce(_.unionByName(_))
+    val filtered = terms.fold(rows)(ts =>
+      rows.filter(col("__t").isin(ts: _*)))
+    filtered.groupBy(mf.id, "__t").agg(sum(col("__tf")).as("__tf"))
+      .filter(col("__tf") > 0)
+  }
+
+  /** The live doc-length ledger: (id, __dl) — weight-cancelled. */
+  private def liveDl(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame = {
+    val roots = s"$path/${mf.baseOf("dl")}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/dl")
+    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy(mf.id, "__dl").agg(sum(col("__w")).as("__w"))
+      .filter(col("__w") > 0).select(col(mf.id), col("__dl"))
+  }
+
+  def buildIfAbsent(docs: DataFrame, textCol: String, idCol: String,
+      path: String, tbParts: Int = 64): Build = {
+    val (fp, n) = fingerprint(docs, idCol, textCol)
+    val want = Manifest(fp, n, idCol, textCol, tbParts)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        writeTables(docs, textCol, idCol, 1, want, path)
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  def append(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build =
+    appendImpl(delta, path, checkDisjoint, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.text)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint) {
+      val dupes = liveDl(spark, path, have).select(col(have.id))
+        .join(broadcast(delta.select(col(have.id)).distinct()),
+          Seq(have.id), "left_semi").count()
+      require(dupes == 0,
+        s"append delta shares $dupes live id(s) with the index at " +
+          s"$path — double-counted postings (pass checkDisjoint = " +
+          "false only when upstream proves disjointness)")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.text, have.id, 1, have,
+      s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Delete = append of negated postings ([[LmIndex.delete]]'s
+    * algebra): `delta` carries the full `(id, text)` rows being
+    * removed.
+    */
+  def delete(delta: DataFrame, path: String,
+      checkPresent: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.text)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkPresent) {
+      val ids = delta.select(col(have.id)).distinct()
+        .localCheckpoint(false)
+      require(ids.count() == dn,
+        s"delete delta has duplicate ${have.id} rows")
+      val live = liveDl(spark, path, have).select(col(have.id))
+        .join(broadcast(ids), Seq(have.id), "left_semi").count()
+      require(live == dn,
+        s"delete delta names ${dn - live} id(s) not live in the " +
+          s"index at $path")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.text, have.id, -1, have,
+      s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      deltas = have.deltas :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Exactly-once streaming maintenance (`batchId <= lastBatch` ⇒
+    * skip — the [[AnnIndex.appendBatch]] recipe).
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+      checkDisjoint: Boolean = false): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    appendImpl(batch, path, checkDisjoint, Some(batchId))
+  }
+
+  def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
+      : (DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
+
+  /** Fold the delta stream (sums per key, nonzero kept — negatives
+    * survive to keep cancelling base rows until a full rebuild).
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.deltas.length < 2) return 0
+    val staged = IndexDirs.nextDeltaName(path, "c")
+    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/tf"))
+      .reduce(_.unionByName(_))
+      .groupBy(have.id, "__t", "tb").agg(sum(col("__tf")).as("__tf"))
+      .filter(col("__tf") =!= 0)
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/deltas/$staged/tf")
+    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
+      .reduce(_.unionByName(_))
+      .groupBy(have.id, "__dl").agg(sum(col("__w")).as("__w"))
+      .filter(col("__w") =!= 0)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/dl")
+    writeManifest(path, have.copy(deltas = Seq(staged)))
+    IndexDirs.gcDeltas(path, have.deltas)
+    have.deltas.length
+  }
+
+  /** Full SEMANTIC rewrite ([[LmIndex.purge]]'s rule): materialize
+    * the aggregated live postings + ledger into fresh `.v<N>` base
+    * dirs and commit with no deltas — deleted docs leave no trace.
+    * O(live postings); downtime-free (old manifest live until the
+    * atomic swap). Returns the live doc count.
+    */
+  def purge(spark: SparkSession, path: String): Long = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.deltas.isEmpty) return have.n
+    val nextVer = have.baseVer + 1
+    liveTf(spark, path, have, None)
+      .withColumn("tb",
+        pmod(xxhash64(col("__t")), lit(have.tbParts)).cast("int"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/tf.v$nextVer")
+    val live = liveDl(spark, path, have).localCheckpoint(false)
+    live.withColumn("__w", lit(1))
+      .write.mode("overwrite").parquet(s"$path/dl.v$nextVer")
+    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
+    IndexDirs.gcDeltas(path, have.deltas)
+    Seq("tf", "dl").foreach { sub =>
+      IndexDirs.rmTree(
+        java.nio.file.Paths.get(path, have.baseOf(sub)).toFile)
+    }
+    live.count()
+  }
+
+  /** BM25 of `terms` over the indexed corpus — reads `|terms|` tf
+    * partitions + the dl ledger; N/avgdl/df derive live, so the
+    * scores match [[TextAnalysis.bm25]] over the live doc set
+    * exactly. Output: (<idCol>, bm25), docs containing ≥ 1 term.
+    */
+  def score(spark: SparkSession, path: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val dl = liveDl(spark, path, mf).localCheckpoint(false)
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = liveTf(spark, path, mf, Some(terms))
+      .join(dl, Seq(mf.id))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(mf.id))
+      .agg(round(sum(col("__s")), 4).as("bm25"))
+  }
+}

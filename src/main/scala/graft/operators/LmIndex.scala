@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.LmCounts
+
+/** Persisted trigram-LM count artifact — the trained-model state of
+  * [[TextAnalysis.stupidBackoff]] under the [[IndexDirs]] manifest
+  * discipline.
+  *
+  * At 100 TB the LM count pass (tokenize + three n-gram hash
+  * aggregates over the whole train corpus) dwarfs every scoring run
+  * that uses it, and — unlike most trained models — n-gram counts
+  * are PURE SUMS: shard counts merge by `groupBy(gram).sum`, a
+  * removed document's counts subtract right back out. This module
+  * turns that algebra into an on-disk artifact:
+  *
+  * {{{
+  *   <path>/uni|bi|tri/    parquet count tables (gram, count)
+  *   <path>/ids/           parquet (<id>, w ±1) — the doc ledger
+  *                         backing the liveness/disjointness guards
+  *   <path>/deltas/d<N>/{uni,bi,tri,ids}  appended (or, for deletes,
+  *                         count-NEGATED) rows — visible only once
+  *                         the manifest lists d<N>
+  *   <path>/manifest.json  fingerprint + committed deltas — written
+  *                         LAST (commit marker)
+  * }}}
+  *
+  * Reads aggregate base ∪ committed deltas per gram and drop
+  * `sum ≤ 0` rows, so an append is O(delta counts), a delete is an
+  * append of negated counts (`fp' = fp ⊕ fold(delta)`, xor
+  * self-inverse — the [[AnnIndex.delete]] rule without tombstones),
+  * and [[compactDeltas]] is a SEMANTIC fold: it materializes the
+  * aggregated sums and drops the zeros, after which a deleted doc
+  * has no trace. The doc ledger (`ids`, weight ±1) makes the guards
+  * exact: a doc is live iff its weight-sum is positive.
+  *
+  * Reference grounding: immutable loaded artifacts serving every
+  * request (directory/directory.go:230-240), applied to LM state.
+  */
+object LmIndex {
+
+  final case class Build(path: String, fingerprint: Long, count: Long,
+      reused: Boolean)
+
+  /** Order-independent fingerprint over the raw train rows. */
+  def fingerprint(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val r = docs.agg(
+      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = r.getLong(1)
+    (if (n == 0) 0L else r.getLong(0), n)
+  }
+
+  private case class Manifest(fp: Long, n: Long, id: String,
+      text: String, deltas: Seq[String] = Nil, lastBatch: Long = -1L,
+      baseVer: Int = 0) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+    /** Live base dir of a table: versioned after a [[purge]]. */
+    def baseOf(sub: String): String =
+      if (baseVer == 0) sub else s"$sub.v$baseVer"
+  }
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifestText(path).map { text =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(text)
+      Manifest(node.get("fp").asLong(), node.get("n").asLong(),
+        node.get("id").asText(), node.get("text").asText(),
+        Option(node.get("deltas")).toSeq.flatMap { a =>
+          (0 until a.size()).map(a.get(_).asText())
+        },
+        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
+        Option(node.get("bv")).map(_.asInt()).getOrElse(0))
+    }
+
+  private def writeManifest(path: String, mf: Manifest): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("fp", mf.fp); node.put("n", mf.n)
+    node.put("id", mf.id); node.put("text", mf.text)
+    node.put("lb", mf.lastBatch)
+    node.put("bv", mf.baseVer)
+    val arr = node.putArray("deltas")
+    mf.deltas.foreach(arr.add)
+    IndexDirs.writeManifestText(path, m.writeValueAsString(node))
+  }
+
+  private val tables = Seq(
+    ("uni", "__w", "__cu"), ("bi", "__b", "__cb"), ("tri", "__t3", "__ct"))
+
+  /** Write the four tables of `docs` (scaled by `sign` — deletes
+    * stage the SAME rows with negated counts) under `root`.
+    */
+  private def writeTables(docs: DataFrame, textCol: String,
+      idCol: String, sign: Int, root: String): Unit = {
+    val counts = TextAnalysis.lmCounts(docs, textCol)
+    Seq(counts.uni, counts.bi, counts.tri).zip(tables).foreach {
+      case (df, (sub, _, cnt)) =>
+        df.withColumn(cnt, col(cnt) * sign)
+          .write.mode("overwrite").parquet(s"$root/$sub")
+    }
+    docs.select(col(idCol), lit(sign).as("__lw"))
+      .write.mode("overwrite").parquet(s"$root/ids")
+  }
+
+  /** Aggregated live rows of one table: base ∪ committed deltas,
+    * summed per key, `sum ≤ 0` dropped (a fully-deleted gram is
+    * absent, exactly as if its docs were never trained on).
+    */
+  private def readAgg(spark: SparkSession, path: String, mf: Manifest,
+      sub: String, key: String, cnt: String): DataFrame = {
+    val roots = s"$path/${mf.baseOf(sub)}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/$sub")
+    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy(key).agg(sum(col(cnt)).as(cnt))
+      .filter(col(cnt) > 0)
+  }
+
+  private def liveIds(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame = {
+    val roots = s"$path/${mf.baseOf("ids")}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/ids")
+    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy(mf.id).agg(sum(col("__lw")).as("__lw"))
+      .filter(col("__lw") > 0).select(col(mf.id))
+  }
+
+  /** The manifest-visible aggregated count tables, ready for
+    * [[TextAnalysis.stupidBackoffFrom]].
+    */
+  def counts(spark: SparkSession, path: String): LmCounts = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val Seq(u, b, t) = tables.map { case (sub, key, cnt) =>
+      readAgg(spark, path, mf, sub, key, cnt) }
+    LmCounts(u, b, t)
+  }
+
+  /** [[TextAnalysis.stupidBackoff]] scoring against the persisted
+    * counts — the train pass never re-runs.
+    */
+  def score(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame =
+    TextAnalysis.stupidBackoffFrom(counts(spark, path), docs, idCol,
+      textCol, alpha)
+
+  /** Build the artifact at `path` unless the manifest fingerprint
+    * matches the train corpus — the count pass is skipped entirely
+    * on reuse.
+    */
+  def buildIfAbsent(train: DataFrame, textCol: String, idCol: String,
+      path: String): Build = {
+    val (fp, n) = fingerprint(train, idCol, textCol)
+    val want = Manifest(fp, n, idCol, textCol)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        writeTables(train, textCol, idCol, 1, path)
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** Extend the LM with NEW documents: only the delta pays the count
+    * pass; its counts stage in `deltas/d<N>` (manifest-gated), and
+    * the fingerprint composes in O(delta). `checkDisjoint` (default
+    * on) verifies no delta id is already live — double-counting a
+    * doc corrupts both the counts and the fingerprint.
+    */
+  def append(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build =
+    appendImpl(delta, path, checkDisjoint, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.text)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint) {
+      val dupes = liveIds(spark, path, have)
+        .join(broadcast(delta.select(col(have.id)).distinct()),
+          Seq(have.id), "left_semi").count()
+      require(dupes == 0,
+        s"append delta shares $dupes live id(s) with the LM at $path " +
+          "— re-training a doc double-counts its grams (pass " +
+          "checkDisjoint = false only when upstream proves it)")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.text, have.id, 1, s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Remove documents from the LM: the count algebra makes a delete
+    * an append of NEGATED counts — `delta` carries the full
+    * `(id, text)` rows being removed, their n-gram counts stage with
+    * `× -1`, reads sum to zero and drop the grams, and the
+    * fingerprint folds the rows back out (xor self-inverse). After a
+    * [[compactDeltas]], the artifact is bit-for-bit the one trained
+    * without those docs. `checkPresent` verifies liveness against
+    * the doc ledger.
+    */
+  def delete(delta: DataFrame, path: String,
+      checkPresent: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.text)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkPresent) {
+      val ids = delta.select(col(have.id)).distinct()
+        .localCheckpoint(false)
+      require(ids.count() == dn,
+        s"delete delta has duplicate ${have.id} rows")
+      val live = liveIds(spark, path, have)
+        .join(broadcast(ids), Seq(have.id), "left_semi").count()
+      require(live == dn,
+        s"delete delta names ${dn - live} id(s) not live in the LM " +
+          s"at $path (pass checkPresent = false only when upstream " +
+          "proves liveness)")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.text, have.id, -1, s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      deltas = have.deltas :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Exactly-once streaming LM maintenance — the [[AnnIndex]]
+    * idempotent-sink recipe (`batchId <= lastBatch` ⇒ skip).
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+      checkDisjoint: Boolean = false): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    appendImpl(batch, path, checkDisjoint, Some(batchId))
+  }
+
+  def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
+      : (DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
+
+  /** Fold the DELTA stream into one directory, O(total delta size):
+    * per-gram sums across the delta dirs only, nonzero rows kept —
+    * including NEGATIVE ones, which must survive to keep cancelling
+    * base counts (a delete of a base-trained doc lives in the deltas
+    * as negated counts until a [[purge]]). Bounds per-score listing
+    * and footer costs after long append/delete streams without
+    * touching the base. Crash-safe by the staging discipline.
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.deltas.length < 2) return 0
+    val staged = IndexDirs.nextDeltaName(path, "c")
+    (tables :+ (("ids", have.id, "__lw"))).foreach { case (sub, key, cnt) =>
+      have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+        .reduce(_.unionByName(_))
+        .groupBy(key).agg(sum(col(cnt)).as(cnt))
+        .filter(col(cnt) =!= 0)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged/$sub")
+    }
+    writeManifest(path, have.copy(deltas = Seq(staged)))
+    IndexDirs.gcDeltas(path, have.deltas)
+    have.deltas.length
+  }
+
+  /** Full SEMANTIC rewrite: materialize the aggregated live counts
+    * into fresh `.v<N>` base dirs and commit with no deltas — after
+    * this, deleted docs leave no trace (their grams are gone, not
+    * cancelled). O(live counts); downtime-free (old manifest live
+    * until the atomic swap). Returns the live doc count.
+    */
+  def purge(spark: SparkSession, path: String): Long = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.deltas.isEmpty) return have.n
+    val nextVer = have.baseVer + 1
+    tables.foreach { case (sub, key, cnt) =>
+      readAgg(spark, path, have, sub, key, cnt)
+        .write.mode("overwrite").parquet(s"$path/$sub.v$nextVer")
+    }
+    val live = liveIds(spark, path, have).localCheckpoint(false)
+    live.withColumn("__lw", lit(1))
+      .write.mode("overwrite").parquet(s"$path/ids.v$nextVer")
+    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
+    IndexDirs.gcDeltas(path, have.deltas)
+    ("ids" +: tables.map(_._1)).foreach { sub =>
+      IndexDirs.rmTree(
+        java.nio.file.Paths.get(path, have.baseOf(sub)).toFile)
+    }
+    live.count()
+  }
+}

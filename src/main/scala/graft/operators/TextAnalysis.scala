@@ -163,28 +163,61 @@ object TextAnalysis {
     * ln S; NULL when the doc has fewer than 3 tokens).
     */
   def stupidBackoff(train: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.4): DataFrame = {
+      textCol: String, alpha: Double = 0.4): DataFrame =
+    stupidBackoffFrom(lmCounts(train, textCol), docs, idCol, textCol,
+      alpha)
+
+  /** The LM state of [[stupidBackoff]], factored out so it can be
+    * persisted and incrementally merged ([[LmIndex]]): three n-gram
+    * count tables. Counts are PURE SUMS, so shards/batches compose by
+    * `groupBy(gram).sum` — the property the persisted artifact's
+    * O(delta) appends and count-negating deletes ride on.
+    */
+  final case class LmCounts(uni: DataFrame, bi: DataFrame,
+      tri: DataFrame)
+
+  // guarded index sequences: sequence(0, n) DESCENDS for n < 0, so
+  // short docs must yield an empty gram list, not a reversed one
+  private def lmGrams(n: Int, body: String) =
+    s"""transform(
+       |  CASE WHEN size(__a) >= $n THEN sequence(0, size(__a) - $n)
+       |       ELSE CAST(array() AS array<int>) END, i -> $body)"""
+      .stripMargin
+
+  private def lmToks(df: DataFrame, textCol: String, keep: Seq[Column]) =
+    df.select(keep :+ tokens(lower(col(textCol))).as("__a"): _*)
+
+  /** The three count hash-aggregates over the train scan (map-side
+    * combined): uni(__w, __cu), bi(__b, __cb), tri(__t3, __ct).
+    */
+  def lmCounts(train: DataFrame, textCol: String): LmCounts = {
+    val trainT = lmToks(train, textCol, Nil)
+    LmCounts(
+      trainT.select(explode(col("__a")).as("__w"))
+        .groupBy("__w").agg(count(lit(1)).as("__cu")),
+      trainT.select(explode(expr(
+          lmGrams(2, "concat(__a[i], ' ', __a[i+1])"))).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__cb")),
+      trainT.select(explode(expr(
+          lmGrams(3, "concat(__a[i], ' ', __a[i+1], ' ', __a[i+2])")))
+          .as("__t3"))
+        .groupBy("__t3").agg(count(lit(1)).as("__ct")))
+  }
+
+  /** [[stupidBackoff]] scoring against pre-built (possibly loaded —
+    * [[LmIndex.score]]) count tables. The token-count scalar N is
+    * `sum(uni counts)` — a 1-row agg over the unigram table, not a
+    * second train scan.
+    */
+  def stupidBackoffFrom(counts: LmCounts, docs: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
     def toks(df: DataFrame, keep: Seq[Column]) =
-      df.select(keep :+ tokens(lower(col(textCol))).as("__a"): _*)
-    // guarded index sequences: sequence(0, n) DESCENDS for n < 0, so
-    // short docs must yield an empty gram list, not a reversed one
-    def grams(n: Int, body: String) =
-      s"""transform(
-         |  CASE WHEN size(__a) >= $n THEN sequence(0, size(__a) - $n)
-         |       ELSE CAST(array() AS array<int>) END, i -> $body)"""
-        .stripMargin
-    val trainT = toks(train, Nil)
-    val uni = trainT.select(explode(col("__a")).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__cu"))
-    val nTot = trainT
-      .select(explode(col("__a")).as("__w"))
-      .agg(count(lit(1)).cast("double").as("__N"))
-    val bi = trainT.select(explode(expr(
-        grams(2, "concat(__a[i], ' ', __a[i+1])"))).as("__b"))
-      .groupBy("__b").agg(count(lit(1)).as("__cb"))
-    val tri = trainT.select(explode(expr(
-        grams(3, "concat(__a[i], ' ', __a[i+1], ' ', __a[i+2])"))).as("__t3"))
-      .groupBy("__t3").agg(count(lit(1)).as("__ct"))
+      lmToks(df, textCol, keep)
+    def grams(n: Int, body: String) = lmGrams(n, body)
+    val uni = counts.uni
+    val bi = counts.bi
+    val tri = counts.tri
+    val nTot = uni.agg(sum(col("__cu")).cast("double").as("__N"))
     val docTris = toks(docs, Seq(col(idCol)))
       .select(col(idCol), explode(expr(grams(3,
         "struct(__a[i] AS w1, __a[i+1] AS w2, __a[i+2] AS w3)"))).as("__t"))

@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+class LmIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // overlapping token windows so uni/bi/tri all have shared and
+  // doc-specific grams
+  private def corpus(from: Int = 0, until: Int = 40) = {
+    import spark.implicits._
+    (from until until).map { i =>
+      (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} " +
+        s"tok${(i + 3) % 7} word$i tail${i % 3}")
+    }.toDF("doc_id", "text")
+  }
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(p).toString + "/idx"
+
+  private def scores(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+
+  test("persisted score equals the in-plan stupidBackoff, and a " +
+      "second build reuses") {
+    val path = tmp("lmidx")
+    val train = corpus().filter(col("doc_id") % 2 === 0)
+    assert(!LmIndex.buildIfAbsent(train, "text", "doc_id", path).reused)
+    assert(LmIndex.buildIfAbsent(train, "text", "doc_id", path).reused)
+    val got = scores(LmIndex.score(spark, path, corpus(), "doc_id",
+      "text"))
+    val want = scores(TextAnalysis.stupidBackoff(train, corpus(),
+      "doc_id", "text"))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("append composes the fingerprint and counts to the full-build " +
+      "LM; re-training a live doc refuses") {
+    val path = tmp("lmidx-app")
+    val fullPath = tmp("lmidx-full")
+    LmIndex.buildIfAbsent(corpus(0, 25), "text", "doc_id", path)
+    val app = LmIndex.append(corpus(25, 40), path)
+    val full = LmIndex.buildIfAbsent(corpus(), "text", "doc_id", fullPath)
+    assert(app.fingerprint == full.fingerprint && app.count == full.count)
+    assert(LmIndex.buildIfAbsent(corpus(), "text", "doc_id", path).reused)
+    assert(scores(LmIndex.score(spark, path, corpus(), "doc_id", "text"))
+      == scores(LmIndex.score(spark, fullPath, corpus(), "doc_id",
+        "text")))
+    assert(intercept[IllegalArgumentException] {
+      LmIndex.append(corpus(30, 32), path)
+    }.getMessage.contains("shares"))
+  }
+
+  test("delete negates counts back out: scores equal a survivors-only " +
+      "LM, guards fire, and a deleted doc can be re-appended " +
+      "(the counts cancel exactly)") {
+    val path = tmp("lmidx-del")
+    LmIndex.buildIfAbsent(corpus(), "text", "doc_id", path)
+    val dead = corpus().filter(col("doc_id") % 2 === 1)
+    val del = LmIndex.delete(dead, path)
+    val even = corpus().filter(col("doc_id") % 2 === 0)
+    val evenBuild = LmIndex.buildIfAbsent(even, "text", "doc_id",
+      tmp("lmidx-even"))
+    assert(del.fingerprint == evenBuild.fingerprint &&
+      del.count == evenBuild.count)
+    // the q93 shape: scoring everything under the even-doc LM
+    assert(scores(LmIndex.score(spark, path, corpus(), "doc_id", "text"))
+      == scores(TextAnalysis.stupidBackoff(even, corpus(), "doc_id",
+        "text")))
+    // the deleted-from artifact satisfies a survivors-only rebuild
+    assert(LmIndex.buildIfAbsent(even, "text", "doc_id", path).reused)
+    assert(intercept[IllegalArgumentException] {
+      LmIndex.delete(dead.limit(2), path)
+    }.getMessage.contains("not live"))
+    // count algebra supports RE-ADD after delete (unlike tombstones):
+    // +c  -c  +c sums to +c
+    val back = LmIndex.append(dead, path)
+    val (fullFp, fullN) = LmIndex.fingerprint(corpus(), "doc_id", "text")
+    assert(back.fingerprint == fullFp && back.count == fullN)
+    assert(scores(LmIndex.score(spark, path, corpus(), "doc_id", "text"))
+      == scores(TextAnalysis.stupidBackoff(corpus(), corpus(), "doc_id",
+        "text")))
+  }
+
+  test("compactDeltas preserves negative (cancelling) rows; purge " +
+      "materializes the survivors-only tables; both score-invariant") {
+    val path = tmp("lmidx-cmp")
+    LmIndex.buildIfAbsent(corpus(0, 20), "text", "doc_id", path)
+    LmIndex.append(corpus(20, 30), path)
+    LmIndex.append(corpus(30, 40), path)
+    LmIndex.delete(corpus(0, 5), path)
+    val before = scores(LmIndex.score(spark, path, corpus(), "doc_id",
+      "text"))
+    assert(LmIndex.compactDeltas(spark, path) == 3)
+    assert(scores(LmIndex.score(spark, path, corpus(), "doc_id",
+      "text")) == before)
+    assert(LmIndex.purge(spark, path) == 35L)
+    assert(scores(LmIndex.score(spark, path, corpus(), "doc_id",
+      "text")) == before)
+    // purged artifact == direct survivors-only build, bit for bit
+    val survivors = corpus(5, 40)
+    assert(LmIndex.buildIfAbsent(survivors, "text", "doc_id", path)
+      .reused)
+    assert(before == scores(TextAnalysis.stupidBackoff(survivors,
+      corpus(), "doc_id", "text")))
+    // post-purge appends keep working
+    assert(!LmIndex.append(corpus(0, 2), path).reused)
+  }
+
+  test("appendBatch is exactly-once: a replayed micro-batch id is " +
+      "skipped") {
+    val path = tmp("lmidx-bat")
+    LmIndex.buildIfAbsent(corpus(0, 30), "text", "doc_id", path)
+    val b = LmIndex.appendBatch(corpus(30, 35), 0L, path)
+    assert(!b.reused)
+    val replay = LmIndex.appendBatch(corpus(30, 35), 0L, path)
+    assert(replay.reused && replay.fingerprint == b.fingerprint)
+    assert(!LmIndex.appendBatch(corpus(35, 40), 1L, path).reused)
+  }
+}

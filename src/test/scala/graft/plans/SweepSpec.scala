@@ -48,6 +48,17 @@ class SweepSpec extends AnyFunSuite {
     "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann",
     "q82_bm25", "q85_hard_negatives", "q88_corpus_minhash",
     "q91_hybrid_rrf", "q93_trigram_lm", "q100_lsh_recall",
+    // q196/q197/q198: the persisted-LM serve path re-plans q93's
+    // 1-row token-total broadcast cross (stupidBackoffFrom's nTot
+    // scalar); the artifact only changes where counts are read from.
+    "q196_lm_persisted", "q197_lm_appended", "q198_lm_deleted",
+    // q199/q200/q201: the persisted-BM25 serve path re-plans q82's
+    // 1-row (N, avgdl) corpus-stats broadcast cross; the artifact
+    // only changes where tf/dl are read from.
+    "q199_bm25_persisted", "q200_bm25_appended", "q201_bm25_deleted",
+    // q202: q91's fusion with the lex arm on the persisted-BM25
+    // serve path — the same 1-row corpus-stats broadcast cross.
+    "q202_hybrid_persisted",
     "q102_signal_correlation",
     // q116/q123: 1-row totals cross back onto a grouped table —
     // the q60/q82 totals-cross class.
