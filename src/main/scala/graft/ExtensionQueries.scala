@@ -293,6 +293,30 @@ object ExtensionQueries {
     // odd docs, purge — scores equal a survivors-only index, and the
     // oracle recomputes BM25 over the even half (N, avgdl, df all
     // shift with the survivor set, which is exactly the point).
+    /** Batched serving ([[graft.operators.Bm25Index.scoreMany]]): a
+      * 3-query workload scored in ONE plan over q199's artifact — one
+      * pruned postings pass fans out to qids by a broadcast term
+      * join, then a single (qid, doc) aggregate. The per-query scores
+      * equal [[graft.operators.Bm25Index.score]] run per query (df,
+      * N, avgdl are workload-independent), which the oracle replays.
+      */
+    "q203_bm25_batch" -> ((s, d) => {
+      import graft.operators.Bm25Index
+      import s.implicits._
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bmidx-${Integer.toHexString(d.hashCode)}").toString
+      Bm25Index.buildIfAbsent(Tables.documents(s, d), "text", "doc_id",
+        idx)
+      val workload = Seq(
+        (0L, "spark"), (0L, "join"), (0L, "window"),
+        (1L, "hash"), (1L, "merge"),
+        (2L, "vector"), (2L, "stream"), (2L, "scan"))
+        .toDF("qid", "term")
+      Bm25Index.scoreMany(s, idx, workload, "qid", "term")
+        .orderBy("qid", "doc_id")
+    }),
+
     "q201_bm25_deleted" -> ((s, d) => {
       import graft.operators.Bm25Index
       val docs = Tables.documents(s, d)
@@ -987,6 +1011,28 @@ object ExtensionQueries {
     // delete+purge leaves the even-doc index: the oracle recomputes
     // BM25 over the survivor corpus (N, avgdl, df shift with it)
     "q201_bm25_deleted" -> bm25Oracle("WHERE doc_id % 2 = 0"),
+    // the workload batch: same BM25 algebra, fanned out to qids by a
+    // term join and aggregated per (qid, doc)
+    "q203_bm25_batch" ->
+      s"""WITH qt AS (SELECT * FROM (VALUES
+         |  (0, 'spark'), (0, 'join'), (0, 'window'),
+         |  (1, 'hash'), (1, 'merge'),
+         |  (2, 'vector'), (2, 'stream'), (2, 'scan')) v(qid, t)),
+         |base AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS toks FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl
+         |  FROM base),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS t
+         |  FROM base),
+         |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM tok
+         |  WHERE t IN (SELECT t FROM qt) GROUP BY doc_id, dl, t),
+         |dfr AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t)
+         |SELECT qt.qid, tf.doc_id,
+         |  round(sum(ln((n - dfc + 0.5) / (dfc + 0.5) + 1) * (tf * (1.2 + 1))
+         |    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+         |FROM tf JOIN dfr USING (t) JOIN qt USING (t), stats
+         |GROUP BY qt.qid, tf.doc_id ORDER BY qid, doc_id""".stripMargin,
     "q52_repetition" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(text), '\s+'),

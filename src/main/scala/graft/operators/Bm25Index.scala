@@ -308,4 +308,44 @@ object Bm25Index {
       .groupBy(col(mf.id))
       .agg(round(sum(col("__s")), 4).as("bm25"))
   }
+
+  /** Batched BM25 — the 100 TB serving shape: a whole query WORKLOAD
+    * `(qid, term)` scored in ONE plan. The postings read is pruned to
+    * the union of the workload's tb partitions (the term list is
+    * collected once — a query workload is dimension-scale against the
+    * corpus), each pruned posting row fans out to the qids asking for
+    * its term via one broadcast equi-join, and per-query totals are a
+    * single (qid, id) hash aggregate — so a thousand queries cost one
+    * postings pass, not a thousand. Per-term df and corpus N/avgdl
+    * are workload-independent, so the scores equal [[score]] run
+    * per query. Output: (qidCol, <idCol>, bm25), docs with ≥ 1 hit.
+    */
+  def scoreMany(spark: SparkSession, path: String, queryTerms: DataFrame,
+      qidCol: String, termCol: String, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val qt = queryTerms
+      .select(col(qidCol), col(termCol).as("__t")).distinct()
+      .localCheckpoint(false)
+    val terms = qt.select("__t").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "bm25 workload has no query terms")
+    val dl = liveDl(spark, path, mf).localCheckpoint(false)
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = liveTf(spark, path, mf, Some(terms))
+      .join(dl, Seq(mf.id))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    tf.join(broadcast(dfreq), "__t")
+      .join(broadcast(qt), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(qidCol), col(mf.id))
+      .agg(round(sum(col("__s")), 4).as("bm25"))
+  }
 }

@@ -137,6 +137,29 @@ class Bm25IndexSpec extends AnyFunSuite {
       == scores(TextAnalysis.bm25(corpus(), "doc_id", "text", terms)))
   }
 
+  test("scoreMany equals per-query score: one postings pass serves " +
+      "the whole workload") {
+    import spark.implicits._
+    val path = tmp("bmidx-many")
+    Bm25Index.buildIfAbsent(corpus(), "text", "doc_id", path)
+    val workload = Seq(
+      (0L, "tok1"), (0L, "tok3"), (0L, "rare"),
+      (1L, "tok2"), (1L, "rare"),
+      (2L, "word7"),
+      (3L, "nosuchterm")).toDF("qid", "term")
+    val got = Bm25Index.scoreMany(spark, path, workload, "qid", "term")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Seq(
+      0L -> Seq("tok1", "tok3", "rare"),
+      1L -> Seq("tok2", "rare"),
+      2L -> Seq("word7")).flatMap { case (qid, ts) =>
+      scores(Bm25Index.score(spark, path, ts))
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("appendBatch is exactly-once: a replayed micro-batch id is " +
       "skipped") {
     val path = tmp("bmidx-bat")

@@ -59,6 +59,9 @@ class SweepSpec extends AnyFunSuite {
     // q202: q91's fusion with the lex arm on the persisted-BM25
     // serve path — the same 1-row corpus-stats broadcast cross.
     "q202_hybrid_persisted",
+    // q203: the batched-BM25 serve — the same 1-row stats cross,
+    // shared across the whole workload.
+    "q203_bm25_batch",
     "q102_signal_correlation",
     // q116/q123: 1-row totals cross back onto a grouped table —
     // the q60/q82 totals-cross class.
