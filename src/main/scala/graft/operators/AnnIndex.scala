@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,22 +62,16 @@ object AnnIndex {
   /** Index state after [[buildIfAbsent]]: `reused = true` means the
     * manifest fingerprint matched and nothing was rewritten.
     */
-  final case class Build(path: String, fingerprint: Long, count: Long,
-      reused: Boolean)
+  type Build = IndexBuild
+  val Build = IndexBuild
 
-  /** Order-independent content fingerprint of `(idCol, vecCol)`:
-    * xor-fold of the per-row xxhash64 plus the row count (xor alone
-    * is blind to even-multiplicity duplicates). One column-pruned
-    * scan; no shuffle beyond the single-row agg.
+  /** Order-independent content fingerprint of `(idCol, vecCol)` plus
+    * any carried metadata columns — see
+    * [[IndexDirs.contentFingerprint]].
     */
   def fingerprint(corpus: DataFrame, idCol: String,
-      vecCol: String, carryCols: Seq[String] = Nil): (Long, Long) = {
-    val r = corpus.agg(
-      bit_xor(xxhash64((idCol +: vecCol +: carryCols).map(col): _*)).as("fp"),
-      count(lit(1)).as("n")).collect()(0)
-    val n = r.getLong(1)
-    (if (n == 0) 0L else r.getLong(0), n)
-  }
+      vecCol: String, carryCols: Seq[String] = Nil): (Long, Long) =
+    IndexDirs.contentFingerprint(corpus, idCol +: vecCol +: carryCols)
 
   /** Deterministic content hash of the index parameters (centroid /
     * codebook VALUES, not just counts) — length-prefixed fold so
@@ -95,8 +86,6 @@ object AnnIndex {
 
   private def pqParamsHash(books: Seq[Seq[Seq[Long]]]): Long =
     books.foldLeft(19L)((h, cb) => h * 31L + paramsHash(cb))
-
-  private def manifestPath(path: String) = IndexDirs.manifestPath(path)
 
   private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
       id: String, vec: String, ph: Long, deltas: Seq[String] = Nil,
@@ -117,52 +106,25 @@ object AnnIndex {
       if (baseDir.isEmpty) default else baseDir
   }
 
-  private def readManifest(path: String): Option[Manifest] = {
-    val p = manifestPath(path)
-    if (!Files.exists(p)) None
-    else {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = m.readTree(Files.readString(p))
-      val deltas = Option(node.get("deltas")).toSeq.flatMap { a =>
-        (0 until a.size()).map(a.get(_).asText())
-      }
-      Some(Manifest(node.get("fp").asLong(), node.get("n").asLong(),
-        Option(node.get("kind")).map(_.asText()).getOrElse("ivf"),
-        node.get("k").asInt(), node.get("id").asText(),
-        node.get("vec").asText(),
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifest(path).map { r =>
+      Manifest(r.long("fp"), r.long("n"), r.strOr("kind", "ivf"),
+        r.int("k"), r.str("id"), r.str("vec"),
         // a pre-hash manifest (older layout) reads as ph=0 — it can
         // never match a computed hash, so it rebuilds once, safely
-        Option(node.get("ph")).map(_.asLong()).getOrElse(0L),
-        deltas,
-        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
-        Option(node.get("carry")).toSeq.flatMap { a =>
-          (0 until a.size()).map(a.get(_).asText())
-        },
-        Option(node.get("tombs")).toSeq.flatMap { a =>
-          (0 until a.size()).map(a.get(_).asText())
-        },
-        Option(node.get("bd")).map(_.asText()).getOrElse("")))
+        r.longOr("ph", 0L), r.seq("deltas"), r.longOr("lb", -1L),
+        r.seq("carry"), r.seq("tombs"), r.strOr("bd", ""))
     }
-  }
 
-  private def writeManifest(path: String, mf: Manifest): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
-    node.put("fp", mf.fp); node.put("n", mf.n); node.put("kind", mf.kind)
-    node.put("k", mf.k); node.put("id", mf.id); node.put("vec", mf.vec)
-    node.put("ph", mf.ph)
-    node.put("lb", mf.lastBatch)
-    val arr = node.putArray("deltas")
-    mf.deltas.foreach(arr.add)
-    val carr = node.putArray("carry")
-    mf.carry.foreach(carr.add)
-    val tarr = node.putArray("tombs")
-    mf.tombs.foreach(tarr.add)
-    node.put("bd", mf.baseDir)
-    Files.createDirectories(Paths.get(path))
-    Files.write(manifestPath(path),
-      m.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
-  }
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n).put("kind", mf.kind)
+      .put("k", mf.k).put("id", mf.id).put("vec", mf.vec)
+      .put("ph", mf.ph).put("lb", mf.lastBatch)
+      .put("bd", mf.baseDir)
+      .put("deltas", mf.deltas).put("carry", mf.carry)
+      .put("tombs", mf.tombs)
+      .commit(path)
 
   /** Uncommit + clear — see [[IndexDirs.uncommit]]. */
   private def uncommit(path: String): Unit = IndexDirs.uncommit(path)
@@ -677,10 +639,12 @@ object AnnIndex {
       if (have.tombs.isEmpty) 0L
       else tombIds(spark, path, have).count()
     // next base version: scan for existing versioned dirs
-    val ver = Option(Paths.get(path).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .flatMap(f => s"^${java.util.regex.Pattern.quote(baseSub)}\\.v(\\d+)$$"
-        .r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    val fsys = IndexDirs.fs(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val ver = (if (!fsys.exists(root)) Array.empty[String]
+      else fsys.listStatus(root).map(_.getPath.getName))
+      .flatMap(n => s"^${java.util.regex.Pattern.quote(baseSub)}\\.v(\\d+)$$"
+        .r.findFirstMatchIn(n).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
     val newBase = s"$baseSub.v$ver"
     val w = readParts(spark, path, baseSub, have, None)
@@ -691,8 +655,7 @@ object AnnIndex {
       baseDir = newBase))
     // post-commit GC: old base version + folded delta/tombstone dirs
     IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
-    val oldBase = have.baseOr(baseSub)
-    IndexDirs.rmTree(Paths.get(path, oldBase).toFile)
+    IndexDirs.rmTree(s"$path/${have.baseOr(baseSub)}")
     tombCount
   }
 

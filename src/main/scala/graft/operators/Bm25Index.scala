@@ -33,17 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Index {
 
-  final case class Build(path: String, fingerprint: Long, count: Long,
-      reused: Boolean)
+  type Build = IndexBuild
+  val Build = IndexBuild
 
   def fingerprint(docs: DataFrame, idCol: String,
-      textCol: String): (Long, Long) = {
-    val r = docs.agg(
-      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp"),
-      count(lit(1)).as("n")).collect()(0)
-    val n = r.getLong(1)
-    (if (n == 0) 0L else r.getLong(0), n)
-  }
+      textCol: String): (Long, Long) =
+    IndexDirs.contentFingerprint(docs, Seq(idCol, textCol))
 
   private case class Manifest(fp: Long, n: Long, id: String,
       text: String, tbParts: Int, deltas: Seq[String] = Nil,
@@ -57,31 +52,19 @@ object Bm25Index {
   }
 
   private def readManifest(path: String): Option[Manifest] =
-    IndexDirs.readManifestText(path).map { text =>
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = m.readTree(text)
-      Manifest(node.get("fp").asLong(), node.get("n").asLong(),
-        node.get("id").asText(), node.get("text").asText(),
-        node.get("tb").asInt(),
-        Option(node.get("deltas")).toSeq.flatMap { a =>
-          (0 until a.size()).map(a.get(_).asText())
-        },
-        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
-        Option(node.get("bv")).map(_.asInt()).getOrElse(0))
+    IndexDirs.readManifest(path).map { r =>
+      Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("text"),
+        r.int("tb"), r.seq("deltas"), r.longOr("lb", -1L),
+        r.intOr("bv", 0))
     }
 
-  private def writeManifest(path: String, mf: Manifest): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
-    node.put("fp", mf.fp); node.put("n", mf.n)
-    node.put("id", mf.id); node.put("text", mf.text)
-    node.put("tb", mf.tbParts)
-    node.put("lb", mf.lastBatch)
-    node.put("bv", mf.baseVer)
-    val arr = node.putArray("deltas")
-    mf.deltas.foreach(arr.add)
-    IndexDirs.writeManifestText(path, m.writeValueAsString(node))
-  }
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n)
+      .put("id", mf.id).put("text", mf.text)
+      .put("tb", mf.tbParts).put("lb", mf.lastBatch)
+      .put("bv", mf.baseVer).put("deltas", mf.deltas)
+      .commit(path)
 
   /** Write the postings + ledger of `docs` under `root`, counts
     * scaled by `sign` (deletes stage the same rows negated).
@@ -276,8 +259,7 @@ object Bm25Index {
     writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
     IndexDirs.gcDeltas(path, have.deltas)
     Seq("tf", "dl").foreach { sub =>
-      IndexDirs.rmTree(
-        java.nio.file.Paths.get(path, have.baseOf(sub)).toFile)
+      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
     }
     live.count()
   }

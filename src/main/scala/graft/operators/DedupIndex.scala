@@ -61,8 +61,8 @@ object DedupIndex {
   /** Index state after a build/append: `reused = true` means the
     * manifest fingerprint matched and nothing was rewritten.
     */
-  final case class Build(path: String, fingerprint: Long, count: Long,
-      reused: Boolean)
+  type Build = IndexBuild
+  val Build = IndexBuild
 
   /** Signature scheme: the MinHash arithmetic over the shingled
     * document. Both use the [[Dedup.corpusMinhashSignatures]]
@@ -102,13 +102,8 @@ object DedupIndex {
     * reuse check is cheap even when the build would not be.
     */
   def fingerprint(docs: DataFrame, idCol: String,
-      textCol: String): (Long, Long) = {
-    val r = docs.agg(
-      bit_xor(xxhash64(col(idCol), col(textCol))).as("fp"),
-      count(lit(1)).as("n")).collect()(0)
-    val n = r.getLong(1)
-    (if (n == 0) 0L else r.getLong(0), n)
-  }
+      textCol: String): (Long, Long) =
+    IndexDirs.contentFingerprint(docs, Seq(idCol, textCol))
 
   private case class Manifest(fp: Long, n: Long, scheme: String,
       nh: Int, k: Int, bands: Int, kbParts: Int, sbParts: Int,
@@ -125,45 +120,28 @@ object DedupIndex {
   }
 
   private def readManifest(path: String): Option[Manifest] =
-    IndexDirs.readManifestText(path).map { text =>
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = m.readTree(text)
-      val deltas = Option(node.get("deltas")).toSeq.flatMap { a =>
-        (0 until a.size()).map(a.get(_).asText())
-      }
-      Manifest(node.get("fp").asLong(), node.get("n").asLong(),
-        node.get("scheme").asText(), node.get("nh").asInt(),
-        node.get("k").asInt(), node.get("bands").asInt(),
-        node.get("kb").asInt(), node.get("sb").asInt(),
+    IndexDirs.readManifest(path).map { r =>
+      Manifest(r.long("fp"), r.long("n"), r.str("scheme"),
+        r.int("nh"), r.int("k"), r.int("bands"),
+        r.int("kb"), r.int("sb"),
         // a pre-digest-table manifest reads db=0, which can never
         // match a requested layout — it rebuilds once, safely
-        Option(node.get("db")).map(_.asInt()).getOrElse(0),
-        node.get("id").asText(), node.get("text").asText(),
-        deltas,
-        Option(node.get("lb")).map(_.asLong()).getOrElse(-1L),
-        Option(node.get("tombs")).toSeq.flatMap { a =>
-          (0 until a.size()).map(a.get(_).asText())
-        },
-        Option(node.get("bv")).map(_.asInt()).getOrElse(0))
+        r.intOr("db", 0),
+        r.str("id"), r.str("text"), r.seq("deltas"),
+        r.longOr("lb", -1L), r.seq("tombs"), r.intOr("bv", 0))
     }
 
-  private def writeManifest(path: String, mf: Manifest): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
-    node.put("fp", mf.fp); node.put("n", mf.n)
-    node.put("scheme", mf.scheme); node.put("nh", mf.nh)
-    node.put("k", mf.k); node.put("bands", mf.bands)
-    node.put("kb", mf.kbParts); node.put("sb", mf.sbParts)
-    node.put("db", mf.dbParts)
-    node.put("id", mf.id); node.put("text", mf.text)
-    node.put("lb", mf.lastBatch)
-    node.put("bv", mf.baseVer)
-    val arr = node.putArray("deltas")
-    mf.deltas.foreach(arr.add)
-    val tarr = node.putArray("tombs")
-    mf.tombs.foreach(tarr.add)
-    IndexDirs.writeManifestText(path, m.writeValueAsString(node))
-  }
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n)
+      .put("scheme", mf.scheme).put("nh", mf.nh)
+      .put("k", mf.k).put("bands", mf.bands)
+      .put("kb", mf.kbParts).put("sb", mf.sbParts)
+      .put("db", mf.dbParts)
+      .put("id", mf.id).put("text", mf.text)
+      .put("lb", mf.lastBatch).put("bv", mf.baseVer)
+      .put("deltas", mf.deltas).put("tombs", mf.tombs)
+      .commit(path)
 
   /** `(id, sig)` for `docs` under `scheme` — the permutation MinHash
     * of [[Dedup.corpusMinhashSignatures]] applied per document.
@@ -365,8 +343,7 @@ object DedupIndex {
       baseVer = nextVer))
     IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
     Seq("sigs", "bands", "digests").foreach { sub =>
-      IndexDirs.rmTree(
-        java.nio.file.Paths.get(path, have.baseOf(sub)).toFile)
+      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
     }
     tombCount
   }

@@ -45,7 +45,7 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("second build on the same corpus reuses the index: no " +
       "assignment jobs, no rewritten files") {
-    val path = Files.createTempDirectory("annidx").toString + "/idx"
+    val path = Files.createTempDirectory("annidx").toUri.toString.stripSuffix("/") + "/idx"
     val c = corpus().cache()
     c.count()
     val b1 = AnnIndex.buildIfAbsent(c, "q", "vec_id", cents, path)

@@ -38,7 +38,7 @@ class DedupIndexSpec extends AnyFunSuite {
   private val scheme = DedupIndex.MinhashMd5(numHashes = 16, shingle = 4)
 
   private def tmp(p: String) =
-    Files.createTempDirectory(p).toString + "/idx"
+    Files.createTempDirectory(p).toUri.toString.stripSuffix("/") + "/idx"
 
   private def pairKey(df: org.apache.spark.sql.DataFrame,
       a: String, b: String) =

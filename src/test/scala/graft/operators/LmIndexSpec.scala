@@ -21,7 +21,7 @@ class LmIndexSpec extends AnyFunSuite {
   }
 
   private def tmp(p: String) =
-    Files.createTempDirectory(p).toString + "/idx"
+    Files.createTempDirectory(p).toUri.toString.stripSuffix("/") + "/idx"
 
   private def scores(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getLong(0), r.getLong(1),
