@@ -1,8 +1,8 @@
 package graft.operators
 
-import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -33,13 +33,25 @@ import org.apache.spark.sql.functions._
   *    by the manifest). Compaction cost ∝ touched data, not table
   *    size.
   *
-  * Crash safety is rename-based, object-store-friendly:
-  *  - a delta batch is visible only once Spark's committer drops
-  *    `_SUCCESS` in its directory — a torn append is invisible to
-  *    readers and is overwritten by the batch's retry;
-  *  - the current manifest is named by `_VERSION`, written to a temp
-  *    file and atomically renamed — a crash mid-compaction leaves the
-  *    old manifest live and the half-written `ver=V+1` directory
+  * All control-plane I/O goes through the Hadoop [[FileSystem]] API
+  * (`file:` in tests, `hdfs:`-class stores in production — the
+  * [[IndexDirs]] portability rule). Crash safety is rename-based:
+  *
+  *  - every append writes to a hidden `.staging-*` directory readers
+  *    never list, then commits with ONE rename to `batch=<n>` — the
+  *    rename doubles as the batch-id reservation (it fails if the id
+  *    was taken, and the loser retries the next id), so two
+  *    interleaved appends can never both land on one id and a torn
+  *    append is an invisible orphan;
+  *  - a batch is served only with its `_SUCCESS` marker (written by
+  *    Spark's committer inside the staging dir, so it travels with
+  *    the rename) — a batch directory whose marker was lost is
+  *    invisible;
+  *  - the current manifest is named by `_VERSION`, swapped by temp
+  *    file + [[FileContext]] OVERWRITE rename (atomic on POSIX/HDFS;
+  *    on rename-as-copy object stores front the table with an
+  *    HDFS-class filesystem) — a crash mid-compaction leaves the old
+  *    manifest live and the half-written `ver=V+1` directory
   *    unreferenced (re-running compaction overwrites it);
   *  - folded delta batches and replaced bucket directories are
   *    deleted only AFTER the `_VERSION` swap (best-effort GC; a crash
@@ -65,10 +77,37 @@ object MergeOnRead {
     pmod(xxhash64(meta.keyCols.map(col): _*), lit(meta.nBuckets))
       .cast("int")
 
+  private def fs(dir: String): FileSystem = IndexDirs.fs(dir)
+
   private def manifestPath(dir: String, v: Int) =
-    Paths.get(dir, s"manifest-$v.txt")
+    new HPath(dir, s"manifest-$v.txt")
+
+  private def writeFile(f: FileSystem, p: HPath, body: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(body.getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private def readFile(dir: String, p: HPath): String = {
+    val in = fs(dir).open(p)
+    try new String(in.readAllBytes(), UTF_8)
+    finally in.close()
+  }
+
+  /** Names of the directories directly under `dir` starting with
+    * `prefix` — hidden (`.`-prefixed) staging dirs never match.
+    */
+  private def listDirs(dir: String, prefix: String): Seq[String] = {
+    val f = fs(dir)
+    val p = new HPath(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).toSeq
+  }
 
   private def writeManifest(dir: String, m: Manifest): Unit = {
+    val f = fs(dir)
+    f.mkdirs(new HPath(dir))
     val body = new StringBuilder
     body ++= s"version=${m.version}\n"
     body ++= s"keys=${m.meta.keyCols.mkString(",")}\n"
@@ -77,46 +116,41 @@ object MergeOnRead {
     body ++= s"folded=${m.folded.toSeq.sorted.mkString(",")}\n"
     m.buckets.toSeq.sorted.foreach { case (b, v) =>
       body ++= s"bucket.$b=$v\n" }
-    Files.write(manifestPath(dir, m.version),
-      body.toString.getBytes(UTF_8))
-    val tmp = Paths.get(dir, "_VERSION.tmp")
-    Files.write(tmp, m.version.toString.getBytes(UTF_8))
-    Files.move(tmp, Paths.get(dir, "_VERSION"),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeFile(f, manifestPath(dir, m.version), body.toString)
+    // _VERSION pointer swap: temp + atomic OVERWRITE rename (the
+    // IndexDirs manifest-commit primitive)
+    val tmp = f.makeQualified(new HPath(dir,
+      s"._VERSION-${java.util.UUID.randomUUID()}.tmp"))
+    writeFile(f, tmp, m.version.toString)
+    FileContext.getFileContext(tmp.toUri, IndexDirs.hadoopConf)
+      .rename(tmp, f.makeQualified(new HPath(dir, "_VERSION")),
+        Options.Rename.OVERWRITE)
   }
 
   def loadManifest(dir: String): Manifest =
-    loadManifestVersion(dir, new String(
-      Files.readAllBytes(Paths.get(dir, "_VERSION")), UTF_8).trim.toInt)
+    loadManifestVersion(dir,
+      readFile(dir, new HPath(dir, "_VERSION")).trim.toInt)
 
   /** Buckets actually written under `data/ver=<ver>` (a partitionBy
     * write emits no directory for an empty bucket).
     */
-  private def writtenBuckets(dir: String, ver: Int): Seq[Int] = {
-    val d = new File(s"$dir/data/ver=$ver")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$Bucket="))
-      .map(_.getName.stripPrefix(s"$Bucket=").toInt).toSeq.sorted
-  }
+  private def writtenBuckets(dir: String, ver: Int): Seq[Int] =
+    listDirs(s"$dir/data/ver=$ver", s"$Bucket=")
+      .map(_.stripPrefix(s"$Bucket=").toInt).sorted
 
   /** Delta batch ids whose write COMMITTED (`_SUCCESS` present) —
     * a torn append never becomes visible.
     */
   private def committedBatches(dir: String): Seq[Int] = {
-    val d = new File(s"$dir/delta")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new File(f, "_SUCCESS").isFile)
-      .map(_.getName.stripPrefix("batch=").toInt).toSeq.sorted
+    val f = fs(dir)
+    listDirs(s"$dir/delta", "batch=")
+      .filter(n => f.exists(new HPath(s"$dir/delta/$n/_SUCCESS")))
+      .map(_.stripPrefix("batch=").toInt).sorted
   }
 
-  private def bucketsIn(dir: String, batch: Int): Seq[Int] = {
-    val d = new File(s"$dir/delta/batch=$batch")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$Bucket="))
-      .map(_.getName.stripPrefix(s"$Bucket=").toInt).toSeq
-  }
+  private def bucketsIn(dir: String, batch: Int): Seq[Int] =
+    listDirs(s"$dir/delta/batch=$batch", s"$Bucket=")
+      .map(_.stripPrefix(s"$Bucket=").toInt)
 
   /** Creates the table: full bucketed base write (the ONLY full
     * write in the table's life), schema file for empty reads.
@@ -136,111 +170,109 @@ object MergeOnRead {
   }
 
   /** Batch directories present on disk, committed or not — a torn
-    * write's directory still RESERVES its id (it is invisible to
-    * readers, but its id must never be handed to a second writer).
+    * or in-flight batch directory still RESERVES its id (it is
+    * invisible to readers, but its id must never be handed to a
+    * second writer).
     */
-  private def allBatchDirs(dir: String): Seq[Int] = {
-    val d = new File(s"$dir/delta")
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getName.stripPrefix("batch=").toInt).toSeq.sorted
-  }
+  private def allBatchDirs(dir: String): Seq[Int] =
+    listDirs(s"$dir/delta", "batch=")
+      .map(_.stripPrefix("batch=").toInt).sorted
 
-  /** Appends one change batch (target columns + op + seq). Writes
-    * ONLY `delta/batch=<n>` — never touches base or manifest, so
-    * appends are O(batch). Returns the batch id.
+  /** Commit a fully-written staging directory as the next free
+    * `batch=<n>`: ONE rename is both the id reservation and the
+    * commit — it fails if the id was claimed (another writer won the
+    * race) and the loser retries the next id, so no window exists in
+    * which two writers hold the same id (the flaw of a separate
+    * reserve-then-overwrite protocol: Spark's overwrite DELETES the
+    * reserved directory before rewriting it, un-reserving the id
+    * mid-write). Data, `_SUCCESS`, and any stream marker become
+    * visible together or not at all; a crash before the rename
+    * leaves an orphan hidden staging dir — garbage, never read.
     *
-    * CONCURRENCY CONTRACT: multiple appenders are safe. The batch id
-    * is claimed by an atomic directory create
-    * (`Files.createDirectory` on `delta/batch=<n>` — fails if the
-    * directory exists), so two interleaved appends can never pick
-    * the same id: the loser of the race retries the next id. A
-    * reserved-but-crashed append leaves an empty (no `_SUCCESS`)
-    * directory: invisible to readers, its id skipped by later
-    * writers — garbage, never corruption. Appends also interleave
-    * safely with [[compact]]: compact folds only the batches it
-    * SNAPSHOT as committed at entry, so a batch landing mid-compact
-    * stays pending and is served by the next [[read]] (proved by
-    * MorSpec's interleaving case).
+    * Honest contract: directory rename is atomic on POSIX/HDFS, not
+    * on S3-class object stores — front the table with an HDFS-class
+    * filesystem there, as for any rename-committed layout.
     */
-  def append(changes: DataFrame, dir: String): Int = {
-    val m = loadManifest(dir)
-    Files.createDirectories(Paths.get(dir, "delta"))
+  private def commitBatch(dir: String, staging: HPath,
+      m: Manifest): Int = {
+    val f = fs(dir)
+    val ctx = FileContext.getFileContext(staging.toUri,
+      IndexDirs.hadoopConf)
     // ids must clear the FOLDED set too: compaction GC removes folded
     // batch directories, and a recycled id would be silently filtered
     // out of every subsequent read
     var b = (allBatchDirs(dir) ++ m.folded).foldLeft(-1)(math.max) + 1
-    var reserved = false
-    while (!reserved) {
+    var committed = false
+    while (!committed) {
+      val dst = f.makeQualified(new HPath(dir, s"delta/batch=$b"))
       try {
-        Files.createDirectory(Paths.get(dir, "delta", s"batch=$b"))
-        reserved = true
+        ctx.rename(staging, dst)
+        committed = true
       } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => b += 1
         case _: java.nio.file.FileAlreadyExistsException => b += 1
+        // some filesystems signal an existing target differently
+        case e: java.io.IOException if f.exists(dst) => b += 1
       }
     }
+    b
+  }
+
+  /** Appends one change batch (target columns + op + seq). Writes
+    * ONLY a hidden staging dir then renames it to `delta/batch=<n>`
+    * ([[commitBatch]]) — never touches base or manifest, so appends
+    * are O(batch). Returns the batch id.
+    *
+    * CONCURRENCY CONTRACT: multiple appenders are safe — the commit
+    * rename IS the id reservation, so interleaved appends serialize
+    * on distinct ids with no reserve/overwrite window. Appends also
+    * interleave safely with [[compact]]: compact folds only the
+    * batches it SNAPSHOT as committed at entry, so a batch landing
+    * mid-compact stays pending and is served by the next [[read]]
+    * (proved by MorSpec's interleaving case).
+    */
+  def append(changes: DataFrame, dir: String): Int = {
+    val m = loadManifest(dir)
+    val f = fs(dir)
+    f.mkdirs(new HPath(dir, "delta"))
+    val staging = f.makeQualified(new HPath(dir,
+      s"delta/.staging-append-${java.util.UUID.randomUUID()}"))
     changes.withColumn(Bucket, bucketOf(m.meta))
       .write.partitionBy(Bucket).mode("overwrite")
-      .parquet(s"$dir/delta/batch=$b")
-    b
+      .parquet(staging.toString)
+    commitBatch(dir, staging, m)
   }
 
   /** Exactly-once streaming append — the `foreachBatch` form of
     * [[append]] for a CDC micro-batch stream. `foreachBatch` is
     * at-least-once: after a crash the last batch replays, and a
     * plain [[append]] would double-apply it. Here the micro-batch id
-    * travels ATOMICALLY with the data: the batch writes to a hidden
-    * staging directory (invisible to readers — it does not match the
-    * `batch=` prefix), a `_stream-<id>` marker file joins it there,
-    * and one atomic rename of the staging directory to its final
-    * `batch=<n>` name is the commit — data, `_SUCCESS`, and the
-    * stream marker become visible together or not at all. A replay
-    * finds its id's marker inside some committed batch directory and
-    * skips; a crash before the rename leaves an orphan staging
-    * directory (garbage, never read, never corruption). The rename
-    * doubles as the id reservation: it fails if `batch=<n>` exists
-    * (another writer won), and the loser retries the next id —
-    * coexisting safely with [[append]]'s createDirectory
-    * reservation. Returns the batch id, or -1 when the id was
-    * already committed (the replay case).
-    *
-    * Honest contract: the commit point is an atomic DIRECTORY
-    * rename — real on POSIX/HDFS, not on S3-class object stores
-    * (where [[append]] + an idempotent upstream, or a metadata-log
-    * commit like [[graft.operators.AnnIndex.appendBatch]]'s, is the
-    * right shape).
+    * travels ATOMICALLY with the data: a `_stream-<id>` marker file
+    * joins the data in the staging directory, and the [[commitBatch]]
+    * rename makes data, `_SUCCESS`, and marker visible together or
+    * not at all. A replay finds its id's marker inside some committed
+    * batch directory (or the post-GC sidecar) and skips; a crash
+    * before the rename leaves an orphan staging directory (garbage,
+    * never read, never corruption). Returns the batch id, or -1 when
+    * the id was already committed (the replay case).
     */
   def streamAppend(changes: DataFrame, streamBatchId: Long,
       dir: String): Int = {
-    val delta = new File(s"$dir/delta")
-    Files.createDirectories(delta.toPath)
+    val f = fs(dir)
+    f.mkdirs(new HPath(dir, "delta"))
     val marker = s"_stream-$streamBatchId"
-    val replayed = Option(delta.listFiles()).getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new File(f, marker).isFile) ||
-      new File(delta, s".stream-commits/$marker").isFile
+    val replayed = listDirs(s"$dir/delta", "batch=").exists(n =>
+        f.exists(new HPath(s"$dir/delta/$n/$marker"))) ||
+      f.exists(new HPath(s"$dir/delta/.stream-commits/$marker"))
     if (replayed) return -1
     val m = loadManifest(dir)
-    val staging = new File(delta, s".staging-$streamBatchId")
+    val staging = f.makeQualified(new HPath(dir,
+      s"delta/.staging-$streamBatchId"))
     changes.withColumn(Bucket, bucketOf(m.meta))
       .write.partitionBy(Bucket).mode("overwrite")
-      .parquet(staging.getPath)
-    Files.write(new File(staging, marker).toPath, Array.empty[Byte])
-    var b = (allBatchDirs(dir) ++ m.folded).foldLeft(-1)(math.max) + 1
-    var committed = false
-    while (!committed) {
-      try {
-        Files.move(staging.toPath, new File(delta, s"batch=$b").toPath,
-          StandardCopyOption.ATOMIC_MOVE)
-        committed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => b += 1
-        // some filesystems signal the existing target differently
-        case _: java.nio.file.FileSystemException
-            if new File(delta, s"batch=$b").exists() => b += 1
-      }
-    }
-    b
+      .parquet(staging.toString)
+    writeFile(f, new HPath(staging, marker), "")
+    commitBatch(dir, staging, m)
   }
 
   /** `writeStream.foreachBatch(MergeOnRead.foreachBatchSink(dir))` —
@@ -259,14 +291,16 @@ object MergeOnRead {
     * both (harmless); never neither.
     */
   private def preserveStreamMarkers(dir: String, batch: Int): Unit = {
-    val bdir = new File(s"$dir/delta/batch=$batch")
-    val markers = Option(bdir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_stream-"))
+    val f = fs(dir)
+    val bdir = new HPath(s"$dir/delta/batch=$batch")
+    if (!f.exists(bdir)) return
+    val markers = f.listStatus(bdir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_stream-"))
+      .map(_.getPath.getName)
     if (markers.nonEmpty) {
-      val sidecar = Paths.get(dir, "delta", ".stream-commits")
-      Files.createDirectories(sidecar)
-      markers.foreach(f =>
-        Files.write(sidecar.resolve(f.getName), Array.empty[Byte]))
+      val sidecar = new HPath(s"$dir/delta/.stream-commits")
+      f.mkdirs(sidecar)
+      markers.foreach(n => writeFile(f, new HPath(sidecar, n), ""))
     }
   }
 
@@ -351,24 +385,27 @@ object MergeOnRead {
       // markers outlive their directory via the sidecar)
       pending.foreach { b =>
         preserveStreamMarkers(dir, b)
-        deleteRec(new File(s"$dir/delta/batch=$b"))
+        IndexDirs.rmTree(s"$dir/delta/batch=$b")
       }
       touched.foreach(b => m.buckets.get(b).foreach(v =>
-        deleteRec(new File(s"$dir/data/ver=$v/$Bucket=$b"))))
+        IndexDirs.rmTree(s"$dir/data/ver=$v/$Bucket=$b")))
     }
     touched.size
   }
 
   /** Manifest versions still on disk, oldest first. */
-  def versions(dir: String): Seq[Int] =
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val n = f.getName
+  def versions(dir: String): Seq[Int] = {
+    val f = fs(dir)
+    val p = new HPath(dir)
+    (if (!f.exists(p)) Array.empty[String]
+     else f.listStatus(p).filter(_.isFile).map(_.getPath.getName))
+      .flatMap { n =>
         if (n.startsWith("manifest-") && n.endsWith(".txt"))
           scala.util.Try(
             n.stripPrefix("manifest-").stripSuffix(".txt").toInt).toOption
         else None
       }.toSeq.sorted
+  }
 
   /** TIME TRAVEL: the table's state AS OF manifest `version` — a
     * compaction point (every version's manifest is retained; the
@@ -385,9 +422,10 @@ object MergeOnRead {
       s"no manifest for version $version in $dir " +
         s"(have ${versions(dir).mkString(",")})")
     val m = loadManifestVersion(dir, version)
+    val f = fs(dir)
     val basePaths = m.buckets.toSeq.sorted.map { case (b, v) =>
       val p = s"$dir/data/ver=$v/$Bucket=$b"
-      require(new File(p).isDirectory,
+      require(f.exists(new HPath(p)),
         s"version $version's bucket $b (ver=$v) was vacuumed")
       p
     }
@@ -396,8 +434,8 @@ object MergeOnRead {
   }
 
   private def loadManifestVersion(dir: String, v: Int): Manifest = {
-    val kv = scala.io.Source.fromFile(manifestPath(dir, v).toFile, "UTF-8")
-      .getLines().filter(_.contains("=")).map { l =>
+    val kv = readFile(dir, manifestPath(dir, v)).linesIterator
+      .filter(_.contains("=")).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toMap
     def csv(s: String): Seq[String] =
@@ -431,24 +469,18 @@ object MergeOnRead {
     // it: read() only consumes batches the current manifest hasn't
     // folded, and readAt() never reads deltas at all
     val deletableBatches = kept.last.folded
+    val f = fs(dir)
     for {
-      v <- Option(new File(s"$dir/data").listFiles()).getOrElse(Array.empty)
-      if v.isDirectory && v.getName.startsWith("ver=")
-      ver = v.getName.stripPrefix("ver=").toInt
-      b <- Option(v.listFiles()).getOrElse(Array.empty)
-      if b.isDirectory && b.getName.startsWith(s"$Bucket=")
-      if !liveData((ver, b.getName.stripPrefix(s"$Bucket=").toInt))
-    } deleteRec(b)
+      vName <- listDirs(s"$dir/data", "ver=")
+      ver = vName.stripPrefix("ver=").toInt
+      bName <- listDirs(s"$dir/data/$vName", s"$Bucket=")
+      if !liveData((ver, bName.stripPrefix(s"$Bucket=").toInt))
+    } IndexDirs.rmTree(s"$dir/data/$vName/$bName")
     deletableBatches.foreach { b =>
       preserveStreamMarkers(dir, b)
-      deleteRec(new File(s"$dir/delta/batch=$b")) }
-    drop.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
+      IndexDirs.rmTree(s"$dir/delta/batch=$b")
+    }
+    drop.foreach(v => f.delete(manifestPath(dir, v), false))
     drop.length
-  }
-
-  private def deleteRec(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
   }
 }

@@ -20,7 +20,13 @@ class MorSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-mor").toFile.getAbsolutePath + "/t"
+    Files.createTempDirectory("graft-mor").toUri.toString
+      .stripSuffix("/") + "/t"
+
+  /** java.io view of a file:-scheme URI (the specs inspect the local
+    * backing store directly; the operator itself only sees the URI).
+    */
+  private def local(p: String) = new File(java.net.URI.create(p))
 
   private def base(n: Int) = {
     import spark.implicits._
@@ -43,7 +49,7 @@ class MorSpec extends AnyFunSuite {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       else Seq(f)
-    walk(new File(s"$dir/data")).filter(_.getName.endsWith(".parquet"))
+    walk(local(s"$dir/data")).filter(_.getName.endsWith(".parquet"))
       .map(f => f.getAbsolutePath -> f.lastModified()).toMap
   }
 
@@ -83,13 +89,13 @@ class MorSpec extends AnyFunSuite {
     assert(keptBefore.nonEmpty, "some buckets must survive untouched")
     keptBefore.foreach { case (p, m) => assert(after(p) === m, p) }
     // the new version dir contains only the touched buckets
-    val v1 = new File(s"$dir/data/ver=1")
+    val v1 = local(s"$dir/data/ver=1")
     val v1buckets = Option(v1.listFiles()).getOrElse(Array.empty)
       .count(f => f.isDirectory && f.getName.contains("bucket"))
     assert(v1buckets === touched)
     assert(state(dir) === expected)
     // deltas are folded: no pending batches remain on disk
-    assert(!new File(s"$dir/delta/batch=0").exists())
+    assert(!local(s"$dir/delta/batch=0").exists())
   }
 
   test("post-state across mid-stream compaction equals sequential applyChanges") {
@@ -122,7 +128,7 @@ class MorSpec extends AnyFunSuite {
     MergeOnRead.append(ch(Seq((1L, "ok", 1L, "U", 1L))), dir)
     // simulate a crash: rip out batch 1's _SUCCESS marker
     MergeOnRead.append(ch(Seq((2L, "torn", 2L, "U", 1L))), dir)
-    assert(new File(s"$dir/delta/batch=1/_SUCCESS").delete())
+    assert(local(s"$dir/delta/batch=1/_SUCCESS").delete())
     assert(state(dir)(2L) === ("v2", 20L), "torn batch must be invisible")
     // retry claims a FRESH id: an existing batch dir might belong to
     // a writer still in flight (indistinguishable from a crash), so
@@ -136,16 +142,27 @@ class MorSpec extends AnyFunSuite {
   }
 
   test("two interleaved appends can never claim the same batch id: " +
-      "a reserved (in-flight, not yet committed) dir forces the next id") {
+      "an existing (torn or foreign-writer) batch dir forces the next id, " +
+      "and an in-flight append exposes NO partial batch dir to race on") {
     val dir = tmp()
     MergeOnRead.create(base(10), dir, Seq("k"), nBuckets = 2)
-    // writer A mid-flight: id reserved by the atomic dir create, no
-    // data or _SUCCESS yet
-    Files.createDirectories(java.nio.file.Paths.get(dir, "delta", "batch=0"))
+    // a batch=0 directory already on disk (torn old-protocol write, or
+    // a writer whose rename just landed): its id is taken for good
+    assert(local(s"$dir/delta/batch=0").mkdirs())
     // writer B appends concurrently — must NOT land in batch=0
     val b = MergeOnRead.append(ch(Seq((1L, "b", 1L, "U", 1L))), dir)
-    assert(b === 1, "append must skip the reserved in-flight id")
+    assert(b === 1, "append must skip the claimed id")
     assert(state(dir)(1L) === ("b", 1L))
+    // the commit protocol stages hidden and renames: after the append
+    // returns, delta/ holds only complete batch dirs + dot-prefixed
+    // entries — there is no reserved-then-rewritten window in which a
+    // second writer could observe (and re-claim) a half-written id
+    val entries = Option(local(s"$dir/delta").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+    assert(entries.forall(n => n.startsWith("batch=") || n.startsWith(".")),
+      entries.mkString(","))
+    assert(local(s"$dir/delta/batch=1/_SUCCESS").isFile,
+      "_SUCCESS must travel with the rename")
   }
 
   test("an append landing mid-compaction (after the pending snapshot, " +
@@ -189,7 +206,7 @@ class MorSpec extends AnyFunSuite {
     // compact + GC removes both batch dirs — markers survive in the
     // sidecar, so replays of batch 0 AND 1 still skip
     assert(MergeOnRead.compact(spark, dir) >= 1)
-    assert(!new File(s"$dir/delta/batch=0").exists())
+    assert(!local(s"$dir/delta/batch=0").exists())
     assert(MergeOnRead.streamAppend(c1, 0L, dir) === -1)
     assert(MergeOnRead.streamAppend(
       ch(Seq((2L, "dup", 9L, "U", 2L))), 1L, dir) === -1)
