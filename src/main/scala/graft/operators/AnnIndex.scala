@@ -87,10 +87,24 @@ object AnnIndex {
   private def pqParamsHash(books: Seq[Seq[Seq[Long]]]): Long =
     books.foldLeft(19L)((h, cb) => h * 31L + paramsHash(cb))
 
+  /** On-disk layout version: 1 added the raw per-row content hash
+    * column to the data tables (delete verification). Part of the
+    * reuse identity, so a pre-hash artifact (reads as 0) rebuilds
+    * once instead of failing reads.
+    */
+  private val LayoutVersion = 1
+
+  /** Default tombstone bound — see [[DedupIndex.DefaultMaxTombstones]]
+    * (same per-read broadcast anti-join, same purge-due point).
+    */
+  val DefaultMaxTombstones: Long = 1L << 20
+
   private case class Manifest(fp: Long, n: Long, kind: String, k: Int,
-      id: String, vec: String, ph: Long, deltas: Seq[String] = Nil,
+      id: String, vec: String, ph: Long, lv: Int = LayoutVersion,
+      deltas: Seq[String] = Nil,
       lastBatch: Long = -1L, carry: Seq[String] = Nil,
-      tombs: Seq[String] = Nil, baseDir: String = "") {
+      tombs: Seq[String] = Nil, tombCount: Long = 0L,
+      baseDir: String = "") {
     /** Equality for reuse decisions — everything except the delta /
       * tombstone lists, the base-dir version, and the streaming batch
       * watermark (an appended or deleted-from index still satisfies a
@@ -98,12 +112,20 @@ object AnnIndex {
       * deltas ∖ tombstones).
       */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, tombs = Nil, baseDir = "") ==
+      copy(deltas = Nil, lastBatch = -1L, tombs = Nil, tombCount = 0L,
+        baseDir = "") ==
         other.copy(deltas = Nil, lastBatch = -1L, tombs = Nil,
-          baseDir = "")
+          tombCount = 0L, baseDir = "")
     /** The live base data directory: versioned after a [[purge]]. */
     def baseOr(default: String): String =
       if (baseDir.isEmpty) default else baseDir
+    /** The raw-row hash the fingerprint folds — what [[delete]]
+      * verifies a delta row against (ivf fingerprints carry columns;
+      * pq/sq8 fingerprint (id, vec) only).
+      */
+    def rowHash: org.apache.spark.sql.Column =
+      if (kind == "ivf") xxhash64((id +: vec +: carry).map(col): _*)
+      else xxhash64(col(id), col(vec))
   }
 
   private def readManifest(path: String): Option[Manifest] =
@@ -112,16 +134,18 @@ object AnnIndex {
         r.int("k"), r.str("id"), r.str("vec"),
         // a pre-hash manifest (older layout) reads as ph=0 — it can
         // never match a computed hash, so it rebuilds once, safely
-        r.longOr("ph", 0L), r.seq("deltas"), r.longOr("lb", -1L),
-        r.seq("carry"), r.seq("tombs"), r.strOr("bd", ""))
+        r.longOr("ph", 0L), r.intOr("lv", 0),
+        r.seq("deltas"), r.longOr("lb", -1L),
+        r.seq("carry"), r.seq("tombs"), r.longOr("tn", 0L),
+        r.strOr("bd", ""))
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n).put("kind", mf.kind)
       .put("k", mf.k).put("id", mf.id).put("vec", mf.vec)
-      .put("ph", mf.ph).put("lb", mf.lastBatch)
-      .put("bd", mf.baseDir)
+      .put("ph", mf.ph).put("lv", mf.lv).put("lb", mf.lastBatch)
+      .put("bd", mf.baseDir).put("tn", mf.tombCount)
       .put("deltas", mf.deltas).put("carry", mf.carry)
       .put("tombs", mf.tombs)
       .commit(path)
@@ -159,6 +183,7 @@ object AnnIndex {
           .parquet(s"$path/centroids")
         corpus
           .select(col(idCol) +: col(vecCol) +: carryCols.map(col) :+
+            want.rowHash.as("__ch") :+
             Ivf.assignInt(col(vecCol), centroids).as("bucket"): _*)
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/assignments")
@@ -317,6 +342,7 @@ object AnnIndex {
     val staged = nextDeltaName(path, "d")
     delta
       .select(col(have.id) +: col(have.vec) +: have.carry.map(col) :+
+        have.rowHash.as("__ch") :+
         Ivf.assignInt(col(have.vec), cs).as("bucket"): _*)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/deltas/$staged")
@@ -360,7 +386,9 @@ object AnnIndex {
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$path/codebooks")
         corpus
-          .select(col(idCol), Pq.encodeInt(col(vecCol), codebooks).as("codes"))
+          .select(col(idCol),
+            Pq.encodeInt(col(vecCol), codebooks).as("codes"),
+            want.rowHash.as("__ch"))
           .write.mode("overwrite").parquet(s"$path/codes")
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
@@ -405,7 +433,9 @@ object AnnIndex {
     }
     val staged = nextDeltaName(path, "d")
     delta
-      .select(col(have.id), Pq.encodeInt(col(have.vec), cbs).as("codes"))
+      .select(col(have.id),
+        Pq.encodeInt(col(have.vec), cbs).as("codes"),
+        have.rowHash.as("__ch"))
       .write.mode("overwrite").parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
       deltas = have.deltas :+ staged,
@@ -435,7 +465,8 @@ object AnnIndex {
         corpus
           .withColumn("__s", Sq8.scaleOf(col(vecCol)))
           .select(col(idCol), col("__s"),
-            Sq8.encode(col(vecCol), col("__s")).as("__c"))
+            Sq8.encode(col(vecCol), col("__s")).as("__c"),
+            want.rowHash.as("__ch"))
           .write.mode("overwrite").parquet(s"$path/codes")
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
@@ -467,7 +498,8 @@ object AnnIndex {
     delta
       .withColumn("__s", Sq8.scaleOf(col(have.vec)))
       .select(col(have.id), col("__s"),
-        Sq8.encode(col(have.vec), col("__s")).as("__c"))
+        Sq8.encode(col(have.vec), col("__s")).as("__c"),
+        have.rowHash.as("__ch"))
       .write.mode("overwrite").parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
       deltas = have.deltas :+ staged,
@@ -590,32 +622,53 @@ object AnnIndex {
     * the fingerprint the same way a duplicate append would.
     */
   def delete(delta: DataFrame, path: String,
-      checkPresent: Boolean = true): Build = {
+      checkPresent: Boolean = true,
+      maxTombstones: Long = DefaultMaxTombstones): Build = {
     val spark = delta.sparkSession
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     val baseSub = if (have.kind == "ivf") "assignments" else "codes"
     val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    // tombstone-growth bound: the per-read broadcast anti-join is
+    // only "bounded between purges" if something enforces the bound
+    require(have.tombCount + dn <= maxTombstones,
+      s"index at $path would carry ${have.tombCount + dn} tombstones " +
+        s"(bound $maxTombstones) — run purge() to fold them into the " +
+        "base before deleting more")
     val ids = delta.select(col(have.id)).distinct()
       .localCheckpoint(false)
     require(ids.count() == dn,
       s"delete delta has duplicate ${have.id} rows — each stored row " +
         "must be folded out exactly once")
     if (checkPresent) {
-      val live = readParts(spark, path, baseSub, have, None)
-        .join(broadcast(ids), Seq(have.id), "left_semi").count()
-      require(live == dn,
-        s"delete delta names ${dn - live} id(s) not live in the index " +
-          s"at $path — a stale or repeated delete would corrupt the " +
-          "fingerprint (pass checkPresent = false only when upstream " +
-          "proves liveness)")
+      // liveness AND content in one pass against the stored row hash:
+      // the fingerprint folds raw (id, vec[, carry]) hashes, so a
+      // delete naming a live id with a stale vector would corrupt it
+      // while an id-only check passes
+      val probe = delta.select(col(have.id), have.rowHash.as("__pch"))
+        .distinct().localCheckpoint(false)
+      val r = readParts(spark, path, baseSub, have, None)
+        .join(broadcast(probe), Seq(have.id))
+        .agg(count(lit(1)).as("live"),
+          coalesce(sum(when(col("__ch") === col("__pch"), 1L)
+            .otherwise(0L)), lit(0L)).as("same"))
+        .collect()(0)
+      require(r.getLong(0) == dn,
+        s"delete delta names ${dn - r.getLong(0)} id(s) not live in " +
+          s"the index at $path — a stale or repeated delete would " +
+          "corrupt the fingerprint (pass checkPresent = false only " +
+          "when upstream proves liveness)")
+      require(r.getLong(1) == dn,
+        s"delete delta rows differ from the indexed rows for " +
+          s"${dn - r.getLong(1)} id(s) at $path — the fingerprint " +
+          "would fold out hashes that were never folded in")
     }
     val staged = nextDeltaName(path, "t")
     ids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      tombs = have.tombs :+ staged)
+      tombs = have.tombs :+ staged, tombCount = have.tombCount + dn)
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
   }
@@ -652,7 +705,7 @@ object AnnIndex {
     (if (have.kind == "ivf") w.partitionBy("bucket") else w)
       .parquet(s"$path/$newBase")
     writeManifest(path, have.copy(deltas = Nil, tombs = Nil,
-      baseDir = newBase))
+      tombCount = 0L, baseDir = newBase))
     // post-commit GC: old base version + folded delta/tombstone dirs
     IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
     IndexDirs.rmTree(s"$path/${have.baseOr(baseSub)}")

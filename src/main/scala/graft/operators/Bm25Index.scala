@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted BM25 statistics — a term-partitioned inverted index of
-  * `(doc, term, tf)` postings plus a doc-length ledger, under the
-  * [[IndexDirs]] manifest discipline and the [[LmIndex]] count-sum
-  * algebra.
+  * `(doc, term, tf)` postings plus an id-hash-partitioned doc-length
+  * ledger, under the [[IndexDirs]] manifest discipline and the
+  * [[LmIndex]] count-sum algebra.
   *
   * [[TextAnalysis.bm25]] re-tokenizes the whole corpus per query; at
   * 100 TB the artifact inverts that: the token pass is paid once into
@@ -15,21 +15,27 @@ import org.apache.spark.sql.functions._
   *   <path>/tf/     parquet, partitionBy(tb): (<id>, __t, __tf)
   *                  tb = pmod(xxhash64(__t), tbParts) — a query
   *                  reads ONLY its terms' partitions
-  *   <path>/dl/     parquet: (<id>, __dl, __w ±1) — doc lengths,
-  *                  weight-signed so deletes/updates cancel
+  *   <path>/dl/     parquet, partitionBy(dlb): (<id>, __dl, __ch,
+  *                  __w ±1) — doc lengths, weight-signed so deletes/
+  *                  updates cancel; __ch = xxhash64(id, text) guards
+  *                  deletes against stale text; dlb =
+  *                  pmod(xxhash64(<id>), dlParts) so a serve reads
+  *                  only the buckets its candidate docs hash to
   *   <path>/deltas/d<N>/{tf,dl}  appended (or count-negated) rows
-  *   <path>/manifest.json  — written LAST (commit marker)
+  *   <path>/manifest.json  — written LAST (atomic commit marker)
   * }}}
   *
   * Term frequencies and doc-length rows are PURE SUMS: append = new
   * docs' postings (O(delta)); delete = the SAME rows with `__tf`
   * negated and `__w = -1` (reads sum per key and drop `≤ 0`);
   * deleting then re-appending an id with different text is a legal
-  * UPDATE — everything cancels per (id, term) / (id, dl). The
-  * corpus-level N and avgdl derive from the live ledger at score
-  * time (one bounded agg), and df per query term from the pruned
-  * postings — so [[score]] touches `|terms|` partitions of tf plus
-  * the dl ledger, never the corpus text.
+  * UPDATE — everything cancels per (id, term) / (id, dl, ch). The
+  * corpus-level stats obey the same algebra, so the manifest CARRIES
+  * them: `n` (live docs) and `sdl` (live doc-length sum) advance by
+  * the delta's signed totals at each commit, and [[score]] never
+  * scans the ledger for them — it touches `|terms|` tf partitions
+  * plus the candidate docs' dlb partitions, never the corpus text
+  * and never a full table.
   */
 object Bm25Index {
 
@@ -41,11 +47,16 @@ object Bm25Index {
     IndexDirs.contentFingerprint(docs, Seq(idCol, textCol))
 
   private case class Manifest(fp: Long, n: Long, id: String,
-      text: String, tbParts: Int, deltas: Seq[String] = Nil,
-      lastBatch: Long = -1L, baseVer: Int = 0) {
+      text: String, tbParts: Int, dlParts: Int, sdl: Long = 0L,
+      deltas: Seq[String] = Nil, lastBatch: Long = -1L,
+      baseVer: Int = 0) {
+    /** sdl is derived state (like the delta list): a rebuild check
+      * cannot know it without tokenizing, so it never gates reuse.
+      * dlParts IS layout — a different dl bucketing must rebuild.
+      */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
-        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+      copy(sdl = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0) ==
+        other.copy(sdl = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0)
     /** Live base dir of a table: versioned after a [[purge]]. */
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
@@ -54,25 +65,37 @@ object Bm25Index {
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map { r =>
       Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("text"),
-        r.int("tb"), r.seq("deltas"), r.longOr("lb", -1L),
-        r.intOr("bv", 0))
+        r.int("tb"),
+        // a pre-ledger-bucketing manifest reads dlp=0, which can
+        // never match a requested layout — it rebuilds once, safely
+        r.intOr("dlp", 0), r.longOr("sdl", 0L),
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n)
       .put("id", mf.id).put("text", mf.text)
-      .put("tb", mf.tbParts).put("lb", mf.lastBatch)
+      .put("tb", mf.tbParts).put("dlp", mf.dlParts)
+      .put("sdl", mf.sdl)
+      .put("lb", mf.lastBatch)
       .put("bv", mf.baseVer).put("deltas", mf.deltas)
       .commit(path)
 
+  private def dlbCol(id: org.apache.spark.sql.Column, mf: Manifest) =
+    pmod(xxhash64(id), lit(mf.dlParts)).cast("int")
+
   /** Write the postings + ledger of `docs` under `root`, counts
-    * scaled by `sign` (deletes stage the same rows negated).
+    * scaled by `sign` (deletes stage the same rows negated). Returns
+    * the SIGNED doc-length total of the staged rows — the
+    * manifest-carried `sdl` advances by it, so corpus stats never
+    * need a ledger scan.
     */
   private def writeTables(docs: DataFrame, textCol: String,
-      idCol: String, sign: Int, mf: Manifest, root: String): Unit = {
+      idCol: String, sign: Int, mf: Manifest, root: String): Long = {
     val toks = docs.select(col(idCol),
-        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"),
+        xxhash64(col(idCol), col(textCol)).as("__ch"))
       .localCheckpoint(false)
     toks.select(col(idCol), explode(col("__toks")).as("__t"))
       .groupBy(idCol, "__t")
@@ -81,8 +104,13 @@ object Bm25Index {
         pmod(xxhash64(col("__t")), lit(mf.tbParts)).cast("int"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$root/tf")
     toks.select(col(idCol), size(col("__toks")).as("__dl"),
-        lit(sign).as("__w"))
-      .write.mode("overwrite").parquet(s"$root/dl")
+        col("__ch"), lit(sign).as("__w"))
+      .withColumn("dlb", dlbCol(col(idCol), mf))
+      .write.mode("overwrite").partitionBy("dlb").parquet(s"$root/dl")
+    val total = toks
+      .agg(coalesce(sum(size(col("__toks")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    total * sign
   }
 
   /** Aggregated live postings, pruned to `terms`' tb partitions when
@@ -111,27 +139,35 @@ object Bm25Index {
       .filter(col("__tf") > 0)
   }
 
-  /** The live doc-length ledger: (id, __dl) — weight-cancelled. */
-  private def liveDl(spark: SparkSession, path: String,
-      mf: Manifest): DataFrame = {
+  /** The live doc-length ledger `(id, __dl, __ch)` — weight-cancelled
+    * per (id, dl, contentHash), pruned to `parts` dlb partitions when
+    * given (the id-hash prune: a serve reads only the buckets its
+    * candidate docs hash to, never the whole ledger).
+    */
+  private def liveDl(spark: SparkSession, path: String, mf: Manifest,
+      parts: Option[Seq[Int]] = None): DataFrame = {
     val roots = s"$path/${mf.baseOf("dl")}" +:
       mf.deltas.map(d => s"$path/deltas/$d/dl")
-    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-      .groupBy(mf.id, "__dl").agg(sum(col("__w")).as("__w"))
-      .filter(col("__w") > 0).select(col(mf.id), col("__dl"))
+    val rows = roots.map { r =>
+      val df = spark.read.parquet(r)
+      parts.fold(df)(w => df.filter(col("dlb").isin(w.map(Int.box): _*)))
+    }.reduce(_.unionByName(_))
+    rows.groupBy(mf.id, "__dl", "__ch").agg(sum(col("__w")).as("__w"))
+      .filter(col("__w") > 0)
+      .select(col(mf.id), col("__dl"), col("__ch"))
   }
 
   def buildIfAbsent(docs: DataFrame, textCol: String, idCol: String,
-      path: String, tbParts: Int = 64): Build = {
+      path: String, tbParts: Int = 64, dlParts: Int = 32): Build = {
     val (fp, n) = fingerprint(docs, idCol, textCol)
-    val want = Manifest(fp, n, idCol, textCol, tbParts)
+    val want = Manifest(fp, n, idCol, textCol, tbParts, dlParts)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
-        writeTables(docs, textCol, idCol, 1, want, path)
-        writeManifest(path, want)
+        val sdl = writeTables(docs, textCol, idCol, 1, want, path)
+        writeManifest(path, want.copy(sdl = sdl))
         Build(path, fp, n, reused = false)
     }
   }
@@ -157,9 +193,10 @@ object Bm25Index {
           "false only when upstream proves disjointness)")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.text, have.id, 1, have,
+    val ddl = writeTables(delta, have.text, have.id, 1, have,
       s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      sdl = have.sdl + ddl,
       deltas = have.deltas :+ staged,
       lastBatch = batchMark.getOrElse(have.lastBatch))
     writeManifest(path, next)
@@ -168,7 +205,11 @@ object Bm25Index {
 
   /** Delete = append of negated postings ([[LmIndex.delete]]'s
     * algebra): `delta` carries the full `(id, text)` rows being
-    * removed.
+    * removed. `checkPresent` verifies BOTH liveness and CONTENT:
+    * each delta row's `xxhash64(id, text)` must equal the hash the
+    * ledger stored at append time — a delete naming a live id but
+    * carrying stale/edited text would stage negations that never
+    * cancel (and corrupt the fingerprint), so it throws instead.
     */
   def delete(delta: DataFrame, path: String,
       checkPresent: Boolean = true): Build = {
@@ -178,20 +219,30 @@ object Bm25Index {
     val (dfp, dn) = fingerprint(delta, have.id, have.text)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
     if (checkPresent) {
-      val ids = delta.select(col(have.id)).distinct()
-        .localCheckpoint(false)
-      require(ids.count() == dn,
+      val probe = delta.select(col(have.id),
+          xxhash64(col(have.id), col(have.text)).as("__pch"))
+        .distinct().localCheckpoint(false)
+      require(probe.count() == dn,
         s"delete delta has duplicate ${have.id} rows")
-      val live = liveDl(spark, path, have).select(col(have.id))
-        .join(broadcast(ids), Seq(have.id), "left_semi").count()
-      require(live == dn,
-        s"delete delta names ${dn - live} id(s) not live in the " +
-          s"index at $path")
+      val r = liveDl(spark, path, have)
+        .join(broadcast(probe), Seq(have.id))
+        .agg(count(lit(1)).as("live"),
+          coalesce(sum(when(col("__ch") === col("__pch"), 1L)
+            .otherwise(0L)), lit(0L)).as("same"))
+        .collect()(0)
+      require(r.getLong(0) == dn,
+        s"delete delta names ${dn - r.getLong(0)} id(s) not live in " +
+          s"the index at $path")
+      require(r.getLong(1) == dn,
+        s"delete delta text differs from the indexed text for " +
+          s"${dn - r.getLong(1)} id(s) at $path — negations computed " +
+          "from stale text would never cancel the stored postings")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.text, have.id, -1, have,
+    val ddl = writeTables(delta, have.text, have.id, -1, have,
       s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      sdl = have.sdl + ddl,
       deltas = have.deltas :+ staged)
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
@@ -229,9 +280,11 @@ object Bm25Index {
       .parquet(s"$path/deltas/$staged/tf")
     have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
       .reduce(_.unionByName(_))
-      .groupBy(have.id, "__dl").agg(sum(col("__w")).as("__w"))
+      .groupBy(have.id, "__dl", "__ch", "dlb")
+      .agg(sum(col("__w")).as("__w"))
       .filter(col("__w") =!= 0)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/dl")
+      .write.mode("overwrite").partitionBy("dlb")
+      .parquet(s"$path/deltas/$staged/dl")
     writeManifest(path, have.copy(deltas = Seq(staged)))
     IndexDirs.gcDeltas(path, have.deltas)
     have.deltas.length
@@ -255,7 +308,9 @@ object Bm25Index {
       .parquet(s"$path/tf.v$nextVer")
     val live = liveDl(spark, path, have).localCheckpoint(false)
     live.withColumn("__w", lit(1))
-      .write.mode("overwrite").parquet(s"$path/dl.v$nextVer")
+      .withColumn("dlb", dlbCol(col(have.id), have))
+      .write.mode("overwrite").partitionBy("dlb")
+      .parquet(s"$path/dl.v$nextVer")
     writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
     IndexDirs.gcDeltas(path, have.deltas)
     Seq("tf", "dl").foreach { sub =>
@@ -264,29 +319,47 @@ object Bm25Index {
     live.count()
   }
 
+  /** The scoring core shared by [[score]] and [[scoreMany]]: takes
+    * the (already term-pruned) live postings, joins the dl ledger
+    * pruned to the CANDIDATE docs' dlb partitions (collected as ≤
+    * dlParts ints — the [[DedupIndex]] two-hop prune recipe), and
+    * computes per-(row) BM25 terms with the corpus stats `n`/`avgdl`
+    * taken from the MANIFEST — no full-ledger scan or aggregate
+    * anywhere in the serve plan.
+    */
+  private def scoredTerms(spark: SparkSession, path: String,
+      mf: Manifest, tfPruned: DataFrame, k1: Double,
+      b: Double): DataFrame = {
+    // one bounded collect (≤ dlParts ints) over the term-pruned
+    // postings picks the dl buckets; the serve plan itself keeps both
+    // pruned FileScans visible (no checkpoint hiding the filters)
+    val wantedDlb = tfPruned.select(dlbCol(col(mf.id), mf).as("dlb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dl = liveDl(spark, path, mf, Some(wantedDlb)).drop("__ch")
+    val dfreq = tfPruned.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val avgdl = if (mf.n == 0) 1.0 else mf.sdl.toDouble / mf.n
+    tfPruned.join(dl, Seq(mf.id))
+      .join(broadcast(dfreq), "__t")
+      .withColumn("__s",
+        log((lit(mf.n) - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / avgdl)))
+  }
+
   /** BM25 of `terms` over the indexed corpus — reads `|terms|` tf
-    * partitions + the dl ledger; N/avgdl/df derive live, so the
-    * scores match [[TextAnalysis.bm25]] over the live doc set
-    * exactly. Output: (<idCol>, bm25), docs containing ≥ 1 term.
+    * partitions + the candidates' dl partitions; N/avgdl come from
+    * the manifest and df from the pruned postings, so the scores
+    * match [[TextAnalysis.bm25]] over the live doc set exactly.
+    * Output: (<idCol>, bm25), docs containing ≥ 1 term.
     */
   def score(spark: SparkSession, path: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val dl = liveDl(spark, path, mf).localCheckpoint(false)
-    val stats = dl.agg(count(lit(1)).as("__n"),
-      avg(col("__dl")).as("__avgdl"))
-    val tf = liveTf(spark, path, mf, Some(terms))
-      .join(dl, Seq(mf.id))
-    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(dfreq), "__t")
-      .crossJoin(broadcast(stats))
-      .withColumn("__s",
-        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
-          (col("__tf") * (k1 + 1)) /
-          (col("__tf") +
-            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+    scoredTerms(spark, path, mf,
+        liveTf(spark, path, mf, Some(terms)), k1, b)
       .groupBy(col(mf.id))
       .agg(round(sum(col("__s")), 4).as("bm25"))
   }
@@ -298,9 +371,10 @@ object Bm25Index {
     * corpus), each pruned posting row fans out to the qids asking for
     * its term via one broadcast equi-join, and per-query totals are a
     * single (qid, id) hash aggregate — so a thousand queries cost one
-    * postings pass, not a thousand. Per-term df and corpus N/avgdl
-    * are workload-independent, so the scores equal [[score]] run
-    * per query. Output: (qidCol, <idCol>, bm25), docs with ≥ 1 hit.
+    * postings pass, not a thousand. Per-term df and the manifest
+    * N/avgdl are workload-independent, so the scores equal [[score]]
+    * run per query. Output: (qidCol, <idCol>, bm25), docs with ≥ 1
+    * hit.
     */
   def scoreMany(spark: SparkSession, path: String, queryTerms: DataFrame,
       qidCol: String, termCol: String, k1: Double = 1.2,
@@ -313,20 +387,9 @@ object Bm25Index {
     val terms = qt.select("__t").distinct().collect()
       .map(_.getString(0)).toSeq
     require(terms.nonEmpty, "bm25 workload has no query terms")
-    val dl = liveDl(spark, path, mf).localCheckpoint(false)
-    val stats = dl.agg(count(lit(1)).as("__n"),
-      avg(col("__dl")).as("__avgdl"))
-    val tf = liveTf(spark, path, mf, Some(terms))
-      .join(dl, Seq(mf.id))
-    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    tf.join(broadcast(dfreq), "__t")
+    scoredTerms(spark, path, mf,
+        liveTf(spark, path, mf, Some(terms)), k1, b)
       .join(broadcast(qt), "__t")
-      .crossJoin(broadcast(stats))
-      .withColumn("__s",
-        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1) *
-          (col("__tf") * (k1 + 1)) /
-          (col("__tf") +
-            lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(qidCol), col(mf.id))
       .agg(round(sum(col("__s")), 4).as("bm25"))
   }

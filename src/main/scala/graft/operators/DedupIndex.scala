@@ -64,6 +64,12 @@ object DedupIndex {
   type Build = IndexBuild
   val Build = IndexBuild
 
+  /** Default tombstone bound: 2^20 ids ≈ 8 MB broadcast — the point
+    * past which the per-read anti-join broadcast stops being free and
+    * a [[purge]] is due. [[delete]] refuses to exceed it.
+    */
+  val DefaultMaxTombstones: Long = 1L << 20
+
   /** Signature scheme: the MinHash arithmetic over the shingled
     * document. Both use the [[Dedup.corpusMinhashSignatures]]
     * permutation form `(a_i·(base(gram) mod P) + b_i) mod P` — the
@@ -105,15 +111,24 @@ object DedupIndex {
       textCol: String): (Long, Long) =
     IndexDirs.contentFingerprint(docs, Seq(idCol, textCol))
 
+  /** On-disk layout version: 1 added the raw per-row content hash
+    * column to the digests table (delete verification). Part of the
+    * reuse identity, so a pre-hash artifact (reads as 0) rebuilds
+    * once instead of failing reads.
+    */
+  private val LayoutVersion = 1
+
   private case class Manifest(fp: Long, n: Long, scheme: String,
       nh: Int, k: Int, bands: Int, kbParts: Int, sbParts: Int,
-      dbParts: Int, id: String, text: String,
+      dbParts: Int, id: String, text: String, lv: Int = LayoutVersion,
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      tombs: Seq[String] = Nil, baseVer: Int = 0) {
+      tombs: Seq[String] = Nil, tombCount: Long = 0L,
+      baseVer: Int = 0) {
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, tombs = Nil, baseVer = 0) ==
+      copy(deltas = Nil, lastBatch = -1L, tombs = Nil, tombCount = 0L,
+        baseVer = 0) ==
         other.copy(deltas = Nil, lastBatch = -1L, tombs = Nil,
-          baseVer = 0)
+          tombCount = 0L, baseVer = 0)
     /** Live base dir of a table: versioned after a [[purge]]. */
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
@@ -127,8 +142,9 @@ object DedupIndex {
         // a pre-digest-table manifest reads db=0, which can never
         // match a requested layout — it rebuilds once, safely
         r.intOr("db", 0),
-        r.str("id"), r.str("text"), r.seq("deltas"),
-        r.longOr("lb", -1L), r.seq("tombs"), r.intOr("bv", 0))
+        r.str("id"), r.str("text"), r.intOr("lv", 0), r.seq("deltas"),
+        r.longOr("lb", -1L), r.seq("tombs"), r.longOr("tn", 0L),
+        r.intOr("bv", 0))
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
@@ -139,7 +155,9 @@ object DedupIndex {
       .put("kb", mf.kbParts).put("sb", mf.sbParts)
       .put("db", mf.dbParts)
       .put("id", mf.id).put("text", mf.text)
+      .put("lv", mf.lv)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
+      .put("tn", mf.tombCount)
       .put("deltas", mf.deltas).put("tombs", mf.tombs)
       .commit(path)
 
@@ -212,7 +230,11 @@ object DedupIndex {
       .write.mode("overwrite").partitionBy("sb").parquet(s"$root/sigs")
     bandRows(sigs, idCol, mf)
       .write.mode("overwrite").partitionBy("kb").parquet(s"$root/bands")
-    docs.select(col(idCol), Dedup.contentKey(col(textCol)).as("digest"))
+    docs.select(col(idCol), Dedup.contentKey(col(textCol)).as("digest"),
+        // raw-text hash (the fingerprint's unit) — deletes verify
+        // their rows against it; the digest alone is normalization-
+        // blind and would wave through a raw-text mismatch
+        xxhash64(col(idCol), col(textCol)).as("__ch"))
       .withColumn("dbp",
         pmod(xxhash64(col("digest")), lit(mf.dbParts)).cast("int"))
       .write.mode("overwrite").partitionBy("dbp")
@@ -291,12 +313,21 @@ object DedupIndex {
     * fingerprint exactly like duplicate appends.
     */
   def delete(delta: DataFrame, path: String,
-      checkPresent: Boolean = true): Build = {
+      checkPresent: Boolean = true,
+      maxTombstones: Long = DefaultMaxTombstones): Build = {
     val spark = delta.sparkSession
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     val (dfp, dn) = fingerprint(delta, have.id, have.text)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    // tombstone-growth bound: every read broadcast-anti-joins the
+    // tombstone set, which is only "bounded between purges" if
+    // something enforces the bound — the same discipline as the LSH
+    // hot-bucket guards, enforced here instead of trusted
+    require(have.tombCount + dn <= maxTombstones,
+      s"index at $path would carry ${have.tombCount + dn} tombstones " +
+        s"(bound $maxTombstones) — run purge() to fold them into the " +
+        "base before deleting more")
     val ids = delta.select(col(have.id)).distinct()
       .localCheckpoint(false)
     require(ids.count() == dn,
@@ -309,12 +340,32 @@ object DedupIndex {
         s"delete delta names ${dn - live} id(s) not live in the index " +
           s"at $path (pass checkPresent = false only when upstream " +
           "proves liveness)")
+      // CONTENT check against the stored raw-text hash: the xor-fold
+      // fingerprint is over raw (id, text), so a delete carrying the
+      // right id but stale/edited text would silently corrupt it
+      // while the id-liveness check passes
+      val probe = delta.select(col(have.id),
+          Dedup.contentKey(col(have.text)).as("digest"),
+          xxhash64(col(have.id), col(have.text)).as("__pch"))
+        .distinct().localCheckpoint(false)
+      val wantedDbp = probe
+        .select(pmod(xxhash64(col("digest")), lit(have.dbParts))
+          .cast("int").as("dbp"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val same = readParts(spark, path, "digests", have, "dbp",
+          Some(wantedDbp))
+        .join(broadcast(probe), Seq(have.id, "digest"))
+        .filter(col("__ch") === col("__pch")).count()
+      require(same == dn,
+        s"delete delta text differs from the indexed text for " +
+          s"${dn - same} id(s) at $path — the fingerprint would fold " +
+          "out hashes that were never folded in")
     }
     val staged = IndexDirs.nextDeltaName(path, "t")
     ids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      tombs = have.tombs :+ staged)
+      tombs = have.tombs :+ staged, tombCount = have.tombCount + dn)
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
   }
@@ -340,7 +391,7 @@ object DedupIndex {
           .parquet(s"$path/$sub.v$nextVer")
       }
     writeManifest(path, have.copy(deltas = Nil, tombs = Nil,
-      baseVer = nextVer))
+      tombCount = 0L, baseVer = nextVer))
     IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
     Seq("sigs", "bands", "digests").foreach { sub =>
       IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")

@@ -49,9 +49,15 @@ object LmIndex {
       textCol: String): (Long, Long) =
     IndexDirs.contentFingerprint(docs, Seq(idCol, textCol))
 
+  /** On-disk layout version: 1 added the per-id content hash column
+    * to the ids ledger. Part of the reuse identity, so a pre-hash
+    * artifact (reads as 0) rebuilds once instead of failing reads.
+    */
+  private val LayoutVersion = 1
+
   private case class Manifest(fp: Long, n: Long, id: String,
-      text: String, deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0) {
+      text: String, lv: Int = LayoutVersion, deltas: Seq[String] = Nil,
+      lastBatch: Long = -1L, baseVer: Int = 0) {
     def sameIndexAs(other: Manifest): Boolean =
       copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
         other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
@@ -63,13 +69,15 @@ object LmIndex {
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map { r =>
       Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("text"),
-        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
+        r.intOr("lv", 0), r.seq("deltas"), r.longOr("lb", -1L),
+        r.intOr("bv", 0))
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n)
       .put("id", mf.id).put("text", mf.text)
+      .put("lv", mf.lv)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
       .commit(path)
@@ -88,7 +96,9 @@ object LmIndex {
         df.withColumn(cnt, col(cnt) * sign)
           .write.mode("overwrite").parquet(s"$root/$sub")
     }
-    docs.select(col(idCol), lit(sign).as("__lw"))
+    docs.select(col(idCol),
+        xxhash64(col(idCol), col(textCol)).as("__ch"),
+        lit(sign).as("__lw"))
       .write.mode("overwrite").parquet(s"$root/ids")
   }
 
@@ -105,13 +115,17 @@ object LmIndex {
       .filter(col(cnt) > 0)
   }
 
+  /** Live `(id, __ch)` ledger rows — weight-cancelled per (id,
+    * contentHash), so a delete + re-append with new text leaves
+    * exactly the new pair live.
+    */
   private def liveIds(spark: SparkSession, path: String,
       mf: Manifest): DataFrame = {
     val roots = s"$path/${mf.baseOf("ids")}" +:
       mf.deltas.map(d => s"$path/deltas/$d/ids")
     roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-      .groupBy(mf.id).agg(sum(col("__lw")).as("__lw"))
-      .filter(col("__lw") > 0).select(col(mf.id))
+      .groupBy(mf.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+      .filter(col("__lw") > 0).select(col(mf.id), col("__ch"))
   }
 
   /** The manifest-visible aggregated count tables, ready for
@@ -204,16 +218,25 @@ object LmIndex {
     val (dfp, dn) = fingerprint(delta, have.id, have.text)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
     if (checkPresent) {
-      val ids = delta.select(col(have.id)).distinct()
-        .localCheckpoint(false)
-      require(ids.count() == dn,
+      val probe = delta.select(col(have.id),
+          xxhash64(col(have.id), col(have.text)).as("__pch"))
+        .distinct().localCheckpoint(false)
+      require(probe.count() == dn,
         s"delete delta has duplicate ${have.id} rows")
-      val live = liveIds(spark, path, have)
-        .join(broadcast(ids), Seq(have.id), "left_semi").count()
-      require(live == dn,
-        s"delete delta names ${dn - live} id(s) not live in the LM " +
-          s"at $path (pass checkPresent = false only when upstream " +
-          "proves liveness)")
+      val r = liveIds(spark, path, have)
+        .join(broadcast(probe), Seq(have.id))
+        .agg(count(lit(1)).as("live"),
+          coalesce(sum(when(col("__ch") === col("__pch"), 1L)
+            .otherwise(0L)), lit(0L)).as("same"))
+        .collect()(0)
+      require(r.getLong(0) == dn,
+        s"delete delta names ${dn - r.getLong(0)} id(s) not live in " +
+          s"the LM at $path (pass checkPresent = false only when " +
+          "upstream proves liveness)")
+      require(r.getLong(1) == dn,
+        s"delete delta text differs from the trained text for " +
+          s"${dn - r.getLong(1)} id(s) at $path — negated counts " +
+          "computed from stale text would never cancel the stored grams")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
     writeTables(delta, have.text, have.id, -1, s"$path/deltas/$staged")
@@ -252,13 +275,19 @@ object LmIndex {
       throw new IllegalStateException(s"no index at $path"))
     if (have.deltas.length < 2) return 0
     val staged = IndexDirs.nextDeltaName(path, "c")
-    (tables :+ (("ids", have.id, "__lw"))).foreach { case (sub, key, cnt) =>
+    tables.foreach { case (sub, key, cnt) =>
       have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
         .reduce(_.unionByName(_))
         .groupBy(key).agg(sum(col(cnt)).as(cnt))
         .filter(col(cnt) =!= 0)
         .write.mode("overwrite").parquet(s"$path/deltas/$staged/$sub")
     }
+    // the ids ledger cancels per (id, contentHash) pair
+    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
+      .reduce(_.unionByName(_))
+      .groupBy(have.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+      .filter(col("__lw") =!= 0)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/ids")
     writeManifest(path, have.copy(deltas = Seq(staged)))
     IndexDirs.gcDeltas(path, have.deltas)
     have.deltas.length

@@ -435,6 +435,16 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.append(dead.limit(2), path)
     }
     assert(e2.getMessage.contains("tombstoned"))
+    // CONTENT-verified delete: a live id with a stale/edited vector
+    // refuses — its hash was never folded into the fingerprint
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.delete(remaining.limit(2).withColumn("q",
+        transform(col("q"), v => v + 1L)), path)
+    }.getMessage.contains("differ"))
+    // tombstone-growth bound: exceeding it demands a purge
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.delete(remaining.limit(3), path, maxTombstones = 4)
+    }.getMessage.contains("purge"))
     // purge rewrites the live rows into a versioned base, clears
     // tombstones, and changes no result
     val purged = AnnIndex.purge(spark, path)

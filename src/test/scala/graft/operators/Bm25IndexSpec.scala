@@ -46,6 +46,11 @@ class Bm25IndexSpec extends AnyFunSuite {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("tb"),
       s"expected a tb partition filter in:\n$plan")
+    // ...and the dl ledger read must be pruned to the CANDIDATE docs'
+    // dlb partitions — corpus N/avgdl come from the manifest, so no
+    // full-ledger scan or aggregate may appear in the serve plan
+    assert("PartitionFilters: \\[[^\\]]*dlb".r.findFirstIn(plan).isDefined,
+      s"expected a dlb partition filter on the dl read in:\n$plan")
   }
 
   test("append composes the fingerprint and postings to the " +
@@ -85,6 +90,12 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Bm25Index.delete(dead.limit(2), path)
     }.getMessage.contains("not live"))
+    // CONTENT-verified delete: a live id with stale/edited text must
+    // refuse — its negations would never cancel the stored postings
+    assert(intercept[IllegalArgumentException] {
+      Bm25Index.delete(even.limit(2).withColumn("text",
+        concat(col("text"), lit(" stale"))), path)
+    }.getMessage.contains("differs"))
     // UPDATE: re-append the deleted ids with NEW text — old rows are
     // already cancelled, the new postings (and new dls) stand alone
     val updated = dead.withColumn("text",

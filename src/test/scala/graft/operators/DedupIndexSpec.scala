@@ -220,6 +220,16 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       DedupIndex.append(dead, path)
     }.getMessage.contains("tombstoned"))
+    // CONTENT-verified delete: a live id with stale/edited text must
+    // refuse — its hash was never folded into the fingerprint
+    assert(intercept[IllegalArgumentException] {
+      DedupIndex.delete(corpus(0, 2).withColumn("text",
+        concat(col("text"), lit("!stale"))), path)
+    }.getMessage.contains("differs"))
+    // tombstone-growth bound: exceeding it demands a purge
+    assert(intercept[IllegalArgumentException] {
+      DedupIndex.delete(corpus(0, 3), path, maxTombstones = 4)
+    }.getMessage.contains("purge"))
     // purge: results invariant, id space re-opened
     assert(DedupIndex.purge(spark, path) == 3L)
     assert(pairKey(DedupIndex.selfPairs(spark, path, 5), "a", "b")

@@ -78,6 +78,12 @@ class LmIndexSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       LmIndex.delete(dead.limit(2), path)
     }.getMessage.contains("not live"))
+    // CONTENT-verified delete: a live id with stale/edited text must
+    // refuse — its negated counts would never cancel the stored grams
+    assert(intercept[IllegalArgumentException] {
+      LmIndex.delete(even.limit(2).withColumn("text",
+        concat(col("text"), lit(" stale"))), path)
+    }.getMessage.contains("differs"))
     // count algebra supports RE-ADD after delete (unlike tombstones):
     // +c  -c  +c sums to +c
     val back = LmIndex.append(dead, path)
