@@ -718,6 +718,27 @@ object SketchQueries {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // The combined ingest screen: q193's exact pre-pass and q190's
+    // near-dup flagging in ONE plan over ONE probe materialization —
+    // the batch is cached once, its digests and signatures both
+    // derive from the cache, and each (probe, corpus) pair reports
+    // once under its strongest signal (exact beats near; identical
+    // normalized text means identical signatures, so without the
+    // anti-join every exact pair would double-report). Probes reuse
+    // the q193 synthesis: untouched copies flag 'exact', mutated
+    // ones band-match their originals and flag 'near'.
+    "q204_dedup_index_screen" -> ((s, d) => {
+      import graft.operators.DedupIndex
+      val probes = Tables.documents(s, d).filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" xnovel")))
+            .otherwise(col("text")).as("text"))
+      DedupIndex.screen(s, dedupIdx(s, d), probes, "text", "doc_id",
+          thresholdTenths = 5)
+        .orderBy("new_id", "corpus_id", "kind")
+    }),
+
     // Tombstone deletes on the persisted dedup index — takedowns
     // (license revocation, PII complaints) applied to standing dedup
     // state without re-signing anything: the delete folds the (id,
@@ -1296,6 +1317,60 @@ object SketchQueries {
     * signatures are read from, so the three queries differ purely in
     * the pair predicate (`pairPred`) and output ids (`selA`/`selB`).
     */
+  /** q204: the two-sided screen oracle — probe AND corpus signatures
+    * (same permutation MinHash as [[dedupIndexOracleSql]]), exact
+    * pairs by normalized-md5 equality, near pairs by banded
+    * candidates + component matches with the exact pairs anti-dropped.
+    */
+  private def dedupScreenOracleSql: String = {
+    val perms = graft.operators.Dedup.permParams(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    def sig(src: String, p: String) =
+      s"""${p}g AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+         |  unnest(list_transform(range(1, greatest(length(t) - 3, 1) + 1),
+         |    i -> substr(t, CAST(i AS INT), 4))) AS g FROM $src) u),
+         |${p}base AS (SELECT doc_id,
+         |  CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2147483647 AS h
+         |  FROM ${p}g),
+         |${p}sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS v
+         |  FROM ${p}base, dperms GROUP BY doc_id, i),
+         |${p}bk AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |  string_agg(CAST(v AS VARCHAR), '|' ORDER BY i) AS bkey
+         |  FROM ${p}sig GROUP BY doc_id, CAST(i // 4 AS INT))""".stripMargin
+    s"""WITH cnorm AS (SELECT doc_id,
+       |  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+       |  WHERE doc_id < 200),
+       |pnorm AS (SELECT doc_id + 1000 AS doc_id,
+       |  lower(regexp_replace(
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' xnovel' ELSE text END,
+       |    '\\s+', ' ', 'g')) AS t
+       |  FROM documents WHERE doc_id < 10),
+       |dperms(i, a, b) AS (VALUES $perms),
+       |${sig("cnorm", "c")},
+       |${sig("pnorm", "p")},
+       |exact AS (SELECT p.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM pnorm p JOIN cnorm c ON md5(p.t) = md5(c.t)),
+       |cand AS (SELECT DISTINCT p.doc_id AS new_id, c.doc_id AS corpus_id
+       |  FROM pbk p JOIN cbk c ON p.band = c.band AND p.bkey = c.bkey),
+       |m AS (SELECT cand.new_id, cand.corpus_id,
+       |  CAST(sum(CASE WHEN sp.v = sc.v THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS matches
+       |  FROM cand JOIN psig sp ON sp.doc_id = cand.new_id
+       |  JOIN csig sc ON sc.doc_id = cand.corpus_id AND sc.i = sp.i
+       |  GROUP BY 1, 2),
+       |near AS (SELECT m.* FROM m
+       |  LEFT JOIN exact e ON e.new_id = m.new_id
+       |    AND e.corpus_id = m.corpus_id
+       |  WHERE e.new_id IS NULL AND m.matches * 10 >= 5 * 16)
+       |SELECT new_id, corpus_id, 'exact' AS kind,
+       |  CAST(16 AS BIGINT) AS matches, CAST(1.0 AS DOUBLE) AS est_jaccard
+       |FROM exact
+       |UNION ALL
+       |SELECT new_id, corpus_id, 'near' AS kind, matches,
+       |  round(CAST(matches AS DOUBLE) / 16, 4) AS est_jaccard FROM near
+       |ORDER BY new_id, corpus_id, kind""".stripMargin
+  }
+
   private def dedupIndexOracleSql(selA: String, selB: String,
       pairPred: String, corpusWhere: String = ""): String = {
     val perms = graft.operators.Dedup.permParams(16).zipWithIndex
@@ -1727,6 +1802,9 @@ object SketchQueries {
         |SELECT p.new_id, c.doc_id AS corpus_id, p.digest
         |FROM p JOIN c USING (digest)
         |ORDER BY new_id, corpus_id""".stripMargin,
+    // combined screen: exact (digest) ∪ near (banded minhash) with
+    // exact pairs reported once, under the stronger label
+    "q204_dedup_index_screen" -> dedupScreenOracleSql,
     // replays the q79 fixture arithmetically: dHash cells over the
     // 72×32 image are exactly the 8×8-uniform block values (cell
     // width 8 px = one block column, cell height 4 px = half a block

@@ -323,13 +323,55 @@ object AnnIndex {
       checkDisjoint: Boolean = true): Build =
     appendImpl(delta, path, checkDisjoint, None)
 
+  /** Kind-aware fingerprint: ivf fingerprints carry columns; pq/sq8
+    * fingerprint (id, vec) only — the same rows [[Manifest.rowHash]]
+    * hashes.
+    */
+  private def fpOf(df: DataFrame, have: Manifest): (Long, Long) =
+    if (have.kind == "ivf") fingerprint(df, have.id, have.vec, have.carry)
+    else fingerprint(df, have.id, have.vec)
+
+  /** Stage `delta`'s kind-appropriate rows into a fresh, never-reused
+    * `deltas/d<N>` directory (invisible until a manifest commit lists
+    * it — the staged-commit rule) and return the staged name.
+    */
+  private def stageInsert(delta: DataFrame, have: Manifest,
+      path: String): String = {
+    val spark = delta.sparkSession
+    val staged = nextDeltaName(path, "d")
+    have.kind match {
+      case "ivf" =>
+        val cs = centroids(spark, path)
+        delta
+          .select(col(have.id) +: col(have.vec) +: have.carry.map(col) :+
+            have.rowHash.as("__ch") :+
+            Ivf.assignInt(col(have.vec), cs).as("bucket"): _*)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/deltas/$staged")
+      case "pq" =>
+        val cbs = pqCodebooks(spark, path)
+        delta
+          .select(col(have.id),
+            Pq.encodeInt(col(have.vec), cbs).as("codes"),
+            have.rowHash.as("__ch"))
+          .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+      case _ =>
+        delta
+          .withColumn("__s", Sq8.scaleOf(col(have.vec)))
+          .select(col(have.id), col("__s"),
+            Sq8.encode(col(have.vec), col("__s")).as("__c"),
+            have.rowHash.as("__ch"))
+          .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+    }
+    staged
+  }
+
   private def appendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     require(have.kind == "ivf", s"append needs an ivf index, got ${have.kind}")
-    val cs = centroids(spark, path)
     val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
     if (checkDisjoint) {
@@ -337,15 +379,7 @@ object AnnIndex {
         have.id, path)
       requireNotTombstoned(delta, spark, path, have)
     }
-    // staged-commit into a never-reused name; visible only once the
-    // manifest write lists it
-    val staged = nextDeltaName(path, "d")
-    delta
-      .select(col(have.id) +: col(have.vec) +: have.carry.map(col) :+
-        have.rowHash.as("__ch") :+
-        Ivf.assignInt(col(have.vec), cs).as("bucket"): _*)
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/deltas/$staged")
+    val staged = stageInsert(delta, have, path)
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
       deltas = have.deltas :+ staged,
       lastBatch = batchMark.getOrElse(have.lastBatch))
@@ -423,7 +457,6 @@ object AnnIndex {
     val have = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     require(have.kind == "pq", s"pqAppend needs a pq index, got ${have.kind}")
-    val cbs = pqCodebooks(spark, path)
     val (dfp, dn) = fingerprint(delta, have.id, have.vec)
     if (dn == 0) return Build(path, have.fp, have.n, reused = true)
     if (checkDisjoint) {
@@ -431,12 +464,7 @@ object AnnIndex {
         have.id, path)
       requireNotTombstoned(delta, spark, path, have)
     }
-    val staged = nextDeltaName(path, "d")
-    delta
-      .select(col(have.id),
-        Pq.encodeInt(col(have.vec), cbs).as("codes"),
-        have.rowHash.as("__ch"))
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+    val staged = stageInsert(delta, have, path)
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
       deltas = have.deltas :+ staged,
       lastBatch = batchMark.getOrElse(have.lastBatch))
@@ -494,13 +522,7 @@ object AnnIndex {
         have.id, path)
       requireNotTombstoned(delta, spark, path, have)
     }
-    val staged = nextDeltaName(path, "d")
-    delta
-      .withColumn("__s", Sq8.scaleOf(col(have.vec)))
-      .select(col(have.id), col("__s"),
-        Sq8.encode(col(have.vec), col("__s")).as("__c"),
-        have.rowHash.as("__ch"))
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+    val staged = stageInsert(delta, have, path)
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
       deltas = have.deltas :+ staged,
       lastBatch = batchMark.getOrElse(have.lastBatch))
@@ -559,6 +581,78 @@ object AnnIndex {
   def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
       : (DataFrame, Long) => Unit =
     (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
+
+  /** Exactly-once OP-AWARE streaming maintenance: one CDC micro-batch
+    * carrying BOTH inserts and deletes (rows whose `opCol` equals
+    * `deleteOp` are removals; everything else inserts — the
+    * [[MergeOnRead]] change-feed shape) applies in ONE manifest
+    * commit. The insert delta, the tombstone list, the composed
+    * fingerprint/count, and the batch watermark become visible
+    * together or not at all, so an at-least-once replay
+    * (`batchId <= lastBatch`) skips the WHOLE batch — there is no
+    * window where the inserts committed but the deletes did not — and
+    * a crash between stagings leaves only orphan directories.
+    *
+    * Within one batch an id must not be both deleted and inserted:
+    * the tombstone filter is version-blind and would hide the new
+    * rows (delete, purge, then re-insert — or use the count-algebra
+    * indexes [[LmIndex]]/[[Bm25Index]], whose [[LmIndex.applyBatch]]
+    * takes same-batch updates). Delete rows must be the exact stored
+    * rows and live (the streaming contract proves this upstream; the
+    * in-batch duplicate/overlap checks here are O(batch), the
+    * guarded batch path is [[delete]]).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D",
+      maxTombstones: Long = DefaultMaxTombstones): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    val rows = batch.localCheckpoint(false)
+    val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
+    val (ifp, inN) = fpOf(ins, have)
+    val (dfp, delN) = fpOf(del, have)
+    if (inN == 0 && delN == 0)
+      return Build(path, have.fp, have.n, reused = true)
+    require(have.tombCount + delN <= maxTombstones,
+      s"index at $path would carry ${have.tombCount + delN} " +
+        s"tombstones (bound $maxTombstones) — run purge() first")
+    if (delN > 0) {
+      require(del.select(col(have.id)).distinct().count() == delN,
+        s"batch $batchId has duplicate delete rows")
+      if (inN > 0) {
+        val both = ins.select(col(have.id))
+          .join(broadcast(del.select(col(have.id)).distinct()),
+            Seq(have.id), "left_semi").count()
+        require(both == 0,
+          s"batch $batchId inserts AND deletes $both shared id(s) — " +
+            "the tombstone filter would hide the inserted rows")
+      }
+    }
+    var deltas = have.deltas
+    var tombs = have.tombs
+    if (inN > 0) deltas :+= stageInsert(ins, have, path)
+    if (delN > 0) {
+      val staged = nextDeltaName(path, "t")
+      del.select(col(have.id)).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+      tombs :+= staged
+    }
+    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
+      n = have.n + inN - delN, deltas = deltas, tombs = tombs,
+      tombCount = have.tombCount + delN, lastBatch = batchId)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** `writeStream.foreachBatch(AnnIndex.cdcSink(path))` — the
+    * [[applyBatch]] closure for a mixed insert/delete CDC stream.
+    */
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
 
   /** Folds the committed delta directories into ONE (`deltas/c<N>`)
     * and commits a manifest listing only it — bounding per-search

@@ -264,6 +264,55 @@ object Bm25Index {
       : (DataFrame, Long) => Unit =
     (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
 
+  /** Exactly-once OP-AWARE streaming maintenance — the
+    * [[LmIndex.applyBatch]] count algebra over postings: one CDC
+    * micro-batch stages deletes as negated tf/dl rows and inserts as
+    * positive ones, then ONE manifest commit carries both staged
+    * names, the composed fingerprint, the adjusted (n, sdl) corpus
+    * stats, and the batch watermark — replays skip whole batches,
+    * same-batch delete + insert of an id is a legal UPDATE, crashes
+    * leave only orphans. Delete rows must be the exact indexed rows
+    * and live (the feed's contract; [[delete]] is the guarded path).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D"): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    val rows = batch.localCheckpoint(false)
+    val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
+    val (ifp, inN) = fingerprint(ins, have.id, have.text)
+    val (dfp, delN) = fingerprint(del, have.id, have.text)
+    if (inN == 0 && delN == 0)
+      return Build(path, have.fp, have.n, reused = true)
+    var deltas = have.deltas
+    var sdl = have.sdl
+    if (delN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      sdl += writeTables(del, have.text, have.id, -1, have,
+        s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    if (inN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      sdl += writeTables(ins, have.text, have.id, 1, have,
+        s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
+      n = have.n + inN - delN, sdl = sdl, deltas = deltas,
+      lastBatch = batchId)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** `writeStream.foreachBatch(Bm25Index.cdcSink(path))`. */
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
+
   /** Fold the delta stream (sums per key, nonzero kept — negatives
     * survive to keep cancelling base rows until a full rebuild).
     */

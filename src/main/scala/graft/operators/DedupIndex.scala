@@ -456,6 +456,73 @@ object DedupIndex {
       : (DataFrame, Long) => Unit =
     (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
 
+  /** Exactly-once OP-AWARE streaming maintenance — the
+    * [[AnnIndex.applyBatch]] discipline for dedup state: one CDC
+    * micro-batch of full `(id, text, op)` rows applies its inserts
+    * (signed delta tables) AND deletes (tombstone id list) in ONE
+    * manifest commit with the batch watermark, so an at-least-once
+    * replay skips the whole batch and no insert-committed/
+    * delete-lost window exists. Same contracts: no id both inserted
+    * and deleted in one batch (version-blind tombstones), delete
+    * rows exact and live by the upstream feed's proof (the guarded
+    * batch path is [[delete]]).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D",
+      maxTombstones: Long = DefaultMaxTombstones): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    val scheme = schemeOf(have.scheme, have.nh, have.k)
+    val rows = batch.localCheckpoint(false)
+    val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
+    val (ifp, inN) = fingerprint(ins, have.id, have.text)
+    val (dfp, delN) = fingerprint(del, have.id, have.text)
+    if (inN == 0 && delN == 0)
+      return Build(path, have.fp, have.n, reused = true)
+    require(have.tombCount + delN <= maxTombstones,
+      s"index at $path would carry ${have.tombCount + delN} " +
+        s"tombstones (bound $maxTombstones) — run purge() first")
+    if (delN > 0) {
+      require(del.select(col(have.id)).distinct().count() == delN,
+        s"batch $batchId has duplicate delete rows")
+      if (inN > 0) {
+        val both = ins.select(col(have.id))
+          .join(broadcast(del.select(col(have.id)).distinct()),
+            Seq(have.id), "left_semi").count()
+        require(both == 0,
+          s"batch $batchId inserts AND deletes $both shared id(s) — " +
+            "the tombstone filter would hide the inserted rows")
+      }
+    }
+    var deltas = have.deltas
+    var tombs = have.tombs
+    if (inN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeTables(ins, have.text, have.id, have, scheme,
+        s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    if (delN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "t")
+      del.select(col(have.id)).distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged")
+      tombs :+= staged
+    }
+    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
+      n = have.n + inN - delN, deltas = deltas, tombs = tombs,
+      tombCount = have.tombCount + delN, lastBatch = batchId)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** `writeStream.foreachBatch(DedupIndex.cdcSink(path))`. */
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
+
   /** Folds the committed delta directories into ONE (`deltas/c<N>`)
     * and commits a manifest listing only it — bounding per-query
     * listing/footer costs after long append streams. Crash-safe by
@@ -511,6 +578,13 @@ object DedupIndex {
       textCol: String, idCol: String, thresholdTenths: Int): DataFrame = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
+    nearDupsOfImpl(spark, path, mf, newDocs, textCol, idCol,
+      thresholdTenths)
+  }
+
+  private def nearDupsOfImpl(spark: SparkSession, path: String,
+      mf: Manifest, newDocs: DataFrame, textCol: String, idCol: String,
+      thresholdTenths: Int): DataFrame = {
     val scheme = schemeOf(mf.scheme, mf.nh, mf.k)
     val probeSigs = sign(newDocs, textCol, idCol, scheme)
       .select(col(idCol).as("new_id"), col("sig").as("__psig"))
@@ -552,6 +626,12 @@ object DedupIndex {
       textCol: String, idCol: String): DataFrame = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
+    exactDupsOfImpl(spark, path, mf, newDocs, textCol, idCol)
+  }
+
+  private def exactDupsOfImpl(spark: SparkSession, path: String,
+      mf: Manifest, newDocs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val probes = newDocs
       .select(col(idCol).as("new_id"),
         Dedup.contentKey(col(textCol)).as("digest"))
@@ -562,6 +642,42 @@ object DedupIndex {
     readParts(spark, path, "digests", mf, "dbp", Some(wantedDbp))
       .join(broadcast(probes), Seq("digest"))
       .select(col("new_id"), col(mf.id).as("corpus_id"), col("digest"))
+  }
+
+  /** The combined ingest screen — [[exactDupsOf]] + [[nearDupsOf]] in
+    * ONE plan over ONE probe materialization: `newDocs` is cached
+    * once (localCheckpoint), the digest projection and the signature
+    * job both read that cached batch instead of re-scanning the
+    * source, exact matches come from the digest-pruned equi-join,
+    * near matches from the banded candidate join + signature
+    * verification, and the near side anti-drops pairs the exact side
+    * already reported (identical normalized text implies an identical
+    * signature, so every exact pair would otherwise surface twice).
+    * An ingest that ran [[exactDupsOf]] then [[nearDupsOf]] scanned
+    * and hashed the probe batch twice; this shares the pass and
+    * reports each pair once, under its strongest signal.
+    *
+    * Output: `(new_id, corpus_id, kind, matches, est_jaccard)` with
+    * kind ∈ {'exact','near'}; exact rows carry `matches = nh`,
+    * `est_jaccard = 1.0` (identical signatures by construction).
+    */
+  def screen(spark: SparkSession, path: String, newDocs: DataFrame,
+      textCol: String, idCol: String, thresholdTenths: Int): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val batch = newDocs.select(col(idCol), col(textCol))
+      .localCheckpoint(false)
+    val exact = exactDupsOfImpl(spark, path, mf, batch, textCol, idCol)
+      .select(col("new_id"), col("corpus_id"))
+      .localCheckpoint(false)
+    val near = nearDupsOfImpl(spark, path, mf, batch, textCol, idCol,
+        thresholdTenths)
+      .join(broadcast(exact), Seq("new_id", "corpus_id"), "left_anti")
+    exact.select(col("new_id"), col("corpus_id"),
+        lit("exact").as("kind"), lit(mf.nh.toLong).as("matches"),
+        lit(1.0).as("est_jaccard"))
+      .unionByName(near.select(col("new_id"), col("corpus_id"),
+        lit("near").as("kind"), col("matches"), col("est_jaccard")))
   }
 
   /** All near-dup pairs WITHIN the indexed corpus, served from the

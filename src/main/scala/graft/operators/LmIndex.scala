@@ -262,6 +262,52 @@ object LmIndex {
       : (DataFrame, Long) => Unit =
     (df, id) => { appendBatch(df, id, path, checkDisjoint); () }
 
+  /** Exactly-once OP-AWARE streaming maintenance: one CDC micro-batch
+    * of full `(id, text, op)` rows stages its deletes as NEGATED
+    * count tables and its inserts as positive ones, then commits BOTH
+    * in ONE manifest write with the batch watermark — an
+    * at-least-once replay (`batchId <= lastBatch`) skips the whole
+    * batch, and a crash between stagings leaves only orphans. The
+    * count algebra makes a same-batch delete + insert of one id a
+    * legal UPDATE (old counts cancel, new counts stand); delete rows
+    * must be the exact trained rows and live — the streaming feed
+    * proves this upstream (the guarded batch path is [[delete]]).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D"): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    val rows = batch.localCheckpoint(false)
+    val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
+    val (ifp, inN) = fingerprint(ins, have.id, have.text)
+    val (dfp, delN) = fingerprint(del, have.id, have.text)
+    if (inN == 0 && delN == 0)
+      return Build(path, have.fp, have.n, reused = true)
+    var deltas = have.deltas
+    if (delN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeTables(del, have.text, have.id, -1, s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    if (inN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeTables(ins, have.text, have.id, 1, s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
+      n = have.n + inN - delN, deltas = deltas, lastBatch = batchId)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** `writeStream.foreachBatch(LmIndex.cdcSink(path))`. */
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
+
   /** Fold the DELTA stream into one directory, O(total delta size):
     * per-gram sums across the delta dirs only, nonzero rows kept —
     * including NEGATIVE ones, which must survive to keep cancelling

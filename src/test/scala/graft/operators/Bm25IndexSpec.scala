@@ -171,6 +171,53 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("applyBatch: a replayed mixed insert/delete micro-batch " +
+      "applies once, the index equals the sequential fold, and a " +
+      "same-batch delete + insert is a legal update") {
+    val path = tmp("bmidx-cdc")
+    Bm25Index.buildIfAbsent(corpus(0, 30), "text", "doc_id", path)
+    val newDoc5 = corpus(5, 6).withColumn("text",
+      concat(col("text"), lit(" tok1 fresh")))
+    val b0 = corpus(30, 40).withColumn("op", lit("I"))
+      .unionByName(corpus(0, 6).withColumn("op", lit("D")))
+      .unionByName(newDoc5.withColumn("op", lit("I")))
+    val r0 = Bm25Index.applyBatch(b0, 0L, path)
+    assert(!r0.reused)
+    // at-least-once replay: the WHOLE batch skips — no window where
+    // the inserts committed but the deletes did not
+    val replay = Bm25Index.applyBatch(b0, 0L, path)
+    assert(replay.reused && replay.fingerprint == r0.fingerprint &&
+      replay.count == r0.count)
+    val wantDf = corpus(6, 40).unionByName(newDoc5)
+    val (wfp, wn) = Bm25Index.fingerprint(wantDf, "doc_id", "text")
+    assert(r0.fingerprint == wfp && r0.count == wn)
+    assert(scores(Bm25Index.score(spark, path, terms))
+      == scores(TextAnalysis.bm25(wantDf, "doc_id", "text", terms)))
+  }
+
+  test("cdcSink maintains the index from a mixed CDC stream through " +
+      "foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = tmp("bmidx-sink")
+    Bm25Index.buildIfAbsent(corpus(0, 20), "text", "doc_id", path)
+    def rowsOf(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), op)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "op")
+      .writeStream.foreachBatch(Bm25Index.cdcSink(path)).start()
+    input.addData(rowsOf(corpus(20, 25), "I") ++
+      rowsOf(corpus(0, 2), "D"): _*)
+    q.processAllAvailable()
+    input.addData(rowsOf(corpus(25, 30), "I"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val wantDf = corpus(2, 30)
+    assert(scores(Bm25Index.score(spark, path, terms))
+      == scores(TextAnalysis.bm25(wantDf, "doc_id", "text", terms)))
+  }
+
   test("appendBatch is exactly-once: a replayed micro-batch id is " +
       "skipped") {
     val path = tmp("bmidx-bat")

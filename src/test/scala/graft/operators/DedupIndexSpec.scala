@@ -47,6 +47,68 @@ class DedupIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toSet
 
+  test("screen equals exactDupsOf union (nearDupsOf minus exact), " +
+      "each pair once under its strongest label") {
+    import spark.implicits._
+    val path = tmp("dedupidx-screen")
+    DedupIndex.buildIfAbsent(corpus(), "text", "doc_id",
+      scheme, bands = 4, path, kbParts = 8, sbParts = 8, dbParts = 8)
+    // probes: doc 0 copied verbatim (exact), doc 3 with an edit
+    // (near of its family), one novel doc
+    val probes = corpus(0, 1)
+      .select((col("doc_id") + 900).as("doc_id"), col("text"))
+      .unionByName(corpus(3, 4)
+        .select((col("doc_id") + 900).as("doc_id"),
+          concat(col("text"), lit(" edited")).as("text")))
+      .unionByName(Seq((999L, "entirely novel content zzz qqq vvv"))
+        .toDF("doc_id", "text"))
+    val got = DedupIndex.screen(spark, path, probes, "text", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val exact = DedupIndex.exactDupsOf(spark, path, probes, "text",
+        "doc_id").select("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = DedupIndex.nearDupsOf(spark, path, probes, "text",
+        "doc_id", 5).select("new_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.map { case (a, b) => (a, b, "exact") } ++
+      (near -- exact).map { case (a, b) => (a, b, "near") }
+    assert(got == want)
+    // the copy flags exact; the edited one flags near; both nonempty
+    assert(got.exists(_._3 == "exact") && got.exists(_._3 == "near"))
+    assert(!got.exists(_._1 == 999L))
+  }
+
+  test("applyBatch: a replayed mixed insert/delete micro-batch " +
+      "applies once in ONE commit; the index equals the sequential " +
+      "fold; a same-batch insert+delete of one id refuses") {
+    val path = tmp("dedupidx-cdc")
+    val wantPath = tmp("dedupidx-cdc-want")
+    DedupIndex.buildIfAbsent(corpus(0, 30), "text", "doc_id",
+      scheme, bands = 4, path, kbParts = 8, sbParts = 8, dbParts = 8)
+    val b0 = corpus(30, 36).withColumn("op", lit("I"))
+      .unionByName(corpus(0, 3).withColumn("op", lit("D")))
+    val r0 = DedupIndex.applyBatch(b0, 0L, path)
+    assert(!r0.reused)
+    // at-least-once replay: the whole batch skips
+    val replay = DedupIndex.applyBatch(b0, 0L, path)
+    assert(replay.reused && replay.fingerprint == r0.fingerprint &&
+      replay.count == r0.count)
+    // sequential-fold oracle: a fresh survivors-only build
+    val want = DedupIndex.buildIfAbsent(corpus(3, 36), "text", "doc_id",
+      scheme, bands = 4, wantPath, kbParts = 8, sbParts = 8, dbParts = 8)
+    assert(r0.fingerprint == want.fingerprint && r0.count == want.count)
+    assert(pairKey(DedupIndex.selfPairs(spark, path, 5), "a", "b")
+      == pairKey(DedupIndex.selfPairs(spark, wantPath, 5), "a", "b"))
+    // version-blind tombstones: same-batch insert+delete of an id
+    // would silently hide the insert — refuse instead
+    assert(intercept[IllegalArgumentException] {
+      DedupIndex.applyBatch(corpus(40, 41).withColumn("op", lit("I"))
+        .unionByName(corpus(40, 41).withColumn("op", lit("D"))),
+        1L, path)
+    }.getMessage.contains("shared"))
+  }
+
   test("build/reuse: unchanged corpus reuses; edited text rebuilds; " +
       "changed banding rebuilds") {
     val path = tmp("dedupidx")

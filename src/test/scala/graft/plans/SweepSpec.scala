@@ -52,16 +52,11 @@ class SweepSpec extends AnyFunSuite {
     // 1-row token-total broadcast cross (stupidBackoffFrom's nTot
     // scalar); the artifact only changes where counts are read from.
     "q196_lm_persisted", "q197_lm_appended", "q198_lm_deleted",
-    // q199/q200/q201: the persisted-BM25 serve path re-plans q82's
-    // 1-row (N, avgdl) corpus-stats broadcast cross; the artifact
-    // only changes where tf/dl are read from.
-    "q199_bm25_persisted", "q200_bm25_appended", "q201_bm25_deleted",
-    // q202: q91's fusion with the lex arm on the persisted-BM25
-    // serve path — the same 1-row corpus-stats broadcast cross.
-    "q202_hybrid_persisted",
-    // q203: the batched-BM25 serve — the same 1-row stats cross,
-    // shared across the whole workload.
-    "q203_bm25_batch",
+    // (q199/q200/q201/q202/q203 carried an adjudicated 1-row
+    // corpus-stats cross until round 16: Bm25Index now serves
+    // N/avgdl from the MANIFEST, so the persisted-BM25 serve plans —
+    // including q202's lex arm — have no stats join at all; entries
+    // deleted per the honesty rule.)
     "q102_signal_correlation",
     // q116/q123: 1-row totals cross back onto a grouped table —
     // the q60/q82 totals-cross class.
