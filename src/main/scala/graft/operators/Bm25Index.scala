@@ -97,15 +97,20 @@ object Bm25Index {
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"),
         xxhash64(col(idCol), col(textCol)).as("__ch"))
       .localCheckpoint(false)
+    // repartition on the bucket column before each partitioned write:
+    // one file per bucket instead of (tasks × buckets) tiny files —
+    // the write commit and every later pruned read pay per-file costs
     toks.select(col(idCol), explode(col("__toks")).as("__t"))
       .groupBy(idCol, "__t")
       .agg((count(lit(1)) * sign).as("__tf"))
       .withColumn("tb",
         pmod(xxhash64(col("__t")), lit(mf.tbParts)).cast("int"))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$root/tf")
     toks.select(col(idCol), size(col("__toks")).as("__dl"),
         col("__ch"), lit(sign).as("__w"))
       .withColumn("dlb", dlbCol(col(idCol), mf))
+      .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb").parquet(s"$root/dl")
     val total = toks
       .agg(coalesce(sum(size(col("__toks")).cast("long")), lit(0L)))
@@ -224,7 +229,12 @@ object Bm25Index {
         .distinct().localCheckpoint(false)
       require(probe.count() == dn,
         s"delete delta has duplicate ${have.id} rows")
-      val r = liveDl(spark, path, have)
+      // the guard reads only the delta ids' own dlb buckets — an id
+      // not present anywhere cannot hide outside its hash bucket, so
+      // the prune never weakens the check
+      val wantedDlb = probe.select(dlbCol(col(have.id), have).as("dlb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val r = liveDl(spark, path, have, Some(wantedDlb))
         .join(broadcast(probe), Seq(have.id))
         .agg(count(lit(1)).as("live"),
           coalesce(sum(when(col("__ch") === col("__pch"), 1L)
@@ -325,6 +335,7 @@ object Bm25Index {
       .reduce(_.unionByName(_))
       .groupBy(have.id, "__t", "tb").agg(sum(col("__tf")).as("__tf"))
       .filter(col("__tf") =!= 0)
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/deltas/$staged/tf")
     have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
@@ -332,6 +343,7 @@ object Bm25Index {
       .groupBy(have.id, "__dl", "__ch", "dlb")
       .agg(sum(col("__w")).as("__w"))
       .filter(col("__w") =!= 0)
+      .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb")
       .parquet(s"$path/deltas/$staged/dl")
     writeManifest(path, have.copy(deltas = Seq(staged)))
@@ -353,11 +365,13 @@ object Bm25Index {
     liveTf(spark, path, have, None)
       .withColumn("tb",
         pmod(xxhash64(col("__t")), lit(have.tbParts)).cast("int"))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/tf.v$nextVer")
     val live = liveDl(spark, path, have).localCheckpoint(false)
     live.withColumn("__w", lit(1))
       .withColumn("dlb", dlbCol(col(have.id), have))
+      .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb")
       .parquet(s"$path/dl.v$nextVer")
     writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
@@ -379,13 +393,21 @@ object Bm25Index {
   private def scoredTerms(spark: SparkSession, path: String,
       mf: Manifest, tfPruned: DataFrame, k1: Double,
       b: Double): DataFrame = {
-    // one bounded collect (≤ dlParts ints) over the term-pruned
-    // postings picks the dl buckets; the serve plan itself keeps both
-    // pruned FileScans visible (no checkpoint hiding the filters)
-    val wantedDlb = tfPruned.select(dlbCol(col(mf.id), mf).as("dlb"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    import spark.implicits._
+    // ONE bounded auxiliary job over the term-pruned postings collects
+    // both serve-side statistics at once: per-term df (|terms| rows —
+    // query-scale) and the candidate docs' dlb bucket set (≤ dlParts
+    // ints). The serve plan then evaluates the postings exactly once
+    // and keeps both pruned FileScans visible.
+    val aux = tfPruned
+      .select(col("__t"), dlbCol(col(mf.id), mf).as("dlb"))
+      .groupBy("__t")
+      .agg(count(lit(1)).as("__df"), collect_set(col("dlb")).as("__dlbs"))
+      .collect()
+    val wantedDlb = aux.flatMap(_.getSeq[Int](2)).distinct.toSeq
+    val dfreq = aux.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("__t", "__df")
     val dl = liveDl(spark, path, mf, Some(wantedDlb)).drop("__ch")
-    val dfreq = tfPruned.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val avgdl = if (mf.n == 0) 1.0 else mf.sdl.toDouble / mf.n
     tfPruned.join(dl, Seq(mf.id))
       .join(broadcast(dfreq), "__t")

@@ -56,11 +56,16 @@ object LmIndex {
   private val LayoutVersion = 1
 
   private case class Manifest(fp: Long, n: Long, id: String,
-      text: String, lv: Int = LayoutVersion, deltas: Seq[String] = Nil,
+      text: String, lv: Int = LayoutVersion, gbParts: Int = 0,
+      st: Long = 0L, deltas: Seq[String] = Nil,
       lastBatch: Long = -1L, baseVer: Int = 0) {
+    /** st (the live token total) is derived state like the delta
+      * list — it never gates reuse; gbParts IS layout (a different
+      * gram bucketing must rebuild).
+      */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
-        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+      copy(st = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0) ==
+        other.copy(st = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0)
     /** Live base dir of a table: versioned after a [[purge]]. */
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
@@ -69,15 +74,18 @@ object LmIndex {
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map { r =>
       Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("text"),
-        r.intOr("lv", 0), r.seq("deltas"), r.longOr("lb", -1L),
-        r.intOr("bv", 0))
+        r.intOr("lv", 0),
+        // a pre-bucketing manifest reads gb=0, which can never match
+        // a requested layout — it rebuilds once, safely
+        r.intOr("gb", 0), r.longOr("st", 0L),
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n)
       .put("id", mf.id).put("text", mf.text)
-      .put("lv", mf.lv)
+      .put("lv", mf.lv).put("gb", mf.gbParts).put("st", mf.st)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
       .commit(path)
@@ -85,32 +93,58 @@ object LmIndex {
   private val tables = Seq(
     ("uni", "__w", "__cu"), ("bi", "__b", "__cb"), ("tri", "__t3", "__ct"))
 
+  // max(,1): a legacy (gbParts = 0) artifact compacts/purges into one
+  // gb=0 partition instead of a null-partition write
+  private def gbCol(key: org.apache.spark.sql.Column, mf: Manifest) =
+    pmod(xxhash64(key), lit(math.max(mf.gbParts, 1))).cast("int")
+
   /** Write the four tables of `docs` (scaled by `sign` — deletes
-    * stage the SAME rows with negated counts) under `root`.
+    * stage the SAME rows with negated counts) under `root`, each
+    * count table partitioned by its key's gram-hash bucket (`gb`).
+    * Returns the SIGNED token total of the staged rows — the
+    * manifest-carried `st` advances by it, so the scoring-time N
+    * never needs a unigram-table aggregate.
     */
   private def writeTables(docs: DataFrame, textCol: String,
-      idCol: String, sign: Int, root: String): Unit = {
+      idCol: String, sign: Int, mf: Manifest, root: String): Long = {
+    val spark = docs.sparkSession
     val counts = TextAnalysis.lmCounts(docs, textCol)
+    // repartition on gb before the partitioned write: one file per
+    // bucket instead of (tasks × buckets) tiny files
     Seq(counts.uni, counts.bi, counts.tri).zip(tables).foreach {
-      case (df, (sub, _, cnt)) =>
+      case (df, (sub, key, cnt)) =>
         df.withColumn(cnt, col(cnt) * sign)
-          .write.mode("overwrite").parquet(s"$root/$sub")
+          .withColumn("gb", gbCol(col(key), mf))
+          .repartition(col("gb"))
+          .write.mode("overwrite").partitionBy("gb")
+          .parquet(s"$root/$sub")
     }
     docs.select(col(idCol),
         xxhash64(col(idCol), col(textCol)).as("__ch"),
         lit(sign).as("__lw"))
       .write.mode("overwrite").parquet(s"$root/ids")
+    // the signed total reads back the just-written (columnar, tiny)
+    // unigram table instead of re-tokenizing the docs a 5th time
+    spark.read.parquet(s"$root/uni")
+      .agg(coalesce(sum(col("__cu")), lit(0L)))
+      .collect()(0).getLong(0)
   }
 
   /** Aggregated live rows of one table: base ∪ committed deltas,
     * summed per key, `sum ≤ 0` dropped (a fully-deleted gram is
-    * absent, exactly as if its docs were never trained on).
+    * absent, exactly as if its docs were never trained on). `parts`
+    * prunes each read to the given gb partition values — the scoring
+    * path passes the scored batch's gram buckets.
     */
   private def readAgg(spark: SparkSession, path: String, mf: Manifest,
-      sub: String, key: String, cnt: String): DataFrame = {
+      sub: String, key: String, cnt: String,
+      parts: Option[Seq[Int]] = None): DataFrame = {
     val roots = s"$path/${mf.baseOf(sub)}" +:
       mf.deltas.map(d => s"$path/deltas/$d/$sub")
-    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    roots.map { r =>
+        val df = spark.read.parquet(r)
+        parts.fold(df)(w => df.filter(col("gb").isin(w.map(Int.box): _*)))
+      }.reduce(_.unionByName(_))
       .groupBy(key).agg(sum(col(cnt)).as(cnt))
       .filter(col(cnt) > 0)
   }
@@ -140,28 +174,68 @@ object LmIndex {
   }
 
   /** [[TextAnalysis.stupidBackoff]] scoring against the persisted
-    * counts — the train pass never re-runs.
+    * counts — the train pass never re-runs and the token-total N
+    * rides the MANIFEST (no unigram-table aggregate, no 1-row cross
+    * in the serve plan). Reads the full live count tables: the right
+    * shape for CORPUS-SWEEP scoring (quality gates, CCNet buckets),
+    * where the batch's gram set touches every bucket anyway. A
+    * pre-bucketing artifact (gbParts = 0) falls back to the live N
+    * aggregate.
     */
   def score(spark: SparkSession, path: String, docs: DataFrame,
-      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame =
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
     TextAnalysis.stupidBackoffFrom(counts(spark, path), docs, idCol,
-      textCol, alpha)
+      textCol, alpha,
+      totalTokens = if (mf.gbParts == 0) None else Some(mf.st))
+  }
+
+  /** [[score]]'s SMALL-BATCH serving shape: each count-table read is
+    * PRUNED to the gb buckets the batch's own grams hash to (three
+    * bounded ≤ gbParts-int collects over the batch) — a handful of
+    * scored docs reads a few gram buckets of a trillion-gram LM,
+    * never the whole table. Scores equal [[score]] exactly (pruning
+    * only removes rows that cannot join; N rides the manifest). Use
+    * [[score]] for corpus sweeps, where the batch saturates every
+    * bucket and the probe passes are pure overhead.
+    */
+  def scoreBatch(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (mf.gbParts == 0)
+      return score(spark, path, docs, idCol, textCol, alpha)
+    val (u, b, t) = TextAnalysis.lmGramStreams(docs, textCol)
+    def buckets(stream: DataFrame, key: String): Seq[Int] =
+      stream.select(gbCol(col(key), mf).as("gb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = LmCounts(
+      readAgg(spark, path, mf, "uni", "__w", "__cu",
+        Some(buckets(u, "__w"))),
+      readAgg(spark, path, mf, "bi", "__b", "__cb",
+        Some(buckets(b, "__b"))),
+      readAgg(spark, path, mf, "tri", "__t3", "__ct",
+        Some(buckets(t, "__t3"))))
+    TextAnalysis.stupidBackoffFrom(pruned, docs, idCol, textCol,
+      alpha, totalTokens = Some(mf.st))
+  }
 
   /** Build the artifact at `path` unless the manifest fingerprint
     * matches the train corpus — the count pass is skipped entirely
     * on reuse.
     */
   def buildIfAbsent(train: DataFrame, textCol: String, idCol: String,
-      path: String): Build = {
+      path: String, gbParts: Int = 16): Build = {
     val (fp, n) = fingerprint(train, idCol, textCol)
-    val want = Manifest(fp, n, idCol, textCol)
+    val want = Manifest(fp, n, idCol, textCol, gbParts = gbParts)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
-        writeTables(train, textCol, idCol, 1, path)
-        writeManifest(path, want)
+        val st = writeTables(train, textCol, idCol, 1, want, path)
+        writeManifest(path, want.copy(st = st))
         Build(path, fp, n, reused = false)
     }
   }
@@ -193,8 +267,10 @@ object LmIndex {
           "checkDisjoint = false only when upstream proves it)")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.text, have.id, 1, s"$path/deltas/$staged")
+    val dst = writeTables(delta, have.text, have.id, 1, have,
+      s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      st = have.st + dst,
       deltas = have.deltas :+ staged,
       lastBatch = batchMark.getOrElse(have.lastBatch))
     writeManifest(path, next)
@@ -239,8 +315,10 @@ object LmIndex {
           "computed from stale text would never cancel the stored grams")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.text, have.id, -1, s"$path/deltas/$staged")
+    val dst = writeTables(delta, have.text, have.id, -1, have,
+      s"$path/deltas/$staged")
     val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      st = have.st + dst,
       deltas = have.deltas :+ staged)
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
@@ -287,18 +365,22 @@ object LmIndex {
     if (inN == 0 && delN == 0)
       return Build(path, have.fp, have.n, reused = true)
     var deltas = have.deltas
+    var st = have.st
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(del, have.text, have.id, -1, s"$path/deltas/$staged")
+      st += writeTables(del, have.text, have.id, -1, have,
+        s"$path/deltas/$staged")
       deltas :+= staged
     }
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(ins, have.text, have.id, 1, s"$path/deltas/$staged")
+      st += writeTables(ins, have.text, have.id, 1, have,
+        s"$path/deltas/$staged")
       deltas :+= staged
     }
     val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, deltas = deltas, lastBatch = batchId)
+      n = have.n + inN - delN, st = st, deltas = deltas,
+      lastBatch = batchId)
     writeManifest(path, next)
     Build(path, next.fp, next.n, reused = false)
   }
@@ -326,7 +408,10 @@ object LmIndex {
         .reduce(_.unionByName(_))
         .groupBy(key).agg(sum(col(cnt)).as(cnt))
         .filter(col(cnt) =!= 0)
-        .write.mode("overwrite").parquet(s"$path/deltas/$staged/$sub")
+        .withColumn("gb", gbCol(col(key), have))
+        .repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb")
+        .parquet(s"$path/deltas/$staged/$sub")
     }
     // the ids ledger cancels per (id, contentHash) pair
     have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
@@ -352,7 +437,10 @@ object LmIndex {
     val nextVer = have.baseVer + 1
     tables.foreach { case (sub, key, cnt) =>
       readAgg(spark, path, have, sub, key, cnt)
-        .write.mode("overwrite").parquet(s"$path/$sub.v$nextVer")
+        .withColumn("gb", gbCol(col(key), have))
+        .repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb")
+        .parquet(s"$path/$sub.v$nextVer")
     }
     val live = liveIds(spark, path, have).localCheckpoint(false)
     live.withColumn("__lw", lit(1))

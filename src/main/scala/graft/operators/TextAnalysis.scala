@@ -191,26 +191,41 @@ object TextAnalysis {
     * combined): uni(__w, __cu), bi(__b, __cb), tri(__t3, __ct).
     */
   def lmCounts(train: DataFrame, textCol: String): LmCounts = {
-    val trainT = lmToks(train, textCol, Nil)
+    val (u, b, t) = lmGramStreams(train, textCol)
     LmCounts(
-      trainT.select(explode(col("__a")).as("__w"))
-        .groupBy("__w").agg(count(lit(1)).as("__cu")),
-      trainT.select(explode(expr(
-          lmGrams(2, "concat(__a[i], ' ', __a[i+1])"))).as("__b"))
-        .groupBy("__b").agg(count(lit(1)).as("__cb")),
-      trainT.select(explode(expr(
-          lmGrams(3, "concat(__a[i], ' ', __a[i+1], ' ', __a[i+2])")))
-          .as("__t3"))
-        .groupBy("__t3").agg(count(lit(1)).as("__ct")))
+      u.groupBy("__w").agg(count(lit(1)).as("__cu")),
+      b.groupBy("__b").agg(count(lit(1)).as("__cb")),
+      t.groupBy("__t3").agg(count(lit(1)).as("__ct")))
+  }
+
+  /** The raw uni/bi/tri gram STREAMS of `df` (one string-key column
+    * each: __w / __b / __t3) — [[lmCounts]]' pre-aggregation form,
+    * exposed so a pruning reader ([[LmIndex.score]]) can compute
+    * which gram-hash buckets a scored batch touches with exactly the
+    * key construction the count writer used.
+    */
+  def lmGramStreams(df: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val toks = lmToks(df, textCol, Nil)
+    (toks.select(explode(col("__a")).as("__w")),
+      toks.select(explode(expr(
+        lmGrams(2, "concat(__a[i], ' ', __a[i+1])"))).as("__b")),
+      toks.select(explode(expr(
+        lmGrams(3, "concat(__a[i], ' ', __a[i+1], ' ', __a[i+2])")))
+        .as("__t3")))
   }
 
   /** [[stupidBackoff]] scoring against pre-built (possibly loaded —
     * [[LmIndex.score]]) count tables. The token-count scalar N is
     * `sum(uni counts)` — a 1-row agg over the unigram table, not a
-    * second train scan.
+    * second train scan — unless the caller already KNOWS it
+    * (`totalTokens`: the persisted artifact carries it as a manifest
+    * sum), in which case it rides as a literal and the plan has no
+    * unigram-total aggregate or 1-row cross at all.
     */
   def stupidBackoffFrom(counts: LmCounts, docs: DataFrame,
-      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+      idCol: String, textCol: String, alpha: Double = 0.4,
+      totalTokens: Option[Long] = None): DataFrame = {
     def toks(df: DataFrame, keep: Seq[Column]) =
       lmToks(df, textCol, keep)
     def grams(n: Int, body: String) = lmGrams(n, body)
@@ -227,7 +242,7 @@ object TextAnalysis {
       .withColumn("__bs", concat(col("__w2"), lit(" "), col("__w3")))
       .withColumn("__t3",
         concat(col("__w1"), lit(" "), col("__w2"), lit(" "), col("__w3")))
-    val scored = docTris
+    val scored0 = docTris
       .join(tri, Seq("__t3"), "left")
       .join(bi.withColumnRenamed("__b", "__bp")
         .withColumnRenamed("__cb", "__cbp"), Seq("__bp"), "left")
@@ -237,7 +252,11 @@ object TextAnalysis {
         .withColumnRenamed("__cu", "__cu2"), Seq("__w2"), "left")
       .join(uni.withColumnRenamed("__w", "__w3")
         .withColumnRenamed("__cu", "__cu3"), Seq("__w3"), "left")
-      .crossJoin(broadcast(nTot))
+    val withN = totalTokens match {
+      case Some(n) => scored0.withColumn("__N", lit(n.toDouble))
+      case None => scored0.crossJoin(broadcast(nTot))
+    }
+    val scored = withN
       // a seen trigram implies its prefix bigram is seen, so the
       // first branch never divides by NULL
       .withColumn("__p",

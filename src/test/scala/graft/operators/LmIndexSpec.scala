@@ -33,11 +33,28 @@ class LmIndexSpec extends AnyFunSuite {
     val train = corpus().filter(col("doc_id") % 2 === 0)
     assert(!LmIndex.buildIfAbsent(train, "text", "doc_id", path).reused)
     assert(LmIndex.buildIfAbsent(train, "text", "doc_id", path).reused)
-    val got = scores(LmIndex.score(spark, path, corpus(), "doc_id",
-      "text"))
+    val scoredDf = LmIndex.score(spark, path, corpus(), "doc_id",
+      "text")
+    val got = scores(scoredDf)
     val want = scores(TextAnalysis.stupidBackoff(train, corpus(),
       "doc_id", "text"))
     assert(got == want && got.nonEmpty)
+    // the corpus-sweep serve plan carries N from the manifest — no
+    // unigram-total aggregate, no 1-row stats cross
+    val plan = scoredDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "manifest-carried N must remove the 1-row stats cross")
+    // the SMALL-BATCH serving shape prunes every count-table read to
+    // the batch's own gram buckets (gb partition filters) and scores
+    // identically
+    val small = LmIndex.scoreBatch(spark, path,
+      corpus(0, 2), "doc_id", "text")
+    assert(scores(small) ==
+      scores(LmIndex.score(spark, path, corpus(0, 2), "doc_id", "text")))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*gb".r.findFirstIn(smallPlan)
+      .isDefined, s"expected a gb partition filter in:\n$smallPlan")
+    assert(!smallPlan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("append composes the fingerprint and counts to the full-build " +

@@ -48,10 +48,10 @@ class SweepSpec extends AnyFunSuite {
     "q33_cosine_topk", "q36_cross_join", "q60_unigram_lm", "q75_pq_adc_ann",
     "q82_bm25", "q85_hard_negatives", "q88_corpus_minhash",
     "q91_hybrid_rrf", "q93_trigram_lm", "q100_lsh_recall",
-    // q196/q197/q198: the persisted-LM serve path re-plans q93's
-    // 1-row token-total broadcast cross (stupidBackoffFrom's nTot
-    // scalar); the artifact only changes where counts are read from.
-    "q196_lm_persisted", "q197_lm_appended", "q198_lm_deleted",
+    // (q196/q197/q198 carried an adjudicated 1-row token-total cross
+    // until round 16: LmIndex now serves N from the MANIFEST, so the
+    // persisted-LM serve plans have no stats cross — entries deleted
+    // per the honesty rule. q93's in-plan train path keeps its.)
     // (q199/q200/q201/q202/q203 carried an adjudicated 1-row
     // corpus-stats cross until round 16: Bm25Index now serves
     // N/avgdl from the MANIFEST, so the persisted-BM25 serve plans —
