@@ -185,6 +185,7 @@ object AnnIndex {
           .select(col(idCol) +: col(vecCol) +: carryCols.map(col) :+
             want.rowHash.as("__ch") :+
             Ivf.assignInt(col(vecCol), centroids).as("bucket"): _*)
+          .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/assignments")
         writeManifest(path, want)
@@ -346,6 +347,7 @@ object AnnIndex {
           .select(col(have.id) +: col(have.vec) +: have.carry.map(col) :+
             have.rowHash.as("__ch") :+
             Ivf.assignInt(col(have.vec), cs).as("bucket"): _*)
+          .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/deltas/$staged")
       case "pq" =>
@@ -679,7 +681,9 @@ object AnnIndex {
         .map(d => spark.read.parquet(s"$path/deltas/$d"))
         .reduce(_.unionByName(_))
       val staged = nextDeltaName(path, "c")
-      val w = merged.write.mode("overwrite")
+      val w = (if (have.kind == "ivf")
+          merged.repartition(col("bucket")) else merged)
+        .write.mode("overwrite")
       (if (have.kind == "ivf") w.partitionBy("bucket") else w)
         .parquet(s"$path/deltas/$staged")
       Seq(staged)
@@ -794,7 +798,9 @@ object AnnIndex {
         .r.findFirstMatchIn(n).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
     val newBase = s"$baseSub.v$ver"
-    val w = readParts(spark, path, baseSub, have, None)
+    val live = readParts(spark, path, baseSub, have, None)
+    val w = (if (have.kind == "ivf")
+        live.repartition(col("bucket")) else live)
       .write.mode("overwrite")
     (if (have.kind == "ivf") w.partitionBy("bucket") else w)
       .parquet(s"$path/$newBase")

@@ -226,9 +226,13 @@ object DedupIndex {
       idCol: String, mf: Manifest, scheme: Scheme,
       root: String): Unit = {
     val sigs = sign(docs, textCol, idCol, scheme).localCheckpoint(false)
+    // repartition on the bucket column before each partitioned write:
+    // one file per bucket, not (tasks × buckets) tiny files
     sigs.withColumn("sb", sbCol(col(idCol), mf))
+      .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb").parquet(s"$root/sigs")
     bandRows(sigs, idCol, mf)
+      .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$root/bands")
     docs.select(col(idCol), Dedup.contentKey(col(textCol)).as("digest"),
         // raw-text hash (the fingerprint's unit) — deletes verify
@@ -237,6 +241,7 @@ object DedupIndex {
         xxhash64(col(idCol), col(textCol)).as("__ch"))
       .withColumn("dbp",
         pmod(xxhash64(col("digest")), lit(mf.dbParts)).cast("int"))
+      .repartition(col("dbp"))
       .write.mode("overwrite").partitionBy("dbp")
       .parquet(s"$root/digests")
   }
@@ -387,6 +392,7 @@ object DedupIndex {
     Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
       .foreach { case (sub, pc) =>
         readParts(spark, path, sub, have, pc, None)
+          .repartition(col(pc))
           .write.mode("overwrite").partitionBy(pc)
           .parquet(s"$path/$sub.v$nextVer")
       }
@@ -540,6 +546,7 @@ object DedupIndex {
         .foreach { case (sub, pc) =>
           have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
             .reduce(_.unionByName(_))
+            .repartition(col(pc))
             .write.mode("overwrite").partitionBy(pc)
             .parquet(s"$path/deltas/$staged/$sub")
         }

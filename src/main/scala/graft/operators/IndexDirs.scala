@@ -83,6 +83,12 @@ private[operators] object IndexDirs {
   def writeManifestText(path: String, json: String): Unit = {
     val f = fs(path)
     f.mkdirs(new Path(path))
+    // best-effort GC of crashed commits' temp files (artifacts are
+    // single-writer by contract, so any existing temp is garbage)
+    f.listStatus(new Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".manifest-")
+        && s.getPath.getName.endsWith(".tmp"))
+      .foreach(s => f.delete(s.getPath, false))
     val dst = f.makeQualified(manifestPath(path))
     val tmp = f.makeQualified(new Path(path,
       s".manifest-${java.util.UUID.randomUUID()}.tmp"))

@@ -163,6 +163,7 @@ object MergeOnRead {
     df.limit(0).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_schema")
     df.withColumn(Bucket, bucketOf(meta))
+      .repartition(col(Bucket))
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(s"$dir/data/ver=0")
     writeManifest(dir, Manifest(0, meta,
@@ -238,6 +239,7 @@ object MergeOnRead {
     val staging = f.makeQualified(new HPath(dir,
       s"delta/.staging-append-${java.util.UUID.randomUUID()}"))
     changes.withColumn(Bucket, bucketOf(m.meta))
+      .repartition(col(Bucket))
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(staging.toString)
     commitBatch(dir, staging, m)
@@ -269,6 +271,7 @@ object MergeOnRead {
     val staging = f.makeQualified(new HPath(dir,
       s"delta/.staging-$streamBatchId"))
     changes.withColumn(Bucket, bucketOf(m.meta))
+      .repartition(col(Bucket))
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(staging.toString)
     writeFile(f, new HPath(staging, marker), "")
@@ -371,6 +374,7 @@ object MergeOnRead {
       Seq(col("batch").desc, col(m.meta.seqCol).desc),
       Seq(m.meta.opCol, m.meta.seqCol, "batch"))
     merged.withColumn(Bucket, bucketOf(m.meta))
+      .repartition(col(Bucket))
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(s"$dir/data/ver=$newVer")
     // a touched bucket absent from the new ver went empty (all rows

@@ -1,0 +1,125 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+/** One CDC feed maintaining several index artifacts: per-artifact
+  * exactly-once makes the FLEET converge to the sequential fold even
+  * when a crash lands between artifact commits and the batch replays.
+  */
+class IndexPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(p).toUri.toString.stripSuffix("/") + "/idx"
+
+  private def corpus(from: Int, until: Int) = {
+    import spark.implicits._
+    (from until until).map(i =>
+      (i.toLong, s"tok${i % 5} tok${(i + 1) % 5} body word$i tail${i % 3}"))
+      .toDF("doc_id", "text")
+  }
+
+  private def bm25Scores(path: String) =
+    Bm25Index.score(spark, path, Seq("tok1", "tok3")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+  private def lmScores(path: String, docs: org.apache.spark.sql.DataFrame) =
+    LmIndex.score(spark, path, docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+
+  test("a crash between artifact commits + at-least-once replay " +
+      "converges every artifact to the sequential fold") {
+    val (bmPath, lmPath, ddPath) =
+      (tmp("pipe-bm"), tmp("pipe-lm"), tmp("pipe-dd"))
+    Bm25Index.buildIfAbsent(corpus(0, 20), "text", "doc_id", bmPath)
+    LmIndex.buildIfAbsent(corpus(0, 20), "text", "doc_id", lmPath)
+    DedupIndex.buildIfAbsent(corpus(0, 20), "text", "doc_id",
+      DedupIndex.MinhashMd5(16, 4), bands = 4, ddPath,
+      kbParts = 4, sbParts = 4, dbParts = 4)
+
+    val batch0 = corpus(20, 26).withColumn("op", lit("I"))
+      .unionByName(corpus(0, 2).withColumn("op", lit("D")))
+
+    // CRASH SIMULATION: batch 0 reached BM25 only, then the process
+    // died before the LM and dedup sinks ran
+    Bm25Index.applyBatch(batch0, 0L, bmPath)
+
+    // the at-least-once replay drives the full pipeline sink: BM25
+    // skips (watermark), LM and dedup apply — the fleet converges
+    IndexPipeline.sink(
+      Bm25Index.cdcSink(bmPath),
+      LmIndex.cdcSink(lmPath),
+      DedupIndex.cdcSink(ddPath))(batch0, 0L)
+
+    val survivors = corpus(2, 26)
+    val (wantFp, wantN) =
+      IndexDirs.contentFingerprint(survivors, Seq("doc_id", "text"))
+    for (p <- Seq(bmPath, lmPath, ddPath)) {
+      val b = p match {
+        case `bmPath` => Bm25Index.buildIfAbsent(survivors, "text",
+          "doc_id", p)
+        case `lmPath` => LmIndex.buildIfAbsent(survivors, "text",
+          "doc_id", p)
+        case _ => DedupIndex.buildIfAbsent(survivors, "text", "doc_id",
+          DedupIndex.MinhashMd5(16, 4), bands = 4, p,
+          kbParts = 4, sbParts = 4, dbParts = 4)
+      }
+      assert(b.reused && b.fingerprint == wantFp && b.count == wantN,
+        s"artifact $p must equal the sequential fold")
+    }
+    // and the servable state matches survivors-only rebuilds
+    val bmWant = tmp("pipe-bm-want")
+    Bm25Index.buildIfAbsent(survivors, "text", "doc_id", bmWant)
+    assert(bm25Scores(bmPath) == bm25Scores(bmWant))
+    val lmWant = tmp("pipe-lm-want")
+    LmIndex.buildIfAbsent(survivors, "text", "doc_id", lmWant)
+    assert(lmScores(lmPath, corpus(0, 26)) ==
+      lmScores(lmWant, corpus(0, 26)))
+  }
+
+  test("a live mixed CDC stream maintains three artifacts through one " +
+      "foreachBatch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (bmPath, lmPath, ddPath) =
+      (tmp("pipes-bm"), tmp("pipes-lm"), tmp("pipes-dd"))
+    Bm25Index.buildIfAbsent(corpus(0, 15), "text", "doc_id", bmPath)
+    LmIndex.buildIfAbsent(corpus(0, 15), "text", "doc_id", lmPath)
+    DedupIndex.buildIfAbsent(corpus(0, 15), "text", "doc_id",
+      DedupIndex.MinhashMd5(16, 4), bands = 4, ddPath,
+      kbParts = 4, sbParts = 4, dbParts = 4)
+    def rowsOf(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), op)).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "op")
+      .writeStream
+      .foreachBatch(IndexPipeline.sink(
+        Bm25Index.cdcSink(bmPath),
+        LmIndex.cdcSink(lmPath),
+        DedupIndex.cdcSink(ddPath)))
+      .start()
+    input.addData(rowsOf(corpus(15, 20), "I") ++
+      rowsOf(corpus(0, 3), "D"): _*)
+    q.processAllAvailable()
+    input.addData(rowsOf(corpus(20, 24), "I"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val survivors = corpus(3, 24)
+    val (wantFp, _) =
+      IndexDirs.contentFingerprint(survivors, Seq("doc_id", "text"))
+    assert(Bm25Index.buildIfAbsent(survivors, "text", "doc_id", bmPath)
+      .fingerprint == wantFp)
+    assert(LmIndex.buildIfAbsent(survivors, "text", "doc_id", lmPath)
+      .reused)
+    assert(DedupIndex.buildIfAbsent(survivors, "text", "doc_id",
+      DedupIndex.MinhashMd5(16, 4), bands = 4, ddPath,
+      kbParts = 4, sbParts = 4, dbParts = 4).reused)
+  }
+}
