@@ -105,6 +105,15 @@ object SketchQueries {
     * built once per dataset dir ([[graft.operators.DedupIndex]]
     * fingerprint-reuses on every later call).
     */
+  /** q205/q206 share this persisted [[graft.operators.VecStats]]
+    * artifact over the quantized embeddings (fingerprint-reused on
+    * every later call).
+    */
+  private def vstatsIdx(s: SparkSession, d: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-vstats-${Integer.toHexString(d.hashCode)}").toString
+
   private def dedupIdx(s: SparkSession, d: String): String = {
     import graft.operators.DedupIndex
     val idx = java.nio.file.Paths.get(
@@ -588,6 +597,39 @@ object SketchQueries {
         .select(col("vec_id").as("probe_id"), col("q"))
       AnnIndex.sq8SearchInt(s, idx, probe, "probe_id", "q", 5)
         .select(col("vec_id"), col("sq8"))
+    }),
+
+    /** Persisted per-dimension vector statistics
+      * ([[graft.operators.VecStats]]) — the dataset-monitoring
+      * artifact: one corpus pass pays for every later distribution
+      * question. Per-dim (n, mean, std) over the quantized
+      * embeddings, served from exact integer sums (cross-engine
+      * replayable by construction).
+      */
+    "q205_vecstats_summary" -> ((s, d) => {
+      import graft.operators.VecStats
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      VecStats.buildIfAbsent(emb, "q", "vec_id", vstatsIdx(s, d))
+      VecStats.summary(s, vstatsIdx(s, d)).orderBy("dim")
+    }),
+
+    /** DRIFT detection against the persisted stats: a probe batch
+      * (vec_id < 20) with dimension 3 shifted by +50 in the quantized
+      * space — the per-dim z = |batchMean − corpusMean| / corpusStd
+      * must flag exactly that dimension, at the cost of the BATCH
+      * (the corpus side is the tiny persisted stats table; no corpus
+      * scan anywhere in the plan).
+      */
+    "q206_vecstats_drift" -> ((s, d) => {
+      import graft.operators.VecStats
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      VecStats.buildIfAbsent(emb, "q", "vec_id", vstatsIdx(s, d))
+      val probe = emb.filter(col("vec_id") < 20)
+        .withColumn("q", transform(col("q"), (v, i) =>
+          v + when(i === 3, 50L).otherwise(0L)))
+      VecStats.drift(s, vstatsIdx(s, d), probe, "q").orderBy("dim")
     }),
 
     // FILTERED ANN: the q46/q181 IVF search restricted to candidates
@@ -1771,6 +1813,57 @@ object SketchQueries {
     "q187_sq8_ann" -> sq8Oracle,
     // the persisted-SQ8 serve path computes the same codes/scores
     "q188_sq8_persisted_ann" -> sq8Oracle,
+    // exact per-dim integer sums over quantized embeddings, divided
+    // once at the end — bit-for-bit replayable
+    "q205_vecstats_summary" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (SELECT unnest(list_transform(range(1, len(q) + 1),
+        |    i -> {'d': CAST(i - 1 AS INT), 'v': q[CAST(i AS INT)]})) AS s
+        |  FROM q),
+        |c AS (SELECT s.d AS dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s.v) AS BIGINT) AS vs,
+        |    CAST(sum(s.v * s.v) AS BIGINT) AS vs2
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n, round(CAST(vs AS DOUBLE) / n, 4) AS mean,
+        |  round(sqrt(greatest(CAST(vs2 AS DOUBLE) / n -
+        |    (CAST(vs AS DOUBLE) / n) * (CAST(vs AS DOUBLE) / n),
+        |    0)), 4) AS std
+        |FROM c ORDER BY dim""".stripMargin,
+    // drift z of the dim-3-shifted probe batch vs the corpus stats
+    "q206_vecstats_drift" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, list_transform(range(1, len(q) + 1),
+        |    i -> q[CAST(i AS INT)] +
+        |      CASE WHEN i = 4 THEN 50 ELSE 0 END) AS q
+        |  FROM q WHERE vec_id < 20),
+        |ce AS (SELECT unnest(list_transform(range(1, len(q) + 1),
+        |    i -> {'d': CAST(i - 1 AS INT), 'v': q[CAST(i AS INT)]})) AS s
+        |  FROM q),
+        |pe AS (SELECT unnest(list_transform(range(1, len(q) + 1),
+        |    i -> {'d': CAST(i - 1 AS INT), 'v': q[CAST(i AS INT)]})) AS s
+        |  FROM p),
+        |c AS (SELECT s.d AS dim, count(*) AS n,
+        |    CAST(sum(s.v) AS BIGINT) AS vs,
+        |    CAST(sum(s.v * s.v) AS BIGINT) AS vs2
+        |  FROM ce GROUP BY 1),
+        |b AS (SELECT s.d AS dim, count(*) AS bn,
+        |    CAST(sum(s.v) AS BIGINT) AS bs
+        |  FROM pe GROUP BY 1),
+        |m AS (SELECT c.dim, CAST(c.vs AS DOUBLE) / c.n AS cm,
+        |    sqrt(greatest(CAST(c.vs2 AS DOUBLE) / c.n -
+        |      (CAST(c.vs AS DOUBLE) / c.n) *
+        |      (CAST(c.vs AS DOUBLE) / c.n), 0)) AS std,
+        |    CAST(b.bs AS DOUBLE) / b.bn AS bm
+        |  FROM c JOIN b ON c.dim = b.dim)
+        |SELECT dim, round(cm, 4) AS corpus_mean,
+        |  round(bm, 4) AS batch_mean,
+        |  round(abs(bm - cm) /
+        |    (CASE WHEN std > 0 THEN std END), 4) AS z
+        |FROM m ORDER BY dim""".stripMargin,
     // build + append + compact converges to the one-shot index state
     "q186_ivf_compacted_ann" -> ivfAnnOracle,
     // the q46 ranking with the tombstoned ids gone from the corpus

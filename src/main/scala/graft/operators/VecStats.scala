@@ -1,0 +1,343 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted per-dimension vector statistics — the dataset-monitoring
+  * artifact of the index family: per-dim `(count, Σv, Σv²)` over an
+  * integer-quantized embedding corpus, under the [[IndexDirs]]
+  * manifest discipline and the [[LmIndex]] pure-sum algebra.
+  *
+  * A training-data pipeline watches its embedding distribution for
+  * DRIFT (a new crawl slice, a changed encoder, a poisoned source
+  * shifts per-dimension means long before anything downstream fails).
+  * The monitoring state is tiny — `dims` rows of three integers — but
+  * computing it is a full corpus scan, so it earns the artifact
+  * treatment:
+  *
+  * {{{
+  *   <path>/stats/  parquet: (dim INT, __c BIGINT, __s BIGINT,
+  *                  __s2 BIGINT) — per-dim component count, sum, and
+  *                  sum of squares over the QUANTIZED (BIGINT) vector
+  *                  components; pure integer sums, exact and
+  *                  cross-engine replayable
+  *   <path>/ids/    parquet: (<id>, __ch, __lw ±1) — the doc ledger
+  *                  (content-hash-verified deletes, the family rule)
+  *   <path>/deltas/d<N>/{stats,ids}  appended (or count-NEGATED) rows
+  *   <path>/manifest.json — written LAST (atomic commit marker)
+  * }}}
+  *
+  * Append = the delta's per-dim sums, O(delta); delete = the SAME
+  * rows negated (takedowns subtract right back out — after a
+  * [[compactDeltas]]/[[purge]] the artifact is bit-for-bit the one
+  * computed without the deleted vectors); same-batch delete + insert
+  * of an id through [[applyBatch]] is a legal update. Integer sums
+  * are exact for up to ~2.7e13 components per dimension at the
+  * [[Similarity.quantize]] ±580·scale range — shard the artifact per
+  * corpus slice beyond that.
+  *
+  * Reference grounding: immutable loaded artifacts serving every
+  * request (directory/directory.go:230-240), applied to monitoring
+  * state.
+  */
+object VecStats {
+
+  type Build = IndexBuild
+  val Build = IndexBuild
+
+  def fingerprint(corpus: DataFrame, idCol: String,
+      vecCol: String): (Long, Long) =
+    IndexDirs.contentFingerprint(corpus, Seq(idCol, vecCol))
+
+  private case class Manifest(fp: Long, n: Long, id: String,
+      vec: String, deltas: Seq[String] = Nil, lastBatch: Long = -1L,
+      baseVer: Int = 0) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+    def baseOf(sub: String): String =
+      if (baseVer == 0) sub else s"$sub.v$baseVer"
+  }
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifest(path).map { r =>
+      Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("vec"),
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
+    }
+
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n)
+      .put("id", mf.id).put("vec", mf.vec)
+      .put("lb", mf.lastBatch).put("bv", mf.baseVer)
+      .put("deltas", mf.deltas)
+      .commit(path)
+
+  /** The per-dim signed sums of `df` — one exploded pass, map-side
+    * combined into ≤ dims rows.
+    */
+  private def dimSums(df: DataFrame, vecCol: String,
+      sign: Int): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy("dim")
+      .agg((count(lit(1)) * sign).as("__c"),
+        (sum(col("__v")) * sign).as("__s"),
+        (sum(col("__v") * col("__v")) * sign).as("__s2"))
+
+  private def writeTables(docs: DataFrame, vecCol: String,
+      idCol: String, sign: Int, root: String): Unit = {
+    dimSums(docs, vecCol, sign).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/stats")
+    docs.select(col(idCol),
+        xxhash64(col(idCol), col(vecCol)).as("__ch"),
+        lit(sign).as("__lw"))
+      .write.mode("overwrite").parquet(s"$root/ids")
+  }
+
+  /** Live aggregated per-dim sums: base ∪ committed deltas, summed
+    * per dim, zero-count dims dropped.
+    */
+  private def liveStats(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame = {
+    val roots = s"$path/${mf.baseOf("stats")}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/stats")
+    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy("dim")
+      .agg(sum(col("__c")).as("__c"), sum(col("__s")).as("__s"),
+        sum(col("__s2")).as("__s2"))
+      .filter(col("__c") > 0)
+  }
+
+  private def liveIds(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame = {
+    val roots = s"$path/${mf.baseOf("ids")}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/ids")
+    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy(mf.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+      .filter(col("__lw") > 0).select(col(mf.id), col("__ch"))
+  }
+
+  def buildIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String): Build = {
+    val (fp, n) = fingerprint(corpus, idCol, vecCol)
+    val want = Manifest(fp, n, idCol, vecCol)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        writeTables(corpus, vecCol, idCol, 1, path)
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  def append(delta: DataFrame, path: String,
+      checkDisjoint: Boolean = true): Build =
+    appendImpl(delta, path, checkDisjoint, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkDisjoint) {
+      val dupes = liveIds(spark, path, have).select(col(have.id))
+        .join(broadcast(delta.select(col(have.id)).distinct()),
+          Seq(have.id), "left_semi").count()
+      require(dupes == 0,
+        s"append delta shares $dupes live id(s) with the stats at " +
+          s"$path — double-counted sums (pass checkDisjoint = false " +
+          "only when upstream proves disjointness)")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.vec, have.id, 1, s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Delete = append of negated sums; `checkPresent` verifies both
+    * liveness AND content against the ledger's per-id hash (the
+    * family rule — stale vectors would stage negations that never
+    * cancel).
+    */
+  def delete(delta: DataFrame, path: String,
+      checkPresent: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkPresent) {
+      val probe = delta.select(col(have.id),
+          xxhash64(col(have.id), col(have.vec)).as("__pch"))
+        .distinct().localCheckpoint(false)
+      require(probe.count() == dn,
+        s"delete delta has duplicate ${have.id} rows")
+      val r = liveIds(spark, path, have)
+        .join(broadcast(probe), Seq(have.id))
+        .agg(count(lit(1)).as("live"),
+          coalesce(sum(when(col("__ch") === col("__pch"), 1L)
+            .otherwise(0L)), lit(0L)).as("same"))
+        .collect()(0)
+      require(r.getLong(0) == dn,
+        s"delete delta names ${dn - r.getLong(0)} id(s) not live in " +
+          s"the stats at $path")
+      require(r.getLong(1) == dn,
+        s"delete delta vectors differ from the indexed vectors for " +
+          s"${dn - r.getLong(1)} id(s) at $path — negated sums " +
+          "computed from stale vectors would never cancel")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, have.vec, have.id, -1, s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      deltas = have.deltas :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Exactly-once streaming maintenance (`batchId <= lastBatch` ⇒
+    * skip) and the op-aware mixed form — the [[LmIndex]] recipes.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String,
+      checkDisjoint: Boolean = false): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    appendImpl(batch, path, checkDisjoint, Some(batchId))
+  }
+
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D"): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    val rows = batch.localCheckpoint(false)
+    val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
+    val (ifp, inN) = fingerprint(ins, have.id, have.vec)
+    val (dfp, delN) = fingerprint(del, have.id, have.vec)
+    if (inN == 0 && delN == 0)
+      return Build(path, have.fp, have.n, reused = true)
+    var deltas = have.deltas
+    if (delN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeTables(del, have.vec, have.id, -1, s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    if (inN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeTables(ins, have.vec, have.id, 1, s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
+      n = have.n + inN - delN, deltas = deltas, lastBatch = batchId)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
+
+  /** Fold the delta stream into one directory (negatives kept — they
+    * must go on cancelling base rows until a [[purge]]).
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.deltas.length < 2) return 0
+    val staged = IndexDirs.nextDeltaName(path, "c")
+    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/stats"))
+      .reduce(_.unionByName(_))
+      .groupBy("dim")
+      .agg(sum(col("__c")).as("__c"), sum(col("__s")).as("__s"),
+        sum(col("__s2")).as("__s2"))
+      .filter(col("__c") =!= 0 || col("__s") =!= 0 || col("__s2") =!= 0)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/stats")
+    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
+      .reduce(_.unionByName(_))
+      .groupBy(have.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+      .filter(col("__lw") =!= 0)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/ids")
+    writeManifest(path, have.copy(deltas = Seq(staged)))
+    IndexDirs.gcDeltas(path, have.deltas)
+    have.deltas.length
+  }
+
+  /** Survivors-only semantic rewrite into versioned base dirs. */
+  def purge(spark: SparkSession, path: String): Long = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    if (have.deltas.isEmpty) return have.n
+    val nextVer = have.baseVer + 1
+    liveStats(spark, path, have).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats.v$nextVer")
+    val live = liveIds(spark, path, have).localCheckpoint(false)
+    live.withColumn("__lw", lit(1))
+      .write.mode("overwrite").parquet(s"$path/ids.v$nextVer")
+    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
+    IndexDirs.gcDeltas(path, have.deltas)
+    Seq("stats", "ids").foreach { sub =>
+      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
+    }
+    live.count()
+  }
+
+  private def meanCol(s: Column, c: Column): Column =
+    s.cast("double") / c
+
+  /** The served summary: per-dim (dim, n, mean, std) over the LIVE
+    * corpus — exact integer sums divided once at the end, so the
+    * values replay bit-for-bit in any engine.
+    */
+  def summary(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    statsSummary(liveStats(spark, path, mf))
+  }
+
+  private def statsSummary(stats: DataFrame): DataFrame =
+    stats.select(col("dim"), col("__c").as("n"),
+      round(meanCol(col("__s"), col("__c")), 4).as("mean"),
+      round(sqrt(greatest(
+        col("__s2").cast("double") / col("__c") -
+          meanCol(col("__s"), col("__c")) *
+          meanCol(col("__s"), col("__c")),
+        lit(0.0))), 4).as("std"))
+
+  /** DRIFT of a new batch against the persisted corpus statistics:
+    * per-dim `z = |batchMean − corpusMean| / corpusStd` (NULL where
+    * the corpus dimension is constant). The batch pays one exploded
+    * aggregate (≤ dims rows, broadcast); the corpus side reads the
+    * tiny persisted stats table — no corpus scan anywhere. The
+    * monitoring question every ingest asks, answered at the cost of
+    * the batch.
+    */
+  def drift(spark: SparkSession, path: String, batch: DataFrame,
+      vecCol: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    val corpus = liveStats(spark, path, mf)
+      .select(col("dim"), col("__c"), col("__s"), col("__s2"))
+    val b = dimSums(batch, vecCol, 1)
+      .select(col("dim"), col("__c").as("__bc"), col("__s").as("__bs"))
+    val cm = meanCol(col("__s"), col("__c"))
+    val std = sqrt(greatest(
+      col("__s2").cast("double") / col("__c") - cm * cm, lit(0.0)))
+    corpus.join(broadcast(b), Seq("dim"))
+      .select(col("dim"),
+        round(cm, 4).as("corpus_mean"),
+        round(meanCol(col("__bs"), col("__bc")), 4).as("batch_mean"),
+        round(abs(meanCol(col("__bs"), col("__bc")) - cm) /
+          when(std > 0, std), 4).as("z"))
+  }
+}
