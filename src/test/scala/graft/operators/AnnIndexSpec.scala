@@ -332,6 +332,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(res(path2) == res(fullPath))
   }
 
+  test("applyBatch: a replayed mixed insert/delete micro-batch applies " +
+      "once in ONE commit; the index equals the sequential fold; a " +
+      "same-batch insert+delete of one id refuses") {
+    val path = Files.createTempDirectory("annidx-cdc").toUri.toString
+      .stripSuffix("/") + "/idx"
+    AnnIndex.buildIfAbsent(corpus().filter(col("vec_id") < 150),
+      "q", "vec_id", cents, path)
+    val b0 = corpus().filter(col("vec_id") >= 150)
+      .withColumn("op", lit("I"))
+      .unionByName(corpus().filter(col("vec_id") < 10)
+        .withColumn("op", lit("D")))
+    val r0 = AnnIndex.applyBatch(b0, 0L, path)
+    assert(!r0.reused && r0.count == 190)
+    val replay = AnnIndex.applyBatch(b0, 0L, path)
+    assert(replay.reused && replay.fingerprint == r0.fingerprint &&
+      replay.count == r0.count)
+    // sequential-fold oracle: survivors-only rebuild reuses
+    val survivors = corpus().filter(col("vec_id") >= 10)
+    val want = AnnIndex.buildIfAbsent(survivors, "q", "vec_id", cents,
+      Files.createTempDirectory("annidx-cdc-want").toString + "/idx")
+    assert(r0.fingerprint == want.fingerprint)
+    assert(AnnIndex.buildIfAbsent(survivors, "q", "vec_id", cents, path)
+      .reused)
+    // searches never surface the deleted ids
+    val probes = corpus().filter(col("vec_id").isin(20L, 170L))
+      .select(col("vec_id").as("probe_id"), col("q"))
+    val got = AnnIndex.searchInt(spark, path, probes, "probe_id", "q",
+      4, 5).collect().map(_.getLong(1)).toSet
+    assert(got.forall(_ >= 10))
+    // version-blind tombstones: same-batch insert+delete refuses
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.applyBatch(corpus().filter(col("vec_id") === 5)
+        .withColumn("op", lit("I"))
+        .unionByName(corpus().filter(col("vec_id") === 5)
+          .withColumn("op", lit("D"))), 1L, path)
+    }.getMessage.contains("shared"))
+  }
+
   test("persisted SQ8 index: build/reuse, append composes the " +
       "fingerprint, search matches the in-plan Sq8.topK ranking") {
     val path = Files.createTempDirectory("sq8idx").toString + "/idx"

@@ -180,4 +180,20 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan") ||
       p.contains("InMemoryRelation"), p)
   }
+
+  test("combined dedup screen: corpus side stays broadcast-joined and " +
+      "partition-pruned — no shuffle join anywhere (q204)") {
+    val p = plan("q204_dedup_index_screen")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("PartitionFilters"), p)
+  }
+
+  test("vector drift costs the BATCH: probe filter pushed to the " +
+      "embeddings scan, corpus side is the persisted stats table, " +
+      "hash aggregation throughout (q206)") {
+    val p = plan("q206_vecstats_drift")
+    assert(p.contains("LessThan(vec_id,20)"), p) // probe pushdown
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p) // stats join broadcasts
+  }
 }
