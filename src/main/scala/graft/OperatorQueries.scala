@@ -20,6 +20,28 @@ object OperatorQueries {
     b
   }
 
+  /** q207/q209 share this persisted [[graft.operators.AggView]] over
+    * lineitem — keys (rf, ls), exact-cent SUM measures
+    * (fingerprint-reused on every later call).
+    */
+  private def lineFacts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+
+  private def aggViewIdx(s: SparkSession, d: String): String = {
+    import graft.operators.AggView
+    val idx = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-aggview-${Integer.toHexString(d.hashCode)}").toString
+    AggView.buildIfAbsent(lineFacts(s, d), Seq("rf", "ls"),
+      Seq(AggView.Measure("sum_qty_c", "qty_c"),
+        AggView.Measure("sum_price_c", "price_c")),
+      idx, kbParts = 8)
+    idx
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q7's semantics, but executed through the broadcast binary-search
     // RangeIndex instead of a BNLJ — same oracle as q07.
@@ -309,10 +331,94 @@ object OperatorQueries {
           col("doc_id"), (0 until 5).map(i => s"shard$i")).as("shard"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_ids"))
-        .orderBy("shard"))
+        .orderBy("shard")),
+
+    /** Persisted incrementally-maintained aggregate view
+      * ([[graft.operators.AggView]]): the fact rollup paid once into
+      * a kb-bucketed artifact, served without touching the facts —
+      * exact-cent SUM measures + count per (returnflag, linestatus)
+      * group, oracle = the direct GROUP BY.
+      */
+    "q207_aggview" -> ((s, d) =>
+      graft.operators.AggView.read(s, aggViewIdx(s, d))
+        .orderBy("rf", "ls")),
+
+    /** The full CDC maintenance lifecycle on a fresh view: build on
+      * 3/4 of orders, apply ONE mixed insert/delete micro-batch
+      * (inserts = the held-out quarter, deletes = the %7 rows of the
+      * built base), REPLAY the same batch id (must skip —
+      * exactly-once in-query), compact, read. The oracle constructs
+      * the expected post-state directly, so a double-applied batch, a
+      * lost delete, or a compaction error all land in the hash.
+      */
+    "q208_aggview_cdc" -> ((s, d) => {
+      import graft.operators.AggView
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q208")
+        .toFile.getAbsolutePath + "/view"
+      AggView.buildIfAbsent(t.filter(col("k") % 4 =!= 0), Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents"),
+          AggView.Measure("sum_keys", "k")),
+        dir, kbParts = 4)
+      val b0 = t.filter(col("k") % 4 === 0).withColumn("op", lit("I"))
+        .unionByName(t.filter(col("k") % 7 === 0 && col("k") % 4 =!= 0)
+          .withColumn("op", lit("D")))
+      AggView.applyBatch(b0, 0L, dir)
+      AggView.applyBatch(b0, 0L, dir) // replay: must skip
+      AggView.compactDeltas(s, dir)
+      AggView.read(s, dir).orderBy("st")
+    }),
+
+    /** The view's PROBE serve: groups matching a filter read only
+      * their kb partitions of the q207 artifact (static
+      * PartitionFilters, probe side broadcast) — the dashboard-filter
+      * shape at 100 TB. Same oracle, WHERE'd.
+      */
+    "q209_aggview_lookup" -> ((s, d) => {
+      import graft.operators.AggView
+      val probe = lineFacts(s, d).filter(col("rf") === "R")
+        .select("rf", "ls")
+      AggView.lookup(s, aggViewIdx(s, d), probe).orderBy("rf", "ls")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the served view must equal the direct grouped sums over the
+    // facts — exact integer cents, so the hash compares values
+    "q207_aggview" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // expected post-state of build(k%4<>0) + one mixed batch
+    // (insert k%4=0, delete k%7=0∧k%4<>0) applied exactly once:
+    // survivors = NOT(k%7=0 ∧ k%4<>0)
+    "q208_aggview_cdc" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT * FROM t WHERE NOT (k % 7 = 0 AND k % 4 <> 0))
+        |SELECT st, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM f GROUP BY st ORDER BY st""".stripMargin,
+    // q207's rollup WHERE'd to the probed group
+    "q209_aggview_lookup" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q184_rendezvous_shards" ->
       """WITH r AS (SELECT doc_id, list_max([
         |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard0'), 1, 15) AS BIGINT), 's': 'shard0'},

@@ -299,6 +299,26 @@ object RetrievalQueries {
         .orderBy("doc_id")
     }),
 
+    /** q98 through a PERSISTED tokenizer
+      * ([[graft.operators.BpeIndex]]): the merge table is trained
+      * once into the artifact (fingerprint + merge-budget reuse — a
+      * later call never re-trains) and the encode pass rides the
+      * stored merges as expression literals. Same math, same oracle.
+      */
+    "q210_bpe_persisted" -> ((s, d) => {
+      import graft.operators.BpeIndex
+      val docs = documents(s, d)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bpeidx-${Integer.toHexString(d.hashCode)}").toString
+      BpeIndex.buildIfAbsent(docs.filter(col("doc_id") < 100), "text",
+        "doc_id", nMerges = 3, idx)
+      BpeIndex.encodeStats(s, idx,
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     /** CCNet-style quality mixture ([[TextAnalysis.perplexityBuckets]]
       * over [[TextAnalysis.stupidBackoff]]): score the whole corpus
       * under the even-doc_id LM, split each language into head /
@@ -495,6 +515,43 @@ object RetrievalQueries {
        |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
   }
 
+  /** q98/q210 oracle: q95's three training rounds re-learned
+    * verbatim, then the same leftmost fold applied per word of the
+    * unseen docs; counts per doc.
+    */
+  private lazy val bpeEncodeOracle: String =
+    s"""WITH w AS (SELECT t AS word, count(*) AS cnt
+       |  FROM (SELECT unnest(list_filter(
+       |      string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS t FROM documents WHERE doc_id < 100)
+       |  GROUP BY t),
+       |s0 AS (SELECT cnt, list_transform(range(1, len(word) + 1),
+       |  i -> word[i]) AS syms FROM w),
+       |${bpeRound("s0", 1)},
+       |${bpeRound("s1", 2)},
+       |${bpeRound("s2", 3)},
+       |dw AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS wd
+       |  FROM documents WHERE doc_id >= 100 AND doc_id < 150),
+       |e0 AS (SELECT doc_id, wd, list_transform(range(1, len(wd) + 1),
+       |  i -> wd[i]) AS syms FROM dw),
+       |e1 AS (SELECT doc_id, wd, ${encFold("m1")} AS syms FROM e0, m1),
+       |e2 AS (SELECT doc_id, wd, ${encFold("m2")} AS syms FROM e1, m2),
+       |e3 AS (SELECT doc_id, wd, ${encFold("m3")} AS syms FROM e2, m3),
+       |agg AS (SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(wd)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+       |  FROM e3 GROUP BY doc_id)
+       |SELECT d0.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN coalesce(n_tokens, 0) > 0 THEN
+       |    round(CAST(n_chars AS DOUBLE) / n_tokens, 4) END AS ratio
+       |FROM (SELECT doc_id FROM documents
+       |  WHERE doc_id >= 100 AND doc_id < 150) d0
+       |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q177_mmr_rerank" -> {
       val cosP = SketchQueries.duckCosineInt("c.q", "p.pq")
@@ -624,38 +681,10 @@ object RetrievalQueries {
          |ORDER BY merge_idx""".stripMargin,
     // q95's three training rounds re-learned verbatim, then the same
     // fold applied per word of the unseen docs; counts per doc
-    "q98_bpe_encode" ->
-      s"""WITH w AS (SELECT t AS word, count(*) AS cnt
-         |  FROM (SELECT unnest(list_filter(
-         |      string_split_regex(lower(text), '\\s+'),
-         |      x -> len(x) > 0)) AS t FROM documents WHERE doc_id < 100)
-         |  GROUP BY t),
-         |s0 AS (SELECT cnt, list_transform(range(1, len(word) + 1),
-         |  i -> word[i]) AS syms FROM w),
-         |${bpeRound("s0", 1)},
-         |${bpeRound("s1", 2)},
-         |${bpeRound("s2", 3)},
-         |dw AS (SELECT doc_id, unnest(list_filter(
-         |    string_split_regex(lower(text), '\\s+'),
-         |    x -> len(x) > 0)) AS wd
-         |  FROM documents WHERE doc_id >= 100 AND doc_id < 150),
-         |e0 AS (SELECT doc_id, wd, list_transform(range(1, len(wd) + 1),
-         |  i -> wd[i]) AS syms FROM dw),
-         |e1 AS (SELECT doc_id, wd, ${encFold("m1")} AS syms FROM e0, m1),
-         |e2 AS (SELECT doc_id, wd, ${encFold("m2")} AS syms FROM e1, m2),
-         |e3 AS (SELECT doc_id, wd, ${encFold("m3")} AS syms FROM e2, m3),
-         |agg AS (SELECT doc_id, count(*) AS n_words,
-         |  CAST(sum(len(wd)) AS BIGINT) AS n_chars,
-         |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens
-         |  FROM e3 GROUP BY doc_id)
-         |SELECT d0.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
-         |  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars,
-         |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-         |  CASE WHEN coalesce(n_tokens, 0) > 0 THEN
-         |    round(CAST(n_chars AS DOUBLE) / n_tokens, 4) END AS ratio
-         |FROM (SELECT doc_id FROM documents
-         |  WHERE doc_id >= 100 AND doc_id < 150) d0
-         |LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q98_bpe_encode" -> bpeEncodeOracle,
+    // the persisted tokenizer artifact serves the identical encode —
+    // q98's oracle verbatim
+    "q210_bpe_persisted" -> bpeEncodeOracle,
     // q93's scoring replayed over the whole corpus, then histogram-
     // derived tercile cutoffs per language (whole bins per bucket)
     "q99_ccnet_buckets" ->

@@ -1,0 +1,365 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incrementally-maintained aggregate view — the
+  * [[LmIndex]]/[[Bm25Index]] pure-sum algebra generalized to ANY
+  * grouped rollup a pipeline dashboards on: per-group `count` plus
+  * user-declared SUM measures (each a row-local SQL expression), kept
+  * fresh under CDC without ever re-scanning the fact corpus.
+  *
+  * At 100 TB the difference between "refresh the rollup" meaning a
+  * full corpus aggregate versus an O(delta) append is the difference
+  * between a nightly job and a continuously-serveable view — this is
+  * the incremental-view-maintenance shape (self-maintainable
+  * SUM/COUNT views over insert/delete streams, per the classic IVM
+  * literature), rendered as an on-disk artifact under the
+  * [[IndexDirs]] manifest discipline:
+  *
+  * {{{
+  *   <path>/agg/kb=<b>/   parquet: (keys..., __cnt BIGINT,
+  *                        <measure sums...>) — grouped partial sums,
+  *                        partitioned by the key-hash bucket `kb`, so
+  *                        a dashboard probe reads 1/kbParts of the
+  *                        view, never all of it
+  *   <path>/deltas/d<N>/agg  appended (or count-NEGATED) partial sums
+  *   <path>/manifest.json — keys + measure expressions + fingerprint,
+  *                        written LAST (atomic commit marker)
+  * }}}
+  *
+  * Reads aggregate base ∪ committed deltas per group and drop
+  * `__cnt ≤ 0` groups; append = the DELTA's grouped sums (O(delta));
+  * delete = the same rows count-negated, so a retracted fact
+  * subtracts right back out and [[compactDeltas]]/[[purge]] leave the
+  * artifact bit-for-bit the view over the surviving facts. Only
+  * SUM-algebra measures qualify (sums of row-local expressions;
+  * count and mean = sum/cnt ride along for free) — MIN/MAX are not
+  * self-maintainable under deletes and are deliberately not offered.
+  *
+  * Unlike the doc-keyed artifacts ([[DedupIndex]], [[LmIndex]]),
+  * fact rows have no identity, so deletes cannot be content-verified
+  * against a ledger without storing the corpus itself; the CDC feed
+  * is the source of truth (the [[MergeOnRead]] contract — deletes
+  * are the table's own rows). What IS enforced: [[delete]]'s bounded
+  * over-delete guard (no group's live count may go negative), and
+  * the composed fingerprint, which a survivors-only rebuild
+  * reuse-checks — silent corruption is detectable, and
+  * [[purge]] + rebuild is the repair.
+  *
+  * Reference grounding: immutable loaded artifacts serving every
+  * request (directory/directory.go:230-240), applied to rollup state.
+  */
+object AggView {
+
+  type Build = IndexBuild
+  val Build = IndexBuild
+
+  /** A SUM measure: `name` is the output column, `sqlExpr` a
+    * row-local SQL expression over the fact columns (carried in the
+    * manifest — part of the view identity).
+    */
+  final case class Measure(name: String, sqlExpr: String)
+
+  private case class Manifest(fp: Long, n: Long, keys: Seq[String],
+      mNames: Seq[String], mExprs: Seq[String], kbParts: Int,
+      deltas: Seq[String] = Nil, lastBatch: Long = -1L,
+      baseVer: Int = 0) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+    def baseOf(sub: String): String =
+      if (baseVer == 0) sub else s"$sub.v$baseVer"
+    def measures: Seq[Measure] =
+      mNames.zip(mExprs).map { case (n, e) => Measure(n, e) }
+  }
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifest(path).map { r =>
+      Manifest(r.long("fp"), r.long("n"), r.seq("keys"),
+        r.seq("mnames"), r.seq("mexprs"), r.int("kb"),
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
+    }
+
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n)
+      .put("keys", mf.keys)
+      .put("mnames", mf.mNames).put("mexprs", mf.mExprs)
+      .put("kb", mf.kbParts)
+      .put("lb", mf.lastBatch).put("bv", mf.baseVer)
+      .put("deltas", mf.deltas)
+      .commit(path)
+
+  private def kbCol(keys: Seq[String], kbParts: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(kbParts)).cast("int")
+
+  /** The view's dependency projection: keys + evaluated measure
+    * expressions. Both the fingerprint and the grouped sums run over
+    * this, so two fact tables that agree on every view-relevant value
+    * ARE the same view (column order, unused columns, row order all
+    * irrelevant).
+    */
+  private def projected(facts: DataFrame, mf: Manifest): DataFrame =
+    facts.select(mf.keys.map(col) ++
+      mf.measures.map(m => expr(m.sqlExpr).as(m.name)): _*)
+
+  private def fingerprint(facts: DataFrame, mf0: Manifest): (Long, Long) =
+    IndexDirs.contentFingerprint(projected(facts, mf0),
+      mf0.keys ++ mf0.mNames)
+
+  /** Grouped signed partial sums of `facts`, written kb-partitioned
+    * (one file per bucket) under `root`.
+    */
+  private def writeDelta(facts: DataFrame, sign: Int, mf: Manifest,
+      root: String): Unit =
+    projected(facts, mf)
+      .groupBy(mf.keys.map(col): _*)
+      .agg((count(lit(1)) * sign).as("__cnt"),
+        mf.mNames.map(n => (sum(col(n)) * sign).as(n)): _*)
+      .withColumn("kb", kbCol(mf.keys, mf.kbParts))
+      .repartition(col("kb"))
+      .write.mode("overwrite").partitionBy("kb")
+      .parquet(s"$root/agg")
+
+  /** Live aggregated groups: base ∪ committed deltas summed per
+    * group, `__cnt ≤ 0` groups dropped. `parts` prunes every read to
+    * the given kb partitions (the [[lookup]] path).
+    */
+  private def liveAgg(spark: SparkSession, path: String, mf: Manifest,
+      parts: Option[Seq[Int]] = None): DataFrame = {
+    val roots = s"$path/${mf.baseOf("agg")}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/agg")
+    roots.map { r =>
+        val df = spark.read.parquet(r)
+        parts.fold(df)(w => df.filter(col("kb").isin(w.map(Int.box): _*)))
+      }.reduce(_.unionByName(_))
+      .groupBy(mf.keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("__cnt"),
+        mf.mNames.map(n => sum(col(n)).as(n)): _*)
+      .filter(col("__cnt") > 0)
+  }
+
+  /** Build the view at `path` unless the manifest matches both the
+    * declaration (keys, measures, bucketing) AND the fact corpus
+    * fingerprint — on reuse nothing scans but the fingerprint
+    * projection.
+    */
+  def buildIfAbsent(facts: DataFrame, keys: Seq[String],
+      measures: Seq[Measure], path: String, kbParts: Int = 16): Build = {
+    val names = keys ++ measures.map(_.name) :+ "__cnt" :+ "kb"
+    require(names.distinct.size == names.size,
+      s"keys/measure names collide (or use the reserved __cnt/kb): " +
+        names.mkString(", "))
+    val want0 = Manifest(0L, 0L, keys, measures.map(_.name),
+      measures.map(_.sqlExpr), kbParts)
+    val (fp, n) = fingerprint(facts, want0)
+    val want = want0.copy(fp = fp, n = n)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        writeDelta(facts, 1, want, path)
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** The served view: one row per live group — keys, `cnt`, and the
+    * measure sums.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    liveAgg(spark, path, mf)
+      .select(mf.keys.map(col) ++ (col("__cnt").as("cnt") +:
+        mf.mNames.map(col)): _*)
+  }
+
+  /** Point/probe serve: groups matching `probeKeys` (a DataFrame of
+    * key columns), with every table read PRUNED to the probe's kb
+    * partitions (one bounded ≤ kbParts-int collect over the probe)
+    * and the probe side broadcast — a dashboard filter reads its
+    * buckets of the view, never the whole rollup.
+    */
+  def lookup(spark: SparkSession, path: String,
+      probeKeys: DataFrame): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    val probe = probeKeys.select(mf.keys.map(col): _*).distinct()
+      .localCheckpoint(false)
+    val parts = probe.select(kbCol(mf.keys, mf.kbParts).as("kb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    liveAgg(spark, path, mf, Some(parts))
+      .join(broadcast(probe), mf.keys)
+      .select(mf.keys.map(col) ++ (col("__cnt").as("cnt") +:
+        mf.mNames.map(col)): _*)
+  }
+
+  /** Fold NEW facts into the view: only the delta pays an aggregate;
+    * its partial sums stage in `deltas/d<N>` (manifest-gated) and the
+    * fingerprint composes in O(delta). Inserts need no disjointness
+    * guard — the same fact appearing twice is two facts, which is
+    * exactly what a sum view counts.
+    */
+  def append(delta: DataFrame, path: String): Build =
+    appendImpl(delta, path, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      batchMark: Option[Long]): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    val (dfp, dn) = fingerprint(delta, have)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeDelta(delta, 1, have, s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+      deltas = have.deltas :+ staged,
+      lastBatch = batchMark.getOrElse(have.lastBatch))
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Retract facts: the same rows count-negated. `checkBounded`
+    * (default on) verifies no group would go negative — the delta's
+    * per-group counts against the live view, with every read pruned
+    * to the delta's own kb buckets (O(delta groups), never the whole
+    * view). Row-level verification is the CDC feed's contract (see
+    * the class doc); this guard catches the gross feed bug — deleting
+    * facts a group never held.
+    */
+  def delete(delta: DataFrame, path: String,
+      checkBounded: Boolean = true): Build = {
+    val spark = delta.sparkSession
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    val (dfp, dn) = fingerprint(delta, have)
+    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (checkBounded) {
+      val dg = projected(delta, have)
+        .groupBy(have.keys.map(col): _*)
+        .agg(count(lit(1)).as("__dcnt"))
+        .localCheckpoint(false)
+      val parts = dg.select(kbCol(have.keys, have.kbParts).as("kb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      // groups the delta names that either don't exist live or hold
+      // fewer rows than the delta retracts — counted via an INNER
+      // broadcast join (an outer join can't broadcast its preserved
+      // side): violations = delta groups − sufficiently-full matches
+      val within = liveAgg(spark, path, have, Some(parts))
+        .join(broadcast(dg), have.keys)
+        .filter(col("__cnt") >= col("__dcnt"))
+        .count()
+      val over = dg.count() - within
+      require(over == 0,
+        s"delete delta retracts more rows than $over group(s) hold " +
+          s"in the view at $path — the feed is deleting facts the " +
+          "view never absorbed (pass checkBounded = false only when " +
+          "upstream proves containment)")
+    }
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeDelta(delta, -1, have, s"$path/deltas/$staged")
+    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+      deltas = have.deltas :+ staged)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  /** Exactly-once streaming maintenance and the op-aware mixed CDC
+    * form — the [[LmIndex]] recipes (`batchId <= lastBatch` ⇒ skip;
+    * one manifest commit makes the whole batch visible or none).
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, path: String): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    appendImpl(batch, path, Some(batchId))
+  }
+
+  def foreachBatchSink(path: String): (DataFrame, Long) => Unit =
+    (df, id) => { appendBatch(df, id, path); () }
+
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D"): Build = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    if (batchId <= have.lastBatch)
+      return Build(path, have.fp, have.n, reused = true)
+    val rows = batch.localCheckpoint(false)
+    val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
+    val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
+    val (ifp, inN) = fingerprint(ins, have)
+    val (dfp, delN) = fingerprint(del, have)
+    if (inN == 0 && delN == 0)
+      return Build(path, have.fp, have.n, reused = true)
+    var deltas = have.deltas
+    if (delN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeDelta(del, -1, have, s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    if (inN > 0) {
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      writeDelta(ins, 1, have, s"$path/deltas/$staged")
+      deltas :+= staged
+    }
+    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
+      n = have.n + inN - delN, deltas = deltas, lastBatch = batchId)
+    writeManifest(path, next)
+    Build(path, next.fp, next.n, reused = false)
+  }
+
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
+
+  /** Fold the delta stream into one directory — per-group sums across
+    * the delta dirs only, all-zero rows dropped, NEGATIVE partials
+    * kept (they must go on cancelling base rows until a [[purge]]).
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    if (have.deltas.length < 2) return 0
+    val staged = IndexDirs.nextDeltaName(path, "c")
+    val nonZero = ((col("__cnt") =!= 0) +:
+      have.mNames.map(n => col(n) =!= 0)).reduce(_ || _)
+    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/agg"))
+      .reduce(_.unionByName(_))
+      .groupBy(have.keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("__cnt"),
+        have.mNames.map(n => sum(col(n)).as(n)): _*)
+      .filter(nonZero)
+      .withColumn("kb", kbCol(have.keys, have.kbParts))
+      .repartition(col("kb"))
+      .write.mode("overwrite").partitionBy("kb")
+      .parquet(s"$path/deltas/$staged/agg")
+    writeManifest(path, have.copy(deltas = Seq(staged)))
+    IndexDirs.gcDeltas(path, have.deltas)
+    have.deltas.length
+  }
+
+  /** Survivors-only semantic rewrite into a versioned base dir —
+    * after this, retracted facts leave no trace (their groups hold
+    * the surviving sums, fully-retracted groups are gone). Returns
+    * the live group count.
+    */
+  def purge(spark: SparkSession, path: String): Long = {
+    val have = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    if (have.deltas.isEmpty)
+      return liveAgg(spark, path, have).count()
+    val nextVer = have.baseVer + 1
+    val live = liveAgg(spark, path, have)
+      .withColumn("kb", kbCol(have.keys, have.kbParts))
+      .repartition(col("kb"))
+    live.write.mode("overwrite").partitionBy("kb")
+      .parquet(s"$path/agg.v$nextVer")
+    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
+    IndexDirs.gcDeltas(path, have.deltas)
+    IndexDirs.rmTree(s"$path/${have.baseOf("agg")}")
+    spark.read.parquet(s"$path/agg.v$nextVer").count()
+  }
+}

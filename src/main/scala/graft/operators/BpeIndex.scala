@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted tokenizer artifact — [[TextAnalysis.bpeMerges]]'s
+  * trained merge table under the [[IndexDirs]] manifest discipline.
+  *
+  * A tokenizer is trained ONCE per corpus (each BPE round is a
+  * corpus-scale weighted pair count) and then applied everywhere:
+  * token budgeting, sequence packing, chunking, every quality signal
+  * that counts tokens. That asymmetry is the artifact shape — but
+  * unlike the count-algebra artifacts ([[LmIndex]], [[Bm25Index]],
+  * [[AggView]]), BPE merges are NOT self-maintainable: each merge is
+  * a global greedy argmax over the pair distribution, so a new
+  * document can reorder every later merge. There is deliberately no
+  * `append`/`delete` here — the honest contract is train-once,
+  * fingerprint-invalidated retrain (a changed corpus or merge budget
+  * rebuilds; an unchanged one never re-trains), exactly the
+  * train/serve split real tokenizers live with.
+  *
+  * {{{
+  *   <path>/merges/        parquet (rank INT, left, right, cnt) —
+  *                         ≤ nMerges rows by construction
+  *   <path>/manifest.json  fingerprint + nMerges — written LAST
+  * }}}
+  *
+  * Serving collects the merge table to the driver (bounded by the
+  * merge budget — the [[Similarity]] centroid-table class) and rides
+  * it into [[TextAnalysis.bpeEncodeStats]]'s codegen'd projection:
+  * the encode pass is a pure map over the scored corpus, no join, no
+  * shuffle.
+  *
+  * Reference grounding: immutable loaded artifacts serving every
+  * request (directory/directory.go:230-240), applied to tokenizer
+  * state.
+  */
+object BpeIndex {
+
+  type Build = IndexBuild
+  val Build = IndexBuild
+
+  def fingerprint(train: DataFrame, idCol: String,
+      textCol: String): (Long, Long) =
+    IndexDirs.contentFingerprint(train, Seq(idCol, textCol))
+
+  private case class Manifest(fp: Long, n: Long, id: String,
+      text: String, nMerges: Int)
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifest(path).map { r =>
+      Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("text"),
+        r.int("nm"))
+    }
+
+  /** Train the merge table at `path` unless the manifest matches both
+    * the corpus fingerprint AND the merge budget.
+    */
+  def buildIfAbsent(train: DataFrame, textCol: String, idCol: String,
+      nMerges: Int, path: String): Build = {
+    val spark = train.sparkSession
+    val (fp, n) = fingerprint(train, idCol, textCol)
+    val want = Manifest(fp, n, idCol, textCol, nMerges)
+    readManifest(path) match {
+      case Some(have) if have == want =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        import spark.implicits._
+        TextAnalysis.bpeMerges(train, textCol, nMerges)
+          .zipWithIndex
+          .map { case ((l, r, c), i) => (i, l, r, c) }
+          .toDF("rank", "left", "right", "cnt")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/merges")
+        IndexDirs.manifest()
+          .put("fp", fp).put("n", n)
+          .put("id", idCol).put("text", textCol).put("nm", nMerges)
+          .commit(path)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** The trained merges in rank order — a bounded ≤ nMerges-row
+    * collect (by construction of the artifact, never corpus-scale).
+    */
+  def merges(spark: SparkSession, path: String): Seq[(String, String, Long)] = {
+    readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no tokenizer at $path"))
+    spark.read.parquet(s"$path/merges").orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  /** Encode `docs` under the persisted tokenizer: per-doc word / char
+    * / token counts and the chars-per-token ratio, computed by
+    * [[TextAnalysis.bpeEncodeStats]] with the artifact's merges as
+    * expression literals — one codegen'd projection, the train pass
+    * never re-runs.
+    */
+  def encodeStats(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val ms = merges(spark, path).map { case (l, r, _) => (l, r) }
+    docs.select(col(idCol),
+        TextAnalysis.bpeEncodeStats(col(textCol), ms).as("__e"))
+      .select(col(idCol), col("__e.n_words").as("n_words"),
+        col("__e.n_chars").as("n_chars"),
+        col("__e.n_tokens").as("n_tokens"),
+        when(col("__e.n_tokens") > 0, round(
+          col("__e.n_chars").cast("double") / col("__e.n_tokens"), 4))
+          .as("ratio"))
+  }
+}

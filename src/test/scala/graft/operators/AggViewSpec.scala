@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.operators.AggView.Measure
+
+class AggViewSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(p).toUri.toString.stripSuffix("/") + "/view"
+
+  // deterministic facts: (grp, sub, v) — two key columns, one value
+  private def facts(from: Int = 0, until: Int = 200) = {
+    import spark.implicits._
+    (from until until).map { i =>
+      (s"g${i % 5}", i % 3, (i * 7 % 101).toLong)
+    }.toDF("grp", "sub", "v")
+  }
+
+  private val measures =
+    Seq(Measure("v_sum", "v"), Measure("v2_sum", "v * v"))
+
+  /** Hand oracle over the raw tuples: (grp, sub) -> (cnt, Σv, Σv²). */
+  private def handView(rows: Seq[Int]): Set[(String, Int, Long, Long, Long)] =
+    rows.map(i => (s"g${i % 5}", i % 3, (i * 7 % 101).toLong))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((g, s), ts) =>
+        (g, s, ts.size.toLong, ts.map(_._3).sum,
+          ts.map(t => t._3 * t._3).sum)
+      }.toSet
+
+  private def viewOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("read equals the direct grouped sums; rebuild reuses; a " +
+      "changed measure declaration rebuilds; colliding names refuse") {
+    val path = tmp("aggview")
+    assert(!AggView.buildIfAbsent(facts(), Seq("grp", "sub"), measures,
+      path, kbParts = 8).reused)
+    assert(AggView.buildIfAbsent(facts(), Seq("grp", "sub"), measures,
+      path, kbParts = 8).reused)
+    assert(viewOf(AggView.read(spark, path)) == handView(0 until 200))
+    // same facts, different measure expression → a DIFFERENT view
+    assert(!AggView.buildIfAbsent(facts(), Seq("grp", "sub"),
+      Seq(Measure("v_sum", "v"), Measure("v2_sum", "v * v + 1")),
+      path, kbParts = 8).reused)
+    assert(intercept[IllegalArgumentException] {
+      AggView.buildIfAbsent(facts(), Seq("grp", "sub"),
+        Seq(Measure("grp", "v")), tmp("aggview-bad"))
+    }.getMessage.contains("collide"))
+  }
+
+  test("append composes the fingerprint; lookup prunes to the probe " +
+      "buckets and equals the filtered read; delete retracts to the " +
+      "survivors-only view; over-delete refuses; compact + purge are " +
+      "read-invariant") {
+    val path = tmp("aggview-lc")
+    AggView.buildIfAbsent(facts(0, 120), Seq("grp", "sub"), measures,
+      path, kbParts = 8)
+    val app = AggView.append(facts(120, 200), path)
+    val full = AggView.buildIfAbsent(facts(), Seq("grp", "sub"),
+      measures, tmp("aggview-full"), kbParts = 8)
+    assert(app.fingerprint == full.fingerprint && app.count == full.count)
+    assert(viewOf(AggView.read(spark, path)) == handView(0 until 200))
+    // pruned probe serve ≡ the read filtered to the probed group
+    import spark.implicits._
+    val probe = Seq(("g1", 0), ("g1", 1)).toDF("grp", "sub")
+    assert(viewOf(AggView.lookup(spark, path, probe)) ==
+      handView(0 until 200).filter(t => t._1 == "g1" && t._2 <= 1))
+    // delete facts 0..60: view equals the one built on 60..200 only
+    val del = AggView.delete(facts(0, 60), path)
+    assert(viewOf(AggView.read(spark, path)) == handView(60 until 200))
+    val surv = AggView.buildIfAbsent(facts(60, 200), Seq("grp", "sub"),
+      measures, tmp("aggview-surv"), kbParts = 8)
+    assert(del.fingerprint == surv.fingerprint && del.count == surv.count)
+    // retracting more rows than the groups still hold refuses
+    assert(intercept[IllegalArgumentException] {
+      AggView.delete(facts(0, 200), path)
+    }.getMessage.contains("never absorbed"))
+    val before = viewOf(AggView.read(spark, path))
+    assert(AggView.compactDeltas(spark, path) >= 2)
+    assert(viewOf(AggView.read(spark, path)) == before)
+    assert(AggView.purge(spark, path) == before.size)
+    assert(viewOf(AggView.read(spark, path)) == before)
+    // the post-purge artifact IS the survivors-only view
+    assert(AggView.buildIfAbsent(facts(60, 200), Seq("grp", "sub"),
+      measures, path, kbParts = 8).reused)
+  }
+
+  test("applyBatch: a replayed mixed insert/delete micro-batch " +
+      "applies once; the view equals the sequential fold") {
+    val path = tmp("aggview-cdc")
+    AggView.buildIfAbsent(facts(0, 150), Seq("grp", "sub"), measures,
+      path, kbParts = 8)
+    val b0 = facts(150, 200).withColumn("op", lit("I"))
+      .unionByName(facts(0, 30).withColumn("op", lit("D")))
+    val r0 = AggView.applyBatch(b0, 0L, path)
+    val replay = AggView.applyBatch(b0, 0L, path)
+    assert(replay.reused && replay.fingerprint == r0.fingerprint &&
+      replay.count == r0.count)
+    assert(viewOf(AggView.read(spark, path)) == handView(30 until 200))
+    val surv = AggView.buildIfAbsent(facts(30, 200), Seq("grp", "sub"),
+      measures, tmp("aggview-cdc-surv"), kbParts = 8)
+    assert(r0.fingerprint == surv.fingerprint)
+  }
+}

@@ -196,4 +196,15 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"), p)
     assert(!p.contains("SortMergeJoin"), p) // stats join broadcasts
   }
+
+  test("aggregate-view probe serve prunes to the probe's kb " +
+      "partitions and broadcasts the probe — no shuffle join, no " +
+      "sort agg (q209)") {
+    val p = plan("q209_aggview_lookup")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("kb#"), p) // the prune is on the bucket column
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
