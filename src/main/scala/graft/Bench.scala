@@ -115,7 +115,8 @@ object Bench {
       "q199_bm25_persisted", "q200_bm25_appended", "q201_bm25_deleted",
       "q204_dedup_index_screen", "q205_vecstats_summary",
       "q206_vecstats_drift", "q207_aggview", "q208_aggview_cdc",
-      "q209_aggview_lookup", "q210_bpe_persisted")
+      "q209_aggview_lookup", "q210_bpe_persisted",
+      "q211_aggview_asof", "q212_aggview_diff")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

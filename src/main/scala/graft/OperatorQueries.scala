@@ -382,6 +382,66 @@ object OperatorQueries {
       val probe = lineFacts(s, d).filter(col("rf") === "R")
         .select("rf", "ls")
       AggView.lookup(s, aggViewIdx(s, d), probe).orderBy("rf", "ls")
+    }),
+
+    /** TIME-TRAVEL serve over the versioned manifests
+      * ([[graft.operators.AggView.readAsOf]]): build on 3/4 of
+      * orders, then append the held-out quarter AND retract the %7
+      * rows — three retained versions sharing their files — and serve
+      * the PRE-APPEND version. The oracle is the rollup over the
+      * build subset only, so a readAsOf that leaked any live state
+      * (the append or the delete) lands in the hash.
+      */
+    "q211_aggview_asof" -> ((s, d) => {
+      import graft.operators.AggView
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q211")
+        .toFile.getAbsolutePath + "/view"
+      AggView.buildIfAbsent(t.filter(col("k") % 4 =!= 0), Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents"),
+          AggView.Measure("sum_keys", "k")), dir, kbParts = 4)
+      val asBuilt = AggView.versions(dir).max
+      AggView.append(t.filter(col("k") % 4 === 0), dir)
+      AggView.delete(
+        t.filter(col("k") % 7 === 0 && col("k") % 4 =!= 0), dir)
+      AggView.readAsOf(s, dir, asBuilt).orderBy("st")
+    }),
+
+    /** O(delta) VERSION DIFF ([[graft.operators.AggView.diff]]):
+      * "what did this batch change" priced at the batch — the two
+      * versions share every file except the append's one delta dir,
+      * so the diff plan scans ONLY it (AggViewSpec pins the 1-scan
+      * plan). Oracle = the rollup over the appended quarter alone;
+      * the spurious-cancellation case (a delete between the
+      * versions) rides the same query via the second diff leg.
+      */
+    "q212_aggview_diff" -> ((s, d) => {
+      import graft.operators.AggView
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-q212")
+        .toFile.getAbsolutePath + "/view"
+      AggView.buildIfAbsent(t.filter(col("k") % 4 =!= 0), Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents"),
+          AggView.Measure("sum_keys", "k")), dir, kbParts = 4)
+      val v1 = AggView.versions(dir).max
+      AggView.append(t.filter(col("k") % 4 === 0), dir)
+      val v2 = AggView.versions(dir).max
+      AggView.delete(
+        t.filter(col("k") % 7 === 0 && col("k") % 4 =!= 0), dir)
+      val v3 = AggView.versions(dir).max
+      // both legs in one result: the append's diff and the delete's
+      // (negated retraction), tagged — any leaked or lost file lands
+      // in the hash
+      AggView.diff(s, dir, v1, v2).withColumn("leg", lit("append"))
+        .unionByName(
+          AggView.diff(s, dir, v2, v3).withColumn("leg", lit("delete")))
+        .orderBy("leg", "st")
     })
   )
 
@@ -409,6 +469,32 @@ object OperatorQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM f GROUP BY st ORDER BY st""".stripMargin,
+    // append leg = +rollup over the appended quarter; delete leg =
+    // -rollup over the retracted %7 rows of the build subset
+    "q212_aggview_diff" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT 'append' AS leg, st, count(*) AS cnt_delta,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents_delta,
+        |    CAST(sum(k) AS BIGINT) AS sum_keys_delta
+        |  FROM t WHERE k % 4 = 0 GROUP BY st),
+        |d AS (SELECT 'delete' AS leg, st, -count(*) AS cnt_delta,
+        |    CAST(sum(-cents) AS BIGINT) AS sum_cents_delta,
+        |    CAST(sum(-k) AS BIGINT) AS sum_keys_delta
+        |  FROM t WHERE k % 7 = 0 AND k % 4 <> 0 GROUP BY st)
+        |SELECT st, cnt_delta, sum_cents_delta, sum_keys_delta, leg
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
+        |ORDER BY leg, st""".stripMargin,
+    // the pre-append version = the rollup over the build subset only
+    "q211_aggview_asof" ->
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
+        |FROM orders WHERE CAST(o_orderkey AS BIGINT) % 4 <> 0
+        |GROUP BY st ORDER BY st""".stripMargin,
     // q207's rollup WHERE'd to the probed group
     "q209_aggview_lookup" ->
       """SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -64,22 +64,24 @@ object AggView {
   private case class Manifest(fp: Long, n: Long, keys: Seq[String],
       mNames: Seq[String], mExprs: Seq[String], kbParts: Int,
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0) {
+      baseVer: Int = 0, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
-        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
     def measures: Seq[Measure] =
       mNames.zip(mExprs).map { case (n, e) => Measure(n, e) }
   }
 
+  private def toManifest(r: IndexDirs.ManifestReader): Manifest =
+    Manifest(r.long("fp"), r.long("n"), r.seq("keys"),
+      r.seq("mnames"), r.seq("mexprs"), r.int("kb"),
+      r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
+      mv = r.version)
+
   private def readManifest(path: String): Option[Manifest] =
-    IndexDirs.readManifest(path).map { r =>
-      Manifest(r.long("fp"), r.long("n"), r.seq("keys"),
-        r.seq("mnames"), r.seq("mexprs"), r.int("kb"),
-        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
-    }
+    IndexDirs.readManifest(path).map(toManifest)
 
   private def writeManifest(path: String, mf: Manifest): Unit =
     IndexDirs.manifest()
@@ -89,7 +91,7 @@ object AggView {
       .put("kb", mf.kbParts)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
-      .commit(path)
+      .commit(path, mf.mv)
 
   private def kbCol(keys: Seq[String], kbParts: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(kbParts)).cast("int")
@@ -175,6 +177,110 @@ object AggView {
     liveAgg(spark, path, mf)
       .select(mf.keys.map(col) ++ (col("__cnt").as("cnt") +:
         mf.mNames.map(col)): _*)
+  }
+
+  /** Committed manifest versions of the view, ascending — the valid
+    * arguments to [[readAsOf]].
+    */
+  def versions(path: String): Seq[Long] =
+    IndexDirs.listManifestVersions(path)
+
+  /** TIME-TRAVEL serve: the view exactly as it stood at a retained
+    * manifest `version` — every commit ([[buildIfAbsent]],
+    * [[append]], [[delete]], [[applyBatch]]) is a new version, and
+    * the last [[IndexDirs.ManifestRetain]] stay readable, so a
+    * dashboard can pin "the rollup as of batch N" or diff two
+    * versions without any extra storage (the versions share their
+    * base and delta files).
+    *
+    * The window closes when a later [[compactDeltas]]/[[purge]]
+    * garbage-collects files the old version lists — then this throws
+    * with the files named, never serving a silently-wrong view (the
+    * [[MergeOnRead]] time-travel/vacuum contract).
+    */
+  def readAsOf(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val mf = IndexDirs.readManifestAt(path, version).map(toManifest)
+      .getOrElse(throw new IllegalStateException(
+        s"no manifest version $version at $path — retained: " +
+          versions(path).mkString("[", ", ", "]")))
+    val f = IndexDirs.fs(path)
+    val gone = (s"${mf.baseOf("agg")}" +: mf.deltas.map(d => s"deltas/$d"))
+      .filterNot(sub => f.exists(new org.apache.hadoop.fs.Path(path, sub)))
+    require(gone.isEmpty,
+      s"manifest version $version of $path lists " +
+        gone.mkString("[", ", ", "]") + ", garbage-collected by a " +
+        "later compaction/purge — this version's time-travel window " +
+        "has closed")
+    liveAgg(spark, path, mf)
+      .select(mf.keys.map(col) ++ (col("__cnt").as("cnt") +:
+        mf.mNames.map(col)): _*)
+  }
+
+  /** VERSION DIFF, O(files-between-versions): per-group net change
+    * between two retained manifest versions — `cnt` and every
+    * measure as SIGNED deltas, groups with an all-zero net change
+    * dropped. "What did batch N do to the rollup" for a monitoring
+    * pipeline, priced at the BATCH, not the view: because versions
+    * share their base/delta files and the measures are sum-algebra,
+    * the common files cancel exactly, so the plan unions only the
+    * SYMMETRIC DIFFERENCE of the two versions' file sets — for
+    * adjacent versions, precisely the one delta directory that
+    * commit staged (a later version's files enter negated when
+    * diffing backwards, so `diff(b, a)` is `-diff(a, b)` for free).
+    *
+    * Both versions must carry the same view declaration (a rebuild
+    * between them is a different view — refused), and the window
+    * closes like [[readAsOf]]'s when a compaction/purge has GC'd a
+    * differing file.
+    */
+  def diff(spark: SparkSession, path: String, vFrom: Long,
+      vTo: Long): DataFrame = {
+    def at(v: Long): Manifest =
+      IndexDirs.readManifestAt(path, v).map(toManifest)
+        .getOrElse(throw new IllegalStateException(
+          s"no manifest version $v at $path — retained: " +
+            versions(path).mkString("[", ", ", "]")))
+    val (a, b) = (at(vFrom), at(vTo))
+    require(a.keys == b.keys && a.mNames == b.mNames &&
+      a.mExprs == b.mExprs && a.kbParts == b.kbParts,
+      s"versions $vFrom and $vTo of $path carry different view " +
+        "declarations (a rebuild happened between them) — their " +
+        "diff is not a delta of one view")
+    def roots(mf: Manifest): Set[String] =
+      (s"${mf.baseOf("agg")}" +: mf.deltas.map(d => s"deltas/$d/agg")).toSet
+    val pos = roots(b) -- roots(a) // files vTo adds
+    val neg = roots(a) -- roots(b) // files vTo no longer reads
+    val f = IndexDirs.fs(path)
+    val gone = (pos ++ neg).filterNot(sub =>
+      f.exists(new org.apache.hadoop.fs.Path(path, sub)))
+    require(gone.isEmpty,
+      s"diff $vFrom..$vTo of $path needs " +
+        gone.mkString("[", ", ", "]") + ", garbage-collected by a " +
+        "later compaction/purge — this diff's time-travel window " +
+        "has closed")
+    val mNames = b.mNames
+    def signed(subs: Set[String], sign: Int): Seq[DataFrame] =
+      subs.toSeq.sorted.map { sub =>
+        val df = spark.read.parquet(s"$path/$sub")
+        df.select(b.keys.map(col) ++
+          ((col("__cnt") * sign).as("__cnt") +:
+            mNames.map(n => (col(n) * sign).as(n))): _*)
+      }
+    val parts = signed(pos, 1) ++ signed(neg, -1)
+    if (parts.isEmpty) // identical file sets ⇒ empty diff, same shape
+      return liveAgg(spark, path, b).limit(0)
+        .select(b.keys.map(col) ++ (col("__cnt").as("cnt_delta") +:
+          mNames.map(n => col(n).as(s"${n}_delta"))): _*)
+    val nonZero = ((col("__cnt") =!= 0) +:
+      mNames.map(n => col(n) =!= 0)).reduce(_ || _)
+    parts.reduce(_.unionByName(_))
+      .groupBy(b.keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("__cnt"),
+        mNames.map(n => sum(col(n)).as(n)): _*)
+      .filter(nonZero)
+      .select(b.keys.map(col) ++ (col("__cnt").as("cnt_delta") +:
+        mNames.map(n => col(n).as(s"${n}_delta"))): _*)
   }
 
   /** Point/probe serve: groups matching `probeKeys` (a DataFrame of

@@ -104,7 +104,7 @@ object AnnIndex {
       deltas: Seq[String] = Nil,
       lastBatch: Long = -1L, carry: Seq[String] = Nil,
       tombs: Seq[String] = Nil, tombCount: Long = 0L,
-      baseDir: String = "") {
+      baseDir: String = "", mv: Long = 0L) {
     /** Equality for reuse decisions — everything except the delta /
       * tombstone lists, the base-dir version, and the streaming batch
       * watermark (an appended or deleted-from index still satisfies a
@@ -113,9 +113,9 @@ object AnnIndex {
       */
     def sameIndexAs(other: Manifest): Boolean =
       copy(deltas = Nil, lastBatch = -1L, tombs = Nil, tombCount = 0L,
-        baseDir = "") ==
+        baseDir = "", mv = 0L) ==
         other.copy(deltas = Nil, lastBatch = -1L, tombs = Nil,
-          tombCount = 0L, baseDir = "")
+          tombCount = 0L, baseDir = "", mv = 0L)
     /** The live base data directory: versioned after a [[purge]]. */
     def baseOr(default: String): String =
       if (baseDir.isEmpty) default else baseDir
@@ -137,7 +137,7 @@ object AnnIndex {
         r.longOr("ph", 0L), r.intOr("lv", 0),
         r.seq("deltas"), r.longOr("lb", -1L),
         r.seq("carry"), r.seq("tombs"), r.longOr("tn", 0L),
-        r.strOr("bd", ""))
+        r.strOr("bd", ""), mv = r.version)
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
@@ -148,7 +148,7 @@ object AnnIndex {
       .put("bd", mf.baseDir).put("tn", mf.tombCount)
       .put("deltas", mf.deltas).put("carry", mf.carry)
       .put("tombs", mf.tombs)
-      .commit(path)
+      .commit(path, mf.mv)
 
   /** Uncommit + clear — see [[IndexDirs.uncommit]]. */
   private def uncommit(path: String): Unit = IndexDirs.uncommit(path)

@@ -49,14 +49,16 @@ object Bm25Index {
   private case class Manifest(fp: Long, n: Long, id: String,
       text: String, tbParts: Int, dlParts: Int, sdl: Long = 0L,
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0) {
+      baseVer: Int = 0, mv: Long = 0L) {
     /** sdl is derived state (like the delta list): a rebuild check
       * cannot know it without tokenizing, so it never gates reuse.
       * dlParts IS layout — a different dl bucketing must rebuild.
       */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(sdl = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0) ==
-        other.copy(sdl = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0)
+      copy(sdl = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0,
+        mv = 0L) ==
+        other.copy(sdl = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0,
+          mv = 0L)
     /** Live base dir of a table: versioned after a [[purge]]. */
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
@@ -69,7 +71,8 @@ object Bm25Index {
         // a pre-ledger-bucketing manifest reads dlp=0, which can
         // never match a requested layout — it rebuilds once, safely
         r.intOr("dlp", 0), r.longOr("sdl", 0L),
-        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
+        mv = r.version)
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
@@ -80,7 +83,7 @@ object Bm25Index {
       .put("sdl", mf.sdl)
       .put("lb", mf.lastBatch)
       .put("bv", mf.baseVer).put("deltas", mf.deltas)
-      .commit(path)
+      .commit(path, mf.mv)
 
   private def dlbCol(id: org.apache.spark.sql.Column, mf: Manifest) =
     pmod(xxhash64(id), lit(mf.dlParts)).cast("int")

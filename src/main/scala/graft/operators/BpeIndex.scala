@@ -76,7 +76,8 @@ object BpeIndex {
         IndexDirs.manifest()
           .put("fp", fp).put("n", n)
           .put("id", idCol).put("text", textCol).put("nm", nMerges)
-          .commit(path)
+          // always a fresh build (uncommit above cleared versions)
+          .commit(path, 0L)
         Build(path, fp, n, reused = false)
     }
   }

@@ -123,12 +123,12 @@ object DedupIndex {
       dbParts: Int, id: String, text: String, lv: Int = LayoutVersion,
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
       tombs: Seq[String] = Nil, tombCount: Long = 0L,
-      baseVer: Int = 0) {
+      baseVer: Int = 0, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
       copy(deltas = Nil, lastBatch = -1L, tombs = Nil, tombCount = 0L,
-        baseVer = 0) ==
+        baseVer = 0, mv = 0L) ==
         other.copy(deltas = Nil, lastBatch = -1L, tombs = Nil,
-          tombCount = 0L, baseVer = 0)
+          tombCount = 0L, baseVer = 0, mv = 0L)
     /** Live base dir of a table: versioned after a [[purge]]. */
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
@@ -144,7 +144,7 @@ object DedupIndex {
         r.intOr("db", 0),
         r.str("id"), r.str("text"), r.intOr("lv", 0), r.seq("deltas"),
         r.longOr("lb", -1L), r.seq("tombs"), r.longOr("tn", 0L),
-        r.intOr("bv", 0))
+        r.intOr("bv", 0), mv = r.version)
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
@@ -159,7 +159,7 @@ object DedupIndex {
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("tn", mf.tombCount)
       .put("deltas", mf.deltas).put("tombs", mf.tombs)
-      .commit(path)
+      .commit(path, mf.mv)
 
   /** `(id, sig)` for `docs` under `scheme` — the permutation MinHash
     * of [[Dedup.corpusMinhashSignatures]] applied per document.

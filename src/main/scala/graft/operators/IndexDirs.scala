@@ -18,28 +18,46 @@ final case class IndexBuild(path: String, fingerprint: Long,
     count: Long, reused: Boolean)
 
 /** Shared on-disk discipline for persisted index artifacts
-  * ([[AnnIndex]], [[DedupIndex]], [[LmIndex]], [[Bm25Index]]): the
-  * "no manifest = no index" crash rule, ATOMIC manifest commits, and
-  * the never-reused staged-delta naming — all through the Hadoop
-  * [[FileSystem]] API, so the control plane runs wherever the parquet
-  * data does (`file:` in tests, `hdfs:`/compatible stores on a real
-  * cluster), not just on a local mount.
+  * ([[AnnIndex]], [[DedupIndex]], [[LmIndex]], [[Bm25Index]],
+  * [[AggView]], [[VecStats]], [[BpeIndex]]): the "no manifest = no
+  * index" crash rule, ATOMIC VERSIONED manifest commits with
+  * optimistic concurrency, and the never-reused staged-delta naming —
+  * all through the Hadoop [[FileSystem]] API, so the control plane
+  * runs wherever the parquet data does (`file:` in tests,
+  * `hdfs:`/compatible stores on a real cluster), not just on a local
+  * mount.
   *
   * Every artifact follows the same contract:
-  *  - `manifest.json` is the only thing readers trust, and every
-  *    commit swaps it ATOMICALLY (temp file + rename-with-overwrite) —
-  *    a crash mid-commit leaves the OLD manifest bytes fully live
-  *    (old index intact), never a torn write;
-  *  - appends stage into `deltas/<name>` directories whose names are
-  *    never reused, so a crashed attempt leaves an orphan no live
-  *    manifest references — garbage, never corruption.
+  *  - the manifest is a sequence `manifest.m<N>.json`; readers trust
+  *    the highest parsable N (falling back to a pre-versioning
+  *    `manifest.json`, read as version 0). Each commit writes a
+  *    uniquely-named temp file and renames it to `m<N+1>` WITHOUT
+  *    overwrite — a crash mid-commit leaves the OLD manifest fully
+  *    live, never a torn write;
+  *  - a commit is anchored at the version its operation READ: if
+  *    another writer committed in between, the no-overwrite rename
+  *    fails and the operation throws
+  *    [[java.util.ConcurrentModificationException]] instead of
+  *    silently last-write-winning away the other writer's deltas —
+  *    the same multi-writer lost-update guarantee [[MergeOnRead]]
+  *    makes for its batch ids, made once here for every artifact;
+  *  - appends stage into `deltas/<name>` directories CLAIMED by
+  *    exclusive mkdir, so concurrent appenders stage disjointly and
+  *    a crashed attempt leaves an orphan no live manifest references
+  *    — garbage, never corruption;
+  *  - superseded manifest versions are retained (last
+  *    [[ManifestRetain]]) then GC'd, giving readers bounded time
+  *    travel ([[readManifestAt]]) valid until a compaction/purge
+  *    garbage-collects the delta directories an old version lists —
+  *    the [[MergeOnRead]] time-travel/vacuum contract.
   *
-  * The rename primitive is [[FileContext]]`.rename(..., OVERWRITE)` —
-  * atomic on POSIX local filesystems and HDFS (the same primitive
-  * Structured Streaming's checkpoint manager trusts). On
-  * rename-as-copy object stores (S3-class) the swap degrades to
-  * copy+delete; there, front the index root with an HDFS-class or
-  * consistent-rename filesystem, as for any rename-committed layout.
+  * The rename primitive is [[FileContext]]`.rename` — atomic on POSIX
+  * local filesystems and HDFS (the same primitive Structured
+  * Streaming's checkpoint manager trusts). On rename-as-copy object
+  * stores (S3-class) the swap degrades to copy+delete and the
+  * no-overwrite check is check-then-act; there, front the index root
+  * with an HDFS-class or consistent-rename filesystem, as for any
+  * rename-committed layout.
   *
   * Reference grounding: the reference serves every request from an
   * immutable loaded dataset and swaps atomically on reload
@@ -47,6 +65,13 @@ final case class IndexBuild(path: String, fingerprint: Long,
   * applied to on-disk index state.
   */
 private[operators] object IndexDirs {
+
+  /** Superseded manifest versions kept on disk for time travel before
+    * commit-time GC reclaims them.
+    */
+  val ManifestRetain = 8
+
+  private val VersionedRe = """^manifest\.m(\d+)\.json$""".r
 
   /** Hadoop configuration of the active session (so `fs.*` settings
     * and filesystem implementations ride along); a bare default only
@@ -60,43 +85,107 @@ private[operators] object IndexDirs {
   def fs(path: String): FileSystem =
     new Path(path).getFileSystem(hadoopConf)
 
+  /** The pre-versioning manifest file — still read (as version 0) so
+    * artifacts written before the versioned scheme stay live; never
+    * written anymore.
+    */
   def manifestPath(path: String): Path = new Path(path, "manifest.json")
 
-  def readManifestText(path: String): Option[String] = {
+  def versionedPath(path: String, v: Long): Path =
+    new Path(path, s"manifest.m$v.json")
+
+  /** Committed manifest versions on disk, ascending (version 0 = the
+    * legacy un-numbered file, when present).
+    */
+  def listManifestVersions(path: String): Seq[Long] = {
     val f = fs(path)
-    val p = manifestPath(path)
+    val p = new Path(path)
+    if (!f.exists(p)) Nil
+    else {
+      val named = f.listStatus(p).iterator.filter(_.isFile).flatMap { s =>
+        s.getPath.getName match {
+          case VersionedRe(n) => Some(n.toLong)
+          case _ => None
+        }
+      }.toSeq
+      val legacy = if (f.exists(manifestPath(path))) Seq(0L) else Nil
+      (named ++ legacy).sorted
+    }
+  }
+
+  private def readFileText(f: FileSystem, p: Path): Option[String] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
       finally in.close()
     }
+
+  def readManifestTextAt(path: String, v: Long): Option[String] = {
+    val f = fs(path)
+    readFileText(f,
+      if (v == 0L) manifestPath(path) else versionedPath(path, v))
   }
 
-  /** ATOMIC manifest commit: the JSON is written to a uniquely-named
-    * temp file in the index directory (a crash here leaves the temp
-    * as garbage and the live manifest untouched), then renamed OVER
-    * `manifest.json` in one [[FileContext]] OVERWRITE rename — readers
-    * see the old manifest bytes or the new ones, never a prefix of
-    * either.
+  /** Raw text of the HIGHEST committed manifest version. */
+  def readManifestText(path: String): Option[String] =
+    listManifestVersions(path).lastOption
+      .flatMap(readManifestTextAt(path, _))
+
+  /** ATOMIC VERSIONED manifest commit: the JSON is written to a
+    * uniquely-named temp file in the index directory (a crash here
+    * leaves the temp as garbage and the live manifest untouched),
+    * then renamed to `manifest.m<expect+1>.json` WITHOUT overwrite in
+    * one [[FileContext]] rename — readers see the old manifest or the
+    * new one, never a prefix of either, and a concurrent commit of
+    * the same successor version loses the rename and surfaces as
+    * [[java.util.ConcurrentModificationException]] rather than a
+    * silently-dropped update. `expect` is the version the writing
+    * operation READ its state at.
     */
-  def writeManifestText(path: String, json: String): Unit = {
+  def writeManifestText(path: String, json: String,
+      expect: Long = -1L): Unit = {
     val f = fs(path)
     f.mkdirs(new Path(path))
-    // best-effort GC of crashed commits' temp files (artifacts are
-    // single-writer by contract, so any existing temp is garbage)
+    // best-effort GC of crashed commits' temp files — only ones old
+    // enough that no live writer can still be holding them
+    val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
     f.listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith(".manifest-")
-        && s.getPath.getName.endsWith(".tmp"))
+        && s.getPath.getName.endsWith(".tmp")
+        && s.getModificationTime < staleBefore)
       .foreach(s => f.delete(s.getPath, false))
-    val dst = f.makeQualified(manifestPath(path))
+    val base =
+      if (expect >= 0L) expect
+      else listManifestVersions(path).lastOption.getOrElse(0L)
+    val next = base + 1L
+    val dst = f.makeQualified(versionedPath(path, next))
     val tmp = f.makeQualified(new Path(path,
       s".manifest-${java.util.UUID.randomUUID()}.tmp"))
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    FileContext.getFileContext(dst.toUri, hadoopConf)
-      .rename(tmp, dst, Options.Rename.OVERWRITE)
+    try FileContext.getFileContext(dst.toUri, hadoopConf)
+      .rename(tmp, dst, Options.Rename.NONE)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest version $next at $path was committed by another " +
+            "writer since this operation read the index state — " +
+            "re-read and retry", e)
+      case e: java.io.IOException
+          if f.exists(dst) && f.exists(tmp) =>
+        f.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest version $next at $path was committed by another " +
+            "writer since this operation read the index state — " +
+            "re-read and retry", e)
+    }
+    // retention GC: superseded versions beyond the time-travel window
+    listManifestVersions(path)
+      .filter(v => v > 0L && v <= next - ManifestRetain)
+      .foreach(v => f.delete(versionedPath(path, v), false))
   }
 
   def rmTree(path: String): Unit = {
@@ -106,32 +195,56 @@ private[operators] object IndexDirs {
     ()
   }
 
-  /** Uncommit + clear: delete the manifest FIRST (readers now see
-    * "no index"), then best-effort remove stale delta directories, so
-    * the following overwrite writes can never be observed half-done.
+  /** Uncommit + clear: delete the manifests FIRST, newest version
+    * down (readers fall back at most briefly, then see "no index"),
+    * then best-effort remove stale delta directories, so the
+    * following overwrite writes can never be observed half-done.
     */
   def uncommit(path: String): Unit = {
     val f = fs(path)
-    f.delete(manifestPath(path), false)
+    listManifestVersions(path).reverse.foreach { v =>
+      f.delete(
+        if (v == 0L) manifestPath(path) else versionedPath(path, v),
+        false)
+    }
     f.delete(new Path(path, "deltas"), true)
     ()
   }
 
-  /** Next free delta directory name: `<prefix><k>` where k exceeds
-    * the numeric suffix of EVERY directory on disk under `deltas/`
-    * (manifest-listed or orphaned) — a name is never reused, so a
-    * staged write can never land inside a directory a live manifest
-    * still references.
+  /** CLAIM the next free delta directory name: `<prefix><k>` where k
+    * exceeds the numeric suffix of EVERY directory on disk under
+    * `deltas/` (manifest-listed or orphaned), reserved by an
+    * EXCLUSIVE create so two concurrent appenders can never stage
+    * into the same directory — a name is never reused, so a staged
+    * write can never land inside a directory a live manifest still
+    * references, and a crashed claim leaves an empty orphan no
+    * manifest lists (garbage, never corruption).
     */
   def nextDeltaName(path: String, prefix: String): String = {
     val f = fs(path)
     val d = new Path(path, "deltas")
-    val names =
-      if (!f.exists(d)) Array.empty[String]
-      else f.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
-    val maxSuffix = names.flatMap(n => "\\d+$".r.findFirstIn(n))
-      .map(_.toInt).foldLeft(-1)(math.max)
-    s"$prefix${maxSuffix + 1}"
+    f.mkdirs(d)
+    // suffix scan counts directories AND retained claim markers —
+    // markers outlive a GC'd delta dir, so a suffix a time-travel
+    // manifest version may still list is never handed out again
+    val names = f.listStatus(d).map(_.getPath.getName)
+      .map(n => n.stripPrefix(".claim-"))
+    var k = names.flatMap(n => "\\d+$".r.findFirstIn(n))
+      .map(_.toInt).foldLeft(-1)(math.max) + 1
+    while (true) {
+      val name = s"$prefix$k"
+      // exclusive claim marker: FileSystem.create(overwrite = false)
+      // throws if another claimant won the same suffix — bump and retry
+      try {
+        f.create(new Path(d, s".claim-$name"), false).close()
+        f.mkdirs(new Path(d, name))
+        return name
+      } catch {
+        case _: java.io.IOException
+            if f.exists(new Path(d, s".claim-$name")) => k += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Post-commit GC of folded delta directories (best-effort: they
@@ -160,7 +273,7 @@ private[operators] object IndexDirs {
     * written before a field existed reads as the value that forces
     * one safe rebuild or a no-op, per field).
     */
-  final class ManifestReader(node: JsonNode) {
+  final class ManifestReader(node: JsonNode, val version: Long = 0L) {
     def long(name: String): Long = node.get(name).asLong()
     def longOr(name: String, default: Long): Long =
       Option(node.get(name)).map(_.asLong()).getOrElse(default)
@@ -176,9 +289,27 @@ private[operators] object IndexDirs {
       }
   }
 
-  def readManifest(path: String): Option[ManifestReader] =
-    readManifestText(path).map(t =>
-      new ManifestReader(new ObjectMapper().readTree(t)))
+  /** The live manifest: the highest committed version that PARSES.
+    * The commit protocol can never leave a torn versioned file, but a
+    * reader is still self-healing against out-of-protocol damage —
+    * an unparsable high version falls back to the next lower one, so
+    * the index recovers instead of bricking.
+    */
+  def readManifest(path: String): Option[ManifestReader] = {
+    val versions = listManifestVersions(path).reverse
+    versions.iterator.flatMap { v =>
+      try readManifestAt(path, v)
+      catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+    }.nextOption()
+  }
+
+  /** Time-travel read of one committed version — valid while the
+    * version is retained AND no compaction/purge has GC'd the delta
+    * directories it lists.
+    */
+  def readManifestAt(path: String, v: Long): Option[ManifestReader] =
+    readManifestTextAt(path, v).map(t =>
+      new ManifestReader(new ObjectMapper().readTree(t), v))
 
   /** Builder for the manifest JSON; [[ManifestWriter.commit]] is the
     * atomic swap.
@@ -198,8 +329,14 @@ private[operators] object IndexDirs {
     def put(name: String, vs: Seq[String]): ManifestWriter = {
       val arr = node.putArray(name); vs.foreach(arr.add); this
     }
-    def commit(path: String): Unit =
-      writeManifestText(path, mapper.writeValueAsString(node))
+    /** Atomic commit of version `expect + 1`, where `expect` is the
+      * manifest version the writing operation read its state at
+      * (0 for a fresh build) — throws
+      * [[java.util.ConcurrentModificationException]] if another
+      * writer got there first.
+      */
+    def commit(path: String, expect: Long): Unit =
+      writeManifestText(path, mapper.writeValueAsString(node), expect)
   }
 
   def manifest(): ManifestWriter = new ManifestWriter

@@ -58,14 +58,16 @@ object LmIndex {
   private case class Manifest(fp: Long, n: Long, id: String,
       text: String, lv: Int = LayoutVersion, gbParts: Int = 0,
       st: Long = 0L, deltas: Seq[String] = Nil,
-      lastBatch: Long = -1L, baseVer: Int = 0) {
+      lastBatch: Long = -1L, baseVer: Int = 0, mv: Long = 0L) {
     /** st (the live token total) is derived state like the delta
       * list — it never gates reuse; gbParts IS layout (a different
       * gram bucketing must rebuild).
       */
     def sameIndexAs(other: Manifest): Boolean =
-      copy(st = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0) ==
-        other.copy(st = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0)
+      copy(st = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0,
+        mv = 0L) ==
+        other.copy(st = 0L, deltas = Nil, lastBatch = -1L, baseVer = 0,
+          mv = 0L)
     /** Live base dir of a table: versioned after a [[purge]]. */
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
@@ -78,7 +80,8 @@ object LmIndex {
         // a pre-bucketing manifest reads gb=0, which can never match
         // a requested layout — it rebuilds once, safely
         r.intOr("gb", 0), r.longOr("st", 0L),
-        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
+        mv = r.version)
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
@@ -88,7 +91,7 @@ object LmIndex {
       .put("lv", mf.lv).put("gb", mf.gbParts).put("st", mf.st)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
-      .commit(path)
+      .commit(path, mf.mv)
 
   private val tables = Seq(
     ("uni", "__w", "__cu"), ("bi", "__b", "__cb"), ("tri", "__t3", "__ct"))

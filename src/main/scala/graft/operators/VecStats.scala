@@ -51,10 +51,10 @@ object VecStats {
 
   private case class Manifest(fp: Long, n: Long, id: String,
       vec: String, deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0) {
+      baseVer: Int = 0, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, baseVer = 0) ==
-        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0)
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
   }
@@ -62,7 +62,8 @@ object VecStats {
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map { r =>
       Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("vec"),
-        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0))
+        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
+        mv = r.version)
     }
 
   private def writeManifest(path: String, mf: Manifest): Unit =
@@ -71,7 +72,7 @@ object VecStats {
       .put("id", mf.id).put("vec", mf.vec)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
-      .commit(path)
+      .commit(path, mf.mv)
 
   /** The per-dim signed sums of `df` — one exploded pass, map-side
     * combined into ≤ dims rows.

@@ -93,6 +93,79 @@ class AggViewSpec extends AnyFunSuite {
       measures, path, kbParts = 8).reused)
   }
 
+  test("readAsOf serves each retained version exactly as committed; " +
+      "a compaction closes the window with the GC'd files named") {
+    val path = tmp("aggview-tt")
+    AggView.buildIfAbsent(facts(0, 120), Seq("grp", "sub"), measures,
+      path, kbParts = 8)
+    val vBuilt = AggView.versions(path).max
+    AggView.append(facts(120, 200), path)
+    val vAppended = AggView.versions(path).max
+    AggView.delete(facts(0, 30), path)
+    val vDeleted = AggView.versions(path).max
+    assert(Seq(vBuilt, vAppended, vDeleted) ==
+      Seq(vBuilt, vBuilt + 1, vBuilt + 2))
+    // each version serves the state it committed — later ops invisible
+    assert(viewOf(AggView.readAsOf(spark, path, vBuilt)) ==
+      handView(0 until 120))
+    assert(viewOf(AggView.readAsOf(spark, path, vAppended)) ==
+      handView(0 until 200))
+    assert(viewOf(AggView.readAsOf(spark, path, vDeleted)) ==
+      handView(30 until 200))
+    // an unknown version names the retained ones
+    assert(intercept[IllegalStateException] {
+      AggView.readAsOf(spark, path, vDeleted + 50)
+    }.getMessage.contains("retained"))
+    // compaction GC's the delta dirs the old versions list: the live
+    // read is unchanged, but time travel to them now refuses loudly
+    AggView.compactDeltas(spark, path)
+    assert(viewOf(AggView.read(spark, path)) == handView(30 until 200))
+    assert(intercept[IllegalArgumentException] {
+      AggView.readAsOf(spark, path, vAppended)
+    }.getMessage.contains("garbage-collected"))
+    // the build version lists no deltas — it stays servable
+    assert(viewOf(AggView.readAsOf(spark, path, vBuilt)) ==
+      handView(0 until 120))
+  }
+
+  test("diff between versions is the per-group net change, reads " +
+      "ONLY the differing files for adjacent versions, and is " +
+      "antisymmetric; identical/unknown/GC'd windows handled") {
+    val path = tmp("aggview-diff")
+    AggView.buildIfAbsent(facts(0, 120), Seq("grp", "sub"), measures,
+      path, kbParts = 8)
+    val v1 = AggView.versions(path).max
+    AggView.append(facts(120, 200), path)
+    val v2 = AggView.versions(path).max
+    AggView.delete(facts(0, 30), path)
+    val v3 = AggView.versions(path).max
+    // adjacent append diff = the appended rows' grouped sums…
+    assert(viewOf(AggView.diff(spark, path, v1, v2)) ==
+      handView(120 until 200))
+    // …and its plan reads exactly ONE parquet source (the delta dir)
+    val plan = AggView.diff(spark, path, v1, v2)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    // adjacent delete diff = the retracted rows, negated
+    assert(viewOf(AggView.diff(spark, path, v2, v3)) ==
+      handView(0 until 30).map(t => (t._1, t._2, -t._3, -t._4, -t._5)))
+    // antisymmetric; self-diff empty with the same shape
+    assert(viewOf(AggView.diff(spark, path, v3, v1)) ==
+      viewOf(AggView.diff(spark, path, v1, v3))
+        .map(t => (t._1, t._2, -t._3, -t._4, -t._5)))
+    val self = AggView.diff(spark, path, v2, v2)
+    assert(self.columns.toSeq == Seq("grp", "sub", "cnt_delta",
+      "v_sum_delta", "v2_sum_delta") && self.count() == 0)
+    assert(intercept[IllegalStateException] {
+      AggView.diff(spark, path, v1, v3 + 9)
+    }.getMessage.contains("retained"))
+    // compaction closes windows that need the GC'd delta dirs
+    AggView.compactDeltas(spark, path)
+    assert(intercept[IllegalArgumentException] {
+      AggView.diff(spark, path, v1, v2)
+    }.getMessage.contains("garbage-collected"))
+  }
+
   test("applyBatch: a replayed mixed insert/delete micro-batch " +
       "applies once; the view equals the sequential fold") {
     val path = tmp("aggview-cdc")

@@ -72,6 +72,65 @@ class IndexDirsSpec extends AnyFunSuite {
       kbParts = 4, sbParts = 4, dbParts = 4).reused)
   }
 
+  test("versioned commits: two writers anchored at the same read " +
+      "version cannot both win — the loser gets a " +
+      "ConcurrentModificationException, not a silent overwrite") {
+    val path = tmp("idxdirs-cme")
+    IndexDirs.writeManifestText(path, """{"v":"base"}""") // m1
+    // both writers read at version 1, then race to commit m2
+    IndexDirs.writeManifestText(path, """{"v":"winner"}""", expect = 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      IndexDirs.writeManifestText(path, """{"v":"loser"}""", expect = 1L)
+    }
+    assert(IndexDirs.readManifestText(path).contains("""{"v":"winner"}"""))
+  }
+
+  test("superseded manifest versions stay readable (time travel) and " +
+      "are GC'd past the retention window") {
+    val path = tmp("idxdirs-tt")
+    (1 to IndexDirs.ManifestRetain + 3).foreach { i =>
+      IndexDirs.writeManifestText(path, s"""{"v":$i}""")
+    }
+    val vs = IndexDirs.listManifestVersions(path)
+    val top = IndexDirs.ManifestRetain + 3L
+    // window: versions (top - ManifestRetain, top] survive
+    assert(vs == ((top - IndexDirs.ManifestRetain + 1) to top))
+    assert(IndexDirs.readManifestTextAt(path, top - 1)
+      .contains(s"""{"v":${top - 1}}"""))
+    assert(IndexDirs.readManifestAt(path, top - 2)
+      .exists(_.long("v") == top - 2))
+    assert(IndexDirs.readManifestTextAt(path, 1L).isEmpty) // GC'd
+  }
+
+  test("a reader self-heals past out-of-protocol damage: an " +
+      "unparsable high version falls back to the next parsable one") {
+    val path = tmp("idxdirs-heal")
+    IndexDirs.writeManifestText(path, """{"v":1}""") // m1
+    // out-of-protocol damage: a garbage file squats on version 2
+    val f = IndexDirs.fs(path)
+    val out = f.create(IndexDirs.versionedPath(path, 2L), true)
+    out.write("""{"v":2 TORN""".getBytes("UTF-8"))
+    out.close()
+    assert(IndexDirs.readManifest(path).exists(_.long("v") == 1L))
+  }
+
+  test("a pre-versioning manifest.json is read as version 0 and the " +
+      "first versioned commit supersedes it without touching it") {
+    val path = tmp("idxdirs-legacy")
+    val f = IndexDirs.fs(path)
+    f.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val out = f.create(IndexDirs.manifestPath(path), true)
+    out.write("""{"v":"legacy"}""".getBytes("UTF-8"))
+    out.close()
+    assert(IndexDirs.readManifestText(path).contains("""{"v":"legacy"}"""))
+    assert(IndexDirs.readManifest(path).exists(_.version == 0L))
+    IndexDirs.writeManifestText(path, """{"v":"m1"}""", expect = 0L)
+    assert(IndexDirs.readManifestText(path).contains("""{"v":"m1"}"""))
+    // the legacy file is history, not garbage: still readable at v0
+    assert(IndexDirs.readManifestTextAt(path, 0L)
+      .contains("""{"v":"legacy"}"""))
+  }
+
   test("delta naming, GC, and uncommit run through the Hadoop " +
       "FileSystem on a file:-scheme root") {
     val path = tmp("idxdirs-fs")
