@@ -308,23 +308,43 @@ object AggView {
     * fingerprint composes in O(delta). Inserts need no disjointness
     * guard — the same fact appearing twice is two facts, which is
     * exactly what a sum view counts.
+    *
+    * MULTI-WRITER: sum algebra commutes, so N uncoordinated
+    * appenders are fully supported — each stages its own claimed
+    * delta dir, and a lost manifest race just re-reads and re-commits
+    * ([[IndexDirs.commitWithRetry]]); no append is ever lost or
+    * double-counted, in any interleaving.
     */
   def append(delta: DataFrame, path: String): Build =
     appendImpl(delta, path, None)
 
   private def appendImpl(delta: DataFrame, path: String,
       batchMark: Option[Long]): Build = {
-    val have = readManifest(path).getOrElse(
+    // the declaration (keys/measures/bucketing) is immutable across
+    // appends — only a rebuild changes it, and a rebuild uncommits —
+    // so staging off this read is race-free; only the counters and
+    // delta list are re-derived per commit attempt
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
-    val (dfp, dn) = fingerprint(delta, have)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeDelta(delta, 1, have, s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    writeDelta(delta, 1, decl, s"$path/deltas/$staged")
+    IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+        deltas = have.deltas :+ staged,
+        lastBatch = batchMark.getOrElse(have.lastBatch)))
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // another writer landed this batch id first
+        IndexDirs.gcDeltas(path, Seq(staged))
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** Retract facts: the same rows count-negated. `checkBounded`
@@ -338,15 +358,21 @@ object AggView {
   def delete(delta: DataFrame, path: String,
       checkBounded: Boolean = true): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
-    val (dfp, dn) = fingerprint(delta, have)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkBounded) {
-      val dg = projected(delta, have)
-        .groupBy(have.keys.map(col): _*)
+    val (dfp, dn) = fingerprint(delta, decl)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val dg =
+      if (!checkBounded) null
+      else projected(delta, decl)
+        .groupBy(decl.keys.map(col): _*)
         .agg(count(lit(1)).as("__dcnt"))
         .localCheckpoint(false)
+    // the bounded guard runs inside the commit loop, against the
+    // manifest each attempt anchors at — a retry after a lost race
+    // re-verifies against the freshest state (a CONCURRENT delete of
+    // the same rows must flip this from pass to refuse, not slip by)
+    def boundedOk(have: Manifest): Unit = if (checkBounded) {
       val parts = dg.select(kbCol(have.keys, have.kbParts).as("kb"))
         .distinct().collect().map(_.getInt(0)).toSeq
       // groups the delta names that either don't exist live or hold
@@ -365,56 +391,69 @@ object AggView {
           "upstream proves containment)")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeDelta(delta, -1, have, s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      deltas = have.deltas :+ staged)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    writeDelta(delta, -1, decl, s"$path/deltas/$staged")
+    try {
+      val next = IndexDirs.commitWithRetry(readManifest(path),
+        writeManifest(path, _: Manifest), path) { have =>
+        boundedOk(have)
+        Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+          deltas = have.deltas :+ staged))
+      }.get
+      Build(path, next.fp, next.n, reused = false)
+    } catch {
+      case e: IllegalArgumentException =>
+        IndexDirs.gcDeltas(path, Seq(staged)) // refuse leaves no trace
+        throw e
+    }
   }
 
   /** Exactly-once streaming maintenance and the op-aware mixed CDC
     * form — the [[LmIndex]] recipes (`batchId <= lastBatch` ⇒ skip;
     * one manifest commit makes the whole batch visible or none).
     */
-  def appendBatch(batch: DataFrame, batchId: Long, path: String): Build = {
-    val have = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no view at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
-    appendImpl(batch, path, Some(batchId))
-  }
+  def appendBatch(batch: DataFrame, batchId: Long, path: String): Build =
+    appendImpl(batch, path, Some(batchId)) // skip-check inside the loop
 
   def foreachBatchSink(path: String): (DataFrame, Long) => Unit =
     (df, id) => { appendBatch(df, id, path); () }
 
   def applyBatch(batch: DataFrame, batchId: Long, path: String,
       opCol: String = "op", deleteOp: String = "D"): Build = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
     val rows = batch.localCheckpoint(false)
     val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
     val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
-    val (ifp, inN) = fingerprint(ins, have)
-    val (dfp, delN) = fingerprint(del, have)
+    val (ifp, inN) = fingerprint(ins, decl)
+    val (dfp, delN) = fingerprint(del, decl)
     if (inN == 0 && delN == 0)
-      return Build(path, have.fp, have.n, reused = true)
-    var deltas = have.deltas
+      return Build(path, decl.fp, decl.n, reused = true)
+    var stagedDirs = Seq.empty[String]
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeDelta(del, -1, have, s"$path/deltas/$staged")
-      deltas :+= staged
+      writeDelta(del, -1, decl, s"$path/deltas/$staged")
+      stagedDirs :+= staged
     }
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeDelta(ins, 1, have, s"$path/deltas/$staged")
-      deltas :+= staged
+      writeDelta(ins, 1, decl, s"$path/deltas/$staged")
+      stagedDirs :+= staged
     }
-    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, deltas = deltas, lastBatch = batchId)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      if (batchId <= have.lastBatch) None // a racing replay landed it
+      else Some(have.copy(fp = have.fp ^ ifp ^ dfp,
+        n = have.n + inN - delN, deltas = have.deltas ++ stagedDirs,
+        lastBatch = batchId))
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None =>
+        IndexDirs.gcDeltas(path, stagedDirs)
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   def cdcSink(path: String, opCol: String = "op",
@@ -426,25 +465,40 @@ object AggView {
     * kept (they must go on cancelling base rows until a [[purge]]).
     */
   def compactDeltas(spark: SparkSession, path: String): Int = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
-    if (have.deltas.length < 2) return 0
+    if (decl.deltas.length < 2) return 0
+    val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
     val nonZero = ((col("__cnt") =!= 0) +:
-      have.mNames.map(n => col(n) =!= 0)).reduce(_ || _)
-    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/agg"))
+      decl.mNames.map(n => col(n) =!= 0)).reduce(_ || _)
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/agg"))
       .reduce(_.unionByName(_))
-      .groupBy(have.keys.map(col): _*)
+      .groupBy(decl.keys.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"),
-        have.mNames.map(n => sum(col(n)).as(n)): _*)
+        decl.mNames.map(n => sum(col(n)).as(n)): _*)
       .filter(nonZero)
-      .withColumn("kb", kbCol(have.keys, have.kbParts))
+      .withColumn("kb", kbCol(decl.keys, decl.kbParts))
       .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb")
       .parquet(s"$path/deltas/$staged/agg")
-    writeManifest(path, have.copy(deltas = Seq(staged)))
-    IndexDirs.gcDeltas(path, have.deltas)
-    have.deltas.length
+    IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      // deltas that landed after our fold survive IN FRONT of no one:
+      // sum algebra is order-free, so fold-first + newer-after is
+      // exact. A racing purge/compaction that already folded any of
+      // ours makes this fold stale — drop it, theirs covered it.
+      if (!folded.forall(have.deltas.contains)) None
+      else Some(have.copy(
+        deltas = staged +: have.deltas.filterNot(folded.toSet)))
+    } match {
+      case Some(_) =>
+        IndexDirs.gcDeltas(path, folded)
+        folded.length
+      case None =>
+        IndexDirs.gcDeltas(path, Seq(staged))
+        0
+    }
   }
 
   /** Survivors-only semantic rewrite into a versioned base dir —
@@ -453,19 +507,36 @@ object AggView {
     * the live group count.
     */
   def purge(spark: SparkSession, path: String): Long = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
-    if (have.deltas.isEmpty)
-      return liveAgg(spark, path, have).count()
-    val nextVer = have.baseVer + 1
-    val live = liveAgg(spark, path, have)
-      .withColumn("kb", kbCol(have.keys, have.kbParts))
+    if (decl.deltas.isEmpty)
+      return liveAgg(spark, path, decl).count()
+    // CLAIMED target version: two racing purges write disjoint
+    // agg.v<k> dirs — neither can clobber parquet the other's
+    // manifest might commit
+    val nextVer = IndexDirs.claimBaseSuffix(path, "agg.v",
+      decl.baseVer + 1)
+    val live = liveAgg(spark, path, decl)
+      .withColumn("kb", kbCol(decl.keys, decl.kbParts))
       .repartition(col("kb"))
     live.write.mode("overwrite").partitionBy("kb")
       .parquet(s"$path/agg.v$nextVer")
-    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
-    IndexDirs.gcDeltas(path, have.deltas)
-    IndexDirs.rmTree(s"$path/${have.baseOf("agg")}")
+    try IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      require(have.baseVer == decl.baseVer,
+        s"a concurrent purge of $path committed base version " +
+          s"${have.baseVer} while this one rewrote from " +
+          s"${decl.baseVer} — rerun against the new base")
+      // appends that landed after our rewrite stay as deltas
+      Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
+        baseVer = nextVer))
+    } catch {
+      case e: IllegalArgumentException =>
+        IndexDirs.rmTree(s"$path/agg.v$nextVer") // orphaned rewrite
+        throw e
+    }
+    IndexDirs.gcDeltas(path, decl.deltas)
+    IndexDirs.rmTree(s"$path/${decl.baseOf("agg")}")
     spark.read.parquet(s"$path/agg.v$nextVer").count()
   }
 }

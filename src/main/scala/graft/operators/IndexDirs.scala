@@ -51,13 +51,19 @@ final case class IndexBuild(path: String, fingerprint: Long,
   *    garbage-collects the delta directories an old version lists —
   *    the [[MergeOnRead]] time-travel/vacuum contract.
   *
-  * The rename primitive is [[FileContext]]`.rename` — atomic on POSIX
-  * local filesystems and HDFS (the same primitive Structured
-  * Streaming's checkpoint manager trusts). On rename-as-copy object
-  * stores (S3-class) the swap degrades to copy+delete and the
-  * no-overwrite check is check-then-act; there, front the index root
-  * with an HDFS-class or consistent-rename filesystem, as for any
-  * rename-committed layout.
+  * The swap primitive is [[FileContext]]`.rename(NONE)` — atomic AND
+  * exclusive at the namenode on HDFS-class stores (the primitive
+  * Structured Streaming's checkpoint manager trusts), so concurrent
+  * writers in separate processes resolve correctly there. The local
+  * filesystem's rename/create-exclusive are check-then-act, so an
+  * additional per-artifact intra-process monitor serializes the
+  * swap within one JVM (Spark local mode, or N writer threads in
+  * one driver); multi-writer across separate processes on a bare
+  * local/NFS mount is outside the contract. On rename-as-copy
+  * object stores (S3-class) the swap degrades to copy+delete;
+  * there, front the index root with an HDFS-class or
+  * consistent-rename filesystem, as for any rename-committed
+  * layout.
   *
   * Reference grounding: the reference serves every request from an
   * immutable loaded dataset and swaps atomically on reload
@@ -72,6 +78,24 @@ private[operators] object IndexDirs {
   val ManifestRetain = 8
 
   private val VersionedRe = """^manifest\.m(\d+)\.json$""".r
+
+  /** Per-artifact intra-process monitors. HDFS-class stores make
+    * `rename(NONE)` / `create(overwrite=false)` atomic-exclusive at
+    * the namenode, so cross-PROCESS races resolve correctly there;
+    * the local filesystem's implementations are check-then-act (and
+    * local rename overwrites), so within one JVM — Spark local mode,
+    * or many writer threads in one driver — this lock restores
+    * exclusivity. Multi-writer across separate processes on a bare
+    * local/NFS mount is outside the contract (as for any
+    * rename-committed layout); use an HDFS-class store there.
+    */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(path: String): Object = {
+    val key = fs(path).makeQualified(new Path(path)).toString
+    pathLocks.computeIfAbsent(key, _ => new Object)
+  }
 
   /** Hadoop configuration of the active session (so `fs.*` settings
     * and filesystem implementations ride along); a bare default only
@@ -165,27 +189,74 @@ private[operators] object IndexDirs {
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    try FileContext.getFileContext(dst.toUri, hadoopConf)
-      .rename(tmp, dst, Options.Rename.NONE)
-    catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        f.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"manifest version $next at $path was committed by another " +
-            "writer since this operation read the index state — " +
-            "re-read and retry", e)
-      case e: java.io.IOException
-          if f.exists(dst) && f.exists(tmp) =>
-        f.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"manifest version $next at $path was committed by another " +
-            "writer since this operation read the index state — " +
-            "re-read and retry", e)
+    def lost(cause: Throwable): Nothing = {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest version $next at $path was committed by another " +
+          "writer since this operation read the index state — " +
+          "re-read and retry", cause)
+    }
+    // the swap itself is serialized per artifact within this process
+    // (see pathLocks): local-FS rename is check-then-act AND
+    // overwriting, so without the monitor two same-version racers
+    // could BOTH "succeed" — a silent lost update. On HDFS-class
+    // stores rename(NONE) is namenode-atomic and also covers racers
+    // in other processes.
+    lockFor(path).synchronized {
+      if (f.exists(dst)) lost(null)
+      try FileContext.getFileContext(dst.toUri, hadoopConf)
+        .rename(tmp, dst, Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          lost(e)
+        case e: java.io.IOException
+            if f.exists(dst) && f.exists(tmp) =>
+          lost(e)
+      }
     }
     // retention GC: superseded versions beyond the time-travel window
     listManifestVersions(path)
       .filter(v => v > 0L && v <= next - ManifestRetain)
       .foreach(v => f.delete(versionedPath(path, v), false))
+  }
+
+  /** Optimistic-concurrency COMMIT LOOP — multi-writer LIVENESS on
+    * top of the versioned no-overwrite safety: the expensive work
+    * (staging a delta directory, fingerprinting) happens once before
+    * the loop; only the cheap read-manifest → compose → commit tail
+    * retries when another writer wins the race. `compose` receives
+    * the freshest manifest and returns the successor to commit, or
+    * None to stop because the fresh state shows the work is already
+    * applied (e.g. a replayed batch id another writer landed) — the
+    * caller then GC's its orphaned staging. Families whose delta
+    * algebra commutes (sums, xor fingerprints, set-disjoint appends)
+    * can therefore run N uncoordinated writers against one artifact;
+    * compose MUST re-derive everything it takes from the manifest
+    * and re-run any state-dependent guard each attempt.
+    *
+    * Gives up after `maxAttempts` lost races (pathological
+    * contention should surface, not spin).
+    */
+  def commitWithRetry[M](read: => Option[M], write: M => Unit,
+      path: String, maxAttempts: Int = 20)(
+      compose: M => Option[M]): Option[M] = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      val have = read.getOrElse(throw new IllegalStateException(
+        s"no index at $path"))
+      compose(have) match {
+        case None => return None
+        case Some(next) =>
+          try { write(next); return Some(next) }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              attempts += 1
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"$maxAttempts consecutive lost manifest races at $path — " +
+        "writer contention is pathological; back off and retry")
   }
 
   def rmTree(path: String): Unit = {
@@ -220,38 +291,62 @@ private[operators] object IndexDirs {
     * references, and a crashed claim leaves an empty orphan no
     * manifest lists (garbage, never corruption).
     */
-  def nextDeltaName(path: String, prefix: String): String = {
-    val f = fs(path)
-    val d = new Path(path, "deltas")
-    f.mkdirs(d)
-    // suffix scan counts directories AND retained claim markers —
-    // markers outlive a GC'd delta dir, so a suffix a time-travel
-    // manifest version may still list is never handed out again
-    val names = f.listStatus(d).map(_.getPath.getName)
-      .map(n => n.stripPrefix(".claim-"))
-    var k = names.flatMap(n => "\\d+$".r.findFirstIn(n))
-      .map(_.toInt).foldLeft(-1)(math.max) + 1
-    while (true) {
-      val name = s"$prefix$k"
-      // exclusive claim marker: FileSystem.create(overwrite = false)
-      // throws if another claimant won the same suffix — bump and retry
-      try {
-        f.create(new Path(d, s".claim-$name"), false).close()
-        f.mkdirs(new Path(d, name))
-        return name
-      } catch {
-        case _: java.io.IOException
-            if f.exists(new Path(d, s".claim-$name")) => k += 1
+  def nextDeltaName(path: String, prefix: String): String =
+    lockFor(path).synchronized { // see pathLocks: local create(false)
+      val f = fs(path)           // is check-then-act cross-thread
+      val d = new Path(path, "deltas")
+      f.mkdirs(d)
+      // suffix scan counts directories AND retained claim markers —
+      // markers outlive a GC'd delta dir, so a suffix a time-travel
+      // manifest version may still list is never handed out again
+      val names = f.listStatus(d).map(_.getPath.getName)
+        .map(n => n.stripPrefix(".claim-"))
+      var k = names.flatMap(n => "\\d+$".r.findFirstIn(n))
+        .map(_.toInt).foldLeft(-1)(math.max) + 1
+      while (true) {
+        val name = s"$prefix$k"
+        // exclusive claim marker: FileSystem.create(overwrite=false)
+        // throws if another claimant won the suffix — bump and retry
+        try {
+          f.create(new Path(d, s".claim-$name"), false).close()
+          f.mkdirs(new Path(d, name))
+          return name
+        } catch {
+          case _: java.io.IOException
+              if f.exists(new Path(d, s".claim-$name")) => k += 1
+        }
       }
+      throw new IllegalStateException("unreachable")
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Post-commit GC of folded delta directories (best-effort: they
     * are unreferenced once the compaction manifest is live).
     */
   def gcDeltas(path: String, names: Seq[String]): Unit =
     names.foreach(d => rmTree(s"$path/deltas/$d"))
+
+  /** Claim a never-reused numeric suffix ≥ `from` for `prefix`
+    * directly in the artifact root — the [[nextDeltaName]] recipe for
+    * versioned BASE directories (`agg.v<k>` etc.), so two racing
+    * purges write DISJOINT targets instead of silently overwriting
+    * each other's parquet before the manifest race even resolves.
+    */
+  def claimBaseSuffix(path: String, prefix: String, from: Int): Int =
+    lockFor(path).synchronized { // see pathLocks
+      val f = fs(path)
+      f.mkdirs(new Path(path))
+      var k = from
+      while (true) {
+        try {
+          f.create(new Path(path, s".claim-$prefix$k"), false).close()
+          return k
+        } catch {
+          case _: java.io.IOException
+              if f.exists(new Path(path, s".claim-$prefix$k")) => k += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
 
   /** Order-independent content fingerprint of the raw rows: xor-fold
     * of the per-row xxhash64 over `cols` plus the row count (xor
