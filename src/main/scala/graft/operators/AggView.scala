@@ -332,8 +332,8 @@ object AggView {
     if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
     val staged = IndexDirs.nextDeltaName(path, "d")
     writeDelta(delta, 1, decl, s"$path/deltas/$staged")
-    IndexDirs.commitWithRetry(readManifest(path),
-      writeManifest(path, _: Manifest), path) { have =>
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (batchMark.exists(_ <= have.lastBatch)) None
       else Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
         deltas = have.deltas :+ staged,
@@ -341,7 +341,6 @@ object AggView {
     } match {
       case Some(next) => Build(path, next.fp, next.n, reused = false)
       case None => // another writer landed this batch id first
-        IndexDirs.gcDeltas(path, Seq(staged))
         val now = readManifest(path).getOrElse(decl)
         Build(path, now.fp, now.n, reused = true)
     }
@@ -392,19 +391,13 @@ object AggView {
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
     writeDelta(delta, -1, decl, s"$path/deltas/$staged")
-    try {
-      val next = IndexDirs.commitWithRetry(readManifest(path),
-        writeManifest(path, _: Manifest), path) { have =>
-        boundedOk(have)
-        Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-          deltas = have.deltas :+ staged))
-      }.get
-      Build(path, next.fp, next.n, reused = false)
-    } catch {
-      case e: IllegalArgumentException =>
-        IndexDirs.gcDeltas(path, Seq(staged)) // refuse leaves no trace
-        throw e
-    }
+    val next = IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      boundedOk(have)
+      Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+        deltas = have.deltas :+ staged))
+    }.get
+    Build(path, next.fp, next.n, reused = false)
   }
 
   /** Exactly-once streaming maintenance and the op-aware mixed CDC
@@ -441,8 +434,8 @@ object AggView {
       writeDelta(ins, 1, decl, s"$path/deltas/$staged")
       stagedDirs :+= staged
     }
-    IndexDirs.commitWithRetry(readManifest(path),
-      writeManifest(path, _: Manifest), path) { have =>
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, stagedDirs) { have =>
       if (batchId <= have.lastBatch) None // a racing replay landed it
       else Some(have.copy(fp = have.fp ^ ifp ^ dfp,
         n = have.n + inN - delN, deltas = have.deltas ++ stagedDirs,
@@ -450,7 +443,6 @@ object AggView {
     } match {
       case Some(next) => Build(path, next.fp, next.n, reused = false)
       case None =>
-        IndexDirs.gcDeltas(path, stagedDirs)
         val now = readManifest(path).getOrElse(decl)
         Build(path, now.fp, now.n, reused = true)
     }
@@ -482,22 +474,18 @@ object AggView {
       .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb")
       .parquet(s"$path/deltas/$staged/agg")
-    IndexDirs.commitWithRetry(readManifest(path),
-      writeManifest(path, _: Manifest), path) { have =>
-      // deltas that landed after our fold survive IN FRONT of no one:
-      // sum algebra is order-free, so fold-first + newer-after is
-      // exact. A racing purge/compaction that already folded any of
-      // ours makes this fold stale — drop it, theirs covered it.
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      // deltas that landed after our fold survive (sum algebra is
+      // order-free, so fold-first + newer-after is exact); a racing
+      // purge/compaction that already folded any of ours makes this
+      // fold stale — drop it, theirs covered it
       if (!folded.forall(have.deltas.contains)) None
       else Some(have.copy(
         deltas = staged +: have.deltas.filterNot(folded.toSet)))
     } match {
-      case Some(_) =>
-        IndexDirs.gcDeltas(path, folded)
-        folded.length
-      case None =>
-        IndexDirs.gcDeltas(path, Seq(staged))
-        0
+      case Some(_) => IndexDirs.gcDeltas(path, folded); folded.length
+      case None => 0
     }
   }
 

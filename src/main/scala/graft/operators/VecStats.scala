@@ -140,26 +140,45 @@ object VecStats {
   private def appendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    // id/vec columns are immutable across appends (only a rebuild
+    // changes them, and a rebuild uncommits), so staging off this
+    // read is race-free; counters, delta list, and the disjointness
+    // guard re-derive per commit attempt (multi-writer liveness —
+    // the [[AggView]]/[[IndexDirs.commitWithRetry]] recipe)
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      val dupes = liveIds(spark, path, have).select(col(have.id))
-        .join(broadcast(delta.select(col(have.id)).distinct()),
-          Seq(have.id), "left_semi").count()
-      require(dupes == 0,
-        s"append delta shares $dupes live id(s) with the stats at " +
-          s"$path — double-counted sums (pass checkDisjoint = false " +
-          "only when upstream proves disjointness)")
-    }
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.vec)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.vec, have.id, 1, s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    writeTables(delta, decl.vec, decl.id, 1, s"$path/deltas/$staged")
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else {
+        if (checkDisjoint) { // re-checked per attempt: a concurrent
+          val dupes = liveIds(spark, path, have) // overlapping append
+            .select(col(have.id))                // must flip to refuse
+            .join(broadcast(probeIds), Seq(have.id), "left_semi")
+            .count()
+          require(dupes == 0,
+            s"append delta shares $dupes live id(s) with the stats " +
+              s"at $path — double-counted sums (pass checkDisjoint " +
+              "= false only when upstream proves disjointness)")
+        }
+        Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+          deltas = have.deltas :+ staged,
+          lastBatch = batchMark.getOrElse(have.lastBatch)))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // a racing replay landed this batch id first
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** Delete = append of negated sums; `checkPresent` verifies both
@@ -170,16 +189,19 @@ object VecStats {
   def delete(delta: DataFrame, path: String,
       checkPresent: Boolean = true): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkPresent) {
-      val probe = delta.select(col(have.id),
-          xxhash64(col(have.id), col(have.vec)).as("__pch"))
-        .distinct().localCheckpoint(false)
-      require(probe.count() == dn,
-        s"delete delta has duplicate ${have.id} rows")
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.vec)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probe = delta.select(col(decl.id),
+        xxhash64(col(decl.id), col(decl.vec)).as("__pch"))
+      .distinct().localCheckpoint(false)
+    if (checkPresent) require(probe.count() == dn,
+      s"delete delta has duplicate ${decl.id} rows")
+    // liveness + content verified per commit attempt against the
+    // manifest the attempt anchors at (a concurrent delete of the
+    // same ids must flip this from pass to refuse on retry)
+    def presentOk(have: Manifest): Unit = if (checkPresent) {
       val r = liveIds(spark, path, have)
         .join(broadcast(probe), Seq(have.id))
         .agg(count(lit(1)).as("live"),
@@ -195,10 +217,13 @@ object VecStats {
           "computed from stale vectors would never cancel")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.vec, have.id, -1, s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      deltas = have.deltas :+ staged)
-    writeManifest(path, next)
+    writeTables(delta, decl.vec, decl.id, -1, s"$path/deltas/$staged")
+    val next = IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      presentOk(have)
+      Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+        deltas = have.deltas :+ staged))
+    }.get
     Build(path, next.fp, next.n, reused = false)
   }
 
@@ -206,42 +231,45 @@ object VecStats {
     * skip) and the op-aware mixed form — the [[LmIndex]] recipes.
     */
   def appendBatch(batch: DataFrame, batchId: Long, path: String,
-      checkDisjoint: Boolean = false): Build = {
-    val have = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+      checkDisjoint: Boolean = false): Build =
     appendImpl(batch, path, checkDisjoint, Some(batchId))
-  }
 
   def applyBatch(batch: DataFrame, batchId: Long, path: String,
       opCol: String = "op", deleteOp: String = "D"): Build = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
     val rows = batch.localCheckpoint(false)
     val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
     val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
-    val (ifp, inN) = fingerprint(ins, have.id, have.vec)
-    val (dfp, delN) = fingerprint(del, have.id, have.vec)
+    val (ifp, inN) = fingerprint(ins, decl.id, decl.vec)
+    val (dfp, delN) = fingerprint(del, decl.id, decl.vec)
     if (inN == 0 && delN == 0)
-      return Build(path, have.fp, have.n, reused = true)
-    var deltas = have.deltas
+      return Build(path, decl.fp, decl.n, reused = true)
+    var stagedDirs = Seq.empty[String]
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(del, have.vec, have.id, -1, s"$path/deltas/$staged")
-      deltas :+= staged
+      writeTables(del, decl.vec, decl.id, -1, s"$path/deltas/$staged")
+      stagedDirs :+= staged
     }
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(ins, have.vec, have.id, 1, s"$path/deltas/$staged")
-      deltas :+= staged
+      writeTables(ins, decl.vec, decl.id, 1, s"$path/deltas/$staged")
+      stagedDirs :+= staged
     }
-    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, deltas = deltas, lastBatch = batchId)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, stagedDirs) { have =>
+      if (batchId <= have.lastBatch) None // a racing replay landed it
+      else Some(have.copy(fp = have.fp ^ ifp ^ dfp,
+        n = have.n + inN - delN, deltas = have.deltas ++ stagedDirs,
+        lastBatch = batchId))
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None =>
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   def cdcSink(path: String, opCol: String = "op",
@@ -252,11 +280,12 @@ object VecStats {
     * must go on cancelling base rows until a [[purge]]).
     */
   def compactDeltas(spark: SparkSession, path: String): Int = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.deltas.length < 2) return 0
+    if (decl.deltas.length < 2) return 0
+    val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/stats"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/stats"))
       .reduce(_.unionByName(_))
       .groupBy("dim")
       .agg(sum(col("__c")).as("__c"), sum(col("__s")).as("__s"),
@@ -264,31 +293,55 @@ object VecStats {
       .filter(col("__c") =!= 0 || col("__s") =!= 0 || col("__s2") =!= 0)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/deltas/$staged/stats")
-    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
       .reduce(_.unionByName(_))
-      .groupBy(have.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+      .groupBy(decl.id, "__ch").agg(sum(col("__lw")).as("__lw"))
       .filter(col("__lw") =!= 0)
       .write.mode("overwrite").parquet(s"$path/deltas/$staged/ids")
-    writeManifest(path, have.copy(deltas = Seq(staged)))
-    IndexDirs.gcDeltas(path, have.deltas)
-    have.deltas.length
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      // deltas that landed after our fold survive (sum algebra is
+      // order-free); a racing purge/compact that folded ours first
+      // makes this fold stale — drop it
+      if (!folded.forall(have.deltas.contains)) None
+      else Some(have.copy(
+        deltas = staged +: have.deltas.filterNot(folded.toSet)))
+    } match {
+      case Some(_) => IndexDirs.gcDeltas(path, folded); folded.length
+      case None => 0
+    }
   }
 
   /** Survivors-only semantic rewrite into versioned base dirs. */
   def purge(spark: SparkSession, path: String): Long = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.deltas.isEmpty) return have.n
-    val nextVer = have.baseVer + 1
-    liveStats(spark, path, have).coalesce(1)
+    if (decl.deltas.isEmpty) return decl.n
+    // claimed target version: racing purges write disjoint dirs
+    val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
+      decl.baseVer + 1)
+    liveStats(spark, path, decl).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/stats.v$nextVer")
-    val live = liveIds(spark, path, have).localCheckpoint(false)
+    val live = liveIds(spark, path, decl).localCheckpoint(false)
     live.withColumn("__lw", lit(1))
       .write.mode("overwrite").parquet(s"$path/ids.v$nextVer")
-    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
-    IndexDirs.gcDeltas(path, have.deltas)
+    try IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      require(have.baseVer == decl.baseVer,
+        s"a concurrent purge of $path committed base version " +
+          s"${have.baseVer} while this one rewrote from " +
+          s"${decl.baseVer} — rerun against the new base")
+      Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
+        baseVer = nextVer))
+    } catch {
+      case e: IllegalArgumentException =>
+        Seq("stats", "ids").foreach(sub =>
+          IndexDirs.rmTree(s"$path/$sub.v$nextVer"))
+        throw e
+    }
+    IndexDirs.gcDeltas(path, decl.deltas)
     Seq("stats", "ids").foreach { sub =>
-      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
+      IndexDirs.rmTree(s"$path/${decl.baseOf(sub)}")
     }
     live.count()
   }
