@@ -494,7 +494,14 @@ object AggView {
     * the surviving sums, fully-retracted groups are gone). Returns
     * the live group count.
     */
-  def purge(spark: SparkSession, path: String): Long = {
+  def purge(spark: SparkSession, path: String): Long =
+    purgeImpl(spark, path, () => ())
+
+  /** [[purge]] with a test seam invoked between the survivors rewrite
+    * and the manifest commit — deterministic interleaving specs only.
+    */
+  private[operators] def purgeImpl(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
     if (decl.deltas.isEmpty)
@@ -509,12 +516,22 @@ object AggView {
       .repartition(col("kb"))
     live.write.mode("overwrite").partitionBy("kb")
       .parquet(s"$path/agg.v$nextVer")
+    beforeCommit()
     try IndexDirs.commitWithRetry(readManifest(path),
       writeManifest(path, _: Manifest), path) { have =>
       require(have.baseVer == decl.baseVer,
         s"a concurrent purge of $path committed base version " +
           s"${have.baseVer} while this one rewrote from " +
           s"${decl.baseVer} — rerun against the new base")
+      // a compaction committed mid-purge folds (some of) our snapshot
+      // deltas into a c<N> dir the filterNot below would KEEP — while
+      // the new base already absorbed those rows, double-counting
+      // every folded row. Refuse instead (the reverse direction of
+      // compactDeltas' own stale-fold skip).
+      require(decl.deltas.forall(have.deltas.contains),
+        s"a concurrent compaction of $path folded deltas this purge's " +
+          "rewrite already absorbed — committing would double-count " +
+          "them; rerun against the compacted state")
       // appends that landed after our rewrite stay as deltas
       Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
         baseVer = nextVer))

@@ -241,24 +241,23 @@ object AnnIndex {
   /** Re-adding a tombstoned id is refused under `checkDisjoint`: the
     * tombstone anti-join in [[readParts]] is version-blind, so a
     * re-added row would be silently invisible. [[purge]] clears
-    * tombstones and makes the id insertable again.
+    * tombstones and makes the id insertable again. `probeIds` is the
+    * delta's distinct id column.
     */
-  private def requireNotTombstoned(delta: DataFrame, spark: SparkSession,
+  private def requireNotTombstoned(probeIds: DataFrame, spark: SparkSession,
       path: String, mf: Manifest): Unit = {
     if (mf.tombs.isEmpty) return
     val hit = tombIds(spark, path, mf)
-      .join(broadcast(delta.select(col(mf.id)).distinct()),
-        Seq(mf.id), "left_semi").count()
+      .join(broadcast(probeIds), Seq(mf.id), "left_semi").count()
     require(hit == 0,
       s"append delta re-adds $hit tombstoned id(s) at $path — the " +
         "tombstone filter would hide the new rows; purge() first")
   }
 
-  private def requireDisjoint(delta: DataFrame, existing: DataFrame,
+  private def requireDisjoint(probeIds: DataFrame, existing: DataFrame,
       idCol: String, path: String): Unit = {
     val dupes = existing.select(col(idCol))
-      .join(broadcast(delta.select(col(idCol)).distinct()),
-        Seq(idCol), "left_semi")
+      .join(broadcast(probeIds), Seq(idCol), "left_semi")
       .count()
     require(dupes == 0,
       s"append delta shares $dupes id(s) with the index at $path — " +
@@ -266,6 +265,36 @@ object AnnIndex {
         "fingerprint (pass checkDisjoint = false only when upstream " +
         "proves disjointness)")
   }
+
+  /** The shared commit tail of the three append kinds: the staged
+    * delta dir commits through [[IndexDirs.stagedCommit]], with the
+    * batch-replay skip and the disjointness/tombstone guards
+    * re-verified per attempt against the manifest each attempt
+    * anchors at (multi-writer liveness — the [[AggView]] recipe).
+    */
+  private def appendCommit(spark: SparkSession, path: String,
+      decl: Manifest, staged: String, probeIds: DataFrame,
+      baseSub: String, dfp: Long, dn: Long, checkDisjoint: Boolean,
+      batchMark: Option[Long]): Build =
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else {
+        if (checkDisjoint) {
+          requireDisjoint(probeIds,
+            readParts(spark, path, baseSub, have, None), have.id, path)
+          requireNotTombstoned(probeIds, spark, path, have)
+        }
+        Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+          deltas = have.deltas :+ staged,
+          lastBatch = batchMark.getOrElse(have.lastBatch)))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // a racing replay landed this batch id first
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
 
   /** ANN top-k over the persisted index: probes fan out to their
     * `nprobe` nearest buckets; the corpus side reads ONLY those
@@ -371,22 +400,21 @@ object AnnIndex {
   private def appendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    // kind/layout are immutable across appends (a rebuild uncommits),
+    // so staging off this read is race-free; counters, lists, and the
+    // guards re-derive per commit attempt (see [[appendCommit]])
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    require(have.kind == "ivf", s"append needs an ivf index, got ${have.kind}")
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      requireDisjoint(delta, readAssignments(spark, path, have, None),
-        have.id, path)
-      requireNotTombstoned(delta, spark, path, have)
-    }
-    val staged = stageInsert(delta, have, path)
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    require(decl.kind == "ivf", s"append needs an ivf index, got ${decl.kind}")
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.vec, decl.carry)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
+    val staged = stageInsert(delta, decl, path)
+    appendCommit(spark, path, decl, staged, probeIds, "assignments",
+      dfp, dn, checkDisjoint, batchMark)
   }
 
   /** Build a persisted PQ index ([[Pq]] codes) at `path` unless the
@@ -456,22 +484,18 @@ object AnnIndex {
   private def pqAppendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    require(have.kind == "pq", s"pqAppend needs a pq index, got ${have.kind}")
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      requireDisjoint(delta, readParts(spark, path, "codes", have, None),
-        have.id, path)
-      requireNotTombstoned(delta, spark, path, have)
-    }
-    val staged = stageInsert(delta, have, path)
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    require(decl.kind == "pq", s"pqAppend needs a pq index, got ${decl.kind}")
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.vec)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
+    val staged = stageInsert(delta, decl, path)
+    appendCommit(spark, path, decl, staged, probeIds, "codes",
+      dfp, dn, checkDisjoint, batchMark)
   }
 
   /** Build a persisted SQ8 index ([[Sq8]] per-vector scale + byte
@@ -513,23 +537,19 @@ object AnnIndex {
   private def sq8AppendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    require(have.kind == "sq8",
-      s"sq8Append needs an sq8 index, got ${have.kind}")
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      requireDisjoint(delta, readParts(spark, path, "codes", have, None),
-        have.id, path)
-      requireNotTombstoned(delta, spark, path, have)
-    }
-    val staged = stageInsert(delta, have, path)
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    require(decl.kind == "sq8",
+      s"sq8Append needs an sq8 index, got ${decl.kind}")
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.vec)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
+    val staged = stageInsert(delta, decl, path)
+    appendCommit(spark, path, decl, staged, probeIds, "codes",
+      dfp, dn, checkDisjoint, batchMark)
   }
 
   /** SQ8 top-k over the persisted index: the corpus side reads only
@@ -607,46 +627,59 @@ object AnnIndex {
   def applyBatch(batch: DataFrame, batchId: Long, path: String,
       opCol: String = "op", deleteOp: String = "D",
       maxTombstones: Long = DefaultMaxTombstones): Build = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
     val rows = batch.localCheckpoint(false)
     val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
     val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
-    val (ifp, inN) = fpOf(ins, have)
-    val (dfp, delN) = fpOf(del, have)
+    val (ifp, inN) = fpOf(ins, decl)
+    val (dfp, delN) = fpOf(del, decl)
     if (inN == 0 && delN == 0)
-      return Build(path, have.fp, have.n, reused = true)
-    require(have.tombCount + delN <= maxTombstones,
-      s"index at $path would carry ${have.tombCount + delN} " +
-        s"tombstones (bound $maxTombstones) — run purge() first")
+      return Build(path, decl.fp, decl.n, reused = true)
+    // batch-local invariants check once; the tombstone bound is
+    // state-dependent and re-verifies per commit attempt below
     if (delN > 0) {
-      require(del.select(col(have.id)).distinct().count() == delN,
+      require(del.select(col(decl.id)).distinct().count() == delN,
         s"batch $batchId has duplicate delete rows")
       if (inN > 0) {
-        val both = ins.select(col(have.id))
-          .join(broadcast(del.select(col(have.id)).distinct()),
-            Seq(have.id), "left_semi").count()
+        val both = ins.select(col(decl.id))
+          .join(broadcast(del.select(col(decl.id)).distinct()),
+            Seq(decl.id), "left_semi").count()
         require(both == 0,
           s"batch $batchId inserts AND deletes $both shared id(s) — " +
             "the tombstone filter would hide the inserted rows")
       }
     }
-    var deltas = have.deltas
-    var tombs = have.tombs
-    if (inN > 0) deltas :+= stageInsert(ins, have, path)
+    var stagedData = Seq.empty[String]
+    var stagedTombs = Seq.empty[String]
+    if (inN > 0) stagedData :+= stageInsert(ins, decl, path)
     if (delN > 0) {
       val staged = nextDeltaName(path, "t")
-      del.select(col(have.id)).distinct().coalesce(1)
+      del.select(col(decl.id)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$path/deltas/$staged")
-      tombs :+= staged
+      stagedTombs :+= staged
     }
-    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, deltas = deltas, tombs = tombs,
-      tombCount = have.tombCount + delN, lastBatch = batchId)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path,
+      stagedData ++ stagedTombs) { have =>
+      if (batchId <= have.lastBatch) None // a racing replay landed it
+      else {
+        require(have.tombCount + delN <= maxTombstones,
+          s"index at $path would carry ${have.tombCount + delN} " +
+            s"tombstones (bound $maxTombstones) — run purge() first")
+        Some(have.copy(fp = have.fp ^ ifp ^ dfp,
+          n = have.n + inN - delN, deltas = have.deltas ++ stagedData,
+          tombs = have.tombs ++ stagedTombs,
+          tombCount = have.tombCount + delN, lastBatch = batchId))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None =>
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** `writeStream.foreachBatch(AnnIndex.cdcSink(path))` — the
@@ -670,36 +703,54 @@ object AnnIndex {
     * directories folded, 0 when there is nothing to compact.
     */
   def compactDeltas(spark: SparkSession, path: String): Int = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     // fewer than two directories of a kind: folding gains nothing
-    val foldData = have.deltas.length >= 2
-    val foldTombs = have.tombs.length >= 2
+    val foldData = decl.deltas.length >= 2
+    val foldTombs = decl.tombs.length >= 2
     if (!foldData && !foldTombs) return 0
-    val newDeltas = if (!foldData) have.deltas else {
-      val merged = have.deltas
+    val foldedData = if (foldData) decl.deltas else Nil
+    val foldedTombs = if (foldTombs) decl.tombs else Nil
+    var staged = Seq.empty[String]
+    val stagedData = if (!foldData) None else {
+      val merged = foldedData
         .map(d => spark.read.parquet(s"$path/deltas/$d"))
         .reduce(_.unionByName(_))
-      val staged = nextDeltaName(path, "c")
-      val w = (if (have.kind == "ivf")
+      val s = nextDeltaName(path, "c")
+      val w = (if (decl.kind == "ivf")
           merged.repartition(col("bucket")) else merged)
         .write.mode("overwrite")
-      (if (have.kind == "ivf") w.partitionBy("bucket") else w)
-        .parquet(s"$path/deltas/$staged")
-      Seq(staged)
+      (if (decl.kind == "ivf") w.partitionBy("bucket") else w)
+        .parquet(s"$path/deltas/$s")
+      staged :+= s
+      Some(s)
     }
-    val newTombs = if (!foldTombs) have.tombs else {
-      val staged = nextDeltaName(path, "t")
-      tombIds(spark, path, have).coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/deltas/$staged")
-      Seq(staged)
+    val stagedTombs = if (!foldTombs) None else {
+      val s = nextDeltaName(path, "t")
+      tombIds(spark, path, decl).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$s")
+      staged :+= s
+      Some(s)
     }
-    writeManifest(path, have.copy(deltas = newDeltas, tombs = newTombs))
-    // post-commit GC: the folded directories are unreferenced now
-    val folded = (if (foldData) have.deltas else Nil) ++
-      (if (foldTombs) have.tombs else Nil)
-    IndexDirs.gcDeltas(path, folded)
-    folded.length
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, staged) { have =>
+      // deltas/tombstones that landed after our fold survive; a
+      // racing purge/compaction that already folded any of ours makes
+      // this fold stale — drop it, theirs covered it
+      if (!foldedData.forall(have.deltas.contains) ||
+        !foldedTombs.forall(have.tombs.contains)) None
+      else Some(have.copy(
+        deltas = stagedData.toSeq ++
+          have.deltas.filterNot(foldedData.toSet),
+        tombs = stagedTombs.toSeq ++
+          have.tombs.filterNot(foldedTombs.toSet)))
+    } match {
+      case Some(_) =>
+        // post-commit GC: the folded directories are unreferenced now
+        IndexDirs.gcDeltas(path, foldedData ++ foldedTombs)
+        (foldedData ++ foldedTombs).length
+      case None => 0
+    }
   }
 
   /** Tombstone-delete rows from the index — any kind. `delta` must
@@ -723,51 +774,59 @@ object AnnIndex {
       checkPresent: Boolean = true,
       maxTombstones: Long = DefaultMaxTombstones): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val baseSub = if (have.kind == "ivf") "assignments" else "codes"
-    val (dfp, dn) = fingerprint(delta, have.id, have.vec, have.carry)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    // tombstone-growth bound: the per-read broadcast anti-join is
-    // only "bounded between purges" if something enforces the bound
-    require(have.tombCount + dn <= maxTombstones,
-      s"index at $path would carry ${have.tombCount + dn} tombstones " +
-        s"(bound $maxTombstones) — run purge() to fold them into the " +
-        "base before deleting more")
-    val ids = delta.select(col(have.id)).distinct()
+    val baseSub = if (decl.kind == "ivf") "assignments" else "codes"
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.vec, decl.carry)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val ids = delta.select(col(decl.id)).distinct()
       .localCheckpoint(false)
     require(ids.count() == dn,
-      s"delete delta has duplicate ${have.id} rows — each stored row " +
+      s"delete delta has duplicate ${decl.id} rows — each stored row " +
         "must be folded out exactly once")
-    if (checkPresent) {
-      // liveness AND content in one pass against the stored row hash:
-      // the fingerprint folds raw (id, vec[, carry]) hashes, so a
-      // delete naming a live id with a stale vector would corrupt it
-      // while an id-only check passes
-      val probe = delta.select(col(have.id), have.rowHash.as("__pch"))
-        .distinct().localCheckpoint(false)
-      val r = readParts(spark, path, baseSub, have, None)
-        .join(broadcast(probe), Seq(have.id))
-        .agg(count(lit(1)).as("live"),
-          coalesce(sum(when(col("__ch") === col("__pch"), 1L)
-            .otherwise(0L)), lit(0L)).as("same"))
-        .collect()(0)
-      require(r.getLong(0) == dn,
-        s"delete delta names ${dn - r.getLong(0)} id(s) not live in " +
-          s"the index at $path — a stale or repeated delete would " +
-          "corrupt the fingerprint (pass checkPresent = false only " +
-          "when upstream proves liveness)")
-      require(r.getLong(1) == dn,
-        s"delete delta rows differ from the indexed rows for " +
-          s"${dn - r.getLong(1)} id(s) at $path — the fingerprint " +
-          "would fold out hashes that were never folded in")
+    val probe = delta.select(col(decl.id), decl.rowHash.as("__pch"))
+      .distinct().localCheckpoint(false)
+    // state-dependent guards re-verify per commit attempt against the
+    // manifest the attempt anchors at (a concurrent delete of the
+    // same ids must flip liveness from pass to refuse on retry)
+    def guardsOk(have: Manifest): Unit = {
+      // tombstone-growth bound: the per-read broadcast anti-join is
+      // only "bounded between purges" if something enforces the bound
+      require(have.tombCount + dn <= maxTombstones,
+        s"index at $path would carry ${have.tombCount + dn} tombstones " +
+          s"(bound $maxTombstones) — run purge() to fold them into the " +
+          "base before deleting more")
+      if (checkPresent) {
+        // liveness AND content in one pass against the stored row hash:
+        // the fingerprint folds raw (id, vec[, carry]) hashes, so a
+        // delete naming a live id with a stale vector would corrupt it
+        // while an id-only check passes
+        val r = readParts(spark, path, baseSub, have, None)
+          .join(broadcast(probe), Seq(have.id))
+          .agg(count(lit(1)).as("live"),
+            coalesce(sum(when(col("__ch") === col("__pch"), 1L)
+              .otherwise(0L)), lit(0L)).as("same"))
+          .collect()(0)
+        require(r.getLong(0) == dn,
+          s"delete delta names ${dn - r.getLong(0)} id(s) not live in " +
+            s"the index at $path — a stale or repeated delete would " +
+            "corrupt the fingerprint (pass checkPresent = false only " +
+            "when upstream proves liveness)")
+        require(r.getLong(1) == dn,
+          s"delete delta rows differ from the indexed rows for " +
+            s"${dn - r.getLong(1)} id(s) at $path — the fingerprint " +
+            "would fold out hashes that were never folded in")
+      }
     }
     val staged = nextDeltaName(path, "t")
     ids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      tombs = have.tombs :+ staged, tombCount = have.tombCount + dn)
-    writeManifest(path, next)
+    val next = IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      guardsOk(have)
+      Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+        tombs = have.tombs :+ staged, tombCount = have.tombCount + dn))
+    }.get
     Build(path, next.fp, next.n, reused = false)
   }
 
@@ -781,34 +840,73 @@ object AnnIndex {
     * has grown past broadcast comfort, not per delete. Returns the
     * number of tombstoned ids purged.
     */
-  def purge(spark: SparkSession, path: String): Long = {
-    val have = readManifest(path).getOrElse(
+  def purge(spark: SparkSession, path: String): Long =
+    purgeImpl(spark, path, () => ())
+
+  /** [[purge]] with a test seam invoked between the survivors rewrite
+    * and the manifest commit — deterministic interleaving specs only.
+    */
+  private[operators] def purgeImpl(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.tombs.isEmpty && have.deltas.isEmpty) return 0L
-    val baseSub = if (have.kind == "ivf") "assignments" else "codes"
+    if (decl.tombs.isEmpty && decl.deltas.isEmpty) return 0L
+    val baseSub = if (decl.kind == "ivf") "assignments" else "codes"
     val tombCount =
-      if (have.tombs.isEmpty) 0L
-      else tombIds(spark, path, have).count()
-    // next base version: scan for existing versioned dirs
+      if (decl.tombs.isEmpty) 0L
+      else tombIds(spark, path, decl).count()
+    // CLAIMED next base version ([[IndexDirs.claimBaseSuffix]]): two
+    // racing purges write disjoint .v<k> dirs — neither can clobber
+    // parquet the other's manifest might commit. Start past both the
+    // manifest's current version and any orphaned .v dirs on disk.
     val fsys = IndexDirs.fs(path)
     val root = new org.apache.hadoop.fs.Path(path)
-    val ver = (if (!fsys.exists(root)) Array.empty[String]
+    val from = (if (!fsys.exists(root)) Array.empty[String]
       else fsys.listStatus(root).map(_.getPath.getName))
       .flatMap(n => s"^${java.util.regex.Pattern.quote(baseSub)}\\.v(\\d+)$$"
         .r.findFirstMatchIn(n).map(_.group(1).toInt))
       .foldLeft(0)(math.max) + 1
+    val ver = IndexDirs.claimBaseSuffix(path, s"$baseSub.v", from)
     val newBase = s"$baseSub.v$ver"
-    val live = readParts(spark, path, baseSub, have, None)
-    val w = (if (have.kind == "ivf")
+    val live = readParts(spark, path, baseSub, decl, None)
+    val w = (if (decl.kind == "ivf")
         live.repartition(col("bucket")) else live)
       .write.mode("overwrite")
-    (if (have.kind == "ivf") w.partitionBy("bucket") else w)
+    (if (decl.kind == "ivf") w.partitionBy("bucket") else w)
       .parquet(s"$path/$newBase")
-    writeManifest(path, have.copy(deltas = Nil, tombs = Nil,
-      tombCount = 0L, baseDir = newBase))
+    beforeCommit()
+    try IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      require(have.baseOr(baseSub) == decl.baseOr(baseSub),
+        s"a concurrent purge of $path committed base " +
+          s"${have.baseOr(baseSub)} while this one rewrote from " +
+          s"${decl.baseOr(baseSub)} — rerun against the new base")
+      // a compaction committed mid-purge replaces (some of) our
+      // snapshot delta/tombstone lists with fold dirs the filterNots
+      // below would keep while the new base already absorbed them —
+      // refuse instead of double-counting / double-hiding
+      require(decl.deltas.forall(have.deltas.contains) &&
+        decl.tombs.forall(have.tombs.contains),
+        s"a concurrent compaction of $path folded deltas/tombstones " +
+          "this purge's rewrite already absorbed — committing would " +
+          "corrupt the index; rerun against the compacted state")
+      // appends/deletes that landed after our rewrite survive, with
+      // the surviving tombstones' (re-counted) id total
+      val survTombs = have.tombs.filterNot(decl.tombs.toSet)
+      val survCount =
+        if (survTombs.isEmpty) 0L
+        else survTombs.map(t => spark.read.parquet(s"$path/deltas/$t"))
+          .reduce(_.unionByName(_)).distinct().count()
+      Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
+        tombs = survTombs, tombCount = survCount, baseDir = newBase))
+    } catch {
+      case e: IllegalArgumentException =>
+        IndexDirs.rmTree(s"$path/$newBase") // orphaned rewrite
+        throw e
+    }
     // post-commit GC: old base version + folded delta/tombstone dirs
-    IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
-    IndexDirs.rmTree(s"$path/${have.baseOr(baseSub)}")
+    IndexDirs.gcDeltas(path, decl.deltas ++ decl.tombs)
+    IndexDirs.rmTree(s"$path/${decl.baseOr(baseSub)}")
     tombCount
   }
 

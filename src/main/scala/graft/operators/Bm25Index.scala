@@ -187,28 +187,51 @@ object Bm25Index {
   private def appendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    // layout/columns are immutable across appends (only a rebuild
+    // changes them, and a rebuild uncommits), so staging off this
+    // read is race-free; counters, delta list, and the disjointness
+    // guard re-derive per commit attempt (multi-writer liveness —
+    // the [[AggView]]/[[IndexDirs.commitWithRetry]] recipe)
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.text)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      val dupes = liveDl(spark, path, have).select(col(have.id))
-        .join(broadcast(delta.select(col(have.id)).distinct()),
-          Seq(have.id), "left_semi").count()
-      require(dupes == 0,
-        s"append delta shares $dupes live id(s) with the index at " +
-          s"$path — double-counted postings (pass checkDisjoint = " +
-          "false only when upstream proves disjointness)")
-    }
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.text)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val ddl = writeTables(delta, have.text, have.id, 1, have,
+    val ddl = writeTables(delta, decl.text, decl.id, 1, decl,
       s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      sdl = have.sdl + ddl,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else {
+        if (checkDisjoint) { // re-checked per attempt: a concurrent
+          // overlapping append must flip this to refuse. The guard
+          // reads only the probe ids' own dlb buckets — an id not
+          // present anywhere cannot hide outside its hash bucket.
+          val wantedDlb = probeIds
+            .select(dlbCol(col(have.id), have).as("dlb"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val dupes = liveDl(spark, path, have, Some(wantedDlb))
+            .select(col(have.id))
+            .join(broadcast(probeIds), Seq(have.id), "left_semi").count()
+          require(dupes == 0,
+            s"append delta shares $dupes live id(s) with the index at " +
+              s"$path — double-counted postings (pass checkDisjoint = " +
+              "false only when upstream proves disjointness)")
+        }
+        Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+          sdl = have.sdl + ddl, deltas = have.deltas :+ staged,
+          lastBatch = batchMark.getOrElse(have.lastBatch)))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // a racing replay landed this batch id first
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** Delete = append of negated postings ([[LmIndex.delete]]'s
@@ -222,19 +245,22 @@ object Bm25Index {
   def delete(delta: DataFrame, path: String,
       checkPresent: Boolean = true): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.text)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkPresent) {
-      val probe = delta.select(col(have.id),
-          xxhash64(col(have.id), col(have.text)).as("__pch"))
-        .distinct().localCheckpoint(false)
-      require(probe.count() == dn,
-        s"delete delta has duplicate ${have.id} rows")
-      // the guard reads only the delta ids' own dlb buckets — an id
-      // not present anywhere cannot hide outside its hash bucket, so
-      // the prune never weakens the check
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.text)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probe = delta.select(col(decl.id),
+        xxhash64(col(decl.id), col(decl.text)).as("__pch"))
+      .distinct().localCheckpoint(false)
+    if (checkPresent) require(probe.count() == dn,
+      s"delete delta has duplicate ${decl.id} rows")
+    // liveness + content verified per commit attempt against the
+    // manifest the attempt anchors at (a concurrent delete of the
+    // same ids must flip this from pass to refuse on retry). The
+    // guard reads only the delta ids' own dlb buckets — an id not
+    // present anywhere cannot hide outside its hash bucket, so the
+    // prune never weakens the check.
+    def presentOk(have: Manifest): Unit = if (checkPresent) {
       val wantedDlb = probe.select(dlbCol(col(have.id), have).as("dlb"))
         .distinct().collect().map(_.getInt(0)).toSeq
       val r = liveDl(spark, path, have, Some(wantedDlb))
@@ -252,12 +278,14 @@ object Bm25Index {
           "from stale text would never cancel the stored postings")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val ddl = writeTables(delta, have.text, have.id, -1, have,
+    val ddl = writeTables(delta, decl.text, decl.id, -1, decl,
       s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      sdl = have.sdl + ddl,
-      deltas = have.deltas :+ staged)
-    writeManifest(path, next)
+    val next = IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      presentOk(have)
+      Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+        sdl = have.sdl + ddl, deltas = have.deltas :+ staged))
+    }.get
     Build(path, next.fp, next.n, reused = false)
   }
 
@@ -265,13 +293,8 @@ object Bm25Index {
     * skip — the [[AnnIndex.appendBatch]] recipe).
     */
   def appendBatch(batch: DataFrame, batchId: Long, path: String,
-      checkDisjoint: Boolean = false): Build = {
-    val have = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+      checkDisjoint: Boolean = false): Build =
     appendImpl(batch, path, checkDisjoint, Some(batchId))
-  }
 
   def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
       : (DataFrame, Long) => Unit =
@@ -289,36 +312,43 @@ object Bm25Index {
     */
   def applyBatch(batch: DataFrame, batchId: Long, path: String,
       opCol: String = "op", deleteOp: String = "D"): Build = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
     val rows = batch.localCheckpoint(false)
     val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
     val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
-    val (ifp, inN) = fingerprint(ins, have.id, have.text)
-    val (dfp, delN) = fingerprint(del, have.id, have.text)
+    val (ifp, inN) = fingerprint(ins, decl.id, decl.text)
+    val (dfp, delN) = fingerprint(del, decl.id, decl.text)
     if (inN == 0 && delN == 0)
-      return Build(path, have.fp, have.n, reused = true)
-    var deltas = have.deltas
-    var sdl = have.sdl
+      return Build(path, decl.fp, decl.n, reused = true)
+    var stagedDirs = Seq.empty[String]
+    var dsdl = 0L
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      sdl += writeTables(del, have.text, have.id, -1, have,
+      dsdl += writeTables(del, decl.text, decl.id, -1, decl,
         s"$path/deltas/$staged")
-      deltas :+= staged
+      stagedDirs :+= staged
     }
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      sdl += writeTables(ins, have.text, have.id, 1, have,
+      dsdl += writeTables(ins, decl.text, decl.id, 1, decl,
         s"$path/deltas/$staged")
-      deltas :+= staged
+      stagedDirs :+= staged
     }
-    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, sdl = sdl, deltas = deltas,
-      lastBatch = batchId)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, stagedDirs) { have =>
+      if (batchId <= have.lastBatch) None // a racing replay landed it
+      else Some(have.copy(fp = have.fp ^ ifp ^ dfp,
+        n = have.n + inN - delN, sdl = have.sdl + dsdl,
+        deltas = have.deltas ++ stagedDirs, lastBatch = batchId))
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None =>
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** `writeStream.foreachBatch(Bm25Index.cdcSink(path))`. */
@@ -330,28 +360,38 @@ object Bm25Index {
     * survive to keep cancelling base rows until a full rebuild).
     */
   def compactDeltas(spark: SparkSession, path: String): Int = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.deltas.length < 2) return 0
+    if (decl.deltas.length < 2) return 0
+    val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/tf"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/tf"))
       .reduce(_.unionByName(_))
-      .groupBy(have.id, "__t", "tb").agg(sum(col("__tf")).as("__tf"))
+      .groupBy(decl.id, "__t", "tb").agg(sum(col("__tf")).as("__tf"))
       .filter(col("__tf") =!= 0)
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/deltas/$staged/tf")
-    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
       .reduce(_.unionByName(_))
-      .groupBy(have.id, "__dl", "__ch", "dlb")
+      .groupBy(decl.id, "__dl", "__ch", "dlb")
       .agg(sum(col("__w")).as("__w"))
       .filter(col("__w") =!= 0)
       .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb")
       .parquet(s"$path/deltas/$staged/dl")
-    writeManifest(path, have.copy(deltas = Seq(staged)))
-    IndexDirs.gcDeltas(path, have.deltas)
-    have.deltas.length
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      // deltas that landed after our fold survive (count algebra is
+      // order-free); a racing purge/compaction that already folded
+      // any of ours makes this fold stale — drop it, theirs covered it
+      if (!folded.forall(have.deltas.contains)) None
+      else Some(have.copy(
+        deltas = staged +: have.deltas.filterNot(folded.toSet)))
+    } match {
+      case Some(_) => IndexDirs.gcDeltas(path, folded); folded.length
+      case None => 0
+    }
   }
 
   /** Full SEMANTIC rewrite ([[LmIndex.purge]]'s rule): materialize
@@ -360,27 +400,61 @@ object Bm25Index {
     * O(live postings); downtime-free (old manifest live until the
     * atomic swap). Returns the live doc count.
     */
-  def purge(spark: SparkSession, path: String): Long = {
-    val have = readManifest(path).getOrElse(
+  def purge(spark: SparkSession, path: String): Long =
+    purgeImpl(spark, path, () => ())
+
+  /** [[purge]] with a test seam invoked between the survivors rewrite
+    * and the manifest commit — deterministic interleaving specs only.
+    */
+  private[operators] def purgeImpl(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.deltas.isEmpty) return have.n
-    val nextVer = have.baseVer + 1
-    liveTf(spark, path, have, None)
+    if (decl.deltas.isEmpty) return decl.n
+    // CLAIMED target version: two racing purges write disjoint .v<k>
+    // dirs — neither can clobber parquet the other's manifest might
+    // commit ([[IndexDirs.claimBaseSuffix]])
+    val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
+      decl.baseVer + 1)
+    liveTf(spark, path, decl, None)
       .withColumn("tb",
-        pmod(xxhash64(col("__t")), lit(have.tbParts)).cast("int"))
+        pmod(xxhash64(col("__t")), lit(decl.tbParts)).cast("int"))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/tf.v$nextVer")
-    val live = liveDl(spark, path, have).localCheckpoint(false)
+    val live = liveDl(spark, path, decl).localCheckpoint(false)
     live.withColumn("__w", lit(1))
-      .withColumn("dlb", dlbCol(col(have.id), have))
+      .withColumn("dlb", dlbCol(col(decl.id), decl))
       .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb")
       .parquet(s"$path/dl.v$nextVer")
-    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
-    IndexDirs.gcDeltas(path, have.deltas)
+    beforeCommit()
+    try IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      require(have.baseVer == decl.baseVer,
+        s"a concurrent purge of $path committed base version " +
+          s"${have.baseVer} while this one rewrote from " +
+          s"${decl.baseVer} — rerun against the new base")
+      // a compaction committed mid-purge folds (some of) our snapshot
+      // deltas into a c<N> dir the filterNot below would keep while
+      // the new base already absorbed those rows — refuse instead of
+      // double-counting (mirrors compactDeltas' stale-fold skip)
+      require(decl.deltas.forall(have.deltas.contains),
+        s"a concurrent compaction of $path folded deltas this purge's " +
+          "rewrite already absorbed — committing would double-count " +
+          "them; rerun against the compacted state")
+      // appends that landed after our rewrite stay as deltas
+      Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
+        baseVer = nextVer))
+    } catch {
+      case e: IllegalArgumentException =>
+        Seq("tf", "dl").foreach(sub =>
+          IndexDirs.rmTree(s"$path/$sub.v$nextVer")) // orphaned rewrite
+        throw e
+    }
+    IndexDirs.gcDeltas(path, decl.deltas)
     Seq("tf", "dl").foreach { sub =>
-      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
+      IndexDirs.rmTree(s"$path/${decl.baseOf(sub)}")
     }
     live.count()
   }

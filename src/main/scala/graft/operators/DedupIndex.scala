@@ -277,12 +277,18 @@ object DedupIndex {
     readParts(spark, path, "sigs", mf, "sb", None).drop("sb")
   }
 
-  private def requireDisjoint(delta: DataFrame, spark: SparkSession,
+  /** `probeIds` is the delta's distinct id column. The guard reads
+    * only the probe ids' own sb buckets — an id not present anywhere
+    * cannot hide outside its hash bucket, so the prune never weakens
+    * the check.
+    */
+  private def requireDisjoint(probeIds: DataFrame, spark: SparkSession,
       path: String, mf: Manifest): Unit = {
-    val dupes = readParts(spark, path, "sigs", mf, "sb", None)
+    val wantedSb = probeIds.select(sbCol(col(mf.id), mf).as("sb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val dupes = readParts(spark, path, "sigs", mf, "sb", Some(wantedSb))
       .select(col(mf.id))
-      .join(broadcast(delta.select(col(mf.id)).distinct()),
-        Seq(mf.id), "left_semi")
+      .join(broadcast(probeIds), Seq(mf.id), "left_semi")
       .count()
     require(dupes == 0,
       s"append delta shares $dupes id(s) with the index at $path — " +
@@ -295,12 +301,11 @@ object DedupIndex {
     * the tombstone filter is version-blind, so the new rows would be
     * silently invisible; [[purge]] re-opens the id space.
     */
-  private def requireNotTombstoned(delta: DataFrame, spark: SparkSession,
+  private def requireNotTombstoned(probeIds: DataFrame, spark: SparkSession,
       path: String, mf: Manifest): Unit = {
     if (mf.tombs.isEmpty) return
     val hit = tombIds(spark, path, mf)
-      .join(broadcast(delta.select(col(mf.id)).distinct()),
-        Seq(mf.id), "left_semi").count()
+      .join(broadcast(probeIds), Seq(mf.id), "left_semi").count()
     require(hit == 0,
       s"append delta re-adds $hit tombstoned id(s) at $path — the " +
         "tombstone filter would hide the new rows; purge() first")
@@ -321,57 +326,67 @@ object DedupIndex {
       checkPresent: Boolean = true,
       maxTombstones: Long = DefaultMaxTombstones): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.text)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    // tombstone-growth bound: every read broadcast-anti-joins the
-    // tombstone set, which is only "bounded between purges" if
-    // something enforces the bound — the same discipline as the LSH
-    // hot-bucket guards, enforced here instead of trusted
-    require(have.tombCount + dn <= maxTombstones,
-      s"index at $path would carry ${have.tombCount + dn} tombstones " +
-        s"(bound $maxTombstones) — run purge() to fold them into the " +
-        "base before deleting more")
-    val ids = delta.select(col(have.id)).distinct()
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.text)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val ids = delta.select(col(decl.id)).distinct()
       .localCheckpoint(false)
     require(ids.count() == dn,
-      s"delete delta has duplicate ${have.id} rows — each stored row " +
+      s"delete delta has duplicate ${decl.id} rows — each stored row " +
         "must be folded out exactly once")
-    if (checkPresent) {
-      val live = readParts(spark, path, "sigs", have, "sb", None)
-        .join(broadcast(ids), Seq(have.id), "left_semi").count()
-      require(live == dn,
-        s"delete delta names ${dn - live} id(s) not live in the index " +
-          s"at $path (pass checkPresent = false only when upstream " +
-          "proves liveness)")
-      // CONTENT check against the stored raw-text hash: the xor-fold
-      // fingerprint is over raw (id, text), so a delete carrying the
-      // right id but stale/edited text would silently corrupt it
-      // while the id-liveness check passes
-      val probe = delta.select(col(have.id),
-          Dedup.contentKey(col(have.text)).as("digest"),
-          xxhash64(col(have.id), col(have.text)).as("__pch"))
-        .distinct().localCheckpoint(false)
-      val wantedDbp = probe
-        .select(pmod(xxhash64(col("digest")), lit(have.dbParts))
-          .cast("int").as("dbp"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val same = readParts(spark, path, "digests", have, "dbp",
-          Some(wantedDbp))
-        .join(broadcast(probe), Seq(have.id, "digest"))
-        .filter(col("__ch") === col("__pch")).count()
-      require(same == dn,
-        s"delete delta text differs from the indexed text for " +
-          s"${dn - same} id(s) at $path — the fingerprint would fold " +
-          "out hashes that were never folded in")
+    val probe = delta.select(col(decl.id),
+        Dedup.contentKey(col(decl.text)).as("digest"),
+        xxhash64(col(decl.id), col(decl.text)).as("__pch"))
+      .distinct().localCheckpoint(false)
+    // all state-dependent guards re-verify per commit attempt against
+    // the manifest the attempt anchors at (a concurrent delete of the
+    // same ids must flip liveness from pass to refuse on retry)
+    def guardsOk(have: Manifest): Unit = {
+      // tombstone-growth bound: every read broadcast-anti-joins the
+      // tombstone set, which is only "bounded between purges" if
+      // something enforces the bound
+      require(have.tombCount + dn <= maxTombstones,
+        s"index at $path would carry ${have.tombCount + dn} tombstones " +
+          s"(bound $maxTombstones) — run purge() to fold them into the " +
+          "base before deleting more")
+      if (checkPresent) {
+        val wantedSb = ids.select(sbCol(col(have.id), have).as("sb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val live = readParts(spark, path, "sigs", have, "sb",
+            Some(wantedSb))
+          .join(broadcast(ids), Seq(have.id), "left_semi").count()
+        require(live == dn,
+          s"delete delta names ${dn - live} id(s) not live in the index " +
+            s"at $path (pass checkPresent = false only when upstream " +
+            "proves liveness)")
+        // CONTENT check against the stored raw-text hash: the xor-fold
+        // fingerprint is over raw (id, text), so a delete carrying the
+        // right id but stale/edited text would silently corrupt it
+        // while the id-liveness check passes
+        val wantedDbp = probe
+          .select(pmod(xxhash64(col("digest")), lit(have.dbParts))
+            .cast("int").as("dbp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val same = readParts(spark, path, "digests", have, "dbp",
+            Some(wantedDbp))
+          .join(broadcast(probe), Seq(have.id, "digest"))
+          .filter(col("__ch") === col("__pch")).count()
+        require(same == dn,
+          s"delete delta text differs from the indexed text for " +
+            s"${dn - same} id(s) at $path — the fingerprint would fold " +
+            "out hashes that were never folded in")
+      }
     }
     val staged = IndexDirs.nextDeltaName(path, "t")
     ids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      tombs = have.tombs :+ staged, tombCount = have.tombCount + dn)
-    writeManifest(path, next)
+    val next = IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      guardsOk(have)
+      Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+        tombs = have.tombs :+ staged, tombCount = have.tombCount + dn))
+    }.get
     Build(path, next.fp, next.n, reused = false)
   }
 
@@ -382,25 +397,64 @@ object DedupIndex {
     * until the atomic swap). O(live index); run when the tombstone
     * set outgrows broadcast comfort. Returns the purged id count.
     */
-  def purge(spark: SparkSession, path: String): Long = {
-    val have = readManifest(path).getOrElse(
+  def purge(spark: SparkSession, path: String): Long =
+    purgeImpl(spark, path, () => ())
+
+  /** [[purge]] with a test seam invoked between the survivors rewrite
+    * and the manifest commit — deterministic interleaving specs only.
+    */
+  private[operators] def purgeImpl(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.tombs.isEmpty && have.deltas.isEmpty) return 0L
+    if (decl.tombs.isEmpty && decl.deltas.isEmpty) return 0L
     val tombCount =
-      if (have.tombs.isEmpty) 0L else tombIds(spark, path, have).count()
-    val nextVer = have.baseVer + 1
+      if (decl.tombs.isEmpty) 0L else tombIds(spark, path, decl).count()
+    // CLAIMED target version: two racing purges write disjoint .v<k>
+    // dirs ([[IndexDirs.claimBaseSuffix]])
+    val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
+      decl.baseVer + 1)
     Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
       .foreach { case (sub, pc) =>
-        readParts(spark, path, sub, have, pc, None)
+        readParts(spark, path, sub, decl, pc, None)
           .repartition(col(pc))
           .write.mode("overwrite").partitionBy(pc)
           .parquet(s"$path/$sub.v$nextVer")
       }
-    writeManifest(path, have.copy(deltas = Nil, tombs = Nil,
-      tombCount = 0L, baseVer = nextVer))
-    IndexDirs.gcDeltas(path, have.deltas ++ have.tombs)
+    beforeCommit()
+    try IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      require(have.baseVer == decl.baseVer,
+        s"a concurrent purge of $path committed base version " +
+          s"${have.baseVer} while this one rewrote from " +
+          s"${decl.baseVer} — rerun against the new base")
+      // a compaction committed mid-purge replaces (some of) our
+      // snapshot delta/tombstone lists with fold dirs the filterNots
+      // below would keep while the new base already absorbed them —
+      // refuse instead of double-counting / double-hiding
+      require(decl.deltas.forall(have.deltas.contains) &&
+        decl.tombs.forall(have.tombs.contains),
+        s"a concurrent compaction of $path folded deltas/tombstones " +
+          "this purge's rewrite already absorbed — committing would " +
+          "corrupt the view; rerun against the compacted state")
+      // deletes that landed after our rewrite stay as tombstones,
+      // with their (re-counted) surviving id total
+      val survTombs = have.tombs.filterNot(decl.tombs.toSet)
+      val survCount =
+        if (survTombs.isEmpty) 0L
+        else survTombs.map(t => spark.read.parquet(s"$path/deltas/$t"))
+          .reduce(_.unionByName(_)).distinct().count()
+      Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
+        tombs = survTombs, tombCount = survCount, baseVer = nextVer))
+    } catch {
+      case e: IllegalArgumentException =>
+        Seq("sigs", "bands", "digests").foreach(sub =>
+          IndexDirs.rmTree(s"$path/$sub.v$nextVer")) // orphaned rewrite
+        throw e
+    }
+    IndexDirs.gcDeltas(path, decl.deltas ++ decl.tombs)
     Seq("sigs", "bands", "digests").foreach { sub =>
-      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
+      IndexDirs.rmTree(s"$path/${decl.baseOf(sub)}")
     }
     tombCount
   }
@@ -419,23 +473,41 @@ object DedupIndex {
   private def appendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    // scheme/layout are immutable across appends (only a rebuild
+    // changes them, and a rebuild uncommits), so staging off this
+    // read is race-free; counters, lists, and the disjointness guards
+    // re-derive per commit attempt (multi-writer liveness — the
+    // [[AggView]]/[[IndexDirs.commitWithRetry]] recipe)
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val scheme = schemeOf(have.scheme, have.nh, have.k)
-    val (dfp, dn) = fingerprint(delta, have.id, have.text)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      requireDisjoint(delta, spark, path, have)
-      requireNotTombstoned(delta, spark, path, have)
-    }
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val scheme = schemeOf(decl.scheme, decl.nh, decl.k)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.text)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, have.text, have.id, have, scheme,
+    writeTables(delta, decl.text, decl.id, decl, scheme,
       s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else {
+        if (checkDisjoint) { // re-checked per attempt: a concurrent
+          requireDisjoint(probeIds, spark, path, have) // overlapping
+          requireNotTombstoned(probeIds, spark, path, have) // append
+        }                                       // must flip to refuse
+        Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+          deltas = have.deltas :+ staged,
+          lastBatch = batchMark.getOrElse(have.lastBatch)))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // a racing replay landed this batch id first
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** Exactly-once streaming index maintenance — the `foreachBatch`
@@ -449,13 +521,8 @@ object DedupIndex {
     * O(batch) append into an O(index) one.
     */
   def appendBatch(batch: DataFrame, batchId: Long, path: String,
-      checkDisjoint: Boolean = false): Build = {
-    val have = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+      checkDisjoint: Boolean = false): Build =
     appendImpl(batch, path, checkDisjoint, Some(batchId))
-  }
 
   /** `writeStream.foreachBatch(DedupIndex.foreachBatchSink(path))`. */
   def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
@@ -476,52 +543,65 @@ object DedupIndex {
   def applyBatch(batch: DataFrame, batchId: Long, path: String,
       opCol: String = "op", deleteOp: String = "D",
       maxTombstones: Long = DefaultMaxTombstones): Build = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
-    val scheme = schemeOf(have.scheme, have.nh, have.k)
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
+    val scheme = schemeOf(decl.scheme, decl.nh, decl.k)
     val rows = batch.localCheckpoint(false)
     val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
     val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
-    val (ifp, inN) = fingerprint(ins, have.id, have.text)
-    val (dfp, delN) = fingerprint(del, have.id, have.text)
+    val (ifp, inN) = fingerprint(ins, decl.id, decl.text)
+    val (dfp, delN) = fingerprint(del, decl.id, decl.text)
     if (inN == 0 && delN == 0)
-      return Build(path, have.fp, have.n, reused = true)
-    require(have.tombCount + delN <= maxTombstones,
-      s"index at $path would carry ${have.tombCount + delN} " +
-        s"tombstones (bound $maxTombstones) — run purge() first")
+      return Build(path, decl.fp, decl.n, reused = true)
+    // batch-local invariants check once; the tombstone bound is
+    // state-dependent and re-verifies per commit attempt below
     if (delN > 0) {
-      require(del.select(col(have.id)).distinct().count() == delN,
+      require(del.select(col(decl.id)).distinct().count() == delN,
         s"batch $batchId has duplicate delete rows")
       if (inN > 0) {
-        val both = ins.select(col(have.id))
-          .join(broadcast(del.select(col(have.id)).distinct()),
-            Seq(have.id), "left_semi").count()
+        val both = ins.select(col(decl.id))
+          .join(broadcast(del.select(col(decl.id)).distinct()),
+            Seq(decl.id), "left_semi").count()
         require(both == 0,
           s"batch $batchId inserts AND deletes $both shared id(s) — " +
             "the tombstone filter would hide the inserted rows")
       }
     }
-    var deltas = have.deltas
-    var tombs = have.tombs
+    var stagedData = Seq.empty[String]
+    var stagedTombs = Seq.empty[String]
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(ins, have.text, have.id, have, scheme,
+      writeTables(ins, decl.text, decl.id, decl, scheme,
         s"$path/deltas/$staged")
-      deltas :+= staged
+      stagedData :+= staged
     }
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "t")
-      del.select(col(have.id)).distinct().coalesce(1)
+      del.select(col(decl.id)).distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$path/deltas/$staged")
-      tombs :+= staged
+      stagedTombs :+= staged
     }
-    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, deltas = deltas, tombs = tombs,
-      tombCount = have.tombCount + delN, lastBatch = batchId)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path,
+      stagedData ++ stagedTombs) { have =>
+      if (batchId <= have.lastBatch) None // a racing replay landed it
+      else {
+        require(have.tombCount + delN <= maxTombstones,
+          s"index at $path would carry ${have.tombCount + delN} " +
+            s"tombstones (bound $maxTombstones) — run purge() first")
+        Some(have.copy(fp = have.fp ^ ifp ^ dfp,
+          n = have.n + inN - delN, deltas = have.deltas ++ stagedData,
+          tombs = have.tombs ++ stagedTombs,
+          tombCount = have.tombCount + delN, lastBatch = batchId))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None =>
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** `writeStream.foreachBatch(DedupIndex.cdcSink(path))`. */
@@ -535,34 +615,52 @@ object DedupIndex {
     * the staging discipline; old directories GC'd post-commit.
     */
   def compactDeltas(spark: SparkSession, path: String): Int = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val foldData = have.deltas.length >= 2
-    val foldTombs = have.tombs.length >= 2
+    val foldData = decl.deltas.length >= 2
+    val foldTombs = decl.tombs.length >= 2
     if (!foldData && !foldTombs) return 0
-    val newDeltas = if (!foldData) have.deltas else {
-      val staged = IndexDirs.nextDeltaName(path, "c")
+    val foldedData = if (foldData) decl.deltas else Nil
+    val foldedTombs = if (foldTombs) decl.tombs else Nil
+    var staged = Seq.empty[String]
+    val stagedData = if (!foldData) None else {
+      val s = IndexDirs.nextDeltaName(path, "c")
       Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
         .foreach { case (sub, pc) =>
-          have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+          foldedData.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
             .reduce(_.unionByName(_))
             .repartition(col(pc))
             .write.mode("overwrite").partitionBy(pc)
-            .parquet(s"$path/deltas/$staged/$sub")
+            .parquet(s"$path/deltas/$s/$sub")
         }
-      Seq(staged)
+      staged :+= s
+      Some(s)
     }
-    val newTombs = if (!foldTombs) have.tombs else {
-      val staged = IndexDirs.nextDeltaName(path, "t")
-      tombIds(spark, path, have).coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/deltas/$staged")
-      Seq(staged)
+    val stagedTombs = if (!foldTombs) None else {
+      val s = IndexDirs.nextDeltaName(path, "t")
+      tombIds(spark, path, decl).coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$s")
+      staged :+= s
+      Some(s)
     }
-    writeManifest(path, have.copy(deltas = newDeltas, tombs = newTombs))
-    val folded = (if (foldData) have.deltas else Nil) ++
-      (if (foldTombs) have.tombs else Nil)
-    IndexDirs.gcDeltas(path, folded)
-    folded.length
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, staged) { have =>
+      // deltas/tombstones that landed after our fold survive; a
+      // racing purge/compaction that already folded any of ours makes
+      // this fold stale — drop it, theirs covered it
+      if (!foldedData.forall(have.deltas.contains) ||
+        !foldedTombs.forall(have.tombs.contains)) None
+      else Some(have.copy(
+        deltas = stagedData.toSeq ++
+          have.deltas.filterNot(foldedData.toSet),
+        tombs = stagedTombs.toSeq ++
+          have.tombs.filterNot(foldedTombs.toSet)))
+    } match {
+      case Some(_) =>
+        IndexDirs.gcDeltas(path, foldedData ++ foldedTombs)
+        (foldedData ++ foldedTombs).length
+      case None => 0
+    }
   }
 
   /** Near-dups of a NEW document batch against the standing corpus —

@@ -171,24 +171,25 @@ private[operators] object IndexDirs {
       expect: Long = -1L): Unit = {
     val f = fs(path)
     f.mkdirs(new Path(path))
-    // best-effort GC of crashed commits' temp files — only ones old
-    // enough that no live writer can still be holding them
-    val staleBefore = System.currentTimeMillis() - 10 * 60 * 1000L
+    // best-effort GC of crashed commits' temp files. The cutoff is
+    // deliberately generous (a day, not minutes): a live writer
+    // stalled between create and rename — a long GC pause, a
+    // suspended executor — must never have its temp swept from under
+    // it, or its commit fails with FileNotFoundException instead of
+    // the honest ConcurrentModificationException. A day-old temp is a
+    // crashed commit, not a stalled one.
+    val staleBefore = System.currentTimeMillis() - 24 * 60 * 60 * 1000L
     f.listStatus(new Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith(".manifest-")
         && s.getPath.getName.endsWith(".tmp")
         && s.getModificationTime < staleBefore)
       .foreach(s => f.delete(s.getPath, false))
-    val base =
-      if (expect >= 0L) expect
-      else listManifestVersions(path).lastOption.getOrElse(0L)
-    val next = base + 1L
-    val dst = f.makeQualified(versionedPath(path, next))
     val tmp = f.makeQualified(new Path(path,
       s".manifest-${java.util.UUID.randomUUID()}.tmp"))
     val out = f.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    var next = 0L
     def lost(cause: Throwable): Nothing = {
       f.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
@@ -203,7 +204,17 @@ private[operators] object IndexDirs {
     // stores rename(NONE) is namenode-atomic and also covers racers
     // in other processes.
     lockFor(path).synchronized {
-      if (f.exists(dst)) lost(null)
+      val curMax = listManifestVersions(path).lastOption.getOrElse(0L)
+      val base = if (expect >= 0L) expect else curMax
+      next = base + 1L
+      val dst = f.makeQualified(versionedPath(path, next))
+      // stale-anchor guard: if the live version has advanced PAST
+      // next, the slot m<next> may have been retention-GC'd — the
+      // no-overwrite rename would then SUCCEED and land this write as
+      // an ignored low version, a silent lost update instead of the
+      // promised CME. `next <= curMax` also subsumes the plain
+      // dst-exists case.
+      if (next <= curMax) lost(null)
       try FileContext.getFileContext(dst.toUri, hadoopConf)
         .rename(tmp, dst, Options.Rename.NONE)
       catch {

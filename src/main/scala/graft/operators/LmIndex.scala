@@ -256,28 +256,45 @@ object LmIndex {
   private def appendImpl(delta: DataFrame, path: String,
       checkDisjoint: Boolean, batchMark: Option[Long]): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    // layout/columns are immutable across appends (only a rebuild
+    // changes them, and a rebuild uncommits), so staging off this
+    // read is race-free; counters, delta list, and the disjointness
+    // guard re-derive per commit attempt (multi-writer liveness —
+    // the [[AggView]]/[[IndexDirs.commitWithRetry]] recipe)
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.text)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkDisjoint) {
-      val dupes = liveIds(spark, path, have)
-        .join(broadcast(delta.select(col(have.id)).distinct()),
-          Seq(have.id), "left_semi").count()
-      require(dupes == 0,
-        s"append delta shares $dupes live id(s) with the LM at $path " +
-          "— re-training a doc double-counts its grams (pass " +
-          "checkDisjoint = false only when upstream proves it)")
-    }
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.text)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probeIds = delta.select(col(decl.id)).distinct()
+      .localCheckpoint(false)
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val dst = writeTables(delta, have.text, have.id, 1, have,
+    val dst = writeTables(delta, decl.text, decl.id, 1, decl,
       s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n + dn,
-      st = have.st + dst,
-      deltas = have.deltas :+ staged,
-      lastBatch = batchMark.getOrElse(have.lastBatch))
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else {
+        if (checkDisjoint) { // re-checked per attempt: a concurrent
+          val dupes = liveIds(spark, path, have) // overlapping append
+            .join(broadcast(probeIds), Seq(have.id), "left_semi")
+            .count()                             // must flip to refuse
+          require(dupes == 0,
+            s"append delta shares $dupes live id(s) with the LM at " +
+              s"$path — re-training a doc double-counts its grams " +
+              "(pass checkDisjoint = false only when upstream proves it)")
+        }
+        Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+          st = have.st + dst, deltas = have.deltas :+ staged,
+          lastBatch = batchMark.getOrElse(have.lastBatch)))
+      }
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // a racing replay landed this batch id first
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** Remove documents from the LM: the count algebra makes a delete
@@ -292,16 +309,19 @@ object LmIndex {
   def delete(delta: DataFrame, path: String,
       checkPresent: Boolean = true): Build = {
     val spark = delta.sparkSession
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    val (dfp, dn) = fingerprint(delta, have.id, have.text)
-    if (dn == 0) return Build(path, have.fp, have.n, reused = true)
-    if (checkPresent) {
-      val probe = delta.select(col(have.id),
-          xxhash64(col(have.id), col(have.text)).as("__pch"))
-        .distinct().localCheckpoint(false)
-      require(probe.count() == dn,
-        s"delete delta has duplicate ${have.id} rows")
+    val (dfp, dn) = fingerprint(delta, decl.id, decl.text)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val probe = delta.select(col(decl.id),
+        xxhash64(col(decl.id), col(decl.text)).as("__pch"))
+      .distinct().localCheckpoint(false)
+    if (checkPresent) require(probe.count() == dn,
+      s"delete delta has duplicate ${decl.id} rows")
+    // liveness + content verified per commit attempt against the
+    // manifest the attempt anchors at (a concurrent delete of the
+    // same ids must flip this from pass to refuse on retry)
+    def presentOk(have: Manifest): Unit = if (checkPresent) {
       val r = liveIds(spark, path, have)
         .join(broadcast(probe), Seq(have.id))
         .agg(count(lit(1)).as("live"),
@@ -318,12 +338,14 @@ object LmIndex {
           "computed from stale text would never cancel the stored grams")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val dst = writeTables(delta, have.text, have.id, -1, have,
+    val dst = writeTables(delta, decl.text, decl.id, -1, decl,
       s"$path/deltas/$staged")
-    val next = have.copy(fp = have.fp ^ dfp, n = have.n - dn,
-      st = have.st + dst,
-      deltas = have.deltas :+ staged)
-    writeManifest(path, next)
+    val next = IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      presentOk(have)
+      Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
+        st = have.st + dst, deltas = have.deltas :+ staged))
+    }.get
     Build(path, next.fp, next.n, reused = false)
   }
 
@@ -331,13 +353,8 @@ object LmIndex {
     * idempotent-sink recipe (`batchId <= lastBatch` ⇒ skip).
     */
   def appendBatch(batch: DataFrame, batchId: Long, path: String,
-      checkDisjoint: Boolean = false): Build = {
-    val have = readManifest(path).getOrElse(
-      throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+      checkDisjoint: Boolean = false): Build =
     appendImpl(batch, path, checkDisjoint, Some(batchId))
-  }
 
   def foreachBatchSink(path: String, checkDisjoint: Boolean = false)
       : (DataFrame, Long) => Unit =
@@ -356,36 +373,43 @@ object LmIndex {
     */
   def applyBatch(batch: DataFrame, batchId: Long, path: String,
       opCol: String = "op", deleteOp: String = "D"): Build = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (batchId <= have.lastBatch)
-      return Build(path, have.fp, have.n, reused = true)
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
     val rows = batch.localCheckpoint(false)
     val ins = rows.filter(col(opCol) =!= deleteOp).drop(opCol)
     val del = rows.filter(col(opCol) === deleteOp).drop(opCol)
-    val (ifp, inN) = fingerprint(ins, have.id, have.text)
-    val (dfp, delN) = fingerprint(del, have.id, have.text)
+    val (ifp, inN) = fingerprint(ins, decl.id, decl.text)
+    val (dfp, delN) = fingerprint(del, decl.id, decl.text)
     if (inN == 0 && delN == 0)
-      return Build(path, have.fp, have.n, reused = true)
-    var deltas = have.deltas
-    var st = have.st
+      return Build(path, decl.fp, decl.n, reused = true)
+    var stagedDirs = Seq.empty[String]
+    var dst = 0L
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      st += writeTables(del, have.text, have.id, -1, have,
+      dst += writeTables(del, decl.text, decl.id, -1, decl,
         s"$path/deltas/$staged")
-      deltas :+= staged
+      stagedDirs :+= staged
     }
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      st += writeTables(ins, have.text, have.id, 1, have,
+      dst += writeTables(ins, decl.text, decl.id, 1, decl,
         s"$path/deltas/$staged")
-      deltas :+= staged
+      stagedDirs :+= staged
     }
-    val next = have.copy(fp = have.fp ^ ifp ^ dfp,
-      n = have.n + inN - delN, st = st, deltas = deltas,
-      lastBatch = batchId)
-    writeManifest(path, next)
-    Build(path, next.fp, next.n, reused = false)
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, stagedDirs) { have =>
+      if (batchId <= have.lastBatch) None // a racing replay landed it
+      else Some(have.copy(fp = have.fp ^ ifp ^ dfp,
+        n = have.n + inN - delN, st = have.st + dst,
+        deltas = have.deltas ++ stagedDirs, lastBatch = batchId))
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None =>
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
   }
 
   /** `writeStream.foreachBatch(LmIndex.cdcSink(path))`. */
@@ -402,29 +426,39 @@ object LmIndex {
     * touching the base. Crash-safe by the staging discipline.
     */
   def compactDeltas(spark: SparkSession, path: String): Int = {
-    val have = readManifest(path).getOrElse(
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.deltas.length < 2) return 0
+    if (decl.deltas.length < 2) return 0
+    val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
     tables.foreach { case (sub, key, cnt) =>
-      have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+      folded.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
         .reduce(_.unionByName(_))
         .groupBy(key).agg(sum(col(cnt)).as(cnt))
         .filter(col(cnt) =!= 0)
-        .withColumn("gb", gbCol(col(key), have))
+        .withColumn("gb", gbCol(col(key), decl))
         .repartition(col("gb"))
         .write.mode("overwrite").partitionBy("gb")
         .parquet(s"$path/deltas/$staged/$sub")
     }
     // the ids ledger cancels per (id, contentHash) pair
-    have.deltas.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
       .reduce(_.unionByName(_))
-      .groupBy(have.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+      .groupBy(decl.id, "__ch").agg(sum(col("__lw")).as("__lw"))
       .filter(col("__lw") =!= 0)
       .write.mode("overwrite").parquet(s"$path/deltas/$staged/ids")
-    writeManifest(path, have.copy(deltas = Seq(staged)))
-    IndexDirs.gcDeltas(path, have.deltas)
-    have.deltas.length
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      // deltas that landed after our fold survive (count algebra is
+      // order-free); a racing purge/compaction that already folded
+      // any of ours makes this fold stale — drop it, theirs covered it
+      if (!folded.forall(have.deltas.contains)) None
+      else Some(have.copy(
+        deltas = staged +: have.deltas.filterNot(folded.toSet)))
+    } match {
+      case Some(_) => IndexDirs.gcDeltas(path, folded); folded.length
+      case None => 0
+    }
   }
 
   /** Full SEMANTIC rewrite: materialize the aggregated live counts
@@ -433,25 +467,58 @@ object LmIndex {
     * cancelled). O(live counts); downtime-free (old manifest live
     * until the atomic swap). Returns the live doc count.
     */
-  def purge(spark: SparkSession, path: String): Long = {
-    val have = readManifest(path).getOrElse(
+  def purge(spark: SparkSession, path: String): Long =
+    purgeImpl(spark, path, () => ())
+
+  /** [[purge]] with a test seam invoked between the survivors rewrite
+    * and the manifest commit — deterministic interleaving specs only.
+    */
+  private[operators] def purgeImpl(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
+    val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
-    if (have.deltas.isEmpty) return have.n
-    val nextVer = have.baseVer + 1
+    if (decl.deltas.isEmpty) return decl.n
+    // CLAIMED target version: two racing purges write disjoint .v<k>
+    // dirs ([[IndexDirs.claimBaseSuffix]])
+    val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
+      decl.baseVer + 1)
     tables.foreach { case (sub, key, cnt) =>
-      readAgg(spark, path, have, sub, key, cnt)
-        .withColumn("gb", gbCol(col(key), have))
+      readAgg(spark, path, decl, sub, key, cnt)
+        .withColumn("gb", gbCol(col(key), decl))
         .repartition(col("gb"))
         .write.mode("overwrite").partitionBy("gb")
         .parquet(s"$path/$sub.v$nextVer")
     }
-    val live = liveIds(spark, path, have).localCheckpoint(false)
+    val live = liveIds(spark, path, decl).localCheckpoint(false)
     live.withColumn("__lw", lit(1))
       .write.mode("overwrite").parquet(s"$path/ids.v$nextVer")
-    writeManifest(path, have.copy(deltas = Nil, baseVer = nextVer))
-    IndexDirs.gcDeltas(path, have.deltas)
+    beforeCommit()
+    try IndexDirs.commitWithRetry(readManifest(path),
+      writeManifest(path, _: Manifest), path) { have =>
+      require(have.baseVer == decl.baseVer,
+        s"a concurrent purge of $path committed base version " +
+          s"${have.baseVer} while this one rewrote from " +
+          s"${decl.baseVer} — rerun against the new base")
+      // a compaction committed mid-purge folds (some of) our snapshot
+      // deltas into a c<N> dir the filterNot below would keep while
+      // the new base already absorbed those rows — refuse instead of
+      // double-counting (mirrors compactDeltas' stale-fold skip)
+      require(decl.deltas.forall(have.deltas.contains),
+        s"a concurrent compaction of $path folded deltas this purge's " +
+          "rewrite already absorbed — committing would double-count " +
+          "them; rerun against the compacted state")
+      // appends that landed after our rewrite stay as deltas
+      Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
+        baseVer = nextVer))
+    } catch {
+      case e: IllegalArgumentException =>
+        ("ids" +: tables.map(_._1)).foreach(sub =>
+          IndexDirs.rmTree(s"$path/$sub.v$nextVer")) // orphaned rewrite
+        throw e
+    }
+    IndexDirs.gcDeltas(path, decl.deltas)
     ("ids" +: tables.map(_._1)).foreach { sub =>
-      IndexDirs.rmTree(s"$path/${have.baseOf(sub)}")
+      IndexDirs.rmTree(s"$path/${decl.baseOf(sub)}")
     }
     live.count()
   }

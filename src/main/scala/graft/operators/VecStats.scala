@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   *                  sum of squares over the QUANTIZED (BIGINT) vector
   *                  components; pure integer sums, exact and
   *                  cross-engine replayable
-  *   <path>/ids/    parquet: (<id>, __ch, __lw ±1) — the doc ledger
-  *                  (content-hash-verified deletes, the family rule)
+  *   <path>/ids/    parquet, partitionBy(ib): (<id>, __ch, __lw ±1) —
+  *                  the doc ledger (content-hash-verified deletes,
+  *                  the family rule); ib = pmod(xxhash64(<id>),
+  *                  ibParts), so every append/delete guard reads only
+  *                  the buckets its own delta ids hash to (the
+  *                  [[Bm25Index]] dlb recipe — an id absent everywhere
+  *                  cannot hide outside its hash bucket), never the
+  *                  whole corpus-sized ledger
   *   <path>/deltas/d<N>/{stats,ids}  appended (or count-NEGATED) rows
   *   <path>/manifest.json — written LAST (atomic commit marker)
   * }}}
@@ -50,8 +56,9 @@ object VecStats {
     IndexDirs.contentFingerprint(corpus, Seq(idCol, vecCol))
 
   private case class Manifest(fp: Long, n: Long, id: String,
-      vec: String, deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0, mv: Long = 0L) {
+      vec: String, ibp: Int = 0, deltas: Seq[String] = Nil,
+      lastBatch: Long = -1L, baseVer: Int = 0, mv: Long = 0L) {
+    /** ibp IS layout — a different ids bucketing must rebuild. */
     def sameIndexAs(other: Manifest): Boolean =
       copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
         other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
@@ -62,6 +69,9 @@ object VecStats {
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map { r =>
       Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("vec"),
+        // a pre-bucketing manifest reads ibp=0, which can never match
+        // a requested layout — it rebuilds once, safely
+        r.intOr("ibp", 0),
         r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
         mv = r.version)
     }
@@ -70,9 +80,15 @@ object VecStats {
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n)
       .put("id", mf.id).put("vec", mf.vec)
+      .put("ibp", mf.ibp)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
       .commit(path, mf.mv)
+
+  // max(,1): a legacy (ibp = 0) artifact's mutators bucket into one
+  // ib=0 partition instead of a null-partition write
+  private def ibCol(id: Column, mf: Manifest): Column =
+    pmod(xxhash64(id), lit(math.max(mf.ibp, 1))).cast("int")
 
   /** The per-dim signed sums of `df` — one exploded pass, map-side
     * combined into ≤ dims rows.
@@ -86,13 +102,17 @@ object VecStats {
         (sum(col("__v") * col("__v")) * sign).as("__s2"))
 
   private def writeTables(docs: DataFrame, vecCol: String,
-      idCol: String, sign: Int, root: String): Unit = {
+      idCol: String, sign: Int, mf: Manifest, root: String): Unit = {
     dimSums(docs, vecCol, sign).coalesce(1)
       .write.mode("overwrite").parquet(s"$root/stats")
+    // repartition on ib before the partitioned write: one file per
+    // bucket instead of (tasks × buckets) tiny files
     docs.select(col(idCol),
         xxhash64(col(idCol), col(vecCol)).as("__ch"),
         lit(sign).as("__lw"))
-      .write.mode("overwrite").parquet(s"$root/ids")
+      .withColumn("ib", ibCol(col(idCol), mf))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$root/ids")
   }
 
   /** Live aggregated per-dim sums: base ∪ committed deltas, summed
@@ -109,25 +129,58 @@ object VecStats {
       .filter(col("__c") > 0)
   }
 
-  private def liveIds(spark: SparkSession, path: String,
-      mf: Manifest): DataFrame = {
+  /** Live `(id, __ch)` ledger rows, each root PRUNED to `parts` ib
+    * partitions when given (legacy unbucketed roots read whole —
+    * correct, just unpruned).
+    */
+  private def liveIds(spark: SparkSession, path: String, mf: Manifest,
+      parts: Option[Seq[Int]] = None): DataFrame = {
     val roots = s"$path/${mf.baseOf("ids")}" +:
       mf.deltas.map(d => s"$path/deltas/$d/ids")
-    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    roots.map { r =>
+        val df = spark.read.parquet(r)
+        val pruned =
+          if (parts.isDefined && df.columns.contains("ib"))
+            df.filter(col("ib").isin(parts.get.map(Int.box): _*))
+          else df
+        pruned.select(col(mf.id), col("__ch"), col("__lw"))
+      }.reduce(_.unionByName(_))
       .groupBy(mf.id, "__ch").agg(sum(col("__lw")).as("__lw"))
       .filter(col("__lw") > 0).select(col(mf.id), col("__ch"))
   }
 
+  /** The ledger read every append/delete guard runs: pruned to the
+    * probe ids' own ib buckets (O(delta buckets), never the whole
+    * corpus ledger) — an id not present anywhere cannot hide outside
+    * its hash bucket, so the prune never weakens the guard.
+    * Package-visible so the spec pins the pruned scan in the plan.
+    */
+  private[operators] def liveIdsForProbe(spark: SparkSession,
+      path: String, probeIds: DataFrame): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    liveIdsPruned(spark, path, mf, probeIds)
+  }
+
+  private def liveIdsPruned(spark: SparkSession, path: String,
+      mf: Manifest, probeIds: DataFrame): DataFrame = {
+    val parts =
+      if (mf.ibp == 0) None
+      else Some(probeIds.select(ibCol(col(mf.id), mf).as("ib"))
+        .distinct().collect().map(_.getInt(0)).toSeq)
+    liveIds(spark, path, mf, parts)
+  }
+
   def buildIfAbsent(corpus: DataFrame, vecCol: String, idCol: String,
-      path: String): Build = {
+      path: String, ibParts: Int = 32): Build = {
     val (fp, n) = fingerprint(corpus, idCol, vecCol)
-    val want = Manifest(fp, n, idCol, vecCol)
+    val want = Manifest(fp, n, idCol, vecCol, ibp = ibParts)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
-        writeTables(corpus, vecCol, idCol, 1, path)
+        writeTables(corpus, vecCol, idCol, 1, want, path)
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
     }
@@ -154,16 +207,17 @@ object VecStats {
     val probeIds = delta.select(col(decl.id)).distinct()
       .localCheckpoint(false)
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, decl.vec, decl.id, 1, s"$path/deltas/$staged")
+    writeTables(delta, decl.vec, decl.id, 1, decl,
+      s"$path/deltas/$staged")
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (batchMark.exists(_ <= have.lastBatch)) None
       else {
         if (checkDisjoint) { // re-checked per attempt: a concurrent
-          val dupes = liveIds(spark, path, have) // overlapping append
-            .select(col(have.id))                // must flip to refuse
+          val dupes = liveIdsPruned(spark, path, have, probeIds)
+            .select(col(have.id))                // overlapping append
             .join(broadcast(probeIds), Seq(have.id), "left_semi")
-            .count()
+            .count()                             // must flip to refuse
           require(dupes == 0,
             s"append delta shares $dupes live id(s) with the stats " +
               s"at $path — double-counted sums (pass checkDisjoint " +
@@ -202,7 +256,7 @@ object VecStats {
     // manifest the attempt anchors at (a concurrent delete of the
     // same ids must flip this from pass to refuse on retry)
     def presentOk(have: Manifest): Unit = if (checkPresent) {
-      val r = liveIds(spark, path, have)
+      val r = liveIdsPruned(spark, path, have, probe)
         .join(broadcast(probe), Seq(have.id))
         .agg(count(lit(1)).as("live"),
           coalesce(sum(when(col("__ch") === col("__pch"), 1L)
@@ -217,7 +271,8 @@ object VecStats {
           "computed from stale vectors would never cancel")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, decl.vec, decl.id, -1, s"$path/deltas/$staged")
+    writeTables(delta, decl.vec, decl.id, -1, decl,
+      s"$path/deltas/$staged")
     val next = IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       presentOk(have)
@@ -250,12 +305,14 @@ object VecStats {
     var stagedDirs = Seq.empty[String]
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(del, decl.vec, decl.id, -1, s"$path/deltas/$staged")
+      writeTables(del, decl.vec, decl.id, -1, decl,
+        s"$path/deltas/$staged")
       stagedDirs :+= staged
     }
     if (inN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
-      writeTables(ins, decl.vec, decl.id, 1, s"$path/deltas/$staged")
+      writeTables(ins, decl.vec, decl.id, 1, decl,
+        s"$path/deltas/$staged")
       stagedDirs :+= staged
     }
     IndexDirs.stagedCommit(readManifest(path),
@@ -293,11 +350,15 @@ object VecStats {
       .filter(col("__c") =!= 0 || col("__s") =!= 0 || col("__s2") =!= 0)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/deltas/$staged/stats")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids")
+        .select(col(decl.id), col("__ch"), col("__lw")))
       .reduce(_.unionByName(_))
       .groupBy(decl.id, "__ch").agg(sum(col("__lw")).as("__lw"))
       .filter(col("__lw") =!= 0)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/ids")
+      .withColumn("ib", ibCol(col(decl.id), decl))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib")
+      .parquet(s"$path/deltas/$staged/ids")
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       // deltas that landed after our fold survive (sum algebra is
@@ -313,7 +374,14 @@ object VecStats {
   }
 
   /** Survivors-only semantic rewrite into versioned base dirs. */
-  def purge(spark: SparkSession, path: String): Long = {
+  def purge(spark: SparkSession, path: String): Long =
+    purgeImpl(spark, path, () => ())
+
+  /** [[purge]] with a test seam invoked between the survivors rewrite
+    * and the manifest commit — deterministic interleaving specs only.
+    */
+  private[operators] def purgeImpl(spark: SparkSession, path: String,
+      beforeCommit: () => Unit): Long = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
     if (decl.deltas.isEmpty) return decl.n
@@ -324,13 +392,25 @@ object VecStats {
       .write.mode("overwrite").parquet(s"$path/stats.v$nextVer")
     val live = liveIds(spark, path, decl).localCheckpoint(false)
     live.withColumn("__lw", lit(1))
-      .write.mode("overwrite").parquet(s"$path/ids.v$nextVer")
+      .withColumn("ib", ibCol(col(decl.id), decl))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib")
+      .parquet(s"$path/ids.v$nextVer")
+    beforeCommit()
     try IndexDirs.commitWithRetry(readManifest(path),
       writeManifest(path, _: Manifest), path) { have =>
       require(have.baseVer == decl.baseVer,
         s"a concurrent purge of $path committed base version " +
           s"${have.baseVer} while this one rewrote from " +
           s"${decl.baseVer} — rerun against the new base")
+      // a compaction committed mid-purge folds (some of) our snapshot
+      // deltas into a c<N> dir the filterNot below would keep while
+      // the new base already absorbed those rows — refuse instead of
+      // double-counting (mirrors compactDeltas' stale-fold skip).
+      require(decl.deltas.forall(have.deltas.contains),
+        s"a concurrent compaction of $path folded deltas this purge's " +
+          "rewrite already absorbed — committing would double-count " +
+          "them; rerun against the compacted state")
       Some(have.copy(deltas = have.deltas.filterNot(decl.deltas.toSet),
         baseVer = nextVer))
     } catch {

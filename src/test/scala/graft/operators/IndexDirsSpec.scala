@@ -85,6 +85,28 @@ class IndexDirsSpec extends AnyFunSuite {
     assert(IndexDirs.readManifestText(path).contains("""{"v":"winner"}"""))
   }
 
+  test("a writer anchored at a retention-GC'd version gets a " +
+      "ConcurrentModificationException, never a silently-ignored low " +
+      "version") {
+    val path = tmp("idxdirs-stale")
+    IndexDirs.writeManifestText(path, """{"v":1}""") // m1
+    // enough commits that the m2 slot falls out of the retention
+    // window and is GC'd — the slot a writer anchored at v1 would
+    // target is free again, so a plain no-overwrite rename would
+    // SUCCEED and land the stale write as an ignored low version
+    (2 to IndexDirs.ManifestRetain + 4).foreach { i =>
+      IndexDirs.writeManifestText(path, s"""{"v":$i}""")
+    }
+    assert(IndexDirs.readManifestTextAt(path, 2L).isEmpty) // GC'd slot
+    intercept[java.util.ConcurrentModificationException] {
+      IndexDirs.writeManifestText(path, """{"v":"stale"}""", expect = 1L)
+    }
+    // the live manifest is untouched and no low version reappeared
+    assert(IndexDirs.readManifest(path)
+      .exists(_.long("v") == IndexDirs.ManifestRetain + 4))
+    assert(IndexDirs.readManifestTextAt(path, 2L).isEmpty)
+  }
+
   test("superseded manifest versions stay readable (time travel) and " +
       "are GC'd past the retention window") {
     val path = tmp("idxdirs-tt")

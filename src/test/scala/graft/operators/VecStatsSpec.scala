@@ -119,4 +119,34 @@ class VecStatsSpec extends AnyFunSuite {
     assert(z(3) == z.values.max,
       s"dim 3 must carry the largest drift z, got $z")
   }
+
+  test("the append/delete guard's ledger read is PRUNED to the probe " +
+      "ids' ib partitions — never the whole corpus ledger") {
+    val path = tmp("vstats-prune")
+    VecStats.buildIfAbsent(corpus(0, 40), "q", "vec_id", path,
+      ibParts = 8)
+    VecStats.append(corpus(40, 60), path) // a delta root prunes too
+    val probe = corpus(0, 3).select(col("vec_id"))
+    val guard = VecStats.liveIdsForProbe(spark, path, probe)
+    // the pruned read still proves liveness for every probed id
+    assert(guard.join(broadcast(probe), Seq("vec_id"), "left_semi")
+      .count() == 3)
+    // the probe's id-hash buckets must reach BOTH ledger scans (base
+    // and delta) as STATIC ib partition filters — the q209-style pin
+    val plan = guard.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ib".r
+      .findAllIn(plan).size >= 2,
+      s"expected ib partition filters on both ledger reads in:\n$plan")
+    // and the guards stay exact on the bucketed layout: an
+    // overlapping append refuses, a stale-vector delete refuses
+    intercept[IllegalArgumentException] {
+      VecStats.append(corpus(55, 65), path)
+    }
+    val stale = corpus(10, 12).withColumn("q",
+      array((0 until 8).map(_ => lit(1L)): _*))
+    intercept[IllegalArgumentException] {
+      VecStats.delete(stale, path)
+    }
+    assert(!VecStats.delete(corpus(10, 12), path).reused)
+  }
 }
