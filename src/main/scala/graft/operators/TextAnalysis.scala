@@ -115,15 +115,31 @@ object TextAnalysis {
     * applying every merge in order, leftmost-non-overlapping per
     * word).
     *
-    * Pure column algebra: words → per-word char array → one
-    * [[applyMerge]] fold per merge → size, all inside a single
-    * `transform` over the token array — one codegen'd projection per
-    * row, no explode, no shuffle, no state. The merge table is
-    * vocabulary-trained and tiny (it rides the expression as
-    * literals), so encoding scales as a map over the corpus — the
-    * same shape a production tokenizer pass has.
+    * One codegen'd projection per row, no explode, no shuffle, no
+    * state — and ONE plan node regardless of the merge budget: the
+    * ranked merge table rides [[graft.functions.BpeTokenCount]] as a
+    * runtime reference object, so a real tokenizer's 32k–50k merges
+    * plan exactly like a toy table (the composed per-merge expression
+    * fold, kept below as [[bpeEncodeStatsComposed]] for the parity
+    * lock, blows codegen limits past a few hundred merges).
     */
   def bpeEncodeStats(text: Column,
+      merges: Seq[(String, String)]): Column = {
+    val words = tokens(lower(text))
+    struct(
+      size(words).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (a, w) => a + length(w)).as("n_chars"),
+      graft.functions.BpeFunctions.bpe_token_count(words, merges)
+        .as("n_tokens"))
+  }
+
+  /** The composed Column-algebra encoder — one [[applyMerge]] fold
+    * layer per merge inside a `transform`. Kept as the bit-parity
+    * reference for [[bpeEncodeStats]]'s runtime codec (the
+    * [[graft.functions.TokenOps]] composed-reference discipline);
+    * only plannable at small merge budgets.
+    */
+  private[graft] def bpeEncodeStatsComposed(text: Column,
       merges: Seq[(String, String)]): Column = {
     val words = tokens(lower(text))
     val encLen = transform(words, w => {

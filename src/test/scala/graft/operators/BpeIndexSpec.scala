@@ -49,4 +49,53 @@ class BpeIndexSpec extends AnyFunSuite {
     assert(!BpeIndex.buildIfAbsent(corpus(50), "text", "id", 2, path)
       .reused)
   }
+
+  /** Plain-Scala sequential fold — the independent oracle for merge
+    * budgets where the composed expression is unplannable.
+    */
+  private def encodeLocal(w: String,
+      merges: Seq[(String, String)]): Int = {
+    var syms = w.map(_.toString).toVector
+    for ((l, r) <- merges if syms.length > 1) {
+      val out = scala.collection.mutable.ArrayBuffer(syms.head)
+      for (x <- syms.tail) {
+        if (out.last == l && x == r) out(out.length - 1) = l + r
+        else out += x
+      }
+      syms = out.toVector
+    }
+    syms.length
+  }
+
+  test("a real tokenizer budget serves: >= 1000 trained merges encode " +
+      "through ONE plan node, values matching the sequential fold " +
+      "(the composed per-merge expression is unplannable here)") {
+    val path = tmp("bpe-big")
+    import spark.implicits._
+    // ~200 distinct 12-char words: pair capacity well past the merge
+    // budget, so training never exhausts before 1000 rounds
+    val rnd = new scala.util.Random(11)
+    val words = Iterator
+      .continually((0 until 12)
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .take(400).toSeq.distinct.take(200)
+    val train = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    BpeIndex.buildIfAbsent(train, "text", "id", 1000, path)
+    val merges = BpeIndex.merges(spark, path)
+      .map { case (l, r, _) => (l, r) }
+    assert(merges.length >= 1000, s"trained only ${merges.length}")
+    // encode a probe batch through the persisted artifact: must PLAN
+    // (one projection node at this budget) and match the local fold
+    val probeWords = words.take(12) ++
+      Seq("zzzz", words.head + words(1))
+    val probe = probeWords.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val got = BpeIndex.encodeStats(spark, path, probe, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val want = probeWords.zipWithIndex.map { case (w, i) =>
+      i.toLong -> encodeLocal(w.toLowerCase, merges).toLong
+    }.toMap
+    assert(got == want)
+  }
 }

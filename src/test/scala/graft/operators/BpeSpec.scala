@@ -83,4 +83,57 @@ class BpeSpec extends AnyFunSuite {
     // d'a: [d,',a] -> [d,'a] -> [d'a]
     assert(encode("d'a", m) == ((1L, 3L, 1L)))
   }
+
+  private def bothEncodes(texts: Seq[String],
+      merges: Seq[(String, String)]) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = texts.toDF("text")
+    def run(e: org.apache.spark.sql.Column) =
+      df.select(e.as("e"))
+        .select(col("e.n_words"), col("e.n_chars"), col("e.n_tokens"))
+        .as[(Long, Long, Long)].collect().toSeq
+    (run(TextAnalysis.bpeEncodeStats(col("text"), merges)),
+      run(TextAnalysis.bpeEncodeStatsComposed(col("text"), merges)))
+  }
+
+  test("runtime-codec encode is bit-identical to the composed " +
+      "expression fold — merged-string collisions, multibyte text, " +
+      "equal-symbol runs") {
+    val texts = Seq(
+      "low lower lowest slow slowly",
+      "aaa aaaa aaaaa baaab",
+      "d'a d'ab ab abab ababab xab xxab xyxyx",
+      "héllo wörld héllo naïve héé",
+      "", "   ", "x")
+    // ranks 1 and 3 both PRODUCE the string "xab" via different merge
+    // paths — the codec must preserve fold order under the collision
+    val m = Seq(("a", "b"), ("x", "ab"), ("x", "a"), ("xa", "b"),
+      ("a", "a"), ("é", "l"), ("h", "éé"))
+    val (fast, composed) = bothEncodes(texts, m)
+    assert(fast == composed)
+  }
+
+  test("runtime-codec encode is bit-identical to the composed fold " +
+      "on a TRAINED merge table over fuzzed corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def word() =
+      (0 until 2 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString
+    val trainTexts =
+      (0 until 25).map(_ => (0 until 6).map(_ => word()).mkString(" "))
+    // the composed reference EXPANDS ~5 child references per fold
+    // layer at Column→Expression conversion (5^n nodes), so its
+    // buildable budget is SINGLE-DIGIT merges — exactly the
+    // unplannability the runtime codec removes (BpeIndexSpec proves
+    // ≥1000 merges through the codec)
+    val merges = TextAnalysis
+      .bpeMerges(trainTexts.toDF("text"), "text", 6)
+      .map { case (l, r, _) => (l, r) }
+    val scoreTexts =
+      (0 until 15).map(_ => (0 until 6).map(_ => word()).mkString(" "))
+    val (fast, composed) = bothEncodes(scoreTexts, merges)
+    assert(fast == composed)
+  }
 }
