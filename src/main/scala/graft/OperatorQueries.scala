@@ -384,6 +384,22 @@ object OperatorQueries {
       AggView.lookup(s, aggViewIdx(s, d), probe).orderBy("rf", "ls")
     }),
 
+    /** PURE-SQL serve of the q207 artifact through the registered
+      * `aggview` source ([[graft.sources.AggViewSource]]): the view
+      * is created and queried with SQL only, and the key-complete
+      * WHERE routes through the same kb-pruned lookup plan as q209 —
+      * the artifact state is a table to a SQL user.
+      */
+    "q213_aggview_sql" -> ((s, d) => {
+      val idx = aggViewIdx(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q213_rollup " +
+        s"USING aggview OPTIONS (path '$idx')")
+      s.sql("""SELECT rf, ls, cnt, sum_qty_c, sum_price_c
+              |FROM graft_q213_rollup
+              |WHERE rf = 'R' AND ls = 'F'
+              |ORDER BY rf, ls""".stripMargin)
+    }),
+
     /** TIME-TRAVEL serve over the versioned manifests
       * ([[graft.operators.AggView.readAsOf]]): build on 3/4 of
       * orders, then append the held-out quarter AND retract the %7
@@ -495,6 +511,16 @@ object OperatorQueries {
         |  CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
         |FROM orders WHERE CAST(o_orderkey AS BIGINT) % 4 <> 0
         |GROUP BY st ORDER BY st""".stripMargin,
+    // the SQL-served view WHERE'd to one (rf, ls) group
+    "q213_aggview_sql" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q207's rollup WHERE'd to the probed group
     "q209_aggview_lookup" ->
       """SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -632,6 +632,23 @@ object SketchQueries {
       VecStats.drift(s, vstatsIdx(s, d), probe, "q").orderBy("dim")
     }),
 
+    /** PURE-SQL serve of the q205 artifact through the registered
+      * `vecstats` source ([[graft.sources.VecStatsSource]]): the
+      * monitoring summary is created and queried with SQL only —
+      * artifact state as a table to a SQL user.
+      */
+    "q214_vecstats_sql" -> ((s, d) => {
+      import graft.operators.VecStats
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = vstatsIdx(s, d)
+      VecStats.buildIfAbsent(emb, "q", "vec_id", idx)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q214_vecstats " +
+        s"USING vecstats OPTIONS (path '$idx')")
+      s.sql("""SELECT dim, n, mean, std FROM graft_q214_vecstats
+              |WHERE dim < 4 ORDER BY dim""".stripMargin)
+    }),
+
     // FILTERED ANN: the q46/q181 IVF search restricted to candidates
     // whose CARRIED metadata (language, joined from documents at
     // build time) matches a predicate — the "top-k among matching
@@ -1864,6 +1881,23 @@ object SketchQueries {
         |  round(abs(bm - cm) /
         |    (CASE WHEN std > 0 THEN std END), 4) AS z
         |FROM m ORDER BY dim""".stripMargin,
+    // the SQL-served summary is the q205 algebra WHERE'd to dim < 4
+    "q214_vecstats_sql" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e AS (SELECT unnest(list_transform(range(1, len(q) + 1),
+        |    i -> {'d': CAST(i - 1 AS INT), 'v': q[CAST(i AS INT)]})) AS s
+        |  FROM q),
+        |c AS (SELECT s.d AS dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s.v) AS BIGINT) AS vs,
+        |    CAST(sum(s.v * s.v) AS BIGINT) AS vs2
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n, round(CAST(vs AS DOUBLE) / n, 4) AS mean,
+        |  round(sqrt(greatest(CAST(vs2 AS DOUBLE) / n -
+        |    (CAST(vs AS DOUBLE) / n) * (CAST(vs AS DOUBLE) / n),
+        |    0)), 4) AS std
+        |FROM c WHERE dim < 4 ORDER BY dim""".stripMargin,
     // build + append + compact converges to the one-shot index state
     "q186_ivf_compacted_ann" -> ivfAnnOracle,
     // the q46 ranking with the tombstoned ids gone from the corpus

@@ -185,6 +185,16 @@ object AggView {
   def versions(path: String): Seq[Long] =
     IndexDirs.listManifestVersions(path)
 
+  /** Manifest-declared key columns, in declaration order — the
+    * routing metadata the SQL serve surface
+    * ([[graft.sources.AggViewSource]]) uses to recognize a
+    * key-complete predicate and route it through [[lookup]]'s
+    * kb-pruned path.
+    */
+  def keys(path: String): Seq[String] =
+    readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path")).keys
+
   /** TIME-TRAVEL serve: the view exactly as it stood at a retained
     * manifest `version` — every commit ([[buildIfAbsent]],
     * [[append]], [[delete]], [[applyBatch]]) is a new version, and
