@@ -35,4 +35,47 @@ object IndexPipeline {
       val batch = df.localCheckpoint(false)
       sinks.foreach(s => s(batch, id))
     }
+
+  /** The artifact's committed batch watermark (the `lastBatch` its
+    * live manifest carries; -1 before any batch) — the public pin a
+    * cross-artifact reader coordinates on.
+    */
+  def lastBatch(path: String): Long =
+    IndexDirs.readManifest(path)
+      .map(_.longOr("lb", -1L)).getOrElse(-1L)
+
+  /** The highest batch id EVERY listed artifact has committed — the
+    * consistent read point of a mid-convergence fleet (an artifact
+    * ahead of it has extra batches applied; one behind defines it).
+    */
+  def commonBatch(paths: Seq[String]): Long = {
+    require(paths.nonEmpty, "commonBatch needs at least one artifact")
+    paths.map(lastBatch).min
+  }
+
+  /** The highest RETAINED manifest version of `path` whose watermark
+    * is ≤ `batchId` — the version a time-travel serve
+    * ([[AggView.readAsOf]], [[VecStats.summaryAsOf]]) pins to read
+    * the artifact as of that batch. Throws when every retained
+    * version is already past the batch (the window closed — fall
+    * back to live reads, or retain more versions).
+    */
+  def versionAt(path: String, batchId: Long): Long =
+    IndexDirs.listManifestVersions(path).reverse.find { v =>
+      IndexDirs.readManifestAt(path, v)
+        .exists(_.longOr("lb", -1L) <= batchId)
+    }.getOrElse(throw new IllegalStateException(
+      s"no retained manifest version of $path at or before batch " +
+        s"$batchId — the consistent-read window has closed"))
+
+  /** One consistent read point for a whole fleet: each artifact's
+    * pinned manifest version at the fleet's COMMON watermark. A
+    * reader joining several artifacts mid-convergence (a crash-replay
+    * window, sinks that simply haven't run yet) serves every artifact
+    * at the same batch id instead of mixing watermarks.
+    */
+  def pinnedVersions(paths: Seq[String]): Map[String, Long] = {
+    val common = commonBatch(paths)
+    paths.map(p => p -> versionAt(p, common)).toMap
+  }
 }

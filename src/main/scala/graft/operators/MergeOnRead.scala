@@ -47,14 +47,17 @@ import org.apache.spark.sql.functions._
   *    Spark's committer inside the staging dir, so it travels with
   *    the rename) — a batch directory whose marker was lost is
   *    invisible;
-  *  - the current manifest is named by `_VERSION`, swapped by temp
-  *    file + [[FileContext]] OVERWRITE rename (atomic on POSIX/HDFS;
-  *    on rename-as-copy object stores front the table with an
-  *    HDFS-class filesystem) — a crash mid-compaction leaves the old
-  *    manifest live and the half-written `ver=V+1` directory
-  *    unreferenced (re-running compaction overwrites it);
+  *  - the manifest is the [[IndexDirs]] versioned sequence
+  *    (`manifest.m<N>.json`, temp + no-overwrite rename, commits
+  *    ANCHORED at the version the operation read — ONE commit
+  *    protocol across the whole persisted-state layer): a crash
+  *    mid-compaction leaves the old manifest live and the
+  *    half-written `ver=` directory unreferenced, a racing
+  *    maintenance run either retries onto fresh state or skips a
+  *    stale fold, and compaction targets are CLAIMED suffixes so two
+  *    racers write disjoint directories;
   *  - folded delta batches and replaced bucket directories are
-  *    deleted only AFTER the `_VERSION` swap (best-effort GC; a crash
+  *    deleted only AFTER the manifest swap (best-effort GC; a crash
   *    between swap and GC leaves garbage, never corruption).
   *
   * Generalizes the reference's immutable snapshot-append discipline
@@ -67,9 +70,14 @@ object MergeOnRead {
   final case class Meta(keyCols: Seq[String], opCol: String,
       seqCol: String, nBuckets: Int)
 
-  final case class Manifest(version: Int, meta: Meta,
+  /** `dataVer` is the DATA generation (the `data/ver=N` directory a
+    * compaction writes); `mv` the [[IndexDirs]] manifest version this
+    * state was read at — the anchor a commit is checked against.
+    */
+  final case class Manifest(dataVer: Int, meta: Meta,
       buckets: Map[Int, Int],   // bucket id -> data ver holding it
-      folded: Set[Int])         // delta batch ids already compacted
+      folded: Set[Int],         // delta batch ids already compacted
+      mv: Long = 0L)
 
   private val Bucket = "__mor_bucket"
 
@@ -79,19 +87,10 @@ object MergeOnRead {
 
   private def fs(dir: String): FileSystem = IndexDirs.fs(dir)
 
-  private def manifestPath(dir: String, v: Int) =
-    new HPath(dir, s"manifest-$v.txt")
-
   private def writeFile(f: FileSystem, p: HPath, body: String): Unit = {
     val out = f.create(p, true)
     try out.write(body.getBytes(UTF_8))
     finally out.close()
-  }
-
-  private def readFile(dir: String, p: HPath): String = {
-    val in = fs(dir).open(p)
-    try new String(in.readAllBytes(), UTF_8)
-    finally in.close()
   }
 
   /** Names of the directories directly under `dir` starting with
@@ -105,31 +104,36 @@ object MergeOnRead {
       .filter(_.startsWith(prefix)).toSeq
   }
 
-  private def writeManifest(dir: String, m: Manifest): Unit = {
-    val f = fs(dir)
-    f.mkdirs(new HPath(dir))
-    val body = new StringBuilder
-    body ++= s"version=${m.version}\n"
-    body ++= s"keys=${m.meta.keyCols.mkString(",")}\n"
-    body ++= s"op=${m.meta.opCol}\nseq=${m.meta.seqCol}\n"
-    body ++= s"nbuckets=${m.meta.nBuckets}\n"
-    body ++= s"folded=${m.folded.toSeq.sorted.mkString(",")}\n"
-    m.buckets.toSeq.sorted.foreach { case (b, v) =>
-      body ++= s"bucket.$b=$v\n" }
-    writeFile(f, manifestPath(dir, m.version), body.toString)
-    // _VERSION pointer swap: temp + atomic OVERWRITE rename (the
-    // IndexDirs manifest-commit primitive)
-    val tmp = f.makeQualified(new HPath(dir,
-      s"._VERSION-${java.util.UUID.randomUUID()}.tmp"))
-    writeFile(f, tmp, m.version.toString)
-    FileContext.getFileContext(tmp.toUri, IndexDirs.hadoopConf)
-      .rename(tmp, f.makeQualified(new HPath(dir, "_VERSION")),
-        Options.Rename.OVERWRITE)
-  }
+  /** Manifest commits ride [[IndexDirs.writeManifestText]]: versioned
+    * `manifest.m<N>.json`, temp + no-overwrite rename, anchored at the
+    * version the operation read (`mf.mv`) — ONE commit protocol across
+    * the whole persisted-state layer (this replaced the table's
+    * original `_VERSION`-pointer scheme).
+    */
+  private def writeManifest(dir: String, m: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("dv", m.dataVer)
+      .put("keys", m.meta.keyCols)
+      .put("op", m.meta.opCol).put("seqc", m.meta.seqCol)
+      .put("nb", m.meta.nBuckets)
+      .put("folded", m.folded.toSeq.sorted.map(_.toString))
+      .put("buckets", m.buckets.toSeq.sorted.map { case (b, v) =>
+        s"$b:$v" })
+      .commit(dir, m.mv)
+
+  private def parseManifest(r: IndexDirs.ManifestReader): Manifest =
+    Manifest(r.int("dv"),
+      Meta(r.seq("keys"), r.str("op"), r.str("seqc"), r.int("nb")),
+      r.seq("buckets").map { s =>
+        val i = s.indexOf(':')
+        s.substring(0, i).toInt -> s.substring(i + 1).toInt
+      }.toMap,
+      r.seq("folded").map(_.toInt).toSet,
+      mv = r.version)
 
   def loadManifest(dir: String): Manifest =
-    loadManifestVersion(dir,
-      readFile(dir, new HPath(dir, "_VERSION")).trim.toInt)
+    IndexDirs.readManifest(dir).map(parseManifest).getOrElse(
+      throw new IllegalStateException(s"no merge-on-read table at $dir"))
 
   /** Buckets actually written under `data/ver=<ver>` (a partitionBy
     * write emits no directory for an empty bucket).
@@ -160,6 +164,11 @@ object MergeOnRead {
       nBuckets: Int = 64): Unit = {
     require(keyCols.nonEmpty, "create needs at least one key column")
     val meta = Meta(keyCols, opCol, seqCol, nBuckets)
+    // a re-create replaces any prior table: manifests first (readers
+    // fall to "no table", never a half-replaced state), then the old
+    // delta stream — stale batches must not leak into the new table
+    IndexDirs.uncommit(dir)
+    IndexDirs.rmTree(s"$dir/delta")
     df.limit(0).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_schema")
     df.withColumn(Bucket, bucketOf(meta))
@@ -362,7 +371,11 @@ object MergeOnRead {
     val m = loadManifest(dir)
     if (pending.isEmpty) return 0
     val touched = pending.flatMap(bucketsIn(dir, _)).distinct.sorted
-    val newVer = m.version + 1
+    // CLAIMED data generation ([[IndexDirs.claimBaseSuffix]]): two
+    // racing compactions write disjoint `data/ver=` dirs — neither
+    // can clobber parquet the other's manifest might commit
+    val newVer = IndexDirs.claimBaseSuffix(dir, "data.ver",
+      m.dataVer + 1)
     val basePaths = touched.flatMap(b =>
       m.buckets.get(b).map(v => s"$dir/data/ver=$v/$Bucket=$b"))
     val base = readData(spark, dir, basePaths, s"$dir/data")
@@ -380,10 +393,25 @@ object MergeOnRead {
     // a touched bucket absent from the new ver went empty (all rows
     // deleted) — drop it from the mapping entirely
     val rewritten = writtenBuckets(dir, newVer).toSet
-    val buckets = (m.buckets -- touched) ++
-      rewritten.map(_ -> newVer)
-    writeManifest(dir, Manifest(newVer, m.meta, buckets,
-      m.folded ++ pending))
+    // anchored commit with retry: appends never write the manifest,
+    // so the only racers are other maintenance runs — a fold whose
+    // snapshot another compaction already folded (or whose base
+    // buckets it rewrote) is STALE and skips; deltas that landed
+    // after our snapshot stay pending for the next read/compact
+    val committed = IndexDirs.commitWithRetry(
+      IndexDirs.readManifest(dir).map(parseManifest),
+      writeManifest(dir, _: Manifest), dir) { have =>
+      val stale = pending.exists(have.folded) ||
+        touched.exists(b => have.buckets.get(b) != m.buckets.get(b))
+      if (stale) None
+      else Some(Manifest(newVer, have.meta,
+        (have.buckets -- touched) ++ rewritten.map(_ -> newVer),
+        have.folded ++ pending, mv = have.mv))
+    }
+    if (committed.isEmpty) { // another maintenance run covered ours
+      IndexDirs.rmTree(s"$dir/data/ver=$newVer")
+      return 0
+    }
     if (gc) {
       // post-swap GC: folded batches + replaced bucket dirs (stream
       // markers outlive their directory via the sidecar)
@@ -397,35 +425,28 @@ object MergeOnRead {
     touched.size
   }
 
-  /** Manifest versions still on disk, oldest first. */
-  def versions(dir: String): Seq[Int] = {
-    val f = fs(dir)
-    val p = new HPath(dir)
-    (if (!f.exists(p)) Array.empty[String]
-     else f.listStatus(p).filter(_.isFile).map(_.getPath.getName))
-      .flatMap { n =>
-        if (n.startsWith("manifest-") && n.endsWith(".txt"))
-          scala.util.Try(
-            n.stripPrefix("manifest-").stripSuffix(".txt").toInt).toOption
-        else None
-      }.toSeq.sorted
-  }
+  /** Retained manifest versions, oldest first — [[IndexDirs]]
+    * versions now (one commit protocol across the persisted-state
+    * layer); `create` commits version 1, each compaction the next.
+    */
+  def versions(dir: String): Seq[Long] =
+    IndexDirs.listManifestVersions(dir)
 
   /** TIME TRAVEL: the table's state AS OF manifest `version` — a
-    * compaction point (every version's manifest is retained; the
-    * data it references survives as long as compaction runs with
-    * `gc = false` and [[vacuum]] keeps the version). Serves the
-    * version's base buckets only: deltas pending at that moment were
-    * by definition not yet part of any committed version, exactly
-    * like an Iceberg/Delta snapshot read. Metadata-only resolution —
-    * no diff replay, no fold; cost identical to a current-state base
-    * read.
+    * compaction point (the last [[IndexDirs.ManifestRetain]] versions
+    * are retained; the data a version references survives as long as
+    * compaction runs with `gc = false` and [[vacuum]] keeps the
+    * version). Serves the version's base buckets only: deltas pending
+    * at that moment were by definition not yet part of any committed
+    * version, exactly like an Iceberg/Delta snapshot read.
+    * Metadata-only resolution — no diff replay, no fold; cost
+    * identical to a current-state base read.
     */
-  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    require(versions(dir).contains(version),
-      s"no manifest for version $version in $dir " +
-        s"(have ${versions(dir).mkString(",")})")
-    val m = loadManifestVersion(dir, version)
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val m = IndexDirs.readManifestAt(dir, version).map(parseManifest)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest for version $version in $dir " +
+          s"(have ${versions(dir).mkString(",")})"))
     val f = fs(dir)
     val basePaths = m.buckets.toSeq.sorted.map { case (b, v) =>
       val p = s"$dir/data/ver=$v/$Bucket=$b"
@@ -435,20 +456,6 @@ object MergeOnRead {
     }
     readData(spark, dir, basePaths, s"$dir/data")
       .drop("ver").drop(Bucket)
-  }
-
-  private def loadManifestVersion(dir: String, v: Int): Manifest = {
-    val kv = readFile(dir, manifestPath(dir, v)).linesIterator
-      .filter(_.contains("=")).map { l =>
-        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-      }.toMap
-    def csv(s: String): Seq[String] =
-      if (s.isEmpty) Seq.empty else s.split(",").toSeq
-    Manifest(v,
-      Meta(csv(kv("keys")), kv("op"), kv("seq"), kv("nbuckets").toInt),
-      kv.collect { case (k, ver) if k.startsWith("bucket.") =>
-        k.stripPrefix("bucket.").toInt -> ver.toInt },
-      csv(kv("folded")).map(_.toInt).toSet)
   }
 
   /** Retention GC: keep the newest `keepVersions` manifests (always
@@ -464,7 +471,8 @@ object MergeOnRead {
     val vs = versions(dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     if (drop.isEmpty) return 0
-    val kept = keep.map(loadManifestVersion(dir, _))
+    val kept = keep.flatMap(v =>
+      IndexDirs.readManifestAt(dir, v).map(parseManifest))
     // .toSeq first: mapping a Map would collapse entries whose
     // swapped pairs share a key (many buckets per version)
     val liveData = kept.flatMap(_.buckets.toSeq.map { case (b, v) =>
@@ -484,7 +492,10 @@ object MergeOnRead {
       preserveStreamMarkers(dir, b)
       IndexDirs.rmTree(s"$dir/delta/batch=$b")
     }
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
+    drop.foreach { v =>
+      f.delete(if (v == 0L) IndexDirs.manifestPath(dir)
+        else IndexDirs.versionedPath(dir, v), false)
+    }
     drop.length
   }
 }

@@ -66,15 +66,16 @@ object VecStats {
       if (baseVer == 0) sub else s"$sub.v$baseVer"
   }
 
+  private def toManifest(r: IndexDirs.ManifestReader): Manifest =
+    Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("vec"),
+      // a pre-bucketing manifest reads ibp=0, which can never match
+      // a requested layout — it rebuilds once, safely
+      r.intOr("ibp", 0),
+      r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
+      mv = r.version)
+
   private def readManifest(path: String): Option[Manifest] =
-    IndexDirs.readManifest(path).map { r =>
-      Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("vec"),
-        // a pre-bucketing manifest reads ibp=0, which can never match
-        // a requested layout — it rebuilds once, safely
-        r.intOr("ibp", 0),
-        r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
-        mv = r.version)
-    }
+    IndexDirs.readManifest(path).map(toManifest)
 
   private def writeManifest(path: String, mf: Manifest): Unit =
     IndexDirs.manifest()
@@ -436,6 +437,37 @@ object VecStats {
   def summary(spark: SparkSession, path: String): DataFrame = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no index at $path"))
+    statsSummary(liveStats(spark, path, mf))
+  }
+
+  /** Committed manifest versions, ascending — the valid arguments to
+    * [[summaryAsOf]].
+    */
+  def versions(path: String): Seq[Long] =
+    IndexDirs.listManifestVersions(path)
+
+  /** TIME-TRAVEL serve: the summary exactly as it stood at a retained
+    * manifest `version` (the [[AggView.readAsOf]] contract — the
+    * window closes when a later compaction/purge GC'd the files the
+    * version lists; then this throws, never serving a silently-wrong
+    * summary). With [[IndexPipeline.pinnedVersions]], a fleet reader
+    * serves every artifact at one common batch watermark.
+    */
+  def summaryAsOf(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val mf = IndexDirs.readManifestAt(path, version).map(toManifest)
+      .getOrElse(throw new IllegalStateException(
+        s"no manifest version $version at $path — retained: " +
+          versions(path).mkString("[", ", ", "]")))
+    val f = IndexDirs.fs(path)
+    val gone = (s"${mf.baseOf("stats")}" +:
+        mf.deltas.map(d => s"deltas/$d"))
+      .filterNot(sub => f.exists(new org.apache.hadoop.fs.Path(path, sub)))
+    require(gone.isEmpty,
+      s"manifest version $version of $path lists " +
+        gone.mkString("[", ", ", "]") + ", garbage-collected by a " +
+        "later compaction/purge — this version's time-travel window " +
+        "has closed")
     statsSummary(liveStats(spark, path, mf))
   }
 

@@ -83,6 +83,55 @@ class IndexPipelineSpec extends AnyFunSuite {
       lmScores(lmWant, corpus(0, 26)))
   }
 
+  test("after a partial crash-replay, the PINNED read serves every " +
+      "artifact at the common batch watermark (= the sequential fold " +
+      "at that batch), never mixing watermarks") {
+    import graft.operators.AggView.Measure
+    val (aggPath, vsPath) = (tmp("pin-agg"), tmp("pin-vs"))
+    import spark.implicits._
+    def facts(from: Int, until: Int) = (from until until).map { i =>
+      (i.toLong, s"g${i % 3}", (i * 7 % 101).toLong,
+        (0 until 4).map(d => ((i * 31 + d * 7) % 201 - 100).toLong))
+    }.toDF("id", "grp", "v", "q")
+    AggView.buildIfAbsent(facts(0, 30), Seq("grp"),
+      Seq(Measure("v_sum", "v")), aggPath, kbParts = 4)
+    VecStats.buildIfAbsent(facts(0, 30), "q", "id", vsPath)
+    val sinks = IndexPipeline.sink(
+      AggView.cdcSink(aggPath), VecStats.cdcSink(vsPath))
+    sinks(facts(30, 40).withColumn("op", lit("I")), 0L)
+    // CRASH SIMULATION: batch 1 reached the AggView only
+    AggView.applyBatch(facts(40, 50).withColumn("op", lit("I")), 1L,
+      aggPath)
+    assert(IndexPipeline.lastBatch(aggPath) == 1L &&
+      IndexPipeline.lastBatch(vsPath) == 0L)
+    // mid-convergence: the fleet's consistent read point is batch 0,
+    // and the pinned serves equal the sequential fold AT batch 0
+    assert(IndexPipeline.commonBatch(Seq(aggPath, vsPath)) == 0L)
+    val pins = IndexPipeline.pinnedVersions(Seq(aggPath, vsPath))
+    val aggAt0 = AggView.readAsOf(spark, aggPath, pins(aggPath))
+      .collect().map(_.toString).toSet
+    val vsAt0 = VecStats.summaryAsOf(spark, vsPath, pins(vsPath))
+      .collect().map(_.toString).toSet
+    val (aggWant, vsWant) = (tmp("pin-agg-w"), tmp("pin-vs-w"))
+    AggView.buildIfAbsent(facts(0, 40), Seq("grp"),
+      Seq(Measure("v_sum", "v")), aggWant, kbParts = 4)
+    VecStats.buildIfAbsent(facts(0, 40), "q", "id", vsWant)
+    assert(aggAt0 == AggView.read(spark, aggWant)
+      .collect().map(_.toString).toSet)
+    assert(vsAt0 == VecStats.summary(spark, vsWant)
+      .collect().map(_.toString).toSet)
+    // the replay lands batch 1 everywhere; the pins advance together
+    sinks(facts(40, 50).withColumn("op", lit("I")), 1L)
+    assert(IndexPipeline.commonBatch(Seq(aggPath, vsPath)) == 1L)
+    val pins1 = IndexPipeline.pinnedVersions(Seq(aggPath, vsPath))
+    assert(AggView.readAsOf(spark, aggPath, pins1(aggPath))
+      .collect().map(_.toString).toSet ==
+      AggView.read(spark, aggPath).collect().map(_.toString).toSet)
+    assert(VecStats.summaryAsOf(spark, vsPath, pins1(vsPath))
+      .collect().map(_.toString).toSet ==
+      VecStats.summary(spark, vsPath).collect().map(_.toString).toSet)
+  }
+
   test("a live mixed CDC stream maintains three artifacts through one " +
       "foreachBatch pipeline") {
     implicit val sqlCtx = spark.sqlContext

@@ -280,12 +280,14 @@ class MorSpec extends AnyFunSuite {
     MergeOnRead.append(ch(Seq(
       (1L, "u2", 222L, "U", 1L), (100L, "new", 1000L, "I", 1L))), dir)
     MergeOnRead.compact(spark, dir, gc = false)
-    assert(MergeOnRead.versions(dir) == Seq(0, 1, 2))
+    // IndexDirs manifest versions: create commits 1, each compaction
+    // the next (one commit protocol across the persisted-state layer)
+    assert(MergeOnRead.versions(dir) == Seq(1L, 2L, 3L))
 
-    def at(v: Int): Map[Long, (String, Long)] =
+    def at(v: Long): Map[Long, (String, Long)] =
       MergeOnRead.readAt(spark, dir, v).collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-    val v0 = at(0); val v1 = at(1); val v2 = at(2)
+    val v0 = at(1); val v1 = at(2); val v2 = at(3)
     assert(v0(1L) == (("v1", 10L)) && v0.contains(2L) && v0.size == 20)
     assert(v1(1L) == (("u1", 111L)) && !v1.contains(2L) && v1.size == 19)
     assert(v2(1L) == (("u2", 222L)) && v2(100L) == (("new", 1000L)) &&
@@ -293,12 +295,13 @@ class MorSpec extends AnyFunSuite {
     // current read agrees with the newest version (no pending deltas)
     assert(state(dir) == v2)
 
-    // vacuum to the last two versions: v0 gone, v1/v2 intact
+    // vacuum to the last two versions: the create point gone,
+    // both compaction points intact
     assert(MergeOnRead.vacuum(dir, keepVersions = 2) == 1)
-    assert(MergeOnRead.versions(dir) == Seq(1, 2))
-    assert(at(1) == v1 && at(2) == v2)
+    assert(MergeOnRead.versions(dir) == Seq(2L, 3L))
+    assert(at(2) == v1 && at(3) == v2)
     intercept[IllegalArgumentException] {
-      MergeOnRead.readAt(spark, dir, 0) }
+      MergeOnRead.readAt(spark, dir, 1) }
     // and a pending (unfolded) delta still reads after vacuum
     MergeOnRead.append(ch(Seq((3L, "p", 3L, "U", 1L))), dir)
     assert(state(dir)(3L) == (("p", 3L)))
