@@ -317,6 +317,24 @@ object ExtensionQueries {
         .orderBy("qid", "doc_id")
     }),
 
+    /** PURE-SQL retrieval over the q199 artifact through the
+      * registered `bm25` source ([[graft.sources.Bm25Source]]): the
+      * query-term set parameterizes the view, the serve plan is
+      * [[graft.operators.Bm25Index.score]]'s (term-pruned postings,
+      * dlb-pruned ledger, manifest stats) — q82's oracle verbatim.
+      */
+    "q215_bm25_sql" -> ((s, d) => {
+      import graft.operators.Bm25Index
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-bmidx-${Integer.toHexString(d.hashCode)}").toString
+      Bm25Index.buildIfAbsent(Tables.documents(s, d), "text", "doc_id",
+        idx)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q215_hits " +
+        s"USING bm25 OPTIONS (path '$idx', terms 'spark,join,window')")
+      s.sql("SELECT doc_id, bm25 FROM graft_q215_hits ORDER BY doc_id")
+    }),
+
     "q201_bm25_deleted" -> ((s, d) => {
       import graft.operators.Bm25Index
       val docs = Tables.documents(s, d)
@@ -1007,6 +1025,8 @@ object ExtensionQueries {
     // identical postings served from the persisted inverted index —
     // q82's oracle verbatim (q200 composes them by append+compact)
     "q199_bm25_persisted" -> bm25Oracle(""),
+    // the SQL-served view scores the same terms over the same index
+    "q215_bm25_sql" -> bm25Oracle(""),
     "q200_bm25_appended" -> bm25Oracle(""),
     // delete+purge leaves the even-doc index: the oracle recomputes
     // BM25 over the survivor corpus (N, avgdl, df shift with it)

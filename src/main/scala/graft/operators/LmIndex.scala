@@ -57,7 +57,7 @@ object LmIndex {
 
   private case class Manifest(fp: Long, n: Long, id: String,
       text: String, lv: Int = LayoutVersion, gbParts: Int = 0,
-      st: Long = 0L, deltas: Seq[String] = Nil,
+      ibp: Int = 0, st: Long = 0L, deltas: Seq[String] = Nil,
       lastBatch: Long = -1L, baseVer: Int = 0, mv: Long = 0L) {
     /** st (the live token total) is derived state like the delta
       * list — it never gates reuse; gbParts IS layout (a different
@@ -77,9 +77,9 @@ object LmIndex {
     IndexDirs.readManifest(path).map { r =>
       Manifest(r.long("fp"), r.long("n"), r.str("id"), r.str("text"),
         r.intOr("lv", 0),
-        // a pre-bucketing manifest reads gb=0, which can never match
-        // a requested layout — it rebuilds once, safely
-        r.intOr("gb", 0), r.longOr("st", 0L),
+        // pre-bucketing manifests read gb=0/ibp=0, which can never
+        // match a requested layout — they rebuild once, safely
+        r.intOr("gb", 0), r.intOr("ibp", 0), r.longOr("st", 0L),
         r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
         mv = r.version)
     }
@@ -88,7 +88,8 @@ object LmIndex {
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n)
       .put("id", mf.id).put("text", mf.text)
-      .put("lv", mf.lv).put("gb", mf.gbParts).put("st", mf.st)
+      .put("lv", mf.lv).put("gb", mf.gbParts).put("ibp", mf.ibp)
+      .put("st", mf.st)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("deltas", mf.deltas)
       .commit(path, mf.mv)
@@ -100,6 +101,9 @@ object LmIndex {
   // gb=0 partition instead of a null-partition write
   private def gbCol(key: org.apache.spark.sql.Column, mf: Manifest) =
     pmod(xxhash64(key), lit(math.max(mf.gbParts, 1))).cast("int")
+
+  private def ibCol(id: org.apache.spark.sql.Column, mf: Manifest) =
+    pmod(xxhash64(id), lit(math.max(mf.ibp, 1))).cast("int")
 
   /** Write the four tables of `docs` (scaled by `sign` — deletes
     * stage the SAME rows with negated counts) under `root`, each
@@ -125,7 +129,9 @@ object LmIndex {
     docs.select(col(idCol),
         xxhash64(col(idCol), col(textCol)).as("__ch"),
         lit(sign).as("__lw"))
-      .write.mode("overwrite").parquet(s"$root/ids")
+      .withColumn("ib", ibCol(col(idCol), mf))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$root/ids")
     // the signed total reads back the just-written (columnar, tiny)
     // unigram table instead of re-tokenizing the docs a 5th time
     spark.read.parquet(s"$root/uni")
@@ -154,15 +160,46 @@ object LmIndex {
 
   /** Live `(id, __ch)` ledger rows — weight-cancelled per (id,
     * contentHash), so a delete + re-append with new text leaves
-    * exactly the new pair live.
+    * exactly the new pair live. Each root PRUNED to `parts` ib
+    * partitions when given (legacy unbucketed roots read whole —
+    * correct, just unpruned).
     */
-  private def liveIds(spark: SparkSession, path: String,
-      mf: Manifest): DataFrame = {
+  private def liveIds(spark: SparkSession, path: String, mf: Manifest,
+      parts: Option[Seq[Int]] = None): DataFrame = {
     val roots = s"$path/${mf.baseOf("ids")}" +:
       mf.deltas.map(d => s"$path/deltas/$d/ids")
-    roots.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    roots.map { r =>
+        val df = spark.read.parquet(r)
+        val pruned =
+          if (parts.isDefined && df.columns.contains("ib"))
+            df.filter(col("ib").isin(parts.get.map(Int.box): _*))
+          else df
+        pruned.select(col(mf.id), col("__ch"), col("__lw"))
+      }.reduce(_.unionByName(_))
       .groupBy(mf.id, "__ch").agg(sum(col("__lw")).as("__lw"))
       .filter(col("__lw") > 0).select(col(mf.id), col("__ch"))
+  }
+
+  /** The ledger read every append/delete guard runs: pruned to the
+    * probe ids' own ib buckets (O(delta buckets), never the whole
+    * corpus ledger) — an id not present anywhere cannot hide outside
+    * its hash bucket, so the prune never weakens the guard.
+    * Package-visible so the spec pins the pruned scan in the plan.
+    */
+  private[operators] def liveIdsForProbe(spark: SparkSession,
+      path: String, probeIds: DataFrame): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+    liveIdsPruned(spark, path, mf, probeIds)
+  }
+
+  private def liveIdsPruned(spark: SparkSession, path: String,
+      mf: Manifest, probeIds: DataFrame): DataFrame = {
+    val parts =
+      if (mf.ibp == 0) None
+      else Some(probeIds.select(ibCol(col(mf.id), mf).as("ib"))
+        .distinct().collect().map(_.getInt(0)).toSeq)
+    liveIds(spark, path, mf, parts)
   }
 
   /** The manifest-visible aggregated count tables, ready for
@@ -229,9 +266,10 @@ object LmIndex {
     * on reuse.
     */
   def buildIfAbsent(train: DataFrame, textCol: String, idCol: String,
-      path: String, gbParts: Int = 16): Build = {
+      path: String, gbParts: Int = 16, ibParts: Int = 16): Build = {
     val (fp, n) = fingerprint(train, idCol, textCol)
-    val want = Manifest(fp, n, idCol, textCol, gbParts = gbParts)
+    val want = Manifest(fp, n, idCol, textCol, gbParts = gbParts,
+      ibp = ibParts)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
@@ -277,9 +315,9 @@ object LmIndex {
       if (batchMark.exists(_ <= have.lastBatch)) None
       else {
         if (checkDisjoint) { // re-checked per attempt: a concurrent
-          val dupes = liveIds(spark, path, have) // overlapping append
+          val dupes = liveIdsPruned(spark, path, have, probeIds)
             .join(broadcast(probeIds), Seq(have.id), "left_semi")
-            .count()                             // must flip to refuse
+            .count()     // overlapping append must flip to refuse
           require(dupes == 0,
             s"append delta shares $dupes live id(s) with the LM at " +
               s"$path — re-training a doc double-counts its grams " +
@@ -322,7 +360,7 @@ object LmIndex {
     // manifest the attempt anchors at (a concurrent delete of the
     // same ids must flip this from pass to refuse on retry)
     def presentOk(have: Manifest): Unit = if (checkPresent) {
-      val r = liveIds(spark, path, have)
+      val r = liveIdsPruned(spark, path, have, probe)
         .join(broadcast(probe), Seq(have.id))
         .agg(count(lit(1)).as("live"),
           coalesce(sum(when(col("__ch") === col("__pch"), 1L)
@@ -442,11 +480,15 @@ object LmIndex {
         .parquet(s"$path/deltas/$staged/$sub")
     }
     // the ids ledger cancels per (id, contentHash) pair
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids"))
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids")
+        .select(col(decl.id), col("__ch"), col("__lw")))
       .reduce(_.unionByName(_))
       .groupBy(decl.id, "__ch").agg(sum(col("__lw")).as("__lw"))
       .filter(col("__lw") =!= 0)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/ids")
+      .withColumn("ib", ibCol(col(decl.id), decl))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib")
+      .parquet(s"$path/deltas/$staged/ids")
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       // deltas that landed after our fold survive (count algebra is
@@ -491,7 +533,10 @@ object LmIndex {
     }
     val live = liveIds(spark, path, decl).localCheckpoint(false)
     live.withColumn("__lw", lit(1))
-      .write.mode("overwrite").parquet(s"$path/ids.v$nextVer")
+      .withColumn("ib", ibCol(col(decl.id), decl))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib")
+      .parquet(s"$path/ids.v$nextVer")
     beforeCommit()
     try IndexDirs.commitWithRetry(readManifest(path),
       writeManifest(path, _: Manifest), path) { have =>

@@ -8,7 +8,7 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
   StringType, StructType}
 
-import graft.operators.{AggView, VecStats}
+import graft.operators.{AggView, Bm25Index, VecStats}
 
 /** SQL serve surface for the persisted analytics artifacts: the
   * Scala-API serve paths ([[AggView.read]]/[[AggView.lookup]],
@@ -154,4 +154,42 @@ class VecStatsRelation(spark: SparkSession, path: String)
       .select(requiredColumns.map(col).toIndexedSeq: _*)
     df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
+}
+
+/** `CREATE TEMPORARY VIEW hits USING bm25 OPTIONS (path …,
+  * terms 'spark,join'[, k1 '1.2'][, b '0.75'])` — the
+  * [[Bm25Index.score]] retrieval serve (reads |terms| tb partitions
+  * + the candidates' dlb buckets; N/avgdl from the manifest) as a
+  * SQL-queryable source: a parameterized view over artifact state,
+  * one per query-term set.
+  */
+class Bm25Source extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "bm25"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("bm25 requires a path"))
+    val terms = parameters.getOrElse("terms",
+      throw new IllegalArgumentException(
+        "bm25 requires terms (comma-separated query terms)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    new Bm25ScoreRelation(ctx.sparkSession, path, terms,
+      parameters.getOrElse("k1", "1.2").toDouble,
+      parameters.getOrElse("b", "0.75").toDouble)
+  }
+}
+
+class Bm25ScoreRelation(spark: SparkSession, path: String,
+    terms: Seq[String], k1: Double, b: Double)
+    extends BaseRelation with PrunedFilteredScan {
+  private def scored = Bm25Index.score(spark, path, terms, k1, b)
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = scored.schema
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    scored.select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }

@@ -146,4 +146,30 @@ class LmIndexSpec extends AnyFunSuite {
     assert(replay.reused && replay.fingerprint == b.fingerprint)
     assert(!LmIndex.appendBatch(corpus(35, 40), 1L, path).reused)
   }
+
+  test("the append/delete guard's ledger read is PRUNED to the probe " +
+      "ids' ib partitions — never the whole corpus ledger") {
+    import org.apache.spark.sql.functions._
+    val path = tmp("lmidx-prune")
+    LmIndex.buildIfAbsent(corpus(0, 30), "text", "doc_id", path,
+      gbParts = 4, ibParts = 8)
+    LmIndex.append(corpus(30, 40), path) // a delta root prunes too
+    val probe = corpus(0, 3).select(col("doc_id"))
+    val guard = LmIndex.liveIdsForProbe(spark, path, probe)
+    // the pruned read still proves liveness for every probed id
+    assert(guard.join(broadcast(probe), Seq("doc_id"), "left_semi")
+      .count() == 3)
+    // the probe's id-hash buckets must reach BOTH ledger scans (base
+    // and delta) as STATIC ib partition filters
+    val plan = guard.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ib".r.findAllIn(plan).size >= 2,
+      s"expected ib partition filters on both ledger reads in:\n$plan")
+    // and the guards stay exact on the bucketed layout
+    intercept[IllegalArgumentException] {
+      LmIndex.append(corpus(35, 45), path)
+    }
+    val stale = corpus(10, 12).withColumn("text", lit("edited body"))
+    intercept[IllegalArgumentException] { LmIndex.delete(stale, path) }
+    assert(!LmIndex.delete(corpus(10, 12), path).reused)
+  }
 }

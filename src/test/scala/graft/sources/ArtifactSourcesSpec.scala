@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 
 import graft.SparkTestSession
-import graft.operators.{AggView, VecStats}
+import graft.operators.{AggView, Bm25Index, VecStats}
 import graft.operators.AggView.Measure
 
 /** The SQL serve surface over the persisted artifacts: a pure-SQL
@@ -83,6 +83,29 @@ class ArtifactSourcesSpec extends AnyFunSuite {
       Seq[Filter](EqualTo("grp", "g1")))
     assert(!full.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
+  }
+
+  test("CREATE TEMPORARY VIEW ... USING bm25 serves term-parameterized " +
+      "retrieval from pure SQL, equal to the Scala score path") {
+    import spark.implicits._
+    val path = tmp("bmsrc")
+    val docs = (0 until 40).map(i => (i.toLong,
+      s"doc $i alpha word${i % 7} beta token${i % 11} gamma"))
+      .toDF("doc_id", "text")
+    Bm25Index.buildIfAbsent(docs, "text", "doc_id", path,
+      tbParts = 8, dlParts = 4)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_bmsrc " +
+      s"USING bm25 OPTIONS (path '$path', terms 'alpha,word1,token3')")
+    assert(rowsOf(spark.sql(
+        "SELECT doc_id, bm25 FROM graft_bmsrc")) ==
+      rowsOf(Bm25Index.score(spark, path,
+        Seq("alpha", "word1", "token3"))))
+    // k1/b options change the scores the way the Scala API does
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_bmsrc_k " +
+      s"USING bm25 OPTIONS (path '$path', terms 'alpha', " +
+      "k1 '2.0', b '0.5')")
+    assert(rowsOf(spark.sql("SELECT doc_id, bm25 FROM graft_bmsrc_k")) ==
+      rowsOf(Bm25Index.score(spark, path, Seq("alpha"), 2.0, 0.5)))
   }
 
   test("spark.read.format(vecstats) serves the monitoring summary " +
