@@ -307,6 +307,35 @@ class MorSpec extends AnyFunSuite {
     assert(state(dir)(3L) == (("p", 3L)))
   }
 
+  test("a STALE compaction (its snapshot already folded by another " +
+      "run) skips, GCs its claimed data generation, and loses nothing") {
+    val dir = tmp()
+    MergeOnRead.create(base(8), dir, Seq("k"), nBuckets = 4)
+    MergeOnRead.append(ch(Seq((1L, "u1", 11L, "U", 1L))), dir) // batch 0
+    MergeOnRead.append(ch(Seq((2L, "", 0L, "D", 1L))), dir)    // batch 1
+    val want = state(dir)
+    // compaction A folds snapshot [0, 1]; gc=false keeps the batch
+    // dirs so a racer anchored at the same snapshot can still run
+    assert(MergeOnRead.compactBatches(spark, dir, Seq(0, 1),
+      gc = false) > 0)
+    assert(state(dir) == want)
+    val versionsAfterA = MergeOnRead.versions(dir)
+    def dataGens() = Option(local(s"$dir/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    val gensAfterA = dataGens()
+    // compaction B anchored at the SAME (now stale) snapshot: the
+    // commit guard sees its batches already folded, skips the commit,
+    // and removes the generation it claimed — no double fold, no
+    // manifest version burned, no orphan directory
+    assert(MergeOnRead.compactBatches(spark, dir, Seq(0, 1)) == 0)
+    assert(state(dir) == want)
+    assert(MergeOnRead.versions(dir) == versionsAfterA)
+    assert(dataGens() == gensAfterA)
+    // the table keeps working
+    MergeOnRead.append(ch(Seq((3L, "u3", 33L, "U", 1L))), dir)
+    assert(state(dir)(3L) == (("u3", 33L)))
+  }
+
   test("empty change set: compact is a no-op, read is the base") {
     val dir = tmp()
     MergeOnRead.create(base(5), dir, Seq("k"), nBuckets = 2)
