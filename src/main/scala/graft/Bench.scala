@@ -117,7 +117,9 @@ object Bench {
       "q206_vecstats_drift", "q207_aggview", "q208_aggview_cdc",
       "q209_aggview_lookup", "q210_bpe_persisted",
       "q211_aggview_asof", "q212_aggview_diff",
-      "q213_aggview_sql", "q214_vecstats_sql", "q215_bm25_sql")
+      "q213_aggview_sql", "q214_vecstats_sql", "q215_bm25_sql",
+      "q216_ann_sql", "q217_dedup_screen_sql", "q218_lm_sql",
+      "q219_mor_sql")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

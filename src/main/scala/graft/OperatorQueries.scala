@@ -312,6 +312,50 @@ object OperatorQueries {
         .orderBy("st")
     }),
 
+    /** PURE-SQL serve of a [[graft.operators.MergeOnRead]] table
+      * through the registered `mor` source
+      * ([[graft.sources.MorSource]]): one lifecycle (create, one
+      * mixed update/delete batch), then BOTH read shapes from SQL in
+      * one query — the live view (base + pending deltas folded) and
+      * the `version`-optioned time travel to the as-created manifest
+      * (base buckets only, metadata-resolved). A delete outranking a
+      * same-batch update by seq, an update leaking into the asof leg,
+      * or a fold miss all land in the hash.
+      */
+    "q219_mor_sql" -> ((s, d) => {
+      import graft.operators.MergeOnRead
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = lifecycleDir("q219", d) + "/tbl"
+      MergeOnRead.create(t.filter(col("k") % 4 =!= 0), dir, Seq("k"),
+        nBuckets = 8)
+      val v1 = MergeOnRead.versions(dir).max
+      val base = t.filter(col("k") % 4 =!= 0)
+      // seq 2 deletes outrank the seq 1 updates where both touch a key
+      MergeOnRead.append(
+        base.filter(col("k") % 7 === 0)
+            .withColumn("cents", col("cents") + 100000)
+            .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+          .unionByName(base.filter(col("k") % 5 === 0)
+            .withColumn("op", lit("D")).withColumn("seq", lit(2L))),
+        dir)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q219_live " +
+        s"USING mor OPTIONS (path '$dir')")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q219_asof " +
+        s"USING mor OPTIONS (path '$dir', version '$v1')")
+      s.sql("""SELECT src, st, count(*) AS n,
+              |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+              |  CAST(sum(k) AS BIGINT) AS sum_keys
+              |FROM (SELECT 'live' AS src, k, st, cents
+              |        FROM graft_q219_live
+              |      UNION ALL
+              |      SELECT 'asof' AS src, k, st, cents
+              |        FROM graft_q219_asof)
+              |GROUP BY src, st ORDER BY src, st""".stripMargin)
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -666,6 +710,24 @@ object OperatorQueries {
         |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT)
         |    AS sum_cents, CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM f GROUP BY st ORDER BY st""".stripMargin,
+    // live = base with the seq-2 deletes applied and the surviving
+    // seq-1 updates folded; asof = the as-created base, untouched
+    "q219_mor_sql" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT k, st, cents FROM t WHERE k % 4 <> 0),
+        |live AS (SELECT k, st,
+        |    CASE WHEN k % 7 = 0 THEN cents + 100000 ELSE cents END
+        |      AS cents
+        |  FROM base WHERE k % 5 <> 0),
+        |u AS (SELECT 'live' AS src, * FROM live
+        |  UNION ALL SELECT 'asof' AS src, * FROM base)
+        |SELECT src, st, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM u GROUP BY src, st ORDER BY src, st""".stripMargin,
     // both engines build the same decomposed string and run their
     // OWN normalizer — the Unicode tables are what the hash compares
     "q174_unicode_norm" ->

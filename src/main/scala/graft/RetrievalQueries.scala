@@ -216,6 +216,30 @@ object RetrievalQueries {
         .orderBy("doc_id")
     }),
 
+    /** PURE-SQL serve of the q196 LM artifact through the registered
+      * `lmindex` source ([[graft.sources.LmIndexSource]]): the docs
+      * to score are a SQL view, the scoring view is parameterized
+      * over it, and the serve rides [[LmIndex.scoreBatch]] — each
+      * count-table read pruned to the batch's own gram buckets, the
+      * token total from the manifest. Scores equal [[LmIndex.score]]
+      * exactly, so q93/q196's oracle verbatim.
+      */
+    "q218_lm_sql" -> ((s, d) => {
+      import graft.operators.LmIndex
+      val docs = documents(s, d)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-lmidx-${Integer.toHexString(d.hashCode)}").toString
+      LmIndex.buildIfAbsent(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", idx)
+      docs.filter(col("doc_id") < 200)
+        .createOrReplaceTempView("graft_q218_docs")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q218_scored " +
+        s"USING lmindex OPTIONS (path '$idx', " +
+        "docsView 'graft_q218_docs')")
+      s.sql("SELECT * FROM graft_q218_scored ORDER BY doc_id")
+    }),
+
     // n-gram counts are PURE SUMS, so the LM artifact extends by
     // O(delta) count appends: train on doc_id%4==0, append %4==2 —
     // the union is q93's even-doc train set, so counts, scores, and
@@ -660,6 +684,8 @@ object RetrievalQueries {
     // identical counts served from the persisted artifact — q93's
     // oracle verbatim (q197 composes them by append, q198 by delete)
     "q196_lm_persisted" -> trigramLmOracle,
+    // the same artifact served through the registered SQL source
+    "q218_lm_sql" -> trigramLmOracle,
     "q197_lm_appended" -> trigramLmOracle,
     "q198_lm_deleted" -> trigramLmOracle,
     "q95_bpe_merges" ->

@@ -470,6 +470,56 @@ object SketchQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    /** PURE-SQL serve of the q181 index through the registered
+      * `annindex` source ([[graft.sources.AnnIndexSource]]): the
+      * probe rows are staged as a SQL view, the search view is
+      * parameterized over it with OPTIONS, and the result is
+      * SELECTed — same searchInt plan (probed-bucket partition reads,
+      * broadcast probe), same oracle. A SQL user runs ANN retrieval
+      * against the persisted index without a line of Scala.
+      */
+    "q216_ann_sql" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-annindex-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildIfAbsent(emb, "q", "vec_id", IvfCentroids, idx)
+      emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("q"))
+        .createOrReplaceTempView("graft_q216_probes")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q216_hits " +
+        s"USING annindex OPTIONS (path '$idx', " +
+        "probeView 'graft_q216_probes', nprobe '2', k '3')")
+      s.sql("""SELECT probe_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+              |FROM graft_q216_hits
+              |ORDER BY probe_id, rank""".stripMargin)
+    }),
+
+    /** PURE-SQL serve of the q204 ingest screen through the
+      * registered `dedupindex` source
+      * ([[graft.sources.DedupIndexSource]]): the probe batch is a SQL
+      * view, the combined exact+near screen a parameterized view over
+      * it — the persisted digest/band/signature tables answer from
+      * SQL with no re-shingling. Same probes, same oracle as q204.
+      */
+    "q217_dedup_screen_sql" -> ((s, d) => {
+      Tables.documents(s, d).filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" xnovel")))
+            .otherwise(col("text")).as("text"))
+        .createOrReplaceTempView("graft_q217_probes")
+      val idx = dedupIdx(s, d)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q217_flagged " +
+        s"USING dedupindex OPTIONS (path '$idx', " +
+        "probeView 'graft_q217_probes', thresholdTenths '5')")
+      s.sql("""SELECT new_id, corpus_id, kind, matches, est_jaccard
+              |FROM graft_q217_flagged
+              |ORDER BY new_id, corpus_id, kind""".stripMargin)
+    }),
+
     // Embedding-cosine near-duplicate pairs via shared sign-LSH
     // bucket + cosine threshold (integer-exact bucket + dot
     // products), through the production operator — which exact-dedups
@@ -1787,6 +1837,8 @@ object SketchQueries {
     "q46_ivf_ann" -> ivfAnnOracle,
     // identical math served from the persisted index — same oracle
     "q181_ivf_persisted_ann" -> ivfAnnOracle,
+    // ...and the same serve through the registered SQL source
+    "q216_ann_sql" -> ivfAnnOracle,
     // filtered ANN: the candidate side carries the lang restriction
     "q189_filtered_ann" -> ivfAnnOracleSql(
       "JOIN documents d ON d.doc_id = c.vec_id AND d.lang = 'en'"),
@@ -1932,6 +1984,8 @@ object SketchQueries {
     // combined screen: exact (digest) ∪ near (banded minhash) with
     // exact pairs reported once, under the stronger label
     "q204_dedup_index_screen" -> dedupScreenOracleSql,
+    // the same screen through the registered SQL source
+    "q217_dedup_screen_sql" -> dedupScreenOracleSql,
     // replays the q79 fixture arithmetically: dHash cells over the
     // 72×32 image are exactly the 8×8-uniform block values (cell
     // width 8 px = one block column, cell height 4 px = half a block

@@ -466,3 +466,36 @@ private[operators] object IndexDirs {
 
   def manifest(): ManifestWriter = new ManifestWriter
 }
+
+/** PUBLIC observability facade over the (package-private) control
+  * plane: the retained manifest versions of any
+  * [[IndexDirs]]-managed artifact, with the fields every family
+  * shares surfaced typed and the manifest JSON verbatim for
+  * family-specific ones. Read-only — the commit protocol stays
+  * sealed inside the operators package. Backs the `indexmeta` SQL
+  * source ([[graft.sources.IndexMetaSource]]).
+  */
+object ArtifactMeta {
+  /** One retained manifest version. `baseVer`/`lastBatch` are -1
+    * where a family doesn't carry the field (e.g. AnnIndex tracks
+    * per-sub base names, not one `bv`).
+    */
+  final case class VersionMeta(version: Long, live: Boolean,
+      baseVer: Long, lastBatch: Long, nDeltas: Long,
+      manifestJson: String)
+
+  /** Metadata rows, oldest version first — ≤ ManifestRetain rows by
+    * construction; resolved fresh per call.
+    */
+  def versions(path: String): Seq[VersionMeta] = {
+    val vs = IndexDirs.listManifestVersions(path)
+    val live = vs.lastOption.getOrElse(0L)
+    vs.flatMap { v =>
+      IndexDirs.readManifestTextAt(path, v).map { txt =>
+        val r = IndexDirs.readManifestAt(path, v).get
+        VersionMeta(v, v == live, r.longOr("bv", -1L),
+          r.longOr("lb", -1L), r.seq("deltas").length.toLong, txt)
+      }
+    }
+  }
+}

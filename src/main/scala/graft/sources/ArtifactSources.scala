@@ -8,7 +8,8 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
   StringType, StructType}
 
-import graft.operators.{AggView, Bm25Index, VecStats}
+import graft.operators.{AggView, AnnIndex, Bm25Index, DedupIndex,
+  LmIndex, MergeOnRead, VecStats}
 
 /** SQL serve surface for the persisted analytics artifacts: the
   * Scala-API serve paths ([[AggView.read]]/[[AggView.lookup]],
@@ -141,19 +142,31 @@ class VecStatsSource extends RelationProvider with DataSourceRegister {
   }
 }
 
-class VecStatsRelation(spark: SparkSession, path: String)
+/** Shared scaffold for the thin serve relations: the subclass names
+  * the inner DataFrame (the SAME plan the Scala API serves) and the
+  * scaffold handles schema, column pruning (projecting the inner
+  * plan, so Catalyst prunes the scans underneath), `InternalRow`
+  * handover, and the all-filters-unhandled contract (the engine
+  * re-evaluates every predicate above the scan — source routing is a
+  * prune, never a correctness dependency).
+  */
+abstract class InnerPlanRelation(spark: SparkSession)
     extends BaseRelation with PrunedFilteredScan {
+  protected def inner: DataFrame
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = VecStats.summary(spark, path).schema
+  override val schema: StructType = inner.schema
   override def needConversion: Boolean = false
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
   override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] = {
-    val df = VecStats.summary(spark, path)
-      .select(requiredColumns.map(col).toIndexedSeq: _*)
-    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
-  }
+      filters: Array[Filter]): RDD[Row] =
+    inner.select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+class VecStatsRelation(spark: SparkSession, path: String)
+    extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame = VecStats.summary(spark, path)
 }
 
 /** `CREATE TEMPORARY VIEW hits USING bm25 OPTIONS (path …,
@@ -181,15 +194,163 @@ class Bm25Source extends RelationProvider with DataSourceRegister {
 
 class Bm25ScoreRelation(spark: SparkSession, path: String,
     terms: Seq[String], k1: Double, b: Double)
-    extends BaseRelation with PrunedFilteredScan {
-  private def scored = Bm25Index.score(spark, path, terms, k1, b)
-  override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = scored.schema
-  override def needConversion: Boolean = false
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[Filter]): RDD[Row] =
-    scored.select(requiredColumns.map(col).toIndexedSeq: _*)
-      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame =
+    Bm25Index.score(spark, path, terms, k1, b)
+}
+
+/** Option plumbing shared by the probe-parameterized sources: the
+  * probe/doc rows come from ANY registered SQL view or table, named
+  * by option — `spark.table(name)` resolves it at scan time, so the
+  * whole flow (stage a probe view, parameterize the serve over it,
+  * select) stays in SQL:
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW probes AS SELECT ... ;
+  *   CREATE TEMPORARY VIEW hits USING annindex
+  *     OPTIONS (path '/idx/ann', probeView 'probes', k '3');
+  * }}}
+  */
+private[sources] object ServeOptions {
+  def required(parameters: Map[String, String], fmt: String,
+      key: String): String =
+    parameters.getOrElse(key.toLowerCase,
+      throw new IllegalArgumentException(s"$fmt requires $key"))
+}
+
+/** `CREATE TEMPORARY VIEW hits USING annindex OPTIONS (path …,
+  * probeView …[, probeId 'probe_id'][, probeVec 'q'][, nprobe '1']
+  * [, k '10'])` — the [[AnnIndex.searchInt]] IVF serve (reads ONLY
+  * the probed bucket partitions of the persisted assignment) as a
+  * probe-parameterized SQL view. Output:
+  * `(probe_id, vec_id, sim, rank)`.
+  */
+class AnnIndexSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "annindex"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new AnnSearchRelation(ctx.sparkSession,
+      ServeOptions.required(parameters, "annindex", "path"),
+      ServeOptions.required(parameters, "annindex", "probeView"),
+      parameters.getOrElse("probeid", "probe_id"),
+      parameters.getOrElse("probevec", "q"),
+      parameters.getOrElse("nprobe", "1").toInt,
+      parameters.getOrElse("k", "10").toInt)
+}
+
+class AnnSearchRelation(spark: SparkSession, path: String,
+    probeView: String, probeId: String, probeVec: String,
+    nprobe: Int, k: Int) extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame =
+    AnnIndex.searchInt(spark, path, spark.table(probeView),
+      probeId, probeVec, nprobe, k)
+}
+
+/** `CREATE TEMPORARY VIEW flagged USING dedupindex OPTIONS (path …,
+  * probeView …[, probeText 'text'][, probeId 'doc_id']
+  * [, thresholdTenths '5'])` — the [[DedupIndex.screen]] combined
+  * exact+near ingest screen (probe digests against the persisted
+  * digest ledger, probe signatures against the persisted band keys;
+  * the corpus is never re-shingled) as a probe-parameterized SQL
+  * view. Output: `(new_id, corpus_id, kind, matches, est_jaccard)`.
+  */
+class DedupIndexSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "dedupindex"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new DedupScreenRelation(ctx.sparkSession,
+      ServeOptions.required(parameters, "dedupindex", "path"),
+      ServeOptions.required(parameters, "dedupindex", "probeView"),
+      parameters.getOrElse("probetext", "text"),
+      parameters.getOrElse("probeid", "doc_id"),
+      parameters.getOrElse("thresholdtenths", "5").toInt)
+}
+
+class DedupScreenRelation(spark: SparkSession, path: String,
+    probeView: String, probeText: String, probeId: String,
+    thresholdTenths: Int) extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame =
+    DedupIndex.screen(spark, path, spark.table(probeView),
+      probeText, probeId, thresholdTenths)
+}
+
+/** `CREATE TEMPORARY VIEW scored USING lmindex OPTIONS (path …,
+  * docsView …[, docId 'doc_id'][, docText 'text'][, alpha '0.4'])` —
+  * the [[LmIndex.scoreBatch]] stupid-backoff serve (each count-table
+  * read pruned to the gb buckets the batch's own grams hash to; the
+  * token total rides the manifest) as a doc-parameterized SQL view.
+  */
+class LmIndexSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "lmindex"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new LmScoreRelation(ctx.sparkSession,
+      ServeOptions.required(parameters, "lmindex", "path"),
+      ServeOptions.required(parameters, "lmindex", "docsView"),
+      parameters.getOrElse("docid", "doc_id"),
+      parameters.getOrElse("doctext", "text"),
+      parameters.getOrElse("alpha", "0.4").toDouble)
+}
+
+class LmScoreRelation(spark: SparkSession, path: String,
+    docsView: String, docId: String, docText: String, alpha: Double)
+    extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame =
+    LmIndex.scoreBatch(spark, path, spark.table(docsView),
+      docId, docText, alpha)
+}
+
+/** `CREATE TEMPORARY VIEW tbl USING mor OPTIONS (path …
+  * [, version '3'])` — the [[MergeOnRead]] CDC table as a SQL
+  * source: the live read folds committed deltas over the bucketed
+  * base (base never rewritten outside compaction); `version` serves
+  * a retained manifest version ([[MergeOnRead.readAt]] time travel).
+  */
+class MorSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "mor"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new MorRelation(ctx.sparkSession,
+      ServeOptions.required(parameters, "mor", "path"),
+      parameters.get("version").map(_.toLong))
+}
+
+class MorRelation(spark: SparkSession, path: String,
+    version: Option[Long]) extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame = version match {
+    case Some(v) => MergeOnRead.readAt(spark, path, v)
+    case None => MergeOnRead.read(spark, path)
+  }
+}
+
+/** `spark.read.format("indexmeta").load(path)` — OBSERVABILITY over
+  * any [[graft.operators.IndexDirs]]-managed artifact: one row per
+  * retained manifest version (the time-travel window), with the
+  * fields every family shares (`bv` base version, `lb` last applied
+  * CDC batch, `deltas`) surfaced typed and the full manifest JSON
+  * carried verbatim for family-specific fields. Lets an operator
+  * answer "which version is live, how many deltas are pending, what
+  * batch watermark has this artifact reached, which versions can I
+  * still time-travel to" from SQL, uniformly across all seven
+  * artifact families. Resolved fresh per scan (≤ ManifestRetain
+  * rows — metadata-scale by construction).
+  */
+class IndexMetaSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "indexmeta"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new IndexMetaRelation(ctx.sparkSession,
+      ServeOptions.required(parameters, "indexmeta", "path"))
+}
+
+class IndexMetaRelation(spark: SparkSession, path: String)
+    extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame = {
+    import spark.implicits._
+    graft.operators.ArtifactMeta.versions(path)
+      .map(m => (m.version, m.live, m.baseVer, m.lastBatch,
+        m.nDeltas, m.manifestJson))
+      .toDF("version", "live", "base_ver", "last_batch", "n_deltas",
+        "manifest_json")
+  }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 
 import graft.SparkTestSession
-import graft.operators.{AggView, Bm25Index, VecStats}
+import graft.operators.{AggView, AnnIndex, Bm25Index, DedupIndex,
+  LmIndex, MergeOnRead, VecStats}
 import graft.operators.AggView.Measure
 
 /** The SQL serve surface over the persisted artifacts: a pure-SQL
@@ -123,5 +124,171 @@ class ArtifactSourcesSpec extends AnyFunSuite {
     assert(rowsOf(spark.sql(
         "SELECT dim, n, mean, std FROM graft_vssrc WHERE dim < 3")) ==
       rowsOf(VecStats.summary(spark, path).filter(col("dim") < 3)))
+  }
+
+  test("CREATE TEMPORARY VIEW ... USING annindex serves IVF search " +
+      "over a SQL probe view, equal to the Scala searchInt path") {
+    import spark.implicits._
+    val path = tmp("annsrc")
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 80L).map(i =>
+      (i, Seq.fill(8)((rnd.nextInt(401) - 200).toLong)))
+      .toDF("vec_id", "q")
+    val cents = {
+      val r2 = new scala.util.Random(5)
+      Seq.fill(3)(Seq.fill(8)((r2.nextInt(401) - 200).toLong))
+    }
+    AnnIndex.buildIfAbsent(corpus, "q", "vec_id", cents, path)
+    corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("q"))
+      .createOrReplaceTempView("graft_annsrc_probes")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_annsrc_hits " +
+      s"USING annindex OPTIONS (path '$path', " +
+      "probeView 'graft_annsrc_probes', nprobe '2', k '3')")
+    assert(rowsOf(spark.sql(
+        "SELECT probe_id, vec_id, sim, rank FROM graft_annsrc_hits")) ==
+      rowsOf(AnnIndex.searchInt(spark, path,
+        spark.table("graft_annsrc_probes"), "probe_id", "q", 2, 3)))
+    // column pruning through the source still answers correctly
+    assert(spark.sql("SELECT count(*) FROM graft_annsrc_hits")
+        .head().getLong(0) == 4 * 3)
+    // a probe view REPLACED between scans is picked up (the relation
+    // resolves the view at scan time, not at creation)
+    corpus.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("probe_id"), col("q"))
+      .createOrReplaceTempView("graft_annsrc_probes")
+    assert(spark.sql(
+        "SELECT DISTINCT probe_id FROM graft_annsrc_hits")
+      .head().getLong(0) == 7L)
+  }
+
+  test("CREATE TEMPORARY VIEW ... USING dedupindex serves the " +
+      "exact+near ingest screen over a SQL probe view") {
+    import spark.implicits._
+    val path = tmp("ddsrc")
+    def body(f: Int) = (0 until 8).map(j => java.lang.Long.toHexString(
+      (f * 1000003L + j) * -0x61c8864680b583ebL)).mkString(" ")
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, s"${body(i / 3)} end v${i % 3}")).toDF("doc_id", "text")
+    DedupIndex.buildIfAbsent(corpus, "text", "doc_id",
+      DedupIndex.MinhashMd5(16, 4), bands = 4, path,
+      kbParts = 4, sbParts = 4)
+    // doc 0 verbatim (exact), doc 3 with an edit (near), one novel
+    corpus.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 900).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") === 3L)
+        .select((col("doc_id") + 900).as("doc_id"),
+          concat(col("text"), lit(" edit")).as("text")))
+      .unionByName(Seq((999L, "wholly novel text nothing shared here"))
+        .toDF("doc_id", "text"))
+      .createOrReplaceTempView("graft_ddsrc_probes")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ddsrc_flagged " +
+      s"USING dedupindex OPTIONS (path '$path', " +
+      "probeView 'graft_ddsrc_probes', thresholdTenths '5')")
+    assert(rowsOf(spark.sql("SELECT new_id, corpus_id, kind, matches, " +
+        "est_jaccard FROM graft_ddsrc_flagged")) ==
+      rowsOf(DedupIndex.screen(spark, path,
+        spark.table("graft_ddsrc_probes"), "text", "doc_id", 5)))
+    // the verbatim copy flags exact; the novel doc flags nothing
+    val kinds = spark.sql("SELECT new_id, kind FROM graft_ddsrc_flagged")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kinds.contains((900L, "exact")))
+    assert(!kinds.exists(_._1 == 999L))
+  }
+
+  test("CREATE TEMPORARY VIEW ... USING lmindex scores a SQL docs " +
+      "view through the pruned scoreBatch serve, equal to score") {
+    import spark.implicits._
+    val path = tmp("lmsrc")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} " +
+        s"tok${(i + 3) % 7} word$i tail${i % 3}")
+    }.toDF("doc_id", "text")
+    LmIndex.buildIfAbsent(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", path)
+    docs.filter(col("doc_id") < 6)
+      .createOrReplaceTempView("graft_lmsrc_docs")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_lmsrc_scored " +
+      s"USING lmindex OPTIONS (path '$path', " +
+      "docsView 'graft_lmsrc_docs')")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_lmsrc_scored")) ==
+      rowsOf(LmIndex.score(spark, path,
+        docs.filter(col("doc_id") < 6), "doc_id", "text")))
+    // alpha option changes the backoff the way the Scala API does
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_lmsrc_a " +
+      s"USING lmindex OPTIONS (path '$path', " +
+      "docsView 'graft_lmsrc_docs', alpha '0.2')")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_lmsrc_a")) ==
+      rowsOf(LmIndex.score(spark, path,
+        docs.filter(col("doc_id") < 6), "doc_id", "text", 0.2)))
+  }
+
+  test("CREATE TEMPORARY VIEW ... USING mor serves the live CDC fold " +
+      "and version-optioned time travel from pure SQL") {
+    import spark.implicits._
+    val dir = tmp("morsrc")
+    val base = (0L until 50L).map(k => (k, s"v$k", k * 10))
+      .toDF("k", "v", "c")
+    MergeOnRead.create(base, dir, Seq("k"), nBuckets = 4)
+    val v1 = MergeOnRead.versions(dir).max
+    MergeOnRead.append(
+      base.filter(col("k") % 7 === 0)
+          .withColumn("c", col("c") + 1000)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        .unionByName(base.filter(col("k") % 5 === 0)
+          .withColumn("op", lit("D")).withColumn("seq", lit(2L))),
+      dir)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_morsrc " +
+      s"USING mor OPTIONS (path '$dir')")
+    assert(rowsOf(spark.sql("SELECT k, v, c FROM graft_morsrc")) ==
+      rowsOf(MergeOnRead.read(spark, dir)))
+    // deletes outrank same-batch updates by seq; survivors updated
+    val live = spark.sql("SELECT k, c FROM graft_morsrc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!live.contains(35L) && live(7L) == 1070L && live(1L) == 10L)
+    // version option = the as-created snapshot, no deltas
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_morsrc_v1 " +
+      s"USING mor OPTIONS (path '$dir', version '$v1')")
+    assert(rowsOf(spark.sql("SELECT k, v, c FROM graft_morsrc_v1")) ==
+      rowsOf(MergeOnRead.readAt(spark, dir, v1)))
+    assert(spark.sql("SELECT count(*) FROM graft_morsrc_v1")
+      .head().getLong(0) == 50L)
+  }
+
+  test("spark.read.format(indexmeta) surfaces the retained manifest " +
+      "versions of any artifact dir, uniformly") {
+    val path = tmp("metasrc")
+    AggView.buildIfAbsent(facts(0, 100), Seq("grp"),
+      Seq(Measure("v_sum", "v")), path, kbParts = 4)
+    AggView.append(facts(100, 140), path)
+    AggView.append(facts(140, 160), path)
+    val meta = spark.read.format("indexmeta").option("path", path).load()
+    val rows = meta.orderBy("version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == AggView.versions(path))
+    // exactly the max version is live; delta counts track the appends
+    assert(rows.filter(_.getBoolean(1)).map(_.getLong(0)).toSeq ==
+      Seq(rows.last.getLong(0)))
+    assert(rows.map(_.getLong(4)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.forall(_.getString(5).nonEmpty))
+    // a fresh append is visible to the NEXT scan (resolved per scan)
+    AggView.append(facts(160, 180), path)
+    assert(meta.count() == AggView.versions(path).size)
+    // SQL view over it, filtered
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_metasrc " +
+      s"USING indexmeta OPTIONS (path '$path')")
+    assert(spark.sql(
+        "SELECT version FROM graft_metasrc WHERE live").count() == 1)
+  }
+
+  test("probe-parameterized sources fail fast on a missing required " +
+      "option") {
+    val e1 = intercept[IllegalArgumentException](spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW graft_bad1 " +
+        "USING annindex OPTIONS (path '/nope')"))
+    assert(e1.getMessage.contains("probeView"))
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW graft_bad2 " +
+        "USING lmindex OPTIONS (path '/nope')"))
+    assert(e2.getMessage.contains("docsView"))
   }
 }
