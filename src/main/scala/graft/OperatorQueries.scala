@@ -356,6 +356,50 @@ object OperatorQueries {
               |GROUP BY src, st ORDER BY src, st""".stripMargin)
     }),
 
+    /** The MOR CHANGE FEED as a query
+      * ([[graft.operators.MergeOnRead.changes]]): "what changed since
+      * watermark B" at row grain, priced at the window — the plan
+      * reads ONLY the window's batch directories, never the base.
+      * Two legs: the full feed and the tail after the first batch;
+      * a batch leaking across the watermark, a lost op/seq column,
+      * or an insert misattributed to the wrong batch all land in the
+      * hash.
+      */
+    "q220_mor_changes" -> ((s, d) => {
+      import graft.operators.MergeOnRead
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = lifecycleDir("q220", d) + "/tbl"
+      MergeOnRead.create(t.filter(col("k") % 4 =!= 0), dir, Seq("k"),
+        nBuckets = 8)
+      val base = t.filter(col("k") % 4 =!= 0)
+      val bA = MergeOnRead.append(
+        base.filter(col("k") % 7 === 0)
+          .withColumn("cents", col("cents") + 100000)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L)), dir)
+      MergeOnRead.append(
+        base.filter(col("k") % 5 === 0)
+            .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+          .unionByName(t.filter(col("k") % 97 === 0)
+            .select((col("k") + 20000000L).as("k"), lit("N").as("st"),
+              (col("k") * 100).as("cents"))
+            .withColumn("op", lit("I")).withColumn("seq", lit(1L))),
+        dir)
+      val all = MergeOnRead.changes(s, dir)
+        .select(lit("win_all").as("src"), col("op"), col("k"),
+          col("cents"))
+      val tail = MergeOnRead.changes(s, dir, afterBatch = bA)
+        .select(lit("win_tail").as("src"), col("op"), col("k"),
+          col("cents"))
+      all.unionByName(tail)
+        .groupBy("src", "op")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          sum("k").as("sum_keys"))
+        .orderBy("src", "op")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -728,6 +772,28 @@ object OperatorQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM u GROUP BY src, st ORDER BY src, st""".stripMargin,
+    // the feed's rows per window: batch A = the k%7 updates, batch
+    // B = the k%5 deletes + the k%97 inserts; win_all = A ∪ B,
+    // win_tail = B only
+    "q220_mor_changes" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT 'U' AS op, k, cents + 100000 AS cents FROM t
+        |  WHERE k % 4 <> 0 AND k % 7 = 0),
+        |b AS (SELECT 'D' AS op, k, cents FROM t
+        |    WHERE k % 4 <> 0 AND k % 5 = 0
+        |  UNION ALL
+        |  SELECT 'I' AS op, k + 20000000 AS k, k * 100 AS cents
+        |    FROM t WHERE k % 97 = 0),
+        |u AS (SELECT 'win_all' AS src, * FROM a
+        |  UNION ALL SELECT 'win_all' AS src, * FROM b
+        |  UNION ALL SELECT 'win_tail' AS src, * FROM b)
+        |SELECT src, op, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM u GROUP BY src, op ORDER BY src, op""".stripMargin,
     // both engines build the same decomposed string and run their
     // OWN normalizer — the Unicode tables are what the hash compares
     "q174_unicode_norm" ->

@@ -349,6 +349,93 @@ object MergeOnRead {
       broadcastKeys = broadcastKeys)
   }
 
+  /** The batch window's CHANGE FEED: every change row of the
+    * committed delta batches in `(afterBatch, untilBatch]`, with the
+    * table's op/seq columns and the `batch` id — "what changed since
+    * watermark B" priced at the window, never the table
+    * ([[AggView.diff]]'s question at row grain). Reads ONLY the
+    * window's batch directories (partition-pruned by construction:
+    * the paths ARE the window).
+    *
+    * Retention contract (the Delta/Hudi CDC-read shape): a batch's
+    * rows are servable while its directory exists; `compact(gc =
+    * true)` deletes folded batch dirs, closing the feed's window
+    * over them. A window that spans a GC'd batch REFUSES (names the
+    * missing ids) instead of silently under-reporting — run
+    * compaction with `gc = false` + retention-window [[vacuum]] when
+    * consumers tail with lag.
+    */
+  def changes(spark: SparkSession, dir: String, afterBatch: Int = -1,
+      untilBatch: Int = Int.MaxValue): DataFrame = {
+    val m = loadManifest(dir)
+    val bs = committedBatches(dir)
+      .filter(b => b > afterBatch && b <= untilBatch)
+    val gone = m.folded.filter(b => b > afterBatch && b <= untilBatch)
+      .diff(bs.toSet)
+    require(gone.isEmpty,
+      s"change window ($afterBatch, $untilBatch] spans compaction-GC'd " +
+        s"batch(es) ${gone.toSeq.sorted.mkString(",")} of $dir — their " +
+        "rows are gone; keep the feed open with compact(gc = false) " +
+        "and retention-window vacuum")
+    if (bs.isEmpty)
+      return spark.read.parquet(s"$dir/_schema")
+        .withColumn(m.meta.opCol, lit(null).cast("string"))
+        .withColumn(m.meta.seqCol, lit(null).cast("long"))
+        .withColumn("batch", lit(null).cast("int"))
+        .limit(0)
+    spark.read.option("basePath", s"$dir/delta")
+      .parquet(bs.map(b => s"$dir/delta/batch=$b"): _*)
+      .drop(Bucket)
+  }
+
+  /** STREAMING tail of the change feed: a Structured Streaming
+    * DataFrame over the table's delta log — each committed batch's
+    * rows arrive exactly once (checkpointed), carrying op/seq and
+    * the `batch` partition column. Spark-first by construction: a
+    * committed batch IS an atomically-renamed directory of immutable
+    * parquet files, which is precisely the contract
+    * `FileStreamSource` tails exactly-once — so the stream source is
+    * the stock parquet file stream over `delta/`, not a custom
+    * connector. Hidden `.staging-*` dirs and `_`-prefixed markers
+    * are invisible to it, so a torn append can never enter the
+    * stream; the rename makes a batch's files appear all-or-nothing.
+    *
+    * Feed an artifact fleet: `changeStream(spark, dir).writeStream
+    * .foreachBatch(AggView.cdcSink(path))` (or
+    * [[IndexPipeline.sink]]) gives per-artifact exactly-once
+    * convergence off one CDC table.
+    *
+    * Retention contract as for [[changes]]: `compact(gc = true)`
+    * deletes folded batch dirs — batches GC'd before the tail reads
+    * them are lost to it (stock file-source semantics: deleted
+    * unseen files are skipped). Tail with `gc = false` + vacuum
+    * retention when consumers lag. Schema: op/seq types are pinned
+    * from a committed batch when one exists, else (string, long).
+    */
+  def changeStream(spark: SparkSession, dir: String): DataFrame = {
+    val m = loadManifest(dir)
+    fs(dir).mkdirs(new HPath(s"$dir/delta"))
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      StringType, StructField, StructType}
+    val data = spark.read.parquet(s"$dir/_schema").schema
+    val opSeq = committedBatches(dir).headOption match {
+      case Some(b) =>
+        val s = spark.read.parquet(s"$dir/delta/batch=$b").schema
+        Seq(s(m.meta.opCol), s(m.meta.seqCol))
+      case None => Seq(StructField(m.meta.opCol, StringType),
+        StructField(m.meta.seqCol, LongType))
+    }
+    val full = StructType(data.fields.toSeq ++ opSeq ++ Seq(
+      StructField("batch", IntegerType),
+      StructField(Bucket, IntegerType)))
+    spark.readStream.schema(full)
+      .option("basePath", s"$dir/delta")
+      // the feed's window is the retention contract, not file age
+      .option("maxFileAge", "35000d")
+      .parquet(s"$dir/delta")
+      .drop(Bucket)
+  }
+
   /** Folds pending deltas into the base, partition-by-partition:
     * reads ONLY the buckets named by a pending delta directory,
     * writes ONLY those buckets under `ver=<version+1>`, re-links
