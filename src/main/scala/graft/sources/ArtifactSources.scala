@@ -138,7 +138,11 @@ class VecStatsSource extends RelationProvider with DataSourceRegister {
       parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("vecstats requires a path"))
-    new VecStatsRelation(ctx.sparkSession, path)
+    // asOfVersion = aggview option parity: serve a retained manifest
+    // version (VecStats.summaryAsOf) — the pin pinnedVersions hands
+    // a fleet-consistent SQL reader
+    new VecStatsRelation(ctx.sparkSession, path,
+      parameters.get("asofversion").map(_.toLong))
   }
 }
 
@@ -164,9 +168,12 @@ abstract class InnerPlanRelation(spark: SparkSession)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
-class VecStatsRelation(spark: SparkSession, path: String)
-    extends InnerPlanRelation(spark) {
-  override protected def inner: DataFrame = VecStats.summary(spark, path)
+class VecStatsRelation(spark: SparkSession, path: String,
+    asOf: Option[Long] = None) extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame = asOf match {
+    case Some(v) => VecStats.summaryAsOf(spark, path, v)
+    case None => VecStats.summary(spark, path)
+  }
 }
 
 /** `CREATE TEMPORARY VIEW hits USING bm25 OPTIONS (path …,

@@ -171,4 +171,47 @@ class IndexPipelineSpec extends AnyFunSuite {
       DedupIndex.MinhashMd5(16, 4), bands = 4, ddPath,
       kbParts = 4, sbParts = 4, dbParts = 4).reused)
   }
+
+  test("a MergeOnRead change stream drives the fleet: CDC table -> " +
+      "changeStream -> pipeline sink converges both artifacts") {
+    import spark.implicits._
+    val morDir = Files.createTempDirectory("pipecs-mor").toUri.toString
+      .stripSuffix("/") + "/tbl"
+    val (bmPath, lmPath) = (tmp("pipecs-bm"), tmp("pipecs-lm"))
+    val ckpt = Files.createTempDirectory("pipecs-ckpt").toString
+    MergeOnRead.create(corpus(0, 15), morDir, Seq("doc_id"))
+    Bm25Index.buildIfAbsent(corpus(0, 15), "text", "doc_id", bmPath)
+    LmIndex.buildIfAbsent(corpus(0, 15), "text", "doc_id", lmPath)
+    // mutate the TABLE; the artifacts subscribe to its change feed
+    MergeOnRead.append(corpus(15, 20)
+      .withColumn("op", lit("I")).withColumn("seq", lit(1L)), morDir)
+    MergeOnRead.append(corpus(0, 3)
+      .withColumn("op", lit("D")).withColumn("seq", lit(1L)), morDir)
+    val q = MergeOnRead.changeStream(spark, morDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the feed carries seq/batch; the artifact sinks take the
+        // CDC triple
+        IndexPipeline.sink(
+          Bm25Index.cdcSink(bmPath),
+          LmIndex.cdcSink(lmPath))(df.select("doc_id", "text", "op"), id)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // both artifacts equal the survivors-only fold of the table —
+    // which is exactly the table's own live state
+    val survivors = corpus(3, 20)
+    assert(MergeOnRead.read(spark, morDir).select("doc_id", "text")
+        .collect().map(_.toString).toSet ==
+      survivors.collect().map(_.toString).toSet)
+    val (wantFp, _) =
+      IndexDirs.contentFingerprint(survivors, Seq("doc_id", "text"))
+    assert(Bm25Index.buildIfAbsent(survivors, "text", "doc_id", bmPath)
+      .fingerprint == wantFp)
+    assert(LmIndex.buildIfAbsent(survivors, "text", "doc_id", lmPath)
+      .reused)
+  }
 }

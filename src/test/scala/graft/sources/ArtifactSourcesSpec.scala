@@ -124,6 +124,17 @@ class ArtifactSourcesSpec extends AnyFunSuite {
     assert(rowsOf(spark.sql(
         "SELECT dim, n, mean, std FROM graft_vssrc WHERE dim < 3")) ==
       rowsOf(VecStats.summary(spark, path).filter(col("dim") < 3)))
+    // asOfVersion time travel (aggview option parity): the pre-append
+    // stats, not the live ones
+    val asBuilt = VecStats.versions(path).max
+    VecStats.append(corpus.limit(0).unionByName(
+      Seq((100L, (0 until 6).map(_.toLong))).toDF("vec_id", "q")), path)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_vssrc_v0 " +
+      s"USING vecstats OPTIONS (path '$path', asOfVersion '$asBuilt')")
+    assert(rowsOf(spark.sql("SELECT dim, n, mean, std FROM graft_vssrc_v0"))
+      == rowsOf(VecStats.summaryAsOf(spark, path, asBuilt)))
+    assert(rowsOf(spark.sql("SELECT dim, n, mean, std FROM graft_vssrc_v0"))
+      != rowsOf(VecStats.summary(spark, path)))
   }
 
   test("CREATE TEMPORARY VIEW ... USING annindex serves IVF search " +
