@@ -520,6 +520,30 @@ object SketchQueries {
               |ORDER BY new_id, corpus_id, kind""".stripMargin)
     }),
 
+    /** The `annindex` source's KIND ROUTING: the same SQL surface as
+      * q216, but the artifact is q182's persisted PQ index — the
+      * source reads the manifest's kind and serves
+      * [[graft.operators.AnnIndex.pqSearchInt]] (ADC over S-byte
+      * codes) instead of the IVF path. q75/q182's oracle verbatim.
+      */
+    "q221_ann_pq_sql" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-pqindex-${Integer.toHexString(d.hashCode)}").toString
+      AnnIndex.buildPqIfAbsent(emb.filter(col("vec_id") > 0), "q",
+        "vec_id", PqCodebooks, idx)
+      emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("q"))
+        .createOrReplaceTempView("graft_q221_probes")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q221_hits " +
+        s"USING annindex OPTIONS (path '$idx', " +
+        "probeView 'graft_q221_probes', k '5')")
+      s.sql("SELECT vec_id, adc FROM graft_q221_hits")
+    }),
+
     // Embedding-cosine near-duplicate pairs via shared sign-LSH
     // bucket + cosine threshold (integer-exact bucket + dot
     // products), through the production operator — which exact-dedups
@@ -1877,6 +1901,8 @@ object SketchQueries {
     "q182_pq_persisted_ann" -> pqAdcOracle,
     // incremental build of the same index state — same oracle again
     "q185_pq_append_ann" -> pqAdcOracle,
+    // the same PQ serve through the kind-routed SQL source
+    "q221_ann_pq_sql" -> pqAdcOracle,
     // SQ8: the scale/encode/score arithmetic replayed end-to-end —
     // pmod-based floor division matches (x - ((x % s + s) % s)) / s
     "q187_sq8_ann" -> sq8Oracle,

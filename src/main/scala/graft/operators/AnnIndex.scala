@@ -194,6 +194,14 @@ object AnnIndex {
   }
 
   /** The persisted centroids, in index order. */
+  /** The persisted index's variant (`ivf` | `pq` | `sq8`) — public
+    * so a serve router (e.g. the `annindex` SQL source) can pick the
+    * matching search path without reaching into the manifest.
+    */
+  def kind(path: String): String =
+    readManifest(path).map(_.kind).getOrElse(
+      throw new IllegalStateException(s"no index at $path"))
+
   def centroids(spark: SparkSession, path: String): Seq[Seq[Long]] =
     spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getAs[Number]("c").intValue,

@@ -491,8 +491,11 @@ object ArtifactMeta {
     val vs = IndexDirs.listManifestVersions(path)
     val live = vs.lastOption.getOrElse(0L)
     vs.flatMap { v =>
+      // single read per version: retention GC racing this listing
+      // just drops the row, never throws
       IndexDirs.readManifestTextAt(path, v).map { txt =>
-        val r = IndexDirs.readManifestAt(path, v).get
+        val r = new IndexDirs.ManifestReader(
+          new ObjectMapper().readTree(txt), v)
         VersionMeta(v, v == live, r.longOr("bv", -1L),
           r.longOr("lb", -1L), r.seq("deltas").length.toLong, txt)
       }

@@ -367,9 +367,16 @@ object MergeOnRead {
     */
   def changes(spark: SparkSession, dir: String, afterBatch: Int = -1,
       untilBatch: Int = Int.MaxValue): DataFrame = {
-    val m = loadManifest(dir)
+    // list the batch dirs BEFORE reading the manifest: a batch a
+    // concurrent compaction GC'd before our listing is then
+    // guaranteed to appear in the (later-read) manifest's folded set
+    // and trips the guard below — the reverse order would let a
+    // fold+GC landing between the two reads slip past it silently.
+    // (A GC between our listing and the scan fails the read loudly —
+    // the vacuum-race contract every MoR table shares.)
     val bs = committedBatches(dir)
       .filter(b => b > afterBatch && b <= untilBatch)
+    val m = loadManifest(dir)
     val gone = m.folded.filter(b => b > afterBatch && b <= untilBatch)
       .diff(bs.toSet)
     require(gone.isEmpty,

@@ -227,10 +227,14 @@ private[sources] object ServeOptions {
 
 /** `CREATE TEMPORARY VIEW hits USING annindex OPTIONS (path …,
   * probeView …[, probeId 'probe_id'][, probeVec 'q'][, nprobe '1']
-  * [, k '10'])` — the [[AnnIndex.searchInt]] IVF serve (reads ONLY
-  * the probed bucket partitions of the persisted assignment) as a
-  * probe-parameterized SQL view. Output:
-  * `(probe_id, vec_id, sim, rank)`.
+  * [, k '10'])` — persisted-ANN search as a probe-parameterized SQL
+  * view, ROUTED BY THE ARTIFACT'S OWN KIND: an `ivf` index serves
+  * [[AnnIndex.searchInt]] (reads ONLY the probed bucket partitions;
+  * output `(probe_id, vec_id, sim, rank)`), a `pq` index
+  * [[AnnIndex.pqSearchInt]] (ADC over the S-byte codes; `adc`
+  * instead of `sim`, `nprobe` ignored), an `sq8` index
+  * [[AnnIndex.sq8SearchInt]]. One SQL surface for all three
+  * variants — the manifest knows which search path fits its layout.
   */
 class AnnIndexSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "annindex"
@@ -248,9 +252,19 @@ class AnnIndexSource extends RelationProvider with DataSourceRegister {
 class AnnSearchRelation(spark: SparkSession, path: String,
     probeView: String, probeId: String, probeVec: String,
     nprobe: Int, k: Int) extends InnerPlanRelation(spark) {
-  override protected def inner: DataFrame =
-    AnnIndex.searchInt(spark, path, spark.table(probeView),
-      probeId, probeVec, nprobe, k)
+  override protected def inner: DataFrame = {
+    val probes = spark.table(probeView)
+    AnnIndex.kind(path) match {
+      case "ivf" => AnnIndex.searchInt(spark, path, probes,
+        probeId, probeVec, nprobe, k)
+      case "pq" => AnnIndex.pqSearchInt(spark, path, probes,
+        probeId, probeVec, k)
+      case "sq8" => AnnIndex.sq8SearchInt(spark, path, probes,
+        probeId, probeVec, k)
+      case other => throw new IllegalStateException(
+        s"annindex at $path has unknown kind '$other'")
+    }
+  }
 }
 
 /** `CREATE TEMPORARY VIEW flagged USING dedupindex OPTIONS (path …,

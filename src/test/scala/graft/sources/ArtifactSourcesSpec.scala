@@ -173,6 +173,41 @@ class ArtifactSourcesSpec extends AnyFunSuite {
       .head().getLong(0) == 7L)
   }
 
+  test("the annindex source routes by the artifact's kind: a pq " +
+      "index serves ADC, an sq8 index the sq8 scorer — same SQL " +
+      "surface") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(8)((rnd.nextInt(401) - 200).toLong)))
+      .toDF("vec_id", "q")
+    corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("q"))
+      .createOrReplaceTempView("graft_annkind_probes")
+    // 2 subvectors × 4 centroids of dim 4 each
+    val books = {
+      val r2 = new scala.util.Random(9)
+      Seq.fill(2)(Seq.fill(4)(Seq.fill(4)((r2.nextInt(401) - 200).toLong)))
+    }
+    val pqPath = tmp("annsrc-pq")
+    AnnIndex.buildPqIfAbsent(corpus, "q", "vec_id", books, pqPath)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_annkind_pq " +
+      s"USING annindex OPTIONS (path '$pqPath', " +
+      "probeView 'graft_annkind_probes', k '4')")
+    assert(rowsOf(spark.sql(
+        "SELECT probe_id, vec_id, adc, rank FROM graft_annkind_pq")) ==
+      rowsOf(AnnIndex.pqSearchInt(spark, pqPath,
+        spark.table("graft_annkind_probes"), "probe_id", "q", 4)))
+    val sqPath = tmp("annsrc-sq8")
+    AnnIndex.buildSq8IfAbsent(corpus, "q", "vec_id", sqPath)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_annkind_sq8 " +
+      s"USING annindex OPTIONS (path '$sqPath', " +
+      "probeView 'graft_annkind_probes', k '4')")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_annkind_sq8")) ==
+      rowsOf(AnnIndex.sq8SearchInt(spark, sqPath,
+        spark.table("graft_annkind_probes"), "probe_id", "q", 4)))
+  }
+
   test("CREATE TEMPORARY VIEW ... USING dedupindex serves the " +
       "exact+near ingest screen over a SQL probe view") {
     import spark.implicits._
