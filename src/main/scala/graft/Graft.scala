@@ -23,6 +23,7 @@ object Graft {
     functions.VecFunctions.register(spark)
     functions.MinHashAgg.register(spark)
     functions.TopKAgg.register(spark)
+    functions.StrExtremaAgg.register(spark)
     functions.RangeTableFunctions.register(spark)
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)
     metrics.Metrics.install(spark)

@@ -400,6 +400,60 @@ object OperatorQueries {
         .orderBy("src", "op")
     }),
 
+    /** Persisted COLUMN STATISTICS ([[graft.operators.ColStats]]) —
+      * the lakehouse stats layer as an incrementally-maintained
+      * artifact: build the per-column profile on 3/4 of orders,
+      * append the held-out quarter (O(batch): counts/sums are sums,
+      * min/max/HLL merge monotonically), serve. The oracle computes
+      * each column's profile directly over ALL of orders, so a
+      * partial that didn't fold, a null miscounted, or a string
+      * extremum lost in the merge lands in the hash. `bucketv` is
+      * nullable by construction (NULL on k%11=0) to exercise the
+      * null ledger.
+      */
+    "q222_colstats" -> ((s, d) => {
+      import graft.operators.ColStats
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 100).as("bucketv"),
+        col("o_orderstatus").as("st"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-colstats-${Integer.toHexString(d.hashCode)}").toString
+      ColStats.buildIfAbsent(t.filter(col("k") % 4 =!= 0),
+        Seq("k", "cents", "bucketv"), Seq("st"), idx)
+      ColStats.append(t.filter(col("k") % 4 === 0), idx)
+      ColStats.stats(s, idx).orderBy("col_name")
+    }),
+
+    /** The same artifact's HLL REGISTERS (m=64, md5-60 — the q86
+      * arithmetic per column over the RENDERED value): the oracle
+      * replays every register for the `k` and `st` columns, pinning
+      * the distinct-count state the ndv estimate derives from —
+      * including that the append's register merge was a per-bucket
+      * max, never a sum.
+      */
+    "q223_colstats_regs" -> ((s, d) => {
+      import graft.operators.ColStats
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 100).as("bucketv"),
+        col("o_orderstatus").as("st"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-colstats-${Integer.toHexString(d.hashCode)}").toString
+      ColStats.buildIfAbsent(t.filter(col("k") % 4 =!= 0),
+        Seq("k", "cents", "bucketv"), Seq("st"), idx)
+      ColStats.append(t.filter(col("k") % 4 === 0), idx)
+      ColStats.registers(s, idx)
+        .filter(col("col_name").isin("k", "st"))
+        .orderBy("col_name", "bucket")
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -772,6 +826,63 @@ object OperatorQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM u GROUP BY src, st ORDER BY src, st""".stripMargin,
+    // each column's profile computed directly over ALL of orders
+    // (build subset ∪ appended quarter); num rows carry NULL string
+    // extrema and vice versa, exactly as the artifact serves them
+    "q222_colstats" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE CAST(o_orderkey % 100 AS BIGINT) END AS bucketv,
+        |    o_orderstatus AS st
+        |  FROM orders)
+        |SELECT 'bucketv' AS col_name, 'num' AS kind,
+        |  count(*) AS n_rows,
+        |  count(*) FILTER (WHERE bucketv IS NULL) AS n_nulls,
+        |  min(bucketv) AS min_num, max(bucketv) AS max_num,
+        |  CAST(sum(bucketv) AS BIGINT) AS sum_num,
+        |  CAST(NULL AS VARCHAR) AS min_str,
+        |  CAST(NULL AS VARCHAR) AS max_str
+        |FROM t
+        |UNION ALL SELECT 'cents', 'num', count(*),
+        |  CAST(0 AS BIGINT), min(cents), max(cents),
+        |  CAST(sum(cents) AS BIGINT), NULL, NULL FROM t
+        |UNION ALL SELECT 'k', 'num', count(*),
+        |  CAST(0 AS BIGINT), min(k), max(k),
+        |  CAST(sum(k) AS BIGINT), NULL, NULL FROM t
+        |UNION ALL SELECT 'st', 'str', count(*),
+        |  CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  min(st), max(st) FROM t
+        |ORDER BY col_name""".stripMargin,
+    // replays every m=64 register per column: md5-60 of
+    // 'hll:' || rendered value, bucket = low 6 bits, rho = 55 - the
+    // msb-length of the remaining 54-bit word (the q86 arithmetic),
+    // dense via a per-column spine
+    "q223_colstats_regs" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st FROM orders),
+        |vals AS (SELECT 'k' AS col_name, CAST(k AS VARCHAR) AS v
+        |    FROM t
+        |  UNION ALL SELECT 'st', st FROM t),
+        |h AS (SELECT col_name,
+        |    CAST('0x' || substr(md5('hll:' || v), 1, 15) AS BIGINT)
+        |      AS h
+        |  FROM vals WHERE v IS NOT NULL),
+        |r AS (SELECT col_name, h & 63 AS bucket,
+        |  CASE WHEN (h >> 6) = 0 THEN 55
+        |    ELSE 55 - CAST(length(bin(h >> 6)) AS INT) END AS rho
+        |  FROM h),
+        |regs AS (SELECT col_name, bucket, max(rho) AS register
+        |  FROM r GROUP BY col_name, bucket),
+        |spine AS (SELECT c.col_name, CAST(b.b AS BIGINT) AS bucket
+        |  FROM (SELECT 'k' AS col_name UNION ALL SELECT 'st') c,
+        |    (SELECT unnest(range(64)) AS b) b)
+        |SELECT s.col_name, s.bucket,
+        |  CAST(coalesce(register, 0) AS INT) AS register
+        |FROM spine s LEFT JOIN regs
+        |  ON s.col_name = regs.col_name AND s.bucket = regs.bucket
+        |ORDER BY s.col_name, s.bucket""".stripMargin,
     // the feed's rows per window: batch A = the k%7 updates, batch
     // B = the k%5 deletes + the k%97 inserts; win_all = A ∪ B,
     // win_tail = B only

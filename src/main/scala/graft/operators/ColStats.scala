@@ -1,0 +1,348 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.functions.StrExtremaAgg.{str_max, str_min}
+
+/** Persisted per-column table statistics — the lakehouse stats layer
+  * as an incrementally-maintained artifact under the [[IndexDirs]]
+  * manifest discipline.
+  *
+  * Every query planner, data-quality dashboard, and ingest monitor
+  * wants the same per-column profile — row/null counts, min/max,
+  * sums, distinct-count estimates — and computing it is a full table
+  * scan, so at 100 TB it earns the artifact treatment: pay the scan
+  * once at build, then fold each ingest batch's partial profile in
+  * at O(batch).
+  *
+  * Layout:
+  * {{{
+  *   <path>/scalar/   parquet, ≤ |cols| rows: (col_name, kind,
+  *                    n_rows, n_nulls, min_num, max_num, sum_num,
+  *                    min_str, max_str) — exact integer/string
+  *                    aggregates, cross-engine replayable
+  *   <path>/regs/     parquet, ≤ |cols|·64 rows: (col_name, bucket,
+  *                    register) — SPARSE per-column HLL registers
+  *                    (m = 64, the [[Hll.md5Hash]] 60-bit hash over
+  *                    the rendered value, so DuckDB replays every
+  *                    register); serve densifies via a spine
+  *   <path>/deltas/d<N>/{scalar,regs}  a batch's partial profile
+  *   manifest.m<K>.json — [[IndexDirs]] atomic versioned commits
+  * }}}
+  *
+  * ALGEBRA — append-only by design. Counts and sums are pure sums;
+  * min/max and HLL registers are MONOTONE merges (min/min, max/max,
+  * per-bucket max): all compose associatively across deltas, so
+  * append = one partial-profile pass over the batch and compaction
+  * is a fold. None of min/max/registers is RETRACTABLE — removing
+  * rows can't shrink a max or un-set a register — so [[delete]] and
+  * delete ops in [[applyBatch]] REFUSE with rebuild guidance instead
+  * of silently serving stats a retraction has falsified (the honest
+  * contract; [[AggView]] documents the same boundary for its
+  * non-sum measures). The composed fingerprint makes the served
+  * profile's provenance checkable: a survivors-only rebuild after
+  * upstream deletes reuses iff nothing else changed.
+  *
+  * Multi-writer: commits ride [[IndexDirs.stagedCommit]] (anchored
+  * optimistic commits with the retry-loop liveness; a lost race
+  * GC's its staging), exactly-once streaming via the
+  * `batchId <= lastBatch` skip — the family rules.
+  */
+object ColStats {
+
+  type Build = IndexBuild
+  val Build = IndexBuild
+
+  /** m = 64 registers (bucketBits 6) over [[Hll.md5Hash]]'s 60-bit
+    * value — fixed, so every engine replays the same registers.
+    */
+  private val BucketBits = 6
+  private val HashBits = 60
+
+  private case class Manifest(fp: Long, n: Long,
+      numCols: Seq[String], strCols: Seq[String],
+      deltas: Seq[String] = Nil, lastBatch: Long = -1L,
+      baseVer: Int = 0, mv: Long = 0L) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
+  }
+
+  private def toManifest(r: IndexDirs.ManifestReader): Manifest =
+    Manifest(r.long("fp"), r.long("n"), r.seq("num"), r.seq("str"),
+      r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
+      mv = r.version)
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifest(path).map(toManifest)
+
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n)
+      .put("num", mf.numCols).put("str", mf.strCols)
+      .put("lb", mf.lastBatch).put("bv", mf.baseVer)
+      .put("deltas", mf.deltas)
+      .commit(path, mf.mv)
+
+  def fingerprint(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String]): (Long, Long) =
+    IndexDirs.contentFingerprint(df, numCols ++ strCols)
+
+  /** One row per (input row, declared column): (col_name, kind,
+    * vnum, vstr) — vstr is the RENDERED value ([[Hll.md5Hash]]
+    * input; a BIGINT renders identically in Spark and DuckDB), null
+    * iff the source value is null.
+    */
+  private def longFormat(df: DataFrame, mf: Manifest): DataFrame = {
+    val pieces =
+      mf.numCols.map(c => struct(lit(c).as("col_name"),
+        lit("num").as("kind"), col(c).cast("long").as("vnum"),
+        col(c).cast("long").cast("string").as("vstr"))) ++
+      mf.strCols.map(c => struct(lit(c).as("col_name"),
+        lit("str").as("kind"), lit(null).cast("long").as("vnum"),
+        col(c).cast("string").as("vstr")))
+    df.select(explode(array(pieces: _*)).as("e")).select("e.*")
+  }
+
+  /** The batch's partial profile: one exploded pass, map-side
+    * combined into ≤ |cols| scalar rows + sparse register rows.
+    */
+  private def writeTables(df: DataFrame, mf: Manifest,
+      root: String): Unit = {
+    val lf = longFormat(df, mf).localCheckpoint(false)
+    lf.groupBy("col_name", "kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("vstr").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min("vnum").as("min_num"), max("vnum").as("max_num"),
+        sum("vnum").as("sum_num"),
+        // str_min/str_max: exact binary-ordered extrema that keep the
+        // corpus-scale profile pass on (Object)HashAggregate — the
+        // built-in string min/max would downgrade it to SortAggregate
+        str_min(col("vstr")).as("__mins"),
+        str_max(col("vstr")).as("__maxs"))
+      // string extrema only mean anything for string columns; a num
+      // column's digit-string min is noise — null it at the source
+      .select(col("col_name"), col("kind"), col("n_rows"),
+        col("n_nulls"),
+        when(col("kind") === "num", col("min_num")).as("min_num"),
+        when(col("kind") === "num", col("max_num")).as("max_num"),
+        when(col("kind") === "num", col("sum_num")).as("sum_num"),
+        when(col("kind") === "str", col("__mins")).as("min_str"),
+        when(col("kind") === "str", col("__maxs")).as("max_str"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/scalar")
+    val h = shiftrightunsigned(
+      shiftleft(StableHash.md5Int60(concat(lit("hll:"), col("vstr"))),
+        64 - HashBits), 64 - HashBits)
+    val w = HashBits - BucketBits
+    val rest = shiftrightunsigned(h, BucketBits)
+    lf.filter(col("vstr").isNotNull)
+      .select(col("col_name"),
+        h.bitwiseAND(lit(((1 << BucketBits) - 1).toLong)).as("bucket"),
+        when(rest === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(rest))).as("rho"))
+      .groupBy("col_name", "bucket")
+      .agg(max(col("rho")).cast("int").as("register"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/regs")
+  }
+
+  private def baseOf(mf: Manifest, sub: String): String =
+    if (mf.baseVer == 0) sub else s"$sub.v${mf.baseVer}"
+
+  private def roots(path: String, mf: Manifest,
+      sub: String): Seq[String] =
+    s"$path/${baseOf(mf, sub)}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/$sub")
+
+  private def liveScalar(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    roots(path, mf, "scalar").map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .groupBy("col_name", "kind")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        sum("sum_num").as("sum_num"),
+        str_min(col("min_str")).as("min_str"),
+        str_max(col("max_str")).as("max_str"))
+
+  private def liveRegs(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    roots(path, mf, "regs").map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .groupBy("col_name", "bucket")
+      .agg(max("register").cast("int").as("register"))
+
+  def buildIfAbsent(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String], path: String): Build = {
+    require((numCols ++ strCols).nonEmpty, "declare at least 1 column")
+    require(numCols.intersect(strCols).isEmpty,
+      s"columns declared both num and str: " +
+        numCols.intersect(strCols).mkString(","))
+    val (fp, n) = fingerprint(df, numCols, strCols)
+    val want = Manifest(fp, n, numCols, strCols)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        writeTables(df, want, path)
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  def append(delta: DataFrame, path: String): Build =
+    appendImpl(delta, path, None)
+
+  private def appendImpl(delta: DataFrame, path: String,
+      batchMark: Option[Long]): Build = {
+    val decl = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    if (batchMark.exists(_ <= decl.lastBatch))
+      return Build(path, decl.fp, decl.n, reused = true)
+    val (dfp, dn) = fingerprint(delta, decl.numCols, decl.strCols)
+    if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
+    val staged = IndexDirs.nextDeltaName(path, "d")
+    writeTables(delta, decl, s"$path/deltas/$staged")
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (batchMark.exists(_ <= have.lastBatch)) None
+      else Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
+        deltas = have.deltas :+ staged,
+        lastBatch = batchMark.getOrElse(have.lastBatch)))
+    } match {
+      case Some(next) => Build(path, next.fp, next.n, reused = false)
+      case None => // a racing replay landed this batch id first
+        val now = readManifest(path).getOrElse(decl)
+        Build(path, now.fp, now.n, reused = true)
+    }
+  }
+
+  /** REFUSED: min/max and HLL registers are monotone, not
+    * retractable — serving them after a row removal would be a lie.
+    * Rebuild from the surviving rows instead (the fingerprint makes
+    * the rebuild a no-op when nothing else changed).
+    */
+  def delete(delta: DataFrame, path: String): Build =
+    throw new UnsupportedOperationException(
+      s"column statistics at $path are append-only: min/max and " +
+        "distinct-count registers cannot retract rows — rebuild " +
+        "with buildIfAbsent over the surviving rows")
+
+  /** Exactly-once streaming maintenance (`batchId <= lastBatch` ⇒
+    * skip, the family rule).
+    */
+  def appendBatch(batch: DataFrame, batchId: Long,
+      path: String): Build =
+    appendImpl(batch, path, Some(batchId))
+
+  /** Op-aware form for a shared CDC feed: inserts append; ANY delete
+    * row refuses the whole batch (atomically — nothing is staged
+    * first), because a retraction cannot be folded into monotone
+    * stats. Feeds with deletes should rebuild downstream instead.
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, path: String,
+      opCol: String = "op", deleteOp: String = "D"): Build = {
+    val decl = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    if (batchId <= decl.lastBatch)
+      return Build(path, decl.fp, decl.n, reused = true)
+    val rows = batch.localCheckpoint(false)
+    val nDel = rows.filter(col(opCol) === deleteOp).limit(1).count()
+    if (nDel > 0) delete(rows, path)
+    appendBatch(rows.filter(col(opCol) =!= deleteOp).drop(opCol),
+      batchId, path)
+  }
+
+  def cdcSink(path: String, opCol: String = "op",
+      deleteOp: String = "D"): (DataFrame, Long) => Unit =
+    (df, id) => { applyBatch(df, id, path, opCol, deleteOp); () }
+
+  /** Fold the committed deltas into ONE delta dir — same serve
+    * state, fewer files ([[AggView.compactDeltas]]'s shape; all
+    * merges monotone, so the fold is exact). Returns folded count.
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val decl = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    if (decl.deltas.length < 2) return 0
+    val folded = decl.deltas
+    val staged = IndexDirs.nextDeltaName(path, "c")
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/scalar"))
+      .reduce(_.unionByName(_))
+      .groupBy("col_name", "kind")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_num").as("min_num"), max("max_num").as("max_num"),
+        sum("sum_num").as("sum_num"),
+        str_min(col("min_str")).as("min_str"),
+        str_max(col("max_str")).as("max_str"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/scalar")
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/regs"))
+      .reduce(_.unionByName(_))
+      .groupBy("col_name", "bucket")
+      .agg(max("register").cast("int").as("register"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/regs")
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      // a delta folded by a RACING compaction makes this fold stale
+      if (!folded.forall(have.deltas.contains)) None
+      else Some(have.copy(
+        deltas = staged +: have.deltas.filterNot(folded.toSet)))
+    } match {
+      case Some(_) => IndexDirs.gcDeltas(path, folded); folded.length
+      case None => 0
+    }
+  }
+
+  /** The merged per-column profile: ≤ |cols| rows, exact integer /
+    * string aggregates — (col_name, kind, n_rows, n_nulls, min_num,
+    * max_num, sum_num, min_str, max_str).
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    liveScalar(spark, path, mf)
+  }
+
+  /** The merged DENSE per-column HLL registers: |cols| × 64 rows,
+    * untouched buckets as register 0 (a local spine from the
+    * manifest's column list — metadata-scale).
+    */
+  def registers(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    import spark.implicits._
+    val spine = (for {
+      c <- mf.numCols ++ mf.strCols
+      b <- 0 until (1 << BucketBits)
+    } yield (c, b.toLong)).toDF("col_name", "bucket")
+    spine.join(broadcast(liveRegs(spark, path, mf)),
+        Seq("col_name", "bucket"), "left")
+      .select(col("col_name"), col("bucket"),
+        coalesce(col("register"), lit(0)).cast("int").as("register"))
+  }
+
+  /** Per-column distinct-count estimate from the merged registers
+    * (the [[Hll.estimate]] formula per column; float math → spec
+    * territory, the oracle pins the REGISTERS).
+    */
+  def ndv(spark: SparkSession, path: String): DataFrame = {
+    val m = 1 << BucketBits
+    val alpha = 0.709 // m = 64
+    registers(spark, path)
+      .groupBy("col_name")
+      .agg(sum(pow(lit(2.0), -col("register"))).as("__z"),
+        sum(when(col("register") === 0, 1L).otherwise(0L)).as("__v"))
+      .select(col("col_name"), {
+        val raw = lit(alpha * m.toDouble * m.toDouble) / col("__z")
+        round(when(raw <= lit(2.5 * m) && col("__v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+          .otherwise(raw), 2).as("ndv_est")
+      })
+  }
+}

@@ -1,0 +1,435 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+  LongType, ShortType, StructType}
+
+import graft.functions.StrExtremaAgg.{str_max, str_min}
+
+/** Persisted per-FILE zone maps — the lakehouse data-skipping layer
+  * as an incrementally-maintained artifact under the [[IndexDirs]]
+  * manifest discipline.
+  *
+  * Parquet footers already carry row-group min/max, but at 100 TB the
+  * footer is the wrong altitude: skipping a file via its footer still
+  * costs listing it, scheduling a task, and opening it. A zone map
+  * moves the same min/max/null-count facts into ONE metadata-scale
+  * side table (≤ |files|·|cols| rows), so a range or equality
+  * predicate prunes the FILE LIST on the driver — pruned files are
+  * never listed into the scan, never scheduled, never opened. This
+  * is the Delta/Iceberg data-skipping idea re-expressed over plain
+  * parquet directories; the driver-side file-list materialization is
+  * the same altitude Spark's own `InMemoryFileIndex` already works
+  * at, so collecting the surviving file names is bounded by what any
+  * parquet scan of the table materializes anyway.
+  *
+  * Layout:
+  * {{{
+  *   <path>/stats/    parquet, ≤ |files|·|cols| rows: (file,
+  *                    col_name, kind, n_rows, n_nulls, min_num,
+  *                    max_num, min_str, max_str)
+  *   <path>/deltas/d<N>/stats   newly-profiled files (refresh)
+  *   manifest.m<K>.json — [[IndexDirs]] atomic versioned commits
+  * }}}
+  *
+  * ALGEBRA — per-file rows are DISJOINT across deltas (a file is
+  * profiled exactly once), so serve = base ∪ deltas with no fold;
+  * [[refresh]] profiles only files NEW to the table directory
+  * (O(new data)) and — unlike [[ColStats]]' monotone whole-table
+  * profile — file REMOVALS retract exactly: dropping a vanished
+  * file's stats rows removes precisely its contribution, so refresh
+  * after a vacuum rewrites the (metadata-scale) stats table to the
+  * survivors via a [[IndexDirs.claimBaseSuffix]]-claimed versioned
+  * base. Numeric zone columns must be INTEGRAL types (long/int/
+  * short/byte): a truncating cast would make `max_num` lie about
+  * fractional values and a boundary predicate would prune a file
+  * that still matches — refused at build instead.
+  *
+  * Pruning ([[prune]]/[[scan]]) is CONSERVATIVE: a file survives
+  * unless the predicate provably matches none of its rows
+  * (`EqualTo`/`In`/range ⇒ intersect [min,max] of NON-NULL values —
+  * these predicates reject nulls, so an all-null file prunes;
+  * `IsNull` ⇒ prune files with zero nulls; `IsNotNull` ⇒ prune
+  * all-null files). Unrecognized filters and undeclared columns keep
+  * every file. Callers re-apply the predicate above the scan —
+  * pruning is never trusted as exact ([[graft.sources.ZoneMapSource]]
+  * reports every filter unhandled for the same reason).
+  */
+object ZoneMap {
+
+  type Build = IndexBuild
+  val Build = IndexBuild
+
+  private case class Manifest(fp: Long, n: Long, tableDir: String,
+      numCols: Seq[String], strCols: Seq[String],
+      deltas: Seq[String] = Nil, baseVer: Int = 0, mv: Long = 0L) {
+    def sameIndexAs(other: Manifest): Boolean =
+      copy(deltas = Nil, baseVer = 0, mv = 0L) ==
+        other.copy(deltas = Nil, baseVer = 0, mv = 0L)
+  }
+
+  private def toManifest(r: IndexDirs.ManifestReader): Manifest =
+    Manifest(r.long("fp"), r.long("n"), r.str("table"),
+      r.seq("num"), r.seq("str"), r.seq("deltas"),
+      r.intOr("bv", 0), mv = r.version)
+
+  private def readManifest(path: String): Option[Manifest] =
+    IndexDirs.readManifest(path).map(toManifest)
+
+  private def writeManifest(path: String, mf: Manifest): Unit =
+    IndexDirs.manifest()
+      .put("fp", mf.fp).put("n", mf.n).put("table", mf.tableDir)
+      .put("num", mf.numCols).put("str", mf.strCols)
+      .put("bv", mf.baseVer).put("deltas", mf.deltas)
+      .commit(path, mf.mv)
+
+  /** The file-list fingerprint the reuse check anchors on: xor-fold
+    * over (name, length) of the table's data files — metadata-only,
+    * never a data scan. Length is in the key so an in-place
+    * overwrite of a same-named file reads as a different table.
+    */
+  private def listFingerprint(
+      files: Seq[(String, Long)]): (Long, Long) = {
+    val fp = files.map { case (f, len) =>
+      scala.util.hashing.MurmurHash3.stringHash(s"$f#$len").toLong
+    }.foldLeft(0L)(_ ^ _)
+    (fp, files.size.toLong)
+  }
+
+  /** The scheme-and-authority-free path `input_file_name()` rows are
+    * keyed by — one normalization shared by the driver-side listing
+    * ([[listDataFiles]] uses `URI.getPath`) and the executor-side
+    * column ([[fileKey]]), so the two sides always agree.
+    */
+  private def fileKey(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
+
+  /** The table directory's current data files as (path, length) —
+    * one driver-side recursive listing, the same listing any scan of
+    * the table performs. Paths are scheme-free (`URI.getPath`).
+    */
+  def listDataFiles(tableDir: String): Seq[(String, Long)] = {
+    val f = IndexDirs.fs(tableDir)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!f.exists(root)) return Nil
+    val it = f.listFiles(root, true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          name.endsWith(".parquet"))
+        out += ((s.getPath.toUri.getPath, s.getLen))
+    }
+    out.result().sortBy(_._1)
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Per-file per-column profile of exactly `files`: one scan of
+    * those files, exploded to (file, col) rows, map-side combined —
+    * output is ≤ |files|·|cols| rows.
+    */
+  private def profile(spark: SparkSession, mf: Manifest,
+      files: Seq[String], outDir: String): Unit = {
+    val df = spark.read.parquet(files: _*)
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    mf.numCols.foreach { c =>
+      val dt = byName.getOrElse(c, throw new IllegalArgumentException(
+        s"zone column $c missing from ${mf.tableDir}"))
+      require(integral(dt),
+        s"zone column $c is $dt: numeric zone maps require an " +
+          "integral type (a truncating cast would prune files whose " +
+          "fractional values still match a boundary predicate) — " +
+          "declare it as a string zone or pre-scale to integers")
+    }
+    val pieces =
+      mf.numCols.map(c => struct(lit(c).as("col_name"),
+        lit("num").as("kind"), col(c).cast("long").as("vnum"),
+        lit(null).cast("string").as("vstr"))) ++
+      mf.strCols.map(c => struct(lit(c).as("col_name"),
+        lit("str").as("kind"), lit(null).cast("long").as("vnum"),
+        col(c).cast("string").as("vstr")))
+    df.select(fileKey(input_file_name()).as("file"),
+        explode(array(pieces: _*)).as("e"))
+      .select(col("file"), col("e.*"))
+      .groupBy("file", "col_name", "kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("vnum").isNull && col("vstr").isNull, 1L)
+          .otherwise(0L)).as("n_nulls"),
+        min("vnum").as("min_num"), max("vnum").as("max_num"),
+        // exact string extrema on (Object)HashAggregate — built-in
+        // string min/max would downgrade this corpus-scale pass to
+        // SortAggregate (see graft.functions.StrExtremaAgg)
+        str_min(col("vstr")).as("min_str"),
+        str_max(col("vstr")).as("max_str"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  private def baseOf(mf: Manifest): String =
+    if (mf.baseVer == 0) "stats" else s"stats.v${mf.baseVer}"
+
+  private def liveStats(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    (s"$path/${baseOf(mf)}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/stats"))
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  private def liveFiles(spark: SparkSession, path: String,
+      mf: Manifest): Seq[String] =
+    liveStats(spark, path, mf).select("file").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+
+  def buildIfAbsent(spark: SparkSession, tableDir: String,
+      numCols: Seq[String], strCols: Seq[String],
+      path: String): Build = {
+    require((numCols ++ strCols).nonEmpty, "declare at least 1 column")
+    require(numCols.intersect(strCols).isEmpty,
+      s"columns declared both num and str: " +
+        numCols.intersect(strCols).mkString(","))
+    val files = listDataFiles(tableDir)
+    require(files.nonEmpty, s"no parquet data files under $tableDir")
+    val (fp, n) = listFingerprint(files)
+    val want = Manifest(fp, n, tableDir, numCols, strCols)
+    readManifest(path) match {
+      case Some(have) if have.sameIndexAs(want) =>
+        Build(path, fp, n, reused = true)
+      case _ =>
+        IndexDirs.uncommit(path)
+        profile(spark, want, files.map(_._1), path)
+        writeManifest(path, want)
+        Build(path, fp, n, reused = false)
+    }
+  }
+
+  /** Re-sync with the table directory. New files are profiled alone
+    * (O(new data)) and committed as a delta; vanished files retract
+    * by REWRITING the metadata-scale stats table to the survivors
+    * (a claimed versioned base — two racing refreshes write disjoint
+    * targets and the manifest race picks one). No change ⇒ no-op.
+    */
+  def refresh(spark: SparkSession, path: String): Build = {
+    val decl = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    val now = listDataFiles(decl.tableDir)
+    val (fp, n) = listFingerprint(now)
+    if (fp == decl.fp && n == decl.n)
+      return Build(path, decl.fp, decl.n, reused = true)
+    val profiled = liveFiles(spark, path, decl).toSet
+    val nowNames = now.map(_._1)
+    val added = nowNames.filterNot(profiled)
+    val removed = (profiled -- nowNames.toSet).toSeq.sorted
+    if (removed.isEmpty && added.isEmpty)
+      // same names, changed length (in-place overwrite): the profile
+      // is stale in a way the delta algebra can't patch — rebuild
+      throw new IllegalStateException(
+        s"table files under ${decl.tableDir} changed in place — " +
+          "zone maps track immutable files; rebuild with " +
+          "buildIfAbsent after an in-place rewrite")
+    else if (removed.isEmpty) {
+      // append-only growth: profile the new files, commit a delta
+      val staged = IndexDirs.nextDeltaName(path, "d")
+      profile(spark, decl, added, s"$path/deltas/$staged")
+      IndexDirs.stagedCommit(readManifest(path),
+        writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+        // a racing refresh that already profiled any of these files
+        // makes this staging redundant — recheck per attempt
+        val haveFiles = liveFiles(spark, path, have).toSet
+        if (added.exists(haveFiles)) None
+        else Some(have.copy(fp = have.fp ^ (fp ^ decl.fp),
+          n = have.n + added.size, deltas = have.deltas :+ staged))
+      } match {
+        case Some(next) => Build(path, next.fp, next.n, reused = false)
+        case None =>
+          val cur = readManifest(path).getOrElse(decl)
+          Build(path, cur.fp, cur.n, reused = true)
+      }
+    } else {
+      // retraction: per-file rows are exact, so the survivors-only
+      // rewrite IS the correct artifact; genuinely-new files profile
+      // in the same pass
+      val ver = IndexDirs.claimBaseSuffix(path, "stats.v",
+        decl.baseVer + 1)
+      val target = s"$path/stats.v$ver"
+      val stagedNew = s"$path/stats.v$ver.new"
+      val survivors = liveStats(spark, path, decl)
+        .filter(!col("file").isin(removed: _*))
+      val rewrite =
+        if (added.isEmpty) survivors
+        else {
+          profile(spark, decl, added, stagedNew)
+          survivors.unionByName(spark.read.parquet(s"$stagedNew/stats"))
+        }
+      rewrite.coalesce(1).write.mode("overwrite").parquet(target)
+      val folded = decl.deltas
+      IndexDirs.commitWithRetry(readManifest(path),
+        writeManifest(path, _: Manifest), path) { have =>
+        // the rewrite folded decl's exact base+delta view; any commit
+        // since (new delta, new base) makes it stale — refuse
+        if (have.baseVer != decl.baseVer ||
+            have.deltas != decl.deltas) None
+        else Some(have.copy(fp = fp, n = n, baseVer = ver,
+          deltas = Nil))
+      } match {
+        case Some(next) =>
+          IndexDirs.gcDeltas(path, folded)
+          IndexDirs.rmTree(stagedNew)
+          Build(path, next.fp, next.n, reused = false)
+        case None =>
+          IndexDirs.rmTree(target)
+          IndexDirs.rmTree(stagedNew)
+          val cur = readManifest(path).getOrElse(decl)
+          Build(path, cur.fp, cur.n, reused = true)
+      }
+    }
+  }
+
+  /** The live per-file stats table — base ∪ deltas, rows disjoint
+    * by (file, col_name), no fold needed.
+    */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    liveStats(spark, path, mf)
+  }
+
+  /** The table's full schema (for empty-survivor scans and the SQL
+    * source), read from one footer.
+    */
+  def tableSchema(spark: SparkSession, path: String): StructType = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    spark.read.parquet(mf.tableDir).schema
+  }
+
+  /** Can the file described by one stats row contain a row matching
+    * `f`? Conservative per-filter test on a single column's zone.
+    */
+  private def mayMatch(f: Filter, kind: String, nRows: Long,
+      nNulls: Long, minN: Option[Long], maxN: Option[Long],
+      minS: Option[String], maxS: Option[String]): Boolean = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case s: java.lang.Short => Some(s.longValue)
+      case b: java.lang.Byte => Some(b.longValue)
+      case _ => None
+    }
+    def numZone(test: (Long, Long) => Boolean): Boolean =
+      // no non-null values ⇒ a null-rejecting predicate matches none
+      (minN, maxN) match {
+        case (Some(lo), Some(hi)) => test(lo, hi)
+        case _ => false
+      }
+    def strZone(test: (String, String) => Boolean): Boolean =
+      (minS, maxS) match {
+        case (Some(lo), Some(hi)) => test(lo, hi)
+        case _ => false
+      }
+    f match {
+      case IsNull(_) => nNulls > 0
+      case IsNotNull(_) => nNulls < nRows
+      case EqualTo(_, v) if kind == "num" =>
+        asLong(v).forall(x => numZone((lo, hi) => lo <= x && x <= hi))
+      case EqualTo(_, v: String) if kind == "str" =>
+        strZone((lo, hi) => lo <= v && v <= hi)
+      case In(_, vs) if kind == "num" =>
+        vs.exists(v => asLong(v)
+          .forall(x => numZone((lo, hi) => lo <= x && x <= hi)))
+      case In(_, vs) if kind == "str" =>
+        vs.exists {
+          case v: String => strZone((lo, hi) => lo <= v && v <= hi)
+          case _ => true
+        }
+      case GreaterThan(_, v) if kind == "num" =>
+        asLong(v).forall(x => numZone((_, hi) => hi > x))
+      case GreaterThanOrEqual(_, v) if kind == "num" =>
+        asLong(v).forall(x => numZone((_, hi) => hi >= x))
+      case LessThan(_, v) if kind == "num" =>
+        asLong(v).forall(x => numZone((lo, _) => lo < x))
+      case LessThanOrEqual(_, v) if kind == "num" =>
+        asLong(v).forall(x => numZone((lo, _) => lo <= x))
+      case GreaterThan(_, v: String) if kind == "str" =>
+        strZone((_, hi) => hi > v)
+      case GreaterThanOrEqual(_, v: String) if kind == "str" =>
+        strZone((_, hi) => hi >= v)
+      case LessThan(_, v: String) if kind == "str" =>
+        strZone((lo, _) => lo < v)
+      case LessThanOrEqual(_, v: String) if kind == "str" =>
+        strZone((lo, _) => lo <= v)
+      case _ => true // unrecognized ⇒ never prune on it
+    }
+  }
+
+  private def colOf(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case IsNull(a) => Some(a)
+    case IsNotNull(a) => Some(a)
+    case _ => None
+  }
+
+  /** The file list a conjunction of `filters` cannot rule out, plus
+    * the total profiled count: (surviving files, total files). The
+    * stats scan evaluates distributed; only FILE NAMES collect —
+    * the same driver-side materialization any scan's file index
+    * performs.
+    */
+  def prune(spark: SparkSession, path: String,
+      filters: Seq[Filter]): (Seq[String], Long) = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    val all = liveFiles(spark, path, mf)
+    val declared = (mf.numCols ++ mf.strCols).toSet
+    val byCol = filters
+      .flatMap(f => colOf(f).filter(declared).map(_ -> f))
+      .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2) }
+    if (byCol.isEmpty) return (all, all.length.toLong)
+    val rows = liveStats(spark, path, mf)
+      .filter(col("col_name").isin(byCol.keys.toSeq: _*))
+      .collect()
+    val killed = rows.iterator.flatMap { r =>
+      val c = r.getString(r.fieldIndex("col_name"))
+      val kind = r.getString(r.fieldIndex("kind"))
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def optS(i: Int) =
+        if (r.isNullAt(i)) None else Some(r.getString(i))
+      val survivesAll = byCol(c).forall(f =>
+        mayMatch(f, kind, r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("n_nulls")),
+          optL(r.fieldIndex("min_num")), optL(r.fieldIndex("max_num")),
+          optS(r.fieldIndex("min_str")), optS(r.fieldIndex("max_str"))))
+      if (survivesAll) None else Some(r.getString(r.fieldIndex("file")))
+    }.toSet
+    (all.filterNot(killed), all.length.toLong)
+  }
+
+  /** Read the table through the zone map: prune the file list with
+    * `filters`, scan only survivors. The predicate is NOT applied —
+    * callers (and the SQL source's unhandled-filters contract)
+    * re-evaluate it above, so pruning stays a pure prune.
+    */
+  def scan(spark: SparkSession, path: String,
+      filters: Seq[Filter]): DataFrame = {
+    val schema = tableSchema(spark, path)
+    val (files, _) = prune(spark, path, filters)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+}

@@ -8,8 +8,8 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType,
   StringType, StructType}
 
-import graft.operators.{AggView, AnnIndex, Bm25Index, DedupIndex,
-  LmIndex, MergeOnRead, VecStats}
+import graft.operators.{AggView, AnnIndex, Bm25Index, ColStats,
+  DedupIndex, LmIndex, MergeOnRead, VecStats}
 
 /** SQL serve surface for the persisted analytics artifacts: the
   * Scala-API serve paths ([[AggView.read]]/[[AggView.lookup]],
@@ -341,6 +341,32 @@ class MorRelation(spark: SparkSession, path: String,
   override protected def inner: DataFrame = version match {
     case Some(v) => MergeOnRead.readAt(spark, path, v)
     case None => MergeOnRead.read(spark, path)
+  }
+}
+
+/** `CREATE TEMPORARY VIEW profile USING colstats OPTIONS (path …
+  * [, table 'stats'|'registers'|'ndv'])` — the persisted per-column
+  * table-statistics artifact ([[graft.operators.ColStats]]) as a SQL
+  * source: the merged scalar profile (default), the dense per-column
+  * HLL registers, or the distinct-count estimates.
+  */
+class ColStatsSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "colstats"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new ColStatsRelation(ctx.sparkSession,
+      ServeOptions.required(parameters, "colstats", "path"),
+      parameters.getOrElse("table", "stats"))
+}
+
+class ColStatsRelation(spark: SparkSession, path: String,
+    table: String) extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame = table match {
+    case "stats" => ColStats.stats(spark, path)
+    case "registers" => ColStats.registers(spark, path)
+    case "ndv" => ColStats.ndv(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"colstats table must be stats|registers|ndv, got '$other'")
   }
 }
 
