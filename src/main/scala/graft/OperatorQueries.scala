@@ -454,6 +454,75 @@ object OperatorQueries {
         .orderBy("col_name", "bucket")
     }),
 
+    /** Per-file ZONE MAPS ([[graft.operators.ZoneMap]]) — the
+      * lakehouse data-skipping layer: cluster orders into 8 files by
+      * key range, build the per-file min/max profile, then SCAN
+      * through the zone map with a key-range predicate — the pruned
+      * file list (here 8 → ~1) is decided on the driver from the
+      * metadata-scale stats table, and the predicate re-applies above
+      * the scan (pruning is never trusted). The oracle runs the same
+      * range aggregate over ALL of orders — a zone map that pruned a
+      * file whose range intersects lands in the hash.
+      */
+    "q224_zonemap_scan" -> ((s, d) => {
+      import graft.operators.ZoneMap
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual,
+        LessThanOrEqual}
+      val root = lifecycleDir("q224", d)
+      val tableDir = s"$root/orders"
+      Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("ck"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("k"))
+        .write.mode("overwrite").parquet(tableDir)
+      val idx = s"$root/zm"
+      ZoneMap.buildIfAbsent(s, tableDir, Seq("k", "ck", "cents"),
+        Seq("st"), idx)
+      val fs = Seq(GreaterThanOrEqual("k", 100L),
+        LessThanOrEqual("k", 2000L))
+      ZoneMap.scan(s, idx, fs)
+        .filter(col("k") >= 100 && col("k") <= 2000)
+        .groupBy("st")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"),
+          min("ck").as("min_ck"), max("ck").as("max_ck"))
+        .orderBy("st")
+    }),
+
+    /** The zonemap SQL SOURCE over a grown table: build on 2/3 of
+      * orders, land the held-out third as new files, [[ZoneMap
+      * .refresh]] (profiles ONLY the new files, commits a delta),
+      * then query through `USING zonemap` with a WHERE — the pushed
+      * filters prune the file list transparently; SQL gets data
+      * skipping with zero query changes. The oracle aggregates ALL
+      * of orders under the same predicate, so a refresh that missed
+      * or double-profiled a file lands in the hash.
+      */
+    "q225_zonemap_sql" -> ((s, d) => {
+      import graft.operators.ZoneMap
+      val root = lifecycleDir("q225", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.filter(col("k") % 3 =!= 0).repartitionByRange(6, col("k"))
+        .write.mode("append").parquet(tableDir)
+      val idx = s"$root/zm"
+      ZoneMap.buildIfAbsent(s, tableDir, Seq("k", "cents"), Seq("st"),
+        idx)
+      t.filter(col("k") % 3 === 0).repartitionByRange(2, col("k"))
+        .write.mode("append").parquet(tableDir)
+      ZoneMap.refresh(s, idx)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW zm_orders " +
+        s"USING zonemap OPTIONS (path '$idx')")
+      s.sql("""SELECT st, count(*) AS n, sum(cents) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM zm_orders WHERE k <= 1500
+        |GROUP BY st ORDER BY st""".stripMargin)
+    }),
+
     // Keyed as-of: each event picks the user's latest order date ≤ ts,
     // clamped to the user's earliest order when none precede. The
     // merge shape (AsOf.asOfMerge, q08's scale path) with the clamp
@@ -883,6 +952,29 @@ object OperatorQueries {
         |FROM spine s LEFT JOIN regs
         |  ON s.col_name = regs.col_name AND s.bucket = regs.bucket
         |ORDER BY s.col_name, s.bucket""".stripMargin,
+    // the zone-map scan is a pure prune: its result must equal the
+    // unpruned range aggregate over all of orders
+    "q224_zonemap_scan" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_custkey AS BIGINT) AS ck,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT st, count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(ck) AS min_ck, max(ck) AS max_ck
+        |FROM t WHERE k BETWEEN 100 AND 2000
+        |GROUP BY st ORDER BY st""".stripMargin,
+    // build ∪ refreshed delta must cover exactly ALL of orders once
+    "q225_zonemap_sql" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM t WHERE k <= 1500
+        |GROUP BY st ORDER BY st""".stripMargin,
     // the feed's rows per window: batch A = the k%7 updates, batch
     // B = the k%5 deletes + the k%97 inserts; win_all = A ∪ B,
     // win_tail = B only

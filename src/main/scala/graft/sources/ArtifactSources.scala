@@ -401,3 +401,51 @@ class IndexMetaRelation(spark: SparkSession, path: String)
         "manifest_json")
   }
 }
+
+/** `CREATE TEMPORARY VIEW t USING zonemap OPTIONS (path …)` — the
+  * profiled table served THROUGH its zone map
+  * ([[graft.operators.ZoneMap]]): every pushed comparison/null-test
+  * filter on a declared zone column prunes the FILE LIST before the
+  * parquet scan is even planned, so `SELECT … WHERE k BETWEEN a AND
+  * b` reads only the files whose [min,max] zone intersects — SQL
+  * gets transparent data skipping with zero query changes. Every
+  * filter is reported unhandled and re-evaluates above the scan:
+  * pruning is a prune, never a correctness dependency. Option
+  * `table 'stats'` serves the metadata-scale stats table itself
+  * (observability: one row per file × column).
+  */
+class ZoneMapSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "zonemap"
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = ServeOptions.required(parameters, "zonemap", "path")
+    parameters.getOrElse("table", "data") match {
+      case "data" => new ZoneMapRelation(ctx.sparkSession, path)
+      case "stats" => new ZoneMapStatsRelation(ctx.sparkSession, path)
+      case other => throw new IllegalArgumentException(
+        s"zonemap table must be data|stats, got '$other'")
+    }
+  }
+}
+
+class ZoneMapRelation(spark: SparkSession, path: String)
+    extends BaseRelation with PrunedFilteredScan {
+  import graft.operators.ZoneMap
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = ZoneMap.tableSchema(spark, path)
+  override def needConversion: Boolean = false
+  // pruning is conservative, never exact — re-evaluate everything
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    ZoneMap.scan(spark, path, filters.toIndexedSeq)
+      .select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+class ZoneMapStatsRelation(spark: SparkSession, path: String)
+    extends InnerPlanRelation(spark) {
+  override protected def inner: DataFrame =
+    graft.operators.ZoneMap.stats(spark, path)
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+  IsNull, LessThanOrEqual, StringContains}
+
+import graft.SparkTestSession
+
+/** Per-file zone maps: exact per-file profile, conservative file
+  * pruning (range/equality/null tests; unknown filters and columns
+  * never prune), scan ≡ full read under any predicate, O(new-files)
+  * refresh with exact retraction on file removal, racing-refresh
+  * convergence, and the SQL source's transparent data skipping.
+  */
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmp(p: String) =
+    Files.createTempDirectory(p).toString
+
+  /** A 4-file table CLUSTERED by k (repartitionByRange), so k zones
+    * are disjoint and pruning is observable. v is null on k % 9 == 0;
+    * file 0's s-range is disjoint from the rest.
+    */
+  private def writeTable(dir: String, from: Int = 0,
+      until: Int = 400, files: Int = 4): Unit = {
+    import spark.implicits._
+    (from until until).map { i =>
+      (i.toLong,
+        if (i % 9 == 0) None else Some((i * 7 % 1000).toLong),
+        f"g${i % 26}%s")
+    }.toDF("k", "v", "s")
+      .repartitionByRange(files, col("k"))
+      .write.mode("append").parquet(dir)
+  }
+
+  private def build(dir: String, idx: String) =
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k", "v"), Seq("s"), idx)
+
+  test("built stats equal the direct per-file profile") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    writeTable(dir)
+    build(dir, idx)
+    val direct = spark.read.parquet(dir)
+      .select(regexp_replace(
+          regexp_replace(input_file_name(),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:", "").as("file"),
+        col("k"), col("v"), col("s"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls_v"),
+        min("s").as("min_s"), max("s").as("max_s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7), r.getString(8)))
+      .toMap
+    val got = ZoneMap.stats(spark, idx).collect()
+    assert(got.map(_.getString(0)).toSet == direct.keySet)
+    got.foreach { r =>
+      val (n, minK, maxK, minV, maxV, nullsV, minS, maxS) =
+        direct(r.getString(0))
+      val col = r.getString(1)
+      assert(r.getLong(3) == n, s"n_rows $col") // n_rows
+      col match {
+        case "k" =>
+          assert(r.getLong(4) == 0L) // n_nulls
+          assert(r.getLong(5) == minK && r.getLong(6) == maxK)
+        case "v" =>
+          assert(r.getLong(4) == nullsV)
+          assert(r.getLong(5) == minV && r.getLong(6) == maxV)
+        case "s" =>
+          assert(r.getString(7) == minS && r.getString(8) == maxS)
+      }
+    }
+  }
+
+  test("pruning: range predicates drop non-intersecting files; " +
+      "scan ≡ full read under the re-applied predicate; unknown " +
+      "filters and undeclared columns never prune") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    writeTable(dir)
+    build(dir, idx)
+    val all = ZoneMap.prune(spark, idx, Nil)._1
+    assert(all.size == 4)
+    // k is range-clustered: a one-quartile range keeps ~1 file
+    val fs = Seq(GreaterThanOrEqual("k", 0L), LessThanOrEqual("k", 80L))
+    val (kept, total) = ZoneMap.prune(spark, idx, fs)
+    assert(total == 4 && kept.size < 4 && kept.nonEmpty)
+    val scanned = ZoneMap.scan(spark, idx, fs)
+      .filter(col("k") >= 0 && col("k") <= 80)
+    val direct = spark.read.parquet(dir)
+      .filter(col("k") >= 0 && col("k") <= 80)
+    assert(scanned.collect().toSet == direct.collect().toSet)
+    assert(scanned.inputFiles.length == kept.size)
+    // equality out of range prunes everything
+    assert(ZoneMap.prune(spark, idx, Seq(EqualTo("k", 10000L)))._1.isEmpty)
+    assert(ZoneMap.scan(spark, idx,
+      Seq(EqualTo("k", 10000L))).count() == 0)
+    // unsupported filter shape: conservative, keeps all
+    assert(ZoneMap.prune(spark, idx,
+      Seq(StringContains("s", "g1")))._1.size == 4)
+    // undeclared column: conservative, keeps all
+    assert(ZoneMap.prune(spark, idx,
+      Seq(EqualTo("nope", 1L)))._1.size == 4)
+    // IsNull prunes files with zero nulls in v — every file here has
+    // some k%9 rows, so this keeps all; on k (never null) it prunes all
+    assert(ZoneMap.prune(spark, idx, Seq(IsNull("v")))._1.size == 4)
+    assert(ZoneMap.prune(spark, idx, Seq(IsNull("k")))._1.isEmpty)
+  }
+
+  test("refresh profiles only new files (delta commit) and reuses " +
+      "when nothing changed; fingerprint equals a fresh build's") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i"); val idx2 = tmp("zm-i2")
+    writeTable(dir, 0, 400)
+    build(dir, idx)
+    assert(ZoneMap.refresh(spark, idx).reused)
+    writeTable(dir, 400, 600, files = 2)
+    val r = ZoneMap.refresh(spark, idx)
+    assert(!r.reused)
+    // a second refresh is a no-op
+    assert(ZoneMap.refresh(spark, idx).reused)
+    // state equals a from-scratch build over the grown table
+    val fresh = build(dir, idx2)
+    assert(r.fingerprint == fresh.fingerprint && r.count == fresh.count)
+    assert(ZoneMap.stats(spark, idx).collect().toSet ==
+      ZoneMap.stats(spark, idx2).collect().toSet)
+    // and the build over the same table reuses in place
+    assert(build(dir, idx).reused)
+  }
+
+  test("file removal retracts exactly: refresh rewrites to the " +
+      "survivors and scans stay correct") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i"); val idx2 = tmp("zm-i2")
+    writeTable(dir)
+    build(dir, idx)
+    val victim = ZoneMap.listDataFiles(dir).head._1
+    Files.delete(java.nio.file.Paths.get(victim))
+    val r = ZoneMap.refresh(spark, idx)
+    assert(!r.reused)
+    val fresh = build(dir, idx2)
+    assert(r.fingerprint == fresh.fingerprint && r.count == fresh.count)
+    assert(ZoneMap.stats(spark, idx).collect().toSet ==
+      ZoneMap.stats(spark, idx2).collect().toSet)
+    val scanned = ZoneMap.scan(spark, idx, Nil)
+    assert(scanned.collect().toSet ==
+      spark.read.parquet(dir).collect().toSet)
+    // add + remove in one refresh also converges to the fresh build
+    writeTable(dir, 600, 700, files = 1)
+    val victim2 = ZoneMap.listDataFiles(dir).last._1
+    Files.delete(java.nio.file.Paths.get(victim2))
+    val r2 = ZoneMap.refresh(spark, idx)
+    val idx3 = tmp("zm-i3")
+    val fresh2 = build(dir, idx3)
+    assert(r2.fingerprint == fresh2.fingerprint)
+    assert(ZoneMap.stats(spark, idx).collect().toSet ==
+      ZoneMap.stats(spark, idx3).collect().toSet)
+  }
+
+  test("non-integral numeric zone columns refuse at build; in-place " +
+      "file rewrites refuse at refresh") {
+    import spark.implicits._
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    Seq((1L, 1.5), (2L, 2.5)).toDF("k", "d")
+      .write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.buildIfAbsent(spark, dir, Seq("d"), Nil, idx)
+    }
+    assert(e.getMessage.contains("integral"))
+    // in-place rewrite: same file name, different length
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idx)
+    val f = ZoneMap.listDataFiles(dir).head._1
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
+    Files.write(java.nio.file.Paths.get(f),
+      bytes ++ Array[Byte](0, 0, 0, 0))
+    val e2 = intercept[IllegalStateException] {
+      ZoneMap.refresh(spark, idx)
+    }
+    assert(e2.getMessage.contains("in place"))
+  }
+
+  test("two racing refreshes over the same new files: one commits " +
+      "the delta, the other skips — stats converge to one profile") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i"); val idx2 = tmp("zm-i2")
+    writeTable(dir, 0, 200, files = 2)
+    build(dir, idx)
+    writeTable(dir, 200, 300, files = 1)
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => { ZoneMap.refresh(spark, idx); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val fresh = build(dir, idx2)
+    val got = ZoneMap.stats(spark, idx).collect()
+    assert(got.toSet == ZoneMap.stats(spark, idx2).collect().toSet)
+    // no duplicated per-file rows from a double-committed delta
+    assert(got.map(r => (r.getString(0), r.getString(1))).distinct
+      .length == got.length)
+    assert(ZoneMap.refresh(spark, idx).fingerprint == fresh.fingerprint)
+  }
+
+  test("the zonemap SQL source: WHERE on a zone column reads fewer " +
+      "files, same rows; stats table serves the profile") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    writeTable(dir)
+    build(dir, idx)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zm_t USING zonemap " +
+      s"OPTIONS (path '$idx')")
+    val got = spark.sql(
+      "SELECT k, v, s FROM zm_t WHERE k >= 0 AND k <= 80")
+    val want = spark.read.parquet(dir)
+      .filter(col("k") >= 0 && col("k") <= 80)
+      .select("k", "v", "s")
+    assert(got.collect().toSet == want.collect().toSet)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zm_s USING zonemap " +
+      s"OPTIONS (path '$idx', table 'stats')")
+    assert(spark.sql("SELECT * FROM zm_s").collect().toSet ==
+      ZoneMap.stats(spark, idx).collect().toSet)
+  }
+}
