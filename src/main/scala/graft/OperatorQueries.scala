@@ -454,6 +454,31 @@ object OperatorQueries {
         .orderBy("col_name", "bucket")
     }),
 
+    /** The same artifact family's signed-log₂ VALUE HISTOGRAM
+      * ([[graft.operators.ColStats.hist]]): pure integer bucket
+      * arithmetic (0 → 0, v>0 → bit-length(v), v<0 → −bit-length(−v))
+      * that both engines replay bit-for-bit, and pure-sum counts that
+      * fold exactly across the build + append. `bal` is signed by
+      * construction so the mirrored negative buckets are exercised.
+      * The quantile serve derives from this table (float midpoints —
+      * spec territory; the oracle pins every bucket count).
+      */
+    "q226_colstats_hist" -> ((s, d) => {
+      import graft.operators.ColStats
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        (round(col("o_totalprice") * 100).cast("long") - 15000000L)
+          .as("bal"))
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-colstatshist-${Integer.toHexString(d.hashCode)}")
+        .toString
+      ColStats.buildIfAbsent(t.filter(col("k") % 4 =!= 0),
+        Seq("k", "bal"), Nil, idx)
+      ColStats.append(t.filter(col("k") % 4 === 0), idx)
+      ColStats.hist(s, idx).orderBy("col_name", "bucket")
+    }),
+
     /** Per-file ZONE MAPS ([[graft.operators.ZoneMap]]) — the
       * lakehouse data-skipping layer: cluster orders into 8 files by
       * key range, build the per-file min/max profile, then SCAN
@@ -952,6 +977,23 @@ object OperatorQueries {
         |FROM spine s LEFT JOIN regs
         |  ON s.col_name = regs.col_name AND s.bucket = regs.bucket
         |ORDER BY s.col_name, s.bucket""".stripMargin,
+    // replays the signed-log2 bucket arithmetic over ALL of orders:
+    // an append that double-counted a bucket, or a sign mishandled
+    // in the mirror, lands in the hash
+    "q226_colstats_hist" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) - 15000000
+        |      AS bal
+        |  FROM orders),
+        |v AS (SELECT 'k' AS col_name, k AS v FROM t
+        |  UNION ALL SELECT 'bal', bal FROM t)
+        |SELECT col_name,
+        |  CASE WHEN v = 0 THEN 0
+        |    WHEN v > 0 THEN CAST(length(bin(v)) AS INT)
+        |    ELSE -CAST(length(bin(-v)) AS INT) END AS bucket,
+        |  count(*) AS cnt
+        |FROM v WHERE v IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the zone-map scan is a pure prune: its result must equal the
     // unpruned range aggregate over all of orders
     "q224_zonemap_scan" ->

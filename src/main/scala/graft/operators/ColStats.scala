@@ -61,10 +61,16 @@ object ColStats {
   private val BucketBits = 6
   private val HashBits = 60
 
+  /** On-disk format version. 2 added the `hist/` log₂ histogram
+    * table; `sameIndexAs` includes it, so an artifact written by an
+    * older format rebuilds instead of serving a table it never wrote.
+    */
+  private val Fmt = 2
+
   private case class Manifest(fp: Long, n: Long,
       numCols: Seq[String], strCols: Seq[String],
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0, mv: Long = 0L) {
+      baseVer: Int = 0, fmt: Int = Fmt, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
       copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
         other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
@@ -73,7 +79,7 @@ object ColStats {
   private def toManifest(r: IndexDirs.ManifestReader): Manifest =
     Manifest(r.long("fp"), r.long("n"), r.seq("num"), r.seq("str"),
       r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
-      mv = r.version)
+      fmt = r.intOr("fmt", 1), mv = r.version)
 
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map(toManifest)
@@ -83,8 +89,20 @@ object ColStats {
       .put("fp", mf.fp).put("n", mf.n)
       .put("num", mf.numCols).put("str", mf.strCols)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
-      .put("deltas", mf.deltas)
+      .put("fmt", mf.fmt).put("deltas", mf.deltas)
       .commit(path, mf.mv)
+
+  /** Signed log₂ magnitude bucket of a BIGINT — pure integer
+    * arithmetic both engines replay bit-for-bit: 0 → bucket 0,
+    * v > 0 → bit-length(v) (so bucket b covers [2^(b-1), 2^b − 1]),
+    * v < 0 → −bit-length(−v) (mirrored). `Long.MinValue` is outside
+    * the replayable domain (−v overflows; Spark wraps to −64, DuckDB
+    * errors) — fine for rendered data, documented not defended.
+    */
+  private def histBucket(v: Column): Column =
+    when(v === 0L, lit(0))
+      .when(v > 0L, length(bin(v)).cast("int"))
+      .otherwise(-length(bin(-v)).cast("int"))
 
   def fingerprint(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String]): (Long, Long) =
@@ -147,6 +165,12 @@ object ColStats {
       .agg(max(col("rho")).cast("int").as("register"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/regs")
+    lf.filter(col("kind") === "num" && col("vnum").isNotNull)
+      .select(col("col_name"), histBucket(col("vnum")).as("bucket"))
+      .groupBy("col_name", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/hist")
   }
 
   private def baseOf(mf: Manifest, sub: String): String =
@@ -174,6 +198,13 @@ object ColStats {
       .reduce(_.unionByName(_))
       .groupBy("col_name", "bucket")
       .agg(max("register").cast("int").as("register"))
+
+  private def liveHist(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    roots(path, mf, "hist").map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .groupBy("col_name", "bucket")
+      .agg(sum("cnt").as("cnt"))
 
   def buildIfAbsent(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String], path: String): Build = {
@@ -287,6 +318,12 @@ object ColStats {
       .agg(max("register").cast("int").as("register"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/deltas/$staged/regs")
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/hist"))
+      .reduce(_.unionByName(_))
+      .groupBy("col_name", "bucket")
+      .agg(sum("cnt").as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/hist")
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       // a delta folded by a RACING compaction makes this fold stale
@@ -325,6 +362,59 @@ object ColStats {
         Seq("col_name", "bucket"), "left")
       .select(col("col_name"), col("bucket"),
         coalesce(col("register"), lit(0)).cast("int").as("register"))
+  }
+
+  /** The merged signed-log₂ value histogram of every numeric column:
+    * (col_name, bucket, cnt), bucket = [[histBucket]] — counts are
+    * pure sums, so deltas fold exactly and both engines replay every
+    * bucket bit-for-bit. ≤ |numCols|·129 rows.
+    */
+  def hist(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    liveHist(spark, path, mf)
+  }
+
+  /** Per-column approximate quantiles from the merged histogram:
+    * for each requested fraction q, the FIRST bucket whose cumulative
+    * count reaches ⌈q·n_nonnull⌉, estimated at the bucket's value
+    * midpoint — the true quantile provably lies inside the chosen
+    * bucket's range (the histogram is exact), so the estimate is off
+    * by at most half the bucket width (a factor ≤ 2 of the
+    * magnitude, the log₂-histogram contract). Float math → spec
+    * territory; the oracle pins [[hist]].
+    *
+    * The window runs partitioned by col_name over the ≤ 129-bucket
+    * histogram — metadata-scale by construction.
+    */
+  def quantiles(spark: SparkSession, path: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1], got ${qs.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val h = hist(spark, path)
+    val w = Window.partitionBy("col_name").orderBy("bucket")
+    val cum = h
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total",
+        sum("cnt").over(Window.partitionBy("col_name")))
+    val fracs = explode(array(qs.map(lit): _*)).as("q")
+    // value midpoint of a signed log2 bucket: b=0 → 0; b>0 →
+    // (2^(b-1) + 2^b - 1)/2; b<0 mirrored negative
+    val mid = {
+      val b = col("bucket").cast("double")
+      when(col("bucket") === 0, lit(0.0))
+        .when(col("bucket") > 0,
+          (pow(lit(2.0), b - 1) + pow(lit(2.0), b) - 1) / 2)
+        .otherwise(-(pow(lit(2.0), -b - 1) + pow(lit(2.0), -b) - 1) / 2)
+    }
+    cum.select(col("col_name"), col("bucket"), col("cum"),
+        col("total"), fracs)
+      .filter(col("cum") >= ceil(col("q") * col("total")))
+      .groupBy("col_name", "q")
+      .agg(min("bucket").as("bucket"))
+      .select(col("col_name"), col("q"), col("bucket"),
+        round(mid, 4).as("estimate"))
   }
 
   /** Per-column distinct-count estimate from the merged registers

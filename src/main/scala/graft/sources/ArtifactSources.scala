@@ -345,10 +345,13 @@ class MorRelation(spark: SparkSession, path: String,
 }
 
 /** `CREATE TEMPORARY VIEW profile USING colstats OPTIONS (path …
-  * [, table 'stats'|'registers'|'ndv'])` — the persisted per-column
+  * [, table 'stats'|'registers'|'ndv'|'hist'|'quantiles'
+  * [, qs '0.5,0.9,0.99']])` — the persisted per-column
   * table-statistics artifact ([[graft.operators.ColStats]]) as a SQL
   * source: the merged scalar profile (default), the dense per-column
-  * HLL registers, or the distinct-count estimates.
+  * HLL registers, the distinct-count estimates, the signed-log₂
+  * value histogram, or histogram-derived quantile estimates at the
+  * `qs` fractions.
   */
 class ColStatsSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "colstats"
@@ -356,17 +359,23 @@ class ColStatsSource extends RelationProvider with DataSourceRegister {
       parameters: Map[String, String]): BaseRelation =
     new ColStatsRelation(ctx.sparkSession,
       ServeOptions.required(parameters, "colstats", "path"),
-      parameters.getOrElse("table", "stats"))
+      parameters.getOrElse("table", "stats"),
+      parameters.getOrElse("qs", "0.5,0.9,0.99")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+        .toIndexedSeq)
 }
 
 class ColStatsRelation(spark: SparkSession, path: String,
-    table: String) extends InnerPlanRelation(spark) {
+    table: String, qs: Seq[Double]) extends InnerPlanRelation(spark) {
   override protected def inner: DataFrame = table match {
     case "stats" => ColStats.stats(spark, path)
     case "registers" => ColStats.registers(spark, path)
     case "ndv" => ColStats.ndv(spark, path)
+    case "hist" => ColStats.hist(spark, path)
+    case "quantiles" => ColStats.quantiles(spark, path, qs)
     case other => throw new IllegalArgumentException(
-      s"colstats table must be stats|registers|ndv, got '$other'")
+      "colstats table must be stats|registers|ndv|hist|quantiles, " +
+        s"got '$other'")
   }
 }
 

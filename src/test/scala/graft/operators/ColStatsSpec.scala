@@ -77,6 +77,55 @@ class ColStatsSpec extends AnyFunSuite {
     assert(math.abs(ndv("s") - 9) / 9.0 < 0.5)
   }
 
+  test("histogram equals direct signed-log2 bucket counts (negatives " +
+      "and zero included); quantile estimates land in the bucket that " +
+      "contains the exact quantile") {
+    import spark.implicits._
+    val path = tmp("colstats-hist")
+    // w spans negative / zero / positive magnitudes
+    val t = (0 until 300).map(i => (i.toLong, (i - 150).toLong * 3))
+      .toDF("id", "w")
+    ColStats.buildIfAbsent(t, Seq("id", "w"), Nil, path)
+    val direct = t
+      .select(explode(array(
+        struct(lit("id").as("c"), col("id").as("v")),
+        struct(lit("w").as("c"), col("w").as("v")))).as("e"))
+      .select(col("e.c").as("col_name"),
+        when(col("e.v") === 0, 0)
+          .when(col("e.v") > 0, length(bin(col("e.v"))).cast("int"))
+          .otherwise(-length(bin(-col("e.v"))).cast("int"))
+          .as("bucket"))
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("cnt"))
+    assert(rowsOf(ColStats.hist(spark, path)) == rowsOf(direct))
+    // every histogram count is a sum → appends fold exactly
+    val inc = tmp("colstats-hist-inc")
+    ColStats.buildIfAbsent(t.filter(col("id") < 100),
+      Seq("id", "w"), Nil, inc)
+    ColStats.append(t.filter(col("id") >= 100), inc)
+    assert(rowsOf(ColStats.hist(spark, inc)) == rowsOf(direct))
+    // quantiles: the exact quantile value must fall inside the
+    // chosen bucket's range (the histogram is exact, the estimate
+    // is just the midpoint)
+    val qs = Seq(0.1, 0.5, 0.9)
+    val got = ColStats.quantiles(spark, path, qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getInt(r.fieldIndex("bucket"))).toMap
+    assert(got.size == 2 * qs.size)
+    for (q <- qs; (cn, vals) <- Seq(
+        ("id", (0 until 300).map(_.toLong)),
+        ("w", (0 until 300).map(i => (i - 150).toLong * 3)))) {
+      val sorted = vals.sorted
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val b = got((cn, q))
+      val (lo, hi) =
+        if (b == 0) (0L, 0L)
+        else if (b > 0) (1L << (b - 1), (1L << b) - 1)
+        else (-((1L << -b) - 1), -(1L << (-b - 1)))
+      assert(exact >= lo && exact <= hi,
+        s"$cn q=$q exact=$exact outside bucket $b [$lo,$hi]")
+    }
+  }
+
   test("append composes: stats, registers, and fingerprint equal " +
       "the one-shot build over the union; second build reuses") {
     val (inc, once) = (tmp("colstats-inc"), tmp("colstats-once"))
@@ -122,9 +171,11 @@ class ColStatsSpec extends AnyFunSuite {
     assert(!ColStats.appendBatch(rows(60, 70), 1L, path).reused)
     val before = rowsOf(ColStats.stats(spark, path))
     val regsBefore = rowsOf(ColStats.registers(spark, path))
+    val histBefore = rowsOf(ColStats.hist(spark, path))
     assert(ColStats.compactDeltas(spark, path) == 2)
     assert(rowsOf(ColStats.stats(spark, path)) == before)
     assert(rowsOf(ColStats.registers(spark, path)) == regsBefore)
+    assert(rowsOf(ColStats.hist(spark, path)) == histBefore)
   }
 
   test("4 uncoordinated concurrent appends all land exactly once " +
@@ -164,5 +215,14 @@ class ColStatsSpec extends AnyFunSuite {
       s"USING colstats OPTIONS (path '$path', table 'ndv')")
     assert(rowsOf(spark.sql("SELECT * FROM graft_colstats_n")) ==
       rowsOf(ColStats.ndv(spark, path)))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_colstats_h " +
+      s"USING colstats OPTIONS (path '$path', table 'hist')")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_colstats_h")) ==
+      rowsOf(ColStats.hist(spark, path)))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_colstats_q " +
+      s"USING colstats OPTIONS (path '$path', table 'quantiles', " +
+      "qs '0.25,0.75')")
+    assert(rowsOf(spark.sql("SELECT * FROM graft_colstats_q")) ==
+      rowsOf(ColStats.quantiles(spark, path, Seq(0.25, 0.75))))
   }
 }
