@@ -400,6 +400,52 @@ object OperatorQueries {
         .orderBy("src", "op")
     }),
 
+    /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
+      * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
+      * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
+      * inserts + updates + seq-ordered deletes), compacted with
+      * range clustering on `cents` so each bucket splits into
+      * value-tight files, then read THROUGH the zone map with a
+      * cents-range predicate — the base file list prunes on the
+      * driver before the scan plans, and the predicate re-applies
+      * above (pruning never trusted). The oracle replays the CDC
+      * fold and the range aggregate directly — a pruned file whose
+      * zone intersected, or a fold broken by the clustering rewrite,
+      * lands in the hash.
+      */
+    "q227_mor_zonemap" -> ((s, d) => {
+      import graft.operators.MergeOnRead
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual,
+        LessThanOrEqual}
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dir = lifecycleDir("q227", d) + "/tbl"
+      MergeOnRead.create(t.filter(col("k") % 4 =!= 0), dir, Seq("k"),
+        nBuckets = 8)
+      MergeOnRead.append(
+        t.filter(col("k") % 4 === 0)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+          .unionByName(t.filter(col("k") % 10 === 1)
+            .withColumn("cents", col("cents") + 77L)
+            .withColumn("op", lit("U")).withColumn("seq", lit(1L)))
+          .unionByName(t.filter(col("k") % 13 === 0)
+            .withColumn("op", lit("D")).withColumn("seq", lit(2L))),
+        dir)
+      MergeOnRead.compact(s, dir, clusterBy = Seq("cents"),
+        filesPerBucket = 4)
+      MergeOnRead.buildZoneMap(s, dir, Seq("cents", "k"), Seq("st"))
+      val fs = Seq(GreaterThanOrEqual("cents", 5000000L),
+        LessThanOrEqual("cents", 15000000L))
+      MergeOnRead.readWhere(s, dir, fs)
+        .filter(col("cents").between(5000000L, 15000000L))
+        .groupBy("st")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          sum("k").as("sum_k"))
+        .orderBy("st")
+    }),
+
     /** Persisted COLUMN STATISTICS ([[graft.operators.ColStats]]) —
       * the lakehouse stats layer as an incrementally-maintained
       * artifact: build the per-column profile on 3/4 of orders,
@@ -977,6 +1023,22 @@ object OperatorQueries {
         |FROM spine s LEFT JOIN regs
         |  ON s.col_name = regs.col_name AND s.bucket = regs.bucket
         |ORDER BY s.col_name, s.bucket""".stripMargin,
+    // replays the CDC fold (deletes win by seq over same-batch
+    // inserts) and the range aggregate the zone-map read must equal
+    "q227_mor_zonemap" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT k, st,
+        |    CASE WHEN k % 10 = 1 THEN cents + 77 ELSE cents END
+        |      AS cents
+        |  FROM t WHERE k % 13 <> 0)
+        |SELECT st, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM f WHERE cents BETWEEN 5000000 AND 15000000
+        |GROUP BY st ORDER BY st""".stripMargin,
     // replays the signed-log2 bucket arithmetic over ALL of orders:
     // an append that double-counted a bucket, or a sign mishandled
     // in the mirror, lands in the hash

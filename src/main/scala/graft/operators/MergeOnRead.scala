@@ -338,6 +338,12 @@ object MergeOnRead {
       s"$dir/data/ver=$v/$Bucket=$b" }
     val base = readData(spark, dir, basePaths, s"$dir/data")
       .drop("ver").drop(Bucket)
+    foldPending(spark, dir, m, base, broadcastKeys)
+  }
+
+  private def foldPending(spark: SparkSession, dir: String,
+      m: Manifest, base: DataFrame,
+      broadcastKeys: Boolean): DataFrame = {
     val pending = committedBatches(dir).filterNot(m.folded)
     if (pending.isEmpty) return base
     val deltas = spark.read.option("basePath", s"$dir/delta")
@@ -347,6 +353,61 @@ object MergeOnRead {
       Seq(col("batch").desc, col(m.meta.seqCol).desc),
       Seq(m.meta.opCol, m.meta.seqCol, "batch"),
       broadcastKeys = broadcastKeys)
+  }
+
+  /** The table's [[ZoneMap]] lives beside the data (readers never
+    * list `_`-prefixed dirs).
+    */
+  def zoneMapPath(dir: String): String = s"$dir/_zonemap"
+
+  /** Build the base-file zone map (idempotent — reuses while the base
+    * file set is unchanged). Call after [[create]] or a compaction;
+    * pair with a `clusterBy` compaction so base files actually have
+    * tight zones. Deltas are NOT zone-mapped: [[readWhere]] folds the
+    * full pending window (≪ base by the merge-on-read contract) and
+    * the next compaction absorbs it into profiled base files.
+    */
+  def buildZoneMap(spark: SparkSession, dir: String,
+      numCols: Seq[String], strCols: Seq[String]): ZoneMap.Build =
+    ZoneMap.buildIfAbsent(spark, s"$dir/data", numCols, strCols,
+      zoneMapPath(dir))
+
+  /** Re-sync the zone map after a compaction: the new `ver=` files
+    * profile alone, replaced bucket files retract exactly.
+    */
+  def refreshZoneMap(spark: SparkSession, dir: String): ZoneMap.Build =
+    ZoneMap.refresh(spark, zoneMapPath(dir))
+
+  /** [[read]], but the BASE file list is pruned through the table's
+    * zone map before the scan is planned: manifest-selected bucket
+    * dirs are expanded to files and any file the zone map PROVABLY
+    * rules out for `filters` is dropped. Safety holds in both
+    * directions of staleness — the killed set is subtracted from the
+    * MANIFEST's file list (a lagging zone map keeps extra files, an
+    * unprofiled file is never dropped), and dropping a base row that
+    * cannot match a null-rejecting predicate commutes with the LWW
+    * fold (a delta's latest version wins with or without the base
+    * row; a base row that only survives the fold fails the predicate
+    * anyway). Callers re-apply `filters` above — pruning is never
+    * trusted as exact. No zone map built ⇒ plain [[read]].
+    */
+  def readWhere(spark: SparkSession, dir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      broadcastKeys: Boolean = true): DataFrame = {
+    val m = loadManifest(dir)
+    val zp = zoneMapPath(dir)
+    if (IndexDirs.readManifest(zp).isEmpty)
+      return read(spark, dir, broadcastKeys)
+    val bucketDirs = m.buckets.toSeq.sorted.map { case (b, v) =>
+      s"$dir/data/ver=$v/$Bucket=$b" }
+    val files = bucketDirs.flatMap(d =>
+      ZoneMap.listDataFiles(d).map(_._1))
+    val killed = ZoneMap.profiledFiles(spark, zp).toSet --
+      ZoneMap.prune(spark, zp, filters)._1
+    val base = readData(spark, dir, files.filterNot(killed),
+        s"$dir/data")
+      .drop("ver").drop(Bucket)
+    foldPending(spark, dir, m, base, broadcastKeys)
   }
 
   /** The batch window's CHANGE FEED: every change row of the
@@ -449,10 +510,21 @@ object MergeOnRead {
     * every other bucket manifest-side. Returns the number of
     * buckets rewritten.
     */
+  /** `clusterBy` (opt-in, the lakehouse OPTIMIZE-with-clustering
+    * shape): the rewritten buckets range-partition on
+    * (bucket, clusterBy…) into `filesPerBucket` files per bucket,
+    * so each file covers a tight range of the cluster columns — the
+    * [[buildZoneMap]]/[[readWhere]] file pruning then skips most of
+    * the base for a range predicate. Costs one extra range shuffle
+    * of the TOUCHED buckets only; Nil (default) keeps the plain
+    * one-file-per-bucket rewrite.
+    */
   def compact(spark: SparkSession, dir: String,
-      gc: Boolean = true): Int =
+      gc: Boolean = true, clusterBy: Seq[String] = Nil,
+      filesPerBucket: Int = 4): Int =
     compactBatches(spark, dir,
-      committedBatches(dir).filterNot(loadManifest(dir).folded), gc)
+      committedBatches(dir).filterNot(loadManifest(dir).folded), gc,
+      clusterBy, filesPerBucket)
 
   /** Compaction over an explicit pending-batch snapshot — the
     * separation exists so MorSpec can interleave an append between
@@ -461,7 +533,8 @@ object MergeOnRead {
     * so the post-compaction [[read]] still serves it as a delta.
     */
   private[operators] def compactBatches(spark: SparkSession, dir: String,
-      pending: Seq[Int], gc: Boolean = true): Int = {
+      pending: Seq[Int], gc: Boolean = true,
+      clusterBy: Seq[String] = Nil, filesPerBucket: Int = 4): Int = {
     val m = loadManifest(dir)
     if (pending.isEmpty) return 0
     val touched = pending.flatMap(bucketsIn(dir, _)).distinct.sorted
@@ -480,8 +553,13 @@ object MergeOnRead {
     val merged = Cdc.fold(base, deltas, m.meta.keyCols, m.meta.opCol,
       Seq(col("batch").desc, col(m.meta.seqCol).desc),
       Seq(m.meta.opCol, m.meta.seqCol, "batch"))
-    merged.withColumn(Bucket, bucketOf(m.meta))
-      .repartition(col(Bucket))
+    val bucketed = merged.withColumn(Bucket, bucketOf(m.meta))
+    val laidOut =
+      if (clusterBy.isEmpty) bucketed.repartition(col(Bucket))
+      else bucketed.repartitionByRange(
+        math.max(1, touched.size * filesPerBucket),
+        (Bucket +: clusterBy).map(col): _*)
+    laidOut
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(s"$dir/data/ver=$newVer")
     // a touched bucket absent from the new ver went empty (all rows

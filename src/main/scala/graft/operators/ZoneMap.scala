@@ -303,6 +303,18 @@ object ZoneMap {
     liveStats(spark, path, mf)
   }
 
+  /** Every file the zone map has profiled (scheme-free paths) — the
+    * complement of [[prune]]'s survivors is the killed set, which
+    * integrators ([[MergeOnRead.readWhere]]) subtract from their own
+    * manifest-selected file list so a LAGGING zone map can only keep
+    * extra files, never drop unprofiled ones.
+    */
+  def profiledFiles(spark: SparkSession, path: String): Seq[String] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    liveFiles(spark, path, mf)
+  }
+
   /** The table's full schema (for empty-survivor scans and the SQL
     * source), read from one footer.
     */

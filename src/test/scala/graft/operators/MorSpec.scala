@@ -342,4 +342,57 @@ class MorSpec extends AnyFunSuite {
     assert(MergeOnRead.compact(spark, dir) === 0)
     assert(state(dir).size === 5)
   }
+
+  test("clusterBy compaction + zone map: readWhere prunes base " +
+      "files, equals read().filter, and stays safe when the zone " +
+      "map lags the table") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual,
+      LessThanOrEqual}
+    val dir = tmp()
+    val fs = Seq(GreaterThanOrEqual("x", 1000L),
+      LessThanOrEqual("x", 2000L))
+    def inRange(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("x").between(1000L, 2000L))
+    MergeOnRead.create(base(400), dir, Seq("k"), nBuckets = 4)
+    // no zone map yet: readWhere IS read
+    assert(inRange(MergeOnRead.readWhere(spark, dir, fs))
+      .collect().toSet ==
+      inRange(MergeOnRead.read(spark, dir)).collect().toSet)
+    MergeOnRead.append(ch(Seq(
+      (1L, "u1", 1500L, "U", 1L), (401L, "n", 99999L, "I", 1L),
+      (120L, "", 0L, "D", 1L))), dir)
+    // cluster the fold on x: each bucket splits into x-tight files
+    assert(MergeOnRead.compact(spark, dir,
+      clusterBy = Seq("x"), filesPerBucket = 4) > 0)
+    MergeOnRead.buildZoneMap(spark, dir, Seq("x", "k"), Seq("s"))
+    val want = inRange(MergeOnRead.read(spark, dir))
+    val got = inRange(MergeOnRead.readWhere(spark, dir, fs))
+    assert(got.collect().toSet == want.collect().toSet)
+    // pruning is observable: the pruned plan reads strictly fewer
+    // base files (no pending deltas — inputFiles is base-only here)
+    assert(got.inputFiles.length < want.inputFiles.length,
+      s"${got.inputFiles.length} vs ${want.inputFiles.length}")
+    // LAGGING zone map: new delta moves a row INTO the range and a
+    // base row OUT of it — readWhere folds the full delta window, so
+    // both sides stay equal without a refresh
+    MergeOnRead.append(ch(Seq(
+      (2L, "u2", 1600L, "U", 2L), (150L, "u3", 9L, "U", 2L))), dir)
+    assert(inRange(MergeOnRead.readWhere(spark, dir, fs))
+      .collect().toSet ==
+      inRange(MergeOnRead.read(spark, dir)).collect().toSet)
+    // next clustered compaction + refresh: old ver's files retract
+    // from the map, new files profile; equality and pruning hold
+    assert(MergeOnRead.compact(spark, dir,
+      clusterBy = Seq("x"), filesPerBucket = 4) > 0)
+    assert(!MergeOnRead.refreshZoneMap(spark, dir).reused)
+    val want2 = inRange(MergeOnRead.read(spark, dir))
+    val got2 = inRange(MergeOnRead.readWhere(spark, dir, fs))
+    assert(got2.collect().toSet == want2.collect().toSet)
+    assert(got2.inputFiles.length < want2.inputFiles.length)
+    // an out-of-zone equality probe prunes everything: empty result,
+    // zero base files
+    val none = MergeOnRead.readWhere(spark, dir,
+      Seq(GreaterThanOrEqual("x", 10000000L)))
+    assert(none.filter(col("x") >= 10000000L).count() == 0)
+  }
 }
