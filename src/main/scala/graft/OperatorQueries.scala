@@ -400,6 +400,35 @@ object OperatorQueries {
         .orderBy("src", "op")
     }),
 
+    /** Zone-map BLOOM skipping ([[ZoneMap]] `bloomCols`): the table
+      * copy is HASH-laid-out (8 files, keys interleave), so every
+      * file's key [min,max] spans the whole domain and min/max zones
+      * prune nothing — the per-file bloom is what rules files out
+      * for the two-key IN probe. Scan ≡ the direct lookup; the
+      * re-applied predicate keeps pruning honest.
+      */
+    "q228_zonemap_bloom" -> ((s, d) => {
+      import graft.operators.ZoneMap
+      import org.apache.spark.sql.sources.In
+      val root = lifecycleDir("q228", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.repartition(8, col("k")).write.mode("overwrite")
+        .parquet(tableDir)
+      val idx = s"$root/zm"
+      ZoneMap.buildIfAbsent(s, tableDir, Seq("cents"), Seq("st"), idx,
+        bloomCols = Seq("k"))
+      val mm = t.agg(min("k"), max("k")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      ZoneMap.scan(s, idx,
+          Seq(In("k", Array(Long.box(lo), Long.box(hi)))))
+        .filter(col("k").isin(lo, hi))
+        .select("k", "st", "cents").orderBy("k")
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1023,6 +1052,16 @@ object OperatorQueries {
         |FROM spine s LEFT JOIN regs
         |  ON s.col_name = regs.col_name AND s.bucket = regs.bucket
         |ORDER BY s.col_name, s.bucket""".stripMargin,
+    // the bloom-pruned two-key lookup must equal the direct lookup
+    "q228_zonemap_bloom" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT k, st, cents FROM t
+        |WHERE k = (SELECT min(k) FROM t)
+        |   OR k = (SELECT max(k) FROM t)
+        |ORDER BY k""".stripMargin,
     // replays the CDC fold (deletes win by seq over same-batch
     // inserts) and the range aggregate the zone-map read must equal
     "q227_mor_zonemap" ->

@@ -368,9 +368,10 @@ object MergeOnRead {
     * the next compaction absorbs it into profiled base files.
     */
   def buildZoneMap(spark: SparkSession, dir: String,
-      numCols: Seq[String], strCols: Seq[String]): ZoneMap.Build =
+      numCols: Seq[String], strCols: Seq[String],
+      bloomCols: Seq[String] = Nil): ZoneMap.Build =
     ZoneMap.buildIfAbsent(spark, s"$dir/data", numCols, strCols,
-      zoneMapPath(dir))
+      zoneMapPath(dir), bloomCols)
 
   /** Re-sync the zone map after a compaction: the new `ver=` files
     * profile alone, replaced bucket files retract exactly.

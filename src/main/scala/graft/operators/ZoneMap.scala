@@ -64,18 +64,34 @@ object ZoneMap {
   type Build = IndexBuild
   val Build = IndexBuild
 
+  /** On-disk format version. 2 added the per-file BLOOM table
+    * (`bloom/` — packed 64-bit words of a per-(file, col) bloom
+    * filter over the rendered value), which skips files for
+    * EQUALITY/IN predicates on columns whose values interleave
+    * across files — exactly where min/max zones are useless.
+    * `sameIndexAs` includes fmt, so a v1 artifact rebuilds.
+    */
+  private val Fmt = 2
+
   private case class Manifest(fp: Long, n: Long, tableDir: String,
       numCols: Seq[String], strCols: Seq[String],
-      deltas: Seq[String] = Nil, baseVer: Int = 0, mv: Long = 0L) {
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
+      bloomK: Int = 3, deltas: Seq[String] = Nil, baseVer: Int = 0,
+      fmt: Int = Fmt, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
       copy(deltas = Nil, baseVer = 0, mv = 0L) ==
         other.copy(deltas = Nil, baseVer = 0, mv = 0L)
   }
 
-  private def toManifest(r: IndexDirs.ManifestReader): Manifest =
+  private def toManifest(r: IndexDirs.ManifestReader): Manifest = {
+    val fmt = r.intOr("fmt", 1)
     Manifest(r.long("fp"), r.long("n"), r.str("table"),
-      r.seq("num"), r.seq("str"), r.seq("deltas"),
-      r.intOr("bv", 0), mv = r.version)
+      r.seq("num"), r.seq("str"),
+      if (fmt >= 2) r.seq("bloom") else Nil,
+      if (fmt >= 2) r.int("bloomm") else 8192,
+      if (fmt >= 2) r.int("bloomk") else 3,
+      r.seq("deltas"), r.intOr("bv", 0), fmt, mv = r.version)
+  }
 
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map(toManifest)
@@ -84,6 +100,8 @@ object ZoneMap {
     IndexDirs.manifest()
       .put("fp", mf.fp).put("n", mf.n).put("table", mf.tableDir)
       .put("num", mf.numCols).put("str", mf.strCols)
+      .put("bloom", mf.bloomCols).put("bloomm", mf.bloomBits)
+      .put("bloomk", mf.bloomK).put("fmt", mf.fmt)
       .put("bv", mf.baseVer).put("deltas", mf.deltas)
       .commit(path, mf.mv)
 
@@ -137,11 +155,16 @@ object ZoneMap {
 
   /** Per-file per-column profile of exactly `files`: one scan of
     * those files, exploded to (file, col) rows, map-side combined —
-    * output is ≤ |files|·|cols| rows.
+    * output is ≤ |files|·|cols| rows. Each row carries the file's
+    * LENGTH (`flen`, joined from the driver's listing), so [[refresh]]
+    * can tell an in-place rewrite of one file apart from unrelated
+    * adds/removes instead of trusting the aggregate fingerprint.
     */
   private def profile(spark: SparkSession, mf: Manifest,
-      files: Seq[String], outDir: String): Unit = {
-    val df = spark.read.parquet(files: _*)
+      files: Seq[(String, Long)], outDir: String): Unit = {
+    import spark.implicits._
+    val lens = files.toDF("file", "flen")
+    val df = spark.read.parquet(files.map(_._1): _*)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     mf.numCols.foreach { c =>
       val dt = byName.getOrElse(c, throw new IllegalArgumentException(
@@ -172,8 +195,59 @@ object ZoneMap {
         // SortAggregate (see graft.functions.StrExtremaAgg)
         str_min(col("vstr")).as("min_str"),
         str_max(col("vstr")).as("max_str"))
+      .join(broadcast(lens), Seq("file"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/stats")
+    // per-(file, col) bloom filter over the RENDERED value, packed
+    // into ≤ bloomBits/64 64-bit words per pair (one bit_or hash
+    // aggregate — rows stay metadata-scale at any corpus size)
+    val bpieces = mf.bloomCols.map(c => struct(
+      lit(c).as("col_name"), col(c).cast("string").as("vstr")))
+    val bloomRows =
+      if (mf.bloomCols.isEmpty)
+        // keep the table present (reads union it unconditionally)
+        df.limit(0).select(lit("").as("file"),
+          lit("").as("col_name"), lit(0).as("word"),
+          lit(0L).as("bits"))
+      else
+        df.select(fileKey(input_file_name()).as("file"),
+            explode(array(bpieces: _*)).as("e"))
+          .select(col("file"), col("e.*"))
+          .filter(col("vstr").isNotNull)
+          .select(col("file"), col("col_name"),
+            explode(sequence(lit(0), lit(mf.bloomK - 1))).as("seed"),
+            col("vstr"))
+          .select(col("file"), col("col_name"),
+            pmod(xxhash64(concat(col("vstr"), lit(":"),
+              col("seed").cast("string"))), lit(mf.bloomBits.toLong))
+              .cast("int").as("pos"))
+          .select(col("file"), col("col_name"),
+            (col("pos") / 64).cast("int").as("word"),
+            // Column-valued shift amount: the shiftleft() helper only
+            // takes a literal Int, the SQL form takes an expression
+            expr("shiftleft(1L, int(pmod(pos, 64)))").as("bit"))
+          .groupBy("file", "col_name", "word")
+          .agg(bit_or(col("bit")).as("bits"))
+    bloomRows.coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/bloom")
+  }
+
+  /** The k bloom bit positions of a RENDERED value — the driver-side
+    * twin of the plan-side hash in [[profile]] (same xxhash64 over
+    * `"<rendered>:<seed>"`, same default seed 42), via the same
+    * engine function so the bits can never drift.
+    */
+  private def bloomPositions(rendered: String, m: Int,
+      k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    (0 until k).map { seed =>
+      val h = XxHash64Function.hash(
+        UTF8String.fromString(s"$rendered:$seed"), StringType, 42L)
+      val p = (h % m).toInt
+      if (p < 0) p + m else p
+    }
   }
 
   private def baseOf(mf: Manifest): String =
@@ -185,28 +259,54 @@ object ZoneMap {
       mf.deltas.map(d => s"$path/deltas/$d/stats"))
       .map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
+  /** Bloom rows ride a sibling base dir versioned in lockstep with
+    * the stats base (`bloom` / `bloom.vK` beside `stats` /
+    * `stats.vK` — one claimed suffix covers both).
+    */
+  private def bloomBaseOf(mf: Manifest): String =
+    if (mf.baseVer == 0) "bloom" else s"bloom.v${mf.baseVer}"
+
+  private def liveBloom(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    (s"$path/${bloomBaseOf(mf)}" +:
+      mf.deltas.map(d => s"$path/deltas/$d/bloom"))
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
   private def liveFiles(spark: SparkSession, path: String,
       mf: Manifest): Seq[String] =
     liveStats(spark, path, mf).select("file").distinct()
       .collect().map(_.getString(0)).sorted.toIndexedSeq
 
+  /** `bloomCols` (optional): columns that ALSO get a per-file bloom
+    * filter over the rendered value — equality/IN predicates then
+    * skip files whose filter provably lacks the probe, which works
+    * even when the column's values interleave across every file and
+    * min/max zones keep everything. `bloomBits`/`bloomK` size the
+    * filter (defaults: 8192 bits = 128 packed words per file × col,
+    * 3 hashes — ~1% false-keep at 1k distinct values per file).
+    */
   def buildIfAbsent(spark: SparkSession, tableDir: String,
       numCols: Seq[String], strCols: Seq[String],
-      path: String): Build = {
+      path: String, bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 8192, bloomK: Int = 3): Build = {
     require((numCols ++ strCols).nonEmpty, "declare at least 1 column")
     require(numCols.intersect(strCols).isEmpty,
       s"columns declared both num and str: " +
         numCols.intersect(strCols).mkString(","))
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    require(bloomK >= 1, s"bloomK must be >= 1, got $bloomK")
     val files = listDataFiles(tableDir)
     require(files.nonEmpty, s"no parquet data files under $tableDir")
     val (fp, n) = listFingerprint(files)
-    val want = Manifest(fp, n, tableDir, numCols, strCols)
+    val want = Manifest(fp, n, tableDir, numCols, strCols,
+      bloomCols, bloomBits, bloomK)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
-        profile(spark, want, files.map(_._1), path)
+        profile(spark, want, files, path)
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
     }
@@ -225,18 +325,26 @@ object ZoneMap {
     val (fp, n) = listFingerprint(now)
     if (fp == decl.fp && n == decl.n)
       return Build(path, decl.fp, decl.n, reused = true)
-    val profiled = liveFiles(spark, path, decl).toSet
-    val nowNames = now.map(_._1)
-    val added = nowNames.filterNot(profiled)
-    val removed = (profiled -- nowNames.toSet).toSeq.sorted
-    if (removed.isEmpty && added.isEmpty)
-      // same names, changed length (in-place overwrite): the profile
-      // is stale in a way the delta algebra can't patch — rebuild
+    // per-file lengths from the stats rows themselves: an in-place
+    // rewrite is detected PER FILE, so it can't hide behind unrelated
+    // adds/removes the way an aggregate-fingerprint check would let it
+    val profiledLens = liveStats(spark, path, decl)
+      .select("file", "flen").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nowMap = now.toMap
+    val changed = profiledLens.keysIterator
+      .filter(f => nowMap.get(f).exists(_ != profiledLens(f))).toSeq
+    if (changed.nonEmpty)
+      // changed length under an existing name (in-place overwrite):
+      // the profile is stale in a way the delta algebra can't patch
       throw new IllegalStateException(
-        s"table files under ${decl.tableDir} changed in place — " +
-          "zone maps track immutable files; rebuild with " +
-          "buildIfAbsent after an in-place rewrite")
-    else if (removed.isEmpty) {
+        s"table files changed in place under ${decl.tableDir} " +
+          s"(${changed.sorted.take(3).mkString(", ")}…) — zone maps " +
+          "track immutable files; rebuild with buildIfAbsent after " +
+          "an in-place rewrite")
+    val added = now.filterNot(f => profiledLens.contains(f._1))
+    val removed = (profiledLens.keySet -- nowMap.keySet).toSeq.sorted
+    if (removed.isEmpty) {
       // append-only growth: profile the new files, commit a delta
       val staged = IndexDirs.nextDeltaName(path, "d")
       profile(spark, decl, added, s"$path/deltas/$staged")
@@ -245,7 +353,7 @@ object ZoneMap {
         // a racing refresh that already profiled any of these files
         // makes this staging redundant — recheck per attempt
         val haveFiles = liveFiles(spark, path, have).toSet
-        if (added.exists(haveFiles)) None
+        if (added.exists(a => haveFiles(a._1))) None
         else Some(have.copy(fp = have.fp ^ (fp ^ decl.fp),
           n = have.n + added.size, deltas = have.deltas :+ staged))
       } match {
@@ -261,16 +369,24 @@ object ZoneMap {
       val ver = IndexDirs.claimBaseSuffix(path, "stats.v",
         decl.baseVer + 1)
       val target = s"$path/stats.v$ver"
+      val bloomTarget = s"$path/bloom.v$ver" // same claimed suffix
       val stagedNew = s"$path/stats.v$ver.new"
+      if (added.nonEmpty) profile(spark, decl, added, stagedNew)
       val survivors = liveStats(spark, path, decl)
         .filter(!col("file").isin(removed: _*))
       val rewrite =
         if (added.isEmpty) survivors
-        else {
-          profile(spark, decl, added, stagedNew)
-          survivors.unionByName(spark.read.parquet(s"$stagedNew/stats"))
-        }
+        else survivors.unionByName(
+          spark.read.parquet(s"$stagedNew/stats"))
       rewrite.coalesce(1).write.mode("overwrite").parquet(target)
+      val bloomSurvivors = liveBloom(spark, path, decl)
+        .filter(!col("file").isin(removed: _*))
+      val bloomRewrite =
+        if (added.isEmpty) bloomSurvivors
+        else bloomSurvivors.unionByName(
+          spark.read.parquet(s"$stagedNew/bloom"))
+      bloomRewrite.coalesce(1).write.mode("overwrite")
+        .parquet(bloomTarget)
       val folded = decl.deltas
       IndexDirs.commitWithRetry(readManifest(path),
         writeManifest(path, _: Manifest), path) { have =>
@@ -287,6 +403,7 @@ object ZoneMap {
           Build(path, next.fp, next.n, reused = false)
         case None =>
           IndexDirs.rmTree(target)
+          IndexDirs.rmTree(bloomTarget)
           IndexDirs.rmTree(stagedNew)
           val cur = readManifest(path).getOrElse(decl)
           Build(path, cur.fp, cur.n, reused = true)
@@ -410,23 +527,78 @@ object ZoneMap {
     val byCol = filters
       .flatMap(f => colOf(f).filter(declared).map(_ -> f))
       .groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2) }
-    if (byCol.isEmpty) return (all, all.length.toLong)
-    val rows = liveStats(spark, path, mf)
-      .filter(col("col_name").isin(byCol.keys.toSeq: _*))
-      .collect()
-    val killed = rows.iterator.flatMap { r =>
-      val c = r.getString(r.fieldIndex("col_name"))
-      val kind = r.getString(r.fieldIndex("kind"))
-      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
-      def optS(i: Int) =
-        if (r.isNullAt(i)) None else Some(r.getString(i))
-      val survivesAll = byCol(c).forall(f =>
-        mayMatch(f, kind, r.getLong(r.fieldIndex("n_rows")),
-          r.getLong(r.fieldIndex("n_nulls")),
-          optL(r.fieldIndex("min_num")), optL(r.fieldIndex("max_num")),
-          optS(r.fieldIndex("min_str")), optS(r.fieldIndex("max_str"))))
-      if (survivesAll) None else Some(r.getString(r.fieldIndex("file")))
-    }.toSet
+    def render(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case l: java.lang.Long => Some(l.toString)
+      case i: java.lang.Integer => Some(i.toString)
+      case s: java.lang.Short => Some(s.toString)
+      case b: java.lang.Byte => Some(b.toString)
+      case _ => None
+    }
+    // bloom-testable conjuncts: each is (col, value-position-sets) —
+    // a file passes the conjunct if ANY value set has ALL bits set
+    // (EqualTo = one set; In = one per element). A literal that
+    // doesn't render stays conservative: the whole filter is skipped.
+    val bloomDecl = mf.bloomCols.toSet
+    val bloomTests: Seq[(String, Seq[Seq[Int]])] = filters.flatMap {
+      case EqualTo(a, v) if bloomDecl(a) =>
+        render(v).map(r => a ->
+          Seq(bloomPositions(r, mf.bloomBits, mf.bloomK)))
+      case In(a, vs) if bloomDecl(a) && vs.nonEmpty =>
+        val rs = vs.toSeq.map(render)
+        if (rs.exists(_.isEmpty)) None
+        else Some(a -> rs.flatten
+          .map(bloomPositions(_, mf.bloomBits, mf.bloomK)))
+      case _ => None
+    }
+    if (byCol.isEmpty && bloomTests.isEmpty)
+      return (all, all.length.toLong)
+    val zoneKilled = if (byCol.isEmpty) Set.empty[String] else {
+      val rows = liveStats(spark, path, mf)
+        .filter(col("col_name").isin(byCol.keys.toSeq: _*))
+        .collect()
+      rows.iterator.flatMap { r =>
+        val c = r.getString(r.fieldIndex("col_name"))
+        val kind = r.getString(r.fieldIndex("kind"))
+        def optL(i: Int) =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        def optS(i: Int) =
+          if (r.isNullAt(i)) None else Some(r.getString(i))
+        val survivesAll = byCol(c).forall(f =>
+          mayMatch(f, kind, r.getLong(r.fieldIndex("n_rows")),
+            r.getLong(r.fieldIndex("n_nulls")),
+            optL(r.fieldIndex("min_num")),
+            optL(r.fieldIndex("max_num")),
+            optS(r.fieldIndex("min_str")),
+            optS(r.fieldIndex("max_str"))))
+        if (survivesAll) None
+        else Some(r.getString(r.fieldIndex("file")))
+      }.toSet
+    }
+    val bloomKilled = if (bloomTests.isEmpty) Set.empty[String] else {
+      // read ONLY the probed words: ≤ files × Σ(k·|values|) rows
+      // collect — probe-scale, never the full bloom table
+      val need = bloomTests
+        .flatMap { case (c, sets) => sets.flatten.map(p => (c, p / 64)) }
+        .distinct.groupBy(_._1).map { case (c, ws) => c -> ws.map(_._2) }
+      val wordPred = need.map { case (c, ws) =>
+        col("col_name") === c && col("word").isin(ws: _*)
+      }.reduce(_ || _)
+      val bits = liveBloom(spark, path, mf).filter(wordPred)
+        .collect().map { r =>
+          (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)
+        }.toMap
+      def valuePasses(f: String, c: String, ps: Seq[Int]): Boolean =
+        ps.forall { p =>
+          (bits.getOrElse((f, c, p / 64), 0L) & (1L << (p % 64))) != 0L
+        }
+      all.iterator.filterNot { f =>
+        bloomTests.forall { case (c, sets) =>
+          sets.exists(valuePasses(f, c, _))
+        }
+      }.toSet
+    }
+    val killed = zoneKilled ++ bloomKilled
     (all.filterNot(killed), all.length.toLong)
   }
 

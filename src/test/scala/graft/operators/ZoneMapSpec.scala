@@ -203,6 +203,75 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.refresh(spark, idx).fingerprint == fresh.fingerprint)
   }
 
+  test("bloom columns: equality predicates skip files min/max zones " +
+      "cannot (interleaved values), never skip a file holding the " +
+      "probe, survive refresh append + retraction, and In() unions") {
+    import spark.implicits._
+    val dir = tmp("zm-bt"); val idx = tmp("zm-bi")
+    // u is unique per row and INTERLEAVED across files (partition by
+    // hash of row, not by u): every file's [min,max] spans ~the full
+    // domain, so zones keep all 4 files — only the bloom can prune
+    val df = (0 until 400)
+      .map(i => (i.toLong, s"u${i * 37 % 1000}%tag"))
+      .toDF("k", "u")
+    df.repartition(4, col("k")).write.mode("append").parquet(dir)
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idx,
+      bloomCols = Seq("u"))
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // every present value: scan ≡ filter and never over-prunes
+    val present = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    for ((_, u) <- present.take(8)) {
+      val (kept, total) = ZoneMap.prune(spark, idx, Seq(EqualTo("u", u)))
+      assert(total == 4 && kept.nonEmpty)
+      val got = ZoneMap.scan(spark, idx, Seq(EqualTo("u", u)))
+        .filter(col("u") === u).collect().toSet
+      val want = spark.read.parquet(dir)
+        .filter(col("u") === u).collect().toSet
+      assert(got == want && got.nonEmpty)
+    }
+    // absent values prune aggressively (bloom ~1% false-keep at this
+    // fill): across 50 probes, most prune ALL files
+    val prunedCounts = (0 until 50).map { i =>
+      ZoneMap.prune(spark, idx,
+        Seq(EqualTo("u", s"absent-$i")))._1.size
+    }
+    assert(prunedCounts.count(_ == 0) >= 45, prunedCounts.mkString(","))
+    // zones alone keep everything here (interleaved): the bloom is
+    // doing the work — drop it and nothing prunes
+    val noBloom = tmp("zm-bi2")
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Seq("u"), noBloom)
+    // probe chosen INSIDE every file's [min,max] string zone, so the
+    // zone test keeps all 4 — only a bloom could have pruned it
+    assert(ZoneMap.prune(spark, noBloom,
+      Seq(EqualTo("u", "u5absent")))._1.size == 4)
+    // In(): survives if ANY element might be present
+    val u0 = present.head._2
+    assert(ZoneMap.prune(spark, idx,
+      Seq(In("u", Array(u0, "absent-x"))))._1.nonEmpty)
+    // refresh with new files: their blooms land as a delta
+    (400 until 500).map(i => (i.toLong, s"u${i * 37 % 1000}%tag"))
+      .toDF("k", "u").repartition(1, col("k"))
+      .write.mode("append").parquet(dir)
+    assert(!ZoneMap.refresh(spark, idx).reused)
+    val uNew = "u" + (401 * 37 % 1000) + "%tag"
+    val got2 = ZoneMap.scan(spark, idx, Seq(EqualTo("u", uNew)))
+      .filter(col("u") === uNew).collect().toSet
+    assert(got2 == spark.read.parquet(dir)
+      .filter(col("u") === uNew).collect().toSet && got2.nonEmpty)
+    // retraction keeps blooms in lockstep with stats
+    Files.delete(java.nio.file.Paths.get(
+      ZoneMap.listDataFiles(dir).head._1))
+    assert(!ZoneMap.refresh(spark, idx).reused)
+    val idxF = tmp("zm-bi3")
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idxF,
+      bloomCols = Seq("u"))
+    for (u <- spark.read.parquet(dir).select("u").distinct()
+        .collect().map(_.getString(0)).take(5)) {
+      assert(ZoneMap.prune(spark, idx, Seq(EqualTo("u", u)))._1.sorted
+        == ZoneMap.prune(spark, idxF, Seq(EqualTo("u", u)))._1.sorted)
+    }
+  }
+
   test("the zonemap SQL source: WHERE on a zone column reads fewer " +
       "files, same rows; stats table serves the profile") {
     val dir = tmp("zm-t"); val idx = tmp("zm-i")
