@@ -400,6 +400,11 @@ object ZoneMap {
         case Some(next) =>
           IndexDirs.gcDeltas(path, folded)
           IndexDirs.rmTree(stagedNew)
+          // the replaced base generation is unreferenced by the live
+          // manifest — GC it eagerly (the AggView treatment; nothing
+          // ever stages INTO an old base, so this races no writer)
+          IndexDirs.rmTree(s"$path/${baseOf(decl)}")
+          IndexDirs.rmTree(s"$path/${bloomBaseOf(decl)}")
           Build(path, next.fp, next.n, reused = false)
         case None =>
           IndexDirs.rmTree(target)
