@@ -326,6 +326,11 @@ class LmScoreRelation(spark: SparkSession, path: String,
   * source: the live read folds committed deltas over the bucketed
   * base (base never rewritten outside compaction); `version` serves
   * a retained manifest version ([[MergeOnRead.readAt]] time travel).
+  * A live read routes pushed filters through
+  * [[MergeOnRead.readWhere]]: when the table carries a zone map
+  * (`buildZoneMap` after a `clusterBy` compaction), `WHERE` clauses
+  * skip base files transparently — no zone map, plain read. Every
+  * filter is reported unhandled and re-evaluates above the scan.
   */
 class MorSource extends RelationProvider with DataSourceRegister {
   override def shortName(): String = "mor"
@@ -337,11 +342,23 @@ class MorSource extends RelationProvider with DataSourceRegister {
 }
 
 class MorRelation(spark: SparkSession, path: String,
-    version: Option[Long]) extends InnerPlanRelation(spark) {
-  override protected def inner: DataFrame = version match {
+    version: Option[Long]) extends BaseRelation
+    with PrunedFilteredScan {
+  private def inner(filters: Seq[Filter]): DataFrame = version match {
     case Some(v) => MergeOnRead.readAt(spark, path, v)
-    case None => MergeOnRead.read(spark, path)
+    case None => MergeOnRead.readWhere(spark, path, filters)
   }
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = inner(Nil).schema
+  override def needConversion: Boolean = false
+  // pruning is conservative, never exact — re-evaluate everything
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] =
+    inner(filters.toIndexedSeq)
+      .select(requiredColumns.map(col).toIndexedSeq: _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** `CREATE TEMPORARY VIEW profile USING colstats OPTIONS (path …

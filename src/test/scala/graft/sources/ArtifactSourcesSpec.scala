@@ -299,6 +299,23 @@ class ArtifactSourcesSpec extends AnyFunSuite {
       rowsOf(MergeOnRead.readAt(spark, dir, v1)))
     assert(spark.sql("SELECT count(*) FROM graft_morsrc_v1")
       .head().getLong(0) == 50L)
+    // zone-mapped table: pushed WHERE filters route through
+    // readWhere — same rows as the unpruned view, and the same rows
+    // the Scala readWhere serves
+    MergeOnRead.compact(spark, dir, clusterBy = Seq("c"),
+      filesPerBucket = 3)
+    MergeOnRead.buildZoneMap(spark, dir, Seq("c", "k"), Nil)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_morsrc_z " +
+      s"USING mor OPTIONS (path '$dir')")
+    val sqlRows = rowsOf(spark.sql(
+      "SELECT k, v, c FROM graft_morsrc_z WHERE c >= 100 AND c <= 300"))
+    assert(sqlRows == rowsOf(MergeOnRead.read(spark, dir)
+      .filter(col("c").between(100L, 300L)).select("k", "v", "c")))
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual,
+      LessThanOrEqual}
+    assert(sqlRows == rowsOf(MergeOnRead.readWhere(spark, dir,
+      Seq(GreaterThanOrEqual("c", 100L), LessThanOrEqual("c", 300L)))
+      .filter(col("c").between(100L, 300L)).select("k", "v", "c")))
   }
 
   test("spark.read.format(indexmeta) surfaces the retained manifest " +
