@@ -416,6 +416,36 @@ object ZoneMap {
     }
   }
 
+  /** Fold the committed refresh deltas into ONE delta dir — same
+    * serve state, fewer directories to union per read. Per-file rows
+    * are disjoint across deltas, so the fold is a pure move (union,
+    * no arithmetic). Returns the number of deltas folded; a racing
+    * compaction that already folded any of them makes this one stale
+    * (skips, GC's its staging).
+    */
+  def compactDeltas(spark: SparkSession, path: String): Int = {
+    val decl = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    if (decl.deltas.length < 2) return 0
+    val folded = decl.deltas
+    val staged = IndexDirs.nextDeltaName(path, "c")
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/stats"))
+      .reduce(_.unionByName(_)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/stats")
+    folded.map(d => spark.read.parquet(s"$path/deltas/$d/bloom"))
+      .reduce(_.unionByName(_)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/deltas/$staged/bloom")
+    IndexDirs.stagedCommit(readManifest(path),
+      writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
+      if (!folded.forall(have.deltas.contains)) None
+      else Some(have.copy(
+        deltas = staged +: have.deltas.filterNot(folded.toSet)))
+    } match {
+      case Some(_) => IndexDirs.gcDeltas(path, folded); folded.length
+      case None => 0
+    }
+  }
+
   /** The live per-file stats table — base ∪ deltas, rows disjoint
     * by (file, col_name), no fold needed.
     */

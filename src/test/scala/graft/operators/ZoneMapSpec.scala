@@ -134,6 +134,32 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(build(dir, idx).reused)
   }
 
+  test("compactDeltas folds refresh deltas into one dir without " +
+      "changing the served stats, blooms, or pruning") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    writeTable(dir, 0, 200, files = 2)
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k", "v"), Seq("s"), idx,
+      bloomCols = Seq("s"))
+    writeTable(dir, 200, 300, files = 1)
+    assert(!ZoneMap.refresh(spark, idx).reused)
+    writeTable(dir, 300, 400, files = 1)
+    assert(!ZoneMap.refresh(spark, idx).reused)
+    val statsBefore = ZoneMap.stats(spark, idx).collect().toSet
+    val pruneBefore = ZoneMap.prune(spark, idx,
+      Seq(EqualTo("s", "g3")))._1
+    assert(ZoneMap.compactDeltas(spark, idx) == 2)
+    assert(ZoneMap.stats(spark, idx).collect().toSet == statsBefore)
+    assert(ZoneMap.prune(spark, idx,
+      Seq(EqualTo("s", "g3")))._1 == pruneBefore)
+    // compacted artifact keeps composing: another refresh lands a
+    // new delta beside the fold, and the next compaction folds both
+    writeTable(dir, 400, 450, files = 1)
+    assert(!ZoneMap.refresh(spark, idx).reused)
+    assert(ZoneMap.compactDeltas(spark, idx) == 2)
+    assert(ZoneMap.compactDeltas(spark, idx) == 0) // single delta now
+  }
+
   test("file removal retracts exactly: refresh rewrites to the " +
       "survivors and scans stay correct") {
     val dir = tmp("zm-t"); val idx = tmp("zm-i"); val idx2 = tmp("zm-i2")
