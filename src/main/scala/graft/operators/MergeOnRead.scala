@@ -595,6 +595,13 @@ object MergeOnRead {
       touched.foreach(b => m.buckets.get(b).foreach(v =>
         IndexDirs.rmTree(s"$dir/data/ver=$v/$Bucket=$b")))
     }
+    // a zone map left describing the PRE-compaction layout would
+    // still be safe (killed files subtract from the manifest list)
+    // but useless over the new files — re-sync it here, priced at
+    // the compaction's own output (only the new ver's files profile;
+    // replaced files retract from the metadata-scale table)
+    if (IndexDirs.readManifest(zoneMapPath(dir)).isDefined)
+      refreshZoneMap(spark, dir)
     touched.size
   }
 

@@ -380,11 +380,12 @@ class MorSpec extends AnyFunSuite {
     assert(inRange(MergeOnRead.readWhere(spark, dir, fs))
       .collect().toSet ==
       inRange(MergeOnRead.read(spark, dir)).collect().toSet)
-    // next clustered compaction + refresh: old ver's files retract
-    // from the map, new files profile; equality and pruning hold
+    // next clustered compaction AUTO-refreshes the map (old ver's
+    // files retract, new files profile) — the explicit refresh is a
+    // no-op; equality and pruning hold over the new layout
     assert(MergeOnRead.compact(spark, dir,
       clusterBy = Seq("x"), filesPerBucket = 4) > 0)
-    assert(!MergeOnRead.refreshZoneMap(spark, dir).reused)
+    assert(MergeOnRead.refreshZoneMap(spark, dir).reused)
     val want2 = inRange(MergeOnRead.read(spark, dir))
     val got2 = inRange(MergeOnRead.readWhere(spark, dir, fs))
     assert(got2.collect().toSet == want2.collect().toSet)
