@@ -399,10 +399,14 @@ object MergeOnRead {
     val zp = zoneMapPath(dir)
     if (IndexDirs.readManifest(zp).isEmpty)
       return read(spark, dir, broadcastKeys)
-    val bucketDirs = m.buckets.toSeq.sorted.map { case (b, v) =>
-      s"$dir/data/ver=$v/$Bucket=$b" }
-    val files = bucketDirs.flatMap(d =>
-      ZoneMap.listDataFiles(d).map(_._1))
+    // one recursive listing per data GENERATION (few), filtered to
+    // the manifest-selected buckets — not one FS call per bucket
+    val byVer = m.buckets.groupBy(_._2)
+    val files = byVer.toSeq.sortBy(_._1).flatMap { case (v, bs) =>
+      val keep = bs.keySet.map(b => s"$Bucket=$b")
+      ZoneMap.listDataFiles(s"$dir/data/ver=$v").map(_._1)
+        .filter(f => keep.exists(seg => f.contains(s"/$seg/")))
+    }
     val killed = ZoneMap.profiledFiles(spark, zp).toSet --
       ZoneMap.prune(spark, zp, filters)._1
     val base = readData(spark, dir, files.filterNot(killed),

@@ -172,6 +172,42 @@ class IndexPipelineSpec extends AnyFunSuite {
       kbParts = 4, sbParts = 4, dbParts = 4).reused)
   }
 
+  test("ColStats rides an insert-only fleet exactly-once; a delete " +
+      "batch REFUSES in its sink while the fleet's common-watermark " +
+      "read point stays consistent") {
+    import graft.operators.AggView.Measure
+    import spark.implicits._
+    val (aggPath, csPath) = (tmp("csfleet-agg"), tmp("csfleet-cs"))
+    def facts(from: Int, until: Int) = (from until until).map { i =>
+      (i.toLong, s"g${i % 3}", (i * 7 % 101).toLong)
+    }.toDF("id", "grp", "v")
+    AggView.buildIfAbsent(facts(0, 30), Seq("grp"),
+      Seq(Measure("v_sum", "v")), aggPath, kbParts = 4)
+    ColStats.buildIfAbsent(facts(0, 30), Seq("id", "v"), Seq("grp"),
+      csPath)
+    val sinks = IndexPipeline.sink(
+      AggView.cdcSink(aggPath), ColStats.cdcSink(csPath))
+    sinks(facts(30, 40).withColumn("op", lit("I")), 0L)
+    // at-least-once replay: both artifacts skip (watermark)
+    sinks(facts(30, 40).withColumn("op", lit("I")), 0L)
+    assert(ColStats.buildIfAbsent(facts(0, 40), Seq("id", "v"),
+      Seq("grp"), csPath).reused,
+      "colstats must equal the one-shot build over the fold")
+    // a delete batch: AggView (first sink) applies it, ColStats
+    // refuses — monotone stats can't retract — and NOTHING is staged
+    intercept[UnsupportedOperationException] {
+      sinks(facts(0, 5).withColumn("op", lit("D")), 1L)
+    }
+    assert(IndexPipeline.lastBatch(aggPath) == 1L &&
+      IndexPipeline.lastBatch(csPath) == 0L)
+    // the fleet's consistent read point pins at the common watermark
+    assert(IndexPipeline.commonBatch(Seq(aggPath, csPath)) == 0L)
+    val pins = IndexPipeline.pinnedVersions(Seq(aggPath, csPath))
+    assert(AggView.readAsOf(spark, aggPath, pins(aggPath))
+      .agg(sum("v_sum")).head().getLong(0) ==
+      facts(0, 40).agg(sum("v")).head().getLong(0))
+  }
+
   test("a MergeOnRead change stream drives the fleet: CDC table -> " +
       "changeStream -> pipeline sink converges both artifacts") {
     import spark.implicits._
