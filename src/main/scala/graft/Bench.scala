@@ -122,7 +122,9 @@ object Bench {
       "q219_mor_sql", "q220_mor_changes", "q221_ann_pq_sql",
       "q222_colstats", "q223_colstats_regs",
       "q224_zonemap_scan", "q225_zonemap_sql", "q226_colstats_hist",
-      "q227_mor_zonemap", "q228_zonemap_bloom")
+      "q227_mor_zonemap", "q228_zonemap_bloom",
+      "q229_mv_rewrite", "q230_mv_rollup", "q231_mv_probe",
+      "q232_mv_global")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

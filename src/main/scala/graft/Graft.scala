@@ -26,6 +26,7 @@ object Graft {
     functions.StrExtremaAgg.register(spark)
     functions.RangeTableFunctions.register(spark)
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)
+    plans.AggViewRewrite.install(spark)
     metrics.Metrics.install(spark)
   }
 }

@@ -65,6 +65,28 @@ object OperatorQueries {
     idx
   }
 
+  /** The q229-family view for the MATERIALIZED-VIEW REWRITE
+    * ([[graft.plans.AggViewRewrite]]): declared directly over the
+    * RAW lineitem table (keys and measure expressions in the base
+    * table's own columns), so a plain SQL aggregate over that table
+    * is rewrite-eligible. Fingerprint-reused across calls.
+    */
+  private def mvRewriteIdx(s: SparkSession, d: String): String = {
+    import graft.operators.AggView
+    val idx = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-mvrw-${Integer.toHexString(d.hashCode)}").toString
+    AggView.buildIfAbsent(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(
+        AggView.Measure("sum_qty_c",
+          "CAST(round(l_quantity * 100) AS BIGINT)"),
+        AggView.Measure("sum_price_c",
+          "CAST(round(l_extendedprice * 100) AS BIGINT)")),
+      idx, kbParts = 8)
+    idx
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q7's semantics, but executed through the broadcast binary-search
     // RangeIndex instead of a BNLJ — same oracle as q07.
@@ -732,6 +754,88 @@ object OperatorQueries {
               |ORDER BY rf, ls""".stripMargin)
     }),
 
+    /** MATERIALIZED-VIEW REWRITE ([[graft.plans.AggViewRewrite]]):
+      * the user's SQL aggregates the BASE lineitem table; the
+      * optimizer recognizes the registered view (listing + manifest
+      * pins fresh, keys/measures match on canonical form) and serves
+      * the ≤ |groups|-row rollup instead of the corpus scan. The
+      * oracle runs the same SQL over the base table in DuckDB, so a
+      * rewrite that changed ANY value lands in the hash;
+      * PlanInvariantSpec pins that the rewrite actually fired (the
+      * plan scans the artifact, not lineitem).
+      */
+    "q229_mv_rewrite" -> ((s, d) => {
+      val idx = mvRewriteIdx(s, d)
+      val base = Tables.lineitem(s, d)
+      base.createOrReplaceTempView("graft_q229_base")
+      graft.plans.AggViewRewrite.rewritten(s, base, idx) {
+        s.sql("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+                |  count(*) AS cnt,
+                |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                |    AS sum_qty_c,
+                |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                |    AS sum_price_c
+                |FROM graft_q229_base
+                |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      }
+    }),
+
+    /** Rewrite with ROLLUP: the query groups by a strict SUBSET of
+      * the view keys, so the rewrite re-aggregates the rollup (sum
+      * of partial sums) — one registered view serves the whole cube
+      * below its key set.
+      */
+    "q230_mv_rollup" -> ((s, d) => {
+      val idx = mvRewriteIdx(s, d)
+      val base = Tables.lineitem(s, d)
+      base.createOrReplaceTempView("graft_q230_base")
+      graft.plans.AggViewRewrite.rewritten(s, base, idx) {
+        s.sql("""SELECT l_returnflag AS rf, count(*) AS cnt,
+                |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                |    AS sum_qty_c
+                |FROM graft_q230_base
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      }
+    }),
+
+    /** Rewrite with a KEY-COMPLETE equality WHERE: the rule computes
+      * the key-hash bucket driver-side and emits the kb-pruned read
+      * — the q209 dashboard-probe plan (static PartitionFilters, one
+      * bucket of the view) from plain SQL over the base table.
+      */
+    "q231_mv_probe" -> ((s, d) => {
+      val idx = mvRewriteIdx(s, d)
+      val base = Tables.lineitem(s, d)
+      base.createOrReplaceTempView("graft_q231_base")
+      graft.plans.AggViewRewrite.rewritten(s, base, idx) {
+        s.sql("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+                |  count(*) AS cnt,
+                |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                |    AS sum_qty_c
+                |FROM graft_q231_base
+                |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+                |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      }
+    }),
+
+    /** Rewrite of a GLOBAL (ungrouped) aggregate: count(*) coalesces
+      * to 0 over an empty view, sums roll all groups up — the
+      * table-stats probe every dashboard opens with.
+      */
+    "q232_mv_global" -> ((s, d) => {
+      val idx = mvRewriteIdx(s, d)
+      val base = Tables.lineitem(s, d)
+      base.createOrReplaceTempView("graft_q232_base")
+      graft.plans.AggViewRewrite.rewritten(s, base, idx) {
+        s.sql("""SELECT count(*) AS cnt,
+                |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                |    AS sum_qty_c,
+                |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                |    AS sum_price_c
+                |FROM graft_q232_base""".stripMargin)
+      }
+    }),
+
     /** TIME-TRAVEL serve over the versioned manifests
       * ([[graft.operators.AggView.readAsOf]]): build on 3/4 of
       * orders, then append the held-out quarter AND retract the %7
@@ -861,6 +965,39 @@ object OperatorQueries {
         |    AS BIGINT) AS sum_price_c
         |FROM lineitem WHERE l_returnflag = 'R'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the rewritten aggregate must equal the SAME SQL over the base
+    // table — the defining contract of a materialized-view rewrite
+    "q229_mv_rewrite" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // rollup to a subset of the view keys
+    "q230_mv_rollup" ->
+      """SELECT l_returnflag AS rf, count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // key-complete equality probe
+    "q231_mv_probe" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // global (ungrouped) aggregate
+    "q232_mv_global" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_price_c
+        |FROM lineitem""".stripMargin,
     "q184_rendezvous_shards" ->
       """WITH r AS (SELECT doc_id, list_max([
         |{'w': CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard0'), 1, 15) AS BIGINT), 's': 'shard0'},

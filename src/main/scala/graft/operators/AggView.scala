@@ -129,12 +129,19 @@ object AggView {
     * the given kb partitions (the [[lookup]] path).
     */
   private def liveAgg(spark: SparkSession, path: String, mf: Manifest,
-      parts: Option[Seq[Int]] = None): DataFrame = {
+      parts: Option[Seq[Int]] = None,
+      where: Option[Column] = None): DataFrame = {
     val roots = s"$path/${mf.baseOf("agg")}" +:
       mf.deltas.map(d => s"$path/deltas/$d/agg")
     roots.map { r =>
         val df = spark.read.parquet(r)
-        parts.fold(df)(w => df.filter(col("kb").isin(w.map(Int.box): _*)))
+        val pruned =
+          parts.fold(df)(w => df.filter(col("kb").isin(w.map(Int.box): _*)))
+        // a key-only predicate commutes with the per-group sum, so it
+        // is applied PER ROOT (directly above each parquet scan) —
+        // the scans carry it as a pushed data filter even when no
+        // later optimizer pass re-runs pushdown over this subtree
+        where.fold(pruned)(pruned.filter)
       }.reduce(_.unionByName(_))
       .groupBy(mf.keys.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"),
@@ -177,6 +184,41 @@ object AggView {
     liveAgg(spark, path, mf)
       .select(mf.keys.map(col) ++ (col("__cnt").as("cnt") +:
         mf.mNames.map(col)): _*)
+  }
+
+  /** [[read]] with an optional key-only predicate pushed to every
+    * root scan and an optional kb-partition prune — the serve shape
+    * the materialized-view rewrite ([[graft.plans.AggViewRewrite]])
+    * emits: `where` must reference only key columns (it commutes
+    * with the per-group sum; this is NOT checked here — the callers
+    * own that invariant), `parts` are kb partition values (the
+    * [[lookup]] prune, computed driver-side from key equalities).
+    */
+  def readFor(spark: SparkSession, path: String,
+      where: Option[Column] = None,
+      parts: Option[Seq[Int]] = None): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    liveAgg(spark, path, mf, parts, where)
+      .select(mf.keys.map(col) ++ (col("__cnt").as("cnt") +:
+        mf.mNames.map(col)): _*)
+  }
+
+  /** The view's committed declaration + freshness pins — what a
+    * query rewriter needs to decide whether a grouped aggregate can
+    * be served from this artifact: the key columns, the measure
+    * name/expression pairs, the kb bucketing, the manifest VERSION
+    * the declaration was read at (any later maintenance commit is a
+    * higher version — the rewriter's staleness pin), and the live
+    * fact count.
+    */
+  final case class Decl(keys: Seq[String], measures: Seq[Measure],
+      kbParts: Int, version: Long, n: Long)
+
+  def declaration(path: String): Decl = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    Decl(mf.keys, mf.measures, mf.kbParts, mf.mv, mf.n)
   }
 
   /** Committed manifest versions of the view, ascending — the valid

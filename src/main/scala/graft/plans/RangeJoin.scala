@@ -573,7 +573,8 @@ object RangeJoinStrategy extends SparkStrategy {
 
 /** SparkSessionExtensions entry point:
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
-  * Injects the range-join planner strategy and registers the
+  * Injects the range-join planner strategy, the [[AggViewRewrite]]
+  * materialized-view rewrite rule, and registers the
   * Unicode-normalization scalar functions for SQL-string users
   * (`SELECT nfc_normalize(s) …`), mirroring their Column API.
   */
@@ -583,6 +584,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
+    e.injectOptimizerRule(s => AggViewRewrite.Rule(s))
     GraftExtensions.sqlScalars.foreach { case (name, build) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,

@@ -37,4 +37,57 @@ object GraftBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Inject an optimizer rule into a live session (runs in the
+    * "User Provided Optimizers" batch). Session-creation-time
+    * alternative: `SparkSessionExtensions.injectOptimizerRule`.
+    */
+  def addOptimization(spark: SparkSession,
+      r: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = classic.ClassicConversions.castToImpl(spark).experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
+
+  def removeOptimization(spark: SparkSession,
+      r: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = classic.ClassicConversions.castToImpl(spark).experimental
+    exp.extraOptimizations = exp.extraOptimizations.filterNot(_ eq r)
+  }
+
+  /** Wrap a (resolved) logical plan as a DataFrame on this session. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      classic.ClassicConversions.castToImpl(spark), plan)
+
+  /** The ANALYZED logical plan of a DataFrame. */
+  def analyzedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** The OPTIMIZED logical plan of a DataFrame. */
+  def optimizedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
+
+  /** Run the session analyzer on a standalone plan fragment. */
+  def analyze(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan)
+      : catalyst.plans.logical.LogicalPlan =
+    classic.ClassicConversions.castToImpl(spark)
+      .sessionState.analyzer.execute(plan)
+
+  /** Run the session optimizer on a standalone ANALYZED plan
+    * fragment (used to bring an expression to the same normal form —
+    * constant folding, cast simplification — the optimizer gives the
+    * query side before a canonicalized comparison).
+    */
+  def optimize(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan)
+      : catalyst.plans.logical.LogicalPlan =
+    classic.ClassicConversions.castToImpl(spark)
+      .sessionState.optimizer.execute(plan)
+
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    classic.ClassicConversions.castToImpl(spark)
+      .sessionState.sqlParser.parseExpression(sql)
 }

@@ -1,0 +1,257 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.AggView
+
+/** The materialized-view rewrite's contract, mechanically:
+  *
+  *  - a rewrite-eligible aggregate's optimized plan scans the
+  *    ARTIFACT, not the base table, and its result equals the
+  *    un-rewritten query bit-for-bit;
+  *  - rollup to a key subset and the global (ungrouped) aggregate
+  *    rewrite too; a key-complete equality probe emits the
+  *    kb-partition-pruned scan;
+  *  - every staleness/shape hazard REFUSES (base listing changed,
+  *    view manifest moved, non-key filter, non-measure sum, avg,
+  *    DISTINCT) — the query falls back to the base scan and stays
+  *    correct, never serving a stale or mismatched view.
+  */
+class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    AggViewRewrite.install(s)
+    s
+  }
+
+  private var baseDir: String = _
+  private var viewDir: String = _
+
+  private def baseDf: DataFrame = spark.read.parquet(baseDir)
+
+  override def beforeAll(): Unit = {
+    val root = Files.createTempDirectory("graft-mvrw-spec").toString
+    baseDir = s"$root/base"
+    viewDir = s"$root/view"
+    val s = spark
+    import s.implicits._
+    // 300 rows, 3×2 groups, x long (some nulls), y double
+    (0 until 300).map { i =>
+      (s"k${i % 3}", s"g${i % 2}",
+        if (i % 17 == 0) None else Some(i.toLong),
+        i * 0.5)
+    }.toDF("k", "g", "x", "y")
+      .repartition(3)
+      .write.parquet(baseDir)
+    AggView.buildIfAbsent(baseDf, Seq("k", "g"),
+      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
+        AggView.Measure("sum_y", "y")),
+      viewDir, kbParts = 4)
+    ()
+  }
+
+  override def afterAll(): Unit = AggViewRewrite.clear()
+
+  private def register(): Unit = {
+    AggViewRewrite.register(spark, baseDf, viewDir); ()
+  }
+
+  private def scannedRoots(df: DataFrame): Set[String] =
+    GraftBridge.optimizedPlan(df).collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.toSet
+
+  private def hitsView(df: DataFrame): Boolean = {
+    val roots = scannedRoots(df)
+    roots.exists(_.contains(viewDir)) && !roots.exists(_.contains(baseDir))
+  }
+
+  private def sql(q: String): DataFrame = {
+    baseDf.createOrReplaceTempView("mvspec_base")
+    spark.sql(q)
+  }
+
+  private def sorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("exact-key aggregate rewrites to the view and matches the " +
+      "base-scan answer") {
+    AggViewRewrite.clear()
+    val q = """SELECT k, g, count(*) AS cnt,
+              |  sum(CAST(x * 2 AS BIGINT)) AS s2x, sum(y) AS sy
+              |FROM mvspec_base GROUP BY k, g""".stripMargin
+    val truth = sorted(sql(q)) // registry empty: base plan
+    register()
+    val rewritten = sql(q)
+    assert(hitsView(rewritten),
+      GraftBridge.optimizedPlan(rewritten).toString)
+    assert(sorted(rewritten) == truth)
+  }
+
+  test("rollup to a key subset re-aggregates the view") {
+    AggViewRewrite.clear()
+    val q = """SELECT g, count(*) AS cnt, sum(y) AS sy
+              |FROM mvspec_base GROUP BY g""".stripMargin
+    val truth = sorted(sql(q))
+    register()
+    val r = sql(q)
+    assert(hitsView(r), GraftBridge.optimizedPlan(r).toString)
+    assert(sorted(r) == truth)
+  }
+
+  test("global ungrouped aggregate rewrites; a key filter selecting " +
+      "nothing serves count 0 through the coalesce") {
+    AggViewRewrite.clear()
+    val q = """SELECT count(*) AS cnt, sum(y) AS sy
+              |FROM mvspec_base""".stripMargin
+    val truth = sorted(sql(q))
+    register()
+    val r = sql(q)
+    assert(hitsView(r))
+    assert(sorted(r) == truth)
+
+    // a rewritten global aggregate whose key filter matches NO view
+    // group must return (0, null), not an empty result
+    val none = sql("""SELECT count(*) AS cnt, sum(y) AS sy
+                     |FROM mvspec_base WHERE k = 'zz'""".stripMargin)
+    assert(hitsView(none), GraftBridge.optimizedPlan(none).toString)
+    val row = none.collect().head
+    assert(row.getLong(0) == 0L && row.isNullAt(1))
+  }
+
+  test("key-only filter rewrites; key-complete equality prunes to " +
+      "one kb partition") {
+    AggViewRewrite.clear()
+    val subset = """SELECT k, count(*) AS cnt FROM mvspec_base
+                   |WHERE g = 'g1' GROUP BY k""".stripMargin
+    val probe = """SELECT k, g, sum(y) AS sy FROM mvspec_base
+                  |WHERE k = 'k2' AND g = 'g0' GROUP BY k, g""".stripMargin
+    val truthSubset = sorted(sql(subset))
+    val truthProbe = sorted(sql(probe))
+    register()
+    val rs = sql(subset)
+    assert(hitsView(rs))
+    assert(sorted(rs) == truthSubset)
+    val rp = sql(probe)
+    assert(hitsView(rp))
+    assert(sorted(rp) == truthProbe)
+    val phys = rp.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters"), phys)
+    assert(phys.contains("kb#"), phys)
+  }
+
+  test("scalar expressions of keys in the select list rewrite") {
+    AggViewRewrite.clear()
+    val q = """SELECT concat(k, '/', g) AS kg, sum(y) AS sy
+              |FROM mvspec_base GROUP BY k, g""".stripMargin
+    val truth = sorted(sql(q))
+    register()
+    val r = sql(q)
+    assert(hitsView(r))
+    assert(sorted(r) == truth)
+  }
+
+  test("shape hazards refuse: non-key filter, non-measure sum, avg, " +
+      "distinct, count(nullable col)") {
+    AggViewRewrite.clear()
+    register()
+    val refused = Seq(
+      // filter on a non-key column
+      """SELECT k, count(*) AS c FROM mvspec_base
+        |WHERE y > 10 GROUP BY k""".stripMargin,
+      // sum of an expression that is not a declared measure
+      """SELECT k, sum(CAST(x * 3 AS BIGINT)) AS s
+        |FROM mvspec_base GROUP BY k""".stripMargin,
+      // avg: not derivable from (sum, count) when x is nullable
+      """SELECT k, avg(y) AS a FROM mvspec_base GROUP BY k""".stripMargin,
+      // distinct aggregate
+      """SELECT k, count(DISTINCT g) AS c
+        |FROM mvspec_base GROUP BY k""".stripMargin,
+      // count of a nullable column (null-skipping not derivable)
+      """SELECT k, count(x) AS c FROM mvspec_base GROUP BY k""".stripMargin,
+      // grouping by a non-key column
+      """SELECT y, count(*) AS c FROM mvspec_base GROUP BY y""".stripMargin)
+    for (q <- refused) {
+      val df = sql(q)
+      assert(!scannedRoots(df).exists(_.contains(viewDir)), q)
+      assert(scannedRoots(df).exists(_.contains(baseDir)), q)
+    }
+  }
+
+  test("base-listing staleness refuses: a file landing in the base " +
+      "dir disables the rewrite until re-registration") {
+    AggViewRewrite.clear()
+    register()
+    val q = "SELECT k, count(*) AS c FROM mvspec_base GROUP BY k"
+    assert(hitsView(sql(q)))
+    // a late file lands in the fact table's directory
+    val s = spark
+    import s.implicits._
+    Seq(("k9", "g9", Some(1L), 1.0)).toDF("k", "g", "x", "y")
+      .write.mode("append").parquet(baseDir)
+    val after = sql(q) // fresh read = fresh listing
+    assert(!scannedRoots(after).exists(_.contains(viewDir)))
+    // and the un-rewritten answer SEES the new row
+    assert(after.collect().map(_.getLong(1)).sum == 301L)
+    // re-sync: rebuild the view over the current listing, re-register
+    AggView.purge(spark, viewDir)
+    val b = AggView.buildIfAbsent(baseDf, Seq("k", "g"),
+      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
+        AggView.Measure("sum_y", "y")),
+      viewDir, kbParts = 4)
+    assert(!b.reused) // the corpus changed, so the build ran
+    register()
+    val resync = sql(q)
+    assert(hitsView(resync))
+    assert(resync.collect().map(_.getLong(1)).sum == 301L)
+  }
+
+  test("view-manifest staleness refuses: a maintenance commit after " +
+      "registration disables the rewrite (poisoned view is never " +
+      "served)") {
+    AggViewRewrite.clear()
+    register()
+    val q = "SELECT k, g, sum(y) AS sy FROM mvspec_base GROUP BY k, g"
+    val truth = sorted(sql(q))
+    assert(hitsView(sql(q)))
+    // poison: rows appended to the VIEW only (base unchanged) — a
+    // rewrite now would over-count; the version pin must refuse
+    val s = spark
+    import s.implicits._
+    AggView.append(
+      Seq(("k0", "g0", Some(5L), 100.0)).toDF("k", "g", "x", "y"),
+      viewDir)
+    val after = sql(q)
+    assert(!scannedRoots(after).exists(_.contains(viewDir)))
+    assert(sorted(after) == truth) // still the base-true answer
+  }
+
+  test("rewritten() is scoped: the registry is empty afterwards and " +
+      "the returned plan stays rewritten") {
+    AggViewRewrite.clear()
+    // fresh artifact state for this test (prior tests mutated it)
+    AggView.purge(spark, viewDir)
+    AggView.buildIfAbsent(baseDf, Seq("k", "g"),
+      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
+        AggView.Measure("sum_y", "y")),
+      viewDir, kbParts = 4)
+    val q = "SELECT k, count(*) AS c FROM mvspec_base GROUP BY k"
+    val truth = sorted(sql(q))
+    val out = AggViewRewrite.rewritten(spark, baseDf, viewDir)(sql(q))
+    assert(hitsView(out), GraftBridge.optimizedPlan(out).toString)
+    assert(sorted(out) == truth)
+    // scoped: a NEW query no longer rewrites
+    assert(!scannedRoots(sql(q)).exists(_.contains(viewDir)))
+  }
+}

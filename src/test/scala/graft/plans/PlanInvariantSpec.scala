@@ -197,6 +197,25 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p) // stats join broadcasts
   }
 
+  test("materialized-view rewrite fires: the SQL aggregate over the " +
+      "base table scans the aggview ARTIFACT, never lineitem " +
+      "(q229/q230/q232)") {
+    for (q <- Seq("q229_mv_rewrite", "q230_mv_rollup",
+        "q232_mv_global")) {
+      val p = plan(q)
+      assert(p.contains("graft-mvrw-"), s"$q\n$p")
+      assert(!p.contains("lineitem.parquet"), s"$q\n$p")
+    }
+  }
+
+  test("rewritten key-complete probe additionally prunes to the " +
+      "probed kb partition (q231)") {
+    val p = plan("q231_mv_probe")
+    assert(p.contains("graft-mvrw-") && !p.contains("lineitem.parquet"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("kb#"), p)
+  }
+
   test("aggregate-view probe serve prunes to the probe's kb " +
       "partitions and broadcasts the probe — no shuffle join, no " +
       "sort agg (q209)") {
