@@ -82,7 +82,12 @@ object OperatorQueries {
         AggView.Measure("sum_qty_c",
           "CAST(round(l_quantity * 100) AS BIGINT)"),
         AggView.Measure("sum_price_c",
-          "CAST(round(l_extendedprice * 100) AS BIGINT)")),
+          "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+        // sum + null counter of the raw quantity: what lets the
+        // rewrite serve count(l_quantity) and avg(l_quantity)
+        AggView.Measure("sum_qty", "l_quantity"),
+        AggView.Measure("nn_qty",
+          "CASE WHEN l_quantity IS NULL THEN 0 ELSE 1 END")),
       idx, kbParts = 8)
     idx
   }
@@ -818,6 +823,26 @@ object OperatorQueries {
       }
     }),
 
+    /** Rewrite of count(col) and avg(col) through the view's
+      * declared NULL-COUNTER measure (`CASE WHEN e IS NULL THEN 0
+      * ELSE 1 END`): null-skipping count is the counter's sum, avg
+      * is sum-measure / counter (divisor NULL'd at 0 — ANSI-safe,
+      * all-null groups stay null). l_quantity is integral-valued, so
+      * the double sums are exact and the averages replay bit-equal.
+      */
+    "q233_mv_avg" -> ((s, d) => {
+      val idx = mvRewriteIdx(s, d)
+      val base = Tables.lineitem(s, d)
+      base.createOrReplaceTempView("graft_q233_base")
+      graft.plans.AggViewRewrite.rewritten(s, base, idx) {
+        s.sql("""SELECT l_returnflag AS rf,
+                |  count(l_quantity) AS cnt_qty,
+                |  avg(l_quantity) AS avg_qty
+                |FROM graft_q233_base
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      }
+    }),
+
     /** Rewrite of a GLOBAL (ungrouped) aggregate: count(*) coalesces
       * to 0 over an empty view, sums roll all groups up — the
       * table-stats probe every dashboard opens with.
@@ -990,6 +1015,12 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // null-skipping count and avg through the declared null counter
+    "q233_mv_avg" ->
+      """SELECT l_returnflag AS rf,
+        |  count(l_quantity) AS cnt_qty,
+        |  avg(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // global (ungrouped) aggregate
     "q232_mv_global" ->
       """SELECT count(*) AS cnt,

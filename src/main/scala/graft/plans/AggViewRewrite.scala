@@ -8,11 +8,12 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.DoubleType
 
 import graft.operators.AggView
 
@@ -53,10 +54,14 @@ import graft.operators.AggView
   *    empty case) or `sum(E)` where E is one of the view's declared
   *    measure expressions (matched on the optimizer-normalized
   *    canonical form, so literal folding / implicit casts don't
-  *    break the match). `avg`, `count(col)` on nullable columns,
-  *    DISTINCT and FILTER'd aggregates are deliberately NOT
-  *    rewritten: their null/distinct semantics are not derivable
-  *    from a (sum, count) rollup.
+  *    break the match). `count(E)` and double-typed `avg(E)`
+  *    additionally rewrite when the view declares E's NULL COUNTER
+  *    as a measure (`CASE WHEN E IS NULL THEN 0 ELSE 1 END`):
+  *    count(E) = its sum, avg(E) = sum-measure / counter with the
+  *    divisor NULL'd at 0 (all-null group ⇒ null, ANSI-safe).
+  *    Otherwise `avg`/`count(col)`, and always DISTINCT/FILTER'd
+  *    aggregates, refuse: their null/distinct semantics are not
+  *    derivable from a plain (sum, count) rollup.
   *
   * Group-by on a SUBSET of the view keys re-aggregates the rollup
   * (sum of partial sums — the sum algebra that makes the view
@@ -279,6 +284,26 @@ object AggViewRewrite extends PredicateHelper with Logging {
       vOut.find(a => resolver(a.name, name)).get
     val cntAttr = vAttr("cnt")
 
+    // a NULL-COUNTER measure for expression E: a declared measure
+    // whose normalized form is `CASE WHEN E IS NULL THEN 0 ELSE 1
+    // END` (or the IF spelling) — what makes count(E) and avg(E)
+    // derivable from the rollup despite their null-skipping
+    // semantics. Probed on demand: the candidate counter is BUILT
+    // from the query's own (already-normalized) E and run through
+    // the same optimizer normal form the declared measures got.
+    def counterMeasure(e: Expression): Option[String] = {
+      def probe(x: Expression): Option[String] =
+        try {
+          val tiny = Project(Seq(Alias(x, "__m")()), rel)
+          GraftBridge.optimize(spark, GraftBridge.analyze(spark, tiny))
+            .collectFirst { case Project(Seq(a: Alias), _) =>
+              a.child.canonicalized
+            }.flatMap(measureOf.get)
+        } catch { case NonFatal(_) => None }
+      probe(CaseWhen(Seq((IsNull(e), Literal(0))), Some(Literal(1))))
+        .orElse(probe(If(IsNull(e), Literal(0), Literal(1))))
+    }
+
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
       ae.aggregateFunction match {
@@ -288,6 +313,29 @@ object AggViewRewrite extends PredicateHelper with Logging {
           // count(*) / count(<non-null literal>) = total row count
           Some(Coalesce(Seq(
             Sum(cntAttr).toAggregateExpression(), Literal(0L))))
+        case Count(Seq(e)) if !e.foldable =>
+          // count(col): the view must carry E's null counter
+          counterMeasure(e).map { cName =>
+            Coalesce(Seq(
+              Sum(vAttr(cName)).toAggregateExpression(), Literal(0L)))
+          }
+        case a: Average if ae.dataType == DoubleType =>
+          // avg(E) = sum-measure / counter-measure. The divisor is
+          // NULL'd when 0 (an all-null group), so the result is null
+          // exactly like the direct plan — and never an ANSI
+          // divide-by-zero. Double-typed averages only: a decimal
+          // average's scale arithmetic is not replayed here.
+          for {
+            sName <- measureOf.get(a.child.canonicalized)
+            cName <- counterMeasure(a.child)
+          } yield {
+            val s = Cast(Sum(vAttr(sName)).toAggregateExpression(),
+              DoubleType)
+            val c = Cast(Sum(vAttr(cName)).toAggregateExpression(),
+              DoubleType)
+            Divide(s,
+              If(EqualTo(c, Literal(0d)), Literal(null, DoubleType), c))
+          }
         case s: Sum =>
           measureOf.get(s.child.canonicalized).map { mName =>
             val re = Sum(vAttr(mName)).toAggregateExpression()

@@ -36,25 +36,33 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def baseDf: DataFrame = spark.read.parquet(baseDir)
 
+  private def buildSpecView(): AggView.Build =
+    AggView.buildIfAbsent(baseDf, Seq("k", "g"),
+      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
+        AggView.Measure("sum_y", "y"),
+        AggView.Measure("sum_x", "x"),
+        // x's NULL COUNTER: what makes count(x)/avg(x) derivable
+        AggView.Measure("nn_x",
+          "CASE WHEN x IS NULL THEN 0 ELSE 1 END")),
+      viewDir, kbParts = 4)
+
   override def beforeAll(): Unit = {
     val root = Files.createTempDirectory("graft-mvrw-spec").toString
     baseDir = s"$root/base"
     viewDir = s"$root/view"
     val s = spark
     import s.implicits._
-    // 300 rows, 3×2 groups, x long (some nulls), y double
-    (0 until 300).map { i =>
+    // 300 rows, 3×2 groups, x long (some nulls), y double — plus an
+    // ALL-NULL-x group (k3, g0), the avg edge case
+    ((0 until 300).map { i =>
       (s"k${i % 3}", s"g${i % 2}",
         if (i % 17 == 0) None else Some(i.toLong),
         i * 0.5)
-    }.toDF("k", "g", "x", "y")
+    } ++ (0 until 6).map(i => ("k3", "g0", None, i * 2.0)))
+      .toDF("k", "g", "x", "y")
       .repartition(3)
       .write.parquet(baseDir)
-    AggView.buildIfAbsent(baseDf, Seq("k", "g"),
-      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
-        AggView.Measure("sum_y", "y")),
-      viewDir, kbParts = 4)
-    ()
+    buildSpecView()
   }
 
   override def afterAll(): Unit = AggViewRewrite.clear()
@@ -151,6 +159,22 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(phys.contains("kb#"), phys)
   }
 
+  test("count(col) and avg(col) rewrite through the declared null " +
+      "counter, including the all-null group") {
+    AggViewRewrite.clear()
+    val q = """SELECT k, g, count(x) AS cx, avg(x) AS ax,
+              |  count(*) AS cnt
+              |FROM mvspec_base GROUP BY k, g""".stripMargin
+    val truth = sorted(sql(q)) // includes (k3, g0): cx = 0, ax = null
+    register()
+    val r = sql(q)
+    assert(hitsView(r), GraftBridge.optimizedPlan(r).toString)
+    assert(sorted(r) == truth)
+    // the all-null group really is exercised: count 0, avg null
+    val k3 = r.filter(col("k") === "k3").collect().head
+    assert(k3.getLong(2) == 0L && k3.isNullAt(3))
+  }
+
   test("scalar expressions of keys in the select list rewrite") {
     AggViewRewrite.clear()
     val q = """SELECT concat(k, '/', g) AS kg, sum(y) AS sy
@@ -173,13 +197,13 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       // sum of an expression that is not a declared measure
       """SELECT k, sum(CAST(x * 3 AS BIGINT)) AS s
         |FROM mvspec_base GROUP BY k""".stripMargin,
-      // avg: not derivable from (sum, count) when x is nullable
+      // avg of a column with NO declared null counter
       """SELECT k, avg(y) AS a FROM mvspec_base GROUP BY k""".stripMargin,
       // distinct aggregate
       """SELECT k, count(DISTINCT g) AS c
         |FROM mvspec_base GROUP BY k""".stripMargin,
-      // count of a nullable column (null-skipping not derivable)
-      """SELECT k, count(x) AS c FROM mvspec_base GROUP BY k""".stripMargin,
+      // count of a nullable column with NO declared null counter
+      """SELECT k, count(y) AS c FROM mvspec_base GROUP BY k""".stripMargin,
       // grouping by a non-key column
       """SELECT y, count(*) AS c FROM mvspec_base GROUP BY y""".stripMargin)
     for (q <- refused) {
@@ -200,21 +224,19 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     Seq(("k9", "g9", Some(1L), 1.0)).toDF("k", "g", "x", "y")
       .write.mode("append").parquet(baseDir)
+    val total = baseDf.count() // includes the new row
     val after = sql(q) // fresh read = fresh listing
     assert(!scannedRoots(after).exists(_.contains(viewDir)))
     // and the un-rewritten answer SEES the new row
-    assert(after.collect().map(_.getLong(1)).sum == 301L)
+    assert(after.collect().map(_.getLong(1)).sum == total)
     // re-sync: rebuild the view over the current listing, re-register
     AggView.purge(spark, viewDir)
-    val b = AggView.buildIfAbsent(baseDf, Seq("k", "g"),
-      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
-        AggView.Measure("sum_y", "y")),
-      viewDir, kbParts = 4)
+    val b = buildSpecView()
     assert(!b.reused) // the corpus changed, so the build ran
     register()
     val resync = sql(q)
     assert(hitsView(resync))
-    assert(resync.collect().map(_.getLong(1)).sum == 301L)
+    assert(resync.collect().map(_.getLong(1)).sum == total)
   }
 
   test("view-manifest staleness refuses: a maintenance commit after " +
@@ -242,10 +264,7 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggViewRewrite.clear()
     // fresh artifact state for this test (prior tests mutated it)
     AggView.purge(spark, viewDir)
-    AggView.buildIfAbsent(baseDf, Seq("k", "g"),
-      Seq(AggView.Measure("sum_2x", "CAST(x * 2 AS BIGINT)"),
-        AggView.Measure("sum_y", "y")),
-      viewDir, kbParts = 4)
+    buildSpecView()
     val q = "SELECT k, count(*) AS c FROM mvspec_base GROUP BY k"
     val truth = sorted(sql(q))
     val out = AggViewRewrite.rewritten(spark, baseDf, viewDir)(sql(q))

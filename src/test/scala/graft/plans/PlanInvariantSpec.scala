@@ -199,9 +199,9 @@ class PlanInvariantSpec extends AnyFunSuite {
 
   test("materialized-view rewrite fires: the SQL aggregate over the " +
       "base table scans the aggview ARTIFACT, never lineitem " +
-      "(q229/q230/q232)") {
+      "(q229/q230/q232/q233)") {
     for (q <- Seq("q229_mv_rewrite", "q230_mv_rollup",
-        "q232_mv_global")) {
+        "q232_mv_global", "q233_mv_avg")) {
       val p = plan(q)
       assert(p.contains("graft-mvrw-"), s"$q\n$p")
       assert(!p.contains("lineitem.parquet"), s"$q\n$p")
