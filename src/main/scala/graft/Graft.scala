@@ -27,6 +27,7 @@ object Graft {
     functions.RangeTableFunctions.register(spark)
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)
     plans.AggViewRewrite.install(spark)
+    plans.ColStatsInjection.install(spark)
     metrics.Metrics.install(spark)
   }
 }

@@ -1179,18 +1179,22 @@ object OperatorQueries {
         |  min(bucketv) AS min_num, max(bucketv) AS max_num,
         |  CAST(sum(bucketv) AS BIGINT) AS sum_num,
         |  CAST(NULL AS VARCHAR) AS min_str,
-        |  CAST(NULL AS VARCHAR) AS max_str
+        |  CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(NULL AS BIGINT) AS sum_len,
+        |  CAST(NULL AS BIGINT) AS max_len
         |FROM t
         |UNION ALL SELECT 'cents', 'num', count(*),
         |  CAST(0 AS BIGINT), min(cents), max(cents),
-        |  CAST(sum(cents) AS BIGINT), NULL, NULL FROM t
+        |  CAST(sum(cents) AS BIGINT), NULL, NULL, NULL, NULL FROM t
         |UNION ALL SELECT 'k', 'num', count(*),
         |  CAST(0 AS BIGINT), min(k), max(k),
-        |  CAST(sum(k) AS BIGINT), NULL, NULL FROM t
+        |  CAST(sum(k) AS BIGINT), NULL, NULL, NULL, NULL FROM t
         |UNION ALL SELECT 'st', 'str', count(*),
         |  CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-        |  min(st), max(st) FROM t
+        |  min(st), max(st),
+        |  CAST(sum(length(st)) AS BIGINT),
+        |  CAST(max(length(st)) AS BIGINT) FROM t
         |ORDER BY col_name""".stripMargin,
     // replays every m=64 register per column: md5-60 of
     // 'hll:' || rendered value, bucket = low 6 bits, rho = 55 - the

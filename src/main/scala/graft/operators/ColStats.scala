@@ -21,8 +21,10 @@ import graft.functions.StrExtremaAgg.{str_max, str_min}
   * {{{
   *   <path>/scalar/   parquet, ≤ |cols| rows: (col_name, kind,
   *                    n_rows, n_nulls, min_num, max_num, sum_num,
-  *                    min_str, max_str) — exact integer/string
-  *                    aggregates, cross-engine replayable
+  *                    min_str, max_str, sum_len, max_len) — exact
+  *                    integer/string aggregates (length stats for
+  *                    str columns: the honest row-width input a cost
+  *                    model needs), cross-engine replayable
   *   <path>/regs/     parquet, ≤ |cols|·64 rows: (col_name, bucket,
   *                    register) — SPARSE per-column HLL registers
   *                    (m = 64, the [[Hll.md5Hash]] 60-bit hash over
@@ -62,10 +64,13 @@ object ColStats {
   private val HashBits = 60
 
   /** On-disk format version. 2 added the `hist/` log₂ histogram
-    * table; `sameIndexAs` includes it, so an artifact written by an
-    * older format rebuilds instead of serving a table it never wrote.
+    * table; 3 added string LENGTH stats (`sum_len`/`max_len` — what
+    * a cost model needs for honest row-width estimates, see
+    * [[graft.plans.ColStatsInjection]]). `sameIndexAs` includes it,
+    * so an artifact written by an older format rebuilds instead of
+    * serving a table it never wrote.
     */
-  private val Fmt = 2
+  private val Fmt = 3
 
   private case class Manifest(fp: Long, n: Long,
       numCols: Seq[String], strCols: Seq[String],
@@ -139,16 +144,21 @@ object ColStats {
         // corpus-scale profile pass on (Object)HashAggregate — the
         // built-in string min/max would downgrade it to SortAggregate
         str_min(col("vstr")).as("__mins"),
-        str_max(col("vstr")).as("__maxs"))
-      // string extrema only mean anything for string columns; a num
-      // column's digit-string min is noise — null it at the source
+        str_max(col("vstr")).as("__maxs"),
+        sum(length(col("vstr")).cast("long")).as("__sumlen"),
+        max(length(col("vstr")).cast("long")).as("__maxlen"))
+      // string extrema/lengths only mean anything for string columns;
+      // a num column's digit-string stats are noise — null them at
+      // the source
       .select(col("col_name"), col("kind"), col("n_rows"),
         col("n_nulls"),
         when(col("kind") === "num", col("min_num")).as("min_num"),
         when(col("kind") === "num", col("max_num")).as("max_num"),
         when(col("kind") === "num", col("sum_num")).as("sum_num"),
         when(col("kind") === "str", col("__mins")).as("min_str"),
-        when(col("kind") === "str", col("__maxs")).as("max_str"))
+        when(col("kind") === "str", col("__maxs")).as("max_str"),
+        when(col("kind") === "str", col("__sumlen")).as("sum_len"),
+        when(col("kind") === "str", col("__maxlen")).as("max_len"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/scalar")
     val h = shiftrightunsigned(
@@ -181,16 +191,23 @@ object ColStats {
     s"$path/${baseOf(mf, sub)}" +:
       mf.deltas.map(d => s"$path/deltas/$d/$sub")
 
-  private def liveScalar(spark: SparkSession, path: String,
-      mf: Manifest): DataFrame =
-    roots(path, mf, "scalar").map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+  /** The scalar-profile MERGE (base ∪ deltas → one row per column):
+    * sums compose as sums, extrema as extrema — shared by the live
+    * read and compaction so the two can never disagree.
+    */
+  private def mergeScalar(parts: Seq[DataFrame]): DataFrame =
+    parts.reduce(_.unionByName(_))
       .groupBy("col_name", "kind")
       .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
         min("min_num").as("min_num"), max("max_num").as("max_num"),
         sum("sum_num").as("sum_num"),
         str_min(col("min_str")).as("min_str"),
-        str_max(col("max_str")).as("max_str"))
+        str_max(col("max_str")).as("max_str"),
+        sum("sum_len").as("sum_len"), max("max_len").as("max_len"))
+
+  private def liveScalar(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    mergeScalar(roots(path, mf, "scalar").map(spark.read.parquet(_)))
 
   private def liveRegs(spark: SparkSession, path: String,
       mf: Manifest): DataFrame =
@@ -302,14 +319,8 @@ object ColStats {
     if (decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/scalar"))
-      .reduce(_.unionByName(_))
-      .groupBy("col_name", "kind")
-      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
-        min("min_num").as("min_num"), max("max_num").as("max_num"),
-        sum("sum_num").as("sum_num"),
-        str_min(col("min_str")).as("min_str"),
-        str_max(col("max_str")).as("max_str"))
+    mergeScalar(
+      folded.map(d => spark.read.parquet(s"$path/deltas/$d/scalar")))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/deltas/$staged/scalar")
     folded.map(d => spark.read.parquet(s"$path/deltas/$d/regs"))
@@ -345,6 +356,16 @@ object ColStats {
       throw new IllegalStateException(s"no stats at $path"))
     liveScalar(spark, path, mf)
   }
+
+  /** The committed manifest VERSION of the artifact — every
+    * build/append/compact/applyBatch commit is a higher version, so
+    * this is the freshness pin a consumer
+    * ([[graft.plans.ColStatsInjection]]) re-checks before trusting a
+    * profile it registered earlier.
+    */
+  def version(path: String): Long =
+    readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path")).mv
 
   /** The merged DENSE per-column HLL registers: |cols| × 64 rows,
     * untouched buckets as register 0 (a local spine from the

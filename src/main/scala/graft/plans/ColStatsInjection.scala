@@ -1,0 +1,212 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+import graft.operators.ColStats
+
+/** STATISTICS INJECTION from the persisted [[ColStats]] artifact:
+  * an optimizer rule that attaches the profile — row count, per-column
+  * null counts, integral min/max, HLL distinct-count estimates — to
+  * the registered base relation as [[CatalogStatistics]], so Spark's
+  * own cost model plans from the table's REAL shape instead of its
+  * raw file bytes.
+  *
+  * Why this matters at 100 TB: a file-source relation without catalog
+  * stats estimates `sizeInBytes` as the sum of its (compressed) file
+  * lengths and knows nothing about row counts or column domains. That
+  * misses broadcast opportunities (a 100-byte-wide dimension inside a
+  * 2 GB compressed file is broadcastable after pruning, but the file
+  * length says no), and with `spark.sql.cbo.enabled` leaves join
+  * reordering and filter-selectivity estimation blind. The lakehouse
+  * answer is a stats layer maintained with the data — exactly what
+  * [[ColStats]] already is (O(batch) CDC maintenance, delete-refusing
+  * monotone algebra) — wired here into Catalyst the same way a
+  * catalog table's ANALYZE results are: `CatalogStatistics` on the
+  * relation, converted by Spark itself via `toPlanStats` (plain
+  * `sizeInBytes` always; rowCount + per-column [[CatalogColumnStat]]
+  * under `spark.sql.cbo.enabled` / `spark.sql.statsImprovements
+  * .enabled`).
+  *
+  * The injected numbers follow Spark's own ANALYZE semantics:
+  * `sizeInBytes` = rowCount × schema row width (the
+  * `EstimationUtils.getOutputSize` formula), per-column
+  * distinctCount/nullCount for every profiled column, and min/max
+  * only for INTEGRAL relation columns (the artifact profiles numeric
+  * columns cast to BIGINT — exact for integral sources, a lie for
+  * fractional ones, so fractional min/max is withheld).
+  *
+  * Freshness: registration pins the base file listing
+  * ([[RelationPins.signature]]) and the artifact's manifest version;
+  * either moving disables injection until re-registration — stale
+  * statistics silently degrade plans, so they expire with the data.
+  * Injection never changes RESULTS, only plan choice; the rule skips
+  * relations that already carry catalog stats (a real ANALYZE wins).
+  */
+object ColStatsInjection extends Logging {
+
+  final case class Entry(statsPath: String, basePaths: Set[String],
+      listingSig: Long, version: Long, stats: CatalogStatistics)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** Pin `statsPath` as the profile of `base` AS CURRENTLY LISTED
+    * and precompute the [[CatalogStatistics]] (two metadata-scale
+    * reads of the artifact — ≤ |cols| rows each; the corpus is never
+    * touched). The caller owns the assertion that the artifact
+    * profiles this table — typically by registering right after
+    * [[ColStats.buildIfAbsent]] (whose fingerprint proved it) or
+    * after the CDC pipeline appended the same batch to both.
+    */
+  def register(spark: SparkSession, base: DataFrame,
+      statsPath: String): Entry = {
+    val (rel, fsRel) = RelationPins.bare(GraftBridge.analyzedPlan(base))
+      .getOrElse(throw new IllegalArgumentException(
+        "register expects a bare single-file-source scan (the table " +
+          "the artifact profiles); got:\n" +
+          GraftBridge.analyzedPlan(base).treeString))
+    val version = ColStats.version(statsPath)
+    val resolver = SQLConf.get.resolver
+    // bounded collects: the scalar profile and NDV estimates are
+    // ≤ |cols| rows by construction
+    val ndv: Map[String, Double] =
+      ColStats.ndv(spark, statsPath).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scalar = ColStats.stats(spark, statsPath).collect()
+    val colStats: Map[String, CatalogColumnStat] =
+      scalar.flatMap { r =>
+        val name = r.getString(0)
+        rel.output.find(a => resolver(a.name, name)).map { attr =>
+          val integral = attr.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }
+          def longAt(col: String): Option[Long] =
+            if (r.isNullAt(r.fieldIndex(col))) None
+            else Some(r.getAs[Long](col))
+          def num(col: String): Option[String] =
+            if (integral) longAt(col).map(_.toString) else None
+          val nRows = r.getAs[Long]("n_rows")
+          val nNulls = r.getAs[Long]("n_nulls")
+          // avg string length from the artifact's exact length sums
+          // — THE honest width input; fixed-width types use their
+          // type width
+          val avgLen: Long = attr.dataType match {
+            case StringType =>
+              longAt("sum_len")
+                .filter(_ => nRows > nNulls)
+                .map(s => math.max(1L, math.round(
+                  s.toDouble / (nRows - nNulls))))
+                .getOrElse(attr.dataType.defaultSize.toLong)
+            case dt => dt.defaultSize.toLong
+          }
+          attr.name -> CatalogColumnStat(
+            distinctCount =
+              ndv.get(name).map(d => BigInt(math.max(1L, d.round))),
+            min = num("min_num"), max = num("max_num"),
+            nullCount = Some(BigInt(nNulls)),
+            avgLen = Some(avgLen),
+            maxLen = Some(attr.dataType match {
+              case StringType =>
+                longAt("max_len").getOrElse(avgLen)
+              case dt => dt.defaultSize.toLong
+            }))
+        }
+      }.toMap
+    val rowCount: BigInt =
+      scalar.map(r => r.getAs[Long]("n_rows")).maxOption
+        .map(BigInt(_)).getOrElse(0)
+    // EstimationUtils.getSizePerRow's shape: 8 + Σ column widths,
+    // strings as avgLen + (8 + 4) object overhead
+    val rowWidth = 8L + rel.output.map { a =>
+      (a.dataType, colStats.get(a.name).flatMap(_.avgLen)) match {
+        case (StringType, Some(l)) => l + 8L + 4L
+        case (dt, _) => dt.defaultSize.toLong
+      }
+    }.sum
+    val catalog = CatalogStatistics(
+      sizeInBytes = (rowCount * rowWidth) max 1,
+      rowCount = Some(rowCount),
+      colStats = colStats)
+    val e = Entry(statsPath, RelationPins.rootPaths(fsRel),
+      RelationPins.signature(fsRel), version, catalog)
+    registry.put(statsPath, e)
+    e
+  }
+
+  def unregister(statsPath: String): Unit = {
+    registry.remove(statsPath); ()
+  }
+
+  def clear(): Unit = registry.clear()
+
+  /** Add the rule to a live session (idempotent). Config-time
+    * sessions get it from [[GraftExtensions]].
+    */
+  def install(spark: SparkSession): Unit =
+    GraftBridge.addOptimization(spark, Rule(spark))
+
+  /** One-shot SCOPED injection: register the artifact, force `query`
+    * through the optimizer (so the stats — and any plan choices they
+    * drive — are baked into the returned plan), then unregister.
+    */
+  def injected(spark: SparkSession, base: DataFrame, statsPath: String)
+      (query: => DataFrame): DataFrame = {
+    install(spark)
+    register(spark, base, statsPath)
+    try GraftBridge.ofRows(spark, GraftBridge.optimizedPlan(query))
+    finally unregister(statsPath)
+  }
+
+  final case class Rule(spark: SparkSession)
+      extends CatalystRule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else plan.transformUp {
+        // a relation that already carries catalog stats (a real
+        // ANALYZE, or this rule in an earlier pass) is left alone
+        case l: LogicalRelation if l.catalogTable.isEmpty =>
+          try inject(l).getOrElse(l)
+          catch {
+            case NonFatal(e) =>
+              logWarning(s"colstats injection skipped: $e")
+              l
+          }
+      }
+  }
+
+  private def inject(l: LogicalRelation): Option[LogicalRelation] = {
+    val h = l.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
+      case _ => return None
+    }
+    val roots = RelationPins.rootPaths(h)
+    val cands = registry.values.asScala.filter(_.basePaths == roots)
+    if (cands.isEmpty) return None
+    val sig = RelationPins.signature(h)
+    cands.find { e =>
+      e.listingSig == sig &&
+        (try ColStats.version(e.statsPath) == e.version
+        catch { case NonFatal(_) => false })
+    }.map { e =>
+      l.copy(catalogTable = Some(CatalogTable(
+        identifier = TableIdentifier("graft_colstats_injected"),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = l.relation.schema,
+        provider = Some("parquet"),
+        stats = Some(e.stats))))
+    }
+  }
+}

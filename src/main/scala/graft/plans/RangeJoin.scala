@@ -585,6 +585,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
     e.injectOptimizerRule(s => AggViewRewrite.Rule(s))
+    e.injectOptimizerRule(s => ColStatsInjection.Rule(s))
     GraftExtensions.sqlScalars.foreach { case (name, build) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,

@@ -1,0 +1,176 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.ColStats
+
+/** The statistics-injection contract:
+  *
+  *  - a registered relation plans from the ARTIFACT's numbers
+  *    (rowCount, per-column nulls/NDV/integral min-max, string
+  *    avg/max lengths → an honest sizeInBytes), not its raw file
+  *    bytes;
+  *  - the honest size PREVENTS a harmful broadcast: a compressed
+  *    file under the threshold whose logical rows are far over it
+  *    stays a shuffle join once the profile is injected (the
+  *    broadcast-OOM footgun file-length stats walk into);
+  *  - both staleness pins refuse (base listing drift, artifact
+  *    version drift), and injection never touches a relation that
+  *    already carries catalog stats.
+  */
+class ColStatsInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    ColStatsInjection.install(s)
+    s
+  }
+
+  private var baseDir: String = _
+  private var statsDir: String = _
+  private val nRows = 4000
+
+  private def baseDf: DataFrame = spark.read.parquet(baseDir)
+
+  override def beforeAll(): Unit = {
+    val root = Files.createTempDirectory("graft-csi-spec").toString
+    baseDir = s"$root/base"
+    statsDir = s"$root/stats"
+    val s = spark
+    import s.implicits._
+    // k dense, g 50-valued with nulls, v an incompressible-ish fat
+    // string (13 md5 hexes ≈ 416 chars) — the compressed file bytes
+    // will badly under-state the logical row size
+    (0 until nRows).map { i =>
+      (i.toLong,
+        if (i % 11 == 0) None else Some((i % 50).toLong),
+        (0 until 13).map(j =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$i:$j".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString).mkString)
+    }.toDF("k", "g", "v")
+      .repartition(2)
+      .write.parquet(baseDir)
+    ColStats.buildIfAbsent(baseDf, Seq("k", "g"), Seq("v"), statsDir)
+    ()
+  }
+
+  override def afterAll(): Unit = ColStatsInjection.clear()
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("registered relation plans from the artifact: rowCount, " +
+      "nulls, NDV, integral min/max, honest string widths") {
+    ColStatsInjection.clear()
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val before = GraftBridge.optimizedPlan(baseDf).stats
+      assert(before.rowCount.isEmpty)
+
+      val e = ColStatsInjection.register(spark, baseDf, statsDir)
+      val plan = GraftBridge.optimizedPlan(baseDf)
+      val stats = plan.stats
+      assert(stats.rowCount.contains(BigInt(nRows)), stats)
+      assert(stats.sizeInBytes == e.stats.sizeInBytes)
+      // logical size carries the REAL ~416-char strings: far above
+      // a (defaultSize = 20) guess and above the compressed file
+      assert(stats.sizeInBytes > BigInt(nRows) * 400L)
+
+      val byName = stats.attributeStats.toSeq
+        .map { case (a, cs) => a.name -> cs }.toMap
+      val g = byName("g")
+      assert(g.nullCount.contains(BigInt(nRows / 11 + 1)), g)
+      // plan-level ColumnStat carries the INTERNAL typed values
+      assert(g.min.contains(0L) && g.max.contains(49L), g)
+      val nd = g.distinctCount.get.toDouble
+      assert(nd > 30 && nd < 70, s"ndv estimate off: $nd") // true 50
+      val v = byName("v")
+      assert(v.avgLen.exists(l => l > 400 && l < 430), v)
+      assert(v.maxLen.contains(416L), v)
+    }
+  }
+
+  test("honest sizeInBytes prevents the compressed-file broadcast " +
+      "footgun") {
+    ColStatsInjection.clear()
+    val e = ColStatsInjection.register(spark, baseDf, statsDir)
+    val fileBytes = new java.io.File(baseDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val logical = e.stats.sizeInBytes
+    assert(BigInt(fileBytes) < logical,
+      s"test premise: compressed $fileBytes < logical $logical")
+    val threshold = (BigInt(fileBytes) + logical) / 2
+    // the fact side is sized well over any threshold midpoint, so
+    // the broadcast decision is about the DIM side only
+    val fact = spark.range(2000000).select(col("id").as("k"))
+
+    def joinPlan(): String = {
+      // no projection above the dim side: its stats are the bare
+      // relation's, so the threshold comparison is exact
+      fact.join(baseDf, "k").queryExecution.executedPlan.toString
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString,
+      "spark.sql.adaptive.enabled" -> "false") {
+      // with the profile: logical size over threshold — shuffle join
+      assert(joinPlan().contains("SortMergeJoin"))
+      // without: the compressed file bytes sneak under — broadcast
+      ColStatsInjection.clear()
+      assert(joinPlan().contains("BroadcastHashJoin"))
+    }
+  }
+
+  test("staleness refuses: base listing drift and artifact version " +
+      "drift both disable injection") {
+    ColStatsInjection.clear()
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      ColStatsInjection.register(spark, baseDf, statsDir)
+      assert(GraftBridge.optimizedPlan(baseDf).stats
+        .rowCount.contains(BigInt(nRows)))
+
+      // artifact moves: one appended batch bumps the manifest version
+      val s = spark
+      import s.implicits._
+      ColStats.append(
+        Seq((9999999L, Some(1L), "zz")).toDF("k", "g", "v"), statsDir)
+      assert(GraftBridge.optimizedPlan(baseDf).stats.rowCount.isEmpty)
+
+      // re-pin at the new version, then move the BASE instead
+      ColStatsInjection.register(spark, baseDf, statsDir)
+      assert(GraftBridge.optimizedPlan(baseDf).stats.rowCount.isDefined)
+      Seq((-1L, Some(1L), "zz")).toDF("k", "g", "v")
+        .write.mode("append").parquet(baseDir)
+      assert(GraftBridge.optimizedPlan(baseDf).stats.rowCount.isEmpty)
+    }
+  }
+
+  test("injected() is scoped: stats baked into the returned plan, " +
+      "registry empty afterwards") {
+    ColStatsInjection.clear()
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      // note: beforeAll's artifact is stale vs the appended base row
+      // from the previous test — rebuild over the current listing
+      val root = Files.createTempDirectory("graft-csi-scoped").toString
+      ColStats.buildIfAbsent(baseDf, Seq("k", "g"), Seq("v"),
+        s"$root/stats")
+      val out = ColStatsInjection.injected(spark, baseDf,
+        s"$root/stats")(baseDf.groupBy("g").count())
+      assert(GraftBridge.optimizedPlan(out).collectLeaves()
+        .exists(_.stats.rowCount.isDefined))
+      // scoped: a fresh plan no longer sees the stats
+      assert(GraftBridge.optimizedPlan(baseDf).stats.rowCount.isEmpty)
+    }
+  }
+}
