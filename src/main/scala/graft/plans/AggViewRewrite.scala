@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -45,10 +45,11 @@ import graft.operators.AggView
   *    register time, and neither has moved since);
   *  - every filter references only view KEY columns (key predicates
   *    commute with the per-group sums); when the filters pin EVERY
-  *    key with an equality literal, the rewrite additionally
-  *    computes the key-hash bucket driver-side and emits the
-  *    kb-partition-pruned read — the q209 dashboard-probe plan from
-  *    plain SQL over the base table;
+  *    key with an equality literal or a bounded IN-list (≤ 256
+  *    combinations), the rewrite additionally computes the key-hash
+  *    buckets driver-side and emits the kb-partition-pruned read —
+  *    the q209 dashboard-probe plan from plain SQL over the base
+  *    table;
   *  - every grouping expression is a key column, and every aggregate
   *    is `count(*)` (→ `sum(cnt)`, coalesced to 0 for the global
   *    empty case) or `sum(E)` where E is one of the view's declared
@@ -157,14 +158,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
   // matching
 
   private def bareRelation(p: LogicalPlan)
-      : Option[(LogicalRelation, HadoopFsRelation)] = p match {
-    case s: SubqueryAlias => bareRelation(s.child)
-    case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation => Some((l, h))
-      case _ => None
-    }
-    case _ => None
-  }
+      : Option[(LogicalRelation, HadoopFsRelation)] =
+    RelationPins.bare(p)
 
   /** Strip column-pruning projections and collect deterministic
     * filter conjuncts between the aggregate and the relation.
@@ -187,17 +182,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }
 
   private def rootPaths(h: HadoopFsRelation): Set[String] =
-    h.location.rootPaths.map(_.toString).toSet
+    RelationPins.rootPaths(h)
 
-  /** Order-independent digest of (path, length, mtime) of every file
-    * the relation's (already-materialized) file index lists — the
-    * staleness pin. Uses the in-memory listing; no FS calls.
-    */
   private def signature(h: HadoopFsRelation): Long =
-    h.location.listFiles(Nil, Nil).flatMap(_.files)
-      .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-      .sorted
-      .foldLeft(17L)((a, s) => a * 1000003L + s.hashCode)
+    RelationPins.signature(h)
 
   private def tryRewrite(spark: SparkSession,
       agg: Aggregate): Option[Aggregate] = {
@@ -206,7 +194,9 @@ object AggViewRewrite extends PredicateHelper with Logging {
     val cands = registry.values.asScala.filter(_.basePaths == roots).toSeq
     if (cands.isEmpty) return None
     val sig = signature(fsRel)
-    cands.iterator
+    // prefer the COARSEST sufficient view: fewer keys = fewer rollup
+    // groups = the smallest artifact that can still answer
+    cands.sortBy(_.decl.keys.size).iterator
       .map(e => rewriteWith(spark, agg, rel, filters, e, sig))
       .collectFirst { case Some(a) => a }
   }
@@ -247,24 +237,45 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }.toMap
     if (measureOf.size != e.decl.measures.size) return None
 
-    // kb partition prune when every key is pinned by an equality
-    val eqLit: Map[String, Literal] = filters.collect {
+    // kb partition prune when every key is pinned by equality or a
+    // bounded IN-list: each conjunct's value set is a SUPERSET of
+    // the matching rows' key values, so when several conjuncts pin
+    // one key, any of them is sound — take the smallest
+    val keyVals: Map[String, Seq[Literal]] = filters.collect {
       case EqualTo(a: AttributeReference, l: Literal)
-          if keyAttrSet.contains(a) && l.value != null => keyNameOf(a.exprId) -> l
+          if keyAttrSet.contains(a) && l.value != null =>
+        keyNameOf(a.exprId) -> Seq(l)
       case EqualTo(l: Literal, a: AttributeReference)
-          if keyAttrSet.contains(a) && l.value != null => keyNameOf(a.exprId) -> l
+          if keyAttrSet.contains(a) && l.value != null =>
+        keyNameOf(a.exprId) -> Seq(l)
       case EqualNullSafe(a: AttributeReference, l: Literal)
-          if keyAttrSet.contains(a) => keyNameOf(a.exprId) -> l
+          if keyAttrSet.contains(a) => keyNameOf(a.exprId) -> Seq(l)
       case EqualNullSafe(l: Literal, a: AttributeReference)
-          if keyAttrSet.contains(a) => keyNameOf(a.exprId) -> l
-    }.toMap
-    val parts: Option[Seq[Int]] =
-      if (e.decl.keys.forall(eqLit.contains)) {
-        // same hash the writer used: xxhash64(keys in decl order)
-        val h = new XxHash64(e.decl.keys.map(eqLit), 42L)
-          .eval(InternalRow.empty).asInstanceOf[Long]
-        Some(Seq(java.lang.Math.floorMod(h, e.decl.kbParts.toLong).toInt))
+          if keyAttrSet.contains(a) => keyNameOf(a.exprId) -> Seq(l)
+      case In(a: AttributeReference, vs)
+          if keyAttrSet.contains(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        keyNameOf(a.exprId) ->
+          vs.collect { case l: Literal if l.value != null => l }
+      case InSet(a: AttributeReference, vs)
+          if keyAttrSet.contains(a) =>
+        keyNameOf(a.exprId) -> vs.toSeq.filter(_ != null)
+          .map(v => Literal(v, a.dataType))
+    }.groupBy(_._1)
+      .map { case (k, kvs) => k -> kvs.map(_._2).minBy(_.size) }
+    val parts: Option[Seq[Int]] = {
+      val sets = e.decl.keys.map(k => keyVals.getOrElse(k, Nil))
+      if (sets.forall(_.nonEmpty) &&
+        sets.map(_.size.toLong).product <= 256L) {
+        val tuples = sets.foldLeft(Seq(Seq.empty[Literal]))(
+          (acc, s) => acc.flatMap(t => s.map(t :+ _)))
+        Some(tuples.map { t =>
+          // same hash the writer used: xxhash64(keys in decl order)
+          val h = new XxHash64(t, 42L)
+            .eval(InternalRow.empty).asInstanceOf[Long]
+          java.lang.Math.floorMod(h, e.decl.kbParts.toLong).toInt
+        }.distinct)
       } else None
+    }
 
     // the pushed key predicate, re-addressed to the view's columns
     val whereCol: Option[Column] = filters.reduceOption(And).map { c =>

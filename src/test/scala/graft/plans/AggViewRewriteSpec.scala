@@ -157,6 +157,21 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val phys = rp.queryExecution.executedPlan.toString
     assert(phys.contains("PartitionFilters"), phys)
     assert(phys.contains("kb#"), phys)
+
+    // IN-lists prune too: the bucket set is the (bounded) cartesian
+    // of the per-key value sets
+    val inq = """SELECT k, g, sum(y) AS sy FROM mvspec_base
+                |WHERE k IN ('k0', 'k2') AND g = 'g1'
+                |GROUP BY k, g""".stripMargin
+    AggViewRewrite.clear()
+    val truthIn = sorted(sql(inq))
+    register()
+    val rin = sql(inq)
+    assert(hitsView(rin))
+    assert(sorted(rin) == truthIn)
+    val physIn = rin.queryExecution.executedPlan.toString
+    assert(physIn.contains("PartitionFilters"), physIn)
+    assert(physIn.contains("kb#"), physIn)
   }
 
   test("count(col) and avg(col) rewrite through the declared null " +
@@ -272,5 +287,23 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorted(out) == truth)
     // scoped: a NEW query no longer rewrites
     assert(!scannedRoots(sql(q)).exists(_.contains(viewDir)))
+  }
+
+  test("with several sufficient views registered, the coarsest wins") {
+    AggViewRewrite.clear()
+    val q = "SELECT g, sum(y) AS sy FROM mvspec_base GROUP BY g"
+    val truth = sorted(sql(q))
+    // a coarser sibling view keyed by g only
+    val vg = Files.createTempDirectory("graft-mvrw-coarse").toString
+    AggView.buildIfAbsent(baseDf, Seq("g"),
+      Seq(AggView.Measure("sum_y", "y")), vg, kbParts = 2)
+    register() // the fine (k, g) view
+    AggViewRewrite.register(spark, baseDf, vg)
+    val r = sql(q)
+    val roots = scannedRoots(r)
+    assert(roots.exists(_.contains(vg)), r.queryExecution.optimizedPlan)
+    assert(!roots.exists(_.contains(viewDir)) &&
+      !roots.exists(_.contains(baseDir)))
+    assert(sorted(r) == truth)
   }
 }
