@@ -434,6 +434,33 @@ object OperatorQueries {
       * for the two-key IN probe. Scan ≡ the direct lookup; the
       * re-applied predicate keeps pruning honest.
       */
+    /** METADATA-ONLY aggregate serve
+      * ([[graft.plans.ColStatsInjection.metadataAgg]]): a global
+      * count/min/max/sum SQL aggregate over the registered orders
+      * table is answered as a literal one-row plan straight from the
+      * persisted profile — ZERO scan (PlanInvariantSpec pins no
+      * FileScan in the plan). Exact by the profile's own algebra:
+      * counts and integral extrema are exact, the sum is the same
+      * wrapped 64-bit sum the direct query computes.
+      */
+    "q234_meta_agg" -> ((s, d) => {
+      import graft.operators.ColStats
+      val base = Tables.orders(s, d)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-metaagg-${Integer.toHexString(d.hashCode)}").toString
+      ColStats.buildIfAbsent(base,
+        Seq("o_orderkey", "o_custkey"), Seq("o_orderstatus"), idx)
+      base.createOrReplaceTempView("graft_q234_base")
+      graft.plans.ColStatsInjection.injected(s, base, idx) {
+        s.sql("""SELECT count(*) AS n,
+                |  count(o_orderstatus) AS n_st,
+                |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+                |  sum(o_custkey) AS sum_ck
+                |FROM graft_q234_base""".stripMargin)
+      }
+    }),
+
     "q228_zonemap_bloom" -> ((s, d) => {
       import graft.operators.ZoneMap
       import org.apache.spark.sql.sources.In
@@ -1015,6 +1042,14 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the metadata-served global aggregate must equal the direct one
+    "q234_meta_agg" ->
+      """SELECT count(*) AS n,
+        |  count(o_orderstatus) AS n_st,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_k,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders""".stripMargin,
     // null-skipping count and avg through the declared null counter
     "q233_mv_avg" ->
       """SELECT l_returnflag AS rf,

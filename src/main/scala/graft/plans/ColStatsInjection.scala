@@ -7,7 +7,10 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.internal.SQLConf
@@ -52,11 +55,28 @@ import graft.operators.ColStats
   * statistics silently degrade plans, so they expire with the data.
   * Injection never changes RESULTS, only plan choice; the rule skips
   * relations that already carry catalog stats (a real ANALYZE wins).
+  *
+  * One exception serves RESULTS, exactly: a GLOBAL (ungrouped,
+  * unfiltered) aggregate of `count(*)` / `count(col)` /
+  * `min`/`max`/`sum` of integral profiled columns is rewritten to a
+  * literal one-row plan ([[metadataAgg]]) — the answer-from-
+  * statistics path engines serve from footers, here from the
+  * artifact, with ZERO scan. Every value is exact by the profile's
+  * own algebra (exact counts and extrema, the same wrapped 64-bit
+  * sum); anything not exactly answerable refuses to the scan.
   */
 object ColStatsInjection extends Logging {
 
+  /** One profiled column's exact scalars (integer-exact by the
+    * artifact's contract) — the inputs of the metadata-only
+    * aggregate serve.
+    */
+  final case class Scalar(nRows: Long, nNulls: Long,
+      minNum: Option[Long], maxNum: Option[Long], sumNum: Option[Long])
+
   final case class Entry(statsPath: String, basePaths: Set[String],
-      listingSig: Long, version: Long, stats: CatalogStatistics)
+      listingSig: Long, version: Long, stats: CatalogStatistics,
+      scalars: Map[String, Scalar])
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -139,8 +159,19 @@ object ColStatsInjection extends Logging {
       sizeInBytes = (rowCount * rowWidth) max 1,
       rowCount = Some(rowCount),
       colStats = colStats)
+    val scalars: Map[String, Scalar] = scalar.flatMap { r =>
+      val name = r.getString(0)
+      rel.output.find(a => resolver(a.name, name)).map { attr =>
+        def longAt(col: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(col))) None
+          else Some(r.getAs[Long](col))
+        attr.name -> Scalar(r.getAs[Long]("n_rows"),
+          r.getAs[Long]("n_nulls"),
+          longAt("min_num"), longAt("max_num"), longAt("sum_num"))
+      }
+    }.toMap
     val e = Entry(statsPath, RelationPins.rootPaths(fsRel),
-      RelationPins.signature(fsRel), version, catalog)
+      RelationPins.signature(fsRel), version, catalog, scalars)
     registry.put(statsPath, e)
     e
   }
@@ -174,6 +205,15 @@ object ColStatsInjection extends Logging {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
       else plan.transformUp {
+        // a GLOBAL min/max/count/sum aggregate over a registered
+        // relation is answered from the profile outright — zero scan
+        case agg: Aggregate =>
+          try metadataAgg(agg).getOrElse(agg)
+          catch {
+            case NonFatal(e) =>
+              logWarning(s"colstats metadata-agg skipped: $e")
+              agg
+          }
         // a relation that already carries catalog stats (a real
         // ANALYZE, or this rule in an earlier pass) is left alone
         case l: LogicalRelation if l.catalogTable.isEmpty =>
@@ -186,7 +226,10 @@ object ColStatsInjection extends Logging {
       }
   }
 
-  private def inject(l: LogicalRelation): Option[LogicalRelation] = {
+  /** The fresh registered entry for this relation, if any: roots
+    * match, base listing unchanged, artifact version unchanged.
+    */
+  private def freshEntry(l: LogicalRelation): Option[Entry] = {
     val h = l.relation match {
       case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
       case _ => return None
@@ -199,7 +242,11 @@ object ColStatsInjection extends Logging {
       e.listingSig == sig &&
         (try ColStats.version(e.statsPath) == e.version
         catch { case NonFatal(_) => false })
-    }.map { e =>
+    }
+  }
+
+  private def inject(l: LogicalRelation): Option[LogicalRelation] =
+    freshEntry(l).map { e =>
       l.copy(catalogTable = Some(CatalogTable(
         identifier = TableIdentifier("graft_colstats_injected"),
         tableType = CatalogTableType.EXTERNAL,
@@ -208,5 +255,109 @@ object ColStatsInjection extends Logging {
         provider = Some("parquet"),
         stats = Some(e.stats))))
     }
+
+  // ---------------------------------------------------------------
+  // metadata-only aggregate serve
+
+  /** Strip pure column-pruning projections; ANY filter disqualifies
+    * (a filtered aggregate is not the profiled table's).
+    */
+  private def bareChild(p: LogicalPlan): Option[LogicalRelation] =
+    p match {
+      case l: LogicalRelation => Some(l)
+      case Project(pl, c)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        bareChild(c)
+      case _ => None
+    }
+
+  /** Rewrite a GLOBAL (ungrouped, unfiltered) aggregate whose every
+    * output is `count(*)`, `count(col)`, `min/max(col)` (integral),
+    * or `sum(col)` (integral) over PROFILED columns into a literal
+    * one-row plan — the answer-from-statistics serve every engine's
+    * metadata-only path provides, here from the artifact. min/max
+    * are exact because the profile's extrema are exact (monotone
+    * merges of exact per-batch extrema); sum is the same wrapped
+    * 64-bit sum the query's own `sum(BIGINT-cast)` computes; count
+    * algebra is exact. Refuses on DISTINCT/FILTER, non-integral
+    * min/max/sum (the artifact profiles numerics as BIGINT), any
+    * WHERE, or any unprofiled column.
+    */
+  private def metadataAgg(agg: Aggregate): Option[Aggregate] = {
+    if (agg.groupingExpressions.nonEmpty) return None
+    val rel = bareChild(agg.child).getOrElse(return None)
+    val e = freshEntry(rel).getOrElse(return None)
+    if (e.scalars.isEmpty) return None
+    val nRows = e.scalars.values.head.nRows
+
+    def scalarOf(x: Expression): Option[(Scalar, Attribute)] = x match {
+      case a: AttributeReference =>
+        e.scalars.get(a.name).map(_ -> a)
+      case _ => None
+    }
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def numLit(v: Option[Long], dt: DataType): Expression = v match {
+      case None => Literal(null, dt)
+      case Some(x) => dt match {
+        case ByteType => Literal(x.toByte)
+        case ShortType => Literal(x.toShort)
+        case IntegerType => Literal(x.toInt)
+        case _ => Literal(x)
+      }
+    }
+
+    def answer(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(children)
+            if children.nonEmpty &&
+              children.forall(c => c.foldable && c.eval() != null) =>
+          Some(Literal(nRows))
+        case Count(Seq(c)) if !c.foldable =>
+          scalarOf(c).map { case (s, _) => Literal(s.nRows - s.nNulls) }
+        case m: aggregate.Min =>
+          scalarOf(m.child).collect {
+            case (s, a) if integral(a.dataType) =>
+              numLit(s.minNum, a.dataType)
+          }
+        case m: aggregate.Max =>
+          scalarOf(m.child).collect {
+            case (s, a) if integral(a.dataType) =>
+              numLit(s.maxNum, a.dataType)
+          }
+        case sm: Sum =>
+          scalarOf(sm.child).collect {
+            case (s, a) if integral(a.dataType) &&
+                ae.dataType == LongType =>
+              if (s.nRows == s.nNulls) Literal(null, LongType)
+              else Literal(s.sumNum.getOrElse(0L))
+          }
+        case _ => None
+      }
+    }
+
+    val newExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al: Alias => al.child match {
+        case ae: AggregateExpression => answer(ae) match {
+          case Some(lit) => Alias(lit, al.name)(exprId = al.exprId)
+          case None => return None
+        }
+        case _ => return None
+      }
+      case _ => return None
+    }
+    // keep the node an Aggregate over one synthetic row, so the
+    // plan's shape (and output nullability) matches what any parent
+    // expects from a global aggregate; Catalyst folds it to a
+    // one-row LocalRelation
+    val out = Aggregate(Nil, newExprs, OneRowRelation())
+    val same = out.output.size == agg.output.size &&
+      out.output.zip(agg.output).forall { case (n, o) =>
+        n.exprId == o.exprId && n.name == o.name && n.dataType == o.dataType
+      }
+    if (same) Some(out) else None
   }
 }

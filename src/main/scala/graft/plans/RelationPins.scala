@@ -29,11 +29,24 @@ private[plans] object RelationPins {
 
   /** Order-independent digest of (path, length, mtime) of every file
     * the relation's (already-materialized) file index lists — the
-    * staleness pin. Uses the in-memory listing; no FS calls.
+    * staleness pin. Uses the in-memory listing (no FS calls), and
+    * combines per-file hashes COMMUTATIVELY (wrapping sum of
+    * splitmix64-mixed entries) instead of sorting: the pin is
+    * recomputed at every query planning, and a registered fact table
+    * can list millions of files — O(n) with no allocation beats an
+    * O(n log n) string sort in the planner's hot path.
     */
-  def signature(h: HadoopFsRelation): Long =
-    h.location.listFiles(Nil, Nil).flatMap(_.files)
-      .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
-      .sorted
-      .foldLeft(17L)((a, s) => a * 1000003L + s.hashCode)
+  def signature(h: HadoopFsRelation): Long = {
+    def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    h.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
+      .foldLeft(17L) { (acc, f) =>
+        acc + mix(f.getPath.toString.hashCode.toLong * 0x9E3779B1L
+          + f.getLen * 31L + f.getModificationTime)
+      }
+  }
 }

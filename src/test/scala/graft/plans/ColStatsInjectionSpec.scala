@@ -156,6 +156,41 @@ class ColStatsInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("metadata-only aggregate: global count/min/max/sum served " +
+      "from the profile with ZERO scan, exactly") {
+    ColStatsInjection.clear()
+    // fresh artifact over the current listing (earlier tests
+    // appended a base row)
+    val root = Files.createTempDirectory("graft-csi-meta").toString
+    val statsD = s"$root/stats"
+    ColStats.buildIfAbsent(baseDf, Seq("k", "g"), Seq("v"), statsD)
+    val q = """SELECT count(*) AS n, count(g) AS ng, min(k) AS mn,
+              |  max(k) AS mx, sum(g) AS sg, min(g) AS mng
+              |FROM csi_meta_base""".stripMargin
+    baseDf.createOrReplaceTempView("csi_meta_base")
+    val truth = spark.sql(q).collect().head
+    ColStatsInjection.register(spark, baseDf, statsD)
+    val served = spark.sql(q)
+    val phys = served.queryExecution.executedPlan.toString
+    assert(!phys.contains("FileScan"), phys) // zero scan
+    assert(served.collect().head == truth)
+    // a WHERE disqualifies: the profile is the WHOLE table's
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM csi_meta_base WHERE k > 10")
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("FileScan"))
+    // a string min is not answerable from the numeric profile
+    val strMin = spark.sql("SELECT min(v) AS m FROM csi_meta_base")
+    assert(strMin.queryExecution.executedPlan.toString
+      .contains("FileScan"))
+    // grouped aggregates refuse (profile has no per-group state)
+    val grouped = spark.sql(
+      "SELECT g, count(*) AS n FROM csi_meta_base GROUP BY g")
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("FileScan"))
+    ColStatsInjection.clear()
+  }
+
   test("injected() is scoped: stats baked into the returned plan, " +
       "registry empty afterwards") {
     ColStatsInjection.clear()

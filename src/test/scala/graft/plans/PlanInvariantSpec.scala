@@ -208,6 +208,13 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata-only aggregate serve: the global profile query " +
+      "plans with ZERO file scans (q234)") {
+    val p = plan("q234_meta_agg")
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("parquet"), p)
+  }
+
   test("rewritten key-complete probe additionally prunes to the " +
       "probed kb partition (q231)") {
     val p = plan("q231_mv_probe")
