@@ -427,13 +427,6 @@ object OperatorQueries {
         .orderBy("src", "op")
     }),
 
-    /** Zone-map BLOOM skipping ([[ZoneMap]] `bloomCols`): the table
-      * copy is HASH-laid-out (8 files, keys interleave), so every
-      * file's key [min,max] spans the whole domain and min/max zones
-      * prune nothing — the per-file bloom is what rules files out
-      * for the two-key IN probe. Scan ≡ the direct lookup; the
-      * re-applied predicate keeps pruning honest.
-      */
     /** METADATA-ONLY aggregate serve
       * ([[graft.plans.ColStatsInjection.metadataAgg]]): a global
       * count/min/max/sum SQL aggregate over the registered orders
@@ -461,6 +454,13 @@ object OperatorQueries {
       }
     }),
 
+    /** Zone-map BLOOM skipping ([[ZoneMap]] `bloomCols`): the table
+      * copy is HASH-laid-out (8 files, keys interleave), so every
+      * file's key [min,max] spans the whole domain and min/max zones
+      * prune nothing — the per-file bloom is what rules files out
+      * for the two-key IN probe. Scan ≡ the direct lookup; the
+      * re-applied predicate keeps pruning honest.
+      */
     "q228_zonemap_bloom" -> ((s, d) => {
       import graft.operators.ZoneMap
       import org.apache.spark.sql.sources.In

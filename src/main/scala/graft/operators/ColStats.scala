@@ -129,12 +129,17 @@ object ColStats {
     df.select(explode(array(pieces: _*)).as("e")).select("e.*")
   }
 
-  /** The batch's partial profile: one exploded pass, map-side
-    * combined into ≤ |cols| scalar rows + sparse register rows.
+  /** The batch's partial profile: three exploded passes (scalar,
+    * registers, histogram), each map-side combined into
+    * metadata-scale rows and each COLUMN-PRUNED to the profiled
+    * columns at its own scan. Deliberately NOT a shared checkpoint
+    * of the exploded set: that would materialize rows × |cols| —
+    * several times the corpus — to executor storage just to save two
+    * pruned scans, exactly the wrong trade at 100 TB.
     */
   private def writeTables(df: DataFrame, mf: Manifest,
       root: String): Unit = {
-    val lf = longFormat(df, mf).localCheckpoint(false)
+    val lf = longFormat(df, mf)
     lf.groupBy("col_name", "kind")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("vstr").isNull, 1L).otherwise(0L)).as("n_nulls"),

@@ -490,14 +490,32 @@ object ArtifactMeta {
   def versions(path: String): Seq[VersionMeta] = {
     val vs = IndexDirs.listManifestVersions(path)
     val live = vs.lastOption.getOrElse(0L)
+    // MergeOnRead tracks pending work as rename-committed
+    // `delta/batch=<n>` DIRS (outside the manifest) minus the
+    // manifest's folded set — list them once per call so MOR tables
+    // report compaction debt like every other family reports deltas
+    lazy val morBatches: Seq[Int] = {
+      val f = IndexDirs.fs(path)
+      val d = new org.apache.hadoop.fs.Path(path, "delta")
+      if (!f.exists(d)) Nil
+      else f.listStatus(d).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toInt).toSeq
+    }
     vs.flatMap { v =>
       // single read per version: retention GC racing this listing
       // just drops the row, never throws
       IndexDirs.readManifestTextAt(path, v).map { txt =>
-        val r = new IndexDirs.ManifestReader(
-          new ObjectMapper().readTree(txt), v)
+        val node = new ObjectMapper().readTree(txt)
+        val r = new IndexDirs.ManifestReader(node, v)
+        val nDeltas =
+          if (node.has("folded")) {
+            val folded = r.seq("folded").map(_.toInt).toSet
+            morBatches.count(b => !folded(b)).toLong
+          } else r.seq("deltas").length.toLong
         VersionMeta(v, v == live, r.longOr("bv", -1L),
-          r.longOr("lb", -1L), r.seq("deltas").length.toLong, txt)
+          r.longOr("lb", -1L), nDeltas, txt)
       }
     }
   }

@@ -404,12 +404,15 @@ object MergeOnRead {
     val byVer = m.buckets.groupBy(_._2)
     val files = byVer.toSeq.sortBy(_._1).flatMap { case (v, bs) =>
       val keep = bs.keySet.map(b => s"$Bucket=$b")
-      ZoneMap.listDataFiles(s"$dir/data/ver=$v").map(_._1)
-        .filter(f => keep.exists(seg => f.contains(s"/$seg/")))
+      ZoneMap.listDataFiles(s"$dir/data/ver=$v")
+        .filter(f => keep.exists(seg => f.key.contains(s"/$seg/")))
     }
     val killed = ZoneMap.profiledFiles(spark, zp).toSet --
       ZoneMap.prune(spark, zp, filters)._1
-    val base = readData(spark, dir, files.filterNot(killed),
+    // kill set is keyed by the scheme-free join key; the scan reads
+    // the listing's qualified URIs (they differ on non-default FSes)
+    val base = readData(spark, dir,
+        files.filterNot(f => killed(f.key)).map(_.uri),
         s"$dir/data")
       .drop("ver").drop(Bucket)
     foldPending(spark, dir, m, base, broadcastKeys)

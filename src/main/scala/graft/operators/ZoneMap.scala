@@ -69,9 +69,18 @@ object ZoneMap {
     * filter over the rendered value), which skips files for
     * EQUALITY/IN predicates on columns whose values interleave
     * across files — exactly where min/max zones are useless.
-    * `sameIndexAs` includes fmt, so a v1 artifact rebuilds.
+    * 3 added the `files/` LEDGER (one row per profiled file: join
+    * key, fully-qualified URI, length, mtime, written from the
+    * driver's listing) — it closes three holes of deriving the file
+    * set from stats rows: a ZERO-ROW parquet file produces no stats
+    * rows (so refresh re-"added" it forever, drifting n), the
+    * scheme-stripped join key is not a readable path on a
+    * non-default filesystem (scans now read the ledger's URIs), and
+    * a same-length in-place rewrite was invisible to the length-only
+    * pin (the ledger carries mtime).
+    * `sameIndexAs` includes fmt, so older artifacts rebuild.
     */
-  private val Fmt = 2
+  private val Fmt = 3
 
   private case class Manifest(fp: Long, n: Long, tableDir: String,
       numCols: Seq[String], strCols: Seq[String],
@@ -105,15 +114,24 @@ object ZoneMap {
       .put("bv", mf.baseVer).put("deltas", mf.deltas)
       .commit(path, mf.mv)
 
-  /** The file-list fingerprint the reuse check anchors on: xor-fold
-    * over (name, length) of the table's data files — metadata-only,
-    * never a data scan. Length is in the key so an in-place
-    * overwrite of a same-named file reads as a different table.
+  /** One listed data file: `key` is the scheme-free path
+    * `input_file_name()` rows join on, `uri` the fully-qualified
+    * path a scan READS (the two differ on any non-default
+    * filesystem), plus the (length, mtime) immutability pin.
     */
-  private def listFingerprint(
-      files: Seq[(String, Long)]): (Long, Long) = {
-    val fp = files.map { case (f, len) =>
-      scala.util.hashing.MurmurHash3.stringHash(s"$f#$len").toLong
+  final case class FileEnt(key: String, uri: String, len: Long,
+      mtime: Long)
+
+  /** The file-list fingerprint the reuse check anchors on: xor-fold
+    * over (name, length, mtime) of the table's data files —
+    * metadata-only, never a data scan. Length AND mtime are in the
+    * key so an in-place overwrite of a same-named file — even to the
+    * same byte length — reads as a different table.
+    */
+  private def listFingerprint(files: Seq[FileEnt]): (Long, Long) = {
+    val fp = files.map { f =>
+      scala.util.hashing.MurmurHash3
+        .stringHash(s"${f.key}#${f.len}#${f.mtime}").toLong
     }.foldLeft(0L)(_ ^ _)
     (fp, files.size.toLong)
   }
@@ -128,24 +146,26 @@ object ZoneMap {
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
       "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
 
-  /** The table directory's current data files as (path, length) —
-    * one driver-side recursive listing, the same listing any scan of
-    * the table performs. Paths are scheme-free (`URI.getPath`).
+  /** The table directory's current data files — one driver-side
+    * recursive listing, the same listing any scan of the table
+    * performs. Each entry carries both the scheme-free join key and
+    * the qualified URI ([[FileEnt]]).
     */
-  def listDataFiles(tableDir: String): Seq[(String, Long)] = {
+  def listDataFiles(tableDir: String): Seq[FileEnt] = {
     val f = IndexDirs.fs(tableDir)
     val root = new org.apache.hadoop.fs.Path(tableDir)
     if (!f.exists(root)) return Nil
     val it = f.listFiles(root, true)
-    val out = Seq.newBuilder[(String, Long)]
+    val out = Seq.newBuilder[FileEnt]
     while (it.hasNext) {
       val s = it.next()
       val name = s.getPath.getName
       if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
           name.endsWith(".parquet"))
-        out += ((s.getPath.toUri.getPath, s.getLen))
+        out += FileEnt(s.getPath.toUri.getPath, s.getPath.toString,
+          s.getLen, s.getModificationTime)
     }
-    out.result().sortBy(_._1)
+    out.result().sortBy(_.key)
   }
 
   private def integral(dt: DataType): Boolean = dt match {
@@ -161,10 +181,17 @@ object ZoneMap {
     * adds/removes instead of trusting the aggregate fingerprint.
     */
   private def profile(spark: SparkSession, mf: Manifest,
-      files: Seq[(String, Long)], outDir: String): Unit = {
+      files: Seq[FileEnt], outDir: String): Unit = {
     import spark.implicits._
-    val lens = files.toDF("file", "flen")
-    val df = spark.read.parquet(files.map(_._1): _*)
+    // the driver-side ledger: COMPLETE over the profiled files (a
+    // zero-row file contributes no stats rows but must still be a
+    // known file), and the only place the READABLE uri is kept
+    files.map(f => (f.key, f.uri, f.len, f.mtime))
+      .toDF("file", "uri", "flen", "fmtime")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/files")
+    val lens = files.map(f => (f.key, f.len)).toDF("file", "flen")
+    val df = spark.read.parquet(files.map(_.uri): _*)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     mf.numCols.foreach { c =>
       val dt = byName.getOrElse(c, throw new IllegalArgumentException(
@@ -272,10 +299,40 @@ object ZoneMap {
       mf.deltas.map(d => s"$path/deltas/$d/bloom"))
       .map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
+  /** The files ledger bases ride the same claimed version suffix as
+    * the stats bases.
+    */
+  private def filesBaseOf(mf: Manifest): String =
+    if (mf.baseVer == 0) "files" else s"files.v${mf.baseVer}"
+
+  /** The live file LEDGER (key, uri, flen, fmtime) — base ∪ deltas,
+    * one row per profiled file, COMPLETE even for zero-row files. A
+    * pre-format-3 artifact has no ledger; it derives the old
+    * (key-only, length-only, key-as-uri) view from its stats rows,
+    * keeping reads working until the next rebuild.
+    */
+  private def liveLedger(spark: SparkSession, path: String,
+      mf: Manifest): DataFrame =
+    if (mf.fmt >= 3)
+      (s"$path/${filesBaseOf(mf)}" +:
+        mf.deltas.map(d => s"$path/deltas/$d/files"))
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    else
+      liveStats(spark, path, mf)
+        .select(col("file"), col("file").as("uri"), col("flen"),
+          lit(0L).as("fmtime"))
+        .distinct()
+
+  private def liveLedgerEnts(spark: SparkSession, path: String,
+      mf: Manifest): Seq[FileEnt] =
+    liveLedger(spark, path, mf).collect()
+      .map(r => FileEnt(r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_.key).toIndexedSeq
+
   private def liveFiles(spark: SparkSession, path: String,
       mf: Manifest): Seq[String] =
-    liveStats(spark, path, mf).select("file").distinct()
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    liveLedgerEnts(spark, path, mf).map(_.key)
 
   /** `bloomCols` (optional): columns that ALSO get a per-file bloom
     * filter over the rendered value — equality/IN predicates then
@@ -321,29 +378,36 @@ object ZoneMap {
   def refresh(spark: SparkSession, path: String): Build = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
+    require(decl.fmt >= 3,
+      s"zone map at $path was written by format ${decl.fmt}; " +
+        "refresh needs the format-3 files ledger — rebuild with " +
+        "buildIfAbsent to upgrade (reads still work meanwhile)")
     val now = listDataFiles(decl.tableDir)
     val (fp, n) = listFingerprint(now)
     if (fp == decl.fp && n == decl.n)
       return Build(path, decl.fp, decl.n, reused = true)
-    // per-file lengths from the stats rows themselves: an in-place
-    // rewrite is detected PER FILE, so it can't hide behind unrelated
+    // per-file (length, mtime) from the LEDGER (complete even for
+    // zero-row files): an in-place rewrite is detected PER FILE — at
+    // the same byte length too — so it can't hide behind unrelated
     // adds/removes the way an aggregate-fingerprint check would let it
-    val profiledLens = liveStats(spark, path, decl)
-      .select("file", "flen").distinct().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nowMap = now.toMap
-    val changed = profiledLens.keysIterator
-      .filter(f => nowMap.get(f).exists(_ != profiledLens(f))).toSeq
+    val profiled = liveLedgerEnts(spark, path, decl)
+      .map(e => e.key -> e).toMap
+    val nowMap = now.map(e => e.key -> e).toMap
+    val changed = profiled.keysIterator.filter { f =>
+      nowMap.get(f).exists(e =>
+        e.len != profiled(f).len ||
+          (profiled(f).mtime != 0L && e.mtime != profiled(f).mtime))
+    }.toSeq
     if (changed.nonEmpty)
-      // changed length under an existing name (in-place overwrite):
-      // the profile is stale in a way the delta algebra can't patch
+      // changed under an existing name (in-place overwrite): the
+      // profile is stale in a way the delta algebra can't patch
       throw new IllegalStateException(
         s"table files changed in place under ${decl.tableDir} " +
           s"(${changed.sorted.take(3).mkString(", ")}…) — zone maps " +
           "track immutable files; rebuild with buildIfAbsent after " +
           "an in-place rewrite")
-    val added = now.filterNot(f => profiledLens.contains(f._1))
-    val removed = (profiledLens.keySet -- nowMap.keySet).toSeq.sorted
+    val added = now.filterNot(e => profiled.contains(e.key))
+    val removed = (profiled.keySet -- nowMap.keySet).toSeq.sorted
     if (removed.isEmpty) {
       // append-only growth: profile the new files, commit a delta
       val staged = IndexDirs.nextDeltaName(path, "d")
@@ -353,7 +417,7 @@ object ZoneMap {
         // a racing refresh that already profiled any of these files
         // makes this staging redundant — recheck per attempt
         val haveFiles = liveFiles(spark, path, have).toSet
-        if (added.exists(a => haveFiles(a._1))) None
+        if (added.exists(a => haveFiles(a.key))) None
         else Some(have.copy(fp = have.fp ^ (fp ^ decl.fp),
           n = have.n + added.size, deltas = have.deltas :+ staged))
       } match {
@@ -370,23 +434,22 @@ object ZoneMap {
         decl.baseVer + 1)
       val target = s"$path/stats.v$ver"
       val bloomTarget = s"$path/bloom.v$ver" // same claimed suffix
+      val filesTarget = s"$path/files.v$ver"
       val stagedNew = s"$path/stats.v$ver.new"
       if (added.nonEmpty) profile(spark, decl, added, stagedNew)
-      val survivors = liveStats(spark, path, decl)
-        .filter(!col("file").isin(removed: _*))
-      val rewrite =
-        if (added.isEmpty) survivors
-        else survivors.unionByName(
-          spark.read.parquet(s"$stagedNew/stats"))
-      rewrite.coalesce(1).write.mode("overwrite").parquet(target)
-      val bloomSurvivors = liveBloom(spark, path, decl)
-        .filter(!col("file").isin(removed: _*))
-      val bloomRewrite =
-        if (added.isEmpty) bloomSurvivors
-        else bloomSurvivors.unionByName(
-          spark.read.parquet(s"$stagedNew/bloom"))
-      bloomRewrite.coalesce(1).write.mode("overwrite")
-        .parquet(bloomTarget)
+      def withNew(survivorTable: DataFrame, sub: String): DataFrame =
+        if (added.isEmpty) survivorTable
+        else survivorTable.unionByName(
+          spark.read.parquet(s"$stagedNew/$sub"))
+      withNew(liveStats(spark, path, decl)
+          .filter(!col("file").isin(removed: _*)), "stats")
+        .coalesce(1).write.mode("overwrite").parquet(target)
+      withNew(liveBloom(spark, path, decl)
+          .filter(!col("file").isin(removed: _*)), "bloom")
+        .coalesce(1).write.mode("overwrite").parquet(bloomTarget)
+      withNew(liveLedger(spark, path, decl)
+          .filter(!col("file").isin(removed: _*)), "files")
+        .coalesce(1).write.mode("overwrite").parquet(filesTarget)
       val folded = decl.deltas
       IndexDirs.commitWithRetry(readManifest(path),
         writeManifest(path, _: Manifest), path) { have =>
@@ -405,10 +468,12 @@ object ZoneMap {
           // ever stages INTO an old base, so this races no writer)
           IndexDirs.rmTree(s"$path/${baseOf(decl)}")
           IndexDirs.rmTree(s"$path/${bloomBaseOf(decl)}")
+          IndexDirs.rmTree(s"$path/${filesBaseOf(decl)}")
           Build(path, next.fp, next.n, reused = false)
         case None =>
           IndexDirs.rmTree(target)
           IndexDirs.rmTree(bloomTarget)
+          IndexDirs.rmTree(filesTarget)
           IndexDirs.rmTree(stagedNew)
           val cur = readManifest(path).getOrElse(decl)
           Build(path, cur.fp, cur.n, reused = true)
@@ -426,15 +491,14 @@ object ZoneMap {
   def compactDeltas(spark: SparkSession, path: String): Int = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
-    if (decl.deltas.length < 2) return 0
+    if (decl.fmt < 3 || decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/stats"))
-      .reduce(_.unionByName(_)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/stats")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/bloom"))
-      .reduce(_.unionByName(_)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/bloom")
+    for (sub <- Seq("stats", "bloom", "files"))
+      folded.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+        .reduce(_.unionByName(_)).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$path/deltas/$staged/$sub")
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (!folded.forall(have.deltas.contains)) None
@@ -644,11 +708,18 @@ object ZoneMap {
     */
   def scan(spark: SparkSession, path: String,
       filters: Seq[Filter]): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
     val schema = tableSchema(spark, path)
     val (files, _) = prune(spark, path, filters)
-    if (files.isEmpty)
+    val keep = files.toSet
+    // the ledger's qualified URIs are what a scan READS — the
+    // scheme-free keys only join against input_file_name()
+    val uris = liveLedgerEnts(spark, path, mf)
+      .filter(e => keep(e.key)).map(_.uri)
+    if (uris.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else spark.read.schema(schema).parquet(uris: _*)
   }
 }

@@ -264,8 +264,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
       .map { case (k, kvs) => k -> kvs.map(_._2).minBy(_.size) }
     val parts: Option[Seq[Int]] = {
       val sets = e.decl.keys.map(k => keyVals.getOrElse(k, Nil))
+      // BigInt: a Long product of many IN-list sizes can overflow
+      // and wrap UNDER the cap, unleashing the cross-product fold
       if (sets.forall(_.nonEmpty) &&
-        sets.map(_.size.toLong).product <= 256L) {
+        sets.map(s => BigInt(s.size)).product <= 256) {
         val tuples = sets.foldLeft(Seq(Seq.empty[Literal]))(
           (acc, s) => acc.flatMap(t => s.map(t :+ _)))
         Some(tuples.map { t =>

@@ -165,7 +165,7 @@ class ZoneMapSpec extends AnyFunSuite {
     val dir = tmp("zm-t"); val idx = tmp("zm-i"); val idx2 = tmp("zm-i2")
     writeTable(dir)
     build(dir, idx)
-    val victim = ZoneMap.listDataFiles(dir).head._1
+    val victim = ZoneMap.listDataFiles(dir).head.key
     Files.delete(java.nio.file.Paths.get(victim))
     val r = ZoneMap.refresh(spark, idx)
     assert(!r.reused)
@@ -178,7 +178,7 @@ class ZoneMapSpec extends AnyFunSuite {
       spark.read.parquet(dir).collect().toSet)
     // add + remove in one refresh also converges to the fresh build
     writeTable(dir, 600, 700, files = 1)
-    val victim2 = ZoneMap.listDataFiles(dir).last._1
+    val victim2 = ZoneMap.listDataFiles(dir).last.key
     Files.delete(java.nio.file.Paths.get(victim2))
     val r2 = ZoneMap.refresh(spark, idx)
     val idx3 = tmp("zm-i3")
@@ -200,7 +200,7 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
     // in-place rewrite: same file name, different length
     ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idx)
-    val f = ZoneMap.listDataFiles(dir).head._1
+    val f = ZoneMap.listDataFiles(dir).head.key
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(f))
     Files.write(java.nio.file.Paths.get(f),
       bytes ++ Array[Byte](0, 0, 0, 0))
@@ -208,6 +208,51 @@ class ZoneMapSpec extends AnyFunSuite {
       ZoneMap.refresh(spark, idx)
     }
     assert(e2.getMessage.contains("in place"))
+  }
+
+  test("a ZERO-ROW parquet file stays in the files ledger: refresh " +
+      "converges (no perpetual re-add, n stays the listing size) " +
+      "and scans stay correct") {
+    import spark.implicits._
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    writeTable(dir, 0, 100, files = 1)
+    // land an empty-but-valid parquet file in the table dir
+    val emptyDir = tmp("zm-empty")
+    Seq.empty[(Long, Option[Long], String)].toDF("k", "v", "s")
+      .coalesce(1).write.mode("overwrite").parquet(emptyDir)
+    val empty = ZoneMap.listDataFiles(emptyDir)
+    assume(empty.nonEmpty) // Spark writes a schema-only part file
+    Files.copy(java.nio.file.Paths.get(empty.head.key),
+      java.nio.file.Paths.get(s"$dir/part-empty.parquet"))
+    val b = ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idx)
+    assert(b.count == ZoneMap.listDataFiles(dir).length)
+    // growth refresh: commits ONCE, then reaches steady state (the
+    // old stats-derived ledger re-"added" the empty file forever)
+    writeTable(dir, 100, 200, files = 1)
+    assert(!ZoneMap.refresh(spark, idx).reused)
+    assert(ZoneMap.refresh(spark, idx).reused)
+    assert(ZoneMap.refresh(spark, idx).count ==
+      ZoneMap.listDataFiles(dir).length)
+    assert(ZoneMap.scan(spark, idx, Nil).collect().toSet ==
+      spark.read.parquet(dir).collect().toSet)
+  }
+
+  test("a same-length in-place rewrite refuses at refresh (mtime is " +
+      "in the pin, not just byte length)") {
+    val dir = tmp("zm-t"); val idx = tmp("zm-i")
+    writeTable(dir, 0, 100, files = 1)
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idx)
+    val f = ZoneMap.listDataFiles(dir).head
+    // rewrite the file to the SAME byte length, different mtime
+    val p = java.nio.file.Paths.get(f.key)
+    Files.write(p, Files.readAllBytes(p))
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(f.mtime + 2000))
+    writeTable(dir, 100, 120, files = 1) // unrelated growth
+    val e = intercept[IllegalStateException] {
+      ZoneMap.refresh(spark, idx)
+    }
+    assert(e.getMessage.contains("in place"))
   }
 
   test("two racing refreshes over the same new files: one commits " +
@@ -286,7 +331,7 @@ class ZoneMapSpec extends AnyFunSuite {
       .filter(col("u") === uNew).collect().toSet && got2.nonEmpty)
     // retraction keeps blooms in lockstep with stats
     Files.delete(java.nio.file.Paths.get(
-      ZoneMap.listDataFiles(dir).head._1))
+      ZoneMap.listDataFiles(dir).head.key))
     assert(!ZoneMap.refresh(spark, idx).reused)
     val idxF = tmp("zm-bi3")
     ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Nil, idxF,
