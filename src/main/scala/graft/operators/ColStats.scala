@@ -228,6 +228,13 @@ object ColStats {
       .groupBy("col_name", "bucket")
       .agg(sum("cnt").as("cnt"))
 
+  /** `df` must be DETERMINISTIC (a table/view whose plan replays the
+    * same rows): the fingerprint and the three profile passes each
+    * evaluate it independently — a sampled/rand()-derived input
+    * would commit mutually inconsistent tables. Snapshot such inputs
+    * (e.g. `localCheckpoint`) before profiling; [[applyBatch]]
+    * already does for its micro-batches.
+    */
   def buildIfAbsent(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String], path: String): Build = {
     require((numCols ++ strCols).nonEmpty, "declare at least 1 column")
@@ -254,6 +261,7 @@ object ColStats {
       batchMark: Option[Long]): Build = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no stats at $path"))
+    requireFmt3(decl, path)
     if (batchMark.exists(_ <= decl.lastBatch))
       return Build(path, decl.fp, decl.n, reused = true)
     val (dfp, dn) = fingerprint(delta, decl.numCols, decl.strCols)
@@ -321,7 +329,7 @@ object ColStats {
   def compactDeltas(spark: SparkSession, path: String): Int = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no stats at $path"))
-    if (decl.deltas.length < 2) return 0
+    if (decl.fmt < 3 || decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
     mergeScalar(
@@ -356,9 +364,23 @@ object ColStats {
     * string aggregates — (col_name, kind, n_rows, n_nulls, min_num,
     * max_num, sum_num, min_str, max_str).
     */
+  /** The scalar table's shape changed at format 3 (string-length
+    * stats): serving or APPENDING INTO an older artifact would throw
+    * an unresolved-column error — or worse, commit a mixed-schema
+    * delta that poisons every later read — so scalar readers and
+    * mutators refuse with rebuild guidance instead. (`registers`/
+    * `hist`/`ndv`/`quantiles` are format-stable and keep serving.)
+    */
+  private def requireFmt3(mf: Manifest, path: String): Unit =
+    require(mf.fmt >= 3,
+      s"column statistics at $path were written by format ${mf.fmt} " +
+        "(scalar table without string-length stats) — rebuild with " +
+        "buildIfAbsent to upgrade")
+
   def stats(spark: SparkSession, path: String): DataFrame = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no stats at $path"))
+    requireFmt3(mf, path)
     liveScalar(spark, path, mf)
   }
 

@@ -492,17 +492,11 @@ object ArtifactMeta {
     val live = vs.lastOption.getOrElse(0L)
     // MergeOnRead tracks pending work as rename-committed
     // `delta/batch=<n>` DIRS (outside the manifest) minus the
-    // manifest's folded set — list them once per call so MOR tables
+    // manifest's folded set — list them once per call (through MOR's
+    // own commit-marker-aware listing, so the debt count can never
+    // drift from what MOR itself considers committed) so MOR tables
     // report compaction debt like every other family reports deltas
-    lazy val morBatches: Seq[Int] = {
-      val f = IndexDirs.fs(path)
-      val d = new org.apache.hadoop.fs.Path(path, "delta")
-      if (!f.exists(d)) Nil
-      else f.listStatus(d).filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toInt).toSeq
-    }
+    lazy val morBatches: Seq[Int] = MergeOnRead.committedBatches(path)
     vs.flatMap { v =>
       // single read per version: retention GC racing this listing
       // just drops the row, never throws

@@ -145,7 +145,7 @@ object MergeOnRead {
   /** Delta batch ids whose write COMMITTED (`_SUCCESS` present) —
     * a torn append never becomes visible.
     */
-  private def committedBatches(dir: String): Seq[Int] = {
+  private[operators] def committedBatches(dir: String): Seq[Int] = {
     val f = fs(dir)
     listDirs(s"$dir/delta", "batch=")
       .filter(n => f.exists(new HPath(s"$dir/delta/$n/_SUCCESS")))
@@ -606,8 +606,11 @@ object MergeOnRead {
     // still be safe (killed files subtract from the manifest list)
     // but useless over the new files — re-sync it here, priced at
     // the compaction's own output (only the new ver's files profile;
-    // replaced files retract from the metadata-scale table)
-    if (IndexDirs.readManifest(zoneMapPath(dir)).isDefined)
+    // replaced files retract from the metadata-scale table). A
+    // pre-format-3 zone map can't refresh (no files ledger) — SKIP
+    // it rather than fail a compaction that already committed; it
+    // stays stale-but-safe until rebuilt
+    if (ZoneMap.format(zoneMapPath(dir)).exists(_ >= 3))
       refreshZoneMap(spark, dir)
     touched.size
   }

@@ -510,6 +510,14 @@ object ZoneMap {
     }
   }
 
+  /** The artifact's on-disk format version, if one is built —
+    * integrators gate format-dependent maintenance on it
+    * ([[MergeOnRead.compact]] skips the auto-refresh of a
+    * pre-format-3 map instead of failing a committed compaction).
+    */
+  def format(path: String): Option[Int] =
+    readManifest(path).map(_.fmt)
+
   /** The live per-file stats table — base ∪ deltas, rows disjoint
     * by (file, col_name), no fold needed.
     */
@@ -621,7 +629,18 @@ object ZoneMap {
       filters: Seq[Filter]): (Seq[String], Long) = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
-    val all = liveFiles(spark, path, mf)
+    pruneWith(spark, path, mf, liveLedgerEnts(spark, path, mf),
+      filters)
+  }
+
+  /** [[prune]] against an ALREADY-READ manifest + ledger snapshot —
+    * [[scan]] passes its own, so one scan works one consistent
+    * artifact version (and pays one manifest/ledger read, not two).
+    */
+  private def pruneWith(spark: SparkSession, path: String,
+      mf: Manifest, ents: Seq[FileEnt],
+      filters: Seq[Filter]): (Seq[String], Long) = {
+    val all = ents.map(_.key)
     val declared = (mf.numCols ++ mf.strCols).toSet
     val byCol = filters
       .flatMap(f => colOf(f).filter(declared).map(_ -> f))
@@ -711,12 +730,15 @@ object ZoneMap {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
     val schema = tableSchema(spark, path)
-    val (files, _) = prune(spark, path, filters)
+    // ONE manifest + ledger snapshot drives both the prune and the
+    // uri resolution — a refresh committing mid-scan can't give a
+    // torn two-version view
+    val ents = liveLedgerEnts(spark, path, mf)
+    val (files, _) = pruneWith(spark, path, mf, ents, filters)
     val keep = files.toSet
     // the ledger's qualified URIs are what a scan READS — the
     // scheme-free keys only join against input_file_name()
-    val uris = liveLedgerEnts(spark, path, mf)
-      .filter(e => keep(e.key)).map(_.uri)
+    val uris = ents.filter(e => keep(e.key)).map(_.uri)
     if (uris.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -104,17 +104,26 @@ object ColStatsInjection extends Logging {
       ColStats.ndv(spark, statsPath).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scalar = ColStats.stats(spark, statsPath).collect()
+    // shared per-row resolution + field extraction: the CBO column
+    // stats and the metadata-agg scalars both read the profile
+    // through this one helper, so the two views of one profile
+    // cannot drift apart under a future edit to either pass
+    def rowFor(r: org.apache.spark.sql.Row)
+        : Option[(Attribute, String => Option[Long])] =
+      rel.output.find(a => resolver(a.name, r.getString(0)))
+        .map { attr =>
+          attr -> ((c: String) =>
+            if (r.isNullAt(r.fieldIndex(c))) None
+            else Some(r.getAs[Long](c)))
+        }
     val colStats: Map[String, CatalogColumnStat] =
       scalar.flatMap { r =>
-        val name = r.getString(0)
-        rel.output.find(a => resolver(a.name, name)).map { attr =>
+        rowFor(r).map { case (attr, longAt) =>
+          val name = r.getString(0)
           val integral = attr.dataType match {
             case ByteType | ShortType | IntegerType | LongType => true
             case _ => false
           }
-          def longAt(col: String): Option[Long] =
-            if (r.isNullAt(r.fieldIndex(col))) None
-            else Some(r.getAs[Long](col))
           def num(col: String): Option[String] =
             if (integral) longAt(col).map(_.toString) else None
           val nRows = r.getAs[Long]("n_rows")
@@ -160,11 +169,7 @@ object ColStatsInjection extends Logging {
       rowCount = Some(rowCount),
       colStats = colStats)
     val scalars: Map[String, Scalar] = scalar.flatMap { r =>
-      val name = r.getString(0)
-      rel.output.find(a => resolver(a.name, name)).map { attr =>
-        def longAt(col: String): Option[Long] =
-          if (r.isNullAt(r.fieldIndex(col))) None
-          else Some(r.getAs[Long](col))
+      rowFor(r).map { case (attr, longAt) =>
         attr.name -> Scalar(r.getAs[Long]("n_rows"),
           r.getAs[Long]("n_nulls"),
           longAt("min_num"), longAt("max_num"), longAt("sum_num"))
@@ -200,36 +205,51 @@ object ColStatsInjection extends Logging {
     finally unregister(statsPath)
   }
 
+  /** Per-optimizer-pass memo of "does the artifact still sit at its
+    * registered manifest version" — the one FILESYSTEM read in the
+    * freshness check. Memoized per [[Rule.apply]] invocation (never
+    * across queries — the pin guards result-exactness, so it must be
+    * re-checked within every plan's own optimization), it bounds the
+    * planning cost at one manifest read per artifact per pass even
+    * when a query references the relation many times.
+    */
+  private type VersionMemo =
+    scala.collection.mutable.Map[String, Boolean]
+
   final case class Rule(spark: SparkSession)
       extends CatalystRule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
-      else plan.transformUp {
-        // a GLOBAL min/max/count/sum aggregate over a registered
-        // relation is answered from the profile outright — zero scan
-        case agg: Aggregate =>
-          try metadataAgg(agg).getOrElse(agg)
-          catch {
-            case NonFatal(e) =>
-              logWarning(s"colstats metadata-agg skipped: $e")
-              agg
-          }
-        // a relation that already carries catalog stats (a real
-        // ANALYZE, or this rule in an earlier pass) is left alone
-        case l: LogicalRelation if l.catalogTable.isEmpty =>
-          try inject(l).getOrElse(l)
-          catch {
-            case NonFatal(e) =>
-              logWarning(s"colstats injection skipped: $e")
-              l
-          }
+      else {
+        val memo: VersionMemo = scala.collection.mutable.Map.empty
+        plan.transformUp {
+          // a GLOBAL min/max/count/sum aggregate over a registered
+          // relation is answered from the profile outright — no scan
+          case agg: Aggregate =>
+            try metadataAgg(agg, memo).getOrElse(agg)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"colstats metadata-agg skipped: $e")
+                agg
+            }
+          // a relation that already carries catalog stats (a real
+          // ANALYZE, or this rule in an earlier pass) is left alone
+          case l: LogicalRelation if l.catalogTable.isEmpty =>
+            try inject(l, memo).getOrElse(l)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"colstats injection skipped: $e")
+                l
+            }
+        }
       }
   }
 
   /** The fresh registered entry for this relation, if any: roots
     * match, base listing unchanged, artifact version unchanged.
     */
-  private def freshEntry(l: LogicalRelation): Option[Entry] = {
+  private def freshEntry(l: LogicalRelation,
+      memo: VersionMemo): Option[Entry] = {
     val h = l.relation match {
       case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
       case _ => return None
@@ -240,13 +260,15 @@ object ColStatsInjection extends Logging {
     val sig = RelationPins.signature(h)
     cands.find { e =>
       e.listingSig == sig &&
-        (try ColStats.version(e.statsPath) == e.version
-        catch { case NonFatal(_) => false })
+        memo.getOrElseUpdate(e.statsPath,
+          try ColStats.version(e.statsPath) == e.version
+          catch { case NonFatal(_) => false })
     }
   }
 
-  private def inject(l: LogicalRelation): Option[LogicalRelation] =
-    freshEntry(l).map { e =>
+  private def inject(l: LogicalRelation,
+      memo: VersionMemo): Option[LogicalRelation] =
+    freshEntry(l, memo).map { e =>
       l.copy(catalogTable = Some(CatalogTable(
         identifier = TableIdentifier("graft_colstats_injected"),
         tableType = CatalogTableType.EXTERNAL,
@@ -283,10 +305,11 @@ object ColStatsInjection extends Logging {
     * min/max/sum (the artifact profiles numerics as BIGINT), any
     * WHERE, or any unprofiled column.
     */
-  private def metadataAgg(agg: Aggregate): Option[Aggregate] = {
+  private def metadataAgg(agg: Aggregate,
+      memo: VersionMemo): Option[Aggregate] = {
     if (agg.groupingExpressions.nonEmpty) return None
     val rel = bareChild(agg.child).getOrElse(return None)
-    val e = freshEntry(rel).getOrElse(return None)
+    val e = freshEntry(rel, memo).getOrElse(return None)
     if (e.scalars.isEmpty) return None
     val nRows = e.scalars.values.head.nRows
 

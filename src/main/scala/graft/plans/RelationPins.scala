@@ -45,8 +45,13 @@ private[plans] object RelationPins {
     }
     h.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
       .foldLeft(17L) { (acc, f) =>
-        acc + mix(f.getPath.toString.hashCode.toLong * 0x9E3779B1L
-          + f.getLen * 31L + f.getModificationTime)
+        // each component is mixed BEFORE combining: a linear
+        // pre-combination (path·K + len·31 + mtime) would let an
+        // in-place rewrite whose length and mtime deltas cancel
+        // produce the same signature — and this pin is what keeps a
+        // stale view from being served as query RESULTS
+        acc + mix(mix(mix(f.getPath.toString.hashCode.toLong)
+          ^ f.getLen) ^ f.getModificationTime)
       }
   }
 }
