@@ -119,6 +119,29 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   def clear(): Unit = registry.clear()
 
+  /** Current registrations with their LIVE freshness — the ops
+    * answer to "why didn't my query rewrite": one row per registered
+    * view (path, base roots, keys, measures, pinned version, and
+    * whether the pin still matches the artifact's current manifest).
+    * Base-listing freshness is per-query (it needs the query's own
+    * relation) and is not evaluated here.
+    */
+  def status(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    registry.values.asScala.toSeq.sortBy(_.viewPath).map { e =>
+      val liveVersion =
+        try Some(AggView.declaration(e.viewPath).version)
+        catch { case NonFatal(_) => None }
+      (e.viewPath, e.basePaths.toSeq.sorted.mkString(","),
+        e.decl.keys.mkString(","),
+        e.decl.measures.map(_.name).mkString(","),
+        e.version, liveVersion.getOrElse(-1L),
+        liveVersion.contains(e.version))
+    }.toDF("view_path", "base_roots", "keys", "measures",
+      "pinned_version", "live_version", "version_fresh")
+  }
+
   /** Add the rule to a live session (idempotent). Config-time
     * sessions get it from [[GraftExtensions]].
     */

@@ -187,6 +187,29 @@ object ColStatsInjection extends Logging {
 
   def clear(): Unit = registry.clear()
 
+  /** Current registrations with their LIVE version freshness — the
+    * ops answer to "why isn't my table planning with stats": one row
+    * per registered artifact (path, base roots, injected rowCount /
+    * sizeInBytes, pinned vs live manifest version). Base-listing
+    * freshness is per-query (it needs the query's own relation) and
+    * is not evaluated here.
+    */
+  def status(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    registry.values.asScala.toSeq.sortBy(_.statsPath).map { e =>
+      val liveVersion =
+        try Some(ColStats.version(e.statsPath))
+        catch { case NonFatal(_) => None }
+      (e.statsPath, e.basePaths.toSeq.sorted.mkString(","),
+        e.stats.rowCount.map(_.toLong).getOrElse(-1L),
+        e.stats.sizeInBytes.toLong,
+        e.version, liveVersion.getOrElse(-1L),
+        liveVersion.contains(e.version))
+    }.toDF("stats_path", "base_roots", "row_count", "size_bytes",
+      "pinned_version", "live_version", "version_fresh")
+  }
+
   /** Add the rule to a live session (idempotent). Config-time
     * sessions get it from [[GraftExtensions]].
     */

@@ -289,6 +289,35 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scannedRoots(sql(q)).exists(_.contains(viewDir)))
   }
 
+  test("HAVING filters the rewritten aggregate's output untouched") {
+    AggViewRewrite.clear()
+    val q = """SELECT k, count(*) AS c FROM mvspec_base
+              |GROUP BY k HAVING count(*) > 90""".stripMargin
+    val truth = sorted(sql(q))
+    register()
+    val r = sql(q)
+    assert(hitsView(r), GraftBridge.optimizedPlan(r).toString)
+    assert(sorted(r) == truth && truth.nonEmpty)
+  }
+
+  test("status() reports the pin and its live freshness") {
+    AggViewRewrite.clear()
+    register()
+    val row = AggViewRewrite.status(spark).collect().head
+    assert(row.getAs[String]("view_path") == viewDir)
+    assert(row.getAs[Boolean]("version_fresh"))
+    // a maintenance commit flips freshness off
+    val s = spark
+    import s.implicits._
+    AggView.append(
+      Seq(("k0", "g0", Some(1L), 1.0)).toDF("k", "g", "x", "y"),
+      viewDir)
+    val after = AggViewRewrite.status(spark).collect().head
+    assert(!after.getAs[Boolean]("version_fresh"))
+    assert(after.getAs[Long]("live_version") >
+      after.getAs[Long]("pinned_version"))
+  }
+
   test("with several sufficient views registered, the coarsest wins") {
     AggViewRewrite.clear()
     val q = "SELECT g, sum(y) AS sy FROM mvspec_base GROUP BY g"

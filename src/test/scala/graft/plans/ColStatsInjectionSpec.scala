@@ -191,6 +191,26 @@ class ColStatsInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     ColStatsInjection.clear()
   }
 
+  test("status() reports the pin, the injected numbers, and live " +
+      "version freshness") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-csi-status").toString
+    val sd = s"$root/stats"
+    ColStats.buildIfAbsent(baseDf, Seq("k", "g"), Seq("v"), sd)
+    ColStatsInjection.register(spark, baseDf, sd)
+    val row = ColStatsInjection.status(spark).collect().head
+    assert(row.getAs[String]("stats_path") == sd)
+    assert(row.getAs[Long]("row_count") == baseDf.count())
+    assert(row.getAs[Boolean]("version_fresh"))
+    val s = spark
+    import s.implicits._
+    ColStats.append(
+      Seq((777777L, Some(1L), "x")).toDF("k", "g", "v"), sd)
+    assert(!ColStatsInjection.status(spark).collect()
+      .head.getAs[Boolean]("version_fresh"))
+    ColStatsInjection.clear()
+  }
+
   test("injected() is scoped: stats baked into the returned plan, " +
       "registry empty afterwards") {
     ColStatsInjection.clear()
