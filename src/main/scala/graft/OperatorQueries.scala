@@ -888,6 +888,55 @@ object OperatorQueries {
       }
     }),
 
+    /** MOR-BACKED materialized-view rewrite with FLEET-DRIVEN pin
+      * refresh ([[graft.plans.AggViewRewrite]] over a
+      * [[graft.operators.MergeOnRead]] base): the view is built from
+      * the live `mor`-source read and registered (pinned by the
+      * table's manifest STATE, not a file listing), one CDC changelog
+      * batch (inserts + full-row deletes) applies to BOTH table and
+      * view, `refreshPins` verifies the watermarks and re-pins, and
+      * the plain SQL aggregate over the mor source then rewrites onto
+      * the view — the always-fresh-view loop end to end. The oracle
+      * replays the CDC fold directly; PlanInvariantSpec pins that the
+      * served plan reads the ≤ |groups|-row artifact, not the table.
+      */
+    "q235_mv_mor" -> ((s, d) => {
+      import graft.operators.{AggView, MergeOnRead}
+      import graft.plans.AggViewRewrite
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val root = lifecycleDir("q235", d)
+      val dir = s"$root/tbl"
+      val viewDir = s"$root/view"
+      MergeOnRead.create(t.filter(col("k") % 4 =!= 0), dir, Seq("k"),
+        nBuckets = 8)
+      def morDf = s.read.format("mor").load(dir)
+      AggView.buildIfAbsent(morDf, Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents"),
+          AggView.Measure("sum_keys", "k")), viewDir, kbParts = 4)
+      AggViewRewrite.install(s)
+      AggViewRewrite.register(s, morDf, viewDir)
+      val batch = t.filter(col("k") % 4 === 0)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        .unionByName(
+          t.filter(col("k") % 7 === 0 && col("k") % 4 =!= 0)
+            .withColumn("op", lit("D")).withColumn("seq", lit(2L)))
+      MergeOnRead.streamAppend(batch, 0L, dir)
+      AggView.applyBatch(batch, 0L, viewDir)
+      AggViewRewrite.refreshPins(s).collect()
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q235_mor " +
+        s"USING mor OPTIONS (path '$dir')")
+      import org.apache.spark.sql.GraftBridge
+      try GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+        s.sql("""SELECT st, count(*) AS cnt,
+                |  sum(cents) AS sum_cents, sum(k) AS sum_keys
+                |FROM graft_q235_mor
+                |GROUP BY st ORDER BY st""".stripMargin)))
+      finally AggViewRewrite.unregister(viewDir)
+    }),
+
     /** TIME-TRAVEL serve over the versioned manifests
       * ([[graft.operators.AggView.readAsOf]]): build on 3/4 of
       * orders, then append the held-out quarter AND retract the %7
@@ -1042,6 +1091,19 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the rewritten-over-mor aggregate must equal the CDC fold:
+    // create(k%4<>0) + one changelog batch (insert k%4=0, delete
+    // k%7=0∧k%4<>0) ⇒ survivors = NOT(k%7=0 ∧ k%4<>0)
+    "q235_mv_mor" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT * FROM t WHERE NOT (k % 7 = 0 AND k % 4 <> 0))
+        |SELECT st, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_keys
+        |FROM f GROUP BY st ORDER BY st""".stripMargin,
     // the metadata-served global aggregate must equal the direct one
     "q234_meta_agg" ->
       """SELECT count(*) AS n,

@@ -209,16 +209,37 @@ object AggView {
     * be served from this artifact: the key columns, the measure
     * name/expression pairs, the kb bucketing, the manifest VERSION
     * the declaration was read at (any later maintenance commit is a
-    * higher version — the rewriter's staleness pin), and the live
-    * fact count.
+    * higher version — the rewriter's staleness pin), the live fact
+    * count, the composed content FINGERPRINT of everything the view
+    * absorbed (what [[factsFingerprint]] of a consistent fact table
+    * reproduces — the rewriter's pin-REFRESH verification), and the
+    * last applied CDC batch id (the watermark a fleet-maintained
+    * base is coordinated against).
     */
   final case class Decl(keys: Seq[String], measures: Seq[Measure],
-      kbParts: Int, version: Long, n: Long)
+      kbParts: Int, version: Long, n: Long, fp: Long = 0L,
+      lastBatch: Long = -1L)
 
   def declaration(path: String): Decl = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
-    Decl(mf.keys, mf.measures, mf.kbParts, mf.mv, mf.n)
+    Decl(mf.keys, mf.measures, mf.kbParts, mf.mv, mf.n, mf.fp,
+      mf.lastBatch)
+  }
+
+  /** The content fingerprint of `facts` PROJECTED THROUGH the view's
+    * own dependency projection (keys + evaluated measures — column
+    * order, unused columns, row order all irrelevant): equal to the
+    * view manifest's composed `fp` iff the view is exactly the rollup
+    * of `facts`. The EXACT consistency verification a pin refresh
+    * ([[graft.plans.AggViewRewrite.refreshPins]]) runs before
+    * re-trusting a registration — one projected scan of the facts,
+    * the same pass [[buildIfAbsent]]'s reuse check already prices.
+    */
+  def factsFingerprint(facts: DataFrame, path: String): (Long, Long) = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    fingerprint(facts, mf)
   }
 
   /** Committed manifest versions of the view, ascending — the valid

@@ -135,6 +135,55 @@ object MergeOnRead {
     IndexDirs.readManifest(dir).map(parseManifest).getOrElse(
       throw new IllegalStateException(s"no merge-on-read table at $dir"))
 
+  /** The table's OBSERVABLE state, as a value: the manifest version
+    * (covers base generation, bucket map, folded set — every
+    * compaction commits a higher one) plus the committed-but-unfolded
+    * delta batch ids (appends commit by directory rename, not by
+    * manifest, so they need their own component). Two reads see the
+    * same rows iff their states are equal — the freshness pin a
+    * consumer ([[graft.plans.AggViewRewrite]]) compares, priced at
+    * one manifest read + one delta listing (metadata-scale).
+    */
+  final case class State(mv: Long, dataVer: Int, pending: Set[Int])
+
+  def state(dir: String): State = {
+    val m = loadManifest(dir)
+    State(m.mv, m.dataVer,
+      committedBatches(dir).filterNot(m.folded).toSet)
+  }
+
+  /** The table's STREAM coordination point: (highest committed
+    * `_stream-<id>` micro-batch id — live batch dirs plus the
+    * post-GC sidecar; -1 before any — , whether every live committed
+    * batch dir carries a stream marker). A consumer keeping a sibling
+    * artifact in sync from the SAME micro-batch feed
+    * ([[graft.plans.AggViewRewrite.refreshPins]]) re-trusts its
+    * registration only when its own watermark has reached the max id
+    * AND nothing landed out-of-band (an unmarked batch is a plain
+    * [[append]] the feed never saw — the flag catches the live ones;
+    * an unmarked batch already folded and GC'd is outside this check
+    * and stays the caller-owned feed-discipline contract, exactly as
+    * at registration).
+    */
+  def streamState(dir: String): (Long, Boolean) = {
+    val f = fs(dir)
+    def idsIn(names: Seq[String]): Seq[Long] =
+      names.filter(_.startsWith("_stream-"))
+        .map(_.stripPrefix("_stream-").toLong)
+    val live = committedBatches(dir).map { b =>
+      val bdir = new HPath(s"$dir/delta/batch=$b")
+      idsIn(f.listStatus(bdir).filter(_.isFile)
+        .map(_.getPath.getName).toSeq)
+    }
+    val sidecar = {
+      val p = new HPath(s"$dir/delta/.stream-commits")
+      if (!f.exists(p)) Seq.empty[Long]
+      else idsIn(f.listStatus(p).map(_.getPath.getName).toSeq)
+    }
+    val all = live.flatten ++ sidecar
+    (if (all.isEmpty) -1L else all.max, live.forall(_.nonEmpty))
+  }
+
   /** Buckets actually written under `data/ver=<ver>` (a partitionBy
     * write emits no directory for an empty bucket).
     */

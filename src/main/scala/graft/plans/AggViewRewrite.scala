@@ -1,5 +1,6 @@
 package graft.plans
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
@@ -9,13 +10,14 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
-import graft.operators.AggView
+import graft.operators.{AggView, MergeOnRead}
+import graft.sources.MorRelation
 
 /** MATERIALIZED-VIEW QUERY REWRITE over the persisted [[AggView]]
   * artifact: an optimizer rule that recognizes a grouped SUM/COUNT
@@ -27,29 +29,39 @@ import graft.operators.AggView
   * SIGMOD'01), restricted to the SUM-algebra views [[AggView]] can
   * maintain incrementally.
   *
+  * Two base-table kinds register:
+  *
+  *  - a bare parquet [[HadoopFsRelation]] scan, pinned by its FILE
+  *    LISTING signature (any append/compaction/overwrite of the fact
+  *    directory disables the rewrite);
+  *  - a live [[MergeOnRead]] CDC table read through the `mor` SQL
+  *    source ([[MorRelation]]), pinned by the table's OBSERVABLE
+  *    STATE ([[MergeOnRead.state]]: manifest version + unfolded
+  *    committed batch ids) — cheaper and exacter than a listing fold,
+  *    and the natural base for an ALWAYS-FRESH view: one CDC fleet
+  *    maintains table and view from the same micro-batch feed, and
+  *    [[refreshPins]] re-pins after each batch.
+  *
   * A rewrite fires only when ALL of the following hold — anything
   * else falls through to the base scan, never to a wrong answer:
   *
-  *  - the aggregate's child is the registered base relation (a
-  *    single parquet [[HadoopFsRelation]]), under at most
-  *    column-pruning projections and deterministic filters;
-  *  - the base relation's FILE LISTING (name, length, mtime of every
-  *    file) is bit-identical to the listing pinned at registration —
-  *    any append/compaction/overwrite of the fact table silently
-  *    disables the rewrite until the view is re-synced and
-  *    re-registered;
-  *  - the view's manifest VERSION still equals the registered pin —
-  *    any maintenance commit on the artifact likewise disables the
-  *    rewrite until re-registration (the two pins together are the
-  *    coherence contract: base and view were observed consistent at
-  *    register time, and neither has moved since);
+  *  - the aggregate's child is the registered base relation, under at
+  *    most column-pruning projections and deterministic filters;
+  *  - the base pin still matches (listing signature / MOR state), and
+  *    the view's manifest VERSION still equals the registered pin —
+  *    any maintenance commit on either side disables the rewrite
+  *    until [[refreshPins]] VERIFIES consistency and re-pins, or the
+  *    caller re-registers (the two pins together are the coherence
+  *    contract: base and view were observed consistent at register
+  *    time, and neither has moved since);
   *  - every filter references only view KEY columns (key predicates
   *    commute with the per-group sums); when the filters pin EVERY
-  *    key with an equality literal or a bounded IN-list (≤ 256
-  *    combinations), the rewrite additionally computes the key-hash
-  *    buckets driver-side and emits the kb-partition-pruned read —
-  *    the q209 dashboard-probe plan from plain SQL over the base
-  *    table;
+  *    key to a bounded value set (≤ 256 combinations) — an equality
+  *    literal, an IN-list, or a bounded RANGE over an integral key
+  *    (`BETWEEN` / `>=`+`<=` conjuncts, enumerated) — the rewrite
+  *    additionally computes the key-hash buckets driver-side and
+  *    emits the kb-partition-pruned read — the q209 dashboard-probe
+  *    plan from plain SQL over the base table;
   *  - every grouping expression is a key column, and every aggregate
   *    is `count(*)` (→ `sum(cnt)`, coalesced to 0 for the global
   *    empty case) or `sum(E)` where E is one of the view's declared
@@ -64,10 +76,30 @@ import graft.operators.AggView
   *    aggregates, refuse: their null/distinct semantics are not
   *    derivable from a plain (sum, count) rollup.
   *
+  * ANSI divergence (documented, not defended): under
+  * `spark.sql.ansi.enabled`, a direct `sum(BIGINT)` raises on 64-bit
+  * overflow, while the rewritten plan sums the view's partial sums —
+  * if the partials were built under non-ANSI and wrapped, the rewrite
+  * returns the wrapped value where the direct plan would have raised.
+  * The divergence is reachable only on inputs whose direct sum
+  * OVERFLOWS (where the un-rewritten query errors rather than
+  * answers); a view built under ANSI would itself have raised at
+  * build. Callers who need error-for-error parity on overflowing
+  * sums should not register sum measures over columns that can
+  * overflow.
+  *
   * Group-by on a SUBSET of the view keys re-aggregates the rollup
   * (sum of partial sums — the sum algebra that makes the view
   * self-maintainable also makes it roll up), so one registered view
   * serves the whole cube below its key set.
+  *
+  * Planning cost: the freshness probes (one listing fold per file
+  * index, one manifest read per artifact, one state read per MOR
+  * table) are MEMOIZED per optimizer-rule application — a query with
+  * many aggregates over the same relation pays each probe once per
+  * optimization pass, never per node. (Per pass, not across queries:
+  * the pins guard result-exactness and must be re-checked within
+  * every plan's own optimization.)
   *
   * Wiring: [[GraftExtensions]] injects the rule at session-creation
   * time; [[AggViewRewrite.install]] adds it to a live session's
@@ -79,38 +111,56 @@ import graft.operators.AggView
   */
 object AggViewRewrite extends PredicateHelper with Logging {
 
-  /** A registered view: the artifact path, the base relation's root
-    * paths + file-listing signature, and the manifest-version pin.
+  /** What a registration pinned the BASE table at: either a parquet
+    * directory's file-listing signature or a [[MergeOnRead]] table's
+    * observable state. Either moving disables the rewrite until
+    * [[refreshPins]]/re-registration.
     */
-  final case class Entry(viewPath: String, basePaths: Set[String],
-      listingSig: Long, version: Long, decl: AggView.Decl)
+  sealed trait BasePin
+  final case class FsPin(roots: Set[String], listingSig: Long)
+      extends BasePin
+  final case class MorPin(morPath: String, state: MergeOnRead.State)
+      extends BasePin
+
+  /** A registered view: the artifact path, the base pin, and the
+    * view-manifest-version pin (with the declaration read at that
+    * version).
+    */
+  final case class Entry(viewPath: String, pin: BasePin,
+      version: Long, decl: AggView.Decl)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  /** Pin `viewPath` as the rollup of `base` AS CURRENTLY LISTED.
-    * `base` must be a bare single-relation parquet scan (the same
-    * DataFrame the view was built/synced from); the caller owns the
-    * assertion that the view IS that table's rollup — typically by
-    * registering right after [[AggView.buildIfAbsent]] (whose
+  /** Pin `viewPath` as the rollup of `base` AS CURRENTLY OBSERVED.
+    * `base` must be a bare single-relation scan — a parquet
+    * [[HadoopFsRelation]] or a LIVE `mor`-source [[MorRelation]] (the
+    * same DataFrame the view was built/synced from); the caller owns
+    * the assertion that the view IS that table's rollup — typically
+    * by registering right after [[AggView.buildIfAbsent]] (whose
     * fingerprint check proved exactly that) or after a CDC batch
-    * that applied the same changes to both.
+    * that applied the same changes to both. Thereafter
+    * [[refreshPins]] re-verifies and re-pins as both sides move.
     */
   def register(spark: SparkSession, base: DataFrame,
       viewPath: String): Entry = {
-    val (_, fsRel) = bareRelation(GraftBridge.analyzedPlan(base))
+    val (_, id) = baseOf(GraftBridge.analyzedPlan(base))
       .getOrElse(throw new IllegalArgumentException(
-        "register expects a bare single-file-source scan (the fact " +
-          "table the view rolls up); got:\n" +
+        "register expects a bare single-relation scan (a parquet " +
+          "file-source or a live mor-source read of the fact table " +
+          "the view rolls up); got:\n" +
           GraftBridge.analyzedPlan(base).treeString))
     val decl = AggView.declaration(viewPath)
-    val reserved = Seq("cnt")
-    require((decl.keys ++ decl.measures.map(_.name))
-        .forall(n => !reserved.contains(n)),
-      "view key/measure named 'cnt' would collide with the served " +
-        "count column — not rewritable")
-    val e = Entry(viewPath, rootPaths(fsRel), signature(fsRel),
-      decl.version, decl)
+    val resolver = SQLConf.get.resolver
+    // resolver-matched, not exact-string: vAttr resolves the served
+    // count column case-insensitively under the default resolver, so
+    // a key named 'CNT' collides exactly like 'cnt' would
+    require(!(decl.keys ++ decl.measures.map(_.name))
+        .exists(n => resolver(n, "cnt")),
+      "view key/measure named 'cnt' (any case the session resolver " +
+        "matches) would collide with the served count column — not " +
+        "rewritable")
+    val e = Entry(viewPath, pinOf(id), decl.version, decl)
     registry.put(viewPath, e)
     e
   }
@@ -121,10 +171,11 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   /** Current registrations with their LIVE freshness — the ops
     * answer to "why didn't my query rewrite": one row per registered
-    * view (path, base roots, keys, measures, pinned version, and
-    * whether the pin still matches the artifact's current manifest).
-    * Base-listing freshness is per-query (it needs the query's own
-    * relation) and is not evaluated here.
+    * view (path, base pin, keys, measures, pinned version, and
+    * whether the VIEW pin still matches the artifact's current
+    * manifest). Base freshness is evaluated for MOR pins (their state
+    * is readable here); file-listing pins are per-query (they need
+    * the query's own relation) and report null.
     */
   def status(spark: SparkSession): DataFrame = {
     val s = spark
@@ -133,14 +184,119 @@ object AggViewRewrite extends PredicateHelper with Logging {
       val liveVersion =
         try Some(AggView.declaration(e.viewPath).version)
         catch { case NonFatal(_) => None }
-      (e.viewPath, e.basePaths.toSeq.sorted.mkString(","),
+      val (baseDesc, baseFresh) = e.pin match {
+        case FsPin(roots, _) =>
+          (roots.toSeq.sorted.mkString(","), None: Option[Boolean])
+        case MorPin(p, st) =>
+          (p, Some(try MergeOnRead.state(p) == st
+            catch { case NonFatal(_) => false }))
+      }
+      (e.viewPath, baseDesc,
         e.decl.keys.mkString(","),
         e.decl.measures.map(_.name).mkString(","),
         e.version, liveVersion.getOrElse(-1L),
-        liveVersion.contains(e.version))
+        liveVersion.contains(e.version), baseFresh)
     }.toDF("view_path", "base_roots", "keys", "measures",
-      "pinned_version", "live_version", "version_fresh")
+      "pinned_version", "live_version", "version_fresh", "base_fresh")
   }
+
+  /** Re-verify and re-pin every registration whose base or view has
+    * MOVED — the maintenance hook that keeps the rewrite live on a
+    * CHANGING fact table instead of degrading to a permanent no-op
+    * after the first append. Call it after the CDC fleet applies a
+    * batch to base and view (or wrap the sink with
+    * [[refreshingSink]]).
+    *
+    * A pin refreshes only when base and view are VERIFIED consistent
+    * — never on trust:
+    *
+    *  - parquet base: the base's live content fingerprint through the
+    *    view's dependency projection ([[AggView.factsFingerprint]] —
+    *    one projected scan) must equal the view manifest's composed
+    *    fingerprint. Exact: a base-only append or a view-only commit
+    *    fails the check and the registration stays stale (refusing,
+    *    correctly) until the two converge.
+    *  - MOR base: every live committed batch must carry a stream
+    *    marker and the max committed stream id must equal the view's
+    *    own `lastBatch` watermark ([[MergeOnRead.streamState]] —
+    *    metadata-scale). A base-only `streamAppend` leaves the view's
+    *    watermark behind ⇒ no refresh until the view's
+    *    [[AggView.applyBatch]] lands the same id.
+    *
+    * A view whose DECLARATION changed (rebuild with different
+    * keys/measures) never auto-refreshes — re-register explicitly.
+    *
+    * Returns one row per registration: (view_path, refreshed,
+    * reason).
+    */
+  def refreshPins(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = registry.values.asScala.toSeq.sortBy(_.viewPath).map {
+      e => refreshOne(spark, e) match {
+        case scala.Right(updated) =>
+          registry.put(e.viewPath, updated)
+          (e.viewPath, true, "re-pinned")
+        case scala.Left(reason) => (e.viewPath, false, reason)
+      }
+    }
+    rows.toDF("view_path", "refreshed", "reason")
+  }
+
+  private def refreshOne(spark: SparkSession,
+      e: Entry): Either[String, Entry] = {
+    val live = try AggView.declaration(e.viewPath)
+      catch { case NonFatal(ex) =>
+        return scala.Left(s"view unreadable: $ex") }
+    if (live.keys != e.decl.keys || live.measures != e.decl.measures ||
+      live.kbParts != e.decl.kbParts)
+      return scala.Left("view declaration changed (rebuild) — re-register")
+    e.pin match {
+      case FsPin(roots, sig) =>
+        val baseDf = spark.read.parquet(roots.toSeq.sorted: _*)
+        val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
+          .map(_._2).getOrElse(
+            return scala.Left("base no longer reads as a bare parquet scan"))
+        val newSig = RelationPins.signature(fsRel)
+        if (newSig == sig && live.version == e.version)
+          scala.Left("already fresh")
+        else {
+          val (fp, n) = AggView.factsFingerprint(baseDf, e.viewPath)
+          if (fp == live.fp && n == live.n)
+            scala.Right(Entry(e.viewPath,
+              FsPin(RelationPins.rootPaths(fsRel), newSig),
+              live.version, live))
+          else scala.Left("base content and view rollup diverge " +
+            "(fingerprint mismatch) — waiting for the other side")
+        }
+      case MorPin(p, st) =>
+        val liveState = try MergeOnRead.state(p)
+          catch { case NonFatal(ex) =>
+            return scala.Left(s"mor table unreadable: $ex") }
+        if (liveState == st && live.version == e.version)
+          scala.Left("already fresh")
+        else {
+          val (maxId, allMarked) = MergeOnRead.streamState(p)
+          if (!allMarked)
+            scala.Left("mor table has committed batches without stream " +
+              "markers (out-of-band appends) — re-register")
+          else if (maxId != live.lastBatch)
+            scala.Left(s"watermarks diverge (mor stream id $maxId vs view " +
+              s"batch ${live.lastBatch}) — waiting for the other side")
+          else scala.Right(Entry(e.viewPath, MorPin(p, liveState),
+            live.version, live))
+        }
+    }
+  }
+
+  /** Wrap a CDC sink so every applied batch is followed by a pin
+    * refresh — the opt-in hook that keeps a fleet-maintained view's
+    * registration live:
+    * `IndexPipeline.sink(MergeOnRead.foreachBatchSink(dir),
+    * AggView.cdcSink(view), AggViewRewrite.refreshingSink(spark))`.
+    */
+  def refreshingSink(spark: SparkSession): (DataFrame, Long) => Unit =
+    (_, _) => { refreshPins(spark).collect(); () }
 
   /** Add the rule to a live session (idempotent). Config-time
     * sessions get it from [[GraftExtensions]].
@@ -162,75 +318,153 @@ object AggViewRewrite extends PredicateHelper with Logging {
     finally unregister(viewPath)
   }
 
+  /** Per-rule-application memo of the freshness probes: the listing
+    * fold keyed by FILE-INDEX IDENTITY (one relation instance = one
+    * in-memory listing = one fold), the view declaration and MOR
+    * state by path — one FS touch each per optimization pass
+    * regardless of how many aggregates the query holds.
+    */
+  private final class Memo {
+    private val sigs =
+      new java.util.IdentityHashMap[AnyRef, java.lang.Long]
+    def signatureOf(h: HadoopFsRelation): Long = {
+      val k = h.location
+      val got = sigs.get(k)
+      if (got != null) got.longValue
+      else {
+        val s = RelationPins.signature(h)
+        sigs.put(k, java.lang.Long.valueOf(s))
+        s
+      }
+    }
+    private val decls = mutable.Map.empty[String, Option[AggView.Decl]]
+    def declOf(path: String): Option[AggView.Decl] =
+      decls.getOrElseUpdate(path,
+        try Some(AggView.declaration(path))
+        catch { case NonFatal(_) => None })
+    private val morStates =
+      mutable.Map.empty[String, Option[MergeOnRead.State]]
+    def morStateOf(path: String): Option[MergeOnRead.State] =
+      morStates.getOrElseUpdate(path,
+        try Some(MergeOnRead.state(path))
+        catch { case NonFatal(_) => None })
+  }
+
   final case class Rule(spark: SparkSession)
       extends CatalystRule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
-      else plan.transformUp {
-        case agg: Aggregate =>
-          try tryRewrite(spark, agg).getOrElse(agg)
-          catch {
-            case NonFatal(e) =>
-              logWarning(s"aggview rewrite skipped: $e")
-              agg
-          }
+      else {
+        val memo = new Memo
+        plan.transformUp {
+          case agg: Aggregate =>
+            try tryRewrite(spark, agg, memo).getOrElse(agg)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"aggview rewrite skipped: $e")
+                agg
+            }
+        }
       }
   }
 
   // ---------------------------------------------------------------
   // matching
 
-  private def bareRelation(p: LogicalPlan)
-      : Option[(LogicalRelation, HadoopFsRelation)] =
-    RelationPins.bare(p)
+  /** The base-relation kinds the rewrite can serve. */
+  private sealed trait BaseId
+  private final case class FsId(h: HadoopFsRelation) extends BaseId
+  private final case class MorId(m: MorRelation) extends BaseId
+
+  private def idOf(l: LogicalRelation): Option[BaseId] =
+    l.relation match {
+      case h: HadoopFsRelation => Some(FsId(h))
+      // a version-pinned (time-travel) mor read is a DIFFERENT table
+      // than the live one the view tracks — never rewritten
+      case m: MorRelation if m.version.isEmpty => Some(MorId(m))
+      case _ => None
+    }
+
+  private def baseOf(p: LogicalPlan)
+      : Option[(LogicalRelation, BaseId)] = p match {
+    case s: SubqueryAlias => baseOf(s.child)
+    case l: LogicalRelation => idOf(l).map(l -> _)
+    case _ => None
+  }
+
+  private def pinOf(id: BaseId): BasePin = id match {
+    case FsId(h) =>
+      FsPin(RelationPins.rootPaths(h), RelationPins.signature(h))
+    case MorId(m) => MorPin(m.path, MergeOnRead.state(m.path))
+  }
 
   /** Strip column-pruning projections and collect deterministic
     * filter conjuncts between the aggregate and the relation.
     */
   private def decompose(p: LogicalPlan)
-      : Option[(LogicalRelation, HadoopFsRelation, Seq[Expression])] =
+      : Option[(LogicalRelation, BaseId, Seq[Expression])] =
     p match {
-      case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation => Some((l, h, Nil))
-        case _ => None
-      }
+      case l: LogicalRelation => idOf(l).map((l, _, Nil))
       case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         decompose(c)
       case Filter(cond, c)
           if cond.deterministic && !SubqueryExpression.hasSubquery(cond) =>
-        decompose(c).map { case (l, h, fs) =>
-          (l, h, splitConjunctivePredicates(cond) ++ fs)
+        decompose(c).map { case (l, id, fs) =>
+          (l, id, splitConjunctivePredicates(cond) ++ fs)
         }
       case _ => None
     }
 
-  private def rootPaths(h: HadoopFsRelation): Set[String] =
-    RelationPins.rootPaths(h)
-
-  private def signature(h: HadoopFsRelation): Long =
-    RelationPins.signature(h)
+  /** Does the query's base match this entry's pin, and is the pin
+    * still fresh? All probes memoized per pass.
+    */
+  private def pinFresh(e: Entry, id: BaseId, memo: Memo): Boolean =
+    (e.pin, id) match {
+      case (FsPin(roots, sig), FsId(h)) =>
+        RelationPins.rootPaths(h) == roots && memo.signatureOf(h) == sig
+      case (MorPin(p, st), MorId(m)) =>
+        m.path == p && memo.morStateOf(p).contains(st)
+      case _ => false
+    }
 
   private def tryRewrite(spark: SparkSession,
-      agg: Aggregate): Option[Aggregate] = {
-    val (rel, fsRel, filters) = decompose(agg.child).getOrElse(return None)
-    val roots = rootPaths(fsRel)
-    val cands = registry.values.asScala.filter(_.basePaths == roots).toSeq
+      agg: Aggregate, memo: Memo): Option[Aggregate] = {
+    val (rel, id, filters) = decompose(agg.child).getOrElse(return None)
+    val cands = registry.values.asScala
+      .filter(e => pinFresh(e, id, memo)).toSeq
     if (cands.isEmpty) return None
-    val sig = signature(fsRel)
     // prefer the COARSEST sufficient view: fewer keys = fewer rollup
     // groups = the smallest artifact that can still answer
     cands.sortBy(_.decl.keys.size).iterator
-      .map(e => rewriteWith(spark, agg, rel, filters, e, sig))
+      .map(e => rewriteWith(spark, agg, rel, filters, e, memo))
       .collectFirst { case Some(a) => a }
+  }
+
+  private def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case b: java.lang.Byte => Some(b.longValue)
+    case _ => None
+  }
+
+  private def litOf(x: Long, dt: DataType): Literal = dt match {
+    case ByteType => Literal(x.toByte)
+    case ShortType => Literal(x.toShort)
+    case IntegerType => Literal(x.toInt)
+    case _ => Literal(x)
   }
 
   private def rewriteWith(spark: SparkSession, agg: Aggregate,
       rel: LogicalRelation, filters: Seq[Expression], e: Entry,
-      sig: Long): Option[Aggregate] = {
-    // freshness pins: base listing unchanged, view manifest unchanged
-    if (sig != e.listingSig) return None
-    val cur = try AggView.declaration(e.viewPath)
-      catch { case NonFatal(_) => return None }
+      memo: Memo): Option[Aggregate] = {
+    // view freshness pin: manifest version + declaration unchanged
+    val cur = memo.declOf(e.viewPath).getOrElse(return None)
     if (cur.version != e.version || cur.keys != e.decl.keys ||
       cur.measures != e.decl.measures) return None
 
@@ -260,11 +494,14 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }.toMap
     if (measureOf.size != e.decl.measures.size) return None
 
-    // kb partition prune when every key is pinned by equality or a
-    // bounded IN-list: each conjunct's value set is a SUPERSET of
-    // the matching rows' key values, so when several conjuncts pin
-    // one key, any of them is sound — take the smallest
-    val keyVals: Map[String, Seq[Literal]] = filters.collect {
+    // kb partition prune when every key is pinned to a bounded value
+    // set: each conjunct's value set is a SUPERSET of the matching
+    // rows' key values, so when several conjuncts pin one key, any of
+    // them is sound — take the smallest. Three extractors feed the
+    // pool: equality literals, IN-lists, and bounded ranges over
+    // integral keys (a BETWEEN analyzes to >= + <= conjuncts; the
+    // intersected [lo, hi] enumerates when ≤ 256 wide).
+    val eqVals: Seq[(String, Seq[Literal])] = filters.collect {
       case EqualTo(a: AttributeReference, l: Literal)
           if keyAttrSet.contains(a) && l.value != null =>
         keyNameOf(a.exprId) -> Seq(l)
@@ -283,7 +520,52 @@ object AggViewRewrite extends PredicateHelper with Logging {
           if keyAttrSet.contains(a) =>
         keyNameOf(a.exprId) -> vs.toSeq.filter(_ != null)
           .map(v => Literal(v, a.dataType))
-    }.groupBy(_._1)
+    }
+    val rangeVals: Seq[(String, Seq[Literal])] = {
+      // per integral key: intersected lower/upper bounds (inclusive),
+      // from >/>=/</<= conjuncts with a non-null literal side
+      val bounds = filters.collect {
+        case GreaterThan(a: AttributeReference, Literal(v, _))
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, Some(x + 1): Option[Long], None: Option[Long]))
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, _))
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, Some(x): Option[Long], None: Option[Long]))
+        case LessThan(a: AttributeReference, Literal(v, _))
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, None: Option[Long], Some(x - 1): Option[Long]))
+        case LessThanOrEqual(a: AttributeReference, Literal(v, _))
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, None: Option[Long], Some(x): Option[Long]))
+        case LessThan(Literal(v, _), a: AttributeReference)
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, Some(x + 1): Option[Long], None: Option[Long]))
+        case LessThanOrEqual(Literal(v, _), a: AttributeReference)
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, Some(x): Option[Long], None: Option[Long]))
+        case GreaterThan(Literal(v, _), a: AttributeReference)
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, None: Option[Long], Some(x - 1): Option[Long]))
+        case GreaterThanOrEqual(Literal(v, _), a: AttributeReference)
+            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+          asLong(v).map(x => (a, None: Option[Long], Some(x): Option[Long]))
+      }.flatten
+      bounds.groupBy(_._1.exprId).toSeq.flatMap { case (eid, bs) =>
+        val attr = bs.head._1
+        val los = bs.flatMap(_._2)
+        val his = bs.flatMap(_._3)
+        for {
+          lo <- los.maxOption
+          hi <- his.minOption
+          // BigInt width: (hi - lo) on raw Longs can overflow
+          if BigInt(hi) - BigInt(lo) >= 0 &&
+            BigInt(hi) - BigInt(lo) < 256
+        } yield keyNameOf(eid) ->
+          (lo to hi).map(litOf(_, attr.dataType))
+      }
+    }
+    val keyVals: Map[String, Seq[Literal]] = (eqVals ++ rangeVals)
+      .groupBy(_._1)
       .map { case (k, kvs) => k -> kvs.map(_._2).minBy(_.size) }
     val parts: Option[Seq[Int]] = {
       val sets = e.decl.keys.map(k => keyVals.getOrElse(k, Nil))
@@ -373,6 +655,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
               If(EqualTo(c, Literal(0d)), Literal(null, DoubleType), c))
           }
         case s: Sum =>
+          // ANSI note: re-aggregates the view's partial sums — see
+          // the object doc's ANSI-divergence contract
           measureOf.get(s.child.canonicalized).map { mName =>
             val re = Sum(vAttr(mName)).toAggregateExpression()
             if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)

@@ -341,8 +341,8 @@ class MorSource extends RelationProvider with DataSourceRegister {
       parameters.get("version").map(_.toLong))
 }
 
-class MorRelation(spark: SparkSession, path: String,
-    version: Option[Long]) extends BaseRelation
+class MorRelation(spark: SparkSession, val path: String,
+    val version: Option[Long]) extends BaseRelation
     with PrunedFilteredScan {
   private def inner(filters: Seq[Filter]): DataFrame = version match {
     case Some(v) => MergeOnRead.readAt(spark, path, v)

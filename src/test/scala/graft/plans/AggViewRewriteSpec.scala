@@ -318,6 +318,112 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       after.getAs[Long]("pinned_version"))
   }
 
+  test("a bounded BETWEEN range over an integral key enumerates and " +
+      "prunes kb partitions like an equality probe") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-range").toString
+    val s = spark
+    import s.implicits._
+    (0 until 200).map(i => (i % 10, i.toDouble))
+      .toDF("ik", "y").repartition(2).write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("ik"),
+      Seq(AggView.Measure("sum_y", "y")), s"$root/view", kbParts = 8)
+    b.createOrReplaceTempView("mvspec_range_base")
+    val q = """SELECT ik, count(*) AS c, sum(y) AS sy
+              |FROM mvspec_range_base
+              |WHERE ik BETWEEN 3 AND 5 GROUP BY ik""".stripMargin
+    val truth = sorted(s.sql(q))
+    AggViewRewrite.register(s, b, s"$root/view")
+    val r = s.sql(q)
+    val roots = scannedRoots(r)
+    assert(roots.exists(_.contains(s"$root/view")), r.queryExecution)
+    assert(sorted(r) == truth && truth.size == 3)
+    val phys = r.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters"), phys)
+    assert(phys.contains("kb#"), phys)
+    // an UNBOUNDED range still rewrites (filters are key-only), just
+    // without the kb prune
+    val open = s.sql("""SELECT ik, sum(y) AS sy FROM mvspec_range_base
+                       |WHERE ik >= 7 GROUP BY ik""".stripMargin)
+    assert(scannedRoots(open).exists(_.contains(s"$root/view")))
+    AggViewRewrite.clear()
+    assert(sorted(open) == sorted(s.sql(
+      """SELECT ik, sum(y) AS sy FROM mvspec_range_base
+        |WHERE ik >= 7 GROUP BY ik""".stripMargin)))
+  }
+
+  test("register refuses a view whose key collides with the served " +
+      "count column under the session resolver (any case)") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-cnt").toString
+    val s = spark
+    import s.implicits._
+    Seq(("a", 1L), ("b", 2L)).toDF("CNT", "x")
+      .write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("CNT"),
+      Seq(AggView.Measure("sum_x", "x")), s"$root/view", kbParts = 2)
+    val ex = intercept[IllegalArgumentException] {
+      AggViewRewrite.register(s, b, s"$root/view")
+    }
+    assert(ex.getMessage.contains("cnt"))
+  }
+
+  test("refreshPins re-pins a parquet base only when base and view " +
+      "verifiably hold the same content") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-refresh").toString
+    val s = spark
+    import s.implicits._
+    def rows(from: Int, until: Int) =
+      (from until until).map(i => (s"k${i % 3}", i.toLong))
+        .toDF("k", "x")
+    rows(0, 90).repartition(2).write.parquet(s"$root/base")
+    def b = s.read.parquet(s"$root/base")
+    val view = s"$root/view"
+    AggView.buildIfAbsent(b, Seq("k"),
+      Seq(AggView.Measure("sum_x", "x")), view, kbParts = 4)
+    AggViewRewrite.register(s, b, view)
+    def q = {
+      b.createOrReplaceTempView("mvspec_refresh_base")
+      s.sql("""SELECT k, count(*) AS c, sum(x) AS sx
+              |FROM mvspec_refresh_base GROUP BY k""".stripMargin)
+    }
+    assert(scannedRoots(q).exists(_.contains(view)))
+
+    // the CDC fleet applies one batch to BOTH sides
+    rows(90, 120).write.mode("append").parquet(s"$root/base")
+    AggView.append(rows(90, 120), view)
+    // both pins moved: the rewrite refuses until a refresh
+    assert(!scannedRoots(q).exists(_.contains(view)))
+    val st1 = AggViewRewrite.refreshPins(s).collect().head
+    assert(st1.getBoolean(1), st1.getString(2)) // refreshed
+    val r1 = q
+    assert(scannedRoots(r1).exists(_.contains(view)))
+    assert(r1.collect().map(_.getLong(1)).sum == 120L)
+
+    // a BASE-ONLY append: refresh must REFUSE (fingerprints diverge)
+    rows(120, 130).write.mode("append").parquet(s"$root/base")
+    val st2 = AggViewRewrite.refreshPins(s).collect().head
+    assert(!st2.getBoolean(1) && st2.getString(2).contains("diverge"))
+    val r2 = q // falls back to the (correct) base scan
+    assert(!scannedRoots(r2).exists(_.contains(view)))
+    assert(r2.collect().map(_.getLong(1)).sum == 130L)
+
+    // the view catches up: refresh verifies and re-pins
+    AggView.append(rows(120, 130), view)
+    val st3 = AggViewRewrite.refreshPins(s).collect().head
+    assert(st3.getBoolean(1), st3.getString(2))
+    val r3 = q
+    assert(scannedRoots(r3).exists(_.contains(view)))
+    assert(r3.collect().map(_.getLong(1)).sum == 130L)
+
+    // idempotent: a second refresh reports already fresh
+    val st4 = AggViewRewrite.refreshPins(s).collect().head
+    assert(!st4.getBoolean(1) && st4.getString(2).contains("fresh"))
+  }
+
   test("with several sufficient views registered, the coarsest wins") {
     AggViewRewrite.clear()
     val q = "SELECT g, sum(y) AS sy FROM mvspec_base GROUP BY g"

@@ -223,6 +223,13 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("kb#"), p)
   }
 
+  test("MOR-backed rewrite after a fleet batch + pin refresh serves " +
+      "the view artifact, never the table's base/delta files (q235)") {
+    val p = plan("q235_mv_mor")
+    assert(p.contains("/view/"), p)
+    assert(!p.contains("/tbl/"), p)
+  }
+
   test("aggregate-view probe serve prunes to the probe's kb " +
       "partitions and broadcasts the probe — no shuffle join, no " +
       "sort agg (q209)") {
