@@ -394,6 +394,23 @@ object ColStats {
     readManifest(path).getOrElse(
       throw new IllegalStateException(s"no stats at $path")).mv
 
+  /** The artifact's committed declaration + freshness pins: the
+    * declared column lists, the manifest version (the staleness pin a
+    * consumer re-checks), the composed content FINGERPRINT of
+    * everything the profile absorbed (what [[fingerprint]] of a
+    * consistent base reproduces — the pin-REFRESH verification of
+    * [[graft.plans.ColStatsInjection.refreshPins]]), and the live row
+    * count.
+    */
+  final case class Decl(numCols: Seq[String], strCols: Seq[String],
+      version: Long, fp: Long, n: Long)
+
+  def declaration(path: String): Decl = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    Decl(mf.numCols, mf.strCols, mf.mv, mf.fp, mf.n)
+  }
+
   /** The merged DENSE per-column HLL registers: |cols| × 64 rows,
     * untouched buckets as register 0 (a local spine from the
     * manifest's column list — metadata-scale).

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatisti
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Histogram, HistogramBin, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.internal.SQLConf
@@ -20,10 +20,11 @@ import graft.operators.ColStats
 
 /** STATISTICS INJECTION from the persisted [[ColStats]] artifact:
   * an optimizer rule that attaches the profile — row count, per-column
-  * null counts, integral min/max, HLL distinct-count estimates — to
-  * the registered base relation as [[CatalogStatistics]], so Spark's
-  * own cost model plans from the table's REAL shape instead of its
-  * raw file bytes.
+  * null counts, integral min/max, HLL distinct-count estimates, and
+  * (new) equi-height HISTOGRAMS derived from the artifact's signed-
+  * log₂ value histograms — to the registered base relation as
+  * [[CatalogStatistics]], so Spark's own cost model plans from the
+  * table's REAL shape instead of its raw file bytes.
   *
   * Why this matters at 100 TB: a file-source relation without catalog
   * stats estimates `sizeInBytes` as the sum of its (compressed) file
@@ -31,27 +32,40 @@ import graft.operators.ColStats
   * misses broadcast opportunities (a 100-byte-wide dimension inside a
   * 2 GB compressed file is broadcastable after pruning, but the file
   * length says no), and with `spark.sql.cbo.enabled` leaves join
-  * reordering and filter-selectivity estimation blind. The lakehouse
-  * answer is a stats layer maintained with the data — exactly what
+  * reordering and filter-selectivity estimation blind — and without
+  * histograms, selectivity falls back to UNIFORM assumptions that a
+  * skewed column breaks by orders of magnitude. The lakehouse answer
+  * is a stats layer maintained with the data — exactly what
   * [[ColStats]] already is (O(batch) CDC maintenance, delete-refusing
   * monotone algebra) — wired here into Catalyst the same way a
   * catalog table's ANALYZE results are: `CatalogStatistics` on the
   * relation, converted by Spark itself via `toPlanStats` (plain
   * `sizeInBytes` always; rowCount + per-column [[CatalogColumnStat]]
   * under `spark.sql.cbo.enabled` / `spark.sql.statsImprovements
-  * .enabled`).
+  * .enabled`; histograms consulted by FilterEstimation/JoinEstimation
+  * whenever present under CBO).
   *
-  * The injected numbers follow Spark's own ANALYZE semantics:
-  * `sizeInBytes` = rowCount × schema row width (the
-  * `EstimationUtils.getOutputSize` formula), per-column
-  * distinctCount/nullCount for every profiled column, and min/max
-  * only for INTEGRAL relation columns (the artifact profiles numeric
-  * columns cast to BIGINT — exact for integral sources, a lie for
-  * fractional ones, so fractional min/max is withheld).
+  * The injected numbers follow Spark's own ANALYZE semantics, gated
+  * by the profile row's KIND against the relation's type — a
+  * misdeclared column (an integral column profiled in `strCols`, a
+  * string profiled in `numCols`) gets NO stats rather than wrong
+  * ones:
+  *  - kind `num` + integral relation type: nullCount, NDV, min/max,
+  *    and the equi-height histogram (all exact or honestly estimated
+  *    by the profile's own algebra);
+  *  - kind `str` + any relation type: nullCount and NDV (the rendered
+  *    value is null iff the source is null, and renders distinctly
+  *    for distinct values of the common types); string-length
+  *    avg/max width for StringType relations;
+  *  - kind `num` + non-integral relation type: nothing (the BIGINT
+  *    cast makes every per-column number a lie).
   *
   * Freshness: registration pins the base file listing
   * ([[RelationPins.signature]]) and the artifact's manifest version;
-  * either moving disables injection until re-registration — stale
+  * either moving disables injection until [[refreshPins]] VERIFIES
+  * base and artifact consistent again (live content fingerprint ==
+  * the artifact's composed fingerprint — one projected scan) and
+  * re-registers, or the caller re-registers manually — stale
   * statistics silently degrade plans, so they expire with the data.
   * Injection never changes RESULTS, only plan choice; the rule skips
   * relations that already carry catalog stats (a real ANALYZE wins).
@@ -63,47 +77,73 @@ import graft.operators.ColStats
   * statistics path engines serve from footers, here from the
   * artifact, with ZERO scan. Every value is exact by the profile's
   * own algebra (exact counts and extrema, the same wrapped 64-bit
-  * sum); anything not exactly answerable refuses to the scan.
+  * sum); anything not exactly answerable refuses to the scan —
+  * including, under `spark.sql.ansi.enabled`, a `sum` whose overflow
+  * the profile cannot RULE OUT (non-ANSI sums wrap identically on
+  * both paths, but an ANSI direct sum RAISES on overflow where the
+  * artifact would return the wrapped value, so the serve fires only
+  * when `n_nonnull × max(|min|, |max|)` provably fits in 64 bits).
   */
 object ColStatsInjection extends Logging {
 
   /** One profiled column's exact scalars (integer-exact by the
     * artifact's contract) — the inputs of the metadata-only
-    * aggregate serve.
+    * aggregate serve. `kind` is the profile row's declaration
+    * (`num`/`str`): serves are gated on it MATCHING the relation
+    * type, so a misdeclared column refuses instead of answering from
+    * a lossy cast.
     */
-  final case class Scalar(nRows: Long, nNulls: Long,
+  final case class Scalar(kind: String, nRows: Long, nNulls: Long,
       minNum: Option[Long], maxNum: Option[Long], sumNum: Option[Long])
 
   final case class Entry(statsPath: String, basePaths: Set[String],
       listingSig: Long, version: Long, stats: CatalogStatistics,
-      scalars: Map[String, Scalar])
+      scalars: Map[String, Scalar], decl: ColStats.Decl,
+      withHistograms: Boolean)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  private def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   /** Pin `statsPath` as the profile of `base` AS CURRENTLY LISTED
-    * and precompute the [[CatalogStatistics]] (two metadata-scale
-    * reads of the artifact — ≤ |cols| rows each; the corpus is never
-    * touched). The caller owns the assertion that the artifact
-    * profiles this table — typically by registering right after
-    * [[ColStats.buildIfAbsent]] (whose fingerprint proved it) or
-    * after the CDC pipeline appended the same batch to both.
+    * and precompute the [[CatalogStatistics]] (three metadata-scale
+    * reads of the artifact — ≤ |cols| scalar/NDV rows and
+    * ≤ 129·|cols| histogram rows; the corpus is never touched). The
+    * caller owns the assertion that the artifact profiles this table
+    * — typically by registering right after [[ColStats.buildIfAbsent]]
+    * (whose fingerprint proved it) or after the CDC pipeline appended
+    * the same batch to both; thereafter [[refreshPins]] re-verifies
+    * and re-registers as both sides move. `histograms = false` skips
+    * the equi-height histogram derivation (the hist table read and
+    * the per-column interpolation).
     */
   def register(spark: SparkSession, base: DataFrame,
-      statsPath: String): Entry = {
+      statsPath: String, histograms: Boolean = true): Entry = {
     val (rel, fsRel) = RelationPins.bare(GraftBridge.analyzedPlan(base))
       .getOrElse(throw new IllegalArgumentException(
         "register expects a bare single-file-source scan (the table " +
           "the artifact profiles); got:\n" +
           GraftBridge.analyzedPlan(base).treeString))
-    val version = ColStats.version(statsPath)
+    val decl = ColStats.declaration(statsPath)
     val resolver = SQLConf.get.resolver
-    // bounded collects: the scalar profile and NDV estimates are
-    // ≤ |cols| rows by construction
+    // bounded collects: the scalar profile, NDV estimates, and log2
+    // histogram are ≤ |cols| (× ≤129 buckets) rows by construction
     val ndv: Map[String, Double] =
       ColStats.ndv(spark, statsPath).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val scalar = ColStats.stats(spark, statsPath).collect()
+    val histByCol: Map[String, Seq[(Int, Long)]] =
+      if (!histograms) Map.empty
+      else ColStats.hist(spark, statsPath).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (c, rows) =>
+          c -> rows.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+        }
     // shared per-row resolution + field extraction: the CBO column
     // stats and the metadata-agg scalars both read the profile
     // through this one helper, so the two views of one profile
@@ -118,39 +158,46 @@ object ColStatsInjection extends Logging {
         }
     val colStats: Map[String, CatalogColumnStat] =
       scalar.flatMap { r =>
-        rowFor(r).map { case (attr, longAt) =>
+        rowFor(r).flatMap { case (attr, longAt) =>
           val name = r.getString(0)
-          val integral = attr.dataType match {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _ => false
-          }
-          def num(col: String): Option[String] =
-            if (integral) longAt(col).map(_.toString) else None
-          val nRows = r.getAs[Long]("n_rows")
-          val nNulls = r.getAs[Long]("n_nulls")
-          // avg string length from the artifact's exact length sums
-          // — THE honest width input; fixed-width types use their
-          // type width
-          val avgLen: Long = attr.dataType match {
-            case StringType =>
-              longAt("sum_len")
-                .filter(_ => nRows > nNulls)
-                .map(s => math.max(1L, math.round(
-                  s.toDouble / (nRows - nNulls))))
-                .getOrElse(attr.dataType.defaultSize.toLong)
-            case dt => dt.defaultSize.toLong
-          }
-          attr.name -> CatalogColumnStat(
-            distinctCount =
-              ndv.get(name).map(d => BigInt(math.max(1L, d.round))),
-            min = num("min_num"), max = num("max_num"),
-            nullCount = Some(BigInt(nNulls)),
-            avgLen = Some(avgLen),
-            maxLen = Some(attr.dataType match {
-              case StringType =>
-                longAt("max_len").getOrElse(avgLen)
+          val kind = r.getString(r.fieldIndex("kind"))
+          val numOk = kind == "num" && integralType(attr.dataType)
+          val strOk = kind == "str"
+          if (!numOk && !strOk) None // misdeclared: no stats at all
+          else {
+            def num(col: String): Option[String] =
+              if (numOk) longAt(col).map(_.toString) else None
+            val nRows = r.getAs[Long]("n_rows")
+            val nNulls = r.getAs[Long]("n_nulls")
+            // avg string length from the artifact's exact length sums
+            // — THE honest width input; fixed-width types use their
+            // type width
+            val avgLen: Long = attr.dataType match {
+              case StringType if strOk =>
+                longAt("sum_len")
+                  .filter(_ => nRows > nNulls)
+                  .map(s => math.max(1L, math.round(
+                    s.toDouble / (nRows - nNulls))))
+                  .getOrElse(attr.dataType.defaultSize.toLong)
               case dt => dt.defaultSize.toLong
-            }))
+            }
+            Some(attr.name -> CatalogColumnStat(
+              distinctCount =
+                ndv.get(name).map(d => BigInt(math.max(1L, d.round))),
+              min = num("min_num"), max = num("max_num"),
+              nullCount = Some(BigInt(nNulls)),
+              avgLen = Some(avgLen),
+              maxLen = Some(attr.dataType match {
+                case StringType if strOk =>
+                  longAt("max_len").getOrElse(avgLen)
+                case dt => dt.defaultSize.toLong
+              }),
+              histogram =
+                if (numOk)
+                  histByCol.get(name)
+                    .flatMap(equiHeight(_, nRows - nNulls))
+                else None))
+          }
         }
       }.toMap
     val rowCount: BigInt =
@@ -170,15 +217,70 @@ object ColStatsInjection extends Logging {
       colStats = colStats)
     val scalars: Map[String, Scalar] = scalar.flatMap { r =>
       rowFor(r).map { case (attr, longAt) =>
-        attr.name -> Scalar(r.getAs[Long]("n_rows"),
-          r.getAs[Long]("n_nulls"),
+        attr.name -> Scalar(r.getString(r.fieldIndex("kind")),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
           longAt("min_num"), longAt("max_num"), longAt("sum_num"))
       }
     }.toMap
     val e = Entry(statsPath, RelationPins.rootPaths(fsRel),
-      RelationPins.signature(fsRel), version, catalog, scalars)
+      RelationPins.signature(fsRel), decl.version, catalog, scalars,
+      decl, histograms)
     registry.put(statsPath, e)
     e
+  }
+
+  /** An equi-height [[Histogram]] from the artifact's signed-log₂
+    * bucket counts: boundaries at equal cumulative heights, values
+    * interpolated UNIFORMLY inside each log₂ bucket (the true value
+    * provably lies inside its bucket, so each boundary is off by at
+    * most the bucket width — the log₂-histogram contract carried into
+    * the cost model). Bin NDV is capped at both the bin's integer
+    * width and its height — conservative for equality selectivity.
+    * Driver-side over ≤ 129 buckets × `spark.sql.statistics
+    * .histogram.numBins` bins; plan-only (never results).
+    */
+  private[plans] def equiHeight(buckets: Seq[(Int, Long)],
+      nNonNull: Long): Option[Histogram] = {
+    if (nNonNull <= 0 || buckets.isEmpty) return None
+    // continuous value range of a signed log2 bucket: integers in
+    // bucket 0 = {0}; +k = [2^(k-1), 2^k - 1]; -k mirrored negative.
+    // Modeled as [lo, lo + count) with count = 2^(k-1) (1 for b=0).
+    def width(b: Int): Double =
+      if (b == 0) 1.0 else math.pow(2.0, math.abs(b) - 1)
+    def lo(b: Int): Double =
+      if (b == 0) 0.0
+      else if (b > 0) math.pow(2.0, b - 1)
+      else -(math.pow(2.0, -b) - 1)
+    val total = buckets.map(_._2).sum
+    if (total <= 0) return None
+    val nb = math.max(1, math.min(SQLConf.get.histogramNumBins,
+      total match { case t if t < Int.MaxValue => t.toInt; case _ => Int.MaxValue }))
+    val height = total.toDouble / nb
+    // cumulative walk: value at cumulative row position p
+    val cum = buckets.scanLeft(0L)(_ + _._2).tail
+    def valueAt(p: Double): Double = {
+      val clamped = math.min(math.max(p, 0.0), total.toDouble)
+      var i = 0
+      while (i < buckets.length && cum(i) < clamped) i += 1
+      if (i >= buckets.length) {
+        val (b, _) = buckets.last
+        lo(b) + width(b)
+      } else {
+        val (b, c) = buckets(i)
+        val before = if (i == 0) 0L else cum(i - 1)
+        val f = if (c == 0) 0.0 else (clamped - before) / c.toDouble
+        lo(b) + f * width(b)
+      }
+    }
+    val bounds = (0 to nb).map(i => valueAt(i * height))
+    val bins = (0 until nb).map { i =>
+      val (l, h) = (bounds(i), bounds(i + 1))
+      val intWidth = math.max(1L,
+        (math.floor(h) - math.ceil(l)).toLong + 1L)
+      HistogramBin(l, h,
+        math.max(1L, math.min(intWidth, math.round(height))))
+    }
+    Some(Histogram(height, bins.toArray))
   }
 
   def unregister(statsPath: String): Unit = {
@@ -210,8 +312,65 @@ object ColStatsInjection extends Logging {
       "pinned_version", "live_version", "version_fresh")
   }
 
-  /** Add the rule to a live session (idempotent). Config-time
-    * sessions get it from [[GraftExtensions]].
+  /** Re-verify and re-register every pin whose base or artifact has
+    * MOVED — the maintenance hook that keeps injection live on a
+    * changing table ([[graft.plans.AggViewRewrite.refreshPins]]'s
+    * twin). A pin refreshes only when VERIFIED: the base's live
+    * content fingerprint over the declared columns
+    * ([[ColStats.fingerprint]] — one projected scan) must equal the
+    * artifact's composed fingerprint; a base-only append or an
+    * artifact-only commit fails the check and the registration stays
+    * stale (refusing, correctly) until the two converge. Returns one
+    * row per registration: (stats_path, refreshed, reason).
+    */
+  def refreshPins(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = registry.values.asScala.toSeq.sortBy(_.statsPath).map {
+      e =>
+        val r = refreshOne(spark, e)
+        (e.statsPath, r.isEmpty, r.getOrElse("re-registered"))
+    }
+    rows.toDF("stats_path", "refreshed", "reason")
+  }
+
+  /** None = refreshed; Some(reason) = left as-is. */
+  private def refreshOne(spark: SparkSession,
+      e: Entry): Option[String] = {
+    val live = try ColStats.declaration(e.statsPath)
+      catch { case NonFatal(ex) =>
+        return Some(s"artifact unreadable: $ex") }
+    if (live.numCols != e.decl.numCols ||
+      live.strCols != e.decl.strCols)
+      return Some("artifact declaration changed (rebuild) — " +
+        "re-register")
+    val baseDf = spark.read.parquet(e.basePaths.toSeq.sorted: _*)
+    val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
+      .map(_._2).getOrElse(
+        return Some("base no longer reads as a bare parquet scan"))
+    if (RelationPins.signature(fsRel) == e.listingSig &&
+      live.version == e.version)
+      return Some("already fresh")
+    val (fp, n) = ColStats.fingerprint(baseDf, live.numCols,
+      live.strCols)
+    if (fp == live.fp && n == live.n) {
+      register(spark, baseDf, e.statsPath, e.withHistograms)
+      None
+    } else Some("base content and artifact profile diverge " +
+      "(fingerprint mismatch) — waiting for the other side")
+  }
+
+  /** Add the rule to a live session (idempotent). NOTE: the live
+    * path registers via `experimental.extraOptimizations`, which runs
+    * in the final "User Provided Optimizers" batch — AFTER the CBO
+    * join-reorder and filter-estimation batches — so install()-path
+    * sessions get the sizeInBytes/broadcast benefit and the
+    * metadata-only aggregate serve, but NOT cbo-driven join
+    * reordering. For the full CBO benefit (join reorder, histogram
+    * selectivity), inject at session build time with
+    * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+    * — [[GraftExtensions]] injects this rule into the operator-
+    * optimization batch, which runs before CBO.
     */
   def install(spark: SparkSession): Unit =
     GraftBridge.addOptimization(spark, Rule(spark))
@@ -324,9 +483,14 @@ object ColStatsInjection extends Logging {
     * are exact because the profile's extrema are exact (monotone
     * merges of exact per-batch extrema); sum is the same wrapped
     * 64-bit sum the query's own `sum(BIGINT-cast)` computes; count
-    * algebra is exact. Refuses on DISTINCT/FILTER, non-integral
-    * min/max/sum (the artifact profiles numerics as BIGINT), any
-    * WHERE, or any unprofiled column.
+    * algebra is exact. Every serve additionally requires the profile
+    * row's KIND to match the relation type (`num` needs an integral
+    * relation column — a lossy cast profiles nulls and truncations;
+    * `str` renders null iff the source is null, so count(col) stays
+    * exact for any type). Refuses on DISTINCT/FILTER, non-integral
+    * min/max/sum, any WHERE, any unprofiled or misdeclared column,
+    * and — under ANSI — a sum whose 64-bit overflow the profile's
+    * own bounds cannot rule out (see the object doc).
     */
   private def metadataAgg(agg: Aggregate,
       memo: VersionMemo): Option[Aggregate] = {
@@ -341,10 +505,8 @@ object ColStatsInjection extends Logging {
         e.scalars.get(a.name).map(_ -> a)
       case _ => None
     }
-    def integral(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
+    def numOk(s: Scalar, a: Attribute): Boolean =
+      s.kind == "num" && integralType(a.dataType)
     def numLit(v: Option[Long], dt: DataType): Expression = v match {
       case None => Literal(null, dt)
       case Some(x) => dt match {
@@ -354,6 +516,17 @@ object ColStatsInjection extends Logging {
         case _ => Literal(x)
       }
     }
+    // |sum| ≤ n_nonnull · max(|min|, |max|): when that bound fits in
+    // 64 bits, the direct ANSI sum cannot have raised and the wrapped
+    // artifact sum is bit-equal to it
+    def sumProvablySafe(s: Scalar): Boolean =
+      (s.minNum, s.maxNum) match {
+        case (Some(lo), Some(hi)) =>
+          val bound = BigInt(s.nRows - s.nNulls) *
+            BigInt(lo).abs.max(BigInt(hi).abs)
+          bound <= BigInt(Long.MaxValue)
+        case _ => true // no non-null values: the sum serves null
+      }
 
     def answer(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
@@ -363,21 +536,25 @@ object ColStatsInjection extends Logging {
               children.forall(c => c.foldable && c.eval() != null) =>
           Some(Literal(nRows))
         case Count(Seq(c)) if !c.foldable =>
-          scalarOf(c).map { case (s, _) => Literal(s.nRows - s.nNulls) }
+          // exact iff "profiled null" == "source null": any type for
+          // a str profile (rendering preserves nulls), integral only
+          // for a num profile (a failed long-cast counts as null)
+          scalarOf(c).collect {
+            case (s, a) if s.kind == "str" || numOk(s, a) =>
+              Literal(s.nRows - s.nNulls)
+          }
         case m: aggregate.Min =>
           scalarOf(m.child).collect {
-            case (s, a) if integral(a.dataType) =>
-              numLit(s.minNum, a.dataType)
+            case (s, a) if numOk(s, a) => numLit(s.minNum, a.dataType)
           }
         case m: aggregate.Max =>
           scalarOf(m.child).collect {
-            case (s, a) if integral(a.dataType) =>
-              numLit(s.maxNum, a.dataType)
+            case (s, a) if numOk(s, a) => numLit(s.maxNum, a.dataType)
           }
         case sm: Sum =>
           scalarOf(sm.child).collect {
-            case (s, a) if integral(a.dataType) &&
-                ae.dataType == LongType =>
+            case (s, a) if numOk(s, a) && ae.dataType == LongType &&
+                (!SQLConf.get.ansiEnabled || sumProvablySafe(s)) =>
               if (s.nRows == s.nNulls) Literal(null, LongType)
               else Literal(s.sumNum.getOrElse(0L))
           }

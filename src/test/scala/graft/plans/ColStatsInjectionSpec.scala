@@ -211,6 +211,164 @@ class ColStatsInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     ColStatsInjection.clear()
   }
 
+  test("misdeclared columns refuse: num-profiled strings and " +
+      "str-profiled integrals never serve wrong metadata answers") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-csi-kind").toString
+    val s = spark
+    import s.implicits._
+    // the lossy-cast hazard is a NON-ANSI phenomenon (under ANSI the
+    // misdeclared build itself raises on the failed cast — loudly
+    // honest); pin ANSI off so the hazard is reachable
+    withConf("spark.sql.ansi.enabled" -> "false") {
+    // sv: numeric-looking strings with one UNPARSEABLE value (its
+    // long-cast is null, so a num-profiled n_nulls over-counts);
+    // ik: an integral column misdeclared as str
+    Seq((1L, "10", 5L), (2L, "20", 6L), (3L, "oops", 7L))
+      .toDF("k", "sv", "ik").coalesce(1).write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    // MISDECLARED on purpose: sv in numCols, ik in strCols
+    ColStats.buildIfAbsent(b, Seq("k", "sv"), Seq("ik"), s"$root/st")
+    ColStatsInjection.register(s, b, s"$root/st")
+    b.createOrReplaceTempView("csi_kind_base")
+    def phys(q: String) =
+      s.sql(q).queryExecution.executedPlan.toString
+    // count(sv): a num profile of a string column counts failed
+    // casts as nulls — MUST scan (and the scan answers 3, not 2)
+    val cq = "SELECT count(sv) AS c FROM csi_kind_base"
+    assert(phys(cq).contains("FileScan"), phys(cq))
+    assert(s.sql(cq).collect().head.getLong(0) == 3L)
+    // min/max/sum of the str-profiled integral: no numeric scalars
+    // in the profile — MUST scan, never Literal(null)/0
+    val mq = "SELECT min(ik) AS mn, max(ik) AS mx, sum(ik) AS sm " +
+      "FROM csi_kind_base"
+    assert(phys(mq).contains("FileScan"), phys(mq))
+    assert(s.sql(mq).collect().head.toString == "[5,7,18]")
+    // count(ik) through the str profile IS exact (render preserves
+    // nulls) — serves with zero scan
+    val okq = "SELECT count(ik) AS c FROM csi_kind_base"
+    assert(!phys(okq).contains("FileScan"), phys(okq))
+    assert(s.sql(okq).collect().head.getLong(0) == 3L)
+    // and the injected CBO stats carry nothing for the misdeclared
+    // num column (its nulls/NDV/min/max would all be lies)
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val byName = GraftBridge.optimizedPlan(b).stats.attributeStats
+        .toSeq.map { case (a, cs) => a.name -> cs }.toMap
+      assert(!byName.contains("sv"), byName.keySet)
+      assert(byName("ik").nullCount.contains(BigInt(0))) // str-kind ok
+      assert(byName("ik").min.isEmpty && byName("ik").max.isEmpty)
+    }
+    }
+    ColStatsInjection.clear()
+  }
+
+  test("ANSI sum serve fires only when the profile's own bounds rule " +
+      "overflow out") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-csi-ansi").toString
+    val s = spark
+    import s.implicits._
+    // values near Long.MaxValue: the sum itself does NOT overflow,
+    // but n_nonnull × max|v| cannot prove that
+    Seq((1L, Long.MaxValue - 10L), (2L, 1L))
+      .toDF("k", "big").coalesce(1).write.parquet(s"$root/riskbase")
+    val risk = s.read.parquet(s"$root/riskbase")
+    ColStats.buildIfAbsent(risk, Seq("k", "big"), Nil, s"$root/riskst")
+    ColStatsInjection.register(s, risk, s"$root/riskst")
+    risk.createOrReplaceTempView("csi_ansi_risk")
+    val q = "SELECT sum(big) AS sb FROM csi_ansi_risk"
+    withConf("spark.sql.ansi.enabled" -> "false") {
+      val p = s.sql(q).queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan"), p) // non-ANSI: wrap == wrap
+    }
+    withConf("spark.sql.ansi.enabled" -> "true") {
+      val p = s.sql(q).queryExecution.executedPlan.toString
+      assert(p.contains("FileScan"), p) // unprovable: refuse to scan
+      assert(s.sql(q).collect().head.getLong(0) ==
+        Long.MaxValue - 9L) // and the scan is the exact ANSI answer
+      // a provably-safe column still serves under ANSI
+      val pk = s.sql("SELECT sum(k) AS sk FROM csi_ansi_risk")
+      assert(!pk.queryExecution.executedPlan.toString
+        .contains("FileScan"))
+      assert(pk.collect().head.getLong(0) == 3L)
+    }
+    ColStatsInjection.clear()
+  }
+
+  test("injected histograms: a skewed-column filter's selectivity " +
+      "estimate leaves the uniform assumption") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-csi-hist").toString
+    val s = spark
+    import s.implicits._
+    // 99% of rows at 1, 1% at 1_000_000: uniform min/max estimation
+    // of h > 1000 keeps ~99.9% of rows; the histogram knows better
+    val n = 2000
+    (0 until n).map(i =>
+        (i.toLong, if (i % 100 == 0) 1000000L else 1L))
+      .toDF("k", "h").repartition(2).write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    ColStats.buildIfAbsent(b, Seq("k", "h"), Nil, s"$root/st")
+    val trueMatches = n / 100
+    def estimate(): BigInt = withConf(
+      "spark.sql.cbo.enabled" -> "true") {
+      GraftBridge.optimizedPlan(b.filter(col("h") > 1000L))
+        .stats.rowCount.getOrElse(BigInt(-1))
+    }
+    ColStatsInjection.register(s, b, s"$root/st", histograms = false)
+    val uniform = estimate()
+    ColStatsInjection.register(s, b, s"$root/st")
+    val withHist = estimate()
+    assert(uniform > BigInt(n / 2),
+      s"premise: uniform estimate should keep most rows, got $uniform")
+    assert(withHist < uniform / 10,
+      s"histogram estimate $withHist not sharper than uniform $uniform")
+    assert((withHist - trueMatches).abs < BigInt(trueMatches * 5),
+      s"histogram estimate $withHist far from truth $trueMatches")
+    ColStatsInjection.clear()
+  }
+
+  test("refreshPins re-registers only when base and artifact " +
+      "verifiably hold the same content") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-csi-refresh").toString
+    val s = spark
+    import s.implicits._
+    def rows(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    rows(0, 100).coalesce(1).write.parquet(s"$root/base")
+    def b = s.read.parquet(s"$root/base")
+    ColStats.buildIfAbsent(b, Seq("k"), Seq("v"), s"$root/st")
+    ColStatsInjection.register(s, b, s"$root/st")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      assert(GraftBridge.optimizedPlan(b).stats
+        .rowCount.contains(BigInt(100)))
+      // fleet batch lands on BOTH sides
+      rows(100, 130).write.mode("append").parquet(s"$root/base")
+      ColStats.append(rows(100, 130), s"$root/st")
+      assert(GraftBridge.optimizedPlan(b).stats.rowCount.isEmpty)
+      val r1 = ColStatsInjection.refreshPins(s).collect().head
+      assert(r1.getBoolean(1), r1.getString(2))
+      assert(GraftBridge.optimizedPlan(b).stats
+        .rowCount.contains(BigInt(130)))
+      // base-only append: refresh refuses, injection stays off
+      rows(130, 140).write.mode("append").parquet(s"$root/base")
+      val r2 = ColStatsInjection.refreshPins(s).collect().head
+      assert(!r2.getBoolean(1) && r2.getString(2).contains("diverge"))
+      assert(GraftBridge.optimizedPlan(b).stats.rowCount.isEmpty)
+      // artifact catches up → refresh re-registers
+      ColStats.append(rows(130, 140), s"$root/st")
+      val r3 = ColStatsInjection.refreshPins(s).collect().head
+      assert(r3.getBoolean(1), r3.getString(2))
+      assert(GraftBridge.optimizedPlan(b).stats
+        .rowCount.contains(BigInt(140)))
+      // idempotent
+      val r4 = ColStatsInjection.refreshPins(s).collect().head
+      assert(!r4.getBoolean(1) && r4.getString(2).contains("fresh"))
+    }
+    ColStatsInjection.clear()
+  }
+
   test("injected() is scoped: stats baked into the returned plan, " +
       "registry empty afterwards") {
     ColStatsInjection.clear()
