@@ -28,6 +28,7 @@ object Graft {
     GraftBridge.addStrategy(spark, plans.RangeJoinStrategy)
     plans.AggViewRewrite.install(spark)
     plans.ColStatsInjection.install(spark)
+    plans.ZoneMapScan.install(spark)
     metrics.Metrics.install(spark)
   }
 }

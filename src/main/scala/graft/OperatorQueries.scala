@@ -483,6 +483,42 @@ object OperatorQueries {
         .select("k", "st", "cents").orderBy("k")
     }),
 
+    /** Zone-map skipping for PLAIN parquet SQL
+      * ([[graft.plans.ZoneMapScan]]): the table copy is range-laid-out
+      * on `cents` (8 value-tight files), a [[ZoneMap]] is built and
+      * REGISTERED against the plain parquet read, and a stock SQL
+      * range query — no graft API in the query text — plans a scan of
+      * only the surviving files (the optimizer rule substitutes the
+      * pruned file list; the predicate re-evaluates above, so pruning
+      * is never trusted). Oracle replays the aggregate directly;
+      * PlanInvariantSpec pins that fewer-than-all files are scanned.
+      */
+    "q236_zonemap_plain" -> ((s, d) => {
+      import graft.operators.ZoneMap
+      import graft.plans.ZoneMapScan
+      val root = lifecycleDir("q236", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.repartitionByRange(8, col("cents")).write.mode("overwrite")
+        .parquet(tableDir)
+      val idx = s"$root/zm"
+      ZoneMap.buildIfAbsent(s, tableDir, Seq("cents"), Seq("st"), idx)
+      ZoneMapScan.install(s)
+      val base = s.read.parquet(tableDir)
+      ZoneMapScan.register(s, base, idx)
+      base.createOrReplaceTempView("graft_q236_tbl")
+      import org.apache.spark.sql.GraftBridge
+      try GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+        s.sql("""SELECT st, count(*) AS cnt, sum(cents) AS sum_cents
+                |FROM graft_q236_tbl
+                |WHERE cents BETWEEN 1000000 AND 5000000
+                |GROUP BY st ORDER BY st""".stripMargin)))
+      finally ZoneMapScan.unregister(idx)
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1091,6 +1127,17 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the zone-map-pruned plain-SQL scan must equal the direct range
+    // aggregate — a pruned file whose zone intersected lands here
+    "q236_zonemap_plain" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT st, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t WHERE cents BETWEEN 1000000 AND 5000000
+        |GROUP BY st ORDER BY st""".stripMargin,
     // the rewritten-over-mor aggregate must equal the CDC fold:
     // create(k%4<>0) + one changelog batch (insert k%4=0, delete
     // k%7=0∧k%4<>0) ⇒ survivors = NOT(k%7=0 ∧ k%4<>0)

@@ -720,6 +720,36 @@ object ZoneMap {
     (all.filterNot(killed), all.length.toLong)
   }
 
+  /** The PROVABLY-DEAD file keys for a conjunction of `filters`:
+    * profiled files minus prune survivors, computed against ONE
+    * manifest + ledger snapshot. The subtraction form integrators
+    * want ([[MergeOnRead.readWhere]],
+    * [[graft.plans.ZoneMapScan]]): subtracting the killed set from
+    * their OWN file list means a lagging zone map can only keep
+    * extra files, never drop an unprofiled one.
+    */
+  def pruneKilled(spark: SparkSession, path: String,
+      filters: Seq[Filter]): Set[String] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    val ents = liveLedgerEnts(spark, path, mf)
+    val (survivors, _) = pruneWith(spark, path, mf, ents, filters)
+    ents.map(_.key).toSet -- survivors
+  }
+
+  /** The live file LEDGER rows (key, readable uri, length, mtime) —
+    * one per profiled file. What a consumer pinning the TABLE against
+    * the zone map ([[graft.plans.ZoneMapScan.register]]) verifies its
+    * listing against: a profiled file whose live (length, mtime)
+    * differ was rewritten in place after profiling, and the zone
+    * rows are stale in a way only a rebuild fixes.
+    */
+  def ledger(spark: SparkSession, path: String): Seq[FileEnt] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    liveLedgerEnts(spark, path, mf)
+  }
+
   /** Read the table through the zone map: prune the file list with
     * `filters`, scan only survivors. The predicate is NOT applied —
     * callers (and the SQL source's unhandled-filters contract)

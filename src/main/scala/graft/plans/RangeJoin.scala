@@ -586,6 +586,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
     e.injectOptimizerRule(s => AggViewRewrite.Rule(s))
     e.injectOptimizerRule(s => ColStatsInjection.Rule(s))
+    e.injectOptimizerRule(s => ZoneMapScan.Rule(s))
     GraftExtensions.sqlScalars.foreach { case (name, build) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,

@@ -1,0 +1,198 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, GraftBridge, GraftStaticFileIndex, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+
+import graft.operators.ZoneMap
+
+/** ZONE-MAP DATA SKIPPING for PLAIN parquet reads: an optimizer rule
+  * that prunes a registered table's FILE LIST through the persisted
+  * [[ZoneMap]] artifact before the scan is planned — `spark.read
+  * .parquet(dir).where(...)` and plain SQL over a parquet view get
+  * the q224-class skip ([[ZoneMap.scan]]'s plan) without calling any
+  * graft API in the query. Pruned files are never listed into the
+  * scan, never scheduled, never opened: the Delta/Iceberg skipping
+  * altitude bridged onto stock parquet directories.
+  *
+  * Soundness is subtraction-shaped, the [[graft.operators.MergeOnRead
+  * .readWhere]] rule: the artifact contributes only a KILLED set
+  * (files the predicate PROVABLY matches no row of), which is
+  * subtracted from the relation's own listing — a lagging zone map
+  * keeps extra files, an unprofiled file is never dropped. The
+  * predicate stays in the plan untouched and re-evaluates above the
+  * pruned scan, so pruning is never trusted as exact.
+  *
+  * Freshness: registration pins the base file listing
+  * ([[RelationPins.signature]]) AND verifies the artifact's ledger
+  * against it (every profiled file's length+mtime must match the
+  * live listing — a file rewritten in place after profiling refuses
+  * registration with rebuild guidance). Any later table change
+  * disables pruning (the sig mismatch falls back to the full scan —
+  * drift is never served) until [[refreshPins]] re-verifies and
+  * re-pins; run [[ZoneMap.refresh]] first so the new files are
+  * actually profiled (an unprofiled file re-pins fine but never
+  * skips).
+  *
+  * Only bare UNPARTITIONED, unbucketed parquet relations register:
+  * partition values live outside the data files, so a zone map keyed
+  * by file contents cannot speak for them (partition pruning already
+  * has a first-class path in Spark).
+  */
+object ZoneMapScan extends PredicateHelper with Logging {
+
+  final case class Entry(zmPath: String, roots: Set[String],
+      listingSig: Long)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  /** Pin `base` (a bare unpartitioned parquet scan) against the zone
+    * map at `zmPath`, verifying every profiled file's (length, mtime)
+    * against the live listing.
+    */
+  def register(spark: SparkSession, base: DataFrame,
+      zmPath: String): Entry = {
+    val (_, fsRel) = RelationPins.bare(GraftBridge.analyzedPlan(base))
+      .getOrElse(throw new IllegalArgumentException(
+        "register expects a bare single-file-source parquet scan; " +
+          "got:\n" + GraftBridge.analyzedPlan(base).treeString))
+    require(fsRel.partitionSchema.isEmpty,
+      "zone-map scan pruning registers unpartitioned tables only " +
+        "(partition values live outside the data files)")
+    require(fsRel.bucketSpec.isEmpty,
+      "bucketed relations carry layout semantics the pruned file " +
+        "list would break — not registrable")
+    require(fsRel.fileFormat.isInstanceOf[ParquetFileFormat],
+      "zone maps profile parquet files; this relation reads " +
+        s"${fsRel.fileFormat}")
+    val listed: Map[String, (Long, Long)] =
+      fsRel.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
+        .map(f => f.getPath.toUri.getPath ->
+          (f.getLen, f.fileStatus.getModificationTime))
+        .toMap
+    val stale = ZoneMap.ledger(spark, zmPath).filter { e =>
+      listed.get(e.key).exists { case (len, mtime) =>
+        len != e.len || (e.mtime != 0L && mtime != e.mtime)
+      }
+    }
+    require(stale.isEmpty,
+      s"zone map at $zmPath profiled " +
+        stale.map(_.key).sorted.take(3).mkString("[", ", ", "…]") +
+        " at a different length/mtime than the live table lists — " +
+        "the files were rewritten in place; rebuild the zone map " +
+        "(ZoneMap.buildIfAbsent) before registering")
+    val e = Entry(zmPath, RelationPins.rootPaths(fsRel),
+      RelationPins.signature(fsRel))
+    registry.put(zmPath, e)
+    e
+  }
+
+  def unregister(zmPath: String): Unit = { registry.remove(zmPath); () }
+
+  def clear(): Unit = registry.clear()
+
+  /** Re-pin every registration whose table listing moved, re-running
+    * the same ledger verification [[register]] performs. Call after
+    * [[ZoneMap.refresh]] in the table's maintenance loop. Returns
+    * (zm_path, refreshed, reason) per registration.
+    */
+  def refreshPins(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val rows = registry.values.asScala.toSeq.sortBy(_.zmPath).map { e =>
+      try {
+        val baseDf = spark.read.parquet(e.roots.toSeq.sorted: _*)
+        val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
+          .map(_._2).getOrElse(
+            throw new IllegalStateException("base no longer reads " +
+              "as a bare parquet scan"))
+        if (RelationPins.signature(fsRel) == e.listingSig)
+          (e.zmPath, false, "already fresh")
+        else {
+          register(spark, baseDf, e.zmPath)
+          (e.zmPath, true, "re-pinned")
+        }
+      } catch {
+        case NonFatal(ex) => (e.zmPath, false, ex.getMessage)
+      }
+    }
+    rows.toDF("zm_path", "refreshed", "reason")
+  }
+
+  /** Add the rule to a live session (idempotent). Config-time
+    * sessions get it from [[GraftExtensions]].
+    */
+  def install(spark: SparkSession): Unit =
+    GraftBridge.addOptimization(spark, Rule(spark))
+
+  final case class Rule(spark: SparkSession)
+      extends CatalystRule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (registry.isEmpty) plan
+      else {
+        // one listing fold per file-index instance per pass
+        val sigs =
+          new java.util.IdentityHashMap[AnyRef, java.lang.Long]
+        def sigOf(h: HadoopFsRelation): Long = {
+          val got = sigs.get(h.location)
+          if (got != null) got.longValue
+          else {
+            val s = RelationPins.signature(h)
+            sigs.put(h.location, java.lang.Long.valueOf(s))
+            s
+          }
+        }
+        plan.transformUp {
+          case f @ Filter(cond, l: LogicalRelation) =>
+            try tryPrune(f, cond, l, sigOf).getOrElse(f)
+            catch {
+              case NonFatal(e) =>
+                logWarning(s"zone-map scan prune skipped: $e")
+                f
+            }
+        }
+      }
+  }
+
+  private def tryPrune(f: Filter,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      l: LogicalRelation,
+      sigOf: HadoopFsRelation => Long): Option[Filter] = {
+    val h = l.relation match {
+      case h: HadoopFsRelation if h.partitionSchema.isEmpty => h
+      case _ => return None
+    }
+    val roots = RelationPins.rootPaths(h)
+    val e = registry.values.asScala
+      .find(e => e.roots == roots && e.listingSig == sigOf(h))
+      .getOrElse(return None)
+    if (!cond.deterministic || SubqueryExpression.hasSubquery(cond))
+      return None
+    val srcFilters = splitConjunctivePredicates(cond)
+      .flatMap(GraftBridge.translateFilter)
+    if (srcFilters.isEmpty) return None
+    val killed = ZoneMap.pruneKilled(h.sparkSession, e.zmPath, srcFilters)
+    if (killed.isEmpty) return None
+    val statuses =
+      h.location.listFiles(Nil, Nil).flatMap(_.files)
+    val keep = statuses.filterNot(s =>
+      killed(s.getPath.toUri.getPath))
+    if (keep.size == statuses.size) return None
+    // the pruned relation: same schema/format/options, a fixed file
+    // list (statuses already in memory — no FS call). The predicate
+    // stays above and re-evaluates; planning pushes it into the
+    // pruned scan exactly as it would the full one.
+    val idx = new GraftStaticFileIndex(h.location.rootPaths,
+      keep.map(_.fileStatus))
+    val newRel = h.copy(location = idx)(h.sparkSession)
+    Some(Filter(cond, l.copy(relation = newRel)))
+  }
+}

@@ -90,4 +90,15 @@ object GraftBridge {
   def parseExpression(spark: SparkSession, sql: String): Expression =
     classic.ClassicConversions.castToImpl(spark)
       .sessionState.sqlParser.parseExpression(sql)
+
+  /** Catalyst predicate → data-source [[sources.Filter]], via Spark's
+    * own translator (the one the file-source strategy uses for
+    * pushdown) — what lets an optimizer rule consult a source-Filter
+    * API ([[graft.operators.ZoneMap.pruneKilled]]) from a logical
+    * plan. Untranslatable predicates return None (callers stay
+    * conservative).
+    */
+  def translateFilter(predicate: Expression): Option[sources.Filter] =
+    execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
 }

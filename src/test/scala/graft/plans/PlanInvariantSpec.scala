@@ -230,6 +230,15 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!p.contains("/tbl/"), p)
   }
 
+  test("plain-SQL zone-map skipping scans fewer than all files and " +
+      "keeps the predicate above the pruned scan (q236)") {
+    val df = SparkEntry.queries("q236_zonemap_plain")(spark, sf)
+    assert(df.inputFiles.nonEmpty && df.inputFiles.length < 8,
+      df.inputFiles.mkString(", "))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("aggregate-view probe serve prunes to the probe's kb " +
       "partitions and broadcasts the probe — no shuffle join, no " +
       "sort agg (q209)") {

@@ -1,0 +1,121 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.ZoneMap
+
+/** Zone-map skipping for PLAIN parquet reads, mechanically:
+  *
+  *  - a registered table's filtered plain read scans ONLY the files
+  *    the zone map cannot rule out (`inputFiles` shrinks), and the
+  *    result equals the full scan's bit-for-bit (the predicate
+  *    re-evaluates above the pruned scan);
+  *  - a file landing in the table disables pruning (full scan, never
+  *    drift) until [[ZoneMap.refresh]] + [[ZoneMapScan.refreshPins]]
+  *    re-verify and re-pin — and an unprofiled file is NEVER dropped
+  *    meanwhile (killed-set subtraction);
+  *  - untranslatable predicates, unregistered tables, and all-match
+  *    predicates keep the full scan.
+  */
+class ZoneMapScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    ZoneMapScan.install(s)
+    s
+  }
+
+  private var tableDir: String = _
+  private var zmDir: String = _
+  private var totalFiles: Int = _
+
+  private def t: DataFrame = spark.read.parquet(tableDir)
+
+  override def beforeAll(): Unit = {
+    val root = Files.createTempDirectory("graft-zms-spec").toString
+    tableDir = s"$root/tbl"
+    zmDir = s"$root/zm"
+    val s = spark
+    import s.implicits._
+    // range-laid-out on v: each of the 8 files holds a tight v zone
+    (0 until 4000).map(i => (i.toLong, (i / 10).toLong, s"s$i"))
+      .toDF("k", "v", "s")
+      .repartitionByRange(8, col("v"))
+      .write.parquet(tableDir)
+    totalFiles = t.inputFiles.length
+    assert(totalFiles == 8)
+    ZoneMap.buildIfAbsent(spark, tableDir, Seq("v"), Nil, zmDir)
+    ()
+  }
+
+  override def afterAll(): Unit = ZoneMapScan.clear()
+
+  test("filtered plain read scans only surviving files, result " +
+      "identical to the full scan") {
+    ZoneMapScan.clear()
+    val q = t.filter(col("v") >= 100L && col("v") < 120L)
+    val truth = q.collect().map(_.toString).sorted.toSeq
+    assert(q.inputFiles.length == totalFiles) // unregistered: full
+    ZoneMapScan.register(spark, t, zmDir)
+    val pruned = t.filter(col("v") >= 100L && col("v") < 120L)
+    assert(pruned.inputFiles.length < totalFiles,
+      pruned.queryExecution.optimizedPlan.toString)
+    assert(pruned.collect().map(_.toString).sorted.toSeq == truth)
+    // plain SQL through a temp view prunes the same way
+    t.createOrReplaceTempView("zms_tbl")
+    val sqlQ = spark.sql(
+      "SELECT * FROM zms_tbl WHERE v >= 100 AND v < 120")
+    assert(sqlQ.inputFiles.length < totalFiles)
+    assert(sqlQ.collect().map(_.toString).sorted.toSeq == truth)
+    // an all-match predicate keeps every file
+    assert(t.filter(col("v") >= 0L).inputFiles.length == totalFiles)
+  }
+
+  test("table drift disables pruning (full scan, never drift) until " +
+      "refresh + re-pin; unprofiled files are never dropped") {
+    ZoneMapScan.clear()
+    ZoneMapScan.register(spark, t, zmDir)
+    assert(t.filter(col("v") === 50L).inputFiles.length < totalFiles)
+    // a late file lands: OUTSIDE every existing zone (v = -1)
+    val s = spark
+    import s.implicits._
+    Seq((999999L, -1L, "late")).toDF("k", "v", "s")
+      .write.mode("append").parquet(tableDir)
+    val stale = t.filter(col("v") === -1L)
+    // sig mismatch: full scan of ALL files — the late row is found
+    assert(stale.inputFiles.length == totalFiles + 1)
+    assert(stale.count() == 1L)
+    // refresh the artifact (profiles the new file), then re-pin
+    ZoneMap.refresh(spark, zmDir)
+    val st = ZoneMapScan.refreshPins(spark).collect().head
+    assert(st.getBoolean(1), st.getString(2))
+    val fresh = t.filter(col("v") === -1L)
+    assert(fresh.inputFiles.length < totalFiles + 1)
+    assert(fresh.count() == 1L)
+    // and a zone-mapped value elsewhere prunes again
+    assert(t.filter(col("v") === 50L).inputFiles.length <
+      totalFiles + 1)
+    val same = ZoneMapScan.refreshPins(spark).collect().head
+    assert(!same.getBoolean(1) && same.getString(2).contains("fresh"))
+  }
+
+  test("register refuses a partitioned relation and a non-bare plan") {
+    ZoneMapScan.clear()
+    val root = Files.createTempDirectory("graft-zms-part").toString
+    val s = spark
+    import s.implicits._
+    (0 until 100).map(i => (i.toLong, i % 3)).toDF("v", "p")
+      .write.partitionBy("p").parquet(s"$root/pt")
+    intercept[IllegalArgumentException] {
+      ZoneMapScan.register(spark, spark.read.parquet(s"$root/pt"), zmDir)
+    }
+    intercept[IllegalArgumentException] {
+      ZoneMapScan.register(spark, t.filter(col("v") > 0), zmDir)
+    }
+  }
+}
