@@ -565,6 +565,52 @@ object OperatorQueries {
         .orderBy("st")
     }),
 
+    /** FUSED one-scan profile build ([[graft.operators.Profile
+      * .buildBoth]]): ColStats AND ZoneMap from a single corpus pass
+      * (separately they cost six), then BOTH artifacts serve into one
+      * result — the merged per-column profile rows plus one synthetic
+      * row counting a zone-map-pruned range scan. The oracle replays
+      * the profile per column and the range count directly, so a
+      * fused aggregate that diverged from either separate builder's
+      * content lands in the hash (ProfileSpec additionally pins
+      * row-identity against the separate builders and the one-scan
+      * plan).
+      */
+    "q237_fused_profile" -> ((s, d) => {
+      import graft.operators.{ColStats, Profile, ZoneMap}
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual,
+        LessThanOrEqual}
+      val root = lifecycleDir("q237", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 100).as("bucketv"),
+        col("o_orderstatus").as("st"))
+      t.repartitionByRange(4, col("cents")).write.mode("overwrite")
+        .parquet(tableDir)
+      Profile.buildBoth(s, tableDir, Seq("k", "cents", "bucketv"),
+        Seq("st"), s"$root/cs", s"$root/zm", bloomCols = Seq("st"))
+      val stats = ColStats.stats(s, s"$root/cs")
+      val zoneRow = ZoneMap.scan(s, s"$root/zm",
+          Seq(GreaterThanOrEqual("cents", 1000000L),
+            LessThanOrEqual("cents", 5000000L)))
+        .filter(col("cents").between(1000000L, 5000000L))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("zone:cents_range").as("col_name"),
+          lit("zone").as("kind"), col("n_rows"),
+          lit(null).cast("long").as("n_nulls"),
+          lit(null).cast("long").as("min_num"),
+          lit(null).cast("long").as("max_num"),
+          lit(null).cast("long").as("sum_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"),
+          lit(null).cast("long").as("sum_len"),
+          lit(null).cast("long").as("max_len"))
+      stats.unionByName(zoneRow).orderBy("col_name")
+    }),
+
     /** Persisted COLUMN STATISTICS ([[graft.operators.ColStats]]) —
       * the lakehouse stats layer as an incrementally-maintained
       * artifact: build the per-column profile on 3/4 of orders,
@@ -1307,6 +1353,44 @@ object OperatorQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(sum(k) AS BIGINT) AS sum_keys
         |FROM u GROUP BY src, st ORDER BY src, st""".stripMargin,
+    // the fused build must serve the same profile the direct SQL
+    // computes, plus the zone-pruned range count (re-filtered above
+    // the pruned scan, so a wrong prune changes the count)
+    "q237_fused_profile" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |      ELSE CAST(o_orderkey % 100 AS BIGINT) END AS bucketv,
+        |    o_orderstatus AS st
+        |  FROM orders)
+        |SELECT 'bucketv' AS col_name, 'num' AS kind,
+        |  count(*) AS n_rows,
+        |  count(*) FILTER (WHERE bucketv IS NULL) AS n_nulls,
+        |  min(bucketv) AS min_num, max(bucketv) AS max_num,
+        |  CAST(sum(bucketv) AS BIGINT) AS sum_num,
+        |  CAST(NULL AS VARCHAR) AS min_str,
+        |  CAST(NULL AS VARCHAR) AS max_str,
+        |  CAST(NULL AS BIGINT) AS sum_len,
+        |  CAST(NULL AS BIGINT) AS max_len
+        |FROM t
+        |UNION ALL SELECT 'cents', 'num', count(*),
+        |  CAST(0 AS BIGINT), min(cents), max(cents),
+        |  CAST(sum(cents) AS BIGINT), NULL, NULL, NULL, NULL FROM t
+        |UNION ALL SELECT 'k', 'num', count(*),
+        |  CAST(0 AS BIGINT), min(k), max(k),
+        |  CAST(sum(k) AS BIGINT), NULL, NULL, NULL, NULL FROM t
+        |UNION ALL SELECT 'st', 'str', count(*),
+        |  CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  min(st), max(st),
+        |  CAST(sum(length(st)) AS BIGINT),
+        |  CAST(max(length(st)) AS BIGINT) FROM t
+        |UNION ALL SELECT 'zone:cents_range', 'zone',
+        |  count(*) FILTER (WHERE cents BETWEEN 1000000 AND 5000000),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  NULL, NULL, NULL, NULL FROM t
+        |ORDER BY col_name""".stripMargin,
     // each column's profile computed directly over ALL of orders
     // (build subset ∪ appended quarter); num rows carry NULL string
     // extrema and vice versa, exactly as the artifact serves them

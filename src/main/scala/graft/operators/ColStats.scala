@@ -104,10 +104,25 @@ object ColStats {
     * the replayable domain (−v overflows; Spark wraps to −64, DuckDB
     * errors) — fine for rendered data, documented not defended.
     */
-  private def histBucket(v: Column): Column =
+  private[operators] def histBucket(v: Column): Column =
     when(v === 0L, lit(0))
       .when(v > 0L, length(bin(v)).cast("int"))
       .otherwise(-length(bin(-v)).cast("int"))
+
+  /** The HLL (bucket, rho) pair of a RENDERED value — ONE definition
+    * shared by [[writeTables]] and the fused builder
+    * ([[Profile.buildBoth]]), so the two build paths can never drift.
+    */
+  private[operators] def hllBucketRho(vstr: Column): (Column, Column) = {
+    val h = shiftrightunsigned(
+      shiftleft(StableHash.md5Int60(concat(lit("hll:"), vstr)),
+        64 - HashBits), 64 - HashBits)
+    val w = HashBits - BucketBits
+    val rest = shiftrightunsigned(h, BucketBits)
+    (h.bitwiseAND(lit(((1 << BucketBits) - 1).toLong)),
+      when(rest === 0L, lit(w + 1))
+        .otherwise(lit(w + 1) - length(bin(rest))))
+  }
 
   def fingerprint(df: DataFrame, numCols: Seq[String],
       strCols: Seq[String]): (Long, Long) =
@@ -166,16 +181,10 @@ object ColStats {
         when(col("kind") === "str", col("__maxlen")).as("max_len"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/scalar")
-    val h = shiftrightunsigned(
-      shiftleft(StableHash.md5Int60(concat(lit("hll:"), col("vstr"))),
-        64 - HashBits), 64 - HashBits)
-    val w = HashBits - BucketBits
-    val rest = shiftrightunsigned(h, BucketBits)
+    val (hllBucket, hllRho) = hllBucketRho(col("vstr"))
     lf.filter(col("vstr").isNotNull)
       .select(col("col_name"),
-        h.bitwiseAND(lit(((1 << BucketBits) - 1).toLong)).as("bucket"),
-        when(rest === 0L, lit(w + 1))
-          .otherwise(lit(w + 1) - length(bin(rest))).as("rho"))
+        hllBucket.as("bucket"), hllRho.as("rho"))
       .groupBy("col_name", "bucket")
       .agg(max(col("rho")).cast("int").as("register"))
       .coalesce(1)
@@ -253,6 +262,20 @@ object ColStats {
         Build(path, fp, n, reused = false)
     }
   }
+
+  /** Fused-builder hooks ([[Profile.buildBoth]]): the reuse check and
+    * the manifest commit for a build whose TABLES the fused one-scan
+    * pass wrote (the fused pass calls [[IndexDirs.uncommit]] before
+    * writing, so commit order matches [[buildIfAbsent]]'s).
+    */
+  private[operators] def reusableFor(path: String, fp: Long, n: Long,
+      numCols: Seq[String], strCols: Seq[String]): Boolean =
+    readManifest(path).exists(
+      _.sameIndexAs(Manifest(fp, n, numCols, strCols)))
+
+  private[operators] def commitBuild(path: String, fp: Long, n: Long,
+      numCols: Seq[String], strCols: Seq[String]): Unit =
+    writeManifest(path, Manifest(fp, n, numCols, strCols))
 
   def append(delta: DataFrame, path: String): Build =
     appendImpl(delta, path, None)

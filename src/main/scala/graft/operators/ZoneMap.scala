@@ -128,7 +128,7 @@ object ZoneMap {
     * key so an in-place overwrite of a same-named file — even to the
     * same byte length — reads as a different table.
     */
-  private def listFingerprint(files: Seq[FileEnt]): (Long, Long) = {
+  private[operators] def listFingerprint(files: Seq[FileEnt]): (Long, Long) = {
     val fp = files.map { f =>
       scala.util.hashing.MurmurHash3
         .stringHash(s"${f.key}#${f.len}#${f.mtime}").toLong
@@ -141,7 +141,7 @@ object ZoneMap {
     * ([[listDataFiles]] uses `URI.getPath`) and the executor-side
     * column ([[fileKey]]), so the two sides always agree.
     */
-  private def fileKey(c: Column): Column =
+  private[operators] def fileKey(c: Column): Column =
     regexp_replace(
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
       "^[a-zA-Z][a-zA-Z0-9+.-]*:", "")
@@ -368,6 +368,23 @@ object ZoneMap {
         Build(path, fp, n, reused = false)
     }
   }
+
+  /** Fused-builder hooks ([[Profile.buildBoth]]): the reuse check and
+    * the manifest commit for a build whose TABLES the fused one-scan
+    * pass wrote (the fused pass calls [[IndexDirs.uncommit]] before
+    * writing, so commit order matches [[buildIfAbsent]]'s).
+    */
+  private[operators] def reusableFor(path: String, fp: Long, n: Long,
+      tableDir: String, numCols: Seq[String], strCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomK: Int): Boolean =
+    readManifest(path).exists(_.sameIndexAs(Manifest(fp, n, tableDir,
+      numCols, strCols, bloomCols, bloomBits, bloomK)))
+
+  private[operators] def commitBuild(path: String, fp: Long, n: Long,
+      tableDir: String, numCols: Seq[String], strCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int, bloomK: Int): Unit =
+    writeManifest(path, Manifest(fp, n, tableDir, numCols, strCols,
+      bloomCols, bloomBits, bloomK))
 
   /** Re-sync with the table directory. New files are profiled alone
     * (O(new data)) and committed as a delta; vanished files retract
