@@ -124,7 +124,8 @@ object Bench {
       "q224_zonemap_scan", "q225_zonemap_sql", "q226_colstats_hist",
       "q227_mor_zonemap", "q228_zonemap_bloom",
       "q229_mv_rewrite", "q230_mv_rollup", "q231_mv_probe",
-      "q232_mv_global", "q233_mv_avg", "q234_meta_agg")
+      "q232_mv_global", "q233_mv_avg", "q234_meta_agg",
+      "q235_mv_mor", "q236_zonemap_plain", "q237_fused_profile")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds
