@@ -248,6 +248,18 @@ object AggView {
   def versions(path: String): Seq[Long] =
     IndexDirs.listManifestVersions(path)
 
+  /** [[declaration]] as of a RETAINED manifest `version` — what a
+    * consumer verifying the view's commit CHAIN reads (each commit's
+    * fp/lastBatch pair tells a pure-maintenance commit apart from a
+    * batch apply apart from an out-of-band mutation; see
+    * [[graft.plans.AggViewRewrite.refreshPins]]). None when the
+    * version is no longer retained.
+    */
+  def declarationAt(path: String, version: Long): Option[Decl] =
+    IndexDirs.readManifestAt(path, version).map(toManifest).map(mf =>
+      Decl(mf.keys, mf.measures, mf.kbParts, mf.mv, mf.n, mf.fp,
+        mf.lastBatch))
+
   /** Manifest-declared key columns, in declaration order — the
     * routing metadata the SQL serve surface
     * ([[graft.sources.AggViewSource]]) uses to recognize a

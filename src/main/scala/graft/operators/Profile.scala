@@ -53,9 +53,14 @@ object Profile {
     */
   private[operators] def fusedAggregate(spark: SparkSession,
       tableDir: String, numCols: Seq[String], strCols: Seq[String],
-      bloomCols: Seq[String], bloomBits: Int, bloomK: Int)
+      bloomCols: Seq[String], bloomBits: Int, bloomK: Int,
+      listed: Option[Seq[ZoneMap.FileEnt]] = None)
       : (Seq[ZoneMap.FileEnt], DataFrame) = {
-    val files = ZoneMap.listDataFiles(tableDir)
+    // ONE listing drives the reuse fingerprint, the profile scan, AND
+    // the committed manifests (buildBoth passes its own) — a file
+    // landing between two listings must not commit a manifest whose
+    // fingerprint describes a different file set than was profiled
+    val files = listed.getOrElse(ZoneMap.listDataFiles(tableDir))
     require(files.nonEmpty, s"no parquet data files under $tableDir")
     val df = spark.read.parquet(files.map(_.uri): _*)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -172,7 +177,7 @@ object Profile {
     }
 
     val (files, aggLazy) = fusedAggregate(spark, tableDir, numCols,
-      strCols, bloomCols, bloomBits, bloomK)
+      strCols, bloomCols, bloomBits, bloomK, Some(preFiles))
     // THE one corpus scan: eagerly checkpoint the metadata-scale
     // aggregate; every table below derives from it scan-free
     val agg = aggLazy.localCheckpoint()

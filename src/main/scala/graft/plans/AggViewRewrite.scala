@@ -283,10 +283,48 @@ object AggViewRewrite extends PredicateHelper with Logging {
           else if (maxId != live.lastBatch)
             scala.Left(s"watermarks diverge (mor stream id $maxId vs view " +
               s"batch ${live.lastBatch}) — waiting for the other side")
-          else scala.Right(Entry(e.viewPath, MorPin(p, liveState),
-            live.version, live))
+          else viewChainClean(e, live) match {
+            case Some(reason) => scala.Left(reason)
+            case None => scala.Right(Entry(e.viewPath,
+              MorPin(p, liveState), live.version, live))
+          }
         }
     }
+  }
+
+  /** Verify the VIEW's commit chain since registration: every
+    * manifest version in (pinned, live] must be a pure-maintenance
+    * commit (fp unchanged — compaction/purge) or a fleet batch (the
+    * watermark advanced with the fp). An out-of-band mutation of the
+    * view — [[AggView.append]]/[[AggView.delete]] outside the batch
+    * feed — moves the fp WITHOUT the watermark and refuses: this is
+    * the poisoned-view hazard the parquet path's content-fingerprint
+    * check covers, verified here from manifests alone (the MOR fold
+    * has no cheap content fingerprint). A retention gap in the chain
+    * refuses too (can't verify what was GC'd).
+    *
+    * Returns None when clean, Some(reason) otherwise.
+    */
+  private def viewChainClean(e: Entry,
+      live: AggView.Decl): Option[String] = {
+    if (live.version == e.version) return None
+    val expected = (e.version + 1) to live.version
+    val retained = AggView.versions(e.viewPath).toSet
+    if (!expected.forall(retained))
+      return Some("view manifest versions since the pin were " +
+        "garbage-collected (retention window closed) — cannot verify " +
+        "the commit chain; re-register")
+    var prev = e.decl
+    expected.foreach { v =>
+      val d = AggView.declarationAt(e.viewPath, v).getOrElse(
+        return Some(s"view manifest version $v vanished mid-check — " +
+          "re-register"))
+      if (!(d.fp == prev.fp || d.lastBatch > prev.lastBatch))
+        return Some("view received commits outside the batch feed " +
+          "(fp moved without the watermark advancing) — re-register")
+      prev = d
+    }
+    None
   }
 
   /** Wrap a CDC sink so every applied batch is followed by a pin

@@ -150,6 +150,30 @@ class MorRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggView.append(oob.drop("op", "seq"), viewDir)
   }
 
+  test("an out-of-band VIEW mutation refuses the refresh (the " +
+      "poisoned view never re-pins); a view compaction re-pins") {
+    AggViewRewrite.clear()
+    AggViewRewrite.register(spark, morDf, viewDir)
+    val s = spark
+    import s.implicits._
+    // pure maintenance: compaction moves the version but not the fp —
+    // the commit-chain walk accepts it and the pin refreshes
+    AggView.compactDeltas(s, viewDir)
+    val r1 = AggViewRewrite.refreshPins(s).collect().head
+    assert(r1.getBoolean(1) || r1.getString(2).contains("fresh"),
+      r1.getString(2))
+    // poison: rows folded into the VIEW outside the batch feed — fp
+    // moves without the watermark; the MOR watermarks still match,
+    // so ONLY the chain walk can catch this
+    AggView.append(Seq((777L, "g0", 777L)).toDF("k", "g", "x"),
+      viewDir)
+    val r2 = AggViewRewrite.refreshPins(s).collect().head
+    assert(!r2.getBoolean(1) &&
+      r2.getString(2).contains("outside the batch feed"),
+      r2.getString(2))
+    assert(!hitsView(q)) // and the rewrite stays off
+  }
+
   test("a version-pinned (time-travel) mor read never rewrites") {
     AggViewRewrite.clear()
     val v = MergeOnRead.versions(dir).max
