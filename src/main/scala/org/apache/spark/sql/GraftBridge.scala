@@ -91,6 +91,30 @@ object GraftBridge {
     classic.ClassicConversions.castToImpl(spark)
       .sessionState.sqlParser.parseExpression(sql)
 
+  /** A NEW session on the same SparkContext with `f` applied to a
+    * fresh [[SparkSessionExtensions]] — the config-time
+    * `spark.sql.extensions` injection altitude (operator-batch
+    * optimizer rules run BEFORE the CBO join-reorder batch there),
+    * constructible without tearing down an existing session. Lets a
+    * spec prove the pre-CBO behavior the
+    * [[graft.plans.ColStatsInjection.install]] doc points users to.
+    */
+  def sessionWithExtensions(spark: SparkSession,
+      f: SparkSessionExtensions => Unit): SparkSession = {
+    // getOrCreate returns the active session unless none is set:
+    // clear both refs, build a sibling session on the SAME context
+    // through the public withExtensions hook, restore the originals
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try SparkSession.builder().withExtensions(f).getOrCreate()
+    finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   /** Catalyst predicate → data-source [[sources.Filter]], via Spark's
     * own translator (the one the file-source strategy uses for
     * pushdown) — what lets an optimizer rule consult a source-Filter

@@ -328,6 +328,83 @@ class ColStatsInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     ColStatsInjection.clear()
   }
 
+  test("under the config-time extensions path, injected stats drive " +
+      "CBO join REORDERING: the tiny dim joins the fact first") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-csi-reorder").toString
+    val s = spark
+    import s.implicits._
+    // one big fact (100k rows), a TINY dim d1 (50 rows) and a FAT
+    // dim d2 (5000 rows), all on key k with ndv 50. The query is
+    // WRITTEN fat-dim-first — (big ⋈ d2) ⋈ d1 builds a ~10M-row
+    // intermediate where (big ⋈ d1) ⋈ d2 builds ~100k — so only a
+    // cost-based reorder with REAL cardinalities can flip it (d1 ⋈ d2
+    // directly is a cartesian product the reorderer won't plan)
+    (0 until 100000).map(i => (i.toLong % 50, i.toLong))
+      .toDF("k", "x").coalesce(2).write.parquet(s"$root/big")
+    (0 until 50).map(i => (i.toLong, s"a$i"))
+      .toDF("k", "a").coalesce(1).write.parquet(s"$root/d1")
+    (0 until 5000).map(i => (i.toLong % 50, s"b$i"))
+      .toDF("k", "b").coalesce(1).write.parquet(s"$root/d2")
+    for (t <- Seq("big", "d1", "d2"))
+      ColStats.buildIfAbsent(s.read.parquet(s"$root/$t"),
+        Seq("k"), Nil, s"$root/st-$t")
+    // the config-time injection altitude: a sibling session whose
+    // extensions run the rule in the operator batch, BEFORE the
+    // Join Reorder batch (the install() path runs after it — the
+    // documented limitation this spec complements)
+    val s2 = GraftBridge.sessionWithExtensions(spark,
+      new GraftExtensions()(_))
+    for (t <- Seq("big", "d1", "d2"))
+      ColStatsInjection.register(s2, s2.read.parquet(s"$root/$t"),
+        s"$root/st-$t")
+    def q(sess: org.apache.spark.sql.SparkSession) =
+      sess.read.parquet(s"$root/big")
+        .join(sess.read.parquet(s"$root/d2"), "k")
+        .join(sess.read.parquet(s"$root/d1"), "k")
+    // the INNERMOST join's subtree: with reordering, it holds the
+    // two dims and not the fact table
+    def innermostRoots(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val plan = GraftBridge.optimizedPlan(df)
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val innermost = joins.last // collect is pre-order; last = deepest
+      innermost.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten.toSet
+    }
+    val conf = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    // no registrations visible to the plain session rule-run order:
+    // assert the written order survives WITHOUT stats
+    val without = withConf(conf: _*) {
+      ColStatsInjection.clear()
+      innermostRoots(q(s))
+    }
+    assert(without.exists(_.contains("/d2")) &&
+      !without.exists(_.contains("/d1")),
+      s"premise: without stats the written (fat-dim-first) order " +
+        s"holds: $without")
+    for (t <- Seq("big", "d1", "d2"))
+      ColStatsInjection.register(s2, s2.read.parquet(s"$root/$t"),
+        s"$root/st-$t")
+    conf.foreach { case (k, v) => s2.conf.set(k, v) }
+    val withStats = innermostRoots(q(s2))
+    assert(withStats.exists(_.contains("/d1")) &&
+      !withStats.exists(_.contains("/d2")),
+      s"stats-driven reorder should join the tiny dim first: $withStats")
+    // and the results are identical either way (plan-only)
+    assert(q(s2).count() == q(s).count())
+    ColStatsInjection.clear()
+  }
+
   test("refreshPins re-registers only when base and artifact " +
       "verifiably hold the same content") {
     ColStatsInjection.clear()
