@@ -99,6 +99,27 @@ object ZoneMapScan extends PredicateHelper with Logging {
 
   def clear(): Unit = registry.clear()
 
+  /** Current registrations — the ops answer to "why didn't my scan
+    * skip": one row per registered zone map (path, table roots,
+    * pinned listing signature, and whether the artifact is still IN
+    * SYNC with the live table listing — live fingerprint equality,
+    * metadata-only).
+    */
+  def status(spark: SparkSession): DataFrame = {
+    val s = spark
+    import s.implicits._
+    registry.values.asScala.toSeq.sortBy(_.zmPath).map { e =>
+      val pinFresh =
+        try {
+          val baseDf = spark.read.parquet(e.roots.toSeq.sorted: _*)
+          RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
+            .exists(r => RelationPins.signature(r._2) == e.listingSig)
+        } catch { case NonFatal(_) => false }
+      (e.zmPath, e.roots.toSeq.sorted.mkString(","), e.listingSig,
+        pinFresh)
+    }.toDF("zm_path", "table_roots", "listing_sig", "pin_fresh")
+  }
+
   /** Re-pin every registration whose table listing moved, re-running
     * the same ledger verification [[register]] performs. Call after
     * [[ZoneMap.refresh]] in the table's maintenance loop. Returns

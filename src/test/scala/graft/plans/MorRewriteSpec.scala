@@ -64,7 +64,9 @@ class MorRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("""SELECT g, count(*) AS c, sum(x) AS sx
                 |FROM morspec_tbl GROUP BY g""".stripMargin)
 
-  private def hitsView(df: DataFrame): Boolean = {
+  private def hitsView(df: DataFrame): Boolean = hitsViewAt(df, viewDir)
+
+  private def hitsViewAt(df: DataFrame, vd: String): Boolean = {
     val plan = GraftBridge.optimizedPlan(df)
     val morLeft = plan.collectFirst {
       case l: LogicalRelation if l.relation.isInstanceOf[MorRelation] => l
@@ -74,7 +76,7 @@ class MorRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
         case _ => Nil
       }
-    }.flatten.exists(_.contains(viewDir))
+    }.flatten.exists(_.contains(vd))
     viewScanned && !morLeft
   }
 
@@ -172,6 +174,57 @@ class MorRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       r2.getString(2).contains("outside the batch feed"),
       r2.getString(2))
     assert(!hitsView(q)) // and the rewrite stays off
+  }
+
+  test("refreshingSink keeps the registration live across a REAL " +
+      "micro-batch stream: every batch lands in table, view, and pin") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mor-stream-rw").toString
+    val tdir = s"$root/tbl"
+    val vdir = s"$root/view"
+    implicit val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    def rows(from: Int, until: Int, op: String, seq: Long) =
+      (from until until).map(i =>
+        (i.toLong, s"g${i % 3}", i.toLong, op, seq))
+    MergeOnRead.create(
+      rows(0, 60, "I", 0L).toDF("k", "g", "x", "op", "seq")
+        .drop("op", "seq"),
+      tdir, Seq("k"), nBuckets = 4)
+    val mdf = spark.read.format("mor").load(tdir)
+    AggView.buildIfAbsent(mdf, Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), vdir, kbParts = 4)
+    AggViewRewrite.register(spark, mdf, vdir)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW morspec_stream " +
+      s"USING mor OPTIONS (path '$tdir')")
+    def agg = spark.sql("""SELECT g, count(*) AS c, sum(x) AS sx
+                          |FROM morspec_stream GROUP BY g""".stripMargin)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, String, Long)]
+    val q = input.toDF().toDF("k", "g", "x", "op", "seq")
+      .writeStream
+      .foreachBatch(graft.operators.IndexPipeline.sink(
+        MergeOnRead.foreachBatchSink(tdir),
+        AggView.cdcSink(vdir),
+        AggViewRewrite.refreshingSink(spark)))
+      .start()
+    input.addData(rows(60, 80, "I", 1L): _*)
+    q.processAllAvailable()
+    // batch 0 applied to table AND view, then the sink refreshed the
+    // pin — the very next plain-SQL aggregate rewrites
+    val a1 = agg
+    assert(hitsViewAt(a1, vdir), GraftBridge.optimizedPlan(a1).toString)
+    assert(a1.collect().map(_.getLong(1)).sum == 80L)
+    // a delete batch flows the same way
+    input.addData(rows(0, 5, "D", 2L): _*)
+    q.processAllAvailable()
+    q.stop()
+    val a2 = agg
+    assert(hitsViewAt(a2, vdir), GraftBridge.optimizedPlan(a2).toString)
+    assert(a2.collect().map(_.getLong(1)).sum == 75L)
+    AggViewRewrite.unregister(vdir)
   }
 
   test("a version-pinned (time-travel) mor read never rewrites") {

@@ -90,6 +90,9 @@ class ZoneMapScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sig mismatch: full scan of ALL files — the late row is found
     assert(stale.inputFiles.length == totalFiles + 1)
     assert(stale.count() == 1L)
+    // the ops surface sees the drift
+    val stStale = ZoneMapScan.status(spark).collect().head
+    assert(!stStale.getAs[Boolean]("pin_fresh"))
     // refresh the artifact (profiles the new file), then re-pin
     ZoneMap.refresh(spark, zmDir)
     val st = ZoneMapScan.refreshPins(spark).collect().head
