@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
-  LessThanOrEqual}
+  LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
   LongType, ShortType, StructType}
 
@@ -54,7 +54,11 @@ import graft.functions.StrExtremaAgg.{str_max, str_min}
   * (`EqualTo`/`In`/range ⇒ intersect [min,max] of NON-NULL values —
   * these predicates reject nulls, so an all-null file prunes;
   * `IsNull` ⇒ prune files with zero nulls; `IsNotNull` ⇒ prune
-  * all-null files). Unrecognized filters and undeclared columns keep
+  * all-null files; `StringStartsWith`/LIKE-'p%' ⇒ intersect the
+  * prefix's byte interval [p, nextPrefix(p))). String zone tests
+  * compare UTF-8 BYTES — the order the extrema were aggregated under
+  * — never Java's UTF-16 code-unit order, which disagrees above the
+  * BMP. Unrecognized filters and undeclared columns keep
   * every file. Callers re-apply the predicate above the scan —
   * pruning is never trusted as exact ([[graft.sources.ZoneMapSource]]
   * reports every filter unhandled for the same reason).
@@ -565,6 +569,45 @@ object ZoneMap {
     spark.read.parquet(mf.tableDir).schema
   }
 
+  /** Unsigned lexicographic compare of UTF-8 byte strings — the
+    * ordering the zone extrema were AGGREGATED under
+    * ([[graft.functions.StrExtremaAgg]] compares `UTF8String`s =
+    * UTF-8 bytes = code points). Java's `String.compareTo` is UTF-16
+    * code-UNIT order, which DISAGREES above the BMP (a surrogate
+    * pair's 0xD800-range units sort below U+E000..U+FFFF singles), so
+    * zone tests must compare in byte space or a file holding a
+    * supplementary-plane value can be pruned while it matches.
+    */
+  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The smallest byte string GREATER than every string with prefix
+    * `p` (in byte space): increment p's last non-0xFF byte, truncate
+    * after it. None when every byte is 0xFF (no upper bound). The
+    * prefix interval is then [p, next(p)).
+    */
+  private def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
   /** Can the file described by one stats row contain a row matching
     * `f`? Conservative per-filter test on a single column's zone.
     */
@@ -584,24 +627,28 @@ object ZoneMap {
         case (Some(lo), Some(hi)) => test(lo, hi)
         case _ => false
       }
-    def strZone(test: (String, String) => Boolean): Boolean =
+    // zone tests in UTF-8 byte order — the order the extrema carry
+    def strZone(test: (Array[Byte], Array[Byte]) => Boolean): Boolean =
       (minS, maxS) match {
-        case (Some(lo), Some(hi)) => test(lo, hi)
+        case (Some(lo), Some(hi)) => test(utf8(lo), utf8(hi))
         case _ => false
       }
+    def strContains(v: String): Boolean = {
+      val b = utf8(v)
+      strZone((lo, hi) => byteCmp(lo, b) <= 0 && byteCmp(b, hi) <= 0)
+    }
     f match {
       case IsNull(_) => nNulls > 0
       case IsNotNull(_) => nNulls < nRows
       case EqualTo(_, v) if kind == "num" =>
         asLong(v).forall(x => numZone((lo, hi) => lo <= x && x <= hi))
-      case EqualTo(_, v: String) if kind == "str" =>
-        strZone((lo, hi) => lo <= v && v <= hi)
+      case EqualTo(_, v: String) if kind == "str" => strContains(v)
       case In(_, vs) if kind == "num" =>
         vs.exists(v => asLong(v)
           .forall(x => numZone((lo, hi) => lo <= x && x <= hi)))
       case In(_, vs) if kind == "str" =>
         vs.exists {
-          case v: String => strZone((lo, hi) => lo <= v && v <= hi)
+          case v: String => strContains(v)
           case _ => true
         }
       case GreaterThan(_, v) if kind == "num" =>
@@ -613,13 +660,21 @@ object ZoneMap {
       case LessThanOrEqual(_, v) if kind == "num" =>
         asLong(v).forall(x => numZone((lo, _) => lo <= x))
       case GreaterThan(_, v: String) if kind == "str" =>
-        strZone((_, hi) => hi > v)
+        strZone((_, hi) => byteCmp(hi, utf8(v)) > 0)
       case GreaterThanOrEqual(_, v: String) if kind == "str" =>
-        strZone((_, hi) => hi >= v)
+        strZone((_, hi) => byteCmp(hi, utf8(v)) >= 0)
       case LessThan(_, v: String) if kind == "str" =>
-        strZone((lo, _) => lo < v)
+        strZone((lo, _) => byteCmp(lo, utf8(v)) < 0)
       case LessThanOrEqual(_, v: String) if kind == "str" =>
-        strZone((lo, _) => lo <= v)
+        strZone((lo, _) => byteCmp(lo, utf8(v)) <= 0)
+      // LIKE 'p%': strings with prefix p form the byte interval
+      // [p, nextPrefix(p)) — a file survives iff its zone intersects
+      case StringStartsWith(_, p) if kind == "str" =>
+        strZone { (lo, hi) =>
+          val pb = utf8(p)
+          byteCmp(hi, pb) >= 0 &&
+            nextPrefix(pb).forall(np => byteCmp(lo, np) < 0)
+        }
       case _ => true // unrecognized ⇒ never prune on it
     }
   }
@@ -633,6 +688,7 @@ object ZoneMap {
     case LessThanOrEqual(a, _) => Some(a)
     case IsNull(a) => Some(a)
     case IsNotNull(a) => Some(a)
+    case StringStartsWith(a, _) => Some(a)
     case _ => None
   }
 

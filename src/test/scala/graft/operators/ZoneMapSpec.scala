@@ -361,4 +361,54 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM zm_s").collect().toSet ==
       ZoneMap.stats(spark, idx).collect().toSet)
   }
+
+  test("string zones compare in UTF-8 byte order: a file holding a " +
+      "supplementary-plane value is never pruned for it") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{EqualTo => Eq}
+    val dir = tmp("zm-utf8-t"); val idx = tmp("zm-utf8-i")
+    // one file holding {U+FFFD, U+1F600}: UTF-8 byte order puts the
+    // emoji ABOVE U+FFFD (4-byte lead 0xF0 > 0xEF), so the zone is
+    // [U+FFFD, U+1F600] — but UTF-16 code-unit order puts the emoji's
+    // surrogate lead 0xD83D BELOW 0xFFFD, so a Java-String interval
+    // test would call the emoji out-of-zone and prune its own file
+    Seq((1L, "\ufffd"), (2L, "\ud83d\ude00"))
+      .toDF("k", "s").coalesce(1).write.mode("overwrite").parquet(dir)
+    ZoneMap.buildIfAbsent(spark, dir, Seq("k"), Seq("s"), idx)
+    val (survivors, total) =
+      ZoneMap.prune(spark, idx, Seq(Eq("s", "\ud83d\ude00")))
+    assert(total == 1L && survivors.size == 1)
+    assert(ZoneMap.scan(spark, idx, Seq(Eq("s", "\ud83d\ude00")))
+      .filter(col("s") === "\ud83d\ude00").count() == 1L)
+  }
+
+  test("LIKE-prefix predicates prune on string zones: files outside " +
+      "the prefix byte-interval drop, holders and edge cases stay") {
+    import org.apache.spark.sql.sources.StringStartsWith
+    val dir = tmp("zm-pfx-t"); val idx = tmp("zm-pfx-i")
+    writeTable(dir) // s = g0..g25, range-clustered by k (s interleaves)
+    import spark.implicits._
+    // a second table clustered BY s so prefixes are observable
+    val dir2 = tmp("zm-pfx2-t"); val idx2 = tmp("zm-pfx2-i")
+    (0 until 400).map(i => (i.toLong, f"p${i % 4}%s-${i}%03d"))
+      .toDF("k", "s").repartitionByRange(4, col("s"))
+      .write.mode("overwrite").parquet(dir2)
+    ZoneMap.buildIfAbsent(spark, dir2, Seq("k"), Seq("s"), idx2)
+    val (surv, total) =
+      ZoneMap.prune(spark, idx2, Seq(StringStartsWith("s", "p2-")))
+    assert(total == 4L && surv.size < 4,
+      s"prefix should prune some of the 4 s-clustered files: $surv")
+    // pruned scan ≡ full scan under the re-applied predicate
+    val got = ZoneMap.scan(spark, idx2,
+        Seq(StringStartsWith("s", "p2-")))
+      .filter(col("s").startsWith("p2-")).count()
+    assert(got == 100L)
+    // a prefix matching nothing prunes everything
+    assert(ZoneMap.prune(spark, idx2,
+      Seq(StringStartsWith("s", "zz")))._1.isEmpty)
+    // 0xFF-edge: a prefix whose bytes are all maximal has no upper
+    // bound — conservative keep of any file with max >= prefix
+    assert(ZoneMap.prune(spark, idx2,
+      Seq(StringStartsWith("s", "\u07ff")))._1.isEmpty) // all below
+  }
 }
