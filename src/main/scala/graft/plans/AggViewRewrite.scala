@@ -308,6 +308,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
   private def viewChainClean(e: Entry,
       live: AggView.Decl): Option[String] = {
     if (live.version == e.version) return None
+    // a REBUILD uncommits and restarts the version sequence: the
+    // chain back to the pin no longer exists, and whether the new
+    // build rolls up the CURRENT table is the builder's fingerprint
+    // contract, not something this walk can see — re-register
+    if (live.version < e.version)
+      return Some("view was rebuilt (manifest versions reset) — " +
+        "re-register")
     val expected = (e.version + 1) to live.version
     val retained = AggView.versions(e.viewPath).toSet
     if (!expected.forall(retained))

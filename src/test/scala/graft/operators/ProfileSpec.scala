@@ -83,6 +83,30 @@ class ProfileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rCs.reused && rZm.reused)
   }
 
+  test("bloomless fused build: the empty bloom table keeps the " +
+      "reader-expected schema and matches the separate builder") {
+    val sepCs = s"$root/sep0-cs"
+    val sepZm = s"$root/sep0-zm"
+    val fusCs = s"$root/fus0-cs"
+    val fusZm = s"$root/fus0-zm"
+    ColStats.buildIfAbsent(spark.read.parquet(tableDir), num, str,
+      sepCs)
+    ZoneMap.buildIfAbsent(spark, tableDir, num, str, sepZm)
+    val (fCs, fZm) = Profile.buildBoth(spark, tableDir, num, str,
+      fusCs, fusZm)
+    assert(!fCs.reused && !fZm.reused)
+    val sepBloom = spark.read.parquet(s"$sepZm/bloom")
+    val fusBloom = spark.read.parquet(s"$fusZm/bloom")
+    assert(sepBloom.schema == fusBloom.schema)
+    assert(sepBloom.count() == 0L && fusBloom.count() == 0L)
+    // the reader path (prune with an undeclared-bloom equality)
+    // unions the empty table without error on either artifact
+    import org.apache.spark.sql.sources.EqualTo
+    assert(ZoneMap.prune(spark, fusZm, Seq(EqualTo("s", "s1")))._2 == 4L)
+    assert(rows(ZoneMap.stats(spark, fusZm)) ==
+      rows(ZoneMap.stats(spark, sepZm)))
+  }
+
   test("the fused aggregate scans the corpus exactly once") {
     val (_, agg) = Profile.fusedAggregate(spark, tableDir, num, str,
       blooms, 8192, 3)
