@@ -360,6 +360,14 @@ object ColStatsInjection extends Logging {
       "(fingerprint mismatch) — waiting for the other side")
   }
 
+  /** Wrap a CDC sink so every applied batch is followed by a pin
+    * refresh ([[graft.plans.AggViewRewrite.refreshingSink]]'s twin
+    * for the stats bridge): `IndexPipeline.sink(ColStats.cdcSink(p),
+    * …, ColStatsInjection.refreshingSink(spark))`.
+    */
+  def refreshingSink(spark: SparkSession): (DataFrame, Long) => Unit =
+    (_, _) => { refreshPins(spark).collect(); () }
+
   /** Add the rule to a live session (idempotent). NOTE: the live
     * path registers via `experimental.extraOptimizations`, which runs
     * in the final "User Provided Optimizers" batch — AFTER the CBO

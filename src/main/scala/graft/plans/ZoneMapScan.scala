@@ -148,6 +148,13 @@ object ZoneMapScan extends PredicateHelper with Logging {
     rows.toDF("zm_path", "refreshed", "reason")
   }
 
+  /** Wrap a maintenance step so it is followed by a pin refresh —
+    * the table-compaction hook: run [[ZoneMap.refresh]] then this
+    * after appending files to the registered table.
+    */
+  def refreshingSink(spark: SparkSession): (DataFrame, Long) => Unit =
+    (_, _) => { refreshPins(spark).collect(); () }
+
   /** Add the rule to a live session (idempotent). Config-time
     * sessions get it from [[GraftExtensions]].
     */

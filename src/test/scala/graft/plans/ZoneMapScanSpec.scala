@@ -107,6 +107,28 @@ class ZoneMapScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!same.getBoolean(1) && same.getString(2).contains("fresh"))
   }
 
+  test("bloom filters back plain-SQL equality pruning where zones " +
+      "keep everything (hash layout)") {
+    ZoneMapScan.clear()
+    val root = Files.createTempDirectory("graft-zms-bloom").toString
+    val s = spark
+    import s.implicits._
+    // hash layout: every file's k-zone spans the whole domain, so
+    // only the per-file bloom can rule files out for an equality
+    (0 until 4000).map(i => (i.toLong, s"v$i"))
+      .toDF("k", "s").repartition(8, col("k"))
+      .write.parquet(s"$root/tbl")
+    val t2 = spark.read.parquet(s"$root/tbl")
+    ZoneMap.buildIfAbsent(spark, s"$root/tbl", Seq("k"), Nil,
+      s"$root/zm", bloomCols = Seq("k"))
+    ZoneMapScan.register(spark, t2, s"$root/zm")
+    t2.createOrReplaceTempView("zms_bloom_tbl")
+    val q = spark.sql("SELECT * FROM zms_bloom_tbl WHERE k = 1234")
+    assert(q.inputFiles.length < 8,
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.count() == 1L)
+  }
+
   test("register refuses a partitioned relation and a non-bare plan") {
     ZoneMapScan.clear()
     val root = Files.createTempDirectory("graft-zms-part").toString
