@@ -479,8 +479,9 @@ object AggViewRewrite extends PredicateHelper with Logging {
       .filter(e => pinFresh(e, id, memo)).toSeq
     if (cands.isEmpty) return None
     // prefer the COARSEST sufficient view: fewer keys = fewer rollup
-    // groups = the smallest artifact that can still answer
-    cands.sortBy(_.decl.keys.size).iterator
+    // groups = the smallest artifact that can still answer; ties
+    // break on path so plan choice never depends on map iteration
+    cands.sortBy(e => (e.decl.keys.size, e.viewPath)).iterator
       .map(e => rewriteWith(spark, agg, rel, filters, e, memo))
       .collectFirst { case Some(a) => a }
   }

@@ -445,7 +445,10 @@ object ColStatsInjection extends Logging {
       case _ => return None
     }
     val roots = RelationPins.rootPaths(h)
-    val cands = registry.values.asScala.filter(_.basePaths == roots)
+    // sorted: with several registered artifacts for one table, the
+    // chosen one never depends on map iteration order
+    val cands = registry.values.asScala
+      .filter(_.basePaths == roots).toSeq.sortBy(_.statsPath)
     if (cands.isEmpty) return None
     val sig = RelationPins.signature(h)
     cands.find { e =>

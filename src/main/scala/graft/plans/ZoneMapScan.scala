@@ -199,7 +199,9 @@ object ZoneMapScan extends PredicateHelper with Logging {
       case _ => return None
     }
     val roots = RelationPins.rootPaths(h)
-    val e = registry.values.asScala
+    // sorted: with several registered zone maps for one table, the
+    // consulted one never depends on map iteration order
+    val e = registry.values.asScala.toSeq.sortBy(_.zmPath)
       .find(e => e.roots == roots && e.listingSig == sigOf(h))
       .getOrElse(return None)
     if (!cond.deterministic || SubqueryExpression.hasSubquery(cond))
