@@ -519,6 +519,74 @@ object OperatorQueries {
       finally ZoneMapScan.unregister(idx)
     }),
 
+    /** O(DELTA) LIVE-MAINTAINED BRIDGES ([[graft.plans
+      * .ColStatsInjection]] + [[graft.plans.AggViewRewrite]] with
+      * per-file fingerprint partials): one fused pass builds the
+      * stats profile AND the zone map whose format-4 ledger stores
+      * per-file fingerprint partials; the stats registration seeds
+      * its refresh partials from that ledger SCAN-FREE; a fleet
+      * batch (the held-out quarter) lands on base and artifacts; and
+      * `refreshPins` re-verifies both pins by fingerprinting ONLY
+      * the appended file (composition over stored partials — the
+      * round-19 O(delta) contract, plan-pinned by ODeltaRefreshSpec).
+      * The served result mixes both bridges: the grouped aggregate
+      * rewrites onto the view, the `_ALL` row is the metadata-only
+      * profile serve (zero scan). The oracle replays both directly
+      * over the full orders table, so a stale pin, a mis-composed
+      * fingerprint, or a wrong partial lands in the hash.
+      */
+    "q238_odelta_refresh" -> ((s, d) => {
+      import graft.operators.{AggView, ColStats, Profile}
+      import graft.plans.{AggViewRewrite, ColStatsInjection}
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q238", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.filter(col("k") % 4 =!= 0).repartition(4)
+        .write.mode("overwrite").parquet(tableDir)
+      def base = s.read.parquet(tableDir)
+      Profile.buildBoth(s, tableDir, Seq("k", "cents"), Seq("st"),
+        s"$root/cs", s"$root/zm")
+      AggView.buildIfAbsent(base, Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/view", kbParts = 4)
+      ColStatsInjection.install(s)
+      AggViewRewrite.install(s)
+      ColStatsInjection.register(s, base, s"$root/cs",
+        histograms = false, ledger = Some(s"$root/zm"))
+      AggViewRewrite.register(s, base, s"$root/view")
+      try {
+        // fleet batch: held-out quarter lands on base + both artifacts
+        val delta = t.filter(col("k") % 4 === 0)
+        delta.coalesce(1).write.mode("append").parquet(tableDir)
+        ColStats.append(delta, s"$root/cs")
+        AggView.append(delta, s"$root/view")
+        val rc = ColStatsInjection.refreshPins(s).collect()
+        require(rc.forall(_.getBoolean(1)),
+          "stats pin refresh refused: " +
+            rc.map(_.getString(2)).mkString("; "))
+        val rv = AggViewRewrite.refreshPins(s).collect()
+        require(rv.forall(_.getBoolean(1)),
+          "view pin refresh refused: " +
+            rv.map(_.getString(2)).mkString("; "))
+        base.createOrReplaceTempView("graft_q238_tbl")
+        val grouped = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT st, count(*) AS n, sum(cents) AS sum_cents
+                  |FROM graft_q238_tbl GROUP BY st""".stripMargin)))
+        val total = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT '_ALL' AS st, count(*) AS n,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q238_tbl""".stripMargin)))
+        grouped.unionByName(total).orderBy("st")
+      } finally {
+        ColStatsInjection.unregister(s"$root/cs")
+        AggViewRewrite.unregister(s"$root/view")
+      }
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1173,6 +1241,22 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the O(delta)-refreshed bridges must serve exactly the full
+    // table: grouped agg (view rewrite) + the _ALL row (metadata
+    // serve) both replay directly over orders
+    "q238_odelta_refresh" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT)
+        |  AS sum_cents
+        |FROM t GROUP BY st
+        |UNION ALL
+        |SELECT '_ALL' AS st, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t
+        |ORDER BY st""".stripMargin,
     // the zone-map-pruned plain-SQL scan must equal the direct range
     // aggregate — a pruned file whose zone intersected lands here
     "q236_zonemap_plain" ->

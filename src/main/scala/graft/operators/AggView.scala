@@ -242,6 +242,22 @@ object AggView {
     fingerprint(facts, mf)
   }
 
+  /** [[factsFingerprint]] grouped per source FILE
+    * ([[IndexDirs.contentFingerprintByFile]] under the view's own
+    * dependency projection) — the per-file partials a pin refresh
+    * stores so later refreshes fingerprint only NEW files and
+    * compose the rest (O(delta)). `facts` must be a bare file scan
+    * (possibly of a file subset — the delta path reads just the new
+    * files).
+    */
+  def factsFingerprintByFile(facts: DataFrame,
+      path: String): Map[String, (Long, Long)] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    IndexDirs.contentFingerprintByFile(projected(facts, mf),
+      mf.keys ++ mf.mNames)
+  }
+
   /** Committed manifest versions of the view, ascending — the valid
     * arguments to [[readAsOf]].
     */

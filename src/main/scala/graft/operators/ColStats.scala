@@ -128,6 +128,15 @@ object ColStats {
       strCols: Seq[String]): (Long, Long) =
     IndexDirs.contentFingerprint(df, numCols ++ strCols)
 
+  /** [[fingerprint]] grouped per source FILE — the per-file partials
+    * a pin refresh ([[graft.plans.ColStatsInjection.refreshPins]])
+    * stores so later refreshes fingerprint only NEW files and
+    * compose the rest (O(delta)). `df` must be a bare file scan.
+    */
+  def fingerprintByFile(df: DataFrame, numCols: Seq[String],
+      strCols: Seq[String]): Map[String, (Long, Long)] =
+    IndexDirs.contentFingerprintByFile(df, numCols ++ strCols)
+
   /** One row per (input row, declared column): (col_name, kind,
     * vnum, vstr) — vstr is the RENDERED value ([[Hll.md5Hash]]
     * input; a BIGINT renders identically in Spark and DuckDB), null

@@ -393,6 +393,31 @@ private[operators] object IndexDirs {
     (if (n == 0) 0L else r.getLong(0), n)
   }
 
+  /** Per-FILE partials of [[contentFingerprint]]: the same xor/count
+    * algebra grouped by the scheme-free source file key. Because xor
+    * and count are abelian, the partials of any file subset compose
+    * to that subset's exact fingerprint — what lets a pin refresh
+    * ([[graft.plans.RelationPins.composeFingerprint]]) fingerprint
+    * only files it has no stored partial for and COMPOSE the rest,
+    * O(delta) instead of one projected corpus scan per refresh. Same
+    * scan cost as the ungrouped form (one map-side-combined
+    * aggregate; ≤ |files| rows out — the altitude any scan's file
+    * index already materializes). Zero-row files produce no group —
+    * callers default them to the (0, 0) identity. Only meaningful
+    * when `df` is evaluated in the same stage as a file-source scan
+    * (a bare scan under narrow projections), where
+    * `input_file_name()` names the scanned file.
+    */
+  def contentFingerprintByFile(df: DataFrame,
+      cols: Seq[String]): Map[String, (Long, Long)] =
+    df.select(ZoneMap.fileKey(input_file_name()).as("__file"),
+        xxhash64(cols.map(col): _*).as("__h"))
+      .groupBy("__file")
+      .agg(bit_xor(col("__h")).as("fp"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
   /** Typed accessors over a parsed manifest — the `...Or` variants
     * carry each field's compat default exactly once (a manifest
     * written before a field existed reads as the value that forces

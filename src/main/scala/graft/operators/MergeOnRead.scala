@@ -656,10 +656,10 @@ object MergeOnRead {
     // but useless over the new files — re-sync it here, priced at
     // the compaction's own output (only the new ver's files profile;
     // replaced files retract from the metadata-scale table). A
-    // pre-format-3 zone map can't refresh (no files ledger) — SKIP
-    // it rather than fail a compaction that already committed; it
-    // stays stale-but-safe until rebuilt
-    if (ZoneMap.format(zoneMapPath(dir)).exists(_ >= 3))
+    // pre-format-4 zone map can't refresh (no per-file ledger with
+    // fingerprint partials) — SKIP it rather than fail a compaction
+    // that already committed; it stays stale-but-safe until rebuilt
+    if (ZoneMap.format(zoneMapPath(dir)).exists(_ >= 4))
       refreshZoneMap(spark, dir)
     touched.size
   }

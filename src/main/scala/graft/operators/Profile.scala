@@ -220,8 +220,18 @@ object Profile {
 
     val s = spark
     import s.implicits._
-    files.map(f => (f.key, f.uri, f.len, f.mtime))
-      .toDF("file", "uri", "flen", "fmtime").coalesce(1)
+    // per-file content-fingerprint partials from the fp grain — the
+    // format-4 ledger columns (ZoneMap.fingerprintLedger): xor/count
+    // per file, composing to the whole-table fingerprint below
+    val fpByFile: Map[String, (Long, Long)] =
+      agg.filter(col("grain") === "fp")
+        .select(col("file"), col("xorv"), col("cnt")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    files.map { f =>
+      val (fcfp, fcn) = fpByFile.getOrElse(f.key, (0L, 0L))
+      (f.key, f.uri, f.len, f.mtime, fcfp, fcn)
+    }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn").coalesce(1)
       .write.mode("overwrite").parquet(s"$zoneMapPath/files")
     val lens = files.map(f => (f.key, f.len)).toDF("file", "flen")
     sc.groupBy("file", "col_name", "kind")
@@ -251,12 +261,12 @@ object Profile {
 
     // content fingerprint from the fp grain: xor of per-file xors,
     // sum of per-file counts — bit-equal to contentFingerprint's
-    // one-aggregate form by associativity
-    val fpRow = agg.filter(col("grain") === "fp")
-      .agg(bit_xor(col("xorv")).as("fp"), sum(col("cnt")).as("n"))
-      .collect()(0)
-    val cn = if (fpRow.isNullAt(1)) 0L else fpRow.getLong(1)
-    val cfp = if (cn == 0L) 0L else fpRow.getLong(0)
+    // one-aggregate form by associativity (folded driver-side over
+    // the ledger partials already collected above)
+    val cn = fpByFile.valuesIterator.map(_._2).sum
+    val cfp =
+      if (cn == 0L) 0L
+      else fpByFile.valuesIterator.foldLeft(0L)(_ ^ _._1)
 
     ColStats.commitBuild(colStatsPath, cfp, cn, numCols, strCols)
     ZoneMap.commitBuild(zoneMapPath, zfp, zn, tableDir, numCols,

@@ -82,9 +82,16 @@ object ZoneMap {
     * non-default filesystem (scans now read the ledger's URIs), and
     * a same-length in-place rewrite was invisible to the length-only
     * pin (the ledger carries mtime).
+    * 4 added per-file CONTENT-FINGERPRINT partials to the ledger
+    * (`cfp`/`cn`: xor of per-row xxhash64 over the declared columns
+    * plus the row count, computed in the same profiling scan) — what
+    * lets a consumer verifying "base content == sibling artifact"
+    * ([[graft.plans.ColStatsInjection.refreshPins]]) COMPOSE stored
+    * partials for unchanged files and fingerprint only new ones
+    * (O(delta) instead of a projected corpus scan per refresh).
     * `sameIndexAs` includes fmt, so older artifacts rebuild.
     */
-  private val Fmt = 3
+  private val Fmt = 4
 
   private case class Manifest(fp: Long, n: Long, tableDir: String,
       numCols: Seq[String], strCols: Seq[String],
@@ -187,13 +194,6 @@ object ZoneMap {
   private def profile(spark: SparkSession, mf: Manifest,
       files: Seq[FileEnt], outDir: String): Unit = {
     import spark.implicits._
-    // the driver-side ledger: COMPLETE over the profiled files (a
-    // zero-row file contributes no stats rows but must still be a
-    // known file), and the only place the READABLE uri is kept
-    files.map(f => (f.key, f.uri, f.len, f.mtime))
-      .toDF("file", "uri", "flen", "fmtime")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/files")
     val lens = files.map(f => (f.key, f.len)).toDF("file", "flen")
     val df = spark.read.parquet(files.map(_.uri): _*)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -212,8 +212,20 @@ object ZoneMap {
         lit(null).cast("string").as("vstr"))) ++
       mf.strCols.map(c => struct(lit(c).as("col_name"),
         lit("str").as("kind"), lit(null).cast("long").as("vnum"),
-        col(c).cast("string").as("vstr")))
-    df.select(fileKey(input_file_name()).as("file"),
+        col(c).cast("string").as("vstr"))) :+
+      // the per-file content-fingerprint piece (format 4): the row's
+      // xxhash64 over ALL declared columns — the same expression
+      // IndexDirs.contentFingerprint hashes, so the per-file xor
+      // partials compose to exactly what a consumer's projected
+      // fingerprint pass would compute. vstr = "x": never counted
+      // as a null by the n_nulls expression below.
+      struct(lit("").as("col_name"), lit("fp").as("kind"),
+        xxhash64((mf.numCols ++ mf.strCols).map(col): _*).as("vnum"),
+        lit("x").as("vstr"))
+    // ONE scan feeds stats AND the ledger fingerprints: the grouped
+    // aggregate is metadata-scale (≤ |files|·(|cols|+1) rows), so
+    // checkpointing it is cheap where a second corpus scan is not
+    val agg = df.select(fileKey(input_file_name()).as("file"),
         explode(array(pieces: _*)).as("e"))
       .select(col("file"), col("e.*"))
       .groupBy("file", "col_name", "kind")
@@ -225,10 +237,28 @@ object ZoneMap {
         // string min/max would downgrade this corpus-scale pass to
         // SortAggregate (see graft.functions.StrExtremaAgg)
         str_min(col("vstr")).as("min_str"),
-        str_max(col("vstr")).as("max_str"))
+        str_max(col("vstr")).as("max_str"),
+        bit_xor(when(col("kind") === "fp", col("vnum"))).as("xorv"))
+      .localCheckpoint()
+    agg.filter(col("kind") =!= "fp").drop("xorv")
       .join(broadcast(lens), Seq("file"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/stats")
+    // the driver-side ledger: COMPLETE over the profiled files (a
+    // zero-row file contributes no stats rows — it gets the (0, 0)
+    // fingerprint identity), the only place the READABLE uri is
+    // kept, and (format 4) the per-file fingerprint partials
+    val fpByFile: Map[String, (Long, Long)] =
+      agg.filter(col("kind") === "fp")
+        .select(col("file"), col("xorv"), col("n_rows")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    files.map { f =>
+      val (cfp, cn) = fpByFile.getOrElse(f.key, (0L, 0L))
+      (f.key, f.uri, f.len, f.mtime, cfp, cn)
+    }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/files")
     // per-(file, col) bloom filter over the RENDERED value, packed
     // into ≤ bloomBits/64 64-bit words per pair (one bit_or hash
     // aggregate — rows stay metadata-scale at any corpus size)
@@ -329,7 +359,10 @@ object ZoneMap {
 
   private def liveLedgerEnts(spark: SparkSession, path: String,
       mf: Manifest): Seq[FileEnt] =
-    liveLedger(spark, path, mf).collect()
+    // by-name select: the format-4 ledger carries fingerprint
+    // columns after these four
+    liveLedger(spark, path, mf)
+      .select("file", "uri", "flen", "fmtime").collect()
       .map(r => FileEnt(r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3)))
       .sortBy(_.key).toIndexedSeq
@@ -399,10 +432,11 @@ object ZoneMap {
   def refresh(spark: SparkSession, path: String): Build = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
-    require(decl.fmt >= 3,
+    require(decl.fmt >= 4,
       s"zone map at $path was written by format ${decl.fmt}; " +
-        "refresh needs the format-3 files ledger — rebuild with " +
-        "buildIfAbsent to upgrade (reads still work meanwhile)")
+        "refresh needs the format-4 files ledger (per-file pins + " +
+        "fingerprint partials) — rebuild with buildIfAbsent to " +
+        "upgrade (reads still work meanwhile)")
     val now = listDataFiles(decl.tableDir)
     val (fp, n) = listFingerprint(now)
     if (fp == decl.fp && n == decl.n)
@@ -538,6 +572,41 @@ object ZoneMap {
     */
   def format(path: String): Option[Int] =
     readManifest(path).map(_.fmt)
+
+  /** The committed manifest VERSION of the artifact — every
+    * build/refresh/compact commit is a higher version, so this is
+    * the freshness pin a consumer ([[graft.plans.ZoneMapScan]])
+    * re-checks before trusting killed-set subtraction it verified
+    * against an earlier state of the artifact.
+    */
+  def version(path: String): Long =
+    readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path")).mv
+
+  /** The artifact's committed declaration + freshness pins, as a
+    * value: what a consumer pins at registration and compares
+    * whole-sale before trusting the artifact again. The manifest
+    * VERSION alone is not enough — a REBUILD ([[buildIfAbsent]] over
+    * a changed declaration) uncommits and restarts the version
+    * sequence, so the rebuilt artifact can land on the very version
+    * number that was pinned; the declaration fields (cols, bloom
+    * shape, fmt, listing fingerprint, delta chain) distinguish it.
+    * Two equal Decls imply the same artifact CONTENT: a build is a
+    * deterministic function of (declaration, file set), and the
+    * listing fingerprint pins the file set by (name, length, mtime).
+    */
+  final case class Decl(tableDir: String, numCols: Seq[String],
+      strCols: Seq[String], bloomCols: Seq[String], bloomBits: Int,
+      bloomK: Int, fmt: Int, version: Long, fp: Long, n: Long,
+      baseVer: Int, deltas: Seq[String])
+
+  def declaration(path: String): Decl = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    Decl(mf.tableDir, mf.numCols, mf.strCols, mf.bloomCols,
+      mf.bloomBits, mf.bloomK, mf.fmt, mf.mv, mf.fp, mf.n,
+      mf.baseVer, mf.deltas)
+  }
 
   /** The live per-file stats table — base ∪ deltas, rows disjoint
     * by (file, col_name), no fold needed.
@@ -821,6 +890,30 @@ object ZoneMap {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
     liveLedgerEnts(spark, path, mf)
+  }
+
+  /** The format-4 ledger's per-file CONTENT-FINGERPRINT partials:
+    * file key → (length, mtime, fp partial, row count), one row per
+    * profiled file, computed in the profiling scan itself. What a
+    * sibling-artifact consumer ([[graft.plans.ColStatsInjection]])
+    * seeds its pin-refresh partials from — scan-free, because the
+    * build already paid the pass. The partials hash the declared
+    * columns IN DECLARATION ORDER (numCols ++ strCols), so they
+    * compose to [[ColStats.fingerprint]] of a table profiled with
+    * the SAME declaration — the consumer must verify that column
+    * match ([[declaration]]) before adopting them. None for
+    * pre-format-4 artifacts (no stored partials).
+    */
+  def fingerprintLedger(spark: SparkSession,
+      path: String): Option[Map[String, (Long, Long, Long, Long)]] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no zone map at $path"))
+    if (mf.fmt < 4) None
+    else Some(liveLedger(spark, path, mf)
+      .select("file", "flen", "fmtime", "cfp", "cn").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap)
   }
 
   /** Read the table through the zone map: prune the file list with

@@ -117,7 +117,15 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * [[refreshPins]]/re-registration.
     */
   sealed trait BasePin
-  final case class FsPin(roots: Set[String], listingSig: Long)
+  /** `fileFps` is the refresh accelerator, not part of the pin's
+    * identity: per-file content-fingerprint partials
+    * ([[RelationPins.FileFp]]) accumulated by [[refreshPins]] so
+    * each verification fingerprints only files it has no stored
+    * partial for (O(delta)); empty at registration (register stays
+    * metadata-only) and seeded by the first verification's own scan.
+    */
+  final case class FsPin(roots: Set[String], listingSig: Long,
+      fileFps: Map[String, RelationPins.FileFp] = Map.empty)
       extends BasePin
   final case class MorPin(morPath: String, state: MergeOnRead.State)
       extends BasePin
@@ -185,7 +193,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
         try Some(AggView.declaration(e.viewPath).version)
         catch { case NonFatal(_) => None }
       val (baseDesc, baseFresh) = e.pin match {
-        case FsPin(roots, _) =>
+        case FsPin(roots, _, _) =>
           (roots.toSeq.sorted.mkString(","), None: Option[Boolean])
         case MorPin(p, st) =>
           (p, Some(try MergeOnRead.state(p) == st
@@ -233,7 +241,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
     val s = spark
     import s.implicits._
     val rows = registry.values.asScala.toSeq.sortBy(_.viewPath).map {
-      e => refreshOne(spark, e) match {
+      // per-registration isolation: one unreadable artifact or FS
+      // hiccup reports as THAT row's reason instead of throwing out
+      // of the whole pass (and, via refreshingSink, failing the
+      // entire streaming batch for every other registration)
+      e => (try refreshOne(spark, e)
+        catch { case NonFatal(ex) =>
+          scala.Left(s"refresh failed: $ex") }) match {
         case scala.Right(updated) =>
           registry.put(e.viewPath, updated)
           (e.viewPath, true, "re-pinned")
@@ -252,7 +266,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
       live.kbParts != e.decl.kbParts)
       return scala.Left("view declaration changed (rebuild) — re-register")
     e.pin match {
-      case FsPin(roots, sig) =>
+      case FsPin(roots, sig, fps) =>
         val baseDf = spark.read.parquet(roots.toSeq.sorted: _*)
         val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
           .map(_._2).getOrElse(
@@ -260,14 +274,29 @@ object AggViewRewrite extends PredicateHelper with Logging {
         val newSig = RelationPins.signature(fsRel)
         if (newSig == sig && live.version == e.version)
           scala.Left("already fresh")
-        else {
-          val (fp, n) = AggView.factsFingerprint(baseDf, e.viewPath)
-          if (fp == live.fp && n == live.n)
-            scala.Right(Entry(e.viewPath,
-              FsPin(RelationPins.rootPaths(fsRel), newSig),
-              live.version, live))
-          else scala.Left("base content and view rollup diverge " +
-            "(fingerprint mismatch) — waiting for the other side")
+        else RelationPins.composeFingerprint(
+          RelationPins.listedFiles(fsRel), fps,
+          uris => AggView.factsFingerprintByFile(
+            spark.read.parquet(uris: _*), e.viewPath)) match {
+          // O(delta): only files with no stored partial were scanned
+          // (all of them on the FIRST verification, which seeds the
+          // partials; just the appended ones thereafter)
+          case scala.Left(reason) => scala.Left(reason)
+          case scala.Right((fp, n, partials)) =>
+            if (fp == live.fp && n == live.n)
+              scala.Right(Entry(e.viewPath,
+                FsPin(RelationPins.rootPaths(fsRel), newSig, partials),
+                live.version, live))
+            else {
+              // keep the freshly computed partials even on refusal:
+              // they are facts about the BASE's files, independent of
+              // view consistency — once the other side converges, the
+              // next refresh verifies O(delta), not O(corpus)
+              registry.put(e.viewPath,
+                e.copy(pin = FsPin(roots, sig, partials)))
+              scala.Left("base content and view rollup diverge " +
+                "(fingerprint mismatch) — waiting for the other side")
+            }
         }
       case MorPin(p, st) =>
         val liveState = try MergeOnRead.state(p)
@@ -294,14 +323,21 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   /** Verify the VIEW's commit chain since registration: every
     * manifest version in (pinned, live] must be a pure-maintenance
-    * commit (fp unchanged — compaction/purge) or a fleet batch (the
-    * watermark advanced with the fp). An out-of-band mutation of the
-    * view — [[AggView.append]]/[[AggView.delete]] outside the batch
-    * feed — moves the fp WITHOUT the watermark and refuses: this is
-    * the poisoned-view hazard the parquet path's content-fingerprint
-    * check covers, verified here from manifests alone (the MOR fold
-    * has no cheap content fingerprint). A retention gap in the chain
-    * refuses too (can't verify what was GC'd).
+    * commit (fp AND row count unchanged — compaction/purge) or a
+    * fleet batch (the watermark advanced with the fp). An
+    * out-of-band mutation of the view — [[AggView.append]]/
+    * [[AggView.delete]] outside the batch feed — moves the fp
+    * WITHOUT the watermark and refuses: this is the poisoned-view
+    * hazard the parquet path's content-fingerprint check covers,
+    * verified here from manifests alone (the MOR fold has no cheap
+    * content fingerprint). The row count is checked alongside the
+    * fp because the xor fingerprint is blind to EVEN-MULTIPLICITY
+    * duplicates (the [[graft.operators.IndexDirs]] doc pairs fp with
+    * n for exactly this reason): an out-of-band append whose delta
+    * xor-cancels — e.g. `df.union(df)` in one commit — leaves the fp
+    * unchanged but must not read as maintenance; compaction/purge
+    * preserve n, so clean maintenance still passes. A retention gap
+    * in the chain refuses too (can't verify what was GC'd).
     *
     * Returns None when clean, Some(reason) otherwise.
     */
@@ -326,7 +362,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
       val d = AggView.declarationAt(e.viewPath, v).getOrElse(
         return Some(s"view manifest version $v vanished mid-check — " +
           "re-register"))
-      if (!(d.fp == prev.fp || d.lastBatch > prev.lastBatch))
+      if (!((d.fp == prev.fp && d.n == prev.n) ||
+          d.lastBatch > prev.lastBatch))
         return Some("view received commits outside the batch feed " +
           "(fp moved without the watermark advancing) — re-register")
       prev = d
@@ -465,7 +502,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     */
   private def pinFresh(e: Entry, id: BaseId, memo: Memo): Boolean =
     (e.pin, id) match {
-      case (FsPin(roots, sig), FsId(h)) =>
+      case (FsPin(roots, sig, _), FsId(h)) =>
         RelationPins.rootPaths(h) == roots && memo.signatureOf(h) == sig
       case (MorPin(p, st), MorId(m)) =>
         m.path == p && memo.morStateOf(p).contains(st)

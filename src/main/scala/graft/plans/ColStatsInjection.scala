@@ -96,10 +96,19 @@ object ColStatsInjection extends Logging {
   final case class Scalar(kind: String, nRows: Long, nNulls: Long,
       minNum: Option[Long], maxNum: Option[Long], sumNum: Option[Long])
 
+  /** `fileFps` is the refresh accelerator, not part of the pin's
+    * identity: per-file content-fingerprint partials
+    * ([[RelationPins.FileFp]]) seeded scan-free from a co-built
+    * zone map's format-4 ledger (`ledger`) and/or accumulated by
+    * [[refreshPins]]' own verification scans, so each refresh
+    * fingerprints only files it has no stored partial for.
+    */
   final case class Entry(statsPath: String, basePaths: Set[String],
       listingSig: Long, version: Long, stats: CatalogStatistics,
       scalars: Map[String, Scalar], decl: ColStats.Decl,
-      withHistograms: Boolean)
+      withHistograms: Boolean,
+      ledger: Option[String] = None,
+      fileFps: Map[String, RelationPins.FileFp] = Map.empty)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -121,8 +130,20 @@ object ColStatsInjection extends Logging {
     * the equi-height histogram derivation (the hist table read and
     * the per-column interpolation).
     */
+  /** `ledger` (optional): the path of a ZONE MAP built over the same
+    * table with the SAME declared columns (the [[graft.operators
+    * .Profile.buildBoth]] co-build) — its format-4 files ledger
+    * carries per-file content-fingerprint partials computed in the
+    * profiling scan itself, which seed this registration's refresh
+    * partials SCAN-FREE. Only entries whose (length, mtime) match
+    * the live listing are adopted (a conservative filter: anything
+    * else is treated as unprofiled and scanned at the next refresh);
+    * a ledger whose declaration doesn't match the artifact's columns
+    * refuses (its partials hash a different projection).
+    */
   def register(spark: SparkSession, base: DataFrame,
-      statsPath: String, histograms: Boolean = true): Entry = {
+      statsPath: String, histograms: Boolean = true,
+      ledger: Option[String] = None): Entry = {
     val (rel, fsRel) = RelationPins.bare(GraftBridge.analyzedPlan(base))
       .getOrElse(throw new IllegalArgumentException(
         "register expects a bare single-file-source scan (the table " +
@@ -222,9 +243,35 @@ object ColStatsInjection extends Logging {
           longAt("min_num"), longAt("max_num"), longAt("sum_num"))
       }
     }.toMap
+    val fileFps: Map[String, RelationPins.FileFp] = ledger match {
+      case None => Map.empty
+      case Some(zmPath) =>
+        val zm = graft.operators.ZoneMap.declaration(zmPath)
+        require(zm.numCols == decl.numCols &&
+            zm.strCols == decl.strCols,
+          s"zone-map ledger at $zmPath declares columns " +
+            s"(${zm.numCols.mkString(",")} | ${zm.strCols.mkString(",")})" +
+            " but the stats artifact profiles " +
+            s"(${decl.numCols.mkString(",")} | ${decl.strCols.mkString(",")})" +
+            " — its fingerprint partials hash a different projection")
+        val stored = graft.operators.ZoneMap
+          .fingerprintLedger(spark, zmPath)
+          .getOrElse(throw new IllegalArgumentException(
+            s"zone map at $zmPath predates format 4 — no stored " +
+              "fingerprint partials; rebuild it or register without " +
+              "a ledger"))
+        val live = RelationPins.listedFiles(fsRel)
+          .map(f => f.key -> f).toMap
+        stored.collect {
+          case (key, (len, mtime, cfp, cn))
+              if live.get(key).exists(f =>
+                f.len == len && f.mtime == mtime) =>
+            key -> RelationPins.FileFp(len, mtime, cfp, cn)
+        }
+    }
     val e = Entry(statsPath, RelationPins.rootPaths(fsRel),
       RelationPins.signature(fsRel), decl.version, catalog, scalars,
-      decl, histograms)
+      decl, histograms, ledger, fileFps)
     registry.put(statsPath, e)
     e
   }
@@ -327,8 +374,14 @@ object ColStatsInjection extends Logging {
     val s = spark
     import s.implicits._
     val rows = registry.values.asScala.toSeq.sortBy(_.statsPath).map {
+      // per-registration isolation (the ZoneMapScan.refreshPins
+      // shape): a FS hiccup or malformed artifact reports as that
+      // row's reason instead of throwing out of the whole pass and,
+      // via refreshingSink, failing the streaming batch for every
+      // other registration
       e =>
-        val r = refreshOne(spark, e)
+        val r = try refreshOne(spark, e)
+          catch { case NonFatal(ex) => Some(s"refresh failed: $ex") }
         (e.statsPath, r.isEmpty, r.getOrElse("re-registered"))
     }
     rows.toDF("stats_path", "refreshed", "reason")
@@ -351,13 +404,32 @@ object ColStatsInjection extends Logging {
     if (RelationPins.signature(fsRel) == e.listingSig &&
       live.version == e.version)
       return Some("already fresh")
-    val (fp, n) = ColStats.fingerprint(baseDf, live.numCols,
-      live.strCols)
-    if (fp == live.fp && n == live.n) {
-      register(spark, baseDf, e.statsPath, e.withHistograms)
-      None
-    } else Some("base content and artifact profile diverge " +
-      "(fingerprint mismatch) — waiting for the other side")
+    // O(delta) verification: compose stored per-file partials (from
+    // the co-built zone-map ledger and/or earlier refreshes) and
+    // fingerprint only files with no stored partial
+    RelationPins.composeFingerprint(
+      RelationPins.listedFiles(fsRel), e.fileFps,
+      uris => ColStats.fingerprintByFile(
+        spark.read.parquet(uris: _*), live.numCols, live.strCols)
+    ) match {
+      case scala.Left(reason) => Some(reason)
+      case scala.Right((fp, n, partials)) =>
+        if (fp == live.fp && n == live.n) {
+          val ent = register(spark, baseDf, e.statsPath,
+            e.withHistograms, e.ledger)
+          // the composed partials supersede the ledger seed (they
+          // also cover files the ledger has not profiled yet)
+          registry.put(e.statsPath, ent.copy(fileFps = partials))
+          None
+        } else {
+          // cache the computed partials even on refusal: they are
+          // facts about the BASE's files — once the artifact
+          // converges, the next refresh verifies O(delta)
+          registry.put(e.statsPath, e.copy(fileFps = partials))
+          Some("base content and artifact profile diverge " +
+            "(fingerprint mismatch) — waiting for the other side")
+        }
+    }
   }
 
   /** Wrap a CDC sink so every applied batch is followed by a pin
@@ -395,23 +467,46 @@ object ColStatsInjection extends Logging {
     finally unregister(statsPath)
   }
 
-  /** Per-optimizer-pass memo of "does the artifact still sit at its
-    * registered manifest version" — the one FILESYSTEM read in the
-    * freshness check. Memoized per [[Rule.apply]] invocation (never
-    * across queries — the pin guards result-exactness, so it must be
-    * re-checked within every plan's own optimization), it bounds the
-    * planning cost at one manifest read per artifact per pass even
-    * when a query references the relation many times.
+  /** Per-optimizer-pass memo of the two freshness probes: "does the
+    * artifact still sit at its registered manifest version" (the one
+    * FILESYSTEM read in the check) keyed by path, and the relation's
+    * LISTING-SIGNATURE fold keyed by FILE-INDEX IDENTITY (one
+    * relation instance = one in-memory listing = one fold — the
+    * [[AggViewRewrite.Memo]] shape). Memoized per [[Rule.apply]]
+    * invocation (never across queries — the pins guard
+    * result-exactness, so they must be re-checked within every
+    * plan's own optimization), bounding planning cost at one probe
+    * each per artifact/relation per pass even when a query
+    * references the relation many times.
     */
-  private type VersionMemo =
-    scala.collection.mutable.Map[String, Boolean]
+  private final class Memo {
+    private val versions =
+      scala.collection.mutable.Map.empty[String, Boolean]
+    def versionFresh(e: Entry): Boolean =
+      versions.getOrElseUpdate(e.statsPath,
+        try ColStats.version(e.statsPath) == e.version
+        catch { case NonFatal(_) => false })
+    private val sigs =
+      new java.util.IdentityHashMap[AnyRef, java.lang.Long]
+    def signatureOf(
+        h: org.apache.spark.sql.execution.datasources.HadoopFsRelation)
+        : Long = {
+      val got = sigs.get(h.location)
+      if (got != null) got.longValue
+      else {
+        val s = RelationPins.signature(h)
+        sigs.put(h.location, java.lang.Long.valueOf(s))
+        s
+      }
+    }
+  }
 
   final case class Rule(spark: SparkSession)
       extends CatalystRule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
       else {
-        val memo: VersionMemo = scala.collection.mutable.Map.empty
+        val memo = new Memo
         plan.transformUp {
           // a GLOBAL min/max/count/sum aggregate over a registered
           // relation is answered from the profile outright — no scan
@@ -439,7 +534,7 @@ object ColStatsInjection extends Logging {
     * match, base listing unchanged, artifact version unchanged.
     */
   private def freshEntry(l: LogicalRelation,
-      memo: VersionMemo): Option[Entry] = {
+      memo: Memo): Option[Entry] = {
     val h = l.relation match {
       case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
       case _ => return None
@@ -450,17 +545,12 @@ object ColStatsInjection extends Logging {
     val cands = registry.values.asScala
       .filter(_.basePaths == roots).toSeq.sortBy(_.statsPath)
     if (cands.isEmpty) return None
-    val sig = RelationPins.signature(h)
-    cands.find { e =>
-      e.listingSig == sig &&
-        memo.getOrElseUpdate(e.statsPath,
-          try ColStats.version(e.statsPath) == e.version
-          catch { case NonFatal(_) => false })
-    }
+    val sig = memo.signatureOf(h)
+    cands.find(e => e.listingSig == sig && memo.versionFresh(e))
   }
 
   private def inject(l: LogicalRelation,
-      memo: VersionMemo): Option[LogicalRelation] =
+      memo: Memo): Option[LogicalRelation] =
     freshEntry(l, memo).map { e =>
       l.copy(catalogTable = Some(CatalogTable(
         identifier = TableIdentifier("graft_colstats_injected"),
@@ -504,7 +594,7 @@ object ColStatsInjection extends Logging {
     * own bounds cannot rule out (see the object doc).
     */
   private def metadataAgg(agg: Aggregate,
-      memo: VersionMemo): Option[Aggregate] = {
+      memo: Memo): Option[Aggregate] = {
     if (agg.groupingExpressions.nonEmpty) return None
     val rel = bareChild(agg.child).getOrElse(return None)
     val e = freshEntry(rel, memo).getOrElse(return None)

@@ -49,14 +49,20 @@ import graft.operators.ZoneMap
 object ZoneMapScan extends PredicateHelper with Logging {
 
   final case class Entry(zmPath: String, roots: Set[String],
-      listingSig: Long)
+      listingSig: Long, zmDecl: ZoneMap.Decl)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   /** Pin `base` (a bare unpartitioned parquet scan) against the zone
     * map at `zmPath`, verifying every profiled file's (length, mtime)
-    * against the live listing.
+    * against the live listing. Pins BOTH sides: the table's listing
+    * signature AND the artifact's manifest version — a rebuild or
+    * retarget of the artifact at the same path after registration is
+    * a higher version, so [[tryPrune]] stops trusting it until
+    * [[refreshPins]] re-runs this verification (path-keyed
+    * subtraction alone would be an implicit invariant, not a checked
+    * one).
     */
   def register(spark: SparkSession, base: DataFrame,
       zmPath: String): Entry = {
@@ -73,6 +79,21 @@ object ZoneMapScan extends PredicateHelper with Logging {
     require(fsRel.fileFormat.isInstanceOf[ParquetFileFormat],
       "zone maps profile parquet files; this relation reads " +
         s"${fsRel.fileFormat}")
+    // a pre-format-3 artifact has no real ledger (it synthesizes
+    // mtime 0 from stats rows), so the rewritten-in-place check
+    // below would silently weaken to length-only — refuse instead
+    require(ZoneMap.format(zmPath).exists(_ >= 3),
+      s"zone map at $zmPath predates the format-3 files ledger — " +
+        "its per-file (length, mtime) pins cannot be verified; " +
+        "rebuild with ZoneMap.buildIfAbsent before registering")
+    // declaration read BEFORE the ledger: an artifact commit landing
+    // after this point makes the pin stale (pruning disabled until
+    // refreshPins re-verifies) — never the reverse, where a pin
+    // could name a state whose ledger was not the one verified. The
+    // pin is the WHOLE declaration, not just the manifest version: a
+    // rebuild restarts the version sequence and can land on the
+    // pinned number (ZoneMap.Decl's doc).
+    val zmDecl = ZoneMap.declaration(zmPath)
     val listed: Map[String, (Long, Long)] =
       fsRel.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
         .map(f => f.getPath.toUri.getPath ->
@@ -80,7 +101,7 @@ object ZoneMapScan extends PredicateHelper with Logging {
         .toMap
     val stale = ZoneMap.ledger(spark, zmPath).filter { e =>
       listed.get(e.key).exists { case (len, mtime) =>
-        len != e.len || (e.mtime != 0L && mtime != e.mtime)
+        len != e.len || mtime != e.mtime
       }
     }
     require(stale.isEmpty,
@@ -90,7 +111,7 @@ object ZoneMapScan extends PredicateHelper with Logging {
         "the files were rewritten in place; rebuild the zone map " +
         "(ZoneMap.buildIfAbsent) before registering")
     val e = Entry(zmPath, RelationPins.rootPaths(fsRel),
-      RelationPins.signature(fsRel))
+      RelationPins.signature(fsRel), zmDecl)
     registry.put(zmPath, e)
     e
   }
@@ -115,15 +136,22 @@ object ZoneMapScan extends PredicateHelper with Logging {
           RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
             .exists(r => RelationPins.signature(r._2) == e.listingSig)
         } catch { case NonFatal(_) => false }
+      val liveDecl =
+        try Some(ZoneMap.declaration(e.zmPath))
+        catch { case NonFatal(_) => None }
       (e.zmPath, e.roots.toSeq.sorted.mkString(","), e.listingSig,
-        pinFresh)
-    }.toDF("zm_path", "table_roots", "listing_sig", "pin_fresh")
+        pinFresh, e.zmDecl.version,
+        liveDecl.map(_.version).getOrElse(-1L),
+        liveDecl.contains(e.zmDecl))
+    }.toDF("zm_path", "table_roots", "listing_sig", "pin_fresh",
+      "pinned_version", "live_version", "version_fresh")
   }
 
-  /** Re-pin every registration whose table listing moved, re-running
-    * the same ledger verification [[register]] performs. Call after
-    * [[ZoneMap.refresh]] in the table's maintenance loop. Returns
-    * (zm_path, refreshed, reason) per registration.
+  /** Re-pin every registration whose table listing OR artifact
+    * manifest moved, re-running the same ledger verification
+    * [[register]] performs. Call after [[ZoneMap.refresh]] in the
+    * table's maintenance loop. Returns (zm_path, refreshed, reason)
+    * per registration.
     */
   def refreshPins(spark: SparkSession): DataFrame = {
     val s = spark
@@ -135,7 +163,8 @@ object ZoneMapScan extends PredicateHelper with Logging {
           .map(_._2).getOrElse(
             throw new IllegalStateException("base no longer reads " +
               "as a bare parquet scan"))
-        if (RelationPins.signature(fsRel) == e.listingSig)
+        if (RelationPins.signature(fsRel) == e.listingSig &&
+          ZoneMap.declaration(e.zmPath) == e.zmDecl)
           (e.zmPath, false, "already fresh")
         else {
           register(spark, baseDf, e.zmPath)
@@ -166,7 +195,8 @@ object ZoneMapScan extends PredicateHelper with Logging {
     override def apply(plan: LogicalPlan): LogicalPlan =
       if (registry.isEmpty) plan
       else {
-        // one listing fold per file-index instance per pass
+        // one listing fold per file-index instance per pass, one
+        // manifest read per artifact per pass
         val sigs =
           new java.util.IdentityHashMap[AnyRef, java.lang.Long]
         def sigOf(h: HadoopFsRelation): Long = {
@@ -178,9 +208,14 @@ object ZoneMapScan extends PredicateHelper with Logging {
             s
           }
         }
+        val decls = scala.collection.mutable.Map.empty[String, Boolean]
+        def declFresh(e: Entry): Boolean =
+          decls.getOrElseUpdate(e.zmPath,
+            try ZoneMap.declaration(e.zmPath) == e.zmDecl
+            catch { case NonFatal(_) => false })
         plan.transformUp {
           case f @ Filter(cond, l: LogicalRelation) =>
-            try tryPrune(f, cond, l, sigOf).getOrElse(f)
+            try tryPrune(f, cond, l, sigOf, declFresh).getOrElse(f)
             catch {
               case NonFatal(e) =>
                 logWarning(s"zone-map scan prune skipped: $e")
@@ -193,16 +228,22 @@ object ZoneMapScan extends PredicateHelper with Logging {
   private def tryPrune(f: Filter,
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       l: LogicalRelation,
-      sigOf: HadoopFsRelation => Long): Option[Filter] = {
+      sigOf: HadoopFsRelation => Long,
+      declFresh: Entry => Boolean): Option[Filter] = {
     val h = l.relation match {
       case h: HadoopFsRelation if h.partitionSchema.isEmpty => h
       case _ => return None
     }
     val roots = RelationPins.rootPaths(h)
     // sorted: with several registered zone maps for one table, the
-    // consulted one never depends on map iteration order
+    // consulted one never depends on map iteration order. BOTH pins
+    // re-check per pass: the table's listing signature AND the
+    // artifact's whole manifest declaration (a rebuilt/retargeted
+    // artifact at the same path is not the one whose ledger was
+    // verified — and a rebuild can reuse the pinned version number).
     val e = registry.values.asScala.toSeq.sortBy(_.zmPath)
-      .find(e => e.roots == roots && e.listingSig == sigOf(h))
+      .find(e => e.roots == roots && e.listingSig == sigOf(h) &&
+        declFresh(e))
       .getOrElse(return None)
     if (!cond.deterministic || SubqueryExpression.hasSubquery(cond))
       return None

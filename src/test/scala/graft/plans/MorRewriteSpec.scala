@@ -176,6 +176,67 @@ class MorRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!hitsView(q)) // and the rewrite stays off
   }
 
+  test("an out-of-band view append whose delta XOR-CANCELS (even-" +
+      "multiplicity duplicates) still refuses: the chain check pairs " +
+      "fp with n") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mor-xorc").toString
+    val tdir = s"$root/tbl"
+    val vdir = s"$root/view"
+    val s = spark
+    import s.implicits._
+    val t0 = (0 until 40).map(i => (i.toLong, s"g${i % 2}", i.toLong))
+      .toDF("k", "g", "x")
+    MergeOnRead.create(t0, tdir, Seq("k"), nBuckets = 2)
+    val mdf = spark.read.format("mor").load(tdir)
+    AggView.buildIfAbsent(mdf, Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), vdir, kbParts = 2)
+    AggViewRewrite.register(spark, mdf, vdir)
+    // the poison: every appended row appears TWICE, so the delta's
+    // xor fingerprint cancels to 0 and the composed fp is UNCHANGED —
+    // only the row count betrays the commit
+    val dup = Seq((900L, "g0", 900L)).toDF("k", "g", "x")
+    AggView.append(dup.union(dup), vdir)
+    val r = AggViewRewrite.refreshPins(spark).collect().head
+    assert(!r.getBoolean(1) &&
+      r.getString(2).contains("outside the batch feed"),
+      r.getString(2))
+    AggViewRewrite.clear()
+  }
+
+  test("refreshPins isolates a broken registration: one unreadable " +
+      "base reports as its own row, the healthy row still refreshes") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mor-iso").toString
+    val s = spark
+    import s.implicits._
+    // healthy parquet-based registration
+    val okBase = s"$root/ok-base"; val okView = s"$root/ok-view"
+    (0 until 30).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "x")
+      .write.parquet(okBase)
+    AggView.buildIfAbsent(spark.read.parquet(okBase), Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), okView, kbParts = 2)
+    AggViewRewrite.register(spark, spark.read.parquet(okBase), okView)
+    // doomed registration: its base directory vanishes after the pin
+    val badBase = s"$root/bad-base"; val badView = s"$root/bad-view"
+    (0 until 10).map(i => (s"g$i", i.toLong)).toDF("g", "x")
+      .write.parquet(badBase)
+    AggView.buildIfAbsent(spark.read.parquet(badBase), Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), badView, kbParts = 2)
+    AggViewRewrite.register(spark, spark.read.parquet(badBase),
+      badView)
+    scala.reflect.io.Directory(new java.io.File(badBase)).deleteRecursively()
+    val rows = AggViewRewrite.refreshPins(spark).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2)))
+      .toMap
+    // the pass completed and BOTH rows reported — the broken one as
+    // its own failure, the healthy one as already fresh
+    assert(rows(badView)._2.nonEmpty && !rows(badView)._1)
+    assert(!rows(okView)._1 && rows(okView)._2.contains("fresh"),
+      rows(okView)._2)
+    AggViewRewrite.clear()
+  }
+
   test("refreshingSink keeps the registration live across a REAL " +
       "micro-batch stream: every batch lands in table, view, and pin") {
     AggViewRewrite.clear()

@@ -129,6 +129,37 @@ class ZoneMapScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.count() == 1L)
   }
 
+  test("an artifact rebuilt at the same path after registration is " +
+      "NOT trusted: the version pin disables pruning until " +
+      "refreshPins re-verifies") {
+    ZoneMapScan.clear()
+    val root = Files.createTempDirectory("graft-zms-ver").toString
+    val s = spark
+    import s.implicits._
+    (0 until 2000).map(i => (i.toLong, (i / 10).toLong))
+      .toDF("k", "v").repartitionByRange(8, col("v"))
+      .write.parquet(s"$root/tbl")
+    val t2 = spark.read.parquet(s"$root/tbl")
+    ZoneMap.buildIfAbsent(spark, s"$root/tbl", Seq("v"), Nil,
+      s"$root/zm")
+    ZoneMapScan.register(spark, t2, s"$root/zm")
+    assert(t2.filter(col("v") === 5L).inputFiles.length < 8)
+    // rebuild the artifact AT THE SAME PATH against a different
+    // column set — same table listing, higher manifest version: the
+    // killed sets it computes were never verified for this pin
+    ZoneMap.buildIfAbsent(spark, s"$root/tbl", Seq("k"), Nil,
+      s"$root/zm")
+    assert(t2.filter(col("v") === 5L).inputFiles.length == 8)
+    val st = ZoneMapScan.status(spark).collect().head
+    assert(!st.getAs[Boolean]("version_fresh"))
+    // refreshPins re-runs register's verification against the LIVE
+    // artifact and re-pins; pruning (now keyed on k) works again
+    val r = ZoneMapScan.refreshPins(spark).collect().head
+    assert(r.getBoolean(1), r.getString(2))
+    assert(t2.filter(col("k") === 7L).inputFiles.length < 8)
+    ZoneMapScan.clear()
+  }
+
   test("register refuses a partitioned relation and a non-bare plan") {
     ZoneMapScan.clear()
     val root = Files.createTempDirectory("graft-zms-part").toString
