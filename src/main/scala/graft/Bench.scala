@@ -125,7 +125,9 @@ object Bench {
       "q227_mor_zonemap", "q228_zonemap_bloom",
       "q229_mv_rewrite", "q230_mv_rollup", "q231_mv_probe",
       "q232_mv_global", "q233_mv_avg", "q234_meta_agg",
-      "q235_mv_mor", "q236_zonemap_plain", "q237_fused_profile")
+      "q235_mv_mor", "q236_zonemap_plain", "q237_fused_profile",
+      "q238_odelta_refresh", "q239_mor_colstats",
+      "q240_zonemap_partitioned")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

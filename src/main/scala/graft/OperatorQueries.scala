@@ -587,6 +587,98 @@ object OperatorQueries {
       }
     }),
 
+    /** Zone-map skipping over a PARTITIONED table
+      * ([[graft.plans.ZoneMapScan]] + [[org.apache.spark.sql
+      * .GraftPrunedFileIndex]]): the table copy is hive-partitioned
+      * on order status AND range-laid-out on `cents` within each
+      * partition; one zone map profiles all partitions' files; a
+      * stock SQL query filtering on BOTH the partition column and
+      * the data column plans a scan that partition-prunes (Spark's
+      * own path, preserved by the delegating pruned index) and
+      * file-skips (the killed-set subtraction) at once. The oracle
+      * replays the aggregate directly; ZoneMapScanSpec pins the
+      * plan shape (PartitionFilters + reduced file count).
+      */
+    "q240_zonemap_partitioned" -> ((s, d) => {
+      import graft.operators.ZoneMap
+      import graft.plans.ZoneMapScan
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q240", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.repartitionByRange(4, col("cents"))
+        .write.partitionBy("st").mode("overwrite").parquet(tableDir)
+      val idx = s"$root/zm"
+      ZoneMap.buildIfAbsent(s, tableDir, Seq("cents"), Seq(), idx)
+      ZoneMapScan.install(s)
+      val base = s.read.parquet(tableDir)
+      ZoneMapScan.register(s, base, idx)
+      base.createOrReplaceTempView("graft_q240_tbl")
+      try GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+        s.sql("""SELECT count(*) AS cnt, sum(cents) AS sum_cents,
+                |  sum(k) AS sum_k
+                |FROM graft_q240_tbl
+                |WHERE st = 'F' AND cents BETWEEN 1000000 AND 5000000
+                |""".stripMargin)))
+      finally ZoneMapScan.unregister(idx)
+    }),
+
+    /** FOLD-AWARE COLUMN STATISTICS over a [[MergeOnRead]] CDC base
+      * ([[graft.plans.ColStatsInjection]] with a MOR pin): the table
+      * is created with VERIFIED append-only tracking (key uniqueness
+      * proven at create, fold-drops-nothing proven per compaction),
+      * the profile registers against the LIVE mor-source read under
+      * that proof, a stream batch lands on table and artifact, the
+      * pin refuses while the batch is unfolded (unverified), the
+      * compaction verifies and the refresh re-pins — and the served
+      * result is a METADATA-ONLY global aggregate over the mor
+      * relation (zero scan: count/min/max/sum answered from the
+      * profile). The oracle replays the same aggregates directly
+      * over the full orders projection (create ∪ inserts = all rows
+      * — o_orderkey is unique, so the fold drops nothing), so a
+      * profile that drifted from the fold lands in the hash.
+      */
+    "q239_mor_colstats" -> ((s, d) => {
+      import graft.operators.{ColStats, MergeOnRead}
+      import graft.plans.ColStatsInjection
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q239", d)
+      val dir = s"$root/tbl"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      MergeOnRead.create(t.filter(col("k") % 4 =!= 0), dir, Seq("k"),
+        nBuckets = 8, trackAppendOnly = true)
+      def mor = s.read.format("mor").load(dir)
+      ColStats.buildIfAbsent(mor, Seq("k", "cents"), Seq("st"),
+        s"$root/cs")
+      ColStatsInjection.install(s)
+      ColStatsInjection.register(s, mor, s"$root/cs")
+      try {
+        val batch = t.filter(col("k") % 4 === 0)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        MergeOnRead.streamAppend(batch, 0L, dir)
+        ColStats.applyBatch(batch, 0L, s"$root/cs")
+        MergeOnRead.compact(s, dir)
+        val r = ColStatsInjection.refreshPins(s).collect()
+        require(r.forall(_.getBoolean(1)),
+          "mor stats pin refresh refused: " +
+            r.map(_.getString(2)).mkString("; "))
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q239_mor " +
+          s"USING mor OPTIONS (path '$dir')")
+        GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT count(*) AS n, min(cents) AS min_c,
+                  |  max(cents) AS max_c, sum(cents) AS sum_c,
+                  |  count(st) AS n_st, min(k) AS min_k,
+                  |  max(k) AS max_k
+                  |FROM graft_q239_mor""".stripMargin)))
+      } finally ColStatsInjection.unregister(s"$root/cs")
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1241,6 +1333,30 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the partition-pruned + zone-skipped scan must equal the direct
+    // filtered aggregate — a dropped file that still matched (or a
+    // partition wrongly pruned) lands in the hash
+    "q240_zonemap_partitioned" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT)
+        |  AS sum_cents, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM t
+        |WHERE st = 'F' AND cents BETWEEN 1000000 AND 5000000""".stripMargin,
+    // the metadata-served aggregates over the verified append-only
+    // mor table must equal the direct ones over ALL of orders
+    // (create ∪ inserts; o_orderkey unique ⇒ the fold drops nothing)
+    "q239_mor_colstats" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT count(*) AS n, min(cents) AS min_c,
+        |  max(cents) AS max_c, CAST(sum(cents) AS BIGINT) AS sum_c,
+        |  count(st) AS n_st, min(k) AS min_k, max(k) AS max_k
+        |FROM t""".stripMargin,
     // the O(delta)-refreshed bridges must serve exactly the full
     // table: grouped agg (view rewrite) + the _ALL row (metadata
     // serve) both replay directly over orders

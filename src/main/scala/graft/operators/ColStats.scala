@@ -435,12 +435,12 @@ object ColStats {
     * count.
     */
   final case class Decl(numCols: Seq[String], strCols: Seq[String],
-      version: Long, fp: Long, n: Long)
+      version: Long, fp: Long, n: Long, lastBatch: Long = -1L)
 
   def declaration(path: String): Decl = {
     val mf = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no stats at $path"))
-    Decl(mf.numCols, mf.strCols, mf.mv, mf.fp, mf.n)
+    Decl(mf.numCols, mf.strCols, mf.mv, mf.fp, mf.n, mf.lastBatch)
   }
 
   /** The merged DENSE per-column HLL registers: |cols| × 64 rows,

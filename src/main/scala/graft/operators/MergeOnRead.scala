@@ -73,11 +73,26 @@ object MergeOnRead {
   /** `dataVer` is the DATA generation (the `data/ver=N` directory a
     * compaction writes); `mv` the [[IndexDirs]] manifest version this
     * state was read at — the anchor a commit is checked against.
+    *
+    * `ao`/`brows` are the VERIFIED APPEND-ONLY tracking state
+    * (opt-in via [[create]]'s `trackAppendOnly`): `ao` =
+    * Some(true) while every fold so far has provably dropped no row
+    * (compaction is the verification point — the fold is
+    * materialized there anyway, so per-bucket `folded == base +
+    * deltas` row-count checks are O(touched)); Some(false) forever
+    * once any fold dropped a row (a delete, or an insert re-keying
+    * an existing row); None when the table never tracked. `brows`
+    * holds per-bucket row counts of the COMPACTED state (complete
+    * iff tracking) — what lets a monotone-stats consumer
+    * ([[graft.plans.ColStatsInjection]]) equate "rows the profile
+    * absorbed" with "rows the folded table holds" without a scan.
     */
   final case class Manifest(dataVer: Int, meta: Meta,
       buckets: Map[Int, Int],   // bucket id -> data ver holding it
       folded: Set[Int],         // delta batch ids already compacted
-      mv: Long = 0L)
+      mv: Long = 0L,
+      ao: Option[Boolean] = None,
+      brows: Map[Int, Long] = Map.empty)
 
   private val Bucket = "__mor_bucket"
 
@@ -119,6 +134,9 @@ object MergeOnRead {
       .put("folded", m.folded.toSeq.sorted.map(_.toString))
       .put("buckets", m.buckets.toSeq.sorted.map { case (b, v) =>
         s"$b:$v" })
+      .put("ao", m.ao.map(a => if (a) "t" else "f").getOrElse(""))
+      .put("brows", m.brows.toSeq.sorted.map { case (b, n) =>
+        s"$b:$n" })
       .commit(dir, m.mv)
 
   private def parseManifest(r: IndexDirs.ManifestReader): Manifest =
@@ -129,7 +147,18 @@ object MergeOnRead {
         s.substring(0, i).toInt -> s.substring(i + 1).toInt
       }.toMap,
       r.seq("folded").map(_.toInt).toSet,
-      mv = r.version)
+      mv = r.version,
+      // pre-tracking manifests read as "never tracked" — consumers
+      // that need the proof refuse, nothing rebuilds
+      ao = r.strOr("ao", "") match {
+        case "t" => Some(true)
+        case "f" => Some(false)
+        case _ => None
+      },
+      brows = r.seq("brows").map { s =>
+        val i = s.indexOf(':')
+        s.substring(0, i).toInt -> s.substring(i + 1).toLong
+      }.toMap)
 
   def loadManifest(dir: String): Manifest =
     IndexDirs.readManifest(dir).map(parseManifest).getOrElse(
@@ -207,12 +236,40 @@ object MergeOnRead {
 
   /** Creates the table: full bucketed base write (the ONLY full
     * write in the table's life), schema file for empty reads.
+    *
+    * `trackAppendOnly` (opt-in): verify the snapshot's keys are
+    * UNIQUE (one aggregate pass — the create already pays a full
+    * write, so the verification rides the same scan budget) and
+    * record per-bucket row counts; every later compaction then
+    * re-verifies its fold dropped nothing ([[Manifest]]'s
+    * `ao`/`brows`). The proof a monotone-statistics consumer needs
+    * before trusting an append-only profile AS the folded table's
+    * ([[appendOnlyRows]]). A snapshot with duplicate keys REFUSES
+    * (a later change to such a key would fold several rows away at
+    * once — unverifiable from counts).
     */
   def create(df: DataFrame, dir: String, keyCols: Seq[String],
       opCol: String = "op", seqCol: String = "seq",
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, trackAppendOnly: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "create needs at least one key column")
     val meta = Meta(keyCols, opCol, seqCol, nBuckets)
+    val (ao, brows) =
+      if (!trackAppendOnly) (None, Map.empty[Int, Long])
+      else {
+        val chk = df.withColumn(Bucket, bucketOf(meta))
+          .groupBy(col(Bucket))
+          .agg(count(lit(1)).as("n"),
+            count_distinct(struct(keyCols.map(col): _*)).as("nd"))
+          .collect()
+        val dup = chk.filter(r => r.getLong(1) != r.getLong(2))
+        require(dup.isEmpty,
+          "trackAppendOnly: the initial snapshot carries duplicate " +
+            s"keys (bucket(s) ${dup.map(_.getInt(0)).sorted.take(3)
+              .mkString(",")}) — a later change to such a key would " +
+            "fold several rows away at once, which row-count " +
+            "verification cannot prove sound; deduplicate first")
+        (Some(true), chk.map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      }
     // a re-create replaces any prior table: manifests first (readers
     // fall to "no table", never a half-replaced state), then the old
     // delta stream — stale batches must not leak into the new table
@@ -225,7 +282,8 @@ object MergeOnRead {
       .write.partitionBy(Bucket).mode("overwrite")
       .parquet(s"$dir/data/ver=0")
     writeManifest(dir, Manifest(0, meta,
-      writtenBuckets(dir, 0).map(_ -> 0).toMap, Set.empty))
+      writtenBuckets(dir, 0).map(_ -> 0).toMap, Set.empty,
+      ao = ao, brows = brows))
   }
 
   /** Batch directories present on disk, committed or not — a torn
@@ -604,9 +662,9 @@ object MergeOnRead {
       m.buckets.get(b).map(v => s"$dir/data/ver=$v/$Bucket=$b"))
     val base = readData(spark, dir, basePaths, s"$dir/data")
       .drop("ver").drop(Bucket)
-    val deltas = spark.read.option("basePath", s"$dir/delta")
+    val deltasB = spark.read.option("basePath", s"$dir/delta")
       .parquet(pending.map(b => s"$dir/delta/batch=$b"): _*)
-      .drop(Bucket)
+    val deltas = deltasB.drop(Bucket)
     val merged = Cdc.fold(base, deltas, m.meta.keyCols, m.meta.opCol,
       Seq(col("batch").desc, col(m.meta.seqCol).desc),
       Seq(m.meta.opCol, m.meta.seqCol, "batch"))
@@ -622,6 +680,22 @@ object MergeOnRead {
     // a touched bucket absent from the new ver went empty (all rows
     // deleted) — drop it from the mapping entirely
     val rewritten = writtenBuckets(dir, newVer).toSet
+    // APPEND-ONLY VERIFICATION at the fold (tracking tables only —
+    // untracked tables pay nothing): per touched bucket, the folded
+    // row count must equal base rows + delta rows, or some row was
+    // dropped (a delete, or an insert re-keying an existing row) and
+    // the append-only proof is gone FOREVER (ao = false). Both count
+    // passes are O(touched)/O(pending); the folded side's count(1)
+    // scan reads no data columns. Stable facts about written files,
+    // computed once outside the commit-retry loop.
+    lazy val deltaCounts: Map[Int, Long] =
+      deltasB.groupBy(col(Bucket)).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    lazy val foldedCounts: Map[Int, Long] =
+      spark.read.option("basePath", s"$dir/data")
+        .parquet(s"$dir/data/ver=$newVer")
+        .groupBy(col(Bucket)).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // anchored commit with retry: appends never write the manifest,
     // so the only racers are other maintenance runs — a fold whose
     // snapshot another compaction already folded (or whose base
@@ -633,9 +707,28 @@ object MergeOnRead {
       val stale = pending.exists(have.folded) ||
         touched.exists(b => have.buckets.get(b) != m.buckets.get(b))
       if (stale) None
-      else Some(Manifest(newVer, have.meta,
-        (have.buckets -- touched) ++ rewritten.map(_ -> newVer),
-        have.folded ++ pending, mv = have.mv))
+      else {
+        val (nao, nbrows) =
+          if (!have.ao.contains(true)) (have.ao, have.brows)
+          else {
+            // brows must COVER every touched base bucket, or the
+            // sum check has no anchor — incomplete reads as violated
+            val complete = touched.forall(b =>
+              have.brows.contains(b) || have.buckets.get(b).isEmpty)
+            val ok = complete && touched.forall { b =>
+              foldedCounts.getOrElse(b, 0L) ==
+                have.brows.getOrElse(b, 0L) +
+                  deltaCounts.getOrElse(b, 0L)
+            }
+            (Some(ok),
+              (have.brows -- touched) ++
+                foldedCounts.view.filterKeys(touched.contains).toMap)
+          }
+        Some(Manifest(newVer, have.meta,
+          (have.buckets -- touched) ++ rewritten.map(_ -> newVer),
+          have.folded ++ pending, mv = have.mv,
+          ao = nao, brows = nbrows))
+      }
     }
     if (committed.isEmpty) { // another maintenance run covered ours
       IndexDirs.rmTree(s"$dir/data/ver=$newVer")
@@ -662,6 +755,28 @@ object MergeOnRead {
     if (ZoneMap.format(zoneMapPath(dir)).exists(_ >= 4))
       refreshZoneMap(spark, dir)
     touched.size
+  }
+
+  /** The table's VERIFIED append-only row count, from manifest state
+    * alone: Some(total rows of the COMPACTED state) iff the table
+    * tracks append-only-ness ([[create]]'s `trackAppendOnly`), no
+    * fold has ever dropped a row (verified per compaction), and the
+    * per-bucket counts cover every live bucket. None otherwise —
+    * including tables that never tracked (the proof cannot be
+    * reconstructed after the fact) and tables where any fold dropped
+    * a row (the violation is permanent: monotone statistics over the
+    * feed stopped describing the fold at that moment). NOTE: counts
+    * the compacted state only — callers coordinating with a live
+    * feed ([[graft.plans.ColStatsInjection]]) must additionally
+    * require `state(dir).pending.isEmpty` (compaction IS the
+    * verification point; pending batches are unverified by
+    * construction).
+    */
+  def appendOnlyRows(dir: String): Option[Long] = {
+    val m = loadManifest(dir)
+    if (m.ao.contains(true) && m.buckets.keySet.forall(m.brows.contains))
+      Some(m.buckets.keysIterator.map(m.brows).sum)
+    else None
   }
 
   /** Retained manifest versions, oldest first — [[IndexDirs]]

@@ -156,7 +156,9 @@ object Profile {
       numCols: Seq[String], strCols: Seq[String],
       colStatsPath: String, zoneMapPath: String,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 8192,
-      bloomK: Int = 3): (IndexBuild, IndexBuild) = {
+      bloomK: Int = 3,
+      artifactRowsPerFile: Long = ZoneMap.DefaultArtifactRowsPerFile)
+      : (IndexBuild, IndexBuild) = {
     require((numCols ++ strCols).nonEmpty, "declare at least 1 column")
     require(numCols.intersect(strCols).isEmpty,
       s"columns declared both num and str: " +
@@ -228,26 +230,28 @@ object Profile {
         .select(col("file"), col("xorv"), col("cnt")).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
-    files.map { f =>
-      val (fcfp, fcn) = fpByFile.getOrElse(f.key, (0L, 0L))
-      (f.key, f.uri, f.len, f.mtime, fcfp, fcn)
-    }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn").coalesce(1)
-      .write.mode("overwrite").parquet(s"$zoneMapPath/files")
+    ZoneMap.writeArtifact(
+      files.map { f =>
+        val (fcfp, fcn) = fpByFile.getOrElse(f.key, (0L, 0L))
+        (f.key, f.uri, f.len, f.mtime, fcfp, fcn)
+      }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn"),
+      files.size.toLong, s"$zoneMapPath/files", artifactRowsPerFile)
     val lens = files.map(f => (f.key, f.len)).toDF("file", "flen")
-    sc.groupBy("file", "col_name", "kind")
-      .agg(sum("cnt").as("n_rows"), sum("nnull").as("n_nulls"),
-        min("minn").as("__minn"), max("maxn").as("__maxn"),
-        str_min(col("mins")).as("__mins"),
-        str_max(col("maxs")).as("__maxs"))
-      .select(col("file"), col("col_name"), col("kind"),
-        col("n_rows"), col("n_nulls"),
-        when(col("kind") === "num", col("__minn")).as("min_num"),
-        when(col("kind") === "num", col("__maxn")).as("max_num"),
-        when(col("kind") === "str", col("__mins")).as("min_str"),
-        when(col("kind") === "str", col("__maxs")).as("max_str"))
-      .join(broadcast(lens), Seq("file"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$zoneMapPath/stats")
+    ZoneMap.writeArtifact(
+      sc.groupBy("file", "col_name", "kind")
+        .agg(sum("cnt").as("n_rows"), sum("nnull").as("n_nulls"),
+          min("minn").as("__minn"), max("maxn").as("__maxn"),
+          str_min(col("mins")).as("__mins"),
+          str_max(col("maxs")).as("__maxs"))
+        .select(col("file"), col("col_name"), col("kind"),
+          col("n_rows"), col("n_nulls"),
+          when(col("kind") === "num", col("__minn")).as("min_num"),
+          when(col("kind") === "num", col("__maxn")).as("max_num"),
+          when(col("kind") === "str", col("__mins")).as("min_str"),
+          when(col("kind") === "str", col("__maxs")).as("max_str"))
+        .join(broadcast(lens), Seq("file")),
+      files.size.toLong * (numCols.size + strCols.size),
+      s"$zoneMapPath/stats", artifactRowsPerFile)
     val bloomOut =
       if (bloomCols.isEmpty)
         agg.limit(0).select(lit("").as("file"),
@@ -256,8 +260,9 @@ object Profile {
         .select(col("file"), col("col_name"),
           col("bucket").cast("int").as("word"),
           col("orbits").as("bits"))
-    bloomOut.coalesce(1)
-      .write.mode("overwrite").parquet(s"$zoneMapPath/bloom")
+    ZoneMap.writeArtifact(bloomOut,
+      files.size.toLong * bloomCols.size * (bloomBits / 64),
+      s"$zoneMapPath/bloom", artifactRowsPerFile)
 
     // content fingerprint from the fp grain: xor of per-file xors,
     // sum of per-file counts — bit-equal to contentFingerprint's

@@ -184,6 +184,32 @@ object ZoneMap {
     case _ => false
   }
 
+  /** Default rows-per-output-file for the artifact tables. The zone
+    * tables are metadata-scale but GROW WITH |files|: at 10⁶ base
+    * files × 40 columns the stats table is 4·10⁷ rows — `coalesce(1)`
+    * would funnel the whole build through one reducer and write one
+    * giant file. Above this bound the writers hash-distribute on
+    * `file` (per-file rows stay co-located, so file-keyed reads and
+    * the killed-set subtraction are unaffected); at or below it they
+    * keep the single-file layout small artifacts want.
+    */
+  val DefaultArtifactRowsPerFile: Long = 1L << 22
+
+  /** Write one artifact table sized by its own (driver-estimable)
+    * row bound — 1 file below `rowsPerFile`, hash-bucketed on `file`
+    * above it (≤ 256 output files).
+    */
+  private[operators] def writeArtifact(df: DataFrame, estRows: Long,
+      target: String, rowsPerFile: Long): Unit = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
+    val parts = math.max(1L, math.min(256L,
+      (estRows + rowsPerFile - 1) / rowsPerFile)).toInt
+    val out =
+      if (parts == 1) df.coalesce(1)
+      else df.repartition(parts, col("file"))
+    out.write.mode("overwrite").parquet(target)
+  }
+
   /** Per-file per-column profile of exactly `files`: one scan of
     * those files, exploded to (file, col) rows, map-side combined —
     * output is ≤ |files|·|cols| rows. Each row carries the file's
@@ -192,7 +218,8 @@ object ZoneMap {
     * adds/removes instead of trusting the aggregate fingerprint.
     */
   private def profile(spark: SparkSession, mf: Manifest,
-      files: Seq[FileEnt], outDir: String): Unit = {
+      files: Seq[FileEnt], outDir: String,
+      rowsPerFile: Long = DefaultArtifactRowsPerFile): Unit = {
     import spark.implicits._
     val lens = files.map(f => (f.key, f.len)).toDF("file", "flen")
     val df = spark.read.parquet(files.map(_.uri): _*)
@@ -240,10 +267,11 @@ object ZoneMap {
         str_max(col("vstr")).as("max_str"),
         bit_xor(when(col("kind") === "fp", col("vnum"))).as("xorv"))
       .localCheckpoint()
-    agg.filter(col("kind") =!= "fp").drop("xorv")
-      .join(broadcast(lens), Seq("file"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/stats")
+    writeArtifact(
+      agg.filter(col("kind") =!= "fp").drop("xorv")
+        .join(broadcast(lens), Seq("file")),
+      files.size.toLong * (mf.numCols.size + mf.strCols.size),
+      s"$outDir/stats", rowsPerFile)
     // the driver-side ledger: COMPLETE over the profiled files (a
     // zero-row file contributes no stats rows — it gets the (0, 0)
     // fingerprint identity), the only place the READABLE uri is
@@ -253,12 +281,12 @@ object ZoneMap {
         .select(col("file"), col("xorv"), col("n_rows")).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
-    files.map { f =>
-      val (cfp, cn) = fpByFile.getOrElse(f.key, (0L, 0L))
-      (f.key, f.uri, f.len, f.mtime, cfp, cn)
-    }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/files")
+    writeArtifact(
+      files.map { f =>
+        val (cfp, cn) = fpByFile.getOrElse(f.key, (0L, 0L))
+        (f.key, f.uri, f.len, f.mtime, cfp, cn)
+      }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn"),
+      files.size.toLong, s"$outDir/files", rowsPerFile)
     // per-(file, col) bloom filter over the RENDERED value, packed
     // into ≤ bloomBits/64 64-bit words per pair (one bit_or hash
     // aggregate — rows stay metadata-scale at any corpus size)
@@ -289,8 +317,9 @@ object ZoneMap {
             expr("shiftleft(1L, int(pmod(pos, 64)))").as("bit"))
           .groupBy("file", "col_name", "word")
           .agg(bit_or(col("bit")).as("bits"))
-    bloomRows.coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/bloom")
+    writeArtifact(bloomRows,
+      files.size.toLong * mf.bloomCols.size * (mf.bloomBits / 64),
+      s"$outDir/bloom", rowsPerFile)
   }
 
   /** The k bloom bit positions of a RENDERED value — the driver-side
@@ -382,7 +411,9 @@ object ZoneMap {
   def buildIfAbsent(spark: SparkSession, tableDir: String,
       numCols: Seq[String], strCols: Seq[String],
       path: String, bloomCols: Seq[String] = Nil,
-      bloomBits: Int = 8192, bloomK: Int = 3): Build = {
+      bloomBits: Int = 8192, bloomK: Int = 3,
+      artifactRowsPerFile: Long = DefaultArtifactRowsPerFile)
+      : Build = {
     require((numCols ++ strCols).nonEmpty, "declare at least 1 column")
     require(numCols.intersect(strCols).isEmpty,
       s"columns declared both num and str: " +
@@ -400,7 +431,7 @@ object ZoneMap {
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
-        profile(spark, want, files, path)
+        profile(spark, want, files, path, artifactRowsPerFile)
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
     }
@@ -429,7 +460,9 @@ object ZoneMap {
     * (a claimed versioned base — two racing refreshes write disjoint
     * targets and the manifest race picks one). No change ⇒ no-op.
     */
-  def refresh(spark: SparkSession, path: String): Build = {
+  def refresh(spark: SparkSession, path: String,
+      artifactRowsPerFile: Long = DefaultArtifactRowsPerFile)
+      : Build = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
     require(decl.fmt >= 4,
@@ -466,7 +499,8 @@ object ZoneMap {
     if (removed.isEmpty) {
       // append-only growth: profile the new files, commit a delta
       val staged = IndexDirs.nextDeltaName(path, "d")
-      profile(spark, decl, added, s"$path/deltas/$staged")
+      profile(spark, decl, added, s"$path/deltas/$staged",
+        artifactRowsPerFile)
       IndexDirs.stagedCommit(readManifest(path),
         writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
         // a racing refresh that already profiled any of these files
@@ -491,20 +525,24 @@ object ZoneMap {
       val bloomTarget = s"$path/bloom.v$ver" // same claimed suffix
       val filesTarget = s"$path/files.v$ver"
       val stagedNew = s"$path/stats.v$ver.new"
-      if (added.nonEmpty) profile(spark, decl, added, stagedNew)
+      if (added.nonEmpty)
+        profile(spark, decl, added, stagedNew, artifactRowsPerFile)
       def withNew(survivorTable: DataFrame, sub: String): DataFrame =
         if (added.isEmpty) survivorTable
         else survivorTable.unionByName(
           spark.read.parquet(s"$stagedNew/$sub"))
-      withNew(liveStats(spark, path, decl)
-          .filter(!col("file").isin(removed: _*)), "stats")
-        .coalesce(1).write.mode("overwrite").parquet(target)
-      withNew(liveBloom(spark, path, decl)
-          .filter(!col("file").isin(removed: _*)), "bloom")
-        .coalesce(1).write.mode("overwrite").parquet(bloomTarget)
-      withNew(liveLedger(spark, path, decl)
-          .filter(!col("file").isin(removed: _*)), "files")
-        .coalesce(1).write.mode("overwrite").parquet(filesTarget)
+      val nSurvive = n // post-refresh file count, known driver-side
+      val nCols = (decl.numCols.size + decl.strCols.size).toLong
+      writeArtifact(withNew(liveStats(spark, path, decl)
+          .filter(!col("file").isin(removed: _*)), "stats"),
+        nSurvive * nCols, target, artifactRowsPerFile)
+      writeArtifact(withNew(liveBloom(spark, path, decl)
+          .filter(!col("file").isin(removed: _*)), "bloom"),
+        nSurvive * decl.bloomCols.size * (decl.bloomBits / 64),
+        bloomTarget, artifactRowsPerFile)
+      writeArtifact(withNew(liveLedger(spark, path, decl)
+          .filter(!col("file").isin(removed: _*)), "files"),
+        nSurvive, filesTarget, artifactRowsPerFile)
       val folded = decl.deltas
       IndexDirs.commitWithRetry(readManifest(path),
         writeManifest(path, _: Manifest), path) { have =>
@@ -543,17 +581,22 @@ object ZoneMap {
     * compaction that already folded any of them makes this one stale
     * (skips, GC's its staging).
     */
-  def compactDeltas(spark: SparkSession, path: String): Int = {
+  def compactDeltas(spark: SparkSession, path: String,
+      artifactRowsPerFile: Long = DefaultArtifactRowsPerFile): Int = {
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no zone map at $path"))
     if (decl.fmt < 3 || decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
+    val nCols = (decl.numCols.size + decl.strCols.size).toLong
+    val est = Map("stats" -> decl.n * nCols,
+      "bloom" -> decl.n * decl.bloomCols.size * (decl.bloomBits / 64),
+      "files" -> decl.n)
     for (sub <- Seq("stats", "bloom", "files"))
-      folded.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
-        .reduce(_.unionByName(_)).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(s"$path/deltas/$staged/$sub")
+      writeArtifact(
+        folded.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+          .reduce(_.unionByName(_)),
+        est(sub), s"$path/deltas/$staged/$sub", artifactRowsPerFile)
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (!folded.forall(have.deltas.contains)) None

@@ -219,11 +219,16 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * — never on trust:
     *
     *  - parquet base: the base's live content fingerprint through the
-    *    view's dependency projection ([[AggView.factsFingerprint]] —
-    *    one projected scan) must equal the view manifest's composed
-    *    fingerprint. Exact: a base-only append or a view-only commit
-    *    fails the check and the registration stays stale (refusing,
-    *    correctly) until the two converge.
+    *    view's dependency projection must equal the view manifest's
+    *    composed fingerprint — computed O(DELTA): per-file partials
+    *    ([[AggView.factsFingerprintByFile]]) stored in the pin
+    *    compose for unchanged files and only files with no stored
+    *    partial are scanned ([[RelationPins.composeFingerprint]];
+    *    the FIRST verification scans everything and seeds). Exact: a
+    *    base-only append or a view-only commit fails the check and
+    *    the registration stays stale (refusing, correctly) until the
+    *    two converge; an in-place rewrite of a pinned file refuses
+    *    (per-file (len, mtime) pins).
     *  - MOR base: every live committed batch must carry a stream
     *    marker and the max committed stream id must equal the view's
     *    own `lastBatch` watermark ([[MergeOnRead.streamState]] —

@@ -10,13 +10,14 @@ import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatisti
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Histogram, HistogramBin, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Histogram, HistogramBin, LogicalPlan, OneRowRelation, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
-import graft.operators.ColStats
+import graft.operators.{ColStats, MergeOnRead}
+import graft.sources.MorRelation
 
 /** STATISTICS INJECTION from the persisted [[ColStats]] artifact:
   * an optimizer rule that attaches the profile — row count, per-column
@@ -60,15 +61,21 @@ import graft.operators.ColStats
   *  - kind `num` + non-integral relation type: nothing (the BIGINT
   *    cast makes every per-column number a lie).
   *
-  * Freshness: registration pins the base file listing
-  * ([[RelationPins.signature]]) and the artifact's manifest version;
-  * either moving disables injection until [[refreshPins]] VERIFIES
-  * base and artifact consistent again (live content fingerprint ==
-  * the artifact's composed fingerprint — one projected scan) and
-  * re-registers, or the caller re-registers manually — stale
+  * Freshness: registration pins the base (a parquet directory's
+  * file-listing signature, or a [[MergeOnRead]] table's observable
+  * state — see [[register]] for the MOR preconditions) and the
+  * artifact's manifest version; either moving disables injection
+  * until [[refreshPins]] VERIFIES base and artifact consistent again
+  * and re-registers, or the caller re-registers manually — stale
   * statistics silently degrade plans, so they expire with the data.
-  * Injection never changes RESULTS, only plan choice; the rule skips
-  * relations that already carry catalog stats (a real ANALYZE wins).
+  * The parquet verification is O(DELTA): per-file fingerprint
+  * partials (seeded from a co-built zone map's format-4 ledger
+  * and/or earlier refreshes) compose for unchanged files, so only
+  * NEW files are scanned ([[RelationPins.composeFingerprint]]); the
+  * MOR verification is pure metadata (the table's own compaction
+  * proof). Injection never changes RESULTS, only plan choice; the
+  * rule skips relations that already carry catalog stats (a real
+  * ANALYZE wins).
   *
   * One exception serves RESULTS, exactly: a GLOBAL (ungrouped,
   * unfiltered) aggregate of `count(*)` / `count(col)` /
@@ -96,19 +103,32 @@ object ColStatsInjection extends Logging {
   final case class Scalar(kind: String, nRows: Long, nNulls: Long,
       minNum: Option[Long], maxNum: Option[Long], sumNum: Option[Long])
 
-  /** `fileFps` is the refresh accelerator, not part of the pin's
-    * identity: per-file content-fingerprint partials
-    * ([[RelationPins.FileFp]]) seeded scan-free from a co-built
-    * zone map's format-4 ledger (`ledger`) and/or accumulated by
-    * [[refreshPins]]' own verification scans, so each refresh
-    * fingerprints only files it has no stored partial for.
+  /** What a registration pinned the BASE table at. A parquet
+    * directory pins its file-listing signature; `fileFps` is the
+    * refresh accelerator, not part of the pin's identity: per-file
+    * content-fingerprint partials ([[RelationPins.FileFp]]) seeded
+    * scan-free from a co-built zone map's format-4 ledger (`ledger`)
+    * and/or accumulated by [[refreshPins]]' own verification scans,
+    * so each refresh fingerprints only files it has no stored
+    * partial for. A [[graft.operators.MergeOnRead]] table pins its
+    * observable STATE — registrable only under the VERIFIED
+    * append-only precondition (see [[register]]): a monotone profile
+    * of the feed equals the folded table's profile exactly when no
+    * fold ever dropped a row, which the table's own compaction
+    * verification proves ([[MergeOnRead.appendOnlyRows]]).
     */
-  final case class Entry(statsPath: String, basePaths: Set[String],
-      listingSig: Long, version: Long, stats: CatalogStatistics,
-      scalars: Map[String, Scalar], decl: ColStats.Decl,
-      withHistograms: Boolean,
+  sealed trait BasePin
+  final case class FsPin(basePaths: Set[String], listingSig: Long,
       ledger: Option[String] = None,
       fileFps: Map[String, RelationPins.FileFp] = Map.empty)
+      extends BasePin
+  final case class MorPin(morPath: String, state: MergeOnRead.State)
+      extends BasePin
+
+  final case class Entry(statsPath: String, pin: BasePin,
+      version: Long, stats: CatalogStatistics,
+      scalars: Map[String, Scalar], decl: ColStats.Decl,
+      withHistograms: Boolean)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -144,10 +164,11 @@ object ColStatsInjection extends Logging {
   def register(spark: SparkSession, base: DataFrame,
       statsPath: String, histograms: Boolean = true,
       ledger: Option[String] = None): Entry = {
-    val (rel, fsRel) = RelationPins.bare(GraftBridge.analyzedPlan(base))
+    val (rel, kind) = baseOf(GraftBridge.analyzedPlan(base))
       .getOrElse(throw new IllegalArgumentException(
-        "register expects a bare single-file-source scan (the table " +
-          "the artifact profiles); got:\n" +
+        "register expects a bare single-relation scan (a parquet " +
+          "file-source or a live mor-source read of the table the " +
+          "artifact profiles); got:\n" +
           GraftBridge.analyzedPlan(base).treeString))
     val decl = ColStats.declaration(statsPath)
     val resolver = SQLConf.get.resolver
@@ -243,37 +264,113 @@ object ColStatsInjection extends Logging {
           longAt("min_num"), longAt("max_num"), longAt("sum_num"))
       }
     }.toMap
-    val fileFps: Map[String, RelationPins.FileFp] = ledger match {
-      case None => Map.empty
-      case Some(zmPath) =>
-        val zm = graft.operators.ZoneMap.declaration(zmPath)
-        require(zm.numCols == decl.numCols &&
-            zm.strCols == decl.strCols,
-          s"zone-map ledger at $zmPath declares columns " +
-            s"(${zm.numCols.mkString(",")} | ${zm.strCols.mkString(",")})" +
-            " but the stats artifact profiles " +
-            s"(${decl.numCols.mkString(",")} | ${decl.strCols.mkString(",")})" +
-            " — its fingerprint partials hash a different projection")
-        val stored = graft.operators.ZoneMap
-          .fingerprintLedger(spark, zmPath)
-          .getOrElse(throw new IllegalArgumentException(
-            s"zone map at $zmPath predates format 4 — no stored " +
-              "fingerprint partials; rebuild it or register without " +
-              "a ledger"))
-        val live = RelationPins.listedFiles(fsRel)
-          .map(f => f.key -> f).toMap
-        stored.collect {
-          case (key, (len, mtime, cfp, cn))
-              if live.get(key).exists(f =>
-                f.len == len && f.mtime == mtime) =>
-            key -> RelationPins.FileFp(len, mtime, cfp, cn)
+    val pin: BasePin = kind match {
+      case scala.Left(fsRel) =>
+        val fileFps: Map[String, RelationPins.FileFp] = ledger match {
+          case None => Map.empty
+          case Some(zmPath) =>
+            val zm = graft.operators.ZoneMap.declaration(zmPath)
+            require(zm.numCols == decl.numCols &&
+                zm.strCols == decl.strCols,
+              s"zone-map ledger at $zmPath declares columns " +
+                s"(${zm.numCols.mkString(",")} | ${zm.strCols.mkString(",")})" +
+                " but the stats artifact profiles " +
+                s"(${decl.numCols.mkString(",")} | ${decl.strCols.mkString(",")})" +
+                " — its fingerprint partials hash a different projection")
+            val stored = graft.operators.ZoneMap
+              .fingerprintLedger(spark, zmPath)
+              .getOrElse(throw new IllegalArgumentException(
+                s"zone map at $zmPath predates format 4 — no stored " +
+                  "fingerprint partials; rebuild it or register without " +
+                  "a ledger"))
+            val live = RelationPins.listedFiles(fsRel)
+              .map(f => f.key -> f).toMap
+            stored.collect {
+              case (key, (len, mtime, cfp, cn))
+                  if live.get(key).exists(f =>
+                    f.len == len && f.mtime == mtime) =>
+                key -> RelationPins.FileFp(len, mtime, cfp, cn)
+            }
+        }
+        FsPin(RelationPins.rootPaths(fsRel),
+          RelationPins.signature(fsRel), ledger, fileFps)
+      case scala.Right(m) =>
+        require(ledger.isEmpty,
+          "ledger seeding applies to parquet bases only (a mor pin " +
+            "verifies by manifest state, not file fingerprints)")
+        morVerified(m.path, decl) match {
+          case scala.Left(reason) => throw new IllegalArgumentException(
+            s"mor table at ${m.path} not registrable: $reason")
+          case scala.Right(st) => MorPin(m.path, st)
         }
     }
-    val e = Entry(statsPath, RelationPins.rootPaths(fsRel),
-      RelationPins.signature(fsRel), decl.version, catalog, scalars,
-      decl, histograms, ledger, fileFps)
+    val e = Entry(statsPath, pin, decl.version, catalog, scalars,
+      decl, histograms)
     registry.put(statsPath, e)
     e
+  }
+
+  /** The base-relation kinds a registration can pin: a bare parquet
+    * file-source scan, or a LIVE `mor`-source read (a version-pinned
+    * time-travel read is a different table than the one the profile
+    * tracks).
+    */
+  private def baseOf(p: LogicalPlan)
+      : Option[(LogicalRelation,
+        Either[org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation, MorRelation])] = p match {
+    case s: SubqueryAlias => baseOf(s.child)
+    case l: LogicalRelation => l.relation match {
+      case h: org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation => Some((l, scala.Left(h)))
+      case m: MorRelation if m.version.isEmpty =>
+        Some((l, scala.Right(m)))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** The VERIFIED preconditions under which a monotone (append-only)
+    * profile is exactly the folded mor table's profile — all
+    * metadata-scale reads, never a scan:
+    *
+    *  - every fold so far provably dropped no row
+    *    ([[MergeOnRead.appendOnlyRows]] — create-time key-uniqueness
+    *    plus per-compaction row-count verification); a feed that
+    *    deletes or re-keys flips that proof off PERMANENTLY and this
+    *    refuses with rebuild guidance;
+    *  - no pending unfolded batches (compaction IS the verification
+    *    point — what has not been folded has not been verified);
+    *  - the profile's absorbed row count equals the folded table's
+    *    (the cheap content sanity the count algebra affords — an
+    *    out-of-band append to either side lands here).
+    *
+    * The commit-chain question [[AggViewRewrite]] answers by walking
+    * manifests is answered here by the count equation: ColStats is
+    * append-only (deletes refuse at the artifact), so any out-of-band
+    * mutation moves `n` away from the verified fold count.
+    */
+  private def morVerified(morPath: String,
+      decl: ColStats.Decl): Either[String, MergeOnRead.State] = {
+    val st = try MergeOnRead.state(morPath)
+      catch { case NonFatal(ex) =>
+        return scala.Left(s"mor table unreadable: $ex") }
+    if (st.pending.nonEmpty)
+      return scala.Left("mor table has unfolded batches — compact " +
+        "first (compaction is the fold-verification point; pending " +
+        "batches are unverified by construction)")
+    MergeOnRead.appendOnlyRows(morPath) match {
+      case None =>
+        scala.Left("table is not verified append-only — create it " +
+          "with trackAppendOnly = true and keep it compacted; a " +
+          "feed that deletes or re-keys cannot maintain monotone " +
+          "statistics (rebuild the profile over the folded table " +
+          "instead)")
+      case Some(rows) if rows != decl.n =>
+        scala.Left(s"row counts diverge (folded table $rows vs " +
+          s"profile ${decl.n}) — waiting for the other side")
+      case Some(_) => scala.Right(st)
+    }
   }
 
   /** An equi-height [[Histogram]] from the artifact's signed-log₂
@@ -339,9 +436,10 @@ object ColStatsInjection extends Logging {
   /** Current registrations with their LIVE version freshness — the
     * ops answer to "why isn't my table planning with stats": one row
     * per registered artifact (path, base roots, injected rowCount /
-    * sizeInBytes, pinned vs live manifest version). Base-listing
-    * freshness is per-query (it needs the query's own relation) and
-    * is not evaluated here.
+    * sizeInBytes, pinned vs live manifest version). File-listing
+    * base freshness is per-query (it needs the query's own relation)
+    * and reports null; a MOR pin's state is readable here and
+    * reports directly.
     */
   def status(spark: SparkSession): DataFrame = {
     val s = spark
@@ -350,22 +448,32 @@ object ColStatsInjection extends Logging {
       val liveVersion =
         try Some(ColStats.version(e.statsPath))
         catch { case NonFatal(_) => None }
-      (e.statsPath, e.basePaths.toSeq.sorted.mkString(","),
+      val (baseDesc, baseFresh) = e.pin match {
+        case FsPin(paths, _, _, _) =>
+          (paths.toSeq.sorted.mkString(","), None: Option[Boolean])
+        case MorPin(p, st) =>
+          (p, Some(try MergeOnRead.state(p) == st
+            catch { case NonFatal(_) => false }))
+      }
+      (e.statsPath, baseDesc,
         e.stats.rowCount.map(_.toLong).getOrElse(-1L),
         e.stats.sizeInBytes.toLong,
         e.version, liveVersion.getOrElse(-1L),
-        liveVersion.contains(e.version))
+        liveVersion.contains(e.version), baseFresh)
     }.toDF("stats_path", "base_roots", "row_count", "size_bytes",
-      "pinned_version", "live_version", "version_fresh")
+      "pinned_version", "live_version", "version_fresh", "base_fresh")
   }
 
   /** Re-verify and re-register every pin whose base or artifact has
     * MOVED — the maintenance hook that keeps injection live on a
     * changing table ([[graft.plans.AggViewRewrite.refreshPins]]'s
-    * twin). A pin refreshes only when VERIFIED: the base's live
-    * content fingerprint over the declared columns
-    * ([[ColStats.fingerprint]] — one projected scan) must equal the
-    * artifact's composed fingerprint; a base-only append or an
+    * twin). A pin refreshes only when VERIFIED: a parquet base's
+    * live content fingerprint over the declared columns must equal
+    * the artifact's composed fingerprint — computed O(DELTA) by
+    * composing stored per-file partials and scanning only files
+    * with none ([[RelationPins.composeFingerprint]]); a MOR base
+    * re-verifies the append-only proof, pending-empty, watermark,
+    * and count equations (pure metadata). A base-only append or an
     * artifact-only commit fails the check and the registration stays
     * stale (refusing, correctly) until the two converge. Returns one
     * row per registration: (stats_path, refreshed, reason).
@@ -397,18 +505,50 @@ object ColStatsInjection extends Logging {
       live.strCols != e.decl.strCols)
       return Some("artifact declaration changed (rebuild) — " +
         "re-register")
-    val baseDf = spark.read.parquet(e.basePaths.toSeq.sorted: _*)
+    e.pin match {
+      case p: FsPin => refreshFs(spark, e, p, live)
+      case MorPin(morPath, st) =>
+        val liveState = try MergeOnRead.state(morPath)
+          catch { case NonFatal(ex) =>
+            return Some(s"mor table unreadable: $ex") }
+        if (liveState == st && live.version == e.version)
+          return Some("already fresh")
+        // the same verified preconditions as registration, plus the
+        // feed-coordination watermark: the artifact must have
+        // absorbed exactly the stream batches the table folded
+        val (maxId, allMarked) = MergeOnRead.streamState(morPath)
+        if (!allMarked)
+          return Some("mor table has committed batches without " +
+            "stream markers (out-of-band appends) — re-register")
+        if (maxId != live.lastBatch)
+          return Some(s"watermarks diverge (mor stream id $maxId " +
+            s"vs stats batch ${live.lastBatch}) — waiting for the " +
+            "other side")
+        morVerified(morPath, live) match {
+          case scala.Left(reason) => Some(reason)
+          case scala.Right(_) =>
+            register(spark,
+              spark.read.format("mor").load(morPath), e.statsPath,
+              e.withHistograms)
+            None
+        }
+    }
+  }
+
+  private def refreshFs(spark: SparkSession, e: Entry, pin: FsPin,
+      live: ColStats.Decl): Option[String] = {
+    val baseDf = spark.read.parquet(pin.basePaths.toSeq.sorted: _*)
     val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
       .map(_._2).getOrElse(
         return Some("base no longer reads as a bare parquet scan"))
-    if (RelationPins.signature(fsRel) == e.listingSig &&
+    if (RelationPins.signature(fsRel) == pin.listingSig &&
       live.version == e.version)
       return Some("already fresh")
     // O(delta) verification: compose stored per-file partials (from
     // the co-built zone-map ledger and/or earlier refreshes) and
     // fingerprint only files with no stored partial
     RelationPins.composeFingerprint(
-      RelationPins.listedFiles(fsRel), e.fileFps,
+      RelationPins.listedFiles(fsRel), pin.fileFps,
       uris => ColStats.fingerprintByFile(
         spark.read.parquet(uris: _*), live.numCols, live.strCols)
     ) match {
@@ -416,16 +556,21 @@ object ColStatsInjection extends Logging {
       case scala.Right((fp, n, partials)) =>
         if (fp == live.fp && n == live.n) {
           val ent = register(spark, baseDf, e.statsPath,
-            e.withHistograms, e.ledger)
+            e.withHistograms, pin.ledger)
           // the composed partials supersede the ledger seed (they
           // also cover files the ledger has not profiled yet)
-          registry.put(e.statsPath, ent.copy(fileFps = partials))
+          ent.pin match {
+            case fs: FsPin => registry.put(e.statsPath,
+              ent.copy(pin = fs.copy(fileFps = partials)))
+            case _ => ()
+          }
           None
         } else {
           // cache the computed partials even on refusal: they are
           // facts about the BASE's files — once the artifact
           // converges, the next refresh verifies O(delta)
-          registry.put(e.statsPath, e.copy(fileFps = partials))
+          registry.put(e.statsPath,
+            e.copy(pin = pin.copy(fileFps = partials)))
           Some("base content and artifact profile diverge " +
             "(fingerprint mismatch) — waiting for the other side")
         }
@@ -486,6 +631,12 @@ object ColStatsInjection extends Logging {
       versions.getOrElseUpdate(e.statsPath,
         try ColStats.version(e.statsPath) == e.version
         catch { case NonFatal(_) => false })
+    private val morStates =
+      scala.collection.mutable.Map.empty[String, Option[MergeOnRead.State]]
+    def morStateOf(path: String): Option[MergeOnRead.State] =
+      morStates.getOrElseUpdate(path,
+        try Some(MergeOnRead.state(path))
+        catch { case NonFatal(_) => None })
     private val sigs =
       new java.util.IdentityHashMap[AnyRef, java.lang.Long]
     def signatureOf(
@@ -534,19 +685,31 @@ object ColStatsInjection extends Logging {
     * match, base listing unchanged, artifact version unchanged.
     */
   private def freshEntry(l: LogicalRelation,
-      memo: Memo): Option[Entry] = {
-    val h = l.relation match {
-      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation => h
-      case _ => return None
-    }
-    val roots = RelationPins.rootPaths(h)
-    // sorted: with several registered artifacts for one table, the
-    // chosen one never depends on map iteration order
-    val cands = registry.values.asScala
-      .filter(_.basePaths == roots).toSeq.sortBy(_.statsPath)
-    if (cands.isEmpty) return None
-    val sig = memo.signatureOf(h)
-    cands.find(e => e.listingSig == sig && memo.versionFresh(e))
+      memo: Memo): Option[Entry] = l.relation match {
+    case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      val roots = RelationPins.rootPaths(h)
+      // sorted: with several registered artifacts for one table, the
+      // chosen one never depends on map iteration order
+      val cands = registry.values.asScala.filter(_.pin match {
+        case FsPin(paths, _, _, _) => paths == roots
+        case _ => false
+      }).toSeq.sortBy(_.statsPath)
+      if (cands.isEmpty) None
+      else {
+        val sig = memo.signatureOf(h)
+        cands.find(e =>
+          e.pin.asInstanceOf[FsPin].listingSig == sig &&
+            memo.versionFresh(e))
+      }
+    case m: MorRelation if m.version.isEmpty =>
+      registry.values.asScala.toSeq.sortBy(_.statsPath).find { e =>
+        e.pin match {
+          case MorPin(p, st) => p == m.path &&
+            memo.morStateOf(p).contains(st) && memo.versionFresh(e)
+          case _ => false
+        }
+      }
+    case _ => None
   }
 
   private def inject(l: LogicalRelation,

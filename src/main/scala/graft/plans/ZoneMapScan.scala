@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{DataFrame, GraftBridge, GraftStaticFileIndex, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBridge, GraftPrunedFileIndex, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{PredicateHelper, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
@@ -41,10 +41,17 @@ import graft.operators.ZoneMap
   * actually profiled (an unprofiled file re-pins fine but never
   * skips).
   *
-  * Only bare UNPARTITIONED, unbucketed parquet relations register:
-  * partition values live outside the data files, so a zone map keyed
-  * by file contents cannot speak for them (partition pruning already
-  * has a first-class path in Spark).
+  * PARTITIONED tables compose: the substituted index
+  * ([[org.apache.spark.sql.GraftPrunedFileIndex]]) DELEGATES to the
+  * relation's own index, so Spark's partition pruning and the zone
+  * map's per-file skip subtract independently from the same listing
+  * — the scan plans with BOTH PartitionFilters and the reduced file
+  * list. The zone map itself profiles DATA columns only (partition
+  * values live outside the data files, and the build refuses a
+  * declared column absent from them); partition-column predicates
+  * are Spark's own pruning path. Bucketed relations stay
+  * unregistrable: the pruned file list would break their layout
+  * contract.
   */
 object ZoneMapScan extends PredicateHelper with Logging {
 
@@ -54,12 +61,13 @@ object ZoneMapScan extends PredicateHelper with Logging {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  /** Pin `base` (a bare unpartitioned parquet scan) against the zone
-    * map at `zmPath`, verifying every profiled file's (length, mtime)
-    * against the live listing. Pins BOTH sides: the table's listing
-    * signature AND the artifact's manifest version — a rebuild or
-    * retarget of the artifact at the same path after registration is
-    * a higher version, so [[tryPrune]] stops trusting it until
+  /** Pin `base` (a bare parquet scan — partitioned or not) against
+    * the zone map at `zmPath`, verifying every profiled file's
+    * (length, mtime) against the live listing (all partitions). Pins
+    * BOTH sides: the table's listing signature AND the artifact's
+    * whole manifest declaration — a rebuild or retarget of the
+    * artifact at the same path after registration changes the
+    * declaration, so [[tryPrune]] stops trusting it until
     * [[refreshPins]] re-runs this verification (path-keyed
     * subtraction alone would be an implicit invariant, not a checked
     * one).
@@ -70,9 +78,6 @@ object ZoneMapScan extends PredicateHelper with Logging {
       .getOrElse(throw new IllegalArgumentException(
         "register expects a bare single-file-source parquet scan; " +
           "got:\n" + GraftBridge.analyzedPlan(base).treeString))
-    require(fsRel.partitionSchema.isEmpty,
-      "zone-map scan pruning registers unpartitioned tables only " +
-        "(partition values live outside the data files)")
     require(fsRel.bucketSpec.isEmpty,
       "bucketed relations carry layout semantics the pruned file " +
         "list would break — not registrable")
@@ -231,7 +236,7 @@ object ZoneMapScan extends PredicateHelper with Logging {
       sigOf: HadoopFsRelation => Long,
       declFresh: Entry => Boolean): Option[Filter] = {
     val h = l.relation match {
-      case h: HadoopFsRelation if h.partitionSchema.isEmpty => h
+      case h: HadoopFsRelation => h
       case _ => return None
     }
     val roots = RelationPins.rootPaths(h)
@@ -252,17 +257,18 @@ object ZoneMapScan extends PredicateHelper with Logging {
     if (srcFilters.isEmpty) return None
     val killed = ZoneMap.pruneKilled(h.sparkSession, e.zmPath, srcFilters)
     if (killed.isEmpty) return None
-    val statuses =
-      h.location.listFiles(Nil, Nil).flatMap(_.files)
-    val keep = statuses.filterNot(s =>
-      killed(s.getPath.toUri.getPath))
-    if (keep.size == statuses.size) return None
-    // the pruned relation: same schema/format/options, a fixed file
-    // list (statuses already in memory — no FS call). The predicate
-    // stays above and re-evaluates; planning pushes it into the
-    // pruned scan exactly as it would the full one.
-    val idx = new GraftStaticFileIndex(h.location.rootPaths,
-      keep.map(_.fileStatus))
+    val listedKilled = h.location.listFiles(Nil, Nil).iterator
+      .flatMap(_.files)
+      .count(s => killed(s.getPath.toUri.getPath))
+    if (listedKilled == 0) return None
+    // the pruned relation: same schema/format/options/partitioning,
+    // the underlying index minus the killed set (its in-memory
+    // listing — no FS call). On a PARTITIONED table the wrapper
+    // delegates partition pruning to the underlying index, so the
+    // scan gets BOTH PartitionFilters and the per-file skip. The
+    // predicate stays above and re-evaluates; planning pushes it
+    // into the pruned scan exactly as it would the full one.
+    val idx = new GraftPrunedFileIndex(h.location, killed)
     val newRel = h.copy(location = idx)(h.sparkSession)
     Some(Filter(cond, l.copy(relation = newRel)))
   }

@@ -33,3 +33,38 @@ class GraftStaticFileIndex(
   override def sizeInBytes: Long = files.map(_.getLen).sum
   override def partitionSchema: StructType = StructType(Nil)
 }
+
+/** The DELEGATING pruned index: the underlying [[FileIndex]] minus a
+  * KILLED file set (scheme-free path keys). Every other behavior —
+  * partition discovery, partition-filter pruning inside `listFiles`,
+  * partition value population — is the underlying index's own, so
+  * this composes with PARTITIONED tables: Spark's partition pruning
+  * and the zone map's per-file skipping subtract independently from
+  * the same listing ([[graft.plans.ZoneMapScan]]'s substitution).
+  * Zero filesystem calls: the underlying index's listing is already
+  * in memory, and the subtraction filters it per call.
+  */
+class GraftPrunedFileIndex(
+    underlying: FileIndex,
+    killed: Set[String]) extends FileIndex {
+  private def keep(f: execution.datasources.FileStatusWithMetadata)
+      : Boolean = !killed.contains(f.getPath.toUri.getPath)
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+  override def listFiles(
+      partitionFilters: Seq[catalyst.expressions.Expression],
+      dataFilters: Seq[catalyst.expressions.Expression])
+      : Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files = pd.files.filter(keep)))
+      .filter(_.files.nonEmpty)
+  override def inputFiles: Array[String] =
+    underlying.listFiles(Nil, Nil).iterator.flatMap(_.files)
+      .filter(keep).map(_.getPath.toString).toArray
+  override def refresh(): Unit = underlying.refresh()
+  override def sizeInBytes: Long =
+    underlying.listFiles(Nil, Nil).iterator.flatMap(_.files)
+      .filter(keep).map(_.getLen).sum
+  override def partitionSchema: StructType = underlying.partitionSchema
+  override def metadataOpsTimeNs: Option[Long] =
+    underlying.metadataOpsTimeNs
+}

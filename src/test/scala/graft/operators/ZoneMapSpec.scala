@@ -411,4 +411,36 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.prune(spark, idx2,
       Seq(StringStartsWith("s", "\u07ff")))._1.isEmpty) // all below
   }
+
+  test("bucketed artifact writes past toy scale: a small rows-per-" +
+      "file bound writes >1 file per table, serves and fingerprints " +
+      "unchanged") {
+    val dir = tmp("zm-bt"); val one = tmp("zm-b1"); val many = tmp("zm-bm")
+    writeTable(dir, files = 6)
+    val b1 = ZoneMap.buildIfAbsent(spark, dir, Seq("k", "v"),
+      Seq("s"), one, bloomCols = Seq("s"))
+    // 6 files x 3 cols = 18 stats rows; a bound of 4 rows/file must
+    // hash-bucket every table into several files
+    val bm = ZoneMap.buildIfAbsent(spark, dir, Seq("k", "v"),
+      Seq("s"), many, bloomCols = Seq("s"), artifactRowsPerFile = 4)
+    assert((b1.fingerprint, b1.count) == (bm.fingerprint, bm.count))
+    def nFiles(sub: String): Int =
+      new java.io.File(s"$many/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("stats") > 1, s"stats files: ${nFiles("stats")}")
+    assert(nFiles("bloom") > 1, s"bloom files: ${nFiles("bloom")}")
+    assert(nFiles("files") > 1, s"files files: ${nFiles("files")}")
+    // serves identical rows either way
+    def rows(idx: String) =
+      ZoneMap.stats(spark, idx).collect().map(_.toString).sorted.toSeq
+    assert(rows(one) == rows(many))
+    val f = Seq(GreaterThanOrEqual("k", 100L), LessThanOrEqual("k", 180L))
+    def scanned(idx: String) =
+      ZoneMap.scan(spark, idx, f).filter(col("k").between(100L, 180L))
+        .collect().map(_.toString).sorted.toSeq
+    assert(scanned(one) == scanned(many))
+    // and the ledger partials are identical too
+    assert(ZoneMap.fingerprintLedger(spark, one).get ==
+      ZoneMap.fingerprintLedger(spark, many).get)
+  }
 }

@@ -160,16 +160,48 @@ class ZoneMapScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     ZoneMapScan.clear()
   }
 
-  test("register refuses a partitioned relation and a non-bare plan") {
+  test("a PARTITIONED table composes: the plan keeps partition " +
+      "pruning AND drops zone-killed files, results exact") {
     ZoneMapScan.clear()
     val root = Files.createTempDirectory("graft-zms-part").toString
     val s = spark
     import s.implicits._
-    (0 until 100).map(i => (i.toLong, i % 3)).toDF("v", "p")
-      .write.partitionBy("p").parquet(s"$root/pt")
-    intercept[IllegalArgumentException] {
-      ZoneMapScan.register(spark, spark.read.parquet(s"$root/pt"), zmDir)
+    // 3 partitions × 4 range-tight files on v each
+    (0 until 3).foreach { p =>
+      (0 until 1200).map(i => (i.toLong + p * 10000, (i / 10).toLong))
+        .toDF("k", "v").repartitionByRange(4, col("v"))
+        .write.mode("append").parquet(s"$root/pt/p=$p")
     }
+    val pt = spark.read.parquet(s"$root/pt")
+    val allFiles = pt.inputFiles.length
+    assert(allFiles == 12)
+    ZoneMap.buildIfAbsent(spark, s"$root/pt", Seq("v"), Nil,
+      s"$root/zmp")
+    ZoneMapScan.register(spark, pt, s"$root/zmp")
+    pt.createOrReplaceTempView("zms_part_tbl")
+    val q = spark.sql(
+      "SELECT * FROM zms_part_tbl WHERE p = 1 AND v BETWEEN 20 AND 29")
+    // partition pruning (1 of 3 partitions) AND zone skipping
+    // (fewer than that partition's 4 files) both fired: fewer than
+    // 4 of the 12 files are scanned, and the physical scan carries
+    // a real PartitionFilters clause
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p"), plan)
+    assert(q.inputFiles.length < allFiles / 3,
+      s"${q.inputFiles.length} of $allFiles scanned\n$plan")
+    // exact: equals the unregistered full-scan answer
+    val truth = {
+      ZoneMapScan.clear()
+      spark.sql("SELECT * FROM zms_part_tbl WHERE p = 1 AND " +
+        "v BETWEEN 20 AND 29").collect().map(_.toString).sorted.toSeq
+    }
+    ZoneMapScan.register(spark, pt, s"$root/zmp")
+    assert(q.collect().map(_.toString).sorted.toSeq == truth)
+    ZoneMapScan.clear()
+  }
+
+  test("register refuses a non-bare plan") {
+    ZoneMapScan.clear()
     intercept[IllegalArgumentException] {
       ZoneMapScan.register(spark, t.filter(col("v") > 0), zmDir)
     }
