@@ -587,6 +587,42 @@ object OperatorQueries {
       }
     }),
 
+    /** KEY-ZONE kb pruning for the MV rewrite ([[graft.plans
+      * .AggViewRewrite]] with `keyZones = true`): a LIKE-prefix key
+      * probe — which hash bucketing cannot enumerate — prunes the
+      * rollup's kb partitions through per-kb key zones computed from
+      * the PINNED view version itself (exact by construction: zones
+      * recompute at every re-pin and rewrites only fire while the
+      * pin is fresh; [[graft.operators.ZoneTests]] supplies the same
+      * conservative byte-interval test the file zone maps use). The
+      * oracle replays the filtered aggregate directly;
+      * AggViewRewriteSpec pins the kb PartitionFilters.
+      */
+    "q241_mv_zone_probe" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q241", d)
+      val tableDir = s"$root/orders"
+      Tables.orders(s, d).select(
+          col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(2).write.mode("overwrite").parquet(tableDir)
+      val base = s.read.parquet(tableDir)
+      AggView.buildIfAbsent(base, Seq("pri"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/view", kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.register(s, base, s"$root/view", keyZones = true)
+      base.createOrReplaceTempView("graft_q241_tbl")
+      try GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+        s.sql("""SELECT pri, count(*) AS n, sum(cents) AS sum_cents
+                |FROM graft_q241_tbl
+                |WHERE pri LIKE '2%'
+                |GROUP BY pri ORDER BY pri""".stripMargin)))
+      finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
     /** Zone-map skipping over a PARTITIONED table
       * ([[graft.plans.ZoneMapScan]] + [[org.apache.spark.sql
       * .GraftPrunedFileIndex]]): the table copy is hive-partitioned
@@ -1333,6 +1369,17 @@ object OperatorQueries {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the zone-pruned rewritten probe must equal the direct filtered
+    // aggregate — a kb partition wrongly pruned loses its groups and
+    // lands in the hash
+    "q241_mv_zone_probe" ->
+      """WITH t AS (SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT pri, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t WHERE pri LIKE '2%'
+        |GROUP BY pri ORDER BY pri""".stripMargin,
     // the partition-pruned + zone-skipped scan must equal the direct
     // filtered aggregate — a dropped file that still matched (or a
     // partition wrongly pruned) lands in the hash

@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+import graft.functions.StrExtremaAgg.{str_max, str_min}
 
 /** Persisted incrementally-maintained aggregate view — the
   * [[LmIndex]]/[[Bm25Index]] pure-sum algebra generalized to ANY
@@ -256,6 +259,60 @@ object AggView {
       throw new IllegalStateException(s"no view at $path"))
     IndexDirs.contentFingerprintByFile(projected(facts, mf),
       mf.keys ++ mf.mNames)
+  }
+
+  /** Per-kb-partition ZONES of the view's KEY values, computed from
+    * the live folded groups: (kb, col_name, kind, n_groups, n_nulls,
+    * min_num, max_num, min_str, max_str) — ≤ kbParts·|keys| rows.
+    * Integral keys zone numerically; string keys in UTF-8 byte order
+    * ([[graft.functions.StrExtremaAgg]]); other key types get no
+    * zone rows (consumers stay conservative). What lets a consumer
+    * prune kb PARTITIONS for predicates hash bucketing cannot
+    * enumerate — LIKE-prefix and unbounded ranges
+    * ([[graft.plans.AggViewRewrite]]'s zone prune, via the shared
+    * [[ZoneTests]]). EXACT for the artifact's current committed
+    * version: the consumer recomputes at every (re-)pin and only
+    * serves while the pin is fresh, so zones and the served version
+    * can never diverge — no second artifact, no staleness algebra.
+    * One rollup-size distributed aggregate (the view's own serve
+    * ceiling); the collect is ≤ kbParts·|keys| rows.
+    */
+  def keyZones(spark: SparkSession, path: String): DataFrame = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    val live = liveAgg(spark, path, mf)
+    val byName = live.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pieces = mf.keys.flatMap { k =>
+      byName(k) match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Some(struct(lit(k).as("col_name"), lit("num").as("kind"),
+            col(k).cast("long").as("vnum"),
+            lit(null).cast("string").as("vstr")))
+        case StringType =>
+          Some(struct(lit(k).as("col_name"), lit("str").as("kind"),
+            lit(null).cast("long").as("vnum"), col(k).as("vstr")))
+        case _ => None
+      }
+    }
+    val base = live.withColumn("kb", kbCol(mf.keys, mf.kbParts))
+    if (pieces.isEmpty)
+      // no zonable key: a correctly-shaped empty result
+      return base.limit(0).select(col("kb"),
+        lit("").as("col_name"), lit("").as("kind"),
+        lit(0L).as("n_groups"), lit(0L).as("n_nulls"),
+        lit(null).cast("long").as("min_num"),
+        lit(null).cast("long").as("max_num"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    base.select(col("kb"), explode(array(pieces: _*)).as("e"))
+      .select(col("kb"), col("e.*"))
+      .groupBy("kb", "col_name", "kind")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("vnum").isNull && col("vstr").isNull, 1L)
+          .otherwise(0L)).as("n_nulls"),
+        min("vnum").as("min_num"), max("vnum").as("max_num"),
+        str_min(col("vstr")).as("min_str"),
+        str_max(col("vstr")).as("max_str"))
   }
 
   /** Committed manifest versions of the view, ascending — the valid

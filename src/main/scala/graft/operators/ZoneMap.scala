@@ -681,128 +681,19 @@ object ZoneMap {
     spark.read.parquet(mf.tableDir).schema
   }
 
-  /** Unsigned lexicographic compare of UTF-8 byte strings — the
-    * ordering the zone extrema were AGGREGATED under
-    * ([[graft.functions.StrExtremaAgg]] compares `UTF8String`s =
-    * UTF-8 bytes = code points). Java's `String.compareTo` is UTF-16
-    * code-UNIT order, which DISAGREES above the BMP (a surrogate
-    * pair's 0xD800-range units sort below U+E000..U+FFFF singles), so
-    * zone tests must compare in byte space or a file holding a
-    * supplementary-plane value can be pruned while it matches.
-    */
-  private def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
-    val n = math.min(a.length, b.length)
-    var i = 0
-    while (i < n) {
-      val d = (a(i) & 0xff) - (b(i) & 0xff)
-      if (d != 0) return d
-      i += 1
-    }
-    a.length - b.length
-  }
-
-  private def utf8(s: String): Array[Byte] =
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-
-  /** The smallest byte string GREATER than every string with prefix
-    * `p` (in byte space): increment p's last non-0xFF byte, truncate
-    * after it. None when every byte is 0xFF (no upper bound). The
-    * prefix interval is then [p, next(p)).
-    */
-  private def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
-    var i = p.length - 1
-    while (i >= 0 && p(i) == 0xff.toByte) i -= 1
-    if (i < 0) None
-    else {
-      val out = java.util.Arrays.copyOf(p, i + 1)
-      out(i) = (out(i) + 1).toByte
-      Some(out)
-    }
-  }
-
   /** Can the file described by one stats row contain a row matching
-    * `f`? Conservative per-filter test on a single column's zone.
+    * `f`? Delegates to the shared conservative test ([[ZoneTests]] —
+    * one definition for this per-FILE pruner and the MV rewrite's
+    * per-kb pruner, so prefix/range/null/byte-order semantics never
+    * drift).
     */
   private def mayMatch(f: Filter, kind: String, nRows: Long,
       nNulls: Long, minN: Option[Long], maxN: Option[Long],
-      minS: Option[String], maxS: Option[String]): Boolean = {
-    def asLong(v: Any): Option[Long] = v match {
-      case l: java.lang.Long => Some(l.longValue)
-      case i: java.lang.Integer => Some(i.longValue)
-      case s: java.lang.Short => Some(s.longValue)
-      case b: java.lang.Byte => Some(b.longValue)
-      case _ => None
-    }
-    def numZone(test: (Long, Long) => Boolean): Boolean =
-      // no non-null values ⇒ a null-rejecting predicate matches none
-      (minN, maxN) match {
-        case (Some(lo), Some(hi)) => test(lo, hi)
-        case _ => false
-      }
-    // zone tests in UTF-8 byte order — the order the extrema carry
-    def strZone(test: (Array[Byte], Array[Byte]) => Boolean): Boolean =
-      (minS, maxS) match {
-        case (Some(lo), Some(hi)) => test(utf8(lo), utf8(hi))
-        case _ => false
-      }
-    def strContains(v: String): Boolean = {
-      val b = utf8(v)
-      strZone((lo, hi) => byteCmp(lo, b) <= 0 && byteCmp(b, hi) <= 0)
-    }
-    f match {
-      case IsNull(_) => nNulls > 0
-      case IsNotNull(_) => nNulls < nRows
-      case EqualTo(_, v) if kind == "num" =>
-        asLong(v).forall(x => numZone((lo, hi) => lo <= x && x <= hi))
-      case EqualTo(_, v: String) if kind == "str" => strContains(v)
-      case In(_, vs) if kind == "num" =>
-        vs.exists(v => asLong(v)
-          .forall(x => numZone((lo, hi) => lo <= x && x <= hi)))
-      case In(_, vs) if kind == "str" =>
-        vs.exists {
-          case v: String => strContains(v)
-          case _ => true
-        }
-      case GreaterThan(_, v) if kind == "num" =>
-        asLong(v).forall(x => numZone((_, hi) => hi > x))
-      case GreaterThanOrEqual(_, v) if kind == "num" =>
-        asLong(v).forall(x => numZone((_, hi) => hi >= x))
-      case LessThan(_, v) if kind == "num" =>
-        asLong(v).forall(x => numZone((lo, _) => lo < x))
-      case LessThanOrEqual(_, v) if kind == "num" =>
-        asLong(v).forall(x => numZone((lo, _) => lo <= x))
-      case GreaterThan(_, v: String) if kind == "str" =>
-        strZone((_, hi) => byteCmp(hi, utf8(v)) > 0)
-      case GreaterThanOrEqual(_, v: String) if kind == "str" =>
-        strZone((_, hi) => byteCmp(hi, utf8(v)) >= 0)
-      case LessThan(_, v: String) if kind == "str" =>
-        strZone((lo, _) => byteCmp(lo, utf8(v)) < 0)
-      case LessThanOrEqual(_, v: String) if kind == "str" =>
-        strZone((lo, _) => byteCmp(lo, utf8(v)) <= 0)
-      // LIKE 'p%': strings with prefix p form the byte interval
-      // [p, nextPrefix(p)) — a file survives iff its zone intersects
-      case StringStartsWith(_, p) if kind == "str" =>
-        strZone { (lo, hi) =>
-          val pb = utf8(p)
-          byteCmp(hi, pb) >= 0 &&
-            nextPrefix(pb).forall(np => byteCmp(lo, np) < 0)
-        }
-      case _ => true // unrecognized ⇒ never prune on it
-    }
-  }
+      minS: Option[String], maxS: Option[String]): Boolean =
+    ZoneTests.mayMatch(f, ZoneTests.Zone(kind, nRows, nNulls,
+      minN, maxN, minS, maxS))
 
-  private def colOf(f: Filter): Option[String] = f match {
-    case EqualTo(a, _) => Some(a)
-    case In(a, _) => Some(a)
-    case GreaterThan(a, _) => Some(a)
-    case GreaterThanOrEqual(a, _) => Some(a)
-    case LessThan(a, _) => Some(a)
-    case LessThanOrEqual(a, _) => Some(a)
-    case IsNull(a) => Some(a)
-    case IsNotNull(a) => Some(a)
-    case StringStartsWith(a, _) => Some(a)
-    case _ => None
-  }
+  private def colOf(f: Filter): Option[String] = ZoneTests.colOf(f)
 
   /** The file list a conjunction of `filters` cannot rule out, plus
     * the total profiled count: (surviving files, total files). The

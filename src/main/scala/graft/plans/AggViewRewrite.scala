@@ -132,10 +132,14 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   /** A registered view: the artifact path, the base pin, and the
     * view-manifest-version pin (with the declaration read at that
-    * version).
+    * version). `zones` (opt-in at [[register]]) holds the per-kb key
+    * zones of the PINNED view version (key name → kb → zone),
+    * recomputed at every (re-)pin — since rewrites only fire while
+    * the pin is fresh, the zones are EXACT for whatever is served.
     */
   final case class Entry(viewPath: String, pin: BasePin,
-      version: Long, decl: AggView.Decl)
+      version: Long, decl: AggView.Decl,
+      zones: Option[Map[String, Map[Int, graft.operators.ZoneTests.Zone]]] = None)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -150,8 +154,16 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * that applied the same changes to both. Thereafter
     * [[refreshPins]] re-verifies and re-pins as both sides move.
     */
+  /** `keyZones` (opt-in): also compute the pinned version's per-kb
+    * KEY ZONES ([[AggView.keyZones]] — one rollup-size aggregate, the
+    * view's own serve ceiling), which lets the rewrite prune kb
+    * partitions for key predicates hash bucketing cannot enumerate:
+    * LIKE-prefixes and unbounded/non-integral ranges. Zones are
+    * recomputed at every successful [[refreshPins]] re-pin, so they
+    * always describe exactly the version being served.
+    */
   def register(spark: SparkSession, base: DataFrame,
-      viewPath: String): Entry = {
+      viewPath: String, keyZones: Boolean = false): Entry = {
     val (_, id) = baseOf(GraftBridge.analyzedPlan(base))
       .getOrElse(throw new IllegalArgumentException(
         "register expects a bare single-relation scan (a parquet " +
@@ -168,10 +180,43 @@ object AggViewRewrite extends PredicateHelper with Logging {
       "view key/measure named 'cnt' (any case the session resolver " +
         "matches) would collide with the served count column — not " +
         "rewritable")
-    val e = Entry(viewPath, pinOf(id), decl.version, decl)
+    val e = Entry(viewPath, pinOf(id), decl.version, decl,
+      zonesOf(spark, viewPath, keyZones))
     registry.put(viewPath, e)
     e
   }
+
+  /** The pinned per-kb key zones (key name → kb → zone), or None
+    * when disabled. Read AFTER the declaration: a commit landing in
+    * between leaves the pin stale (no rewrite fires), never zones
+    * that disagree with a served version.
+    */
+  private def zonesOf(spark: SparkSession, viewPath: String,
+      enabled: Boolean)
+      : Option[Map[String, Map[Int, graft.operators.ZoneTests.Zone]]] =
+    if (!enabled) None
+    else Some(
+      AggView.keyZones(spark, viewPath).collect()
+        .map { r =>
+          def optL(c: String) =
+            if (r.isNullAt(r.fieldIndex(c))) None
+            else Some(r.getLong(r.fieldIndex(c)))
+          def optS(c: String) =
+            if (r.isNullAt(r.fieldIndex(c))) None
+            else Some(r.getString(r.fieldIndex(c)))
+          (r.getString(r.fieldIndex("col_name")),
+            r.getInt(r.fieldIndex("kb")),
+            graft.operators.ZoneTests.Zone(
+              r.getString(r.fieldIndex("kind")),
+              r.getLong(r.fieldIndex("n_groups")),
+              r.getLong(r.fieldIndex("n_nulls")),
+              optL("min_num"), optL("max_num"),
+              optS("min_str"), optS("max_str")))
+        }
+        .groupBy(_._1)
+        .map { case (c, rows) =>
+          c -> rows.map(t => t._2 -> t._3).toMap
+        })
 
   def unregister(viewPath: String): Unit = { registry.remove(viewPath); () }
 
@@ -291,7 +336,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
             if (fp == live.fp && n == live.n)
               scala.Right(Entry(e.viewPath,
                 FsPin(RelationPins.rootPaths(fsRel), newSig, partials),
-                live.version, live))
+                live.version, live,
+                zonesOf(spark, e.viewPath, e.zones.isDefined)))
             else {
               // keep the freshly computed partials even on refusal:
               // they are facts about the BASE's files, independent of
@@ -320,7 +366,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
           else viewChainClean(e, live) match {
             case Some(reason) => scala.Left(reason)
             case None => scala.Right(Entry(e.viewPath,
-              MorPin(p, liveState), live.version, live))
+              MorPin(p, liveState), live.version, live,
+              zonesOf(spark, e.viewPath, e.zones.isDefined)))
           }
         }
     }
@@ -672,6 +719,43 @@ object AggViewRewrite extends PredicateHelper with Logging {
       } else None
     }
 
+    // ZONE-based kb pruning for key predicates hash bucketing cannot
+    // enumerate — LIKE-prefix, unbounded or non-integral ranges:
+    // consult the pinned per-kb key zones (exact for the served
+    // version, see Entry.zones) through the shared conservative test
+    // ([[graft.operators.ZoneTests]] — the per-file zone-map pruner's
+    // own semantics). Driver-side over kbParts × |conjuncts|; fires
+    // only when the enumerable path didn't.
+    val zoneParts: Option[Seq[Int]] =
+      if (parts.isDefined) None
+      else e.zones.flatMap { zs =>
+        val srcFilters = filters.flatMap { c =>
+          // re-address attributes to the view's declared key names
+          // before translating, so the source-Filter column names
+          // match the zone table's keys
+          GraftBridge.translateFilter(c.transform {
+            case a: AttributeReference if keyAttrSet.contains(a) =>
+              a.withName(keyNameOf(a.exprId))
+          })
+        }
+        if (srcFilters.isEmpty) None
+        else {
+          val kept = (0 until e.decl.kbParts).filter { kb =>
+            srcFilters.forall { f =>
+              graft.operators.ZoneTests.colOf(f) match {
+                case Some(c) =>
+                  // a missing zone row (unzonable key type, or a kb
+                  // with no groups) keeps the partition
+                  zs.get(c).flatMap(_.get(kb)).forall(z =>
+                    graft.operators.ZoneTests.mayMatch(f, z))
+                case None => true
+              }
+            }
+          }
+          if (kept.size < e.decl.kbParts) Some(kept) else None
+        }
+      }
+
     // the pushed key predicate, re-addressed to the view's columns
     val whereCol: Option[Column] = filters.reduceOption(And).map { c =>
       GraftBridge.column(c.transform {
@@ -681,7 +765,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }
 
     val viewPlan = GraftBridge.analyzedPlan(
-      AggView.readFor(spark, e.viewPath, whereCol, parts))
+      AggView.readFor(spark, e.viewPath, whereCol,
+        parts.orElse(zoneParts)))
     val vOut = viewPlan.output
     // .get: a missing column is impossible by construction (readFor
     // serves keys/cnt/measures); if it ever happens the Rule-level

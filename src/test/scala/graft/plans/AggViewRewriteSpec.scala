@@ -353,6 +353,72 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHERE ik >= 7 GROUP BY ik""".stripMargin)))
   }
 
+  test("key-zone pruning (opt-in): LIKE-prefix and unbounded-range " +
+      "key probes prune kb partitions the hash cannot enumerate; " +
+      "without zones they rewrite unpruned; results exact") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-zones").toString
+    val s = spark
+    import s.implicits._
+    // 26 distinct string keys aa..az spread over 8 kb buckets
+    (0 until 2600).map(i => (s"a${('a' + i % 26).toChar}", i.toDouble))
+      .toDF("sk", "y").repartition(2).write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("sk"),
+      Seq(AggView.Measure("sum_y", "y")), s"$root/view", kbParts = 8)
+    b.createOrReplaceTempView("mvspec_zone_base")
+    val prefix = """SELECT sk, count(*) AS c, sum(y) AS sy
+                   |FROM mvspec_zone_base
+                   |WHERE sk LIKE 'ab%' GROUP BY sk""".stripMargin
+    val range = """SELECT sk, sum(y) AS sy FROM mvspec_zone_base
+                  |WHERE sk >= 'ay' GROUP BY sk""".stripMargin
+    val truthPrefix = sorted(sql(prefix))
+    val truthRange = sorted(sql(range))
+    // the kb partition filter in the scan metadata is the pruning
+    // observable (the q231 precedent: AQE hides selectedPartitions
+    // but the scan's PartitionFilters clause prints)
+    def kbPruned(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [kb")
+    // without zones: rewrites, but no kb partition filter
+    AggViewRewrite.register(s, b, s"$root/view")
+    val un = sql(prefix)
+    assert(scannedRoots(un).exists(_.contains(s"$root/view")))
+    assert(sorted(un) == truthPrefix)
+    assert(!kbPruned(un), un.queryExecution.executedPlan.toString)
+    // with zones: the prefix probe prunes to the kb(s) whose key
+    // zone intersects [ab, ac)
+    AggViewRewrite.clear()
+    AggViewRewrite.register(s, b, s"$root/view", keyZones = true)
+    val zp = sql(prefix)
+    assert(scannedRoots(zp).exists(_.contains(s"$root/view")))
+    assert(sorted(zp) == truthPrefix && truthPrefix.size == 1)
+    assert(kbPruned(zp), zp.queryExecution.executedPlan.toString)
+    // unbounded range prunes too (ay/az live in at most 2 buckets)
+    val zr = sql(range)
+    assert(scannedRoots(zr).exists(_.contains(s"$root/view")))
+    assert(sorted(zr) == truthRange && truthRange.size == 2)
+    assert(kbPruned(zr), zr.queryExecution.executedPlan.toString)
+    // a batch landing on both sides: refreshPins recomputes the
+    // zones with the new pin, and a probe for the NEW key prefix
+    // still answers exactly (never pruned away)
+    val delta = Seq(("zz", 5.0), ("zz", 7.0)).toDF("sk", "y")
+    delta.write.mode("append").parquet(s"$root/base")
+    AggView.append(delta, s"$root/view")
+    val ref = AggViewRewrite.refreshPins(s).collect().head
+    assert(ref.getBoolean(1), ref.getString(2))
+    // fresh read: the old DataFrame's in-memory listing predates the
+    // append (the sig-mismatch refusal is its own, already-covered
+    // case — here we want the refreshed pin to serve)
+    s.read.parquet(s"$root/base")
+      .createOrReplaceTempView("mvspec_zone_base")
+    val nz = sql("""SELECT sk, sum(y) AS sy FROM mvspec_zone_base
+                   |WHERE sk LIKE 'zz%' GROUP BY sk""".stripMargin)
+    assert(scannedRoots(nz).exists(_.contains(s"$root/view")))
+    assert(nz.collect().map(_.getDouble(1)).toSeq == Seq(12.0))
+    AggViewRewrite.clear()
+  }
+
   test("register refuses a view whose key collides with the served " +
       "count column under the session resolver (any case)") {
     AggViewRewrite.clear()

@@ -223,6 +223,13 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("kb#"), p)
   }
 
+  test("LIKE-prefix probe rewrites onto the view AND prunes kb " +
+      "partitions through the pinned key zones (q241)") {
+    val p = plan("q241_mv_zone_probe")
+    assert(p.contains("/view/") && !p.contains("/orders/"), p)
+    assert(p.contains("PartitionFilters: [kb"), p)
+  }
+
   test("MOR-backed rewrite after a fleet batch + pin refresh serves " +
       "the view artifact, never the table's base/delta files (q235)") {
     val p = plan("q235_mv_mor")
