@@ -419,6 +419,47 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggViewRewrite.clear()
   }
 
+  test("key zones honor the UTF-8 byte-order and null contracts: a " +
+      "supplementary-plane key is never pruned for its own probe; " +
+      "null-keyed groups survive IS NULL and drop for LIKE") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-zutf").toString
+    val s = spark
+    import s.implicits._
+    // one kb-worth of keys incl. an emoji (U+1F600, outside the BMP:
+    // UTF-16 code-unit order would sort it BELOW U+E000..U+FFFF
+    // singles — byte order must rule, exactly as for file zones) and
+    // a null key
+    val emojiKey = "\uD83D\uDE00" // U+1F600
+    val rows = Seq(Some("a"), Some(emojiKey), Some("\uFFFD"),
+      None).zipWithIndex.map { case (k, i) => (k, (i + 1).toDouble) }
+    rows.toDF("sk", "y").write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("sk"),
+      Seq(AggView.Measure("sum_y", "y")), s"$root/view", kbParts = 4)
+    AggViewRewrite.register(s, b, s"$root/view", keyZones = true)
+    b.createOrReplaceTempView("mvspec_zutf_base")
+    // probe for the emoji key: a UTF-16 comparison would place it
+    // outside [min, max] of a zone whose max is U+FFFD and prune the
+    // group away — byte order keeps it
+    val emoji = sql(s"""SELECT sk, sum(y) AS sy FROM mvspec_zutf_base
+                       |WHERE sk >= '$emojiKey'
+                       |GROUP BY sk""".stripMargin)
+    assert(scannedRoots(emoji).exists(_.contains(s"$root/view")))
+    assert(emoji.collect().map(_.getDouble(1)).toSeq == Seq(2.0))
+    // null-keyed group: IS NULL keeps it, a LIKE probe (null-
+    // rejecting) answers without it
+    val nul = sql("""SELECT count(*) AS c FROM (
+                    |  SELECT sk, sum(y) AS sy FROM mvspec_zutf_base
+                    |  WHERE sk IS NULL GROUP BY sk)""".stripMargin)
+    assert(nul.collect().head.getLong(0) == 1L)
+    val like = sql("""SELECT sk, sum(y) AS sy FROM mvspec_zutf_base
+                     |WHERE sk LIKE 'a%' GROUP BY sk""".stripMargin)
+    assert(scannedRoots(like).exists(_.contains(s"$root/view")))
+    assert(like.collect().map(_.getDouble(1)).toSeq == Seq(1.0))
+    AggViewRewrite.clear()
+  }
+
   test("register refuses a view whose key collides with the served " +
       "count column under the session resolver (any case)") {
     AggViewRewrite.clear()
