@@ -623,6 +623,52 @@ object OperatorQueries {
       finally AggViewRewrite.unregister(s"$root/view")
     }),
 
+    /** DATE-keyed kb pruning for the MV rewrite — the most common
+      * dashboard shape (a time-keyed rollup probed by a date range):
+      * a bounded `BETWEEN DATE … AND DATE …` ENUMERATES day-by-day
+      * into kb buckets (DateType literals carry their day count, so
+      * the driver-side hash replays the writer's), and an unbounded
+      * `>= DATE …` tail prunes through the per-kb KEY ZONES (date
+      * keys zone as days-since-epoch — [[graft.operators.AggView
+      * .keyZones]]'s num path). Both legs rewrite onto the rollup
+      * (AggViewRewriteSpec pins the kb PartitionFilters); the oracle
+      * replays both filtered aggregates directly over orders.
+      */
+    "q242_mv_date_probe" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q242", d)
+      val tableDir = s"$root/orders"
+      Tables.orders(s, d).select(
+          col("o_orderdate").as("od"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(2).write.mode("overwrite").parquet(tableDir)
+      val base = s.read.parquet(tableDir)
+      AggView.buildIfAbsent(base, Seq("od"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/view", kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.register(s, base, s"$root/view", keyZones = true)
+      base.createOrReplaceTempView("graft_q242_tbl")
+      try {
+        val between = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT 'between' AS src, od, count(*) AS n,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q242_tbl
+                  |WHERE od BETWEEN DATE '1995-03-01'
+                  |  AND DATE '1995-03-05'
+                  |GROUP BY od""".stripMargin)))
+        val tail = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT 'tail' AS src, od, count(*) AS n,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q242_tbl
+                  |WHERE od >= DATE '2001-07-01'
+                  |GROUP BY od""".stripMargin)))
+        between.unionByName(tail).orderBy("src", "od")
+      } finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
     /** Zone-map skipping over a PARTITIONED table
       * ([[graft.plans.ZoneMapScan]] + [[org.apache.spark.sql
       * .GraftPrunedFileIndex]]): the table copy is hive-partitioned
@@ -712,6 +758,57 @@ object OperatorQueries {
                   |  count(st) AS n_st, min(k) AS min_k,
                   |  max(k) AS max_k
                   |FROM graft_q239_mor""".stripMargin)))
+      } finally ColStatsInjection.unregister(s"$root/cs")
+    }),
+
+    /** ON-DEMAND fold verification for MOR column statistics
+      * ([[graft.plans.ColStatsInjection.refreshPins]] with
+      * `compactMor = true`): q239's lifecycle, but NO manual
+      * compaction — the refresh hook itself folds the pending batch
+      * (compaction is the verification point), verifies the
+      * append-only proof + watermark + count equations, and re-pins,
+      * so the metadata-only serve is restored the moment the batch
+      * lands instead of at the next compaction cadence. The served
+      * result is the same zero-scan global aggregate; the oracle
+      * replays it directly over all of orders.
+      */
+    "q243_mor_ondemand" -> ((s, d) => {
+      import graft.operators.{ColStats, MergeOnRead}
+      import graft.plans.ColStatsInjection
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q243", d)
+      val dir = s"$root/tbl"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      MergeOnRead.create(t.filter(col("k") % 4 =!= 0), dir, Seq("k"),
+        nBuckets = 8, trackAppendOnly = true)
+      def mor = s.read.format("mor").load(dir)
+      ColStats.buildIfAbsent(mor, Seq("k", "cents"), Seq("st"),
+        s"$root/cs")
+      ColStatsInjection.install(s)
+      ColStatsInjection.register(s, mor, s"$root/cs")
+      try {
+        val batch = t.filter(col("k") % 4 === 0)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+        MergeOnRead.streamAppend(batch, 0L, dir)
+        ColStats.applyBatch(batch, 0L, s"$root/cs")
+        // the sink hook — no manual compact anywhere in this query
+        ColStatsInjection.refreshingSink(s, compactMor = true)(
+          batch, 0L)
+        val st = ColStatsInjection.status(s).collect().head
+        require(st.getBoolean(st.fieldIndex("version_fresh")) &&
+          st.getBoolean(st.fieldIndex("base_fresh")),
+          "on-demand refresh left the pin stale")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q243_mor " +
+          s"USING mor OPTIONS (path '$dir')")
+        GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT count(*) AS n, min(cents) AS min_c,
+                  |  max(cents) AS max_c, sum(cents) AS sum_c,
+                  |  count(st) AS n_st, min(k) AS min_k,
+                  |  max(k) AS max_k
+                  |FROM graft_q243_mor""".stripMargin)))
       } finally ColStatsInjection.unregister(s"$root/cs")
     }),
 
@@ -1380,6 +1477,24 @@ object OperatorQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM t WHERE pri LIKE '2%'
         |GROUP BY pri ORDER BY pri""".stripMargin,
+    // both date-probed legs (enumerated BETWEEN, zone-pruned tail)
+    // must equal the direct filtered aggregates — a kb partition
+    // wrongly pruned on either path loses its days and lands here
+    "q242_mv_date_probe" ->
+      """WITH t AS (SELECT o_orderdate AS od,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'between' AS src, od, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t
+        |WHERE od BETWEEN DATE '1995-03-01' AND DATE '1995-03-05'
+        |GROUP BY od
+        |UNION ALL
+        |SELECT 'tail' AS src, od, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t WHERE od >= DATE '2001-07-01'
+        |GROUP BY od
+        |ORDER BY src, od""".stripMargin,
     // the partition-pruned + zone-skipped scan must equal the direct
     // filtered aggregate — a dropped file that still matched (or a
     // partition wrongly pruned) lands in the hash
@@ -1396,6 +1511,17 @@ object OperatorQueries {
     // mor table must equal the direct ones over ALL of orders
     // (create ∪ inserts; o_orderkey unique ⇒ the fold drops nothing)
     "q239_mor_colstats" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT count(*) AS n, min(cents) AS min_c,
+        |  max(cents) AS max_c, CAST(sum(cents) AS BIGINT) AS sum_c,
+        |  count(st) AS n_st, min(k) AS min_k, max(k) AS max_k
+        |FROM t""".stripMargin,
+    // q239's contract under the ON-DEMAND fold: the hook-compacted,
+    // hook-verified serve must equal the direct aggregates too
+    "q243_mor_ondemand" ->
       """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
         |    o_orderstatus AS st,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -1,10 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
 
 import graft.functions.StrExtremaAgg.{str_max, str_min}
+import graft.plans.RelationPins
 
 /** Persisted incrementally-maintained aggregate view — the
   * [[LmIndex]]/[[Bm25Index]] pure-sum algebra generalized to ANY
@@ -67,10 +70,12 @@ object AggView {
   private case class Manifest(fp: Long, n: Long, keys: Seq[String],
       mNames: Seq[String], mExprs: Seq[String], kbParts: Int,
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0, mv: Long = 0L) {
+      baseVer: Int = 0, lg: Int = 0, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
-        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, lg = 0,
+        mv = 0L) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, lg = 0,
+          mv = 0L)
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
     def measures: Seq[Measure] =
@@ -81,7 +86,7 @@ object AggView {
     Manifest(r.long("fp"), r.long("n"), r.seq("keys"),
       r.seq("mnames"), r.seq("mexprs"), r.int("kb"),
       r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
-      mv = r.version)
+      r.intOr("lg", 0), mv = r.version)
 
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map(toManifest)
@@ -93,6 +98,7 @@ object AggView {
       .put("mnames", mf.mNames).put("mexprs", mf.mExprs)
       .put("kb", mf.kbParts)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
+      .put("lg", mf.lg)
       .put("deltas", mf.deltas)
       .commit(path, mf.mv)
 
@@ -156,6 +162,15 @@ object AggView {
     * declaration (keys, measures, bucketing) AND the fact corpus
     * fingerprint — on reuse nothing scans but the fingerprint
     * projection.
+    *
+    * When `facts` is a BARE parquet scan, the fingerprint pass runs
+    * grouped by source file (same scan, ≤ |files| extra rows) and
+    * the per-file partials persist as a `ledger` table beside the
+    * view (the [[ZoneMap]] format-4 trick) — what lets the
+    * materialized-view rewrite's registration seed its pin-refresh
+    * partials SCAN-FREE, so even the FIRST refresh after an append
+    * fingerprints only the appended files
+    * ([[graft.plans.AggViewRewrite.register]]).
     */
   def buildIfAbsent(facts: DataFrame, keys: Seq[String],
       measures: Seq[Measure], path: String, kbParts: Int = 16): Build = {
@@ -165,17 +180,79 @@ object AggView {
         names.mkString(", "))
     val want0 = Manifest(0L, 0L, keys, measures.map(_.name),
       measures.map(_.sqlExpr), kbParts)
-    val (fp, n) = fingerprint(facts, want0)
-    val want = want0.copy(fp = fp, n = n)
+    // bare-scan facts: the one fingerprint pass also yields the
+    // per-file ledger rows (xor/count compose, so the summed partials
+    // ARE the corpus fingerprint — bit-identical to the ungrouped
+    // pass, manifest-compatible either way)
+    val bareFiles: Option[Seq[RelationPins.ListedFile]] =
+      try RelationPins.bare(GraftBridge.analyzedPlan(facts))
+        .map { case (_, h) => RelationPins.listedFiles(h) }
+      catch { case NonFatal(_) => None }
+    val (fp, n, ledgerRows) = bareFiles match {
+      case Some(files) =>
+        val byFile = IndexDirs.contentFingerprintByFile(
+          projected(facts, want0), keys ++ want0.mNames)
+        val n = byFile.valuesIterator.map(_._2).sum
+        val fp =
+          if (n == 0) 0L
+          else byFile.valuesIterator.map(_._1).foldLeft(0L)(_ ^ _)
+        // a scanned key outside the listing means the file-key
+        // normalization drifted — the partials would seed wrong
+        // refreshes, so skip the ledger (the fp/n above are computed
+        // from ALL scanned groups and stay exact regardless)
+        val strays = byFile.keySet -- files.map(_.key).toSet
+        val rows =
+          if (strays.nonEmpty) None
+          else Some(files.map { f =>
+            val (cfp, cn) = byFile.getOrElse(f.key, (0L, 0L))
+            (f.key, f.uri, f.len, f.mtime, cfp, cn)
+          })
+        (fp, n, rows)
+      case None =>
+        val (fp, n) = fingerprint(facts, want0)
+        (fp, n, None)
+    }
+    val want = want0.copy(fp = fp, n = n,
+      lg = if (ledgerRows.isDefined) 1 else 0)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
         writeDelta(facts, 1, want, path)
+        ledgerRows.foreach { rows =>
+          val spark = facts.sparkSession
+          import spark.implicits._
+          ZoneMap.writeArtifact(
+            rows.toDF("file", "uri", "flen", "fmtime", "cfp", "cn"),
+            rows.size.toLong, s"$path/ledger",
+            ZoneMap.DefaultArtifactRowsPerFile)
+        }
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
     }
+  }
+
+  /** The build-time per-file CONTENT-FINGERPRINT ledger: file key →
+    * (length, mtime, fp partial, row count) under the view's own
+    * dependency projection — one row per base file the build scanned,
+    * computed in the build's fingerprint pass itself. What
+    * [[graft.plans.AggViewRewrite.register]] seeds its pin-refresh
+    * partials from (scan-free; entries whose (length, mtime) no
+    * longer match the live listing are simply not adopted). None for
+    * views built before the ledger existed or over non-bare facts
+    * (a joined/derived build has no one-file-per-row provenance).
+    */
+  def fingerprintLedger(spark: SparkSession,
+      path: String): Option[Map[String, (Long, Long, Long, Long)]] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    if (mf.lg == 0) None
+    else Some(spark.read.parquet(s"$path/ledger")
+      .select("file", "flen", "fmtime", "cfp", "cn").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap)
   }
 
   /** The served view: one row per live group — keys, `cnt`, and the
@@ -287,6 +364,14 @@ object AggView {
         case LongType | IntegerType | ShortType | ByteType =>
           Some(struct(lit(k).as("col_name"), lit("num").as("kind"),
             col(k).cast("long").as("vnum"),
+            lit(null).cast("string").as("vstr")))
+        case DateType =>
+          // days-since-epoch — the same long the consumer's zone test
+          // converts a date filter value to ([[ZoneTests]]), so
+          // time-keyed rollups (the common dashboard shape) range-
+          // and prefix-prune exactly like integral keys
+          Some(struct(lit(k).as("col_name"), lit("num").as("kind"),
+            unix_date(col(k)).cast("long").as("vnum"),
             lit(null).cast("string").as("vstr")))
         case StringType =>
           Some(struct(lit(k).as("col_name"), lit("str").as("kind"),

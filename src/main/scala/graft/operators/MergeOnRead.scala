@@ -253,10 +253,31 @@ object MergeOnRead {
       nBuckets: Int = 64, trackAppendOnly: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "create needs at least one key column")
     val meta = Meta(keyCols, opCol, seqCol, nBuckets)
+    // a re-create replaces any prior table: manifests first (readers
+    // fall to "no table", never a half-replaced state), then the old
+    // delta stream — stale batches must not leak into the new table
+    IndexDirs.uncommit(dir)
+    IndexDirs.rmTree(s"$dir/delta")
+    df.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_schema")
+    df.withColumn(Bucket, bucketOf(meta))
+      .repartition(col(Bucket))
+      .write.partitionBy(Bucket).mode("overwrite")
+      .parquet(s"$dir/data/ver=0")
+    val written = writtenBuckets(dir, 0)
+    // the append-only proof (uniqueness + per-bucket counts) is
+    // derived from the WRITTEN ver=0 snapshot, not a second
+    // evaluation of `df`: a non-deterministic or concurrently-
+    // changing source must not anchor a proof to data that was never
+    // written. A duplicate-keyed snapshot refuses BEFORE the
+    // manifest commit, so no table becomes visible.
     val (ao, brows) =
       if (!trackAppendOnly) (None, Map.empty[Int, Long])
+      else if (written.isEmpty) (Some(true), Map.empty[Int, Long])
       else {
-        val chk = df.withColumn(Bucket, bucketOf(meta))
+        val chk = df.sparkSession.read
+          .option("basePath", s"$dir/data")
+          .parquet(s"$dir/data/ver=0")
           .groupBy(col(Bucket))
           .agg(count(lit(1)).as("n"),
             count_distinct(struct(keyCols.map(col): _*)).as("nd"))
@@ -270,19 +291,8 @@ object MergeOnRead {
             "verification cannot prove sound; deduplicate first")
         (Some(true), chk.map(r => r.getInt(0) -> r.getLong(1)).toMap)
       }
-    // a re-create replaces any prior table: manifests first (readers
-    // fall to "no table", never a half-replaced state), then the old
-    // delta stream — stale batches must not leak into the new table
-    IndexDirs.uncommit(dir)
-    IndexDirs.rmTree(s"$dir/delta")
-    df.limit(0).coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/_schema")
-    df.withColumn(Bucket, bucketOf(meta))
-      .repartition(col(Bucket))
-      .write.partitionBy(Bucket).mode("overwrite")
-      .parquet(s"$dir/data/ver=0")
     writeManifest(dir, Manifest(0, meta,
-      writtenBuckets(dir, 0).map(_ -> 0).toMap, Set.empty,
+      written.map(_ -> 0).toMap, Set.empty,
       ao = ao, brows = brows))
   }
 

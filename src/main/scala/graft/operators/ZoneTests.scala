@@ -73,6 +73,11 @@ private[graft] object ZoneTests {
       case i: java.lang.Integer => Some(i.longValue)
       case s: java.lang.Short => Some(s.longValue)
       case b: java.lang.Byte => Some(b.longValue)
+      // date filter values arrive as the external date types; date
+      // zones carry days-since-epoch ([[AggView.keyZones]]'s num
+      // path), and both conversions below ARE that day count
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
       case _ => None
     }
     def numZone(test: (Long, Long) => Boolean): Boolean =

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, IntegerType, LongType, ShortType}
 
 import graft.operators.{AggView, MergeOnRead}
 import graft.sources.MorRelation
@@ -57,8 +57,9 @@ import graft.sources.MorRelation
   *  - every filter references only view KEY columns (key predicates
   *    commute with the per-group sums); when the filters pin EVERY
   *    key to a bounded value set (≤ 256 combinations) — an equality
-  *    literal, an IN-list, or a bounded RANGE over an integral key
-  *    (`BETWEEN` / `>=`+`<=` conjuncts, enumerated) — the rewrite
+  *    literal, an IN-list, or a bounded RANGE over an integral or
+  *    DATE key (`BETWEEN` / `>=`+`<=` conjuncts, enumerated — a date
+  *    range enumerates day-by-day) — the rewrite
   *    additionally computes the key-hash buckets driver-side and
   *    emits the kb-partition-pruned read — the q209 dashboard-probe
   *    plan from plain SQL over the base table;
@@ -121,8 +122,11 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * identity: per-file content-fingerprint partials
     * ([[RelationPins.FileFp]]) accumulated by [[refreshPins]] so
     * each verification fingerprints only files it has no stored
-    * partial for (O(delta)); empty at registration (register stays
-    * metadata-only) and seeded by the first verification's own scan.
+    * partial for (O(delta)). Seeded at [[register]] from the view's
+    * own build-time ledger ([[AggView.fingerprintLedger]] — the
+    * build's fingerprint pass already paid the scan), so even the
+    * FIRST refresh is O(delta); for ledger-less views it starts
+    * empty and the first verification's own scan seeds it.
     */
   final case class FsPin(roots: Set[String], listingSig: Long,
       fileFps: Map[String, RelationPins.FileFp] = Map.empty)
@@ -180,8 +184,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
       "view key/measure named 'cnt' (any case the session resolver " +
         "matches) would collide with the served count column — not " +
         "rewritable")
-    val e = Entry(viewPath, pinOf(id), decl.version, decl,
-      zonesOf(spark, viewPath, keyZones))
+    val e = Entry(viewPath, pinOf(spark, id, viewPath), decl.version,
+      decl, zonesOf(spark, viewPath, keyZones))
     registry.put(viewPath, e)
     e
   }
@@ -342,8 +346,11 @@ object AggViewRewrite extends PredicateHelper with Logging {
               // keep the freshly computed partials even on refusal:
               // they are facts about the BASE's files, independent of
               // view consistency — once the other side converges, the
-              // next refresh verifies O(delta), not O(corpus)
-              registry.put(e.viewPath,
+              // next refresh verifies O(delta), not O(corpus).
+              // Compare-and-set: a concurrent manual register()
+              // between the snapshot iteration and this write must
+              // WIN over the stale partials-cache entry.
+              registry.replace(e.viewPath, e,
                 e.copy(pin = FsPin(roots, sig, partials)))
               scala.Left("base content and view rollup diverge " +
                 "(fingerprint mismatch) — waiting for the other side")
@@ -526,9 +533,35 @@ object AggViewRewrite extends PredicateHelper with Logging {
     case _ => None
   }
 
-  private def pinOf(id: BaseId): BasePin = id match {
+  /** The base pin, with a parquet pin's refresh partials SEEDED from
+    * the view's own build-time fingerprint ledger
+    * ([[AggView.fingerprintLedger]] — per-file partials the build's
+    * fingerprint pass already paid for): only entries whose
+    * (length, mtime) still match the live listing are adopted, so a
+    * since-rewritten file is simply scanned at the next refresh
+    * instead of trusted. Best-effort — an unreadable ledger degrades
+    * to the empty seed (the first refresh scans and seeds), never
+    * fails the registration.
+    */
+  private def pinOf(spark: SparkSession, id: BaseId,
+      viewPath: String): BasePin = id match {
     case FsId(h) =>
-      FsPin(RelationPins.rootPaths(h), RelationPins.signature(h))
+      val seeded: Map[String, RelationPins.FileFp] =
+        try AggView.fingerprintLedger(spark, viewPath) match {
+          case Some(stored) =>
+            val live = RelationPins.listedFiles(h)
+              .map(f => f.key -> f).toMap
+            stored.collect {
+              case (key, (len, mtime, cfp, cn))
+                  if live.get(key).exists(f =>
+                    f.len == len && f.mtime == mtime) =>
+                key -> RelationPins.FileFp(len, mtime, cfp, cn)
+            }
+          case None => Map.empty[String, RelationPins.FileFp]
+        } catch {
+          case NonFatal(_) => Map.empty[String, RelationPins.FileFp]
+        }
+      FsPin(RelationPins.rootPaths(h), RelationPins.signature(h), seeded)
     case MorId(m) => MorPin(m.path, MergeOnRead.state(m.path))
   }
 
@@ -575,8 +608,15 @@ object AggViewRewrite extends PredicateHelper with Logging {
       .collectFirst { case Some(a) => a }
   }
 
-  private def integralType(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
+  /** Key types whose bounded ranges ENUMERATE into kb buckets:
+    * integrals, and dates (a DateType literal's value is already its
+    * day count, so a `BETWEEN DATE … AND DATE …` over a date key —
+    * the most common dashboard probe — enumerates day-by-day exactly
+    * like an integer range; the synthesized literals keep DateType,
+    * so the driver-side XxHash64 replays the writer's kb hash).
+    */
+  private def enumerableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => true
     case _ => false
   }
 
@@ -592,6 +632,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     case ByteType => Literal(x.toByte)
     case ShortType => Literal(x.toShort)
     case IntegerType => Literal(x.toInt)
+    case DateType => Literal(x.toInt, DateType)
     case _ => Literal(x)
   }
 
@@ -661,28 +702,28 @@ object AggViewRewrite extends PredicateHelper with Logging {
       // from >/>=/</<= conjuncts with a non-null literal side
       val bounds = filters.collect {
         case GreaterThan(a: AttributeReference, Literal(v, _))
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, Some(x + 1): Option[Long], None: Option[Long]))
         case GreaterThanOrEqual(a: AttributeReference, Literal(v, _))
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, Some(x): Option[Long], None: Option[Long]))
         case LessThan(a: AttributeReference, Literal(v, _))
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, None: Option[Long], Some(x - 1): Option[Long]))
         case LessThanOrEqual(a: AttributeReference, Literal(v, _))
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, None: Option[Long], Some(x): Option[Long]))
         case LessThan(Literal(v, _), a: AttributeReference)
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, Some(x + 1): Option[Long], None: Option[Long]))
         case LessThanOrEqual(Literal(v, _), a: AttributeReference)
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, Some(x): Option[Long], None: Option[Long]))
         case GreaterThan(Literal(v, _), a: AttributeReference)
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, None: Option[Long], Some(x - 1): Option[Long]))
         case GreaterThanOrEqual(Literal(v, _), a: AttributeReference)
-            if keyAttrSet.contains(a) && integralType(a.dataType) =>
+            if keyAttrSet.contains(a) && enumerableType(a.dataType) =>
           asLong(v).map(x => (a, None: Option[Long], Some(x): Option[Long]))
       }.flatten
       bounds.groupBy(_._1.exprId).toSeq.flatMap { case (eid, bs) =>

@@ -478,7 +478,20 @@ object ColStatsInjection extends Logging {
     * stale (refusing, correctly) until the two converge. Returns one
     * row per registration: (stats_path, refreshed, reason).
     */
-  def refreshPins(spark: SparkSession): DataFrame = {
+  /** `compactMor` (opt-in): when a MOR pin's table holds PENDING
+    * (unfolded, hence unverified) batches, run the table's own
+    * compaction first — compaction IS the fold-verification point
+    * ([[MergeOnRead.compact]]'s per-bucket row-count proof) — then
+    * verify and re-pin. What lets [[refreshingSink]] restore the
+    * metadata-only serve immediately after each streamed batch
+    * instead of waiting for the compaction cadence. A delete-bearing
+    * batch still flips the append-only proof off PERMANENTLY at that
+    * compaction and the refresh refuses with rebuild guidance — the
+    * on-demand path changes WHEN verification runs, never what it
+    * proves.
+    */
+  def refreshPins(spark: SparkSession,
+      compactMor: Boolean = false): DataFrame = {
     val s = spark
     import s.implicits._
     val rows = registry.values.asScala.toSeq.sortBy(_.statsPath).map {
@@ -488,7 +501,7 @@ object ColStatsInjection extends Logging {
       // via refreshingSink, failing the streaming batch for every
       // other registration
       e =>
-        val r = try refreshOne(spark, e)
+        val r = try refreshOne(spark, e, compactMor)
           catch { case NonFatal(ex) => Some(s"refresh failed: $ex") }
         (e.statsPath, r.isEmpty, r.getOrElse("re-registered"))
     }
@@ -497,7 +510,7 @@ object ColStatsInjection extends Logging {
 
   /** None = refreshed; Some(reason) = left as-is. */
   private def refreshOne(spark: SparkSession,
-      e: Entry): Option[String] = {
+      e: Entry, compactMor: Boolean = false): Option[String] = {
     val live = try ColStats.declaration(e.statsPath)
       catch { case NonFatal(ex) =>
         return Some(s"artifact unreadable: $ex") }
@@ -508,9 +521,17 @@ object ColStatsInjection extends Logging {
     e.pin match {
       case p: FsPin => refreshFs(spark, e, p, live)
       case MorPin(morPath, st) =>
-        val liveState = try MergeOnRead.state(morPath)
+        val state0 = try MergeOnRead.state(morPath)
           catch { case NonFatal(ex) =>
             return Some(s"mor table unreadable: $ex") }
+        // on-demand verification: fold the pending batches NOW (the
+        // fold is the proof — see refreshPins' compactMor doc); a
+        // compaction failure lands in the caller's NonFatal isolation
+        val liveState =
+          if (compactMor && state0.pending.nonEmpty) {
+            MergeOnRead.compact(spark, morPath)
+            MergeOnRead.state(morPath)
+          } else state0
         if (liveState == st && live.version == e.version)
           return Some("already fresh")
         // the same verified preconditions as registration, plus the
@@ -555,21 +576,29 @@ object ColStatsInjection extends Logging {
       case scala.Left(reason) => Some(reason)
       case scala.Right((fp, n, partials)) =>
         if (fp == live.fp && n == live.n) {
+          // re-register WITHOUT the ledger: the composed partials
+          // supersede the seed (they also cover files the ledger has
+          // not profiled yet), so re-reading the zone map here would
+          // only add a failure mode — a since-deleted/rebuilt ledger
+          // must not fail a refresh that composeFingerprint already
+          // verified. pin.ledger is carried forward in the entry.
           val ent = register(spark, baseDf, e.statsPath,
-            e.withHistograms, pin.ledger)
-          // the composed partials supersede the ledger seed (they
-          // also cover files the ledger has not profiled yet)
+            e.withHistograms)
           ent.pin match {
             case fs: FsPin => registry.put(e.statsPath,
-              ent.copy(pin = fs.copy(fileFps = partials)))
+              ent.copy(pin =
+                fs.copy(ledger = pin.ledger, fileFps = partials)))
             case _ => ()
           }
           None
         } else {
           // cache the computed partials even on refusal: they are
           // facts about the BASE's files — once the artifact
-          // converges, the next refresh verifies O(delta)
-          registry.put(e.statsPath,
+          // converges, the next refresh verifies O(delta).
+          // Compare-and-set: a concurrent manual register() between
+          // the snapshot iteration and this write must WIN over the
+          // stale partials-cache entry, not be clobbered by it.
+          registry.replace(e.statsPath, e,
             e.copy(pin = pin.copy(fileFps = partials)))
           Some("base content and artifact profile diverge " +
             "(fingerprint mismatch) — waiting for the other side")
@@ -580,10 +609,14 @@ object ColStatsInjection extends Logging {
   /** Wrap a CDC sink so every applied batch is followed by a pin
     * refresh ([[graft.plans.AggViewRewrite.refreshingSink]]'s twin
     * for the stats bridge): `IndexPipeline.sink(ColStats.cdcSink(p),
-    * …, ColStatsInjection.refreshingSink(spark))`.
+    * …, ColStatsInjection.refreshingSink(spark))`. With
+    * `compactMor = true` the refresh folds pending MOR batches first
+    * (see [[refreshPins]]), so the metadata-only serve is restored
+    * the moment each batch lands — not at the next compaction.
     */
-  def refreshingSink(spark: SparkSession): (DataFrame, Long) => Unit =
-    (_, _) => { refreshPins(spark).collect(); () }
+  def refreshingSink(spark: SparkSession,
+      compactMor: Boolean = false): (DataFrame, Long) => Unit =
+    (_, _) => { refreshPins(spark, compactMor).collect(); () }
 
   /** Add the rule to a live session (idempotent). NOTE: the live
     * path registers via `experimental.extraOptimizations`, which runs
@@ -689,17 +722,18 @@ object ColStatsInjection extends Logging {
     case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
       val roots = RelationPins.rootPaths(h)
       // sorted: with several registered artifacts for one table, the
-      // chosen one never depends on map iteration order
-      val cands = registry.values.asScala.filter(_.pin match {
-        case FsPin(paths, _, _, _) => paths == roots
-        case _ => false
-      }).toSeq.sortBy(_.statsPath)
+      // chosen one never depends on map iteration order; collected
+      // WITH the typed pin (pattern match, no cast) so a future edit
+      // to the filter can't introduce a ClassCastException here
+      val cands = registry.values.asScala.collect {
+        case e @ Entry(_, fs: FsPin, _, _, _, _, _)
+            if fs.basePaths == roots => (e, fs)
+      }.toSeq.sortBy(_._1.statsPath)
       if (cands.isEmpty) None
       else {
         val sig = memo.signatureOf(h)
-        cands.find(e =>
-          e.pin.asInstanceOf[FsPin].listingSig == sig &&
-            memo.versionFresh(e))
+        cands.collectFirst { case (e, fs)
+            if fs.listingSig == sig && memo.versionFresh(e) => e }
       }
     case m: MorRelation if m.version.isEmpty =>
       registry.values.asScala.toSeq.sortBy(_.statsPath).find { e =>

@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * registration made against one state of the table silently stops
   * applying the moment the table moves.
   */
-private[plans] object RelationPins {
+private[graft] object RelationPins {
 
   /** The bare single-file-source relation under at most
     * subquery aliases — the only plan shape a registration accepts.

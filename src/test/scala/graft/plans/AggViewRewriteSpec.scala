@@ -353,6 +353,47 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHERE ik >= 7 GROUP BY ik""".stripMargin)))
   }
 
+  test("a DATE key enumerates a bounded BETWEEN day-by-day into the " +
+      "kb prune, and an unbounded date range prunes through zones") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-date").toString
+    val s = spark
+    import s.implicits._
+    // 40 distinct days over 8 kb buckets
+    (0 until 400).map(i =>
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(i % 40), i.toDouble))
+      .toDF("dk", "y").repartition(2).write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("dk"),
+      Seq(AggView.Measure("sum_y", "y")), s"$root/view", kbParts = 8)
+    b.createOrReplaceTempView("mvspec_date_base")
+    val q = """SELECT dk, count(*) AS c, sum(y) AS sy
+              |FROM mvspec_date_base
+              |WHERE dk BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+              |GROUP BY dk""".stripMargin
+    val truth = sorted(s.sql(q))
+    // unbounded date tail: not enumerable — the per-kb date ZONES
+    // (days-since-epoch) prune instead
+    val openQ = """SELECT dk, sum(y) AS sy FROM mvspec_date_base
+                  |WHERE dk >= DATE '2024-02-08' GROUP BY dk""".stripMargin
+    val openTruth = sorted(s.sql(openQ))
+    AggViewRewrite.register(s, b, s"$root/view", keyZones = true)
+    val r = s.sql(q)
+    assert(scannedRoots(r).exists(_.contains(s"$root/view")),
+      r.queryExecution)
+    assert(sorted(r) == truth && truth.size == 3)
+    val phys = r.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters: [kb"), phys)
+    val open = s.sql(openQ)
+    assert(scannedRoots(open).exists(_.contains(s"$root/view")))
+    assert(open.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [kb"),
+      open.queryExecution.executedPlan.toString)
+    val got = sorted(open)
+    AggViewRewrite.clear()
+    assert(got == openTruth && got.size == 2)
+  }
+
   test("key-zone pruning (opt-in): LIKE-prefix and unbounded-range " +
       "key probes prune kb partitions the hash cannot enumerate; " +
       "without zones they rewrite unpruned; results exact") {

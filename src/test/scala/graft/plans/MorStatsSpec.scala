@@ -141,6 +141,70 @@ class MorStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ColStatsInjection.clear()
   }
 
+  test("on-demand fold verification (compactMor): the refresh hook " +
+      "itself compacts-and-verifies pending batches, restoring the " +
+      "metadata serve with no manual compact; a delete-bearing " +
+      "batch still poisons the proof permanently") {
+    ColStatsInjection.clear()
+    val root = Files.createTempDirectory("graft-morstats-od").toString
+    val dir = s"$root/tbl"
+    val statsD = s"$root/cs"
+    MergeOnRead.create(rows(0, 300), dir, Seq("k"), nBuckets = 4,
+      trackAppendOnly = true)
+    def mor: DataFrame = spark.read.format("mor").load(dir)
+    ColStats.buildIfAbsent(mor, Seq("k", "x"), Seq("g"), statsD)
+    ColStatsInjection.register(spark, mor, statsD)
+    val batch = withOpSeq(rows(300, 360), "I", 1L)
+    MergeOnRead.streamAppend(batch, 0L, dir)
+    ColStats.applyBatch(batch, 0L, statsD)
+    // the sink hook, compactMor = true: no manual compact anywhere
+    ColStatsInjection.refreshingSink(spark, compactMor = true)(
+      batch, 0L)
+    // the fold happened and verified (the proof survived the batch)
+    assert(MergeOnRead.state(dir).pending.isEmpty)
+    assert(MergeOnRead.appendOnlyRows(dir).contains(360L))
+    // the serve is metadata-only right now
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW morstats_od_tbl " +
+      s"USING mor OPTIONS (path '$dir')")
+    val q = """SELECT count(*) AS n, min(x) AS mn, max(x) AS mx,
+              |  sum(x) AS sx FROM morstats_od_tbl""".stripMargin
+    val served = spark.sql(q)
+    val phys = served.queryExecution.executedPlan.toString
+    assert(!phys.contains("MorRelation") && !phys.contains("FileScan"),
+      phys)
+    val got = served.collect().head
+    ColStatsInjection.clear()
+    assert(got == spark.sql(q).collect().head)
+    // a DELETE-bearing batch: the on-demand fold flips the proof off
+    // permanently and the refresh refuses with rebuild guidance —
+    // on-demand changes WHEN verification runs, not what it proves
+    ColStatsInjection.register(spark, mor, statsD)
+    val del = withOpSeq(rows(0, 3), "D", 1L)
+    MergeOnRead.streamAppend(del, 1L, dir)
+    // the artifact side refuses the delete outright (monotone stats)
+    intercept[UnsupportedOperationException] {
+      ColStats.applyBatch(del, 1L, statsD)
+    }
+    // the on-demand refresh folds the batch (flipping the proof off
+    // PERMANENTLY) and refuses — the delete-bearing feed can never
+    // re-converge with an append-only profile
+    val r = ColStatsInjection.refreshPins(spark, compactMor = true)
+      .collect().head
+    assert(!r.getBoolean(1), r.getString(2))
+    assert(MergeOnRead.appendOnlyRows(dir).isEmpty)
+    // and it never comes back: later on-demand refreshes and fresh
+    // registrations refuse with the append-only rebuild guidance
+    val r2 = ColStatsInjection.refreshPins(spark, compactMor = true)
+      .collect().head
+    assert(!r2.getBoolean(1), r2.getString(2))
+    ColStatsInjection.clear()
+    val e = intercept[IllegalArgumentException] {
+      ColStatsInjection.register(spark, mor, statsD)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    ColStatsInjection.clear()
+  }
+
   test("register refuses: pending batches, unverified tables, " +
       "delete-poisoned tables, version-pinned reads, count drift") {
     ColStatsInjection.clear()

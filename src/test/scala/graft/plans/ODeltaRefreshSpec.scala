@@ -160,9 +160,9 @@ class ODeltaRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     ColStatsInjection.clear()
   }
 
-  test("an AggView parquet-base refresh seeds partials on its first " +
-      "verification; the second verifies O(delta); an in-place " +
-      "base rewrite refuses end-to-end") {
+  test("an AggView parquet-base refresh accumulates partials across " +
+      "verifications (each is O(delta)); an in-place base rewrite " +
+      "refuses end-to-end") {
     AggViewRewrite.clear()
     val root = Files.createTempDirectory("graft-odelta-av").toString
     val s = spark
@@ -201,6 +201,49 @@ class ODeltaRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r3 = AggViewRewrite.refreshPins(spark).collect().head
     assert(!r3.getBoolean(1) &&
       r3.getString(2).contains("rewritten in place"), r3.getString(2))
+    AggViewRewrite.clear()
+  }
+
+  test("the AggView build-time ledger seeds register scan-free: the " +
+      "FIRST refresh after an append reads the appended file, not " +
+      "the corpus; non-bare facts build no ledger") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-odelta-avl").toString
+    val s = spark
+    import s.implicits._
+    def rows(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, s"g${i % 5}", i.toLong))
+        .toDF("k", "g", "x")
+    rows(0, 40000).repartition(4).write.parquet(s"$root/base")
+    def b = spark.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), s"$root/view", kbParts = 2)
+    // the ledger exists, covers the 4 base files, and composes to
+    // the view's own fingerprint
+    val led = AggView.fingerprintLedger(spark, s"$root/view").get
+    assert(led.size == 4)
+    val decl = AggView.declaration(s"$root/view")
+    assert(led.valuesIterator.map(_._4).sum == decl.n)
+    assert(led.valuesIterator.map(_._3).foldLeft(0L)(_ ^ _) == decl.fp)
+    AggViewRewrite.register(spark, b, s"$root/view")
+    // fleet batch: one new file; the FIRST refresh must verify by
+    // scanning ~that file only (register seeded the partials from
+    // the build ledger — no seeding pass ever runs)
+    rows(40000, 40100).coalesce(1).write.mode("append")
+      .parquet(s"$root/base")
+    AggView.append(rows(40000, 40100), s"$root/view")
+    val read = recordsRead {
+      val r = AggViewRewrite.refreshPins(spark).collect().head
+      assert(r.getBoolean(1), r.getString(2))
+    }
+    assert(read < 10000, s"first refresh read $read records")
+    // a view built over NON-BARE facts (a derived projection is fine
+    // — bare means the relation itself; here: a union) has no
+    // per-file provenance and records no ledger
+    val nb = rows(0, 10).unionByName(rows(10, 20))
+    AggView.buildIfAbsent(nb, Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), s"$root/view_nb", kbParts = 2)
+    assert(AggView.fingerprintLedger(spark, s"$root/view_nb").isEmpty)
     AggViewRewrite.clear()
   }
 
