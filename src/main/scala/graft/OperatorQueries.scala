@@ -812,6 +812,77 @@ object OperatorQueries {
       } finally ColStatsInjection.unregister(s"$root/cs")
     }),
 
+    /** PARTITIONED parquet bases in the MV-rewrite and stats
+      * bridges ([[graft.plans.AggViewRewrite]] +
+      * [[graft.plans.ColStatsInjection]] over a hive-partitioned
+      * table): the fact table is written `partitionBy(st)`, both
+      * artifacts build over the native partitioned read (the
+      * partition column is a VIEW KEY and a declared str column),
+      * a fleet batch appends rows into existing partitions AND a
+      * brand-new `st=Z` partition directory, and both pin refreshes
+      * verify O(delta) — the delta scans read the appended leaf
+      * files with `basePath`, so the partition column resolves from
+      * the directory names. Served result: the grouped aggregate
+      * rewrites onto the view; the `_ALL` row is the zero-scan
+      * metadata serve. The oracle replays both directly.
+      */
+    "q244_mv_partitioned" -> ((s, d) => {
+      import graft.operators.{AggView, ColStats}
+      import graft.plans.{AggViewRewrite, ColStatsInjection}
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q244", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.filter(col("k") % 4 =!= 0).repartition(2)
+        .write.partitionBy("st").mode("overwrite").parquet(tableDir)
+      def base = s.read.parquet(tableDir)
+      ColStats.buildIfAbsent(base, Seq("k", "cents"), Seq("st"),
+        s"$root/cs")
+      AggView.buildIfAbsent(base, Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/view", kbParts = 4)
+      ColStatsInjection.install(s)
+      AggViewRewrite.install(s)
+      ColStatsInjection.register(s, base, s"$root/cs",
+        histograms = false)
+      AggViewRewrite.register(s, base, s"$root/view")
+      try {
+        // the fleet batch: the held-out quarter, with some rows
+        // re-statused to 'Z' — a partition directory that did NOT
+        // exist at registration time
+        val delta = t.filter(col("k") % 4 === 0)
+          .withColumn("st",
+            when(col("k") % 8 === 0, lit("Z")).otherwise(col("st")))
+        delta.coalesce(1).write.partitionBy("st").mode("append")
+          .parquet(tableDir)
+        ColStats.append(delta, s"$root/cs")
+        AggView.append(delta, s"$root/view")
+        val rc = ColStatsInjection.refreshPins(s).collect()
+        require(rc.forall(_.getBoolean(1)),
+          "partitioned stats pin refresh refused: " +
+            rc.map(_.getString(2)).mkString("; "))
+        val rv = AggViewRewrite.refreshPins(s).collect()
+        require(rv.forall(_.getBoolean(1)),
+          "partitioned view pin refresh refused: " +
+            rv.map(_.getString(2)).mkString("; "))
+        base.createOrReplaceTempView("graft_q244_tbl")
+        val grouped = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT st, count(*) AS n, sum(cents) AS sum_cents
+                  |FROM graft_q244_tbl GROUP BY st""".stripMargin)))
+        val total = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT '_ALL' AS st, count(*) AS n,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q244_tbl""".stripMargin)))
+        grouped.unionByName(total).orderBy("st")
+      } finally {
+        ColStatsInjection.unregister(s"$root/cs")
+        AggViewRewrite.unregister(s"$root/view")
+      }
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1519,6 +1590,29 @@ object OperatorQueries {
         |  max(cents) AS max_c, CAST(sum(cents) AS BIGINT) AS sum_c,
         |  count(st) AS n_st, min(k) AS min_k, max(k) AS max_k
         |FROM t""".stripMargin,
+    // the partitioned-base bridges must serve exactly the grown
+    // table (create partitions ∪ appended rows incl. the new 'Z'
+    // partition): grouped rewrite + the _ALL metadata row both
+    // replay directly
+    "q244_mv_partitioned" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |u AS (SELECT k, st, cents FROM t WHERE k % 4 <> 0
+        |      UNION ALL
+        |      SELECT k,
+        |        CASE WHEN k % 8 = 0 THEN 'Z' ELSE st END AS st,
+        |        cents
+        |      FROM t WHERE k % 4 = 0)
+        |SELECT st, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM u GROUP BY st
+        |UNION ALL
+        |SELECT '_ALL' AS st, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM u
+        |ORDER BY st""".stripMargin,
     // q239's contract under the ON-DEMAND fold: the hook-compacted,
     // hook-verified serve must equal the direct aggregates too
     "q243_mor_ondemand" ->

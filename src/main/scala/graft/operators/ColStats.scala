@@ -75,16 +75,18 @@ object ColStats {
   private case class Manifest(fp: Long, n: Long,
       numCols: Seq[String], strCols: Seq[String],
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0, fmt: Int = Fmt, mv: Long = 0L) {
+      baseVer: Int = 0, fmt: Int = Fmt, lg: Int = 0, mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
-      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L) ==
-        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, mv = 0L)
+      copy(deltas = Nil, lastBatch = -1L, baseVer = 0, lg = 0,
+        mv = 0L) ==
+        other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, lg = 0,
+          mv = 0L)
   }
 
   private def toManifest(r: IndexDirs.ManifestReader): Manifest =
     Manifest(r.long("fp"), r.long("n"), r.seq("num"), r.seq("str"),
       r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
-      fmt = r.intOr("fmt", 1), mv = r.version)
+      fmt = r.intOr("fmt", 1), lg = r.intOr("lg", 0), mv = r.version)
 
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map(toManifest)
@@ -94,7 +96,8 @@ object ColStats {
       .put("fp", mf.fp).put("n", mf.n)
       .put("num", mf.numCols).put("str", mf.strCols)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
-      .put("fmt", mf.fmt).put("deltas", mf.deltas)
+      .put("fmt", mf.fmt).put("lg", mf.lg)
+      .put("deltas", mf.deltas)
       .commit(path, mf.mv)
 
   /** Signed log₂ magnitude bucket of a BIGINT — pure integer
@@ -259,17 +262,76 @@ object ColStats {
     require(numCols.intersect(strCols).isEmpty,
       s"columns declared both num and str: " +
         numCols.intersect(strCols).mkString(","))
-    val (fp, n) = fingerprint(df, numCols, strCols)
-    val want = Manifest(fp, n, numCols, strCols)
+    // bare-scan input: the fingerprint pass runs grouped by source
+    // file (same scan) and the partials persist as a `ledger` table
+    // beside the profile — what lets the stats bridge's registration
+    // seed its pin-refresh partials SCAN-FREE even when no co-built
+    // zone map exists (e.g. a partitioned base, whose partition
+    // columns a zone map cannot profile). The AggView recipe.
+    val bareFiles: Option[Seq[graft.plans.RelationPins.ListedFile]] =
+      try graft.plans.RelationPins
+        .bare(org.apache.spark.sql.GraftBridge.analyzedPlan(df))
+        .map { case (_, h) => graft.plans.RelationPins.listedFiles(h) }
+      catch { case scala.util.control.NonFatal(_) => None }
+    val (fp, n, ledgerRows) = bareFiles match {
+      case Some(files) =>
+        val byFile = fingerprintByFile(df, numCols, strCols)
+        val n = byFile.valuesIterator.map(_._2).sum
+        val fp =
+          if (n == 0) 0L
+          else byFile.valuesIterator.map(_._1).foldLeft(0L)(_ ^ _)
+        val strays = byFile.keySet -- files.map(_.key).toSet
+        val rows =
+          if (strays.nonEmpty) None
+          else Some(files.map { f =>
+            val (cfp, cn) = byFile.getOrElse(f.key, (0L, 0L))
+            (f.key, f.uri, f.len, f.mtime, cfp, cn)
+          })
+        (fp, n, rows)
+      case None =>
+        val (fp, n) = fingerprint(df, numCols, strCols)
+        (fp, n, None)
+    }
+    val want = Manifest(fp, n, numCols, strCols,
+      lg = if (ledgerRows.isDefined) 1 else 0)
     readManifest(path) match {
       case Some(have) if have.sameIndexAs(want) =>
         Build(path, fp, n, reused = true)
       case _ =>
         IndexDirs.uncommit(path)
         writeTables(df, want, path)
+        ledgerRows.foreach { rows =>
+          val spark = df.sparkSession
+          import spark.implicits._
+          ZoneMap.writeArtifact(
+            rows.toDF("file", "uri", "flen", "fmtime", "cfp", "cn"),
+            rows.size.toLong, s"$path/ledger",
+            ZoneMap.DefaultArtifactRowsPerFile)
+        }
         writeManifest(path, want)
         Build(path, fp, n, reused = false)
     }
+  }
+
+  /** The build-time per-file CONTENT-FINGERPRINT ledger: file key →
+    * (length, mtime, fp partial, row count) over the declared
+    * columns — one row per base file the build scanned, computed in
+    * the build's fingerprint pass itself. What
+    * [[graft.plans.ColStatsInjection.register]] seeds its
+    * pin-refresh partials from when no zone-map ledger is passed.
+    * None for profiles built before the ledger existed or over
+    * non-bare inputs.
+    */
+  def fingerprintLedger(spark: SparkSession,
+      path: String): Option[Map[String, (Long, Long, Long, Long)]] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no stats at $path"))
+    if (mf.lg == 0) None
+    else Some(spark.read.parquet(s"$path/ledger")
+      .select("file", "flen", "fmtime", "cfp", "cn").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap)
   }
 
   /** Fused-builder hooks ([[Profile.buildBoth]]): the reuse check and

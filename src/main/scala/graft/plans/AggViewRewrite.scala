@@ -174,6 +174,19 @@ object AggViewRewrite extends PredicateHelper with Logging {
           "file-source or a live mor-source read of the fact table " +
           "the view rolls up); got:\n" +
           GraftBridge.analyzedPlan(base).treeString))
+    id match {
+      // a hive-PARTITIONED base is supported under one root: refresh
+      // delta scans read with option("basePath", root) so partition
+      // columns resolve for the appended files. With several roots
+      // there is no one basePath — refuse with guidance rather than
+      // fail every later refresh.
+      case FsId(h) if h.partitionSchema.nonEmpty =>
+        require(RelationPins.rootPaths(h).size == 1,
+          "a partitioned base registers under a SINGLE root path " +
+            "(refresh scans resolve partition columns via basePath); " +
+            "read the table through its one root directory")
+      case _ => ()
+    }
     val decl = AggView.declaration(viewPath)
     val resolver = SQLConf.get.resolver
     // resolver-matched, not exact-string: vAttr resolves the served
@@ -325,13 +338,25 @@ object AggViewRewrite extends PredicateHelper with Logging {
         val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
           .map(_._2).getOrElse(
             return scala.Left("base no longer reads as a bare parquet scan"))
+        // partitioned base: the delta scan reads leaf files with
+        // basePath so partition columns resolve (the register-time
+        // single-root guard makes the basePath unambiguous)
+        val readDelta: Seq[String] => DataFrame =
+          if (fsRel.partitionSchema.isEmpty)
+            uris => spark.read.parquet(uris: _*)
+          else if (roots.size == 1)
+            uris => spark.read.option("basePath", roots.head)
+              .parquet(uris: _*)
+          else return scala.Left("partitioned base has several root " +
+            "paths — no unambiguous basePath for delta scans; " +
+            "re-register under the table's one root directory")
         val newSig = RelationPins.signature(fsRel)
         if (newSig == sig && live.version == e.version)
           scala.Left("already fresh")
         else RelationPins.composeFingerprint(
           RelationPins.listedFiles(fsRel), fps,
           uris => AggView.factsFingerprintByFile(
-            spark.read.parquet(uris: _*), e.viewPath)) match {
+            readDelta(uris), e.viewPath)) match {
           // O(delta): only files with no stored partial were scanned
           // (all of them on the FIRST verification, which seeds the
           // partials; just the appended ones thereafter)

@@ -266,8 +266,41 @@ object ColStatsInjection extends Logging {
     }.toMap
     val pin: BasePin = kind match {
       case scala.Left(fsRel) =>
+        // a hive-PARTITIONED base is supported under one root:
+        // refresh delta scans read with option("basePath", root) so
+        // partition columns resolve for the appended files
+        // (including appends into a NEW partition directory). With
+        // several roots there is no one basePath — refuse here
+        // rather than fail every later refresh.
+        if (fsRel.partitionSchema.nonEmpty)
+          require(RelationPins.rootPaths(fsRel).size == 1,
+            "a partitioned base registers under a SINGLE root path " +
+              "(refresh scans resolve partition columns via " +
+              "basePath); read the table through its one root " +
+              "directory")
+        // only ledger entries whose (length, mtime) still match the
+        // live listing are adopted — anything else is treated as
+        // unprofiled and scanned at the next refresh
+        def adopt(stored: Map[String, (Long, Long, Long, Long)])
+            : Map[String, RelationPins.FileFp] = {
+          val live = RelationPins.listedFiles(fsRel)
+            .map(f => f.key -> f).toMap
+          stored.collect {
+            case (key, (len, mtime, cfp, cn))
+                if live.get(key).exists(f =>
+                  f.len == len && f.mtime == mtime) =>
+              key -> RelationPins.FileFp(len, mtime, cfp, cn)
+          }
+        }
         val fileFps: Map[String, RelationPins.FileFp] = ledger match {
-          case None => Map.empty
+          case None =>
+            // no explicit zone-map ledger: seed from the artifact's
+            // OWN build-time ledger when one exists (same projection
+            // by construction — the build wrote it). Best-effort: an
+            // unreadable ledger degrades to the empty seed.
+            try ColStats.fingerprintLedger(spark, statsPath)
+              .map(adopt).getOrElse(Map.empty)
+            catch { case NonFatal(_) => Map.empty }
           case Some(zmPath) =>
             val zm = graft.operators.ZoneMap.declaration(zmPath)
             require(zm.numCols == decl.numCols &&
@@ -283,14 +316,7 @@ object ColStatsInjection extends Logging {
                 s"zone map at $zmPath predates format 4 — no stored " +
                   "fingerprint partials; rebuild it or register without " +
                   "a ledger"))
-            val live = RelationPins.listedFiles(fsRel)
-              .map(f => f.key -> f).toMap
-            stored.collect {
-              case (key, (len, mtime, cfp, cn))
-                  if live.get(key).exists(f =>
-                    f.len == len && f.mtime == mtime) =>
-                key -> RelationPins.FileFp(len, mtime, cfp, cn)
-            }
+            adopt(stored)
         }
         FsPin(RelationPins.rootPaths(fsRel),
           RelationPins.signature(fsRel), ledger, fileFps)
@@ -562,6 +588,18 @@ object ColStatsInjection extends Logging {
     val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
       .map(_._2).getOrElse(
         return Some("base no longer reads as a bare parquet scan"))
+    // partitioned base: the delta scan reads leaf files with
+    // basePath so partition columns resolve (the register-time
+    // single-root guard makes the basePath unambiguous)
+    val readDelta: Seq[String] => DataFrame =
+      if (fsRel.partitionSchema.isEmpty)
+        uris => spark.read.parquet(uris: _*)
+      else if (pin.basePaths.size == 1)
+        uris => spark.read.option("basePath", pin.basePaths.head)
+          .parquet(uris: _*)
+      else return Some("partitioned base has several root paths — " +
+        "no unambiguous basePath for delta scans; re-register under " +
+        "the table's one root directory")
     if (RelationPins.signature(fsRel) == pin.listingSig &&
       live.version == e.version)
       return Some("already fresh")
@@ -571,7 +609,7 @@ object ColStatsInjection extends Logging {
     RelationPins.composeFingerprint(
       RelationPins.listedFiles(fsRel), pin.fileFps,
       uris => ColStats.fingerprintByFile(
-        spark.read.parquet(uris: _*), live.numCols, live.strCols)
+        readDelta(uris), live.numCols, live.strCols)
     ) match {
       case scala.Left(reason) => Some(reason)
       case scala.Right((fp, n, partials)) =>

@@ -247,6 +247,81 @@ class ODeltaRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggViewRewrite.clear()
   }
 
+  test("a hive-partitioned base registers and refreshes O(delta): " +
+      "appends into existing AND new partition directories verify " +
+      "by scanning only the appended files (partition columns " +
+      "resolve via basePath); a multi-root partitioned register " +
+      "refuses") {
+    ColStatsInjection.clear()
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-odelta-part").toString
+    val s = spark
+    import s.implicits._
+    def rows(from: Int, until: Int, g: Int => String) =
+      (from until until).map(i => (i.toLong, g(i), i.toLong * 3))
+        .toDF("k", "g", "x")
+    rows(0, 40000, i => s"g${i % 3}").repartition(2)
+      .write.partitionBy("g").parquet(s"$root/base")
+    def b = spark.read.parquet(s"$root/base")
+    // the partition column is a DECLARED str column and a VIEW KEY
+    ColStats.buildIfAbsent(b, Seq("k", "x"), Seq("g"), s"$root/cs")
+    AggView.buildIfAbsent(b, Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), s"$root/view", kbParts = 2)
+    ColStatsInjection.register(spark, b, s"$root/cs",
+      histograms = false)
+    AggViewRewrite.register(spark, b, s"$root/view")
+    // batch: rows into an existing partition AND a brand-new g=zz
+    // partition directory
+    val delta = rows(40000, 40200,
+      i => if (i % 2 == 0) "g0" else "zz")
+    delta.coalesce(1).write.partitionBy("g").mode("append")
+      .parquet(s"$root/base")
+    ColStats.append(delta, s"$root/cs")
+    AggView.append(delta, s"$root/view")
+    val read = recordsRead {
+      val rc = ColStatsInjection.refreshPins(spark).collect().head
+      assert(rc.getBoolean(1), rc.getString(2))
+      val rv = AggViewRewrite.refreshPins(spark).collect().head
+      assert(rv.getBoolean(1), rv.getString(2))
+    }
+    // both verifications read the two appended leaf files (one per
+    // landed partition dir, 200 rows total) — never the 40k corpus.
+    // The AggView path pays no seeding scan either: its build-time
+    // ledger covered the partitioned base files.
+    assert(read < 10000, s"partitioned refresh read $read records")
+    // and the refreshed registrations serve exactly
+    val fresh = spark.read.parquet(s"$root/base")
+    fresh.createOrReplaceTempView("odelta_part_tbl")
+    val q = """SELECT g, count(*) AS n, sum(x) AS sx
+              |FROM odelta_part_tbl GROUP BY g""".stripMargin
+    val served = GraftBridge.ofRows(spark,
+      GraftBridge.optimizedPlan(spark.sql(q)))
+    val servedRoots = served.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+    }.flatten
+    assert(servedRoots.exists(_.contains(s"$root/view")) &&
+      !servedRoots.exists(_.contains(s"$root/base")),
+      served.queryExecution.optimizedPlan)
+    val got = served.collect().map(_.toString).sorted.toSeq
+    ColStatsInjection.clear()
+    AggViewRewrite.clear()
+    assert(got ==
+      spark.sql(q).collect().map(_.toString).sorted.toSeq)
+    // several roots of a partitioned table: no unambiguous basePath
+    val multi = spark.read.option("basePath", s"$root/base")
+      .parquet(s"$root/base/g=g0", s"$root/base/g=g1")
+    val e = intercept[IllegalArgumentException] {
+      AggViewRewrite.register(spark, multi, s"$root/view")
+    }
+    assert(e.getMessage.contains("SINGLE root"), e.getMessage)
+    AggViewRewrite.clear()
+  }
+
   test("the zone map's format-4 fingerprint ledger: per-file " +
       "partials compose to the table fingerprint, and refresh " +
       "extends the ledger for new files only") {
