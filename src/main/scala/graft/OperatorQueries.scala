@@ -883,6 +883,86 @@ object OperatorQueries {
       }
     }),
 
+    /** JOIN-AWARE materialized view ([[graft.plans.AggViewRewrite
+      * .registerStar]]): the rollup is declared over the STAR
+      * `lineitem ⋈ part ⋈ supplier` (keys p_brand + s_nationkey —
+      * one fact column never appears in the keys; measures exact
+      * qty cents), and two plain SQL join aggregates — a key-subset
+      * rollup by brand and a key-complete probe — plan onto the
+      * view's files: neither the fact nor either dim is scanned
+      * (StarViewSpec pins the plan shape; the probe kb-prunes). At
+      * 100 TB this is the shape that matters: the expensive grouped
+      * aggregates are over fact⋈dim joins, and the rewrite skips
+      * both the corpus scan and the joins. The oracle replays both
+      * legs' joins directly in DuckDB.
+      */
+    "q245_mv_star" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val fact = Tables.lineitem(s, d)
+      val part = Tables.part(s, d)
+      val supp = Tables.supplier(s, d)
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-mvstar-${Integer.toHexString(d.hashCode)}").toString
+      val joined = fact
+        .join(part, fact("l_partkey") === part("p_partkey"))
+        .join(supp, fact("l_suppkey") === supp("s_suppkey"))
+      AggView.buildIfAbsent(joined, Seq("p_brand", "s_nationkey"),
+        Seq(AggView.Measure("sum_qty_c",
+          "CAST(round(l_quantity * 100) AS BIGINT)")),
+        idx, kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.registerStar(s, fact,
+        Seq((part, Seq(("l_partkey", "p_partkey"))),
+          (supp, Seq(("l_suppkey", "s_suppkey")))), idx)
+      fact.createOrReplaceTempView("graft_q245_l")
+      part.createOrReplaceTempView("graft_q245_p")
+      supp.createOrReplaceTempView("graft_q245_s")
+      val joinSql = """FROM graft_q245_l
+                      |JOIN graft_q245_p ON l_partkey = p_partkey
+                      |JOIN graft_q245_s ON l_suppkey = s_suppkey
+                      |""".stripMargin
+      try {
+        val brand = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql(s"""SELECT p_brand, count(*) AS n,
+                   |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                   |    AS sum_qty_c
+                   |$joinSql GROUP BY p_brand""".stripMargin)))
+          .select(lit("brand").as("src"), col("p_brand"),
+            lit(-1L).as("nk"), col("n"), col("sum_qty_c"))
+        val probe = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql(s"""SELECT p_brand, s_nationkey, count(*) AS n,
+                   |  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                   |    AS sum_qty_c
+                   |$joinSql
+                   |WHERE p_brand = 'Brand#23' AND s_nationkey = 3
+                   |GROUP BY p_brand, s_nationkey""".stripMargin)))
+          .select(lit("probe").as("src"), col("p_brand"),
+            col("s_nationkey").cast("long").as("nk"), col("n"),
+            col("sum_qty_c"))
+        // the query IS the rewrite demo — fail loudly if either leg
+        // fell back to scanning the fact or a dim
+        def plansOntoView(df: DataFrame): Boolean = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten
+          roots.exists(_.contains(idx)) &&
+            !roots.exists(_.contains("/testdata/"))
+        }
+        require(plansOntoView(brand) && plansOntoView(probe),
+          "q245: a star leg fell back to the base join scan")
+        brand.unionByName(probe).orderBy("src", "p_brand", "nk")
+      } finally AggViewRewrite.unregister(idx)
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1590,6 +1670,25 @@ object OperatorQueries {
         |  max(cents) AS max_c, CAST(sum(cents) AS BIGINT) AS sum_c,
         |  count(st) AS n_st, min(k) AS min_k, max(k) AS max_k
         |FROM t""".stripMargin,
+    // both star legs must equal the direct join aggregates — a
+    // rollup serving from a stale or mis-joined view loses its join
+    // multiplicity and lands in the hash
+    "q245_mv_star" ->
+      """WITH j AS (SELECT p_brand, s_nationkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey)
+        |SELECT 'brand' AS src, p_brand, CAST(-1 AS BIGINT) AS nk,
+        |  count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qty_c
+        |FROM j GROUP BY p_brand
+        |UNION ALL
+        |SELECT 'probe' AS src, p_brand,
+        |  CAST(s_nationkey AS BIGINT) AS nk,
+        |  count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qty_c
+        |FROM j WHERE p_brand = 'Brand#23' AND s_nationkey = 3
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY src, p_brand, nk""".stripMargin,
     // the partitioned-base bridges must serve exactly the grown
     // table (create partitions ∪ appended rows incl. the new 'Z'
     // partition): grouped rewrite + the _ALL metadata row both

@@ -338,6 +338,32 @@ object AggView {
       mf.keys ++ mf.mNames)
   }
 
+  /** The scheme-free source-file key of the CURRENT scan's file —
+    * what a STAR delta tags its fact side with BEFORE joining the
+    * dims: `input_file_name()` is single-source-only, so it must be
+    * evaluated in a projection sitting directly over the fact scan,
+    * not above the joins.
+    */
+  def sourceFileKey: Column = ZoneMap.fileKey(input_file_name())
+
+  /** [[factsFingerprintByFile]] for JOINED (star) deltas: `facts`
+    * carries the fact-side source-file key precomputed in `srcCol`
+    * ([[sourceFileKey]], tagged pre-join), and the partials group by
+    * it — each joined row composes into the fingerprint partial of
+    * the FACT file it expanded from, so fact-file partials stay the
+    * verification unit even though the projected values mix in dim
+    * columns.
+    */
+  def factsFingerprintByFileTagged(facts: DataFrame, path: String,
+      srcCol: String): Map[String, (Long, Long)] = {
+    val mf = readManifest(path).getOrElse(
+      throw new IllegalStateException(s"no view at $path"))
+    val proj = facts.select(col(srcCol) +: (mf.keys.map(col) ++
+      mf.measures.map(m => expr(m.sqlExpr).as(m.name))): _*)
+    IndexDirs.contentFingerprintByFile(proj, mf.keys ++ mf.mNames,
+      col(srcCol))
+  }
+
   /** Per-kb-partition ZONES of the view's KEY values, computed from
     * the live folded groups: (kb, col_name, kind, n_groups, n_nulls,
     * min_num, max_num, min_str, max_str) — ≤ kbParts·|keys| rows.

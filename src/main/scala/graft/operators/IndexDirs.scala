@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Index state after a build/append/delete on a persisted artifact
@@ -408,15 +408,22 @@ private[operators] object IndexDirs {
     * (a bare scan under narrow projections), where
     * `input_file_name()` names the scanned file.
     */
-  def contentFingerprintByFile(df: DataFrame,
-      cols: Seq[String]): Map[String, (Long, Long)] =
-    df.select(ZoneMap.fileKey(input_file_name()).as("__file"),
+  def contentFingerprintByFile(df: DataFrame, cols: Seq[String],
+      fileCol: Column = null): Map[String, (Long, Long)] = {
+    // fileCol override: a caller whose rows are NOT in the same
+    // stage as their source scan (a star's joined delta) passes the
+    // pre-tagged file-key column instead — input_file_name() is
+    // single-source-only
+    val fc = Option(fileCol)
+      .getOrElse(ZoneMap.fileKey(input_file_name()))
+    df.select(fc.as("__file"),
         xxhash64(cols.map(col): _*).as("__h"))
       .groupBy("__file")
       .agg(bit_xor(col("__h")).as("fp"), count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
+  }
 
   /** Typed accessors over a parsed manifest — the `...Or` variants
     * carry each field's compat default exactly once (a manifest

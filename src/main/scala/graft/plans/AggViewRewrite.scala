@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.{Inner => InnerJoinType}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join => LJoin, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -94,6 +95,17 @@ import graft.sources.MorRelation
   * self-maintainable also makes it roll up), so one registered view
   * serves the whole cube below its key set.
   *
+  * STAR views ([[registerStar]]): a view declared over
+  * `fact ⋈ dim1 ⋈ … ⋈ dimN` (inner equi-joins on declared key
+  * pairs) rewrites grouped aggregates over that JOIN subtree — the
+  * plan skips the corpus scan AND the joins. Maintenance stays
+  * fact-side IVM (append the joined delta); dims are pinned
+  * immutable, and the fact pin's O(delta) verification fingerprints
+  * the joined rows of only the new fact files (grouped by the fact
+  * file they expanded from). The optimizer's inferred
+  * `isnotnull(join key)` filters are dropped as tautological over
+  * the view's joined rows; all other filters obey the key-only rule.
+  *
   * Planning cost: the freshness probes (one listing fold per file
   * index, one manifest read per artifact, one state read per MOR
   * table) are MEMOIZED per optimizer-rule application — a query with
@@ -134,16 +146,31 @@ object AggViewRewrite extends PredicateHelper with Logging {
   final case class MorPin(morPath: String, state: MergeOnRead.State)
       extends BasePin
 
+  /** One broadcast DIMENSION of a STAR registration: the dim table's
+    * root paths, its file-listing pin, and the declared equi-join
+    * key pairs (fact column name, dim column name). A dim is
+    * IMMUTABLE under the registration — any listing change refuses
+    * the pin until re-registration (the view absorbed joined rows;
+    * a changed dim invalidates every one of them, so there is no
+    * incremental repair).
+    */
+  final case class DimEntry(roots: Set[String], listingSig: Long,
+      joinKeys: Seq[(String, String)])
+
   /** A registered view: the artifact path, the base pin, and the
     * view-manifest-version pin (with the declaration read at that
     * version). `zones` (opt-in at [[register]]) holds the per-kb key
     * zones of the PINNED view version (key name → kb → zone),
     * recomputed at every (re-)pin — since rewrites only fire while
     * the pin is fresh, the zones are EXACT for whatever is served.
+    * `dims` non-empty marks a STAR registration ([[registerStar]]):
+    * the view rolls up `fact ⋈ dims`, and the rewrite matches the
+    * JOIN subtree instead of a bare relation.
     */
   final case class Entry(viewPath: String, pin: BasePin,
       version: Long, decl: AggView.Decl,
-      zones: Option[Map[String, Map[Int, graft.operators.ZoneTests.Zone]]] = None)
+      zones: Option[Map[String, Map[Int, graft.operators.ZoneTests.Zone]]] = None,
+      dims: Seq[DimEntry] = Nil)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -199,6 +226,69 @@ object AggViewRewrite extends PredicateHelper with Logging {
         "rewritable")
     val e = Entry(viewPath, pinOf(spark, id, viewPath), decl.version,
       decl, zonesOf(spark, viewPath, keyZones))
+    registry.put(viewPath, e)
+    e
+  }
+
+  /** Pin `viewPath` as the rollup of a STAR — `fact ⋈ dims` on the
+    * declared equi-key pairs, every dim broadcast-small and INNER
+    * joined — as currently observed. The view must have been built
+    * over exactly that join ([[AggView.buildIfAbsent]] of
+    * `fact.join(dim1, …).join(dim2, …)`), with keys and measures
+    * over the JOINED columns; at 100 TB this is the shape that
+    * matters — the expensive aggregates are over fact⋈dim joins, and
+    * serving them from the rollup skips both the corpus scan and the
+    * joins. Maintenance is fact-side IVM: append the JOINED delta
+    * (`factDelta.join(dims…)`) via [[AggView.append]]; the dims are
+    * pinned IMMUTABLE (a dim change refuses until re-registration).
+    *
+    * `dims` pairs each dim DataFrame (a bare parquet scan) with its
+    * join keys as (fact column, dim column) names. Restrictions
+    * (refused with guidance): the fact must be a bare UNPARTITIONED
+    * parquet scan (star refresh scans fact delta files and joins the
+    * dims in the same stage — partition-column resolution is not
+    * wired for that path), no dim may share the fact's roots
+    * (self-joins unsupported), and fact/dim column names must not
+    * collide (the refresh join resolves columns by name).
+    */
+  def registerStar(spark: SparkSession, fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])], viewPath: String,
+      keyZones: Boolean = false): Entry = {
+    require(dims.nonEmpty, "registerStar needs at least one dim — " +
+      "use register for a single-table view")
+    val factRel = RelationPins.bare(GraftBridge.analyzedPlan(fact))
+      .map(_._2).getOrElse(throw new IllegalArgumentException(
+        "registerStar expects the fact to be a bare parquet scan; got:\n" +
+          GraftBridge.analyzedPlan(fact).treeString))
+    require(factRel.partitionSchema.isEmpty,
+      "star facts must be unpartitioned parquet for now — the " +
+        "refresh's joined delta scan does not resolve partition " +
+        "columns; write the fact unpartitioned or register the " +
+        "single-table rollup instead")
+    val factRoots = RelationPins.rootPaths(factRel)
+    val dimEntries = dims.map { case (dimDf, keys) =>
+      require(keys.nonEmpty, "each dim needs at least one join key pair")
+      val dimRel = RelationPins.bare(GraftBridge.analyzedPlan(dimDf))
+        .map(_._2).getOrElse(throw new IllegalArgumentException(
+          "registerStar expects each dim to be a bare parquet scan; got:\n" +
+            GraftBridge.analyzedPlan(dimDf).treeString))
+      val roots = RelationPins.rootPaths(dimRel)
+      require(roots != factRoots,
+        "a dim sharing the fact's root paths is a self-join — " +
+          "unsupported")
+      DimEntry(roots, RelationPins.signature(dimRel), keys)
+    }
+    val decl = AggView.declaration(viewPath)
+    val resolver = SQLConf.get.resolver
+    require(!(decl.keys ++ decl.measures.map(_.name))
+        .exists(n => resolver(n, "cnt")),
+      "view key/measure named 'cnt' (any case the session resolver " +
+        "matches) would collide with the served count column — not " +
+        "rewritable")
+    val e = Entry(viewPath,
+      FsPin(factRoots, RelationPins.signature(factRel)),
+      decl.version, decl, zonesOf(spark, viewPath, keyZones),
+      dimEntries)
     registry.put(viewPath, e)
     e
   }
@@ -338,10 +428,26 @@ object AggViewRewrite extends PredicateHelper with Logging {
         val fsRel = RelationPins.bare(GraftBridge.analyzedPlan(baseDf))
           .map(_._2).getOrElse(
             return scala.Left("base no longer reads as a bare parquet scan"))
+        // STAR registrations: every dim must be byte-identical to its
+        // pin — the view absorbed joined rows, and a changed dim
+        // invalidates all of them with no incremental repair, so a
+        // moved dim refuses until re-registration (after a rebuild).
+        val dimDfs: Seq[DataFrame] = e.dims.map { de =>
+          val dimDf = spark.read.parquet(de.roots.toSeq.sorted: _*)
+          val dimRel = RelationPins.bare(GraftBridge.analyzedPlan(dimDf))
+            .map(_._2).getOrElse(
+              return scala.Left("a dim no longer reads as a bare " +
+                "parquet scan — re-register"))
+          if (RelationPins.signature(dimRel) != de.listingSig)
+            return scala.Left("dim table changed (" +
+              de.roots.toSeq.sorted.mkString(",") + ") — the joined " +
+              "rollup is invalidated; rebuild the view and re-register")
+          dimDf
+        }
         // partitioned base: the delta scan reads leaf files with
         // basePath so partition columns resolve (the register-time
         // single-root guard makes the basePath unambiguous)
-        val readDelta: Seq[String] => DataFrame =
+        val readFactDelta: Seq[String] => DataFrame =
           if (fsRel.partitionSchema.isEmpty)
             uris => spark.read.parquet(uris: _*)
           else if (roots.size == 1)
@@ -350,13 +456,35 @@ object AggViewRewrite extends PredicateHelper with Logging {
           else return scala.Left("partitioned base has several root " +
             "paths — no unambiguous basePath for delta scans; " +
             "re-register under the table's one root directory")
+        // star: the verification fingerprints the JOINED rows of the
+        // new fact files, grouped by the FACT file each row expanded
+        // from — the file key is tagged on the fact side BEFORE the
+        // joins (input_file_name() is single-source-only) and the
+        // dims broadcast
+        val srcCol = "__graft_src"
+        val scan: Seq[String] => Map[String, (Long, Long)] =
+          if (e.dims.isEmpty)
+            uris => AggView.factsFingerprintByFile(
+              readFactDelta(uris), e.viewPath)
+          else uris => {
+            val tagged = readFactDelta(uris)
+              .withColumn(srcCol, AggView.sourceFileKey)
+            val joinedDelta = e.dims.zip(dimDfs).foldLeft(tagged) {
+              case (acc, (de, dimDf)) =>
+                val cond = de.joinKeys.map { case (fc, dc) =>
+                  acc(fc) === dimDf(dc) }.reduce(_ && _)
+                acc.join(
+                  org.apache.spark.sql.functions.broadcast(dimDf),
+                  cond, "inner")
+            }
+            AggView.factsFingerprintByFileTagged(joinedDelta,
+              e.viewPath, srcCol)
+          }
         val newSig = RelationPins.signature(fsRel)
         if (newSig == sig && live.version == e.version)
           scala.Left("already fresh")
         else RelationPins.composeFingerprint(
-          RelationPins.listedFiles(fsRel), fps,
-          uris => AggView.factsFingerprintByFile(
-            readDelta(uris), e.viewPath)) match {
+          RelationPins.listedFiles(fsRel), fps, scan) match {
           // O(delta): only files with no stored partial were scanned
           // (all of them on the FIRST verification, which seeds the
           // partials; just the appended ones thereafter)
@@ -366,7 +494,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
               scala.Right(Entry(e.viewPath,
                 FsPin(RelationPins.rootPaths(fsRel), newSig, partials),
                 live.version, live,
-                zonesOf(spark, e.viewPath, e.zones.isDefined)))
+                zonesOf(spark, e.viewPath, e.zones.isDefined),
+                e.dims))
             else {
               // keep the freshly computed partials even on refusal:
               // they are facts about the BASE's files, independent of
@@ -621,16 +750,187 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   private def tryRewrite(spark: SparkSession,
       agg: Aggregate, memo: Memo): Option[Aggregate] = {
-    val (rel, id, filters) = decompose(agg.child).getOrElse(return None)
-    val cands = registry.values.asScala
-      .filter(e => pinFresh(e, id, memo)).toSeq
-    if (cands.isEmpty) return None
-    // prefer the COARSEST sufficient view: fewer keys = fewer rollup
-    // groups = the smallest artifact that can still answer; ties
-    // break on path so plan choice never depends on map iteration
-    cands.sortBy(e => (e.decl.keys.size, e.viewPath)).iterator
-      .map(e => rewriteWith(spark, agg, rel, filters, e, memo))
-      .collectFirst { case Some(a) => a }
+    val flat = decompose(agg.child).flatMap { case (rel, id, filters) =>
+      // star entries never serve a FLAT aggregate over the fact
+      // alone: the view holds JOINED rows (inner-join multiplicity
+      // and filtering), so dims.isEmpty is a correctness gate here
+      val cands = registry.values.asScala
+        .filter(e => e.dims.isEmpty && pinFresh(e, id, memo)).toSeq
+      // prefer the COARSEST sufficient view: fewer keys = fewer
+      // rollup groups = the smallest artifact that can still answer;
+      // ties break on path so plan choice never depends on map
+      // iteration
+      cands.sortBy(e => (e.decl.keys.size, e.viewPath)).iterator
+        .map(e => rewriteWith(spark, agg, rel.output, rel, filters, e,
+          memo))
+        .collectFirst { case Some(a) => a }
+    }
+    flat.orElse(tryStar(spark, agg, memo))
+  }
+
+  /** Try every STAR registration against the aggregate's join
+    * subtree: the child must decompose (under attr-only projections
+    * and deterministic filters) into INNER equi-joins of the
+    * registered fact with exactly the registered dims on exactly the
+    * declared key pairs — then the shared rewrite runs with the join
+    * output as the key-resolution scope and a synthetic join plan as
+    * the measure-normalization anchor.
+    */
+  private def tryStar(spark: SparkSession, agg: Aggregate,
+      memo: Memo): Option[Aggregate] = {
+    val stars = registry.values.asScala.filter(_.dims.nonEmpty).toSeq
+      .sortBy(e => (e.decl.keys.size, e.viewPath))
+    if (stars.isEmpty) return None
+    stars.iterator.map { e =>
+      matchStar(agg.child, e, memo).flatMap {
+        case (factRel, dimRels, filters) =>
+          val anchor = starAnchor(factRel, dimRels, e)
+            .getOrElse(return None)
+          val outAttrs = factRel.output ++ dimRels.flatMap(_.output)
+          rewriteWith(spark, agg, outAttrs, anchor, filters, e, memo)
+      }
+    }.collectFirst { case Some(a) => a }
+  }
+
+  /** The canonical join plan the measures normalize against — built
+    * from the QUERY's own relation nodes, so attribute ids line up
+    * with the query's aggregate expressions for exact canonical
+    * comparison.
+    */
+  private def starAnchor(factRel: LogicalRelation,
+      dimRels: Seq[LogicalRelation], e: Entry): Option[LogicalPlan] = {
+    val resolver = SQLConf.get.resolver
+    def attr(out: Seq[Attribute], n: String): Option[Attribute] =
+      out.find(a => resolver(a.name, n))
+    e.dims.zip(dimRels).foldLeft(Option(factRel: LogicalPlan)) {
+      case (accOpt, (de, dr)) => accOpt.flatMap { acc =>
+        val conds = de.joinKeys.map { case (fc, dc) =>
+          for {
+            fa <- attr(factRel.output, fc)
+            da <- attr(dr.output, dc)
+          } yield EqualTo(fa, da): Expression
+        }
+        if (conds.exists(_.isEmpty)) None
+        else Some(LJoin(acc, dr, InnerJoinType,
+          Some(conds.flatten.reduce(And)), JoinHint.NONE))
+      }
+    }
+  }
+
+  /** Match the aggregate child against one star declaration: strip
+    * attr-only projections / deterministic filters, require an
+    * INNER-join tree whose leaves are the registered fact and
+    * exactly the registered dims (matched by root paths, each once,
+    * in any join order / on either side), with each join's condition
+    * equal — as an unordered pair set — to that dim's declared key
+    * pairs. Pins checked fresh for fact and every dim.
+    *
+    * Filters collected anywhere in the tree are returned EXCEPT
+    * tautological `IsNotNull(joinKey)` conjuncts the optimizer
+    * infers from the inner joins themselves — the view absorbed only
+    * joined rows, where join keys are non-null by construction.
+    */
+  private def matchStar(p: LogicalPlan, e: Entry, memo: Memo)
+      : Option[(LogicalRelation, Seq[LogicalRelation], Seq[Expression])] = {
+    val resolver = SQLConf.get.resolver
+    val factPin = e.pin match {
+      case f: FsPin => f
+      case _ => return None
+    }
+    val matched = Array.fill[Option[LogicalRelation]](e.dims.size)(None)
+    val filters = Seq.newBuilder[Expression]
+
+    // a dim leg: strips to a bare parquet relation matching an
+    // UNMATCHED registered dim's roots; its own filters collect
+    def asDimLeg(q: LogicalPlan): Option[Int] = {
+      val legFilters = Seq.newBuilder[Expression]
+      def strip(x: LogicalPlan): Option[LogicalRelation] = x match {
+        case s: SubqueryAlias => strip(s.child)
+        case Project(pl, c)
+            if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+        case Filter(cond, c) if cond.deterministic &&
+            !SubqueryExpression.hasSubquery(cond) =>
+          legFilters ++= splitConjunctivePredicates(cond); strip(c)
+        case l: LogicalRelation => l.relation match {
+          case _: HadoopFsRelation => Some(l)
+          case _ => None
+        }
+        case _ => None
+      }
+      strip(q).flatMap { rel =>
+        val h = rel.relation.asInstanceOf[HadoopFsRelation]
+        val roots = RelationPins.rootPaths(h)
+        val i = e.dims.indexWhere(_.roots == roots)
+        if (i < 0 || matched(i).isDefined) None
+        else if (memo.signatureOf(h) != e.dims(i).listingSig) None
+        else {
+          matched(i) = Some(rel)
+          filters ++= legFilters.result()
+          Some(i)
+        }
+      }
+    }
+
+    def walkFact(q: LogicalPlan): Option[LogicalRelation] = q match {
+      case s: SubqueryAlias => walkFact(s.child)
+      case Project(pl, c)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => walkFact(c)
+      case Filter(cond, c) if cond.deterministic &&
+          !SubqueryExpression.hasSubquery(cond) =>
+        filters ++= splitConjunctivePredicates(cond); walkFact(c)
+      case j: LJoin if j.joinType == InnerJoinType &&
+          j.condition.isDefined =>
+        // one side is a dim leg, the other continues toward the fact
+        val (di, factSide) = asDimLeg(j.right).map(i => (i, j.left))
+          .orElse(asDimLeg(j.left).map(i => (i, j.right)))
+          .getOrElse(return None)
+        val dimRel = matched(di).get
+        val factRel = walkFact(factSide).getOrElse(return None)
+        // the condition must be EXACTLY this dim's declared pairs
+        val pairs = splitConjunctivePredicates(j.condition.get).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            (a, b)
+          case _ => return None
+        }
+        val declared = e.dims(di).joinKeys.map { case (fc, dc) =>
+          val fa = factRel.output.find(a => resolver(a.name, fc))
+            .getOrElse(return None)
+          val da = dimRel.output.find(a => resolver(a.name, dc))
+            .getOrElse(return None)
+          (fa, da)
+        }
+        val got = pairs.map { case (a, b) =>
+          Set(a.exprId, b.exprId) }.toSet
+        val want = declared.map { case (a, b) =>
+          Set(a.exprId, b.exprId) }.toSet
+        if (got != want) return None
+        Some(factRel)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation
+            if RelationPins.rootPaths(h) == factPin.roots &&
+              memo.signatureOf(h) == factPin.listingSig => Some(l)
+        case _ => None
+      }
+      case _ => None
+    }
+
+    val factRel = walkFact(p).getOrElse(return None)
+    if (!matched.forall(_.isDefined)) return None
+    val dimRels = matched.toSeq.map(_.get)
+    // drop inferred IsNotNull over declared JOIN-KEY attributes
+    // (tautological over the view's joined rows); everything else
+    // goes to the key-only filter gate in rewriteWith
+    val joinKeyIds: Set[ExprId] = e.dims.zip(dimRels).flatMap {
+      case (de, dr) => de.joinKeys.flatMap { case (fc, dc) =>
+        factRel.output.filter(a => resolver(a.name, fc)).map(_.exprId) ++
+          dr.output.filter(a => resolver(a.name, dc)).map(_.exprId)
+      }
+    }.toSet
+    val kept = filters.result().filterNot {
+      case IsNotNull(a: AttributeReference) => joinKeyIds(a.exprId)
+      case _ => false
+    }
+    Some((factRel, dimRels, kept))
   }
 
   /** Key types whose bounded ranges ENUMERATE into kb buckets:
@@ -661,8 +961,15 @@ object AggViewRewrite extends PredicateHelper with Logging {
     case _ => Literal(x)
   }
 
+  /** The shared rewrite for flat and star entries: `outAttrs` is the
+    * scope key names resolve in (the relation's output, or the join
+    * output for a star), `anchor` the plan measures normalize
+    * against (the relation node, or the synthetic join over the
+    * query's own relation nodes).
+    */
   private def rewriteWith(spark: SparkSession, agg: Aggregate,
-      rel: LogicalRelation, filters: Seq[Expression], e: Entry,
+      outAttrs: Seq[Attribute], anchor: LogicalPlan,
+      filters: Seq[Expression], e: Entry,
       memo: Memo): Option[Aggregate] = {
     // view freshness pin: manifest version + declaration unchanged
     val cur = memo.declOf(e.viewPath).getOrElse(return None)
@@ -672,7 +979,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     val resolver = SQLConf.get.resolver
     // key name (manifest spelling) -> base attribute
     val keyAttr: Map[String, Attribute] = e.decl.keys.flatMap { k =>
-      rel.output.find(a => resolver(a.name, k)).map(k -> _)
+      outAttrs.find(a => resolver(a.name, k)).map(k -> _)
     }.toMap
     if (keyAttr.size != e.decl.keys.size) return None
     val keyAttrSet = AttributeSet(keyAttr.values)
@@ -688,10 +995,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
       case _ => return None
     }
 
-    // optimizer-normalized measure expressions over THIS relation
-    // instance, keyed by canonical form
+    // optimizer-normalized measure expressions over THIS query's own
+    // relation instance(s), keyed by canonical form
     val measureOf: Map[Expression, String] = e.decl.measures.flatMap { m =>
-      normalizedMeasure(spark, rel, m.sqlExpr).map(_ -> m.name)
+      normalizedMeasure(spark, anchor, m.sqlExpr).map(_ -> m.name)
     }.toMap
     if (measureOf.size != e.decl.measures.size) return None
 
@@ -851,7 +1158,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     def counterMeasure(e: Expression): Option[String] = {
       def probe(x: Expression): Option[String] =
         try {
-          val tiny = Project(Seq(Alias(x, "__m")()), rel)
+          val tiny = Project(Seq(Alias(x, "__m")()), anchor)
           GraftBridge.optimize(spark, GraftBridge.analyze(spark, tiny))
             .collectFirst { case Project(Seq(a: Alias), _) =>
               a.child.canonicalized
@@ -942,10 +1249,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * and canonical comparison with the query side is exact).
     */
   private def normalizedMeasure(spark: SparkSession,
-      rel: LogicalRelation, sqlExpr: String): Option[Expression] =
+      anchor: LogicalPlan, sqlExpr: String): Option[Expression] =
     try {
       val parsed = GraftBridge.parseExpression(spark, sqlExpr)
-      val tiny = Project(Seq(Alias(parsed, "__m")()), rel)
+      val tiny = Project(Seq(Alias(parsed, "__m")()), anchor)
       val norm = GraftBridge.optimize(spark, GraftBridge.analyze(spark, tiny))
       norm.collectFirst {
         case Project(Seq(a: Alias), _) if a.child.resolved =>
