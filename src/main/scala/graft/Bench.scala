@@ -127,7 +127,9 @@ object Bench {
       "q232_mv_global", "q233_mv_avg", "q234_meta_agg",
       "q235_mv_mor", "q236_zonemap_plain", "q237_fused_profile",
       "q238_odelta_refresh", "q239_mor_colstats",
-      "q240_zonemap_partitioned", "q241_mv_zone_probe")
+      "q240_zonemap_partitioned", "q241_mv_zone_probe",
+      "q242_mv_date_probe", "q243_mor_ondemand",
+      "q244_mv_partitioned", "q245_mv_star")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds
