@@ -129,7 +129,8 @@ object Bench {
       "q238_odelta_refresh", "q239_mor_colstats",
       "q240_zonemap_partitioned", "q241_mv_zone_probe",
       "q242_mv_date_probe", "q243_mor_ondemand",
-      "q244_mv_partitioned", "q245_mv_star")
+      "q244_mv_partitioned", "q245_mv_star",
+      "q246_zonemap_date", "q247_mv_minmax")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

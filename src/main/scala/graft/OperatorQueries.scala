@@ -641,7 +641,9 @@ object OperatorQueries {
       val root = lifecycleDir("q242", d)
       val tableDir = s"$root/orders"
       Tables.orders(s, d).select(
-          col("o_orderdate").as("od"),
+          // the testdata column is TIMESTAMP_NTZ — cast to DATE so
+          // the probe exercises the real date-key paths
+          col("o_orderdate").cast("date").as("od"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
         .repartition(2).write.mode("overwrite").parquet(tableDir)
       val base = s.read.parquet(tableDir)
@@ -961,6 +963,108 @@ object OperatorQueries {
           "q245: a star leg fell back to the base join scan")
         brand.unionByName(probe).orderBy("src", "p_brand", "nk")
       } finally AggViewRewrite.unregister(idx)
+    }),
+
+    /** DATE-typed zone columns ([[graft.operators.ZoneMap]] +
+      * [[graft.plans.ZoneMapScan]]): the table copy is range-laid-out
+      * on the order DATE (8 value-tight files), the zone map profiles
+      * the date column as days-since-epoch, and a stock SQL
+      * date-range query over the plain parquet view plans a scan of
+      * only the surviving files — date-range data skipping with zero
+      * query changes (the commonest prune in any time-series lake).
+      * The oracle replays the filtered aggregate directly.
+      */
+    "q246_zonemap_date" -> ((s, d) => {
+      import graft.operators.ZoneMap
+      import graft.plans.ZoneMapScan
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q246", d)
+      val tableDir = s"$root/orders"
+      Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_orderdate").cast("date").as("od"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("od")).write.mode("overwrite")
+        .parquet(tableDir)
+      val idx = s"$root/zm"
+      ZoneMap.buildIfAbsent(s, tableDir, Seq("od", "cents"), Seq(), idx)
+      ZoneMapScan.install(s)
+      val base = s.read.parquet(tableDir)
+      ZoneMapScan.register(s, base, idx)
+      base.createOrReplaceTempView("graft_q246_tbl")
+      try GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+        s.sql("""SELECT count(*) AS cnt, sum(cents) AS sum_cents,
+                |  sum(k) AS sum_k, min(od) AS min_od,
+                |  max(od) AS max_od
+                |FROM graft_q246_tbl
+                |WHERE od BETWEEN DATE '1996-02-01' AND DATE '1996-04-30'
+                |""".stripMargin)))
+      finally ZoneMapScan.unregister(idx)
+    }),
+
+    /** APPEND-ONLY MIN/MAX measures in the materialized view
+      * ([[graft.operators.AggView]] `Measure(kind = min/max)` +
+      * [[graft.plans.AggViewRewrite]]): the rollup declares exact
+      * cents extrema beside the signed sum, an insert-only fleet
+      * batch folds in (min of partial mins), the pin re-verifies
+      * O(delta), and a plain SQL `min/max/sum/count` aggregate —
+      * grouped AND global — plans onto the view. Delete paths refuse
+      * at the artifact (spec'd in AggViewSpec); the oracle replays
+      * the grown table directly.
+      */
+    "q247_mv_minmax" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q247", d)
+      val tableDir = s"$root/orders"
+      val t = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      t.filter(col("k") % 4 =!= 0).repartition(3)
+        .write.mode("overwrite").parquet(tableDir)
+      def base = s.read.parquet(tableDir)
+      AggView.buildIfAbsent(base, Seq("st"),
+        Seq(AggView.Measure("sum_cents", "cents"),
+          AggView.Measure("min_cents", "cents", kind = "min"),
+          AggView.Measure("max_cents", "cents", kind = "max")),
+        s"$root/view", kbParts = 4)
+      AggViewRewrite.install(s)
+      AggViewRewrite.register(s, base, s"$root/view")
+      try {
+        // insert-only fleet batch: extrema fold monotonically
+        val delta = t.filter(col("k") % 4 === 0)
+        delta.coalesce(1).write.mode("append").parquet(tableDir)
+        AggView.append(delta, s"$root/view")
+        val rv = AggViewRewrite.refreshPins(s).collect()
+        require(rv.forall(_.getBoolean(1)),
+          "minmax view pin refresh refused: " +
+            rv.map(_.getString(2)).mkString("; "))
+        base.createOrReplaceTempView("graft_q247_tbl")
+        val grouped = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT st, count(*) AS n, sum(cents) AS sum_c,
+                  |  min(cents) AS min_c, max(cents) AS max_c
+                  |FROM graft_q247_tbl GROUP BY st""".stripMargin)))
+        val total = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT '_ALL' AS st, count(*) AS n,
+                  |  sum(cents) AS sum_c, min(cents) AS min_c,
+                  |  max(cents) AS max_c
+                  |FROM graft_q247_tbl""".stripMargin)))
+        def plansOntoView(df: DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten.exists(_.contains(s"$root/view"))
+        require(plansOntoView(grouped) && plansOntoView(total),
+          "q247: a min/max leg fell back to the base scan")
+        grouped.unionByName(total).orderBy("st")
+      } finally AggViewRewrite.unregister(s"$root/view")
     }),
 
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
@@ -1632,7 +1736,7 @@ object OperatorQueries {
     // must equal the direct filtered aggregates — a kb partition
     // wrongly pruned on either path loses its days and lands here
     "q242_mv_date_probe" ->
-      """WITH t AS (SELECT o_orderdate AS od,
+      """WITH t AS (SELECT CAST(o_orderdate AS DATE) AS od,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders)
         |SELECT 'between' AS src, od, count(*) AS n,
@@ -1670,6 +1774,37 @@ object OperatorQueries {
         |  max(cents) AS max_c, CAST(sum(cents) AS BIGINT) AS sum_c,
         |  count(st) AS n_st, min(k) AS min_k, max(k) AS max_k
         |FROM t""".stripMargin,
+    // the date-zone-pruned plain-SQL scan must equal the direct
+    // date-range aggregate — a file pruned whose day range
+    // intersected lands here
+    "q246_zonemap_date" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(o_orderdate AS DATE) AS od,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT count(*) AS cnt, CAST(sum(cents) AS BIGINT)
+        |  AS sum_cents, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(od) AS min_od, max(od) AS max_od
+        |FROM t
+        |WHERE od BETWEEN DATE '1996-02-01' AND DATE '1996-04-30'
+        |""".stripMargin,
+    // the min/max-measured view must serve exactly the grown table's
+    // grouped and global extrema — a stale fold or a min that crept
+    // up lands in the hash
+    "q247_mv_minmax" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c,
+        |  min(cents) AS min_c, max(cents) AS max_c
+        |FROM t GROUP BY st
+        |UNION ALL
+        |SELECT '_ALL' AS st, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_c,
+        |  min(cents) AS min_c, max(cents) AS max_c
+        |FROM t
+        |ORDER BY st""".stripMargin,
     // both star legs must equal the direct join aggregates — a
     // rollup serving from a stale or mis-joined view loses its join
     // multiplicity and lands in the hash

@@ -38,10 +38,12 @@ import graft.plans.RelationPins
   * `__cnt ≤ 0` groups; append = the DELTA's grouped sums (O(delta));
   * delete = the same rows count-negated, so a retracted fact
   * subtracts right back out and [[compactDeltas]]/[[purge]] leave the
-  * artifact bit-for-bit the view over the surviving facts. Only
-  * SUM-algebra measures qualify (sums of row-local expressions;
-  * count and mean = sum/cnt ride along for free) — MIN/MAX are not
-  * self-maintainable under deletes and are deliberately not offered.
+  * artifact bit-for-bit the view over the surviving facts. SUM-algebra
+  * measures (sums of row-local expressions; count and mean = sum/cnt
+  * ride along for free) get the full signed lifecycle; MIN/MAX
+  * measures are offered APPEND-ONLY ([[Measure.kind]]) — monotone
+  * under inserts, with every delete path refusing loudly, because
+  * extrema are not self-maintainable under deletes.
   *
   * Unlike the doc-keyed artifacts ([[DedupIndex]], [[LmIndex]]),
   * fact rows have no identity, so deletes cannot be content-verified
@@ -61,32 +63,53 @@ object AggView {
   type Build = IndexBuild
   val Build = IndexBuild
 
-  /** A SUM measure: `name` is the output column, `sqlExpr` a
-    * row-local SQL expression over the fact columns (carried in the
-    * manifest — part of the view identity).
+  /** A measure: `name` is the output column, `sqlExpr` a row-local
+    * SQL expression over the fact columns (carried in the manifest —
+    * part of the view identity). `kind` is the fold:
+    *
+    *  - `"sum"` (default) — the self-maintainable signed algebra:
+    *    appends add, deletes retract, diff/compaction/purge all work;
+    *  - `"min"` / `"max"` — APPEND-ONLY extrema: monotone under
+    *    inserts (min of partial mins), NOT self-maintainable under
+    *    deletes (a retracted extremum cannot be un-folded), so
+    *    [[delete]], delete-bearing [[applyBatch]]es, and [[diff]]
+    *    REFUSE on views declaring them — the [[ColStats]] contract
+    *    applied to rollup measures. What lets the MV rewrite serve
+    *    grouped `min(E)`/`max(E)` on append-only fact tables (most
+    *    training-data pipelines) from the rollup.
     */
-  final case class Measure(name: String, sqlExpr: String)
+  final case class Measure(name: String, sqlExpr: String,
+      kind: String = "sum")
 
   private case class Manifest(fp: Long, n: Long, keys: Seq[String],
       mNames: Seq[String], mExprs: Seq[String], kbParts: Int,
       deltas: Seq[String] = Nil, lastBatch: Long = -1L,
-      baseVer: Int = 0, lg: Int = 0, mv: Long = 0L) {
+      baseVer: Int = 0, lg: Int = 0, mKinds: Seq[String] = Nil,
+      mv: Long = 0L) {
     def sameIndexAs(other: Manifest): Boolean =
+      // mKinds normalized through `kinds`: a pre-kind manifest (no
+      // mkinds recorded) ≡ the same declaration spelled all-sum
       copy(deltas = Nil, lastBatch = -1L, baseVer = 0, lg = 0,
-        mv = 0L) ==
+        mKinds = kinds, mv = 0L) ==
         other.copy(deltas = Nil, lastBatch = -1L, baseVer = 0, lg = 0,
-          mv = 0L)
+          mKinds = other.kinds, mv = 0L)
     def baseOf(sub: String): String =
       if (baseVer == 0) sub else s"$sub.v$baseVer"
+    // compat: manifests written before measure kinds existed carry
+    // none — every measure was a sum
+    def kinds: Seq[String] =
+      if (mKinds.size == mNames.size) mKinds
+      else Seq.fill(mNames.size)("sum")
     def measures: Seq[Measure] =
-      mNames.zip(mExprs).map { case (n, e) => Measure(n, e) }
+      mNames.lazyZip(mExprs).lazyZip(kinds).map(Measure.apply)
+    def appendOnlyMeasures: Boolean = kinds.exists(_ != "sum")
   }
 
   private def toManifest(r: IndexDirs.ManifestReader): Manifest =
     Manifest(r.long("fp"), r.long("n"), r.seq("keys"),
       r.seq("mnames"), r.seq("mexprs"), r.int("kb"),
       r.seq("deltas"), r.longOr("lb", -1L), r.intOr("bv", 0),
-      r.intOr("lg", 0), mv = r.version)
+      r.intOr("lg", 0), r.seq("mkinds"), mv = r.version)
 
   private def readManifest(path: String): Option[Manifest] =
     IndexDirs.readManifest(path).map(toManifest)
@@ -96,11 +119,22 @@ object AggView {
       .put("fp", mf.fp).put("n", mf.n)
       .put("keys", mf.keys)
       .put("mnames", mf.mNames).put("mexprs", mf.mExprs)
+      .put("mkinds", mf.kinds)
       .put("kb", mf.kbParts)
       .put("lb", mf.lastBatch).put("bv", mf.baseVer)
       .put("lg", mf.lg)
       .put("deltas", mf.deltas)
       .commit(path, mf.mv)
+
+  /** Per-kind fold of one measure's PARTIALS — the same expression
+    * serves delta writes, live reads, compactions, and purges, so
+    * the folds can never drift between paths.
+    */
+  private def foldMeasure(m: Measure): Column = m.kind match {
+    case "min" => min(col(m.name)).as(m.name)
+    case "max" => max(col(m.name)).as(m.name)
+    case _ => sum(col(m.name)).as(m.name)
+  }
 
   private def kbCol(keys: Seq[String], kbParts: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(kbParts)).cast("int")
@@ -119,19 +153,27 @@ object AggView {
     IndexDirs.contentFingerprint(projected(facts, mf0),
       mf0.keys ++ mf0.mNames)
 
-  /** Grouped signed partial sums of `facts`, written kb-partitioned
+  /** Grouped signed partial sums of `facts` (per-kind folds for
+    * min/max measures — only ever written with sign 1, the delete
+    * paths refuse append-only measures), written kb-partitioned
     * (one file per bucket) under `root`.
     */
   private def writeDelta(facts: DataFrame, sign: Int, mf: Manifest,
-      root: String): Unit =
+      root: String): Unit = {
+    require(sign == 1 || !mf.appendOnlyMeasures,
+      "negated deltas are undefined for min/max measures")
     projected(facts, mf)
       .groupBy(mf.keys.map(col): _*)
       .agg((count(lit(1)) * sign).as("__cnt"),
-        mf.mNames.map(n => (sum(col(n)) * sign).as(n)): _*)
+        mf.measures.map { m =>
+          if (m.kind == "sum") (sum(col(m.name)) * sign).as(m.name)
+          else foldMeasure(m)
+        }: _*)
       .withColumn("kb", kbCol(mf.keys, mf.kbParts))
       .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb")
       .parquet(s"$root/agg")
+  }
 
   /** Live aggregated groups: base ∪ committed deltas summed per
     * group, `__cnt ≤ 0` groups dropped. `parts` prunes every read to
@@ -154,7 +196,7 @@ object AggView {
       }.reduce(_.unionByName(_))
       .groupBy(mf.keys.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"),
-        mf.mNames.map(n => sum(col(n)).as(n)): _*)
+        mf.measures.map(foldMeasure): _*)
       .filter(col("__cnt") > 0)
   }
 
@@ -178,8 +220,14 @@ object AggView {
     require(names.distinct.size == names.size,
       s"keys/measure names collide (or use the reserved __cnt/kb): " +
         names.mkString(", "))
+    val badKinds = measures.map(_.kind).filterNot(
+      Set("sum", "min", "max"))
+    require(badKinds.isEmpty,
+      s"unknown measure kind(s): ${badKinds.distinct.mkString(",")} " +
+        "(supported: sum, min, max)")
     val want0 = Manifest(0L, 0L, keys, measures.map(_.name),
-      measures.map(_.sqlExpr), kbParts)
+      measures.map(_.sqlExpr), kbParts,
+      mKinds = measures.map(_.kind))
     // bare-scan facts: the one fingerprint pass also yields the
     // per-file ledger rows (xor/count compose, so the summed partials
     // ARE the corpus fingerprint — bit-identical to the ungrouped
@@ -512,10 +560,15 @@ object AggView {
             versions(path).mkString("[", ", ", "]")))
     val (a, b) = (at(vFrom), at(vTo))
     require(a.keys == b.keys && a.mNames == b.mNames &&
-      a.mExprs == b.mExprs && a.kbParts == b.kbParts,
+      a.mExprs == b.mExprs && a.kinds == b.kinds &&
+      a.kbParts == b.kbParts,
       s"versions $vFrom and $vTo of $path carry different view " +
         "declarations (a rebuild happened between them) — their " +
         "diff is not a delta of one view")
+    require(!b.appendOnlyMeasures,
+      "version diff needs SIGNED (sum-algebra) measures — min/max " +
+        "measures have no negation, so per-group net change is not " +
+        "defined for this view")
     def roots(mf: Manifest): Set[String] =
       (s"${mf.baseOf("agg")}" +: mf.deltas.map(d => s"deltas/$d/agg")).toSet
     val pos = roots(b) -- roots(a) // files vTo adds
@@ -628,6 +681,11 @@ object AggView {
     val spark = delta.sparkSession
     val decl = readManifest(path).getOrElse(
       throw new IllegalStateException(s"no view at $path"))
+    require(!decl.appendOnlyMeasures,
+      s"the view at $path declares min/max measures — APPEND-ONLY " +
+        "extrema are not self-maintainable under deletes (a " +
+        "retracted extremum cannot be un-folded); rebuild the view " +
+        "over the surviving facts instead")
     val (dfp, dn) = fingerprint(delta, decl)
     if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
     val dg =
@@ -692,6 +750,10 @@ object AggView {
     val (dfp, delN) = fingerprint(del, decl)
     if (inN == 0 && delN == 0)
       return Build(path, decl.fp, decl.n, reused = true)
+    require(delN == 0 || !decl.appendOnlyMeasures,
+      s"the view at $path declares min/max measures — a " +
+        "delete-bearing batch cannot be applied (append-only " +
+        "extrema have no retraction); rebuild over the survivors")
     var stagedDirs = Seq.empty[String]
     if (delN > 0) {
       val staged = IndexDirs.nextDeltaName(path, "d")
@@ -731,13 +793,16 @@ object AggView {
     if (decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
+    // all-zero-row drop applies to the SIGNED (sum) columns only —
+    // an append-only min/max group always keeps a positive __cnt
     val nonZero = ((col("__cnt") =!= 0) +:
-      decl.mNames.map(n => col(n) =!= 0)).reduce(_ || _)
+      decl.measures.filter(_.kind == "sum")
+        .map(m => col(m.name) =!= 0)).reduce(_ || _)
     folded.map(d => spark.read.parquet(s"$path/deltas/$d/agg"))
       .reduce(_.unionByName(_))
       .groupBy(decl.keys.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"),
-        decl.mNames.map(n => sum(col(n)).as(n)): _*)
+        decl.measures.map(foldMeasure): _*)
       .filter(nonZero)
       .withColumn("kb", kbCol(decl.keys, decl.kbParts))
       .repartition(col("kb"))

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
   LessThanOrEqual, StringStartsWith}
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
-  LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  IntegerType, LongType, ShortType, StructType}
 
 import graft.functions.StrExtremaAgg.{str_max, str_min}
 
@@ -227,15 +227,23 @@ object ZoneMap {
     mf.numCols.foreach { c =>
       val dt = byName.getOrElse(c, throw new IllegalArgumentException(
         s"zone column $c missing from ${mf.tableDir}"))
-      require(integral(dt),
+      require(integral(dt) || dt == DateType,
         s"zone column $c is $dt: numeric zone maps require an " +
-          "integral type (a truncating cast would prune files whose " +
-          "fractional values still match a boundary predicate) — " +
-          "declare it as a string zone or pre-scale to integers")
+          "integral or date type (a truncating cast would prune " +
+          "files whose fractional values still match a boundary " +
+          "predicate) — declare it as a string zone or pre-scale to " +
+          "integers")
+    }
+    // a DATE zone column stores days-since-epoch — the same long the
+    // shared zone test ([[ZoneTests.asLong]]) converts a date filter
+    // value to, so date-range file skipping works out of the box
+    def numValue(c: String): Column = byName(c) match {
+      case DateType => unix_date(col(c)).cast("long")
+      case _ => col(c).cast("long")
     }
     val pieces =
       mf.numCols.map(c => struct(lit(c).as("col_name"),
-        lit("num").as("kind"), col(c).cast("long").as("vnum"),
+        lit("num").as("kind"), numValue(c).as("vnum"),
         lit(null).cast("string").as("vstr"))) ++
       mf.strCols.map(c => struct(lit(c).as("col_name"),
         lit("str").as("kind"), lit(null).cast("long").as("vnum"),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner => InnerJoinType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join => LJoin, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
@@ -997,10 +997,23 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
     // optimizer-normalized measure expressions over THIS query's own
     // relation instance(s), keyed by canonical form
-    val measureOf: Map[Expression, String] = e.decl.measures.flatMap { m =>
-      normalizedMeasure(spark, anchor, m.sqlExpr).map(_ -> m.name)
-    }.toMap
-    if (measureOf.size != e.decl.measures.size) return None
+    // several measures may normalize to ONE canonical expression
+    // (the same E declared as sum AND min AND max is the natural
+    // extrema view) — group, and look up BY KIND
+    val normalized: Seq[(Expression, AggView.Measure)] =
+      e.decl.measures.flatMap { m =>
+        normalizedMeasure(spark, anchor, m.sqlExpr).map(_ -> m)
+      }
+    if (normalized.size != e.decl.measures.size) return None
+    val measuresByExpr: Map[Expression, Seq[AggView.Measure]] =
+      normalized.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def measureFor(x: Expression, kind: String): Option[String] =
+      measuresByExpr.getOrElse(x, Nil).find(_.kind == kind)
+        .map(_.name)
+    // sum-kind measures only — the null counter and every signed
+    // rewrite path must never land on an append-only extremum
+    def sumMeasure(x: Expression): Option[String] =
+      measureFor(x, "sum")
 
     // kb partition prune when every key is pinned to a bounded value
     // set: each conjunct's value set is a SUPERSET of the matching
@@ -1162,7 +1175,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
           GraftBridge.optimize(spark, GraftBridge.analyze(spark, tiny))
             .collectFirst { case Project(Seq(a: Alias), _) =>
               a.child.canonicalized
-            }.flatMap(measureOf.get)
+            }.flatMap(sumMeasure)
         } catch { case NonFatal(_) => None }
       probe(CaseWhen(Seq((IsNull(e), Literal(0))), Some(Literal(1))))
         .orElse(probe(If(IsNull(e), Literal(0), Literal(1))))
@@ -1190,7 +1203,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
           // divide-by-zero. Double-typed averages only: a decimal
           // average's scale arithmetic is not replayed here.
           for {
-            sName <- measureOf.get(a.child.canonicalized)
+            sName <- sumMeasure(a.child.canonicalized)
             cName <- counterMeasure(a.child)
           } yield {
             val s = Cast(Sum(vAttr(sName)).toAggregateExpression(),
@@ -1203,9 +1216,24 @@ object AggViewRewrite extends PredicateHelper with Logging {
         case s: Sum =>
           // ANSI note: re-aggregates the view's partial sums — see
           // the object doc's ANSI-divergence contract
-          measureOf.get(s.child.canonicalized).map { mName =>
+          sumMeasure(s.child.canonicalized).map { mName =>
             val re = Sum(vAttr(mName)).toAggregateExpression()
             if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
+          }
+        case m: Min =>
+          // min of the per-group partial mins — exact for a declared
+          // APPEND-ONLY min measure (delete paths refuse at the
+          // artifact, so the rollup's extrema are the facts')
+          measureFor(m.child.canonicalized, "min").map { name =>
+            val re = Min(vAttr(name)).toAggregateExpression()
+            if (re.dataType == ae.dataType) re
+            else Cast(re, ae.dataType)
+          }
+        case m: Max =>
+          measureFor(m.child.canonicalized, "max").map { name =>
+            val re = Max(vAttr(name)).toAggregateExpression()
+            if (re.dataType == ae.dataType) re
+            else Cast(re, ae.dataType)
           }
         case _ => None
       }

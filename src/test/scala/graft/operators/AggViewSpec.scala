@@ -56,6 +56,70 @@ class AggViewSpec extends AnyFunSuite {
     }.getMessage.contains("collide"))
   }
 
+  test("append-only MIN/MAX measures: inserts fold extrema exactly " +
+      "through append + compact + purge; every delete path and " +
+      "diff refuse; a kind change is a different view; unknown " +
+      "kinds refuse") {
+    val path = tmp("aggview-minmax")
+    val mm = Seq(Measure("v_sum", "v"),
+      Measure("v_min", "v", kind = "min"),
+      Measure("v_max", "v", kind = "max"))
+    assert(!AggView.buildIfAbsent(facts(0, 120), Seq("grp"), mm, path,
+      kbParts = 4).reused)
+    assert(AggView.buildIfAbsent(facts(0, 120), Seq("grp"), mm, path,
+      kbParts = 4).reused)
+    // same declaration with a different KIND = a different view
+    assert(!AggView.buildIfAbsent(facts(0, 120), Seq("grp"),
+      Seq(Measure("v_sum", "v"), Measure("v_min", "v"),
+        Measure("v_max", "v", kind = "max")), path, kbParts = 4).reused)
+    AggView.buildIfAbsent(facts(0, 120), Seq("grp"), mm, path,
+      kbParts = 4)
+    def hand(rows: Seq[Int]): Set[(String, Long, Long, Long, Long)] =
+      rows.map(i => (s"g${i % 5}", (i * 7 % 101).toLong))
+        .groupBy(_._1).map { case (g, ts) =>
+          (g, ts.size.toLong, ts.map(_._2).sum, ts.map(_._2).min,
+            ts.map(_._2).max)
+        }.toSet
+    def got(): Set[(String, Long, Long, Long, Long)] =
+      AggView.read(spark, path).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    assert(got() == hand(0 until 120))
+    // inserts fold extrema monotonically (min of partial mins)
+    AggView.append(facts(120, 200), path)
+    assert(got() == hand(0 until 200))
+    // maintenance is read-invariant
+    AggView.append(facts(200, 230), path)
+    AggView.compactDeltas(spark, path)
+    assert(got() == hand(0 until 230))
+    AggView.purge(spark, path)
+    assert(got() == hand(0 until 230))
+    // every delete path refuses, loudly
+    assert(intercept[IllegalArgumentException] {
+      AggView.delete(facts(0, 10), path)
+    }.getMessage.contains("min/max"))
+    assert(intercept[IllegalArgumentException] {
+      AggView.applyBatch(
+        facts(0, 10).withColumn("op", lit("D"))
+          .unionByName(facts(300, 310).withColumn("op", lit("I"))),
+        99L, path)
+    }.getMessage.contains("min/max"))
+    // an insert-only batch still applies
+    AggView.applyBatch(facts(230, 240).withColumn("op", lit("I")),
+      100L, path)
+    assert(got() == hand(0 until 240))
+    // diff refuses (extrema have no negation)
+    val vs = AggView.versions(path)
+    assert(intercept[IllegalArgumentException] {
+      AggView.diff(spark, path, vs.head, vs.last)
+    }.getMessage.contains("min/max"))
+    // unknown kinds refuse at build
+    assert(intercept[IllegalArgumentException] {
+      AggView.buildIfAbsent(facts(0, 10), Seq("grp"),
+        Seq(Measure("m", "v", kind = "avg")), tmp("aggview-badkind"))
+    }.getMessage.contains("unknown measure kind"))
+  }
+
   test("append composes the fingerprint; lookup prunes to the probe " +
       "buckets and equals the filtered read; delete retracts to the " +
       "survivors-only view; over-delete refuses; compact + purge are " +

@@ -501,6 +501,49 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggViewRewrite.clear()
   }
 
+  test("min/max measures rewrite kind-gated: min(E)/max(E) serve " +
+      "from their declared extrema, sum(E) never lands on an " +
+      "extremum, and min over a sum-only view falls back") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-mvrw-minmax").toString
+    val s = spark
+    import s.implicits._
+    (0 until 300).map(i => (s"g${i % 4}", (i * 13 % 97).toLong))
+      .toDF("gk", "v").repartition(2).write.parquet(s"$root/base")
+    val b = s.read.parquet(s"$root/base")
+    AggView.buildIfAbsent(b, Seq("gk"),
+      Seq(AggView.Measure("v_sum", "v"),
+        AggView.Measure("v_min", "v", kind = "min"),
+        AggView.Measure("v_max", "v", kind = "max")),
+      s"$root/view", kbParts = 4)
+    b.createOrReplaceTempView("mvspec_mm_base")
+    val q = """SELECT gk, count(*) AS c, sum(v) AS sv, min(v) AS mn,
+              |  max(v) AS mx
+              |FROM mvspec_mm_base GROUP BY gk""".stripMargin
+    val truth = sorted(s.sql(q))
+    AggViewRewrite.register(s, b, s"$root/view")
+    val r = s.sql(q)
+    assert(scannedRoots(r).exists(_.contains(s"$root/view")),
+      r.queryExecution.optimizedPlan)
+    assert(sorted(r) == truth && truth.size == 4)
+    // a rollup to the GLOBAL level keeps extrema exact (min of mins)
+    val g = s.sql("""SELECT min(v) AS mn, max(v) AS mx, sum(v) AS sv
+                    |FROM mvspec_mm_base""".stripMargin)
+    assert(scannedRoots(g).exists(_.contains(s"$root/view")))
+    val gotG = sorted(g)
+    // min over a view that declares only a SUM for that expression
+    // must fall back (kind gate) — use the spec view: x has sum_x
+    // but no min measure
+    AggViewRewrite.register(spark, baseDf, viewDir)
+    val mm = sql("""SELECT k, min(x) AS mn FROM mvspec_base
+                   |GROUP BY k""".stripMargin)
+    assert(!hitsView(mm), mm.queryExecution.optimizedPlan)
+    AggViewRewrite.clear()
+    assert(gotG == sorted(s.sql(
+      """SELECT min(v) AS mn, max(v) AS mx, sum(v) AS sv
+        |FROM mvspec_mm_base""".stripMargin)))
+  }
+
   test("register refuses a view whose key collides with the served " +
       "count column under the session resolver (any case)") {
     AggViewRewrite.clear()

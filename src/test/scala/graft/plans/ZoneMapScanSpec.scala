@@ -107,6 +107,49 @@ class ZoneMapScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!same.getBoolean(1) && same.getString(2).contains("fresh"))
   }
 
+  test("DATE zone columns: a date-range plain read scans only the " +
+      "surviving files, equality and boundary probes stay exact, " +
+      "and refresh profiles a late date file") {
+    ZoneMapScan.clear()
+    val root = Files.createTempDirectory("graft-zms-date").toString
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.time.LocalDate.of(2023, 1, 1).plusDays(i)
+    // range-laid-out on the date: each of 8 files holds ~50 days
+    (0 until 4000).map(i => (i.toLong, day(i / 10)))
+      .toDF("k", "dt")
+      .repartitionByRange(8, col("dt"))
+      .write.parquet(s"$root/tbl")
+    def dtT: DataFrame = spark.read.parquet(s"$root/tbl")
+    val nFiles = dtT.inputFiles.length
+    ZoneMap.buildIfAbsent(spark, s"$root/tbl", Seq("dt"), Nil,
+      s"$root/zm")
+    ZoneMapScan.register(spark, dtT, s"$root/zm")
+    val lo = java.sql.Date.valueOf("2023-04-01")
+    val hi = java.sql.Date.valueOf("2023-04-15")
+    val q = dtT.filter(col("dt").between(lo, hi))
+    assert(q.inputFiles.length < nFiles,
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.count() == 150L) // 15 days × 10 rows
+    // equality on a boundary day is never pruned away
+    val eq = dtT.filter(col("dt") === lit(day(399)))
+    assert(eq.count() == 10L)
+    // a late file with an OUT-OF-RANGE date: full scan until
+    // refresh, pruned-and-found after
+    Seq((999999L, day(5000))).toDF("k", "dt")
+      .write.mode("append").parquet(s"$root/tbl")
+    val stale = dtT.filter(col("dt") === lit(day(5000)))
+    assert(stale.count() == 1L)
+    ZoneMap.refresh(spark, s"$root/zm")
+    val st = ZoneMapScan.refreshPins(spark).collect()
+      .find(_.getString(0).contains("graft-zms-date")).get
+    assert(st.getBoolean(1), st.getString(2))
+    val fresh = dtT.filter(col("dt") === lit(day(5000)))
+    assert(fresh.inputFiles.length < nFiles + 1)
+    assert(fresh.count() == 1L)
+    ZoneMapScan.clear()
+  }
+
   test("bloom filters back plain-SQL equality pruning where zones " +
       "keep everything (hash layout)") {
     ZoneMapScan.clear()
