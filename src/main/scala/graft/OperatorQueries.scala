@@ -878,6 +878,20 @@ object OperatorQueries {
           s.sql("""SELECT '_ALL' AS st, count(*) AS n,
                   |  sum(cents) AS sum_cents
                   |FROM graft_q244_tbl""".stripMargin)))
+        // the query IS the partitioned-bridge demo — fail loudly if
+        // the grouped leg fell back to scanning the base
+        val roots = grouped.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+        require(roots.exists(_.contains(s"$root/view")) &&
+          !roots.exists(_.contains(tableDir)),
+          "q244: the partitioned-base rewrite fell back to the scan")
         grouped.unionByName(total).orderBy("st")
       } finally {
         ColStatsInjection.unregister(s"$root/cs")

@@ -344,13 +344,19 @@ object AggViewRewrite extends PredicateHelper with Logging {
       val liveVersion =
         try Some(AggView.declaration(e.viewPath).version)
         catch { case NonFatal(_) => None }
-      val (baseDesc, baseFresh) = e.pin match {
+      val (baseDesc0, baseFresh) = e.pin match {
         case FsPin(roots, _, _) =>
           (roots.toSeq.sorted.mkString(","), None: Option[Boolean])
         case MorPin(p, st) =>
           (p, Some(try MergeOnRead.state(p) == st
             catch { case NonFatal(_) => false }))
       }
+      // star registrations name their dims too — the ops surface
+      // should show the whole shape the rewrite matches
+      val baseDesc =
+        if (e.dims.isEmpty) baseDesc0
+        else baseDesc0 + e.dims.map(d =>
+          " ⋈ " + d.roots.toSeq.sorted.mkString(",")).mkString
       (e.viewPath, baseDesc,
         e.decl.keys.mkString(","),
         e.decl.measures.map(_.name).mkString(","),
