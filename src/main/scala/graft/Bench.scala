@@ -130,7 +130,8 @@ object Bench {
       "q240_zonemap_partitioned", "q241_mv_zone_probe",
       "q242_mv_date_probe", "q243_mor_ondemand",
       "q244_mv_partitioned", "q245_mv_star",
-      "q246_zonemap_date", "q247_mv_minmax")
+      "q246_zonemap_date", "q247_mv_minmax",
+      "q248_mv_star_part", "q249_mv_star_partial")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

@@ -1081,6 +1081,173 @@ object OperatorQueries {
       } finally AggViewRewrite.unregister(s"$root/view")
     }),
 
+    /** Hive-PARTITIONED star fact
+      * ([[graft.operators.AggView.buildStarIfAbsent]] +
+      * [[graft.plans.AggViewRewrite.registerStar]]): lineitem is
+      * laid out partitioned by `rf` (the return flag), the star view
+      * over fact ⋈ part rolls up by (p_brand, rf) with the partition
+      * column as a VIEW KEY, and the build's one fingerprint pass
+      * writes the per-FACT-file ledger that seeds the registration
+      * scan-free. A fleet batch lands in a brand-new `rf=Z`
+      * partition directory — the refresh joins only the appended
+      * file (partition column resolved via basePath) — and the
+      * grouped join aggregate over the grown table still plans onto
+      * the view's files. At 100 TB facts are partitioned by
+      * ingestion date essentially always; this is the star rewrite
+      * on the layout real lakes have. The oracle replays the grown
+      * join aggregate directly.
+      */
+    "q248_mv_star_part" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q248", d)
+      val factDir = s"$root/fact"
+      val t = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("fk"),
+        col("l_partkey").cast("long").as("fpk"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        col("l_returnflag").as("rf"))
+      t.repartition(2).write.mode("overwrite").partitionBy("rf")
+        .parquet(factDir)
+      val dim = Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("pk2"), col("p_brand"))
+        .coalesce(1)
+      val dimDir = s"$root/dim"
+      dim.write.mode("overwrite").parquet(dimDir)
+      def fact = s.read.parquet(factDir)
+      def dimDf = s.read.parquet(dimDir)
+      def dims = Seq((dimDf, Seq(("fpk", "pk2"))))
+      AggView.buildStarIfAbsent(fact, dims, Seq("p_brand", "rf"),
+        Seq(AggView.Measure("sum_qc", "qc")), s"$root/view",
+        kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.registerStar(s, fact, dims, s"$root/view")
+      try {
+        // fleet batch into a partition directory that did not exist
+        // at registration: every 50th order's rows, reflagged 'Z'
+        val delta = t.filter(col("fk") % 50 === 0)
+          .withColumn("rf", lit("Z"))
+        delta.coalesce(1).write.mode("append").partitionBy("rf")
+          .parquet(factDir)
+        val dd = dimDf
+        AggView.append(delta.join(dd, delta("fpk") === dd("pk2")),
+          s"$root/view")
+        val rv = AggViewRewrite.refreshPins(s).collect()
+        require(rv.forall(_.getBoolean(1)),
+          "partitioned star refresh refused: " +
+            rv.map(_.getString(2)).mkString("; "))
+        fact.createOrReplaceTempView("graft_q248_f")
+        dimDf.createOrReplaceTempView("graft_q248_p")
+        val served = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT p_brand, rf, count(*) AS n,
+                  |  sum(qc) AS sum_qc
+                  |FROM graft_q248_f
+                  |JOIN graft_q248_p ON fpk = pk2
+                  |GROUP BY p_brand, rf""".stripMargin)))
+        val roots = served.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => l.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+        require(roots.exists(_.contains(s"$root/view")) &&
+          !roots.exists(_.contains(factDir)),
+          "q248: the join aggregate fell back to the base scan")
+        served.orderBy("p_brand", "rf")
+      } finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
+    /** PARTIAL-star matching under proven multiplicity-neutral dims
+      * ([[graft.plans.AggViewRewrite.registerStar]]'s `proveDims`):
+      * the star view rolls up lineitem ⋈ part ⋈ supplier, and the
+      * registration PROVES both dims neutral (key unique + every
+      * fact row matched — TPC-H referential integrity, verified at
+      * register time, not assumed). Three legs then serve from the
+      * ONE view: the full star, a PARTIAL query joining only `part`
+      * (supplier's join is row-preserving, so leaving it out changes
+      * no aggregate), and a FLAT fact aggregate joining nothing at
+      * all. The oracle replays all three joins directly — a partial
+      * serve that silently inherited the wrong multiplicity lands in
+      * the hash.
+      */
+    "q249_mv_star_partial" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q249", d)
+      val t = Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("fpk"),
+        col("l_suppkey").cast("long").as("fsk"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      t.repartition(2).write.mode("overwrite").parquet(s"$root/fact")
+      Tables.part(s, d).select(
+          col("p_partkey").cast("long").as("pk2"), col("p_brand"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/d1")
+      Tables.supplier(s, d).select(
+          col("s_suppkey").cast("long").as("sk2"),
+          col("s_nationkey").cast("long").as("snat"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/d2")
+      def fact = s.read.parquet(s"$root/fact")
+      def d1 = s.read.parquet(s"$root/d1")
+      def d2 = s.read.parquet(s"$root/d2")
+      def dims = Seq((d1, Seq(("fpk", "pk2"))),
+        (d2, Seq(("fsk", "sk2"))))
+      AggView.buildStarIfAbsent(fact, dims, Seq("p_brand", "snat"),
+        Seq(AggView.Measure("sum_qc", "qc")), s"$root/view",
+        kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.registerStar(s, fact, dims, s"$root/view",
+        proveDims = true)
+      try {
+        fact.createOrReplaceTempView("graft_q249_f")
+        d1.createOrReplaceTempView("graft_q249_p")
+        d2.createOrReplaceTempView("graft_q249_s")
+        val full = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT p_brand, snat, count(*) AS n,
+                  |  sum(qc) AS sum_qc
+                  |FROM graft_q249_f
+                  |JOIN graft_q249_p ON fpk = pk2
+                  |JOIN graft_q249_s ON fsk = sk2
+                  |GROUP BY p_brand, snat""".stripMargin)))
+          .select(lit("full").as("leg"), col("p_brand"),
+            col("snat"), col("n"), col("sum_qc"))
+        val partial = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT p_brand, count(*) AS n, sum(qc) AS sum_qc
+                  |FROM graft_q249_f
+                  |JOIN graft_q249_p ON fpk = pk2
+                  |GROUP BY p_brand""".stripMargin)))
+          .select(lit("partial").as("leg"), col("p_brand"),
+            lit(-1L).as("snat"), col("n"), col("sum_qc"))
+        val flat = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT count(*) AS n, sum(qc) AS sum_qc
+                  |FROM graft_q249_f""".stripMargin)))
+          .select(lit("flat").as("leg"), lit("_").as("p_brand"),
+            lit(-1L).as("snat"), col("n"), col("sum_qc"))
+        def plansOntoView(df: DataFrame): Boolean = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten
+          roots.exists(_.contains(s"$root/view")) &&
+            !roots.exists(_.contains(s"$root/fact"))
+        }
+        require(plansOntoView(full) && plansOntoView(partial) &&
+          plansOntoView(flat),
+          "q249: a star leg fell back to the base join scan")
+        full.unionByName(partial).unionByName(flat)
+          .orderBy("leg", "p_brand", "snat")
+      } finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -1819,6 +1986,48 @@ object OperatorQueries {
         |  min(cents) AS min_c, max(cents) AS max_c
         |FROM t
         |ORDER BY st""".stripMargin,
+    // the partitioned star must serve the GROWN fact (create
+    // partitions ∪ the new rf='Z' batch) joined with the dim — a
+    // refresh that missed the new partition directory, or a view
+    // that lost the join, lands in the hash
+    "q248_mv_star_part" ->
+      """WITH f AS (SELECT l_partkey AS fpk,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    l_returnflag AS rf
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_partkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT), 'Z'
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT p_brand, rf, count(*) AS n,
+        |  CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f JOIN part ON fpk = p_partkey
+        |GROUP BY p_brand, rf
+        |ORDER BY p_brand, rf""".stripMargin,
+    // all three legs — full star, partial (part only), flat (no
+    // join) — replay directly; a partial serve with the wrong
+    // multiplicity (a dim that dropped or duplicated fact rows)
+    // diverges from the replayed join and lands in the hash
+    "q249_mv_star_partial" ->
+      """WITH f AS (SELECT l_partkey AS fpk, l_suppkey AS fsk,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem)
+        |SELECT 'full' AS leg, p_brand,
+        |  CAST(s_nationkey AS BIGINT) AS snat, count(*) AS n,
+        |  CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f JOIN part ON fpk = p_partkey
+        |JOIN supplier ON fsk = s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |UNION ALL
+        |SELECT 'partial' AS leg, p_brand, CAST(-1 AS BIGINT) AS snat,
+        |  count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f JOIN part ON fpk = p_partkey
+        |GROUP BY p_brand
+        |UNION ALL
+        |SELECT 'flat' AS leg, '_' AS p_brand, CAST(-1 AS BIGINT) AS snat,
+        |  count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f
+        |ORDER BY leg, p_brand, snat""".stripMargin,
     // both star legs must equal the direct join aggregates — a
     // rollup serving from a stale or mis-joined view loses its join
     // multiplicity and lands in the hash

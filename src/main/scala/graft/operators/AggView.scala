@@ -216,18 +216,7 @@ object AggView {
     */
   def buildIfAbsent(facts: DataFrame, keys: Seq[String],
       measures: Seq[Measure], path: String, kbParts: Int = 16): Build = {
-    val names = keys ++ measures.map(_.name) :+ "__cnt" :+ "kb"
-    require(names.distinct.size == names.size,
-      s"keys/measure names collide (or use the reserved __cnt/kb): " +
-        names.mkString(", "))
-    val badKinds = measures.map(_.kind).filterNot(
-      Set("sum", "min", "max"))
-    require(badKinds.isEmpty,
-      s"unknown measure kind(s): ${badKinds.distinct.mkString(",")} " +
-        "(supported: sum, min, max)")
-    val want0 = Manifest(0L, 0L, keys, measures.map(_.name),
-      measures.map(_.sqlExpr), kbParts,
-      mKinds = measures.map(_.kind))
+    val want0 = declManifest(keys, measures, kbParts)
     // bare-scan facts: the one fingerprint pass also yields the
     // per-file ledger rows (xor/count compose, so the summed partials
     // ARE the corpus fingerprint — bit-identical to the ungrouped
@@ -240,26 +229,123 @@ object AggView {
       case Some(files) =>
         val byFile = IndexDirs.contentFingerprintByFile(
           projected(facts, want0), keys ++ want0.mNames)
-        val n = byFile.valuesIterator.map(_._2).sum
-        val fp =
-          if (n == 0) 0L
-          else byFile.valuesIterator.map(_._1).foldLeft(0L)(_ ^ _)
-        // a scanned key outside the listing means the file-key
-        // normalization drifted — the partials would seed wrong
-        // refreshes, so skip the ledger (the fp/n above are computed
-        // from ALL scanned groups and stay exact regardless)
-        val strays = byFile.keySet -- files.map(_.key).toSet
-        val rows =
-          if (strays.nonEmpty) None
-          else Some(files.map { f =>
-            val (cfp, cn) = byFile.getOrElse(f.key, (0L, 0L))
-            (f.key, f.uri, f.len, f.mtime, cfp, cn)
-          })
-        (fp, n, rows)
+        composeLedger(files, byFile)
       case None =>
         val (fp, n) = fingerprint(facts, want0)
         (fp, n, None)
     }
+    finishBuild(facts, want0, path, fp, n, ledgerRows)
+  }
+
+  /** [[buildIfAbsent]] for a STAR: the view over `fact ⋈ dims`
+    * (inner equi-joins on the declared (fact column, dim column)
+    * pairs, every dim broadcast), with the build's fingerprint pass
+    * grouped by the FACT source file — each joined row composes into
+    * the partial of the fact file it expanded from
+    * ([[sourceFileKey]], tagged BEFORE the joins) — and persisted as
+    * the view's ledger. What lets
+    * [[graft.plans.AggViewRewrite.registerStar]] seed its pin-refresh
+    * partials scan-free, so even a star view's FIRST refresh after a
+    * fact append joins and fingerprints only the appended files
+    * (the flat path's build-time-ledger property, line for line).
+    * `fact` must be a bare parquet scan (the ledger is per fact
+    * file); fact and dim column names must be disjoint (the join
+    * and the refresh's replay of it resolve columns by name).
+    */
+  def buildStarIfAbsent(fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])],
+      keys: Seq[String], measures: Seq[Measure], path: String,
+      kbParts: Int = 16): Build = {
+    require(dims.nonEmpty,
+      "buildStarIfAbsent needs at least one dim — use buildIfAbsent " +
+        "for a single-table view")
+    val want0 = declManifest(keys, measures, kbParts)
+    val src = "__graft_src"
+    require(!(keys ++ measures.map(_.name)).contains(src),
+      s"the name $src is reserved for the build's fact-file tag")
+    val joined = dims.foldLeft(fact.withColumn(src, sourceFileKey)) {
+      case (acc, (dimDf, ks)) =>
+        require(ks.nonEmpty, "each dim needs at least one join key pair")
+        // lower-cased: the default resolver is case-insensitive
+        val clash = acc.columns.map(_.toLowerCase).toSet
+          .intersect(dimDf.columns.map(_.toLowerCase).toSet)
+        require(clash.isEmpty,
+          "fact and dim column names must be disjoint (the join " +
+            s"resolves by name); colliding: ${clash.toSeq.sorted.mkString(",")}")
+        val cond = ks.map { case (fc, dc) =>
+          acc(fc) === dimDf(dc) }.reduce(_ && _)
+        acc.join(broadcast(dimDf), cond, "inner")
+    }
+    val bareFiles: Option[Seq[RelationPins.ListedFile]] =
+      try RelationPins.bare(GraftBridge.analyzedPlan(fact))
+        .map { case (_, h) => RelationPins.listedFiles(h) }
+      catch { case NonFatal(_) => None }
+    val (fp, n, ledgerRows) = bareFiles match {
+      case Some(files) =>
+        val proj = joined.select(col(src) +: (want0.keys.map(col) ++
+          want0.measures.map(m => expr(m.sqlExpr).as(m.name))): _*)
+        val byFile = IndexDirs.contentFingerprintByFile(proj,
+          keys ++ want0.mNames, col(src))
+        composeLedger(files, byFile)
+      case None =>
+        val (fp, n) = fingerprint(joined, want0)
+        (fp, n, None)
+    }
+    finishBuild(joined, want0, path, fp, n, ledgerRows)
+  }
+
+  /** The declaration manifest, with the name/kind validation both
+    * build entrances share.
+    */
+  private def declManifest(keys: Seq[String], measures: Seq[Measure],
+      kbParts: Int): Manifest = {
+    val names = keys ++ measures.map(_.name) :+ "__cnt" :+ "kb"
+    require(names.distinct.size == names.size,
+      s"keys/measure names collide (or use the reserved __cnt/kb): " +
+        names.mkString(", "))
+    val badKinds = measures.map(_.kind).filterNot(
+      Set("sum", "min", "max"))
+    require(badKinds.isEmpty,
+      s"unknown measure kind(s): ${badKinds.distinct.mkString(",")} " +
+        "(supported: sum, min, max)")
+    Manifest(0L, 0L, keys, measures.map(_.name),
+      measures.map(_.sqlExpr), kbParts,
+      mKinds = measures.map(_.kind))
+  }
+
+  /** Compose per-file partials into the corpus (fp, n) and the
+    * ledger rows. A scanned key outside the listing means the
+    * file-key normalization drifted — the partials would seed wrong
+    * refreshes, so the ledger is skipped (the fp/n are computed from
+    * ALL scanned groups and stay exact regardless).
+    */
+  private def composeLedger(files: Seq[RelationPins.ListedFile],
+      byFile: Map[String, (Long, Long)])
+      : (Long, Long, Option[Seq[(String, String, Long, Long, Long, Long)]]) = {
+    val n = byFile.valuesIterator.map(_._2).sum
+    val fp =
+      if (n == 0) 0L
+      else byFile.valuesIterator.map(_._1).foldLeft(0L)(_ ^ _)
+    val strays = byFile.keySet -- files.map(_.key).toSet
+    val rows =
+      if (strays.nonEmpty) None
+      else Some(files.map { f =>
+        val (cfp, cn) = byFile.getOrElse(f.key, (0L, 0L))
+        (f.key, f.uri, f.len, f.mtime, cfp, cn)
+      })
+    (fp, n, rows)
+  }
+
+  /** The shared build tail: reuse check against the manifest, else
+    * write the delta (and the ledger, when the fingerprint pass
+    * produced one) and commit. `facts` may carry extra columns (a
+    * star build's file tag) — [[writeDelta]] projects to the view's
+    * dependency columns.
+    */
+  private def finishBuild(facts: DataFrame, want0: Manifest,
+      path: String, fp: Long, n: Long,
+      ledgerRows: Option[Seq[(String, String, Long, Long, Long, Long)]])
+      : Build = {
     val want = want0.copy(fp = fp, n = n,
       lg = if (ledgerRows.isDefined) 1 else 0)
     readManifest(path) match {

@@ -153,9 +153,20 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * the pin until re-registration (the view absorbed joined rows;
     * a changed dim invalidates every one of them, so there is no
     * incremental repair).
+    *
+    * `neutral`: the dim's join was PROVEN multiplicity-neutral at
+    * registration ([[registerStar]]'s `proveDims`) — its key tuple
+    * is unique in the dim and every fact row matches, so joining it
+    * neither drops nor duplicates fact rows. What licenses
+    * PARTIAL-star matching: a query joining only SOME of the
+    * declared dims still serves from the view when every dim it
+    * leaves out is neutral (the left-out joins are row-preserving,
+    * so aggregates over the remaining columns are identical).
+    * Demoted to `false` — with full-star serving kept — if a
+    * refresh's fact delta breaks coverage (see [[refreshPins]]).
     */
   final case class DimEntry(roots: Set[String], listingSig: Long,
-      joinKeys: Seq[(String, String)])
+      joinKeys: Seq[(String, String)], neutral: Boolean = false)
 
   /** A registered view: the artifact path, the base pin, and the
     * view-manifest-version pin (with the declaration read at that
@@ -244,28 +255,45 @@ object AggViewRewrite extends PredicateHelper with Logging {
     *
     * `dims` pairs each dim DataFrame (a bare parquet scan) with its
     * join keys as (fact column, dim column) names. Restrictions
-    * (refused with guidance): the fact must be a bare UNPARTITIONED
-    * parquet scan (star refresh scans fact delta files and joins the
-    * dims in the same stage — partition-column resolution is not
-    * wired for that path), no dim may share the fact's roots
+    * (refused with guidance): the fact must be a bare parquet scan —
+    * hive-partitioned is supported under a SINGLE root (refresh
+    * delta scans resolve partition columns via basePath, the
+    * [[register]] contract) — no dim may share the fact's roots
     * (self-joins unsupported), and fact/dim column names must not
     * collide (the refresh join resolves columns by name).
+    *
+    * `proveDims` (opt-in): prove each dim MULTIPLICITY-NEUTRAL over
+    * the current fact — its join-key tuple is unique in the dim (one
+    * dim-scale aggregate each) and every fact row finds a match (ONE
+    * pass over the fact's join-key columns with all dims broadcast,
+    * the column-pruned scan the register already prices against the
+    * build) — refusing loudly if either fails. Proven-neutral dims
+    * license PARTIAL-star matching: a query joining only some of the
+    * declared dims (or none — a flat fact aggregate) still serves
+    * from the view, because the left-out joins neither drop nor
+    * duplicate fact rows. Each refresh re-verifies coverage on the
+    * fact DELTA (uniqueness holds by dim immutability) and DEMOTES
+    * the flags — full-star serving intact — if an appended fact row
+    * has no match (see [[refreshPins]]).
     */
   def registerStar(spark: SparkSession, fact: DataFrame,
       dims: Seq[(DataFrame, Seq[(String, String)])], viewPath: String,
-      keyZones: Boolean = false): Entry = {
+      keyZones: Boolean = false, proveDims: Boolean = false): Entry = {
     require(dims.nonEmpty, "registerStar needs at least one dim — " +
       "use register for a single-table view")
     val factRel = RelationPins.bare(GraftBridge.analyzedPlan(fact))
       .map(_._2).getOrElse(throw new IllegalArgumentException(
         "registerStar expects the fact to be a bare parquet scan; got:\n" +
           GraftBridge.analyzedPlan(fact).treeString))
-    require(factRel.partitionSchema.isEmpty,
-      "star facts must be unpartitioned parquet for now — the " +
-        "refresh's joined delta scan does not resolve partition " +
-        "columns; write the fact unpartitioned or register the " +
-        "single-table rollup instead")
     val factRoots = RelationPins.rootPaths(factRel)
+    if (factRel.partitionSchema.nonEmpty)
+      require(factRoots.size == 1,
+        "a partitioned star fact registers under a SINGLE root path " +
+          "(refresh delta scans resolve partition columns via " +
+          "basePath); read the table through its one root directory")
+    // lower-cased: the default session resolver is case-insensitive,
+    // so 'Brand' vs 'brand' is a collision for by-name resolution
+    var seenCols = fact.columns.map(_.toLowerCase).toSet
     val dimEntries = dims.map { case (dimDf, keys) =>
       require(keys.nonEmpty, "each dim needs at least one join key pair")
       val dimRel = RelationPins.bare(GraftBridge.analyzedPlan(dimDf))
@@ -276,8 +304,17 @@ object AggViewRewrite extends PredicateHelper with Logging {
       require(roots != factRoots,
         "a dim sharing the fact's root paths is a self-join — " +
           "unsupported")
-      DimEntry(roots, RelationPins.signature(dimRel), keys)
+      val clash = seenCols
+        .intersect(dimDf.columns.map(_.toLowerCase).toSet)
+      require(clash.isEmpty,
+        "fact and dim column names must be disjoint (the refresh " +
+          "join resolves columns by name); colliding: " +
+          clash.toSeq.sorted.mkString(","))
+      seenCols ++= dimDf.columns.map(_.toLowerCase)
+      DimEntry(roots, RelationPins.signature(dimRel), keys,
+        neutral = proveDims)
     }
+    if (proveDims) proveNeutral(fact, dims)
     val decl = AggView.declaration(viewPath)
     val resolver = SQLConf.get.resolver
     require(!(decl.keys ++ decl.measures.map(_.name))
@@ -285,12 +322,56 @@ object AggViewRewrite extends PredicateHelper with Logging {
       "view key/measure named 'cnt' (any case the session resolver " +
         "matches) would collide with the served count column — not " +
         "rewritable")
-    val e = Entry(viewPath,
-      FsPin(factRoots, RelationPins.signature(factRel)),
+    val e = Entry(viewPath, pinOf(spark, FsId(factRel), viewPath),
       decl.version, decl, zonesOf(spark, viewPath, keyZones),
       dimEntries)
     registry.put(viewPath, e)
     e
+  }
+
+  /** The `proveDims` proof obligations, refused loudly on failure:
+    * per-dim join-key uniqueness (a duplicate key would FAN OUT fact
+    * rows), then one fact pass marking, per dim, which rows found a
+    * match (a miss means the inner join DROPS that row). Null fact
+    * join keys fail coverage too — an inner join drops them exactly
+    * like a missing dim row.
+    */
+  private def proveNeutral(fact: DataFrame,
+      dims: Seq[(DataFrame, Seq[(String, String)])]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast => fBroadcast, col => fCol, count => fCount, lit => fLit}
+    dims.foreach { case (dimDf, ks) =>
+      val dup = dimDf.groupBy(ks.map { case (_, dc) => dimDf(dc) }: _*)
+        .count().filter(fCol("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "proveDims: dim join key (" + ks.map(_._2).mkString(",") +
+          ") is not unique — the join can duplicate fact rows, so it " +
+          "is not multiplicity-neutral; deduplicate the dim or " +
+          "register without proveDims")
+    }
+    val factKeyCols = dims.flatMap(_._2.map(_._1)).distinct
+    val markers = dims.indices.map(i => s"__graft_m$i")
+    val probed = dims.zipWithIndex
+      .foldLeft(fact.select(factKeyCols.map(fCol): _*)) {
+        case (acc, ((dimDf, ks), i)) =>
+          val dimKeys = dimDf
+            .select(ks.map { case (_, dc) => dimDf(dc) }: _*)
+            .withColumn(markers(i), fLit(1))
+          val cond = ks.map { case (fc, dc) =>
+            acc(fc) === dimKeys(dc) }.reduce(_ && _)
+          acc.join(fBroadcast(dimKeys), cond, "left")
+      }
+    val row = probed.agg(fCount(fLit(1)).as("__n"),
+      markers.map(m => fCount(fCol(m)).as(m)): _*).collect().head
+    val total = row.getLong(0)
+    dims.indices.foreach { i =>
+      val hit = row.getLong(i + 1)
+      require(hit == total,
+        "proveDims: dim on (" + dims(i)._2.map(_._2).mkString(",") +
+          s") does not cover every fact row (${total - hit} of " +
+          s"$total fact rows have no match) — the inner join drops " +
+          "them, so it is not multiplicity-neutral; complete the " +
+          "dim or register without proveDims")
+    }
   }
 
   /** The pinned per-kb key zones (key name → kb → zone), or None
@@ -356,7 +437,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
       val baseDesc =
         if (e.dims.isEmpty) baseDesc0
         else baseDesc0 + e.dims.map(d =>
-          " ⋈ " + d.roots.toSeq.sorted.mkString(",")).mkString
+          " ⋈ " + d.roots.toSeq.sorted.mkString(",") +
+            (if (d.neutral) " (neutral)" else "")).mkString
       (e.viewPath, baseDesc,
         e.decl.keys.mkString(","),
         e.decl.measures.map(_.name).mkString(","),
@@ -411,9 +493,9 @@ object AggViewRewrite extends PredicateHelper with Logging {
       e => (try refreshOne(spark, e)
         catch { case NonFatal(ex) =>
           scala.Left(s"refresh failed: $ex") }) match {
-        case scala.Right(updated) =>
+        case scala.Right((updated, how)) =>
           registry.put(e.viewPath, updated)
-          (e.viewPath, true, "re-pinned")
+          (e.viewPath, true, how)
         case scala.Left(reason) => (e.viewPath, false, reason)
       }
     }
@@ -421,7 +503,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
   }
 
   private def refreshOne(spark: SparkSession,
-      e: Entry): Either[String, Entry] = {
+      e: Entry): Either[String, (Entry, String)] = {
     val live = try AggView.declaration(e.viewPath)
       catch { case NonFatal(ex) =>
         return scala.Left(s"view unreadable: $ex") }
@@ -468,6 +550,16 @@ object AggViewRewrite extends PredicateHelper with Logging {
         // joins (input_file_name() is single-source-only) and the
         // dims broadcast
         val srcCol = "__graft_src"
+        // neutral-dim upkeep: coverage is a property of the FACT, so
+        // appended rows must re-prove it. The delta's raw row count
+        // (parquet footer metadata — no data read) against the
+        // joined partials' summed count detects a dropped row: with
+        // every dim key unique (proven at register, dims immutable),
+        // duplication is impossible, so joined < raw ⟺ some new row
+        // found no match. -1 = the scan never ran (no new files).
+        val needCoverage = e.dims.exists(_.neutral)
+        var deltaRaw = -1L
+        var deltaJoined = -1L
         val scan: Seq[String] => Map[String, (Long, Long)] =
           if (e.dims.isEmpty)
             uris => AggView.factsFingerprintByFile(
@@ -483,8 +575,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
                   org.apache.spark.sql.functions.broadcast(dimDf),
                   cond, "inner")
             }
-            AggView.factsFingerprintByFileTagged(joinedDelta,
-              e.viewPath, srcCol)
+            val partials = AggView.factsFingerprintByFileTagged(
+              joinedDelta, e.viewPath, srcCol)
+            if (needCoverage) {
+              deltaRaw = readFactDelta(uris).count()
+              deltaJoined = partials.valuesIterator.map(_._2).sum
+            }
+            partials
           }
         val newSig = RelationPins.signature(fsRel)
         if (newSig == sig && live.version == e.version)
@@ -496,13 +593,30 @@ object AggViewRewrite extends PredicateHelper with Logging {
           // partials; just the appended ones thereafter)
           case scala.Left(reason) => scala.Left(reason)
           case scala.Right((fp, n, partials)) =>
-            if (fp == live.fp && n == live.n)
-              scala.Right(Entry(e.viewPath,
+            if (fp == live.fp && n == live.n) {
+              // coverage lost on the delta: DEMOTE the neutral flags
+              // (partial-star serving stops) but keep the re-pin —
+              // the view still IS the joined rollup, so full-star
+              // serving stays exact. The row's reason names the
+              // demotion; re-proving takes a re-registration with
+              // proveDims after the dims are completed.
+              val covered = !needCoverage || deltaRaw < 0 ||
+                deltaJoined == deltaRaw
+              val dims2 =
+                if (covered) e.dims
+                else e.dims.map(_.copy(neutral = false))
+              val how =
+                if (covered) "re-pinned"
+                else "re-pinned; dim coverage lost on the fact " +
+                  s"delta (${deltaRaw - deltaJoined} of $deltaRaw " +
+                  "appended rows have no dim match) — neutral flags " +
+                  "demoted, partial-star serving stopped"
+              scala.Right((Entry(e.viewPath,
                 FsPin(RelationPins.rootPaths(fsRel), newSig, partials),
                 live.version, live,
                 zonesOf(spark, e.viewPath, e.zones.isDefined),
-                e.dims))
-            else {
+                dims2), how))
+            } else {
               // keep the freshly computed partials even on refusal:
               // they are facts about the BASE's files, independent of
               // view consistency — once the other side converges, the
@@ -532,9 +646,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
               s"batch ${live.lastBatch}) — waiting for the other side")
           else viewChainClean(e, live) match {
             case Some(reason) => scala.Left(reason)
-            case None => scala.Right(Entry(e.viewPath,
+            case None => scala.Right((Entry(e.viewPath,
               MorPin(p, liveState), live.version, live,
-              zonesOf(spark, e.viewPath, e.zones.isDefined)))
+              zonesOf(spark, e.viewPath, e.zones.isDefined)),
+              "re-pinned"))
           }
         }
     }
@@ -649,6 +764,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
       morStates.getOrElseUpdate(path,
         try Some(MergeOnRead.state(path))
         catch { case NonFatal(_) => None })
+    // fresh-listing signatures by root set — the freshness probe for
+    // tables NOT in the query plan (a partial match's left-out dims)
+    private val rootSigs = mutable.Map.empty[Set[String], Option[Long]]
+    def signatureOfRoots(spark: SparkSession,
+        roots: Set[String]): Option[Long] =
+      rootSigs.getOrElseUpdate(roots,
+        RelationPins.signatureOfRoots(spark, roots))
   }
 
   final case class Rule(spark: SparkSession)
@@ -777,10 +899,21 @@ object AggViewRewrite extends PredicateHelper with Logging {
   /** Try every STAR registration against the aggregate's join
     * subtree: the child must decompose (under attr-only projections
     * and deterministic filters) into INNER equi-joins of the
-    * registered fact with exactly the registered dims on exactly the
-    * declared key pairs — then the shared rewrite runs with the join
-    * output as the key-resolution scope and a synthetic join plan as
-    * the measure-normalization anchor.
+    * registered fact with registered dims on exactly the declared
+    * key pairs — then the shared rewrite runs with the join output
+    * as the key-resolution scope and a synthetic join plan as the
+    * measure-normalization anchor.
+    *
+    * PARTIAL matches: a query may join only SOME of the declared
+    * dims — down to none, a flat fact aggregate — provided every
+    * left-out dim is proven NEUTRAL (its join preserves fact rows
+    * exactly, so aggregates over the remaining columns are
+    * identical) AND its pinned listing is still live-fresh (the dim
+    * is absent from the query plan, so its freshness is probed with
+    * a fresh listing, memoized per pass). The rewrite then resolves
+    * keys and measures in the PARTIAL join's scope; view keys and
+    * measures living on left-out dims simply roll up / drop out of
+    * the lookup — the query cannot reference them.
     */
   private def tryStar(spark: SparkSession, agg: Aggregate,
       memo: Memo): Option[Aggregate] = {
@@ -788,12 +921,14 @@ object AggViewRewrite extends PredicateHelper with Logging {
       .sortBy(e => (e.decl.keys.size, e.viewPath))
     if (stars.isEmpty) return None
     stars.iterator.map { e =>
-      matchStar(agg.child, e, memo).flatMap {
-        case (factRel, dimRels, filters) =>
-          val anchor = starAnchor(factRel, dimRels, e)
+      matchStar(spark, agg.child, e, memo).flatMap {
+        case (factRel, matchedDims, filters) =>
+          val anchor = starAnchor(factRel, matchedDims)
             .getOrElse(return None)
-          val outAttrs = factRel.output ++ dimRels.flatMap(_.output)
-          rewriteWith(spark, agg, outAttrs, anchor, filters, e, memo)
+          val outAttrs = factRel.output ++
+            matchedDims.flatMap(_._2.output)
+          rewriteWith(spark, agg, outAttrs, anchor, filters, e, memo,
+            partial = matchedDims.size < e.dims.size)
       }
     }.collectFirst { case Some(a) => a }
   }
@@ -801,14 +936,17 @@ object AggViewRewrite extends PredicateHelper with Logging {
   /** The canonical join plan the measures normalize against — built
     * from the QUERY's own relation nodes, so attribute ids line up
     * with the query's aggregate expressions for exact canonical
-    * comparison.
+    * comparison. `matchedDims` pairs each matched declaration with
+    * the query's relation node for it (declaration order — a partial
+    * match's anchor is the partial join).
     */
   private def starAnchor(factRel: LogicalRelation,
-      dimRels: Seq[LogicalRelation], e: Entry): Option[LogicalPlan] = {
+      matchedDims: Seq[(DimEntry, LogicalRelation)])
+      : Option[LogicalPlan] = {
     val resolver = SQLConf.get.resolver
     def attr(out: Seq[Attribute], n: String): Option[Attribute] =
       out.find(a => resolver(a.name, n))
-    e.dims.zip(dimRels).foldLeft(Option(factRel: LogicalPlan)) {
+    matchedDims.foldLeft(Option(factRel: LogicalPlan)) {
       case (accOpt, (de, dr)) => accOpt.flatMap { acc =>
         val conds = de.joinKeys.map { case (fc, dc) =>
           for {
@@ -825,19 +963,26 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   /** Match the aggregate child against one star declaration: strip
     * attr-only projections / deterministic filters, require an
-    * INNER-join tree whose leaves are the registered fact and
-    * exactly the registered dims (matched by root paths, each once,
-    * in any join order / on either side), with each join's condition
-    * equal — as an unordered pair set — to that dim's declared key
-    * pairs. Pins checked fresh for fact and every dim.
+    * INNER-join tree whose leaves are the registered fact and a
+    * SUBSET of the registered dims (matched by root paths, each at
+    * most once, in any join order / on either side), with each
+    * join's condition equal — as an unordered pair set — to that
+    * dim's declared key pairs. Pins checked fresh for fact and every
+    * matched dim via the query's own relations; every LEFT-OUT dim
+    * must be proven neutral AND its pinned listing live-fresh (a
+    * fresh listing — the dim is not in the plan).
     *
     * Filters collected anywhere in the tree are returned EXCEPT
     * tautological `IsNotNull(joinKey)` conjuncts the optimizer
     * infers from the inner joins themselves — the view absorbed only
     * joined rows, where join keys are non-null by construction.
+    * (Sound in a partial match too: a left-out NEUTRAL dim's fact
+    * keys are non-null by the coverage proof.)
     */
-  private def matchStar(p: LogicalPlan, e: Entry, memo: Memo)
-      : Option[(LogicalRelation, Seq[LogicalRelation], Seq[Expression])] = {
+  private def matchStar(spark: SparkSession, p: LogicalPlan, e: Entry,
+      memo: Memo)
+      : Option[(LogicalRelation, Seq[(DimEntry, LogicalRelation)],
+        Seq[Expression])] = {
     val resolver = SQLConf.get.resolver
     val factPin = e.pin match {
       case f: FsPin => f
@@ -921,22 +1066,37 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }
 
     val factRel = walkFact(p).getOrElse(return None)
-    if (!matched.forall(_.isDefined)) return None
-    val dimRels = matched.toSeq.map(_.get)
+    // every dim the query left out must be NEUTRAL (the join is
+    // row-preserving, so leaving it out changes no aggregate) and
+    // still byte-identical to its pin — probed with a fresh listing,
+    // since the dim has no relation in this plan to check against
+    val leftOut = e.dims.indices.filterNot(i => matched(i).isDefined)
+    if (!leftOut.forall { i =>
+        e.dims(i).neutral &&
+          memo.signatureOfRoots(spark, e.dims(i).roots)
+            .contains(e.dims(i).listingSig)
+      }) return None
+    val matchedDims: Seq[(DimEntry, LogicalRelation)] =
+      e.dims.zip(matched).collect { case (de, Some(dr)) => (de, dr) }
     // drop inferred IsNotNull over declared JOIN-KEY attributes
-    // (tautological over the view's joined rows); everything else
-    // goes to the key-only filter gate in rewriteWith
-    val joinKeyIds: Set[ExprId] = e.dims.zip(dimRels).flatMap {
-      case (de, dr) => de.joinKeys.flatMap { case (fc, dc) =>
-        factRel.output.filter(a => resolver(a.name, fc)).map(_.exprId) ++
-          dr.output.filter(a => resolver(a.name, dc)).map(_.exprId)
-      }
-    }.toSet
+    // (tautological over the view's joined rows: matched dims by the
+    // inner join, left-out dims by the coverage proof — every fact
+    // row joined, so every absorbed key value is non-null);
+    // everything else goes to the key-only filter gate in rewriteWith
+    val joinKeyIds: Set[ExprId] =
+      e.dims.flatMap(_.joinKeys.flatMap { case (fc, _) =>
+        factRel.output.filter(a => resolver(a.name, fc)).map(_.exprId)
+      }).toSet ++
+        matchedDims.flatMap { case (de, dr) =>
+          de.joinKeys.flatMap { case (_, dc) =>
+            dr.output.filter(a => resolver(a.name, dc)).map(_.exprId)
+          }
+        }
     val kept = filters.result().filterNot {
       case IsNotNull(a: AttributeReference) => joinKeyIds(a.exprId)
       case _ => false
     }
-    Some((factRel, dimRels, kept))
+    Some((factRel, matchedDims, kept))
   }
 
   /** Key types whose bounded ranges ENUMERATE into kb buckets:
@@ -971,12 +1131,18 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * scope key names resolve in (the relation's output, or the join
     * output for a star), `anchor` the plan measures normalize
     * against (the relation node, or the synthetic join over the
-    * query's own relation nodes).
+    * query's own relation nodes). `partial` marks a PARTIAL-star
+    * serve: view keys and measures living on the left-out (neutral)
+    * dims do not resolve in the partial scope — the keys simply roll
+    * up (the query cannot group or filter on what it never joined)
+    * and the measures drop out of the lookup; in a full match both
+    * stay strict, so a resolution failure falls back instead of
+    * serving.
     */
   private def rewriteWith(spark: SparkSession, agg: Aggregate,
       outAttrs: Seq[Attribute], anchor: LogicalPlan,
       filters: Seq[Expression], e: Entry,
-      memo: Memo): Option[Aggregate] = {
+      memo: Memo, partial: Boolean = false): Option[Aggregate] = {
     // view freshness pin: manifest version + declaration unchanged
     val cur = memo.declOf(e.viewPath).getOrElse(return None)
     if (cur.version != e.version || cur.keys != e.decl.keys ||
@@ -987,7 +1153,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     val keyAttr: Map[String, Attribute] = e.decl.keys.flatMap { k =>
       outAttrs.find(a => resolver(a.name, k)).map(k -> _)
     }.toMap
-    if (keyAttr.size != e.decl.keys.size) return None
+    if (!partial && keyAttr.size != e.decl.keys.size) return None
     val keyAttrSet = AttributeSet(keyAttr.values)
     val keyNameOf: Map[ExprId, String] =
       keyAttr.map { case (n, a) => a.exprId -> n }
@@ -1010,7 +1176,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
       e.decl.measures.flatMap { m =>
         normalizedMeasure(spark, anchor, m.sqlExpr).map(_ -> m)
       }
-    if (normalized.size != e.decl.measures.size) return None
+    if (!partial && normalized.size != e.decl.measures.size) return None
     val measuresByExpr: Map[Expression, Seq[AggView.Measure]] =
       normalized.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def measureFor(x: Expression, kind: String): Option[String] =

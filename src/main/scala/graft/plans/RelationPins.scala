@@ -114,14 +114,19 @@ private[graft] object RelationPins {
     Right((fp, n, partials))
   }
 
-  def signature(h: HadoopFsRelation): Long = {
+  def signature(h: HadoopFsRelation): Long =
+    signatureOfIndex(h.location)
+
+  def signatureOfIndex(
+      location: org.apache.spark.sql.execution.datasources.FileIndex)
+      : Long = {
     def mix(z0: Long): Long = { // splitmix64 finalizer
       var z = z0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    h.location.listFiles(Nil, Nil).iterator.flatMap(_.files)
+    location.listFiles(Nil, Nil).iterator.flatMap(_.files)
       .foldLeft(17L) { (acc, f) =>
         // each component is mixed BEFORE combining: a linear
         // pre-combination (path·K + len·31 + mtime) would let an
@@ -132,4 +137,24 @@ private[graft] object RelationPins {
           ^ f.getLen) ^ f.getModificationTime)
       }
   }
+
+  /** The listing signature of `roots` from a FRESH listing — what
+    * pins a table that does not appear in the query plan at all (a
+    * PARTIAL-star match's left-out neutral dims: the view absorbed
+    * their joined values, so their freshness must be verified even
+    * though the query never scans them). The same
+    * `InMemoryFileIndex` machinery a read of the roots would use, so
+    * the file set — and therefore the signature — agrees with the
+    * relation-based pin taken at registration. None when the listing
+    * fails (treated as NOT fresh by callers).
+    */
+  def signatureOfRoots(spark: org.apache.spark.sql.SparkSession,
+      roots: Set[String]): Option[Long] =
+    try {
+      val idx = new org.apache.spark.sql.execution.datasources
+        .InMemoryFileIndex(spark,
+          roots.toSeq.sorted.map(new org.apache.hadoop.fs.Path(_)),
+          Map.empty, None)
+      Some(signatureOfIndex(idx))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -247,6 +247,49 @@ class ODeltaRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggViewRewrite.clear()
   }
 
+  test("buildStarIfAbsent writes a per-FACT-file ledger (joined " +
+      "rows composed by the fact file they expanded from) and " +
+      "registerStar seeds from it: a star view's FIRST refresh " +
+      "after a fact append joins only the appended file") {
+    AggViewRewrite.clear()
+    val root = Files.createTempDirectory("graft-odelta-star").toString
+    val s = spark
+    import s.implicits._
+    def rows(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, (i % 16).toLong, i.toLong))
+        .toDF("k", "pk", "x")
+    rows(0, 40000).repartition(4).write.parquet(s"$root/fact")
+    (0 until 16).map(i => (i.toLong, s"g${i % 5}")).toDF("d1k", "g")
+      .write.parquet(s"$root/d1")
+    def f = spark.read.parquet(s"$root/fact")
+    def d = spark.read.parquet(s"$root/d1")
+    def dims = Seq((d, Seq(("pk", "d1k"))))
+    AggView.buildStarIfAbsent(f, dims, Seq("g"),
+      Seq(AggView.Measure("sum_x", "x")), s"$root/view", kbParts = 2)
+    // the ledger covers the 4 FACT files and composes to the view's
+    // own (joined-projection) fingerprint
+    val led = AggView.fingerprintLedger(spark, s"$root/view").get
+    assert(led.size == 4)
+    val decl = AggView.declaration(s"$root/view")
+    assert(led.valuesIterator.map(_._4).sum == decl.n)
+    assert(led.valuesIterator.map(_._3).foldLeft(0L)(_ ^ _) == decl.fp)
+    AggViewRewrite.registerStar(spark, f, dims, s"$root/view")
+    // fleet batch: one new fact file; the FIRST refresh must verify
+    // by joining ~that file only — the register seeded the partials
+    // from the build's own fingerprint pass
+    val delta = rows(40000, 40100)
+    delta.coalesce(1).write.mode("append").parquet(s"$root/fact")
+    val dd = d
+    AggView.append(delta.join(dd, delta("pk") === dd("d1k")),
+      s"$root/view")
+    val read = recordsRead {
+      val r = AggViewRewrite.refreshPins(spark).collect().head
+      assert(r.getBoolean(1), r.getString(2))
+    }
+    assert(read < 10000, s"first star refresh read $read records")
+    AggViewRewrite.clear()
+  }
+
   test("a hive-partitioned base registers and refreshes O(delta): " +
       "appends into existing AND new partition directories verify " +
       "by scanning only the appended files (partition columns " +

@@ -243,32 +243,292 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == sorted(spark.sql(q)))
   }
 
-  test("registerStar refuses: a non-bare fact, a partitioned fact, " +
-      "a dim sharing the fact's roots, and zero dims") {
+  test("registerStar refuses: a non-bare fact, a dim sharing the " +
+      "fact's roots, colliding fact/dim column names, and zero dims") {
     AggViewRewrite.clear()
     val s = spark
     import s.implicits._
     val r2 = Files.createTempDirectory("graft-star-ref").toString
-    (0 until 10).map(i => (i.toLong, s"p${i % 2}", i.toLong))
-      .toDF("k", "p", "x").write.partitionBy("p").parquet(s"$r2/pf")
     intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark,
         factDf.filter(col("x") > 0).select("pk"),
         Seq((d1Df, Seq(("pk", "d1k")))), viewDir)
     }
-    val pe = intercept[IllegalArgumentException] {
-      AggViewRewrite.registerStar(spark, spark.read.parquet(s"$r2/pf"),
-        Seq((d1Df, Seq(("k", "d1k")))), viewDir)
-    }
-    assert(pe.getMessage.contains("unpartitioned"), pe.getMessage)
     val se = intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark, factDf,
         Seq((factDf, Seq(("pk", "pk")))), viewDir)
     }
     assert(se.getMessage.contains("self-join"), se.getMessage)
+    // a dim whose column names collide with the fact's: the refresh
+    // join resolves by name, so the registration refuses up front
+    (0 until 8).map(i => (i.toLong, i.toLong))
+      .toDF("d1k", "x").write.parquet(s"$r2/clash")
+    val ce = intercept[IllegalArgumentException] {
+      AggViewRewrite.registerStar(spark, factDf,
+        Seq((spark.read.parquet(s"$r2/clash"), Seq(("pk", "d1k")))),
+        viewDir)
+    }
+    assert(ce.getMessage.contains("disjoint"), ce.getMessage)
     intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark, factDf, Nil, viewDir)
     }
+    AggViewRewrite.clear()
+  }
+
+  test("a hive-PARTITIONED star fact: buildStarIfAbsent over the " +
+      "joined star (partition column as a view key), the rewrite " +
+      "serves, an append into a NEW partition directory refreshes " +
+      "and serves the grown answer") {
+    AggViewRewrite.clear()
+    val s = spark
+    import s.implicits._
+    val r2 = Files.createTempDirectory("graft-star-part").toString
+    (0 until 300).map(i => (i.toLong, (i % 4).toLong, i.toLong,
+        s"pd${i % 2}"))
+      .toDF("fid", "pk", "x", "pd")
+      .write.partitionBy("pd").parquet(s"$r2/fact")
+    (0 until 4).map(i => (i.toLong, s"g${i % 2}")).toDF("d1k", "g")
+      .write.parquet(s"$r2/d1")
+    def f = spark.read.parquet(s"$r2/fact")
+    def d = spark.read.parquet(s"$r2/d1")
+    val dims = Seq((d, Seq(("pk", "d1k"))))
+    AggView.buildStarIfAbsent(f, dims, Seq("g", "pd"),
+      Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 2)
+    AggViewRewrite.registerStar(spark, f, dims, s"$r2/view")
+    def mk(): Unit = {
+      f.createOrReplaceTempView("star_pf")
+      d.createOrReplaceTempView("star_pd1")
+    }
+    mk()
+    val q = """SELECT g, pd, count(*) AS c, sum(x) AS sx
+              |FROM star_pf JOIN star_pd1 ON pk = d1k
+              |GROUP BY g, pd""".stripMargin
+    val r = spark.sql(q)
+    assert(scannedRoots(r).exists(_.contains(s"$r2/view")) &&
+      !scannedRoots(r).exists(_.contains(s"$r2/fact")),
+      r.queryExecution.optimizedPlan)
+    val got1 = sorted(r)
+    AggViewRewrite.clear()
+    assert(got1 == sorted(spark.sql(q)))
+    // append into a partition directory that did not exist at
+    // registration — the delta scan must resolve pd via basePath
+    AggViewRewrite.registerStar(spark, f, dims, s"$r2/view")
+    val delta = (300 until 360).map(i =>
+        (i.toLong, (i % 4).toLong, i.toLong, "pd9"))
+      .toDF("fid", "pk", "x", "pd")
+    delta.coalesce(1).write.mode("append").partitionBy("pd")
+      .parquet(s"$r2/fact")
+    val dd = d
+    AggView.append(
+      delta.join(dd, delta("pk") === dd("d1k")), s"$r2/view")
+    val ref = AggViewRewrite.refreshPins(spark).collect().head
+    assert(ref.getBoolean(1), ref.getString(2))
+    mk()
+    val r3 = spark.sql(q)
+    assert(scannedRoots(r3).exists(_.contains(s"$r2/view")),
+      r3.queryExecution.optimizedPlan)
+    val got3 = sorted(r3)
+    AggViewRewrite.clear()
+    assert(got3 == sorted(spark.sql(q)))
+    assert(got3 != got1)
+  }
+
+  test("proveDims licenses PARTIAL-star matching: a query joining " +
+      "only one dim — or none at all — serves from the view and " +
+      "equals the direct answer; without the proof, partial " +
+      "matching never fires") {
+    AggViewRewrite.clear()
+    val s = spark
+    import s.implicits._
+    val r2 = Files.createTempDirectory("graft-star-partial").toString
+    // FULL coverage: pk ∈ 0..7 all in d1, sk ∈ 0..4 all in d2
+    (0 until 200).map(i => (i.toLong, (i % 8).toLong, (i % 5).toLong,
+        i.toLong))
+      .toDF("fid", "pk", "sk", "x")
+      .repartition(2).write.parquet(s"$r2/fact")
+    (0 until 8).map(i => (i.toLong, s"b${i % 3}"))
+      .toDF("d1k", "brand").write.parquet(s"$r2/d1")
+    (0 until 5).map(i => (i.toLong, s"n${i % 2}"))
+      .toDF("d2k", "nat").write.parquet(s"$r2/d2")
+    def f = spark.read.parquet(s"$r2/fact")
+    def d1 = spark.read.parquet(s"$r2/d1")
+    def d2 = spark.read.parquet(s"$r2/d2")
+    val dims = Seq((d1, Seq(("pk", "d1k"))), (d2, Seq(("sk", "d2k"))))
+    AggView.buildStarIfAbsent(f, dims, Seq("brand", "nat"),
+      Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 4)
+    def mk(): Unit = {
+      f.createOrReplaceTempView("sp_fact")
+      d1.createOrReplaceTempView("sp_d1")
+      d2.createOrReplaceTempView("sp_d2")
+    }
+    mk()
+    val partialQ = """SELECT brand, count(*) AS c, sum(x) AS sx
+                     |FROM sp_fact JOIN sp_d1 ON pk = d1k
+                     |GROUP BY brand""".stripMargin
+    val flatQ = "SELECT count(*) AS c, sum(x) AS sx FROM sp_fact"
+    val probeQ = """SELECT brand, sum(x) AS sx
+                   |FROM sp_fact JOIN sp_d1 ON pk = d1k
+                   |WHERE brand = 'b1' GROUP BY brand""".stripMargin
+    val truths = Seq(partialQ, flatQ, probeQ)
+      .map(x => sorted(spark.sql(x)))
+    // WITHOUT the proof: partial and flat queries fall back
+    AggViewRewrite.registerStar(spark, f, dims, s"$r2/view")
+    Seq(partialQ, flatQ).foreach { x =>
+      assert(!scannedRoots(spark.sql(x))
+        .exists(_.contains(s"$r2/view")), x)
+    }
+    AggViewRewrite.clear()
+    // WITH the proof: both dims neutral, partial/flat/probe serve
+    AggViewRewrite.registerStar(spark, f, dims, s"$r2/view",
+      proveDims = true)
+    assert(AggViewRewrite.status(spark).collect()
+      .head.getString(1).contains("(neutral)"))
+    Seq(partialQ, flatQ, probeQ).zip(truths).foreach {
+      case (x, truth) =>
+        val r = spark.sql(x)
+        val roots = scannedRoots(r)
+        assert(roots.exists(_.contains(s"$r2/view")) &&
+          !roots.exists(_.contains(s"$r2/fact")),
+          s"$x\n${r.queryExecution.optimizedPlan}")
+        assert(sorted(r) == truth, x)
+    }
+    AggViewRewrite.clear()
+  }
+
+  test("proveDims refuses a non-unique dim key and a dim that does " +
+      "not cover every fact row") {
+    AggViewRewrite.clear()
+    val s = spark
+    import s.implicits._
+    val r2 = Files.createTempDirectory("graft-star-proof").toString
+    (0 until 100).map(i => (i.toLong, (i % 10).toLong, i.toLong))
+      .toDF("fid", "pk", "x").write.parquet(s"$r2/fact")
+    // dup: key 3 twice
+    ((0 until 10) :+ 3).map(i => (i.toLong, s"g$i")).toDF("d1k", "g")
+      .write.parquet(s"$r2/dup")
+    // short: covers only 0..7 (fact has pk 8, 9)
+    (0 until 8).map(i => (i.toLong, s"g$i")).toDF("d1k", "g")
+      .write.parquet(s"$r2/short")
+    def f = spark.read.parquet(s"$r2/fact")
+    AggView.buildStarIfAbsent(f,
+      Seq((spark.read.parquet(s"$r2/dup"), Seq(("pk", "d1k")))),
+      Seq("g"), Seq(AggView.Measure("sum_x", "x")), s"$r2/v1",
+      kbParts = 2)
+    val ue = intercept[IllegalArgumentException] {
+      AggViewRewrite.registerStar(spark, f,
+        Seq((spark.read.parquet(s"$r2/dup"), Seq(("pk", "d1k")))),
+        s"$r2/v1", proveDims = true)
+    }
+    assert(ue.getMessage.contains("not unique"), ue.getMessage)
+    AggView.buildStarIfAbsent(f,
+      Seq((spark.read.parquet(s"$r2/short"), Seq(("pk", "d1k")))),
+      Seq("g"), Seq(AggView.Measure("sum_x", "x")), s"$r2/v2",
+      kbParts = 2)
+    val ce = intercept[IllegalArgumentException] {
+      AggViewRewrite.registerStar(spark, f,
+        Seq((spark.read.parquet(s"$r2/short"), Seq(("pk", "d1k")))),
+        s"$r2/v2", proveDims = true)
+    }
+    assert(ce.getMessage.contains("does not cover"), ce.getMessage)
+    AggViewRewrite.clear()
+  }
+
+  test("an appended fact row with no dim match DEMOTES the neutral " +
+      "flags at refresh: partial-star serving stops, full-star " +
+      "serving continues exactly; a LEFT-OUT dim change also stops " +
+      "partial serving (fresh-listing probe)") {
+    AggViewRewrite.clear()
+    val s = spark
+    import s.implicits._
+    val r2 = Files.createTempDirectory("graft-star-demote").toString
+    (0 until 120).map(i => (i.toLong, (i % 4).toLong, (i % 3).toLong,
+        i.toLong))
+      .toDF("fid", "pk", "sk", "x").write.parquet(s"$r2/fact")
+    (0 until 4).map(i => (i.toLong, s"g$i")).toDF("d1k", "g")
+      .write.parquet(s"$r2/d1")
+    (0 until 3).map(i => (i.toLong, s"h$i")).toDF("d2k", "h")
+      .write.parquet(s"$r2/d2")
+    def f = spark.read.parquet(s"$r2/fact")
+    def d1 = spark.read.parquet(s"$r2/d1")
+    def d2 = spark.read.parquet(s"$r2/d2")
+    def dims = Seq((d1, Seq(("pk", "d1k"))), (d2, Seq(("sk", "d2k"))))
+    AggView.buildStarIfAbsent(f, dims, Seq("g", "h"),
+      Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 2)
+    AggViewRewrite.registerStar(spark, f, dims, s"$r2/view",
+      proveDims = true)
+    def mk(): Unit = {
+      f.createOrReplaceTempView("sd_fact")
+      d1.createOrReplaceTempView("sd_d1")
+      d2.createOrReplaceTempView("sd_d2")
+    }
+    mk()
+    val partialQ = """SELECT g, sum(x) AS sx
+                     |FROM sd_fact JOIN sd_d1 ON pk = d1k
+                     |GROUP BY g""".stripMargin
+    val fullQ = """SELECT g, h, sum(x) AS sx
+                  |FROM sd_fact JOIN sd_d1 ON pk = d1k
+                  |JOIN sd_d2 ON sk = d2k
+                  |GROUP BY g, h""".stripMargin
+    assert(scannedRoots(spark.sql(partialQ))
+      .exists(_.contains(s"$r2/view")))
+    // fleet batch with an UNCOVERED row: pk=9 has no d1 match — the
+    // joined delta drops it, the view stays the joined rollup, but
+    // coverage is broken and partial serving must stop
+    val delta = Seq((900L, 9L, 0L, 1000L), (901L, 1L, 1L, 50L))
+      .toDF("fid", "pk", "sk", "x")
+    delta.coalesce(1).write.mode("append").parquet(s"$r2/fact")
+    val (dd1, dd2) = (d1, d2)
+    AggView.append(delta
+      .join(dd1, delta("pk") === dd1("d1k"))
+      .join(dd2, delta("sk") === dd2("d2k")), s"$r2/view")
+    val ref = AggViewRewrite.refreshPins(spark).collect().head
+    assert(ref.getBoolean(1), ref.getString(2))
+    assert(ref.getString(2).contains("coverage lost"), ref.getString(2))
+    mk()
+    // partial: falls back (and the direct answer now INCLUDES the
+    // uncovered pk=9 row under d1? no — pk=9 has no d1 row, so the
+    // partial join drops it too; the point is the VIEW cannot know
+    // that for future appends, so it refuses)
+    assert(!scannedRoots(spark.sql(partialQ))
+      .exists(_.contains(s"$r2/view")))
+    // full: still serves, still exact
+    val rFull = spark.sql(fullQ)
+    assert(scannedRoots(rFull).exists(_.contains(s"$r2/view")),
+      rFull.queryExecution.optimizedPlan)
+    val gotFull = sorted(rFull)
+    AggViewRewrite.clear()
+    assert(gotFull == sorted(spark.sql(fullQ)))
+    // fresh-listing probe: re-prove on the still-covered base, then
+    // move the left-out dim UNDERNEATH the registration — partial
+    // matching must stop even though the query never scans d2
+    val r3 = Files.createTempDirectory("graft-star-leftout").toString
+    (0 until 60).map(i => (i.toLong, (i % 4).toLong, (i % 3).toLong,
+        i.toLong))
+      .toDF("fid", "pk", "sk", "x").write.parquet(s"$r3/fact")
+    (0 until 4).map(i => (i.toLong, s"g$i")).toDF("d1k", "g")
+      .write.parquet(s"$r3/d1")
+    (0 until 3).map(i => (i.toLong, s"h$i")).toDF("d2k", "h")
+      .write.parquet(s"$r3/d2")
+    def f3 = spark.read.parquet(s"$r3/fact")
+    def e1 = spark.read.parquet(s"$r3/d1")
+    def e2 = spark.read.parquet(s"$r3/d2")
+    val dims3 = Seq((e1, Seq(("pk", "d1k"))), (e2, Seq(("sk", "d2k"))))
+    AggView.buildStarIfAbsent(f3, dims3, Seq("g", "h"),
+      Seq(AggView.Measure("sum_x", "x")), s"$r3/view", kbParts = 2)
+    AggViewRewrite.registerStar(spark, f3, dims3, s"$r3/view",
+      proveDims = true)
+    f3.createOrReplaceTempView("lo_fact")
+    e1.createOrReplaceTempView("lo_d1")
+    val loQ = """SELECT g, sum(x) AS sx
+                |FROM lo_fact JOIN lo_d1 ON pk = d1k
+                |GROUP BY g""".stripMargin
+    assert(scannedRoots(spark.sql(loQ))
+      .exists(_.contains(s"$r3/view")))
+    Seq((9L, "h9")).toDF("d2k", "h").write.mode("append")
+      .parquet(s"$r3/d2")
+    assert(!scannedRoots(spark.sql(loQ))
+      .exists(_.contains(s"$r3/view")),
+      spark.sql(loQ).queryExecution.optimizedPlan)
     AggViewRewrite.clear()
   }
 }
