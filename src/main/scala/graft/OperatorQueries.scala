@@ -931,8 +931,8 @@ object OperatorQueries {
         idx, kbParts = 8)
       AggViewRewrite.install(s)
       AggViewRewrite.registerStar(s, fact,
-        Seq((part, Seq(("l_partkey", "p_partkey"))),
-          (supp, Seq(("l_suppkey", "s_suppkey")))), idx)
+        Seq(AggView.StarDim(part, Seq(("l_partkey", "p_partkey"))),
+          AggView.StarDim(supp, Seq(("l_suppkey", "s_suppkey")))), idx)
       fact.createOrReplaceTempView("graft_q245_l")
       part.createOrReplaceTempView("graft_q245_p")
       supp.createOrReplaceTempView("graft_q245_s")
@@ -1117,7 +1117,7 @@ object OperatorQueries {
       dim.write.mode("overwrite").parquet(dimDir)
       def fact = s.read.parquet(factDir)
       def dimDf = s.read.parquet(dimDir)
-      def dims = Seq((dimDf, Seq(("fpk", "pk2"))))
+      def dims = Seq(AggView.StarDim(dimDf, Seq(("fpk", "pk2"))))
       AggView.buildStarIfAbsent(fact, dims, Seq("p_brand", "rf"),
         Seq(AggView.Measure("sum_qc", "qc")), s"$root/view",
         kbParts = 8)
@@ -1194,8 +1194,8 @@ object OperatorQueries {
       def fact = s.read.parquet(s"$root/fact")
       def d1 = s.read.parquet(s"$root/d1")
       def d2 = s.read.parquet(s"$root/d2")
-      def dims = Seq((d1, Seq(("fpk", "pk2"))),
-        (d2, Seq(("fsk", "sk2"))))
+      def dims = Seq(AggView.StarDim(d1, Seq(("fpk", "pk2"))),
+        AggView.StarDim(d2, Seq(("fsk", "sk2"))))
       AggView.buildStarIfAbsent(fact, dims, Seq("p_brand", "snat"),
         Seq(AggView.Measure("sum_qc", "qc")), s"$root/view",
         kbParts = 8)
@@ -1245,6 +1245,183 @@ object OperatorQueries {
           "q249: a star leg fell back to the base join scan")
         full.unionByName(partial).unionByName(flat)
           .orderBy("leg", "p_brand", "snat")
+      } finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
+    /** LEFT-join star ([[graft.operators.AggView.StarDim]] with
+      * `joinType = "left"`): the fact deliberately contains rows
+      * whose part key matches nothing (negated keys) — the
+      * enrichment-join shape where dropping facts is unacceptable —
+      * and the view rolls up `fact ⟕ part`, null-extending the
+      * misses into a NULL-brand group. Three legs from the one view:
+      * the LEFT-join grouped aggregate (null group included), a FLAT
+      * fact aggregate (a left dim with a PROVEN-unique key is
+      * row-preserving by construction, so proveDims licenses flat
+      * serving despite the unmatched rows — exactly what an inner
+      * star could never do), and a brand probe written as the left
+      * join + WHERE, which the optimizer converts to an inner join
+      * and the matcher accepts because the brand equality
+      * null-rejects on the dim. The oracle replays all three with
+      * the same CASE'd fact in DuckDB.
+      */
+    "q250_mv_star_leftjoin" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q250", d)
+      val t = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 10 === 0,
+            -col("l_partkey").cast("long"))
+          .otherwise(col("l_partkey").cast("long")).as("fpk"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      t.repartition(2).write.mode("overwrite").parquet(s"$root/fact")
+      Tables.part(s, d).select(
+          col("p_partkey").cast("long").as("pk2"), col("p_brand"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/dim")
+      def fact = s.read.parquet(s"$root/fact")
+      def dim = s.read.parquet(s"$root/dim")
+      def dims = Seq(AggView.StarDim(dim, Seq(("fpk", "pk2")),
+        joinType = "left"))
+      AggView.buildStarIfAbsent(fact, dims, Seq("p_brand"),
+        Seq(AggView.Measure("sum_qc", "qc")), s"$root/view",
+        kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.registerStar(s, fact, dims, s"$root/view",
+        proveDims = true)
+      try {
+        fact.createOrReplaceTempView("graft_q250_f")
+        dim.createOrReplaceTempView("graft_q250_p")
+        val left = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT p_brand, count(*) AS n, sum(qc) AS sum_qc
+                  |FROM graft_q250_f
+                  |LEFT JOIN graft_q250_p ON fpk = pk2
+                  |GROUP BY p_brand""".stripMargin)))
+          .select(lit("left").as("leg"),
+            coalesce(col("p_brand"), lit("_NULL_")).as("p_brand"),
+            col("n"), col("sum_qc"))
+        val flat = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT count(*) AS n, sum(qc) AS sum_qc
+                  |FROM graft_q250_f""".stripMargin)))
+          .select(lit("flat").as("leg"), lit("_").as("p_brand"),
+            col("n"), col("sum_qc"))
+        val probe = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT p_brand, count(*) AS n, sum(qc) AS sum_qc
+                  |FROM graft_q250_f
+                  |LEFT JOIN graft_q250_p ON fpk = pk2
+                  |WHERE p_brand = 'Brand#23'
+                  |GROUP BY p_brand""".stripMargin)))
+          .select(lit("probe").as("leg"), col("p_brand"),
+            col("n"), col("sum_qc"))
+        def plansOntoView(df: DataFrame): Boolean = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten
+          roots.exists(_.contains(s"$root/view")) &&
+            !roots.exists(_.contains(s"$root/fact"))
+        }
+        require(plansOntoView(left) && plansOntoView(flat) &&
+          plansOntoView(probe),
+          "q250: a left-star leg fell back to the base join scan")
+        left.unionByName(flat).unionByName(probe)
+          .orderBy("leg", "p_brand")
+      } finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
+    /** DERIVED-KEY rollups and DISTINCT-over-key aggregates from one
+      * materialized view ([[graft.plans.AggViewRewrite]]): a
+      * `(od DATE, pri)`-keyed rollup serves (1) a MONTH rollup —
+      * `GROUP BY year(od), month(od)`, grouping by deterministic
+      * expressions of the keys, the time-bucketed dashboard shape —
+      * (2) per-priority `count(DISTINCT od)` (the view's key tuples
+      * are exactly the live distinct fact tuples, so a DISTINCT
+      * aggregate over keys forwards verbatim) mixed with a regular
+      * measure sum in the same aggregate, (3) a grouped-by-
+      * `substr(pri,1,1)` leg combining both, and (4) a yearly
+      * rollup with `sum(cents) FILTER (WHERE pri = …)` — a FILTER
+      * clause over keys is uniform within a key tuple, so it
+      * commutes with the rollup and re-addresses to the view's
+      * columns. Every leg asserts in-query that the plan scans the
+      * VIEW, not the fact; the oracle replays all four directly
+      * over `orders`.
+      */
+    "q251_mv_derived_group" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q251", d)
+      val tableDir = s"$root/orders"
+      Tables.orders(s, d).select(
+          col("o_orderdate").cast("date").as("od"),
+          col("o_orderpriority").as("pri"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(2).write.mode("overwrite").parquet(tableDir)
+      def base = s.read.parquet(tableDir)
+      AggView.buildIfAbsent(base, Seq("od", "pri"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/view", kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.register(s, base, s"$root/view")
+      base.createOrReplaceTempView("graft_q251_tbl")
+      try {
+        val month = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT CAST(year(od) AS BIGINT) AS y,
+                  |  CAST(month(od) AS BIGINT) AS m,
+                  |  count(*) AS n, sum(cents) AS sum_cents
+                  |FROM graft_q251_tbl
+                  |GROUP BY year(od), month(od)""".stripMargin)))
+          .select(lit("month").as("leg"), col("y"), col("m"),
+            lit("_").as("g"), lit(-1L).as("days"), col("n"),
+            col("sum_cents"))
+        val days = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT pri, count(DISTINCT od) AS days,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q251_tbl
+                  |GROUP BY pri""".stripMargin)))
+          .select(lit("days").as("leg"), lit(-1L).as("y"),
+            lit(-1L).as("m"), col("pri").as("g"), col("days"),
+            lit(-1L).as("n"), col("sum_cents"))
+        val mix = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT substr(pri, 1, 1) AS pfx,
+                  |  count(DISTINCT od) AS days, count(*) AS n
+                  |FROM graft_q251_tbl
+                  |GROUP BY substr(pri, 1, 1)""".stripMargin)))
+          .select(lit("mix").as("leg"), lit(-1L).as("y"),
+            lit(-1L).as("m"), col("pfx").as("g"), col("days"),
+            col("n"), lit(-1L).as("sum_cents"))
+        val filt = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT CAST(year(od) AS BIGINT) AS y,
+                  |  sum(cents) FILTER (WHERE pri = '1-URGENT')
+                  |    AS sum_cents,
+                  |  count(*) AS n
+                  |FROM graft_q251_tbl
+                  |GROUP BY year(od)""".stripMargin)))
+          .select(lit("filt").as("leg"), col("y"), lit(-1L).as("m"),
+            lit("_").as("g"), lit(-1L).as("days"), col("n"),
+            col("sum_cents"))
+        def plansOntoView(df: DataFrame): Boolean = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten
+          roots.exists(_.contains(s"$root/view")) &&
+            !roots.exists(_.contains(tableDir))
+        }
+        require(plansOntoView(month) && plansOntoView(days) &&
+          plansOntoView(mix) && plansOntoView(filt),
+          "q251: a derived-group/distinct leg fell back to the fact scan")
+        month.unionByName(days).unionByName(mix).unionByName(filt)
+          .orderBy("leg", "y", "m", "g")
       } finally AggViewRewrite.unregister(s"$root/view")
     }),
 
@@ -2028,6 +2205,65 @@ object OperatorQueries {
         |  count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qc
         |FROM f
         |ORDER BY leg, p_brand, snat""".stripMargin,
+    // the left-join star's three legs replay with the same CASE'd
+    // fact: a view that dropped the unmatched rows (inner
+    // multiplicity), or a flat serve that miscounted them, lands in
+    // the hash — the NULL-brand group is part of the compare
+    "q250_mv_star_leftjoin" ->
+      """WITH f AS (SELECT
+        |    CASE WHEN l_orderkey % 10 = 0 THEN -l_partkey
+        |         ELSE l_partkey END AS fpk,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem)
+        |SELECT 'left' AS leg, coalesce(p_brand, '_NULL_') AS p_brand,
+        |  count(*) AS n, CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f LEFT JOIN part ON fpk = p_partkey
+        |GROUP BY coalesce(p_brand, '_NULL_')
+        |UNION ALL
+        |SELECT 'flat' AS leg, '_' AS p_brand, count(*) AS n,
+        |  CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f
+        |UNION ALL
+        |SELECT 'probe' AS leg, p_brand, count(*) AS n,
+        |  CAST(sum(qc) AS BIGINT) AS sum_qc
+        |FROM f LEFT JOIN part ON fpk = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |GROUP BY p_brand
+        |ORDER BY leg, p_brand""".stripMargin,
+    // all three derived/distinct legs replay directly over orders:
+    // a coarser-grouped serve that re-folded wrong (or a distinct
+    // forwarded over a column with residual multiplicity) lands in
+    // the hash
+    "q251_mv_derived_group" ->
+      """WITH t AS (SELECT CAST(o_orderdate AS DATE) AS od,
+        |    o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'month' AS leg, CAST(year(od) AS BIGINT) AS y,
+        |  CAST(month(od) AS BIGINT) AS m, '_' AS g,
+        |  CAST(-1 AS BIGINT) AS days, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY year(od), month(od)
+        |UNION ALL
+        |SELECT 'days' AS leg, CAST(-1 AS BIGINT) AS y,
+        |  CAST(-1 AS BIGINT) AS m, pri AS g,
+        |  count(DISTINCT od) AS days, CAST(-1 AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY pri
+        |UNION ALL
+        |SELECT 'mix' AS leg, CAST(-1 AS BIGINT) AS y,
+        |  CAST(-1 AS BIGINT) AS m, substr(pri, 1, 1) AS g,
+        |  count(DISTINCT od) AS days, count(*) AS n,
+        |  CAST(-1 AS BIGINT) AS sum_cents
+        |FROM t GROUP BY substr(pri, 1, 1)
+        |UNION ALL
+        |SELECT 'filt' AS leg, CAST(year(od) AS BIGINT) AS y,
+        |  CAST(-1 AS BIGINT) AS m, '_' AS g,
+        |  CAST(-1 AS BIGINT) AS days, count(*) AS n,
+        |  CAST(sum(cents) FILTER (WHERE pri = '1-URGENT') AS BIGINT)
+        |    AS sum_cents
+        |FROM t GROUP BY year(od)
+        |ORDER BY leg, y, m, g""".stripMargin,
     // both star legs must equal the direct join aggregates — a
     // rollup serving from a stale or mis-joined view loses its join
     // multiplicity and lands in the hash

@@ -237,13 +237,27 @@ object AggView {
     finishBuild(facts, want0, path, fp, n, ledgerRows)
   }
 
+  /** One dimension of a STAR build/registration: the dim table, the
+    * equi-join key pairs as (fact column, dim column) names, and the
+    * join type — `"inner"` (default) or `"left"` (fact LEFT OUTER
+    * JOIN dim: every fact row kept, unmatched rows null-extend the
+    * dim columns — the enrichment-join shape most 100 TB pipelines
+    * actually use, since dropping facts with a missing dim row is
+    * rarely acceptable).
+    */
+  final case class StarDim(df: DataFrame,
+      keys: Seq[(String, String)], joinType: String = "inner") {
+    require(joinType == "inner" || joinType == "left",
+      s"star dim join type must be 'inner' or 'left', got $joinType")
+  }
+
   /** [[buildIfAbsent]] for a STAR: the view over `fact ⋈ dims`
-    * (inner equi-joins on the declared (fact column, dim column)
-    * pairs, every dim broadcast), with the build's fingerprint pass
-    * grouped by the FACT source file — each joined row composes into
-    * the partial of the fact file it expanded from
-    * ([[sourceFileKey]], tagged BEFORE the joins) — and persisted as
-    * the view's ledger. What lets
+    * (equi-joins on each [[StarDim]]'s declared (fact column, dim
+    * column) pairs — inner or left per dim, every dim broadcast),
+    * with the build's fingerprint pass grouped by the FACT source
+    * file — each joined row composes into the partial of the fact
+    * file it expanded from ([[sourceFileKey]], tagged BEFORE the
+    * joins) — and persisted as the view's ledger. What lets
     * [[graft.plans.AggViewRewrite.registerStar]] seed its pin-refresh
     * partials scan-free, so even a star view's FIRST refresh after a
     * fact append joins and fingerprints only the appended files
@@ -252,8 +266,7 @@ object AggView {
     * file); fact and dim column names must be disjoint (the join
     * and the refresh's replay of it resolve columns by name).
     */
-  def buildStarIfAbsent(fact: DataFrame,
-      dims: Seq[(DataFrame, Seq[(String, String)])],
+  def buildStarIfAbsent(fact: DataFrame, dims: Seq[StarDim],
       keys: Seq[String], measures: Seq[Measure], path: String,
       kbParts: Int = 16): Build = {
     require(dims.nonEmpty,
@@ -264,17 +277,18 @@ object AggView {
     require(!(keys ++ measures.map(_.name)).contains(src),
       s"the name $src is reserved for the build's fact-file tag")
     val joined = dims.foldLeft(fact.withColumn(src, sourceFileKey)) {
-      case (acc, (dimDf, ks)) =>
-        require(ks.nonEmpty, "each dim needs at least one join key pair")
+      case (acc, sd) =>
+        require(sd.keys.nonEmpty,
+          "each dim needs at least one join key pair")
         // lower-cased: the default resolver is case-insensitive
         val clash = acc.columns.map(_.toLowerCase).toSet
-          .intersect(dimDf.columns.map(_.toLowerCase).toSet)
+          .intersect(sd.df.columns.map(_.toLowerCase).toSet)
         require(clash.isEmpty,
           "fact and dim column names must be disjoint (the join " +
             s"resolves by name); colliding: ${clash.toSeq.sorted.mkString(",")}")
-        val cond = ks.map { case (fc, dc) =>
-          acc(fc) === dimDf(dc) }.reduce(_ && _)
-        acc.join(broadcast(dimDf), cond, "inner")
+        val cond = sd.keys.map { case (fc, dc) =>
+          acc(fc) === sd.df(dc) }.reduce(_ && _)
+        acc.join(broadcast(sd.df), cond, sd.joinType)
     }
     val bareFiles: Option[Seq[RelationPins.ListedFile]] =
       try RelationPins.bare(GraftBridge.analyzedPlan(fact))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Inner => InnerJoinType}
+import org.apache.spark.sql.catalyst.plans.{Inner => InnerJoinType, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join => LJoin, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -154,19 +154,27 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * a changed dim invalidates every one of them, so there is no
     * incremental repair).
     *
+    * `joinType` is `"inner"` or `"left"` ([[AggView.StarDim]]): a
+    * LEFT dim null-extends unmatched fact rows instead of dropping
+    * them — the enrichment-join shape.
+    *
     * `neutral`: the dim's join was PROVEN multiplicity-neutral at
     * registration ([[registerStar]]'s `proveDims`) — its key tuple
-    * is unique in the dim and every fact row matches, so joining it
-    * neither drops nor duplicates fact rows. What licenses
-    * PARTIAL-star matching: a query joining only SOME of the
-    * declared dims still serves from the view when every dim it
-    * leaves out is neutral (the left-out joins are row-preserving,
-    * so aggregates over the remaining columns are identical).
-    * Demoted to `false` — with full-star serving kept — if a
-    * refresh's fact delta breaks coverage (see [[refreshPins]]).
+    * is unique in the dim and (inner dims only) every fact row
+    * matches, so joining it neither drops nor duplicates fact rows;
+    * a LEFT dim with a unique key is row-preserving by
+    * CONSTRUCTION, so its proof needs no coverage and can never be
+    * invalidated by a fact append. What licenses PARTIAL-star
+    * matching: a query joining only SOME of the declared dims still
+    * serves from the view when every dim it leaves out is neutral
+    * (the left-out joins are row-preserving, so aggregates over the
+    * remaining columns are identical). Inner dims are demoted to
+    * `false` — with full-star serving kept — if a refresh's fact
+    * delta breaks coverage (see [[refreshPins]]).
     */
   final case class DimEntry(roots: Set[String], listingSig: Long,
-      joinKeys: Seq[(String, String)], neutral: Boolean = false)
+      joinKeys: Seq[(String, String)], neutral: Boolean = false,
+      joinType: String = "inner")
 
   /** A registered view: the artifact path, the base pin, and the
     * view-manifest-version pin (with the declaration read at that
@@ -253,9 +261,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * (`factDelta.join(dims…)`) via [[AggView.append]]; the dims are
     * pinned IMMUTABLE (a dim change refuses until re-registration).
     *
-    * `dims` pairs each dim DataFrame (a bare parquet scan) with its
-    * join keys as (fact column, dim column) names. Restrictions
-    * (refused with guidance): the fact must be a bare parquet scan —
+    * `dims` declares each dimension ([[AggView.StarDim]]: a bare
+    * parquet scan, its join keys as (fact column, dim column) names,
+    * and `"inner"` or `"left"`). Restrictions (refused with
+    * guidance): the fact must be a bare parquet scan —
     * hive-partitioned is supported under a SINGLE root (refresh
     * delta scans resolve partition columns via basePath, the
     * [[register]] contract) — no dim may share the fact's roots
@@ -264,20 +273,24 @@ object AggViewRewrite extends PredicateHelper with Logging {
     *
     * `proveDims` (opt-in): prove each dim MULTIPLICITY-NEUTRAL over
     * the current fact — its join-key tuple is unique in the dim (one
-    * dim-scale aggregate each) and every fact row finds a match (ONE
-    * pass over the fact's join-key columns with all dims broadcast,
-    * the column-pruned scan the register already prices against the
-    * build) — refusing loudly if either fails. Proven-neutral dims
-    * license PARTIAL-star matching: a query joining only some of the
+    * dim-scale aggregate each) and, for INNER dims, every fact row
+    * finds a match (ONE pass over the fact's join-key columns with
+    * the inner dims broadcast, the column-pruned scan the register
+    * already prices against the build) — refusing loudly if either
+    * fails. A LEFT dim with a unique key is row-preserving by
+    * construction, so its proof is uniqueness alone and holds for
+    * every future fact append. Proven-neutral dims license
+    * PARTIAL-star matching: a query joining only some of the
     * declared dims (or none — a flat fact aggregate) still serves
     * from the view, because the left-out joins neither drop nor
-    * duplicate fact rows. Each refresh re-verifies coverage on the
-    * fact DELTA (uniqueness holds by dim immutability) and DEMOTES
-    * the flags — full-star serving intact — if an appended fact row
-    * has no match (see [[refreshPins]]).
+    * duplicate fact rows. Each refresh re-verifies inner-dim
+    * coverage on the fact DELTA (uniqueness holds by dim
+    * immutability) and DEMOTES the inner flags — full-star serving
+    * intact — if an appended fact row has no match (see
+    * [[refreshPins]]).
     */
   def registerStar(spark: SparkSession, fact: DataFrame,
-      dims: Seq[(DataFrame, Seq[(String, String)])], viewPath: String,
+      dims: Seq[AggView.StarDim], viewPath: String,
       keyZones: Boolean = false, proveDims: Boolean = false): Entry = {
     require(dims.nonEmpty, "registerStar needs at least one dim — " +
       "use register for a single-table view")
@@ -294,25 +307,26 @@ object AggViewRewrite extends PredicateHelper with Logging {
     // lower-cased: the default session resolver is case-insensitive,
     // so 'Brand' vs 'brand' is a collision for by-name resolution
     var seenCols = fact.columns.map(_.toLowerCase).toSet
-    val dimEntries = dims.map { case (dimDf, keys) =>
-      require(keys.nonEmpty, "each dim needs at least one join key pair")
-      val dimRel = RelationPins.bare(GraftBridge.analyzedPlan(dimDf))
+    val dimEntries = dims.map { sd =>
+      require(sd.keys.nonEmpty,
+        "each dim needs at least one join key pair")
+      val dimRel = RelationPins.bare(GraftBridge.analyzedPlan(sd.df))
         .map(_._2).getOrElse(throw new IllegalArgumentException(
           "registerStar expects each dim to be a bare parquet scan; got:\n" +
-            GraftBridge.analyzedPlan(dimDf).treeString))
+            GraftBridge.analyzedPlan(sd.df).treeString))
       val roots = RelationPins.rootPaths(dimRel)
       require(roots != factRoots,
         "a dim sharing the fact's root paths is a self-join — " +
           "unsupported")
       val clash = seenCols
-        .intersect(dimDf.columns.map(_.toLowerCase).toSet)
+        .intersect(sd.df.columns.map(_.toLowerCase).toSet)
       require(clash.isEmpty,
         "fact and dim column names must be disjoint (the refresh " +
           "join resolves columns by name); colliding: " +
           clash.toSeq.sorted.mkString(","))
-      seenCols ++= dimDf.columns.map(_.toLowerCase)
-      DimEntry(roots, RelationPins.signature(dimRel), keys,
-        neutral = proveDims)
+      seenCols ++= sd.df.columns.map(_.toLowerCase)
+      DimEntry(roots, RelationPins.signature(dimRel), sd.keys,
+        neutral = proveDims, joinType = sd.joinType)
     }
     if (proveDims) proveNeutral(fact, dims)
     val decl = AggView.declaration(viewPath)
@@ -331,42 +345,47 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
   /** The `proveDims` proof obligations, refused loudly on failure:
     * per-dim join-key uniqueness (a duplicate key would FAN OUT fact
-    * rows), then one fact pass marking, per dim, which rows found a
-    * match (a miss means the inner join DROPS that row). Null fact
-    * join keys fail coverage too — an inner join drops them exactly
-    * like a missing dim row.
+    * rows), then — for the INNER dims only — one fact pass marking,
+    * per dim, which rows found a match (a miss means the inner join
+    * DROPS that row). Null fact join keys fail inner coverage too —
+    * an inner join drops them exactly like a missing dim row. LEFT
+    * dims keep every fact row regardless, so uniqueness is their
+    * whole proof.
     */
   private def proveNeutral(fact: DataFrame,
-      dims: Seq[(DataFrame, Seq[(String, String)])]): Unit = {
+      dims: Seq[AggView.StarDim]): Unit = {
     import org.apache.spark.sql.functions.{broadcast => fBroadcast, col => fCol, count => fCount, lit => fLit}
-    dims.foreach { case (dimDf, ks) =>
-      val dup = dimDf.groupBy(ks.map { case (_, dc) => dimDf(dc) }: _*)
+    dims.foreach { sd =>
+      val dup = sd.df
+        .groupBy(sd.keys.map { case (_, dc) => sd.df(dc) }: _*)
         .count().filter(fCol("count") > 1).limit(1).count()
       require(dup == 0L,
-        "proveDims: dim join key (" + ks.map(_._2).mkString(",") +
+        "proveDims: dim join key (" + sd.keys.map(_._2).mkString(",") +
           ") is not unique — the join can duplicate fact rows, so it " +
           "is not multiplicity-neutral; deduplicate the dim or " +
           "register without proveDims")
     }
-    val factKeyCols = dims.flatMap(_._2.map(_._1)).distinct
-    val markers = dims.indices.map(i => s"__graft_m$i")
-    val probed = dims.zipWithIndex
+    val inner = dims.filter(_.joinType == "inner")
+    if (inner.isEmpty) return
+    val factKeyCols = inner.flatMap(_.keys.map(_._1)).distinct
+    val markers = inner.indices.map(i => s"__graft_m$i")
+    val probed = inner.zipWithIndex
       .foldLeft(fact.select(factKeyCols.map(fCol): _*)) {
-        case (acc, ((dimDf, ks), i)) =>
-          val dimKeys = dimDf
-            .select(ks.map { case (_, dc) => dimDf(dc) }: _*)
+        case (acc, (sd, i)) =>
+          val dimKeys = sd.df
+            .select(sd.keys.map { case (_, dc) => sd.df(dc) }: _*)
             .withColumn(markers(i), fLit(1))
-          val cond = ks.map { case (fc, dc) =>
+          val cond = sd.keys.map { case (fc, dc) =>
             acc(fc) === dimKeys(dc) }.reduce(_ && _)
           acc.join(fBroadcast(dimKeys), cond, "left")
       }
     val row = probed.agg(fCount(fLit(1)).as("__n"),
       markers.map(m => fCount(fCol(m)).as(m)): _*).collect().head
     val total = row.getLong(0)
-    dims.indices.foreach { i =>
+    inner.indices.foreach { i =>
       val hit = row.getLong(i + 1)
       require(hit == total,
-        "proveDims: dim on (" + dims(i)._2.map(_._2).mkString(",") +
+        "proveDims: dim on (" + inner(i).keys.map(_._2).mkString(",") +
           s") does not cover every fact row (${total - hit} of " +
           s"$total fact rows have no match) — the inner join drops " +
           "them, so it is not multiplicity-neutral; complete the " +
@@ -550,14 +569,17 @@ object AggViewRewrite extends PredicateHelper with Logging {
         // joins (input_file_name() is single-source-only) and the
         // dims broadcast
         val srcCol = "__graft_src"
-        // neutral-dim upkeep: coverage is a property of the FACT, so
-        // appended rows must re-prove it. The delta's raw row count
-        // (parquet footer metadata — no data read) against the
-        // joined partials' summed count detects a dropped row: with
-        // every dim key unique (proven at register, dims immutable),
-        // duplication is impossible, so joined < raw ⟺ some new row
-        // found no match. -1 = the scan never ran (no new files).
-        val needCoverage = e.dims.exists(_.neutral)
+        // neutral-dim upkeep: INNER-dim coverage is a property of
+        // the FACT, so appended rows must re-prove it (a LEFT dim
+        // keeps every row — nothing to re-prove). The delta's raw
+        // row count (parquet footer metadata — no data read) against
+        // the joined partials' summed count detects a dropped row:
+        // with every dim key unique (proven at register, dims
+        // immutable), duplication is impossible, so joined < raw ⟺
+        // some new row found no inner match. -1 = the scan never ran
+        // (no new files).
+        val needCoverage =
+          e.dims.exists(d => d.neutral && d.joinType == "inner")
         var deltaRaw = -1L
         var deltaJoined = -1L
         val scan: Seq[String] => Map[String, (Long, Long)] =
@@ -573,7 +595,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
                   acc(fc) === dimDf(dc) }.reduce(_ && _)
                 acc.join(
                   org.apache.spark.sql.functions.broadcast(dimDf),
-                  cond, "inner")
+                  cond, de.joinType)
             }
             val partials = AggView.factsFingerprintByFileTagged(
               joinedDelta, e.viewPath, srcCol)
@@ -594,23 +616,28 @@ object AggViewRewrite extends PredicateHelper with Logging {
           case scala.Left(reason) => scala.Left(reason)
           case scala.Right((fp, n, partials)) =>
             if (fp == live.fp && n == live.n) {
-              // coverage lost on the delta: DEMOTE the neutral flags
-              // (partial-star serving stops) but keep the re-pin —
-              // the view still IS the joined rollup, so full-star
-              // serving stays exact. The row's reason names the
+              // coverage lost on the delta: DEMOTE the INNER neutral
+              // flags (partial-star serving stops for them) but keep
+              // the re-pin — the view still IS the joined rollup, so
+              // full-star serving stays exact. LEFT dims keep their
+              // proof (row-preserving by construction — uniqueness
+              // holds by immutability). The row's reason names the
               // demotion; re-proving takes a re-registration with
               // proveDims after the dims are completed.
               val covered = !needCoverage || deltaRaw < 0 ||
                 deltaJoined == deltaRaw
               val dims2 =
                 if (covered) e.dims
-                else e.dims.map(_.copy(neutral = false))
+                else e.dims.map(d =>
+                  if (d.joinType == "left") d
+                  else d.copy(neutral = false))
               val how =
                 if (covered) "re-pinned"
                 else "re-pinned; dim coverage lost on the fact " +
                   s"delta (${deltaRaw - deltaJoined} of $deltaRaw " +
-                  "appended rows have no dim match) — neutral flags " +
-                  "demoted, partial-star serving stopped"
+                  "appended rows have no dim match) — inner neutral " +
+                  "flags demoted, partial-star serving stopped for " +
+                  "the inner dims"
               scala.Right((Entry(e.viewPath,
                 FsPin(RelationPins.rootPaths(fsRel), newSig, partials),
                 live.version, live,
@@ -876,8 +903,50 @@ object AggViewRewrite extends PredicateHelper with Logging {
       case _ => false
     }
 
+  /** Inline computed projections sitting directly under the
+    * aggregate into the aggregate's own expressions. The analyzer's
+    * `PullOutGroupingExpressions` rewrites `GROUP BY f(k)` into
+    * `Aggregate(_g, …, Project(f(k) AS _g, child))` — without this
+    * inline the matcher sees only an opaque attribute over a
+    * computed Project it must refuse. Substitution preserves output
+    * exprIds/names (a bare projected attr in the result list
+    * re-aliases under its own id), so the rewritten plan's output
+    * contract is unchanged. Only deterministic, subquery-free
+    * aliases inline; anything else leaves the plan as-is.
+    */
+  private def inlineProjects(agg: Aggregate): Aggregate = agg.child match {
+    case Project(pl, c) if pl.exists(!_.isInstanceOf[AttributeReference]) &&
+        pl.forall {
+          case _: AttributeReference => true
+          case a: Alias => a.child.deterministic &&
+            !SubqueryExpression.hasSubquery(a.child)
+          case _ => false
+        } =>
+      val sub: Map[ExprId, Expression] = pl.collect {
+        case a: Alias => a.exprId -> a.child
+      }.toMap
+      def replace(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if sub.contains(ar.exprId) =>
+          sub(ar.exprId)
+      }
+      def replaceNamed(ne: NamedExpression): NamedExpression = ne match {
+        case ar: AttributeReference if sub.contains(ar.exprId) =>
+          Alias(sub(ar.exprId), ar.name)(exprId = ar.exprId)
+        case other => replace(other) match {
+          case n: NamedExpression => n
+          case x => Alias(x, other.name)(exprId = other.exprId)
+        }
+      }
+      inlineProjects(Aggregate(
+        agg.groupingExpressions.map(replace),
+        agg.aggregateExpressions.map(replaceNamed),
+        c))
+    case _ => agg
+  }
+
   private def tryRewrite(spark: SparkSession,
-      agg: Aggregate, memo: Memo): Option[Aggregate] = {
+      agg0: Aggregate, memo: Memo): Option[Aggregate] = {
+    val agg = inlineProjects(agg0)
     val flat = decompose(agg.child).flatMap { case (rel, id, filters) =>
       // star entries never serve a FLAT aggregate over the fact
       // alone: the view holds JOINED rows (inner-join multiplicity
@@ -937,17 +1006,20 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * from the QUERY's own relation nodes, so attribute ids line up
     * with the query's aggregate expressions for exact canonical
     * comparison. `matchedDims` pairs each matched declaration with
-    * the query's relation node for it (declaration order — a partial
-    * match's anchor is the partial join).
+    * the query's relation node for it and the join type the QUERY
+    * used (declaration order — a partial match's anchor is the
+    * partial join; a left dim matched through an optimizer-converted
+    * inner join anchors as inner, the shape the query's expressions
+    * were analyzed under).
     */
   private def starAnchor(factRel: LogicalRelation,
-      matchedDims: Seq[(DimEntry, LogicalRelation)])
+      matchedDims: Seq[(DimEntry, LogicalRelation, JoinType)])
       : Option[LogicalPlan] = {
     val resolver = SQLConf.get.resolver
     def attr(out: Seq[Attribute], n: String): Option[Attribute] =
       out.find(a => resolver(a.name, n))
     matchedDims.foldLeft(Option(factRel: LogicalPlan)) {
-      case (accOpt, (de, dr)) => accOpt.flatMap { acc =>
+      case (accOpt, (de, dr, jt)) => accOpt.flatMap { acc =>
         val conds = de.joinKeys.map { case (fc, dc) =>
           for {
             fa <- attr(factRel.output, fc)
@@ -955,33 +1027,50 @@ object AggViewRewrite extends PredicateHelper with Logging {
           } yield EqualTo(fa, da): Expression
         }
         if (conds.exists(_.isEmpty)) None
-        else Some(LJoin(acc, dr, InnerJoinType,
+        else Some(LJoin(acc, dr, jt,
           Some(conds.flatten.reduce(And)), JoinHint.NONE))
       }
     }
   }
 
   /** Match the aggregate child against one star declaration: strip
-    * attr-only projections / deterministic filters, require an
-    * INNER-join tree whose leaves are the registered fact and a
-    * SUBSET of the registered dims (matched by root paths, each at
-    * most once, in any join order / on either side), with each
-    * join's condition equal — as an unordered pair set — to that
-    * dim's declared key pairs. Pins checked fresh for fact and every
-    * matched dim via the query's own relations; every LEFT-OUT dim
-    * must be proven neutral AND its pinned listing live-fresh (a
-    * fresh listing — the dim is not in the plan).
+    * attr-only projections / deterministic filters, require a join
+    * tree whose leaves are the registered fact and a SUBSET of the
+    * registered dims (matched by root paths, each at most once, in
+    * any join order), with each join's condition equal — as an
+    * unordered pair set — to that dim's declared key pairs, and
+    * each join's TYPE compatible with the dim's declaration:
+    *
+    *  - an INNER dim matches only an inner join (either side);
+    *  - a LEFT dim matches `fact LEFT JOIN dim` (dim on the right —
+    *    or the mirrored `dim RIGHT JOIN fact`) with NO dim-leg
+    *    filter (a pre-join filter changes which rows null-extend,
+    *    which is not what the view absorbed);
+    *  - a LEFT dim ALSO matches an INNER join — the shape the
+    *    optimizer's `EliminateOuterJoin` produces from
+    *    `fact LEFT JOIN dim WHERE <null-rejecting on dim>` —
+    *    PROVIDED a kept filter null-rejects on that dim's columns
+    *    (whitelisted predicate forms over a dim attribute: a
+    *    null-extended view row has every dim column null, so the
+    *    filter removes exactly the rows the inner join drops).
+    *
+    * Pins checked fresh for fact and every matched dim via the
+    * query's own relations; every LEFT-OUT dim must be proven
+    * neutral AND its pinned listing live-fresh (a fresh listing —
+    * the dim is not in the plan).
     *
     * Filters collected anywhere in the tree are returned EXCEPT
-    * tautological `IsNotNull(joinKey)` conjuncts the optimizer
-    * infers from the inner joins themselves — the view absorbed only
-    * joined rows, where join keys are non-null by construction.
-    * (Sound in a partial match too: a left-out NEUTRAL dim's fact
-    * keys are non-null by the coverage proof.)
+    * tautological `IsNotNull(joinKey)` conjuncts over INNER-declared
+    * dims' keys (the view absorbed only joined rows there — matched
+    * dims by the inner join, left-out dims by the coverage proof).
+    * A LEFT dim's keys CAN be null in the view, so its IsNotNull
+    * conjuncts are kept — where they are exactly the null-rejecting
+    * filter the inner-over-left acceptance requires.
     */
   private def matchStar(spark: SparkSession, p: LogicalPlan, e: Entry,
       memo: Memo)
-      : Option[(LogicalRelation, Seq[(DimEntry, LogicalRelation)],
+      : Option[(LogicalRelation,
+        Seq[(DimEntry, LogicalRelation, JoinType)],
         Seq[Expression])] = {
     val resolver = SQLConf.get.resolver
     val factPin = e.pin match {
@@ -989,11 +1078,17 @@ object AggViewRewrite extends PredicateHelper with Logging {
       case _ => return None
     }
     val matched = Array.fill[Option[LogicalRelation]](e.dims.size)(None)
+    val matchedType =
+      Array.fill[JoinType](e.dims.size)(InnerJoinType)
+    // left-declared dims matched through an inner join: each needs a
+    // null-rejecting kept filter on its columns
+    val needNullReject = mutable.Set.empty[Int]
     val filters = Seq.newBuilder[Expression]
 
     // a dim leg: strips to a bare parquet relation matching an
-    // UNMATCHED registered dim's roots; its own filters collect
-    def asDimLeg(q: LogicalPlan): Option[Int] = {
+    // UNMATCHED registered dim's roots; its own filter conjuncts are
+    // returned for the JOIN case to accept or refuse by join type
+    def asDimLeg(q: LogicalPlan): Option[(Int, Seq[Expression])] = {
       val legFilters = Seq.newBuilder[Expression]
       def strip(x: LogicalPlan): Option[LogicalRelation] = x match {
         case s: SubqueryAlias => strip(s.child)
@@ -1016,8 +1111,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
         else if (memo.signatureOf(h) != e.dims(i).listingSig) None
         else {
           matched(i) = Some(rel)
-          filters ++= legFilters.result()
-          Some(i)
+          Some((i, legFilters.result()))
         }
       }
     }
@@ -1029,12 +1123,50 @@ object AggViewRewrite extends PredicateHelper with Logging {
       case Filter(cond, c) if cond.deterministic &&
           !SubqueryExpression.hasSubquery(cond) =>
         filters ++= splitConjunctivePredicates(cond); walkFact(c)
-      case j: LJoin if j.joinType == InnerJoinType &&
-          j.condition.isDefined =>
-        // one side is a dim leg, the other continues toward the fact
-        val (di, factSide) = asDimLeg(j.right).map(i => (i, j.left))
-          .orElse(asDimLeg(j.left).map(i => (i, j.right)))
-          .getOrElse(return None)
+      case j: LJoin if j.condition.isDefined &&
+          (j.joinType == InnerJoinType || j.joinType == LeftOuter ||
+            j.joinType == RightOuter) =>
+        // the dim leg must sit on a side the join type permits: any
+        // side for inner; the NON-preserved side for outer (the
+        // preserved side continues toward the fact)
+        val cand = j.joinType match {
+          case InnerJoinType =>
+            asDimLeg(j.right).map { case (i, lf) => (i, lf, j.left) }
+              .orElse(asDimLeg(j.left).map { case (i, lf) =>
+                (i, lf, j.right) })
+          case LeftOuter =>
+            asDimLeg(j.right).map { case (i, lf) => (i, lf, j.left) }
+          case _ => // RightOuter
+            asDimLeg(j.left).map { case (i, lf) => (i, lf, j.right) }
+        }
+        val (di, legF, factSide) = cand.getOrElse(return None)
+        val de = e.dims(di)
+        if (j.joinType == InnerJoinType) {
+          if (de.joinType == "left") { needNullReject += di; () }
+          matchedType(di) = InnerJoinType
+          filters ++= legF
+        } else {
+          // an outer join in the query: only a LEFT declaration
+          // matches, and a dim-leg filter is a PRE-join filter —
+          // different rows null-extend than the view absorbed. The
+          // one exception: the optimizer's inferred
+          // IsNotNull(dim join key) (InferFiltersFromConstraints
+          // pushes it to the non-preserved side even under an outer
+          // join) is tautological — a null-keyed dim row matches no
+          // fact row under the equi-join, and dropping it changes
+          // neither the matches nor which fact rows null-extend
+          if (de.joinType != "left") return None
+          val dcIds = de.joinKeys.flatMap { case (_, dc) =>
+            matched(di).get.output
+              .filter(a => resolver(a.name, dc)).map(_.exprId)
+          }.toSet
+          val onlyInferredKeyNotNull = legF.forall {
+            case IsNotNull(a: AttributeReference) => dcIds(a.exprId)
+            case _ => false
+          }
+          if (!onlyInferredKeyNotNull) return None
+          matchedType(di) = LeftOuter
+        }
         val dimRel = matched(di).get
         val factRel = walkFact(factSide).getOrElse(return None)
         // the condition must be EXACTLY this dim's declared pairs
@@ -1043,7 +1175,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
             (a, b)
           case _ => return None
         }
-        val declared = e.dims(di).joinKeys.map { case (fc, dc) =>
+        val declared = de.joinKeys.map { case (fc, dc) =>
           val fa = factRel.output.find(a => resolver(a.name, fc))
             .getOrElse(return None)
           val da = dimRel.output.find(a => resolver(a.name, dc))
@@ -1076,27 +1208,93 @@ object AggViewRewrite extends PredicateHelper with Logging {
           memo.signatureOfRoots(spark, e.dims(i).roots)
             .contains(e.dims(i).listingSig)
       }) return None
-    val matchedDims: Seq[(DimEntry, LogicalRelation)] =
-      e.dims.zip(matched).collect { case (de, Some(dr)) => (de, dr) }
-    // drop inferred IsNotNull over declared JOIN-KEY attributes
-    // (tautological over the view's joined rows: matched dims by the
-    // inner join, left-out dims by the coverage proof — every fact
-    // row joined, so every absorbed key value is non-null);
-    // everything else goes to the key-only filter gate in rewriteWith
-    val joinKeyIds: Set[ExprId] =
-      e.dims.flatMap(_.joinKeys.flatMap { case (fc, _) =>
-        factRel.output.filter(a => resolver(a.name, fc)).map(_.exprId)
-      }).toSet ++
-        matchedDims.flatMap { case (de, dr) =>
-          de.joinKeys.flatMap { case (_, dc) =>
+    val matchedDims: Seq[(DimEntry, LogicalRelation, JoinType)] =
+      e.dims.indices.flatMap(i =>
+        matched(i).map(dr => (e.dims(i), dr, matchedType(i))))
+    // drop inferred IsNotNull over INNER-declared dims' join-key
+    // attributes (tautological over the view's joined rows: matched
+    // dims by the inner join, left-out dims by the coverage proof —
+    // every fact row joined, so every absorbed key value is
+    // non-null). Everything else goes to the key-only filter gate in
+    // rewriteWith
+    val droppableIds = mutable.Set.empty[ExprId]
+    e.dims.filter(_.joinType == "inner")
+      .foreach(_.joinKeys.foreach { case (fc, _) =>
+        droppableIds ++=
+          factRel.output.filter(a => resolver(a.name, fc)).map(_.exprId)
+      })
+    matchedDims.foreach {
+      case (de, dr, _) if de.joinType == "inner" =>
+        de.joinKeys.foreach { case (_, dc) =>
+          droppableIds ++=
             dr.output.filter(a => resolver(a.name, dc)).map(_.exprId)
-          }
         }
-    val kept = filters.result().filterNot {
-      case IsNotNull(a: AttributeReference) => joinKeyIds(a.exprId)
+      case _ => ()
+    }
+    // inner-over-left acceptance, per dim: some collected filter
+    // must null-reject on the dim's columns (a null-extended view
+    // row has every dim column null, so that filter reproduces the
+    // inner join's row drop exactly). Once a rejecter exists, the
+    // optimizer's inferred IsNotNull conjuncts on THAT dim's join
+    // keys are implied (surviving rows are matched rows) and drop;
+    // when the only rejecter IS a dim-side join-key IsNotNull, it
+    // must survive, so only the fact-side IsNotNulls drop.
+    val allFilters = filters.result()
+    needNullReject.foreach { di =>
+      val de = e.dims(di)
+      val dr = matched(di).get
+      val dimIds = dr.output.map(_.exprId).toSet
+      val fcIds = de.joinKeys.flatMap { case (fc, _) =>
+        factRel.output.filter(a => resolver(a.name, fc)).map(_.exprId)
+      }.toSet
+      val dcIds = de.joinKeys.flatMap { case (_, dc) =>
+        dr.output.filter(a => resolver(a.name, dc)).map(_.exprId)
+      }.toSet
+      val rejecters = allFilters.filter(f => nullRejectsOn(f, dimIds))
+      if (rejecters.isEmpty) return None
+      val nonKeyRejecter = rejecters.exists {
+        case IsNotNull(a: AttributeReference) => !dcIds(a.exprId)
+        case _ => true
+      }
+      droppableIds ++= fcIds
+      if (nonKeyRejecter) droppableIds ++= dcIds
+    }
+    val kept = allFilters.filterNot {
+      case IsNotNull(a: AttributeReference) => droppableIds(a.exprId)
       case _ => false
     }
     Some((factRel, matchedDims, kept))
+  }
+
+  /** Does `f` REJECT rows where the referenced attribute from
+    * `attrIds` is null? Conservative whitelist of predicate forms
+    * whose null input yields null/false — what licenses serving an
+    * optimizer-converted `fact ⟕ dim WHERE <f>` inner join from the
+    * left-join view.
+    */
+  private def nullRejectsOn(f: Expression,
+      attrIds: Set[ExprId]): Boolean = {
+    def hit(a: AttributeReference) = attrIds(a.exprId)
+    f match {
+      case IsNotNull(a: AttributeReference) => hit(a)
+      case EqualTo(a: AttributeReference, _: Literal) => hit(a)
+      case EqualTo(_: Literal, a: AttributeReference) => hit(a)
+      case GreaterThan(a: AttributeReference, _: Literal) => hit(a)
+      case GreaterThan(_: Literal, a: AttributeReference) => hit(a)
+      case GreaterThanOrEqual(a: AttributeReference, _: Literal) => hit(a)
+      case GreaterThanOrEqual(_: Literal, a: AttributeReference) => hit(a)
+      case LessThan(a: AttributeReference, _: Literal) => hit(a)
+      case LessThan(_: Literal, a: AttributeReference) => hit(a)
+      case LessThanOrEqual(a: AttributeReference, _: Literal) => hit(a)
+      case LessThanOrEqual(_: Literal, a: AttributeReference) => hit(a)
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) => hit(a)
+      case InSet(a: AttributeReference, _) => hit(a)
+      case StartsWith(a: AttributeReference, _: Literal) => hit(a)
+      case EndsWith(a: AttributeReference, _: Literal) => hit(a)
+      case Contains(a: AttributeReference, _: Literal) => hit(a)
+      case _ => false
+    }
   }
 
   /** Key types whose bounded ranges ENUMERATE into kb buckets:
@@ -1161,9 +1359,18 @@ object AggViewRewrite extends PredicateHelper with Logging {
     // filters may touch keys only
     if (!filters.forall(_.references.subsetOf(keyAttrSet))) return None
 
-    // grouping expressions must BE key attributes
-    val groupAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference if keyAttrSet.contains(a) => a
+    // grouping expressions: key attributes, or any DETERMINISTIC
+    // subquery-free expression over key attributes only — a
+    // DERIVED-KEY rollup (month(day_key), substr(brand, 1, 4), …).
+    // Coarser-than-key grouping is sound because every aggregate
+    // this rewrite serves is re-aggregation-shaped already: the view
+    // holds one row per FULL key tuple, and the emitted Aggregate
+    // re-folds those rows under the derived groups (partial sums
+    // re-sum, extrema re-fold, counters re-sum) exactly as the
+    // direct plan folds the fact rows
+    val groupExprs: Seq[Expression] = agg.groupingExpressions.map {
+      case g if g.deterministic && !SubqueryExpression.hasSubquery(g)
+          && g.references.subsetOf(keyAttrSet) => g
       case _ => return None
     }
 
@@ -1354,19 +1561,61 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }
 
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
+      // a FILTER clause over KEY columns only commutes with the
+      // rollup: the predicate is uniform across every fact row of a
+      // key tuple (it reads nothing else), so filtering the view's
+      // group rows keeps exactly the groups whose fact rows the
+      // direct plan kept — re-address it to the view's columns and
+      // carry it on every re-aggregate this rewrite emits. A filter
+      // touching anything else refuses
+      val vFilter: Option[Expression] = ae.filter match {
+        case None => None
+        case Some(f) if f.deterministic &&
+            !SubqueryExpression.hasSubquery(f) &&
+            f.references.nonEmpty &&
+            f.references.subsetOf(keyAttrSet) =>
+          Some(f.transform {
+            case a: AttributeReference if keyAttrSet.contains(a) =>
+              vAttr(keyNameOf(a.exprId))
+          })
+        case _ => return None
+      }
+      def withF(x: AggregateExpression): AggregateExpression =
+        if (vFilter.isEmpty) x else x.copy(filter = vFilter)
+      if (ae.isDistinct) {
+        // a DISTINCT aggregate whose inputs are KEY columns only
+        // forwards VERBATIM (count/sum/avg DISTINCT key, …): the
+        // served view's key tuples are exactly the live fact
+        // groups (liveAgg drops `__cnt ≤ 0`, one row per distinct
+        // tuple), and DISTINCT collapses precisely the row
+        // multiplicity the rollup absorbed — per group, the
+        // distinct key-value set over the view equals the one over
+        // the facts. Distinct over a MEASURE expression has no
+        // such set in the rollup and falls back
+        val f = ae.aggregateFunction
+        return if (f.deterministic && f.references.nonEmpty &&
+            f.references.subsetOf(keyAttrSet) &&
+            !SubqueryExpression.hasSubquery(f)) {
+          val nf = f.transform {
+            case a: AttributeReference if keyAttrSet.contains(a) =>
+              vAttr(keyNameOf(a.exprId))
+          }.asInstanceOf[aggregate.AggregateFunction]
+          Some(ae.copy(aggregateFunction = nf, filter = vFilter))
+        } else None
+      }
       ae.aggregateFunction match {
         case Count(children)
             if children.nonEmpty &&
               children.forall(c => c.foldable && c.eval() != null) =>
           // count(*) / count(<non-null literal>) = total row count
           Some(Coalesce(Seq(
-            Sum(cntAttr).toAggregateExpression(), Literal(0L))))
+            withF(Sum(cntAttr).toAggregateExpression()), Literal(0L))))
         case Count(Seq(e)) if !e.foldable =>
           // count(col): the view must carry E's null counter
           counterMeasure(e).map { cName =>
             Coalesce(Seq(
-              Sum(vAttr(cName)).toAggregateExpression(), Literal(0L)))
+              withF(Sum(vAttr(cName)).toAggregateExpression()),
+              Literal(0L)))
           }
         case a: Average if ae.dataType == DoubleType =>
           // avg(E) = sum-measure / counter-measure. The divisor is
@@ -1378,9 +1627,11 @@ object AggViewRewrite extends PredicateHelper with Logging {
             sName <- sumMeasure(a.child.canonicalized)
             cName <- counterMeasure(a.child)
           } yield {
-            val s = Cast(Sum(vAttr(sName)).toAggregateExpression(),
+            val s = Cast(
+              withF(Sum(vAttr(sName)).toAggregateExpression()),
               DoubleType)
-            val c = Cast(Sum(vAttr(cName)).toAggregateExpression(),
+            val c = Cast(
+              withF(Sum(vAttr(cName)).toAggregateExpression()),
               DoubleType)
             Divide(s,
               If(EqualTo(c, Literal(0d)), Literal(null, DoubleType), c))
@@ -1389,7 +1640,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
           // ANSI note: re-aggregates the view's partial sums — see
           // the object doc's ANSI-divergence contract
           sumMeasure(s.child.canonicalized).map { mName =>
-            val re = Sum(vAttr(mName)).toAggregateExpression()
+            val re = withF(Sum(vAttr(mName)).toAggregateExpression())
             if (re.dataType == ae.dataType) re else Cast(re, ae.dataType)
           }
         case m: Min =>
@@ -1397,13 +1648,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
           // APPEND-ONLY min measure (delete paths refuse at the
           // artifact, so the rollup's extrema are the facts')
           measureFor(m.child.canonicalized, "min").map { name =>
-            val re = Min(vAttr(name)).toAggregateExpression()
+            val re = withF(Min(vAttr(name)).toAggregateExpression())
             if (re.dataType == ae.dataType) re
             else Cast(re, ae.dataType)
           }
         case m: Max =>
           measureFor(m.child.canonicalized, "max").map { name =>
-            val re = Max(vAttr(name)).toAggregateExpression()
+            val re = withF(Max(vAttr(name)).toAggregateExpression())
             if (re.dataType == ae.dataType) re
             else Cast(re, ae.dataType)
           }
@@ -1433,7 +1684,10 @@ object AggViewRewrite extends PredicateHelper with Logging {
         }
       case _ => return None
     }
-    val newGroups = groupAttrs.map(a => vAttr(keyNameOf(a.exprId)))
+    val newGroups = groupExprs.map(_.transform {
+      case a: AttributeReference if keyAttrSet.contains(a) =>
+        vAttr(keyNameOf(a.exprId))
+    })
     val out = Aggregate(newGroups, newAggExprs, viewPlan)
 
     // never emit a plan whose output differs from the original

@@ -201,6 +201,66 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorted(r) == truth)
   }
 
+  test("derived-key grouping and DISTINCT-over-key aggregates serve " +
+      "from the view: GROUP BY f(keys) re-folds the rollup under the " +
+      "coarser groups; DISTINCT over key columns forwards verbatim; " +
+      "expressions mixing in a non-key column refuse") {
+    AggViewRewrite.clear()
+    val served = Seq(
+      // grouping by an expression of one key (collapses k0/k1/k2/k3
+      // by digit parity) with count/sum/avg re-folding under it
+      """SELECT CAST(substr(k, 2, 1) AS INT) % 2 AS kp,
+        |  count(*) AS c, sum(CAST(x * 2 AS BIGINT)) AS s2x,
+        |  avg(x) AS ax
+        |FROM mvspec_base GROUP BY CAST(substr(k, 2, 1) AS INT) % 2
+        |""".stripMargin,
+      // grouping by an expression of BOTH keys
+      """SELECT concat(substr(k, 2, 1), g) AS kg, sum(y) AS sy
+        |FROM mvspec_base
+        |GROUP BY concat(substr(k, 2, 1), g)""".stripMargin,
+      // flat DISTINCT over a key, mixed with a regular measure
+      """SELECT count(DISTINCT k) AS dk, sum(y) AS sy
+        |FROM mvspec_base""".stripMargin,
+      // DISTINCT over one key grouped by the other
+      """SELECT g, count(DISTINCT k) AS dk
+        |FROM mvspec_base GROUP BY g""".stripMargin,
+      // derived grouping + DISTINCT over a key expression together
+      """SELECT substr(g, 2, 1) AS gp, count(DISTINCT substr(k, 2, 1))
+        |  AS dk, count(*) AS c
+        |FROM mvspec_base GROUP BY substr(g, 2, 1)""".stripMargin,
+      // FILTER clauses over keys commute with the rollup: sum /
+      // count(*) / avg-through-counter, incl. a group where the
+      // filter matches nothing (NULL sum, 0 count). A distinct
+      // aggregate WITH a filter goes through Spark's Expand rewrite
+      // and falls back by shape — not asserted here
+      """SELECT k, sum(CAST(x * 2 AS BIGINT))
+        |    FILTER (WHERE g = 'g1') AS s2x,
+        |  count(*) FILTER (WHERE g = 'g0') AS c0,
+        |  avg(x) FILTER (WHERE g = 'g1') AS ax
+        |FROM mvspec_base GROUP BY k""".stripMargin)
+    val truths = served.map(q => sorted(sql(q)))
+    register()
+    served.zip(truths).foreach { case (q, truth) =>
+      val r = sql(q)
+      assert(hitsView(r), s"$q\n${GraftBridge.optimizedPlan(r)}")
+      assert(sorted(r) == truth, q)
+    }
+    // a grouping expression touching a NON-key column refuses
+    val g1 = sql("""SELECT concat(k, CAST(y AS STRING)) AS ky,
+                   |  count(*) AS c
+                   |FROM mvspec_base
+                   |GROUP BY concat(k, CAST(y AS STRING))""".stripMargin)
+    assert(!scannedRoots(g1).exists(_.contains(viewDir)))
+    // a DISTINCT aggregate whose input mixes key and non-key refuses
+    val g2 = sql("""SELECT count(DISTINCT concat(k, CAST(x AS STRING)))
+                   |  AS c FROM mvspec_base""".stripMargin)
+    assert(!scannedRoots(g2).exists(_.contains(viewDir)))
+    // a FILTER clause touching a non-key column refuses
+    val g3 = sql("""SELECT k, count(*) FILTER (WHERE y > 10) AS c
+                   |FROM mvspec_base GROUP BY k""".stripMargin)
+    assert(!scannedRoots(g3).exists(_.contains(viewDir)))
+  }
+
   test("shape hazards refuse: non-key filter, non-measure sum, avg, " +
       "distinct, count(nullable col)") {
     AggViewRewrite.clear()
@@ -214,8 +274,10 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM mvspec_base GROUP BY k""".stripMargin,
       // avg of a column with NO declared null counter
       """SELECT k, avg(y) AS a FROM mvspec_base GROUP BY k""".stripMargin,
-      // distinct aggregate
-      """SELECT k, count(DISTINCT g) AS c
+      // distinct aggregate over a NON-key column (the rollup has no
+      // per-group distinct-x set; DISTINCT over keys serves — see
+      // the derived-key/distinct test)
+      """SELECT k, count(DISTINCT x) AS c
         |FROM mvspec_base GROUP BY k""".stripMargin,
       // count of a nullable column with NO declared null counter
       """SELECT k, count(y) AS c FROM mvspec_base GROUP BY k""".stripMargin,

@@ -263,7 +263,7 @@ class ODeltaRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.parquet(s"$root/d1")
     def f = spark.read.parquet(s"$root/fact")
     def d = spark.read.parquet(s"$root/d1")
-    def dims = Seq((d, Seq(("pk", "d1k"))))
+    def dims = Seq(AggView.StarDim(d, Seq(("pk", "d1k"))))
     AggView.buildStarIfAbsent(f, dims, Seq("g"),
       Seq(AggView.Measure("sum_x", "x")), s"$root/view", kbParts = 2)
     // the ledger covers the 4 FACT files and composes to the view's

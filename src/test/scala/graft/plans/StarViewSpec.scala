@@ -73,7 +73,8 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def registerStar(): Unit = {
     AggViewRewrite.registerStar(spark, factDf,
-      Seq((d1Df, Seq(("pk", "d1k"))), (d2Df, Seq(("sk", "d2k")))),
+      Seq(AggView.StarDim(d1Df, Seq(("pk", "d1k"))),
+        AggView.StarDim(d2Df, Seq(("sk", "d2k")))),
       viewDir)
     ()
   }
@@ -194,7 +195,7 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggView.buildIfAbsent(f.join(d, f("pk") === d("d1k")), Seq("g"),
       Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 2)
     AggViewRewrite.registerStar(spark, f,
-      Seq((d, Seq(("pk", "d1k")))), s"$r2/view")
+      Seq(AggView.StarDim(d, Seq(("pk", "d1k")))), s"$r2/view")
     f.createOrReplaceTempView("star_dim_fact")
     d.createOrReplaceTempView("star_dim_d1")
     val q = """SELECT g, sum(x) AS sx FROM star_dim_fact
@@ -252,11 +253,11 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark,
         factDf.filter(col("x") > 0).select("pk"),
-        Seq((d1Df, Seq(("pk", "d1k")))), viewDir)
+        Seq(AggView.StarDim(d1Df, Seq(("pk", "d1k")))), viewDir)
     }
     val se = intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark, factDf,
-        Seq((factDf, Seq(("pk", "pk")))), viewDir)
+        Seq(AggView.StarDim(factDf, Seq(("pk", "pk")))), viewDir)
     }
     assert(se.getMessage.contains("self-join"), se.getMessage)
     // a dim whose column names collide with the fact's: the refresh
@@ -265,7 +266,8 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("d1k", "x").write.parquet(s"$r2/clash")
     val ce = intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark, factDf,
-        Seq((spark.read.parquet(s"$r2/clash"), Seq(("pk", "d1k")))),
+        Seq(AggView.StarDim(spark.read.parquet(s"$r2/clash"),
+          Seq(("pk", "d1k")))),
         viewDir)
     }
     assert(ce.getMessage.contains("disjoint"), ce.getMessage)
@@ -291,7 +293,7 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.parquet(s"$r2/d1")
     def f = spark.read.parquet(s"$r2/fact")
     def d = spark.read.parquet(s"$r2/d1")
-    val dims = Seq((d, Seq(("pk", "d1k"))))
+    val dims = Seq(AggView.StarDim(d, Seq(("pk", "d1k"))))
     AggView.buildStarIfAbsent(f, dims, Seq("g", "pd"),
       Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 2)
     AggViewRewrite.registerStar(spark, f, dims, s"$r2/view")
@@ -353,7 +355,8 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     def f = spark.read.parquet(s"$r2/fact")
     def d1 = spark.read.parquet(s"$r2/d1")
     def d2 = spark.read.parquet(s"$r2/d2")
-    val dims = Seq((d1, Seq(("pk", "d1k"))), (d2, Seq(("sk", "d2k"))))
+    val dims = Seq(AggView.StarDim(d1, Seq(("pk", "d1k"))),
+      AggView.StarDim(d2, Seq(("sk", "d2k"))))
     AggView.buildStarIfAbsent(f, dims, Seq("brand", "nat"),
       Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 4)
     def mk(): Unit = {
@@ -411,22 +414,26 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.parquet(s"$r2/short")
     def f = spark.read.parquet(s"$r2/fact")
     AggView.buildStarIfAbsent(f,
-      Seq((spark.read.parquet(s"$r2/dup"), Seq(("pk", "d1k")))),
+      Seq(AggView.StarDim(spark.read.parquet(s"$r2/dup"),
+        Seq(("pk", "d1k")))),
       Seq("g"), Seq(AggView.Measure("sum_x", "x")), s"$r2/v1",
       kbParts = 2)
     val ue = intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark, f,
-        Seq((spark.read.parquet(s"$r2/dup"), Seq(("pk", "d1k")))),
+        Seq(AggView.StarDim(spark.read.parquet(s"$r2/dup"),
+          Seq(("pk", "d1k")))),
         s"$r2/v1", proveDims = true)
     }
     assert(ue.getMessage.contains("not unique"), ue.getMessage)
     AggView.buildStarIfAbsent(f,
-      Seq((spark.read.parquet(s"$r2/short"), Seq(("pk", "d1k")))),
+      Seq(AggView.StarDim(spark.read.parquet(s"$r2/short"),
+        Seq(("pk", "d1k")))),
       Seq("g"), Seq(AggView.Measure("sum_x", "x")), s"$r2/v2",
       kbParts = 2)
     val ce = intercept[IllegalArgumentException] {
       AggViewRewrite.registerStar(spark, f,
-        Seq((spark.read.parquet(s"$r2/short"), Seq(("pk", "d1k")))),
+        Seq(AggView.StarDim(spark.read.parquet(s"$r2/short"),
+          Seq(("pk", "d1k")))),
         s"$r2/v2", proveDims = true)
     }
     assert(ce.getMessage.contains("does not cover"), ce.getMessage)
@@ -451,7 +458,8 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     def f = spark.read.parquet(s"$r2/fact")
     def d1 = spark.read.parquet(s"$r2/d1")
     def d2 = spark.read.parquet(s"$r2/d2")
-    def dims = Seq((d1, Seq(("pk", "d1k"))), (d2, Seq(("sk", "d2k"))))
+    def dims = Seq(AggView.StarDim(d1, Seq(("pk", "d1k"))),
+      AggView.StarDim(d2, Seq(("sk", "d2k"))))
     AggView.buildStarIfAbsent(f, dims, Seq("g", "h"),
       Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 2)
     AggViewRewrite.registerStar(spark, f, dims, s"$r2/view",
@@ -512,7 +520,8 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     def f3 = spark.read.parquet(s"$r3/fact")
     def e1 = spark.read.parquet(s"$r3/d1")
     def e2 = spark.read.parquet(s"$r3/d2")
-    val dims3 = Seq((e1, Seq(("pk", "d1k"))), (e2, Seq(("sk", "d2k"))))
+    val dims3 = Seq(AggView.StarDim(e1, Seq(("pk", "d1k"))),
+      AggView.StarDim(e2, Seq(("sk", "d2k"))))
     AggView.buildStarIfAbsent(f3, dims3, Seq("g", "h"),
       Seq(AggView.Measure("sum_x", "x")), s"$r3/view", kbParts = 2)
     AggViewRewrite.registerStar(spark, f3, dims3, s"$r3/view",
@@ -529,6 +538,89 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scannedRoots(spark.sql(loQ))
       .exists(_.contains(s"$r3/view")),
       spark.sql(loQ).queryExecution.optimizedPlan)
+    AggViewRewrite.clear()
+  }
+
+  test("LEFT-join star: null-extended groups serve exactly; with " +
+      "proveDims (uniqueness only) flat serving works DESPITE " +
+      "unmatched fact rows; an optimizer-converted inner join over " +
+      "the left dim serves under a null-rejecting key filter; a " +
+      "plain inner join and a dim-leg filter under the left join " +
+      "fall back") {
+    AggViewRewrite.clear()
+    val s = spark
+    import s.implicits._
+    val r2 = Files.createTempDirectory("graft-star-leftjoin").toString
+    // pk ∈ 0..9 but d1 covers only 0..7 — pk 8/9 rows NULL-EXTEND
+    // (they would refuse an inner proveDims; left needs uniqueness
+    // only). sk ∈ 0..3 fully covered by d2 (also left).
+    (0 until 400).map(i => (i.toLong, (i % 10).toLong, (i % 4).toLong,
+        i.toLong))
+      .toDF("fid", "pk", "sk", "x")
+      .repartition(2).write.parquet(s"$r2/fact")
+    (0 until 8).map(i => (i.toLong, s"g${i % 3}")).toDF("d1k", "g")
+      .write.parquet(s"$r2/d1")
+    (0 until 4).map(i => (i.toLong, s"h${i % 2}")).toDF("d2k", "h")
+      .write.parquet(s"$r2/d2")
+    def f = spark.read.parquet(s"$r2/fact")
+    def d1 = spark.read.parquet(s"$r2/d1")
+    def d2 = spark.read.parquet(s"$r2/d2")
+    val dims = Seq(
+      AggView.StarDim(d1, Seq(("pk", "d1k")), joinType = "left"),
+      AggView.StarDim(d2, Seq(("sk", "d2k")), joinType = "left"))
+    AggView.buildStarIfAbsent(f, dims, Seq("g", "h"),
+      Seq(AggView.Measure("sum_x", "x")), s"$r2/view", kbParts = 2)
+    def mk(): Unit = {
+      f.createOrReplaceTempView("lj_fact")
+      d1.createOrReplaceTempView("lj_d1")
+      d2.createOrReplaceTempView("lj_d2")
+    }
+    mk()
+    val grouped = """SELECT g, h, count(*) AS c, sum(x) AS sx
+                    |FROM lj_fact LEFT JOIN lj_d1 ON pk = d1k
+                    |LEFT JOIN lj_d2 ON sk = d2k
+                    |GROUP BY g, h""".stripMargin
+    val partial = """SELECT g, count(*) AS c, sum(x) AS sx
+                    |FROM lj_fact LEFT JOIN lj_d1 ON pk = d1k
+                    |GROUP BY g""".stripMargin
+    val flat = "SELECT count(*) AS c, sum(x) AS sx FROM lj_fact"
+    val innerConv = """SELECT g, sum(x) AS sx
+                      |FROM lj_fact LEFT JOIN lj_d1 ON pk = d1k
+                      |WHERE g = 'g1' GROUP BY g""".stripMargin
+    val truths = Seq(grouped, partial, flat, innerConv)
+      .map(x => sorted(spark.sql(x)))
+    AggViewRewrite.registerStar(spark, f, dims, s"$r2/view",
+      proveDims = true)
+    // null-extended groups present: the direct grouped answer has a
+    // (null, h) group from pk 8/9 — and the served one must match it
+    assert(truths.head.exists(_.startsWith("[null,")), truths.head)
+    Seq(grouped, partial, flat, innerConv).zip(truths).foreach {
+      case (x, truth) =>
+        val r = spark.sql(x)
+        val roots = scannedRoots(r)
+        assert(roots.exists(_.contains(s"$r2/view")) &&
+          !roots.exists(_.contains(s"$r2/fact")),
+          s"$x\n${r.queryExecution.optimizedPlan}")
+        assert(sorted(r) == truth, x)
+    }
+    // a PLAIN inner join over the left dim: the inferred
+    // IsNotNull(d1k) is the only null-rejecter, survives, and is not
+    // a view key — honest fallback, and the answers still agree
+    val plainInner = """SELECT g, sum(x) AS sx
+                       |FROM lj_fact JOIN lj_d1 ON pk = d1k
+                       |GROUP BY g""".stripMargin
+    assert(!scannedRoots(spark.sql(plainInner))
+      .exists(_.contains(s"$r2/view")),
+      spark.sql(plainInner).queryExecution.optimizedPlan)
+    // a pre-join filter on the dim LEG under the left join changes
+    // which rows null-extend — never served
+    val (ff, dd1) = (f, d1)
+    val dd1f = dd1.filter(dd1("d1k") < 4L)
+    val legAgg = ff.join(dd1f, ff("pk") === dd1f("d1k"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("c"), sum("x").as("sx"))
+    assert(!scannedRoots(legAgg).exists(_.contains(s"$r2/view")),
+      legAgg.queryExecution.optimizedPlan)
     AggViewRewrite.clear()
   }
 }
