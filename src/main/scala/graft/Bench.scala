@@ -132,7 +132,8 @@ object Bench {
       "q244_mv_partitioned", "q245_mv_star",
       "q246_zonemap_date", "q247_mv_minmax",
       "q248_mv_star_part", "q249_mv_star_partial",
-      "q250_mv_star_leftjoin", "q251_mv_derived_group")
+      "q250_mv_star_leftjoin", "q251_mv_derived_group",
+      "q252_mv_grouping_sets")
     val (stateRes, planRes) = results.partition(r => stateScope(r._1))
     // -1 marks a failed query; keep it out of the aggregate so total
     // stays monotonic and comparable across rounds

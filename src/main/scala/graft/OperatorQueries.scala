@@ -1425,6 +1425,94 @@ object OperatorQueries {
       } finally AggViewRewrite.unregister(s"$root/view")
     }),
 
+    /** ROLLUP / CUBE / GROUPING SETS served from one materialized
+      * view ([[graft.plans.AggViewRewrite]] through the Expand plan
+      * shape): a `(pri, st)`-keyed rollup serves (1) `GROUP BY
+      * ROLLUP(pri, st)` with count + sum — grouping-set key slots
+      * re-address to the view, the grouping-id literal forwards,
+      * and the aggregates re-fold through appended carrier slots —
+      * (2) a single-key CUBE with a `grouping(pri)` expression over
+      * the gid slot, (3) explicit GROUPING SETS including the grand
+      * total, and (4) a DERIVED rollup key
+      * (`ROLLUP(substr(pri,1,1))` — the computed projection below
+      * the Expand inlines before matching). NULL group keys coalesce
+      * to sentinels outside the asserted plan so both engines order
+      * identically. Every leg asserts in-query that the plan scans
+      * the VIEW, not the fact.
+      */
+    "q252_mv_grouping_sets" -> ((s, d) => {
+      import graft.operators.AggView
+      import graft.plans.AggViewRewrite
+      import org.apache.spark.sql.GraftBridge
+      val root = lifecycleDir("q252", d)
+      val tableDir = s"$root/orders"
+      Tables.orders(s, d).select(
+          col("o_orderpriority").as("pri"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(2).write.mode("overwrite").parquet(tableDir)
+      def base = s.read.parquet(tableDir)
+      AggView.buildIfAbsent(base, Seq("pri", "st"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/view", kbParts = 8)
+      AggViewRewrite.install(s)
+      AggViewRewrite.register(s, base, s"$root/view")
+      base.createOrReplaceTempView("graft_q252_tbl")
+      def sentinel(c: org.apache.spark.sql.Column) =
+        coalesce(c, lit("_T_"))
+      try {
+        val roll = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT pri, st, count(*) AS n,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q252_tbl
+                  |GROUP BY ROLLUP(pri, st)""".stripMargin)))
+          .select(lit("roll").as("leg"), sentinel(col("pri")).as("pri"),
+            sentinel(col("st")).as("st"), lit(-1L).as("gp"),
+            col("n"), col("sum_cents"))
+        val cube = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT pri, CAST(grouping(pri) AS BIGINT) AS gp,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q252_tbl
+                  |GROUP BY CUBE(pri)""".stripMargin)))
+          .select(lit("cube").as("leg"), sentinel(col("pri")).as("pri"),
+            lit("_").as("st"), col("gp"), lit(-1L).as("n"),
+            col("sum_cents"))
+        val sets = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT pri, st, sum(cents) AS sum_cents
+                  |FROM graft_q252_tbl
+                  |GROUP BY GROUPING SETS ((pri), (st), ())
+                  |""".stripMargin)))
+          .select(lit("sets").as("leg"), sentinel(col("pri")).as("pri"),
+            sentinel(col("st")).as("st"), lit(-1L).as("gp"),
+            lit(-1L).as("n"), col("sum_cents"))
+        val drv = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT substr(pri, 1, 1) AS p1, count(*) AS n
+                  |FROM graft_q252_tbl
+                  |GROUP BY ROLLUP(substr(pri, 1, 1))""".stripMargin)))
+          .select(lit("drv").as("leg"), sentinel(col("p1")).as("pri"),
+            lit("_").as("st"), lit(-1L).as("gp"), col("n"),
+            lit(-1L).as("sum_cents"))
+        def plansOntoView(df: DataFrame): Boolean = {
+          val roots = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources
+                .LogicalRelation => l.relation match {
+              case h: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+          }.flatten
+          roots.exists(_.contains(s"$root/view")) &&
+            !roots.exists(_.contains(tableDir))
+        }
+        require(plansOntoView(roll) && plansOntoView(cube) &&
+          plansOntoView(sets) && plansOntoView(drv),
+          "q252: a grouping-sets leg fell back to the fact scan")
+        roll.unionByName(cube).unionByName(sets).unionByName(drv)
+          .orderBy("leg", "pri", "st", "gp")
+      } finally AggViewRewrite.unregister(s"$root/view")
+    }),
+
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
       * ([[MergeOnRead.compact]] with `clusterBy`, [[MergeOnRead
       * .readWhere]]): a CDC lifecycle (create on 3/4, one batch of
@@ -2264,6 +2352,38 @@ object OperatorQueries {
         |    AS sum_cents
         |FROM t GROUP BY year(od)
         |ORDER BY leg, y, m, g""".stripMargin,
+    // every grouping-set leg replays directly: a grouping set served
+    // with the wrong slot mapping (a nulled key leaking a value, a
+    // mis-forwarded grouping id, a carrier miscount) lands in the
+    // hash
+    "q252_mv_grouping_sets" ->
+      """WITH t AS (SELECT o_orderpriority AS pri,
+        |    o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'roll' AS leg, coalesce(pri, '_T_') AS pri,
+        |  coalesce(st, '_T_') AS st, CAST(-1 AS BIGINT) AS gp,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY ROLLUP(pri, st)
+        |UNION ALL
+        |SELECT 'cube' AS leg, coalesce(pri, '_T_') AS pri,
+        |  '_' AS st, CAST(grouping(pri) AS BIGINT) AS gp,
+        |  CAST(-1 AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY CUBE(pri)
+        |UNION ALL
+        |SELECT 'sets' AS leg, coalesce(pri, '_T_') AS pri,
+        |  coalesce(st, '_T_') AS st, CAST(-1 AS BIGINT) AS gp,
+        |  CAST(-1 AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t GROUP BY GROUPING SETS ((pri), (st), ())
+        |UNION ALL
+        |SELECT 'drv' AS leg, coalesce(substr(pri, 1, 1), '_T_')
+        |    AS pri,
+        |  '_' AS st, CAST(-1 AS BIGINT) AS gp, count(*) AS n,
+        |  CAST(-1 AS BIGINT) AS sum_cents
+        |FROM t GROUP BY ROLLUP(substr(pri, 1, 1))
+        |ORDER BY leg, pri, st, gp""".stripMargin,
     // both star legs must equal the direct join aggregates — a
     // rollup serving from a stale or mis-joined view loses its join
     // multiplicity and lands in the hash

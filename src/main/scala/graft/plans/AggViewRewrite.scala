@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.{Inner => InnerJoinType, JoinType, LeftOuter, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join => LJoin, JoinHint, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join => LJoin, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.{Rule => CatalystRule}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.internal.SQLConf
@@ -947,6 +947,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
   private def tryRewrite(spark: SparkSession,
       agg0: Aggregate, memo: Memo): Option[Aggregate] = {
     val agg = inlineProjects(agg0)
+    // GROUPING SETS / ROLLUP / CUBE: the analyzer plans them as an
+    // Aggregate over an Expand — a different child shape with its
+    // own matcher
+    childExpand(agg.child) match {
+      case Some(ex) => return tryExpand(spark, agg, ex, memo)
+      case None => ()
+    }
     val flat = decompose(agg.child).flatMap { case (rel, id, filters) =>
       // star entries never serve a FLAT aggregate over the fact
       // alone: the view holds JOINED rows (inner-join multiplicity
@@ -963,6 +970,296 @@ object AggViewRewrite extends PredicateHelper with Logging {
         .collectFirst { case Some(a) => a }
     }
     flat.orElse(tryStar(spark, agg, memo))
+  }
+
+  /** The Expand directly under the aggregate (through attr-only
+    * projections), if any — the GROUPING SETS / ROLLUP / CUBE plan
+    * shape. */
+  private def childExpand(p: LogicalPlan): Option[Expand] = p match {
+    case e: Expand => Some(e)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      childExpand(c)
+    case _ => None
+  }
+
+  /** Serve a GROUPING SETS / ROLLUP / CUBE aggregate from a
+    * registered flat view. The analyzer plans these as
+    * `Aggregate(keys + gid, aggs, Expand(projections, base))`: each
+    * Expand projection is one grouping set — key slots carry the key
+    * expression or a null literal (the set's rolled-up keys), the
+    * `spark_grouping_id` slot an integer literal, and aggregate
+    * inputs ride in uniform pass-through slots. The serve replaces
+    * the base under the Expand with the VIEW and re-folds: key slots
+    * re-address to the view's key columns (nulls kept — the same
+    * sets), gid literals forward, and every aggregate re-aggregates
+    * through appended CARRIER slots (`cnt` and the matched measure
+    * columns pass through every projection), so `count(*)` becomes
+    * `sum(cnt-carrier)` etc. Sound for exactly the same reason the
+    * key-subset rollup is: each expanded view row stands for its
+    * fact rows' contribution to that grouping set, and every served
+    * aggregate is re-aggregation-shaped.
+    *
+    * Guards: uniform-or-nulled-or-literal slots only (the DISTINCT
+    * Expand rewrite has value-switching slots and refuses here);
+    * aggregate inputs may reference only never-nulled slots (a
+    * rolled-up key inside an aggregate would fold differently);
+    * grouping expressions may reference only key/literal slots;
+    * filters below the Expand obey the key-only rule and push into
+    * the view read. Derived rollup keys (`GROUP BY ROLLUP(f(key))`)
+    * work: the computed Project below the Expand inlines into the
+    * projections before matching. Flat registrations only; no kb
+    * pruning on this path (the serve still reads ≤ |groups| rows).
+    */
+  private def tryExpand(spark: SparkSession, agg: Aggregate,
+      ex: Expand, memo: Memo): Option[Aggregate] = {
+    // strip the expand child: inline computed projections INTO the
+    // slot expressions, collect deterministic filters, land on the
+    // relation
+    var projections: Seq[Seq[Expression]] = ex.projections
+    val filters = Seq.newBuilder[Expression]
+    def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+      case s: SubqueryAlias => strip(s.child)
+      case Project(pl, c)
+          if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+      case Project(pl, c) if pl.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.deterministic &&
+              !SubqueryExpression.hasSubquery(a.child)
+            case _ => false
+          } =>
+        val sub: Map[ExprId, Expression] = pl.collect {
+          case a: Alias => a.exprId -> a.child
+        }.toMap
+        projections = projections.map(_.map(_.transformUp {
+          case ar: AttributeReference if sub.contains(ar.exprId) =>
+            sub(ar.exprId)
+        }))
+        strip(c)
+      case Filter(cond, c) if cond.deterministic &&
+          !SubqueryExpression.hasSubquery(cond) =>
+        filters ++= splitConjunctivePredicates(cond); strip(c)
+      case l: LogicalRelation => Some(l)
+      case _ => None
+    }
+    val rel = strip(ex.child).getOrElse(return None)
+    val id = idOf(rel).getOrElse(return None)
+    val fs = filters.result()
+    val cands = registry.values.asScala
+      .filter(e => e.dims.isEmpty && pinFresh(e, id, memo)).toSeq
+      .sortBy(e => (e.decl.keys.size, e.viewPath))
+    cands.iterator
+      .map(e => expandRewriteWith(spark, agg, ex, projections, rel,
+        fs, e, memo))
+      .collectFirst { case Some(a) => a }
+  }
+
+  private def expandRewriteWith(spark: SparkSession, agg: Aggregate,
+      ex: Expand, projections: Seq[Seq[Expression]],
+      rel: LogicalRelation, filters: Seq[Expression], e: Entry,
+      memo: Memo): Option[Aggregate] = {
+    val cur = memo.declOf(e.viewPath).getOrElse(return None)
+    if (cur.version != e.version || cur.keys != e.decl.keys ||
+      cur.measures != e.decl.measures) return None
+
+    val resolver = SQLConf.get.resolver
+    val keyAttr: Map[String, Attribute] = e.decl.keys.flatMap { k =>
+      rel.output.find(a => resolver(a.name, k)).map(k -> _)
+    }.toMap
+    if (keyAttr.size != e.decl.keys.size) return None
+    val keyAttrSet = AttributeSet(keyAttr.values)
+    val keyNameOf: Map[ExprId, String] =
+      keyAttr.map { case (n, a) => a.exprId -> n }
+    if (!filters.forall(_.references.subsetOf(keyAttrSet))) return None
+
+    // classify slots: per column j, the distinct non-null-literal
+    // expressions across projections
+    final case class Slot(expr: Option[Expression], // uniform non-literal
+        nulled: Boolean, // some projection nulls it
+        literal: Boolean) // every non-null value is a literal
+    def isNullLit(x: Expression): Boolean = x match {
+      case Literal(null, _) => true
+      case _ => false
+    }
+    val nSlots = ex.output.size
+    if (projections.exists(_.size != nSlots)) return None
+    val slots: Seq[Slot] = (0 until nSlots).map { j =>
+      val vs = projections.map(_(j))
+      val nonNull = vs.filterNot(isNullLit)
+      if (nonNull.forall(_.isInstanceOf[Literal]))
+        Slot(None, vs.exists(isNullLit), literal = true)
+      else if (nonNull.map(_.canonicalized).distinct.size == 1 &&
+        nonNull.head.deterministic &&
+        !SubqueryExpression.hasSubquery(nonNull.head))
+        Slot(Some(nonNull.head), vs.exists(isNullLit), literal = false)
+      else return None
+    }
+    val slotOf: Map[ExprId, Int] =
+      ex.output.map(_.exprId).zipWithIndex.toMap
+    def isKeySlot(j: Int): Boolean = slots(j).expr.exists(x =>
+      x.references.nonEmpty && x.references.subsetOf(keyAttrSet))
+    // slots the upper plan may keep referencing: key-expression
+    // slots and literal (gid / constant) slots
+    val keptIdx: Seq[Int] = (0 until nSlots).filter(j =>
+      slots(j).literal || isKeySlot(j))
+    val keptIds: Set[ExprId] = keptIdx.map(ex.output(_).exprId).toSet
+
+    // grouping expressions may reference only kept slots
+    if (!agg.groupingExpressions.forall(g => g.deterministic &&
+      !SubqueryExpression.hasSubquery(g) &&
+      g.references.map(_.exprId).forall(keptIds))) return None
+
+    val ml = new MeasureLookup(spark, rel, e.decl)
+    if (!ml.complete) return None
+
+    val whereCol: Option[Column] = filters.reduceOption(And).map { c =>
+      GraftBridge.column(c.transform {
+        case a: AttributeReference if keyAttrSet.contains(a) =>
+          UnresolvedAttribute.quoted(keyNameOf(a.exprId))
+      })
+    }
+    val viewPlan = GraftBridge.analyzedPlan(
+      AggView.readFor(spark, e.viewPath, whereCol))
+    def vAttr(name: String): Attribute =
+      viewPlan.output.find(a => resolver(a.name, name)).get
+
+    // aggregate inputs substitute their slots with the slot's FACT
+    // expression — only never-nulled expression slots qualify (a
+    // rolled-up key inside an aggregate folds per grouping set, not
+    // per fact value)
+    def toFact(x: Expression): Option[Expression] = {
+      var ok = true
+      val r = x.transformUp {
+        case ar: AttributeReference if slotOf.contains(ar.exprId) =>
+          slots(slotOf(ar.exprId)) match {
+            case Slot(Some(fe), false, _) => fe
+            case _ => ok = false; ar
+          }
+      }
+      if (ok && r.references.subsetOf(AttributeSet(rel.output)))
+        Some(r)
+      else None
+    }
+
+    // carrier slots appended to every projection: the view column
+    // (cnt or a measure) passes through the new Expand to the
+    // re-aggregates above
+    val carriers =
+      mutable.LinkedHashMap.empty[String, (AttributeReference, Attribute)]
+    def carrier(name: String): AttributeReference =
+      carriers.getOrElseUpdate(name, {
+        val vA = vAttr(name)
+        (AttributeReference(s"__carry_$name", vA.dataType,
+          nullable = true)(), vA)
+      })._1
+
+    def rewriteAggE(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(children)
+            if children.nonEmpty &&
+              children.forall(c => c.foldable && c.eval() != null) =>
+          Some(Coalesce(Seq(
+            Sum(carrier("cnt")).toAggregateExpression(), Literal(0L))))
+        case Count(Seq(c)) if !c.foldable =>
+          toFact(c).flatMap(fc => ml.counterMeasure(fc)).map { n =>
+            Coalesce(Seq(
+              Sum(carrier(n)).toAggregateExpression(), Literal(0L)))
+          }
+        case a: Average if ae.dataType == DoubleType =>
+          for {
+            fc <- toFact(a.child)
+            sName <- ml.sumMeasure(fc.canonicalized)
+            cName <- ml.counterMeasure(fc)
+          } yield {
+            val s = Cast(Sum(carrier(sName)).toAggregateExpression(),
+              DoubleType)
+            val c = Cast(Sum(carrier(cName)).toAggregateExpression(),
+              DoubleType)
+            Divide(s,
+              If(EqualTo(c, Literal(0d)), Literal(null, DoubleType), c))
+          }
+        case s: Sum =>
+          toFact(s.child).flatMap(fc => ml.sumMeasure(fc.canonicalized))
+            .map { n =>
+              val re = Sum(carrier(n)).toAggregateExpression()
+              if (re.dataType == ae.dataType) re
+              else Cast(re, ae.dataType)
+            }
+        case m: Min =>
+          toFact(m.child)
+            .flatMap(fc => ml.measureFor(fc.canonicalized, "min"))
+            .map { n =>
+              val re = Min(carrier(n)).toAggregateExpression()
+              if (re.dataType == ae.dataType) re
+              else Cast(re, ae.dataType)
+            }
+        case m: Max =>
+          toFact(m.child)
+            .flatMap(fc => ml.measureFor(fc.canonicalized, "max"))
+            .map { n =>
+              val re = Max(carrier(n)).toAggregateExpression()
+              if (re.dataType == ae.dataType) re
+              else Cast(re, ae.dataType)
+            }
+        case _ => None
+      }
+    }
+
+    def rewriteE(expr: Expression): Option[Expression] = expr match {
+      case ae: AggregateExpression => rewriteAggE(ae)
+      case a: AttributeReference if keptIds(a.exprId) => Some(a)
+      case _: AttributeReference => None
+      case _: Literal => Some(expr)
+      case other =>
+        val kids = other.children.map(rewriteE)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    val newAggExprs: Seq[NamedExpression] =
+      agg.aggregateExpressions.map {
+        case a: AttributeReference if keptIds(a.exprId) => a
+        case al: Alias =>
+          rewriteE(al.child) match {
+            case Some(c) => Alias(c, al.name)(exprId = al.exprId)
+            case None => return None
+          }
+        case _ => return None
+      }
+
+    // the kept slots' key expressions, re-addressed to the view
+    val mappedKey: Map[Int, Expression] = keptIdx.flatMap { j =>
+      slots(j).expr.map { fe =>
+        j -> fe.transform {
+          case a: AttributeReference if keyAttrSet.contains(a) =>
+            vAttr(keyNameOf(a.exprId))
+        }
+      }
+    }.toMap
+    // dataType parity of every kept slot (a drifted view key type
+    // would corrupt the slot's output contract)
+    if (!keptIdx.forall(j => mappedKey.get(j).forall(
+      _.dataType == ex.output(j).dataType))) return None
+
+    val newProjections: Seq[Seq[Expression]] = projections.map { p =>
+      keptIdx.map { j =>
+        p(j) match {
+          case l: Literal => l // nulls and gid/constant literals
+          case _ => mappedKey(j)
+        }
+      } ++ carriers.values.map(_._2).toSeq
+    }
+    val newOutput: Seq[Attribute] =
+      keptIdx.map(ex.output(_)) ++ carriers.values.map(_._1).toSeq
+    val out = Aggregate(agg.groupingExpressions, newAggExprs,
+      Expand(newProjections, newOutput, viewPlan))
+
+    val same = out.output.size == agg.output.size &&
+      out.output.zip(agg.output).forall { case (n, o) =>
+        n.exprId == o.exprId && n.name == o.name &&
+          n.dataType == o.dataType
+      }
+    if (same) Some(out) else None
   }
 
   /** Try every STAR registration against the aggregate's join
@@ -1376,23 +1673,14 @@ object AggViewRewrite extends PredicateHelper with Logging {
 
     // optimizer-normalized measure expressions over THIS query's own
     // relation instance(s), keyed by canonical form
-    // several measures may normalize to ONE canonical expression
-    // (the same E declared as sum AND min AND max is the natural
-    // extrema view) — group, and look up BY KIND
-    val normalized: Seq[(Expression, AggView.Measure)] =
-      e.decl.measures.flatMap { m =>
-        normalizedMeasure(spark, anchor, m.sqlExpr).map(_ -> m)
-      }
-    if (!partial && normalized.size != e.decl.measures.size) return None
-    val measuresByExpr: Map[Expression, Seq[AggView.Measure]] =
-      normalized.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ml = new MeasureLookup(spark, anchor, e.decl)
+    if (!partial && !ml.complete) return None
     def measureFor(x: Expression, kind: String): Option[String] =
-      measuresByExpr.getOrElse(x, Nil).find(_.kind == kind)
-        .map(_.name)
+      ml.measureFor(x, kind)
     // sum-kind measures only — the null counter and every signed
     // rewrite path must never land on an append-only extremum
     def sumMeasure(x: Expression): Option[String] =
-      measureFor(x, "sum")
+      ml.sumMeasure(x)
 
     // kb partition prune when every key is pinned to a bounded value
     // set: each conjunct's value set is a SUPERSET of the matching
@@ -1540,25 +1828,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
       vOut.find(a => resolver(a.name, name)).get
     val cntAttr = vAttr("cnt")
 
-    // a NULL-COUNTER measure for expression E: a declared measure
-    // whose normalized form is `CASE WHEN E IS NULL THEN 0 ELSE 1
-    // END` (or the IF spelling) — what makes count(E) and avg(E)
-    // derivable from the rollup despite their null-skipping
-    // semantics. Probed on demand: the candidate counter is BUILT
-    // from the query's own (already-normalized) E and run through
-    // the same optimizer normal form the declared measures got.
-    def counterMeasure(e: Expression): Option[String] = {
-      def probe(x: Expression): Option[String] =
-        try {
-          val tiny = Project(Seq(Alias(x, "__m")()), anchor)
-          GraftBridge.optimize(spark, GraftBridge.analyze(spark, tiny))
-            .collectFirst { case Project(Seq(a: Alias), _) =>
-              a.child.canonicalized
-            }.flatMap(sumMeasure)
-        } catch { case NonFatal(_) => None }
-      probe(CaseWhen(Seq((IsNull(e), Literal(0))), Some(Literal(1))))
-        .orElse(probe(If(IsNull(e), Literal(0), Literal(1))))
-    }
+    def counterMeasure(e: Expression): Option[String] =
+      ml.counterMeasure(e)
 
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = {
       // a FILTER clause over KEY columns only commutes with the
@@ -1696,6 +1967,50 @@ object AggViewRewrite extends PredicateHelper with Logging {
         n.exprId == o.exprId && n.name == o.name && n.dataType == o.dataType
       }
     if (same) Some(out) else None
+  }
+
+  /** Canonical-form resolution of query expressions against the
+    * view's declared measures — shared by the flat/star serve path
+    * ([[rewriteWith]]) and the grouping-sets path
+    * ([[expandRewriteWith]]). Several measures may normalize to ONE
+    * canonical expression (the same E declared as sum AND min AND
+    * max is the natural extrema view) — grouped, looked up BY KIND.
+    */
+  private final class MeasureLookup(spark: SparkSession,
+      anchor: LogicalPlan, decl: AggView.Decl) {
+    private val normalized: Seq[(Expression, AggView.Measure)] =
+      decl.measures.flatMap { m =>
+        normalizedMeasure(spark, anchor, m.sqlExpr).map(_ -> m)
+      }
+    /** Every declared measure resolved against this anchor — required
+      * for full matches; a PARTIAL star match resolves only the
+      * measures living on its matched scope. */
+    val complete: Boolean = normalized.size == decl.measures.size
+    private val byExpr: Map[Expression, Seq[AggView.Measure]] =
+      normalized.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def measureFor(x: Expression, kind: String): Option[String] =
+      byExpr.getOrElse(x, Nil).find(_.kind == kind).map(_.name)
+    def sumMeasure(x: Expression): Option[String] = measureFor(x, "sum")
+    /** E's NULL-COUNTER measure: a declared measure whose normalized
+      * form is `CASE WHEN E IS NULL THEN 0 ELSE 1 END` (or the IF
+      * spelling) — what makes count(E) and avg(E) derivable from the
+      * rollup despite their null-skipping semantics. Probed on
+      * demand: the candidate counter is BUILT from the query's own
+      * (already-normalized) E and run through the same optimizer
+      * normal form the declared measures got.
+      */
+    def counterMeasure(e: Expression): Option[String] = {
+      def probe(x: Expression): Option[String] =
+        try {
+          val tiny = Project(Seq(Alias(x, "__m")()), anchor)
+          GraftBridge.optimize(spark, GraftBridge.analyze(spark, tiny))
+            .collectFirst { case Project(Seq(a: Alias), _) =>
+              a.child.canonicalized
+            }.flatMap(sumMeasure)
+        } catch { case NonFatal(_) => None }
+      probe(CaseWhen(Seq((IsNull(e), Literal(0))), Some(Literal(1))))
+        .orElse(probe(If(IsNull(e), Literal(0), Literal(1))))
+    }
   }
 
   /** Parse, analyze, and optimizer-normalize one measure expression

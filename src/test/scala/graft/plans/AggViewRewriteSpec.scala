@@ -261,6 +261,55 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scannedRoots(g3).exists(_.contains(viewDir)))
   }
 
+  test("ROLLUP / CUBE / GROUPING SETS serve from the view through " +
+      "the Expand shape: grouping-set key slots re-address, gid " +
+      "forwards, aggregates re-fold through carrier slots; derived " +
+      "rollup keys and key filters work; a rolled-up key inside an " +
+      "aggregate refuses") {
+    AggViewRewrite.clear()
+    val served = Seq(
+      // plain rollup over both keys with count/sum/avg
+      """SELECT k, g, count(*) AS c, sum(CAST(x * 2 AS BIGINT)) AS s2x,
+        |  avg(x) AS ax
+        |FROM mvspec_base GROUP BY ROLLUP(k, g)""".stripMargin,
+      // cube with grouping() and grouping_id() expressions over gid
+      """SELECT k, g, grouping(k) AS gk, grouping_id(k, g) AS gid,
+        |  count(*) AS c
+        |FROM mvspec_base GROUP BY CUBE(k, g)""".stripMargin,
+      // explicit grouping sets incl. the grand total
+      """SELECT k, g, sum(y) AS sy
+        |FROM mvspec_base
+        |GROUP BY GROUPING SETS ((k), (g), ())""".stripMargin,
+      // a derived rollup key (computed Project below the Expand)
+      """SELECT substr(k, 2, 1) AS kd, count(*) AS c
+        |FROM mvspec_base GROUP BY ROLLUP(substr(k, 2, 1))""".stripMargin,
+      // a key-only WHERE below the Expand
+      """SELECT k, g, count(*) AS c
+        |FROM mvspec_base WHERE k <> 'k3'
+        |GROUP BY ROLLUP(k, g)""".stripMargin)
+    val truths = served.map(q => sorted(sql(q)))
+    register()
+    served.zip(truths).foreach { case (q, truth) =>
+      val r = sql(q)
+      assert(hitsView(r), s"$q\n${GraftBridge.optimizedPlan(r)}")
+      assert(sorted(r) == truth, q)
+    }
+    // a rolled-up key inside an aggregate folds per grouping set,
+    // never servable from the rollup
+    val r1 = sql("""SELECT g, count(k) AS ck
+                   |FROM mvspec_base GROUP BY ROLLUP(g, k)""".stripMargin)
+    assert(!scannedRoots(r1).exists(_.contains(viewDir)))
+    // a non-key WHERE below the Expand refuses
+    val r2 = sql("""SELECT k, count(*) AS c
+                   |FROM mvspec_base WHERE y > 10
+                   |GROUP BY ROLLUP(k)""".stripMargin)
+    assert(!scannedRoots(r2).exists(_.contains(viewDir)))
+    // a non-measure sum through the Expand refuses
+    val r3 = sql("""SELECT k, sum(CAST(x * 3 AS BIGINT)) AS s
+                   |FROM mvspec_base GROUP BY ROLLUP(k)""".stripMargin)
+    assert(!scannedRoots(r3).exists(_.contains(viewDir)))
+  }
+
   test("shape hazards refuse: non-key filter, non-measure sum, avg, " +
       "distinct, count(nullable col)") {
     AggViewRewrite.clear()
