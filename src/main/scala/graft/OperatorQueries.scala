@@ -1433,12 +1433,16 @@ object OperatorQueries {
       * and the aggregates re-fold through appended carrier slots —
       * (2) a single-key CUBE with a `grouping(pri)` expression over
       * the gid slot, (3) explicit GROUPING SETS including the grand
-      * total, and (4) a DERIVED rollup key
+      * total, (4) a DERIVED rollup key
       * (`ROLLUP(substr(pri,1,1))` — the computed projection below
-      * the Expand inlines before matching). NULL group keys coalesce
-      * to sentinels outside the asserted plan so both engines order
-      * identically. Every leg asserts in-query that the plan scans
-      * the VIEW, not the fact.
+      * the Expand inlines before matching), and (5) a ROLLUP over a
+      * STAR join (`orders ⋈ priority-dim GROUP BY ROLLUP(band,
+      * st)`) served from a star view — the Expand matcher composes
+      * with [[graft.plans.AggViewRewrite.registerStar]]'s join
+      * matching, so the plan skips the scan AND the join. NULL
+      * group keys coalesce to sentinels outside the asserted plan
+      * so both engines order identically. Every leg asserts
+      * in-query that the plan scans the VIEW, not the fact.
       */
     "q252_mv_grouping_sets" -> ((s, d) => {
       import graft.operators.AggView
@@ -1455,9 +1459,21 @@ object OperatorQueries {
       AggView.buildIfAbsent(base, Seq("pri", "st"),
         Seq(AggView.Measure("sum_cents", "cents")),
         s"$root/view", kbParts = 8)
+      // the star: a tiny priority dimension (pri2 -> band) joined on
+      // the fact's pri, with its own (band, st)-keyed rollup
+      base.select(col("pri").as("pri2")).distinct()
+        .withColumn("band", substring(col("pri2"), 1, 1))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/dim")
+      def dim = s.read.parquet(s"$root/dim")
+      def starDims = Seq(AggView.StarDim(dim, Seq(("pri", "pri2"))))
+      AggView.buildStarIfAbsent(base, starDims, Seq("band", "st"),
+        Seq(AggView.Measure("sum_cents", "cents")),
+        s"$root/vstar", kbParts = 8)
       AggViewRewrite.install(s)
       AggViewRewrite.register(s, base, s"$root/view")
+      AggViewRewrite.registerStar(s, base, starDims, s"$root/vstar")
       base.createOrReplaceTempView("graft_q252_tbl")
+      dim.createOrReplaceTempView("graft_q252_dim")
       def sentinel(c: org.apache.spark.sql.Column) =
         coalesce(c, lit("_T_"))
       try {
@@ -1492,7 +1508,17 @@ object OperatorQueries {
           .select(lit("drv").as("leg"), sentinel(col("p1")).as("pri"),
             lit("_").as("st"), lit(-1L).as("gp"), col("n"),
             lit(-1L).as("sum_cents"))
-        def plansOntoView(df: DataFrame): Boolean = {
+        val star = GraftBridge.ofRows(s, GraftBridge.optimizedPlan(
+          s.sql("""SELECT band, st, count(*) AS n,
+                  |  sum(cents) AS sum_cents
+                  |FROM graft_q252_tbl
+                  |JOIN graft_q252_dim ON pri = pri2
+                  |GROUP BY ROLLUP(band, st)""".stripMargin)))
+          .select(lit("star").as("leg"),
+            sentinel(col("band")).as("pri"),
+            sentinel(col("st")).as("st"), lit(-1L).as("gp"),
+            col("n"), col("sum_cents"))
+        def plansOnto(df: DataFrame, view: String): Boolean = {
           val roots = df.queryExecution.optimizedPlan.collect {
             case l: org.apache.spark.sql.execution.datasources
                 .LogicalRelation => l.relation match {
@@ -1502,15 +1528,22 @@ object OperatorQueries {
               case _ => Nil
             }
           }.flatten
-          roots.exists(_.contains(s"$root/view")) &&
+          roots.exists(_.contains(view)) &&
             !roots.exists(_.contains(tableDir))
         }
+        def plansOntoView(df: DataFrame): Boolean =
+          plansOnto(df, s"$root/view")
         require(plansOntoView(roll) && plansOntoView(cube) &&
-          plansOntoView(sets) && plansOntoView(drv),
+          plansOntoView(sets) && plansOntoView(drv) &&
+          plansOnto(star, s"$root/vstar"),
           "q252: a grouping-sets leg fell back to the fact scan")
         roll.unionByName(cube).unionByName(sets).unionByName(drv)
+          .unionByName(star)
           .orderBy("leg", "pri", "st", "gp")
-      } finally AggViewRewrite.unregister(s"$root/view")
+      } finally {
+        AggViewRewrite.unregister(s"$root/view")
+        AggViewRewrite.unregister(s"$root/vstar")
+      }
     }),
 
     /** Merge-on-read CLUSTERED COMPACTION + zone-map-pruned read
@@ -2383,6 +2416,14 @@ object OperatorQueries {
         |  '_' AS st, CAST(-1 AS BIGINT) AS gp, count(*) AS n,
         |  CAST(-1 AS BIGINT) AS sum_cents
         |FROM t GROUP BY ROLLUP(substr(pri, 1, 1))
+        |UNION ALL
+        |SELECT 'star' AS leg, coalesce(band, '_T_') AS pri,
+        |  coalesce(st, '_T_') AS st, CAST(-1 AS BIGINT) AS gp,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM t JOIN (SELECT DISTINCT o_orderpriority AS pri2,
+        |    substr(o_orderpriority, 1, 1) AS band FROM orders) d
+        |  ON pri = pri2
+        |GROUP BY ROLLUP(band, st)
         |ORDER BY leg, pri, st, gp""".stripMargin,
     // both star legs must equal the direct join aggregates — a
     // rollup serving from a stale or mis-joined view loses its join

@@ -1007,8 +1007,13 @@ object AggViewRewrite extends PredicateHelper with Logging {
     * filters below the Expand obey the key-only rule and push into
     * the view read. Derived rollup keys (`GROUP BY ROLLUP(f(key))`)
     * work: the computed Project below the Expand inlines into the
-    * projections before matching. Flat registrations only; no kb
-    * pruning on this path (the serve still reads ≤ |groups| rows).
+    * projections before matching. STAR registrations serve too — a
+    * rollup over the declared join subtree matches via
+    * [[matchStar]] with the join's output as the key scope
+    * (partial-star rules included), so `GROUP BY ROLLUP(dim_col,
+    * fact_col)` over `fact ⋈ dims` reads the view, skipping scan
+    * AND joins. No kb pruning on this path (the serve still reads
+    * ≤ |groups| rows).
     */
   private def tryExpand(spark: SparkSession, agg: Aggregate,
       ex: Expand, memo: Memo): Option[Aggregate] = {
@@ -1017,7 +1022,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     // relation
     var projections: Seq[Seq[Expression]] = ex.projections
     val filters = Seq.newBuilder[Expression]
-    def strip(p: LogicalPlan): Option[LogicalRelation] = p match {
+    def strip(p: LogicalPlan): Option[LogicalPlan] = p match {
       case s: SubqueryAlias => strip(s.child)
       case Project(pl, c)
           if pl.forall(_.isInstanceOf[AttributeReference]) => strip(c)
@@ -1039,33 +1044,58 @@ object AggViewRewrite extends PredicateHelper with Logging {
           !SubqueryExpression.hasSubquery(cond) =>
         filters ++= splitConjunctivePredicates(cond); strip(c)
       case l: LogicalRelation => Some(l)
+      case j: LJoin => Some(j)
       case _ => None
     }
-    val rel = strip(ex.child).getOrElse(return None)
-    val id = idOf(rel).getOrElse(return None)
-    val fs = filters.result()
-    val cands = registry.values.asScala
-      .filter(e => e.dims.isEmpty && pinFresh(e, id, memo)).toSeq
-      .sortBy(e => (e.decl.keys.size, e.viewPath))
-    cands.iterator
-      .map(e => expandRewriteWith(spark, agg, ex, projections, rel,
-        fs, e, memo))
-      .collectFirst { case Some(a) => a }
+    strip(ex.child) match {
+      case Some(rel: LogicalRelation) =>
+        val id = idOf(rel).getOrElse(return None)
+        val fs = filters.result()
+        val cands = registry.values.asScala
+          .filter(e => e.dims.isEmpty && pinFresh(e, id, memo)).toSeq
+          .sortBy(e => (e.decl.keys.size, e.viewPath))
+        cands.iterator
+          .map(e => expandRewriteWith(spark, agg, ex, projections,
+            rel.output, rel, fs, e, memo))
+          .collectFirst { case Some(a) => a }
+      case Some(j: LJoin) =>
+        // ROLLUP/CUBE over a STAR join: match the join subtree
+        // against every star registration, then run the same
+        // Expand serve with the join's output as the key scope and
+        // the synthetic join anchor for measure resolution
+        val fs = filters.result()
+        val stars = registry.values.asScala.filter(_.dims.nonEmpty)
+          .toSeq.sortBy(e => (e.decl.keys.size, e.viewPath))
+        stars.iterator.map { e =>
+          matchStar(spark, j, e, memo).flatMap {
+            case (factRel, matchedDims, starFilters) =>
+              starAnchor(factRel, matchedDims).flatMap { anchor =>
+                val outAttrs = factRel.output ++
+                  matchedDims.flatMap(_._2.output)
+                expandRewriteWith(spark, agg, ex, projections,
+                  outAttrs, anchor, fs ++ starFilters, e, memo,
+                  partial = matchedDims.size < e.dims.size)
+              }
+          }
+        }.collectFirst { case Some(a) => a }
+      case _ => None
+    }
   }
 
   private def expandRewriteWith(spark: SparkSession, agg: Aggregate,
       ex: Expand, projections: Seq[Seq[Expression]],
-      rel: LogicalRelation, filters: Seq[Expression], e: Entry,
-      memo: Memo): Option[Aggregate] = {
+      outAttrs: Seq[Attribute], anchor: LogicalPlan,
+      filters: Seq[Expression], e: Entry,
+      memo: Memo, partial: Boolean = false): Option[Aggregate] = {
     val cur = memo.declOf(e.viewPath).getOrElse(return None)
     if (cur.version != e.version || cur.keys != e.decl.keys ||
       cur.measures != e.decl.measures) return None
 
     val resolver = SQLConf.get.resolver
     val keyAttr: Map[String, Attribute] = e.decl.keys.flatMap { k =>
-      rel.output.find(a => resolver(a.name, k)).map(k -> _)
+      outAttrs.find(a => resolver(a.name, k)).map(k -> _)
     }.toMap
-    if (keyAttr.size != e.decl.keys.size) return None
+    if (!partial && keyAttr.size != e.decl.keys.size) return None
     val keyAttrSet = AttributeSet(keyAttr.values)
     val keyNameOf: Map[ExprId, String] =
       keyAttr.map { case (n, a) => a.exprId -> n }
@@ -1108,8 +1138,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
       !SubqueryExpression.hasSubquery(g) &&
       g.references.map(_.exprId).forall(keptIds))) return None
 
-    val ml = new MeasureLookup(spark, rel, e.decl)
-    if (!ml.complete) return None
+    val ml = new MeasureLookup(spark, anchor, e.decl)
+    if (!partial && !ml.complete) return None
 
     val whereCol: Option[Column] = filters.reduceOption(And).map { c =>
       GraftBridge.column(c.transform {
@@ -1135,7 +1165,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
             case _ => ok = false; ar
           }
       }
-      if (ok && r.references.subsetOf(AttributeSet(rel.output)))
+      if (ok && r.references.subsetOf(AttributeSet(outAttrs)))
         Some(r)
       else None
     }

@@ -128,6 +128,34 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     AggViewRewrite.clear()
   }
 
+  test("ROLLUP / GROUPING SETS over the star join serve from the " +
+      "view through the Expand shape; a rollup over a PARTIAL star " +
+      "needs proveDims and refuses without it") {
+    AggViewRewrite.clear()
+    mkViews()
+    val roll = s"""SELECT brand, nat, count(*) AS c, sum(x) AS sx
+                  |$joinSql GROUP BY ROLLUP(brand, nat)""".stripMargin
+    val sets = s"""SELECT brand, nat, sum(x) AS sx
+                  |$joinSql
+                  |GROUP BY GROUPING SETS ((brand), (nat), ())
+                  |""".stripMargin
+    val truths = Seq(roll, sets).map(x => sorted(spark.sql(x)))
+    registerStar()
+    Seq(roll, sets).zip(truths).foreach { case (x, truth) =>
+      val r = spark.sql(x)
+      assert(hitsView(r), s"$x\n${r.queryExecution.optimizedPlan}")
+      assert(sorted(r) == truth, x)
+    }
+    // a rollup joining only ONE declared dim is a PARTIAL star:
+    // without proveDims it must refuse (inner multiplicity)
+    val part = """SELECT brand, count(*) AS c
+                 |FROM star_fact JOIN star_d1 ON pk = d1k
+                 |GROUP BY ROLLUP(brand)""".stripMargin
+    assert(!scannedRoots(spark.sql(part)).exists(_.contains(viewDir)),
+      spark.sql(part).queryExecution.optimizedPlan)
+    AggViewRewrite.clear()
+  }
+
   test("a key-equality probe on the join aggregate kb-prunes; the " +
       "inner join's inferred isnotnull(join key) is dropped as " +
       "tautological") {
@@ -372,11 +400,16 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probeQ = """SELECT brand, sum(x) AS sx
                    |FROM sp_fact JOIN sp_d1 ON pk = d1k
                    |WHERE brand = 'b1' GROUP BY brand""".stripMargin
-    val truths = Seq(partialQ, flatQ, probeQ)
+    // a ROLLUP over the partial star: the Expand path under the
+    // same proveDims license
+    val rollQ = """SELECT brand, count(*) AS c, sum(x) AS sx
+                  |FROM sp_fact JOIN sp_d1 ON pk = d1k
+                  |GROUP BY ROLLUP(brand)""".stripMargin
+    val truths = Seq(partialQ, flatQ, probeQ, rollQ)
       .map(x => sorted(spark.sql(x)))
     // WITHOUT the proof: partial and flat queries fall back
     AggViewRewrite.registerStar(spark, f, dims, s"$r2/view")
-    Seq(partialQ, flatQ).foreach { x =>
+    Seq(partialQ, flatQ, rollQ).foreach { x =>
       assert(!scannedRoots(spark.sql(x))
         .exists(_.contains(s"$r2/view")), x)
     }
@@ -386,7 +419,7 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
       proveDims = true)
     assert(AggViewRewrite.status(spark).collect()
       .head.getString(1).contains("(neutral)"))
-    Seq(partialQ, flatQ, probeQ).zip(truths).foreach {
+    Seq(partialQ, flatQ, probeQ, rollQ).zip(truths).foreach {
       case (x, truth) =>
         val r = spark.sql(x)
         val roots = scannedRoots(r)
