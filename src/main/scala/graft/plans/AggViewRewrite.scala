@@ -1148,7 +1148,8 @@ object AggViewRewrite extends PredicateHelper with Logging {
       })
     }
     val viewPlan = GraftBridge.analyzedPlan(
-      AggView.readFor(spark, e.viewPath, whereCol))
+      AggView.readFor(spark, e.viewPath, whereCol,
+        kbPartsFor(filters, keyAttrSet, keyNameOf, e)))
     def vAttr(name: String): Attribute =
       viewPlan.output.find(a => resolver(a.name, name)).get
 
@@ -1652,66 +1653,16 @@ object AggViewRewrite extends PredicateHelper with Logging {
     case _ => Literal(x)
   }
 
-  /** The shared rewrite for flat and star entries: `outAttrs` is the
-    * scope key names resolve in (the relation's output, or the join
-    * output for a star), `anchor` the plan measures normalize
-    * against (the relation node, or the synthetic join over the
-    * query's own relation nodes). `partial` marks a PARTIAL-star
-    * serve: view keys and measures living on the left-out (neutral)
-    * dims do not resolve in the partial scope — the keys simply roll
-    * up (the query cannot group or filter on what it never joined)
-    * and the measures drop out of the lookup; in a full match both
-    * stay strict, so a resolution failure falls back instead of
-    * serving.
+  /** The kb partition prune for key-only filter conjuncts over one
+    * registration: the enumerable hash path (equality / IN-list /
+    * bounded integral-or-date range conjuncts, ≤ 256 combinations
+    * replaying the writer's xxhash64) or, failing that, the
+    * key-zone path. Shared by the flat/star serve and the
+    * grouping-sets (Expand) path.
     */
-  private def rewriteWith(spark: SparkSession, agg: Aggregate,
-      outAttrs: Seq[Attribute], anchor: LogicalPlan,
-      filters: Seq[Expression], e: Entry,
-      memo: Memo, partial: Boolean = false): Option[Aggregate] = {
-    // view freshness pin: manifest version + declaration unchanged
-    val cur = memo.declOf(e.viewPath).getOrElse(return None)
-    if (cur.version != e.version || cur.keys != e.decl.keys ||
-      cur.measures != e.decl.measures) return None
-
-    val resolver = SQLConf.get.resolver
-    // key name (manifest spelling) -> base attribute
-    val keyAttr: Map[String, Attribute] = e.decl.keys.flatMap { k =>
-      outAttrs.find(a => resolver(a.name, k)).map(k -> _)
-    }.toMap
-    if (!partial && keyAttr.size != e.decl.keys.size) return None
-    val keyAttrSet = AttributeSet(keyAttr.values)
-    val keyNameOf: Map[ExprId, String] =
-      keyAttr.map { case (n, a) => a.exprId -> n }
-
-    // filters may touch keys only
-    if (!filters.forall(_.references.subsetOf(keyAttrSet))) return None
-
-    // grouping expressions: key attributes, or any DETERMINISTIC
-    // subquery-free expression over key attributes only — a
-    // DERIVED-KEY rollup (month(day_key), substr(brand, 1, 4), …).
-    // Coarser-than-key grouping is sound because every aggregate
-    // this rewrite serves is re-aggregation-shaped already: the view
-    // holds one row per FULL key tuple, and the emitted Aggregate
-    // re-folds those rows under the derived groups (partial sums
-    // re-sum, extrema re-fold, counters re-sum) exactly as the
-    // direct plan folds the fact rows
-    val groupExprs: Seq[Expression] = agg.groupingExpressions.map {
-      case g if g.deterministic && !SubqueryExpression.hasSubquery(g)
-          && g.references.subsetOf(keyAttrSet) => g
-      case _ => return None
-    }
-
-    // optimizer-normalized measure expressions over THIS query's own
-    // relation instance(s), keyed by canonical form
-    val ml = new MeasureLookup(spark, anchor, e.decl)
-    if (!partial && !ml.complete) return None
-    def measureFor(x: Expression, kind: String): Option[String] =
-      ml.measureFor(x, kind)
-    // sum-kind measures only — the null counter and every signed
-    // rewrite path must never land on an append-only extremum
-    def sumMeasure(x: Expression): Option[String] =
-      ml.sumMeasure(x)
-
+  private def kbPartsFor(filters: Seq[Expression],
+      keyAttrSet: AttributeSet, keyNameOf: Map[ExprId, String],
+      e: Entry): Option[Seq[Int]] = {
     // kb partition prune when every key is pinned to a bounded value
     // set: each conjunct's value set is a SUPERSET of the matching
     // rows' key values, so when several conjuncts pin one key, any of
@@ -1839,6 +1790,72 @@ object AggViewRewrite extends PredicateHelper with Logging {
         }
       }
 
+    parts.orElse(zoneParts)
+  }
+
+  /** The shared rewrite for flat and star entries: `outAttrs` is the
+    * scope key names resolve in (the relation's output, or the join
+    * output for a star), `anchor` the plan measures normalize
+    * against (the relation node, or the synthetic join over the
+    * query's own relation nodes). `partial` marks a PARTIAL-star
+    * serve: view keys and measures living on the left-out (neutral)
+    * dims do not resolve in the partial scope — the keys simply roll
+    * up (the query cannot group or filter on what it never joined)
+    * and the measures drop out of the lookup; in a full match both
+    * stay strict, so a resolution failure falls back instead of
+    * serving.
+    */
+  private def rewriteWith(spark: SparkSession, agg: Aggregate,
+      outAttrs: Seq[Attribute], anchor: LogicalPlan,
+      filters: Seq[Expression], e: Entry,
+      memo: Memo, partial: Boolean = false): Option[Aggregate] = {
+    // view freshness pin: manifest version + declaration unchanged
+    val cur = memo.declOf(e.viewPath).getOrElse(return None)
+    if (cur.version != e.version || cur.keys != e.decl.keys ||
+      cur.measures != e.decl.measures) return None
+
+    val resolver = SQLConf.get.resolver
+    // key name (manifest spelling) -> base attribute
+    val keyAttr: Map[String, Attribute] = e.decl.keys.flatMap { k =>
+      outAttrs.find(a => resolver(a.name, k)).map(k -> _)
+    }.toMap
+    if (!partial && keyAttr.size != e.decl.keys.size) return None
+    val keyAttrSet = AttributeSet(keyAttr.values)
+    val keyNameOf: Map[ExprId, String] =
+      keyAttr.map { case (n, a) => a.exprId -> n }
+
+    // filters may touch keys only
+    if (!filters.forall(_.references.subsetOf(keyAttrSet))) return None
+
+    // grouping expressions: key attributes, or any DETERMINISTIC
+    // subquery-free expression over key attributes only — a
+    // DERIVED-KEY rollup (month(day_key), substr(brand, 1, 4), …).
+    // Coarser-than-key grouping is sound because every aggregate
+    // this rewrite serves is re-aggregation-shaped already: the view
+    // holds one row per FULL key tuple, and the emitted Aggregate
+    // re-folds those rows under the derived groups (partial sums
+    // re-sum, extrema re-fold, counters re-sum) exactly as the
+    // direct plan folds the fact rows
+    val groupExprs: Seq[Expression] = agg.groupingExpressions.map {
+      case g if g.deterministic && !SubqueryExpression.hasSubquery(g)
+          && g.references.subsetOf(keyAttrSet) => g
+      case _ => return None
+    }
+
+    // optimizer-normalized measure expressions over THIS query's own
+    // relation instance(s), keyed by canonical form
+    val ml = new MeasureLookup(spark, anchor, e.decl)
+    if (!partial && !ml.complete) return None
+    def measureFor(x: Expression, kind: String): Option[String] =
+      ml.measureFor(x, kind)
+    // sum-kind measures only — the null counter and every signed
+    // rewrite path must never land on an append-only extremum
+    def sumMeasure(x: Expression): Option[String] =
+      ml.sumMeasure(x)
+
+    val parts: Option[Seq[Int]] =
+      kbPartsFor(filters, keyAttrSet, keyNameOf, e)
+
     // the pushed key predicate, re-addressed to the view's columns
     val whereCol: Option[Column] = filters.reduceOption(And).map { c =>
       GraftBridge.column(c.transform {
@@ -1848,8 +1865,7 @@ object AggViewRewrite extends PredicateHelper with Logging {
     }
 
     val viewPlan = GraftBridge.analyzedPlan(
-      AggView.readFor(spark, e.viewPath, whereCol,
-        parts.orElse(zoneParts)))
+      AggView.readFor(spark, e.viewPath, whereCol, parts))
     val vOut = viewPlan.output
     // .get: a missing column is impossible by construction (readFor
     // serves keys/cnt/measures); if it ever happens the Rule-level

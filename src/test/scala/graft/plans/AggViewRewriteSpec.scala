@@ -294,6 +294,20 @@ class AggViewRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(hitsView(r), s"$q\n${GraftBridge.optimizedPlan(r)}")
       assert(sorted(r) == truth, q)
     }
+    // a key-complete equality filter under the rollup kb-prunes the
+    // served read (the shared kbPartsFor path)
+    val pruned = sql("""SELECT k, g, count(*) AS c
+                       |FROM mvspec_base WHERE k = 'k1' AND g = 'g0'
+                       |GROUP BY ROLLUP(k, g)""".stripMargin)
+    assert(hitsView(pruned))
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [kb"),
+      pruned.queryExecution.executedPlan.toString)
+    // base data: k = k(i%3), g = g(i%2) over 300 rows → (k1, g0) has
+    // the i ≡ 4 (mod 6) rows: 50 — in all three rollup sets
+    assert(sorted(pruned) ==
+      Seq("[k1,g0,50]", "[k1,null,50]", "[null,null,50]").sorted,
+      sorted(pruned))
     // a rolled-up key inside an aggregate folds per grouping set,
     // never servable from the rollup
     val r1 = sql("""SELECT g, count(k) AS ck

@@ -118,11 +118,16 @@ class StarViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sub = s"""SELECT nat, count(*) AS c, sum(x) AS sx
                  |$joinSql GROUP BY nat""".stripMargin
     val glob = s"SELECT count(*) AS c, sum(x) AS sx $joinSql"
-    val truths = Seq(q, sub, glob).map(x => sorted(spark.sql(x)))
+    // the shared serve path: DERIVED-key grouping and DISTINCT over
+    // a view key work over the star too
+    val drv = s"""SELECT substr(brand, 2, 1) AS bd,
+                 |  count(DISTINCT nat) AS dn, sum(x) AS sx
+                 |$joinSql GROUP BY substr(brand, 2, 1)""".stripMargin
+    val truths = Seq(q, sub, glob, drv).map(x => sorted(spark.sql(x)))
     registerStar()
-    Seq(q, sub, glob).zip(truths).foreach { case (x, truth) =>
+    Seq(q, sub, glob, drv).zip(truths).foreach { case (x, truth) =>
       val r = spark.sql(x)
-      assert(hitsView(r), r.queryExecution.optimizedPlan)
+      assert(hitsView(r), s"$x\n${r.queryExecution.optimizedPlan}")
       assert(sorted(r) == truth, x)
     }
     AggViewRewrite.clear()
