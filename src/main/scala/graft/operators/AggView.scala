@@ -162,6 +162,9 @@ object AggView {
       root: String): Unit = {
     require(sign == 1 || !mf.appendOnlyMeasures,
       "negated deltas are undefined for min/max measures")
+    // deliberately NOT Par.widen'd: the grouped partial sum is one or
+    // two sums per row (scan-bound), and this path also runs per
+    // append on small deltas where an extra exchange is pure overhead
     projected(facts, mf)
       .groupBy(mf.keys.map(col): _*)
       .agg((count(lit(1)) * sign).as("__cnt"),

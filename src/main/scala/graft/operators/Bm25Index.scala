@@ -96,28 +96,37 @@ object Bm25Index {
     */
   private def writeTables(docs: DataFrame, textCol: String,
       idCol: String, sign: Int, mf: Manifest, root: String): Long = {
+    // EAGER checkpoint (was lazy): the three consumers below now run
+    // concurrently, and a lazy checkpoint's first-action race would
+    // let two of them compute the tokenize pass twice
     val toks = docs.select(col(idCol),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"),
         xxhash64(col(idCol), col(textCol)).as("__ch"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // repartition on the bucket column before each partitioned write:
     // one file per bucket instead of (tasks × buckets) tiny files —
-    // the write commit and every later pruned read pay per-file costs
-    toks.select(col(idCol), explode(col("__toks")).as("__t"))
+    // the write commit and every later pruned read pay per-file
+    // costs. The two writes and the total are independent given the
+    // checkpoint — run them CONCURRENTLY (guide §2.6)
+    val writeTf = () => toks
+      .select(col(idCol), explode(col("__toks")).as("__t"))
       .groupBy(idCol, "__t")
       .agg((count(lit(1)) * sign).as("__tf"))
       .withColumn("tb",
         pmod(xxhash64(col("__t")), lit(mf.tbParts)).cast("int"))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$root/tf")
-    toks.select(col(idCol), size(col("__toks")).as("__dl"),
+    val writeDl = () => toks
+      .select(col(idCol), size(col("__toks")).as("__dl"),
         col("__ch"), lit(sign).as("__w"))
       .withColumn("dlb", dlbCol(col(idCol), mf))
       .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb").parquet(s"$root/dl")
-    val total = toks
+    @volatile var total = 0L
+    val sumDl = () => total = toks
       .agg(coalesce(sum(size(col("__toks")).cast("long")), lit(0L)))
       .collect()(0).getLong(0)
+    Par.inParallel(Seq(writeTf, writeDl, sumDl))
     total * sign
   }
 
@@ -365,21 +374,24 @@ object Bm25Index {
     if (decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/tf"))
-      .reduce(_.unionByName(_))
-      .groupBy(decl.id, "__t", "tb").agg(sum(col("__tf")).as("__tf"))
-      .filter(col("__tf") =!= 0)
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$path/deltas/$staged/tf")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
-      .reduce(_.unionByName(_))
-      .groupBy(decl.id, "__dl", "__ch", "dlb")
-      .agg(sum(col("__w")).as("__w"))
-      .filter(col("__w") =!= 0)
-      .repartition(col("dlb"))
-      .write.mode("overwrite").partitionBy("dlb")
-      .parquet(s"$path/deltas/$staged/dl")
+    // the two table folds are independent — run them CONCURRENTLY
+    // (guide §2.6)
+    Par.inParallel(Seq(
+      () => folded.map(d => spark.read.parquet(s"$path/deltas/$d/tf"))
+        .reduce(_.unionByName(_))
+        .groupBy(decl.id, "__t", "tb").agg(sum(col("__tf")).as("__tf"))
+        .filter(col("__tf") =!= 0)
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/deltas/$staged/tf"),
+      () => folded.map(d => spark.read.parquet(s"$path/deltas/$d/dl"))
+        .reduce(_.unionByName(_))
+        .groupBy(decl.id, "__dl", "__ch", "dlb")
+        .agg(sum(col("__w")).as("__w"))
+        .filter(col("__w") =!= 0)
+        .repartition(col("dlb"))
+        .write.mode("overwrite").partitionBy("dlb")
+        .parquet(s"$path/deltas/$staged/dl")))
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       // deltas that landed after our fold survive (count algebra is
@@ -416,18 +428,21 @@ object Bm25Index {
     // commit ([[IndexDirs.claimBaseSuffix]])
     val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
       decl.baseVer + 1)
-    liveTf(spark, path, decl, None)
-      .withColumn("tb",
-        pmod(xxhash64(col("__t")), lit(decl.tbParts)).cast("int"))
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$path/tf.v$nextVer")
-    val live = liveDl(spark, path, decl).localCheckpoint(false)
-    live.withColumn("__w", lit(1))
-      .withColumn("dlb", dlbCol(col(decl.id), decl))
-      .repartition(col("dlb"))
-      .write.mode("overwrite").partitionBy("dlb")
-      .parquet(s"$path/dl.v$nextVer")
+    // eager checkpoint, then the two survivor rewrites run
+    // CONCURRENTLY (guide §2.6) — independent reads of committed data
+    val live = liveDl(spark, path, decl).localCheckpoint()
+    Par.inParallel(Seq(
+      () => liveTf(spark, path, decl, None)
+        .withColumn("tb",
+          pmod(xxhash64(col("__t")), lit(decl.tbParts)).cast("int"))
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"$path/tf.v$nextVer"),
+      () => live.withColumn("__w", lit(1))
+        .withColumn("dlb", dlbCol(col(decl.id), decl))
+        .repartition(col("dlb"))
+        .write.mode("overwrite").partitionBy("dlb")
+        .parquet(s"$path/dl.v$nextVer")))
     beforeCommit()
     try IndexDirs.commitWithRetry(readManifest(path),
       writeManifest(path, _: Manifest), path) { have =>

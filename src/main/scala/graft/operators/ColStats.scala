@@ -140,45 +140,89 @@ object ColStats {
       strCols: Seq[String]): Map[String, (Long, Long)] =
     IndexDirs.contentFingerprintByFile(df, numCols ++ strCols)
 
-  /** One row per (input row, declared column): (col_name, kind,
-    * vnum, vstr) — vstr is the RENDERED value ([[Hll.md5Hash]]
-    * input; a BIGINT renders identically in Spark and DuckDB), null
-    * iff the source value is null.
-    */
-  private def longFormat(df: DataFrame, mf: Manifest): DataFrame = {
-    val pieces =
-      mf.numCols.map(c => struct(lit(c).as("col_name"),
-        lit("num").as("kind"), col(c).cast("long").as("vnum"),
-        col(c).cast("long").cast("string").as("vstr"))) ++
-      mf.strCols.map(c => struct(lit(c).as("col_name"),
-        lit("str").as("kind"), lit(null).cast("long").as("vnum"),
-        col(c).cast("string").as("vstr")))
-    df.select(explode(array(pieces: _*)).as("e")).select("e.*")
-  }
-
-  /** The batch's partial profile: three exploded passes (scalar,
-    * registers, histogram), each map-side combined into
-    * metadata-scale rows and each COLUMN-PRUNED to the profiled
-    * columns at its own scan. Deliberately NOT a shared checkpoint
-    * of the exploded set: that would materialize rows × |cols| —
-    * several times the corpus — to executor storage just to save two
-    * pruned scans, exactly the wrong trade at 100 TB.
+  /** The batch's partial profile — ONE grain-tagged pass
+    * ([[Profile.fusedAggregate]]'s shape at table grain, guide
+    * §1.2/§2.4: remove passes before tuning anything else). It used
+    * to be three exploded scans (scalar, registers, histogram); now
+    * scalar (`sc`), histogram (`hi`) and HLL (`hl`) entries explode
+    * from ONE scan, one map-side-combined aggregate reduces them to
+    * ≤ |cols| × (1 + 129 + 64) rows, and the three tables are cheap
+    * re-aggregations of that checkpointed metadata-scale set,
+    * written CONCURRENTLY (guide §2.6). At 100 TB this is one corpus
+    * scan instead of three; on a merge-on-read input it is one
+    * evaluation of the LWW fold instead of three.
+    *
+    * EXACTNESS: every per-grain expression is the shared definition
+    * the separate passes used ([[histBucket]], [[hllBucketRho]], the
+    * str extrema aggregates), and each output table is an
+    * associative re-aggregation of the grain rows — the same algebra
+    * [[Profile.buildBoth]] already rides (ProfileSpec pins the fused
+    * artifacts equal to separately-built ones row for row; the
+    * ColStatsSpec golden values and the q222/q223/q226 oracle twins
+    * gate this path directly).
     */
   private def writeTables(df: DataFrame, mf: Manifest,
       root: String): Unit = {
-    val lf = longFormat(df, mf)
-    lf.groupBy("col_name", "kind")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("vstr").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        min("vnum").as("min_num"), max("vnum").as("max_num"),
-        sum("vnum").as("sum_num"),
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val nullI = lit(null).cast("int")
+    def st(grain: String, name: String, kind: String, bucket: Column,
+        vnum: Column, vstr: Column, rho: Column): Column =
+      struct(lit(grain).as("grain"), lit(name).as("col_name"),
+        lit(kind).as("kind"), bucket.cast("long").as("bucket"),
+        vnum.cast("long").as("vnum"), vstr.cast("string").as("vstr"),
+        rho.cast("int").as("rho"))
+    def renderedNum(c: String): Column =
+      col(c).cast("long").cast("string")
+    val pieces =
+      mf.numCols.map(c => st("sc", c, "num", lit(0L),
+        col(c).cast("long"), renderedNum(c), nullI)) ++
+      mf.strCols.map(c => st("sc", c, "str", lit(0L),
+        nullL, col(c).cast("string"), nullI)) ++
+      mf.numCols.map(c => st("hi", c, "num",
+        histBucket(col(c).cast("long")),
+        col(c).cast("long"), nullS, nullI)) ++
+      (mf.numCols ++ mf.strCols).map { c =>
+        val r = if (mf.numCols.contains(c)) renderedNum(c)
+          else col(c).cast("string")
+        val (b, rho) = hllBucketRho(r)
+        st("hl", c, "", b, nullL, r, rho)
+      }
+    // project to the declared columns, then widen a
+    // fewer-splits-than-cores scan before the explosion (Par.widen:
+    // identity at corpus scale); the per-grain null drops mirror the
+    // separate passes' own filters
+    val lf = Par.widen(
+        df.select((mf.numCols ++ mf.strCols).map(col): _*))
+      .select(explode(array(pieces: _*)).as("e")).select("e.*")
+      .filter(!(col("grain") === "hi" && col("vnum").isNull) &&
+        !(col("grain") === "hl" && col("vstr").isNull))
+    val isSc = col("grain") === "sc"
+    val agg = lf.groupBy("grain", "col_name", "kind", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("vstr").isNull, 1L).otherwise(0L)).as("nnull"),
+        min("vnum").as("minn"), max("vnum").as("maxn"),
+        // sc-only: the hi grain's vnum holds raw values too — only
+        // the scalar grain's sum is ever read, and guarding keeps an
+        // ANSI session from raising on an irrelevant overflow
+        sum(when(isSc, col("vnum"))).as("sumn"),
         // str_min/str_max: exact binary-ordered extrema that keep the
         // corpus-scale profile pass on (Object)HashAggregate — the
         // built-in string min/max would downgrade it to SortAggregate
-        str_min(col("vstr")).as("__mins"),
-        str_max(col("vstr")).as("__maxs"),
-        sum(length(col("vstr")).cast("long")).as("__sumlen"),
-        max(length(col("vstr")).cast("long")).as("__maxlen"))
+        str_min(when(isSc, col("vstr"))).as("mins"),
+        str_max(when(isSc, col("vstr"))).as("maxs"),
+        sum(when(isSc, length(col("vstr")).cast("long"))).as("sumlen"),
+        max(when(isSc, length(col("vstr")).cast("long"))).as("maxlen"),
+        max(col("rho")).as("maxrho"))
+      .localCheckpoint()
+    val writeScalar = () => agg.filter(col("grain") === "sc")
+      .groupBy("col_name", "kind")
+      .agg(sum("cnt").as("n_rows"), sum("nnull").as("n_nulls"),
+        min("minn").as("min_num"), max("maxn").as("max_num"),
+        sum("sumn").as("sum_num"),
+        str_min(col("mins")).as("__mins"),
+        str_max(col("maxs")).as("__maxs"),
+        sum("sumlen").as("__sumlen"), max("maxlen").as("__maxlen"))
       // string extrema/lengths only mean anything for string columns;
       // a num column's digit-string stats are noise — null them at
       // the source
@@ -193,20 +237,19 @@ object ColStats {
         when(col("kind") === "str", col("__maxlen")).as("max_len"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/scalar")
-    val (hllBucket, hllRho) = hllBucketRho(col("vstr"))
-    lf.filter(col("vstr").isNotNull)
-      .select(col("col_name"),
-        hllBucket.as("bucket"), hllRho.as("rho"))
+    val writeRegs = () => agg.filter(col("grain") === "hl")
       .groupBy("col_name", "bucket")
-      .agg(max(col("rho")).cast("int").as("register"))
+      .agg(max(col("maxrho")).cast("int").as("register"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/regs")
-    lf.filter(col("kind") === "num" && col("vnum").isNotNull)
-      .select(col("col_name"), histBucket(col("vnum")).as("bucket"))
+    val writeHist = () => agg.filter(col("grain") === "hi")
+      .select(col("col_name"), col("bucket").cast("int").as("bucket"),
+        col("cnt"))
       .groupBy("col_name", "bucket")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("cnt"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/hist")
+    Par.inParallel(Seq(writeScalar, writeRegs, writeHist))
   }
 
   private def baseOf(mf: Manifest, sub: String): String =
@@ -426,22 +469,25 @@ object ColStats {
     if (decl.fmt < 3 || decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    mergeScalar(
-      folded.map(d => spark.read.parquet(s"$path/deltas/$d/scalar")))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/scalar")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/regs"))
-      .reduce(_.unionByName(_))
-      .groupBy("col_name", "bucket")
-      .agg(max("register").cast("int").as("register"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/regs")
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/hist"))
-      .reduce(_.unionByName(_))
-      .groupBy("col_name", "bucket")
-      .agg(sum("cnt").as("cnt"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/deltas/$staged/hist")
+    // the three table folds are independent metadata-scale jobs —
+    // run them CONCURRENTLY (guide §2.6)
+    Par.inParallel(Seq(
+      () => mergeScalar(
+          folded.map(d => spark.read.parquet(s"$path/deltas/$d/scalar")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged/scalar"),
+      () => folded.map(d => spark.read.parquet(s"$path/deltas/$d/regs"))
+        .reduce(_.unionByName(_))
+        .groupBy("col_name", "bucket")
+        .agg(max("register").cast("int").as("register"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged/regs"),
+      () => folded.map(d => spark.read.parquet(s"$path/deltas/$d/hist"))
+        .reduce(_.unionByName(_))
+        .groupBy("col_name", "bucket")
+        .agg(sum("cnt").as("cnt"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/deltas/$staged/hist")))
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       // a delta folded by a RACING compaction makes this fold stale

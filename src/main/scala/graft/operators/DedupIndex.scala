@@ -225,16 +225,23 @@ object DedupIndex {
   private def writeTables(docs: DataFrame, textCol: String,
       idCol: String, mf: Manifest, scheme: Scheme,
       root: String): Unit = {
-    val sigs = sign(docs, textCol, idCol, scheme).localCheckpoint(false)
+    // EAGER checkpoint (was lazy): the writes below run concurrently,
+    // and a lazy checkpoint's first-action race would compute the
+    // shingle+min-agg pass twice
+    val sigs = sign(docs, textCol, idCol, scheme).localCheckpoint()
     // repartition on the bucket column before each partitioned write:
-    // one file per bucket, not (tasks × buckets) tiny files
-    sigs.withColumn("sb", sbCol(col(idCol), mf))
+    // one file per bucket, not (tasks × buckets) tiny files. The
+    // three writes are independent (two off the checkpoint, digests
+    // off its own cheap projection of the raw docs) — run them
+    // CONCURRENTLY (guide §2.6)
+    val writeSigs = () => sigs.withColumn("sb", sbCol(col(idCol), mf))
       .repartition(col("sb"))
       .write.mode("overwrite").partitionBy("sb").parquet(s"$root/sigs")
-    bandRows(sigs, idCol, mf)
+    val writeBands = () => bandRows(sigs, idCol, mf)
       .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$root/bands")
-    docs.select(col(idCol), Dedup.contentKey(col(textCol)).as("digest"),
+    val writeDigests = () => docs
+      .select(col(idCol), Dedup.contentKey(col(textCol)).as("digest"),
         // raw-text hash (the fingerprint's unit) — deletes verify
         // their rows against it; the digest alone is normalization-
         // blind and would wave through a raw-text mismatch
@@ -244,6 +251,7 @@ object DedupIndex {
       .repartition(col("dbp"))
       .write.mode("overwrite").partitionBy("dbp")
       .parquet(s"$root/digests")
+    Par.inParallel(Seq(writeSigs, writeBands, writeDigests))
   }
 
   /** Manifest-visible LIVE rows of `sigs`/`bands`/`digests`: the
@@ -414,13 +422,16 @@ object DedupIndex {
     // dirs ([[IndexDirs.claimBaseSuffix]])
     val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
       decl.baseVer + 1)
-    Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
-      .foreach { case (sub, pc) =>
-        readParts(spark, path, sub, decl, pc, None)
-          .repartition(col(pc))
-          .write.mode("overwrite").partitionBy(pc)
-          .parquet(s"$path/$sub.v$nextVer")
-      }
+    // the three survivor rewrites run CONCURRENTLY (guide §2.6) —
+    // independent reads of committed data
+    Par.inParallel(
+      Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
+        .map { case (sub, pc) => () =>
+          readParts(spark, path, sub, decl, pc, None)
+            .repartition(col(pc))
+            .write.mode("overwrite").partitionBy(pc)
+            .parquet(s"$path/$sub.v$nextVer")
+        })
     beforeCommit()
     try IndexDirs.commitWithRetry(readManifest(path),
       writeManifest(path, _: Manifest), path) { have =>
@@ -625,14 +636,18 @@ object DedupIndex {
     var staged = Seq.empty[String]
     val stagedData = if (!foldData) None else {
       val s = IndexDirs.nextDeltaName(path, "c")
-      Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
-        .foreach { case (sub, pc) =>
-          foldedData.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
-            .reduce(_.unionByName(_))
-            .repartition(col(pc))
-            .write.mode("overwrite").partitionBy(pc)
-            .parquet(s"$path/deltas/$s/$sub")
-        }
+      // the three table folds are independent — run them CONCURRENTLY
+      // (guide §2.6)
+      Par.inParallel(
+        Seq("sigs" -> "sb", "bands" -> "kb", "digests" -> "dbp")
+          .map { case (sub, pc) => () =>
+            foldedData
+              .map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
+              .reduce(_.unionByName(_))
+              .repartition(col(pc))
+              .write.mode("overwrite").partitionBy(pc)
+              .parquet(s"$path/deltas/$s/$sub")
+          })
       staged :+= s
       Some(s)
     }

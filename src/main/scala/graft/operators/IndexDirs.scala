@@ -416,6 +416,10 @@ private[operators] object IndexDirs {
     // single-source-only
     val fc = Option(fileCol)
       .getOrElse(ZoneMap.fileKey(input_file_name()))
+    // deliberately NOT Par.widen'd: this pass is one xxhash64 per row
+    // (scan-bound, not CPU-bound like the exploding profile passes),
+    // and it runs on every build/refresh — the extra exchange plus
+    // per-call planning cost more than the parallelism buys
     df.select(fc.as("__file"),
         xxhash64(cols.map(col): _*).as("__h"))
       .groupBy("__file")

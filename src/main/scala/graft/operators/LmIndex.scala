@@ -114,29 +114,48 @@ object LmIndex {
     */
   private def writeTables(docs: DataFrame, textCol: String,
       idCol: String, sign: Int, mf: Manifest, root: String): Long = {
-    val spark = docs.sparkSession
-    val counts = TextAnalysis.lmCounts(docs, textCol)
-    // repartition on gb before the partitioned write: one file per
-    // bucket instead of (tasks × buckets) tiny files
-    Seq(counts.uni, counts.bi, counts.tri).zip(tables).foreach {
-      case (df, (sub, key, cnt)) =>
-        df.withColumn(cnt, col(cnt) * sign)
+    // ONE tokenize pass: the token arrays (plus the id ledger's
+    // columns) checkpoint once, and the four table writes explode
+    // from the checkpoint — it used to be four independent scans of
+    // `docs`, three of them re-running the tokenizer (guide §1.2:
+    // the distributed algorithm first; tokenization IS the LM
+    // build's corpus cost). The [[Bm25Index.writeTables]] recipe.
+    val toks = docs
+      .select(col(idCol),
+        xxhash64(col(idCol), col(textCol)).as("__ch"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__a"))
+      .localCheckpoint()
+    val streams = Seq(
+      toks.select(explode(col("__a")).as("__w")),
+      toks.select(explode(expr(TextAnalysis.lmGrams(2,
+        "concat(__a[i], ' ', __a[i+1])"))).as("__b")),
+      toks.select(explode(expr(TextAnalysis.lmGrams(3,
+        "concat(__a[i], ' ', __a[i+1], ' ', __a[i+2])"))).as("__t3")))
+    // repartition on gb before each partitioned write: one file per
+    // bucket instead of (tasks × buckets) tiny files. The four
+    // writes and the signed-total count are independent given the
+    // checkpoint — run them CONCURRENTLY (guide §2.6)
+    val gramWrites = streams.zip(tables).map {
+      case (stream, (sub, key, cnt)) => () =>
+        stream.groupBy(key).agg(count(lit(1)).as(cnt))
+          .withColumn(cnt, col(cnt) * sign)
           .withColumn("gb", gbCol(col(key), mf))
           .repartition(col("gb"))
           .write.mode("overwrite").partitionBy("gb")
           .parquet(s"$root/$sub")
     }
-    docs.select(col(idCol),
-        xxhash64(col(idCol), col(textCol)).as("__ch"),
-        lit(sign).as("__lw"))
+    val idsWrite = () => toks
+      .select(col(idCol), col("__ch"), lit(sign).as("__lw"))
       .withColumn("ib", ibCol(col(idCol), mf))
       .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$root/ids")
-    // the signed total reads back the just-written (columnar, tiny)
-    // unigram table instead of re-tokenizing the docs a 5th time
-    spark.read.parquet(s"$root/uni")
-      .agg(coalesce(sum(col("__cu")), lit(0L)))
-      .collect()(0).getLong(0)
+    // the signed total is the exploded unigram stream's row count off
+    // the checkpoint (the value the written uni counts sum to — same
+    // number, no read-back dependency on the uni write)
+    @volatile var st = 0L
+    val total = () => { st = streams.head.count() * sign }
+    Par.inParallel(gramWrites ++ Seq(idsWrite, total))
+    st
   }
 
   /** Aggregated live rows of one table: base ∪ committed deltas,
@@ -469,7 +488,9 @@ object LmIndex {
     if (decl.deltas.length < 2) return 0
     val folded = decl.deltas
     val staged = IndexDirs.nextDeltaName(path, "c")
-    tables.foreach { case (sub, key, cnt) =>
+    // the four table folds are independent — run them CONCURRENTLY
+    // (guide §2.6)
+    val gramFolds = tables.map { case (sub, key, cnt) => () =>
       folded.map(d => spark.read.parquet(s"$path/deltas/$d/$sub"))
         .reduce(_.unionByName(_))
         .groupBy(key).agg(sum(col(cnt)).as(cnt))
@@ -480,15 +501,17 @@ object LmIndex {
         .parquet(s"$path/deltas/$staged/$sub")
     }
     // the ids ledger cancels per (id, contentHash) pair
-    folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids")
-        .select(col(decl.id), col("__ch"), col("__lw")))
-      .reduce(_.unionByName(_))
-      .groupBy(decl.id, "__ch").agg(sum(col("__lw")).as("__lw"))
-      .filter(col("__lw") =!= 0)
-      .withColumn("ib", ibCol(col(decl.id), decl))
-      .repartition(col("ib"))
-      .write.mode("overwrite").partitionBy("ib")
-      .parquet(s"$path/deltas/$staged/ids")
+    val idsFold = () =>
+      folded.map(d => spark.read.parquet(s"$path/deltas/$d/ids")
+          .select(col(decl.id), col("__ch"), col("__lw")))
+        .reduce(_.unionByName(_))
+        .groupBy(decl.id, "__ch").agg(sum(col("__lw")).as("__lw"))
+        .filter(col("__lw") =!= 0)
+        .withColumn("ib", ibCol(col(decl.id), decl))
+        .repartition(col("ib"))
+        .write.mode("overwrite").partitionBy("ib")
+        .parquet(s"$path/deltas/$staged/ids")
+    Par.inParallel(gramFolds :+ idsFold)
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       // deltas that landed after our fold survive (count algebra is
@@ -524,19 +547,22 @@ object LmIndex {
     // dirs ([[IndexDirs.claimBaseSuffix]])
     val nextVer = IndexDirs.claimBaseSuffix(path, "base.v",
       decl.baseVer + 1)
-    tables.foreach { case (sub, key, cnt) =>
+    // eager checkpoint, then the four survivor rewrites run
+    // CONCURRENTLY (guide §2.6) — independent reads of committed data
+    val live = liveIds(spark, path, decl).localCheckpoint()
+    Par.inParallel(tables.map { case (sub, key, cnt) => () =>
       readAgg(spark, path, decl, sub, key, cnt)
         .withColumn("gb", gbCol(col(key), decl))
         .repartition(col("gb"))
         .write.mode("overwrite").partitionBy("gb")
         .parquet(s"$path/$sub.v$nextVer")
-    }
-    val live = liveIds(spark, path, decl).localCheckpoint(false)
-    live.withColumn("__lw", lit(1))
-      .withColumn("ib", ibCol(col(decl.id), decl))
-      .repartition(col("ib"))
-      .write.mode("overwrite").partitionBy("ib")
-      .parquet(s"$path/ids.v$nextVer")
+    } :+ { () =>
+      live.withColumn("__lw", lit(1))
+        .withColumn("ib", ibCol(col(decl.id), decl))
+        .repartition(col("ib"))
+        .write.mode("overwrite").partitionBy("ib")
+        .parquet(s"$path/ids.v$nextVer")
+    })
     beforeCommit()
     try IndexDirs.commitWithRetry(readManifest(path),
       writeManifest(path, _: Manifest), path) { have =>

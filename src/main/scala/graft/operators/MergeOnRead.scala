@@ -706,6 +706,12 @@ object MergeOnRead {
         .parquet(s"$dir/data/ver=$newVer")
         .groupBy(col(Bucket)).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // tracking tables need both count maps — force the two
+    // independent collects CONCURRENTLY (guide §2.6; lazy-val init is
+    // synchronized per val, so each task forces a different one)
+    if (m.ao.contains(true))
+      Par.inParallel(Seq(() => { deltaCounts; () },
+        () => { foldedCounts; () }))
     // anchored commit with retry: appends never write the manifest,
     // so the only racers are other maintenance runs — a fold whose
     // snapshot another compaction already folded (or whose base

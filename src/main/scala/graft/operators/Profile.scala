@@ -110,9 +110,16 @@ object Profile {
       } :+
       st("fp", "", "", lit(0L),
         xxhash64((numCols ++ strCols).map(col): _*), lit("x"), nullI)
-    val lf = df
-      .select(ZoneMap.fileKey(input_file_name()).as("file"),
-        explode(array(pieces: _*)).as("e"))
+    // file key projected BEFORE the widen (input_file_name() is only
+    // valid in the scan's own stage); the widen parallelizes the
+    // grain explosion + aggregate when the scan has fewer splits than
+    // cores (guide §2.5/§2.6 — measured 7.0 s on 4 of 32 cores at
+    // sf0.1 before, identity at corpus scale where splits ≫ cores)
+    val needed = (numCols ++ strCols ++ bloomCols).distinct
+    val lf = Par.widen(df
+        .select(ZoneMap.fileKey(input_file_name()).as("file") +:
+          needed.map(col): _*))
+      .select(col("file"), explode(array(pieces: _*)).as("e"))
       .select(col("file"), col("e.*"))
       // the per-grain null drops the separate builders apply at their
       // own scans (hist: non-null values; hll/bloom: rendered non-null)
@@ -188,9 +195,21 @@ object Profile {
     IndexDirs.uncommit(zoneMapPath)
 
     val sc = agg.filter(col("grain") === "sc")
-    // ColStats scalar: the separate builder's one groupBy, replayed
-    // as an associative merge of the per-file partials
-    sc.groupBy("col_name", "kind")
+    // per-file content-fingerprint partials (format-4 ledger columns)
+    // collected FIRST — the files-ledger write and the manifest
+    // fingerprint both need them; then every artifact table below is
+    // an independent metadata-scale re-aggregation of the checkpointed
+    // `agg`, so the six writes run CONCURRENTLY (guide §2.6: overlap
+    // independent jobs — sequential they cost six driver round-trips,
+    // overlapped they cost one max)
+    val s = spark
+    import s.implicits._
+    val fpByFile: Map[String, (Long, Long)] =
+      agg.filter(col("grain") === "fp")
+        .select(col("file"), col("xorv"), col("cnt")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val writeScalar = () => sc.groupBy("col_name", "kind")
       .agg(sum("cnt").as("n_rows"), sum("nnull").as("n_nulls"),
         min("minn").as("min_num"), max("maxn").as("max_num"),
         sum("sumn").as("sum_num"),
@@ -208,36 +227,25 @@ object Profile {
         when(col("kind") === "str", col("__maxlen")).as("max_len"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$colStatsPath/scalar")
-    agg.filter(col("grain") === "hl")
+    val writeRegs = () => agg.filter(col("grain") === "hl")
       .groupBy("col_name", "bucket")
       .agg(max("maxrho").cast("int").as("register"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$colStatsPath/regs")
-    agg.filter(col("grain") === "hi")
+    val writeHist = () => agg.filter(col("grain") === "hi")
       .select(col("col_name"), col("bucket").cast("int").as("bucket"),
         col("cnt"))
       .groupBy("col_name", "bucket").agg(sum("cnt").as("cnt"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$colStatsPath/hist")
-
-    val s = spark
-    import s.implicits._
-    // per-file content-fingerprint partials from the fp grain — the
-    // format-4 ledger columns (ZoneMap.fingerprintLedger): xor/count
-    // per file, composing to the whole-table fingerprint below
-    val fpByFile: Map[String, (Long, Long)] =
-      agg.filter(col("grain") === "fp")
-        .select(col("file"), col("xorv"), col("cnt")).collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-    ZoneMap.writeArtifact(
+    val writeFiles = () => ZoneMap.writeArtifact(
       files.map { f =>
         val (fcfp, fcn) = fpByFile.getOrElse(f.key, (0L, 0L))
         (f.key, f.uri, f.len, f.mtime, fcfp, fcn)
       }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn"),
       files.size.toLong, s"$zoneMapPath/files", artifactRowsPerFile)
     val lens = files.map(f => (f.key, f.len)).toDF("file", "flen")
-    ZoneMap.writeArtifact(
+    val writeStats = () => ZoneMap.writeArtifact(
       sc.groupBy("file", "col_name", "kind")
         .agg(sum("cnt").as("n_rows"), sum("nnull").as("n_nulls"),
           min("minn").as("__minn"), max("maxn").as("__maxn"),
@@ -252,17 +260,21 @@ object Profile {
         .join(broadcast(lens), Seq("file")),
       files.size.toLong * (numCols.size + strCols.size),
       s"$zoneMapPath/stats", artifactRowsPerFile)
-    val bloomOut =
-      if (bloomCols.isEmpty)
-        agg.limit(0).select(lit("").as("file"),
-          lit("").as("col_name"), lit(0).as("word"), lit(0L).as("bits"))
-      else agg.filter(col("grain") === "bl")
-        .select(col("file"), col("col_name"),
-          col("bucket").cast("int").as("word"),
-          col("orbits").as("bits"))
-    ZoneMap.writeArtifact(bloomOut,
-      files.size.toLong * bloomCols.size * (bloomBits / 64),
-      s"$zoneMapPath/bloom", artifactRowsPerFile)
+    val writeBloom = () => {
+      val bloomOut =
+        if (bloomCols.isEmpty)
+          agg.limit(0).select(lit("").as("file"),
+            lit("").as("col_name"), lit(0).as("word"), lit(0L).as("bits"))
+        else agg.filter(col("grain") === "bl")
+          .select(col("file"), col("col_name"),
+            col("bucket").cast("int").as("word"),
+            col("orbits").as("bits"))
+      ZoneMap.writeArtifact(bloomOut,
+        files.size.toLong * bloomCols.size * (bloomBits / 64),
+        s"$zoneMapPath/bloom", artifactRowsPerFile)
+    }
+    Par.inParallel(Seq(writeScalar, writeRegs, writeHist,
+      writeFiles, writeStats, writeBloom))
 
     // content fingerprint from the fp grain: xor of per-file xors,
     // sum of per-file counts — bit-equal to contentFingerprint's

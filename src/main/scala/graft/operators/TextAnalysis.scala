@@ -194,7 +194,7 @@ object TextAnalysis {
 
   // guarded index sequences: sequence(0, n) DESCENDS for n < 0, so
   // short docs must yield an empty gram list, not a reversed one
-  private def lmGrams(n: Int, body: String) =
+  private[operators] def lmGrams(n: Int, body: String) =
     s"""transform(
        |  CASE WHEN size(__a) >= $n THEN sequence(0, size(__a) - $n)
        |       ELSE CAST(array() AS array<int>) END, i -> $body)"""

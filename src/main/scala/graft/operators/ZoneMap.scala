@@ -210,12 +210,18 @@ object ZoneMap {
     out.write.mode("overwrite").parquet(target)
   }
 
-  /** Per-file per-column profile of exactly `files`: one scan of
-    * those files, exploded to (file, col) rows, map-side combined —
-    * output is ≤ |files|·|cols| rows. Each row carries the file's
-    * LENGTH (`flen`, joined from the driver's listing), so [[refresh]]
-    * can tell an in-place rewrite of one file apart from unrelated
-    * adds/removes instead of trusting the aggregate fingerprint.
+  /** Per-file per-column profile of exactly `files`: ONE scan of
+    * those files — stats, the fingerprint ledger AND the per-file
+    * bloom words all explode from the same grain-tagged stream
+    * ([[Profile.fusedAggregate]]'s shape; it used to be a second
+    * whole-corpus scan for the blooms — guide §1.2/§2.4, remove
+    * passes first), map-side combined to ≤ |files| × (|cols| + 1 +
+    * bloom words) rows, checkpointed, and the three artifact tables
+    * written CONCURRENTLY (guide §2.6). Each stats row carries the
+    * file's LENGTH (`flen`, joined from the driver's listing), so
+    * [[refresh]] can tell an in-place rewrite of one file apart from
+    * unrelated adds/removes instead of trusting the aggregate
+    * fingerprint.
     */
   private def profile(spark: SparkSession, mf: Manifest,
       files: Seq[FileEnt], outDir: String,
@@ -241,29 +247,59 @@ object ZoneMap {
       case DateType => unix_date(col(c)).cast("long")
       case _ => col(c).cast("long")
     }
+    def st(name: String, kind: String, bucket: Column, vnum: Column,
+        vstr: Column): Column =
+      struct(lit(name).as("col_name"), lit(kind).as("kind"),
+        bucket.cast("long").as("bucket"), vnum.cast("long").as("vnum"),
+        vstr.cast("string").as("vstr"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
     val pieces =
-      mf.numCols.map(c => struct(lit(c).as("col_name"),
-        lit("num").as("kind"), numValue(c).as("vnum"),
-        lit(null).cast("string").as("vstr"))) ++
-      mf.strCols.map(c => struct(lit(c).as("col_name"),
-        lit("str").as("kind"), lit(null).cast("long").as("vnum"),
-        col(c).cast("string").as("vstr"))) :+
+      mf.numCols.map(c =>
+        st(c, "num", lit(0L), numValue(c), nullS)) ++
+      mf.strCols.map(c =>
+        st(c, "str", lit(0L), nullL, col(c).cast("string"))) ++
+      // per-(file, col) bloom pieces, one per hash seed: vnum carries
+      // the bit POSITION (the exact hash [[bloomPositions]] replays:
+      // xxhash64 over "<rendered>:<seed>", position mod bloomBits),
+      // bucket the packed 64-bit word index
+      mf.bloomCols.flatMap { c =>
+        (0 until mf.bloomK).map { seed =>
+          val r = col(c).cast("string")
+          val pos = pmod(xxhash64(concat(r, lit(s":$seed"))),
+            lit(mf.bloomBits.toLong)).cast("int")
+          st(c, "bl", (pos / 64).cast("int"), pos, r)
+        }
+      } :+
       // the per-file content-fingerprint piece (format 4): the row's
       // xxhash64 over ALL declared columns — the same expression
       // IndexDirs.contentFingerprint hashes, so the per-file xor
       // partials compose to exactly what a consumer's projected
       // fingerprint pass would compute. vstr = "x": never counted
       // as a null by the n_nulls expression below.
-      struct(lit("").as("col_name"), lit("fp").as("kind"),
-        xxhash64((mf.numCols ++ mf.strCols).map(col): _*).as("vnum"),
-        lit("x").as("vstr"))
-    // ONE scan feeds stats AND the ledger fingerprints: the grouped
-    // aggregate is metadata-scale (≤ |files|·(|cols|+1) rows), so
-    // checkpointing it is cheap where a second corpus scan is not
-    val agg = df.select(fileKey(input_file_name()).as("file"),
-        explode(array(pieces: _*)).as("e"))
+      st("", "fp", lit(0L),
+        xxhash64((mf.numCols ++ mf.strCols).map(col): _*), lit("x"))
+    // ONE scan feeds stats, blooms AND the ledger fingerprints: the
+    // grouped aggregate is metadata-scale (≤ |files|·(|cols| + 1 +
+    // bloom words) rows), so checkpointing it is cheap where a second
+    // corpus scan is not. The file key is projected BEFORE Par.widen
+    // (input_file_name() is only valid in the scan's own stage); the
+    // widen parallelizes the explosion when the scan has fewer splits
+    // than cores and is the identity at corpus scale.
+    val needed = (mf.numCols ++ mf.strCols ++ mf.bloomCols).distinct
+    val agg = Par.widen(df
+        .select(fileKey(input_file_name()).as("file") +:
+          needed.map(col): _*))
+      .select(col("file"), explode(array(pieces: _*)).as("e"))
       .select(col("file"), col("e.*"))
-      .groupBy("file", "col_name", "kind")
+      // a null rendered value sets no bloom bits (the old separate
+      // bloom pass's own filter)
+      .filter(!(col("kind") === "bl" && col("vstr").isNull))
+      // Column-valued shift amount: the shiftleft() helper only
+      // takes a literal Int, the SQL form takes an expression
+      .withColumn("bit", when(col("kind") === "bl",
+        expr("shiftleft(1L, int(pmod(vnum, 64)))")))
+      .groupBy("file", "col_name", "kind", "bucket")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("vnum").isNull && col("vstr").isNull, 1L)
           .otherwise(0L)).as("n_nulls"),
@@ -271,63 +307,57 @@ object ZoneMap {
         // exact string extrema on (Object)HashAggregate — built-in
         // string min/max would downgrade this corpus-scale pass to
         // SortAggregate (see graft.functions.StrExtremaAgg)
-        str_min(col("vstr")).as("min_str"),
-        str_max(col("vstr")).as("max_str"),
-        bit_xor(when(col("kind") === "fp", col("vnum"))).as("xorv"))
+        str_min(when(col("kind") =!= "bl", col("vstr"))).as("min_str"),
+        str_max(when(col("kind") =!= "bl", col("vstr"))).as("max_str"),
+        bit_xor(when(col("kind") === "fp", col("vnum"))).as("xorv"),
+        bit_or(col("bit")).as("orbits"))
       .localCheckpoint()
-    writeArtifact(
-      agg.filter(col("kind") =!= "fp").drop("xorv")
-        .join(broadcast(lens), Seq("file")),
-      files.size.toLong * (mf.numCols.size + mf.strCols.size),
-      s"$outDir/stats", rowsPerFile)
     // the driver-side ledger: COMPLETE over the profiled files (a
     // zero-row file contributes no stats rows — it gets the (0, 0)
     // fingerprint identity), the only place the READABLE uri is
-    // kept, and (format 4) the per-file fingerprint partials
+    // kept, and (format 4) the per-file fingerprint partials.
+    // Collected first; the three artifact tables then write
+    // CONCURRENTLY off the checkpointed aggregate (guide §2.6).
     val fpByFile: Map[String, (Long, Long)] =
       agg.filter(col("kind") === "fp")
         .select(col("file"), col("xorv"), col("n_rows")).collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
         .toMap
-    writeArtifact(
+    val writeStats = () => writeArtifact(
+      agg.filter(col("kind") === "num" || col("kind") === "str")
+        .select(col("file"), col("col_name"), col("kind"),
+          col("n_rows"), col("n_nulls"), col("min_num"),
+          col("max_num"), col("min_str"), col("max_str"))
+        .join(broadcast(lens), Seq("file")),
+      files.size.toLong * (mf.numCols.size + mf.strCols.size),
+      s"$outDir/stats", rowsPerFile)
+    val writeFiles = () => writeArtifact(
       files.map { f =>
         val (cfp, cn) = fpByFile.getOrElse(f.key, (0L, 0L))
         (f.key, f.uri, f.len, f.mtime, cfp, cn)
       }.toDF("file", "uri", "flen", "fmtime", "cfp", "cn"),
       files.size.toLong, s"$outDir/files", rowsPerFile)
     // per-(file, col) bloom filter over the RENDERED value, packed
-    // into ≤ bloomBits/64 64-bit words per pair (one bit_or hash
-    // aggregate — rows stay metadata-scale at any corpus size)
-    val bpieces = mf.bloomCols.map(c => struct(
-      lit(c).as("col_name"), col(c).cast("string").as("vstr")))
-    val bloomRows =
-      if (mf.bloomCols.isEmpty)
-        // keep the table present (reads union it unconditionally)
-        df.limit(0).select(lit("").as("file"),
-          lit("").as("col_name"), lit(0).as("word"),
-          lit(0L).as("bits"))
-      else
-        df.select(fileKey(input_file_name()).as("file"),
-            explode(array(bpieces: _*)).as("e"))
-          .select(col("file"), col("e.*"))
-          .filter(col("vstr").isNotNull)
-          .select(col("file"), col("col_name"),
-            explode(sequence(lit(0), lit(mf.bloomK - 1))).as("seed"),
-            col("vstr"))
-          .select(col("file"), col("col_name"),
-            pmod(xxhash64(concat(col("vstr"), lit(":"),
-              col("seed").cast("string"))), lit(mf.bloomBits.toLong))
-              .cast("int").as("pos"))
-          .select(col("file"), col("col_name"),
-            (col("pos") / 64).cast("int").as("word"),
-            // Column-valued shift amount: the shiftleft() helper only
-            // takes a literal Int, the SQL form takes an expression
-            expr("shiftleft(1L, int(pmod(pos, 64)))").as("bit"))
-          .groupBy("file", "col_name", "word")
-          .agg(bit_or(col("bit")).as("bits"))
-    writeArtifact(bloomRows,
-      files.size.toLong * mf.bloomCols.size * (mf.bloomBits / 64),
-      s"$outDir/bloom", rowsPerFile)
+    // into ≤ bloomBits/64 64-bit words per pair (the bl grain of the
+    // one fused aggregate — rows stay metadata-scale at any corpus
+    // size)
+    val writeBloom = () => {
+      val bloomRows =
+        if (mf.bloomCols.isEmpty)
+          // keep the table present (reads union it unconditionally)
+          agg.limit(0).select(lit("").as("file"),
+            lit("").as("col_name"), lit(0).as("word"),
+            lit(0L).as("bits"))
+        else
+          agg.filter(col("kind") === "bl")
+            .select(col("file"), col("col_name"),
+              col("bucket").cast("int").as("word"),
+              col("orbits").as("bits"))
+      writeArtifact(bloomRows,
+        files.size.toLong * mf.bloomCols.size * (mf.bloomBits / 64),
+        s"$outDir/bloom", rowsPerFile)
+    }
+    Par.inParallel(Seq(writeStats, writeFiles, writeBloom))
   }
 
   /** The k bloom bit positions of a RENDERED value — the driver-side
