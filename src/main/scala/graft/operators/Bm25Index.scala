@@ -98,11 +98,16 @@ object Bm25Index {
       idCol: String, sign: Int, mf: Manifest, root: String): Long = {
     // EAGER checkpoint (was lazy): the three consumers below now run
     // concurrently, and a lazy checkpoint's first-action race would
-    // let two of them compute the tokenize pass twice
-    val toks = docs.select(col(idCol),
+    // let two of them compute the tokenize pass twice. SIZE-GATED
+    // (guide §5): past the budget — a full-corpus build — the
+    // tokenized corpus must not land on executor-local disk; the
+    // multi-scan form runs instead (writes sequential, doc-length
+    // total read back from the staged ledger, which is doc-scale).
+    val tokSrc = docs.select(col(idCol),
         TextAnalysis.tokens(lower(col(textCol))).as("__toks"),
         xxhash64(col(idCol), col(textCol)).as("__ch"))
-      .localCheckpoint()
+    val small = Par.fitsCheckpointBudget(docs)
+    val toks = if (small) tokSrc.localCheckpoint() else tokSrc
     // repartition on the bucket column before each partitioned write:
     // one file per bucket instead of (tasks × buckets) tiny files —
     // the write commit and every later pruned read pay per-file
@@ -122,12 +127,19 @@ object Bm25Index {
       .withColumn("dlb", dlbCol(col(idCol), mf))
       .repartition(col("dlb"))
       .write.mode("overwrite").partitionBy("dlb").parquet(s"$root/dl")
-    @volatile var total = 0L
-    val sumDl = () => total = toks
-      .agg(coalesce(sum(size(col("__toks")).cast("long")), lit(0L)))
-      .collect()(0).getLong(0)
-    Par.inParallel(Seq(writeTf, writeDl, sumDl))
-    total * sign
+    if (small) {
+      @volatile var total = 0L
+      val sumDl = () => total = toks
+        .agg(coalesce(sum(size(col("__toks")).cast("long")), lit(0L)))
+        .collect()(0).getLong(0)
+      Par.inParallel(Seq(writeTf, writeDl, sumDl))
+      total * sign
+    } else {
+      Seq(writeTf, writeDl).foreach(_())
+      docs.sparkSession.read.parquet(s"$root/dl")
+        .agg(coalesce(sum(col("__dl").cast("long")), lit(0L)))
+        .collect()(0).getLong(0) * sign
+    }
   }
 
   /** Aggregated live postings, pruned to `terms`' tb partitions when

@@ -120,11 +120,19 @@ object LmIndex {
     // `docs`, three of them re-running the tokenizer (guide §1.2:
     // the distributed algorithm first; tokenization IS the LM
     // build's corpus cost). The [[Bm25Index.writeTables]] recipe.
-    val toks = docs
+    // SIZE-GATED (guide §5): for CDC deltas and small builds the
+    // checkpoint is delta-sized and the wins are real; a full-corpus
+    // build past the budget must NOT materialize the tokenized corpus
+    // to executor-local disk — it keeps the multi-scan form (each
+    // write re-tokenizes off the scan, sequentially, exactly the
+    // pre-fusion shape) and derives the token total from the written
+    // unigram table (gram-scale, not corpus-scale).
+    val tokSrc = docs
       .select(col(idCol),
         xxhash64(col(idCol), col(textCol)).as("__ch"),
         TextAnalysis.tokens(lower(col(textCol))).as("__a"))
-      .localCheckpoint()
+    val small = Par.fitsCheckpointBudget(docs)
+    val toks = if (small) tokSrc.localCheckpoint() else tokSrc
     val streams = Seq(
       toks.select(explode(col("__a")).as("__w")),
       toks.select(explode(expr(TextAnalysis.lmGrams(2,
@@ -149,13 +157,23 @@ object LmIndex {
       .withColumn("ib", ibCol(col(idCol), mf))
       .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$root/ids")
-    // the signed total is the exploded unigram stream's row count off
-    // the checkpoint (the value the written uni counts sum to — same
-    // number, no read-back dependency on the uni write)
-    @volatile var st = 0L
-    val total = () => { st = streams.head.count() * sign }
-    Par.inParallel(gramWrites ++ Seq(idsWrite, total))
-    st
+    if (small) {
+      // the signed total is the exploded unigram stream's row count
+      // off the checkpoint (the value the written uni counts sum to —
+      // same number, no read-back dependency on the uni write)
+      @volatile var st = 0L
+      val total = () => { st = streams.head.count() * sign }
+      Par.inParallel(gramWrites ++ Seq(idsWrite, total))
+      st
+    } else {
+      // corpus-scale: sequential scans (no checkpoint to share, and N
+      // concurrent corpus scans would fight for the same I/O), total
+      // read back from the staged uni table's already-signed counts
+      (gramWrites :+ idsWrite).foreach(_())
+      docs.sparkSession.read.parquet(s"$root/uni")
+        .agg(coalesce(sum(col("__cu")), lit(0L)))
+        .collect()(0).getLong(0)
+    }
   }
 
   /** Aggregated live rows of one table: base ∪ committed deltas,

@@ -67,6 +67,28 @@ object Par {
     if (planned >= target) df else df.repartition(target)
   }
 
+  /** Whether `df` is small enough for a build to localCheckpoint its
+    * projected batch (`spark.graft.build.checkpointMaxBytes`, default
+    * 4 GiB). The single-pass build recipes checkpoint the tokenized /
+    * projected batch once and fan the artifact writes out from it —
+    * the right trade for CDC deltas and small builds, but a FULL
+    * 100 TB corpus build would materialize the whole tokenized corpus
+    * to executor-local disk (non-fault-tolerant, disk-bound — guide
+    * §5's caching caveat). Callers fall back to their multi-scan form
+    * when this returns false. Driver-side only: the optimizer's size
+    * estimate comes from the logical plan (file-relation sizes are
+    * already listed), no job runs.
+    */
+  def fitsCheckpointBudget(df: DataFrame): Boolean = {
+    val maxBytes = df.sparkSession.conf
+      .getOption("spark.graft.build.checkpointMaxBytes")
+      .map(_.toLong).getOrElse(4L << 30)
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    est <= maxBytes
+  }
+
   /** Run independent driver-side actions (artifact writes, bounded
     * collects) CONCURRENTLY and wait for all. Spark's scheduler runs
     * jobs from several driver threads side by side (guide §2.6), so
@@ -94,7 +116,12 @@ object Par {
             if (failure.isEmpty) failure = Some(e.getCause)
         }
       }
-      failure.foreach(throw _)
+      // a failed build must stop its sibling writes, not leave them
+      // burning the cluster while the caller unwinds — interrupt
+      // anything still running (every write targets a pre-commit
+      // staging path, so an interrupted sibling leaves garbage, never
+      // corruption, under the staged-commit protocol)
+      failure.foreach { e => pool.shutdownNow(); throw e }
     } finally {
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.MINUTES)

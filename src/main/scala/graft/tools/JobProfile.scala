@@ -29,7 +29,6 @@ object JobProfile {
     case class Job(id: Int, start: Long, var end: Long = 0L,
         var tasks: Int = 0, site: String = "")
     val jobs = mutable.LinkedHashMap[Int, Job]()
-    val sites = mutable.HashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = Option(e.properties)
@@ -39,7 +38,6 @@ object JobProfile {
           jobs(e.jobId) = Job(e.jobId, e.time,
             tasks = e.stageInfos.map(_.numTasks).sum, site = site)
         }
-        sites.synchronized { sites(e.jobId) = site }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized {

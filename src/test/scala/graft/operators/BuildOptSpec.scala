@@ -102,6 +102,45 @@ class BuildOptSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("size-gated build checkpoint: both branches produce identical " +
+      "LM and BM25 artifacts") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 400).map { i =>
+      (s"doc$i", s"alpha beta w${i % 17} w${i % 5} gamma delta " +
+        s"tail${i % 41}")
+    }.toDF("id", "text")
+    docs.write.mode("overwrite").parquet(s"$root/docs")
+    def d = spark.read.parquet(s"$root/docs")
+
+    def buildBoth(tag: String): (Seq[String], Seq[String], Seq[String]) = {
+      LmIndex.buildIfAbsent(d, "text", "id", s"$root/lm-$tag",
+        gbParts = 4, ibParts = 4)
+      Bm25Index.buildIfAbsent(d, "text", "id", s"$root/bm-$tag",
+        tbParts = 4, dlParts = 4)
+      val lm = LmIndex.counts(spark, s"$root/lm-$tag")
+      // the LM score additionally pins the manifest token total (st),
+      // which the two branches derive differently
+      val scored = LmIndex.score(spark, s"$root/lm-$tag",
+        d.filter(col("id").isin("doc1", "doc7", "doc40")), "id", "text")
+      (rows(lm.uni) ++ rows(scored), rows(lm.tri),
+        rows(Bm25Index.score(spark, s"$root/bm-$tag",
+          Seq("alpha", "w3"))))
+    }
+
+    // the small-batch branch must be the one the default takes here
+    assert(Par.fitsCheckpointBudget(d))
+    val small = buildBoth("s")
+    // force the corpus-scale (multi-scan, no-checkpoint) branch
+    spark.conf.set("spark.graft.build.checkpointMaxBytes", "0")
+    try {
+      assert(!Par.fitsCheckpointBudget(d))
+      val big = buildBoth("b")
+      assert(small == big)
+    } finally
+      spark.conf.unset("spark.graft.build.checkpointMaxBytes")
+  }
+
   test("Par.widen widens a narrow bare scan without changing rows, " +
       "and is the identity on joined plans") {
     val t = spark.read.parquet(tableDir).select("k", "g")
