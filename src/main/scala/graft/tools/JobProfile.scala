@@ -31,8 +31,11 @@ object JobProfile {
     val jobs = mutable.LinkedHashMap[Int, Job]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
+        // callSite.short is absent on plain runs; the final stage's
+        // name carries the same "op at File.scala:line" string
         val site = Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short")))
+          .orElse(e.stageInfos.sortBy(_.stageId).lastOption.map(_.name))
           .getOrElse("?")
         jobs.synchronized {
           jobs(e.jobId) = Job(e.jobId, e.time,
