@@ -536,7 +536,7 @@ object OperatorQueries {
       * fingerprint, or a wrong partial lands in the hash.
       */
     "q238_odelta_refresh" -> ((s, d) => {
-      import graft.operators.{AggView, ColStats, Profile}
+      import graft.operators.{AggView, ColStats, Par, Profile}
       import graft.plans.{AggViewRewrite, ColStatsInjection}
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q238", d)
@@ -548,27 +548,39 @@ object OperatorQueries {
       t.filter(col("k") % 4 =!= 0).repartition(4)
         .write.mode("overwrite").parquet(tableDir)
       def base = s.read.parquet(tableDir)
-      Profile.buildBoth(s, tableDir, Seq("k", "cents"), Seq("st"),
-        s"$root/cs", s"$root/zm")
-      AggView.buildIfAbsent(base, Seq("st"),
-        Seq(AggView.Measure("sum_cents", "cents")),
-        s"$root/view", kbParts = 4)
+      // the fused profile (stats+zonemap) and the view build over the
+      // same base into disjoint dirs — overlapped, like the
+      // registrations, delta landings and refreshes below (guide
+      // §2.6; orchestration only, results unchanged)
+      Par.inParallel(Seq(
+        () => { Profile.buildBoth(s, tableDir, Seq("k", "cents"),
+          Seq("st"), s"$root/cs", s"$root/zm"); () },
+        () => { AggView.buildIfAbsent(base, Seq("st"),
+          Seq(AggView.Measure("sum_cents", "cents")),
+          s"$root/view", kbParts = 4); () }))
       ColStatsInjection.install(s)
       AggViewRewrite.install(s)
-      ColStatsInjection.register(s, base, s"$root/cs",
-        histograms = false, ledger = Some(s"$root/zm"))
-      AggViewRewrite.register(s, base, s"$root/view")
+      Par.inParallel(Seq(
+        () => { ColStatsInjection.register(s, base, s"$root/cs",
+          histograms = false, ledger = Some(s"$root/zm")); () },
+        () => { AggViewRewrite.register(s, base, s"$root/view"); () }))
       try {
         // fleet batch: held-out quarter lands on base + both artifacts
+        // (delta derives from the source table, so all three landings
+        // are mutually independent)
         val delta = t.filter(col("k") % 4 === 0)
-        delta.coalesce(1).write.mode("append").parquet(tableDir)
-        ColStats.append(delta, s"$root/cs")
-        AggView.append(delta, s"$root/view")
-        val rc = ColStatsInjection.refreshPins(s).collect()
+        Par.inParallel(Seq(
+          () => delta.coalesce(1).write.mode("append").parquet(tableDir),
+          () => { ColStats.append(delta, s"$root/cs"); () },
+          () => { AggView.append(delta, s"$root/view"); () }))
+        @volatile var rc: Array[org.apache.spark.sql.Row] = null
+        @volatile var rv: Array[org.apache.spark.sql.Row] = null
+        Par.inParallel(Seq(
+          () => rc = ColStatsInjection.refreshPins(s).collect(),
+          () => rv = AggViewRewrite.refreshPins(s).collect()))
         require(rc.forall(_.getBoolean(1)),
           "stats pin refresh refused: " +
             rc.map(_.getString(2)).mkString("; "))
-        val rv = AggViewRewrite.refreshPins(s).collect()
         require(rv.forall(_.getBoolean(1)),
           "view pin refresh refused: " +
             rv.map(_.getString(2)).mkString("; "))
@@ -726,7 +738,7 @@ object OperatorQueries {
       * profile that drifted from the fold lands in the hash.
       */
     "q239_mor_colstats" -> ((s, d) => {
-      import graft.operators.{ColStats, MergeOnRead}
+      import graft.operators.{ColStats, MergeOnRead, Par}
       import graft.plans.ColStatsInjection
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q239", d)
@@ -745,8 +757,13 @@ object OperatorQueries {
       try {
         val batch = t.filter(col("k") % 4 === 0)
           .withColumn("op", lit("I")).withColumn("seq", lit(1L))
-        MergeOnRead.streamAppend(batch, 0L, dir)
-        ColStats.applyBatch(batch, 0L, s"$root/cs")
+        // the table batch and the artifact batch land in disjoint
+        // dirs off the same source-derived frame — overlapped
+        // (guide §2.6; orchestration only, the fold and the served
+        // aggregate are unchanged)
+        Par.inParallel(Seq(
+          () => { MergeOnRead.streamAppend(batch, 0L, dir); () },
+          () => { ColStats.applyBatch(batch, 0L, s"$root/cs"); () }))
         MergeOnRead.compact(s, dir)
         val r = ColStatsInjection.refreshPins(s).collect()
         require(r.forall(_.getBoolean(1)),
@@ -775,7 +792,7 @@ object OperatorQueries {
       * replays it directly over all of orders.
       */
     "q243_mor_ondemand" -> ((s, d) => {
-      import graft.operators.{ColStats, MergeOnRead}
+      import graft.operators.{ColStats, MergeOnRead, Par}
       import graft.plans.ColStatsInjection
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q243", d)
@@ -794,8 +811,11 @@ object OperatorQueries {
       try {
         val batch = t.filter(col("k") % 4 === 0)
           .withColumn("op", lit("I")).withColumn("seq", lit(1L))
-        MergeOnRead.streamAppend(batch, 0L, dir)
-        ColStats.applyBatch(batch, 0L, s"$root/cs")
+        // disjoint-dir landings off the same source-derived frame —
+        // overlapped (guide §2.6; orchestration only)
+        Par.inParallel(Seq(
+          () => { MergeOnRead.streamAppend(batch, 0L, dir); () },
+          () => { ColStats.applyBatch(batch, 0L, s"$root/cs"); () }))
         // the sink hook — no manual compact anywhere in this query
         ColStatsInjection.refreshingSink(s, compactMor = true)(
           batch, 0L)
@@ -829,7 +849,7 @@ object OperatorQueries {
       * metadata serve. The oracle replays both directly.
       */
     "q244_mv_partitioned" -> ((s, d) => {
-      import graft.operators.{AggView, ColStats}
+      import graft.operators.{AggView, ColStats, Par}
       import graft.plans.{AggViewRewrite, ColStatsInjection}
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q244", d)
@@ -841,16 +861,23 @@ object OperatorQueries {
       t.filter(col("k") % 4 =!= 0).repartition(2)
         .write.partitionBy("st").mode("overwrite").parquet(tableDir)
       def base = s.read.parquet(tableDir)
-      ColStats.buildIfAbsent(base, Seq("k", "cents"), Seq("st"),
-        s"$root/cs")
-      AggView.buildIfAbsent(base, Seq("st"),
-        Seq(AggView.Measure("sum_cents", "cents")),
-        s"$root/view", kbParts = 4)
+      // the two artifacts build over the same base into disjoint
+      // dirs — overlapped (guide §2.6); likewise the registrations,
+      // the three delta landings, and the two pin refreshes below.
+      // Pure orchestration: every step, and the served result, is
+      // unchanged
+      Par.inParallel(Seq(
+        () => { ColStats.buildIfAbsent(base, Seq("k", "cents"),
+          Seq("st"), s"$root/cs"); () },
+        () => { AggView.buildIfAbsent(base, Seq("st"),
+          Seq(AggView.Measure("sum_cents", "cents")),
+          s"$root/view", kbParts = 4); () }))
       ColStatsInjection.install(s)
       AggViewRewrite.install(s)
-      ColStatsInjection.register(s, base, s"$root/cs",
-        histograms = false)
-      AggViewRewrite.register(s, base, s"$root/view")
+      Par.inParallel(Seq(
+        () => { ColStatsInjection.register(s, base, s"$root/cs",
+          histograms = false); () },
+        () => { AggViewRewrite.register(s, base, s"$root/view"); () }))
       try {
         // the fleet batch: the held-out quarter, with some rows
         // re-statused to 'Z' — a partition directory that did NOT
@@ -858,15 +885,22 @@ object OperatorQueries {
         val delta = t.filter(col("k") % 4 === 0)
           .withColumn("st",
             when(col("k") % 8 === 0, lit("Z")).otherwise(col("st")))
-        delta.coalesce(1).write.partitionBy("st").mode("append")
-          .parquet(tableDir)
-        ColStats.append(delta, s"$root/cs")
-        AggView.append(delta, s"$root/view")
-        val rc = ColStatsInjection.refreshPins(s).collect()
+        // delta derives from the SOURCE table, not from tableDir, so
+        // the base-table append and the two artifact appends are
+        // mutually independent
+        Par.inParallel(Seq(
+          () => delta.coalesce(1).write.partitionBy("st").mode("append")
+            .parquet(tableDir),
+          () => { ColStats.append(delta, s"$root/cs"); () },
+          () => { AggView.append(delta, s"$root/view"); () }))
+        @volatile var rc: Array[org.apache.spark.sql.Row] = null
+        @volatile var rv: Array[org.apache.spark.sql.Row] = null
+        Par.inParallel(Seq(
+          () => rc = ColStatsInjection.refreshPins(s).collect(),
+          () => rv = AggViewRewrite.refreshPins(s).collect()))
         require(rc.forall(_.getBoolean(1)),
           "partitioned stats pin refresh refused: " +
             rc.map(_.getString(2)).mkString("; "))
-        val rv = AggViewRewrite.refreshPins(s).collect()
         require(rv.forall(_.getBoolean(1)),
           "partitioned view pin refresh refused: " +
             rv.map(_.getString(2)).mkString("; "))
@@ -1098,7 +1132,7 @@ object OperatorQueries {
       * join aggregate directly.
       */
     "q248_mv_star_part" -> ((s, d) => {
-      import graft.operators.AggView
+      import graft.operators.{AggView, Par}
       import graft.plans.AggViewRewrite
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q248", d)
@@ -1108,13 +1142,16 @@ object OperatorQueries {
         col("l_partkey").cast("long").as("fpk"),
         round(col("l_quantity") * 100).cast("long").as("qc"),
         col("l_returnflag").as("rf"))
-      t.repartition(2).write.mode("overwrite").partitionBy("rf")
-        .parquet(factDir)
       val dim = Tables.part(s, d).select(
         col("p_partkey").cast("long").as("pk2"), col("p_brand"))
         .coalesce(1)
       val dimDir = s"$root/dim"
-      dim.write.mode("overwrite").parquet(dimDir)
+      // independent fixture writes from independent source tables —
+      // overlapped (guide §2.6; orchestration only)
+      Par.inParallel(Seq(
+        () => t.repartition(2).write.mode("overwrite")
+          .partitionBy("rf").parquet(factDir),
+        () => dim.write.mode("overwrite").parquet(dimDir)))
       def fact = s.read.parquet(factDir)
       def dimDf = s.read.parquet(dimDir)
       def dims = Seq(AggView.StarDim(dimDf, Seq(("fpk", "pk2"))))
@@ -1175,7 +1212,7 @@ object OperatorQueries {
       * the hash.
       */
     "q249_mv_star_partial" -> ((s, d) => {
-      import graft.operators.AggView
+      import graft.operators.{AggView, Par}
       import graft.plans.AggViewRewrite
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q249", d)
@@ -1183,14 +1220,18 @@ object OperatorQueries {
         col("l_partkey").cast("long").as("fpk"),
         col("l_suppkey").cast("long").as("fsk"),
         round(col("l_quantity") * 100).cast("long").as("qc"))
-      t.repartition(2).write.mode("overwrite").parquet(s"$root/fact")
-      Tables.part(s, d).select(
-          col("p_partkey").cast("long").as("pk2"), col("p_brand"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/d1")
-      Tables.supplier(s, d).select(
-          col("s_suppkey").cast("long").as("sk2"),
-          col("s_nationkey").cast("long").as("snat"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/d2")
+      // three independent fixture writes from three source tables —
+      // overlapped (guide §2.6; orchestration only)
+      Par.inParallel(Seq(
+        () => t.repartition(2).write.mode("overwrite")
+          .parquet(s"$root/fact"),
+        () => Tables.part(s, d).select(
+            col("p_partkey").cast("long").as("pk2"), col("p_brand"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/d1"),
+        () => Tables.supplier(s, d).select(
+            col("s_suppkey").cast("long").as("sk2"),
+            col("s_nationkey").cast("long").as("snat"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/d2")))
       def fact = s.read.parquet(s"$root/fact")
       def d1 = s.read.parquet(s"$root/d1")
       def d2 = s.read.parquet(s"$root/d2")
@@ -1265,7 +1306,7 @@ object OperatorQueries {
       * the same CASE'd fact in DuckDB.
       */
     "q250_mv_star_leftjoin" -> ((s, d) => {
-      import graft.operators.AggView
+      import graft.operators.{AggView, Par}
       import graft.plans.AggViewRewrite
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q250", d)
@@ -1274,10 +1315,14 @@ object OperatorQueries {
             -col("l_partkey").cast("long"))
           .otherwise(col("l_partkey").cast("long")).as("fpk"),
         round(col("l_quantity") * 100).cast("long").as("qc"))
-      t.repartition(2).write.mode("overwrite").parquet(s"$root/fact")
-      Tables.part(s, d).select(
-          col("p_partkey").cast("long").as("pk2"), col("p_brand"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/dim")
+      // independent fixture writes from independent source tables —
+      // overlapped (guide §2.6; orchestration only)
+      Par.inParallel(Seq(
+        () => t.repartition(2).write.mode("overwrite")
+          .parquet(s"$root/fact"),
+        () => Tables.part(s, d).select(
+            col("p_partkey").cast("long").as("pk2"), col("p_brand"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/dim")))
       def fact = s.read.parquet(s"$root/fact")
       def dim = s.read.parquet(s"$root/dim")
       def dims = Seq(AggView.StarDim(dim, Seq(("fpk", "pk2")),
@@ -1445,7 +1490,7 @@ object OperatorQueries {
       * in-query that the plan scans the VIEW, not the fact.
       */
     "q252_mv_grouping_sets" -> ((s, d) => {
-      import graft.operators.AggView
+      import graft.operators.{AggView, Par}
       import graft.plans.AggViewRewrite
       import org.apache.spark.sql.GraftBridge
       val root = lifecycleDir("q252", d)
@@ -1456,22 +1501,32 @@ object OperatorQueries {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
         .repartition(2).write.mode("overwrite").parquet(tableDir)
       def base = s.read.parquet(tableDir)
-      AggView.buildIfAbsent(base, Seq("pri", "st"),
-        Seq(AggView.Measure("sum_cents", "cents")),
-        s"$root/view", kbParts = 8)
-      // the star: a tiny priority dimension (pri2 -> band) joined on
-      // the fact's pri, with its own (band, st)-keyed rollup
-      base.select(col("pri").as("pri2")).distinct()
-        .withColumn("band", substring(col("pri2"), 1, 1))
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/dim")
       def dim = s.read.parquet(s"$root/dim")
       def starDims = Seq(AggView.StarDim(dim, Seq(("pri", "pri2"))))
-      AggView.buildStarIfAbsent(base, starDims, Seq("band", "st"),
-        Seq(AggView.Measure("sum_cents", "cents")),
-        s"$root/vstar", kbParts = 8)
+      // two independent build chains over the one written base: the
+      // flat (pri, st) rollup, and the star chain (derive the tiny
+      // priority dim, then its (band, st) rollup) — overlapped
+      // (guide §2.6; orchestration only, both artifacts unchanged)
+      Par.inParallel(Seq(
+        () => { AggView.buildIfAbsent(base, Seq("pri", "st"),
+          Seq(AggView.Measure("sum_cents", "cents")),
+          s"$root/view", kbParts = 8); () },
+        () => {
+          // the star: a tiny priority dimension (pri2 -> band) joined
+          // on the fact's pri, with its own (band, st)-keyed rollup
+          base.select(col("pri").as("pri2")).distinct()
+            .withColumn("band", substring(col("pri2"), 1, 1))
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/dim")
+          AggView.buildStarIfAbsent(base, starDims, Seq("band", "st"),
+            Seq(AggView.Measure("sum_cents", "cents")),
+            s"$root/vstar", kbParts = 8)
+          ()
+        }))
       AggViewRewrite.install(s)
-      AggViewRewrite.register(s, base, s"$root/view")
-      AggViewRewrite.registerStar(s, base, starDims, s"$root/vstar")
+      Par.inParallel(Seq(
+        () => { AggViewRewrite.register(s, base, s"$root/view"); () },
+        () => { AggViewRewrite.registerStar(s, base, starDims,
+          s"$root/vstar"); () }))
       base.createOrReplaceTempView("graft_q252_tbl")
       dim.createOrReplaceTempView("graft_q252_dim")
       def sentinel(c: org.apache.spark.sql.Column) =
@@ -2010,7 +2065,7 @@ object OperatorQueries {
       * served plan reads the ≤ |groups|-row artifact, not the table.
       */
     "q235_mv_mor" -> ((s, d) => {
-      import graft.operators.{AggView, MergeOnRead}
+      import graft.operators.{AggView, MergeOnRead, Par}
       import graft.plans.AggViewRewrite
       val t = Tables.orders(s, d).select(
         col("o_orderkey").cast("long").as("k"),
@@ -2032,8 +2087,11 @@ object OperatorQueries {
         .unionByName(
           t.filter(col("k") % 7 === 0 && col("k") % 4 =!= 0)
             .withColumn("op", lit("D")).withColumn("seq", lit(2L)))
-      MergeOnRead.streamAppend(batch, 0L, dir)
-      AggView.applyBatch(batch, 0L, viewDir)
+      // disjoint-dir landings off the same source-derived batch —
+      // overlapped (guide §2.6; orchestration only)
+      Par.inParallel(Seq(
+        () => { MergeOnRead.streamAppend(batch, 0L, dir); () },
+        () => { AggView.applyBatch(batch, 0L, viewDir); () }))
       AggViewRewrite.refreshPins(s).collect()
       s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q235_mor " +
         s"USING mor OPTIONS (path '$dir')")

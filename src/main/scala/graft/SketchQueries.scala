@@ -764,10 +764,15 @@ object SketchQueries {
         s"graft-ivfinc-${Integer.toHexString(d.hashCode)}").toString
       AnnIndex.buildIfAbsent(emb.filter(pmod(col("vec_id"), lit(4)) =!= 0),
         "q", "vec_id", IvfCentroids, idx)
-      AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-        .filter(col("vec_id") < 100), idx)
-      AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-        .filter(col("vec_id") >= 100), idx)
+      // the two fleet appends are id-disjoint and the delta algebra
+      // commutes — run them as the UNCOORDINATED CONCURRENT writers
+      // the manifest protocol supports (guide §2.6); the loser of the
+      // manifest race retries and both land, same final state
+      graft.operators.Par.inParallel(Seq(
+        () => { AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+          .filter(col("vec_id") < 100), idx); () },
+        () => { AnnIndex.append(emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+          .filter(col("vec_id") >= 100), idx); () }))
       AnnIndex.compactDeltas(s, idx)
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("q"))

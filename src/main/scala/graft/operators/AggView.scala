@@ -797,10 +797,11 @@ object AggView {
         .groupBy(decl.keys.map(col): _*)
         .agg(count(lit(1)).as("__dcnt"))
         .localCheckpoint(false)
-    // the bounded guard runs inside the commit loop, against the
-    // manifest each attempt anchors at — a retry after a lost race
-    // re-verifies against the freshest state (a CONCURRENT delete of
-    // the same rows must flip this from pass to refuse, not slip by)
+    // the bounded guard verifies against the manifest an attempt
+    // anchors at — it runs once against the anchor (overlapped with
+    // the staging write below) and re-runs inside the commit loop
+    // whenever another writer moved the manifest (a CONCURRENT delete
+    // of the same rows must flip this from pass to refuse, not slip by)
     def boundedOk(have: Manifest): Unit = if (checkBounded) {
       val parts = dg.select(kbCol(have.keys, have.kbParts).as("kb"))
         .distinct().collect().map(_.getInt(0)).toSeq
@@ -820,10 +821,19 @@ object AggView {
           "upstream proves containment)")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeDelta(delta, -1, decl, s"$path/deltas/$staged")
+    // guard ∥ staging (guide §2.6): both depend only on the anchor
+    // manifest; the commit loop re-verifies only when another writer
+    // moved it (a concurrent delete of the same rows must still flip
+    // the guard from pass to refuse on retry)
+    try Par.inParallel(Seq(
+      () => boundedOk(decl),
+      () => writeDelta(delta, -1, decl, s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     val next = IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
-      boundedOk(have)
+      if (have.mv != decl.mv) boundedOk(have)
       Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
         deltas = have.deltas :+ staged))
     }.get

@@ -827,11 +827,19 @@ object AnnIndex {
       }
     }
     val staged = nextDeltaName(path, "t")
-    ids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/deltas/$staged")
+    // guards ∥ staging (guide §2.6): both depend only on the anchor
+    // manifest; the commit loop re-verifies only when another writer
+    // moved it
+    try Par.inParallel(Seq(
+      () => guardsOk(decl),
+      () => ids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     val next = IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
-      guardsOk(have)
+      if (have.mv != decl.mv) guardsOk(have)
       Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
         tombs = have.tombs :+ staged, tombCount = have.tombCount + dn))
     }.get

@@ -221,28 +221,39 @@ object Bm25Index {
     if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
     val probeIds = delta.select(col(decl.id)).distinct()
       .localCheckpoint(false)
+    // disjointness guard, verified against the manifest an attempt
+    // anchors at (a concurrent overlapping append must flip this to
+    // refuse on retry). The guard reads only the probe ids' own dlb
+    // buckets — an id not present anywhere cannot hide outside its
+    // hash bucket.
+    def disjointOk(have: Manifest): Unit = if (checkDisjoint) {
+      val wantedDlb = probeIds
+        .select(dlbCol(col(have.id), have).as("dlb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val dupes = liveDl(spark, path, have, Some(wantedDlb))
+        .select(col(have.id))
+        .join(broadcast(probeIds), Seq(have.id), "left_semi").count()
+      require(dupes == 0,
+        s"append delta shares $dupes live id(s) with the index at " +
+          s"$path — double-counted postings (pass checkDisjoint = " +
+          "false only when upstream proves disjointness)")
+    }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val ddl = writeTables(delta, decl.text, decl.id, 1, decl,
-      s"$path/deltas/$staged")
+    // guard ∥ staging (guide §2.6); re-verified in the loop only when
+    // another writer moved the manifest
+    @volatile var ddl = 0L
+    try Par.inParallel(Seq(
+      () => disjointOk(decl),
+      () => ddl = writeTables(delta, decl.text, decl.id, 1, decl,
+        s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (batchMark.exists(_ <= have.lastBatch)) None
       else {
-        if (checkDisjoint) { // re-checked per attempt: a concurrent
-          // overlapping append must flip this to refuse. The guard
-          // reads only the probe ids' own dlb buckets — an id not
-          // present anywhere cannot hide outside its hash bucket.
-          val wantedDlb = probeIds
-            .select(dlbCol(col(have.id), have).as("dlb"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          val dupes = liveDl(spark, path, have, Some(wantedDlb))
-            .select(col(have.id))
-            .join(broadcast(probeIds), Seq(have.id), "left_semi").count()
-          require(dupes == 0,
-            s"append delta shares $dupes live id(s) with the index at " +
-              s"$path — double-counted postings (pass checkDisjoint = " +
-              "false only when upstream proves disjointness)")
-        }
+        if (have.mv != decl.mv) disjointOk(have)
         Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
           sdl = have.sdl + ddl, deltas = have.deltas :+ staged,
           lastBatch = batchMark.getOrElse(have.lastBatch)))
@@ -299,11 +310,23 @@ object Bm25Index {
           "from stale text would never cancel the stored postings")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val ddl = writeTables(delta, decl.text, decl.id, -1, decl,
-      s"$path/deltas/$staged")
+    // the guard and the staging writes are independent given the
+    // anchor manifest — overlapped (guide §2.6). A guard failure
+    // interrupts the sibling staging and GCs its dir; the commit
+    // loop re-verifies only when another writer moved the manifest
+    // (the no-race case pays the guard exactly once, off the
+    // critical path)
+    @volatile var ddl = 0L
+    try Par.inParallel(Seq(
+      () => presentOk(decl),
+      () => ddl = writeTables(delta, decl.text, decl.id, -1, decl,
+        s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     val next = IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
-      presentOk(have)
+      if (have.mv != decl.mv) presentOk(have)
       Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
         sdl = have.sdl + ddl, deltas = have.deltas :+ staged))
     }.get

@@ -387,11 +387,18 @@ object DedupIndex {
       }
     }
     val staged = IndexDirs.nextDeltaName(path, "t")
-    ids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/deltas/$staged")
+    // guards ∥ staging (guide §2.6); re-verified in the loop only
+    // when another writer moved the manifest
+    try Par.inParallel(Seq(
+      () => guardsOk(decl),
+      () => ids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     val next = IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
-      guardsOk(have)
+      if (have.mv != decl.mv) guardsOk(have)
       Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
         tombs = have.tombs :+ staged, tombCount = have.tombCount + dn))
     }.get
@@ -498,17 +505,27 @@ object DedupIndex {
     if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
     val probeIds = delta.select(col(decl.id)).distinct()
       .localCheckpoint(false)
+    def disjointOk(have: Manifest): Unit = if (checkDisjoint) {
+      requireDisjoint(probeIds, spark, path, have)
+      requireNotTombstoned(probeIds, spark, path, have)
+    }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    writeTables(delta, decl.text, decl.id, decl, scheme,
-      s"$path/deltas/$staged")
+    // guard ∥ staging (guide §2.6): both depend only on the anchor
+    // manifest; the commit loop re-verifies only when another writer
+    // moved it (a concurrent overlapping append must still flip the
+    // guard to refuse on retry)
+    try Par.inParallel(Seq(
+      () => disjointOk(decl),
+      () => writeTables(delta, decl.text, decl.id, decl, scheme,
+        s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (batchMark.exists(_ <= have.lastBatch)) None
       else {
-        if (checkDisjoint) { // re-checked per attempt: a concurrent
-          requireDisjoint(probeIds, spark, path, have) // overlapping
-          requireNotTombstoned(probeIds, spark, path, have) // append
-        }                                       // must flip to refuse
+        if (have.mv != decl.mv) disjointOk(have)
         Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
           deltas = have.deltas :+ staged,
           lastBatch = batchMark.getOrElse(have.lastBatch)))

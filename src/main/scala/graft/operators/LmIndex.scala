@@ -344,22 +344,34 @@ object LmIndex {
     if (dn == 0) return Build(path, decl.fp, decl.n, reused = true)
     val probeIds = delta.select(col(decl.id)).distinct()
       .localCheckpoint(false)
+    // disjointness guard, verified against the manifest an attempt
+    // anchors at (a concurrent overlapping append must flip this to
+    // refuse on retry)
+    def disjointOk(have: Manifest): Unit = if (checkDisjoint) {
+      val dupes = liveIdsPruned(spark, path, have, probeIds)
+        .join(broadcast(probeIds), Seq(have.id), "left_semi")
+        .count()
+      require(dupes == 0,
+        s"append delta shares $dupes live id(s) with the LM at " +
+          s"$path — re-training a doc double-counts its grams " +
+          "(pass checkDisjoint = false only when upstream proves it)")
+    }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val dst = writeTables(delta, decl.text, decl.id, 1, decl,
-      s"$path/deltas/$staged")
+    // guard ∥ staging (guide §2.6); re-verified in the loop only when
+    // another writer moved the manifest
+    @volatile var dst = 0L
+    try Par.inParallel(Seq(
+      () => disjointOk(decl),
+      () => dst = writeTables(delta, decl.text, decl.id, 1, decl,
+        s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
       if (batchMark.exists(_ <= have.lastBatch)) None
       else {
-        if (checkDisjoint) { // re-checked per attempt: a concurrent
-          val dupes = liveIdsPruned(spark, path, have, probeIds)
-            .join(broadcast(probeIds), Seq(have.id), "left_semi")
-            .count()     // overlapping append must flip to refuse
-          require(dupes == 0,
-            s"append delta shares $dupes live id(s) with the LM at " +
-              s"$path — re-training a doc double-counts its grams " +
-              "(pass checkDisjoint = false only when upstream proves it)")
-        }
+        if (have.mv != decl.mv) disjointOk(have)
         Some(have.copy(fp = have.fp ^ dfp, n = have.n + dn,
           st = have.st + dst, deltas = have.deltas :+ staged,
           lastBatch = batchMark.getOrElse(have.lastBatch)))
@@ -413,11 +425,22 @@ object LmIndex {
           "computed from stale text would never cancel the stored grams")
     }
     val staged = IndexDirs.nextDeltaName(path, "d")
-    val dst = writeTables(delta, decl.text, decl.id, -1, decl,
-      s"$path/deltas/$staged")
+    // guard ∥ staging (guide §2.6): both depend only on the anchor
+    // manifest; a guard failure interrupts the sibling staging and
+    // GCs its dir, and the commit loop re-verifies only when another
+    // writer moved the manifest — the no-race case pays the guard
+    // once, off the critical path
+    @volatile var dst = 0L
+    try Par.inParallel(Seq(
+      () => presentOk(decl),
+      () => dst = writeTables(delta, decl.text, decl.id, -1, decl,
+        s"$path/deltas/$staged")))
+    catch { case e: Throwable =>
+      IndexDirs.gcDeltas(path, Seq(staged)); throw e
+    }
     val next = IndexDirs.stagedCommit(readManifest(path),
       writeManifest(path, _: Manifest), path, Seq(staged)) { have =>
-      presentOk(have)
+      if (have.mv != decl.mv) presentOk(have)
       Some(have.copy(fp = have.fp ^ dfp, n = have.n - dn,
         st = have.st + dst, deltas = have.deltas :+ staged))
     }.get

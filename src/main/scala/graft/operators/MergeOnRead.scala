@@ -684,12 +684,6 @@ object MergeOnRead {
       else bucketed.repartitionByRange(
         math.max(1, touched.size * filesPerBucket),
         (Bucket +: clusterBy).map(col): _*)
-    laidOut
-      .write.partitionBy(Bucket).mode("overwrite")
-      .parquet(s"$dir/data/ver=$newVer")
-    // a touched bucket absent from the new ver went empty (all rows
-    // deleted) — drop it from the mapping entirely
-    val rewritten = writtenBuckets(dir, newVer).toSet
     // APPEND-ONLY VERIFICATION at the fold (tracking tables only —
     // untracked tables pay nothing): per touched bucket, the folded
     // row count must equal base rows + delta rows, or some row was
@@ -697,21 +691,29 @@ object MergeOnRead {
     // the append-only proof is gone FOREVER (ao = false). Both count
     // passes are O(touched)/O(pending); the folded side's count(1)
     // scan reads no data columns. Stable facts about written files,
-    // computed once outside the commit-retry loop.
+    // computed once outside the commit-retry loop. The delta-side
+    // count reads only the already-committed batch files, so for
+    // tracking tables it runs CONCURRENTLY with the fold write
+    // itself; the folded-side count needs the written files
+    // (guide §2.6).
     lazy val deltaCounts: Map[Int, Long] =
       deltasB.groupBy(col(Bucket)).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val writeFold = () => laidOut
+      .write.partitionBy(Bucket).mode("overwrite")
+      .parquet(s"$dir/data/ver=$newVer")
+    if (m.ao.contains(true))
+      Par.inParallel(Seq(writeFold, () => { deltaCounts; () }))
+    else writeFold()
+    // a touched bucket absent from the new ver went empty (all rows
+    // deleted) — drop it from the mapping entirely
+    val rewritten = writtenBuckets(dir, newVer).toSet
     lazy val foldedCounts: Map[Int, Long] =
       spark.read.option("basePath", s"$dir/data")
         .parquet(s"$dir/data/ver=$newVer")
         .groupBy(col(Bucket)).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // tracking tables need both count maps — force the two
-    // independent collects CONCURRENTLY (guide §2.6; lazy-val init is
-    // synchronized per val, so each task forces a different one)
-    if (m.ao.contains(true))
-      Par.inParallel(Seq(() => { deltaCounts; () },
-        () => { foldedCounts; () }))
+    if (m.ao.contains(true)) { foldedCounts; () }
     // anchored commit with retry: appends never write the manifest,
     // so the only racers are other maintenance runs — a fold whose
     // snapshot another compaction already folded (or whose base
